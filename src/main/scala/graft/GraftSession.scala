@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-aware defaults.
+  *
+  * Local testing runs `local[N]`, but every knob here is chosen so the same
+  * code runs unchanged on a multi-executor cluster at 100 TB:
+  *   - AQE on (runtime shuffle-partition coalescing + skew-join splitting),
+  *   - explicit shuffle partitions matched to parallelism (not the 200
+  *     default, which is wrong for local mode and too small at cluster scale
+  *     where AQE re-derives it),
+  *   - UTC session time zone so date semantics match the DuckDB oracle and
+  *     are cluster-node independent.
+  */
+object GraftSession {
+  def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def local(appName: String = "graft", nCpus: Int = cpus): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$nCpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", nCpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Readers for the driver-generated TPC-H-ish star (TESTDATA.md).
+  * Plain `spark.read.parquet` — filters/projections added downstream are
+  * pushed into the scan by Catalyst (PushedFilters / ReadSchema), which is
+  * the load-bearing property at 100 TB: never read columns you don't need.
+  */
+object Tables {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's scalar cleansing semantics (SURVEY.md §2.2, P2–P10),
+  * re-expressed as pure Column functions so they stay inside whole-stage
+  * codegen and push down to the scan. No UDFs anywhere: every quirk of the
+  * reference's Python coercions maps to built-in expressions.
+  */
+object Cleanse {
+
+  /** P2 — lossy int coercion: `"" / garbage → NULL`, `"4.0" → 4`.
+    * The reference parses float first, then truncates toward zero
+    * (reference: flink/stream_to_star.py:61-67, `int(float(x))`). A plain
+    * `try_cast(x AS BIGINT)` would reject `"4.0"`, so: try-cast to double,
+    * then truncate via cast to long (Spark double→long truncates toward 0,
+    * matching Python `int()`).
+    */
+  def toIntLossy(c: Column): Column =
+    c.cast(StringType).try_cast(DoubleType).cast(LongType)
+
+  /** P3 — lossy float coercion: `"" / garbage → NULL`
+    * (reference: flink/stream_to_star.py:70-76). */
+  def toFloatLossy(c: Column): Column =
+    c.cast(StringType).try_cast(DoubleType)
+
+  /** P4 — multi-format date parse: try `M/d/yyyy`, then `yyyy-MM-dd`,
+    * then `d.M.yyyy`; NULL if none match
+    * (reference: flink/stream_to_star.py:50-58). */
+  def parseDateMulti(c: Column): Column =
+    coalesce(
+      try_to_timestamp(c, lit("M/d/yyyy")).cast(DateType),
+      try_to_timestamp(c, lit("yyyy-MM-dd")).cast(DateType),
+      try_to_timestamp(c, lit("d.M.yyyy")).cast(DateType))
+
+  /** P5 — trim + empty→NULL: `(x or "").strip() or None`
+    * (reference: flink/stream_to_star.py:104-109 et al.). */
+  def trimToNull(c: Column): Column =
+    nullif(trim(c), lit(""))
+
+  /** P6 — name concat: `first + " " + last`, trimmed, NULL if both empty
+    * (reference: flink/stream_to_star.py:104-106). concat_ws skips NULLs,
+    * matching the reference's `" ".join(filter(None, ...))` shape. */
+  def fullName(first: Column, last: Column): Column =
+    trimToNull(concat_ws(" ", trim(coalesce(first, lit(""))), trim(coalesce(last, lit("")))))
+
+  /** P7 — field-alias coalesce: first non-empty of alternative source
+    * spellings, then int-coerced (reference: flink/stream_to_star.py:100). */
+  def aliasKey(cols: Column*): Column =
+    toIntLossy(coalesce(cols.map(trimToNull): _*))
+
+  /** P9 — default-on-null measures: qty→0, price→0.0
+    * (reference: flink/stream_to_star.py:252-253). */
+  def defaultZeroLong(c: Column): Column = coalesce(toIntLossy(c), lit(0L))
+  def defaultZeroDouble(c: Column): Column = coalesce(toFloatLossy(c), lit(0.0))
+}

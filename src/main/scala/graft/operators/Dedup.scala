@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine). Everything is expressed as
+  * shuffles on content-derived keys — no driver-side loops, no quadratic
+  * blowup except where the user explicitly asks for brute force — so the
+  * same code runs at 100 TB: the LSH paths shuffle each document a constant
+  * number of times (k minhashes / b bands), never comparing all pairs.
+  *
+  * Hashes are md5-based (canonical hex), so every step is reproducible in
+  * any engine — that's what lets the DuckDB oracle verify these bit-exact.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id.
+    * One hash-aggregate; at scale this is the cheapest possible dedup. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exploded (doc_id, shingle) pairs, distinct per doc. */
+  def shinglePairs(docs: DataFrame, n: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Brute-force n-gram Jaccard similarity for all candidate pairs sharing
+    * ≥1 shingle. Correct but quadratic in the worst case — the baseline the
+    * LSH variants are measured against. Returns (doc_a, doc_b, jaccard)
+    * with doc_a < doc_b.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val s = shinglePairs(docs, n)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = s.as("a"); val b = s.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k salted min-hashes over the shingle set.
+    * minhash_i(doc) = min over shingles of md5(i || ':' || shingle) —
+    * md5 hex strings compare lexicographically, which is a valid uniform
+    * order, and is engine-portable. Shuffle cost: k small aggregates over
+    * the exploded shingles (k ≪ shingle count; partial agg collapses
+    * map-side).
+    */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    val salted = shingles.select(col("doc_id"),
+      explode(sequence(lit(0), lit(k - 1))).as("i"),
+      col("shingle"))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("i").cast("string"), lit(":"), col("shingle"))).as("h"))
+    salted.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+  }
+
+  /** MinHash + LSH banding: documents sharing any band bucket become
+    * candidate pairs, then candidates are verified with exact Jaccard.
+    * bands*rowsPerBand == k. At scale: each doc shuffles b times (band
+    * buckets), candidates ≪ all-pairs — this is the 100 TB dedup path.
+    */
+  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPer = k / bands
+    val s = shinglePairs(docs, n)
+    val sig = minhashSignatures(s, k)
+    val banded = sig
+      .withColumn("band", (col("i") / lit(rowsPer)).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws("|", sort_array(collect_list(concat(col("i"), lit("="), col("mh")))))).as("bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = candidates
+      .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
+      .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sh_b"), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash: 16-bit signature from md5-derived token-hash bits. Each bit
+    * of the signature is the majority vote of that bit across the doc's
+    * token hashes. Bits come from md5 hex digits (engine-portable).
+    * Returns (doc_id, simhash) with simhash as a 16-char '0'/'1' string.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // hex digit d of md5, as int value 0..15; bit j of digit = (v >> j) & 1
+    val bitCols = (0 until 16).map { bit =>
+      val digit = bit / 4; val sub = bit % 4
+      val v = expr(s"position(substring(h, ${digit + 1}, 1) in '0123456789abcdef') - 1")
+      (shiftright(v, sub) % 2).as(s"b$bit")
+    }
+    val bits = toks.select(col("doc_id") +: bitCols: _*)
+    val votes = bits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 16).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
+    votes.select(col("doc_id"),
+      concat((0 until 16).map(b =>
+        when(col(s"s$b") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Embedding near-dup: pairs of vectors with cosine ≥ threshold.
+    * Brute force here (the verified-correct baseline); the LSH-bucketed
+    * scale path lives in Similarity.annLsh.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

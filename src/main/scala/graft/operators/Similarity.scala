@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) — codegen-friendly, no UDF serialization, and a strictly
+  * sequential left-fold so the result is bit-deterministic (same IEEE-754
+  * op order in any engine — required for the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector — the exact
+    * baseline. Cost is |queries| × |corpus|; use for small query sets or as
+    * the verifier for the ANN paths. Ranking is made fully deterministic by
+    * tie-breaking on the corpus id.
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a value in [-7.5, 7.5] derived from an md5 hex digit — engine-portable
+    * and seed-stable, so bucket assignment is reproducible everywhere.
+    */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 1), 16) - 7.5
+  }
+
+  /** Random-hyperplane LSH bucket signature: `planes` sign bits. Vectors in
+    * the same bucket are cosine-close with high probability. This is the
+    * 100 TB path: one narrow shuffle on the bucket key instead of an
+    * all-pairs cross join.
+    */
+  def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(vec, plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN top-k via LSH buckets: candidates = same-bucket pairs (plus the
+    * query's bucket neighbors), ranked by exact cosine within the bucket.
+    * Approximate: recall < 1 by design; measure against knnBruteForce.
+    */
+  def annLsh(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int, planes: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dims, planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), dims, planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: k-means-lite with deterministic seed centroids (the
+    * first `nCells` corpus vectors), assign every vector to its nearest
+    * centroid (one broadcast join), probe `nProbe` nearest cells per query.
+    * One shuffle on cell id; the standard inverted-file trade-off.
+    */
+  def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int, nProbe: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+    def nearestCells(df: DataFrame, vcol: String, out: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("d", cosine(col(vcol), col("cvec")))
+      val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("d").desc, col("cell").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+        .select(df.columns.map(col) :+ col("cell").as(out): _*)
+    }
+    val cAssigned = nearestCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", "cell_id", 1)
+    val qProbed = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "cell_id", nProbe)
+    val scored = qProbed.join(cAssigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

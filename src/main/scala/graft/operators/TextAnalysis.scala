@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Column expressions (codegen'd, no UDFs) so a 100 TB corpus
+  * pass is a single scan with whole-stage codegen — and every formula is
+  * deterministic + ANSI-SQL-expressible so the DuckDB oracle can replicate
+  * it bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(text, " "))
+
+  /** BPE-ish token count: letter runs, digit runs, or single non-space
+    * symbols — a cheap proxy for subword tokenizer load. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,100]: rewards mid-length docs, penalizes
+    * non-alphabetic noise and stopword-free (unnatural) text.
+    * Integer/decimal arithmetic only → exact across engines.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val toks = tokenCount(text)
+    val stop = size(regexp_extract_all(text, lit("\\b(the|a|of|and|or|in|to)\\b"), lit(0)))
+    val sym  = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val lenScore  = when(nChars.between(200, 2000), lit(40))
+      .when(nChars.between(50, 5000), lit(20)).otherwise(lit(0))
+    val stopScore = least(stop * lit(5), lit(30))
+    val symPenalty = least(sym * lit(2), lit(30))
+    lenScore + stopScore + lit(30) - symPenalty
+  }
+
+  /** Language-ID heuristic: vote on high-frequency marker words. This is
+    * the classic n-gram/stopword profile approach cut down to something an
+    * oracle can replicate exactly; swap the marker table for real profiles
+    * in production. Returns a language code or 'und'.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    def hits(words: Seq[String]): Column =
+      size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    val en = hits(Seq("the", "and", "of", "to", "in"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "les", "et", "est"))
+    val es = hits(Seq("el", "los", "las", "es", "y"))
+    val best = greatest(en, de, fr, es)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable across engines (md5 hex is canonical); used for exact dedup
+    * and as the shingle hash base for MinHash.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles of the normalized text (for Jaccard/MinHash). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    // slide an index window: shingle i = words[i..i+n-1], for i in 0..len-n
+    filter(
+      transform(sequence(lit(0), greatest(size(words) - lit(n), lit(0))),
+        i => when(i <= size(words) - lit(n),
+          concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j + 1))): _*))),
+      x => x.isNotNull)
+  }
+
+  /** Per-document profile: all cheap text metrics in one projection (one
+    * scan at any scale). */
+  def profile(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    col("lang"),
+    col("source"),
+    tokenCount(col("text")).as("n_tokens"),
+    tokenCountBpe(col("text")).as("n_bpe_tokens"),
+    qualityScore(col("text"), col("n_chars")).as("quality"),
+    langIdHeuristic(col("text")).as("lang_pred"),
+    fingerprint(col("text")).as("fp"))
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest of the reference's wide denormalized sales feed.
+  *
+  * The reference transports one CSV row per Kafka JSON message with every
+  * value a string (reference: producer/csv_to_kafka.py:31-33). We mirror
+  * that with an explicit all-StringType 50-field schema (FIXTURES.md §1) so
+  * typing happens in one auditable cleansing projection, exactly like the
+  * reference's late coercion (reference: flink/stream_to_star.py:50-76).
+  *
+  * Scale note: the schema is declared (never inferred) — schema inference
+  * is a full extra pass over the data, unacceptable at 100 TB.
+  */
+object SalesFeed {
+
+  /** The 50 source columns, in file order (reference: data/MOCK_DATA.csv:1). */
+  val fieldNames: Seq[String] = Seq(
+    "id",
+    "customer_first_name", "customer_last_name", "customer_age",
+    "customer_email", "customer_country", "customer_postal_code",
+    "customer_pet_type", "customer_pet_name", "customer_pet_breed",
+    "seller_first_name", "seller_last_name", "seller_email",
+    "seller_country", "seller_postal_code",
+    "product_name", "product_category", "product_price",
+    "product_quantity", "sale_date",
+    "sale_customer_id", "sale_seller_id", "sale_product_id",
+    "sale_quantity", "sale_total_price",
+    "store_name", "store_location", "store_city", "store_state",
+    "store_country", "store_phone", "store_email",
+    "pet_category", "product_weight", "product_color", "product_size",
+    "product_brand", "product_material", "product_description",
+    "product_rating", "product_reviews",
+    "product_release_date", "product_expiry_date",
+    "supplier_name", "supplier_contact", "supplier_email",
+    "supplier_phone", "supplier_address", "supplier_city",
+    "supplier_country")
+
+  /** All-string transport schema: empty string ≡ missing, typed later. */
+  val rawSchema: StructType =
+    StructType(fieldNames.map(StructField(_, StringType, nullable = true)))
+
+  /** S1 — CSV scan: header, UTF-8 BOM tolerant, quoted multiline fields
+    * (product_description contains embedded newlines), deterministic
+    * per-file sequencing for last-write-wins.
+    *
+    * Adds `_seq`: a monotonically increasing ordering column derived from
+    * (file name, position) so last-write-wins does NOT depend on task
+    * scheduling — the reference relies on single-threaded arrival order
+    * (reference: flink/stream_to_star.py:303); at scale we must carry the
+    * order explicitly (SURVEY.md §7.4.1).
+    */
+  def readCsv(spark: SparkSession, glob: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE")
+      .schema(rawSchema)
+      .csv(glob)
+    withArrivalSeq(raw)
+  }
+
+  /** Attach the explicit arrival-order column. Files sort lexicographically
+    * (the reference producer sends `sorted(glob(...))`,
+    * producer/csv_to_kafka.py:24); within a file, `monotonically_increasing_id`
+    * preserves row order per partition and multiLine CSV reads one file per
+    * partition, so (file_rank, mono_id) totally orders the feed.
+    */
+  def withArrivalSeq(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withFile = df
+      .withColumn("_file", input_file_name())
+      .withColumn("_mono", monotonically_increasing_id())
+    // dense_rank over file names: tiny domain (10 files), broadcast-friendly
+    val w = Window.orderBy(col("_file"))
+    withFile
+      .withColumn("_file_rank", dense_rank().over(w))
+      .withColumn("_seq", col("_file_rank").cast(LongType) * lit(1L << 40) + col("_mono"))
+      .drop("_file", "_mono", "_file_rank")
+  }
+
+  /** S2 — serialize rows to Kafka-shaped JSON messages (one per row). */
+  def toKafkaMessages(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** P1 — parse Kafka-shaped JSON values back into the 50 raw columns.
+    * Mirrors the reference's JsonToDict (flink/stream_to_star.py:79-81).
+    * Column pruning: if the caller selects fewer fields downstream,
+    * Catalyst prunes the JSON parse to just those fields.
+    */
+  def fromKafkaMessages(df: DataFrame): DataFrame =
+    df.select(from_json(col("value").cast(StringType), rawSchema).as("r"))
+      .select("r.*")
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.plans.{MergeWriter, StarSchema}
+import graft.sources.SalesFeed
+
+/** T1–T8 — the streaming shell: unbounded feed → star schema, effectively
+  * once (SURVEY.md §2.6).
+  *
+  * Reference behavior: Kafka from earliest, no watermarks, at-least-once
+  * reads made effectively-once by sink idempotency (reference:
+  * flink/stream_to_star.py:305-315 + the ON CONFLICT upserts). Spark
+  * mapping: checkpointed Structured Streaming micro-batches + the
+  * idempotent MergeWriter — a replayed batch merges to the same state.
+  *
+  * All state lives in the merged tables (the reference keeps it in
+  * Postgres, T5); Spark-managed state is not needed for parity.
+  */
+object StreamToStar {
+
+  val dimSpecs: Seq[(String, DataFrame => DataFrame, Seq[String], String)] = Seq(
+    ("dim_customer", StarSchema.customerRows _, Seq("source_customer_id"), "customer_sk"),
+    ("dim_seller",   StarSchema.sellerRows _,   Seq("source_seller_id"),   "seller_sk"),
+    ("dim_product",  StarSchema.productRows _,  Seq("source_product_id"),  "product_sk"),
+    ("dim_store",    StarSchema.storeRows _,    Seq("store_name"),         "store_sk"),
+    ("dim_supplier", StarSchema.supplierRows _, Seq("supplier_name"),      "supplier_sk"))
+
+  /** One micro-batch: 6 dim MERGEs, then FK resolution, then fact MERGE.
+    * `feed` must be the 50-column raw frame + `_seq` ordering column
+    * (T6: correctness never depends on arrival order inside the batch).
+    */
+  def processBatch(feed: DataFrame, store: MergeWriter): Unit = {
+    if (feed.isEmpty) return
+    val cached = feed.cache()
+    try {
+      val dims = dimSpecs.map { case (name, rows, natKey, sk) =>
+        val collapsed = StarSchema.lastWriteWins(rows(cached), natKey, "_seq")
+        name -> store.mergeDim(name, collapsed, natKey, sk)
+      }.toMap
+
+      // dim_date is keyed by the value itself; attributes are derived, so
+      // last-write-wins degenerates to distinct
+      val dateBatch = StarSchema.dateRows(cached)
+      val dimDate = store.mergeDim("dim_date", dateBatch, Seq("sale_date"), "date_sk")
+
+      val fact = StarSchema.lastWriteWins(
+        StarSchema.factRows(cached), Seq("source_sale_id"), "_seq")
+      val resolved = StarSchema.resolveFactKeys(
+        fact,
+        dims("dim_customer"), dims("dim_seller"), dims("dim_product"),
+        dims("dim_store"), dims("dim_supplier"), dimDate)
+      store.mergeFact("fact_sales", resolved, Seq("source_sale_id"))
+      ()
+    } finally cached.unpersist()
+  }
+
+  /** S3/T1/T2 — Kafka source wiring (value = one JSON message per row). */
+  def startFromKafka(
+      spark: SparkSession, bootstrap: String, topic: String,
+      store: MergeWriter, checkpoint: String): StreamingQuery = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    // Kafka offset = arrival order within a partition → the _seq column
+    val feed = SalesFeed.fromKafkaMessages(raw.select(col("value")))
+      .withColumn("_seq",
+        raw("partition").cast("long") * lit(1L << 40) + raw("offset"))
+    startForeachBatch(feed, store, checkpoint)
+  }
+
+  /** File-source variant (same pipeline; used for tests and batch replay).
+    * `_seq` is attached per micro-batch (window functions are a batch-side
+    * operation; inside foreachBatch the frame is a plain DataFrame).
+    */
+  def startFromFiles(
+      spark: SparkSession, glob: String,
+      store: MergeWriter, checkpoint: String): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(SalesFeed.rawSchema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(glob)
+    raw.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(SalesFeed.withArrivalSeq(batch), store)
+      }
+      .start()
+  }
+
+  private def startForeachBatch(
+      feed: DataFrame, store: MergeWriter, checkpoint: String): StreamingQuery =
+    feed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, store) }
+      .start()
+}
