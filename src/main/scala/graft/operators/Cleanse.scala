@@ -15,11 +15,13 @@ object Cleanse {
     * The reference parses float first, then truncates toward zero
     * (reference: flink/stream_to_star.py:61-67, `int(float(x))`). A plain
     * `try_cast(x AS BIGINT)` would reject `"4.0"`, so: try-cast to double,
-    * then truncate via cast to long (Spark double→long truncates toward 0,
-    * matching Python `int()`).
+    * then truncate to long. The final narrowing must be `try_cast` too:
+    * Spark 4 runs ANSI mode by default, so a plain cast of NaN/Infinity/
+    * overflow doubles ("1e300") would throw and kill the batch — the
+    * contract is garbage→NULL, never crash.
     */
   def toIntLossy(c: Column): Column =
-    c.cast(StringType).try_cast(DoubleType).cast(LongType)
+    c.cast(StringType).try_cast(DoubleType).try_cast(LongType)
 
   /** P3 — lossy float coercion: `"" / garbage → NULL`
     * (reference: flink/stream_to_star.py:70-76). */

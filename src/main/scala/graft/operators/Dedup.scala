@@ -71,8 +71,15 @@ object Dedup {
     * candidate pairs, then candidates are verified with exact Jaccard.
     * bands*rowsPerBand == k. At scale: each doc shuffles b times (band
     * buckets), candidates ≪ all-pairs — this is the 100 TB dedup path.
+    *
+    * `maxBucket` caps the self-join fan-out per (band, bucket): a hot
+    * bucket (boilerplate/empty docs hashing together) would otherwise go
+    * quadratic *within* the bucket. Docs in an over-full bucket are skipped
+    * for that band only — with multiple bands they still surface via their
+    * other bands, the standard LSH hot-bucket mitigation.
     */
-  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                 maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
     val s = shinglePairs(docs, n)
@@ -81,7 +88,12 @@ object Dedup {
       .withColumn("band", (col("i") / lit(rowsPer)).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(concat_ws("|", sort_array(collect_list(concat(col("i"), lit("="), col("mh")))))).as("bucket"))
-    val a = banded.as("a"); val b = banded.as("b")
+    val bucketSizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+    val capped = banded.join(bucketSizes, Seq("band", "bucket"))
+    val a = capped.as("a"); val b = capped.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -104,17 +116,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash: 16-bit signature from md5-derived token-hash bits. Each bit
-    * of the signature is the majority vote of that bit across the doc's
-    * token hashes. Bits come from md5 hex digits (engine-portable).
-    * Returns (doc_id, simhash) with simhash as a 16-char '0'/'1' string.
+  /** SimHash: 64-bit signature from md5-derived token-hash bits (64 bits is
+    * the standard width for real near-dup detection). Each bit of the
+    * signature is the majority vote of that bit across the doc's token
+    * hashes. Bits come from the first 16 md5 hex digits (engine-portable).
+    * Returns (doc_id, simhash) with simhash as a 64-char '0'/'1' string.
+    * One explode + one hash-aggregate: a single scan at any scale.
     */
+  val simhashBits = 64
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
     // hex digit d of md5, as int value 0..15; bit j of digit = (v >> j) & 1
-    val bitCols = (0 until 16).map { bit =>
+    val bitCols = (0 until simhashBits).map { bit =>
       val digit = bit / 4; val sub = bit % 4
       val v = expr(s"position(substring(h, ${digit + 1}, 1) in '0123456789abcdef') - 1")
       (shiftright(v, sub) % 2).as(s"b$bit")
@@ -122,9 +138,9 @@ object Dedup {
     val bits = toks.select(col("doc_id") +: bitCols: _*)
     val votes = bits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
-        (0 until 16).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
+        (0 until simhashBits).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
     votes.select(col("doc_id"),
-      concat((0 until 16).map(b =>
+      concat((0 until simhashBits).map(b =>
         when(col(s"s$b") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 

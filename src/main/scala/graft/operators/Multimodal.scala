@@ -80,8 +80,11 @@ object Multimodal {
   }
 
   /** Frame-sample stub: pick every `stride`-th frame index up to nFrames —
-    * pure column math, no decode needed (metadata-only planning step). */
+    * pure column math, no decode needed (metadata-only planning step).
+    * Zero-frame assets (still images, corrupt payloads) get an empty list:
+    * sequence(0, -1) would throw on illegal boundaries. */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded.withColumn("sampled_frames",
-      sequence(lit(0), col("n_frames") - 1, lit(stride)))
+      when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")))
 }

@@ -94,17 +94,21 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
-    def nearestCells(df: DataFrame, vcol: String, out: String, n: Int): DataFrame = {
+    // window partitions by the ID column alone (never by the vector — a
+    // wide partition key would hash the whole array per row for nothing)
+    def nearestCells(df: DataFrame, idc: String, vcol: String, out: String, n: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("d", cosine(col(vcol), col("cvec")))
-      val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("d").desc, col("cell").asc)
+      val w = Window.partitionBy(col(idc)).orderBy(col("d").desc, col("cell").asc)
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
         .select(df.columns.map(col) :+ col("cell").as(out): _*)
     }
     val cAssigned = nearestCells(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", "cell_id", 1)
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", "cell_id", 1)
     val qProbed = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "cell_id", nProbe)
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", "cell_id", nProbe)
     val scored = qProbed.join(cAssigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))

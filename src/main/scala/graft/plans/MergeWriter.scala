@@ -2,7 +2,6 @@ package graft.plans
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S4 — idempotent MERGE upsert into versioned parquet tables, with stable
@@ -56,6 +55,25 @@ class MergeWriter(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Distributed dense id assignment: sk = offset + 1-based index over the
+    * whole frame, via RDD `zipWithIndex` (one tiny count job for partition
+    * sizes, then a per-partition counter — no global window, no single-task
+    * sort; this is the scale-safe replacement for
+    * `row_number().over(Window.orderBy(...))`). Contiguity is deterministic
+    * per run but index→row mapping follows partition order; only *stability
+    * after assignment* matters (SURVEY.md §7.4.2 — Postgres BIGSERIAL skips
+    * ids on conflicts too), and stability comes from persisting the table.
+    */
+  private def assignKeys(df: DataFrame, skCol: String, offset: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        skCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + 1 + i))
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Upsert `batch` (already one row per natural key, e.g. via
     * StarSchema.lastWriteWins) into table `name`; returns the post-merge
     * table. `skCol` is assigned here and must not be present in `batch`.
@@ -64,8 +82,7 @@ class MergeWriter(spark: SparkSession, root: String) {
     val attrs = batch.columns.filterNot(natKey.contains)
     val merged =
       if (!exists(name)) {
-        val w = Window.orderBy(natKey.map(col): _*)
-        batch.withColumn(skCol, row_number().over(w).cast("long"))
+        assignKeys(batch, skCol, 0L)
       } else {
         val cur = read(name)
         val keyCols = natKey.map(col)
@@ -73,9 +90,10 @@ class MergeWriter(spark: SparkSession, root: String) {
         val joined = batch.join(cur.select((natKey :+ skCol).map(col): _*), natKey, "left")
         val known = joined.filter(col(skCol).isNotNull)
         val fresh = joined.filter(col(skCol).isNull).drop(skCol)
-        val maxSk = cur.agg(max(col(skCol))).head.getLong(0)
-        val wNew = Window.orderBy(natKey.map(col): _*)
-        val freshKeyed = fresh.withColumn(skCol, (row_number().over(wNew).cast("long") + lit(maxSk)))
+        // max(sk) is NULL on an empty current table — guard the scalar
+        val maxSk = Option(cur.agg(max(col(skCol))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val freshKeyed = assignKeys(fresh, skCol, maxSk)
         // untouched = current rows whose key is not in the batch
         val untouched = cur.join(batch.select(keyCols: _*), natKey, "left_anti")
         val cols = (natKey :+ skCol) ++ attrs

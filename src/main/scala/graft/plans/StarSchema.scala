@@ -42,7 +42,10 @@ object StarSchema {
   /** Cleansed dim_customer source rows (P2/P5/P6/P7/P8). */
   def customerRows(feed: DataFrame): DataFrame = feed
     .select(
-      aliasKeyIn(feed, "sale_customer_id", "customer_id", "customer_key")
+      // alias chain ends with "id": the reference's coalesce falls back to
+      // the sale id when the dedicated customer fields are all blank
+      // (reference: flink/stream_to_star.py:100)
+      aliasKeyIn(feed, "sale_customer_id", "customer_id", "customer_key", "id")
         .as("source_customer_id"),
       fullName(col("customer_first_name"), col("customer_last_name")).as("customer_name"),
       trimToNull(col("customer_country")).as("country"),
@@ -53,7 +56,7 @@ object StarSchema {
 
   def sellerRows(feed: DataFrame): DataFrame = feed
     .select(
-      toIntLossy(col("sale_seller_id")).as("source_seller_id"),
+      aliasKeyIn(feed, "sale_seller_id", "seller_id").as("source_seller_id"),
       fullName(col("seller_first_name"), col("seller_last_name")).as("seller_name"),
       trimToNull(col("seller_country")).as("country"),
       trimToNull(col("seller_email")).as("email"),
@@ -62,7 +65,7 @@ object StarSchema {
 
   def productRows(feed: DataFrame): DataFrame = feed
     .select(
-      toIntLossy(col("sale_product_id")).as("source_product_id"),
+      aliasKeyIn(feed, "sale_product_id", "product_id").as("source_product_id"),
       trimToNull(col("product_name")).as("product_name"),
       trimToNull(col("product_category")).as("category"),
       toFloatLossy(col("product_price")).cast("decimal(12,2)").as("price"),
@@ -100,13 +103,22 @@ object StarSchema {
       dayofmonth(col("sale_date")).as("day"))
 
   /** Cleansed fact rows (P2/P7/P8/P9): natural keys + measures, keeps rows
-    * with NULL dim keys (LEFT-join semantics downstream, J1). */
+    * with NULL dim keys (LEFT-join semantics downstream, J1).
+    *
+    * The natural keys use the SAME alias-coalesce chains as the dim
+    * builders: the reference stitches fact FKs from the dim upserts, which
+    * resolved their keys through those chains (reference:
+    * flink/stream_to_star.py:100,128,154,248 feeding :286-295) — a fact row
+    * with a blank `sale_customer_id` still joins the dim row derived from
+    * its `id` fallback.
+    */
   def factRows(feed: DataFrame): DataFrame = feed
     .select(
-      toIntLossy(col("id")).as("source_sale_id"),
-      toIntLossy(col("sale_customer_id")).as("source_customer_id"),
-      toIntLossy(col("sale_seller_id")).as("source_seller_id"),
-      toIntLossy(col("sale_product_id")).as("source_product_id"),
+      aliasKeyIn(feed, "id", "sale_id").as("source_sale_id"),
+      aliasKeyIn(feed, "sale_customer_id", "customer_id", "customer_key", "id")
+        .as("source_customer_id"),
+      aliasKeyIn(feed, "sale_seller_id", "seller_id").as("source_seller_id"),
+      aliasKeyIn(feed, "sale_product_id", "product_id").as("source_product_id"),
       trimToNull(col("store_name")).as("store_name"),
       trimToNull(col("supplier_name")).as("supplier_name"),
       parseDateMulti(col("sale_date")).as("sale_date"),

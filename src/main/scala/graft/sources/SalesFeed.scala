@@ -67,19 +67,30 @@ object SalesFeed {
   /** Attach the explicit arrival-order column. Files sort lexicographically
     * (the reference producer sends `sorted(glob(...))`,
     * producer/csv_to_kafka.py:24); within a file, `monotonically_increasing_id`
-    * preserves row order per partition and multiLine CSV reads one file per
-    * partition, so (file_rank, mono_id) totally orders the feed.
+    * preserves row order (partition ids increase with file offset), so
+    * (file_rank, mono_id) totally orders the feed.
+    *
+    * `_seq` is a STRUCT(file_rank, mono) compared lexicographically by
+    * `max_by` — no bit-packed arithmetic, so there is no field-collision
+    * overflow at any partition count. The file ranking is computed on the
+    * tiny `distinct(_file)` frame (file-count rows) and broadcast-joined
+    * back: no window function ever touches the full feed, so nothing here
+    * single-partitions the data at 100 TB.
     */
   def withArrivalSeq(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withFile = df
       .withColumn("_file", input_file_name())
       .withColumn("_mono", monotonically_increasing_id())
-    // dense_rank over file names: tiny domain (10 files), broadcast-friendly
-    val w = Window.orderBy(col("_file"))
+    // Rank file names on the distinct set: file count is tiny (one row per
+    // input file), so a single-partition window over it is O(files), and
+    // the rank map broadcast-joins back to the feed without a shuffle.
+    val fileRanks = withFile.select(col("_file")).distinct()
+      .withColumn("_file_rank",
+        dense_rank().over(Window.orderBy(col("_file"))).cast(LongType))
     withFile
-      .withColumn("_file_rank", dense_rank().over(w))
-      .withColumn("_seq", col("_file_rank").cast(LongType) * lit(1L << 40) + col("_mono"))
+      .join(broadcast(fileRanks), Seq("_file"))
+      .withColumn("_seq", struct(col("_file_rank"), col("_mono")))
       .drop("_file", "_mono", "_file_rank")
   }
 

@@ -66,10 +66,12 @@ object StreamToStar {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
-    // Kafka offset = arrival order within a partition → the _seq column
-    val feed = SalesFeed.fromKafkaMessages(raw.select(col("value")))
-      .withColumn("_seq",
-        raw("partition").cast("long") * lit(1L << 40) + raw("offset"))
+    // Kafka (partition, offset) = arrival order within a partition → the
+    // _seq struct (lexicographic compare; no bit-packing overflow).
+    val feed = raw
+      .select(from_json(col("value").cast("string"), SalesFeed.rawSchema).as("r"),
+        struct(col("partition").cast("long").as("p"), col("offset").as("o")).as("_seq"))
+      .select(col("r.*"), col("_seq"))
     startForeachBatch(feed, store, checkpoint)
   }
 
