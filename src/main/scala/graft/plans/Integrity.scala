@@ -25,6 +25,13 @@ object Integrity {
     */
   def audit(fact: DataFrame,
             dims: Seq[(String, DataFrame, String /*fk in fact*/, String /*sk in dim*/)]): Map[String, Long] = {
+    val row = auditDf(fact, dims).head
+    dims.zipWithIndex.map { case ((name, _, _, _), i) => name -> row.getLong(i) }.toMap
+  }
+
+  /** Same audit as a one-row DataFrame (for the driver's oracle compare). */
+  def auditDf(fact: DataFrame,
+              dims: Seq[(String, DataFrame, String, String)]): DataFrame = {
     val agg = dims.foldLeft(fact) { case (acc, (name, dim, fk, sk)) =>
       acc.join(broadcast(dim.select(col(sk).as(s"_probe_$name"))),
         acc(fk) === col(s"_probe_$name"), "left")
@@ -33,7 +40,6 @@ object Integrity {
       sum(when(col(fk).isNotNull && col(s"_probe_$name").isNull, 1).otherwise(0))
         .as(s"missing_$name")
     }
-    val row = agg.agg(sums.head, sums.tail: _*).head
-    dims.zipWithIndex.map { case ((name, _, _, _), i) => name -> row.getLong(i) }.toMap
+    agg.agg(sums.head, sums.tail: _*)
   }
 }
