@@ -29,6 +29,8 @@ object QueryCatalog {
     * (spark.sql.legacy.parquet.nanosAsLong) and we truncate to a µs
     * timestamp here — the same floor DuckDB applies on
     * `CAST(ts_ns AS TIMESTAMP)`, so both engines see identical values. */
+  /** Only events.ts is TIMESTAMP(NANOS) in the testdata; orders/lineitem
+    * timestamps are µs and read natively. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -328,6 +330,262 @@ object QueryCatalog {
     "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' AND value > 100.0"
 
   // =========================================================================
+  // Training-data pipeline: text analysis, dedup, similarity, multimodal
+  // =========================================================================
+
+  /** Normalized-text SQL fragment (mirror of TextAnalysis.fingerprint's
+    * normalization; DuckDB regexp_replace needs the 'g' flag — Spark
+    * replaces all matches by default). */
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** (doc_id, shingle) distinct-pairs CTE prefix, n-gram size `n`. */
+  private def shingleCte(n: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+       |sdup AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - ${n - 1}, 0) + 1),
+       |  i -> array_to_string(list_slice(words, i, i + ${n - 1}), ' '))) AS shingle FROM w),
+       |s AS (SELECT DISTINCT doc_id, shingle FROM sdup)""".stripMargin
+
+  /** Text profile: token counts, quality score, lang-ID, fingerprint —
+    * one scan, all codegen'd Column expressions. */
+  def q20TextProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(t(s, dir, "documents"))
+
+  val q20Sql: String = {
+    val stop = "len(regexp_extract_all(text, '\\b(the|a|of|and|or|in|to)\\b'))"
+    val sym = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    def hits(ws: String) = s"len(regexp_extract_all(text, '\\b($ws)\\b'))"
+    val en = hits("the|and|of|to|in"); val de = hits("der|die|das|und|ist")
+    val fr = hits("le|la|les|et|est"); val es = hits("el|los|las|es|y")
+    s"""SELECT doc_id, lang, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST((CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 40
+       |             WHEN n_chars BETWEEN 50 AND 5000 THEN 20 ELSE 0 END)
+       |    + least($stop * 5, 30) + 30 - least($sym * 2, 30) AS BIGINT) AS quality,
+       |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+       |       WHEN $en = greatest($en, $de, $fr, $es) THEN 'en'
+       |       WHEN $de = greatest($en, $de, $fr, $es) THEN 'de'
+       |       WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
+       |       ELSE 'es' END AS lang_pred,
+       |  md5($normSql) AS fp
+       |FROM documents""".stripMargin
+  }
+
+  /** Exact dedup by content fingerprint (one hash-aggregate). */
+  def q21DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+
+  val q21Sql: String =
+    s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** Shingle statistics: distinct 5-gram count per doc. */
+  def q22ShingleStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.shinglePairs(t(s, dir, "documents"), 5)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+
+  val q22Sql: String =
+    s"""${shingleCte(5)}
+       |SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY doc_id""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs (the quadratic-candidate baseline the
+    * LSH path is verified against). */
+  def q23JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), 5, 0.5)
+
+  private def jaccardTailSql(candidateJoin: String): String =
+    s"""sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+       |common AS ($candidateJoin),
+       |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (x.sz + y.sz - common) AS jaccard
+       |  FROM common JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  val q23Sql: String =
+    s"""${shingleCte(5)},
+       |${jaccardTailSql(
+            """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin)}""".stripMargin
+
+  /** MinHash + LSH banding dedup — the 100 TB near-dup path: constant
+    * shuffles per doc, hot-bucket capped, candidates verified by exact
+    * Jaccard. k=12 hashes, 4 bands × 3 rows. */
+  def q24MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
+      threshold = 0.5, maxBucket = 100)
+
+  val q24Sql: String =
+    s"""${shingleCte(5)},
+       |ii AS (SELECT unnest(range(0, 12)) AS i),
+       |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+       |  FROM s CROSS JOIN ii GROUP BY doc_id, i),
+       |banded AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+       |  md5(string_agg(CAST(i AS VARCHAR) || '=' || mh, '|'
+       |      ORDER BY CAST(i AS VARCHAR) || '=' || mh)) AS bucket
+       |  FROM sig GROUP BY 1, 2),
+       |ok_buckets AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
+       |capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |${jaccardTailSql(
+            """SELECT doc_a, doc_b, count(*) AS common
+              |  FROM cand JOIN s sa ON sa.doc_id = doc_a
+              |  JOIN s sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle GROUP BY 1, 2""".stripMargin)}""".stripMargin
+
+  /** 64-bit SimHash signatures. */
+  def q25Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"))
+
+  val q25Sql: String = {
+    val bitDefs = (0 until Dedup.simhashBits).map { bit =>
+      val digit = bit / 4; val sub = bit % 4
+      s"(((position(substring(h, ${digit + 1}, 1) IN '0123456789abcdef') - 1) >> $sub) & 1) AS b$bit"
+    }.mkString(",\n  ")
+    val sums = (0 until Dedup.simhashBits).map(b => s"sum(b$b) AS s$b").mkString(", ")
+    val chars = (0 until Dedup.simhashBits)
+      .map(b => s"CASE WHEN s$b * 2 >= n THEN '1' ELSE '0' END").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |bits AS (SELECT doc_id,
+       |  $bitDefs
+       |FROM hs),
+       |votes AS (SELECT doc_id, count(*) AS n, $sums FROM bits GROUP BY doc_id)
+       |SELECT doc_id, concat($chars) AS simhash FROM votes""".stripMargin
+  }
+
+  // ---- similarity search ----
+
+  /** Cosine SQL over DOUBLE[] exprs — same sequential fold + 6-dp rounding
+    * as Similarity.score, so ranks can never diverge between engines. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       | (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |  sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin.replace("\n", "")
+
+  /** Brute-force top-5 cosine kNN for 16 query vectors — the exact
+    * baseline every ANN path is measured against. */
+  def q26KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnBruteForce(emb.filter(col("vec_id") < 16), emb, 5)
+  }
+
+  val q26Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |scored AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  /** ANN via random-hyperplane LSH (4 planes): one shuffle on the bucket
+    * key instead of a cross join — the scale path. */
+  def q27AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annLsh(emb.filter(col("vec_id") < 16), emb, k = 5, dims = 64, planes = 4)
+  }
+
+  private def planeLitSql(p: Int, dims: Int): String =
+    (0 until dims).map(d => Similarity.planeComponent(p, d).toString).mkString("[", ", ", "]")
+
+  val q27Sql: String = {
+    val bits = (0 until 4).map { p =>
+      s"CASE WHEN list_sum(list_transform(list_zip(v, ${planeLitSql(p, 64)}), x -> x[1] * x[2])) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, concat($bits) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+       |scored AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold (brute baseline,
+    * restricted id range; the LSH path above is the scale story). */
+  def q28EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings").filter(col("vec_id") < 512), 0.4)
+
+  val q28Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 512)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin
+
+  // ---- multimodal ----
+
+  /** Multimodal asset wrapping: opaque binary payload + typed metadata
+    * (byte length, md5 checksum) — the Spark-side plumbing is real; only
+    * codec decode is stubbed (no media libs in the sandbox). */
+  def q29MultimodalAssets(s: SparkSession, dir: String): DataFrame =
+    Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "text")
+      .select(col("asset_id"), col("media_type"), col("n_bytes"), col("checksum"))
+
+  val q29Sql: String =
+    """SELECT doc_id AS asset_id, 'text' AS media_type,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  /** Batch decode through the Decoder trait (mapPartitions shape) + frame
+    * sampling. The stub decoder is JVM-deterministic but not SQL-
+    * expressible → rows-only check (no oracle). */
+  def q30MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "text")
+    Multimodal.sampleFrames(
+      Multimodal.decodeAll(assets, Multimodal.StubDecoder).toDF(), 2)
+      .select(col("asset_id"), col("width"), col("height"), col("n_frames"),
+        size(col("sampled_frames")).cast("long").as("n_sampled"))
+  }
+
+  // ---- star pipeline as a query (LWW + alias-coalesce + cleanse e2e) ----
+
+  /** The star pipeline's dim_customer builder run over a sales feed derived
+    * from `orders` (stringly-typed, with blank keys, "NaN" ages and
+    * untrimmed names injected deterministically): exercises
+    * aliasKey fallback → cleanse → lastWriteWins exactly as the streaming
+    * pipeline does, with a SQL-checkable result. */
+  def q31StarCustomerDim(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val feed = o.select(
+      col("o_orderkey").cast("string").as("id"),
+      when(col("o_custkey") % 7 === 0, lit(""))
+        .otherwise(col("o_custkey").cast("string")).as("sale_customer_id"),
+      concat(lit(" First"), (col("o_custkey") % 50).cast("string")).as("customer_first_name"),
+      concat(lit("Last"), (col("o_custkey") % 50).cast("string"), lit(" ")).as("customer_last_name"),
+      when(col("o_orderkey") % 5 === 0, lit("NaN"))
+        .otherwise(concat((col("o_custkey") % 60 + 18).cast("string"), lit(".0"))).as("customer_age"),
+      when(col("o_custkey") % 3 === 0, lit(""))
+        .otherwise(concat(lit("u"), col("o_custkey").cast("string"), lit("@x.com"))).as("customer_email"),
+      concat(lit("C"), (col("o_custkey") % 5).cast("string")).as("customer_country"),
+      struct(lit(0L).as("f"), col("o_orderkey").as("k")).as("_seq"))
+    StarSchema.lastWriteWins(
+      StarSchema.customerRows(feed), Seq("source_customer_id"), "_seq")
+      .withColumn("age", col("age").cast("long"))
+  }
+
+  val q31Sql: String =
+    """WITH feed AS (SELECT o_orderkey,
+      |  CASE WHEN o_custkey % 7 = 0 THEN o_orderkey ELSE o_custkey END AS k,
+      |  nullif(trim(concat_ws(' ',
+      |    trim(' First' || CAST(o_custkey % 50 AS VARCHAR)),
+      |    trim('Last' || CAST(o_custkey % 50 AS VARCHAR) || ' '))), '') AS customer_name,
+      |  'C' || CAST(o_custkey % 5 AS VARCHAR) AS country,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey % 60 + 18 END AS age,
+      |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+      |       ELSE 'u' || CAST(o_custkey AS VARCHAR) || '@x.com' END AS email
+      |  FROM orders)
+      |SELECT k AS source_customer_id, customer_name, country, CAST(age AS BIGINT) AS age, email
+      |FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY o_orderkey DESC) AS rn FROM feed)
+      |WHERE rn = 1""".stripMargin
+
+  // =========================================================================
   // Registry
   // =========================================================================
 
@@ -351,7 +609,19 @@ object QueryCatalog {
     ("q16_json_extract", q16JsonExtract _, Some(q16Sql)),
     ("q17_integrity_audit", q17IntegrityAudit _, Some(q17Sql)),
     ("q18_event_uniqueness", q18EventUniqueness _, Some(q18Sql)),
-    ("q19_purchase_filter", q19PurchaseFilter _, Some(q19Sql)))
+    ("q19_purchase_filter", q19PurchaseFilter _, Some(q19Sql)),
+    ("q20_text_profile", q20TextProfile _, Some(q20Sql)),
+    ("q21_dedup_exact", q21DedupExact _, Some(q21Sql)),
+    ("q22_shingle_stats", q22ShingleStats _, Some(q22Sql)),
+    ("q23_jaccard_pairs", q23JaccardPairs _, Some(q23Sql)),
+    ("q24_minhash_lsh", q24MinhashLsh _, Some(q24Sql)),
+    ("q25_simhash", q25Simhash _, Some(q25Sql)),
+    ("q26_knn_brute_force", q26KnnBruteForce _, Some(q26Sql)),
+    ("q27_ann_lsh", q27AnnLsh _, Some(q27Sql)),
+    ("q28_embedding_near_dup", q28EmbeddingNearDup _, Some(q28Sql)),
+    ("q29_multimodal_assets", q29MultimodalAssets _, Some(q29Sql)),
+    ("q30_multimodal_decode", q30MultimodalDecode _, None),
+    ("q31_star_customer_dim", q31StarCustomerDim _, Some(q31Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

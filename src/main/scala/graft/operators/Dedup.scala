@@ -154,7 +154,7 @@ object Dedup {
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+        Similarity.score(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

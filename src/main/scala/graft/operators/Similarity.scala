@@ -22,6 +22,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine rounded to 6 dp — the ranking/score currency of every search
+    * operator here. Ranking on the rounded value (with an id tie-break)
+    * makes top-k results reproducible across engines: a last-ulp
+    * difference in float summation order can never flip a rank. */
+  def score(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
   /** Brute-force top-k cosine neighbors for each query vector — the exact
     * baseline. Cost is |queries| × |corpus|; use for small query sets or as
     * the verifier for the ANN paths. Ranking is made fully deterministic by
@@ -34,18 +40,18 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        score(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+  /** Deterministic pseudo-random hyperplane component for (plane p, d):
     * a value in [-7.5, 7.5] derived from an md5 hex digit — engine-portable
     * and seed-stable, so bucket assignment is reproducible everywhere.
     */
-  private def planeComponent(p: Int, d: Int): Double = {
+  def planeComponent(p: Int, d: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane:$p:$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -78,10 +84,10 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        score(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -98,7 +104,7 @@ object Similarity {
     // wide partition key would hash the whole array per row for nothing)
     def nearestCells(df: DataFrame, idc: String, vcol: String, out: String, n: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
-        .withColumn("d", cosine(col(vcol), col("cvec")))
+        .withColumn("d", score(col(vcol), col("cvec")))
       val w = Window.partitionBy(col(idc)).orderBy(col("d").desc, col("cell").asc)
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
         .select(df.columns.map(col) :+ col("cell").as(out): _*)
@@ -111,10 +117,10 @@ object Similarity {
       "query_id", "qv", "cell_id", nProbe)
     val scored = qProbed.join(cAssigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), score(col("qv"), col("cv")).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 }

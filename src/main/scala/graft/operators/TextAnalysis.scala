@@ -79,9 +79,9 @@ object TextAnalysis {
     col("doc_id"),
     col("lang"),
     col("source"),
-    tokenCount(col("text")).as("n_tokens"),
-    tokenCountBpe(col("text")).as("n_bpe_tokens"),
-    qualityScore(col("text"), col("n_chars")).as("quality"),
+    tokenCount(col("text")).cast("long").as("n_tokens"),
+    tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"),
+    qualityScore(col("text"), col("n_chars")).cast("long").as("quality"),
     langIdHeuristic(col("text")).as("lang_pred"),
     fingerprint(col("text")).as("fp"))
 }
