@@ -22,12 +22,31 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exploded (doc_id, shingle) pairs, distinct per doc. */
+  /** Exploded (doc_id, shingle) pairs, distinct per doc.
+    *
+    * Formulated as posexplode + window `lead` rather than exploding
+    * [[TextAnalysis.shingles]]: higher-order lambdas are interpreted and
+    * re-evaluate the split/regex subtree per element (O(words²) work per
+    * doc — measured 24 s at sf0.1 vs ~2 s for this shape). Here the text
+    * is split ONCE per row, and shingle assembly is a codegen'd window
+    * over (doc_id, pos). The window partitions by doc_id: bounded-size
+    * partitions, safe at any corpus scale.
+    */
   def shinglePairs(docs: DataFrame, n: Int,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+        .as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("w") +: (1 until n).map(j => lead(col("w"), j).over(w))
+    words
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+        (if (n > 1) lead(col("w"), n - 1).over(w).isNotNull else lit(true)).as("_full"))
+      .filter(col("_full"))
+      .select(col("doc_id"), col("shingle"))
       .distinct()
+  }
 
   /** Brute-force n-gram Jaccard similarity for all candidate pairs sharing
     * ≥1 shingle. Correct but quadratic in the worst case — the baseline the
@@ -83,11 +102,22 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
     val s = shinglePairs(docs, n)
-    val sig = minhashSignatures(s, k)
-    val banded = sig
-      .withColumn("band", (col("i") / lit(rowsPer)).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("|", sort_array(collect_list(concat(col("i"), lit("="), col("mh")))))).as("bucket"))
+    // Wide-aggregate signatures: k min-hash columns in ONE shuffle over the
+    // (doc_id, shingle) pairs — no k× row multiplication (the exploded
+    // formulation ran k·|shingles| rows through the aggregate; this one
+    // computes the same k mins map-side). Band buckets are md5 over the
+    // sorted "i=mh" strings, identical to the exploded formulation.
+    val mhCols = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"mh$i"))
+    val sigWide = s.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (b * rowsPer until (b + 1) * rowsPer)
+        .map(i => concat(lit(s"$i="), col(s"mh$i")))
+      md5(concat_ws("|", sort_array(array(parts: _*)))).as(s"bucket$b")
+    }
+    val stackExpr = (0 until bands).map(b => s"$b, bucket$b").mkString(", ")
+    val banded = sigWide.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bucket)")
     val bucketSizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBucket)

@@ -6,17 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]).
   *
-  * All vector math is built-in higher-order functions (`zip_with` +
-  * `aggregate`) — codegen-friendly, no UDF serialization, and a strictly
-  * sequential left-fold so the result is bit-deterministic (same IEEE-754
-  * op order in any engine — required for the DuckDB oracle).
+  * Vector math runs through the native [[graft.functions.DotProduct]]
+  * Catalyst expression: a generated tight loop inside whole-stage codegen
+  * (Spark's higher-order functions are CodegenFallback — interpreted per
+  * element, measured ~10× slower at sf0.1). The fold is strictly
+  * sequential left-to-right in double, so results stay bit-deterministic
+  * and identical to the DuckDB oracle's list_sum fold.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors, in double. */
+  /** Sequential-fold dot product of two float/double vectors, in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
