@@ -585,6 +585,24 @@ object QueryCatalog {
       |FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY o_orderkey DESC) AS rn FROM feed)
       |WHERE rn = 1""".stripMargin
 
+  /** T8 — error channel over a feed with deterministically-injected
+    * garbage ids: uncoercible-but-present keys are rejected with a
+    * reference-style "error: ..." message, never silently nulled. */
+  def q32ErrorChannel(s: SparkSession, dir: String): DataFrame = {
+    val feed = t(s, dir, "orders").select(
+      when(col("o_orderkey") % 13 === 0,
+        concat(lit("id_"), col("o_orderkey").cast("string")))
+        .otherwise(col("o_orderkey").cast("string")).as("id"),
+      col("o_custkey").cast("string").as("sale_customer_id"))
+    val (_, errors) = graft.streaming.ErrorChannel.split(feed, Seq("id"))
+    errors.select(col("id"), col("_error"))
+  }
+
+  val q32Sql: String =
+    """SELECT 'id_' || CAST(o_orderkey AS VARCHAR) AS id,
+      |  'error: ValueError: invalid int for ''id'': id_' || CAST(o_orderkey AS VARCHAR) AS _error
+      |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -621,7 +639,8 @@ object QueryCatalog {
     ("q28_embedding_near_dup", q28EmbeddingNearDup _, Some(q28Sql)),
     ("q29_multimodal_assets", q29MultimodalAssets _, Some(q29Sql)),
     ("q30_multimodal_decode", q30MultimodalDecode _, None),
-    ("q31_star_customer_dim", q31StarCustomerDim _, Some(q31Sql)))
+    ("q31_star_customer_dim", q31StarCustomerDim _, Some(q31Sql)),
+    ("q32_error_channel", q32ErrorChannel _, Some(q32Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

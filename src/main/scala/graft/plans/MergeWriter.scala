@@ -106,6 +106,16 @@ class MergeWriter(spark: SparkSession, root: String) {
     read(name)
   }
 
+  /** Append-only table (dead-letter channel): new version = current ∪
+    * batch. Rewrites the table per batch like the other merges — at real
+    * scale back this with an appendable format; the dead-letter stream is
+    * tiny relative to the feed by construction. */
+  def appendTable(name: String, batch: DataFrame): DataFrame = {
+    val merged = if (!exists(name)) batch else read(name).unionByName(batch)
+    writeVersion(name, merged.localCheckpoint(true))
+    read(name)
+  }
+
   /** Fact upsert: pure last-write-wins on the fact natural key, no sk. */
   def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
     val merged =

@@ -43,6 +43,12 @@ object SalesFeed {
   val rawSchema: StructType =
     StructType(fieldNames.map(StructField(_, StringType, nullable = true)))
 
+  /** Transport schema + corrupt-record column (T8: unparseable rows land
+    * there instead of being silently nulled). */
+  val rawSchemaWithCorrupt: StructType =
+    rawSchema.add(StructField(graft.streaming.ErrorChannel.corruptCol,
+      StringType, nullable = true))
+
   /** S1 — CSV scan: header, UTF-8 BOM tolerant, quoted multiline fields
     * (product_description contains embedded newlines), deterministic
     * per-file sequencing for last-write-wins.
@@ -59,7 +65,8 @@ object SalesFeed {
       .option("multiLine", "true")
       .option("encoding", "UTF-8")
       .option("mode", "PERMISSIVE")
-      .schema(rawSchema)
+      .option("columnNameOfCorruptRecord", graft.streaming.ErrorChannel.corruptCol)
+      .schema(rawSchemaWithCorrupt)
       .csv(glob)
     withArrivalSeq(raw)
   }
@@ -97,6 +104,18 @@ object SalesFeed {
   /** S2 — serialize rows to Kafka-shaped JSON messages (one per row). */
   def toKafkaMessages(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S2 — producer write: one JSON message per row to a Kafka topic
+    * (reference: producer/csv_to_kafka.py:17-33). Requires the
+    * spark-sql-kafka connector on the classpath and a reachable broker —
+    * neither exists in the sandbox, so this path is exercised only by the
+    * broker-gated integration test. */
+  def writeToKafka(df: DataFrame, bootstrap: String, topic: String): Unit =
+    toKafkaMessages(df).write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
 
   /** P1 — parse Kafka-shaped JSON values back into the 50 raw columns.
     * Mirrors the reference's JsonToDict (flink/stream_to_star.py:79-81).

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Cleanse
+
+/** T8 — per-record error channel.
+  *
+  * The reference wraps each record's processing in try/except and emits a
+  * per-record status string — "ok" or "error: <type>: <message>" — to the
+  * console sink, dropping the record but keeping the stream alive
+  * (reference: flink/stream_to_star.py:284-298, wired :320). A PERMISSIVE
+  * CSV read + try_cast alone would silently null bad data instead; this
+  * module makes the rejection explicit and routable to a dead-letter sink.
+  *
+  * A record is an error when:
+  *   - the parser could not parse it at all (corrupt-record column), or
+  *   - a required key field is *present but uncoercible* (e.g. id="abc"):
+  *     the reference's int(float(x)) would raise and the record would
+  *     surface as "error: ...". A genuinely-missing key is NOT an error —
+  *     the reference silently skips those upserts (P8 guards).
+  *
+  * Everything is a Column-level split: two filters over one scan, no UDFs,
+  * no driver round-trips — the split costs nothing extra at 100 TB.
+  */
+object ErrorChannel {
+
+  val corruptCol = "_corrupt_record"
+
+  /** Error predicate + message for a feed with a corrupt-record column and
+    * required int-keyed fields. */
+  private def errorMsg(feed: DataFrame, requiredIntKeys: Seq[String]): Column = {
+    val corrupt = if (feed.columns.contains(corruptCol))
+      when(col(corruptCol).isNotNull,
+        concat(lit("error: MalformedRecord: "), col(corruptCol))) else lit(null)
+    val coercions = requiredIntKeys.map { k =>
+      when(Cleanse.trimToNull(col(k)).isNotNull && Cleanse.toIntLossy(col(k)).isNull,
+        concat(lit(s"error: ValueError: invalid int for '$k': "), col(k)))
+    }
+    coalesce((Seq(corrupt) ++ coercions): _*)
+  }
+
+  /** Split a raw feed into (valid, errors). `errors` carries the original
+    * columns plus `_error` (reference-style message). */
+  def split(feed: DataFrame, requiredIntKeys: Seq[String]): (DataFrame, DataFrame) = {
+    val tagged = feed.withColumn("_error", errorMsg(feed, requiredIntKeys))
+    val valid = tagged.filter(col("_error").isNull).drop("_error")
+      .drop(corruptCol)
+    val errors = tagged.filter(col("_error").isNotNull)
+    (valid, errors)
+  }
+
+  /** S5 — per-record status column ("ok" / "error: ..."), the reference's
+    * console-sink payload. */
+  def status(feed: DataFrame, requiredIntKeys: Seq[String]): DataFrame =
+    feed.select(coalesce(errorMsg(feed, requiredIntKeys), lit("ok")).as("status"))
+
+  /** Console status sink: aggregate counts plus a sample of error lines —
+    * the scale-safe rendering of the reference's per-record print (printing
+    * 100 TB of "ok" lines is not a sink; the counts and the actual error
+    * payloads are). */
+  def printStatus(feed: DataFrame, requiredIntKeys: Seq[String], sample: Int = 20): Unit = {
+    val st = status(feed, requiredIntKeys).cache()
+    try {
+      val counts = st.groupBy(col("status") === "ok").count().collect()
+        .map(r => (if (r.getBoolean(0)) "ok" else "error") -> r.getLong(1)).toMap
+      println(s"[status] ok=${counts.getOrElse("ok", 0L)} error=${counts.getOrElse("error", 0L)}")
+      st.filter(col("status") =!= "ok").limit(sample).collect()
+        .foreach(r => println(s"[status] ${r.getString(0)}"))
+    } finally st.unpersist()
+  }
+}

@@ -27,13 +27,25 @@ object StreamToStar {
     ("dim_store",    StarSchema.storeRows _,    Seq("store_name"),         "store_sk"),
     ("dim_supplier", StarSchema.supplierRows _, Seq("supplier_name"),      "supplier_sk"))
 
-  /** One micro-batch: 6 dim MERGEs, then FK resolution, then fact MERGE.
-    * `feed` must be the 50-column raw frame + `_seq` ordering column
-    * (T6: correctness never depends on arrival order inside the batch).
+  /** One micro-batch: T8 error split, 6 dim MERGEs, FK resolution, fact
+    * MERGE. `feed` must be the 50-column raw frame + `_seq` ordering
+    * column (T6: correctness never depends on arrival order inside the
+    * batch).
+    *
+    * Malformed/uncoercible records route to the `dead_letter` table with a
+    * reference-style "error: ..." message and a console summary
+    * (reference: flink/stream_to_star.py:284-298) — never silently nulled.
     */
   def processBatch(feed: DataFrame, store: MergeWriter): Unit = {
     if (feed.isEmpty) return
-    val cached = feed.cache()
+    val (valid0, errors) = ErrorChannel.split(feed, Seq("id"))
+    if (!errors.isEmpty) {
+      ErrorChannel.printStatus(feed, Seq("id"))
+      store.appendTable("dead_letter",
+        errors.select(col("_error"), to_json(struct(
+          feed.columns.filterNot(_ == "_seq").map(col): _*)).as("record")))
+    }
+    val cached = valid0.cache()
     try {
       val dims = dimSpecs.map { case (name, rows, natKey, sk) =>
         val collapsed = StarSchema.lastWriteWins(rows(cached), natKey, "_seq")
@@ -83,9 +95,10 @@ object StreamToStar {
       spark: SparkSession, glob: String,
       store: MergeWriter, checkpoint: String): StreamingQuery = {
     val raw = spark.readStream
-      .schema(SalesFeed.rawSchema)
+      .schema(SalesFeed.rawSchemaWithCorrupt)
       .option("header", "true")
       .option("multiLine", "true")
+      .option("columnNameOfCorruptRecord", ErrorChannel.corruptCol)
       .option("maxFilesPerTrigger", "1")
       .csv(glob)
     raw.writeStream
