@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.plans.MergeWriter
+
+/** MERGE-layer invariants (SURVEY.md §7.4.2): surrogate-key stability,
+  * last-write-wins upsert, empty-table guards, append table. */
+class MergeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() =
+    new MergeWriter(spark, Files.createTempDirectory("graft-merge").toString)
+
+  test("mergeDim assigns dense keys on first batch and never reassigns them") {
+    val store = freshStore()
+    val b1 = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "attr")
+    val t1 = store.mergeDim("d", b1, Seq("k"), "sk")
+    val keys1 = t1.collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("sk")).toMap
+    assert(keys1.values.toSet === Set(1L, 2L, 3L))
+
+    // second batch: one update (new attr), one insert
+    val b2 = Seq((20L, "b2"), (40L, "d")).toDF("k", "attr")
+    val t2 = store.mergeDim("d", b2, Seq("k"), "sk")
+    val rows2 = t2.collect().map(r =>
+      r.getAs[Long]("k") -> (r.getAs[Long]("sk"), r.getAs[String]("attr"))).toMap
+    assert(rows2(20L)._1 === keys1(20L), "existing key must keep its sk")
+    assert(rows2(20L)._2 === "b2", "attributes must update")
+    assert(rows2(10L) === (keys1(10L), "a"), "untouched rows unchanged")
+    assert(rows2(40L)._1 === 4L, "new key continues after max(sk)")
+    assert(t2.count() === 4)
+  }
+
+  test("mergeDim survives an empty current table (max(sk) NULL guard)") {
+    val store = freshStore()
+    val empty = Seq.empty[(Long, String)].toDF("k", "attr")
+    store.mergeDim("d", empty, Seq("k"), "sk")
+    val t = store.mergeDim("d", Seq((1L, "x")).toDF("k", "attr"), Seq("k"), "sk")
+    assert(t.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("sk"))).toSeq === Seq((1L, 1L)))
+  }
+
+  test("mergeFact is last-write-wins on the natural key") {
+    val store = freshStore()
+    store.mergeFact("f", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), Seq("id"))
+    val t = store.mergeFact("f", Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v"), Seq("id"))
+    val m = t.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(m === Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
+
+  test("appendTable accumulates batches") {
+    val store = freshStore()
+    store.appendTable("dl", Seq("e1").toDF("err"))
+    val t = store.appendTable("dl", Seq("e2", "e3").toDF("err"))
+    assert(t.collect().map(_.getString(0)).sorted.toSeq === Seq("e1", "e2", "e3"))
+  }
+}

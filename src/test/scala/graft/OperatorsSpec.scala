@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+/** Training-data-pipeline operators: dedup family, vector math (native
+  * DotProduct expression), text analysis, multimodal plumbing. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different text about spark engines and data")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shinglePairs produces size-n word windows, distinct per doc") {
+    val sh = Dedup.shinglePairs(docs.filter(col("doc_id") === 1), 3)
+      .collect().map(_.getAs[String]("shingle")).sorted
+    assert(sh.length === 7) // 9 words -> 7 trigrams (all distinct here)
+    assert(sh.contains("the quick brown") && sh.contains("the lazy dog"))
+  }
+
+  test("jaccardPairs and minhashLsh both surface the planted near-dup pair") {
+    val j = Dedup.jaccardPairs(docs, 2, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(j.contains((1L, 2L)) && j.contains((1L, 3L)) && j.contains((2L, 3L)))
+    assert(!j.exists(p => p._1 == 4L || p._2 == 4L))
+
+    val lsh = Dedup.minhashLsh(docs, 2, 12, 4, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh.contains((1L, 2L)), "exact dup must always share all bands")
+    assert(!lsh.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: 64 bits, identical for identical docs, differs for unrelated") {
+    val m = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(m.values.forall(_.length === 64))
+    assert(m.values.forall(_.forall(c => c == '0' || c == '1')))
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(4L))
+    // near-dup hamming distance < unrelated hamming distance
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("native dot_product matches hand-computed values and HOF fold") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.5f, -2.0f), Array(2.0f, 0.5f))
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot_product(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(out(0) === 32.0)
+    assert(out(1) === 2.0)
+    // exact equality with the HOF formulation (same fold order)
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    assert(out.toSeq === hof.toSeq)
+  }
+
+  test("dot_product null semantics: length mismatch and null elements give NULL") {
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f))
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot_product(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("knnBruteForce returns deterministic ranked neighbors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteForce(emb.filter(col("vec_id") === 0), emb, 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("annLsh buckets are stable and same-bucket for identical vectors") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f))
+    ).toDF("vec_id", "embedding")
+    val b = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8, 4).as("bucket"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L)) // opposite vectors flip every sign bit
+  }
+
+  test("text profile metrics are sane on known text") {
+    val d = Seq((1L, "the cat and the dog sat", "en", "src", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.profile(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("n_bpe_tokens") === 6L)
+    assert(r.getAs[String]("lang_pred") === "en")
+    assert(r.getAs[String]("fp").length === 32)
+  }
+
+  test("multimodal: decode batch shape + zero-frame sampling guard") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "text")
+    val decoded = Multimodal.decodeAll(assets, Multimodal.StubDecoder).toDF()
+    assert(decoded.count() === 4)
+    assert(decoded.filter(col("width") < 16 || col("n_frames") < 1).count() === 0)
+    // identical payloads decode identically (deterministic stub)
+    val dims = decoded.filter(col("asset_id").isin(1, 2))
+      .select(col("width"), col("height")).distinct().count()
+    assert(dims === 1)
+
+    val zero = Multimodal.sampleFrames(
+      Seq((1L, 0), (2L, 5)).toDF("asset_id", "n_frames"), 2)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r.getAs[Seq[Int]]("sampled_frames")).toMap
+    assert(zero(1L) === Seq.empty)
+    assert(zero(2L) === Seq(0, 2, 4))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.io.PrintWriter
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.plans.{Integrity, MergeWriter}
+import graft.sources.SalesFeed
+import graft.streaming.StreamToStar
+
+/** End-to-end replay of the reference's feed shape: 10 files × 1000 rows,
+  * ids 1–1000 repeated in every file, asserting the reference's published
+  * post-load state (reference: README.md:183-219 + verified data facts):
+  * fact 1000, dim_customer/seller/product 1000, dim_store/supplier 383,
+  * dim_date 364, uniqueness, all-zeros audit — plus idempotent replay and
+  * shuffled-partition determinism (SURVEY.md §7.4.1).
+  */
+class StarPipelineSpec extends SparkSpec {
+
+  /** Deterministic MOCK_DATA-shaped feed: per file, every id 1..1000 with
+    * file-dependent attribute values (so last-write-wins is observable),
+    * 383 distinct store/supplier names, 364 distinct dates across the
+    * reference's three formats. */
+  private def writeFeed(dir: String, nFiles: Int = 10, nRows: Int = 1000): Unit = {
+    val cols = SalesFeed.fieldNames
+    for (f <- 0 until nFiles) {
+      val pw = new PrintWriter(s"$dir/MOCK_DATA_$f.csv")
+      pw.println(cols.mkString(","))
+      for (i <- 1 to nRows) {
+        val day = i % 364 // 0..363 distinct offsets from 2021-01-01
+        val date = java.time.LocalDate.of(2021, 1, 1).plusDays(day)
+        val dateStr = (i % 3) match {
+          case 0 => s"${date.getMonthValue}/${date.getDayOfMonth}/${date.getYear}"
+          case 1 => date.toString // yyyy-MM-dd
+          case _ => s"${date.getDayOfMonth}.${date.getMonthValue}.${date.getYear}"
+        }
+        val m = Map(
+          "id" -> i.toString,
+          "customer_first_name" -> s"First$i",
+          "customer_last_name" -> s"Last${i}_f$f",
+          "customer_age" -> (if (i % 11 == 0) "NaN" else s"${20 + i % 60}.0"),
+          "customer_email" -> s"c$i@x.com",
+          "customer_country" -> s"C${i % 7}",
+          "seller_first_name" -> s"S$i", "seller_last_name" -> s"L${i}_f$f",
+          "seller_country" -> "DE", "seller_email" -> s"s$i@x.com",
+          "product_name" -> s"Widget $i f$f", "product_category" -> s"cat${i % 9}",
+          "product_price" -> s"${i % 50}.25", "product_rating" -> "4.5",
+          "product_reviews" -> (i % 100).toString,
+          "sale_date" -> dateStr,
+          "sale_customer_id" -> (if (i % 17 == 0) "" else i.toString),
+          "sale_seller_id" -> i.toString, "sale_product_id" -> i.toString,
+          "sale_quantity" -> s"${i % 10}.0", "sale_total_price" -> s"${i * 2}.50",
+          "store_name" -> s"Store ${i % 383}", "store_city" -> "Berlin",
+          "store_country" -> "DE", "store_email" -> "st@x.com",
+          "supplier_name" -> s"Supp ${i % 383}", "supplier_country" -> "FR",
+          "supplier_email" -> "su@x.com")
+        pw.println(cols.map(c => m.getOrElse(c, "")).mkString(","))
+      }
+      pw.close()
+    }
+  }
+
+  private def counts(store: MergeWriter): Map[String, Long] =
+    RunStar.starTables.map(t => t -> store.read(t).count()).toMap
+
+  test("e2e replay reproduces the reference's published counts, uniqueness and audit") {
+    val feedDir = Files.createTempDirectory("graft-feed").toString
+    val tableDir = Files.createTempDirectory("graft-tables").toString
+    writeFeed(feedDir)
+
+    val store = new MergeWriter(spark, tableDir)
+    StreamToStar.startFromFiles(spark, s"$feedDir/MOCK_DATA_*.csv", store,
+      Files.createTempDirectory("graft-ckpt").toString).awaitTermination()
+
+    val c = counts(store)
+    assert(c("fact_sales") === 1000)
+    assert(c("dim_customer") === 1000)
+    assert(c("dim_seller") === 1000)
+    assert(c("dim_product") === 1000)
+    assert(c("dim_store") === 383)
+    assert(c("dim_supplier") === 383)
+    assert(c("dim_date") === 364)
+
+    val (rows, ids) = Integrity.uniqueness(store.read("fact_sales"), "source_sale_id")
+    assert(rows === ids)
+
+    val audit = Integrity.audit(store.read("fact_sales"), Seq(
+      ("customer", store.read("dim_customer"), "customer_key", "customer_sk"),
+      ("seller", store.read("dim_seller"), "seller_key", "seller_sk"),
+      ("product", store.read("dim_product"), "product_key", "product_sk"),
+      ("store", store.read("dim_store"), "store_key", "store_sk"),
+      ("supplier", store.read("dim_supplier"), "supplier_key", "supplier_sk"),
+      ("date", store.read("dim_date"), "date_key", "date_sk")))
+    assert(audit.values.forall(_ == 0L), s"audit must be all zeros: $audit")
+
+    // last write wins: attributes come from the lexicographically-last file
+    val lastNames = store.read("dim_customer").select(col("customer_name"))
+      .collect().map(_.getString(0))
+    assert(lastNames.forall(_.endsWith("_f9")),
+      s"expected every customer_name from file 9, got e.g. ${lastNames.take(3).mkString(",")}")
+
+    // id-alias fallback: blank sale_customer_id rows still resolve their FK
+    val nullFk = store.read("fact_sales").filter(col("customer_key").isNull).count()
+    assert(nullFk === 0)
+
+    // ---- idempotent replay: same feed, fresh checkpoint, same store ----
+    val before = store.read("dim_customer")
+      .select(col("source_customer_id"), col("customer_sk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    StreamToStar.startFromFiles(spark, s"$feedDir/MOCK_DATA_*.csv", store,
+      Files.createTempDirectory("graft-ckpt2").toString).awaitTermination()
+    assert(counts(store) === c, "replay must not change any table")
+    val after = store.read("dim_customer")
+      .select(col("source_customer_id"), col("customer_sk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === before, "surrogate keys must be stable across replays")
+  }
+
+  test("lastWriteWins is deterministic under shuffled partitioning (T6)") {
+    import graft.plans.StarSchema
+    val feedDir = Files.createTempDirectory("graft-feed2").toString
+    writeFeed(feedDir, nFiles = 3, nRows = 200)
+    val feed = SalesFeed.readCsv(spark, s"$feedDir/MOCK_DATA_*.csv")
+
+    def dimOf(df: org.apache.spark.sql.DataFrame): Array[String] =
+      StarSchema.lastWriteWins(StarSchema.customerRows(df), Seq("source_customer_id"), "_seq")
+        .orderBy(col("source_customer_id"))
+        .collect().map(_.toString)
+
+    val base = dimOf(feed)
+    val shuffled = dimOf(feed.repartition(13))
+    val shuffled2 = dimOf(feed.repartition(1))
+    assert(base.sameElements(shuffled))
+    assert(base.sameElements(shuffled2))
+  }
+}
