@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * parquet + pointer-swap is the dependency-free equivalent with the same
   * atomicity contract.
   */
-class MergeWriter(spark: SparkSession, root: String) {
+class MergeWriter(spark: SparkSession, root: String) extends TableStore {
   private def tableDir(name: String) = s"$root/$name"
   private def pointer(name: String) = Paths.get(tableDir(name), "_CURRENT")
 

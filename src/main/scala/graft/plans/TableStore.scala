@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Storage contract for the star tables: idempotent MERGE semantics with
+  * stable surrogate keys. Two implementations:
+  *
+  *   - [[MergeWriter]]: versioned whole-table parquet + atomic pointer
+  *     flip. Simple, atomic, time-travelable — but write amplification is
+  *     O(table) per batch.
+  *   - [[BucketedMergeWriter]]: natural-key hash buckets as parquet
+  *     partitions; a merge rewrites ONLY touched buckets (dynamic
+  *     partition overwrite + partition pruning on read), so per-batch
+  *     write cost is O(touched buckets) ≈ O(batch × table/buckets) — the
+  *     100 TB-viable shape. On a production cluster the same interface
+  *     maps directly onto Delta/Iceberg `MERGE INTO`.
+  */
+trait TableStore {
+  def exists(name: String): Boolean
+  def read(name: String): DataFrame
+  def mergeDim(name: String, batch: DataFrame, natKey: Seq[String], skCol: String): DataFrame
+  def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame
+  def appendTable(name: String, batch: DataFrame): DataFrame
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.plans.{MergeWriter, StarSchema}
+import graft.plans.{StarSchema, TableStore}
 import graft.sources.SalesFeed
 
 /** T1–T8 — the streaming shell: unbounded feed → star schema, effectively
@@ -36,7 +36,7 @@ object StreamToStar {
     * reference-style "error: ..." message and a console summary
     * (reference: flink/stream_to_star.py:284-298) — never silently nulled.
     */
-  def processBatch(feed: DataFrame, store: MergeWriter): Unit = {
+  def processBatch(feed: DataFrame, store: TableStore): Unit = {
     if (feed.isEmpty) return
     val (valid0, errors) = ErrorChannel.split(feed, Seq("id"))
     if (!errors.isEmpty) {
@@ -71,7 +71,7 @@ object StreamToStar {
   /** S3/T1/T2 — Kafka source wiring (value = one JSON message per row). */
   def startFromKafka(
       spark: SparkSession, bootstrap: String, topic: String,
-      store: MergeWriter, checkpoint: String): StreamingQuery = {
+      store: TableStore, checkpoint: String): StreamingQuery = {
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -93,7 +93,7 @@ object StreamToStar {
     */
   def startFromFiles(
       spark: SparkSession, glob: String,
-      store: MergeWriter, checkpoint: String): StreamingQuery = {
+      store: TableStore, checkpoint: String): StreamingQuery = {
     val raw = spark.readStream
       .schema(SalesFeed.rawSchemaWithCorrupt)
       .option("header", "true")
@@ -112,7 +112,7 @@ object StreamToStar {
   }
 
   private def startForeachBatch(
-      feed: DataFrame, store: MergeWriter, checkpoint: String): StreamingQuery =
+      feed: DataFrame, store: TableStore, checkpoint: String): StreamingQuery =
     feed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
