@@ -585,6 +585,78 @@ object QueryCatalog {
       |FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY o_orderkey DESC) AS rn FROM feed)
       |WHERE rn = 1""".stripMargin
 
+  /** IVF-style ANN: deterministic seed centroids, broadcast assignment,
+    * nProbe-cell probing — the inverted-file trade-off. */
+  def q33AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annIvf(emb.filter(col("vec_id") < 16), emb, k = 5, nCells = 16, nProbe = 2)
+  }
+
+  val q33Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+       |ca AS (SELECT neighbor_id, cv, cell_id FROM (
+       |  SELECT e.vec_id AS neighbor_id, e.v AS cv, cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents) WHERE rnk <= 1),
+       |qp AS (SELECT query_id, qv, cell_id FROM (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents WHERE e.vec_id < 16) WHERE rnk <= 2),
+       |scored AS (SELECT query_id, neighbor_id, max(${cosSql("qv", "cv")}) AS cos
+       |  FROM qp JOIN ca USING (cell_id) WHERE query_id <> neighbor_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  /** T4 extension — tumbling event-time windows (6 h) over the events
+    * stream table: Spark `window()` aligns buckets to the epoch, mirrored
+    * with integer epoch math in the oracle. */
+  def q34TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("total_value"))
+
+  val q34Sql: String =
+    """WITH b AS (SELECT
+      |  CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
+      |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
+      |  value FROM events)
+      |SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** T4 extension — session windows (30 min gap) per user: Spark
+    * `session_window` vs the classic gaps-and-islands formulation. A new
+    * session starts when the gap is >= the timeout (Spark's window end is
+    * exclusive). */
+  def q35SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  val q35Sql: String =
+    """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS brk FROM o),
+      |g AS (SELECT user_id, ts,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM g GROUP BY user_id, grp""".stripMargin
+
   /** T8 — error channel over a feed with deterministically-injected
     * garbage ids: uncoercible-but-present keys are rejected with a
     * reference-style "error: ..." message, never silently nulled. */
@@ -640,7 +712,10 @@ object QueryCatalog {
     ("q29_multimodal_assets", q29MultimodalAssets _, Some(q29Sql)),
     ("q30_multimodal_decode", q30MultimodalDecode _, None),
     ("q31_star_customer_dim", q31StarCustomerDim _, Some(q31Sql)),
-    ("q32_error_channel", q32ErrorChannel _, Some(q32Sql)))
+    ("q32_error_channel", q32ErrorChannel _, Some(q32Sql)),
+    ("q33_ann_ivf", q33AnnIvf _, Some(q33Sql)),
+    ("q34_tumbling_window", q34TumblingWindow _, Some(q34Sql)),
+    ("q35_session_window", q35SessionWindow _, Some(q35Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
