@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming-native aggregations over the events stream shape
+  * (event_id, ts, user_id, event_type, value) — the T4/T5 extension
+  * surface (SURVEY.md §2.6: ABSENT in the reference, provided here as
+  * first-class operators).
+  *
+  * These run on an unbounded `readStream` frame: watermarks bound state,
+  * windows aggregate by event time, and the typed `mapGroupsWithState`
+  * operator keeps per-key running state with processing-time timeout.
+  * The same code paths also execute in batch mode (Spark unifies the
+  * APIs), which is how the DuckDB-oracle variants (QueryCatalog q34/q35)
+  * verify the window semantics.
+  */
+object EventAggregates {
+
+  /** Tumbling event-time counts with a watermark: state for a window is
+    * dropped once the watermark passes its end — bounded state at any
+    * stream length. */
+  def windowedCounts(events: DataFrame, window: String = "6 hours",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("total_value"))
+
+  private val functions = org.apache.spark.sql.functions
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserState(n: Long, total: Double, lastTs: java.sql.Timestamp)
+  case class UserSummary(user_id: Long, n_events: Long, total_value: Double,
+                         last_ts: java.sql.Timestamp)
+
+  /** T5 extension — custom keyed state via mapGroupsWithState: running
+    * per-user event count/sum/last-seen, emitted on every trigger. State
+    * lives in the state store (checkpointed, bounded by key count). Pass an
+    * `idleTimeout` to evict idle users via processing-time timeout (note:
+    * timeouts schedule extra empty micro-batches — with a timeout set,
+    * drive the query with a real trigger interval, not
+    * `processAllAvailable`, which can starve). */
+  def userRunningTotals(events: Dataset[UserEvent],
+                        idleTimeout: Option[String] = None): Dataset[UserSummary] = {
+    implicit val stateEnc = Encoders.product[UserState]
+    implicit val outEnc = Encoders.product[UserSummary]
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[UserState, UserSummary](timeoutConf) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          if (idleTimeout.isDefined && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSummary(userId, s.n, s.total, s.lastTs)
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, new java.sql.Timestamp(0)))
+            val s = batch.foldLeft(prev) { (acc, e) =>
+              UserState(acc.n + 1, acc.total + e.value,
+                if (e.ts.after(acc.lastTs)) e.ts else acc.lastTs)
+            }
+            state.update(s)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            UserSummary(userId, s.n, s.total, s.lastTs)
+          }
+      }
+  }
+
+  /** Output-mode helper: windowed aggregations under watermark emit
+    * finalized windows in Append mode. */
+  val appendMode: OutputMode = OutputMode.Append()
+}

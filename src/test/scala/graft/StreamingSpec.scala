@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventAggregates
+import graft.streaming.EventAggregates.{UserEvent, UserSummary}
+
+/** Structured-Streaming semantics driven through real micro-batch
+  * execution (MemoryStream source → memory sink): watermark finalization
+  * for windowed aggs, and keyed state across triggers for
+  * mapGroupsWithState. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked tumbling windows finalize once the watermark passes (T4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventAggregates.windowedCounts(events, "6 hours", "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    try {
+      // two events in window [00:00, 06:00), one far later that advances
+      // the watermark beyond 06:00 + 1h, finalizing the first window
+      in.addData((1L, ts(1), 10L, 5.0), (2L, ts(2), 11L, 7.0))
+      q.processAllAvailable()
+      in.addData((3L, ts(20), 10L, 1.0))
+      q.processAllAvailable()
+      in.addData((4L, ts(23), 12L, 2.0)) // one more trigger to emit finalized
+      q.processAllAvailable()
+
+      val out = spark.table("win_out").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+      assert(out.contains(("2024-01-01 00:00:00.0", 2L, 12.0)),
+        s"first window must finalize with both events, got ${out.mkString(";")}")
+      // the late-hours window is NOT final yet (watermark hasn't passed it)
+      assert(!out.exists(_._1 == "2024-01-01 18:00:00.0"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-user running totals across triggers (T5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = EventAggregates.userRunningTotals(in.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+
+    try {
+      in.addData(UserEvent(1L, ts(1), 10.0), UserEvent(1L, ts(2), 5.0),
+        UserEvent(2L, ts(1), 1.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, ts(3), 2.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("state_out").as[UserSummary].collect()
+      // latest emission per user reflects accumulated state
+      val latest = rows.groupBy(_.user_id).map { case (u, rs) =>
+        u -> rs.maxBy(_.n_events)
+      }
+      assert(latest(1L).n_events === 3L)
+      assert(latest(1L).total_value === 17.0)
+      assert(latest(1L).last_ts === ts(3))
+      assert(latest(2L).n_events === 1L)
+    } finally q.stop()
+  }
+}
