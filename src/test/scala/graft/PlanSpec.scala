@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan audits: the scale properties are asserted, not assumed.
+  * If a refactor un-pushes a filter, drops a broadcast, or breaks
+  * whole-stage codegen on a hot path, these fail. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+    q(spark, sf).queryExecution.executedPlan.toString
+
+  test("q19 filter+projection pushes predicates and prunes columns at the scan") {
+    val p = plan(QueryCatalog.q19PurchaseFilter)
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("event_type") && p.contains("value"),
+      "both predicates should reach the parquet scan")
+    // props (the widest column) must not be read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), s"props must be pruned: $readSchema")
+  }
+
+  test("q02 star join broadcasts every dimension (no fact shuffle before agg)") {
+    val p = plan(QueryCatalog.q02RevenueByNation)
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no dim should fall back to SMJ")
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(QueryCatalog.q01PricingSummary)
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(p.contains("partial_"), "map-side partial aggregation must precede the exchange")
+  }
+
+  test("q09 last-write-wins is one partial-agg shuffle, not a window sort") {
+    val p = plan(QueryCatalog.q09LatestEventPerUser)
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"max_by must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), "LWW must not be a window function")
+  }
+
+  test("native dot_product stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(graft.functions.VectorFunctions.dot_product(col("embedding"), col("embedding")).as("d"))
+    // codegen'd operators print with a "*(n)" stage prefix
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")), s"dot_product must codegen:\n$p")
+    // and the expression must not be a CodegenFallback wrapper
+    val hasFallback = df.queryExecution.executedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]))
+    assert(!hasFallback, "DotProduct must implement doGenCode, not CodegenFallback")
+  }
+
+  test("no unpartitioned windows anywhere in the star pipeline plans") {
+    import graft.plans.StarSchema
+    import graft.sources.SalesFeed
+    import org.apache.spark.sql.functions._
+    // build the cleanse->dims plan over a synthetic in-memory feed
+    import spark.implicits._
+    val feed = Seq.tabulate(10)(i => (i.toString, i.toString, s"F$i", s"L$i"))
+      .toDF("id", "sale_customer_id", "customer_first_name", "customer_last_name")
+      .withColumn("customer_age", lit("30")).withColumn("customer_email", lit("e"))
+      .withColumn("customer_country", lit("C"))
+      .withColumn("_seq", struct(lit(0L), monotonically_increasing_id()))
+    val p = StarSchema.lastWriteWins(
+      StarSchema.customerRows(feed), Seq("source_customer_id"), "_seq")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window in the dim build:\n$p")
+  }
+}
