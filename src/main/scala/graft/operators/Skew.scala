@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key aggregation — the salting pattern.
+  *
+  * A `groupBy(key)` over data where one key holds a large fraction of all
+  * rows puts that key's entire volume into a single reduce task. AQE's
+  * skew-join splitting does not help aggregations, so the classic fix is a
+  * two-phase aggregate:
+  *
+  *   1. phase 1 groups by (key, salt) where salt = a deterministic spread
+  *      over `saltBuckets` — the hot key's rows land on `saltBuckets`
+  *      different reducers and partially aggregate there;
+  *   2. phase 2 re-aggregates the (at most `saltBuckets × |keys|`) partial
+  *      rows by key alone — tiny by construction.
+  *
+  * Only algebraic aggregates decompose this way; count/sum/min/max are
+  * provided. (avg = sum/count composed at the call site.)
+  *
+  * Note: for plain count/sum, Spark's own map-side partial aggregation
+  * already bounds reducer load, so salting matters most when the partial
+  * aggregation is defeated — high-cardinality composite keys downstream of
+  * a shuffle, or memory-heavy aggregates (collect_list/distinct). The
+  * operator exists so those cases have a scale-safe drop-in.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, saltBuckets): hash of the full row
+    * contents (not a random — reproducibility is part of the contract). */
+  private def salt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)).cast("int")
+
+  /** Two-phase salted aggregation: `aggs` maps output column name →
+    * (phase-1 aggregate of an input column, phase-2 re-aggregate of the
+    * phase-1 partial). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                aggs: Seq[(String, Column, String => Column)]): DataFrame = {
+    val p1 = df.withColumn("_salt", salt(df, saltBuckets))
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(aggs.head._2.as(s"_p_${aggs.head._1}"),
+        aggs.tail.map { case (n, c, _) => c.as(s"_p_$n") }: _*)
+    p1.groupBy(keys.map(col): _*)
+      .agg(aggs.head._3(s"_p_${aggs.head._1}").as(aggs.head._1),
+        aggs.tail.map { case (n, _, f) => f(s"_p_$n").as(n) }: _*)
+  }
+
+  /** Salted count(*) per key. */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, keys, saltBuckets,
+      Seq(("n", count(lit(1)), (p: String) => sum(col(p)))))
+
+  /** Salted sum of a column per key. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, keys, saltBuckets,
+      Seq(("total", sum(col(valueCol)), (p: String) => sum(col(p)))))
+
+  /** Salted collect_set per key — the genuinely skew-prone case: the hot
+    * key's set is built in `saltBuckets` partial pieces, then flattened. */
+  def saltedCollectSet(df: DataFrame, keys: Seq[String], valueCol: String,
+                       saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, keys, saltBuckets,
+      Seq(("values", collect_set(col(valueCol)),
+        (p: String) => array_distinct(flatten(collect_list(col(p)))))))
+}
