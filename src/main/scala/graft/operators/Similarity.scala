@@ -59,31 +59,50 @@ object Similarity {
     Integer.parseInt(hex.substring(0, 1), 16) - 7.5
   }
 
-  /** Random-hyperplane LSH bucket signature: `planes` sign bits. Vectors in
-    * the same bucket are cosine-close with high probability. This is the
-    * 100 TB path: one narrow shuffle on the bucket key instead of an
-    * all-pairs cross join.
+  /** Random-hyperplane LSH bucket signature: `planes` sign bits (planes
+    * drawn from hash table `table` — each table uses an independent plane
+    * set). Vectors in the same bucket are cosine-close with high
+    * probability. This is the 100 TB path: one narrow shuffle on the
+    * bucket key instead of an all-pairs cross join.
     */
-  def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+  def lshBucket(vec: Column, dims: Int, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      val plane = array((0 until dims).map(d =>
+        lit(planeComponent(table * planes + p, d))): _*)
       when(dot(vec, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  /** ANN top-k via LSH buckets: candidates = same-bucket pairs (plus the
-    * query's bucket neighbors), ranked by exact cosine within the bucket.
-    * Approximate: recall < 1 by design; measure against knnBruteForce.
+  /** (id, table, bucket) rows across `tables` independent hash tables —
+    * each vector shuffles `tables` times, the standard recall lever:
+    * a true neighbor is a candidate if it collides in ANY table. */
+  private def bucketed(df: DataFrame, idOut: String, vecOut: String,
+                       dims: Int, planes: Int, tables: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    val entries = (0 until tables).map(t => struct(
+      lit(t).as("table"), lshBucket(col(vecCol), dims, planes, t).as("bucket")))
+    df.select(col(idCol).as(idOut), col(vecCol).as(vecOut),
+        explode(array(entries: _*)).as("tb"))
+      .select(col(idOut), col(vecOut), col("tb.table").as("table"),
+        col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via multi-table LSH: candidates = pairs sharing a bucket in
+    * any of `tables` hash tables, ranked by exact (rounded) cosine.
+    * Approximate by design — AnnRecallSpec measures recall against
+    * knnBruteForce. Cost: each side shuffles `tables` times on the bucket
+    * key; candidates are deduplicated before scoring.
     */
   def annLsh(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int, planes: Int,
+             tables: Int = 1,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dims, planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), dims, planes).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+    val q = bucketed(queries, "query_id", "qv", dims, planes, tables, idCol, vecCol)
+    val c = bucketed(corpus, "neighbor_id", "cv", dims, planes, tables, idCol, vecCol)
+    val scored = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         score(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -92,15 +111,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: k-means-lite with deterministic seed centroids (the
-    * first `nCells` corpus vectors), assign every vector to its nearest
-    * centroid (one broadcast join), probe `nProbe` nearest cells per query.
-    * One shuffle on cell id; the standard inverted-file trade-off.
+  /** Deterministic Lloyd iterations for IVF centroid training: seed with
+    * the first `nCells` corpus vectors (by id — reproducible), then
+    * `iters` rounds of broadcast-assign + per-cell mean. Each round is one
+    * broadcast join + one partial-aggregated groupBy — no driver-side
+    * loops over data, only over the (tiny) centroid set. Empty cells keep
+    * their previous centroid. Returns (cell_id, centroid) with centroids
+    * as Array[Double].
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents = v.orderBy(col("_id")).limit(nCells)
+      .select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
+      .localCheckpoint(true)
+      .withColumn("cell", row_number().over(
+        Window.orderBy(col("cell"))).cast("int") - 1) // dense 0..n-1 cells
+    for (_ <- 0 until iters) {
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("d", score(col("_v"), col("cvec")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("_id")).orderBy(col("d").desc, col("cell").asc)))
+        .filter(col("rnk") === 1)
+      // per-cell mean: aggregate(zip) via posexplode — partial agg per (cell, dim)
+      val means = assigned
+        .select(col("cell"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+        .select(col("cell"), expr("transform(p, s -> s.m)").as("cvec"))
+      // keep previous centroid for cells that lost all members
+      cents = cents.select(col("cell"), col("cvec").as("prev"))
+        .join(means.withColumnRenamed("cvec", "next"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("next"), col("prev")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF-style ANN: deterministic centroids (seed = first `nCells` corpus
+    * vectors; optionally Lloyd-trained via [[trainIvfCentroids]]), assign
+    * every vector to its nearest centroid (one broadcast join), probe
+    * `nProbe` nearest cells per query. One shuffle on cell id; the
+    * standard inverted-file trade-off.
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int, nProbe: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annIvfWith(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell"), col(vecCol).as("cvec")),
+      queries, corpus, k, nProbe, idCol, vecCol)
+
+  /** IVF search against an explicit (cell, cvec) centroid table — e.g. one
+    * produced by [[trainIvfCentroids]]. */
+  def annIvfWith(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 k: Int, nProbe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids
     // window partitions by the ID column alone (never by the vector — a
     // wide partition key would hash the whole array per row for nothing)
     def nearestCells(df: DataFrame, idc: String, vcol: String, out: String, n: Int): DataFrame = {

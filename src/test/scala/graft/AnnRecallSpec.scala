@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Measured approximation quality: recall@k of the ANN paths against the
+  * brute-force oracle on real testdata embeddings. The thresholds are
+  * deliberately loose (these are *approximate* indexes with tiny probe
+  * budgets) — the point is that recall is measured, not assumed, and a
+  * regression that tanks it fails loudly. */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val k = 10
+  private lazy val queries = emb.filter(col("vec_id") < 32)
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  private def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("annIvf recall@10 beats 0.5 with 4-of-32 cells probed; trained centroids don't regress") {
+    val exact = neighborSets(Similarity.knnBruteForce(queries, emb, k))
+    val seeded = neighborSets(Similarity.annIvf(queries, emb, k, nCells = 32, nProbe = 4))
+    val rSeeded = recallOf(seeded, exact)
+    assert(rSeeded > 0.5, s"seeded IVF recall@$k = $rSeeded")
+
+    val cents = Similarity.trainIvfCentroids(emb, nCells = 32, iters = 2)
+    val trained = neighborSets(Similarity.annIvfWith(cents, queries, emb, k, nProbe = 4))
+    val rTrained = recallOf(trained, exact)
+    info(f"IVF recall@$k: seeded=$rSeeded%.3f lloyd2=$rTrained%.3f")
+    assert(rTrained >= rSeeded - 0.1,
+      s"trained centroids should not materially regress: $rTrained vs $rSeeded")
+  }
+
+  test("annLsh recall@10: multi-table recovers what single-table misses") {
+    val exact = neighborSets(Similarity.knnBruteForce(queries, emb, k))
+    val one = recallOf(
+      neighborSets(Similarity.annLsh(queries, emb, k, dims = 64, planes = 4)), exact)
+    val multi = recallOf(
+      neighborSets(Similarity.annLsh(queries, emb, k, dims = 64, planes = 4, tables = 8)),
+      exact)
+    info(f"LSH recall@$k: 1 table=$one%.3f, 8 tables=$multi%.3f")
+    assert(multi > 0.5, s"8-table LSH recall@$k = $multi")
+    assert(multi > one, "more tables must not lose recall")
+  }
+}
