@@ -657,6 +657,30 @@ object QueryCatalog {
       |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
       |FROM g GROUP BY user_id, grp""".stripMargin
 
+  /** Embedding near-dup via multi-table LSH — the scale path (narrow
+    * bucket-join candidates, exact-cosine verification) mirrored in SQL
+    * table by table. */
+  def q36EmbeddingNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.3,
+      dims = 64, planes = 6, tables = 2)
+
+  val q36Sql: String = {
+    def bucketSql(table: Int): String = (0 until 6).map { p =>
+      s"CASE WHEN list_sum(list_transform(list_zip(v, ${planeLitSql(table * 6 + p, 64)}), x -> x[1] * x[2])) >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, 0 AS tbl, ${bucketSql(0)} AS bucket FROM e
+       |      UNION ALL
+       |      SELECT vec_id, v, 1 AS tbl, ${bucketSql(1)} AS bucket FROM e),
+       |cand AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    any_value(a.v) AS va, any_value(b2.v) AS vb
+       |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |    AND a.vec_id < b2.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cos FROM cand
+       |WHERE ${cosSql("va", "vb")} >= 0.3""".stripMargin
+  }
+
   /** T8 — error channel over a feed with deterministically-injected
     * garbage ids: uncoercible-but-present keys are rejected with a
     * reference-style "error: ..." message, never silently nulled. */
@@ -715,7 +739,8 @@ object QueryCatalog {
     ("q32_error_channel", q32ErrorChannel _, Some(q32Sql)),
     ("q33_ann_ivf", q33AnnIvf _, Some(q33Sql)),
     ("q34_tumbling_window", q34TumblingWindow _, Some(q34Sql)),
-    ("q35_session_window", q35SessionWindow _, Some(q35Sql)))
+    ("q35_session_window", q35SessionWindow _, Some(q35Sql)),
+    ("q36_embedding_near_dup_lsh", q36EmbeddingNearDupLsh _, Some(q36Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -187,4 +187,28 @@ object Dedup {
         Similarity.score(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Embedding near-dup at scale: multi-table random-hyperplane LSH
+    * buckets generate candidate pairs (self-join on (table, bucket) — a
+    * narrow shuffle instead of all-pairs), then candidates are verified by
+    * exact cosine. Same shape as [[minhashLsh]] but over vectors; recall
+    * grows with `tables`, cost with `tables`/`planes` (each vector
+    * shuffles `tables` times). */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double, dims: Int,
+                          planes: Int, tables: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val entries = (0 until tables).map(t => struct(
+      lit(t).as("table"), Similarity.lshBucket(col(vecCol), dims, planes, t).as("bucket")))
+    val b = emb.select(col(idCol), col(vecCol), explode(array(entries: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val a = b.as("a"); val c = b.as("b")
+    a.join(c, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$vecCol").as("_va"), col(s"b.$vecCol").as("_vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.score(col("_va"), col("_vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }
