@@ -21,12 +21,25 @@ object Cleanse {
     * contract is garbage→NULL, never crash.
     */
   def toIntLossy(c: Column): Column =
-    c.cast(StringType).try_cast(DoubleType).try_cast(LongType)
+    tryDouble(c.cast(StringType)).try_cast(LongType)
 
   /** P3 — lossy float coercion: `"" / garbage → NULL`
     * (reference: flink/stream_to_star.py:70-76). */
   def toFloatLossy(c: Column): Column =
-    c.cast(StringType).try_cast(DoubleType)
+    tryDouble(c.cast(StringType))
+
+  /** Exception-free numeric gate: ANSI `try_cast(string AS double)` parses
+    * by throw-and-catch, so a column of definite garbage costs one Java
+    * exception per row (measured ~7 s/600 k rows). This prefilter rejects
+    * strings that cannot possibly be numeric — anything containing a
+    * character outside the numeric alphabet (digits/sign/dot/exponent) or
+    * the Infinity/NaN letter set — WITHOUT parsing; `try_cast` still
+    * backstops whatever passes, so the accepted language is a strict
+    * superset of Spark's and the semantics are unchanged. */
+  private val numericish =
+    "^\\s*[0-9eEdDfFxXpP+\\-.]+\\s*$|^\\s*[+-]?[iInNaAfFtTyY]+\\s*$"
+  private def tryDouble(c: Column): Column =
+    when(c.rlike(numericish), c.try_cast(DoubleType))
 
   /** P4 — multi-format date parse: try `M/d/yyyy`, then `yyyy-MM-dd`,
     * then `d.M.yyyy`; NULL if none match
