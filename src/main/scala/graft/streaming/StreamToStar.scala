@@ -111,6 +111,28 @@ object StreamToStar {
       .start()
   }
 
+  /** JSON-lines variant: consumes the Kafka-shaped messages RunProducer
+    * writes when no broker exists (one JSON object per line — the exact
+    * payload the Kafka topic would carry), so the producer→consumer loop
+    * closes broker-free. Arrival order = (file rank, position), same as
+    * the CSV path. */
+  def startFromJsonFiles(
+      spark: SparkSession, glob: String,
+      store: TableStore, checkpoint: String): StreamingQuery = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(glob)
+    raw.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(
+          SalesFeed.withArrivalSeq(SalesFeed.fromKafkaMessages(batch)), store)
+      }
+      .start()
+  }
+
   private def startForeachBatch(
       feed: DataFrame, store: TableStore, checkpoint: String): StreamingQuery =
     feed.writeStream

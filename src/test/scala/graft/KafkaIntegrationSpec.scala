@@ -51,6 +51,22 @@ class KafkaIntegrationSpec extends SparkSpec {
     assert(store.read("fact_sales").count() > 0)
   }
 
+  test("producer JSONL output replays into the same star as the CSV path (broker-free)") {
+    import org.apache.spark.sql.functions._
+    val msgsDir = Files.createTempDirectory("graft-msgs").toString
+    val feed = SalesFeed.readCsv(spark, feedGlob)
+      .drop("_seq", graft.streaming.ErrorChannel.corruptCol)
+    SalesFeed.toKafkaMessages(feed).write.mode("overwrite").text(msgsDir)
+
+    val store = new MergeWriter(spark, Files.createTempDirectory("graft-json-star").toString)
+    StreamToStar.startFromJsonFiles(spark, s"$msgsDir/part-*", store,
+      Files.createTempDirectory("graft-json-ckpt").toString).awaitTermination()
+
+    assert(store.read("fact_sales").count() === 20)
+    assert(store.read("dim_store").count() === 5)
+    assert(store.read("fact_sales").filter(col("customer_key").isNull).count() === 0)
+  }
+
   test("kafka message round-trip preserves all 50 fields (broker-free)") {
     import org.apache.spark.sql.functions._
     val feed = SalesFeed.readCsv(spark, feedGlob)
