@@ -699,6 +699,65 @@ object QueryCatalog {
       |  'error: ValueError: invalid int for ''id'': id_' || CAST(o_orderkey AS VARCHAR) AS _error
       |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
 
+  /** As-of join: for every error event, the same user's latest purchase
+    * at-or-before it (union + partitioned-window formulation — one key
+    * shuffle, no per-row probing). Mirrored by DuckDB's native ASOF JOIN. */
+  def q37AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // right side unique per (user_id, ts): collapse by max event_id
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+    graft.operators.Joins.asOf(errors, purch, Seq("user_id"), "ts", "ts", "p_")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_p_event_id").as("last_purchase_id"),
+        col("p_ts").as("last_purchase_ts"),
+        col("p_p_value").as("last_purchase_value"))
+  }
+
+  val q37Sql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
+      |p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
+      |        arg_max(value, event_id) AS p_value
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT err.event_id, err.user_id, err.ts,
+      |  p.p_event_id AS last_purchase_id,
+      |  p.ts AS last_purchase_ts,
+      |  p.p_value AS last_purchase_value
+      |FROM err ASOF LEFT JOIN p ON err.user_id = p.user_id AND p.ts <= err.ts""".stripMargin
+
+  /** Banded range join: purchases within ±30 min of each error event per
+    * user — bucketed equi-join (3× right-side expansion) instead of a
+    * theta join. */
+  def q38RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val pairs = graft.operators.Joins.rangeJoin(
+      errors, purchases, Seq("user_id"), "ts", "p_ts", "30 minutes")
+    val counts = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+  }
+
+  val q38Sql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+      |SELECT err.event_id, err.user_id,
+      |  CAST(count(p.ts) AS BIGINT) AS n_nearby
+      |FROM err LEFT JOIN p ON err.user_id = p.user_id
+      |  AND abs(epoch_us(err.ts) - epoch_us(p.ts)) <= 30 * 60 * 1000000
+      |GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -740,7 +799,9 @@ object QueryCatalog {
     ("q33_ann_ivf", q33AnnIvf _, Some(q33Sql)),
     ("q34_tumbling_window", q34TumblingWindow _, Some(q34Sql)),
     ("q35_session_window", q35SessionWindow _, Some(q35Sql)),
-    ("q36_embedding_near_dup_lsh", q36EmbeddingNearDupLsh _, Some(q36Sql)))
+    ("q36_embedding_near_dup_lsh", q36EmbeddingNearDupLsh _, Some(q36Sql)),
+    ("q37_asof_join", q37AsOfJoin _, Some(q37Sql)),
+    ("q38_range_join", q38RangeJoin _, Some(q38Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

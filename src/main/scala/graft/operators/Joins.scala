@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, in their scale-correct
+  * formulations (SURVEY.md §2.3 lists them ABSENT in the reference; they
+  * are first-class here because event/feature pipelines need them).
+  *
+  * Neither operator probes per row: the as-of join is a union + one
+  * partitioned window (one shuffle on the key), and the range join is an
+  * equi-join on (key, time bucket) with neighbor-bucket expansion — never
+  * a theta join, which Spark would execute as a broadcast nested-loop.
+  */
+object Joins {
+
+  /** As-of join: for every left row, the single latest right row with
+    * `rightTime <= leftTime` for the same key (LEFT semantics: no match →
+    * NULL right columns).
+    *
+    * Implementation: tag and union both sides, then carry the right
+    * payload forward with `last(_, ignoreNulls)` over a window partitioned
+    * by key and ordered by (time, side) — right rows at time T sort before
+    * left rows at T, so ties are inclusive (`<=`), matching DuckDB's
+    * `ASOF JOIN`. One shuffle on the key; no per-row lookups.
+    *
+    * The right side must be unique per (key, rightTime) — pre-collapse
+    * with e.g. lastWriteWins; otherwise which duplicate wins is
+    * tie-undefined.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightPrefix: String = "right_"): DataFrame = {
+    val leftPayload = left.columns.filterNot(keys.contains)
+    val rightPayload = right.columns.filterNot(keys.contains)
+    val l2 = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
+        leftPayload.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$rightPrefix$c")): _*)
+    val r2 = right
+      .filter(col(rightTime).isNotNull)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l2.unionByName(r2)
+      .select((keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftPayload.map(col) ++
+        rightPayload.map(c =>
+          last(col(s"$rightPrefix$c"), ignoreNulls = true).over(w).as(s"$rightPrefix$c"))): _*)
+    carried.filter(col("_side") === 1)
+      .select(keys.map(col) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"$rightPrefix$c")): _*)
+  }
+
+  /** Banded range join: all (left, right) pairs with the same key and
+    * `|leftTime - rightTime| <= width`. Times are compared at microsecond
+    * precision.
+    *
+    * Implementation: bucket both sides by `floor(micros / width)`; a
+    * qualifying pair is always in the same or an adjacent bucket, so the
+    * right side expands to buckets {b-1, b, b+1} (3× its row count — the
+    * bounded cost that replaces an O(n²) theta join) and the join is a
+    * plain equi-join on (key, bucket) + an exact band filter.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTime: String, rightTime: String, width: String,
+                rightPrefix: String = "right_"): DataFrame = {
+    val wUs = {
+      // parse width like "30 minutes" into microseconds
+      val parts = width.trim.split("\\s+")
+      require(parts.length == 2, s"width must be '<n> <unit>', got '$width'")
+      val n = parts(0).toLong
+      parts(1).toLowerCase match {
+        case "second" | "seconds" => n * 1000000L
+        case "minute" | "minutes" => n * 60L * 1000000L
+        case "hour" | "hours" => n * 3600L * 1000000L
+        case "day" | "days" => n * 86400L * 1000000L
+        case u => throw new IllegalArgumentException(s"unsupported unit $u")
+      }
+    }
+    val leftPayload = left.columns.filterNot(keys.contains)
+    val rightPayload = right.columns.filterNot(keys.contains)
+    val lb = left.withColumn("_lus", unix_micros(col(leftTime)))
+      .withColumn("_bucket", floor(col("_lus") / wUs))
+    val rb = right.withColumn("_rus", unix_micros(col(rightTime)))
+      .withColumn("_bucket", explode(array(
+        floor(col("_rus") / wUs) - 1, floor(col("_rus") / wUs), floor(col("_rus") / wUs) + 1)))
+      .select(keys.map(col) ++ Seq(col("_rus"), col("_bucket")) ++
+        rightPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+    lb.join(rb, keys :+ "_bucket")
+      .filter(abs(col("_lus") - col("_rus")) <= wUs)
+      .select(keys.map(col) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"$rightPrefix$c")): _*)
+  }
+}
