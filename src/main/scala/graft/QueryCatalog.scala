@@ -413,15 +413,22 @@ object QueryCatalog {
     Dedup.minhashLsh(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
       threshold = 0.5, maxBucket = 100)
 
-  val q24Sql: String =
+  val q24Sql: String = {
+    val prime = "4294967291"
+    val mhDefs = (0 until 12).map(i =>
+      s"min((h1 + $i * h2) % $prime) AS mh$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val parts = (b * 3 until (b + 1) * 3)
+        .map(i => s"'$i=' || CAST(mh$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(array_to_string(list_sort([$parts]), '|')) AS bucket FROM agg"
+    }.mkString("\n  UNION ALL ")
     s"""${shingleCte(5)},
-       |ii AS (SELECT unnest(range(0, 12)) AS i),
-       |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-       |  FROM s CROSS JOIN ii GROUP BY doc_id, i),
-       |banded AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
-       |  md5(string_agg(CAST(i AS VARCHAR) || '=' || mh, '|'
-       |      ORDER BY CAST(i AS VARCHAR) || '=' || mh)) AS bucket
-       |  FROM sig GROUP BY 1, 2),
+       |hs AS (SELECT doc_id,
+       |  CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $prime AS h1,
+       |  CAST(('0x' || substring(md5('s:' || shingle), 1, 15)) AS BIGINT) % $prime AS h2
+       |  FROM s),
+       |agg AS (SELECT doc_id, $mhDefs FROM hs GROUP BY doc_id),
+       |banded AS ($bandRows),
        |ok_buckets AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
        |capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -431,6 +438,7 @@ object QueryCatalog {
             """SELECT doc_a, doc_b, count(*) AS common
               |  FROM cand JOIN s sa ON sa.doc_id = doc_a
               |  JOIN s sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle GROUP BY 1, 2""".stripMargin)}""".stripMargin
+  }
 
   /** 64-bit SimHash signatures. */
   def q25Simhash(s: SparkSession, dir: String): DataFrame =

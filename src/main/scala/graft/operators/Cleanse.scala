@@ -21,7 +21,20 @@ object Cleanse {
     * contract is garbage→NULL, never crash.
     */
   def toIntLossy(c: Column): Column =
-    tryDouble(c.cast(StringType)).try_cast(LongType)
+    doubleToLong(tryDouble(c.cast(StringType)))
+
+  /** Exception-free double→long truncation: ANSI try_cast throws-and-
+    * catches on every overflow (a column of 1e290s costs one exception per
+    * row). Range-gate instead: |d| ≤ 9.2e18 is safely castable (plain ANSI
+    * cast, no exception; NaN fails the compare and falls through),
+    * |d| > 1e19 is definitely overflow → NULL (so is ±Infinity), and only
+    * the sliver between them — values that barely straddle Long.MaxValue —
+    * pays the try_cast exception path. Semantics identical to a bare
+    * try_cast. */
+  private def doubleToLong(d: Column): Column =
+    when(abs(d) <= lit(9.2e18), d.cast(LongType))
+      .when(abs(d) > lit(1e19), lit(null).cast(LongType))
+      .otherwise(d.try_cast(LongType))
 
   /** P3 — lossy float coercion: `"" / garbage → NULL`
     * (reference: flink/stream_to_star.py:70-76). */

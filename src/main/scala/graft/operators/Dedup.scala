@@ -102,13 +102,16 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
     val s = shinglePairs(docs, n)
-    // Wide-aggregate signatures: k min-hash columns in ONE shuffle over the
-    // (doc_id, shingle) pairs — no k× row multiplication (the exploded
-    // formulation ran k·|shingles| rows through the aggregate; this one
-    // computes the same k mins map-side). Band buckets are md5 over the
-    // sorted "i=mh" strings, identical to the exploded formulation.
-    val mhCols = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"mh$i"))
+    // Wide-aggregate signatures in ONE shuffle, with double-hashing: the
+    // k salted hashes are derived as (h1 + i·h2) mod p from TWO md5s per
+    // shingle instead of k (the standard minhash double-hash family —
+    // 2 hashes + integer arithmetic ≪ k full hashes). h1/h2 are the first
+    // 60 bits of md5 hex, reduced mod the largest 32-bit prime so all
+    // arithmetic stays safely in int64 — bit-for-bit replicable in SQL.
+    val p = 4294967291L
+    val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
+    val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
+    val mhCols = (0 until k).map(i => min((h1 + lit(i) * h2) % p).as(s"mh$i"))
     val sigWide = s.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rowsPer until (b + 1) * rowsPer)
