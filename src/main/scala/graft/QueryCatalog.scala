@@ -707,6 +707,44 @@ object QueryCatalog {
       |  'error: ValueError: invalid int for ''id'': id_' || CAST(o_orderkey AS VARCHAR) AS _error
       |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
 
+  /** SimHash near-dup pairs: pigeonhole-banded candidates (4 16-bit chunk
+    * joins) verified by exact hamming distance — integer ops end to end. */
+  def q39SimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(s, dir, "documents"), maxHamming = 3)
+
+  val q39Sql: String = {
+    val bitDefs = (0 until Dedup.simhashBits).map { bit =>
+      val digit = bit / 4; val sub = bit % 4
+      s"(((position(substring(h, ${digit + 1}, 1) IN '0123456789abcdef') - 1) >> $sub) & 1) AS b$bit"
+    }.mkString(",\n  ")
+    val sums = (0 until Dedup.simhashBits).map(b => s"sum(b$b) AS s$b").mkString(", ")
+    val chunks = (0 until 4).map { j =>
+      (0 until 16).map { i =>
+        val b = 16 * j + i
+        s"(CASE WHEN s$b * 2 >= n THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS c$j"
+    }.mkString(",\n  ")
+    val bandRows = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, c$j AS chunk FROM sig").mkString("\n  UNION ALL ")
+    val ham = (0 until 4).map(j => s"bit_count(xor(sa.c$j, sb.c$j))").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |bits AS (SELECT doc_id,
+       |  $bitDefs
+       |FROM hs),
+       |votes AS (SELECT doc_id, count(*) AS n, $sums FROM bits GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |  $chunks
+       |FROM votes),
+       |banded AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE $ham <= 3""".stripMargin
+  }
+
   /** As-of join: for every error event, the same user's latest purchase
     * at-or-before it (union + partitioned-window formulation — one key
     * shuffle, no per-row probing). Mirrored by DuckDB's native ASOF JOIN. */
@@ -809,7 +847,8 @@ object QueryCatalog {
     ("q35_session_window", q35SessionWindow _, Some(q35Sql)),
     ("q36_embedding_near_dup_lsh", q36EmbeddingNearDupLsh _, Some(q36Sql)),
     ("q37_asof_join", q37AsOfJoin _, Some(q37Sql)),
-    ("q38_range_join", q38RangeJoin _, Some(q38Sql)))
+    ("q38_range_join", q38RangeJoin _, Some(q38Sql)),
+    ("q39_simhash_near_dup", q39SimhashNearDup _, Some(q39Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -177,6 +177,63 @@ object Dedup {
         when(col(s"s$b") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
+  /** SimHash signature as 4 × 16-bit integer chunks (c0..c3), same bit
+    * votes as [[simhash]]. Chunked integers rather than one 64-bit value:
+    * every chunk fits comfortably in int64 in any engine (no sign-bit
+    * overflow games), each chunk IS a pigeonhole band, and hamming
+    * distance is Σ bit_count(c_a XOR c_b) — pure integer ops, codegen'd.
+    */
+  def simhashChunks(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitCols = (0 until simhashBits).map { bit =>
+      val digit = bit / 4; val sub = bit % 4
+      val v = expr(s"position(substring(h, ${digit + 1}, 1) in '0123456789abcdef') - 1")
+      (shiftright(v, sub) % 2).as(s"b$bit")
+    }
+    val bits = toks.select(col("doc_id") +: bitCols: _*)
+    val votes = bits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until simhashBits).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
+    val chunkCols = (0 until 4).map { j =>
+      (0 until 16).map { i =>
+        val b = 16 * j + i
+        when(col(s"s$b") * 2 >= col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$j")
+    }
+    votes.select(col("doc_id") +: chunkCols: _*)
+  }
+
+  /** SimHash near-dup pairs: by the pigeonhole principle, two 64-bit
+    * signatures within hamming distance ≤ 3 agree on at least one of the
+    * 4 16-bit chunks — so candidates come from 4 narrow equi-joins on a
+    * chunk value (never all-pairs), then the exact hamming distance
+    * verifies. The standard simhash index layout at corpus scale.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4 chunks pigeonhole-cover hamming <= 3")
+    val sig = simhashChunks(docs, idCol, textCol)
+    val banded = sig.selectExpr("doc_id",
+      s"stack(4, ${(0 until 4).map(j => s"$j, c$j").mkString(", ")}) AS (band, chunk)")
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val ham = (0 until 4).map(j =>
+      bit_count(col(s"a_c$j").bitwiseXOR(col(s"b_c$j")))).reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold.
     * Brute force here (the verified-correct baseline); the LSH-bucketed
     * scale path lives in Similarity.annLsh.

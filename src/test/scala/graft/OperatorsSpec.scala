@@ -53,6 +53,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("simhashNearDup pairs exact and near duplicates, skips unrelated docs") {
+    val pairs = Dedup.simhashNearDup(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)) === Some(0L), "exact dup has hamming 0")
+    assert(!byPair.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+    // chunks agree with the string signature bit-for-bit
+    val str = Dedup.simhash(docs.filter(col("doc_id") === 1)).collect().head.getAs[String]("simhash")
+    val ch = Dedup.simhashChunks(docs.filter(col("doc_id") === 1)).collect().head
+    val fromChunks = (0 until 4).flatMap { j =>
+      val c = ch.getAs[Long](s"c$j")
+      (0 until 16).map(i => if (((c >> i) & 1L) == 1L) '1' else '0')
+    }.mkString
+    assert(fromChunks === str)
+  }
+
   test("native dot_product matches hand-computed values and HOF fold") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
