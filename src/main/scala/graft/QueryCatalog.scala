@@ -171,6 +171,25 @@ object QueryCatalog {
       |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** Grouping sets — full cube over two dims (rollup's sibling; closes the
+    * grouping-sets family with q08). */
+  def q40CubeCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  val q40Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
   /** A5 — last-write-wins collapse over the events stream table: one row
     * per user, attributes from the highest event_id. Exercises the exact
     * operator the star pipeline uses (max_by(struct, seq): one shuffle,
@@ -848,7 +867,8 @@ object QueryCatalog {
     ("q36_embedding_near_dup_lsh", q36EmbeddingNearDupLsh _, Some(q36Sql)),
     ("q37_asof_join", q37AsOfJoin _, Some(q37Sql)),
     ("q38_range_join", q38RangeJoin _, Some(q38Sql)),
-    ("q39_simhash_near_dup", q39SimhashNearDup _, Some(q39Sql)))
+    ("q39_simhash_near_dup", q39SimhashNearDup _, Some(q39Sql)),
+    ("q40_cube_counts", q40CubeCounts _, Some(q40Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
