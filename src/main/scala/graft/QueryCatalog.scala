@@ -190,6 +190,18 @@ object QueryCatalog {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Global sort + limit (top-k): TakeOrderedAndProject in the plan — a
+    * per-partition top-k + tiny driver merge, never a full global sort. */
+  def q41TopOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q41Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
   /** A5 — last-write-wins collapse over the events stream table: one row
     * per user, attributes from the highest event_id. Exercises the exact
     * operator the star pipeline uses (max_by(struct, seq): one shuffle,
@@ -868,7 +880,8 @@ object QueryCatalog {
     ("q37_asof_join", q37AsOfJoin _, Some(q37Sql)),
     ("q38_range_join", q38RangeJoin _, Some(q38Sql)),
     ("q39_simhash_near_dup", q39SimhashNearDup _, Some(q39Sql)),
-    ("q40_cube_counts", q40CubeCounts _, Some(q40Sql)))
+    ("q40_cube_counts", q40CubeCounts _, Some(q40Sql)),
+    ("q41_top_orders", q41TopOrders _, Some(q41Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
