@@ -32,7 +32,7 @@ object QueryCatalog {
   /** Only events.ts is TIMESTAMP(NANOS) in the testdata; orders/lineitem
     * timestamps are µs and read natively. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val df = Tables.load(s, dir, name)
     if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
@@ -573,14 +573,37 @@ object QueryCatalog {
       |FROM documents""".stripMargin
 
   /** Batch decode through the Decoder trait (mapPartitions shape) + frame
-    * sampling. The stub decoder is JVM-deterministic but not SQL-
-    * expressible → rows-only check (no oracle). */
+    * sampling. The stub decoder's outputs are pure md5-byte arithmetic
+    * (Multimodal.StubDecoder), so the oracle replays the same arithmetic on
+    * DuckDB's md5 hex digits — the one formerly rows-only entry, now
+    * hash-checked. */
   def q30MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "text")
     Multimodal.sampleFrames(
       Multimodal.decodeAll(assets, Multimodal.StubDecoder).toDF(), 2)
-      .select(col("asset_id"), col("width"), col("height"), col("n_frames"),
+      .select(col("asset_id"), col("width").cast("long"), col("height").cast("long"),
+        col("n_frames").cast("long"),
         size(col("sampled_frames")).cast("long").as("n_sampled"))
+  }
+
+  /** StubDecoder mirror: byte i of md5 = 16*hexval(char 2i+1) +
+    * hexval(char 2i+2); width = (byte0<<4 | byte1&0x0f) + 16, height the
+    * same from bytes 2/3, n_frames = (byte4 & 0x7f) + 1, and the stride-2
+    * frame sample has (n_frames-1)/2 + 1 elements. */
+  val q30Sql: String = {
+    def hx(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+       |b AS (SELECT doc_id,
+       |  ${hx(1)} * 16 + ${hx(2)} AS b0, ${hx(4)} AS n1,
+       |  ${hx(5)} * 16 + ${hx(6)} AS b2, ${hx(8)} AS n3,
+       |  ${hx(9)} * 16 + ${hx(10)} AS b4
+       |FROM h)
+       |SELECT doc_id AS asset_id,
+       |  CAST(b0 * 16 + n1 + 16 AS BIGINT) AS width,
+       |  CAST(b2 * 16 + n3 + 16 AS BIGINT) AS height,
+       |  CAST((b4 % 128) + 1 AS BIGINT) AS n_frames,
+       |  CAST((b4 % 128) // 2 + 1 AS BIGINT) AS n_sampled
+       |FROM b""".stripMargin
   }
 
   // ---- star pipeline as a query (LWW + alias-coalesce + cleanse e2e) ----
@@ -835,6 +858,45 @@ object QueryCatalog {
       |  AND abs(epoch_us(err.ts) - epoch_us(p.ts)) <= 30 * 60 * 1000000
       |GROUP BY 1, 2""".stripMargin
 
+  /** Skew-salted two-phase aggregation (operators/Skew): phase 1 groups by
+    * (key, salt) spreading any hot key over 32 reducers, phase 2
+    * re-aggregates the tiny partial frame by key. The oracle is the plain
+    * GROUP BY — the whole point is that salting never changes the answer. */
+  def q42SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), saltBuckets = 32,
+      Seq(
+        ("n", count(lit(1)), (p: String) => sum(col(p))),
+        ("total_qty", sum(col("l_quantity").cast("long")), (p: String) => sum(col(p)))))
+
+  val q42Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** The SQL function registry (functions/GraftExtensions): the native
+    * DotProduct expression invoked through `spark.sql` text, not the Column
+    * API — proving the registration path end to end. Same sequential-fold
+    * cosine as q26, so the oracle reuses the list_zip fold. */
+  def q43SqlDotProduct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "embeddings").filter(col("vec_id") < 40)
+      .createOrReplaceTempView("graft_q43_emb")
+    s.sql("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(dot_product(a.embedding, b.embedding) /
+          (sqrt(dot_product(a.embedding, a.embedding)) *
+           sqrt(dot_product(b.embedding, b.embedding))), 6) AS cos
+      FROM graft_q43_emb a JOIN graft_q43_emb b ON a.vec_id < b.vec_id""")
+  }
+
+  val q43Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 40)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -870,7 +932,7 @@ object QueryCatalog {
     ("q27_ann_lsh", q27AnnLsh _, Some(q27Sql)),
     ("q28_embedding_near_dup", q28EmbeddingNearDup _, Some(q28Sql)),
     ("q29_multimodal_assets", q29MultimodalAssets _, Some(q29Sql)),
-    ("q30_multimodal_decode", q30MultimodalDecode _, None),
+    ("q30_multimodal_decode", q30MultimodalDecode _, Some(q30Sql)),
     ("q31_star_customer_dim", q31StarCustomerDim _, Some(q31Sql)),
     ("q32_error_channel", q32ErrorChannel _, Some(q32Sql)),
     ("q33_ann_ivf", q33AnnIvf _, Some(q33Sql)),
@@ -881,7 +943,9 @@ object QueryCatalog {
     ("q38_range_join", q38RangeJoin _, Some(q38Sql)),
     ("q39_simhash_near_dup", q39SimhashNearDup _, Some(q39Sql)),
     ("q40_cube_counts", q40CubeCounts _, Some(q40Sql)),
-    ("q41_top_orders", q41TopOrders _, Some(q41Sql)))
+    ("q41_top_orders", q41TopOrders _, Some(q41Sql)),
+    ("q42_salted_agg", q42SaltedAgg _, Some(q42Sql)),
+    ("q43_sql_dot_product", q43SqlDotProduct _, Some(q43Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -11,8 +11,9 @@ import graft.streaming.StreamToStar
   * (reference: flink/stream_to_star.py:301-322 + README.md:183-219).
   *
   * Usage: runMain graft.RunStar <csvGlob> <tableRoot> [checkpointDir] [store]
-  *   store = "versioned" (default: atomic versioned tables) or
-  *           "bucketed" (hash-bucketed, O(touched-buckets) writes)
+  *   store = "bucketed" (default: hash-bucketed, O(touched-buckets) writes,
+  *           atomic manifest commits — the scale-correct store) or
+  *           "versioned" (whole-table versions; simplest, time-travelable)
   */
 object RunStar {
   val starTables: Seq[String] = Seq(
@@ -24,17 +25,17 @@ object RunStar {
     val root = args(1)
     val checkpoint = if (args.length > 2) args(2)
       else java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val storeKind = if (args.length > 3) args(3) else "versioned"
+    val storeKind = if (args.length > 3) args(3) else "bucketed"
     val spark = GraftSession.local("graft-run-star")
     run(spark, glob, root, checkpoint, storeKind)
     spark.stop()
   }
 
   def run(spark: SparkSession, glob: String, root: String, checkpoint: String,
-          storeKind: String = "versioned"): Unit = {
+          storeKind: String = "bucketed"): Unit = {
     val store: graft.plans.TableStore = storeKind match {
-      case "bucketed" => new graft.plans.BucketedMergeWriter(spark, root)
-      case _ => new MergeWriter(spark, root)
+      case "versioned" => new MergeWriter(spark, root)
+      case _ => new graft.plans.BucketedMergeWriter(spark, root)
     }
     val query = StreamToStar.startFromFiles(spark, glob, store, checkpoint)
     query.awaitTermination()

@@ -19,10 +19,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "dot_product(a, b) takes exactly 2 arguments")
-        DotProduct(children.head, children(1))
-      }))
+      GraftExtensions.dotProductInfo,
+      GraftExtensions.dotProductBuilder))
   }
+}
+
+object GraftExtensions {
+  private[functions] val dotProductInfo =
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
+  private[functions] val dotProductBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "dot_product(a, b) takes exactly 2 arguments")
+    DotProduct(children.head, children(1))
+  }
+
+  /** Register graft functions on an already-built session (the extensions
+    * class only hooks construction). Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "dot_product", dotProductInfo, dotProductBuilder)
 }

@@ -83,4 +83,16 @@ object Cleanse {
     * (reference: flink/stream_to_star.py:252-253). */
   def defaultZeroLong(c: Column): Column = coalesce(toIntLossy(c), lit(0L))
   def defaultZeroDouble(c: Column): Column = coalesce(toFloatLossy(c), lit(0.0))
+
+  /** Lossy decimal coercion for the NUMERIC(p,s)-typed warehouse columns:
+    * float-coerce, then `try_cast` into the target decimal — a value that
+    * parses as a double but overflows the declared precision (e.g. "1e300"
+    * into NUMERIC(12,2)) becomes NULL instead of throwing. Spark 4's ANSI
+    * mode makes the plain cast THROW on overflow, which would kill the
+    * whole micro-batch for one bad record; the reference instead fails the
+    * single record at the Postgres insert (numeric field overflow) — the
+    * error channel flags such records (ErrorChannel.decimalBounds), this
+    * keeps the surviving plan exception-free. */
+  def toDecimalLossy(c: Column, precision: Int, scale: Int): Column =
+    toFloatLossy(c).try_cast(DecimalType(precision, scale))
 }

@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a frame that the enclosing operator references more than
+    * once. Without this, every reference re-executes the whole subtree —
+    * the q24 plan showed the parquet-scan→split→posexplode→window shingle
+    * pipeline FOUR times (signature agg, set-size agg, and twice in the
+    * candidate verify), i.e. four full corpus tokenization passes at 100 TB
+    * where one suffices.
+    *
+    * `localCheckpoint(eager = true)` computes the frame once, stores the
+    * partitions on the executors (memory, spilling to disk) and truncates
+    * the lineage, so all downstream references read the stored partitions.
+    * Storage is released by the ContextCleaner once the result is GC'd —
+    * no CacheManager residue across queries. On a cluster with dynamic
+    * allocation / preemptible executors you'd trade this for a reliable
+    * checkpoint or `persist` + explicit unpersist; locality and cost are
+    * identical.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One hash-aggregate; at scale this is the cheapest possible dedup. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -54,7 +73,7 @@ object Dedup {
     * with doc_a < doc_b.
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val s = shinglePairs(docs, n)
+    val s = materialize(shinglePairs(docs, n)) // referenced 3×: sizes + both join sides
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = s.as("a"); val b = s.as("b")
     val common = a.join(b,
@@ -101,7 +120,7 @@ object Dedup {
                  maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
-    val s = shinglePairs(docs, n)
+    val s = materialize(shinglePairs(docs, n)) // referenced 4×: signatures, sizes, verify ×2
     // Wide-aggregate signatures in ONE shuffle, with double-hashing: the
     // k salted hashes are derived as (h1 + i·h2) mod p from TWO md5s per
     // shingle instead of k (the standard minhash double-hash family —
@@ -112,7 +131,9 @@ object Dedup {
     val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
     val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
     val mhCols = (0 until k).map(i => min((h1 + lit(i) * h2) % p).as(s"mh$i"))
-    val sigWide = s.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // one wide row per doc; materialized because banding reads it and (via
+    // `banded`) both sides of the candidate self-join do
+    val sigWide = materialize(s.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*))
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rowsPer until (b + 1) * rowsPer)
         .map(i => concat(lit(s"$i="), col(s"mh$i")))
@@ -158,24 +179,30 @@ object Dedup {
     */
   val simhashBits = 64
 
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Shared vote frame for both simhash layouts: per doc, the token count
+    * `n` and per-bit 1-vote sums `s0..s63`. Each bit of the signature is
+    * the majority vote of that bit across the doc's token md5s (bit j of
+    * hex digit d = (digitValue >> j) & 1 — engine-portable). One explode +
+    * one 65-column hash-aggregate: a single scan at any scale. */
+  private def simhashVotes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    // hex digit d of md5, as int value 0..15; bit j of digit = (v >> j) & 1
     val bitCols = (0 until simhashBits).map { bit =>
       val digit = bit / 4; val sub = bit % 4
       val v = expr(s"position(substring(h, ${digit + 1}, 1) in '0123456789abcdef') - 1")
       (shiftright(v, sub) % 2).as(s"b$bit")
     }
-    val bits = toks.select(col("doc_id") +: bitCols: _*)
-    val votes = bits.groupBy(col("doc_id"))
+    toks.select(col("doc_id") +: bitCols: _*)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
         (0 until simhashBits).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
-    votes.select(col("doc_id"),
+  }
+
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashVotes(docs, idCol, textCol).select(col("doc_id"),
       concat((0 until simhashBits).map(b =>
         when(col(s"s$b") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-  }
 
   /** SimHash signature as 4 × 16-bit integer chunks (c0..c3), same bit
     * votes as [[simhash]]. Chunked integers rather than one 64-bit value:
@@ -185,25 +212,13 @@ object Dedup {
     */
   def simhashChunks(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bitCols = (0 until simhashBits).map { bit =>
-      val digit = bit / 4; val sub = bit % 4
-      val v = expr(s"position(substring(h, ${digit + 1}, 1) in '0123456789abcdef') - 1")
-      (shiftright(v, sub) % 2).as(s"b$bit")
-    }
-    val bits = toks.select(col("doc_id") +: bitCols: _*)
-    val votes = bits.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"),
-        (0 until simhashBits).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
     val chunkCols = (0 until 4).map { j =>
       (0 until 16).map { i =>
         val b = 16 * j + i
         when(col(s"s$b") * 2 >= col("n"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"c$j")
     }
-    votes.select(col("doc_id") +: chunkCols: _*)
+    simhashVotes(docs, idCol, textCol).select(col("doc_id") +: chunkCols: _*)
   }
 
   /** SimHash near-dup pairs: by the pigeonhole principle, two 64-bit
@@ -215,7 +230,8 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4 chunks pigeonhole-cover hamming <= 3")
-    val sig = simhashChunks(docs, idCol, textCol)
+    // referenced 3×: band explode + both verify sides
+    val sig = materialize(simhashChunks(docs, idCol, textCol))
     val banded = sig.selectExpr("doc_id",
       s"stack(4, ${(0 until 4).map(j => s"$j, c$j").mkString(", ")}) AS (band, chunk)")
     val a = banded.as("a"); val b = banded.as("b")
@@ -259,8 +275,11 @@ object Dedup {
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val entries = (0 until tables).map(t => struct(
       lit(t).as("table"), Similarity.lshBucket(col(vecCol), dims, planes, t).as("bucket")))
-    val b = emb.select(col(idCol), col(vecCol), explode(array(entries: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    // materialized: both sides of the candidate self-join read it, and the
+    // tables×planes hyperplane dot products per vector are the dominant cost
+    val b = materialize(
+      emb.select(col(idCol), col(vecCol), explode(array(entries: _*)).as("tb"))
+        .select(col(idCol), col(vecCol), col("tb.table").as("table"), col("tb.bucket").as("bucket")))
     val a = b.as("a"); val c = b.as("b")
     a.join(c, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

@@ -34,29 +34,35 @@ object Joins {
            rightPrefix: String = "right_"): DataFrame = {
     val leftPayload = left.columns.filterNot(keys.contains)
     val rightPayload = right.columns.filterNot(keys.contains)
+    // The whole right payload travels as ONE nullable struct, so the carry
+    // below picks every right column from the SAME matched row. Carrying
+    // columns independently (last(c, ignoreNulls) per column) would stitch
+    // a NULL field from an OLDER right row whenever the matched row has a
+    // NULL in that field — diverging from ASOF JOIN semantics.
+    val rpayType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(nullable = true)))
     val l2 = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$rightPrefix$c")): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rpayType).as("_rpay"): _*)
     val r2 = right
       .filter(col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("_rpay"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2)
-      .select((keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftPayload.map(col) ++
-        rightPayload.map(c =>
-          last(col(s"$rightPrefix$c"), ignoreNulls = true).over(w).as(s"$rightPrefix$c"))): _*)
+      .select((keys.map(col) ++ Seq(col("_side")) ++ leftPayload.map(col) :+
+        last(col("_rpay"), ignoreNulls = true).over(w).as("_rpay")): _*)
     carried.filter(col("_side") === 1)
       .select(keys.map(col) ++ leftPayload.map(col) ++
-        rightPayload.map(c => col(s"$rightPrefix$c")): _*)
+        rightPayload.map(c => col(s"_rpay.$c").as(s"$rightPrefix$c")): _*)
   }
 
   /** Banded range join: all (left, right) pairs with the same key and

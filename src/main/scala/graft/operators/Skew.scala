@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, saltBuckets): hash of the full row
-    * contents (not a random — reproducibility is part of the contract). */
+  /** Per-row salt in [0, saltBuckets). Hashing row CONTENTS alone would
+    * send fully-identical duplicate rows (a common shape of count/sum skew,
+    * e.g. replayed events) to one salt bucket — the hot key still lands on
+    * a single reducer, defeating the mitigation exactly when it's needed.
+    * So the row's physical position (`monotonically_increasing_id`, which
+    * encodes partition id + in-partition index) is mixed in: duplicates
+    * spread round-robin. The salt is only stable within a run, which is
+    * all that's required — it exists solely to spread phase 1, and the
+    * phase-2 re-aggregate makes the OUTPUT identical for any salt. */
   private def salt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)).cast("int")
+    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(saltBuckets)).cast("int")
 
   /** Two-phase salted aggregation: `aggs` maps output column name →
     * (phase-1 aggregate of an input column, phase-2 re-aggregate of the

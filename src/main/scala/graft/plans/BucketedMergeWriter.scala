@@ -1,106 +1,179 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** S4 at scale — bucketed idempotent MERGE (SURVEY.md §7.3; VERDICT r1
-  * "wrong #3"): tables are hash-partitioned on the natural key into
-  * `_bucket=N/` parquet partitions, and a merge rewrites ONLY the buckets
-  * the batch touches:
+/** S4 at scale — bucketed idempotent MERGE with TABLE-ATOMIC commits
+  * (SURVEY.md §7.3; VERDICT r1 "wrong #3", r2 "missing #3"): tables are
+  * hash-partitioned on the natural key into `_bucket=N/` parquet
+  * partitions, and a merge rewrites ONLY the buckets the batch touches:
   *
   *   1. tag batch rows with `_bucket = pmod(xxhash64(natKey), nBuckets)`;
   *   2. read the CURRENT table pruned to touched buckets (partition
   *      pruning — untouched buckets are never scanned, let alone written);
   *   3. keep existing surrogate keys (LEFT join on the natural key inside
   *      touched buckets), assign `max+i` to genuinely-new keys — the
-  *      running max lives in a `_MAXSK` metadata file, so no full-table
-  *      scan is needed to continue the sequence;
-  *   4. dynamic-partition-overwrite the union back: Spark replaces only
-  *      the partition directories present in the output.
+  *      running max lives in the manifest, so no full-table scan is needed
+  *      to continue the sequence;
+  *   4. write the touched buckets' new contents into a FRESH version
+  *      directory `v{N}/_bucket=B/…`, then atomically swap the `_MANIFEST`
+  *      file, which maps every live bucket to the version directory holding
+  *      its current data (and carries maxSk, so key-sequence state commits
+  *      in the same rename).
+  *
+  * Atomicity: readers resolve data exclusively through `_MANIFEST`
+  * (tmp-file + ATOMIC_MOVE, same contract as MergeWriter's `_CURRENT`). A
+  * crash mid-merge leaves at most an orphan version directory that no
+  * manifest references — the table stays consistent at its pre-merge
+  * state, and the next merge simply picks an unused version number. This
+  * is the same pointer-commit design Delta/Iceberg use (a log entry
+  * instead of a file rename); per-directory dynamic partition overwrite —
+  * the previous design — had a window where some buckets were new and
+  * others old.
   *
   * Per-batch write amplification is O(touched buckets) — with `nBuckets`
-  * sized so a bucket ≈ a few GB, that is O(batch), not O(table). The
-  * trade-off vs [[MergeWriter]] is commit atomicity: partition overwrite
-  * is per-directory, not table-atomic (the production answer is the same
-  * algorithm through Delta/Iceberg `MERGE INTO`, which adds the
-  * transaction log; the bucketing/pruning shape here is exactly what
-  * those MERGEs do internally).
+  * sized so a bucket ≈ a few GB, that is O(batch), not O(table). Reads
+  * union the (few) live version directories, each pruned to the buckets
+  * the manifest assigns it; after `compactAfter` distinct versions
+  * accumulate, the next commit folds everything into one version
+  * (amortized O(table / compactAfter) per merge — the Delta checkpoint
+  * analog). Superseded version dirs are kept for concurrent readers;
+  * `vacuum()` deletes the unreferenced ones once quiesced.
   */
-class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16)
+class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
+                          compactAfter: Int = 8)
     extends TableStore {
 
-  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
   private def dir(name: String) = s"$root/$name"
-  private def maxSkPath(name: String) = Paths.get(dir(name), "_MAXSK")
+  private def versionDir(name: String, v: Long) = s"${dir(name)}/v$v"
+  private def manifestPath(name: String) = Paths.get(dir(name), "_MANIFEST")
 
-  override def exists(name: String): Boolean = Files.exists(maxSkPath(name))
+  override def exists(name: String): Boolean = Files.exists(manifestPath(name))
 
-  private def readMaxSk(name: String): Long =
-    new String(Files.readAllBytes(maxSkPath(name))).trim.toLong
+  /** Manifest = (maxSk, live (bucket → version) pairs). A bucket may map to
+    * several versions only for append-only tables (appendTable); merges
+    * replace all of a touched bucket's entries. */
+  private def readManifest(name: String): (Long, Seq[(Int, Long)]) = {
+    val lines = Files.readAllLines(manifestPath(name)).asScala.toSeq
+    val maxSk = lines.head.stripPrefix("maxsk=").trim.toLong
+    val pairs = lines.tail.filter(_.trim.nonEmpty).map { l =>
+      val Array(b, v) = l.trim.split("\\s+"); (b.toInt, v.toLong)
+    }
+    (maxSk, pairs)
+  }
 
-  private def writeMaxSk(name: String, v: Long): Unit =
-    Files.write(maxSkPath(name), v.toString.getBytes)
+  private def writeManifest(name: String, maxSk: Long, pairs: Seq[(Int, Long)]): Unit = {
+    val body = (s"maxsk=$maxSk" +: pairs.sorted.map { case (b, v) => s"$b $v" })
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(dir(name), "_MANIFEST.tmp")
+    Files.write(tmp, body.getBytes)
+    Files.move(tmp, manifestPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
-  /** Raw read including the `_bucket` partition column. */
-  private def readRaw(name: String): DataFrame =
-    spark.read.parquet(dir(name))
-
-  override def read(name: String): DataFrame = readRaw(name).drop("_bucket")
+  /** Next unused version number — scanned from the directory, not the
+    * manifest, so orphan dirs from a crashed commit are never reused. */
+  private def nextVersion(name: String): Long = {
+    val d = Paths.get(dir(name))
+    if (!Files.exists(d)) 0L
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .foldLeft(-1L)(math.max) + 1
+  }
 
   private def bucketCol(natKey: Seq[String]): Column =
     pmod(xxhash64(natKey.map(col): _*), lit(nBuckets)).cast("int")
 
-  private def write(name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").partitionBy("_bucket").parquet(dir(name))
+  /** Read the given buckets (default: all live), pruned per version dir. */
+  private def readRaw(name: String, only: Option[Seq[Int]] = None): DataFrame = {
+    val (_, pairs) = readManifest(name)
+    val relevant = only.fold(pairs)(bs => pairs.filter(p => bs.contains(p._1)))
+    if (relevant.isEmpty)
+      // none of the requested buckets exist yet — empty frame, table schema
+      spark.read.parquet(versionDir(name, pairs.head._2)).filter(lit(false))
+    else
+      relevant.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, ps) =>
+        val df = spark.read.parquet(versionDir(name, v))
+        val bs = ps.map(_._1)
+        if (bs.size >= nBuckets) df else df.filter(col("_bucket").isin(bs: _*))
+      }.reduce(_ unionByName _)
+  }
 
-  /** Distributed dense key assignment (same shape as MergeWriter's —
-    * zipWithIndex, no global window); returns (keyed frame, count). */
-  private def assignKeys(df: DataFrame, skCol: String, offset: Long): (DataFrame, Long) = {
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
-        skCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + 1 + i))
-    }
-    val keyed = df.sparkSession.createDataFrame(rdd, schema)
-    (keyed, rdd.count())
+  override def read(name: String): DataFrame = readRaw(name).drop("_bucket")
+
+  /** Write `out` (touched buckets only, `_bucket` column present) as a new
+    * version, then commit by atomic manifest swap. `replace` entries
+    * supersede all previous mappings of their buckets; with
+    * `replace=false` (append tables) previous mappings stay live. */
+  private def commit(name: String, out: DataFrame, touched: Seq[Int],
+                     newMaxSk: Long, prevPairs: Seq[(Int, Long)],
+                     replace: Boolean = true): Unit = {
+    Files.createDirectories(Paths.get(dir(name)))
+    val v = nextVersion(name)
+    out.write.mode("overwrite").partitionBy("_bucket").parquet(versionDir(name, v))
+    val kept = if (replace) prevPairs.filterNot(p => touched.contains(p._1)) else prevPairs
+    writeManifest(name, newMaxSk, kept ++ touched.map(b => (b, v)))
+    maybeCompact(name)
+  }
+
+  /** Fold all live versions into one when too many accumulate; same atomic
+    * manifest swap, so readers never see a partial compaction. */
+  private def maybeCompact(name: String): Unit = {
+    val (maxSk, pairs) = readManifest(name)
+    if (pairs.map(_._2).distinct.size <= compactAfter) return
+    val v = nextVersion(name)
+    val all = readRaw(name).localCheckpoint(true)
+    all.write.mode("overwrite").partitionBy("_bucket").parquet(versionDir(name, v))
+    val buckets = all.select(col("_bucket")).distinct().collect().map(_.getInt(0))
+    writeManifest(name, maxSk, buckets.toSeq.map(b => (b, v)))
+  }
+
+  /** Delete version directories no manifest entry references (crashed
+    * commits, superseded versions). Call only when no reader still holds
+    * DataFrames over old versions — the usual retention caveat. */
+  def vacuum(name: String): Unit = {
+    val live = readManifest(name)._2.map(_._2).toSet
+    Files.list(Paths.get(dir(name))).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .filterNot(p => live.contains(p.getFileName.toString.drop(1).toLong))
+      .foreach { p =>
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
   }
 
   override def mergeDim(name: String, batch: DataFrame, natKey: Seq[String],
                         skCol: String): DataFrame = {
     val attrs = batch.columns.filterNot(natKey.contains)
     val cols = (natKey :+ skCol) ++ attrs :+ "_bucket"
-    // a partitioned parquet table cannot be created empty (no partition
-    // dirs -> unreadable); defer creation to the first non-empty batch
     if (!exists(name) && batch.isEmpty) return batch.withColumn(skCol, lit(0L))
     if (!exists(name)) {
-      Files.createDirectories(Paths.get(dir(name)))
-      val (keyed, n) = assignKeys(batch, skCol, 0L)
-      write(name, keyed.withColumn("_bucket", bucketCol(natKey)).select(cols.map(col): _*))
-      writeMaxSk(name, n)
+      val (keyed, n) = KeyAssign.dense(batch, skCol, 0L)
+      val out = keyed.withColumn("_bucket", bucketCol(natKey))
+        .select(cols.map(col): _*).localCheckpoint(true)
+      val touched = out.select(col("_bucket")).distinct().collect().map(_.getInt(0)).toSeq
+      commit(name, out, touched, n, Nil)
     } else {
+      val (maxSk, pairs) = readManifest(name)
       val batchB = batch.withColumn("_bucket", bucketCol(natKey))
         .localCheckpoint(true) // stabilize before the multi-use merge below
       val touched = batchB.select(col("_bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
+        .collect().map(_.getInt(0)).sorted.toSeq
       // partition pruning: only touched bucket dirs are scanned
-      val curTouched = readRaw(name).filter(col("_bucket").isin(touched: _*))
+      val curTouched = readRaw(name, Some(touched))
       val joined = batchB.join(
         curTouched.select((natKey :+ skCol).map(col): _*), natKey, "left")
       val known = joined.filter(col(skCol).isNotNull)
       val fresh = joined.filter(col(skCol).isNull).drop(skCol)
-      val maxSk = readMaxSk(name)
-      val (freshKeyed, nNew) = assignKeys(fresh, skCol, maxSk)
+      val (freshKeyed, nNew) = KeyAssign.dense(fresh, skCol, maxSk)
       val untouchedRows = curTouched.join(batchB.select(natKey.map(col): _*), natKey, "left_anti")
       val out = untouchedRows.select(cols.map(col): _*)
         .unionByName(known.select(cols.map(col): _*))
         .unionByName(freshKeyed.select(cols.map(col): _*))
-      // dynamic overwrite: only the _bucket=N dirs present in `out` are
-      // replaced; every untouched bucket's files stay untouched on disk
-      write(name, out.localCheckpoint(true))
-      writeMaxSk(name, maxSk + nNew)
+        .localCheckpoint(true)
+      commit(name, out, touched, maxSk + nNew, pairs)
     }
     read(name)
   }
@@ -109,25 +182,29 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16)
     val cols = batch.columns :+ "_bucket"
     if (!exists(name) && batch.isEmpty) return batch
     if (!exists(name)) {
-      Files.createDirectories(Paths.get(dir(name)))
-      write(name, batch.withColumn("_bucket", bucketCol(natKey)).select(cols.map(col): _*))
-      writeMaxSk(name, 0L)
+      val out = batch.withColumn("_bucket", bucketCol(natKey))
+        .select(cols.map(col): _*).localCheckpoint(true)
+      val touched = out.select(col("_bucket")).distinct().collect().map(_.getInt(0)).toSeq
+      commit(name, out, touched, 0L, Nil)
     } else {
+      val (maxSk, pairs) = readManifest(name)
       val batchB = batch.withColumn("_bucket", bucketCol(natKey)).localCheckpoint(true)
       val touched = batchB.select(col("_bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val curTouched = readRaw(name).filter(col("_bucket").isin(touched: _*))
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val curTouched = readRaw(name, Some(touched))
       val untouchedRows = curTouched.join(batchB.select(natKey.map(col): _*), natKey, "left_anti")
-      write(name, untouchedRows.select(cols.map(col): _*)
-        .unionByName(batchB.select(cols.map(col): _*)).localCheckpoint(true))
+      val out = untouchedRows.select(cols.map(col): _*)
+        .unionByName(batchB.select(cols.map(col): _*)).localCheckpoint(true)
+      commit(name, out, touched, maxSk, pairs)
     }
     read(name)
   }
 
   override def appendTable(name: String, batch: DataFrame): DataFrame = {
-    batch.withColumn("_bucket", lit(0))
-      .write.mode("append").partitionBy("_bucket").parquet(dir(name))
-    if (!exists(name)) writeMaxSk(name, 0L)
+    if (batch.isEmpty) return if (exists(name)) read(name) else batch
+    val out = batch.withColumn("_bucket", lit(0)).localCheckpoint(true)
+    val (maxSk, pairs) = if (exists(name)) readManifest(name) else (0L, Nil)
+    commit(name, out, Seq(0), maxSk, pairs, replace = false)
     read(name)
   }
 }

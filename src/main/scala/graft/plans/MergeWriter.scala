@@ -55,24 +55,10 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Distributed dense id assignment: sk = offset + 1-based index over the
-    * whole frame, via RDD `zipWithIndex` (one tiny count job for partition
-    * sizes, then a per-partition counter — no global window, no single-task
-    * sort; this is the scale-safe replacement for
-    * `row_number().over(Window.orderBy(...))`). Contiguity is deterministic
-    * per run but index→row mapping follows partition order; only *stability
-    * after assignment* matters (SURVEY.md §7.4.2 — Postgres BIGSERIAL skips
-    * ids on conflicts too), and stability comes from persisting the table.
-    */
-  private def assignKeys(df: DataFrame, skCol: String, offset: Long): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
-        skCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = df.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + 1 + i))
-    }
-    df.sparkSession.createDataFrame(rows, schema)
-  }
+  /** Distributed dense id assignment — see [[KeyAssign.dense]] (shared with
+    * BucketedMergeWriter; no global window, no single-task sort). */
+  private def assignKeys(df: DataFrame, skCol: String, offset: Long): DataFrame =
+    KeyAssign.dense(df, skCol, offset)._1
 
   /** Upsert `batch` (already one row per natural key, e.g. via
     * StarSchema.lastWriteWins) into table `name`; returns the post-merge

@@ -68,8 +68,8 @@ object StarSchema {
       aliasKeyIn(feed, "sale_product_id", "product_id").as("source_product_id"),
       trimToNull(col("product_name")).as("product_name"),
       trimToNull(col("product_category")).as("category"),
-      toFloatLossy(col("product_price")).cast("decimal(12,2)").as("price"),
-      toFloatLossy(col("product_rating")).cast("decimal(3,1)").as("rating"),
+      toDecimalLossy(col("product_price"), 12, 2).as("price"),
+      toDecimalLossy(col("product_rating"), 3, 1).as("rating"),
       toIntLossy(col("product_reviews")).cast("int").as("reviews"),
       col("_seq"))
     .filter(col("source_product_id").isNotNull)
@@ -123,7 +123,8 @@ object StarSchema {
       trimToNull(col("supplier_name")).as("supplier_name"),
       parseDateMulti(col("sale_date")).as("sale_date"),
       defaultZeroLong(col("sale_quantity")).cast("int").as("sale_quantity"),
-      defaultZeroDouble(col("sale_total_price")).cast("decimal(14,2)").as("sale_total_price"),
+      coalesce(toDecimalLossy(col("sale_total_price"), 14, 2),
+        lit(0.0).cast("decimal(14,2)")).as("sale_total_price"),
       col("_seq"))
     .filter(col("source_sale_id").isNotNull)
 

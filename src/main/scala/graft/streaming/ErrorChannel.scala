@@ -27,6 +27,15 @@ object ErrorChannel {
 
   val corruptCol = "_corrupt_record"
 
+  /** NUMERIC(p,s) bounds of the warehouse columns (reference:
+    * postgres/00_ddl_dw.sql — price NUMERIC(12,2), rating NUMERIC(3,1),
+    * total price NUMERIC(14,2)). A record whose value parses as a double
+    * but overflows its declared decimal errors out at the reference's
+    * insert ("numeric field overflow", caught per record) — mirrored here
+    * as an error-channel predicate, checked only when the column exists. */
+  val decimalBounds: Seq[(String, Int, Int)] = Seq(
+    ("product_price", 12, 2), ("product_rating", 3, 1), ("sale_total_price", 14, 2))
+
   /** Error predicate + message for a feed with a corrupt-record column and
     * required int-keyed fields. */
   private def errorMsg(feed: DataFrame, requiredIntKeys: Seq[String]): Column = {
@@ -37,7 +46,13 @@ object ErrorChannel {
       when(Cleanse.trimToNull(col(k)).isNotNull && Cleanse.toIntLossy(col(k)).isNull,
         concat(lit(s"error: ValueError: invalid int for '$k': "), col(k)))
     }
-    coalesce((Seq(corrupt) ++ coercions): _*)
+    val overflows = decimalBounds.filter(b => feed.columns.contains(b._1)).map {
+      case (k, p, s) =>
+        when(Cleanse.toFloatLossy(col(k)).isNotNull &&
+            Cleanse.toDecimalLossy(col(k), p, s).isNull,
+          concat(lit(s"error: NumericOverflow: '$k' out of NUMERIC($p,$s) range: "), col(k)))
+    }
+    coalesce((Seq(corrupt) ++ coercions ++ overflows): _*)
   }
 
   /** Split a raw feed into (valid, errors). `errors` carries the original

@@ -41,9 +41,19 @@ object StreamToStar {
     val (valid0, errors) = ErrorChannel.split(feed, Seq("id"))
     if (!errors.isEmpty) {
       ErrorChannel.printStatus(feed, Seq("id"))
-      store.appendTable("dead_letter",
-        errors.select(col("_error"), to_json(struct(
-          feed.columns.filterNot(_ == "_seq").map(col): _*)).as("record")))
+      // Dead-letter writes MERGE on a deterministic per-occurrence key
+      // (md5 of the serialized record + its replay-stable arrival
+      // coordinate `_seq`), not append: a micro-batch replayed after a
+      // checkpoint restart upserts the same rows instead of duplicating
+      // them — the same effectively-once contract as the star tables.
+      val record = to_json(struct(
+        feed.columns.filterNot(_ == "_seq").map(col): _*))
+      store.mergeFact("dead_letter",
+        errors.select(
+          md5(concat_ws("|", to_json(col("_seq")), col("_error"), record))
+            .as("_dl_key"),
+          col("_error"), record.as("record")),
+        Seq("_dl_key"))
     }
     val cached = valid0.cache()
     try {
@@ -93,7 +103,8 @@ object StreamToStar {
     */
   def startFromFiles(
       spark: SparkSession, glob: String,
-      store: TableStore, checkpoint: String): StreamingQuery = {
+      store: TableStore, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = spark.readStream
       .schema(SalesFeed.rawSchemaWithCorrupt)
       .option("header", "true")
@@ -104,7 +115,7 @@ object StreamToStar {
     raw.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(SalesFeed.withArrivalSeq(batch), store)
       }
@@ -118,20 +129,34 @@ object StreamToStar {
     * the CSV path. */
   def startFromJsonFiles(
       spark: SparkSession, glob: String,
-      store: TableStore, checkpoint: String): StreamingQuery = {
+      store: TableStore, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(glob)
     raw.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(
           SalesFeed.withArrivalSeq(SalesFeed.fromKafkaMessages(batch)), store)
       }
       .start()
   }
+
+  /** T1 parity with the reference's run-until-cancelled service mode
+    * (reference: flink/stream_to_star.py:302,322): a ProcessingTime trigger
+    * keeps the query live, picking up files as they appear, until the
+    * caller stops it — unlike AvailableNow, which drains and stops. State
+    * and guarantees are identical (same checkpoint, same idempotent
+    * merges); only the trigger differs. */
+  def serveFromJsonFiles(
+      spark: SparkSession, glob: String,
+      store: TableStore, checkpoint: String,
+      interval: String = "500 milliseconds"): StreamingQuery =
+    startFromJsonFiles(spark, glob, store, checkpoint,
+      Trigger.ProcessingTime(interval))
 
   private def startForeachBatch(
       feed: DataFrame, store: TableStore, checkpoint: String): StreamingQuery =

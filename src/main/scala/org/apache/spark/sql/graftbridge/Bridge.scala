@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function on an ALREADY-BUILT session (SparkSessionExtensions
+    * only hooks session construction; `sessionState` is private[sql], hence
+    * bridged here). Idempotent — re-registration overwrites. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -64,6 +64,52 @@ class BucketedMergeWriterSpec extends SparkSpec {
     assert(m(7L) === 99.0 && m(8L) === 8.0 && m.size === 200)
   }
 
+  test("a crash between data write and manifest swap leaves the table consistent") {
+    val root = freshRoot()
+    val store = new BucketedMergeWriter(spark, root, nBuckets = 4)
+    store.mergeDim("d", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr"),
+      Seq("k"), "sk")
+    val before = store.read("d").orderBy(col("k")).collect().map(_.toString).toSeq
+
+    // simulate the only non-atomic window: a merge that wrote its new
+    // version directory but died before the atomic _MANIFEST swap
+    Seq((2L, "CRASHED", 99L), (4L, "CRASHED", 98L)).toDF("k", "attr", "sk")
+      .withColumn("_bucket", lit(2))
+      .write.partitionBy("_bucket").parquet(s"$root/d/v1")
+
+    // readers never see the orphan — manifest still points at v0
+    assert(store.read("d").orderBy(col("k")).collect().map(_.toString).toSeq === before)
+
+    // the next merge must not collide with the orphan's version number,
+    // must keep existing keys stable, and must land correct data
+    val t = store.mergeDim("d", Seq((2L, "b2"), (4L, "d")).toDF("k", "attr"), Seq("k"), "sk")
+    val m = t.collect().map(r =>
+      r.getAs[Long]("k") -> (r.getAs[Long]("sk"), r.getAs[String]("attr"))).toMap
+    assert(m(2L)._2 === "b2" && m(2L)._1 != 99L)
+    assert(m(4L)._2 === "d" && m(4L)._1 === 4L)
+    assert(m.size === 4)
+
+    // vacuum removes the orphan (and superseded versions); table unchanged
+    store.vacuum("d")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/d/v1")),
+      "orphan version must be vacuumed")
+    assert(store.read("d").count() === 4)
+  }
+
+  test("compaction folds many live versions into one, atomically and losslessly") {
+    val root = freshRoot()
+    val store = new BucketedMergeWriter(spark, root, nBuckets = 4, compactAfter = 3)
+    for (i <- 1 to 6) // 6 merges -> would be 6 live versions without compaction
+      store.mergeDim("d", Seq((i.toLong, s"a$i")).toDF("k", "attr"), Seq("k"), "sk")
+    val rows = store.read("d").collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("sk"), r.getAs[String]("attr"))).toMap
+    assert(rows === (1 to 6).map(i => i.toLong -> (i.toLong, s"a$i")).toMap)
+    // live version count is bounded by compactAfter
+    val manifest = Files.readAllLines(java.nio.file.Paths.get(s"$root/d/_MANIFEST"))
+      .asScala.drop(1).map(_.trim.split("\\s+")(1)).toSet
+    assert(manifest.size <= 3, s"expected <=3 live versions, got $manifest")
+  }
+
   test("empty first batch defers table creation, later batches create it") {
     val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
     store.mergeDim("d", Seq.empty[(Long, String)].toDF("k", "attr"), Seq("k"), "sk")

@@ -30,6 +30,21 @@ class JoinsSpec extends SparkSpec {
     assert(out("e3") === None, "LEFT semantics: no match -> NULL")
   }
 
+  test("asOf takes ALL right columns from the matched row, even NULL fields") {
+    // the matched (latest at-or-before) right row has v=NULL: the output
+    // must carry that NULL, NOT stitch v from the older right row — the
+    // whole payload travels as one struct (ADVICE r2)
+    val left = Seq((1L, ts("2024-01-01 05:00:00"), "e1")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 03:00:00"), Option("old"), Option(7L)),
+      (1L, ts("2024-01-01 04:00:00"), Option.empty[String], Option(8L))
+    ).toDF("k", "t", "v", "w")
+    val r = Joins.asOf(left, right, Seq("k"), "t", "t").collect().head
+    assert(Option(r.getAs[String]("right_v")) === None,
+      "NULL field of the matched row must stay NULL")
+    assert(r.getAs[Long]("right_w") === 8L, "other fields come from the same matched row")
+  }
+
   test("rangeJoin finds pairs across bucket boundaries, excludes outside band") {
     val left = Seq((1L, ts("2024-01-01 01:00:00"), 100L)).toDF("k", "t", "lid")
     val right = Seq(

@@ -10,7 +10,10 @@ import graft.streaming.StreamToStar
   * effectively-once contract. */
 class RestartSpec extends SparkSpec {
 
-  test("stop after the first micro-batch, resume from the checkpoint, converge") {
+  for ((label, mkStore) <- Seq[(String, String => graft.plans.TableStore)](
+      "versioned" -> (root => new MergeWriter(spark, root)),
+      "bucketed" -> (root => new graft.plans.BucketedMergeWriter(spark, root, nBuckets = 4))))
+  test(s"stop after the first micro-batch, resume from the checkpoint, converge [$label]") {
     val feedDir = Files.createTempDirectory("graft-restart-feed").toString
     for (f <- 0 until 3) {
       val pw = new java.io.PrintWriter(s"$feedDir/MOCK_DATA_$f.csv")
@@ -28,7 +31,7 @@ class RestartSpec extends SparkSpec {
     }
     val tableRoot = Files.createTempDirectory("graft-restart-tables").toString
     val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
-    val store = new MergeWriter(spark, tableRoot)
+    val store = mkStore(tableRoot)
 
     // phase 1: process at most one file, then stop mid-feed
     val q1 = StreamToStar.startFromFiles(spark, s"$feedDir/MOCK_DATA_*.csv", store, ckpt)

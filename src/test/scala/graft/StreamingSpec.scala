@@ -45,6 +45,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous ProcessingTime trigger ingests files fed WHILE running (T1 parity)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-serve-feed").toString
+    val root = Files.createTempDirectory("graft-serve-tables").toString
+    val ckpt = Files.createTempDirectory("graft-serve-ckpt").toString
+    def writeMsgs(file: String, ids: Range, tag: String): Unit = {
+      val pw = new java.io.PrintWriter(s"$dir/$file")
+      ids.foreach { i =>
+        pw.println(s"""{"id":"$i","sale_customer_id":"$i","customer_first_name":"F$i","customer_last_name":"L${i}_$tag","store_name":"S${i % 3}","sale_date":"3/14/2021","sale_quantity":"1","sale_total_price":"2.50"}""")
+      }
+      pw.close()
+    }
+    writeMsgs("m0.jsonl", 1 to 20, "t0")
+    val store = new graft.plans.BucketedMergeWriter(spark, root, nBuckets = 4)
+    val q = graft.streaming.StreamToStar.serveFromJsonFiles(
+      spark, s"$dir/*.jsonl", store, ckpt, "200 milliseconds")
+    try {
+      def factCount: Long =
+        if (store.exists("fact_sales")) store.read("fact_sales").count() else 0L
+      def waitFor(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 90000
+        while (factCount != n && System.currentTimeMillis() < deadline) Thread.sleep(250)
+        assert(factCount === n)
+      }
+      waitFor(20)
+      // unlike AvailableNow, the query is still live after draining —
+      // run-until-cancelled, the reference's service mode
+      assert(q.isActive, "ProcessingTime query must keep running after drain")
+      writeMsgs("m1.jsonl", 11 to 30, "t1") // fed while the query runs
+      waitFor(30)
+      // last-write-wins picked the newer file for the overlapping ids
+      val names = store.read("dim_customer")
+        .select(col("source_customer_id"), col("customer_name")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(names(15L).endsWith("_t1") && names(5L).endsWith("_t0"))
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running totals across triggers (T5)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[UserEvent]
