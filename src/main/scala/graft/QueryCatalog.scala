@@ -900,6 +900,59 @@ object QueryCatalog {
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
        |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin
 
+  /** Deterministic stratified sampling (operators/Sampling): content-hash
+    * buckets, no RNG, no shuffle — the reproducible-split primitive every
+    * training pipeline needs. Fractions are binary-exact (0.5/0.25/...) so
+    * threshold arithmetic is identical across engines. */
+  def q44Sampling(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "zh" -> 0.0625))
+
+  val q44Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |    % 1000000 <
+      |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+      |            WHEN 'fr' THEN 125000 WHEN 'zh' THEN 62500 ELSE NULL END""".stripMargin
+
+  /** Train/val/test split stability: disjoint + exhaustive hash-range
+    * split, summarized as per-split counts. A row's split never changes
+    * across runs/engines — the test-set-hygiene property. */
+  def q45Split(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.threeWaySplit(
+      t(s, dir, "orders").select(col("o_orderkey")),
+      "o_orderkey", trainFrac = 0.75, valFrac = 0.125)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+
+  val q45Sql: String =
+    """WITH b AS (SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+      |    AS BIGINT) % 1000000 AS bk FROM orders)
+      |SELECT CASE WHEN bk < 750000 THEN 'train'
+      |            WHEN bk < 875000 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** Window frame specs (§2.5, ABSENT in reference): rolling 3-row spend
+    * per customer — partitioned, ordered, framed window; sums in
+    * DECIMAL(18,2) so the frame arithmetic is order-exact cross-engine. */
+  def q46RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      sum(dec2(col("o_totalprice"))).over(w).cast("double").as("rolling_spend"))
+  }
+
+  val q46Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
+      |FROM orders""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -948,7 +1001,10 @@ object QueryCatalog {
     ("q40_cube_counts", q40CubeCounts _, Some(q40Sql)),
     ("q41_top_orders", q41TopOrders _, Some(q41Sql)),
     ("q42_salted_agg", q42SaltedAgg _, Some(q42Sql)),
-    ("q43_sql_dot_product", q43SqlDotProduct _, Some(q43Sql)))
+    ("q43_sql_dot_product", q43SqlDotProduct _, Some(q43Sql)),
+    ("q44_sampling", q44Sampling _, Some(q44Sql)),
+    ("q45_split", q45Split _, Some(q45Sql)),
+    ("q46_rolling_window", q46RollingWindow _, Some(q46Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-deterministic but engine-specific (Spark's
+  * Bernoulli sampler walks a partition-local RNG), so two runs over
+  * different partitionings — or any other engine — select different rows.
+  * Reproducible pipelines sample by CONTENT instead: hash a stable key into
+  * 1e6 buckets and keep a bucket range. Properties that matter at 100 TB:
+  *
+  *   - no shuffle, no RNG state: a pure projection + filter, fully
+  *     pushdown/codegen-friendly, identical on any partitioning;
+  *   - stable under re-runs and engine ports (md5 is everywhere — the
+  *     DuckDB oracle replays the same arithmetic bit-for-bit);
+  *   - disjoint fractions = disjoint row sets (split sets never leak into
+  *     each other — the train/test hygiene property).
+  *
+  * The bucket is the first 12 md5 hex digits (48 bits) mod 1e6: ~uniform,
+  * and safely inside exact int64/double arithmetic in every engine.
+  */
+object Sampling {
+
+  val buckets = 1000000L
+
+  /** Uniform hash bucket in [0, 1e6) for a key column (content-derived,
+    * partition-independent). `salt` decorrelates independent samples over
+    * the same keys. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep ~`fraction` of rows, chosen by key hash — deterministic across
+    * runs, partitionings, and engines. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < (fraction * buckets).toLong)
+
+  /** Per-stratum fractions: e.g. keep 10% of "en" docs, 50% of "de".
+    * Strata absent from the map are dropped (explicit is safer than a
+    * silent default at corpus scale). One scan, no shuffle. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double], salt: String = ""): DataFrame = {
+    val frac = fractions.foldLeft(lit(null).cast("double")) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < (frac * buckets).cast("long"))
+  }
+
+  /** Train/validation/test split by key hash: returns the input with a
+    * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
+    * for a given key forever — the property that keeps a test set clean
+    * across pipeline re-runs and data refreshes. */
+  def threeWaySplit(df: DataFrame, keyCol: String,
+                    trainFrac: Double, valFrac: Double,
+                    salt: String = ""): DataFrame = {
+    val b = hashBucket(col(keyCol), salt)
+    val t = (trainFrac * buckets).toLong
+    val v = ((trainFrac + valFrac) * buckets).toLong
+    df.withColumn("split",
+      when(b < t, lit("train")).when(b < v, lit("val")).otherwise(lit("test")))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic sampling invariants: partition-independence, split
+  * disjointness/exhaustiveness/stability, and fraction accuracy. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 4000L).toDF("id")
+
+  test("deterministicSample is partition-independent and ~accurate") {
+    val a = Sampling.deterministicSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids.repartition(13), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "same rows selected under any partitioning")
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03, s"fraction off: ${a.size}")
+    // nested property: a smaller fraction selects a subset of a larger one
+    val half = Sampling.deterministicSample(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(half), "fractions are nested prefixes of the hash range")
+  }
+
+  test("threeWaySplit is disjoint, exhaustive and stable; salt decorrelates") {
+    val s = Sampling.threeWaySplit(ids, "id", 0.7, 0.15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.size === 4000, "every row gets exactly one split")
+    val bySplit = s.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(bySplit("train") / 4000.0 - 0.7) < 0.03)
+    assert(math.abs(bySplit("val") / 4000.0 - 0.15) < 0.03)
+    // stability: recomputing yields the identical assignment
+    val s2 = Sampling.threeWaySplit(ids.repartition(7), "id", 0.7, 0.15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s2 === s)
+    // a different salt draws an (almost surely) different sample
+    val salted = Sampling.deterministicSample(ids, "id", 0.25, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    val base = Sampling.deterministicSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(salted !== base)
+  }
+
+  test("stratifiedSample applies per-stratum fractions; unlisted strata drop") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", "id", Map("en" -> 0.5, "de" -> 0.125))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byLang.contains("xx"), "strata without a fraction are dropped")
+    assert(math.abs(byLang("en") / 1000.0 - 0.5) < 0.06)
+    assert(math.abs(byLang("de") / 1000.0 - 0.125) < 0.06)
+  }
+}
