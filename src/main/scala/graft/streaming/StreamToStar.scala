@@ -101,16 +101,24 @@ object StreamToStar {
     * `_seq` is attached per micro-batch (window functions are a batch-side
     * operation; inside foreachBatch the frame is a plain DataFrame).
     */
+  /** `filesPerTrigger` sizes the micro-batches: 1 mirrors the reference's
+    * per-file arrival (and is what the restart tests exercise); larger
+    * values amortize the fixed per-batch merge cost over more rows — the
+    * throughput lever, since every merge is one set-oriented pass whatever
+    * the batch size. Correctness is batch-size-independent: `_seq` orders
+    * records explicitly, so last-write-wins never depends on trigger
+    * granularity. */
   def startFromFiles(
       spark: SparkSession, glob: String,
       store: TableStore, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      filesPerTrigger: Int = 1): StreamingQuery = {
     val raw = spark.readStream
       .schema(SalesFeed.rawSchemaWithCorrupt)
       .option("header", "true")
       .option("multiLine", "true")
       .option("columnNameOfCorruptRecord", ErrorChannel.corruptCol)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .csv(glob)
     raw.writeStream
       .outputMode("update")
