@@ -44,13 +44,15 @@ object Cleanse {
   /** Exception-free numeric gate: ANSI `try_cast(string AS double)` parses
     * by throw-and-catch, so a column of definite garbage costs one Java
     * exception per row (measured ~7 s/600 k rows). This prefilter rejects
-    * strings that cannot possibly be numeric — anything containing a
-    * character outside the numeric alphabet (digits/sign/dot/exponent) or
-    * the Infinity/NaN letter set — WITHOUT parsing; `try_cast` still
-    * backstops whatever passes, so the accepted language is a strict
-    * superset of Spark's and the semantics are unchanged. */
+    * strings that cannot possibly be numeric WITHOUT parsing; `try_cast`
+    * still backstops whatever passes, so the accepted language is a strict
+    * superset of Spark's and the semantics are unchanged. Two branches:
+    * digit-bearing strings over the numeric alphabet (the lookahead
+    * requires ≥1 digit — without it, bare letters like "N" or "E" slip
+    * through and throw per row: a flag column cost ~2 s/600 k), and the
+    * signed Infinity/NaN spellings. */
   private val numericish =
-    "^\\s*[0-9eEdDfFxXpP+\\-.]+\\s*$|^\\s*[+-]?[iInNaAfFtTyY]+\\s*$"
+    "^\\s*(?=[^0-9]*[0-9])[0-9eEdDfFxXpP+\\-.]+\\s*$|(?i)^\\s*[+-]?(inf(inity)?|nan)\\s*$"
   private def tryDouble(c: Column): Column =
     when(c.rlike(numericish), c.try_cast(DoubleType))
 
