@@ -953,6 +953,63 @@ object QueryCatalog {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
       |FROM orders""".stripMargin
 
+  /** TF-IDF-style salient terms: tf per (doc, term) and df per term over
+    * the WHOLE corpus (the inverted-index shape — one shuffle on the term),
+    * top-3 per doc ranked by the integer-exact key (tf DESC, df ASC, term)
+    * — rarer-but-frequent terms first, with no floating-point log in the
+    * ranking so the result is bit-deterministic in any engine. */
+  def q47TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term").filter(col("doc_id") < 50)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  val q47Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, term, tf, df, rank FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
+       |  FROM tf JOIN df USING (term) WHERE tf.doc_id < 50)
+       |WHERE rank <= 3""".stripMargin
+
+  /** Corpus profiling per language: counts, totals, mean/stddev/median of
+    * document length. All statistics derive from EXACT integer sums (the
+    * stddev uses the n·Σx²−(Σx)² identity over longs, one IEEE division +
+    * sqrt at the end; the median averages the two middle integers), so
+    * every value is bit-identical cross-engine with no rounding crutch. */
+  def q48CorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("n_chars").cast("long").as("c"))
+    val n = count(lit(1)); val sm = sum(col("c")); val ssq = sum(col("c") * col("c"))
+    d.groupBy(col("lang")).agg(
+      n.as("n_docs"),
+      sm.as("total_chars"),
+      (sm.cast("double") / n).as("mean_chars"),
+      sqrt((n * ssq - sm * sm).cast("double") / (n * n).cast("double")).as("stddev_chars"),
+      expr("percentile(c, 0.5)").as("median_chars"))
+  }
+
+  val q48Sql: String =
+    """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS c FROM documents),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+      |        CAST(sum(c * c) AS BIGINT) AS ssq, median(c) AS med
+      |      FROM d GROUP BY 1)
+      |SELECT lang, n AS n_docs, s AS total_chars,
+      |  CAST(s AS DOUBLE) / n AS mean_chars,
+      |  sqrt(CAST(n * ssq - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS stddev_chars,
+      |  med AS median_chars
+      |FROM a""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1004,7 +1061,9 @@ object QueryCatalog {
     ("q43_sql_dot_product", q43SqlDotProduct _, Some(q43Sql)),
     ("q44_sampling", q44Sampling _, Some(q44Sql)),
     ("q45_split", q45Split _, Some(q45Sql)),
-    ("q46_rolling_window", q46RollingWindow _, Some(q46Sql)))
+    ("q46_rolling_window", q46RollingWindow _, Some(q46Sql)),
+    ("q47_tfidf_terms", q47TfidfTerms _, Some(q47Sql)),
+    ("q48_corpus_stats", q48CorpusStats _, Some(q48Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
