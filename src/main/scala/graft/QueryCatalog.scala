@@ -1010,6 +1010,37 @@ object QueryCatalog {
       |  med AS median_chars
       |FROM a""".stripMargin
 
+  /** Custom typed Aggregator (functions/TopKAggregator): exact top-3
+    * orders by price per priority, with the k-bounded buffer partial-
+    * aggregating map-side — at most k rows per group per partition reach
+    * the shuffle (vs the window formulation's full per-group sort). */
+  def q49TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val rows = t(s, dir, "orders").select(
+        col("o_orderpriority").as("prio"),
+        dec2(col("o_totalprice")).cast("double").as("score"),
+        col("o_orderkey").as("id"))
+      .as[(String, Double, Long)]
+    rows.groupByKey(_._1)
+      .mapValues(r => ScoredId(r._2, r._3))
+      .agg(new TopKAggregator(3).toColumn.name("top"))
+      .flatMap { case (prio, top) =>
+        top.zipWithIndex.map { case (t, i) => (prio, t.id, t.score, (i + 1).toLong) }
+      }
+      .toDF("prio", "id", "score", "rank")
+  }
+
+  val q49Sql: String =
+    """SELECT prio, id, score, rank FROM (
+      |  SELECT o_orderpriority AS prio, o_orderkey AS id,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS score,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC)
+      |      AS BIGINT) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1063,7 +1094,8 @@ object QueryCatalog {
     ("q45_split", q45Split _, Some(q45Sql)),
     ("q46_rolling_window", q46RollingWindow _, Some(q46Sql)),
     ("q47_tfidf_terms", q47TfidfTerms _, Some(q47Sql)),
-    ("q48_corpus_stats", q48CorpusStats _, Some(q48Sql)))
+    ("q48_corpus_stats", q48CorpusStats _, Some(q48Sql)),
+    ("q49_topk_agg", q49TopkAgg _, Some(q49Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -43,29 +43,20 @@ object Dedup {
 
   /** Exploded (doc_id, shingle) pairs, distinct per doc.
     *
-    * Formulated as posexplode + window `lead` rather than exploding
-    * [[TextAnalysis.shingles]]: higher-order lambdas are interpreted and
-    * re-evaluate the split/regex subtree per element (O(words²) work per
-    * doc — measured 24 s at sf0.1 vs ~2 s for this shape). Here the text
-    * is split ONCE per row, and shingle assembly is a codegen'd window
-    * over (doc_id, pos). The window partitions by doc_id: bounded-size
-    * partitions, safe at any corpus scale.
+    * Three formulations were measured (sf0.1): higher-order lambdas
+    * re-evaluate the split/regex subtree per element (O(words²) per doc,
+    * 24 s); posexplode + window-`lead` splits once but pays a shuffle +
+    * sort on doc_id to reassemble adjacent words (~2 s); the native
+    * [[graft.functions.NGramsGenerator]] fuses normalize+split+assemble
+    * into ONE Generate node — map-only, no shuffle, no sort. Only the
+    * `distinct()` shuffles (that dedup is inherent). Output is
+    * byte-identical across all three (UTF8String-exact normalization).
     */
   def shinglePairs(docs: DataFrame, n: Int,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
-        .as(Seq("pos", "w")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = col("w") +: (1 until n).map(j => lead(col("w"), j).over(w))
-    words
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
-        (if (n > 1) lead(col("w"), n - 1).over(w).isNotNull else lit(true)).as("_full"))
-      .filter(col("_full"))
-      .select(col("doc_id"), col("shingle"))
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.NGramsGenerator.ngrams(col(textCol), n))
       .distinct()
-  }
 
   /** Brute-force n-gram Jaccard similarity for all candidate pairs sharing
     * ≥1 shingle. Correct but quadratic in the worst case — the baseline the
