@@ -71,6 +71,20 @@ object EventAggregates {
       }
   }
 
+  /** Streaming-native dedup: keep the FIRST record per key, with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` evicts a
+    * key's dedup state once the watermark passes its event time + delay).
+    * Complementary to the star pipeline's last-write-wins MERGE: that
+    * collapses to the LATEST record with state in the external table; this
+    * suppresses replays/duplicates in-flight with state in the state
+    * store — use it upstream of a non-idempotent sink. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Output-mode helper: windowed aggregations under watermark emit
     * finalized windows in Append mode. */
   val appendMode: OutputMode = OutputMode.Append()

@@ -84,6 +84,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark suppresses replayed events in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "value")
+    val q = graft.streaming.EventAggregates
+      .dedupWithinWatermark(events, Seq("event_id"), watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, ts(1), 5.0), (2L, ts(2), 7.0), (1L, ts(1), 5.0)) // in-batch dup
+      q.processAllAvailable()
+      in.addData((1L, ts(1), 5.0), (3L, ts(3), 9.0)) // cross-batch replay of id 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        s"each event id must survive exactly once, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running totals across triggers (T5)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[UserEvent]
