@@ -1041,6 +1041,26 @@ object QueryCatalog {
       |  FROM orders)
       |WHERE rank <= 3""".stripMargin
 
+  /** Pivot (§2.4 widening): daily event counts spread into one column per
+    * event type. With the pivot values enumerated, Catalyst rewrites this
+    * to per-type conditional counts inside ONE aggregate — a single
+    * shuffle, no per-type passes; the DuckDB mirror is the same CASE
+    * formulation. */
+  def q50Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+
+  val q50Sql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1095,7 +1115,8 @@ object QueryCatalog {
     ("q46_rolling_window", q46RollingWindow _, Some(q46Sql)),
     ("q47_tfidf_terms", q47TfidfTerms _, Some(q47Sql)),
     ("q48_corpus_stats", q48CorpusStats _, Some(q48Sql)),
-    ("q49_topk_agg", q49TopkAgg _, Some(q49Sql)))
+    ("q49_topk_agg", q49TopkAgg _, Some(q49Sql)),
+    ("q50_pivot", q50Pivot _, Some(q50Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
