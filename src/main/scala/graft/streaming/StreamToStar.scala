@@ -57,15 +57,30 @@ object StreamToStar {
     }
     val cached = valid0.cache()
     try {
-      val dims = dimSpecs.map { case (name, rows, natKey, sk) =>
-        val collapsed = StarSchema.lastWriteWins(rows(cached), natKey, "_seq")
-        name -> store.mergeDim(name, collapsed, natKey, sk)
-      }.toMap
-
+      // The 6 dimension merges are independent (distinct tables, shared
+      // read-only input) — submit them CONCURRENTLY so the micro-batch
+      // pays max(dim merge) instead of Σ(dim merge). Spark's scheduler
+      // interleaves the jobs across the executor pool; each merge is
+      // dominated by fixed job-submission latency at small batches, which
+      // is exactly what overlapping hides. (Futures block only in
+      // foreachBatch's driver thread; the 30s bound is generous — these
+      // are per-batch metadata-scale jobs.)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dimFutures = dimSpecs.map { case (name, rows, natKey, sk) =>
+        name -> Future {
+          val collapsed = StarSchema.lastWriteWins(rows(cached), natKey, "_seq")
+          store.mergeDim(name, collapsed, natKey, sk)
+        }
+      }
       // dim_date is keyed by the value itself; attributes are derived, so
       // last-write-wins degenerates to distinct
-      val dateBatch = StarSchema.dateRows(cached)
-      val dimDate = store.mergeDim("dim_date", dateBatch, Seq("sale_date"), "date_sk")
+      val dateFuture = Future {
+        store.mergeDim("dim_date", StarSchema.dateRows(cached), Seq("sale_date"), "date_sk")
+      }
+      val dims = dimFutures.map { case (n, f) => n -> Await.result(f, 10.minutes) }.toMap
+      val dimDate = Await.result(dateFuture, 10.minutes)
 
       val fact = StarSchema.lastWriteWins(
         StarSchema.factRows(cached), Seq("source_sale_id"), "_seq")
