@@ -33,6 +33,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native SQL functions (dot_product, ...) available from spark.sql
+    // text out of the box; same registration path as
+    // spark.sql.extensions=graft.functions.GraftExtensions
+    graft.functions.GraftExtensions.register(spark)
     spark
   }
 }
