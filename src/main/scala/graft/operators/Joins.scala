@@ -53,7 +53,7 @@ object Joins {
       .withColumn("_side", lit(0))
       .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightPayload.map(col): _*).as("_rpay"): _*)
+        struct(rightPayload.toIndexedSeq.map(col): _*).as("_rpay"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -177,7 +177,7 @@ object Similarity {
         .withColumn("d", score(col(vcol), col("cvec")))
       val w = Window.partitionBy(col(idc)).orderBy(col("d").desc, col("cell").asc)
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
-        .select(df.columns.map(col) :+ col("cell").as(out): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("cell").as(out): _*)
     }
     val cAssigned = nearestCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),

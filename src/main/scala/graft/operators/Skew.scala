@@ -37,7 +37,7 @@ object Skew {
     * all that's required — it exists solely to spread phase 1, and the
     * phase-2 re-aggregate makes the OUTPUT identical for any salt. */
   private def salt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id(): _*),
       lit(saltBuckets)).cast("int")
 
   /** Two-phase salted aggregation: `aggs` maps output column name →

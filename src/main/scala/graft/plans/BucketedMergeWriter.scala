@@ -179,7 +179,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   }
 
   override def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
-    val cols = batch.columns :+ "_bucket"
+    val cols = batch.columns.toIndexedSeq :+ "_bucket"
     if (!exists(name) && batch.isEmpty) return batch
     if (!exists(name)) {
       val out = batch.withColumn("_bucket", bucketCol(natKey))

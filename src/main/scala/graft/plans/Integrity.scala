@@ -14,7 +14,7 @@ object Integrity {
 
   /** A2/A3 — fact uniqueness: COUNT(*) vs COUNT(DISTINCT natural key). */
   def uniqueness(fact: DataFrame, key: String): (Long, Long) = {
-    val r = fact.agg(count(lit(1)).as("n"), countDistinct(col(key)).as("d")).head
+    val r = fact.agg(count(lit(1)).as("n"), countDistinct(col(key)).as("d")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -25,7 +25,7 @@ object Integrity {
     */
   def audit(fact: DataFrame,
             dims: Seq[(String, DataFrame, String /*fk in fact*/, String /*sk in dim*/)]): Map[String, Long] = {
-    val row = auditDf(fact, dims).head
+    val row = auditDf(fact, dims).head()
     dims.zipWithIndex.map { case ((name, _, _, _), i) => name -> row.getLong(i) }.toMap
   }
 

@@ -77,7 +77,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
         val known = joined.filter(col(skCol).isNotNull)
         val fresh = joined.filter(col(skCol).isNull).drop(skCol)
         // max(sk) is NULL on an empty current table — guard the scalar
-        val maxSk = Option(cur.agg(max(col(skCol))).head.get(0))
+        val maxSk = Option(cur.agg(max(col(skCol))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         val freshKeyed = assignKeys(fresh, skCol, maxSk)
         // untouched = current rows whose key is not in the batch

@@ -24,7 +24,7 @@ object StarSchema {
     */
   def lastWriteWins(df: DataFrame, natKey: Seq[String], seqCol: String): DataFrame = {
     val attrs = df.columns.filterNot(c => natKey.contains(c) || c == seqCol)
-    val packed = struct((attrs :+ seqCol).map(col): _*)
+    val packed = struct((attrs.toIndexedSeq :+ seqCol).map(col): _*)
     df.groupBy(natKey.map(col): _*)
       .agg(max_by(packed, col(seqCol)).as("_last"))
       .select(natKey.map(col) ++ attrs.map(a => col(s"_last.$a").as(a)): _*)

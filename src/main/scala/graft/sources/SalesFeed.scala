@@ -103,7 +103,7 @@ object SalesFeed {
 
   /** S2 — serialize rows to Kafka-shaped JSON messages (one per row). */
   def toKafkaMessages(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** S2 — producer write: one JSON message per row to a Kafka topic
     * (reference: producer/csv_to_kafka.py:17-33). Requires the

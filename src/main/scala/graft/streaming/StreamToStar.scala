@@ -47,7 +47,7 @@ object StreamToStar {
       // checkpoint restart upserts the same rows instead of duplicating
       // them — the same effectively-once contract as the star tables.
       val record = to_json(struct(
-        feed.columns.filterNot(_ == "_seq").map(col): _*))
+        feed.columns.filterNot(_ == "_seq").toIndexedSeq.map(col): _*))
       store.mergeFact("dead_letter",
         errors.select(
           md5(concat_ws("|", to_json(col("_seq")), col("_error"), record))
