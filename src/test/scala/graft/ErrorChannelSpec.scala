@@ -30,6 +30,21 @@ class ErrorChannelSpec extends SparkSpec {
     assert(e.toSeq === Seq("error: MalformedRecord: raw,junk,line"))
   }
 
+  test("decimal-overflow values error per record (reference: Postgres numeric field overflow)") {
+    val feed = Seq(
+      ("1", "9.99"),       // fits NUMERIC(12,2)
+      ("2", "1e300"),      // parses as double, overflows the decimal -> error
+      ("3", "garbage"),    // does not parse at all -> NULL attribute, NOT an error
+      ("4", "")            // missing -> NOT an error
+    ).toDF("id", "product_price")
+    val (valid, errors) = ErrorChannel.split(feed, Seq("id"))
+    assert(valid.select(col("id")).collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("1", "3", "4"))
+    val e = errors.collect().map(_.getAs[String]("_error"))
+    assert(e.toSeq === Seq(
+      "error: NumericOverflow: 'product_price' out of NUMERIC(12,2) range: 1e300"))
+  }
+
   test("status emits reference-style ok/error lines") {
     val feed = Seq("1", "zz").toDF("id")
     val st = ErrorChannel.status(feed, Seq("id")).collect().map(_.getString(0)).sorted

@@ -53,6 +53,42 @@ class PlanSpec extends SparkSpec {
     assert(!hasFallback, "DotProduct must implement doGenCode, not CodegenFallback")
   }
 
+  test("deterministic sampling is map-only: no exchange, filter reaches the scan") {
+    val p = plan(QueryCatalog.q44Sampling)
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    val p2 = plan(QueryCatalog.q45Split)
+    // the split itself adds no shuffle; only the count aggregation does
+    assert(p2.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"split+count must be one aggregation exchange:\n$p2")
+  }
+
+  test("shinglePairs is a single Generate + one distinct exchange — no window, no sort shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Dedup.shinglePairs(docs, 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"expected the NGrams Generate node:\n$p")
+    assert(!p.contains("Window"), s"no window reassembly allowed:\n$p")
+    // exactly the distinct's exchange — the tokenize stage itself is map-only
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"only the distinct may shuffle:\n$p")
+  }
+
+  test("salted aggregation is two-phase: salt spread then re-aggregate by key") {
+    val p = plan(QueryCatalog.q42SaltedAgg)
+    // two aggregation levels -> two partial_ markers (phase1 and phase2)
+    assert(p.contains("partial_"), s"phase-1 must partial-aggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected two full aggregate pairs (salted + re-agg):\n$p")
+  }
+
+  test("TopKAggregator partial-aggregates map-side (k rows per group per partition shuffle)") {
+    val p = plan(QueryCatalog.q49TopkAgg)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregator plans via object aggregation:\n$p")
+    assert(p.contains("partial_"), s"the k-bounded buffer must combine map-side:\n$p")
+    assert(!p.contains("Window"), "top-k agg must not fall back to a window sort")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
