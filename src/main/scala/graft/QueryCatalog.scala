@@ -1061,6 +1061,30 @@ object QueryCatalog {
       |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Explicit LEFT SEMI join (§2.3 widening; q07 is the anti twin):
+    * customers with at least one order — the probe side streams through a
+    * broadcast/hash semi join, never duplicating matches. */
+  def q51SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  val q51Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** INTERSECT set op (§2.5 widening; q07 covers EXCEPT semantics):
+    * nation keys present among BOTH customers and suppliers. */
+  def q52Intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersect(
+        t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")))
+
+  val q52Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |INTERSECT
+      |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1116,7 +1140,9 @@ object QueryCatalog {
     ("q47_tfidf_terms", q47TfidfTerms _, Some(q47Sql)),
     ("q48_corpus_stats", q48CorpusStats _, Some(q48Sql)),
     ("q49_topk_agg", q49TopkAgg _, Some(q49Sql)),
-    ("q50_pivot", q50Pivot _, Some(q50Sql)))
+    ("q50_pivot", q50Pivot _, Some(q50Sql)),
+    ("q51_semi_join", q51SemiJoin _, Some(q51Sql)),
+    ("q52_intersect", q52Intersect _, Some(q52Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -9,6 +9,23 @@ import graft.plans.Bucketing
   * once at write time, never per query. */
 class BucketingSpec extends SparkSpec {
 
+  test("date-partitioned writes prune untouched partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("day"),
+      s"the day predicate must prune partitions, not filter rows:\n$plan")
+    // the pruned scan reads only that day's files
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(q.count() > 0)
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"),
+      "day must be a partition column, not a data column")
+    assert(scanned.nonEmpty)
+  }
+
   test("same-key bucketed tables join with zero exchanges") {
     val sf = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
