@@ -1085,6 +1085,35 @@ object QueryCatalog {
       |INTERSECT
       |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin
 
+  /** GROUPING SETS (§2.4 widening beyond rollup/cube): per-(priority),
+    * per-(status), and grand-total counts in ONE aggregation pass — the
+    * general form q08/q40 specialize. Expressed through spark.sql (the
+    * Dataset API exposes only rollup/cube). */
+  def q53GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q53_orders")
+    s.sql("""
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM graft_q53_orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+  }
+
+  val q53Sql: String =
+    """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  /** Explicit EXCEPT set op (§2.5; the dataflow twin of q07's anti join):
+    * nation keys that have customers but no suppliers. */
+  def q54Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+      .except(
+        t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")))
+
+  val q54Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |EXCEPT
+      |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1142,7 +1171,9 @@ object QueryCatalog {
     ("q49_topk_agg", q49TopkAgg _, Some(q49Sql)),
     ("q50_pivot", q50Pivot _, Some(q50Sql)),
     ("q51_semi_join", q51SemiJoin _, Some(q51Sql)),
-    ("q52_intersect", q52Intersect _, Some(q52Sql)))
+    ("q52_intersect", q52Intersect _, Some(q52Sql)),
+    ("q53_grouping_sets", q53GroupingSets _, Some(q53Sql)),
+    ("q54_except", q54Except _, Some(q54Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -63,8 +63,8 @@ object StreamToStar {
       // interleaves the jobs across the executor pool; each merge is
       // dominated by fixed job-submission latency at small batches, which
       // is exactly what overlapping hides. (Futures block only in
-      // foreachBatch's driver thread; the 30s bound is generous — these
-      // are per-batch metadata-scale jobs.)
+      // foreachBatch's driver thread; the generous Await bound exists so
+      // a wedged store surfaces as an error instead of a silent hang.)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.DurationInt
       import scala.concurrent.ExecutionContext.Implicits.global
