@@ -1114,6 +1114,22 @@ object QueryCatalog {
       |EXCEPT
       |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin
 
+  /** The composed corpus-dedup pipeline (exact + MinHash-LSH greedy drop):
+    * the surviving doc_id set a training pipeline would keep. Oracle nests
+    * the q24 LSH query as a CTE and mirrors the fingerprint collapse. */
+  def q55DedupPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupCorpus(t(s, dir, "documents"),
+      n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100)
+
+  val q55Sql: String =
+    s"""WITH pairs AS ($q24Sql),
+       |f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |keepers AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY 1),
+       |drops AS (SELECT doc_id FROM f JOIN keepers USING (fp) WHERE doc_id <> k
+       |          UNION SELECT doc_b AS doc_id FROM pairs)
+       |SELECT doc_id FROM documents
+       |EXCEPT SELECT doc_id FROM drops""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1173,7 +1189,8 @@ object QueryCatalog {
     ("q51_semi_join", q51SemiJoin _, Some(q51Sql)),
     ("q52_intersect", q52Intersect _, Some(q52Sql)),
     ("q53_grouping_sets", q53GroupingSets _, Some(q53Sql)),
-    ("q54_except", q54Except _, Some(q54Sql)))
+    ("q54_except", q54Except _, Some(q54Sql)),
+    ("q55_dedup_pipeline", q55DedupPipeline _, Some(q55Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

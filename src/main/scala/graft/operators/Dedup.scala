@@ -241,6 +241,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** The full corpus-dedup pipeline as one operator: drop exact duplicates
+    * (keep the smallest id per content fingerprint), then drop the
+    * higher-id side of every MinHash-LSH near-dup pair (greedy: transitive
+    * chains collapse toward their smallest id), and return the surviving
+    * document ids. This is the composition a training-data pipeline
+    * actually runs; every stage is the scale path (one fingerprint
+    * aggregate + the banded LSH — never all-pairs), and the final
+    * anti-join is one shuffle on doc_id.
+    */
+  def dedupCorpus(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                  maxBucket: Int = 1000,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exactDrops = fp
+      .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("_keep")), "fp")
+      .filter(col("doc_id") =!= col("_keep"))
+      .select(col("doc_id"))
+    val nearDrops = minhashLsh(docs, n, k, bands, threshold, maxBucket)
+      .select(col("doc_b").as("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine ≥ threshold.
     * Brute force here (the verified-correct baseline); the LSH-bucketed
     * scale path lives in Similarity.annLsh.

@@ -41,6 +41,15 @@ class OperatorsSpec extends SparkSpec {
     assert(!lsh.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedupCorpus keeps the smallest id per duplicate cluster, drops the rest") {
+    val kept = Dedup.dedupCorpus(docs, n = 2, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "cluster representative (smallest id) survives")
+    assert(kept.contains(4L), "unrelated doc survives")
+    assert(!kept.contains(2L), "exact duplicate drops")
+    assert(!kept.contains(3L), "near duplicate drops (jaccard > threshold)")
+  }
+
   test("simhash: 64 bits, identical for identical docs, differs for unrelated") {
     val m = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
