@@ -55,6 +55,45 @@ class CoercionPropertySpec extends SparkSpec {
     assert(parsed === ds.flatMap(d => Seq.fill(3)(d.toString)))
   }
 
+  test("adversarial feeds never crash the star builders; invariants hold") {
+    import graft.plans.StarSchema
+    import graft.streaming.ErrorChannel
+    // every field independently drawn from an adversarial value pool:
+    // numbers, overflow, NaN/Inf spellings, empties, unicode, multiline
+    val nasty = Gen.oneOf(
+      "1", "42", "4.0", "-7.5", "1e300", "-1e300", "9223372036854775808",
+      "NaN", "nan", "Infinity", "-inf", "", " ", "abc", "id_9", "0x1F",
+      "3/14/2021", "2021-03-14", "14.3.2021", "31/31/2021",
+      "täst ünïcode 文字", "line1\nline2", "  padded  ", "1,2", "null", "None")
+    val row = Gen.listOfN(graft.sources.SalesFeed.fieldNames.length, nasty)
+    val rows = samples(row, 300)
+    val feed = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq(_)), 4),
+      graft.sources.SalesFeed.rawSchema)
+      .withColumn("_seq", struct(lit(0L).as("f"), monotonically_increasing_id().as("m")))
+
+    val (valid, errors) = ErrorChannel.split(feed, Seq("id"))
+    // no exception anywhere in the cleanse/collapse path, whatever the data
+    val cust = StarSchema.lastWriteWins(
+      StarSchema.customerRows(valid), Seq("source_customer_id"), "_seq")
+    val prod = StarSchema.lastWriteWins(
+      StarSchema.productRows(valid), Seq("source_product_id"), "_seq")
+    val fact = StarSchema.lastWriteWins(
+      StarSchema.factRows(valid), Seq("source_sale_id"), "_seq")
+    val dates = StarSchema.dateRows(valid)
+
+    // key invariants: no NULL natural keys survive the guards; LWW yields
+    // unique keys; every parsed date is a real date
+    assert(cust.filter(col("source_customer_id").isNull).count() === 0)
+    assert(cust.count() === cust.select(col("source_customer_id")).distinct().count())
+    assert(fact.count() === fact.select(col("source_sale_id")).distinct().count())
+    assert(prod.count() === prod.select(col("source_product_id")).distinct().count())
+    assert(dates.filter(col("sale_date").isNull).count() === 0)
+    // error rows carry reference-style messages; split is a partition
+    assert(errors.filter(!col("_error").startsWith("error: ")).count() === 0)
+    assert(valid.count() + errors.count() === feed.count())
+  }
+
   test("trimToNull fixpoint: output is either NULL or trimmed non-empty") {
     val xs = samples(Gen.asciiPrintableStr, 500)
     val out = xs.toDF("v").select(Cleanse.trimToNull(col("v"))).collect().toSeq
