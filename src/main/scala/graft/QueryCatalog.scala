@@ -1130,6 +1130,36 @@ object QueryCatalog {
        |SELECT doc_id FROM documents
        |EXCEPT SELECT doc_id FROM drops""".stripMargin
 
+  /** Resize planning over the decoded assets: fit each (width, height)
+    * into a 224×224 box, aspect preserved, never upscaled — the metadata
+    * half of a batch resize, computed (and oracle-checked) without any
+    * codec. Extends q30's md5-arithmetic oracle with one IEEE division +
+    * floor per side. */
+  def q56ResizePlan(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "text")
+    Multimodal.resizePlan(
+        Multimodal.decodeAll(assets, Multimodal.StubDecoder).toDF(), 224)
+      .select(col("asset_id"), col("width").cast("long"), col("height").cast("long"),
+        col("out_width"), col("out_height"))
+  }
+
+  val q56Sql: String = {
+    def hx(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+       |b AS (SELECT doc_id,
+       |  ${hx(1)} * 16 + ${hx(2)} AS b0, ${hx(4)} AS n1,
+       |  ${hx(5)} * 16 + ${hx(6)} AS b2, ${hx(8)} AS n3
+       |FROM h),
+       |d AS (SELECT doc_id,
+       |  CAST(b0 * 16 + n1 + 16 AS BIGINT) AS width,
+       |  CAST(b2 * 16 + n3 + 16 AS BIGINT) AS height
+       |FROM b)
+       |SELECT doc_id AS asset_id, width, height,
+       |  CAST(floor(width * least(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_width,
+       |  CAST(floor(height * least(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_height
+       |FROM d""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1190,7 +1220,8 @@ object QueryCatalog {
     ("q52_intersect", q52Intersect _, Some(q52Sql)),
     ("q53_grouping_sets", q53GroupingSets _, Some(q53Sql)),
     ("q54_except", q54Except _, Some(q54Sql)),
-    ("q55_dedup_pipeline", q55DedupPipeline _, Some(q55Sql)))
+    ("q55_dedup_pipeline", q55DedupPipeline _, Some(q55Sql)),
+    ("q56_resize_plan", q56ResizePlan _, Some(q56Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -87,4 +87,18 @@ object Multimodal {
     decoded.withColumn("sampled_frames",
       when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")))
+
+  /** Resize planning: target dimensions fitting (width, height) inside a
+    * `box`×`box` square, aspect preserved, never upscaled — the metadata
+    * half of a resize (the pixel half belongs to the Decoder impl). Pure
+    * column math: one double division + floor per side, deterministic in
+    * any engine, so the whole plan (which assets, to what size) is
+    * computable — and oracle-checkable — WITHOUT touching a codec. */
+  def resizePlan(decoded: DataFrame, box: Int): DataFrame = {
+    val scale = least(
+      lit(box.toDouble) / col("width"), lit(box.toDouble) / col("height"), lit(1.0))
+    decoded
+      .withColumn("out_width", floor(col("width") * scale).cast("long"))
+      .withColumn("out_height", floor(col("height") * scale).cast("long"))
+  }
 }
