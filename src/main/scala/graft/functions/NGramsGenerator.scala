@@ -46,9 +46,12 @@ case class NGramsGenerator(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input).asInstanceOf[UTF8String]
     if (raw == null) return Nil
-    // note: a whitespace-only input yields [""] and so ONE empty 1-gram —
-    // the same boundary behavior as split(regexp_replace(trim(...)))
-    val words = raw.trim().toLowerCase.toString.split("\\s+")
+    // limit -1 keeps trailing empty tokens: SQL trim strips only 0x20, so
+    // text ending in '\t'/'\n' becomes a trailing "" token in the composed
+    // split(regexp_replace(...)) pipeline and in DuckDB's string_split —
+    // Java's default split would drop it and diverge from the oracle.
+    // (A whitespace-only input likewise yields [""] → one empty 1-gram.)
+    val words = raw.trim().toLowerCase.toString.split("\\s+", -1)
     if (words.length < n) return Nil
     (0 to words.length - n).iterator.map { i =>
       InternalRow(UTF8String.fromString(words.slice(i, i + n).mkString(" ")))

@@ -108,10 +108,12 @@ object Dedup {
     * other bands, the standard LSH hot-bucket mitigation.
     */
   def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
-    val s = materialize(shinglePairs(docs, n)) // referenced 4×: signatures, sizes, verify ×2
+    // referenced 4×: signatures, sizes, verify ×2
+    val s = materialize(shinglePairs(docs, n, idCol, textCol))
     // Wide-aggregate signatures in ONE shuffle, with double-hashing: the
     // k salted hashes are derived as (h1 + i·h2) mod p from TWO md5s per
     // shingle instead of k (the standard minhash double-hash family —
@@ -259,7 +261,7 @@ object Dedup {
       .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("_keep")), "fp")
       .filter(col("doc_id") =!= col("_keep"))
       .select(col("doc_id"))
-    val nearDrops = minhashLsh(docs, n, k, bands, threshold, maxBucket)
+    val nearDrops = minhashLsh(docs, n, k, bands, threshold, maxBucket, idCol, textCol)
       .select(col("doc_b").as("doc_id"))
     docs.select(col(idCol).as("doc_id"))
       .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")

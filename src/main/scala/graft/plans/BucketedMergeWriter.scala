@@ -78,10 +78,14 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   private def nextVersion(name: String): Long = {
     val d = Paths.get(dir(name))
     if (!Files.exists(d)) 0L
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .foldLeft(-1L)(math.max) + 1
+    else {
+      val ls = Files.list(d) // closed explicitly: one leaked fd per commit adds up
+      try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+        .foldLeft(-1L)(math.max) + 1
+      finally ls.close()
+    }
   }
 
   private def bucketCol(natKey: Seq[String]): Column =
@@ -136,12 +140,17 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * DataFrames over old versions — the usual retention caveat. */
   def vacuum(name: String): Unit = {
     val live = readManifest(name)._2.map(_._2).toSet
-    Files.list(Paths.get(dir(name))).iterator().asScala
+    val ls = Files.list(Paths.get(dir(name)))
+    val dead = try ls.iterator().asScala
       .filter(p => p.getFileName.toString.matches("v\\d+"))
       .filterNot(p => live.contains(p.getFileName.toString.drop(1).toLong))
-      .foreach { p =>
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+      .toList
+    finally ls.close()
+    dead.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
   }
 
   override def mergeDim(name: String, batch: DataFrame, natKey: Seq[String],

@@ -41,17 +41,21 @@ object StreamToStar {
     val (valid0, errors) = ErrorChannel.split(feed, Seq("id"))
     if (!errors.isEmpty) {
       ErrorChannel.printStatus(feed, Seq("id"))
-      // Dead-letter writes MERGE on a deterministic per-occurrence key
-      // (md5 of the serialized record + its replay-stable arrival
-      // coordinate `_seq`), not append: a micro-batch replayed after a
-      // checkpoint restart upserts the same rows instead of duplicating
-      // them — the same effectively-once contract as the star tables.
+      // Dead-letter writes MERGE on a deterministic content key (md5 of
+      // the serialized record + its error), not append: a micro-batch
+      // replayed after a checkpoint restart upserts the same rows instead
+      // of duplicating them — the same effectively-once contract as the
+      // star tables. The key is pure CONTENT: physical coordinates like
+      // monotonically_increasing_id depend on partition layout and would
+      // change across a restart with different parallelism, silently
+      // re-duplicating the dead letters. Byte-identical bad records
+      // therefore collapse to one row — the right shape for triage (the
+      // console status still reports per-occurrence counts).
       val record = to_json(struct(
         feed.columns.filterNot(_ == "_seq").toIndexedSeq.map(col): _*))
       store.mergeFact("dead_letter",
         errors.select(
-          md5(concat_ws("|", to_json(col("_seq")), col("_error"), record))
-            .as("_dl_key"),
+          md5(concat_ws("|", col("_error"), record)).as("_dl_key"),
           col("_error"), record.as("record")),
         Seq("_dl_key"))
     }
@@ -79,8 +83,14 @@ object StreamToStar {
       val dateFuture = Future {
         store.mergeDim("dim_date", StarSchema.dateRows(cached), Seq("sale_date"), "date_sk")
       }
-      val dims = dimFutures.map { case (n, f) => n -> Await.result(f, 10.minutes) }.toMap
-      val dimDate = Await.result(dateFuture, 10.minutes)
+      // settle EVERY future before surfacing a failure: rethrowing while a
+      // sibling merge is still writing would leave an orphan writer racing
+      // this table's merge when the failed batch is retried
+      val settled = (dimFutures.map(_._2) :+ dateFuture)
+        .map(f => scala.util.Try(Await.result(f, 10.minutes)))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      val dims = dimFutures.map(_._1).zip(settled.init.map(_.get)).toMap
+      val dimDate = settled.last.get
 
       val fact = StarSchema.lastWriteWins(
         StarSchema.factRows(cached), Seq("source_sale_id"), "_seq")

@@ -44,13 +44,15 @@ print(f"embeddings: {nemb[0]} rows, cols={emb_cols}")
 estride = nemb[1] + 1
 eother = ", ".join(c for c in emb_cols if c not in ("vec_id", "embedding"))
 eother = (", " + eother) if eother else ""
-# deterministic per-replica per-dim jitter (~1e-3) so replicas land in
-# different LSH buckets the way real near-boilerplate data would
+# deterministic per-replica per-dim jitter in [-0.01, 0.01] — small against
+# component scale (~0.125 rms for unit-ish 64-dim vectors), so replicas stay
+# genuine NEAR-duplicates of their source (high cosine) while still crossing
+# some hyperplane boundaries, the way real near-boilerplate data would
 con.execute(f"""
   COPY (
     SELECT vec_id + r * {estride} AS vec_id,
            CAST(list_transform(embedding,
-             x -> x + (CAST(hash(CAST(x * 1000 AS BIGINT) + r) % 2001 AS BIGINT) - 1000) * 0.0005)
+             x -> x + (CAST(hash(CAST(x * 1000 AS BIGINT) + r) % 2001 AS BIGINT) - 1000) * 0.00001)
              AS FLOAT[]) AS embedding{eother}
     FROM '{src}/embeddings.parquet' CROSS JOIN range({factor}) t(r)
     ORDER BY vec_id
