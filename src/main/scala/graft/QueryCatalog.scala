@@ -1160,6 +1160,27 @@ object QueryCatalog {
        |FROM d""".stripMargin
   }
 
+  /** lag/lead analytics (§2.5): day-over-day event-count delta — an
+    * ordered window per (single) series; at scale the partition key would
+    * be the series id, keeping every window bounded. */
+  def q57DayOverDay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    // 30 distinct days: a single-partition window over a tiny aggregate is
+    // the correct plan (the heavy lifting happened in the partial agg)
+    val w = Window.orderBy(col("day"))
+    daily.withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+  }
+
+  val q57Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta FROM daily""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1221,7 +1242,8 @@ object QueryCatalog {
     ("q53_grouping_sets", q53GroupingSets _, Some(q53Sql)),
     ("q54_except", q54Except _, Some(q54Sql)),
     ("q55_dedup_pipeline", q55DedupPipeline _, Some(q55Sql)),
-    ("q56_resize_plan", q56ResizePlan _, Some(q56Sql)))
+    ("q56_resize_plan", q56ResizePlan _, Some(q56Sql)),
+    ("q57_day_over_day", q57DayOverDay _, Some(q57Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
