@@ -1181,6 +1181,56 @@ object QueryCatalog {
       |  FROM events GROUP BY 1)
       |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta FROM daily""".stripMargin
 
+  /** HLL sketch cardinality (§2.7 sketch aggregates): approximate distinct
+    * parts per return flag next to the exact count — the profiling query a
+    * 100 TB pass runs with sketches instead of value shuffles. The oracle
+    * CTE replays the identical md5-register HLL (see
+    * [[graft.functions.HllSketchAgg]] for the determinism contract);
+    * round(…, 2) absorbs the one libm (`ln`) difference allowed. */
+  def q58HllDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(graft.functions.Sketches.hllApproxCountDistinct(col("l_partkey")), 2)
+          .as("approx_nd"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+
+  val q58Sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, h1 // 8388608 AS idx,
+      |    (h1 % 8388608) * 4294967296 + h2 AS w
+      |  FROM h),
+      |regs AS (
+      |  SELECT l_returnflag, idx,
+      |    MAX(CASE WHEN w = 0 THEN 56 ELSE 56 - length(format('{:b}', w)) END) AS rho
+      |  FROM r GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT l_returnflag,
+      |    SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS s_present,
+      |    COUNT(*) AS present
+      |  FROM regs GROUP BY 1),
+      |fin AS (
+      |  SELECT l_returnflag,
+      |    s_present + (512 - present) * CAST(18446744073709551616 AS HUGEINT) AS s,
+      |    512 - present AS zeros
+      |  FROM sums),
+      |exact AS (
+      |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd
+      |  FROM lineitem GROUP BY 1)
+      |SELECT f.l_returnflag,
+      |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 18446744073709551616.0
+      |                   / CAST(f.s AS DOUBLE) <= 1280.0 AND f.zeros > 0
+      |    THEN 512 * ln(512.0 / f.zeros)
+      |    ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 18446744073709551616.0
+      |         / CAST(f.s AS DOUBLE) END, 2) AS approx_nd,
+      |  e.exact_nd
+      |FROM fin f JOIN exact e USING (l_returnflag)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1243,7 +1293,8 @@ object QueryCatalog {
     ("q54_except", q54Except _, Some(q54Sql)),
     ("q55_dedup_pipeline", q55DedupPipeline _, Some(q55Sql)),
     ("q56_resize_plan", q56ResizePlan _, Some(q56Sql)),
-    ("q57_day_over_day", q57DayOverDay _, Some(q57Sql)))
+    ("q57_day_over_day", q57DayOverDay _, Some(q57Sql)),
+    ("q58_hll_distinct", q58HllDistinct _, Some(q58Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

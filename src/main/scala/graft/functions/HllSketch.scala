@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.math.BigInteger
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog approximate count-distinct as a `TypedImperativeAggregate`
+  * (SURVEY.md §2.7's sketch-aggregate surface) — the cardinality sketch a
+  * 100 TB profiling pass actually runs: the aggregation state is a fixed
+  * `2^p`-byte register array per group, merged map-side, so distinct-heavy
+  * profiling never shuffles values — only sketches.
+  *
+  * DETERMINISTIC AND ENGINE-PORTABLE by construction, like the q24 minhash
+  * family: the value hash is md5 of the value's string form (not JVM
+  * hashCode), the register index/rank come from the first 16 hex digits,
+  * and the estimator's float arithmetic is arranged so a DuckDB CTE
+  * reproduces it bit-for-bit:
+  *
+  *   - register sums are EXACT integers — `Σ 2^(64−M[j])` ≤ 2^(73) held in
+  *     BigInteger here and HUGEINT in the oracle (a float Σ 2^−M[j] would
+  *     depend on accumulation order);
+  *   - the double formula `α·m·m·2^64 / S` is one left-associated
+  *     expression over exact inputs, IEEE-identical in both engines;
+  *   - the linear-counting branch (`m·ln(m/V)`) passes through libm `ln`,
+  *     whose last ulp may differ across engines — callers round the final
+  *     estimate (round(…, 2)) exactly as the cosine queries round scores.
+  *
+  * Standard HLL otherwise (Flajolet et al.; α = 0.7213/(1+1.079/m) — the
+  * m ≥ 128 constant): idx = top p bits, ρ = leading-zero count of the
+  * remaining 64−p bits + 1, small-range correction below 2.5·m.
+  */
+case class HllSketchAgg(
+    child: Expression,
+    precision: Int = 9,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(precision >= 7 && precision <= 16, "precision must be in [7, 16]")
+  private val m = 1 << precision
+
+  override def prettyName: String = "hll_approx_nd"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      digest.reset()
+      val hexBytes = digest.digest(v.asInstanceOf[UTF8String].getBytes)
+      // first 16 hex digits = first 8 md5 bytes, as two unsigned 32-bit ints
+      var h1 = 0L; var h2 = 0L
+      var i = 0
+      while (i < 4) { h1 = (h1 << 8) | (hexBytes(i) & 0xffL); i += 1 }
+      while (i < 8) { h2 = (h2 << 8) | (hexBytes(i) & 0xffL); i += 1 }
+      val idx = (h1 >>> (32 - precision)).toInt
+      val w = ((h1 & ((1L << (32 - precision)) - 1)) << 32) | h2
+      val rho = (if (w == 0L) 64 - precision + 1
+                 else java.lang.Long.numberOfLeadingZeros(w) - precision + 1).toByte
+      if (rho > buf(idx)) buf(idx) = rho
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var zeros = 0
+    var s = BigInteger.ZERO
+    var i = 0
+    while (i < m) {
+      if (buf(i) == 0) zeros += 1
+      s = s.add(BigInteger.ONE.shiftLeft(64 - buf(i)))
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m * 1.8446744073709551616e19 / s.doubleValue
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the sketch aggregates. */
+object Sketches {
+  /** Approximate count-distinct of `c` (any type — hashed via its string
+    * form so the DuckDB oracle hashes identical bytes). Estimator error is
+    * the standard ~1.04/√m (~4.6% at the default p=9). */
+  def hllApproxCountDistinct(c: Column, precision: Int = 9): Column =
+    Bridge.toColumn(
+      HllSketchAgg(Bridge.toExpression(c.cast("string")), precision)
+        .toAggregateExpression())
+}

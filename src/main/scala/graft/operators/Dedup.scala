@@ -181,10 +181,18 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
+      // the 16-hex-digit prefix as two 32-bit integers: per token, 2 conv()
+      // calls + 64 integer shift/ands, instead of the previous 64
+      // substring+position string searches per token (~2× simhash CPU).
+      // Bit mapping is unchanged (hex digit d of the STRING is the
+      // most-significant-first nibble, so it sits at shift 4*(7-d) of its
+      // half) — the DuckDB oracle mirrors the same digits.
+      .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     val bitCols = (0 until simhashBits).map { bit =>
       val digit = bit / 4; val sub = bit % 4
-      val v = expr(s"position(substring(h, ${digit + 1}, 1) in '0123456789abcdef') - 1")
-      (shiftright(v, sub) % 2).as(s"b$bit")
+      val (half, d) = if (digit < 8) (col("h1"), digit) else (col("h2"), digit - 8)
+      (shiftright(half, 4 * (7 - d) + sub) % 2).as(s"b$bit")
     }
     toks.select(col("doc_id") +: bitCols: _*)
       .groupBy(col("doc_id"))

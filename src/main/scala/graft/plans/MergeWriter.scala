@@ -89,7 +89,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
       }
     val out = merged.localCheckpoint(true) // cut lineage before overwrite
     writeVersion(name, out)
-    read(name)
+    out // the post-merge table, already in memory — no read-back re-scan
   }
 
   /** Append-only table (dead-letter channel): new version = current ∪
@@ -98,8 +98,9 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     * tiny relative to the feed by construction. */
   def appendTable(name: String, batch: DataFrame): DataFrame = {
     val merged = if (!exists(name)) batch else read(name).unionByName(batch)
-    writeVersion(name, merged.localCheckpoint(true))
-    read(name)
+    val out = merged.localCheckpoint(true)
+    writeVersion(name, out)
+    out
   }
 
   /** Fact upsert: pure last-write-wins on the fact natural key, no sk. */
@@ -110,6 +111,6 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
         .unionByName(batch)
     val out = merged.localCheckpoint(true)
     writeVersion(name, out)
-    read(name)
+    out
   }
 }

@@ -55,13 +55,19 @@ object ErrorChannel {
     coalesce((Seq(corrupt) ++ coercions ++ overflows): _*)
   }
 
+  /** The feed with its `_error` column attached (null = valid record) —
+    * the single-scan form of [[split]], for callers that materialize once
+    * and carve both halves off the same in-memory frame. */
+  def tagged(feed: DataFrame, requiredIntKeys: Seq[String]): DataFrame =
+    feed.withColumn("_error", errorMsg(feed, requiredIntKeys))
+
   /** Split a raw feed into (valid, errors). `errors` carries the original
     * columns plus `_error` (reference-style message). */
   def split(feed: DataFrame, requiredIntKeys: Seq[String]): (DataFrame, DataFrame) = {
-    val tagged = feed.withColumn("_error", errorMsg(feed, requiredIntKeys))
-    val valid = tagged.filter(col("_error").isNull).drop("_error")
+    val t = tagged(feed, requiredIntKeys)
+    val valid = t.filter(col("_error").isNull).drop("_error")
       .drop(corruptCol)
-    val errors = tagged.filter(col("_error").isNotNull)
+    val errors = t.filter(col("_error").isNotNull)
     (valid, errors)
   }
 

@@ -13,6 +13,13 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Non-blocking Observation read (`getOrEmpty` went `private[sql]` in
+    * Spark 4): empty map until the listener bus delivers the metrics of the
+    * observed action. Callers poll briefly and fall back to an explicit
+    * job — never the unbounded wait of the public `get`. */
+  def observationResult(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** Register a function on an ALREADY-BUILT session (SparkSessionExtensions
     * only hooks session construction; `sessionState` is private[sql], hence
     * bridged here). Idempotent — re-registration overwrites. */

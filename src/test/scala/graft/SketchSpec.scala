@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+
+/** HLL sketch aggregate invariants: accuracy in its design envelope,
+  * partition-order independence (the merge is a register max — fully
+  * associative/commutative), and the scale property that justifies its
+  * existence: partial ObjectHashAggregate map-side, so only 512-byte
+  * sketches — never values — cross the shuffle. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estimate(n: Int, parts: Int = 8): Double =
+    spark.range(n.toLong).repartition(parts).toDF("x")
+      .agg(Sketches.hllApproxCountDistinct(col("x")).as("nd"))
+      .head().getDouble(0)
+
+  test("estimates land within the ~1.04/sqrt(m) error envelope") {
+    // p=9 -> m=512 -> stderr ~4.6%; allow 3 sigma
+    for (n <- Seq(100, 1000, 10000, 100000)) {
+      val e = estimate(n)
+      assert(math.abs(e - n) < math.max(0.14 * n, 4.0),
+        s"estimate $e for true $n out of envelope")
+    }
+  }
+
+  test("duplicates don't move the estimate (cardinality, not count)") {
+    val once = spark.range(5000).toDF("x")
+    val dup = once.union(once).union(once)
+    val a = once.agg(Sketches.hllApproxCountDistinct(col("x"))).head().getDouble(0)
+    val b = dup.agg(Sketches.hllApproxCountDistinct(col("x"))).head().getDouble(0)
+    assert(a === b)
+  }
+
+  test("estimate is independent of partitioning (merge is a register max)") {
+    val a = estimate(20000, parts = 1)
+    val b = estimate(20000, parts = 32)
+    assert(a === b)
+  }
+
+  test("nulls are ignored like count(DISTINCT)") {
+    val df = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("x")
+    val e = df.agg(Sketches.hllApproxCountDistinct(col("x"))).head().getDouble(0)
+    assert(math.abs(e - 2.0) < 1.0)
+  }
+
+  test("plan partial-aggregates the sketch map-side (ObjectHashAggregate)") {
+    val df = spark.range(1000).toDF("x")
+      .groupBy((col("x") % 7).as("g"))
+      .agg(Sketches.hllApproxCountDistinct(col("x")).as("nd"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(plan.contains("partial_hll_approx_nd"),
+      s"expected a partial (map-side) sketch stage:\n$plan")
+  }
+}
