@@ -189,6 +189,13 @@ object Dedup {
       // half) — the DuckDB oracle mirrors the same digits.
       .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    // NOTE on the aggregate's shape: 65 codegen'd sum columns measured
+    // FASTER here than a custom TypedImperativeAggregate with a long[65]
+    // buffer — ObjectHashAggregate exits whole-stage codegen and falls
+    // back to sort-based aggregation past 128 groups per partition, while
+    // the column sums stay in one codegen'd HashAggregate whose partial
+    // rows (one 65-long row per doc per partition) already keep the
+    // shuffle narrow.
     val bitCols = (0 until simhashBits).map { bit =>
       val digit = bit / 4; val sub = bit % 4
       val (half, d) = if (digit < 8) (col("h1"), digit) else (col("h2"), digit - 8)
