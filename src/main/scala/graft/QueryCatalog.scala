@@ -1231,6 +1231,51 @@ object QueryCatalog {
       |  e.exact_nd
       |FROM fin f JOIN exact e USING (l_returnflag)""".stripMargin
 
+  /** Exact continuous quantiles (corpus-stats surface a profiling pass
+    * needs; `percentile` in Spark is the EXACT aggregator, mirrored by
+    * DuckDB's `quantile_cont`). l_quantity is whole-valued, so the only
+    * float step is the standard R-7 interpolation — round(…, 6) absorbs
+    * any last-ulp formula difference between engines. */
+  def q59Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+
+  val q59Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_quantity, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** ntile bucketing (§2.5 window surface): quartiles of customers by
+    * account balance within each market segment, reduced to per-quartile
+    * stats. ntile is SQL-standard (identical bucket-size distribution in
+    * both engines); the deterministic (balance, key) ordering makes bucket
+    * membership reproducible. */
+  def q60Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+  }
+
+  val q60Sql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile
+      |  FROM customer)
+      |SELECT c_mktsegment, quartile, CAST(count(*) AS BIGINT) AS n,
+      |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      |FROM q GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1294,7 +1339,9 @@ object QueryCatalog {
     ("q55_dedup_pipeline", q55DedupPipeline _, Some(q55Sql)),
     ("q56_resize_plan", q56ResizePlan _, Some(q56Sql)),
     ("q57_day_over_day", q57DayOverDay _, Some(q57Sql)),
-    ("q58_hll_distinct", q58HllDistinct _, Some(q58Sql)))
+    ("q58_hll_distinct", q58HllDistinct _, Some(q58Sql)),
+    ("q59_quantiles", q59Quantiles _, Some(q59Sql)),
+    ("q60_ntile", q60Ntile _, Some(q60Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

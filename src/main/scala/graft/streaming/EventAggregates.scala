@@ -85,6 +85,31 @@ object EventAggregates {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (T-surface extension): attribute each
+    * right-stream record to left-stream records of the same key whose
+    * event time precedes it by at most `maxLag` — e.g. purchases joined to
+    * the clicks that led to them. Both sides carry watermarks and the join
+    * condition bounds the time range BOTH ways, so Spark can size the join
+    * state buffers and evict rows once the watermark passes — bounded
+    * state at any stream length (an unbounded-interval stream-stream join
+    * would buffer a side forever; Spark rejects it in Append mode).
+    *
+    * Column contract: left = (key, lts, left payload…), right =
+    * (key, rts, right payload…); output = matched pairs with both
+    * timestamps. Inner join: unmatched rows on either side drop.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   maxLag: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLag"))
+      .drop(r(key))
+  }
+
   /** Output-mode helper: windowed aggregations under watermark emit
     * finalized windows in Append mode. */
   val appendMode: OutputMode = OutputMode.Append()

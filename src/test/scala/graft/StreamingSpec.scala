@@ -103,6 +103,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = graft.streaming.EventAggregates.intervalJoin(
+      clicks.toDF().toDF("user_id", "cts", "page"),
+      buys.toDF().toDF("user_id", "bts", "amount"),
+      key = "user_id", leftTs = "cts", rightTs = "bts", maxLag = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: click at 01:00, buys at 01:10 (within lag) and 02:30 (too
+      // late); user 2 buys with no click; user 3 clicks, never buys
+      clicks.addData((1L, ts(1), "/shoes"), (3L, ts(1, 30), "/hats"))
+      buys.addData((1L, ts(1, 10), 99.0), (2L, ts(1, 20), 5.0))
+      q.processAllAvailable()
+      buys.addData((1L, ts(2, 30), 42.0))
+      q.processAllAvailable()
+      // advance both watermarks so earlier results finalize
+      clicks.addData((9L, ts(6), "/x")); buys.addData((9L, ts(6, 1), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("page"),
+          r.getAs[Double]("amount"))).toSet
+      assert(rows.contains((1L, "/shoes", 99.0)), s"in-window pair must join: $rows")
+      assert(!rows.exists(t => t._1 == 1L && t._3 == 42.0),
+        s"purchase past maxLag must NOT attribute: $rows")
+      assert(!rows.exists(_._1 == 2L), "clickless purchase must drop (inner join)")
+      assert(!rows.exists(_._1 == 3L), "buyless click must drop (inner join)")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running totals across triggers (T5)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[UserEvent]
