@@ -241,24 +241,32 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       val prevPairs = prev.map(_._2).getOrElse(Nil)
       val v = reserveVersion(name)
       val vd = versionDir(name, v)
-      out.write.mode("overwrite").partitionBy("_bucket").parquet(vd)
-      val kept = if (replace) prevPairs.filterNot(p => touched.contains(p._1))
-                 else prevPairs
-      val committed = lockFor(name).synchronized {
-        if (snapshot(name) == snap) {
-          writeManifest(name, newMaxSk, kept ++ touched.map(b => (b, v)))
-          true
-        } else false
+      // in-flight registration is released in finally: a failed write (or
+      // cancellation) must not leak the entry, or vacuum could never
+      // reclaim the half-written dir for the life of the JVM
+      val committed = try {
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(vd)
+        lockFor(name).synchronized {
+          if (snapshot(name) == snap) {
+            val kept = if (replace) prevPairs.filterNot(p => touched.contains(p._1))
+                       else prevPairs
+            writeManifest(name, newMaxSk, kept ++ touched.map(b => (b, v)))
+            true
+          } else false
+        }
+      } finally {
+        // losers/failures: delete before deregistering so vacuum never
+        // races the walk; winners deregister their (now live) dir only
+        val live = lockFor(name).synchronized(
+          exists(name) && readManifest(name)._2.exists(_._2 == v))
+        if (!live) deleteDir(Paths.get(vd))
+        inFlight.remove(s"${tableKey(name)}/v$v")
       }
       if (committed) {
-        inFlight.remove(s"${tableKey(name)}/v$v")
         maybeCompact(name)
-        return (out, kept)
+        return (out, if (replace) prevPairs.filterNot(p => touched.contains(p._1))
+                     else prevPairs)
       }
-      // lost the race — discard and recompute against the new state; stays
-      // in-flight until fully deleted so vacuum never races the walk
-      deleteDir(Paths.get(vd))
-      inFlight.remove(s"${tableKey(name)}/v$v")
       attempt += 1
       if (attempt >= maxRetries) throw new IllegalStateException(
         s"table $name: $maxRetries consecutive commit conflicts")
@@ -274,18 +282,31 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     val snap = snapshot(name).getOrElse(return)
     val (maxSk, pairs) = parseManifest(snap)
     if (pairs.map(_._2).distinct.size <= compactAfter) return
-    val (all, buckets) = materialize(readPairs(name, pairs))
-    val v = reserveVersion(name)
-    val vd = versionDir(name, v)
-    all.write.mode("overwrite").partitionBy("_bucket").parquet(vd)
-    val swapped = lockFor(name).synchronized {
-      if (snapshot(name).contains(snap)) {
-        writeManifest(name, maxSk, buckets.map(b => (b, v)))
-        true
-      } else false
+    // BEST-EFFORT by design: the caller's merge is already durably
+    // committed, so a compaction failure (transient task loss, query stop
+    // mid-write) must not surface as a merge failure — the next commit
+    // over the threshold simply re-triggers it
+    val attempt = scala.util.Try {
+      val (all, buckets) = materialize(readPairs(name, pairs))
+      val v = reserveVersion(name)
+      val vd = versionDir(name, v)
+      try {
+        all.write.mode("overwrite").partitionBy("_bucket").parquet(vd)
+        lockFor(name).synchronized {
+          if (snapshot(name).contains(snap)) {
+            writeManifest(name, maxSk, buckets.map(b => (b, v)))
+            true
+          } else false
+        }
+      } finally {
+        val live = lockFor(name).synchronized(
+          exists(name) && readManifest(name)._2.exists(_._2 == v))
+        if (!live) deleteDir(Paths.get(vd))
+        inFlight.remove(s"${tableKey(name)}/v$v")
+      }
     }
-    if (!swapped) deleteDir(Paths.get(vd))
-    inFlight.remove(s"${tableKey(name)}/v$v")
+    attempt.failed.foreach(e =>
+      System.err.println(s"[graft] compaction of $name abandoned: ${e.getMessage}"))
   }
 
   /** Delete version directories no manifest entry references (crashed
@@ -319,6 +340,15 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       .toList
     finally ls.close()
     dead.foreach(p => deleteDir(p))
+    // prune tombstones of reclaimed versions — append-only growth would
+    // otherwise make every vacuum re-parse the table's full commit history
+    if (dead.nonEmpty && tomb.nonEmpty) {
+      val reclaimed = dead.map(_.getFileName.toString.drop(1).toLong).toSet
+      val keptTomb = tomb.filterNot { case (v, _) => reclaimed.contains(v) }
+      Files.write(tombstonesPath(name),
+        keptTomb.toSeq.sorted.map { case (v, t) => s"$v $t" }
+          .mkString("", "\n", "\n").getBytes)
+    }
   }
 
   override def mergeDim(name: String, batch: DataFrame, natKey: Seq[String],

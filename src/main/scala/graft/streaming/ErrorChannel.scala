@@ -85,9 +85,17 @@ object ErrorChannel {
     try {
       val counts = st.groupBy(col("status") === "ok").count().collect()
         .map(r => (if (r.getBoolean(0)) "ok" else "error") -> r.getLong(1)).toMap
-      println(s"[status] ok=${counts.getOrElse("ok", 0L)} error=${counts.getOrElse("error", 0L)}")
-      st.filter(col("status") =!= "ok").limit(sample).collect()
-        .foreach(r => println(s"[status] ${r.getString(0)}"))
+      printStatus(counts.getOrElse("ok", 0L), counts.getOrElse("error", 0L),
+        st.filter(col("status") =!= "ok").select(col("status").as("_error")), sample)
     } finally st.unpersist()
+  }
+
+  /** Counted variant for callers that already know the split (the star
+    * pipeline's single-materialization path): same console format, no
+    * extra scan — ONE copy of the reference's status-line rendering. */
+  def printStatus(ok: Long, errors: Long, errorSample: DataFrame, sample: Int): Unit = {
+    println(s"[status] ok=$ok error=$errors")
+    errorSample.select(col("_error")).limit(sample).collect()
+      .foreach(r => println(s"[status] ${r.getString(0)}"))
   }
 }

@@ -52,6 +52,13 @@ object StreamToStar {
 
   def processBatch(feed: DataFrame, store: TableStore): Unit = {
     val phases = new StringBuilder
+    // Deterministic block cleanup: everything this batch localCheckpoints
+    // (the feed materialization + each merge's internal frames) is dead
+    // once the fact merge lands, so free the blocks at batch end instead
+    // of waiting for the ContextCleaner's GC-driven sweep — a serve-mode
+    // driver between GCs would otherwise accumulate every batch's blocks.
+    val sc = feed.sparkSession.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
     // ONE eager materialization of the error-tagged feed replaces three
     // separate scans of the raw source (empty-batch probe, error-presence
     // check, cache fill): the row/error counts ride the same job as
@@ -75,9 +82,7 @@ object StreamToStar {
     if (errs > 0L) {
       // console status from the already-known counts + an error sample —
       // the reference's per-record status line, scale-safely
-      println(s"[status] ok=${total - errs} error=$errs")
-      errors.select(col("_error")).limit(20).collect()
-        .foreach(r => println(s"[status] ${r.getString(0)}"))
+      ErrorChannel.printStatus(total - errs, errs, errors, sample = 20)
       // Dead-letter writes MERGE on a deterministic content key (md5 of
       // the serialized record + its error), not append: a micro-batch
       // replayed after a checkpoint restart upserts the same rows instead
@@ -138,6 +143,9 @@ object StreamToStar {
       timed("fact", phases)(store.mergeFact("fact_sales", resolved, Seq("source_sale_id")))
       ()
     } finally {
+      val persisted = sc.getPersistentRDDs
+      (persisted.keySet -- persistedBefore)
+        .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
       if (batchTiming) System.err.println(s"[graft-batch]$phases")
     }
   }

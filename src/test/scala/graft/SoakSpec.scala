@@ -109,8 +109,12 @@ class SoakSpec extends SparkSpec {
 
     // 3. vacuum reclaimed during serving (disk never grew toward the
     //    ~2×nFiles versions each table committed), and a final quiesced
-    //    vacuum leaves exactly the live set on disk
-    assert(maxDiskVersions <= 10,
+    //    vacuum leaves exactly the live set on disk. The bound is NOT
+    //    tight: it only needs to separate "reclaimed while serving" from
+    //    "everything retained" (~28 versions/table), with headroom for
+    //    however many commits can stack inside the 3 s retention grace on
+    //    a fast box.
+    assert(maxDiskVersions <= 16,
       s"disk versions must stay bounded while serving, saw $maxDiskVersions")
     tables.foreach(t => store.vacuum(t))
     for (t <- tables)
