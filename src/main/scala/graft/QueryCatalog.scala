@@ -1276,6 +1276,47 @@ object QueryCatalog {
       |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
       |FROM q GROUP BY 1, 2""".stripMargin
 
+  /** Int8 embedding quantization summary (the 4× storage cut a vector
+    * corpus takes before indexing): per-vector absmax scale + max
+    * reconstruction error. Explicit floor-rounding and order-independent
+    * aggregates make the DuckDB mirror exact. */
+  def q61Quantize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.int8Stats(t(s, dir, "embeddings"))
+
+  val q61Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+      |s AS (SELECT vec_id, max(abs(x)) AS scale FROM e GROUP BY 1),
+      |q AS (
+      |  SELECT e.vec_id, scale,
+      |    coalesce(floor(x / nullif(scale, 0.0) * 127 + 0.5), 0.0) AS q, x
+      |  FROM e JOIN s USING (vec_id))
+      |SELECT vec_id, round(max(scale), 6) AS scale,
+      |  round(max(abs(x - q * scale / 127)), 6) AS max_err,
+      |  CAST(count(*) AS BIGINT) AS n_dims
+      |FROM q GROUP BY 1""".stripMargin
+
+  /** Sliding-window document chunking (size 256, stride 224 — 32-char
+    * overlap), the pre-tokenization step of a training pipeline; chunk
+    * identity checked via md5. Map-only in Spark (one small sequence
+    * explode per doc, no shuffle). */
+  def q62DocChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.chunk(t(s, dir, "documents"))
+
+  val q62Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    CAST(floor((greatest(length(text) - 256, 0) + 223) / 224.0) AS BIGINT) + 1 AS nc
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, CAST(nc - 1 AS INT))) AS ix
+      |  FROM n)
+      |SELECT doc_id, CAST(ix AS BIGINT) AS chunk_ix,
+      |  CAST(length(substring(text, ix * 224 + 1, 256)) AS BIGINT) AS chunk_len,
+      |  md5(substring(text, ix * 224 + 1, 256)) AS chunk_md5
+      |FROM k""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1341,7 +1382,9 @@ object QueryCatalog {
     ("q57_day_over_day", q57DayOverDay _, Some(q57Sql)),
     ("q58_hll_distinct", q58HllDistinct _, Some(q58Sql)),
     ("q59_quantiles", q59Quantiles _, Some(q59Sql)),
-    ("q60_ntile", q60Ntile _, Some(q60Sql)))
+    ("q60_ntile", q60Ntile _, Some(q60Sql)),
+    ("q61_quantize", q61Quantize _, Some(q61Sql)),
+    ("q62_doc_chunks", q62DocChunks _, Some(q62Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -73,6 +73,28 @@ object TextAnalysis {
       x => x.isNotNull)
   }
 
+  /** Sliding-window document chunking — the pre-tokenization step of a
+    * training-data pipeline (fixed-size character chunks with overlap, so
+    * no content is lost at chunk boundaries). Map-only: one explode of a
+    * small integer sequence per doc, no shuffle, no UDF; chunk count is
+    * integer-exact (`ceil(max(len-size,0)/stride)+1`), so the DuckDB
+    * oracle enumerates identical chunks. Returns
+    * (doc_id, chunk_ix, chunk_len, chunk_md5).
+    */
+  def chunk(docs: DataFrame, size: Int = 256, stride: Int = 224,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size (overlap = size - stride)")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .withColumn("_nc",
+        floor((greatest(length(col("_text")) - size, lit(0)) + (stride - 1)) / stride.toDouble)
+          .cast("long") + 1)
+      .withColumn("chunk_ix", explode(sequence(lit(0L), col("_nc") - 1)))
+      .select(col("doc_id"), col("chunk_ix"),
+        length(expr(s"substring(_text, chunk_ix * $stride + 1, $size)"))
+          .cast("long").as("chunk_len"),
+        md5(expr(s"substring(_text, chunk_ix * $stride + 1, $size)")).as("chunk_md5"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -153,4 +153,40 @@ class OperatorsSpec extends SparkSpec {
     assert(zero(1L) === Seq.empty)
     assert(zero(2L) === Seq(0, 2, 4))
   }
+
+  test("document chunking tiles text with overlap and loses no content") {
+    val d = Seq(
+      (1L, "a" * 100),            // single short chunk
+      (2L, "b" * 256),            // exactly one full chunk
+      (3L, "c" * 257),            // one char past -> second (overlap) chunk
+      (4L, ("x" * 224) + ("y" * 224) + "z") // three chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_ix")) ->
+        r.getAs[Long]("chunk_len")).toMap
+    assert(out.keys.count(_._1 == 1L) === 1 && out((1L, 0L)) === 100)
+    assert(out.keys.count(_._1 == 2L) === 1 && out((2L, 0L)) === 256)
+    assert(out.keys.count(_._1 == 3L) === 2 && out((3L, 1L)) === 33)
+    // len 449: chunk 0 = chars 1-256, chunk 1 = chars 225-449 (stride 224
+    // tiles the text with 32 shared chars; nothing lost at the boundary)
+    assert(out.keys.count(_._1 == 4L) === 2)
+    assert(out((4L, 1L)) === 449L - 224L)
+  }
+
+  test("int8 quantization: error bounded by scale/254, zero vectors safe") {
+    val d = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: no div-by-zero
+      (3L, Array(-0.001f, 0.001f, 0.0005f, -0.0002f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Quantize.int8Stats(d).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Double]("max_err"), r.getAs[Long]("n_dims")))
+      .toMap
+    assert(out(1L)._1 === 127.0 && out(1L)._3 === 4)
+    // half-step bound: |err| <= scale/127/2 (+ rounding of the 6-dp output)
+    assert(out(1L)._2 <= 127.0 / 127 / 2 + 1e-6)
+    assert(out(2L) === ((0.0, 0.0, 4L)))
+    assert(out(3L)._2 <= 0.001 / 127 / 2 + 1e-6)
+  }
 }
