@@ -229,7 +229,8 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * re-runs against the new state — its per-key results (existing sks,
     * kept rows) are state-dependent, so a blind manifest retry would lose
     * the winner's updates. Returns (out, kept untouched mappings). */
-  private def commitLoop(name: String, replace: Boolean)
+  private def commitLoop(name: String, replace: Boolean,
+                         dropUntouched: Boolean = false)
       (compute: Option[(Long, Seq[(Int, Long)])] => (DataFrame, Seq[Int], Long))
       : (DataFrame, Seq[(Int, Long)]) = {
     val maxRetries = 20
@@ -248,8 +249,10 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         out.write.mode("overwrite").partitionBy("_bucket").parquet(vd)
         lockFor(name).synchronized {
           if (snapshot(name) == snap) {
-            val kept = if (replace) prevPairs.filterNot(p => touched.contains(p._1))
-                       else prevPairs
+            val kept =
+              if (dropUntouched) Nil
+              else if (replace) prevPairs.filterNot(p => touched.contains(p._1))
+              else prevPairs
             writeManifest(name, newMaxSk, kept ++ touched.map(b => (b, v)))
             true
           } else false
@@ -264,8 +267,10 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       }
       if (committed) {
         maybeCompact(name)
-        return (out, if (replace) prevPairs.filterNot(p => touched.contains(p._1))
-                     else prevPairs)
+        return (out,
+          if (dropUntouched) Nil
+          else if (replace) prevPairs.filterNot(p => touched.contains(p._1))
+          else prevPairs)
       }
       attempt += 1
       if (attempt >= maxRetries) throw new IllegalStateException(
@@ -430,6 +435,21 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         (merged, touched, maxSk)
     }
     view(name, out, kept)
+  }
+
+  /** Atomic whole-table replace: the new contents land as one version and
+    * the manifest drops EVERY previous mapping — buckets absent from
+    * `batch` cease to exist (merge semantics cannot delete by omission).
+    * Same CAS commit as the merges, so concurrent writers are safe. */
+  override def replaceTable(name: String, batch: DataFrame,
+                            natKey: Seq[String]): DataFrame = {
+    val (batchB, touched) = materialize(batch.withColumn("_bucket", bucketCol(natKey)))
+    require(touched.nonEmpty, s"replaceTable($name) with an empty batch")
+    val cols = batch.columns.toIndexedSeq :+ "_bucket"
+    val (out, _) = commitLoop(name, replace = true, dropUntouched = true) { prev =>
+      (batchB.select(cols.map(col): _*), touched, prev.map(_._1).getOrElse(0L))
+    }
+    out.drop("_bucket")
   }
 
   /** Append-only tables (e.g. audit trails): rows are spread across

@@ -103,6 +103,13 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     out
   }
 
+  /** Atomic whole-table replace: a fresh version + pointer flip. */
+  def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
+    val out = batch.localCheckpoint(true)
+    writeVersion(name, out)
+    out
+  }
+
   /** Fact upsert: pure last-write-wins on the fact natural key, no sk. */
   def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
     val merged =

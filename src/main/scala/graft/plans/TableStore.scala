@@ -21,4 +21,11 @@ trait TableStore {
   def mergeDim(name: String, batch: DataFrame, natKey: Seq[String], skCol: String): DataFrame
   def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame
   def appendTable(name: String, batch: DataFrame): DataFrame
+
+  /** Atomically replace the table's ENTIRE contents with `batch` (same
+    * pointer-commit atomicity as a merge). Merges cannot delete rows by
+    * omission, so whole-table rewrites (aggregate-slice compaction,
+    * dimension rebuilds) need this. `natKey` drives storage layout
+    * (bucketing) where the implementation has one. */
+  def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame
 }
