@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * aggregates (max), so a DuckDB CTE reproduces it bit-for-bit. Zero
   * vectors quantize to all-zero with zero error (the nullif guard).
   *
-  * Shape: posexplode + one groupBy for the per-vector scale + one shuffle
-  * join back — every step partial-aggregates and partitions on vec_id, no
-  * driver round-trips, no higher-order functions (CodegenFallback) on the
-  * per-element path.
+  * Shape: posexplode, then the per-vector scale as a whole-partition
+  * window max — ONE shuffle on vec_id, which the final groupBy reuses
+  * (same partitioning), where a groupBy-scale + join-back plan paid six
+  * exchanges. No driver round-trips, no higher-order functions
+  * (CodegenFallback) on the per-element path.
   */
 object Quantize {
 
@@ -31,8 +32,8 @@ object Quantize {
                 vecCol: String = "embedding"): DataFrame = {
     val e = df.select(col(idCol).as("vec_id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-    val scales = e.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("scale"))
-    e.join(scales, "vec_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+    e.withColumn("scale", max(abs(col("x"))).over(w))
       .withColumn("q", qi(col("x"), col("scale")))
       .withColumn("err", abs(col("x") - col("q") * col("scale") / 127))
       .groupBy(col("vec_id"))
