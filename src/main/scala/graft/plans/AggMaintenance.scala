@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * Cost per batch: the delta is already one aggregated row per touched
   * key, and the store's bucketed mergeFact prunes to touched buckets —
   * O(delta) writes at any table size.
+  *
+  * SCOPE: `delta` must be a PURE FUNCTION OF THE BATCH CONTENT (the
+  * insert-only/event-stream case) — that is what makes a replayed batch
+  * write the identical slice. Retraction-based maintenance over an
+  * UPSERT stream (e.g. the star's last-write-wins fact) would need the
+  * delta computed against the pre-batch table state, and a crash between
+  * the fact commit and the slice commit would lose or double the
+  * retraction — exact-once there requires an atomic cross-table commit
+  * the file store deliberately does not promise. Derive such rollups as
+  * queries over the merged fact instead (always consistent, e.g. q10).
   */
 object AggMaintenance {
 
