@@ -240,6 +240,10 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       val prev = snap.map(parseManifest)
       val (out, touched, newMaxSk) = compute(prev)
       val prevPairs = prev.map(_._2).getOrElse(Nil)
+      def keptPairs: Seq[(Int, Long)] =
+        if (dropUntouched) Nil
+        else if (replace) prevPairs.filterNot(p => touched.contains(p._1))
+        else prevPairs
       val v = reserveVersion(name)
       val vd = versionDir(name, v)
       // in-flight registration is released in finally: a failed write (or
@@ -249,11 +253,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         out.write.mode("overwrite").partitionBy("_bucket").parquet(vd)
         lockFor(name).synchronized {
           if (snapshot(name) == snap) {
-            val kept =
-              if (dropUntouched) Nil
-              else if (replace) prevPairs.filterNot(p => touched.contains(p._1))
-              else prevPairs
-            writeManifest(name, newMaxSk, kept ++ touched.map(b => (b, v)))
+            writeManifest(name, newMaxSk, keptPairs ++ touched.map(b => (b, v)))
             true
           } else false
         }
@@ -267,10 +267,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       }
       if (committed) {
         maybeCompact(name)
-        return (out,
-          if (dropUntouched) Nil
-          else if (replace) prevPairs.filterNot(p => touched.contains(p._1))
-          else prevPairs)
+        return (out, keptPairs)
       }
       attempt += 1
       if (attempt >= maxRetries) throw new IllegalStateException(
@@ -440,7 +437,10 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   /** Atomic whole-table replace: the new contents land as one version and
     * the manifest drops EVERY previous mapping — buckets absent from
     * `batch` cease to exist (merge semantics cannot delete by omission).
-    * Same CAS commit as the merges, so concurrent writers are safe. */
+    * The CAS swap keeps the manifest consistent under races, but the
+    * REPLACEMENT CONTENTS are the caller's snapshot — a merge committed
+    * between the caller's read and this swap is superseded, so callers
+    * serialize replaceTable against same-table writers (trait contract). */
   override def replaceTable(name: String, batch: DataFrame,
                             natKey: Seq[String]): DataFrame = {
     val (batchB, touched) = materialize(batch.withColumn("_bucket", bucketCol(natKey)))

@@ -106,6 +106,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
   /** Atomic whole-table replace: a fresh version + pointer flip. */
   def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
     val out = batch.localCheckpoint(true)
+    require(!out.isEmpty, s"replaceTable($name) with an empty batch (trait contract)")
     writeVersion(name, out)
     out
   }

@@ -26,6 +26,12 @@ trait TableStore {
     * pointer-commit atomicity as a merge). Merges cannot delete rows by
     * omission, so whole-table rewrites (aggregate-slice compaction,
     * dimension rebuilds) need this. `natKey` drives storage layout
-    * (bucketing) where the implementation has one. */
+    * (bucketing) where the implementation has one.
+    *
+    * Contract (both stores): `batch` must be NON-EMPTY — an empty replace
+    * is rejected, not treated as truncation (drop the table directory to
+    * truncate). The swap is atomic, but the replacement contents are the
+    * CALLER's snapshot: serialize replaceTable against concurrent writers
+    * of the same table whose commits must not be superseded. */
   def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame
 }

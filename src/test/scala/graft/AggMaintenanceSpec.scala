@@ -33,20 +33,37 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(rollup(store) === Map(
       "d1" -> ((110L, 3L)), "d2" -> ((50L, 1L)), "d3" -> ((7L, 1L))))
 
-    // compaction folds slices; rollup unchanged; slice count collapses
-    AggMaintenance.compact(store, "rev_by_day", keys, adds)
+    // compaction folds slices up to the watermark; rollup unchanged;
+    // slice count collapses to one row per key
+    AggMaintenance.compact(store, "rev_by_day", keys, adds, upTo = 1)
     assert(rollup(store) === Map(
       "d1" -> ((110L, 3L)), "d2" -> ((50L, 1L)), "d3" -> ((7L, 1L))))
     assert(store.read("rev_by_day").count() === 3,
       "compaction must leave one slice row per key")
-    // compacting twice is a no-op
-    AggMaintenance.compact(store, "rev_by_day", keys, adds)
+    // compacting twice at the same watermark is a no-op
+    AggMaintenance.compact(store, "rev_by_day", keys, adds, upTo = 1)
     assert(rollup(store)("d1") === ((110L, 3L)))
+
+    // REPLAY of batch 1 AFTER its slice was folded: must be absorbed (its
+    // contribution lives inside the compacted slice; re-adding it would
+    // double-count) — the watermark encoded in the fold's slice id
+    AggMaintenance.upsertSlice(store, "rev_by_day",
+      delta(("d1", 10L, 1L), ("d3", 7L, 1L)), keys, batchId = 1)
+    assert(rollup(store) === Map(
+      "d1" -> ((110L, 3L)), "d2" -> ((50L, 1L)), "d3" -> ((7L, 1L))),
+      "a batch folded into the compacted slice must not be re-added on replay")
 
     // maintenance continues after compaction
     AggMaintenance.upsertSlice(store, "rev_by_day",
       delta(("d1", 5L, 1L)), keys, batchId = 2)
     assert(rollup(store)("d1") === ((115L, 4L)))
+    // a LOWER watermark cannot reopen folded batches (effective = max)
+    AggMaintenance.compact(store, "rev_by_day", keys, adds, upTo = 0)
+    assert(rollup(store)("d1") === ((115L, 4L)))
+    AggMaintenance.upsertSlice(store, "rev_by_day",
+      delta(("d1", 10L, 1L), ("d3", 7L, 1L)), keys, batchId = 1)
+    assert(rollup(store)("d1") === ((115L, 4L)),
+      "watermark must never move backwards")
   }
 
   test("additive rollup maintenance is replay-idempotent and compactable [bucketed]") {

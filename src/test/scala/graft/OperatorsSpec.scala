@@ -159,7 +159,7 @@ class OperatorsSpec extends SparkSpec {
       (1L, "a" * 100),            // single short chunk
       (2L, "b" * 256),            // exactly one full chunk
       (3L, "c" * 257),            // one char past -> second (overlap) chunk
-      (4L, ("x" * 224) + ("y" * 224) + "z") // three chunks
+      (4L, ("x" * 224) + ("y" * 224) + "z") // 449 chars -> two chunks
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(d).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_ix")) ->
