@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.plans.Layout
+
+/** Sorted-layout invariants: the plan is a range exchange + in-partition
+  * sort (never a global single-partition sort), shards tile the key space
+  * in order, and reads against the layout push the filter to the scan. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeSorted produces range-sharded, internally sorted, globally ordered files") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val df = spark.range(10000).toDF("k")
+      .withColumn("k", pmod(col("k") * 2654435761L, lit(10007)))
+      .withColumn("payload", md5(col("k").cast("string")))
+
+    // plan shape: rangepartitioning exchange, NOT a global sort
+    val planned = df.repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected a range exchange:\n$plan")
+
+    Layout.writeSorted(df, Seq("k"), dir, shards = 8)
+    val files = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(files.size === 8, s"expected 8 shard files, got ${files.size}")
+
+    // each shard internally sorted; shard ranges tile in file order
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select(col("k")).collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"shard $f must be internally sorted")
+      (ks.head, ks.last)
+    }
+    for (Seq((_, hiA), (loB, _)) <- ranges.sliding(2))
+      assert(hiA <= loB, s"shards must tile the key space in order: $ranges")
+
+    // the rows all survived the layout
+    assert(Layout.readSorted(spark, dir).count() === 10000)
+
+    // a key-range read pushes the predicate into the parquet scan
+    val pruned = Layout.readSorted(spark, dir).filter(col("k") < 100)
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [IsNotNull(k), LessThan(k,100)"),
+      s"filter must reach the scan:\n$scanPlan")
+  }
+}
