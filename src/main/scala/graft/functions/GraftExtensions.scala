@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       GraftExtensions.dotProductInfo,
       GraftExtensions.dotProductBuilder))
+    // banded theta joins (abs(a.t - b.t) <= w with no equi key) rewrite to
+    // the bucketed equi-join instead of a nested-loop plan
+    ext.injectOptimizerRule(_ => graft.plans.BandedThetaJoinRule)
   }
 }
 
@@ -32,9 +35,15 @@ object GraftExtensions {
     DotProduct(children.head, children(1))
   }
 
-  /** Register graft functions on an already-built session (the extensions
-    * class only hooks construction). Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register graft functions AND the banded-theta-join optimizer rule on
+    * an already-built session (the extensions class only hooks
+    * construction; `experimental.extraOptimizations` is the sanctioned
+    * post-hoc injection point for optimizer rules). Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(
       spark, "dot_product", dotProductInfo, dotProductBuilder)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.BandedThetaJoinRule))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.BandedThetaJoinRule
+  }
 }

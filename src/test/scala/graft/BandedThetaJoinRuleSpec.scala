@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The banded-theta-join optimizer rule: a plain-SQL inequality join that
+  * Spark would execute as a nested-loop plan comes out as an equi-join on
+  * time buckets — with results identical to the naive plan. */
+class BandedThetaJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveResult(n: Int): Set[(Long, Long)] = {
+    // ground truth computed without any join at all
+    val as = (0 until n).map(i => (i.toLong, (i.toLong * 37) % 1000))
+    val bs = (0 until n).map(i => (i.toLong + 10000, (i.toLong * 91) % 1000))
+    (for {
+      (ai, at) <- as; (bi, bt) <- bs
+      if math.abs(at - bt) <= 13
+    } yield (ai, bi)).toSet
+  }
+
+  test("abs-band theta join is rewritten to a bucketed equi-join with identical results") {
+    val n = 300
+    val a = (0 until n).map(i => (i.toLong, (i.toLong * 37) % 1000)).toDF("a_id", "a_t")
+    val b = (0 until n).map(i => (i.toLong + 10000, (i.toLong * 91) % 1000)).toDF("b_id", "b_t")
+    val joined = a.join(b, abs(col("a_t") - col("b_t")) <= 13)
+      .select(col("a_id"), col("b_id"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join must not plan as a nested loop:\n$plan")
+    assert(plan.contains("_graft_band"), s"expected the bucketed rewrite:\n$plan")
+
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naiveResult(n), "rewrite must preserve exact join semantics")
+  }
+
+  test("negative timestamps: truncating buckets still cover all qualifying pairs") {
+    val a = Seq((1L, -1L), (2L, -11L), (3L, 0L), (4L, -30L)).toDF("a_id", "a_t")
+    val b = Seq((10L, -10L), (11L, 9L), (12L, -21L)).toDF("b_id", "b_t")
+    val got = a.join(b, abs(col("a_t") - col("b_t")) <= 10L)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ai, at) <- Seq((1L, -1L), (2L, -11L), (3L, 0L), (4L, -30L))
+      (bi, bt) <- Seq((10L, -10L), (11L, 9L), (12L, -21L))
+      if math.abs(at - bt) <= 10
+    } yield (ai, bi)).toSet
+    assert(got === want)
+  }
+
+  test("joins that already have an equi key are left alone") {
+    val a = Seq((1L, 5L, 100L)).toDF("k", "a_t", "a_v")
+    val b = Seq((1L, 7L, 200L)).toDF("k2", "b_t", "b_v")
+    val j = a.join(b, col("k") === col("k2") && abs(col("a_t") - col("b_t")) <= 10L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("_graft_band"),
+      s"equi-keyed joins must keep their hash-join plan:\n$plan")
+    assert(j.count() === 1)
+  }
+}
