@@ -48,6 +48,32 @@ class BandedThetaJoinRuleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("property: random timestamps and widths — rewrite ≡ ground truth") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+      val params = Gen.Parameters.default
+      Iterator.iterate(Seed(seed))(_.next)
+        .map(s => g.pureApply(params, s)).take(n).toSeq
+    }
+    for (round <- 0 until 4) {
+      val w = samples(Gen.chooseNum(1L, 5000L), 1, 100L + round).head
+      val at = samples(Gen.chooseNum(-100000L, 100000L), 120, 7L + round)
+      val bt = samples(Gen.chooseNum(-100000L, 100000L), 120, 900L + round)
+      val a = at.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("a_id", "a_t")
+      val b = bt.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("b_id", "b_t")
+      val joined = a.join(b, abs(col("a_t") - col("b_t")) <= w)
+        .select(col("a_id"), col("b_id"))
+      assert(joined.queryExecution.executedPlan.toString.contains("_graft_band"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (x, i) <- at.zipWithIndex; (y, jx) <- bt.zipWithIndex
+        if math.abs(x - y) <= w
+      } yield (i.toLong, jx.toLong)).toSet
+      assert(got === want, s"round $round (w=$w) diverged from ground truth")
+    }
+  }
+
   test("joins that already have an equi key are left alone") {
     val a = Seq((1L, 5L, 100L)).toDF("k", "a_t", "a_v")
     val b = Seq((1L, 7L, 200L)).toDF("k2", "b_t", "b_v")
