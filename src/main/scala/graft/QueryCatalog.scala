@@ -1317,6 +1317,48 @@ object QueryCatalog {
       |  md5(substring(text, ix * 224 + 1, 256)) AS chunk_md5
       |FROM k""".stripMargin
 
+  /** T4 — SLIDING event-time windows (6 h width, 3 h slide): every event
+    * lands in width/slide overlapping windows. The oracle enumerates the
+    * same windows arithmetically — start_k = slide·floor(ts/slide) − k·slide
+    * for k in 0..width/slide−1 (each event is in exactly width/slide
+    * epoch-aligned windows, matching Spark's alignment). */
+  def q63SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("total_value"))
+
+  val q63Sql: String =
+    """WITH b AS (SELECT
+      |  CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800) * 10800
+      |      - k.k * 10800)
+      |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
+      |  value
+      |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k)
+      |SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** Z-order interleave (the multi-dimension data-skipping key behind
+    * [[graft.plans.Layout.writeZOrdered]]): Morton code of
+    * (c_custkey mod 4096, c_nationkey). The oracle replays the bit
+    * interleave as div/mod arithmetic — identical for non-negative ints. */
+  def q64ZOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"),
+      graft.functions.ZOrder.morton16(
+        pmod(col("c_custkey"), lit(4096)).cast("int"),
+        col("c_nationkey").cast("int")).cast("long").as("z"))
+
+  val q64Sql: String = {
+    val terms = (0 until 16).map { i =>
+      s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + ((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT c_custkey, c_custkey % 4096 AS x, c_nationkey AS y FROM customer)
+       |SELECT c_custkey, CAST($terms AS BIGINT) AS z FROM b""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1384,7 +1426,9 @@ object QueryCatalog {
     ("q59_quantiles", q59Quantiles _, Some(q59Sql)),
     ("q60_ntile", q60Ntile _, Some(q60Sql)),
     ("q61_quantize", q61Quantize _, Some(q61Sql)),
-    ("q62_doc_chunks", q62DocChunks _, Some(q62Sql)))
+    ("q62_doc_chunks", q62DocChunks _, Some(q62Sql)),
+    ("q63_sliding_window", q63SlidingWindow _, Some(q63Sql)),
+    ("q64_zorder", q64ZOrder _, Some(q64Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -41,4 +41,20 @@ object Layout {
     * per-file frames) or re-sort — filters, though, prune regardless. */
   def readSorted(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Z-ordered layout over TWO integer dimensions: range-shard and sort
+    * by the Morton interleave of (xCol, yCol) (both pmod-normalized into
+    * 16 bits), so every shard covers a small rectangle of the (x, y)
+    * plane and min/max stats prune on EITHER column — a lexicographic
+    * sort is only selective on its leading column. The interleave column
+    * itself is dropped from the files (it is derivable). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+                    shards: Int): Unit =
+    df.withColumn("_z", graft.functions.ZOrder.morton16(
+        pmod(col(xCol), lit(65536)).cast("int"),
+        pmod(col(yCol), lit(65536)).cast("int")))
+      .repartitionByRange(shards, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 }

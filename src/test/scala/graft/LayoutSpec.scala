@@ -45,4 +45,33 @@ class LayoutSpec extends SparkSpec {
     assert(scanPlan.contains("PushedFilters: [IsNotNull(k), LessThan(k,100)"),
       s"filter must reach the scan:\n$scanPlan")
   }
+
+  test("z-ordered shards bound BOTH dimensions; lexicographic sort only one") {
+    // a full 64x64 grid: every (x, y); z-order should carve it into
+    // near-square tiles, while sorting by x gives full-height stripes
+    val dirZ = Files.createTempDirectory("graft-zorder").toString
+    val dirX = Files.createTempDirectory("graft-xsort").toString
+    val grid = spark.range(64L * 64).toDF("i")
+      .withColumn("x", (col("i") % 64).cast("int"))
+      .withColumn("y", (col("i") / 64).cast("int"))
+      .drop("i")
+    Layout.writeZOrdered(grid, "x", "y", dirZ, shards = 16)
+    Layout.writeSorted(grid, Seq("x", "y"), dirX, shards = 16)
+
+    def maxYSpan(dir: String): Int = {
+      val files = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      files.map { f =>
+        val ys = spark.read.parquet(f).agg(min(col("y")), max(col("y"))).head()
+        ys.getInt(1) - ys.getInt(0)
+      }.max
+    }
+    val zSpan = maxYSpan(dirZ)
+    val xSpan = maxYSpan(dirX)
+    // 16 shards of a 64x64 grid: z-order tiles are 16x16-ish (y-span ~15);
+    // x-sorted stripes span the full y domain (63)
+    assert(zSpan <= 31, s"z-order shards must bound y too, got span $zSpan")
+    assert(xSpan >= 62, s"x-sort control should span y fully, got $xSpan")
+    assert(spark.read.parquet(dirZ).count() === 64L * 64)
+  }
 }
