@@ -18,10 +18,15 @@ object ZOrder {
 
   /** 32-bit Morton code of two NON-NEGATIVE ints that fit in 16 bits
     * (caller normalizes — e.g. `pmod(key, 65536)` or a rank). Bit i of x
-    * lands at position 2i, bit i of y at 2i+1. */
-  def morton16(x: Column, y: Column): Column =
+    * lands at position 2i, bit i of y at 2i+1. Computed in LONG: y's bit
+    * 15 lands at position 31, which overflows (wraps negative) in 32-bit
+    * arithmetic and would break the z ordering for the top quarter of the
+    * y domain. */
+  def morton16(x: Column, y: Column): Column = {
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until 16).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
 }

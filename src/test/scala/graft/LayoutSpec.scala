@@ -46,6 +46,15 @@ class LayoutSpec extends SparkSpec {
       s"filter must reach the scan:\n$scanPlan")
   }
 
+  test("morton16 is exact at the 16-bit extremes (no 32-bit wrap)") {
+    val rows = Seq((0, 0), (65535, 65535), (0, 32768), (32768, 0), (1, 2))
+      .toDF("x", "y")
+      .select(graft.functions.ZOrder.morton16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // y's bit 15 -> position 31 must stay positive (the 32-bit trap)
+    assert(rows === Seq(0L, (1L << 32) - 1, 1L << 31, 1L << 30, 0x9L))
+  }
+
   test("z-ordered shards bound BOTH dimensions; lexicographic sort only one") {
     // a full 64x64 grid: every (x, y); z-order should carve it into
     // near-square tiles, while sorting by x gives full-height stripes
