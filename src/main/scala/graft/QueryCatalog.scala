@@ -691,7 +691,7 @@ object QueryCatalog {
     """WITH b AS (SELECT
       |  CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
       |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
-      |  value FROM events)
+      |  value FROM events WHERE ts IS NOT NULL)
       |SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -1335,7 +1335,8 @@ object QueryCatalog {
       |      - k.k * 10800)
       |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
       |  value
-      |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k)
+      |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+      |  WHERE ts IS NOT NULL)
       |SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

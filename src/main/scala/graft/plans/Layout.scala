@@ -43,18 +43,33 @@ object Layout {
     spark.read.parquet(path)
 
   /** Z-ordered layout over TWO integer dimensions: range-shard and sort
-    * by the Morton interleave of (xCol, yCol) (both pmod-normalized into
-    * 16 bits), so every shard covers a small rectangle of the (x, y)
-    * plane and min/max stats prune on EITHER column — a lexicographic
-    * sort is only selective on its leading column. The interleave column
-    * itself is dropped from the files (it is derivable). */
+    * by the Morton interleave of (xCol, yCol), so every shard covers a
+    * small rectangle of the (x, y) plane and min/max stats prune on
+    * EITHER column — a lexicographic sort is only selective on its
+    * leading column. The interleave column itself is dropped from the
+    * files (it is derivable).
+    *
+    * Each dimension is RANGE-QUANTIZED into 16 bits from its actual
+    * min/max (one tiny driver-side agg) — an order-preserving
+    * `(v - min) div bucketWidth`. A modulo wrap instead (the naive
+    * normalization) would alias distant values into the same z bits the
+    * moment a domain exceeds 16 bits, silently DESTROYING pruning rather
+    * than degrading it. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
-                    shards: Int): Unit =
+                    shards: Int): Unit = {
+    val b = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    def quantized(c: String, lo: Long, hi: Long) = {
+      val width = math.max(1L, (hi - lo) / 65536L + 1)
+      ((col(c).cast("long") - lo) / width).cast("long")
+    }
     df.withColumn("_z", graft.functions.ZOrder.morton16(
-        pmod(col(xCol), lit(65536)).cast("int"),
-        pmod(col(yCol), lit(65536)).cast("int")))
+        quantized(xCol, b.getLong(0), b.getLong(1)),
+        quantized(yCol, b.getLong(2), b.getLong(3))))
       .repartitionByRange(shards, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -65,11 +65,15 @@ class BandedThetaJoinRuleSpec extends SparkSpec {
       val joined = a.join(b, abs(col("a_t") - col("b_t")) <= w)
         .select(col("a_id"), col("b_id"))
       assert(joined.queryExecution.executedPlan.toString.contains("_graft_band"))
-      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // MULTISET comparison (sorted seq, not set): the canonical failure
+      // mode of a bucket-explode rewrite is emitting a qualifying pair
+      // once per matching replica — a set compare would mask duplicates
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
       val want = (for {
         (x, i) <- at.zipWithIndex; (y, jx) <- bt.zipWithIndex
         if math.abs(x - y) <= w
-      } yield (i.toLong, jx.toLong)).toSet
+      } yield (i.toLong, jx.toLong)).sorted
       assert(got === want, s"round $round (w=$w) diverged from ground truth")
     }
   }
