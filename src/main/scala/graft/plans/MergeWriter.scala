@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * wiped checkpoint converges, same effectively-once guarantee as the
   * reference's ON CONFLICT upsert.
   *
+  * Commits go through the SAME [[CommitProtocol]] as the bucketed store
+  * (VERDICT r3 "next #8"): the `_CURRENT` pointer swap is compare-and-swap,
+  * so two concurrent writers of one table never silently drop each other's
+  * rows — the loser recomputes its merge against the winner's committed
+  * state and retries. Previously this store bumped the version blindly,
+  * which had both a lost-update window and a version-collision window.
+  *
   * Scale: steps 1–4 are shuffle-partitioned on the natural key; the only
   * global point is max(sk) (a scalar) and the row_number for NEW keys only
   * (new-keys-per-batch is small in steady state; if a first batch is huge,
@@ -33,26 +40,33 @@ import org.apache.spark.sql.functions._
   * atomicity contract.
   */
 class MergeWriter(spark: SparkSession, root: String) extends TableStore {
+  import CommitProtocol.Attempt
+
   private def tableDir(name: String) = s"$root/$name"
-  private def pointer(name: String) = Paths.get(tableDir(name), "_CURRENT")
+  private val PointerFile = "_CURRENT"
 
-  def exists(name: String): Boolean = Files.exists(pointer(name))
+  def exists(name: String): Boolean =
+    Files.exists(Paths.get(tableDir(name), PointerFile))
 
-  def read(name: String): DataFrame = {
-    val v = new String(Files.readAllBytes(pointer(name))).trim
-    spark.read.parquet(s"${tableDir(name)}/$v")
-  }
+  private def readVersion(name: String, v: String): DataFrame =
+    spark.read.parquet(s"${tableDir(name)}/${v.trim}")
 
-  private def writeVersion(name: String, df: DataFrame): Unit = {
-    Files.createDirectories(Paths.get(tableDir(name)))
-    val v = if (exists(name))
-      "v" + (new String(Files.readAllBytes(pointer(name))).trim.drop(1).toLong + 1)
-    else "v0"
-    df.write.mode("overwrite").parquet(s"${tableDir(name)}/$v")
-    val tmp = Paths.get(tableDir(name), "_CURRENT.tmp")
-    Files.write(tmp, v.getBytes)
-    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  def read(name: String): DataFrame =
+    readVersion(name, CommitProtocol.readPointer(tableDir(name), PointerFile)
+      .getOrElse(throw new java.nio.file.NoSuchFileException(
+        s"${tableDir(name)}/$PointerFile")))
+
+  /** CAS commit of `df` as the table's next version. `df` must already be
+    * materialized (localCheckpoint) — the write inside the loop is then a
+    * cheap replay from memory, and a conflict retry recomputes upstream. */
+  private def commitVersion(name: String, df: DataFrame): Unit = {
+    CommitProtocol.commitLoop(tableDir(name), PointerFile) { _ =>
+      Attempt[Unit](
+        writeVersion = v => df.write.mode("overwrite")
+          .parquet(s"${tableDir(name)}/v$v"),
+        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
+        result = _ => ())
+    }
   }
 
   /** Distributed dense id assignment — see [[KeyAssign.dense]] (shared with
@@ -63,62 +77,98 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
   /** Upsert `batch` (already one row per natural key, e.g. via
     * StarSchema.lastWriteWins) into table `name`; returns the post-merge
     * table. `skCol` is assigned here and must not be present in `batch`.
-    */
+    *
+    * The whole merge runs inside the commit loop: `cur` is read from the
+    * pointer SNAPSHOT the loop hands us, so a conflict retry recomputes
+    * the merge (existing sks, untouched rows) against the winner's state
+    * rather than blindly re-swapping a stale result. */
   def mergeDim(name: String, batch: DataFrame, natKey: Seq[String], skCol: String): DataFrame = {
     val attrs = batch.columns.filterNot(natKey.contains)
-    val merged =
-      if (!exists(name)) {
-        assignKeys(batch, skCol, 0L)
-      } else {
-        val cur = read(name)
-        val keyCols = natKey.map(col)
-        // updated = batch rows, keeping existing sk where the key is known
-        val joined = batch.join(cur.select((natKey :+ skCol).map(col): _*), natKey, "left")
-        val known = joined.filter(col(skCol).isNotNull)
-        val fresh = joined.filter(col(skCol).isNull).drop(skCol)
-        // max(sk) is NULL on an empty current table — guard the scalar
-        val maxSk = Option(cur.agg(max(col(skCol))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val freshKeyed = assignKeys(fresh, skCol, maxSk)
-        // untouched = current rows whose key is not in the batch
-        val untouched = cur.join(batch.select(keyCols: _*), natKey, "left_anti")
-        val cols = (natKey :+ skCol) ++ attrs
-        untouched.select(cols.map(col): _*)
-          .unionByName(known.select(cols.map(col): _*))
-          .unionByName(freshKeyed.select(cols.map(col): _*))
+    CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
+      val merged = snap match {
+        case None => assignKeys(batch, skCol, 0L)
+        case Some(curV) =>
+          val cur = readVersion(name, curV)
+          val keyCols = natKey.map(col)
+          // updated = batch rows, keeping existing sk where the key is known
+          val joined = batch.join(cur.select((natKey :+ skCol).map(col): _*), natKey, "left")
+          val known = joined.filter(col(skCol).isNotNull)
+          val fresh = joined.filter(col(skCol).isNull).drop(skCol)
+          // max(sk) is NULL on an empty current table — guard the scalar
+          val maxSk = Option(cur.agg(max(col(skCol))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          val freshKeyed = assignKeys(fresh, skCol, maxSk)
+          // untouched = current rows whose key is not in the batch
+          val untouched = cur.join(batch.select(keyCols: _*), natKey, "left_anti")
+          val cols = (natKey :+ skCol) ++ attrs
+          untouched.select(cols.map(col): _*)
+            .unionByName(known.select(cols.map(col): _*))
+            .unionByName(freshKeyed.select(cols.map(col): _*))
       }
-    val out = merged.localCheckpoint(true) // cut lineage before overwrite
-    writeVersion(name, out)
-    out // the post-merge table, already in memory — no read-back re-scan
+      val out = merged.localCheckpoint(true) // cut lineage before overwrite
+      Attempt[DataFrame](
+        writeVersion = v => out.write.mode("overwrite")
+          .parquet(s"${tableDir(name)}/v$v"),
+        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
+        result = _ => out) // post-merge table, already in memory — no re-scan
+    }
   }
 
   /** Append-only table (dead-letter channel): new version = current ∪
     * batch. Rewrites the table per batch like the other merges — at real
     * scale back this with an appendable format; the dead-letter stream is
     * tiny relative to the feed by construction. */
-  def appendTable(name: String, batch: DataFrame): DataFrame = {
-    val merged = if (!exists(name)) batch else read(name).unionByName(batch)
-    val out = merged.localCheckpoint(true)
-    writeVersion(name, out)
-    out
-  }
+  def appendTable(name: String, batch: DataFrame): DataFrame =
+    CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
+      val merged = snap match {
+        case None    => batch
+        case Some(v) => readVersion(name, v).unionByName(batch)
+      }
+      val out = merged.localCheckpoint(true)
+      Attempt[DataFrame](
+        writeVersion = v => out.write.mode("overwrite")
+          .parquet(s"${tableDir(name)}/v$v"),
+        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
+        result = _ => out)
+    }
 
-  /** Atomic whole-table replace: a fresh version + pointer flip. */
+  /** Atomic whole-table replace: a fresh version + pointer flip. The
+    * replacement contents are the CALLER's snapshot (trait contract:
+    * serialize against writers whose commits must not be superseded). */
   def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
     val out = batch.localCheckpoint(true)
     require(!out.isEmpty, s"replaceTable($name) with an empty batch (trait contract)")
-    writeVersion(name, out)
+    commitVersion(name, out)
     out
   }
 
   /** Fact upsert: pure last-write-wins on the fact natural key, no sk. */
-  def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
-    val merged =
-      if (!exists(name)) batch
-      else read(name).join(batch.select(natKey.map(col): _*), natKey, "left_anti")
-        .unionByName(batch)
-    val out = merged.localCheckpoint(true)
-    writeVersion(name, out)
-    out
+  def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame =
+    CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
+      val merged = snap match {
+        case None => batch
+        case Some(v) =>
+          readVersion(name, v).join(batch.select(natKey.map(col): _*), natKey, "left_anti")
+            .unionByName(batch)
+      }
+      val out = merged.localCheckpoint(true)
+      Attempt[DataFrame](
+        writeVersion = v => out.write.mode("overwrite")
+          .parquet(s"${tableDir(name)}/v$v"),
+        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
+        result = _ => out)
+    }
+
+  /** Reclaim superseded version directories (all but the pointer target),
+    * skipping in-flight commits. `retainMillis` ages by directory mtime —
+    * this store keeps no tombstones, so retention is measured from version
+    * creation (conservative: a version is at least that old when reaped). */
+  def vacuum(name: String, retainMillis: Long = 0L): Unit = {
+    val live = CommitProtocol.readPointer(tableDir(name), PointerFile)
+      .map(_.trim.drop(1).toLong).toSet
+    val now = System.currentTimeMillis()
+    CommitProtocol.vacuumVersions(tableDir(name), live, retainMillis,
+      p => now - Files.getLastModifiedTime(p).toMillis)
+    ()
   }
 }
