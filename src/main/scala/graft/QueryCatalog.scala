@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Cleanse, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cleanse, Dedup, HeavyHitters, Multimodal, Similarity, TextAnalysis}
 import graft.plans.{Integrity, StarSchema}
 
 /** The driver-contract query inventory: one entry per implemented operator
@@ -1360,6 +1360,115 @@ object QueryCatalog {
        |SELECT c_custkey, CAST($terms AS BIGINT) AS z FROM b""".stripMargin
   }
 
+  /** Connected-components duplicate clustering: near-dup pairs (the
+    * verified Jaccard set) as edges, iterated min-label propagation to a
+    * fixpoint → every node labeled with the smallest reachable doc_id.
+    * Greedy pairwise dropping over-deletes on transitive chains; a cluster
+    * keeps exactly one survivor per component. Oracle: recursive CTE
+    * transitive closure (min over reachable set). */
+  def q65DuplicateClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.jaccardPairs(t(s, dir, "documents"), 5, 0.5))
+
+  val q65Sql: String = {
+    val tail =
+      """p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    s"""${shingleCte(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (x.sz + y.sz - common) AS jaccard
+       |  FROM common JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b),
+       |$tail""".stripMargin
+  }
+
+  /** SCD2 dimension history from the event log: type-2 validity intervals
+    * per user over the tracked state, deterministic under ts ties. */
+  def q66Scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Scd2.history(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+
+  val q66Sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |ch AS (SELECT user_id, event_type, ts, event_id FROM c WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state, ts AS effective_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      |FROM ch""".stripMargin
+
+  /** Heavy hitters: Misra-Gries per-partition candidates + ONE exact
+    * recount — exact output (count × k > N), never shuffling the full
+    * vocabulary. k=30 over the token stream. */
+  def q67HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    HeavyHitters.heavyHitters(
+      t(s, dir, "documents").select(
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("item")),
+      "item", 30)
+
+  val q67Sql: String =
+    s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS item FROM documents),
+       |tot AS (SELECT count(*) AS n FROM toks)
+       |SELECT item, count(*) AS cnt FROM toks, tot GROUP BY item, n
+       |HAVING count(*) * 30 > n""".stripMargin
+
+  /** Gopher-style quality gate: per-rule verdicts + combined pass, all
+    * integer cross-multiplied comparisons (engine-exact). */
+  def q68QualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(t(s, dir, "documents"))
+
+  val q68Sql: String = {
+    val words = "len(string_split(text, ' '))"
+    val chars = "length(regexp_replace(text, '\\s', '', 'g'))"
+    val sym = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    val stop = "len(regexp_extract_all(text, '\\b(the|a|of|and|or|in|to)\\b'))"
+    s"""SELECT doc_id,
+       |  CAST($words AS BIGINT) AS n_words,
+       |  CAST($chars AS BIGINT) AS n_chars_nospace,
+       |  CAST($sym AS BIGINT) AS n_symbols,
+       |  CAST($stop AS BIGINT) AS n_stopwords,
+       |  ($words BETWEEN 30 AND 10000) AS ok_words,
+       |  ($chars >= 2 * $words AND $chars <= 10 * $words) AS ok_mean_len,
+       |  ($sym * 10 <= $words) AS ok_symbols,
+       |  ($stop >= 2) AS ok_stopwords,
+       |  (($words BETWEEN 30 AND 10000) AND ($chars >= 2 * $words AND $chars <= 10 * $words)
+       |   AND ($sym * 10 <= $words) AND ($stop >= 2)) AS pass
+       |FROM documents""".stripMargin
+  }
+
+  /** Sequence packing (concat-and-chunk): per-shard token cumsum →
+    * pack id + offset at capacity 2048, integer-exact. */
+  def q69SequencePacking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), 2048)
+
+  val q69Sql: String =
+    """WITH d AS (SELECT doc_id, source AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_ FROM d)
+      |SELECT doc_id, shard, n_tokens, before_ // 2048 AS pack_id,
+      |  before_ % 2048 AS pack_offset FROM c""".stripMargin
+
+  /** Boilerplate segments: 5-gram shingles present in ≥10 distinct docs
+    * are template content; per-doc counts of boilerplate vs retained. */
+  def q70Boilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateStats(t(s, dir, "documents"), 5, 10)
+
+  val q70Sql: String =
+    s"""${shingleCte(5)},
+       |df_ AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle),
+       |b AS (SELECT shingle FROM df_ WHERE df >= 10)
+       |SELECT s.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_boiler,
+       |  count(*) - count(b.shingle) AS retained
+       |FROM s LEFT JOIN b ON s.shingle = b.shingle GROUP BY s.doc_id""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1429,7 +1538,13 @@ object QueryCatalog {
     ("q61_quantize", q61Quantize _, Some(q61Sql)),
     ("q62_doc_chunks", q62DocChunks _, Some(q62Sql)),
     ("q63_sliding_window", q63SlidingWindow _, Some(q63Sql)),
-    ("q64_zorder", q64ZOrder _, Some(q64Sql)))
+    ("q64_zorder", q64ZOrder _, Some(q64Sql)),
+    ("q65_duplicate_clusters", q65DuplicateClusters _, Some(q65Sql)),
+    ("q66_scd2_history", q66Scd2History _, Some(q66Sql)),
+    ("q67_heavy_hitters", q67HeavyHitters _, Some(q67Sql)),
+    ("q68_quality_filter", q68QualityFilter _, Some(q68Sql)),
+    ("q69_sequence_packing", q69SequencePacking _, Some(q69Sql)),
+    ("q70_boilerplate", q70Boilerplate _, Some(q70Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -258,6 +258,87 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Boilerplate detection: n-gram segments whose DOCUMENT frequency is
+    * abnormally high are template/boilerplate content (nav bars, license
+    * headers, repeated disclaimers), and removing them before training is
+    * standard corpus hygiene. With no paragraph structure in the corpus,
+    * the segment unit is the word n-gram: a shingle appearing in ≥ `minDf`
+    * DISTINCT documents is boilerplate, and each document reports how much
+    * of it is made of such segments.
+    *
+    * Scale: one shingle aggregate for document frequencies (the same
+    * map-only Generate + one shuffle as the MinHash path), the boilerplate
+    * set is tiny by construction (high-df head only) so the markup join
+    * broadcasts. Returns (doc_id, n_shingles, n_boiler, retained).
+    */
+  def boilerplateStats(docs: DataFrame, n: Int, minDf: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = materialize(shinglePairs(docs, n, idCol, textCol)) // sides of both joins below
+    // shinglePairs is distinct per doc, so count(*) = document frequency
+    val boiler = s.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select(col("shingle"))
+    s.join(broadcast(boiler.withColumn("_b", lit(1L))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_b")).as("n_boiler"))
+      .withColumn("retained", col("n_shingles") - col("n_boiler"))
+  }
+
+  /** Connected components over a near-dup pair graph by iterated min-label
+    * propagation: every node starts labeled with its own id, and each round
+    * replaces a node's label with the minimum label among itself and its
+    * neighbors, until a round changes nothing. The result assigns every
+    * node `cluster_id` = the smallest id reachable from it — the canonical
+    * "duplicate cluster" representative (greedy pairwise dropping, as in
+    * [[dedupCorpus]], over-deletes on transitive chains A~B~C where A≁C;
+    * clustering first keeps exactly one survivor per component).
+    *
+    * Scale: each round is ONE shuffle join (labels against the symmetric
+    * edge list, partitioned on the join key) + one min-aggregate, and the
+    * frames involved are proportional to the DUPLICATED subset of the
+    * corpus, not the corpus. Rounds = graph diameter; near-dup components
+    * are near-cliques from LSH banding, so diameter is small — the loop is
+    * a driver-side fixpoint over tiny checkpointed frames, with the change
+    * count observed on the same job that materializes each round (no extra
+    * pass). For adversarial long-chain graphs swap the body for
+    * large-star/small-star (same join shape, O(log n) rounds).
+    *
+    * `edges` must have two id columns `(aCol, bCol)`; returns
+    * (doc_id, cluster_id) for every node that appears in an edge.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    val e = materialize(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = materialize(
+      e.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // min label among each node's neighbors, via one equi-join on dst
+      val nbrMin = e.join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("cluster_id")).as("_nbr_min"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("_nbr_min") < col("cluster_id")).as("_changed"))
+        .observe(obs, count(when(col("_changed"), 1)).as("n"))
+        .drop("_changed")
+        .localCheckpoint(true)
+      changed = graft.plans.Observed.poll(obs).flatMap(_.get("n"))
+        .map(_.asInstanceOf[Long])
+        .getOrElse(next.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+          .filter(col("cluster_id") =!= col("_old")).count())
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** The full corpus-dedup pipeline as one operator: drop exact duplicates
     * (keep the smallest id per content fingerprint), then drop the
     * higher-id side of every MinHash-LSH near-dup pair (greedy: transitive

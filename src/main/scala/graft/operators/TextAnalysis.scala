@@ -95,6 +95,65 @@ object TextAnalysis {
         md5(expr(s"substring(_text, chunk_ix * $stride + 1, $size)")).as("chunk_md5"))
   }
 
+  /** Gopher-style quality gate (Rae et al. 2021's repetition/format rules,
+    * cut down to the deterministic core): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio cap, minimum stopword hits. One
+    * scan, pure Column expressions. Every comparison is INTEGER
+    * cross-multiplied (`chars ≥ 2·words` instead of `chars/words ≥ 2.0`),
+    * so the verdicts are bit-exact in any engine — no float thresholds.
+    * Returns per-doc rule verdicts plus the combined `pass` so a pipeline
+    * can both filter and audit why documents were dropped. */
+  def gopherFilter(docs: DataFrame,
+                   minWords: Int = 30, maxWords: Int = 10000,
+                   minMeanLen: Int = 2, maxMeanLen: Int = 10,
+                   maxSymbolsPer10Words: Int = 1, minStopwords: Int = 2): DataFrame = {
+    val words = tokenCount(col("text")).cast("long")
+    val alphaChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val sym = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val stop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|or|in|to)\\b"), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      words.as("n_words"),
+      alphaChars.as("n_chars_nospace"),
+      sym.as("n_symbols"),
+      stop.as("n_stopwords"),
+      words.between(minWords, maxWords).as("ok_words"),
+      (alphaChars >= words * minMeanLen && alphaChars <= words * maxMeanLen)
+        .as("ok_mean_len"),
+      (sym * 10 <= words * maxSymbolsPer10Words).as("ok_symbols"),
+      (stop >= minStopwords).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") && col("ok_stopwords"))
+  }
+
+  /** Sequence packing, concat-and-chunk style: documents are laid out
+    * back-to-back in a deterministic order and cut into fixed-capacity
+    * token windows — the layout step before writing pretraining examples
+    * (each doc gets the pack it STARTS in and its token offset there;
+    * long docs spill into the following packs, which is exactly how
+    * concat-then-chunk tokenization treats them).
+    *
+    * Scale: packing is per shard (`shardCol`), so the cumulative sum is a
+    * window partitioned by shard — one shuffle, embarrassingly parallel
+    * across shards, no global ordering. (A single global pack sequence
+    * would serialize the corpus through one task; per-shard packing wastes
+    * at most one partial pack per shard, negligible at corpus scale.)
+    * Integer arithmetic only (`div`/`mod` on token cumsums), so the
+    * assignment is engine-exact. */
+  def packSequences(docs: DataFrame, capacity: Long = 2048,
+                    shardCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id")) // post-rename frame below
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(shardCol).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"_before div ${capacity}L").as("pack_id"),
+        (col("_before") % capacity).as("pack_offset"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -29,6 +29,100 @@ class OperatorsSpec extends SparkSpec {
     assert(sh.contains("the quick brown") && sh.contains("the lazy dog"))
   }
 
+  test("heavyHitters output is EXACT: equals naive groupBy over the threshold") {
+    // power-law-ish stream: item i appears ~1000/i times; k=10 → exact
+    // answer is every item with cnt*10 > N. MG must never miss one
+    // (guarantee) and the recount must never over-report (exactness).
+    val items = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(items), 7)
+      .toDF("item")
+    val n = items.size.toLong
+    val expected = items.groupBy(identity).map { case (it, xs) => (it, xs.size.toLong) }
+      .filter(_._2 * 10 > n).toMap
+    val got = graft.operators.HeavyHitters.heavyHitters(df, "item", 10)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
+    assert(got === expected)
+  }
+
+  test("mgSummary keeps every item above the 1/k frequency guarantee") {
+    val xs = Seq.fill(400)("hot") ++ (1 to 900).map(i => s"cold_$i")
+    val out = graft.operators.HeavyHitters.mgSummary(8, xs.iterator).toSet
+    assert(out.contains("hot")) // 400/1300 > 1/8 — must survive any order
+  }
+
+  test("gopherFilter verdicts: word bounds, mean length, stopwords") {
+    val d = Seq(
+      (1L, ("the quick brown fox and a dog " * 6).trim),     // passes all
+      (2L, "short text"),                                    // too few words
+      (3L, (("a " * 40) + "the end").trim)                   // mean word len < 2
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherFilter(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("ok_words"), r.getAs[Boolean]("ok_mean_len"),
+          r.getAs[Boolean]("pass"))).toMap
+    assert(out(1L) === ((true, true, true)))
+    assert(out(2L)._1 === false && out(2L)._3 === false)
+    assert(out(3L)._2 === false && out(3L)._3 === false)
+  }
+
+  test("packSequences: pack ids are contiguous per shard, offsets wrap at capacity") {
+    val d = (1L to 10L).map(i => (i, "s0", ("w " * 100).trim))
+      .toDF("doc_id", "source", "text") // 100 tokens each, capacity 256
+    val out = graft.operators.TextAnalysis.packSequences(d, 256).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
+      .sortBy(_._1)
+    // doc i starts at (i-1)*100: packs 0,0,0(+overflow),1,1,...
+    for ((id, pack, off) <- out) {
+      val before = (id - 1) * 100
+      assert(pack === before / 256, s"doc $id")
+      assert(off === before % 256, s"doc $id")
+    }
+  }
+
+  test("boilerplateStats counts high-df shingles per doc") {
+    val common = "alpha beta gamma delta epsilon"
+    val docs = (1L to 5L).map(i => (i, s"$common unique_$i words here now end"))
+      .toDF("doc_id", "text")
+    // 'alpha beta gamma delta epsilon' appears in all 5 docs; minDf=5
+    val out = graft.operators.Dedup.boilerplateStats(docs, 5, 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_boiler"))).toMap
+    assert(out.keySet === (1L to 5L).toSet)
+    assert(out.values.forall(_ === 1L), s"exactly the shared 5-gram is boilerplate: $out")
+  }
+
+  test("Scd2.history collapses runs and closes intervals at the next change") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2021-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 10L, "view"), (2L, ts(2), 10L, "view"), (3L, ts(3), 10L, "purchase"),
+      (4L, ts(4), 10L, "view"), (5L, ts(1), 20L, "signup")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.plans.Scd2.history(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[Long]("version"), r.getAs[Boolean]("is_current"),
+        Option(r.getAs[java.sql.Timestamp]("effective_to")))).sortBy(x => (x._1, x._3))
+    assert(out === Seq(
+      (10L, "view", 1L, false, Some(ts(3))),
+      (10L, "purchase", 2L, false, Some(ts(4))),
+      (10L, "view", 3L, true, None),
+      (20L, "signup", 1L, true, None)))
+  }
+
+  test("connectedComponents labels every node with the min reachable id") {
+    // chain 1-2-3 plus 2-4 (star), disjoint pair 10-11: min-label
+    // propagation must cross multiple hops, not just direct neighbors
+    val edges = Seq((2L, 3L), (1L, 2L), (2L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain (multi-round fixpoint)") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
   test("jaccardPairs and minhashLsh both surface the planted near-dup pair") {
     val j = Dedup.jaccardPairs(docs, 2, 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
