@@ -1469,6 +1469,37 @@ object QueryCatalog {
        |  count(*) - count(b.shingle) AS retained
        |FROM s LEFT JOIN b ON s.shingle = b.shingle GROUP BY s.doc_id""".stripMargin
 
+  /** Count-Min sketch frequency estimates vs exact counts: one CMS
+    * aggregate over the stream (depth 4 × width 64, so collisions are
+    * real), estimates read off the broadcast sketch with Column math.
+    * est ≥ exact always; both engines replay the exact counter table. */
+  def q71CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "events").select(col("user_id").cast("string").as("item"))
+    val sk = items.agg(graft.functions.Sketches.cmsSketch(col("item"), 4, 64).as("sk"))
+    items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(sk))
+      .select(col("item"),
+        graft.functions.Sketches.cmsEstimate(col("sk"), col("item"), 4, 64).as("est_cnt"),
+        col("exact_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+  }
+
+  val q71Sql: String =
+    """WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+      |buckets AS (
+      |  SELECT t.r, CAST(('0x' || substring(md5(t.r || ':' || item), 1, 15)) AS BIGINT) % 64 AS bkt,
+      |         count(*) AS c
+      |  FROM items CROSS JOIN range(4) t(r)
+      |  GROUP BY 1, 2),
+      |probes AS (SELECT item, count(*) AS exact_cnt FROM items GROUP BY item),
+      |est AS (
+      |  SELECT p.item, p.exact_cnt, min(b.c) AS est_cnt
+      |  FROM probes p CROSS JOIN range(4) t(r)
+      |  JOIN buckets b ON b.r = t.r
+      |   AND b.bkt = CAST(('0x' || substring(md5(t.r || ':' || p.item), 1, 15)) AS BIGINT) % 64
+      |  GROUP BY 1, 2)
+      |SELECT item, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount FROM est""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1544,7 +1575,8 @@ object QueryCatalog {
     ("q67_heavy_hitters", q67HeavyHitters _, Some(q67Sql)),
     ("q68_quality_filter", q68QualityFilter _, Some(q68Sql)),
     ("q69_sequence_packing", q69SequencePacking _, Some(q69Sql)),
-    ("q70_boilerplate", q70Boilerplate _, Some(q70Sql)))
+    ("q70_boilerplate", q70Boilerplate _, Some(q70Sql)),
+    ("q71_cms_frequency", q71CmsFrequency _, Some(q71Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

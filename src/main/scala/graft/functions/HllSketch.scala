@@ -113,4 +113,25 @@ object Sketches {
     Bridge.toColumn(
       HllSketchAgg(Bridge.toExpression(c.cast("string")), precision)
         .toAggregateExpression())
+
+  /** Count-Min sketch of `c` (string form): a depth×width counter table
+    * as a flat array<long>, row r at offset r·width. Query it with
+    * [[cmsEstimate]]. */
+  def cmsSketch(c: Column, depth: Int = 4, width: Int = 64): Column =
+    Bridge.toColumn(
+      CmsSketchAgg(Bridge.toExpression(c.cast("string")), depth, width)
+        .toAggregateExpression())
+
+  /** Point-frequency estimate off a [[cmsSketch]] array: min over rows of
+    * the item's bucket counter. Pure Column math (codegen'd) — the sketch
+    * is typically a one-row broadcast next to a probe set. */
+  def cmsEstimate(sketch: Column, item: Column, depth: Int = 4, width: Int = 64): Column = {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until depth).map { r =>
+      val bkt = pmod(conv(substring(md5(concat(lit(s"$r:"), item.cast("string"))), 1, 15),
+        16, 10).cast("long"), lit(width.toLong))
+      element_at(sketch, (lit(r * width) + bkt + 1).cast("int"))
+    }
+    least(rows: _*)
+  }
 }

@@ -45,6 +45,35 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(e - 2.0) < 1.0)
   }
 
+  test("CMS estimates upper-bound exact counts and are tight without collisions") {
+    // 20 items, width 256 >> 20: collisions are unlikely but possible;
+    // the estimate is ALWAYS >= exact, and equals it when the item's
+    // buckets are collision-free in at least one row
+    val items = (1 to 20).flatMap(i => Seq.fill(i * 3)(s"it_$i"))
+    val df = spark.sparkContext.parallelize(items, 5).toDF("x")
+    val sk = df.agg(Sketches.cmsSketch(col("x"), 4, 256).as("sk"))
+    val out = df.groupBy(col("x")).count()
+      .crossJoin(broadcast(sk))
+      .select(col("x"), col("count"),
+        Sketches.cmsEstimate(col("sk"), col("x"), 4, 256).as("est"))
+      .collect()
+    assert(out.length === 20)
+    for (r <- out)
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("count"),
+        s"CMS must never under-count: $r")
+    // with 20 items in 4x256 buckets, expect at least 19 exact estimates
+    assert(out.count(r => r.getAs[Long]("est") == r.getAs[Long]("count")) >= 19)
+  }
+
+  test("CMS sketch is independent of partitioning (merge is element-wise add)") {
+    val items = (1 to 50).flatMap(i => Seq.fill(i)(s"k$i"))
+    def sk(parts: Int): Seq[Long] =
+      spark.sparkContext.parallelize(items, parts).toDF("x")
+        .agg(Sketches.cmsSketch(col("x"), 4, 64).as("sk"))
+        .head().getSeq[Long](0)
+    assert(sk(1) === sk(13))
+  }
+
   test("plan partial-aggregates the sketch map-side (ObjectHashAggregate)") {
     val df = spark.range(1000).toDF("x")
       .groupBy((col("x") % 7).as("g"))
