@@ -1500,6 +1500,20 @@ object QueryCatalog {
       |  GROUP BY 1, 2)
       |SELECT item, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount FROM est""".stripMargin
 
+  /** Source-mixture rebalancing: cap every source at ~100 docs via the
+    * integer-exact hash threshold, then audit kept counts per source. */
+  def q72SourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 100)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
+  val q72Sql: String =
+    """WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT source, least(1000000, (100 * 1000000) // n_docs) AS thr FROM n),
+      |k AS (SELECT d.source FROM documents d JOIN t ON d.source = t.source
+      |      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |            % 1000000 < t.thr)
+      |SELECT source, count(*) AS n_kept FROM k GROUP BY source""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1576,7 +1590,8 @@ object QueryCatalog {
     ("q68_quality_filter", q68QualityFilter _, Some(q68Sql)),
     ("q69_sequence_packing", q69SequencePacking _, Some(q69Sql)),
     ("q70_boilerplate", q70Boilerplate _, Some(q70Sql)),
-    ("q71_cms_frequency", q71CmsFrequency _, Some(q71Sql)))
+    ("q71_cms_frequency", q71CmsFrequency _, Some(q71Sql)),
+    ("q72_source_cap", q72SourceCap _, Some(q72Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -49,6 +49,29 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < (frac * buckets).cast("long"))
   }
 
+  /** Source-mixture rebalancing by capping: downsample every group
+    * (source/domain/language) to at most ~`cap` rows, keeping smaller
+    * groups whole — the data-mixing step that stops one crawl dump from
+    * dominating a training corpus (equivalent to temperature-flattening
+    * with the cap as the knee). The keep-threshold is
+    * `min(1e6, cap·1e6 div n_group)` — INTEGER arithmetic end to end, so
+    * the selection is engine-exact (no float normalization whose sum
+    * order could flip a row).
+    *
+    * Scale: one count aggregate over the group column (tiny result,
+    * broadcast back), then the same map-only hash-filter as the other
+    * samplers — no shuffle of the data itself, selection stable across
+    * runs/partitionings/engines. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, cap: Long,
+                  salt: String = ""): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    df.join(broadcast(counts), groupCol)
+      .withColumn("_thr", least(lit(buckets), expr(s"(${cap}L * ${buckets}L) div _n")))
+      .filter(hashBucket(col(keyCol), salt) < col("_thr"))
+      .drop("_n", "_thr")
+  }
+
   /** Train/validation/test split by key hash: returns the input with a
     * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
     * for a given key forever — the property that keeps a test set clean

@@ -89,6 +89,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "top-k agg must not fall back to a window sort")
   }
 
+  test("q68 quality gate is map-only: no exchange, one scan") {
+    val p = plan(QueryCatalog.q68QualityFilter)
+    assert(!p.contains("Exchange"), s"gopherFilter must not shuffle:\n$p")
+  }
+
+  test("q69 sequence packing shuffles ONCE (shard-partitioned window, no global sort)") {
+    val p = plan(QueryCatalog.q69SequencePacking)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange")) <= 1,
+      s"one shard shuffle expected:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"window must partition by shard:\n$p")
+  }
+
+  test("q66 SCD2's two windows share one key shuffle") {
+    val p = plan(QueryCatalog.q66Scd2History)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).size
+    assert(exchanges === 1, s"both windows must reuse the user_id exchange:\n$p")
+    assert(!p.contains("SinglePartition"), "no global window allowed")
+  }
+
+  test("q67 heavy-hitter recount broadcasts the candidate set") {
+    val p = plan(QueryCatalog.q67HeavyHitters)
+    assert(p.contains("BroadcastHashJoin"), s"candidates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "recount join must not SMJ")
+  }
+
+  test("q71 CMS estimate probes broadcast the one-row sketch") {
+    val p = plan(QueryCatalog.q71CmsFrequency)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sketch must broadcast to the probe side:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed

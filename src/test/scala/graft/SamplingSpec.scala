@@ -39,6 +39,22 @@ class SamplingSpec extends SparkSpec {
     assert(salted !== base)
   }
 
+  test("capPerGroup caps big groups, keeps small ones whole, deterministic") {
+    // group a: 2000 rows (over cap), group b: 40 rows (under cap)
+    val df = ((1L to 2000L).map(i => (i, "a")) ++ (3000L to 3039L).map(i => (i, "b")))
+      .toDF("id", "grp")
+    val kept = Sampling.capPerGroup(df, "grp", "id", 100)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("b") === 40L, "under-cap group must be kept whole")
+    // threshold = 100/2000 = 5% of hash space; hash-uniform within ~3x
+    assert(byGrp("a") >= 50L && byGrp("a") <= 200L, s"cap ~100: ${byGrp("a")}")
+    // deterministic under repartitioning
+    val again = Sampling.capPerGroup(df.repartition(17), "grp", "id", 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratifiedSample applies per-stratum fractions; unlisted strata drop") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
       .toDF("id", "lang")
