@@ -45,6 +45,17 @@ object ScaleCheck {
     time(s"embedding_lsh(p=$planes)")(
       Dedup.embeddingNearDupLsh(emb, threshold = 0.3, dims = 64,
         planes = planes, tables = 2))
+    // r6 additions: CC over the LSH pair graph (the scale-path edge set —
+    // rounds = component diameter, frames ∝ duplicated subset), and
+    // Misra-Gries heavy hitters over the full token stream (state bounded
+    // at k counters/partition regardless of vocabulary size)
+    time("cc_over_lsh_pairs")(
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100)))
+    time("heavy_hitters(k=30)")(
+      graft.operators.HeavyHitters.heavyHitters(
+        docs.select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("item")), "item", 30))
     spark.stop()
   }
 }
