@@ -1514,6 +1514,33 @@ object QueryCatalog {
       |            % 1000000 < t.thr)
       |SELECT source, count(*) AS n_kept FROM k GROUP BY source""".stripMargin
 
+  /** Benchmark decontamination: docs sharing an 8-gram with the held-out
+    * set (doc_id % 10 == 0) are flagged with their overlap count. */
+  def q73Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), 8)
+  }
+
+  val q73Sql: String =
+    s"""${shingleCte(8)},
+       |bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 10 = 0)
+       |SELECT s.doc_id, count(*) AS n_contaminated FROM s JOIN bench USING (shingle)
+       |WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id""".stripMargin
+
+  /** Repetition detection: top-2-gram share per doc, integer-exact
+    * verdict at the 20% threshold. */
+  def q74Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), 2)
+
+  val q74Sql: String =
+    s"""${shingleCte(2)},
+       |per AS (SELECT doc_id, shingle, count(*) AS c FROM sdup GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(max(c) AS BIGINT) AS max_gram,
+       |  (max(c) * 5 > sum(c)) AS repetitive
+       |FROM per GROUP BY doc_id""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1591,7 +1618,9 @@ object QueryCatalog {
     ("q69_sequence_packing", q69SequencePacking _, Some(q69Sql)),
     ("q70_boilerplate", q70Boilerplate _, Some(q70Sql)),
     ("q71_cms_frequency", q71CmsFrequency _, Some(q71Sql)),
-    ("q72_source_cap", q72SourceCap _, Some(q72Sql)))
+    ("q72_source_cap", q72SourceCap _, Some(q72Sql)),
+    ("q73_decontamination", q73Decontamination _, Some(q73Sql)),
+    ("q74_repetition", q74Repetition _, Some(q74Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

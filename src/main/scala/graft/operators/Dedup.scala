@@ -258,6 +258,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥1 word
+    * n-gram with a held-out evaluation set — the standard guard against
+    * test-set leakage into training data (GPT-3-style n-gram overlap,
+    * which catches near-verbatim inclusions that exact dedup misses).
+    *
+    * Scale: the benchmark shingle set is FIXED SIZE (eval suites are tiny
+    * next to the corpus) and broadcasts; the corpus side is the map-only
+    * shingle Generate + one doc_id aggregate of the (rare) matches. At
+    * extreme corpus scale replace the broadcast with a bloom filter of
+    * the benchmark set — same shape, no false negatives added to review.
+    * Returns (doc_id, n_contaminated = distinct shared shingles).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bench = shinglePairs(benchmark, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    shinglePairs(corpus, n, idCol, textCol)
+      .join(broadcast(bench), Seq("shingle")) // distinct per doc → count = distinct shared
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Boilerplate detection: n-gram segments whose DOCUMENT frequency is
     * abnormally high are template/boilerplate content (nav bars, license
     * headers, repeated disclaimers), and removing them before training is

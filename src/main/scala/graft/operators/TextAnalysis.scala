@@ -154,6 +154,22 @@ object TextAnalysis {
         (col("_before") % capacity).as("pack_offset"))
   }
 
+  /** Repetition detection (the Gopher duplicate-n-gram rule): per document,
+    * the total n-gram occurrence count, the most frequent single n-gram's
+    * count, and a `repetitive` verdict when the top n-gram exceeds 20% of
+    * all occurrences — integer cross-multiplied, so engine-exact. Uses the
+    * NON-distinct n-gram stream (occurrences, not the shingle set): two
+    * aggregates, both keyed by doc_id (no cross-doc shuffle width).
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      graft.functions.NGramsGenerator.ngrams(col("text"), n))
+    grams.groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("n_grams"), max(col("_c")).as("max_gram"))
+      .withColumn("repetitive", col("max_gram") * 5 > col("n_grams"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

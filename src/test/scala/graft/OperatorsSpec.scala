@@ -107,6 +107,30 @@ class OperatorsSpec extends SparkSpec {
       (20L, "signup", 1L, true, None)))
   }
 
+  test("decontaminate flags docs sharing an n-gram with the benchmark set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix"), // contains bench 6-gram
+      (2L, "totally unrelated content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(corpus, bench, 6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(out === Map(1L -> 1L), s"only doc 1 shares the 6-gram: $out")
+  }
+
+  test("repetitionStats counts occurrences (not distinct) and flags heavy repeats") {
+    val d = Seq(
+      (1L, "spam ham " * 20 + "end"),            // 'spam ham' dominates
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))  // all 2-grams unique
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionStats(d, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("max_gram"), r.getAs[Boolean]("repetitive")))
+      .toMap
+    assert(out(1L)._2 === 20L && out(1L)._3 === true, s"doc 1: ${out(1L)}")
+    assert(out(2L)._2 === 1L && out(2L)._3 === false)
+  }
+
   test("connectedComponents labels every node with the min reachable id") {
     // chain 1-2-3 plus 2-4 (star), disjoint pair 10-11: min-label
     // propagation must cross multiple hops, not just direct neighbors
