@@ -1408,9 +1408,8 @@ object QueryCatalog {
     * vocabulary. k=30 over the token stream. */
   def q67HeavyHitters(s: SparkSession, dir: String): DataFrame =
     HeavyHitters.heavyHitters(
-      t(s, dir, "documents").select(
-        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
-          .as("item")),
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item")),
       "item", 30)
 
   val q67Sql: String =

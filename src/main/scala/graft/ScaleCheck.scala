@@ -54,8 +54,8 @@ object ScaleCheck {
         Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100)))
     time("heavy_hitters(k=30)")(
       graft.operators.HeavyHitters.heavyHitters(
-        docs.select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
-          .as("item")), "item", 30))
+        docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("item")),
+        "item", 30))
     spark.stop()
   }
 }

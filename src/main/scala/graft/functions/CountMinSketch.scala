@@ -48,13 +48,19 @@ case class CmsSketchAgg(
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")
 
+  // row prefixes are loop-invariant — interpolating + encoding them per
+  // input row × depth would be billions of short-lived allocations at the
+  // scale this aggregate exists for
+  @transient private lazy val rowPrefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(r => s"$r:".getBytes)
+
   /** First 15 hex digits of md5(prefix:value) as a non-negative long —
     * identical to the oracle's CAST('0x'||substring(md5(…),1,15) AS
     * BIGINT): the first 8 digest bytes are the first 16 hex digits, and
     * dropping the 16th digit is a 4-bit shift. */
   private def bucket(r: Int, bytes: Array[Byte]): Int = {
     digest.reset()
-    digest.update(s"$r:".getBytes)
+    digest.update(rowPrefixes(r))
     val h = digest.digest(bytes)
     var be = 0L
     var i = 0

@@ -357,6 +357,13 @@ object Dedup {
       labels = next
       round += 1
     }
+    // a silent exit with changed > 0 would return WRONG labels (one
+    // component split into several clusters) — fail loudly instead; the
+    // caller raises maxRounds (or switches to large-star/small-star) for
+    // adversarial diameter-{maxRounds}+ chain graphs
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still changing — graph diameter exceeds maxRounds)")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 

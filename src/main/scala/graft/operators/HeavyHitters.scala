@@ -50,12 +50,17 @@ object HeavyHitters {
   }
 
   /** Exact items with `count × k > N` (frequency > 1/k of the corpus),
-    * via MG candidates + recount. `itemCol` is cast to string. */
+    * via MG candidates + recount. `itemCol` is cast to string; NULL items
+    * are ignored (like SQL aggregates), and N counts non-null rows only —
+    * so the output matches `GROUP BY item HAVING count(*)·k > N` over the
+    * non-null stream exactly. (Counting nulls instead would silently
+    * understate every threshold while the join could never report them.) */
   def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val s = items.sparkSession
     import s.implicits._
     val strItems = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
     val obs = Observation()
     // candidates + total N in ONE pass (N rides the job as a metric)
     val cands = strItems

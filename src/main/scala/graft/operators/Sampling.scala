@@ -66,10 +66,13 @@ object Sampling {
                   salt: String = ""): DataFrame = {
     require(cap > 0, "cap must be positive")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-    df.join(broadcast(counts), groupCol)
+      .withColumnRenamed(groupCol, "_grp")
+    // null-SAFE join: a NULL group is a real group (it must be capped like
+    // any other, not silently dropped by null ≠ null join semantics)
+    df.join(broadcast(counts), col(groupCol) <=> col("_grp"))
       .withColumn("_thr", least(lit(buckets), expr(s"(${cap}L * ${buckets}L) div _n")))
       .filter(hashBucket(col(keyCol), salt) < col("_thr"))
-      .drop("_n", "_thr")
+      .drop("_grp", "_n", "_thr")
   }
 
   /** Train/validation/test split by key hash: returns the input with a

@@ -15,6 +15,13 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(text, " "))
 
+  /** Normalized whitespace tokens (lower + trim + collapse runs), the ONE
+    * definition of the token stream — mirrored by the oracle's
+    * `string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')`
+    * and by NGramsGenerator's internal walk. Callers explode it. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
   /** BPE-ish token count: letter runs, digit runs, or single non-space
     * symbols — a cheap proxy for subword tokenizer load. */
   def tokenCountBpe(text: Column): Column =

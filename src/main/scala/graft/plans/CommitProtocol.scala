@@ -129,7 +129,10 @@ object CommitProtocol {
     val snap = readPointer(tableDir, pointerFile)
     val attempt = compute(snap)
     val v = reserveVersion(tableDir)
-    var result: Option[T] = None
+    // `committed` flips the moment swap() lands: from then on v is the
+    // LIVE version and must never be deleted — even if the result thunk
+    // below throws, the pointer already references v
+    var committed = false
     // in-flight registration is released in finally: a failed write (or
     // cancellation) must not leak the entry, or vacuum could never reclaim
     // the half-written dir for the life of the JVM
@@ -138,16 +141,16 @@ object CommitProtocol {
       lockFor(tableDir).synchronized {
         if (readPointer(tableDir, pointerFile) == snap) {
           attempt.swap(v)
-          result = Some(attempt.result(v))
+          committed = true
         }
       }
     } finally {
       // losers/failures delete before deregistering so vacuum never races
       // the walk; winners deregister their (now live) dir only
-      if (result.isEmpty) deleteDir(Paths.get(s"$tableDir/v$v"))
+      if (!committed) deleteDir(Paths.get(s"$tableDir/v$v"))
       inFlight.remove(s"${tableKey(tableDir)}/v$v")
     }
-    result
+    if (committed) Some(attempt.result(v)) else None
   }
 
   /** The standard writer path: retry [[commitOnce]] until the swap lands
@@ -170,6 +173,7 @@ object CommitProtocol {
                      retainMillis: Long = 0L,
                      ageMillis: Path => Long): Seq[Long] =
     lockFor(tableDir).synchronized {
+      if (!Files.exists(Paths.get(tableDir))) return Nil // never-written table: no-op
       val ls = Files.list(Paths.get(tableDir))
       val dead = try ls.iterator().asScala
         .filter(p => p.getFileName.toString.matches("v\\d+"))

@@ -56,18 +56,16 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
       .getOrElse(throw new java.nio.file.NoSuchFileException(
         s"${tableDir(name)}/$PointerFile")))
 
-  /** CAS commit of `df` as the table's next version. `df` must already be
-    * materialized (localCheckpoint) — the write inside the loop is then a
-    * cheap replay from memory, and a conflict retry recomputes upstream. */
-  private def commitVersion(name: String, df: DataFrame): Unit = {
-    CommitProtocol.commitLoop(tableDir(name), PointerFile) { _ =>
-      Attempt[Unit](
-        writeVersion = v => df.write.mode("overwrite")
-          .parquet(s"${tableDir(name)}/v$v"),
-        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
-        result = _ => ())
-    }
-  }
+  /** The store's one Attempt shape: write `out` (already materialized via
+    * localCheckpoint — the write is a cheap replay from memory) as version
+    * v, flip `_CURRENT` to it. Every commit path below builds exactly
+    * this, differing only in how `out` is computed from the snapshot. */
+  private def casAttempt(name: String, out: DataFrame): Attempt[DataFrame] =
+    Attempt[DataFrame](
+      writeVersion = v => out.write.mode("overwrite")
+        .parquet(s"${tableDir(name)}/v$v"),
+      swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
+      result = _ => out)
 
   /** Distributed dense id assignment — see [[KeyAssign.dense]] (shared with
     * BucketedMergeWriter; no global window, no single-task sort). */
@@ -105,12 +103,8 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
             .unionByName(known.select(cols.map(col): _*))
             .unionByName(freshKeyed.select(cols.map(col): _*))
       }
-      val out = merged.localCheckpoint(true) // cut lineage before overwrite
-      Attempt[DataFrame](
-        writeVersion = v => out.write.mode("overwrite")
-          .parquet(s"${tableDir(name)}/v$v"),
-        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
-        result = _ => out) // post-merge table, already in memory — no re-scan
+      // cut lineage before overwrite; result is in memory — no re-scan
+      casAttempt(name, merged.localCheckpoint(true))
     }
   }
 
@@ -124,12 +118,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
         case None    => batch
         case Some(v) => readVersion(name, v).unionByName(batch)
       }
-      val out = merged.localCheckpoint(true)
-      Attempt[DataFrame](
-        writeVersion = v => out.write.mode("overwrite")
-          .parquet(s"${tableDir(name)}/v$v"),
-        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
-        result = _ => out)
+      casAttempt(name, merged.localCheckpoint(true))
     }
 
   /** Atomic whole-table replace: a fresh version + pointer flip. The
@@ -138,8 +127,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
   def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
     val out = batch.localCheckpoint(true)
     require(!out.isEmpty, s"replaceTable($name) with an empty batch (trait contract)")
-    commitVersion(name, out)
-    out
+    CommitProtocol.commitLoop(tableDir(name), PointerFile)(_ => casAttempt(name, out))
   }
 
   /** Fact upsert: pure last-write-wins on the fact natural key, no sk. */
@@ -151,12 +139,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
           readVersion(name, v).join(batch.select(natKey.map(col): _*), natKey, "left_anti")
             .unionByName(batch)
       }
-      val out = merged.localCheckpoint(true)
-      Attempt[DataFrame](
-        writeVersion = v => out.write.mode("overwrite")
-          .parquet(s"${tableDir(name)}/v$v"),
-        swap = v => CommitProtocol.atomicWrite(tableDir(name), PointerFile, s"v$v"),
-        result = _ => out)
+      casAttempt(name, merged.localCheckpoint(true))
     }
 
   /** Reclaim superseded version directories (all but the pointer target),

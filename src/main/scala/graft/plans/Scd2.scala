@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,15 +34,17 @@ object Scd2 {
     * effective_from, effective_to (NULL = open), version, is_current. */
   def history(events: DataFrame, keyCol: String, attrCol: String,
               tsCol: String, ordCol: String): DataFrame = {
-    val byKey: Seq[Column] = Seq(col(tsCol), col(ordCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(byKey: _*)
+    // ONE window spec for both passes: the change-detection lag and the
+    // interval-closing lead/row_number must never desynchronize their
+    // ordering (and sharing the spec lets the second pass reuse the first
+    // pass's exchange + sort — PlanSpec asserts the single shuffle)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
     val changes = events
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
       .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
-    val w2 = Window.partitionBy(col(keyCol)).orderBy(byKey: _*)
     changes
-      .withColumn("effective_to", lead(col(tsCol), 1).over(w2))
-      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
       .select(col(keyCol), col(attrCol).as("state"),
         col(tsCol).as("effective_from"), col("effective_to"), col("version"),
         col("effective_to").isNull.as("is_current"))

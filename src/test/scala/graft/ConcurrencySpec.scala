@@ -127,6 +127,11 @@ class ConcurrencySpec extends SparkSpec {
     assert(after === Seq((1L, 2L)))
   }
 
+  test("simple store: vacuum of a never-written table is a no-op, not a crash") {
+    val store = new MergeWriter(spark, freshRoot())
+    store.vacuum("never_created") // must not throw
+  }
+
   test("vacuum racing merges reaps only dead versions, never in-flight ones") {
     val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
     store.mergeFact("f", Seq((1L, 0L)).toDF("id", "rnd"), Seq("id"))

@@ -147,6 +147,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out === (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents raises (never silently mislabels) past maxRounds") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxRounds = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("heavyHitters ignores NULL items (counts and threshold exclude them)") {
+    val df = (Seq.fill(30)(Some("hot")) ++ Seq.fill(60)(Option.empty[String]) ++
+      (1 to 10).map(i => Some(s"cold_$i"))).toDF("item")
+    val got = graft.operators.HeavyHitters.heavyHitters(df, "item", 3)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
+    // non-null N = 40; hot: 30*3 > 40 → in; nulls must neither appear nor
+    // inflate N (with nulls counted, N=100 and hot would fail 30*3 > 100)
+    assert(got === Map("hot" -> 30L))
+  }
+
   test("jaccardPairs and minhashLsh both surface the planted near-dup pair") {
     val j = Dedup.jaccardPairs(docs, 2, 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -55,6 +55,16 @@ class SamplingSpec extends SparkSpec {
     assert(again === kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("capPerGroup treats a NULL group as a real group (capped, not dropped)") {
+    val df = ((1L to 50L).map(i => (i, Option.empty[String])) ++
+      (100L to 119L).map(i => (i, Some("a")))).toDF("id", "grp")
+    val kept = Sampling.capPerGroup(df, "grp", "id", 100)
+    val byGrp = kept.collect().map(r => Option(r.getAs[String]("grp")))
+      .groupBy(identity).map { case (g, xs) => g -> xs.length }
+    assert(byGrp.getOrElse(None, 0) === 50, s"null group under cap must survive whole: $byGrp")
+    assert(byGrp.getOrElse(Some("a"), 0) === 20)
+  }
+
   test("stratifiedSample applies per-stratum fractions; unlisted strata drop") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
       .toDF("id", "lang")
