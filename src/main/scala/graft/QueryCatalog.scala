@@ -1540,6 +1540,32 @@ object QueryCatalog {
        |  (max(c) * 5 > sum(c)) AS repetitive
        |FROM per GROUP BY doc_id""".stripMargin
 
+  /** Duplicate clustering over the SCALE-PATH edge set: connected
+    * components on the MinHash-LSH pair graph (banded, hot-bucket-capped —
+    * never all-pairs), so the 100 TB composition itself is oracle-checked,
+    * not just the quadratic baseline of q65. */
+  def q75DuplicateClustersLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
+        threshold = 0.5, maxBucket = 100))
+
+  /** q24's pair pipeline verbatim, with the final pair SELECT folded into
+    * a CTE and the recursive-CTE closure from q65 appended. */
+  val q75Sql: String = {
+    val pairSelect = "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"
+    assert(q24Sql.endsWith(pairSelect), "q75Sql tracks q24Sql's pair tail")
+    q24Sql.replaceFirst("WITH ", "WITH RECURSIVE ")
+      .dropRight(pairSelect.length).stripTrailing() + ",\n" +
+      """p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1619,7 +1645,8 @@ object QueryCatalog {
     ("q71_cms_frequency", q71CmsFrequency _, Some(q71Sql)),
     ("q72_source_cap", q72SourceCap _, Some(q72Sql)),
     ("q73_decontamination", q73Decontamination _, Some(q73Sql)),
-    ("q74_repetition", q74Repetition _, Some(q74Sql)))
+    ("q74_repetition", q74Repetition _, Some(q74Sql)),
+    ("q75_duplicate_clusters_lsh", q75DuplicateClustersLsh _, Some(q75Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
