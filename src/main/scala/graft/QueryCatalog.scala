@@ -235,11 +235,20 @@ object QueryCatalog {
   /** P2 — lossy int coercion over real columns rendered as strings:
     * "20.0"→20, garbage→NULL, overflow→NULL (never a crash: ANSI-safe). */
   def q11IntCoercion(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select(
-      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-      Cleanse.toIntLossy(col("l_quantity").cast("string")).as("qty_int"),
-      Cleanse.toIntLossy(col("l_returnflag")).as("flag_int"),
-      Cleanse.toIntLossy(concat(col("l_extendedprice").cast("string"), lit("e290"))).as("overflow_int"))
+    // pre-project the string forms once: the coercion chain references its
+    // input across CASE branches where subexpr elimination doesn't reach,
+    // so an inlined double→string format would re-execute per reference
+    // (same fix as q14 — attribute reads are free, Casts are not)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("string").as("_qty"),
+        col("l_returnflag").as("_flag"),
+        concat(col("l_extendedprice").cast("string"), lit("e290")).as("_over"))
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        Cleanse.toIntLossy(col("_qty")).as("qty_int"),
+        Cleanse.toIntLossy(col("_flag")).as("flag_int"),
+        Cleanse.toIntLossy(col("_over")).as("overflow_int"))
 
   val q11Sql: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -254,9 +263,11 @@ object QueryCatalog {
     val f = when(col("event_id") % 3 === 0, date_format(col("ts"), "M/d/yyyy"))
       .when(col("event_id") % 3 === 1, date_format(col("ts"), "yyyy-MM-dd"))
       .otherwise(date_format(col("ts"), "d.M.yyyy"))
-    t(s, dir, "events").select(
-      col("event_id"),
-      Cleanse.parseDateMulti(f).as("parsed"))
+    // pre-project: parseDateMulti tries three formats against its input —
+    // inlined, the date_format CASE would re-render up to 3× per row
+    t(s, dir, "events")
+      .select(col("event_id"), f.as("_raw"))
+      .select(col("event_id"), Cleanse.parseDateMulti(col("_raw")).as("parsed"))
   }
 
   val q12Sql: String =
@@ -290,11 +301,19 @@ object QueryCatalog {
   /** P7 — field-alias coalesce: first alias is genuinely missing (absent
     * JSON key), falls through to the second. */
   def q14AliasCoalesce(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
-      col("event_id"),
-      Cleanse.aliasKey(
-        get_json_object(col("props"), "$.missing"),
-        col("user_id").cast("string")).as("resolved_key"))
+    // two Projects on purpose: aliasKey's coercion chain references its
+    // input several times across CASE branches, where codegen subexpr
+    // elimination does NOT apply — inlined, the get_json_object JSON parse
+    // re-executed per reference (~5× q16's cost for the same scan).
+    // Materializing the coalesce as a named column first makes every
+    // downstream reference a free attribute read; CollapseProject keeps
+    // the split (it never re-inlines non-cheap expressions).
+    t(s, dir, "events")
+      .select(col("event_id"),
+        coalesce(
+          Cleanse.trimToNull(get_json_object(col("props"), "$.missing")),
+          Cleanse.trimToNull(col("user_id").cast("string"))).as("_raw"))
+      .select(col("event_id"), Cleanse.toIntLossy(col("_raw")).as("resolved_key"))
 
   val q14Sql: String =
     """SELECT event_id,
@@ -305,10 +324,13 @@ object QueryCatalog {
 
   /** P9 — default-on-null measures. */
   def q15DefaultZero(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select(
-      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-      Cleanse.defaultZeroLong(col("l_returnflag")).as("garbage_to_zero"),
-      Cleanse.defaultZeroDouble(col("l_discount").cast("string")).as("roundtrip_discount"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_discount").cast("string").as("_disc")) // format once (see q14)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        Cleanse.defaultZeroLong(col("l_returnflag")).as("garbage_to_zero"),
+        Cleanse.defaultZeroDouble(col("_disc")).as("roundtrip_discount"))
 
   val q15Sql: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
