@@ -1588,6 +1588,131 @@ object QueryCatalog {
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
   }
 
+  /** PII redaction audit (TextAnalysis.redactPii): per-doc match counts +
+    * the redacted-text fingerprint. The corpus text is synthetic words, so
+    * the fixture plants PII deterministically from doc_id (2/3 of docs get
+    * an email + IP + phone appended, identically in both engines) — the
+    * OPERATOR is generic; only the fixture is synthetic. */
+  def q76PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val aug = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0."),
+          pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".7 or +1 555 0"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")))
+        .otherwise(lit("")))
+    TextAnalysis.piiProfile(d.select(col("doc_id"), aug.as("text")))
+  }
+
+  val q76Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{1,3} \\d{3} \\d{4}"
+    s"""WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 <> 0 THEN
+       |  ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.' ||
+       |  CAST(doc_id % 200 AS VARCHAR) || '.7 or +1 555 0' ||
+       |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |  ELSE '' END AS text FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(length(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(length(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')) AS redacted_md5
+       |FROM aug""".stripMargin
+  }
+
+  /** BM25 relevance (TextAnalysis.bm25, k1=1.2/b=0.75) for a fixed query
+    * term set — tf/df/dl exact longs, per-term scores rounded to 6 then
+    * summed in DECIMAL so accumulation order cannot move the total. */
+  def q77Bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), Seq("table", "stream", "vector"))
+
+  val q77Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM b2),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+       |       WHERE term IN ('table', 'stream', 'vector') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |   round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |     * (CAST(tf AS DOUBLE) * 2.2)
+       |     / (CAST(tf AS DOUBLE) + 0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE))), 6) AS s
+       |   FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Daily gap-fill + forward fill (TimeSeries.gapFillDaily) over a
+    * sparse event slice — dense per-series daily grid, imputed points
+    * flagged. Values ride DECIMAL(18,2) through the fill; the window is
+    * partitioned by series (the scale dimension). */
+  def q78GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(pmod(col("user_id"), lit(50)) === 0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("v"))
+    operators.TimeSeries.gapFillDaily(daily, "event_type", "day", "v")
+      .select(col("event_type"), col("day"), col("was_gap"),
+        col("v").cast("double").as("value"))
+  }
+
+  val q78Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      |      FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+      |spine AS (SELECT s.event_type,
+      |          CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP), CAST(b.mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM (SELECT DISTINCT event_type FROM daily) s, b),
+      |j AS (SELECT sp.event_type, sp.day, d.v FROM spine sp LEFT JOIN daily d USING (event_type, day))
+      |SELECT event_type, day, v IS NULL AS was_gap,
+      |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+      |FROM j""".stripMargin
+
+  /** Temperature-based mixture rebalancing (Sampling.temperatureRebalance,
+    * α=0.5) over the skewed `lang` mixture: `en` is 2.9× the smallest
+    * source by count but only gets its √-flattened share of the 200-doc
+    * budget. Audit = kept docs per language. */
+  def q79MixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureRebalance(
+      t(s, dir, "documents"), "lang", "doc_id", 200)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+
+  val q79Sql: String =
+    """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |w AS (SELECT lang, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt FROM n),
+      |t AS (SELECT lang, wt, (200 * wt) // (SELECT sum(wt) FROM w) AS target FROM w),
+      |r AS (SELECT d.lang, row_number() OVER (PARTITION BY d.lang
+      |        ORDER BY CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000, d.doc_id) AS rn
+      |      FROM documents d)
+      |SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept
+      |FROM r JOIN t USING (lang) WHERE rn <= t.target GROUP BY 1""".stripMargin
+
+  /** q73's decontamination through the Bloom-filter scale path
+    * (Dedup.decontaminateBloom): benchmark shingles collapse into one
+    * broadcast bit-set, the corpus stream is pre-filtered map-side, and
+    * the exact verify join kills the false-positive tail — so the result
+    * is IDENTICAL to the plain exact formulation, which is what the
+    * oracle runs (6-grams here vs q73's 8-grams, so the two rows differ). */
+  def q80DecontaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), 6)
+  }
+
+  val q80Sql: String =
+    s"""${shingleCte(6)},
+       |bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 10 = 0)
+       |SELECT s.doc_id, count(*) AS n_contaminated FROM s JOIN bench USING (shingle)
+       |WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1668,7 +1793,12 @@ object QueryCatalog {
     ("q72_source_cap", q72SourceCap _, Some(q72Sql)),
     ("q73_decontamination", q73Decontamination _, Some(q73Sql)),
     ("q74_repetition", q74Repetition _, Some(q74Sql)),
-    ("q75_duplicate_clusters_lsh", q75DuplicateClustersLsh _, Some(q75Sql)))
+    ("q75_duplicate_clusters_lsh", q75DuplicateClustersLsh _, Some(q75Sql)),
+    ("q76_pii_redaction", q76PiiRedaction _, Some(q76Sql)),
+    ("q77_bm25", q77Bm25 _, Some(q77Sql)),
+    ("q78_gap_fill", q78GapFill _, Some(q78Sql)),
+    ("q79_mixture_temperature", q79MixtureTemperature _, Some(q79Sql)),
+    ("q80_decontamination_bloom", q80DecontaminationBloom _, Some(q80Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -122,6 +122,31 @@ object Sketches {
       CmsSketchAgg(Bridge.toExpression(c.cast("string")), depth, width)
         .toAggregateExpression())
 
+  /** Bloom filter of `c` (string form): a `numBits`-bit set packed into
+    * longs, built map-side and OR-merged. Query with [[bloomMightContain]].
+    * Size it as m ≈ −n·ln(fpr)/ln(2)², k ≈ (m/n)·ln(2). */
+  def bloomFilter(c: Column, numBits: Int = 1 << 16, numHashes: Int = 3): Column =
+    Bridge.toColumn(
+      BloomFilterAgg(Bridge.toExpression(c.cast("string")), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilter]] array: true iff every one
+    * of the k md5-derived bits is set. Pure Column math (codegen'd) — the
+    * filter is typically a one-row broadcast next to the probe stream, so
+    * this is a map-only pre-filter in front of an exact join. No false
+    * negatives; false positives bounded by the m/n/k sizing. */
+  def bloomMightContain(bf: Column, item: Column,
+                        numBits: Int = 1 << 16, numHashes: Int = 3): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until numHashes).map { k =>
+      val h = conv(substring(md5(concat(lit(s"$k:"), item.cast("string"))), 1, 15),
+        16, 10).cast("long") % numBits
+      call_function("shiftright",
+        element_at(bf, (h / 64).cast("int") + 1), (h % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** Point-frequency estimate off a [[cmsSketch]] array: min over rows of
     * the item's bucket counter. Pure Column math (codegen'd) — the sketch
     * is typically a one-row broadcast next to a probe set. */

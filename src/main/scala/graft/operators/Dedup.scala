@@ -279,6 +279,34 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** [[decontaminate]]'s scale path for benchmark sets too big to
+    * broadcast as a hash relation: build a Bloom filter of the benchmark
+    * shingles (one agg row — a few MB of longs regardless of benchmark
+    * cardinality), broadcast THAT, and pre-filter the corpus shingle
+    * stream map-side before the exact verification join. The verify join
+    * deliberately carries no broadcast hint: its corpus side is only the
+    * Bloom survivors (true overlaps + the small false-positive tail), so
+    * at 100 TB it is a shuffle join over a stream the filter already cut
+    * by ~(1 − fpr). Bloom filters have no false negatives, so the result
+    * is IDENTICAL to [[decontaminate]] — which is exactly what the oracle
+    * checks.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                         numBits: Int = 1 << 16, numHashes: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bench = materialize(shinglePairs(benchmark, n, idCol, textCol)
+      .select(col("shingle")).distinct())
+    val filt = bench.agg(
+      graft.functions.Sketches.bloomFilter(col("shingle"), numBits, numHashes).as("_bf"))
+    shinglePairs(corpus, n, idCol, textCol)
+      .crossJoin(broadcast(filt))
+      .filter(graft.functions.Sketches.bloomMightContain(
+        col("_bf"), col("shingle"), numBits, numHashes))
+      .drop("_bf")
+      .join(bench, Seq("shingle")) // exact verify: kills the fp tail
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Boilerplate detection: n-gram segments whose DOCUMENT frequency is
     * abnormally high are template/boilerplate content (nav bars, license
     * headers, repeated disclaimers), and removing them before training is

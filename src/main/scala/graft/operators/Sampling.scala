@@ -75,6 +75,39 @@ object Sampling {
       .drop("_grp", "_n", "_thr")
   }
 
+  /** Temperature-based mixture rebalancing (α = 0.5): resample sources in
+    * proportion to `√n_source` instead of `n_source`, the standard move
+    * that keeps small high-quality sources from being drowned by one big
+    * crawl dump (hard capping, [[capPerGroup]], is the α→0 limit of this).
+    *
+    * Everything is ENGINE-EXACT: the weight is `floor(√n)` (IEEE sqrt is
+    * correctly rounded in every engine, so its floor over a bigint is
+    * deterministic), targets are integer `totalTarget·w div Σw`, and the
+    * per-source selection is `row_number ≤ target` over the content-hash
+    * order (ties on the key) — no float normalization whose summation
+    * order could flip a row.
+    *
+    * Scale: one tiny count aggregate broadcast back, then ONE window
+    * partitioned by source — each source's rank fan-outs independently;
+    * no global sort, no RNG. */
+  def temperatureRebalance(df: DataFrame, groupCol: String, keyCol: String,
+                           totalTarget: Long, salt: String = ""): DataFrame = {
+    require(totalTarget > 0, "totalTarget must be positive")
+    val weights = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
+    val totW = weights.agg(sum(col("_w")).as("_tw"))
+    val targets = weights.crossJoin(broadcast(totW))
+      .withColumn("_target", expr(s"(${totalTarget}L * _w) div _tw"))
+      .withColumnRenamed(groupCol, "_grp")
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol), salt), col(keyCol))
+    df.join(broadcast(targets), col(groupCol) <=> col("_grp"))
+      .withColumn("_rn", row_number().over(rn))
+      .filter(col("_rn") <= col("_target"))
+      .drop("_grp", "_n", "_w", "_tw", "_target", "_rn")
+  }
+
   /** Train/validation/test split by key hash: returns the input with a
     * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
     * for a given key forever — the property that keeps a test set clean

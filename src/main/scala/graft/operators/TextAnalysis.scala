@@ -177,6 +177,80 @@ object TextAnalysis {
       .withColumn("repetitive", col("max_gram") * 5 > col("n_grams"))
   }
 
+  /** PII patterns, written in the common subset of Java regex and RE2 so
+    * redaction and the DuckDB oracle match byte-for-byte: no alternation
+    * inside a quantified group, no backreferences, no lookaround (Java is
+    * leftmost-FIRST, RE2 leftmost-LONGEST — pure greedy quantifiers over
+    * disjoint character classes behave identically in both). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3} \\d{3} \\d{4}"
+
+  /** PII redaction — the scrubbing pass every training corpus runs before
+    * anything else (emails, IPv4 addresses, international-format phone
+    * numbers → typed placeholders). Order matters and is fixed: emails
+    * first (their local parts can contain dotted digit runs an IP pattern
+    * would half-match), then IPs, then phones. Pure `regexp_replace`
+    * chain: one scan, codegen'd, no shuffle at any corpus size. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII audit: match counts per category (on the ORIGINAL
+    * text) plus the md5 fingerprint of the redacted text — what a
+    * compliance pass stores so re-runs can prove the corpus is clean
+    * without retaining the raw strings. */
+  def piiProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(redactPii(col(textCol))).as("redacted_md5"))
+
+  /** BM25 relevance scores for a fixed query-term set (Robertson/Okapi,
+    * k1=1.2, b=0.75) — the retrieval-quality scorer a data pipeline uses
+    * to mine domain-relevant documents from a crawl.
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the tf
+    * aggregate (the per-doc stream shrinks from |doc| to |matches|), df
+    * and the corpus stats are tiny broadcast frames, so the whole scorer
+    * is one shuffle on (doc, term).
+    *
+    * Engine parity: tf/df/dl/N are exact longs; per-term scores are one
+    * fixed-shape double expression (idf via ln, the constants spelled as
+    * decimal literals that parse identically everywhere) rounded to 6
+    * places — and the cross-term SUM runs over DECIMAL(18,6) of those
+    * rounded scores, so accumulation order cannot change the total. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); norm = dl·N/Σdl (exact long
+    // product, ONE double division). Same expression shape as the oracle.
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val norm = (col("dl") * col("n_docs")).cast("double") / col("total_dl").cast("double")
+    val termScore = round(
+      idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(0.3) + lit(0.9) * norm), 6)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), termScore.cast("decimal(18,6)").as("_s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("_s")).cast("double").as("score"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -324,4 +324,77 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((0.0, 0.0, 4L)))
     assert(out(3L)._2 <= 0.001 / 127 / 2 + 1e-6)
   }
+
+  test("redactPii scrubs emails/IPs/phones in order; piiProfile counts them") {
+    val d = Seq(
+      (1L, "mail alice.smith+x@corp.example.org and bob@x.io from 192.168.1.254 call +44 123 4567"),
+      (2L, "no pii here just words"),
+      (3L, "version 1.2.3 is not an ip, 10.0.0.1 is; 999 9999 lacks the +cc")
+    ).toDF("doc_id", "text")
+    val red = d.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>")
+    assert(red(2L) === "no pii here just words")
+    // 1.2.3 has only three octets -> untouched; bare 999 9999 is not a phone
+    assert(red(3L) === "version 1.2.3 is not an ip, <IP> is; 999 9999 lacks the +cc")
+    val prof = TextAnalysis.piiProfile(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof(1L) === ((2L, 1L, 1L)))
+    assert(prof(2L) === ((0L, 0L, 0L)))
+    assert(prof(3L) === ((0L, 1L, 0L)))
+  }
+
+  test("bm25: tf raises a doc's score, rarity raises a term's weight") {
+    val d = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "quartz filler filler filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25(d, Seq("spark", "quartz")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(s(1L)._2 > s(2L)._2, "higher tf outranks at equal dl")
+    // quartz: df=1 vs spark's df=2 -> bigger idf at the same tf and dl
+    assert(s(3L)._2 > s(2L)._2, "rarer term outweighs at equal tf")
+    assert(!s.contains(4L), "docs matching no query term get no row")
+    assert(s.values.forall(v => v._2 > 0.0))
+  }
+
+  test("gapFillDaily: dense spine, forward fill, leading gaps stay NULL") {
+    val daily = Seq(
+      ("a", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("a", java.sql.Date.valueOf("2024-01-04"), 40.0),
+      ("b", java.sql.Date.valueOf("2024-01-03"), 30.0)
+    ).toDF("series", "day", "v")
+    val out = graft.operators.TimeSeries.gapFillDaily(daily, "series", "day", "v")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(t => (t._1, t._2))
+    // both series get all 4 spine days (global min..max)
+    assert(out.count(_._1 == "a") === 4 && out.count(_._1 == "b") === 4)
+    val a = out.filter(_._1 == "a").map(t => (t._2, t._3, t._4))
+    assert(a === Array(
+      ("2024-01-01", false, Some(10.0)), ("2024-01-02", true, Some(10.0)),
+      ("2024-01-03", true, Some(10.0)), ("2024-01-04", false, Some(40.0))))
+    val b = out.filter(_._1 == "b").map(t => (t._2, t._3, t._4))
+    // nothing to carry before b's first observation
+    assert(b === Array(
+      ("2024-01-01", true, None), ("2024-01-02", true, None),
+      ("2024-01-03", false, Some(30.0)), ("2024-01-04", true, Some(30.0))))
+  }
+
+  test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
+    val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
+    val d = rows.toDF("id", "grp")
+    val kept = graft.operators.Sampling.temperatureRebalance(d, "grp", "id", 120)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights floor(sqrt): big 28, small 10 -> targets 120*28/38=88, 120*10/38=31
+    assert(byGrp === Map("big" -> 88L, "small" -> 31L))
+    // proportional allocation would have given big ~107 of 120: flattened
+    val stable = graft.operators.Sampling
+      .temperatureRebalance(d.repartition(17), "grp", "id", 120)
+      .collect().map(_.getLong(0)).toSet
+    assert(stable === kept.collect().map(_.getLong(0)).toSet,
+      "selection is content-determined, not partition-determined")
+  }
 }

@@ -83,4 +83,39 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("partial_hll_approx_nd"),
       s"expected a partial (map-side) sketch stage:\n$plan")
   }
+
+  test("bloom filter: NO false negatives, bounded false positives") {
+    val members = spark.range(2000).select(concat(lit("in"), col("id")).as("x"))
+    val filt = members.agg(Sketches.bloomFilter(col("x"), 1 << 16, 3).as("bf"))
+    val hits = members.crossJoin(filt)
+      .filter(Sketches.bloomMightContain(col("bf"), col("x"), 1 << 16, 3))
+      .count()
+    assert(hits === 2000L, "every inserted value must pass the probe")
+    // non-members: expected fpr ~ (1-e^(-3*2000/65536))^3 ~ 6e-4
+    val probes = spark.range(10000).select(concat(lit("out"), col("id")).as("x"))
+    val fp = probes.crossJoin(filt)
+      .filter(Sketches.bloomMightContain(col("bf"), col("x"), 1 << 16, 3))
+      .count()
+    assert(fp <= 30L, s"false-positive rate out of envelope: $fp / 10000")
+  }
+
+  test("bloom filter is independent of partitioning (merge is bitwise OR)") {
+    def bits(parts: Int): Seq[Long] =
+      spark.range(5000).repartition(parts).select(col("id").cast("string").as("x"))
+        .agg(Sketches.bloomFilter(col("x"), 4096, 3).as("bf"))
+        .head().getSeq[Long](0)
+    assert(bits(1) === bits(17))
+  }
+
+  test("decontaminateBloom output is IDENTICAL to the exact formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = graft.operators.Dedup.decontaminate(corpus, bench, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.operators.Dedup.decontaminateBloom(corpus, bench, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact, "bloom pre-filter must not change the result set")
+    assert(exact.nonEmpty, "fixture must actually contaminate something")
+  }
 }
