@@ -26,10 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * probe side is filtered BEFORE the shuffle of the exact verification
   * join ([[graft.operators.Dedup.decontaminateBloom]]).
   *
-  * DETERMINISTIC AND ENGINE-PORTABLE like the other sketches: hash k of a
-  * value is the first 15 hex digits (60 bits) of `md5(k || ':' || value)`
-  * mod numBits — exactly what [[Sketches.bloomMightContain]] recomputes in
-  * Column math, and what a DuckDB CTE would compute from the same bytes.
+  * DETERMINISTIC AND ENGINE-PORTABLE like the other sketches — and
+  * single-digest: hash k of a value is hex digits `[8k+1, 8k+8]` (32
+  * bits) of ONE `md5(value)` mod numBits, so an insert or probe costs one
+  * md5 however many hash functions are configured (the md5 windows are
+  * independent enough for Bloom indexing, the classic
+  * Kirsch-Mitzenmacher observation). [[Sketches.bloomMightContain]]
+  * recomputes exactly these slices in Column math — codegen's
+  * subexpression elimination evaluates the shared md5 once per row.
   */
 case class BloomFilterAgg(
     child: Expression,
@@ -41,7 +45,8 @@ case class BloomFilterAgg(
 
   require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 26),
     "numBits must be a positive multiple of 64, at most 2^26")
-  require(numHashes >= 1 && numHashes <= 16, "numHashes must be in [1, 16]")
+  require(numHashes >= 1 && numHashes <= 4,
+    "numHashes must be in [1, 4] (one 4-byte md5 window each)")
 
   override def prettyName: String = "bloom_filter"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -52,29 +57,18 @@ case class BloomFilterAgg(
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")
 
-  @transient private lazy val hashPrefixes: Array[Array[Byte]] =
-    Array.tabulate(numHashes)(k => s"$k:".getBytes)
-
-  /** Bit index for hash k: first 15 hex digits of md5(k:value) — the first
-    * 8 digest bytes shifted right 4 bits — mod numBits (see
-    * [[CmsSketchAgg.bucket]] for the hex-digit correspondence). */
-  private def bitIndex(k: Int, bytes: Array[Byte]): Int = {
-    digest.reset()
-    digest.update(hashPrefixes(k))
-    val h = digest.digest(bytes)
-    var be = 0L
-    var i = 0
-    while (i < 8) { be = (be << 8) | (h(i) & 0xffL); i += 1 }
-    ((be >>> 4) % numBits).toInt
-  }
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
+      digest.reset()
+      val h = digest.digest(v.asInstanceOf[UTF8String].getBytes)
       var k = 0
       while (k < numHashes) {
-        val b = bitIndex(k, bytes)
+        // digest bytes [4k, 4k+3] = hex digits [8k+1, 8k+8], unsigned
+        var be = 0L
+        var i = 4 * k
+        while (i < 4 * k + 4) { be = (be << 8) | (h(i) & 0xffL); i += 1 }
+        val b = (be % numBits).toInt
         buf(b >>> 6) |= 1L << (b & 63)
         k += 1
       }

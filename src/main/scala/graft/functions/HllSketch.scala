@@ -133,14 +133,17 @@ object Sketches {
   /** Membership probe against a [[bloomFilter]] array: true iff every one
     * of the k md5-derived bits is set. Pure Column math (codegen'd) — the
     * filter is typically a one-row broadcast next to the probe stream, so
-    * this is a map-only pre-filter in front of an exact join. No false
-    * negatives; false positives bounded by the m/n/k sizing. */
+    * this is a map-only pre-filter in front of an exact join. The k bit
+    * indexes are 8-hex-digit windows of ONE md5 (matching
+    * [[BloomFilterAgg]]); codegen subexpression elimination computes that
+    * md5 once per row. No false negatives; false positives bounded by the
+    * m/n/k sizing. */
   def bloomMightContain(bf: Column, item: Column,
                         numBits: Int = 1 << 16, numHashes: Int = 3): Column = {
     import org.apache.spark.sql.functions._
+    val hex = md5(item.cast("string"))
     (0 until numHashes).map { k =>
-      val h = conv(substring(md5(concat(lit(s"$k:"), item.cast("string"))), 1, 15),
-        16, 10).cast("long") % numBits
+      val h = conv(substring(hex, 8 * k + 1, 8), 16, 10).cast("long") % numBits
       call_function("shiftright",
         element_at(bf, (h / 64).cast("int") + 1), (h % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)

@@ -231,9 +231,13 @@ object TextAnalysis {
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    // tf is tiny (≤ docs × |queryTerms| rows): materialize it so the df
+    // aggregate and the score join read it back instead of re-running the
+    // tokenize + explode + aggregate over the corpus per plan branch
     val tf = base.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); norm = dl·N/Σdl (exact long
     // product, ONE double division). Same expression shape as the oracle.

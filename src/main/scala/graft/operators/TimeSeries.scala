@@ -24,13 +24,17 @@ object TimeSeries {
     */
   def gapFillDaily(daily: DataFrame, seriesCol: String, dayCol: String,
                    valueCol: String): DataFrame = {
-    val bounds = daily.agg(min(col(dayCol)).as("_mn"), max(col(dayCol)).as("_mx"))
-    val spine = daily.select(col(seriesCol)).distinct()
+    // three consumers below (bounds, series dim, join side): materialize so
+    // an expensive upstream (typically an aggregate over the raw event
+    // stream) runs ONCE, not once per plan branch
+    val d = daily.localCheckpoint(true)
+    val bounds = d.agg(min(col(dayCol)).as("_mn"), max(col(dayCol)).as("_mx"))
+    val spine = d.select(col(seriesCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(seriesCol), explode(sequence(col("_mn"), col("_mx"))).as(dayCol))
     val w = Window.partitionBy(col(seriesCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq(seriesCol, dayCol), "left")
+    spine.join(d, Seq(seriesCol, dayCol), "left")
       .select(col(seriesCol), col(dayCol),
         col(valueCol).isNull.as("was_gap"),
         last(col(valueCol), ignoreNulls = true).over(w).as(valueCol))
