@@ -403,18 +403,23 @@ object QueryCatalog {
   def q20TextProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(t(s, dir, "documents"))
 
-  val q20Sql: String = {
+  /** SQL mirror of TextAnalysis.qualityScore (shared by q20 and q83). */
+  private val qualitySqlExpr: String = {
     val stop = "len(regexp_extract_all(text, '\\b(the|a|of|and|or|in|to)\\b'))"
     val sym = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    s"""CAST((CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 40
+       |             WHEN n_chars BETWEEN 50 AND 5000 THEN 20 ELSE 0 END)
+       |    + least($stop * 5, 30) + 30 - least($sym * 2, 30) AS BIGINT)""".stripMargin
+  }
+
+  val q20Sql: String = {
     def hits(ws: String) = s"len(regexp_extract_all(text, '\\b($ws)\\b'))"
     val en = hits("the|and|of|to|in"); val de = hits("der|die|das|und|ist")
     val fr = hits("le|la|les|et|est"); val es = hits("el|los|las|es|y")
     s"""SELECT doc_id, lang, source,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
-       |  CAST((CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 40
-       |             WHEN n_chars BETWEEN 50 AND 5000 THEN 20 ELSE 0 END)
-       |    + least($stop * 5, 30) + 30 - least($sym * 2, 30) AS BIGINT) AS quality,
+       |  $qualitySqlExpr AS quality,
        |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
        |       WHEN $en = greatest($en, $de, $fr, $es) THEN 'en'
        |       WHEN $de = greatest($en, $de, $fr, $es) THEN 'de'
@@ -1713,6 +1718,92 @@ object QueryCatalog {
        |SELECT s.doc_id, count(*) AS n_contaminated FROM s JOIN bench USING (shingle)
        |WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id""".stripMargin
 
+  /** Ordered funnel with a 24 h conversion window (Events.funnel):
+    * view → click → purchase, each stage strictly after and within 24 h
+    * of the previous stage's entry. Exact integers end to end. */
+  def q81Funnel(s: SparkSession, dir: String): DataFrame =
+    operators.Events.funnel(t(s, dir, "events"),
+      Seq("view", "click", "purchase"), maxGapHours = Some(24))
+
+  val q81Sql: String =
+    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 ON e.user_id = s0.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 24 HOUR GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT CAST(0 AS BIGINT) AS stage_ix, 'view' AS stage, count(*) AS n_users FROM s0
+      |UNION ALL SELECT CAST(1 AS BIGINT), 'click', count(*) FROM s1
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2""".stripMargin
+
+  /** Cohort retention triangle (Events.cohortRetention): users bucketed
+    * by first-seen day, counted at each day offset. */
+  def q82CohortRetention(s: SparkSession, dir: String): DataFrame =
+    operators.Events.cohortRetention(t(s, dir, "events"))
+
+  val q82Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
+      |SELECT coh.cohort AS cohort_day, CAST(date_diff('day', coh.cohort, days.day) AS BIGINT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM days JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin
+
+  /** Canonical-document selection: within each duplicate cluster (CC over
+    * the LSH pair graph — the q75 scale path), keep the highest-quality
+    * member (ties on doc_id). This is the step a dedup pipeline actually
+    * ships: not just "find the clusters" but "pick the survivor". */
+  def q83ClusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100))
+    val ql = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars")).cast("long").as("quality"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val w = byCluster.orderBy(col("quality").desc, col("doc_id").asc)
+    cc.join(ql, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        row_number().over(w).as("_rn"),
+        count(lit(1)).over(byCluster).as("n_members"))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"), col("quality"),
+        col("n_members"))
+  }
+
+  /** q75's recursive closure with the final SELECT folded into a CTE and
+    * the quality arg-max appended. */
+  val q83Sql: String = {
+    val ccSelect = "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
+    assert(q75Sql.endsWith(ccSelect), "q83Sql tracks q75Sql's closure tail")
+    q75Sql.dropRight(ccSelect.length).stripTrailing() + ",\n" +
+      s"""cc AS ($ccSelect),
+         |ql AS (SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
+         |jrep AS (SELECT cc.cluster_id, cc.doc_id, ql.quality,
+         |        row_number() OVER (PARTITION BY cc.cluster_id
+         |          ORDER BY ql.quality DESC, cc.doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+         |      FROM cc JOIN ql USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_id, quality,
+         |  CAST(n_members AS BIGINT) AS n_members FROM jrep WHERE rn = 1""".stripMargin
+  }
+
+  /** Unigram LM quality score (TextAnalysis.unigramLogProb): corpus-wide
+    * token log-probabilities, per-doc mean — the CCNet-style fluency
+    * proxy, deterministic via the tf·round(ln p, 6) DECIMAL sum. */
+  def q84UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(s, dir, "documents"))
+
+  val q84Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2) GROUP BY 1, 2, 3),
+       |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+       |sc AS (SELECT tf.doc_id, tf.dl,
+       |         CAST(tf.tf AS DECIMAL(18,6)) * CAST(round(ln(CAST(lm.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+       |       FROM tf JOIN lm USING (term) CROSS JOIN tot)
+       |SELECT doc_id, dl AS n_tokens, CAST(sum(lp) AS DOUBLE) / CAST(dl AS DOUBLE) AS avg_logprob
+       |FROM sc GROUP BY doc_id, dl""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1798,7 +1889,11 @@ object QueryCatalog {
     ("q77_bm25", q77Bm25 _, Some(q77Sql)),
     ("q78_gap_fill", q78GapFill _, Some(q78Sql)),
     ("q79_mixture_temperature", q79MixtureTemperature _, Some(q79Sql)),
-    ("q80_decontamination_bloom", q80DecontaminationBloom _, Some(q80Sql)))
+    ("q80_decontamination_bloom", q80DecontaminationBloom _, Some(q80Sql)),
+    ("q81_funnel", q81Funnel _, Some(q81Sql)),
+    ("q82_cohort_retention", q82CohortRetention _, Some(q82Sql)),
+    ("q83_cluster_representatives", q83ClusterRepresentatives _, Some(q83Sql)),
+    ("q84_unigram_logprob", q84UnigramLogprob _, Some(q84Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

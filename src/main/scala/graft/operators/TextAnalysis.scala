@@ -255,6 +255,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("_s")).cast("double").as("score"))
   }
 
+  /** Unigram language-model quality score (the CCNet idea cut to its
+    * deterministic core): train a unigram LM on the corpus itself — one
+    * inverted-index count aggregate — and score each document by its mean
+    * token log-probability. Documents full of corpus-typical words score
+    * high; gibberish, rare-token spam, and wrong-language text score low.
+    *
+    * Shape: (doc, term, tf) + broadcast (term, cnt) — the TF-IDF topology,
+    * one shuffle on the term and one on the doc. Engine parity: counts are
+    * exact longs, `ln(cnt/T)` is one fixed-shape double expression rounded
+    * to 6, the per-doc total is `Σ tf·round(ln p, 6)` in DECIMAL (exact
+    * integer × decimal products, order-free sum), and only the final
+    * per-token mean is a double division. */
+  def unigramLogProb(docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumed by the LM aggregate AND the score join
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("total"))
+    val logp = round(log(col("cnt").cast("double") / col("total").cast("double")), 6)
+    tf.join(broadcast(lm), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("dl"),
+        (col("tf").cast("decimal(18,6)") * logp.cast("decimal(18,6)")).as("_lp"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("_lp")).as("_sum"))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        (col("_sum").cast("double") / col("dl").cast("double")).as("avg_logprob"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

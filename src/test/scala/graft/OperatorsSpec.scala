@@ -382,6 +382,62 @@ class OperatorsSpec extends SparkSpec {
       ("2024-01-03", false, Some(30.0)), ("2024-01-04", true, Some(30.0))))
   }
 
+  test("funnel: ordered stages, strict-after semantics, conversion window") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 converts fully inside the window
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2: purchase BEFORE the click -> stops at click
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:30:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // u3: click outside the 24h window -> stops at view
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-03 10:00:00")),
+      // u4 never views: not in the funnel at all
+      (4L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Events.funnel(ev,
+      Seq("view", "click", "purchase"), maxGapHours = Some(24))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+    // without the window, u3's late click counts
+    val open = graft.operators.Events.funnel(ev, Seq("view", "click"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(open("click") === 3L)
+  }
+
+  test("cohortRetention: first-seen day buckets, distinct users per offset") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")), // same day: one row
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 09:00:00")),
+      (3L, ts("2024-01-02 09:00:00")), (3L, ts("2024-01-03 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Events.cohortRetention(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("unigramLogProb: common-word docs outscore rare-word docs") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zyx qwv jkl pqr mno abc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 6L)
+    assert(out(1L)._2 === out(2L)._2, "identical docs score identically")
+    assert(out(1L)._2 > out(3L)._2, "corpus-typical text outscores rare tokens")
+    assert(out.values.forall(_._2 < 0.0), "log-probs are negative")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
