@@ -56,6 +56,16 @@ object ScaleCheck {
       graft.operators.HeavyHitters.heavyHitters(
         docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("item")),
         "item", 30))
+    // late-r6 additions: Bloom decontamination (a fixed-size broadcast
+    // bit-set however big the benchmark grows — the probe stream scales
+    // linearly, the filter does not), and the unigram-LM scorer (the
+    // inverted-index topology: one term shuffle + one doc shuffle)
+    time("decontaminate_bloom")(
+      Dedup.decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), 6))
+    time("unigram_logprob")(
+      graft.operators.TextAnalysis.unigramLogProb(docs))
     spark.stop()
   }
 }
