@@ -131,19 +131,30 @@ object Sketches {
         .toAggregateExpression())
 
   /** Membership probe against a [[bloomFilter]] array: true iff every one
-    * of the k md5-derived bits is set. Pure Column math (codegen'd) — the
-    * filter is typically a one-row broadcast next to the probe stream, so
-    * this is a map-only pre-filter in front of an exact join. The k bit
-    * indexes are 8-hex-digit windows of ONE md5 (matching
-    * [[BloomFilterAgg]]); codegen subexpression elimination computes that
-    * md5 once per row. No false negatives; false positives bounded by the
-    * m/n/k sizing. */
+    * of the k md5-derived bits is set. Pure Column math — the filter is
+    * typically a one-row broadcast next to the probe stream, so this is a
+    * map-only pre-filter in front of an exact join. The k bit indexes are
+    * 8-hex-digit windows of ONE md5 (matching [[BloomFilterAgg]]). No
+    * false negatives; false positives bounded by the m/n/k sizing.
+    *
+    * Callers on a hot path should pre-project `md5(item)` as a named
+    * column and use [[bloomMightContainHex]]: a probe that lands in a
+    * join condition (e.g. after the cross join with the one-row filter)
+    * is evaluated OUTSIDE whole-stage codegen, where nothing dedupes the
+    * k·2 md5 references this convenience form expands to. */
   def bloomMightContain(bf: Column, item: Column,
                         numBits: Int = 1 << 16, numHashes: Int = 3): Column = {
     import org.apache.spark.sql.functions._
-    val hex = md5(item.cast("string"))
+    bloomMightContainHex(bf, md5(item.cast("string")), numBits, numHashes)
+  }
+
+  /** [[bloomMightContain]] over an already-computed md5 hex column —
+    * the one-digest-per-row form for hot paths. */
+  def bloomMightContainHex(bf: Column, hexCol: Column,
+                           numBits: Int = 1 << 16, numHashes: Int = 3): Column = {
+    import org.apache.spark.sql.functions._
     (0 until numHashes).map { k =>
-      val h = conv(substring(hex, 8 * k + 1, 8), 16, 10).cast("long") % numBits
+      val h = conv(substring(hexCol, 8 * k + 1, 8), 16, 10).cast("long") % numBits
       call_function("shiftright",
         element_at(bf, (h / 64).cast("int") + 1), (h % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)

@@ -298,11 +298,17 @@ object Dedup {
       .select(col("shingle")).distinct())
     val filt = bench.agg(
       graft.functions.Sketches.bloomFilter(col("shingle"), numBits, numHashes).as("_bf"))
+    // the md5 is pre-projected as a named column: the probe predicate ends
+    // up in the cross-join condition, which runs OUTSIDE whole-stage
+    // codegen — referenced as an attribute, the digest runs once per
+    // shingle instead of once per bit check (CollapseProject never
+    // re-inlines non-cheap expressions)
     shinglePairs(corpus, n, idCol, textCol)
+      .withColumn("_hex", md5(col("shingle")))
       .crossJoin(broadcast(filt))
-      .filter(graft.functions.Sketches.bloomMightContain(
-        col("_bf"), col("shingle"), numBits, numHashes))
-      .drop("_bf")
+      .filter(graft.functions.Sketches.bloomMightContainHex(
+        col("_bf"), col("_hex"), numBits, numHashes))
+      .drop("_bf", "_hex")
       .join(bench, Seq("shingle")) // exact verify: kills the fp tail
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }

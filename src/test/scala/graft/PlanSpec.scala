@@ -121,6 +121,46 @@ class PlanSpec extends SparkSpec {
       s"sketch must broadcast to the probe side:\n$p")
   }
 
+  test("q76 PII redaction is map-only: one scan, no exchange, codegen'd") {
+    val p = plan(QueryCatalog.q76PiiRedaction)
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    // whole-stage codegen renders as a "*(n)" stage prefix in this format
+    assert(p.contains("*(1)"), s"regexp chain must stay in codegen:\n$p")
+  }
+
+  test("q80 bloom probe hashes ONCE per shingle (named-column md5, not per bit check)") {
+    val p = plan(QueryCatalog.q80DecontaminationBloom)
+    // the corpus side projects md5(shingle) AS _hex exactly once; the
+    // probe condition references the attribute, never md5 itself (a probe
+    // in the cross-join condition runs outside codegen — an inline md5
+    // there would hash k·2 times per shingle)
+    val probeLines = p.linesIterator.filter(_.contains("shiftright")).mkString("\n")
+    assert(probeLines.nonEmpty, s"probe condition missing:\n$p")
+    assert(probeLines.contains("_hex"), s"probe must reference the _hex attribute:\n$probeLines")
+    assert(!probeLines.contains("md5("), s"probe must not inline md5:\n$probeLines")
+  }
+
+  test("q79 temperature rebalance: one data shuffle (the per-source window)") {
+    val p = plan(QueryCatalog.q79MixtureTemperature)
+    // the targets side is tiny aggregates + broadcasts; the DATA path must
+    // shuffle once for the source-partitioned row_number window
+    assert(p.contains("Window"), s"expected the per-source rank window:\n$p")
+    assert(!p.contains("SortMergeJoin"), "targets must broadcast, not SMJ")
+  }
+
+  test("q81 funnel joins stay on the user key (no nested-loop, no cartesian)") {
+    val p = plan(QueryCatalog.q81Funnel)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"funnel stages must be keyed joins:\n$p")
+  }
+
+  test("q84 unigram LM: tf frame materialized once (ExistingRDD leaves, no re-tokenize)") {
+    val p = plan(QueryCatalog.q84UnigramLogprob)
+    assert(p.contains("Scan ExistingRDD"), s"tf must be a materialized leaf:\n$p")
+    // the corpus parquet must not be re-scanned for the lm/total branches
+    assert(!p.contains("Scan parquet"), s"no branch may re-read the corpus:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
