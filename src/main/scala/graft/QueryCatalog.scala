@@ -1804,6 +1804,55 @@ object QueryCatalog {
        |SELECT doc_id, dl AS n_tokens, CAST(sum(lp) AS DOUBLE) / CAST(dl AS DOUBLE) AS avg_logprob
        |FROM sc GROUP BY doc_id, dl""".stripMargin
 
+  /** Rolling anomaly detection (TimeSeries.rollingAnomalies): daily event
+    * counts vs their trailing-7-day band, the |x−μ| > 2σ test cross-
+    * multiplied into pure BIGINT arithmetic — verdicts bit-identical in
+    * any engine, no float μ/σ. */
+  def q85RollingAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    operators.TimeSeries.rollingAnomalies(daily, "event_type", "day", "n")
+  }
+
+  val q85Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |               FROM events GROUP BY 1, 2),
+      |f AS (SELECT event_type, day, n,
+      |        CAST(count(n) OVER w AS BIGINT) AS m,
+      |        CAST(sum(n) OVER w AS BIGINT) AS s,
+      |        CAST(sum(n * n) OVER w AS BIGINT) AS q
+      |      FROM daily
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, n,
+      |  (m * n - s) * (m * n - s) > 4 * (m * q - s * s) AS anomaly
+      |FROM f""".stripMargin
+
+  /** Winsorized robust aggregation (Cleanse.winsorize): per-flag
+    * [p05, p95] clamp of the price tail, raw vs winsorized means — the
+    * heavy-tail trim before aggregate features. Thresholds round(…,6);
+    * clamped values sum in DECIMAL(18,6). */
+  def q86Winsorize(s: SparkSession, dir: String): DataFrame =
+    operators.Cleanse.winsorize(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("mean_raw"),
+        (sum(col("l_extendedprice_w").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean_winsorized"))
+
+  val q86Sql: String =
+    """WITH b AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+      |                  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      |           FROM lineitem GROUP BY 1),
+      |w AS (SELECT l.l_returnflag, l.l_extendedprice,
+      |        least(greatest(l.l_extendedprice, b.lo), b.hi) AS xw
+      |      FROM lineitem l JOIN b USING (l_returnflag))
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,
+      |  CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
+      |FROM w GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1893,7 +1942,9 @@ object QueryCatalog {
     ("q81_funnel", q81Funnel _, Some(q81Sql)),
     ("q82_cohort_retention", q82CohortRetention _, Some(q82Sql)),
     ("q83_cluster_representatives", q83ClusterRepresentatives _, Some(q83Sql)),
-    ("q84_unigram_logprob", q84UnigramLogprob _, Some(q84Sql)))
+    ("q84_unigram_logprob", q84UnigramLogprob _, Some(q84Sql)),
+    ("q85_rolling_anomalies", q85RollingAnomalies _, Some(q85Sql)),
+    ("q86_winsorize", q86Winsorize _, Some(q86Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

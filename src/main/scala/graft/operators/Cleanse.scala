@@ -97,4 +97,28 @@ object Cleanse {
     * keeps the surviving plan exception-free. */
   def toDecimalLossy(c: Column, precision: Int, scale: Int): Column =
     toFloatLossy(c).try_cast(DecimalType(precision, scale))
+
+  /** Winsorization: clamp a metric into its per-group [pLo, pHi] exact-
+    * percentile band — the robust-statistics tail-trim a feature pipeline
+    * applies before aggregating heavy-tailed metrics. The thresholds are
+    * round(percentile, 6) (the cross-engine float crutch the cosine
+    * queries use), clamped values ride DECIMAL(18,6) into any downstream
+    * sum so accumulation order stays moot.
+    *
+    * Scale: one exact-percentile aggregate per group (tiny result,
+    * broadcast back) + a map-only clamp — the data shuffles only for the
+    * percentile's own group-by. Returns the input plus `<valueCol>_w`. */
+  def winsorize(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                valueCol: String, pLo: Double = 0.05,
+                pHi: Double = 0.95): org.apache.spark.sql.DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, $pLo)"), 6).as("_lo"),
+        round(expr(s"percentile($valueCol, $pHi)"), 6).as("_hi"))
+      .withColumnRenamed(groupCol, "_grp")
+    df.join(broadcast(bounds), col(groupCol) <=> col("_grp"))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_grp", "_lo", "_hi")
+  }
 }

@@ -22,6 +22,37 @@ object TimeSeries {
     * (never a global sort), so a million series fan out across the
     * cluster and each partition sorts only its own days.
     */
+  /** Rolling anomaly detection with INTEGER-EXACT verdicts: flag a day
+    * whose count deviates from its trailing `windowDays` mean by more than
+    * `sigmas` standard deviations — but instead of float μ/σ (whose last
+    * ulp could flip a verdict across engines), the test is cross-
+    * multiplied into pure integer arithmetic:
+    *
+    *   |x − S/m| > k·σ  ⇔  (m·x − S)² > k²·(m·Q − S²)
+    *
+    * with S = Σc, Q = Σc² over the frame — every quantity a BIGINT, so
+    * the flag is bit-identical in any engine. (Bound: products stay in
+    * int64 for frame sums up to ~3e9 — daily counts up to ~4e8 at the
+    * default 7-day window; rescale the metric beyond that.)
+    *
+    * Scale: one window PARTITIONED BY series — each series' frame sums
+    * fan out independently, no global sort. */
+  def rollingAnomalies(daily: DataFrame, seriesCol: String, dayCol: String,
+                       countCol: String, windowDays: Int = 7,
+                       sigmas: Int = 2): DataFrame = {
+    require(windowDays >= 2 && sigmas >= 1, "need windowDays >= 2, sigmas >= 1")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col(dayCol))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val c = col(countCol)
+    daily.select(col(seriesCol), col(dayCol), c.as("n"),
+        count(c).over(w).as("_m"), sum(c).over(w).as("_s"),
+        sum(c * c).over(w).as("_q"))
+      .select(col(seriesCol), col(dayCol), col("n"),
+        ((col("_m") * col("n") - col("_s")) * (col("_m") * col("n") - col("_s")) >
+          lit(sigmas.toLong * sigmas) * (col("_m") * col("_q") - col("_s") * col("_s")))
+          .as("anomaly"))
+  }
+
   def gapFillDaily(daily: DataFrame, seriesCol: String, dayCol: String,
                    valueCol: String): DataFrame = {
     // three consumers below (bounds, series dim, join side): materialize so

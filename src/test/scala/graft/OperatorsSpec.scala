@@ -438,6 +438,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.forall(_._2 < 0.0), "log-probs are negative")
   }
 
+  test("rollingAnomalies: spike flagged, steady state not, integer-exact verdict") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val daily = ((1 to 9).map(i => ("a", d(f"2024-01-0$i"), 10L)) :+
+      ("a", d("2024-01-10"), 100L) :+ // 10x spike
+      ("b", d("2024-01-01"), 5L)      // single point: zero variance, no flag
+      ).toDF("series", "day", "n")
+    val out = graft.operators.TimeSeries.rollingAnomalies(daily, "series", "day", "n")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getBoolean(3)).toMap
+    assert(out(("a", "2024-01-10")), "the 10x spike must be flagged")
+    assert((1 to 9).forall(i => !out(("a", f"2024-01-0$i"))),
+      "constant days must not be flagged (m·x = S ⇒ lhs = 0)")
+    assert(!out(("b", "2024-01-01")), "a lone observation is not an anomaly")
+    // mirror the day-10 frame by hand: six 10s + the 100
+    val frame = Seq.fill(6)(10L) :+ 100L
+    val (m, s) = (frame.size.toLong, frame.sum)
+    val q = frame.map(x => x * x).sum
+    assert((m * 100 - s) * (m * 100 - s) > 4 * (m * q - s * s), "fixture math")
+  }
+
+  test("winsorize clamps to the per-group [p05,p95] band; interior values untouched") {
+    val d = ((1 to 99).map(i => ("g", i.toDouble)) :+ ("g", 10000.0)).toDF("grp", "v")
+    val out = graft.operators.Cleanse.winsorize(d, "grp", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(out(10000.0) < 10000.0, "the outlier must be clamped down to p95")
+    assert(out(50.0) === 50.0, "interior values pass through")
+    assert(out(1.0) > 1.0, "the low tail clamps up to p05")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
