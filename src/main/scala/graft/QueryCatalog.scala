@@ -1853,6 +1853,64 @@ object QueryCatalog {
       |  CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
       |FROM w GROUP BY 1""".stripMargin
 
+  /** Histogram-sketch quantiles (ApproxQuantile.histogramQuantiles): the
+    * scale path next to q59's exact percentile — fixed 256-counter state
+    * per group instead of a per-group sort, estimate = covering bucket's
+    * upper edge (error ≤ range/256). */
+  def q87HistogramQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.ApproxQuantile.histogramQuantiles(
+      t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+      Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99))
+
+  val q87Sql: String =
+    """WITH mm AS (SELECT l_returnflag AS g, min(l_quantity) AS mn, max(l_quantity) AS mx,
+      |                   CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+      |b AS (SELECT l.l_returnflag AS g,
+      |        least(CAST(floor((l.l_quantity - mm.mn) * 256 / (mm.mx - mm.mn)) AS BIGINT), 255) AS bkt
+      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g WHERE mm.mx > mm.mn),
+      |h AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      |cum AS (SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM h),
+      |pick AS (SELECT cum.g,
+      |    min(CASE WHEN cc >= ceil(0.5 * n) THEN bkt END) AS b50,
+      |    min(CASE WHEN cc >= ceil(0.9 * n) THEN bkt END) AS b90,
+      |    min(CASE WHEN cc >= ceil(0.99 * n) THEN bkt END) AS b99
+      |  FROM cum JOIN mm ON cum.g = mm.g GROUP BY 1)
+      |SELECT pick.g AS l_returnflag,
+      |  round(mm.mn + (b50 + 1) * (mm.mx - mm.mn) / 256, 6) AS p50_est,
+      |  round(mm.mn + (b90 + 1) * (mm.mx - mm.mn) / 256, 6) AS p90_est,
+      |  round(mm.mn + (b99 + 1) * (mm.mx - mm.mn) / 256, 6) AS p99_est
+      |FROM pick JOIN mm ON pick.g = mm.g""".stripMargin
+
+  /** Blocked fuzzy join (Joins.blockedFuzzyJoin): entity resolution
+    * against a deterministically-perturbed mirror — half the names lose
+    * one char PAST the 6-char blocking prefix, so blocking recall is
+    * exact by construction and every planted pair is recovered at
+    * Levenshtein ≤ 1. */
+  def q88FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val named = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 14),
+        lit("#"), col("doc_id").cast("string")).as("name"))
+    val dirty = named.select(col("doc_id").as("d_key"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(substring(col("name"), 1, 9), expr("substring(name, 11)")))
+        .otherwise(col("name")).as("d_name"))
+    operators.Joins.blockedFuzzyJoin(named, dirty, "name", "d_name", maxDist = 1)
+      .select(col("doc_id"), col("d_key"), col("dist"))
+  }
+
+  val q88Sql: String =
+    s"""WITH named AS (SELECT doc_id,
+       |        substring($normSql, 1, 14) || '#' || CAST(doc_id AS VARCHAR) AS name
+       |      FROM documents),
+       |dirty AS (SELECT doc_id AS d_key,
+       |        CASE WHEN doc_id % 2 = 0 THEN substring(name, 1, 9) || substring(name, 11) ELSE name END AS d_name
+       |      FROM named),
+       |blocked AS (SELECT n.doc_id, d.d_key, n.name, d.d_name
+       |            FROM named n JOIN dirty d ON substring(n.name, 1, 6) = substring(d.d_name, 1, 6))
+       |SELECT doc_id, d_key, CAST(levenshtein(name, d_name) AS BIGINT) AS dist
+       |FROM blocked WHERE levenshtein(name, d_name) <= 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1944,7 +2002,9 @@ object QueryCatalog {
     ("q83_cluster_representatives", q83ClusterRepresentatives _, Some(q83Sql)),
     ("q84_unigram_logprob", q84UnigramLogprob _, Some(q84Sql)),
     ("q85_rolling_anomalies", q85RollingAnomalies _, Some(q85Sql)),
-    ("q86_winsorize", q86Winsorize _, Some(q86Sql)))
+    ("q86_winsorize", q86Winsorize _, Some(q86Sql)),
+    ("q87_histogram_quantiles", q87HistogramQuantiles _, Some(q87Sql)),
+    ("q88_fuzzy_join", q88FuzzyJoin _, Some(q88Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -105,4 +105,25 @@ object Joins {
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"$rightPrefix$c")): _*)
   }
+
+  /** Blocked fuzzy join (entity resolution): candidate pairs share a
+    * `blockLen`-char name prefix (one equi-shuffle — the same
+    * bucket-then-verify shape as the LSH band join, never all-pairs),
+    * then exact Levenshtein ≤ `maxDist` verifies each candidate. The
+    * distance is projected as a named `dist` column BEFORE the filter so
+    * it is computed once per pair.
+    *
+    * Blocking is the standard recall trade: a true match whose edits
+    * fall inside the first `blockLen` chars lands in a different block
+    * and is missed — callers pick the prefix past the stable key region
+    * (or union several blocking passes, each one equi-join). */
+  def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
+                       leftName: String, rightName: String,
+                       maxDist: Int, blockLen: Int = 6): DataFrame = {
+    require(maxDist >= 0 && blockLen >= 1, "need maxDist >= 0, blockLen >= 1")
+    left.join(right,
+        substring(col(leftName), 1, blockLen) === substring(col(rightName), 1, blockLen))
+      .withColumn("dist", levenshtein(col(leftName), col(rightName)).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
 }

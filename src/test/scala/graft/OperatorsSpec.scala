@@ -466,6 +466,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1.0) > 1.0, "the low tail clamps up to p05")
   }
 
+  test("histogramQuantiles: estimate within one bucket width of the exact quantile") {
+    val d = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = graft.operators.ApproxQuantile.histogramQuantiles(
+      d, "grp", "v", Seq("p50" -> 0.5, "p99" -> 0.99), buckets = 256).head()
+    val width = (1000.0 - 1.0) / 256
+    assert(math.abs(out.getDouble(1) - 500.0) <= width + 1e-6,
+      s"p50 estimate ${out.getDouble(1)} off by more than a bucket")
+    assert(math.abs(out.getDouble(2) - 990.0) <= width + 1e-6,
+      s"p99 estimate ${out.getDouble(2)} off by more than a bucket")
+    // constant group: min = max, skipped by construction (no histogram)
+    val const = Seq(("c", 5.0), ("c", 5.0)).toDF("grp", "v")
+    assert(graft.operators.ApproxQuantile.histogramQuantiles(
+      const, "grp", "v", Seq("p50" -> 0.5)).count() === 0L)
+  }
+
+  test("blockedFuzzyJoin: finds within-distance pairs in the block, computes dist once") {
+    val a = Seq((1L, "widget alpha"), (2L, "widget beta"), (3L, "gizmo gamma"))
+      .toDF("id", "name")
+    val b = Seq((10L, "widget alphax"), (30L, "gizmoo gamma"))
+      .toDF("bid", "bname")
+    val out = graft.operators.Joins.blockedFuzzyJoin(a, b, "name", "bname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    // widget alpha ~ widget alphax: dist 1, same 6-char block
+    assert(out.contains((1L, 10L, 1L)))
+    // gizmoo differs INSIDE the blocking prefix -> different block, missed
+    // (the documented blocking-recall trade), and beta/alphax are dist > 1
+    assert(out.size === 1, s"unexpected pairs: $out")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
