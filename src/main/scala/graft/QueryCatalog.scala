@@ -1911,6 +1911,101 @@ object QueryCatalog {
        |SELECT doc_id, d_key, CAST(levenshtein(name, d_name) AS BIGINT) AS dist
        |FROM blocked WHERE levenshtein(name, d_name) <= 1""".stripMargin
 
+  /** Batch sessionization (Events.sessionize): gap > 30 min splits a
+    * user's stream; one row per session. Timestamps exported as exact
+    * epoch-µs BIGINTs (never float epoch or engine-local timestamp
+    * dtypes); gap tests and durations are integer µs arithmetic. */
+  def q89Sessionize(s: SparkSession, dir: String): DataFrame =
+    operators.Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
+      .select(col("user_id"), col("session_ix"), col("n_events"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("duration_sec"))
+
+  val q89Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |l AS (SELECT user_id, event_id, us,
+      |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |x AS (SELECT user_id, us,
+      |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_ix
+      |      FROM l)
+      |SELECT user_id, session_ix, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  (max(us) - min(us)) // 1000000 AS duration_sec
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic weighted sampling (Sampling.weightedSample): top-10
+    * docs per language by the A-ES priority u^(1/w) with w = n_chars —
+    * longer docs proportionally likelier, selection content-hash-
+    * deterministic and engine-exact (round(ln(u)/w, 6), ties on id). */
+  def q90WeightedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedSample(
+      t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+
+  val q90Sql: String =
+    """WITH p AS (SELECT lang, doc_id, n_chars,
+      |    round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
+      |             / 281474976710656.0) / CAST(n_chars AS DOUBLE), 6) AS pri
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (SELECT lang, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn FROM p)
+      |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 10""".stripMargin
+
+  /** Bigram LM fluency score (TextAnalysis.bigramLogProb): mean
+    * conditional transition log-prob per doc, add-one smoothed over the
+    * corpus vocabulary — the word-ORDER quality signal q84's unigram
+    * score cannot see. */
+  def q91BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(s, dir, "documents"))
+
+  val q91Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM base),
+       |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM g),
+       |tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2, 3),
+       |big AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM tf GROUP BY 1, 2),
+       |pre AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+       |vc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+       |       FROM (SELECT a AS t FROM tf UNION ALL SELECT b AS t FROM tf)),
+       |sc AS (SELECT tf.doc_id, tf.tf,
+       |    CAST(tf.tf AS DECIMAL(18,6)) *
+       |    CAST(round(ln((CAST(cab AS DOUBLE) + 1.0) / (CAST(ca AS DOUBLE) + CAST(vc.v AS DOUBLE))), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM tf JOIN big USING (a, b) JOIN pre USING (a) CROSS JOIN vc)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+       |  CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_logprob
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Cross-source overlap matrix (Dedup.sourceOverlap): estimated
+    * shingle-set Jaccard between every source pair from one union-MinHash
+    * signature per source (k=16, 3-grams) — dataset-level contamination
+    * audit, never compares documents. */
+  def q92SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(t(s, dir, "documents"), n = 3, k = 16)
+
+  val q92Sql: String = {
+    val k = 16
+    val mins = (0 until k).map(i =>
+      s"min((h1 + $i * h2) % 4294967291) AS mh$i").mkString(", ")
+    val agree = (0 until k).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT source, string_split($normSql, ' ') AS words FROM documents),
+       |sdup AS (SELECT source, unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+       |  i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingle FROM w),
+       |s AS (SELECT DISTINCT source, shingle FROM sdup),
+       |hs AS (SELECT source,
+       |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 4294967291 AS h1,
+       |    CAST(('0x' || substring(md5('s:' || shingle), 1, 15)) AS BIGINT) % 4294967291 AS h2
+       |  FROM s),
+       |sig AS (SELECT source, $mins FROM hs GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST($agree AS BIGINT) AS n_agree,
+       |  CAST($agree AS DOUBLE) / $k.0 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2004,7 +2099,11 @@ object QueryCatalog {
     ("q85_rolling_anomalies", q85RollingAnomalies _, Some(q85Sql)),
     ("q86_winsorize", q86Winsorize _, Some(q86Sql)),
     ("q87_histogram_quantiles", q87HistogramQuantiles _, Some(q87Sql)),
-    ("q88_fuzzy_join", q88FuzzyJoin _, Some(q88Sql)))
+    ("q88_fuzzy_join", q88FuzzyJoin _, Some(q88Sql)),
+    ("q89_sessionize", q89Sessionize _, Some(q89Sql)),
+    ("q90_weighted_sample", q90WeightedSample _, Some(q90Sql)),
+    ("q91_bigram_logprob", q91BigramLogprob _, Some(q91Sql)),
+    ("q92_source_overlap", q92SourceOverlap _, Some(q92Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

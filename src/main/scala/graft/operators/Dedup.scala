@@ -339,6 +339,48 @@ object Dedup {
       .withColumn("retained", col("n_shingles") - col("n_boiler"))
   }
 
+  /** Dataset-level overlap matrix: estimated shingle-set Jaccard between
+    * every pair of SOURCES (crawl dumps, domains, languages), from one
+    * MinHash signature per source over the union of its documents'
+    * shingle sets — the "how much does dump A repeat dump B" audit a
+    * mixing pipeline runs before choosing source weights, at a cost that
+    * never compares documents.
+    *
+    * Works because a MinHash signature of a set union is the element-wise
+    * min of the member signatures: aggregating `min` per (source, i)
+    * directly yields the signature of the source's union set. Agreement
+    * count between two signatures estimates Jaccard as `n_agree/k`.
+    *
+    * Engine parity: the same double-hash family as [[minhashLsh]] (two
+    * md5s per shingle, k derived hashes via exact int64 arithmetic), so
+    * the signatures — and therefore the estimates, integer agree-counts
+    * over k — replay bit-for-bit in any engine.
+    *
+    * Scale: one distinct over (source, shingle) + one k-column min
+    * aggregate whose groups = sources (tiny), then a pairwise join over
+    * the handful of source rows. The corpus is scanned once, shuffled
+    * once on the shingle key; nothing downstream grows with corpus size.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int, k: Int,
+                    groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val p = 4294967291L
+    val shingles = docs.select(col(groupCol).as("_grp"),
+        graft.functions.NGramsGenerator.ngrams(col(textCol), n))
+      .distinct()
+    val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
+    val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
+    val mhCols = (0 until k).map(i => min((h1 + lit(i) * h2) % p).as(s"mh$i"))
+    val sig = shingles.groupBy(col("_grp")).agg(mhCols.head, mhCols.tail: _*)
+    val a = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "_grp") "src_a" else s"a_$c"): _*)
+    val b = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "_grp") "src_b" else s"b_$c"): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("n_agree", agree)
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
   /** Connected components over a near-dup pair graph by iterated min-label
     * propagation: every node starts labeled with its own id, and each round
     * replaces a node's label with the minimum label among itself and its

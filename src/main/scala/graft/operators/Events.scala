@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event streams: funnel conversion and cohort
@@ -47,6 +48,42 @@ object Events {
         .select(lit(i.toLong).as("stage_ix"), lit(s).as("stage"), col("n_users")))
     }
     out
+  }
+
+  /** Batch sessionization: split each user's event stream into sessions at
+    * inactivity gaps > `gapMinutes`, then aggregate one row per session —
+    * the batch twin of the streaming session window (q35), and the
+    * standard first step of any behavioral feature pipeline.
+    *
+    * Gap tests and durations are computed on `unix_micros` (exact BIGINT,
+    * identical in any engine — never float epoch seconds). Session index =
+    * running count of gap-starts per user (lag + cumulative sum), so ids
+    * are dense, deterministic and replayable.
+    *
+    * Shape: ONE shuffle. Both windows and the final groupBy are keyed by
+    * user (the session aggregate groups on (user, session_ix), whose
+    * clustering the user-hash partitioning already satisfies) — a million
+    * users fan out across the cluster, and no per-user state beyond the
+    * sort both windows share.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val newSession = when(
+      lag(us, 1).over(w).isNull ||
+        us - lag(us, 1).over(w) > lit(gapMinutes * 60L * 1000000L), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("_new", newSession)
+      .withColumn("session_ix", sum(col("_new")).over(w))
+      .groupBy(col(userCol), col("session_ix"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        ((max(us) - min(us)) / lit(1000000L)).cast("long").as("duration_sec"))
   }
 
   /** Cohort retention: users grouped by their first-seen day, counted on

@@ -108,6 +108,41 @@ object Sampling {
       .drop("_grp", "_n", "_w", "_tw", "_target", "_rn")
   }
 
+  /** Weighted sampling without replacement (top-k per group), the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws a
+    * content-hash uniform `u ∈ (0,1]` and is ranked by the exponential
+    * priority `ln(u)/w` (descending u^(1/w) order) — over many draws a row
+    * is selected with probability proportional to its weight `w`, which is
+    * how a pipeline oversamples high-quality documents without an RNG.
+    *
+    * Determinism: `u = (h+1)/2^48` from the row key's md5 (exact in
+    * double — 48-bit integers are representable), the priority is
+    * `round(ln(u)/w, 6)` (the same float crutch the cosine ranks use; ties
+    * broken on the key), so the selection replays bit-for-bit in any
+    * engine and is independent of partitioning.
+    *
+    * Scale: one map-only projection + ONE window partitioned by group
+    * (each group ranks independently; for a global sample pass a constant
+    * group column and k rows survive a tree-reduce top-k — or use
+    * [[graft.functions.TopKAggregator]]). No shuffle of losers: the filter
+    * drops them before any downstream stage. */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+                     weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+    // ln(u) < 0, so DIVIDING by a larger weight pulls the priority toward
+    // 0 from below: rank ascending-by-|ln(u)|/w == descending u^(1/w)
+    val pri = round(log(u) / col(weightCol).cast("double"), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(pri.desc, col(keyCol))
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Train/validation/test split by key hash: returns the input with a
     * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
     * for a given key forever — the property that keeps a test set clean

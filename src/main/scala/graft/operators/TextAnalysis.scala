@@ -287,6 +287,59 @@ object TextAnalysis {
         (col("_sum").cast("double") / col("dl").cast("double")).as("avg_logprob"))
   }
 
+  /** Bigram language-model fluency score — the next notch of context
+    * sensitivity above [[unigramLogProb]]: score each document by the mean
+    * conditional log-probability of its token *transitions*,
+    * `mean over i of ln P(t_i | t_{i-1})` with add-one smoothing over the
+    * corpus unigram vocabulary V:
+    * `P(b | a) = (c(a b) + 1) / (c(a ·) + |V|)`. A doc reusing corpus-
+    * typical word ORDER scores high; shuffled or spammy token salads score
+    * low even when every individual token is common — exactly what the
+    * unigram score cannot see.
+    *
+    * Shape: bigrams come from the same window-lead tokenize the shingle
+    * path uses (map-only); the LM is two count aggregates (bigram counts
+    * keyed by the pair, prefix counts keyed by the first token — both
+    * vocabulary-sized, broadcast back); scoring is one join + one per-doc
+    * sum. Engine parity: counts and |V| are exact longs, each transition
+    * contributes `tf · round(ln p, 6)` summed in DECIMAL, one final double
+    * division by the doc's transition count.
+    */
+  def bigramLogProb(docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    // (doc, a, b) transition frequencies; posexplode + lead-by-index keeps
+    // this one map-only Generate (no self-join on position)
+    val grams = base
+      .select(col("doc_id"), col("_toks"),
+        posexplode(col("_toks")).as(Seq("_i", "a")))
+      .filter(col("_i") < size(col("_toks")) - 1)
+      .select(col("doc_id"), col("a"),
+        element_at(col("_toks"), col("_i") + 2).as("b"))
+    val tf = grams.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumed by the LM aggregates AND the score join
+    val big = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+    val pre = big.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    // |V|: distinct tokens anywhere (last token of a doc is a bigram 'b')
+    val vocab = tf.select(col("a").as("t"))
+      .union(tf.select(col("b").as("t")))
+      .agg(countDistinct(col("t")).as("v"))
+    val logp = round(log((col("cab").cast("double") + lit(1.0)) /
+      (col("ca").cast("double") + col("v").cast("double"))), 6)
+    tf.join(broadcast(big), Seq("a", "b"))
+      .join(broadcast(pre), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        col("tf"),
+        (col("tf").cast("decimal(18,6)") * logp.cast("decimal(18,6)")).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_transitions"), sum(col("_lp")).as("_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        (col("_sum").cast("double") / col("n_transitions").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -495,6 +495,61 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 1, s"unexpected pairs: $out")
   }
 
+  test("sessionize splits on the gap, aggregates exactly, dense session ids") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 1L, ts("2024-01-01 10:10:00")), // 10 min: same session
+      (12L, 1L, ts("2024-01-01 11:00:00")), // 50 min gap: new session
+      (13L, 2L, ts("2024-01-01 09:00:00"))  // other user: own session
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.operators.Events.sessionize(ev, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_ix")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec"))).toMap
+    assert(out === Map(
+      (1L, 1L) -> (2L, 600L), // 10:00-10:10
+      (1L, 2L) -> (1L, 0L),
+      (2L, 1L) -> (1L, 0L)))
+    // a gap of exactly 30 min does NOT split (strict >)
+    val edge = Seq((1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:30:00"))).toDF("event_id", "user_id", "ts")
+    assert(graft.operators.Events.sessionize(edge, 30).count() === 1L)
+  }
+
+  test("bigramLogProb rewards corpus-typical word ORDER, not just tokens") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the") // same tokens, shuffled order
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 5L, "6 tokens -> 5 transitions")
+    assert(out(1L)._2 === out(2L)._2, "identical docs score identically")
+    assert(out(1L)._2 > out(4L)._2,
+      "shuffled word order must score below corpus-typical order")
+    // the unigram score CANNOT separate docs 1 and 4 (same token bag)
+    val uni = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) === uni(4L), "fixture: unigram is order-blind")
+  }
+
+  test("sourceOverlap: identical sources estimate 1.0, disjoint 0.0") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s2"), // s2 == s1 content
+      (3L, "one two three four five six seven", "s3")    // disjoint shingles
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, n = 3, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard"))).toMap
+    assert(out(("s1", "s2")) === (16L, 1.0), "equal shingle sets: all hashes agree")
+    assert(out(("s1", "s3"))._1 === 0L, "disjoint sets: no min-hash collision at k=16")
+    assert(out.size === 3, "all unordered source pairs present")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")

@@ -75,4 +75,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("en") / 1000.0 - 0.5) < 0.06)
     assert(math.abs(byLang("de") / 1000.0 - 0.125) < 0.06)
   }
+
+  test("weightedSample favors heavy rows, is partition-stable, drops w<=0") {
+    // two weight classes: 100 rows at w=100 vs 100 rows at w=1 — the
+    // heavy class must dominate a k=20 sample (P[light row beats a heavy
+    // row] is tiny under u^(1/w)); plus a zero-weight row that must never
+    // be selected
+    val rows = (1L to 100L).map((_, 100.0)) ++ (101L to 200L).map((_, 1.0)) :+ (201L, 0.0)
+    val d = rows.toDF("id", "w").withColumn("grp", org.apache.spark.sql.functions.lit("g"))
+    val kept = graft.operators.Sampling.weightedSample(d, "grp", "id", "w", k = 20)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids.size === 20)
+    assert(!ids.contains(201L), "zero-weight rows are never sampled")
+    assert(ids.count(_ <= 100L) >= 15,
+      s"heavy rows must dominate the sample, got ${ids.count(_ <= 100L)}")
+    val stable = graft.operators.Sampling.weightedSample(
+      d.repartition(13), "grp", "id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(stable === ids, "selection is content-determined, not partition-determined")
+  }
 }
