@@ -44,11 +44,13 @@ import org.apache.spark.sql.functions._
   * `vacuum()` deletes the unreferenced ones once quiesced.
   */
 class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
-                          compactAfter: Int = 8)
+                          compactAfter: Int = 8, statsColumns: Seq[String] = Nil)
     extends TableStore {
   import CommitProtocol.Attempt
 
   private val ManifestFile = "_MANIFEST"
+  private val SnapshotFile = "_MANIFEST_SNAPSHOT"
+  private val StatsFile = "_STATS"
   private def dir(name: String) = s"$root/$name"
   private def versionDir(name: String, v: Long) = s"${dir(name)}/v$v"
   private def manifestPath(name: String) = Paths.get(dir(name), ManifestFile)
@@ -75,7 +77,8 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     parseManifest(snapshot(name).getOrElse(
       throw new java.nio.file.NoSuchFileException(manifestPath(name).toString)))
 
-  private def writeManifest(name: String, maxSk: Long, pairs: Seq[(Int, Long)]): Unit = {
+  private def writeManifest(name: String, maxSk: Long, pairs: Seq[(Int, Long)],
+                            commitV: Long): Unit = {
     // versions leaving the live set get a tombstone timestamp, so vacuum
     // can retain them for in-flight readers (Delta-style retention)
     val oldLive =
@@ -90,6 +93,11 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     }
     val body = (s"maxsk=$maxSk" +: pairs.sorted.map { case (b, v) => s"$b $v" })
       .mkString("", "\n", "\n")
+    // time travel: the full post-commit manifest body lands inside the
+    // commit's own version dir BEFORE the pointer swap — a crash between
+    // the two leaves an orphan dir (vacuumed later), never a live version
+    // without its snapshot. readAsOf resolves history through these.
+    Files.write(Paths.get(versionDir(name, commitV), SnapshotFile), body.getBytes)
     CommitProtocol.atomicWrite(dir(name), ManifestFile, body)
   }
 
@@ -144,6 +152,100 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   override def read(name: String): DataFrame =
     readPairs(name, readManifest(name)._2).drop("_bucket")
 
+  // ---------------------------------------------------------------------
+  // Zone maps (data skipping) + time travel
+  // ---------------------------------------------------------------------
+
+  /** Zone maps: per-(bucket, version) [min, max] of each `statsColumns`
+    * entry (values cast to double — numerics directly, timestamps as
+    * epoch seconds), written next to the version's data and consulted by
+    * [[readRange]] to drop whole buckets at MANIFEST resolution — before
+    * any file is opened, one level above parquet's row-group stats.
+    * All-NULL buckets get no entry (conservatively scanned). Opt-in via
+    * the constructor (one extra ≤nBuckets-row aggregate per commit);
+    * built for append-style tables where each commit carries a tight
+    * time range, so a time-bounded read skips every old version. */
+  private def writeStats(name: String, v: Long, out: DataFrame): Unit = {
+    val cols = statsColumns.filter(out.columns.contains)
+    if (cols.isEmpty) return
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")))
+    val rows = out.groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*).collect()
+    val lines = rows.toSeq.flatMap { r =>
+      val b = r.getAs[Int]("_bucket")
+      cols.flatMap { c =>
+        (Option(r.getAs[Any](s"_mn_$c")), Option(r.getAs[Any](s"_mx_$c"))) match {
+          case (Some(mn: Double), Some(mx: Double)) => Some(s"$b $c $mn $mx")
+          case _ => None
+        }
+      }
+    }
+    Files.write(Paths.get(versionDir(name, v), StatsFile),
+      lines.mkString("", "\n", "\n").getBytes)
+  }
+
+  /** (bucket, column) → (min, max) for one version; empty if the version
+    * predates stats or tracked none of its columns. */
+  private def readStats(name: String, v: Long): Map[(Int, String), (Double, Double)] = {
+    val p = Paths.get(versionDir(name, v), StatsFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).map { l =>
+      val Array(b, c, mn, mx) = l.trim.split("\\s+")
+      ((b.toInt, c), (mn.toDouble, mx.toDouble))
+    }.toMap
+  }
+
+  /** Range read with zone-map skipping: resolve the manifest, drop every
+    * (bucket, version) whose recorded [min, max] for `column` cannot
+    * intersect [lo, hi], scan only the survivors, and apply the exact
+    * residual filter (`cast("double")` semantics, matching the stats).
+    * Pairs without stats are scanned — stats only ever REMOVE work.
+    * Timestamp columns compare as epoch seconds. */
+  def readRange(name: String, column: String, lo: Double, hi: Double): DataFrame = {
+    val pairs = readManifest(name)._2
+    val statsByV = pairs.map(_._2).distinct
+      .map(v => v -> readStats(name, v)).toMap
+    val keep = pairs.filter { case (b, v) =>
+      statsByV(v).get((b, column)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val base =
+      if (keep.isEmpty)
+        spark.read.parquet(versionDir(name, pairs.head._2)).filter(lit(false))
+      else readPairs(name, keep)
+    base.drop("_bucket").filter(col(column).cast("double").between(lo, hi))
+  }
+
+  /** Time travel: the table exactly as of commit `version`, resolved
+    * through the manifest snapshot that commit wrote. Valid while vacuum
+    * retention keeps the versions it references (Delta's model) — a
+    * vacuumed snapshot raises a clear error rather than partial data. */
+  def readAsOf(name: String, version: Long): DataFrame = {
+    val p = Paths.get(versionDir(name, version), SnapshotFile)
+    if (!Files.exists(p)) throw new java.nio.file.NoSuchFileException(
+      s"$name has no committed snapshot v$version (never committed, or vacuumed)")
+    val pairs = parseManifest(new String(Files.readAllBytes(p)))._2
+    pairs.foreach { case (_, v) =>
+      if (!Files.exists(Paths.get(versionDir(name, v))))
+        throw new java.nio.file.NoSuchFileException(
+          s"$name snapshot v$version references vacuumed version v$v")
+    }
+    readPairs(name, pairs).drop("_bucket")
+  }
+
+  /** Committed (readAsOf-able) versions, oldest first. */
+  def committedVersions(name: String): Seq[Long] = {
+    val d = Paths.get(dir(name))
+    if (!Files.exists(d)) return Nil
+    val ls = Files.list(d)
+    try ls.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .filter(v => Files.exists(Paths.get(versionDir(name, v), SnapshotFile)))
+      .toSeq.sorted
+    finally ls.close()
+  }
+
   /** Full post-merge table view returned to callers: the just-committed
     * in-memory frame (touched buckets) ∪ a pruned scan of the untouched
     * live mappings. No manifest re-read and no re-scan of data this merge
@@ -175,9 +277,13 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         else if (replace) prevPairs.filterNot(p => touched.contains(p._1))
         else prevPairs
       Attempt[(DataFrame, Seq[(Int, Long)])](
-        writeVersion = v => out.write.mode("overwrite").partitionBy("_bucket")
-          .parquet(versionDir(name, v)),
-        swap = v => writeManifest(name, newMaxSk, keptPairs ++ touched.map(b => (b, v))),
+        writeVersion = v => {
+          out.write.mode("overwrite").partitionBy("_bucket")
+            .parquet(versionDir(name, v))
+          writeStats(name, v, out)
+        },
+        swap = v => writeManifest(name, newMaxSk,
+          keptPairs ++ touched.map(b => (b, v)), v),
         result = _ => (out, keptPairs))
     }
     maybeCompact(name)
@@ -199,9 +305,12 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
           throw new java.nio.file.NoSuchFileException(manifestPath(name).toString)))
         val (all, buckets) = materialize(readPairs(name, pairs))
         Attempt[Unit](
-          writeVersion = v => all.write.mode("overwrite").partitionBy("_bucket")
-            .parquet(versionDir(name, v)),
-          swap = v => writeManifest(name, maxSk, buckets.map(b => (b, v))),
+          writeVersion = v => {
+            all.write.mode("overwrite").partitionBy("_bucket")
+              .parquet(versionDir(name, v))
+            writeStats(name, v, all)
+          },
+          swap = v => writeManifest(name, maxSk, buckets.map(b => (b, v)), v),
           result = _ => ())
       }
     }
