@@ -66,6 +66,15 @@ object ScaleCheck {
         docs.filter(pmod(col("doc_id"), lit(10)) === 0), 6))
     time("unigram_logprob")(
       graft.operators.TextAnalysis.unigramLogProb(docs))
+    // r6-close additions: the bigram LM (same inverted-index topology one
+    // order up — transition vocabulary grows with the corpus but stays
+    // broadcastable far past this scale) and the cross-source overlap
+    // matrix (corpus cost is one shingle distinct + a sources×k min
+    // aggregate; the pairwise stage is independent of corpus size)
+    time("bigram_logprob")(
+      graft.operators.TextAnalysis.bigramLogProb(docs))
+    time("source_overlap(k=16)")(
+      Dedup.sourceOverlap(docs, n = 3, k = 16))
     spark.stop()
   }
 }

@@ -161,6 +161,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), s"no branch may re-read the corpus:\n$p")
   }
 
+  test("q89 sessionize: ONE data shuffle — windows and session agg share the user key") {
+    val p = plan(QueryCatalog.q89Sessionize)
+    // the lag/cumsum windows hash-partition on user_id; the (user,
+    // session_ix) aggregate's clustering is satisfied by that same
+    // partitioning, so exactly one exchange may appear
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges === 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("PARTITION BY ()") && p.contains("Window"),
+      s"windows must be user-partitioned:\n$p")
+  }
+
+  test("q90 weighted sample: per-group rank window, no extra data shuffle") {
+    val p = plan(QueryCatalog.q90WeightedSample)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges === 1, s"expected exactly 1 exchange (the lang window), got $exchanges:\n$p")
+  }
+
+  test("q91 bigram LM: tf frame materialized once, LM sides broadcast") {
+    val p = plan(QueryCatalog.q91BigramLogprob)
+    assert(p.contains("Scan ExistingRDD"), s"tf must be a materialized leaf:\n$p")
+    assert(!p.contains("Scan parquet"), s"no branch may re-tokenize the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bigram/prefix LMs must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no LM side may shuffle the tf frame:\n$p")
+  }
+
+  test("q92 source overlap: corpus scanned once, pairwise join only over signatures") {
+    val p = plan(QueryCatalog.q92SourceOverlap)
+    val parquetScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans <= 2, // self-joined signature frame may re-plan the scan
+      s"corpus must not be scanned per hash function:\n$p")
+    // the signature self-join is tiny (one row per source): a nested-loop
+    // over broadcast rows is the right plan, never a sort-merge of data
+    assert(!p.contains("SortMergeJoin"), s"pairwise join must not SMJ:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
