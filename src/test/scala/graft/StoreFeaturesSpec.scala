@@ -40,6 +40,29 @@ class StoreFeaturesSpec extends SparkSpec {
     intercept[java.nio.file.NoSuchFileException] { store.readAsOf("d", vs(0)) }
   }
 
+  test("diffVersions emits exactly the insert/update/delete set between commits") {
+    val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
+    store.mergeDim("d", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr"),
+      Seq("k"), "sk")
+    store.mergeDim("d", Seq((2L, "b2"), (4L, "d")).toDF("k", "attr"), Seq("k"), "sk")
+    val Seq(v1, v2) = store.committedVersions("d")
+
+    val d12 = store.diffVersions("d", v1, v2, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("_change")).toMap
+    // merge semantics never delete: k=2 updated, k=4 inserted, 1/3 silent
+    assert(d12 === Map(2L -> "update", 4L -> "insert"))
+
+    // replaceTable DOES delete by omission — the diff must surface it
+    store.replaceTable("d", Seq((2L, 2L, "b2"), (4L, 4L, "d")).toDF("k", "sk", "attr"),
+      Seq("k"))
+    val v3 = store.committedVersions("d").max
+    val d23 = store.diffVersions("d", v2, v3, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("_change")).toMap
+    assert(d23 === Map(1L -> "delete", 3L -> "delete"))
+    // self-diff is empty; sk changes alone count as updates (struct equality)
+    assert(store.diffVersions("d", v3, v3, Seq("k")).count() === 0L)
+  }
+
   test("zone maps skip non-intersecting versions of an append table") {
     val root = freshRoot()
     val store = new BucketedMergeWriter(spark, root, nBuckets = 4,
