@@ -17,10 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      GraftExtensions.dotProductInfo,
-      GraftExtensions.dotProductBuilder))
+    GraftExtensions.sqlFunctions.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
     // banded theta joins (abs(a.t - b.t) <= w with no equi key) rewrite to
     // the bucketed equi-join instead of a nested-loop plan
     ext.injectOptimizerRule(_ => graft.plans.BandedThetaJoinRule)
@@ -28,20 +27,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private[functions] val dotProductInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
-  private[functions] val dotProductBuilder: Seq[Expression] => Expression = children => {
-    require(children.length == 2, "dot_product(a, b) takes exactly 2 arguments")
-    DotProduct(children.head, children(1))
-  }
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+
+  private def arity(name: String, n: Int)
+      (f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.length == n, s"$name takes exactly $n argument(s)")
+      f(children)
+    }
+
+  /** The SQL-callable surface: every entry is pure codegen'd Catalyst
+    * (DotProduct is the one custom Expression; norm/cosine compose it with
+    * built-ins, exactly like their Column-API twins in VectorFunctions). */
+  private[functions] val sqlFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      arity("dot_product(a, b)", 2)(c => DotProduct(c.head, c(1)))),
+    ("vec_norm", new ExpressionInfo(classOf[DotProduct].getName, "vec_norm"),
+      arity("vec_norm(a)", 1)(c => Sqrt(DotProduct(c.head, c.head)))),
+    ("cosine_sim", new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
+      arity("cosine_sim(a, b)", 2)(c => Divide(DotProduct(c.head, c(1)),
+        Multiply(Sqrt(DotProduct(c.head, c.head)), Sqrt(DotProduct(c(1), c(1))))))))
 
   /** Register graft functions AND the banded-theta-join optimizer rule on
     * an already-built session (the extensions class only hooks
     * construction; `experimental.extraOptimizations` is the sanctioned
     * post-hoc injection point for optimizer rules). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "dot_product", dotProductInfo, dotProductBuilder)
+    sqlFunctions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+        spark, name, info, builder)
+    }
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(graft.plans.BandedThetaJoinRule))
       spark.experimental.extraOptimizations = cur :+ graft.plans.BandedThetaJoinRule

@@ -123,7 +123,12 @@ object Joins {
     require(maxDist >= 0 && blockLen >= 1, "need maxDist >= 0, blockLen >= 1")
     left.join(right,
         substring(col(leftName), 1, blockLen) === substring(col(rightName), 1, blockLen))
-      .withColumn("dist", levenshtein(col(leftName), col(rightName)).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold variant: the edit-distance DP early-exits the moment a
+      // row's distance must exceed maxDist (returns -1) — O(maxDist·len)
+      // per pair instead of O(len²), the difference between verifying
+      // k-blocked candidates and re-paying full DP on every near-miss
+      .withColumn("dist",
+        levenshtein(col(leftName), col(rightName), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
   }
 }

@@ -71,6 +71,66 @@ object EventAggregates {
       }
   }
 
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     duration_sec: Long)
+
+  /** Streaming sessionization — the unbounded twin of the batch
+    * `Events.sessionize` (q89): per-user sessions close either when a
+    * later event arrives past the gap (emitted immediately) or when the
+    * WATERMARK passes last-event + gap with no successor
+    * (`flatMapGroupsWithState` + `EventTimeTimeout` — the state-store
+    * timeout fires exactly when no on-time event can extend the session).
+    * State per user is ONE (start, last, n) triple; eviction on close
+    * keeps total state ∝ concurrently-active users, not stream length.
+    */
+  def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int = 30,
+                       watermark: String = "10 minutes"): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val outEnc = Encoders.product[Session]
+    val gapMs = gapMinutes * 60000L
+    def closed(uid: Long, s: SessState): Session =
+      Session(uid, s.start, s.last, s.n, (s.last.getTime - s.start.getTime) / 1000L)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(closed(uid, s))
+          } else {
+            // batch order is not event order: sort this trigger's slice
+            // (bounded by trigger size, not stream length)
+            val evs = batch.toIndexedSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            var out = List.empty[Session]
+            var cur = state.getOption
+            for (e <- evs) cur = cur match {
+              case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                Some(SessState(s.start,
+                  if (e.ts.after(s.last)) e.ts else s.last, s.n + 1))
+              case Some(s) =>
+                out ::= closed(uid, s)
+                Some(SessState(e.ts, e.ts, 1L))
+              case None => Some(SessState(e.ts, e.ts, 1L))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when no on-time event can extend this session; the
+              // max() guard keeps the timestamp ≥ the current watermark
+              // (Spark rejects timeouts already in the past)
+              state.setTimeoutTimestamp(math.max(s.last.getTime + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Streaming-native dedup: keep the FIRST record per key, with state
     * bounded by the watermark (`dropDuplicatesWithinWatermark` evicts a
     * key's dedup state once the watermark passes its event time + delay).

@@ -7,21 +7,17 @@ import graft.operators.Skew
 class ExtensionsAndSkewSpec extends SparkSpec {
   import spark.implicits._
 
-  test("dot_product is callable from SQL via GraftExtensions injection") {
-    // inject into the existing session's registry through the extension
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new graft.functions.GraftExtensions()(ext)
-    // direct registry registration path (same builder hook the config uses)
-    spark.sessionState.functionRegistry.registerFunction(
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.DotProduct].getName, "dot_product"),
-      (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.DotProduct(e.head, e(1)))
-    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
-      .createOrReplaceTempView("vecs")
-    val r = spark.sql("SELECT dot_product(a, b) AS d FROM vecs").collect().head.getDouble(0)
-    assert(r === 11.0)
+  test("dot_product / vec_norm / cosine_sim are callable from SQL via register()") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT dot_product(a, b) AS d, vec_norm(a) AS n, cosine_sim(a, b) AS c FROM vecs")
+      .collect()
+    assert(rows(0).getDouble(0) === 25.0)
+    assert(rows(0).getDouble(1) === 5.0)
+    assert(rows(0).getDouble(2) === 1.0, "parallel vectors: cosine 1")
+    assert(rows(1).getDouble(2) === 0.0, "orthogonal vectors: cosine 0")
   }
 
   test("salted aggregates equal their unsalted counterparts on skewed data") {

@@ -160,4 +160,43 @@ class StreamingSpec extends SparkSpec {
       assert(latest(2L).n_events === 1L)
     } finally q.stop()
   }
+
+  test("streaming sessionization closes on gap AND on event-time timeout (T5)") {
+    import graft.streaming.EventAggregates.{SessEvent, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = EventAggregates.sessionizeStream(in.toDS(), gapMinutes = 30,
+      watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two events 10 min apart (one session), then an event 2h
+      // later IN THE SAME STREAM — the gap closes session 1 immediately
+      in.addData(SessEvent(1L, ts(10, 0)), SessEvent(1L, ts(10, 10)))
+      q.processAllAvailable()
+      in.addData(SessEvent(1L, ts(12, 0)))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_out").as[Session].collect()
+      assert(afterGap.exists(s =>
+        s.user_id == 1L && s.session_start == ts(10, 0) &&
+          s.session_end == ts(10, 10) && s.n_events == 2L && s.duration_sec == 600L),
+        s"gap-closed session missing: ${afterGap.mkString(";")}")
+
+      // user 2's lone session has no successor: only the WATERMARK can
+      // close it — push it past last + gap via a late high-ts event
+      in.addData(SessEvent(2L, ts(12, 5)))
+      q.processAllAvailable()
+      in.addData(SessEvent(9L, ts(20, 0))) // watermark -> 19:55, past 12:35
+      q.processAllAvailable()
+      in.addData(SessEvent(9L, ts(20, 1))) // extra trigger to fire timeouts
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[Session].collect()
+      assert(rows.exists(s => s.user_id == 2L && s.n_events == 1L &&
+        s.session_start == ts(12, 5)),
+        s"timeout-closed session missing: ${rows.mkString(";")}")
+      // user 1's 12:00 session also times out; no session is emitted twice
+      assert(rows.groupBy(s => (s.user_id, s.session_start)).forall(_._2.length == 1),
+        s"duplicate session emission: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
 }
