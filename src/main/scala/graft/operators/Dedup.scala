@@ -364,13 +364,21 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, n: Int, k: Int,
                     groupCol: String = "source", textCol: String = "text"): DataFrame = {
     val p = 4294967291L
-    val shingles = docs.select(col(groupCol).as("_grp"),
-        graft.functions.NGramsGenerator.ngrams(col(textCol), n))
-      .distinct()
     val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
     val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
-    val mhCols = (0 until k).map(i => min((h1 + lit(i) * h2) % p).as(s"mh$i"))
-    val sig = shingles.groupBy(col("_grp")).agg(mhCols.head, mhCols.tail: _*)
+    // hash BEFORE the distinct: the dedup shuffle carries two int64s per
+    // shingle instead of the shingle string. Result-identical: rows equal
+    // on (h1, h2) derive equal (h1 + i·h2) for EVERY i, so collapsing
+    // them can never change any min — and the distinct set itself only
+    // ever differs from shingle-distinct under an (h1, h2) collision,
+    // which the previous formulation was equally exposed to via md5.
+    val hashed = docs.select(col(groupCol).as("_grp"),
+        graft.functions.NGramsGenerator.ngrams(col(textCol), n))
+      .select(col("_grp"), h1.as("_h1"), h2.as("_h2"))
+      .distinct()
+    val mhCols = (0 until k).map(i =>
+      min((col("_h1") + lit(i) * col("_h2")) % p).as(s"mh$i"))
+    val sig = hashed.groupBy(col("_grp")).agg(mhCols.head, mhCols.tail: _*)
     val a = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "_grp") "src_a" else s"a_$c"): _*)
     val b = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "_grp") "src_b" else s"b_$c"): _*)
     val agree = (0 until k).map(i =>
