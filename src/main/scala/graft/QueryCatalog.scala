@@ -2006,6 +2006,31 @@ object QueryCatalog {
        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
   }
 
+  /** Length-bucketed batching (TextAnalysis.lengthBucketedBatches): the
+    * inference layout that bounds padding waste — audit = per-(bucket,
+    * batch) size and padded length, plus the exact padding-waste token
+    * count the layout pays. */
+  def q93LengthBatches(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthBucketedBatches(t(s, dir, "documents"),
+      bucketWidth = 16, batchSize = 8)
+      .groupBy(col("bucket"), col("batch_ix"))
+      .agg(count(lit(1)).as("n_docs"), max(col("padded_len")).as("padded_len"),
+        (max(col("padded_len")) * count(lit(1)) - sum(col("n_tokens"))).as("waste_tokens"))
+
+  val q93Sql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM d),
+       |r AS (SELECT doc_id, n_tokens, bucket,
+       |        (row_number() OVER (PARTITION BY bucket
+       |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000,
+       |                    doc_id) - 1) // 8 AS batch_ix
+       |      FROM b)
+       |SELECT bucket, batch_ix, CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(n_tokens) AS padded_len,
+       |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS waste_tokens
+       |FROM r GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2103,7 +2128,8 @@ object QueryCatalog {
     ("q89_sessionize", q89Sessionize _, Some(q89Sql)),
     ("q90_weighted_sample", q90WeightedSample _, Some(q90Sql)),
     ("q91_bigram_logprob", q91BigramLogprob _, Some(q91Sql)),
-    ("q92_source_overlap", q92SourceOverlap _, Some(q92Sql)))
+    ("q92_source_overlap", q92SourceOverlap _, Some(q92Sql)),
+    ("q93_length_batches", q93LengthBatches _, Some(q93Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -287,6 +287,40 @@ object TextAnalysis {
         (col("_sum").cast("double") / col("dl").cast("double")).as("avg_logprob"))
   }
 
+  /** Length-bucketed batching: group documents into size-`bucketWidth`
+    * token-length buckets, then cut each bucket into `batchSize`-doc
+    * batches in content-hash order — the inference/serving layout that
+    * minimizes padding waste (a batch pads every member to its longest
+    * sequence; batching within a length bucket bounds that waste to
+    * `bucketWidth` tokens per doc). Returns (doc, n_tokens, bucket,
+    * batch_ix, padded_len): `padded_len` = the batch's max length, the
+    * number every member is padded to.
+    *
+    * Engine parity: bucket = `n_tokens div bucketWidth` (integer),
+    * batch_ix = `(row_number − 1) div batchSize` over (hash, key) order —
+    * all exact. Scale: one map-only projection + ONE window partitioned
+    * by bucket (each length class ranks independently), then a tiny
+    * (bucket, batch) max aggregate joined back by the window's own key —
+    * no global sort. */
+  def lengthBucketedBatches(docs: DataFrame, bucketWidth: Int, batchSize: Int,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "need positive bucketWidth/batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(Sampling.hashBucket(col(idCol)), col(idCol))
+    val ranked = docs.select(col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("batch_ix", expr(s"(_rn - 1) div $batchSize"))
+      .drop("_rn")
+    val pads = ranked.groupBy(col("bucket"), col("batch_ix"))
+      .agg(max(col("n_tokens")).as("padded_len"))
+    ranked.join(pads, Seq("bucket", "batch_ix"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        col("batch_ix"), col("padded_len"))
+  }
+
   /** Bigram language-model fluency score — the next notch of context
     * sensitivity above [[unigramLogProb]]: score each document by the mean
     * conditional log-probability of its token *transitions*,

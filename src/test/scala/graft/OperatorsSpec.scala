@@ -550,6 +550,61 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 3, "all unordered source pairs present")
   }
 
+  test("lengthBucketedBatches bounds padding waste to the bucket width") {
+    // 40 docs of 3 tokens, 40 of ~20 tokens: buckets must never mix them
+    val d = ((1L to 40L).map(i => (i, "a b c")) ++
+      (41L to 80L).map(i => (i, Seq.fill(17 + (i % 4).toInt)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBucketedBatches(d, bucketWidth = 16, batchSize = 8)
+      .collect()
+    assert(out.length === 80)
+    // every doc's padding waste is bounded by the bucket width
+    assert(out.forall(r => r.getAs[Long]("padded_len") - r.getAs[Long]("n_tokens") < 16),
+      "padding inside a batch must stay under one bucket width")
+    // batches are full except at most one remainder per bucket
+    val sizes = out.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("batch_ix")))
+      .map { case (k, rs) => k -> rs.length }
+    sizes.groupBy(_._1._1).foreach { case (b, m) =>
+      assert(m.values.count(_ != 8) <= 1, s"bucket $b has several partial batches: $m")
+    }
+    // partition-stable: same assignment under a different partitioning
+    val again = TextAnalysis.lengthBucketedBatches(
+      d.repartition(13), bucketWidth = 16, batchSize = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("batch_ix"))).toMap
+    val first = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("bucket"), r.getAs[Long]("batch_ix"))).toMap
+    assert(again === first)
+  }
+
+  test("sessionize matches a brute-force reference on randomized streams") {
+    // deterministic pseudo-random fixture: 300 events over 20 users with
+    // lumpy inter-arrival gaps straddling the 30-minute threshold
+    val evs = (1 to 300).map { i =>
+      val user = (i * 2654435761L % 20).abs
+      val tsMs = 1700000000000L + user * 10000000L +
+        ((i * 40503L % 97) * (i % 7 match { case 0 => 2400000L case _ => 200000L }))
+      (i.toLong, user, new java.sql.Timestamp(tsMs))
+    }
+    val df = evs.toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Events.sessionize(df, gapMinutes = 30)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_ix")) ->
+        (r.getAs[Long]("n_events"), r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"))).toMap
+    // brute-force reference: per user, sort, split on gap > 30 min
+    val expected = evs.groupBy(_._2).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._1))
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._3.getTime - acc.head.head._3.getTime > 1800000L) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, ix) =>
+        (u, ix + 1L) -> (s.size.toLong, s.head._3, s.last._3)
+      }
+    }.toMap
+    assert(got === expected)
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
