@@ -2031,6 +2031,31 @@ object QueryCatalog {
        |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS waste_tokens
        |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Data-quality column profile (Integrity.columnProfile): the
+    * per-ingest audit — null rates, cardinality, numeric ranges — in one
+    * pass, here over the orders slice a pipeline would gate on. */
+  def q94ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    Integrity.columnProfile(t(s, dir, "orders"),
+      numCols = Seq("o_custkey", "o_totalprice"),
+      strCols = Seq("o_orderstatus", "o_orderpriority"))
+
+  val q94Sql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL OR trim($c) = '' THEN 1 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+         |FROM orders""".stripMargin
+    Seq(num("o_custkey"), num("o_totalprice"),
+      str("o_orderstatus"), str("o_orderpriority")).mkString("\nUNION ALL\n")
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2129,7 +2154,8 @@ object QueryCatalog {
     ("q90_weighted_sample", q90WeightedSample _, Some(q90Sql)),
     ("q91_bigram_logprob", q91BigramLogprob _, Some(q91Sql)),
     ("q92_source_overlap", q92SourceOverlap _, Some(q92Sql)),
-    ("q93_length_batches", q93LengthBatches _, Some(q93Sql)))
+    ("q93_length_batches", q93LengthBatches _, Some(q93Sql)),
+    ("q94_column_profile", q94ColumnProfile _, Some(q94Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -42,4 +42,38 @@ object Integrity {
     }
     agg.agg(sums.head, sums.tail: _*)
   }
+
+  /** Data-quality column profile — the audit a pipeline runs on every new
+    * ingest before trusting it (null-rate spikes, cardinality collapse,
+    * range drift): one row per profiled column with exact null count
+    * (strings count empty-after-trim as null, matching the cleanse
+    * contract), exact distinct count, and the numeric [min, max].
+    *
+    * ONE pass over the data. NOTE the multi-column `countDistinct` plans
+    * as an Expand (input amplified ×(#distinct aggs)) — exact and fine
+    * into the terabytes; past that, swap the distincts for the
+    * deterministic HLL sketch ([[graft.functions.HllSketchAgg]], q58) and
+    * keep everything else — the same single-pass shape without the
+    * expand.
+    */
+  def columnProfile(df: DataFrame, numCols: Seq[String],
+                    strCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty, "profile needs columns")
+    val aggs = numCols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c"),
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c"))) ++
+      strCols.flatMap(c => Seq(
+        count(when(col(c).isNull || trim(col(c)) === "", 1)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = numCols.map(c =>
+      s"'$c', null_$c, dist_$c, min_$c, max_$c") ++
+      strCols.map(c => s"'$c', null_$c, dist_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+    one.selectExpr("n_rows",
+      s"stack(${rows.size}, ${rows.mkString(", ")}) AS (column, n_null, n_distinct, min_num, max_num)")
+      .select(col("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+  }
 }

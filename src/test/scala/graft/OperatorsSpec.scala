@@ -605,6 +605,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("columnProfile: exact nulls (strings count empty-after-trim), distincts, ranges") {
+    val d = Seq(
+      (Some(1L), Some(2.0), "a"), (Some(1L), None, "  "),
+      (None, Some(8.0), "b"), (Some(5L), Some(2.0), null)
+    ).toDF("k", "v", "s")
+    val out = graft.plans.Integrity.columnProfile(d, Seq("k", "v"), Seq("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("k") === (4L, 1L, 2L, Some(1.0), Some(5.0)))
+    assert(out("v") === (4L, 1L, 2L, Some(2.0), Some(8.0)))
+    // whitespace-only string counts as null; NULL excluded from distinct
+    assert(out("s") === (4L, 2L, 3L, None, None))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
