@@ -314,6 +314,7 @@ object TextAnalysis {
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("batch_ix", expr(s"(_rn - 1) div $batchSize"))
       .drop("_rn")
+      .localCheckpoint(true) // consumed by the rows AND the batch-max sides
     val pads = ranked.groupBy(col("bucket"), col("batch_ix"))
       .agg(max(col("n_tokens")).as("padded_len"))
     ranked.join(pads, Seq("bucket", "batch_ix"))

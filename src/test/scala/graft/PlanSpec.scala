@@ -198,6 +198,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"pairwise join must not SMJ:\n$p")
   }
 
+  test("q93 length batches: ranked frame materialized once (no double window)") {
+    val p = plan(QueryCatalog.q93LengthBatches)
+    assert(p.contains("Scan ExistingRDD"), s"ranked must be a materialized leaf:\n$p")
+    assert(!p.contains("Scan parquet"), s"no side may re-tokenize the corpus:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
