@@ -2056,6 +2056,26 @@ object QueryCatalog {
       str("o_orderstatus"), str("o_orderpriority")).mkString("\nUNION ALL\n")
   }
 
+  /** Vocabulary induction + tokenize-to-ids (TextAnalysis.tokenizeToIds):
+    * top-64 corpus vocabulary, OOV → 0 — the text → id-sequence step
+    * before packing. The full id arrays are oracle-compared element-wise. */
+  def q95TokenizeIds(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizeToIds(t(s, dir, "documents"), vocabSize = 64)
+
+  val q95Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM base),
+       |tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM t),
+       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS id
+       |      FROM (SELECT * FROM tf ORDER BY cnt DESC, tok LIMIT 64)),
+       |m AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
+       |      FROM tok LEFT JOIN v USING (tok))
+       |SELECT doc_id, list(id ORDER BY pos, id) AS ids,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |FROM m GROUP BY doc_id""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2155,7 +2175,8 @@ object QueryCatalog {
     ("q91_bigram_logprob", q91BigramLogprob _, Some(q91Sql)),
     ("q92_source_overlap", q92SourceOverlap _, Some(q92Sql)),
     ("q93_length_batches", q93LengthBatches _, Some(q93Sql)),
-    ("q94_column_profile", q94ColumnProfile _, Some(q94Sql)))
+    ("q94_column_profile", q94ColumnProfile _, Some(q94Sql)),
+    ("q95_tokenize_ids", q95TokenizeIds _, Some(q95Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

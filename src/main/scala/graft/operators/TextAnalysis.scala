@@ -375,6 +375,42 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Vocabulary induction + tokenization to ids — the step between raw
+    * text and [[packSequences]]/[[lengthBucketedBatches]]: build the
+    * top-`vocabSize` token vocabulary by corpus frequency (ties on the
+    * token string, so the id table is deterministic), assign ids 1..V in
+    * rank order, and map every document to its id sequence with OOV → 0.
+    * Returns (doc_id, ids, n_tokens, n_oov).
+    *
+    * Scale: one tf aggregate over the exploded token stream (map-side
+    * partial), top-V via orderBy+limit — Spark plans TakeOrderedAndProject,
+    * a tree-reduced top-k, never a global sort of the vocabulary — then a
+    * broadcast id join and ONE doc-key shuffle to reassemble sequences in
+    * position order (array_sort on (pos, id) structs: exact, engine-
+    * portable). The id-assignment window runs over ≤V rows (the one
+    * deliberately tiny unpartitioned window, same class as q57's daily
+    * deltas). */
+  def tokenizeToIds(docs: DataFrame, vocabSize: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .withColumn("id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_cnt").desc, col("tok"))).cast("long"))
+      .select(col("tok"), col("id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, id))), x -> x.id)").as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -621,6 +621,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out("s") === (4L, 2L, 3L, None, None))
   }
 
+  test("tokenizeToIds: rank-ordered vocab, OOV -> 0, position-exact sequences") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "zyx the")
+    ).toDF("doc_id", "text")
+    // corpus tf: the=4, sat=2, cat/dog/mat/on/zyx=1 → top-4 vocab by
+    // (cnt desc, token asc): the=1, sat=2, cat=3, dog=4
+    val out = TextAnalysis.tokenizeToIds(d, vocabSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (Seq(1L, 3L, 2L, 0L, 1L, 0L), 6L, 2L)) // on, mat OOV
+    assert(out(2L) === (Seq(1L, 4L, 2L), 3L, 0L))
+    assert(out(3L) === (Seq(0L, 1L), 2L, 1L))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
