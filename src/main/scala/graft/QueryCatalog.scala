@@ -2076,6 +2076,31 @@ object QueryCatalog {
        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
        |FROM m GROUP BY doc_id""".stripMargin
 
+  /** Per-label embedding centroids (functions.VectorSumAgg): mean pooling
+    * in ONE aggregation pass — the shuffle carries a single double[64]
+    * per (label, partition), never the members and never a ×dims row
+    * explosion. Centroid components round(Σ/n, 6) as all float ranks do. */
+  def q96Centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        graft.functions.VectorSumAgg.vectorSum(col("embedding"), 64).as("_s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        expr("transform(_s, x -> round(x / n_vecs, 6))").as("centroid"))
+
+  val q96Sql: String =
+    """WITH n AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs
+      |           FROM embeddings GROUP BY 1),
+      |e AS (SELECT CAST(label AS BIGINT) AS label,
+      |        generate_subscripts(embedding, 1) AS d,
+      |        unnest(CAST(embedding AS DOUBLE[])) AS v
+      |      FROM embeddings),
+      |s AS (SELECT label, d, sum(v) AS sv FROM e GROUP BY 1, 2)
+      |SELECT s.label, n.n_vecs,
+      |  list(round(sv / n_vecs, 6) ORDER BY d) AS centroid
+      |FROM s JOIN n USING (label) GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2176,7 +2201,8 @@ object QueryCatalog {
     ("q92_source_overlap", q92SourceOverlap _, Some(q92Sql)),
     ("q93_length_batches", q93LengthBatches _, Some(q93Sql)),
     ("q94_column_profile", q94ColumnProfile _, Some(q94Sql)),
-    ("q95_tokenize_ids", q95TokenizeIds _, Some(q95Sql)))
+    ("q95_tokenize_ids", q95TokenizeIds _, Some(q95Sql)),
+    ("q96_centroids", q96Centroids _, Some(q96Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -107,6 +107,37 @@ class SketchSpec extends SparkSpec {
     assert(bits(1) === bits(17))
   }
 
+  test("vectorSum: element-wise exact on floats, partition-independent, null-safe") {
+    import graft.functions.VectorSumAgg.vectorSum
+    val rows = Seq(
+      (1, Array(1.0f, 2.0f, 3.0f)),
+      (1, Array(0.5f, -2.0f, 1.0f)),
+      (2, Array(10.0f, 0.0f, 0.25f)))
+    def sums(parts: Int) = rows.toDF("label", "v").repartition(parts)
+      .groupBy(col("label")).agg(vectorSum(col("v"), 3).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val one = sums(1)
+    assert(one(1) === Seq(1.5, 0.0, 4.0))
+    assert(one(2) === Seq(10.0, 0.0, 0.25))
+    // these inputs sum exactly in double, so every partitioning agrees
+    assert(sums(7) === one, "merge must be element-wise, any partitioning")
+    // null rows skipped entirely
+    val withNull = (rows.map { case (l, v) => (l, Option(v)) } :+ (1, None))
+      .toDF("label", "v")
+      .groupBy(col("label")).agg(vectorSum(col("v"), 3).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(withNull(1) === Seq(1.5, 0.0, 4.0))
+  }
+
+  test("vectorSum plan partial-aggregates map-side (sketch shuffles, not members)") {
+    import graft.functions.VectorSumAgg.vectorSum
+    val p = Seq((1, Array(1.0f, 2.0f))).toDF("label", "v")
+      .groupBy(col("label")).agg(vectorSum(col("v"), 2))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert(p.contains("partial_vector_sum"), s"expected map-side partial:\n$p")
+  }
+
   test("decontaminateBloom output is IDENTICAL to the exact formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
