@@ -124,6 +124,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+    val dims = v.select(size(col("_v"))).head().getInt(0)
     var cents = v.orderBy(col("_id")).limit(nCells)
       .select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
       .localCheckpoint(true)
@@ -135,13 +136,15 @@ object Similarity {
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("_id")).orderBy(col("d").desc, col("cell").asc)))
         .filter(col("rnk") === 1)
-      // per-cell mean: aggregate(zip) via posexplode — partial agg per (cell, dim)
+      // per-cell mean via the element-wise VectorSumAgg: ONE aggregation
+      // pass whose shuffle carries a double[dims] per (cell, partition) —
+      // the previous posexplode + groupBy(cell, dim) + reassembly paid a
+      // ×dims row explosion and a second shuffle
       val means = assigned
-        .select(col("cell"), posexplode(col("_v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-        .select(col("cell"), expr("transform(p, s -> s.m)").as("cvec"))
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("_v"), dims).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(col("cell"), expr("transform(_s, x -> x / _n)").as("cvec"))
       // keep previous centroid for cells that lost all members
       cents = cents.select(col("cell"), col("cvec").as("prev"))
         .join(means.withColumnRenamed("cvec", "next"), Seq("cell"), "left")
