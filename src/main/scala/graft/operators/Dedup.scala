@@ -107,34 +107,47 @@ object Dedup {
     * for that band only — with multiple bands they still surface via their
     * other bands, the standard LSH hot-bucket mitigation.
     */
-  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
-                 maxBucket: Int = 1000,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rowsPer = k / bands
-    // referenced 4×: signatures, sizes, verify ×2
-    val s = materialize(shinglePairs(docs, n, idCol, textCol))
-    // Wide-aggregate signatures in ONE shuffle, with double-hashing: the
-    // k salted hashes are derived as (h1 + i·h2) mod p from TWO md5s per
-    // shingle instead of k (the standard minhash double-hash family —
-    // 2 hashes + integer arithmetic ≪ k full hashes). h1/h2 are the first
-    // 60 bits of md5 hex, reduced mod the largest 32-bit prime so all
-    // arithmetic stays safely in int64 — bit-for-bit replicable in SQL.
+  /** Wide minhash signature frame (doc_id, mh0..mh{k−1}) over a shingle
+    * frame — ONE shuffle, with double-hashing: the k salted hashes are
+    * derived as (h1 + i·h2) mod p from TWO md5s per shingle instead of k
+    * (the standard minhash double-hash family — 2 hashes + integer
+    * arithmetic ≪ k full hashes). h1/h2 are the first 60 bits of md5 hex,
+    * reduced mod the largest 32-bit prime so all arithmetic stays safely
+    * in int64 — bit-for-bit replicable in SQL. Shared by the one-shot
+    * q24 path and the incremental index. */
+  private[operators] def minhashSigWide(shingles: DataFrame, k: Int): DataFrame = {
     val p = 4294967291L
     val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
     val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
     val mhCols = (0 until k).map(i => min((h1 + lit(i) * h2) % p).as(s"mh$i"))
-    // one wide row per doc; materialized because banding reads it and (via
-    // `banded`) both sides of the candidate self-join do
-    val sigWide = materialize(s.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*))
+    shingles.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** (doc_id, band, bucket) rows from a wide signature frame: each band's
+    * bucket is the md5 of its rowsPer signature slots. */
+  private[operators] def bandRows(sigWide: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPer = k / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rowsPer until (b + 1) * rowsPer)
         .map(i => concat(lit(s"$i="), col(s"mh$i")))
       md5(concat_ws("|", sort_array(array(parts: _*)))).as(s"bucket$b")
     }
     val stackExpr = (0 until bands).map(b => s"$b, bucket$b").mkString(", ")
-    val banded = sigWide.select(col("doc_id") +: bandCols: _*)
+    sigWide.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bucket)")
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                 maxBucket: Int = 1000,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    // referenced 4×: signatures, sizes, verify ×2
+    val s = materialize(shinglePairs(docs, n, idCol, textCol))
+    // one wide row per doc; materialized because banding reads it and (via
+    // `banded`) both sides of the candidate self-join do
+    val sigWide = materialize(minhashSigWide(s, k))
+    val banded = bandRows(sigWide, k, bands)
     val bucketSizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBucket)

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.IncrementalDedupIndex
+import graft.plans.BucketedMergeWriter
+
+/** Incremental near-dup index: batch-by-batch ingestion must find exactly
+  * the pairs a one-shot build finds, including pairs that SPAN batches,
+  * and replays must not corrupt the index. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three exact-dup groups spread across batches + singletons
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "completely different text about spark engines and data processing"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+    (4L, "watermarked windows bound the state of streaming aggregation jobs"),
+    (5L, "watermarked windows bound the state of streaming aggregation jobs"), // dup of 4
+    (6L, "the quick brown fox jumps over the lazy dog tonight")  // dup of 1 & 3
+  )
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def mkIndex() = new IncrementalDedupIndex(
+    new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-inc-dedup").toString, nBuckets = 4),
+    "docs", n = 3, k = 12, bands = 4, threshold = 0.5)
+
+  private def pairSet(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("batch-by-batch union equals the one-shot build; cross-batch pairs found") {
+    val oneShot = pairSet(mkIndex().ingest(df(corpus)))
+    assert(oneShot === Set((1L, 3L), (1L, 6L), (3L, 6L), (4L, 5L)),
+      s"one-shot fixture pairs: $oneShot")
+
+    val inc = mkIndex()
+    val p1 = pairSet(inc.ingest(df(corpus.slice(0, 2)))) // docs 1, 2
+    val p2 = pairSet(inc.ingest(df(corpus.slice(2, 4)))) // docs 3, 4
+    val p3 = pairSet(inc.ingest(df(corpus.slice(4, 6)))) // docs 5, 6
+    assert(p1 === Set.empty, "no pairs within the first batch")
+    assert(p2 === Set((1L, 3L)), "cross-batch pair surfaces when doc 3 arrives")
+    assert(p3 === Set((4L, 5L), (1L, 6L), (3L, 6L)),
+      s"doc 5 pairs with indexed 4; doc 6 with indexed 1 and 3: $p3")
+    assert((p1 ++ p2 ++ p3) === oneShot, "incremental union ≡ one-shot")
+  }
+
+  test("replaying a batch re-emits its pairs but leaves the index unchanged") {
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-inc-dedup2").toString, nBuckets = 4)
+    val idx = new IncrementalDedupIndex(store, "docs", 3, 12, 4, 0.5)
+    idx.ingest(df(corpus.slice(0, 4)))
+    val sigCount = store.read(idx.sigTable).count()
+    val bandCount = store.read(idx.bandTable).count()
+    val replayPairs = pairSet(idx.ingest(df(corpus.slice(2, 4)))) // replay batch 2
+    assert(store.read(idx.sigTable).count() === sigCount, "sig rows unchanged")
+    assert(store.read(idx.bandTable).count() === bandCount, "band rows unchanged")
+    assert(replayPairs === Set((1L, 3L)), "replay re-emits, never corrupts")
+  }
+}
