@@ -75,6 +75,20 @@ object ScaleCheck {
       graft.operators.TextAnalysis.bigramLogProb(docs))
     time("source_overlap(k=16)")(
       Dedup.sourceOverlap(docs, n = 3, k = 16))
+    // incremental index: prebuild over 90% of the corpus UNTIMED, then
+    // time one 10% ingest — the claim under test is that indexing a batch
+    // costs ~the batch, not ~the corpus (compare against minhash_lsh's
+    // full-rebuild time above). Ingest is idempotent, so re-runs re-merge
+    // the same batch.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft-scale-inc").toString
+      val idx = new graft.operators.IncrementalDedupIndex(
+        new graft.plans.BucketedMergeWriter(spark, root, nBuckets = 16),
+        "docs", n = 5, k = 12, bands = 4, threshold = 0.5)
+      idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)) // 90%, untimed
+      time("inc_ingest(10% batch)")(
+        idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) === 0)))
+    }
     spark.stop()
   }
 }
