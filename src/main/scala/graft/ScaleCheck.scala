@@ -75,16 +75,21 @@ object ScaleCheck {
       graft.operators.TextAnalysis.bigramLogProb(docs))
     time("source_overlap(k=16)")(
       Dedup.sourceOverlap(docs, n = 3, k = 16))
-    // incremental index: prebuild over 90% of the corpus UNTIMED, then
-    // time one 10% ingest — the claim under test is that indexing a batch
-    // costs ~the batch, not ~the corpus (compare against minhash_lsh's
-    // full-rebuild time above). Ingest is idempotent, so re-runs re-merge
-    // the same batch.
+    // incremental index: the claim under test is that indexing a batch
+    // costs ~the batch, not ~the corpus. Apples-to-apples: BOTH legs run
+    // the same IncrementalDedupIndex path (same signature-agreement
+    // verify, same cap) — the rebuild leg ingests 100% into a fresh index
+    // each run, the incremental leg ingests one 10% batch into an index
+    // prebuilt (untimed) over the other 90%. Ingest is idempotent, so the
+    // incremental leg's re-runs re-merge the same batch.
+    def freshIndex() = new graft.operators.IncrementalDedupIndex(
+      new graft.plans.BucketedMergeWriter(spark,
+        java.nio.file.Files.createTempDirectory("graft-scale-inc").toString,
+        nBuckets = 16),
+      "docs", n = 5, k = 12, bands = 4, threshold = 0.5)
+    time("inc_rebuild(100%)")(freshIndex().ingest(docs))
     locally {
-      val root = java.nio.file.Files.createTempDirectory("graft-scale-inc").toString
-      val idx = new graft.operators.IncrementalDedupIndex(
-        new graft.plans.BucketedMergeWriter(spark, root, nBuckets = 16),
-        "docs", n = 5, k = 12, bands = 4, threshold = 0.5)
+      val idx = freshIndex()
       idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)) // 90%, untimed
       time("inc_ingest(10% batch)")(
         idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) === 0)))

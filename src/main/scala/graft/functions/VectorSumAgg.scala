@@ -28,8 +28,10 @@ import org.apache.spark.sql.types._
   * cosine queries round scores — double addition is not associative, so
   * the unrounded last ulp may legitimately differ with partition count.
   *
-  * NULL rows and NULL elements are skipped (a NULL element contributes 0
-  * to its dimension, matching `sum`'s NULL semantics per slot).
+  * NULL rows and NULL elements are skipped, and a group with NO non-NULL
+  * input evaluates to NULL — `sum`'s SQL semantics, and what keeps an
+  * all-NULL group from materializing a spurious zero vector an oracle's
+  * unnest-based mirror would never produce.
   */
 case class VectorSumAgg(
     child: Expression,
@@ -42,7 +44,7 @@ case class VectorSumAgg(
 
   override def prettyName: String = "vector_sum"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true // all-NULL group ⇒ NULL, like sum
 
   // resolved lazily: child.dataType is meaningless before analysis binds
   // the column reference
@@ -61,7 +63,8 @@ case class VectorSumAgg(
         s"vector_sum needs array<float|double>, got $t")
     }
 
-  override def createAggregationBuffer(): Array[Double] = new Array[Double](dims)
+  // slot `dims` counts non-NULL inputs: 0 ⇒ the group evaluates to NULL
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dims + 1)
 
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
@@ -75,27 +78,29 @@ case class VectorSumAgg(
           buf(i) += (if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
         i += 1
       }
+      buf(dims) += 1
     }
     buf
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
     var i = 0
-    while (i < dims) { a(i) += b(i); i += 1 }
+    while (i <= dims) { a(i) += b(i); i += 1 }
     a
   }
 
-  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Double]): Any =
+    if (buf(dims) == 0) null else new GenericArrayData(buf.take(dims))
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(dims * 8)
+    val bb = java.nio.ByteBuffer.allocate((dims + 1) * 8)
     buf.foreach(bb.putDouble)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(dims)(bb.getDouble)
+    Array.fill(dims + 1)(bb.getDouble)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =

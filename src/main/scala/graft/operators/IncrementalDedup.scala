@@ -51,8 +51,15 @@ class IncrementalDedupIndex(store: TableStore, table: String,
     val sigNew = Dedup.minhashSigWide(shingles, k).localCheckpoint(true)
     val bandsNew = Dedup.bandRows(sigNew, k, bands).localCheckpoint(true)
 
+    // replay safety: a re-ingested doc is in BOTH the store and the batch —
+    // anti-join the stored side on batch ids so every doc appears exactly
+    // once (otherwise replays double bucket occupancy and duplicate the
+    // signature join, multiplying emitted pair rows)
+    val batchIds = sigNew.select(col("doc_id"))
     val allBands =
-      if (store.exists(bandTable)) store.read(bandTable).unionByName(bandsNew)
+      if (store.exists(bandTable))
+        store.read(bandTable).join(batchIds, Seq("doc_id"), "left_anti")
+          .unionByName(bandsNew)
       else bandsNew
     // hot-bucket cap over buckets the batch touches (count includes both
     // indexed and new members — the same occupancy bound as the one-shot path)
@@ -70,7 +77,9 @@ class IncrementalDedupIndex(store: TableStore, table: String,
       .distinct()
 
     val allSigs =
-      if (store.exists(sigTable)) store.read(sigTable).unionByName(sigNew)
+      if (store.exists(sigTable))
+        store.read(sigTable).join(batchIds, Seq("doc_id"), "left_anti")
+          .unionByName(sigNew)
       else sigNew
     val sa = allSigs.toDF(allSigs.columns.toIndexedSeq
       .map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)

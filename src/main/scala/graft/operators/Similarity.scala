@@ -124,7 +124,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    val dims = v.select(size(col("_v"))).head().getInt(0)
+    // empty corpus: no dims to infer and nothing to train — empty centroids
+    val dimsRow = v.select(size(col("_v"))).head(1)
+    if (dimsRow.isEmpty)
+      return v.select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
+    val dims = dimsRow.head.getInt(0)
     var cents = v.orderBy(col("_id")).limit(nCells)
       .select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
       .localCheckpoint(true)

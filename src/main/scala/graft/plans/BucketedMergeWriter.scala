@@ -63,14 +63,28 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
 
   /** Manifest = (maxSk, live (bucket → version) pairs). A bucket may map to
     * several versions only for append-only tables (appendTable); merges
-    * replace all of a touched bucket's entries. */
+    * replace all of a touched bucket's entries. `#`-prefixed lines are
+    * metadata (the snapshot's commit-chain parent) and ignored here. */
   private def parseManifest(body: String): (Long, Seq[(Int, Long)]) = {
     val lines = body.linesIterator.toSeq
     val maxSk = lines.head.stripPrefix("maxsk=").trim.toLong
-    val pairs = lines.tail.filter(_.trim.nonEmpty).map { l =>
+    val pairs = lines.tail.filter(l => l.trim.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(b, v) = l.trim.split("\\s+"); (b.toInt, v.toLong)
     }
     (maxSk, pairs)
+  }
+
+  /** The commit a manifest body represents = the highest version its pairs
+    * reference (version numbers are monotonic, and every commit maps its
+    * touched buckets to its own fresh version). */
+  private def commitOf(body: String): Long =
+    parseManifest(body)._2.map(_._2).foldLeft(-1L)(math.max)
+
+  private def snapshotParent(name: String, v: Long): Option[Long] = {
+    val p = Paths.get(versionDir(name, v), SnapshotFile)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p)).linesIterator
+      .find(_.startsWith("#parent=")).map(_.stripPrefix("#parent=").trim.toLong)
   }
 
   private def readManifest(name: String): (Long, Seq[(Int, Long)]) =
@@ -96,8 +110,14 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     // time travel: the full post-commit manifest body lands inside the
     // commit's own version dir BEFORE the pointer swap — a crash between
     // the two leaves an orphan dir (vacuumed later), never a live version
-    // without its snapshot. readAsOf resolves history through these.
-    Files.write(Paths.get(versionDir(name, commitV), SnapshotFile), body.getBytes)
+    // without its snapshot. The snapshot also records its commit-chain
+    // PARENT (the previously live commit): committedVersions/readAsOf
+    // resolve history by walking that chain from the live manifest, so a
+    // crash-orphaned snapshot whose swap never landed is unreachable and
+    // can never serve phantom state.
+    val parent = snapshot(name).map(commitOf).getOrElse(-1L)
+    Files.write(Paths.get(versionDir(name, commitV), SnapshotFile),
+      (body + s"#parent=$parent\n").getBytes)
     CommitProtocol.atomicWrite(dir(name), ManifestFile, body)
   }
 
@@ -171,7 +191,13 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"_mn_$c"),
       max(col(c).cast("double")).as(s"_mx_$c")))
-    val rows = out.groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*).collect()
+    // aggregate the JUST-WRITTEN version files, not `out`: mergeFact
+    // deliberately leaves its full-outer join un-checkpointed (the parquet
+    // write executes it exactly once) — aggregating the plan would run the
+    // whole merge a second time. The read-back is local, pruned to the
+    // stats columns, and costs one tiny job.
+    val rows = spark.read.parquet(versionDir(name, v))
+      .groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*).collect()
     val lines = rows.toSeq.flatMap { r =>
       val b = r.getAs[Int]("_bucket")
       cols.flatMap { c =>
@@ -217,13 +243,17 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   }
 
   /** Time travel: the table exactly as of commit `version`, resolved
-    * through the manifest snapshot that commit wrote. Valid while vacuum
-    * retention keeps the versions it references (Delta's model) — a
-    * vacuumed snapshot raises a clear error rather than partial data. */
+    * through the manifest snapshot that commit wrote. Only versions
+    * REACHABLE through the live manifest's commit chain qualify — a
+    * crash-orphaned snapshot whose pointer swap never landed is not
+    * committed state and raises, as does history vacuum has reclaimed
+    * (Delta's retention model): a clear error, never partial or phantom
+    * data. */
   def readAsOf(name: String, version: Long): DataFrame = {
+    if (!committedVersions(name).contains(version))
+      throw new java.nio.file.NoSuchFileException(
+        s"$name has no committed snapshot v$version (never committed, or vacuumed)")
     val p = Paths.get(versionDir(name, version), SnapshotFile)
-    if (!Files.exists(p)) throw new java.nio.file.NoSuchFileException(
-      s"$name has no committed snapshot v$version (never committed, or vacuumed)")
     val pairs = parseManifest(new String(Files.readAllBytes(p)))._2
     pairs.foreach { case (_, v) =>
       if (!Files.exists(Paths.get(versionDir(name, v))))
@@ -262,17 +292,19 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       .select(natKey.map(col) :+ col("_change"): _*)
   }
 
-  /** Committed (readAsOf-able) versions, oldest first. */
+  /** Committed (readAsOf-able) versions, oldest first: the commit chain
+    * walked backward from the live manifest via each snapshot's recorded
+    * parent. Stops at vacuumed history; never lists a crash orphan whose
+    * swap didn't land (nothing committed ever points at it). */
   def committedVersions(name: String): Seq[Long] = {
-    val d = Paths.get(dir(name))
-    if (!Files.exists(d)) return Nil
-    val ls = Files.list(d)
-    try ls.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .filter(v => Files.exists(Paths.get(versionDir(name, v), SnapshotFile)))
-      .toSeq.sorted
-    finally ls.close()
+    if (!exists(name)) return Nil
+    val chain = scala.collection.mutable.ListBuffer.empty[Long]
+    var cur = snapshot(name).map(commitOf).getOrElse(-1L)
+    while (cur >= 0 && Files.exists(Paths.get(versionDir(name, cur), SnapshotFile))) {
+      chain += cur
+      cur = snapshotParent(name, cur).getOrElse(-1L)
+    }
+    chain.toSeq.reverse
   }
 
   /** Full post-merge table view returned to callers: the just-committed

@@ -72,62 +72,69 @@ object EventAggregates {
   }
 
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
-  case class SessState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Long)
+  case class SessBuffer(epochMs: List[Long])
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long,
                      duration_sec: Long)
 
   /** Streaming sessionization — the unbounded twin of the batch
-    * `Events.sessionize` (q89): per-user sessions close either when a
-    * later event arrives past the gap (emitted immediately) or when the
-    * WATERMARK passes last-event + gap with no successor
-    * (`flatMapGroupsWithState` + `EventTimeTimeout` — the state-store
-    * timeout fires exactly when no on-time event can extend the session).
-    * State per user is ONE (start, last, n) triple; eviction on close
-    * keeps total state ∝ concurrently-active users, not stream length.
+    * `Events.sessionize` (q89), CORRECT UNDER OUT-OF-ORDER ARRIVAL: a
+    * session is only emitted once the watermark passes its end + gap, the
+    * earliest moment no on-time event can extend it, split it, or lower
+    * its start. Until then the user's unfinalized event times stay
+    * buffered in state (`flatMapGroupsWithState` + `EventTimeTimeout`
+    * fires when the quiet period elapses in EVENT time) — eager emission
+    * on an in-stream gap would mis-assign a late-but-on-time event that
+    * lands before the gap, and batch/stream results would diverge on
+    * identical input.
+    *
+    * State per user = timestamps not yet past the watermark horizon —
+    * bounded by (watermark delay + gap) × the user's event rate, the
+    * inherent price of exact out-of-order sessionization (Spark's own
+    * session windows hold the same class of state). Emitted sessions
+    * match `Events.sessionize` over the same events exactly, except
+    * session_ix (a global per-user ordinal, meaningless on an unbounded
+    * stream).
     */
   def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int = 30,
                        watermark: String = "10 minutes"): Dataset[Session] = {
-    implicit val stateEnc = Encoders.product[SessState]
+    implicit val stateEnc = Encoders.product[SessBuffer]
     implicit val outEnc = Encoders.product[Session]
     val gapMs = gapMinutes * 60000L
-    def closed(uid: Long, s: SessState): Session =
-      Session(uid, s.start, s.last, s.n, (s.last.getTime - s.start.getTime) / 1000L)
+    def closed(uid: Long, s: List[Long]): Session =
+      Session(uid, new java.sql.Timestamp(s.head), new java.sql.Timestamp(s.last),
+        s.size.toLong, (s.last - s.head) / 1000L)
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessState, Session](
+      .flatMapGroupsWithState[SessBuffer, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(closed(uid, s))
-          } else {
-            // batch order is not event order: sort this trigger's slice
-            // (bounded by trigger size, not stream length)
-            val evs = batch.toIndexedSeq.sortBy(e => (e.ts.getTime, e.user_id))
-            var out = List.empty[Session]
-            var cur = state.getOption
-            for (e <- evs) cur = cur match {
-              case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-                Some(SessState(s.start,
-                  if (e.ts.after(s.last)) e.ts else s.last, s.n + 1))
-              case Some(s) =>
-                out ::= closed(uid, s)
-                Some(SessState(e.ts, e.ts, 1L))
-              case None => Some(SessState(e.ts, e.ts, 1L))
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // fire when no on-time event can extend this session; the
-              // max() guard keeps the timestamp ≥ the current watermark
-              // (Spark rejects timeouts already in the past)
-              state.setTimeoutTimestamp(math.max(s.last.getTime + gapMs,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            out.reverseIterator
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessBuffer]) =>
+          // same code path for new-data and timeout invocations: fold the
+          // batch (empty on timeout) into the buffer, split into
+          // gap-delimited sessions, finalize what the watermark has sealed
+          val buf = state.getOption.map(_.epochMs).getOrElse(Nil) ++
+            batch.map(_.ts.getTime)
+          val w = state.getCurrentWatermarkMs()
+          val sessions = buf.sorted.foldLeft(List.empty[List[Long]]) {
+            case (Nil, t) => List(List(t))
+            case (cur :: done, t) =>
+              if (t - cur.head <= gapMs) (t :: cur) :: done
+              else List(t) :: cur :: done
+          }.map(_.reverse).reverse // ascending sessions, ascending within
+          val (done, open) = sessions.partition(_.last + gapMs <= w)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessBuffer(open.flatten))
+            // fire when the EARLIEST open session seals (its quiet period
+            // elapses in event time) — arming for the newest would hold
+            // every older session hostage to it; strictly after the
+            // current watermark because Spark rejects timeouts at or
+            // before it. The handler re-arms for the next session.
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last).min + gapMs, w + 1))
           }
+          done.map(closed(uid, _)).iterator
       }
   }
 

@@ -52,9 +52,13 @@ class IncrementalDedupSpec extends SparkSpec {
     idx.ingest(df(corpus.slice(0, 4)))
     val sigCount = store.read(idx.sigTable).count()
     val bandCount = store.read(idx.bandTable).count()
-    val replayPairs = pairSet(idx.ingest(df(corpus.slice(2, 4)))) // replay batch 2
+    val replayed = idx.ingest(df(corpus.slice(2, 4))) // replay batch 2
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(store.read(idx.sigTable).count() === sigCount, "sig rows unchanged")
     assert(store.read(idx.bandTable).count() === bandCount, "band rows unchanged")
-    assert(replayPairs === Set((1L, 3L)), "replay re-emits, never corrupts")
+    assert(replayed.toSet === Set((1L, 3L)), "replay re-emits, never corrupts")
+    // a replayed doc sits in both the store and the batch — it must not
+    // double the signature join or the bucket occupancy count
+    assert(replayed.length === 1, s"replay must not emit duplicate rows: ${replayed.toSeq}")
   }
 }

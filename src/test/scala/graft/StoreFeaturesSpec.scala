@@ -40,6 +40,23 @@ class StoreFeaturesSpec extends SparkSpec {
     intercept[java.nio.file.NoSuchFileException] { store.readAsOf("d", vs(0)) }
   }
 
+  test("a crash-orphaned snapshot (swap never landed) is not committed state") {
+    val root = freshRoot()
+    val store = new BucketedMergeWriter(spark, root, nBuckets = 4)
+    store.mergeDim("d", Seq((1L, "a")).toDF("k", "attr"), Seq("k"), "sk")
+    store.mergeDim("d", Seq((2L, "b")).toDF("k", "attr"), Seq("k"), "sk")
+    val committed = store.committedVersions("d")
+    // fabricate the crash window: a version dir with its snapshot written
+    // but whose pointer swap never executed
+    val orphan = java.nio.file.Paths.get(root, "d", "v99")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("_MANIFEST_SNAPSHOT"),
+      "maxsk=9\n0 99\n#parent=-1\n".getBytes)
+    assert(store.committedVersions("d") === committed,
+      "an unswapped snapshot must not appear in the commit chain")
+    intercept[java.nio.file.NoSuchFileException] { store.readAsOf("d", 99L) }
+  }
+
   test("diffVersions emits exactly the insert/update/delete set between commits") {
     val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
     store.mergeDim("d", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr"),

@@ -161,7 +161,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming sessionization closes on gap AND on event-time timeout (T5)") {
+  test("streaming sessionization finalizes on the watermark; late events re-slot (T5)") {
     import graft.streaming.EventAggregates.{SessEvent, Session}
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessEvent]
@@ -169,34 +169,40 @@ class StreamingSpec extends SparkSpec {
       watermark = "5 minutes")
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("sess_out").as[Session].collect()
     try {
-      // user 1: two events 10 min apart (one session), then an event 2h
-      // later IN THE SAME STREAM — the gap closes session 1 immediately
+      // user 1: two events 10 min apart, then a 12:00 event 110 min later.
+      // The first session must NOT emit before the watermark seals it —
+      // an on-time event could still arrive inside it.
       in.addData(SessEvent(1L, ts(10, 0)), SessEvent(1L, ts(10, 10)))
       q.processAllAvailable()
+      assert(rows().isEmpty, "nothing can finalize while the watermark is behind")
       in.addData(SessEvent(1L, ts(12, 0)))
+      q.processAllAvailable() // watermark -> 11:55 ≥ 10:40: session 1 seals
       q.processAllAvailable()
-      val afterGap = spark.table("sess_out").as[Session].collect()
-      assert(afterGap.exists(s =>
+      assert(rows().exists(s =>
         s.user_id == 1L && s.session_start == ts(10, 0) &&
           s.session_end == ts(10, 10) && s.n_events == 2L && s.duration_sec == 600L),
-        s"gap-closed session missing: ${afterGap.mkString(";")}")
+        s"watermark-sealed session missing: ${rows().mkString(";")}")
 
-      // user 2's lone session has no successor: only the WATERMARK can
-      // close it — push it past last + gap via a late high-ts event
-      in.addData(SessEvent(2L, ts(12, 5)))
+      // a LATE but on-time event (11:58 > watermark 11:55) lands before
+      // user 1's open 12:00 event: it must join that session and lower its
+      // start — the case eager gap-emission would get wrong
+      in.addData(SessEvent(1L, ts(11, 58)), SessEvent(2L, ts(12, 5)))
       q.processAllAvailable()
-      in.addData(SessEvent(9L, ts(20, 0))) // watermark -> 19:55, past 12:35
+      in.addData(SessEvent(9L, ts(20, 0))) // watermark -> 19:55: all sealed
       q.processAllAvailable()
-      in.addData(SessEvent(9L, ts(20, 1))) // extra trigger to fire timeouts
       q.processAllAvailable()
-      val rows = spark.table("sess_out").as[Session].collect()
-      assert(rows.exists(s => s.user_id == 2L && s.n_events == 1L &&
-        s.session_start == ts(12, 5)),
-        s"timeout-closed session missing: ${rows.mkString(";")}")
-      // user 1's 12:00 session also times out; no session is emitted twice
-      assert(rows.groupBy(s => (s.user_id, s.session_start)).forall(_._2.length == 1),
-        s"duplicate session emission: ${rows.mkString(";")}")
+      val all = rows()
+      assert(all.exists(s => s.user_id == 1L && s.session_start == ts(11, 58) &&
+        s.session_end == ts(12, 0) && s.n_events == 2L && s.duration_sec == 120L),
+        s"late event must extend the open session backward: ${all.mkString(";")}")
+      assert(!all.exists(s => s.user_id == 1L && s.session_start == ts(12, 0)),
+        s"the 12:00 event must not form its own session: ${all.mkString(";")}")
+      assert(all.exists(s => s.user_id == 2L && s.n_events == 1L &&
+        s.session_start == ts(12, 5)), s"u2's lone session missing: ${all.mkString(";")}")
+      assert(all.groupBy(s => (s.user_id, s.session_start)).forall(_._2.length == 1),
+        s"duplicate session emission: ${all.mkString(";")}")
     } finally q.stop()
   }
 }
