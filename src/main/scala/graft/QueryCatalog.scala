@@ -2101,6 +2101,39 @@ object QueryCatalog {
       |  list(round(sv / n_vecs, 6) ORDER BY d) AS centroid
       |FROM s JOIN n USING (label) GROUP BY 1, 2""".stripMargin
 
+  /** Group-wise Pearson correlation with an exact strength verdict
+    * (Stats.corrVerdict): value-cents vs hour-of-day per event type —
+    * the |corr| > ½ decision cross-multiplied into DECIMAL(38,0)/HUGEINT,
+    * no float threshold; the displayed corr is round(…, 6). */
+  def q97CorrVerdict(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.corrVerdict(
+      t(s, dir, "events").select(col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"),
+        hour(col("ts")).cast("long").as("hr")),
+      "event_type", col("cents"), col("hr"))
+
+  val q97Sql: String =
+    """WITH b AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y FROM events),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY 1),
+      |h AS (SELECT event_type, n,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+      |  FROM a)
+      |SELECT event_type, n,
+      |  CASE WHEN denx > 0 AND deny > 0 THEN
+      |    round(CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6)
+      |  END AS corr,
+      |  (denx > 0 AND deny > 0 AND num * num * 4 > denx * deny) AS strong
+      |FROM h""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2202,7 +2235,8 @@ object QueryCatalog {
     ("q93_length_batches", q93LengthBatches _, Some(q93Sql)),
     ("q94_column_profile", q94ColumnProfile _, Some(q94Sql)),
     ("q95_tokenize_ids", q95TokenizeIds _, Some(q95Sql)),
-    ("q96_centroids", q96Centroids _, Some(q96Sql)))
+    ("q96_centroids", q96Centroids _, Some(q96Sql)),
+    ("q97_corr_verdict", q97CorrVerdict _, Some(q97Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

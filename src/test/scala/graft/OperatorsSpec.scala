@@ -637,6 +637,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) === (Seq(0L, 1L), 2L, 1L))
   }
 
+  test("corrVerdict: exact strength decision, degenerate groups null out") {
+    val d = ((1L to 50L).map(i => ("pos", i, 3 * i + 7)) ++      // corr = 1
+      (1L to 50L).map(i => ("neg", i, 1000 - 2 * i)) ++          // corr = -1
+      (1L to 50L).map(i => ("zig", i, (i % 2) * 10)) ++          // weak
+      (1L to 50L).map(i => ("flat", 5L, i))                      // zero x-variance
+      ).toDF("grp", "x", "y")
+    val out = graft.operators.Stats.corrVerdict(
+      d, "grp", org.apache.spark.sql.functions.col("x"),
+      org.apache.spark.sql.functions.col("y"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    assert(out("pos") === (Some(1.0), true))
+    assert(out("neg") === (Some(-1.0), true), "verdict is on |corr|")
+    assert(!out("zig")._2, s"near-zero correlation must not be strong: ${out("zig")}")
+    assert(out("flat") === (None, false), "zero variance: corr undefined, never strong")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
