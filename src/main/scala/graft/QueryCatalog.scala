@@ -2134,6 +2134,26 @@ object QueryCatalog {
       |  (denx > 0 AND deny > 0 AND num * num * 4 > denx * deny) AS strong
       |FROM h""".stripMargin
 
+  /** PMI collocation mining (TextAnalysis.collocations): adjacent-pair
+    * phrases scoring far above chance co-occurrence — the phrase-mining
+    * pass before vocabulary decisions. Counts exact; pmi round(…, 6). */
+  def q98Collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5)
+
+  val q98Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM base),
+       |bg AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM g),
+       |big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2
+       |        HAVING count(*) >= 5),
+       |ua AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY 1),
+       |ub AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg)
+       |SELECT a, b, cab,
+       |  round(ln(CAST(cab AS DOUBLE) * CAST(t AS DOUBLE) /
+       |           (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 6) AS pmi
+       |FROM big JOIN ua USING (a) JOIN ub USING (b) CROSS JOIN tt""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2236,7 +2256,8 @@ object QueryCatalog {
     ("q94_column_profile", q94ColumnProfile _, Some(q94Sql)),
     ("q95_tokenize_ids", q95TokenizeIds _, Some(q95Sql)),
     ("q96_centroids", q96Centroids _, Some(q96Sql)),
-    ("q97_corr_verdict", q97CorrVerdict _, Some(q97Sql)))
+    ("q97_corr_verdict", q97CorrVerdict _, Some(q97Sql)),
+    ("q98_collocations", q98Collocations _, Some(q98Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -411,6 +411,44 @@ object TextAnalysis {
         sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Collocation mining by pointwise mutual information — the phrase
+    * discovery a vocabulary/tokenizer pipeline runs before deciding what
+    * deserves a merged token: for adjacent token pairs occurring at least
+    * `minCount` times, `pmi = ln(c(ab)·T / (c(a)·c(b)))` with T = total
+    * transitions. High-PMI pairs co-occur far above chance (named
+    * entities, idioms); frequent-but-low-PMI pairs are grammatical glue.
+    *
+    * Engine parity: all counts exact longs from ONE bigram aggregate and
+    * one unigram aggregate over the same window-lead token stream; pmi is
+    * one fixed-shape double expression rounded to 6.
+    *
+    * Scale: two count aggregates (map-side partial) + broadcast unigram
+    * joins — the q91 topology without the per-document stage; output is
+    * vocabulary-sized, pre-filtered by `minCount` before any join.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val grams = base
+      .select(col("_toks"), posexplode(col("_toks")).as(Seq("_i", "a")))
+      .filter(col("_i") < size(col("_toks")) - 1)
+      .select(col("a"), element_at(col("_toks"), col("_i") + 2).as("b"))
+      .localCheckpoint(true) // consumed by the bigram AND both unigram counts
+    val big = grams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    // unigram counts over transition SLOTS (first/last doc tokens weigh
+    // their slot only), so p(a)·p(b) and p(ab) share one sample space
+    val ua = grams.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val ub = grams.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val total = grams.agg(count(lit(1)).as("t"))
+    big.join(broadcast(ua), Seq("a"))
+      .join(broadcast(ub), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("cab"),
+        round(log(col("cab").cast("double") * col("t").cast("double") /
+          (col("ca").cast("double") * col("cb").cast("double"))), 6).as("pmi"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -654,6 +654,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out("flat") === (None, false), "zero variance: corr undefined, never strong")
   }
 
+  test("collocations: bound pairs get high PMI, grammatical glue low") {
+    // "san francisco" always co-occurs (bound phrase); "the x" spreads
+    // "the" across many successors (glue)
+    val d = (1L to 10L).map(i =>
+      (i, s"san francisco is the w$i of the q$i region today")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(d, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.contains(("san", "francisco")))
+    val sf = out(("san", "francisco"))
+    assert(sf._1 === 10L)
+    assert(out.contains(("of", "the")))
+    assert(sf._2 > out(("of", "the"))._2,
+      s"bound phrase must out-PMI glue: $out")
+    // every 'the'-successor pair is below minCount (w1..w10 distinct)
+    assert(!out.keys.exists(_._1 == "the"), s"sub-minCount pairs must drop: ${out.keys}")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
