@@ -422,9 +422,11 @@ object TextAnalysis {
     * one unigram aggregate over the same window-lead token stream; pmi is
     * one fixed-shape double expression rounded to 6.
     *
-    * Scale: two count aggregates (map-side partial) + broadcast unigram
-    * joins — the q91 topology without the per-document stage; output is
-    * vocabulary-sized, pre-filtered by `minCount` before any join.
+    * Scale: two count aggregates (map-side partial); the unigram joins are
+    * left to AQE — `big` is minCount-filtered but ua/ub are the FULL
+    * vocabulary, which at web scale outgrows a forced broadcast (unlike
+    * the LM scorers' smoothed tables, these have no cheap bound), and all
+    * three frames share the token key so the shuffle join co-partitions.
     */
   def collocations(docs: DataFrame, minCount: Long = 5,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -441,8 +443,8 @@ object TextAnalysis {
     val ua = grams.groupBy(col("a")).agg(count(lit(1)).as("ca"))
     val ub = grams.groupBy(col("b")).agg(count(lit(1)).as("cb"))
     val total = grams.agg(count(lit(1)).as("t"))
-    big.join(broadcast(ua), Seq("a"))
-      .join(broadcast(ub), Seq("b"))
+    big.join(ua, Seq("a"))
+      .join(ub, Seq("b"))
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("cab"),
         round(log(col("cab").cast("double") * col("t").cast("double") /
