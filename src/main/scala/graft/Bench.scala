@@ -62,7 +62,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"agg":"min","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"agg":"min","sf":"$sfDir"}"""
+    // stdout can be tail-clipped by the harness on long lines (r5/r6 lost
+    // the first ~38 per-query times), so the full JSON is ALSO persisted
+    // to a file that gets committed with the round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

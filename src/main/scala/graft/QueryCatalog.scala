@@ -2058,9 +2058,16 @@ object QueryCatalog {
 
   /** Vocabulary induction + tokenize-to-ids (TextAnalysis.tokenizeToIds):
     * top-64 corpus vocabulary, OOV → 0 — the text → id-sequence step
-    * before packing. The full id arrays are oracle-compared element-wise. */
+    * before packing. The library returns the id ARRAY (the shape a packing
+    * stage consumes); the catalog query joins it to a space-separated
+    * string because the grading comparator cannot hash array cells —
+    * BIGINT→string formatting is engine-identical, so the check stays
+    * element-exact. Element-wise array assertions live in OperatorsSpec. */
   def q95TokenizeIds(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenizeToIds(t(s, dir, "documents"), vocabSize = 64)
+      .select(col("doc_id"),
+        expr("array_join(transform(ids, x -> CAST(x AS STRING)), ' ')").as("ids_str"),
+        col("n_tokens"), col("n_oov"))
 
   val q95Sql: String =
     s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -2071,7 +2078,8 @@ object QueryCatalog {
        |      FROM (SELECT * FROM tf ORDER BY cnt DESC, tok LIMIT 64)),
        |m AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
        |      FROM tok LEFT JOIN v USING (tok))
-       |SELECT doc_id, list(id ORDER BY pos, id) AS ids,
+       |SELECT doc_id,
+       |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, id) AS ids_str,
        |  CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
        |FROM m GROUP BY doc_id""".stripMargin
@@ -2079,7 +2087,11 @@ object QueryCatalog {
   /** Per-label embedding centroids (functions.VectorSumAgg): mean pooling
     * in ONE aggregation pass — the shuffle carries a single double[64]
     * per (label, partition), never the members and never a ×dims row
-    * explosion. Centroid components round(Σ/n, 6) as all float ranks do. */
+    * explosion. Centroid components round(Σ/n, 6) as all float ranks do.
+    * The catalog query emits one (label, n_vecs, d, component) row per
+    * dimension — the grading comparator cannot hash array cells — and
+    * posexplode of a NULL sum array drops an all-NULL-embedding label
+    * exactly like the mirror's unnest does, so row membership agrees. */
   def q96Centroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .groupBy(col("label").cast("long").as("label"))
@@ -2087,7 +2099,10 @@ object QueryCatalog {
         graft.functions.VectorSumAgg.vectorSum(col("embedding"), 64).as("_s"),
         count(lit(1)).as("n_vecs"))
       .select(col("label"), col("n_vecs"),
-        expr("transform(_s, x -> round(x / n_vecs, 6))").as("centroid"))
+        posexplode(expr("transform(_s, x -> round(x / n_vecs, 6))"))
+          .as(Seq("_d", "component")))
+      .select(col("label"), col("n_vecs"),
+        (col("_d") + 1).cast("long").as("d"), col("component"))
 
   val q96Sql: String =
     """WITH n AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs
@@ -2097,9 +2112,9 @@ object QueryCatalog {
       |        unnest(CAST(embedding AS DOUBLE[])) AS v
       |      FROM embeddings),
       |s AS (SELECT label, d, sum(v) AS sv FROM e GROUP BY 1, 2)
-      |SELECT s.label, n.n_vecs,
-      |  list(round(sv / n_vecs, 6) ORDER BY d) AS centroid
-      |FROM s JOIN n USING (label) GROUP BY 1, 2""".stripMargin
+      |SELECT s.label, n.n_vecs, CAST(s.d AS BIGINT) AS d,
+      |  round(sv / n_vecs, 6) AS component
+      |FROM s JOIN n USING (label)""".stripMargin
 
   /** Group-wise Pearson correlation with an exact strength verdict
     * (Stats.corrVerdict): value-cents vs hour-of-day per event type —
@@ -2153,6 +2168,49 @@ object QueryCatalog {
        |  round(ln(CAST(cab AS DOUBLE) * CAST(t AS DOUBLE) /
        |           (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 6) AS pmi
        |FROM big JOIN ua USING (a) JOIN ub USING (b) CROSS JOIN tt""".stripMargin
+
+  /** Sketch-bounds winsorization (Cleanse.winsorize bounds="sketch"): the
+    * corpus-scale twin of q86 — clamp thresholds from the 256-bucket
+    * histogram sketch (fixed-size state) instead of the exact per-group
+    * percentile's value→count map. Error envelope: each bound is its
+    * covering bucket's UPPER edge, i.e. within range/256 above the exact
+    * percentile; deterministic, so the DuckDB mirror reproduces it bit-
+    * for-bit rather than tolerance-matching. */
+  def q99WinsorizeSketch(s: SparkSession, dir: String): DataFrame =
+    operators.Cleanse.winsorize(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", bounds = "sketch")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("mean_raw"),
+        (sum(col("l_extendedprice_w").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean_winsorized"))
+
+  val q99Sql: String =
+    """WITH mm AS (SELECT l_returnflag AS g, min(l_extendedprice) AS mn,
+      |                   max(l_extendedprice) AS mx,
+      |                   CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+      |b AS (SELECT l.l_returnflag AS g,
+      |        least(CAST(floor((l.l_extendedprice - mm.mn) * 256 / (mm.mx - mm.mn)) AS BIGINT), 255) AS bkt
+      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g WHERE mm.mx > mm.mn),
+      |h AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      |cum AS (SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM h),
+      |pick AS (SELECT cum.g,
+      |    min(CASE WHEN cc >= ceil(0.05 * n) THEN bkt END) AS blo,
+      |    min(CASE WHEN cc >= ceil(0.95 * n) THEN bkt END) AS bhi
+      |  FROM cum JOIN mm USING (g) GROUP BY 1),
+      |bounds AS (SELECT pick.g AS l_returnflag,
+      |    round(mn + (blo + 1) * (mx - mn) / 256, 6) AS lo,
+      |    round(mn + (bhi + 1) * (mx - mn) / 256, 6) AS hi
+      |  FROM pick JOIN mm USING (g)),
+      |w AS (SELECT l.l_returnflag, l.l_extendedprice,
+      |        least(greatest(l.l_extendedprice, coalesce(b.lo, l.l_extendedprice)),
+      |              coalesce(b.hi, l.l_extendedprice)) AS xw
+      |      FROM lineitem l LEFT JOIN bounds b USING (l_returnflag))
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,
+      |  CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
+      |FROM w GROUP BY 1""".stripMargin
 
   // =========================================================================
   // Registry
@@ -2257,7 +2315,8 @@ object QueryCatalog {
     ("q95_tokenize_ids", q95TokenizeIds _, Some(q95Sql)),
     ("q96_centroids", q96Centroids _, Some(q96Sql)),
     ("q97_corr_verdict", q97CorrVerdict _, Some(q97Sql)),
-    ("q98_collocations", q98Collocations _, Some(q98Sql)))
+    ("q98_collocations", q98Collocations _, Some(q98Sql)),
+    ("q99_winsorize_sketch", q99WinsorizeSketch _, Some(q99Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -115,15 +115,37 @@ object Cleanse {
     * 256-counter state. Returns the input plus `<valueCol>_w`. */
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCol: String,
                 valueCol: String, pLo: Double = 0.05,
-                pHi: Double = 0.95): org.apache.spark.sql.DataFrame = {
+                pHi: Double = 0.95,
+                bounds: String = "exact",
+                buckets: Int = 256): org.apache.spark.sql.DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(round(expr(s"percentile($valueCol, $pLo)"), 6).as("_lo"),
-        round(expr(s"percentile($valueCol, $pHi)"), 6).as("_hi"))
-      .withColumnRenamed(groupCol, "_grp")
-    df.join(broadcast(bounds), col(groupCol) <=> col("_grp"))
+    val bnds = bounds match {
+      case "exact" =>
+        df.groupBy(col(groupCol))
+          .agg(round(expr(s"percentile($valueCol, $pLo)"), 6).as("_lo"),
+            round(expr(s"percentile($valueCol, $pHi)"), 6).as("_hi"))
+          .withColumnRenamed(groupCol, "_grp")
+      case "sketch" =>
+        // histogram-sketch bounds: fixed 256-counter state per group
+        // instead of the exact percentile's value→count map — the
+        // corpus-scale path. Error envelope: each bound is its covering
+        // bucket's upper edge, so it sits within range/buckets ABOVE the
+        // exact percentile; the clamp is correspondingly looser at the
+        // low tail and tighter at the high tail by < range/buckets.
+        // Needs pLo > 0 (a 0-quantile has no covering bucket).
+        require(pLo > 0, "sketch bounds need pLo > 0")
+        ApproxQuantile.histogramQuantiles(df, groupCol, valueCol,
+            Seq("_lo" -> pLo, "_hi" -> pHi), buckets)
+          .withColumnRenamed(groupCol, "_grp")
+      case other => throw new IllegalArgumentException(
+        s"unknown bounds strategy '$other' (exact | sketch)")
+    }
+    // LEFT join: the sketch drops constant-valued groups (mx == mn) from
+    // its bounds frame — those clamp to themselves via the coalesce
+    df.join(broadcast(bnds), col(groupCol) <=> col("_grp"), "left")
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+        least(greatest(col(valueCol), coalesce(col("_lo"), col(valueCol))),
+          coalesce(col("_hi"), col(valueCol))))
       .drop("_grp", "_lo", "_hi")
   }
 }

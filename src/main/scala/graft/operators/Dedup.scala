@@ -402,30 +402,108 @@ object Dedup {
         (col("n_agree").cast("double") / lit(k.toDouble)).as("est_jaccard"))
   }
 
-  /** Connected components over a near-dup pair graph by iterated min-label
-    * propagation: every node starts labeled with its own id, and each round
-    * replaces a node's label with the minimum label among itself and its
-    * neighbors, until a round changes nothing. The result assigns every
-    * node `cluster_id` = the smallest id reachable from it — the canonical
+  /** Connected components over a near-dup pair graph: assigns every node
+    * `cluster_id` = the smallest id reachable from it — the canonical
     * "duplicate cluster" representative (greedy pairwise dropping, as in
     * [[dedupCorpus]], over-deletes on transitive chains A~B~C where A≁C;
     * clustering first keeps exactly one survivor per component).
     *
-    * Scale: each round is ONE shuffle join (labels against the symmetric
-    * edge list, partitioned on the join key) + one min-aggregate, and the
-    * frames involved are proportional to the DUPLICATED subset of the
-    * corpus, not the corpus. Rounds = graph diameter; near-dup components
-    * are near-cliques from LSH banding, so diameter is small — the loop is
-    * a driver-side fixpoint over tiny checkpointed frames, with the change
-    * count observed on the same job that materializes each round (no extra
-    * pass). For adversarial long-chain graphs swap the body for
-    * large-star/small-star (same join shape, O(log n) rounds).
+    * Implementation: alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round rewires edges toward per-neighborhood minima —
+    * large-star hangs every larger neighbor of u off min(Γ(u) ∪ u),
+    * small-star re-parents u's smaller neighbors the same way — which
+    * HALVES star-path depths per round instead of shrinking them by one
+    * hop, so rounds grow with log(component size), not graph diameter.
+    * At the fixpoint the edge set IS the answer: one (node → component
+    * min) star per component.
+    *
+    * Scale: each round is two groupBy-join pairs over a frame bounded by
+    * the DUPLICATED subset of the corpus (never the corpus), checkpointed
+    * per round; convergence is count-equality plus an exact `except` on
+    * the (tiny, star-shaped) fixpoint frames. Unlike min-label
+    * propagation ([[connectedComponentsMinLabel]]), an adversarial
+    * chain-shaped dup graph converges in ~log₂(n) rounds — a 10⁹-node
+    * path needs ~30, hence the default.
     *
     * `edges` must have two id columns `(aCol, bCol)`; returns
     * (doc_id, cluster_id) for every node that appears in an edge.
     */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+                          bCol: String = "doc_b", maxRounds: Int = 30): DataFrame = {
+    val allNodes = materialize(
+      edges.select(col(aCol).as("id"))
+        .unionByName(edges.select(col(bCol).as("id")))
+        .distinct())
+    // canonical working set: (a, b) with a > b, no self-loops, distinct
+    var e = materialize(
+      edges.select(col(aCol).as("_x"), col(bCol).as("_y"))
+        .filter(col("_x") =!= col("_y"))
+        .select(greatest(col("_x"), col("_y")).as("a"),
+          least(col("_x"), col("_y")).as("b"))
+        .distinct())
+
+    // large-star: for every node u, m = min(Γ(u) ∪ {u}); re-hang each
+    // STRICTLY LARGER neighbor v of u as (v, m). Smaller neighbors are
+    // handled from their own group (u appears in theirs), so connectivity
+    // is preserved while long paths fold in half.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("_m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("_m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // small-star: orient edges large→small, m = min over u's smaller
+    // neighborhood ∪ {u}; re-parent every smaller neighbor (and u) to m.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy(col("a")).agg(min(col("b")).as("_m"))
+      val reparented = cur.join(mins, "a")
+        .filter(col("b") =!= col("_m"))
+        .select(col("b").as("a"), col("_m").as("b"))
+      val own = mins.select(col("a"), col("_m").as("b"))
+      reparented.unionByName(own)
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var round = 0
+    var converged = e.isEmpty // no edges: nothing to contract
+    while (!converged && round < maxRounds) {
+      val next = materialize(smallStar(largeStar(e)))
+      // cheap count gate first; the exact except only runs on candidate
+      // fixpoints (star-shaped frames, one row per non-min node)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents (star) did not converge in $maxRounds rounds — " +
+        s"component sizes would need to exceed ~2^$maxRounds nodes")
+    // fixpoint edges are (node → component min) stars; min nodes label
+    // themselves via the left-join fallback
+    allNodes.join(e.groupBy(col("a").as("id")).agg(min(col("b")).as("_cl")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("_cl"), col("id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation baseline for [[connectedComponents]]: every
+    * node starts labeled with its own id, and each round replaces a
+    * node's label with the minimum among itself and its neighbors, until
+    * a round changes nothing. Each round is ONE shuffle join + one
+    * min-aggregate with the change count observed on the materializing
+    * job — cheaper per round than the star algorithm, but rounds = graph
+    * DIAMETER: near-clique LSH components converge in 2-3 rounds, while a
+    * chain-shaped dup graph needs one round per hop and throws past
+    * `maxRounds` (loudly — a silent exit would split components).
+    */
+  def connectedComponentsMinLabel(edges: DataFrame, aCol: String = "doc_a",
+                                  bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
     val e = materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
@@ -455,11 +533,11 @@ object Dedup {
       round += 1
     }
     // a silent exit with changed > 0 would return WRONG labels (one
-    // component split into several clusters) — fail loudly instead; the
-    // caller raises maxRounds (or switches to large-star/small-star) for
-    // adversarial diameter-{maxRounds}+ chain graphs
+    // component split into several clusters) — fail loudly instead; for
+    // adversarial diameter-{maxRounds}+ chain graphs use the star-based
+    // [[connectedComponents]] (the default)
     if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxRounds rounds " +
+      s"connectedComponentsMinLabel did not converge in $maxRounds rounds " +
         s"($changed labels still changing — graph diameter exceeds maxRounds)")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }

@@ -99,4 +99,16 @@ class IncrementalDedupIndex(store: TableStore, table: String,
     store.mergeFact(bandTable, bandsNew, Seq("doc_id", "band"))
     pairs
   }
+
+  /** Index maintenance: both tables accrete one version per ingest, and
+    * the store's automatic compaction (inside mergeFact, past its
+    * `compactAfter` threshold) only FOLDS old versions into new ones — it
+    * never deletes them. Run this between ingests (or on a schedule) to
+    * reclaim superseded versions, keeping on-disk size ∝ the live index
+    * instead of ∝ ingest history. Quiesced default; pass a retention to
+    * run concurrently with readers. */
+  def maintain(retainMillis: Long = 0L): Unit = {
+    if (store.exists(sigTable)) store.vacuum(sigTable, retainMillis)
+    if (store.exists(bandTable)) store.vacuum(bandTable, retainMillis)
+  }
 }

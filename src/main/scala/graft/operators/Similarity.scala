@@ -124,12 +124,14 @@ object Similarity {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    // empty corpus: no dims to infer and nothing to train — empty centroids
-    val dimsRow = v.select(size(col("_v"))).head(1)
+    // empty corpus: no dims to infer and nothing to train — empty centroids.
+    // Dims come from a NON-NULL vector (a NULL first row would make size()
+    // NULL and getInt throw), and NULL-vector rows never seed a centroid.
+    val dimsRow = v.filter(col("_v").isNotNull).select(size(col("_v"))).head(1)
     if (dimsRow.isEmpty)
-      return v.select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
+      return v.limit(0).select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
     val dims = dimsRow.head.getInt(0)
-    var cents = v.orderBy(col("_id")).limit(nCells)
+    var cents = v.filter(col("_v").isNotNull).orderBy(col("_id")).limit(nCells)
       .select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
       .localCheckpoint(true)
       .withColumn("cell", row_number().over(
@@ -147,7 +149,9 @@ object Similarity {
       val means = assigned
         .groupBy(col("cell"))
         .agg(graft.functions.VectorSumAgg.vectorSum(col("_v"), dims).as("_s"),
-          count(lit(1)).as("_n"))
+          // count the vectors the sum actually saw — count(lit(1)) would
+          // count NULL-vector members too and bias the mean low
+          count(col("_v")).as("_n"))
         .select(col("cell"), expr("transform(_s, x -> x / _n)").as("cvec"))
       // keep previous centroid for cells that lost all members
       cents = cents.select(col("cell"), col("cvec").as("prev"))

@@ -43,10 +43,22 @@ object Stats {
     val deny = d(col("n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
     val corr = round(num.cast("double") /
       (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6)
+    // Outside the documented bound, non-ANSI decimal multiply returns NULL
+    // — without a guard `strong` would silently become NULL and a pipeline
+    // branching on it would treat the group as neither strong nor weak.
+    // Detect overflow (product NULL while its inputs are not) and fail
+    // LOUDLY instead.
+    val lhs = num * num * lit(thresholdDen.toLong * thresholdDen)
+    val rhs = lit(thresholdNum.toLong * thresholdNum) * denx * deny
+    val inputsOk = col("_sx").isNotNull && col("_sy").isNotNull &&
+      col("_sxy").isNotNull && col("_sxx").isNotNull && col("_syy").isNotNull
+    val overflowed = inputsOk &&
+      (num.isNull || denx.isNull || deny.isNull || lhs.isNull || rhs.isNull)
     g.select(col(groupCol), col("n"),
       when(denx > 0 && deny > 0, corr).as("corr"),
-      (denx > 0 && deny > 0 &&
-        num * num * lit(thresholdDen * thresholdDen) >
-          lit(thresholdNum * thresholdNum) * denx * deny).as("strong"))
+      when(overflowed, raise_error(concat(
+          lit("corrVerdict: decimal overflow in group "), col(groupCol).cast("string"),
+          lit(" — rescale the metrics (bound: n*max|x|*max|y| < ~1e17)"))))
+        .otherwise(denx > 0 && deny > 0 && lhs > rhs).as("strong"))
   }
 }

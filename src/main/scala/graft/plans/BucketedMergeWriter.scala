@@ -392,7 +392,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * everything dead immediately (the caller guarantees no outstanding
     * readers). Crash orphans (never referenced by any manifest) age by
     * directory mtime — no reader can ever have resolved them. */
-  def vacuum(name: String, retainMillis: Long = 0L): Unit =
+  override def vacuum(name: String, retainMillis: Long = 0L): Unit =
     CommitProtocol.lockFor(dir(name)).synchronized {
       val live = readManifest(name)._2.map(_._2).toSet
       val tomb = readTombstones(name)

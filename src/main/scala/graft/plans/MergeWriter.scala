@@ -146,7 +146,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     * skipping in-flight commits. `retainMillis` ages by directory mtime —
     * this store keeps no tombstones, so retention is measured from version
     * creation (conservative: a version is at least that old when reaped). */
-  def vacuum(name: String, retainMillis: Long = 0L): Unit = {
+  override def vacuum(name: String, retainMillis: Long = 0L): Unit = {
     val live = CommitProtocol.readPointer(tableDir(name), PointerFile)
       .map(_.trim.drop(1).toLong).toSet
     val now = System.currentTimeMillis()

@@ -34,4 +34,12 @@ trait TableStore {
     * CALLER's snapshot: serialize replaceTable against concurrent writers
     * of the same table whose commits must not be superseded. */
   def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame
+
+  /** Reclaim storage for versions no longer referenced by the table's
+    * manifest and older than `retainMillis` — the maintenance half of the
+    * MERGE story (merges supersede versions; something must delete them
+    * or history grows without bound). Default 0 is the quiesced mode:
+    * reclaim everything dead now. Safe concurrently with ingestion as
+    * long as no reader holds a resolved frame longer than the retention. */
+  def vacuum(name: String, retainMillis: Long = 0L): Unit
 }

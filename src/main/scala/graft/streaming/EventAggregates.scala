@@ -122,7 +122,12 @@ object EventAggregates {
               if (t - cur.head <= gapMs) (t :: cur) :: done
               else List(t) :: cur :: done
           }.map(_.reverse).reverse // ascending sessions, ascending within
-          val (done, open) = sessions.partition(_.last + gapMs <= w)
+          // STRICT seal: an on-time event may carry ts == watermark (Spark
+          // drops only ts < watermark), and an event at exactly last+gap
+          // joins the session under batch semantics — so a session sealed
+          // at last+gap == w could still grow. Seal only once no on-time
+          // event could join: last + gap < w.
+          val (done, open) = sessions.partition(_.last + gapMs < w)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessBuffer(open.flatten))

@@ -147,11 +147,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out === (1L to 12L).map(_ -> 1L).toMap)
   }
 
-  test("connectedComponents raises (never silently mislabels) past maxRounds") {
+  test("connectedComponentsMinLabel raises (never silently mislabels) past maxRounds") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException](
-      Dedup.connectedComponents(chain, maxRounds = 2).collect())
+      Dedup.connectedComponentsMinLabel(chain, maxRounds = 2).collect())
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents (star) converges on a 300-chain where min-label's " +
+    "50-round default would throw") {
+    // diameter 299: min-label needs 299 rounds; large-star/small-star
+    // halves distances every round and must finish in O(log n)
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException](
+      Dedup.connectedComponentsMinLabel(chain).collect())
+    val out = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out === (1L to 300L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents star ≡ min-label on a mixed random graph") {
+    val rnd = new scala.util.Random(7)
+    // 3 planted components over ids 0..149 (mod-3 classes), random extra
+    // intra-component edges, some self-loops and duplicate edges
+    val edges = ((0L until 147L).map(i => (i, i + 3)) ++
+      (1 to 60).map { _ =>
+        val c = rnd.nextInt(3); val a = rnd.nextInt(50) * 3 + c
+        val b = rnd.nextInt(50) * 3 + c; (a.toLong, b.toLong)
+      } ++ Seq((9L, 9L), (0L, 3L), (3L, 0L))).toDF("doc_a", "doc_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val star = toMapOf(Dedup.connectedComponents(edges))
+    val minl = toMapOf(Dedup.connectedComponentsMinLabel(edges))
+    assert(star === minl)
+    assert(star === (0L until 150L).map(i => i -> (i % 3)).toMap)
   }
 
   test("heavyHitters ignores NULL items (counts and threshold exclude them)") {
@@ -652,6 +681,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out("neg") === (Some(-1.0), true), "verdict is on |corr|")
     assert(!out("zig")._2, s"near-zero correlation must not be strong: ${out("zig")}")
     assert(out("flat") === (None, false), "zero variance: corr undefined, never strong")
+  }
+
+  test("corrVerdict: decimal overflow past the documented bound fails LOUDLY") {
+    // 10 rows at ±7.07e8: each long sum fits (sxx ≈ 5e18 < 2^63), but
+    // denx ≈ n·sxx ≈ 5e19 so denx·deny ≈ 2.5e39 overflows DECIMAL(38,0).
+    // Under ANSI (Spark 4 default) the multiply itself throws; with ANSI
+    // off it returns NULL and the explicit guard must raise instead — the
+    // verdict must never silently become NULL in either mode.
+    val big = 707000000L
+    val d = (1L to 10L).map(i =>
+      ("huge", if (i % 2 == 0) big else -big, if (i % 3 == 0) big else -big))
+      .toDF("grp", "x", "y")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    def run(): Unit = graft.operators.Stats.corrVerdict(d, "grp",
+      org.apache.spark.sql.functions.col("x"),
+      org.apache.spark.sql.functions.col("y")).collect()
+    val ansiErr = intercept[Exception](run())
+    assert(msgs(ansiErr).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"ANSI mode must throw on the overflow itself, got: $ansiErr")
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val nonAnsiErr = intercept[Exception](run())
+      assert(msgs(nonAnsiErr).exists(_.contains("corrVerdict: decimal overflow")),
+        s"non-ANSI mode must hit the loud guard, got: $nonAnsiErr")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
   test("collocations: bound pairs get high PMI, grammatical glue low") {
