@@ -61,4 +61,38 @@ class IncrementalDedupSpec extends SparkSpec {
     // double the signature join or the bucket occupancy count
     assert(replayed.length === 1, s"replay must not emit duplicate rows: ${replayed.toSeq}")
   }
+
+  test("maintain() bounds on-disk versions without changing the index") {
+    val root = Files.createTempDirectory("graft-inc-dedup3").toString
+    val store = new BucketedMergeWriter(spark, root, nBuckets = 4)
+    val idx = new IncrementalDedupIndex(store, "docs", 3, 12, 4, 0.5)
+    def versionDirs(table: String): Int = {
+      val d = java.nio.file.Paths.get(root, table)
+      val s = Files.list(d)
+      try {
+        val it = s.iterator(); var n = 0
+        while (it.hasNext) { if (it.next().getFileName.toString.matches("v\\d+")) n += 1 }
+        n
+      } finally s.close()
+    }
+    // full-corpus ingest + 2 replays: every live bucket is rewritten each
+    // time, so exactly one version per ingest accretes and only the
+    // newest is live afterwards
+    (1 to 3).foreach(_ => idx.ingest(df(corpus)))
+    assert(versionDirs(idx.bandTable) === 3,
+      s"expected 3 pre-vacuum versions, got ${versionDirs(idx.bandTable)}")
+    def bandRowCount() =
+      store.read(idx.bandTable).select("doc_id", "band").distinct().count()
+    val sigRows = store.read(idx.sigTable).count()
+    val bandRows = bandRowCount()
+    idx.maintain()
+    assert(versionDirs(idx.bandTable) === 1 && versionDirs(idx.sigTable) === 1,
+      "vacuum must reclaim every superseded version, keeping only the live one")
+    assert(store.read(idx.sigTable).count() === sigRows && bandRowCount() === bandRows,
+      "maintenance must not change the index contents")
+    // the index keeps working after maintenance: replay is still clean
+    val replayed = pairSet(idx.ingest(df(corpus)))
+    assert(replayed === Set((1L, 3L), (1L, 6L), (3L, 6L), (4L, 5L)),
+      s"post-vacuum replay must re-emit the same pairs: $replayed")
+  }
 }
