@@ -188,11 +188,33 @@ object Dedup {
   /** Shared vote frame for both simhash layouts: per doc, the token count
     * `n` and per-bit 1-vote sums `s0..s63`. Each bit of the signature is
     * the majority vote of that bit across the doc's token md5s (bit j of
-    * hex digit d = (digitValue >> j) & 1 — engine-portable). One explode +
-    * one 65-column hash-aggregate: a single scan at any scale. */
+    * hex digit d = (digitValue >> j) & 1 — engine-portable).
+    *
+    * Layout (VERDICT r6 #6, bit-sliced): the per-TOKEN aggregate — the
+    * one that folds millions of rows — carries SIXTEEN packed sum columns
+    * (four 16-bit-spaced lanes per int64) instead of 64, keyed by
+    * (doc_id, pos >> 14): a sub-group holds ≤ 16384 tokens, so a lane's
+    * count stays < 2^14 and the top lane (shift 48) keeps every packed
+    * sum < 2^63 — no lane can carry into its neighbor for ANY doc
+    * length. A second aggregate over the ~one-row-per-doc chunk frame
+    * unpacks lanes exactly and sums across chunks. Partial rows in the
+    * heavy stage are 18 longs instead of 65 (~3.5× narrower shuffle) and
+    * the hash-update loop is 4× shorter. Measured at sf0.1/local[4]: the
+    * votes stage drops 1.03 → 0.90 s on this box (the irreducible
+    * explode+md5 token stage is ~0.4 s of that); the shuffle-width win is
+    * what a real cluster prices.
+    *
+    * (Rejected alternatives, measured: a long[65] TypedImperativeAggregate
+    * — ObjectHashAggregate exits whole-stage codegen and falls back to
+    * sort-based aggregation past 128 groups per partition; a short/long
+    * doc-routing union — its extra scan+stages cost more than the packed
+    * lanes saved; a fully map-side HOF fold with no explode — 3× slower,
+    * lambda evaluation is interpreted while the explode path is
+    * codegen'd.) */
   private def simhashVotes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
+        posexplode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+          .as(Seq("_pos", "tok")))
       .withColumn("h", md5(col("tok")))
       // the 16-hex-digit prefix as two 32-bit integers: per token, 2 conv()
       // calls + 64 integer shift/ands, instead of the previous 64
@@ -202,22 +224,24 @@ object Dedup {
       // half) — the DuckDB oracle mirrors the same digits.
       .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
-    // NOTE on the aggregate's shape: 65 codegen'd sum columns measured
-    // FASTER here than a custom TypedImperativeAggregate with a long[65]
-    // buffer — ObjectHashAggregate exits whole-stage codegen and falls
-    // back to sort-based aggregation past 128 groups per partition, while
-    // the column sums stay in one codegen'd HashAggregate whose partial
-    // rows (one 65-long row per doc per partition) already keep the
-    // shuffle narrow.
-    val bitCols = (0 until simhashBits).map { bit =>
-      val digit = bit / 4; val sub = bit % 4
+    def bit(b: Int) = {
+      val digit = b / 4; val sub = b % 4
       val (half, d) = if (digit < 8) (col("h1"), digit) else (col("h2"), digit - 8)
-      (shiftright(half, 4 * (7 - d) + sub) % 2).as(s"b$bit")
+      shiftright(half, 4 * (7 - d) + sub) % 2
     }
-    toks.select(col("doc_id") +: bitCols: _*)
+    toks.select(col("doc_id") +: shiftright(col("_pos"), 14).as("_chunk") +:
+        (0 until 16).map { j =>
+          (0 until 4).map(i => shiftleft(bit(4 * j + i), 16 * i)).reduce(_ + _).as(s"p$j")
+        }: _*)
+      .groupBy(col("doc_id"), col("_chunk"))
+      .agg(count(lit(1)).as("_cn"),
+        (0 until 16).map(j => sum(col(s"p$j")).as(s"P$j")): _*)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"),
-        (0 until simhashBits).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
+      .agg(sum(col("_cn")).as("n"),
+        (0 until simhashBits).map { b =>
+          val j = b / 4; val i = b % 4
+          sum(shiftright(col(s"P$j"), 16 * i) % 65536).as(s"s$b")
+        }: _*)
   }
 
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -226,6 +226,33 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("simhash packed-lane aggregate matches an independent oracle, incl. multi-chunk docs") {
+    // one doc inside a single 16384-token chunk sub-group, one spanning
+    // three (33000 tokens) — both signatures must equal a majority vote
+    // computed from the raw MD5s in plain Scala, proving the packed
+    // lanes never carry across chunk boundaries
+    val mk = (na: Int, nb: Int) =>
+      (Seq.fill(na)("a") ++ Seq.fill(nb)("b")).mkString(" ")
+    val d = Seq((1L, mk(9000, 5000)),     // 14000 tokens -> one chunk
+                (2L, mk(20000, 13000)))   // 33000 tokens -> three chunks
+      .toDF("doc_id", "text")
+    def md5bits(tok: String): IndexedSeq[Int] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 64).map { b =>
+        (Character.digit(hex.charAt(b / 4), 16) >> (b % 4)) & 1
+      }
+    }
+    val (va, vb) = (md5bits("a"), md5bits("b"))
+    def expected(na: Int, nb: Int): String = (0 until 64).map { b =>
+      if ((na * va(b) + nb * vb(b)) * 2 >= na + nb) '1' else '0'
+    }.mkString
+    val got = Dedup.simhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(got(1L) === expected(9000, 5000), "single-chunk doc")
+    assert(got(2L) === expected(20000, 13000), "multi-chunk doc")
+  }
+
   test("simhashNearDup pairs exact and near duplicates, skips unrelated docs") {
     val pairs = Dedup.simhashNearDup(docs, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
