@@ -2212,6 +2212,63 @@ object QueryCatalog {
       |  CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
       |FROM w GROUP BY 1""".stripMargin
 
+  /** Store CDC diff (BucketedMergeWriter.diffVersions over readAsOf):
+    * commit orders minus every 7th key, merge a batch that updates every
+    * 5th key's price (+1) — inserting the keys divisible by both — then
+    * diff the two committed versions through the commit-parent chain.
+    * The oracle derives the same insert/update classification from the
+    * raw table; a wrong time-travel resolution (phantom rows, wrong
+    * parent) would misclassify. Merge semantics never delete, so no
+    * 'delete' rows can appear. */
+  def q100StoreCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      dec2(col("o_totalprice")).as("o_totalprice"),
+      col("o_orderstatus"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8)
+    store.mergeFact("orders_cdc", base.filter(col("o_orderkey") % 7 =!= 0),
+      Seq("o_orderkey"))
+    store.mergeFact("orders_cdc",
+      base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(1)).cast("decimal(18,2)")),
+      Seq("o_orderkey"))
+    val vs = store.committedVersions("orders_cdc")
+    store.diffVersions("orders_cdc", vs.head, vs.last, Seq("o_orderkey"))
+  }
+
+  val q100Sql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'insert' ELSE 'update' END AS _change
+      |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
+
+  /** Zone-map range read (BucketedMergeWriter.readRange): write orders
+    * with min/max stats on o_totalprice, then aggregate a price band —
+    * readRange drops whole buckets at MANIFEST resolution before any
+    * parquet IO and applies the exact predicate on the survivors. The
+    * oracle computes the same band from the raw table, so a zone map
+    * that over-prunes (dropping a bucket it shouldn't) breaks the hash. */
+  def q101StoreRangeRead(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      dec2(col("o_totalprice")).as("o_totalprice"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q101").toString
+    val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8,
+      statsColumns = Seq("o_totalprice"))
+    store.mergeFact("orders_zm", base, Seq("o_orderkey"))
+    store.readRange("orders_zm", "o_totalprice", 0.0, 50000.0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")).cast("double").as("total"))
+  }
+
+  val q101Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) BETWEEN 0 AND 50000""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2316,7 +2373,9 @@ object QueryCatalog {
     ("q96_centroids", q96Centroids _, Some(q96Sql)),
     ("q97_corr_verdict", q97CorrVerdict _, Some(q97Sql)),
     ("q98_collocations", q98Collocations _, Some(q98Sql)),
-    ("q99_winsorize_sketch", q99WinsorizeSketch _, Some(q99Sql)))
+    ("q99_winsorize_sketch", q99WinsorizeSketch _, Some(q99Sql)),
+    ("q100_store_cdc_diff", q100StoreCdcDiff _, Some(q100Sql)),
+    ("q101_store_range_read", q101StoreRangeRead _, Some(q101Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
