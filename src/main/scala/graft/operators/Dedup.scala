@@ -432,29 +432,47 @@ object Dedup {
     * [[dedupCorpus]], over-deletes on transitive chains A~B~C where A≁C;
     * clustering first keeps exactly one survivor per component).
     *
-    * Implementation: alternating large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14). Each round rewires edges toward per-neighborhood minima —
-    * large-star hangs every larger neighbor of u off min(Γ(u) ∪ u),
-    * small-star re-parents u's smaller neighbors the same way — which
-    * HALVES star-path depths per round instead of shrinking them by one
-    * hop, so rounds grow with log(component size), not graph diameter.
-    * At the fixpoint the edge set IS the answer: one (node → component
-    * min) star per component.
-    *
-    * Scale: each round is two groupBy-join pairs over a frame bounded by
-    * the DUPLICATED subset of the corpus (never the corpus), checkpointed
-    * per round; convergence is count-equality plus an exact `except` on
-    * the (tiny, star-shaped) fixpoint frames. Unlike min-label
-    * propagation ([[connectedComponentsMinLabel]]), an adversarial
-    * chain-shaped dup graph converges in ~log₂(n) rounds — a 10⁹-node
-    * path needs ~30, hence the default.
+    * Hybrid strategy: min-label propagation first ([[
+    * connectedComponentsMinLabel]]'s core — ONE cheap shuffle join per
+    * round, and LSH near-dup components are near-cliques that converge in
+    * 2-3 rounds), escalating to large-star/small-star contraction
+    * ([[connectedComponentsStar]] — O(log n) rounds at ~2× the per-round
+    * cost) only if `escalateAfter` rounds pass without a fixpoint, which
+    * on a dup graph means an adversarial chain/filament shape. Measured:
+    * the LSH-pair workload runs at min-label speed (star alone was ~1.8×
+    * slower end-to-end on q55's composition), while a 300-hop chain that
+    * would blow past any sane min-label round budget converges in ~10
+    * star rounds.
     *
     * `edges` must have two id columns `(aCol, bCol)`; returns
     * (doc_id, cluster_id) for every node that appears in an edge.
     */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxRounds: Int = 30): DataFrame = {
+                          bCol: String = "doc_b", maxRounds: Int = 30,
+                          escalateAfter: Int = 8): DataFrame = {
+    val (labels, changed) = minLabelCore(edges, aCol, bCol, escalateAfter)
+    if (changed == 0L) labels
+    else connectedComponentsStar(edges, aCol, bCol, maxRounds)
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * rewires edges toward per-neighborhood minima — large-star hangs
+    * every larger neighbor of u off min(Γ(u) ∪ u), small-star re-parents
+    * u's smaller neighbors the same way — which HALVES star-path depths
+    * per round instead of shrinking them by one hop, so rounds grow with
+    * log(component size), not graph diameter. At the fixpoint the edge
+    * set IS the answer: one (node → component min) star per component.
+    *
+    * Scale: each round is two groupBy-join pairs over a frame bounded by
+    * the DUPLICATED subset of the corpus (never the corpus), checkpointed
+    * per round; convergence is count-equality plus an exact `except` on
+    * the (tiny, star-shaped) fixpoint frames. An adversarial chain-shaped
+    * dup graph converges in ~log₂(n) rounds — a 10⁹-node path needs ~30,
+    * hence the default.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String = "doc_a",
+                              bCol: String = "doc_b", maxRounds: Int = 30): DataFrame = {
     val allNodes = materialize(
       edges.select(col(aCol).as("id"))
         .unionByName(edges.select(col(bCol).as("id")))
@@ -506,7 +524,7 @@ object Dedup {
       round += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents (star) did not converge in $maxRounds rounds — " +
+      s"connectedComponentsStar did not converge in $maxRounds rounds — " +
         s"component sizes would need to exceed ~2^$maxRounds nodes")
     // fixpoint edges are (node → component min) stars; min nodes label
     // themselves via the left-join fallback
@@ -516,18 +534,34 @@ object Dedup {
         coalesce(col("_cl"), col("id")).as("cluster_id"))
   }
 
-  /** Min-label propagation baseline for [[connectedComponents]]: every
-    * node starts labeled with its own id, and each round replaces a
-    * node's label with the minimum among itself and its neighbors, until
-    * a round changes nothing. Each round is ONE shuffle join + one
-    * min-aggregate with the change count observed on the materializing
-    * job — cheaper per round than the star algorithm, but rounds = graph
-    * DIAMETER: near-clique LSH components converge in 2-3 rounds, while a
-    * chain-shaped dup graph needs one round per hop and throws past
-    * `maxRounds` (loudly — a silent exit would split components).
+  /** Min-label propagation: every node starts labeled with its own id,
+    * and each round replaces a node's label with the minimum among itself
+    * and its neighbors, until a round changes nothing. Each round is ONE
+    * shuffle join + one min-aggregate with the change count observed on
+    * the materializing job — cheaper per round than the star algorithm,
+    * but rounds = graph DIAMETER: near-clique LSH components converge in
+    * 2-3 rounds, while a chain-shaped dup graph needs one round per hop
+    * and throws past `maxRounds` (loudly — a silent exit would split
+    * components). [[connectedComponents]] composes this with a star
+    * fallback; use this directly only when the graph shape is known.
     */
   def connectedComponentsMinLabel(edges: DataFrame, aCol: String = "doc_a",
                                   bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    val (labels, changed) = minLabelCore(edges, aCol, bCol, maxRounds)
+    // a silent exit with changed > 0 would return WRONG labels (one
+    // component split into several clusters) — fail loudly instead; for
+    // adversarial diameter-{maxRounds}+ chain graphs use the hybrid
+    // [[connectedComponents]] (the default)
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponentsMinLabel did not converge in $maxRounds rounds " +
+        s"($changed labels still changing — graph diameter exceeds maxRounds)")
+    labels
+  }
+
+  /** Shared min-label loop: returns (labels as (doc_id, cluster_id), the
+    * final round's change count — 0 iff converged). */
+  private def minLabelCore(edges: DataFrame, aCol: String, bCol: String,
+                           maxRounds: Int): (DataFrame, Long) = {
     val e = materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
@@ -556,14 +590,7 @@ object Dedup {
       labels = next
       round += 1
     }
-    // a silent exit with changed > 0 would return WRONG labels (one
-    // component split into several clusters) — fail loudly instead; for
-    // adversarial diameter-{maxRounds}+ chain graphs use the star-based
-    // [[connectedComponents]] (the default)
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponentsMinLabel did not converge in $maxRounds rounds " +
-        s"($changed labels still changing — graph diameter exceeds maxRounds)")
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("cluster_id")), changed)
   }
 
   /** The full corpus-dedup pipeline as one operator: drop exact duplicates

@@ -154,8 +154,8 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("connectedComponents (star) converges on a 300-chain where min-label's " +
-    "50-round default would throw") {
+  test("connectedComponents converges on a 300-chain where min-label's " +
+    "50-round default would throw (hybrid escalates to star)") {
     // diameter 299: min-label needs 299 rounds; large-star/small-star
     // halves distances every round and must finish in O(log n)
     val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
@@ -166,7 +166,7 @@ class OperatorsSpec extends SparkSpec {
     assert(out === (1L to 300L).map(_ -> 1L).toMap)
   }
 
-  test("connectedComponents star ≡ min-label on a mixed random graph") {
+  test("connectedComponents hybrid ≡ star ≡ min-label on a mixed random graph") {
     val rnd = new scala.util.Random(7)
     // 3 planted components over ids 0..149 (mod-3 classes), random extra
     // intra-component edges, some self-loops and duplicate edges
@@ -177,10 +177,12 @@ class OperatorsSpec extends SparkSpec {
       } ++ Seq((9L, 9L), (0L, 3L), (3L, 0L))).toDF("doc_a", "doc_b")
     def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
-    val star = toMapOf(Dedup.connectedComponents(edges))
+    val hybrid = toMapOf(Dedup.connectedComponents(edges))
+    val star = toMapOf(Dedup.connectedComponentsStar(edges))
     val minl = toMapOf(Dedup.connectedComponentsMinLabel(edges))
+    assert(hybrid === minl)
     assert(star === minl)
-    assert(star === (0L until 150L).map(i => i -> (i % 3)).toMap)
+    assert(hybrid === (0L until 150L).map(i => i -> (i % 3)).toMap)
   }
 
   test("heavyHitters ignores NULL items (counts and threshold exclude them)") {
