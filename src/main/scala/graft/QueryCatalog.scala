@@ -2269,6 +2269,48 @@ object QueryCatalog {
       |FROM orders
       |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) BETWEEN 0 AND 50000""".stripMargin
 
+  /** Cluster-aware train/val/test split: hash-split on the DUPLICATE
+    * CLUSTER key (CC over the q24 LSH pair graph; singletons key on their
+    * own doc_id) instead of the doc id, so near-duplicate documents can
+    * never straddle splits — the test-set-hygiene property a plain
+    * per-doc split silently violates (a paraphrase of a training doc
+    * landing in test inflates eval). Same md5 hash-bucket scheme as q45,
+    * so a doc's split replays in any engine; summarized per split as doc
+    * and group counts. */
+  def q102ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cc = operators.Dedup.connectedComponents(
+      operators.Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4,
+        threshold = 0.5, maxBucket = 100))
+    val keyed = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+    operators.Sampling.threeWaySplit(keyed, "group_key", 0.75, 0.125)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_key")).as("n_groups"))
+  }
+
+  /** q75's recursive closure with the q45 hash-split appended on the
+    * cluster key. */
+  val q102Sql: String = {
+    val ccSelect = "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
+    assert(q75Sql.endsWith(ccSelect), "q102Sql tracks q75Sql's closure tail")
+    q75Sql.dropRight(ccSelect.length).stripTrailing() + ",\n" +
+      """cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |k AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_key
+        |      FROM documents d LEFT JOIN cc USING (doc_id)),
+        |bk AS (SELECT doc_id, group_key,
+        |        CAST(('0x' || substring(md5(CAST(group_key AS VARCHAR)), 1, 12)) AS BIGINT)
+        |          % 1000000 AS b
+        |       FROM k)
+        |SELECT CASE WHEN b < 750000 THEN 'train'
+        |            WHEN b < 875000 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups
+        |FROM bk GROUP BY 1""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2375,7 +2417,8 @@ object QueryCatalog {
     ("q98_collocations", q98Collocations _, Some(q98Sql)),
     ("q99_winsorize_sketch", q99WinsorizeSketch _, Some(q99Sql)),
     ("q100_store_cdc_diff", q100StoreCdcDiff _, Some(q100Sql)),
-    ("q101_store_range_read", q101StoreRangeRead _, Some(q101Sql)))
+    ("q101_store_range_read", q101StoreRangeRead _, Some(q101Sql)),
+    ("q102_cluster_split", q102ClusterSplit _, Some(q102Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

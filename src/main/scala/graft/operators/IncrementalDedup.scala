@@ -35,7 +35,7 @@ import graft.plans.TableStore
   * over-full (band, bucket) is skipped for that band, and its docs still
   * surface through their other bands.
   */
-class IncrementalDedupIndex(store: TableStore, table: String,
+class IncrementalDedupIndex(val store: TableStore, table: String,
                             n: Int, k: Int, bands: Int, threshold: Double,
                             maxBucket: Int = 1000) {
   require(k % bands == 0, "bands must divide k")

@@ -95,4 +95,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(replayed === Set((1L, 3L), (1L, 6L), (3L, 6L), (4L, 5L)),
       s"post-vacuum replay must re-emit the same pairs: $replayed")
   }
+
+  test("StreamingDedup: a document stream dedups continuously, exactly-once pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-stream-dedup").toString, nBuckets = 4)
+    val idx = new IncrementalDedupIndex(store, "docs", 3, 12, 4, 0.5)
+    val ckpt = Files.createTempDirectory("graft-stream-dedup-ckpt").toString
+
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingDedup.start(docs, idx, "dup_pairs", ckpt)
+      q.awaitTermination() // AvailableNow: stops once the backlog drains
+    }
+    in.addData(corpus.slice(0, 2): _*) // docs 1, 2 — no pairs yet
+    in.addData(corpus.slice(2, 4): _*) // docs 3, 4 — (1,3) spans batches
+    drain()
+    def pairs() = store.read("dup_pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() === Set((1L, 3L)), s"cross-micro-batch pair: ${pairs()}")
+
+    in.addData(corpus.slice(4, 6): _*) // docs 5, 6 — pair with indexed 1/3/4
+    drain()
+    assert(pairs() === Set((1L, 3L), (4L, 5L), (1L, 6L), (3L, 6L)))
+
+    // replay the LAST micro-batch from a FRESH checkpoint (the crash-
+    // between-sink-and-checkpoint shape): the keyed pair MERGE and the
+    // idempotent index MERGE must both absorb it
+    val sigRows = store.read(idx.sigTable).count()
+    val ckpt2 = Files.createTempDirectory("graft-stream-dedup-ckpt2").toString
+    val in2 = MemoryStream[(Long, String)]
+    val docs2 = in2.toDF().toDF("doc_id", "text")
+    in2.addData(corpus.slice(4, 6): _*)
+    val q2 = graft.streaming.StreamingDedup.start(docs2, idx, "dup_pairs", ckpt2)
+    q2.awaitTermination()
+    assert(pairs() === Set((1L, 3L), (4L, 5L), (1L, 6L), (3L, 6L)),
+      "replayed micro-batch must not duplicate pair rows")
+    assert(store.read(idx.sigTable).count() === sigRows,
+      "replayed micro-batch must leave the index unchanged")
+  }
 }
