@@ -31,30 +31,22 @@ object IncrementalBench {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .localCheckpoint(true)
     val n = docs.count()
-    val per = math.max(1L, n / nBatches)
 
     val root = java.nio.file.Files.createTempDirectory("graft-inc-bench").toString
     val store = new BucketedMergeWriter(spark, root, nBuckets = 16)
     val idx = new IncrementalDedupIndex(store, "docs",
       n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100)
 
-    def versionDirs(table: String): Int = {
-      val d = java.nio.file.Paths.get(root, table)
-      if (!java.nio.file.Files.exists(d)) 0
-      else {
-        val s = java.nio.file.Files.list(d)
-        try s.iterator().asScala.count(_.getFileName.toString.matches("v\\d+"))
-        finally s.close()
-      }
-    }
+    def versionDirs(table: String): Int = store.onDiskVersionDirs(table).size
 
     val times = new scala.collection.mutable.ArrayBuffer[Double]
     val pairs = new scala.collection.mutable.ArrayBuffer[Long]
     val rawVersions = new scala.collection.mutable.ArrayBuffer[Int]
     (0 until nBatches).foreach { i =>
-      val lo = i * per
-      val hi = if (i == nBatches - 1) Long.MaxValue else (i + 1) * per
-      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      // hash-mod batching: equal-sized batches for ANY id distribution
+      // (sparse, offset, negative) — a doc_id VALUE range would put the
+      // whole corpus in one batch the moment ids don't start near 0
+      val batch = docs.filter(pmod(hash(col("doc_id")), lit(nBatches)) === i)
       val t0 = System.nanoTime()
       val p = idx.ingest(batch).count()
       times += (System.nanoTime() - t0) / 1e9
@@ -70,11 +62,5 @@ object IncrementalBench {
       s""""sig_versions":$sigV,"band_versions":$bandV,"vacuum_every":$vacuumEvery,""" +
       s""""n_docs":$n,"n_batches":$nBatches,"dir":"$dir"}""")
     spark.stop()
-  }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
   }
 }

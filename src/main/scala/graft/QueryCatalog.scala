@@ -1864,10 +1864,11 @@ object QueryCatalog {
 
   val q87Sql: String =
     """WITH mm AS (SELECT l_returnflag AS g, min(l_quantity) AS mn, max(l_quantity) AS mx,
-      |                   CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+      |                   CAST(count(l_quantity) AS BIGINT) AS n FROM lineitem GROUP BY 1),
       |b AS (SELECT l.l_returnflag AS g,
       |        least(CAST(floor((l.l_quantity - mm.mn) * 256 / (mm.mx - mm.mn)) AS BIGINT), 255) AS bkt
-      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g WHERE mm.mx > mm.mn),
+      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g
+      |      WHERE mm.mx > mm.mn AND l.l_quantity IS NOT NULL),
       |h AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
       |cum AS (SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM h),
@@ -2188,10 +2189,11 @@ object QueryCatalog {
   val q99Sql: String =
     """WITH mm AS (SELECT l_returnflag AS g, min(l_extendedprice) AS mn,
       |                   max(l_extendedprice) AS mx,
-      |                   CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+      |                   CAST(count(l_extendedprice) AS BIGINT) AS n FROM lineitem GROUP BY 1),
       |b AS (SELECT l.l_returnflag AS g,
       |        least(CAST(floor((l.l_extendedprice - mm.mn) * 256 / (mm.mx - mm.mn)) AS BIGINT), 255) AS bkt
-      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g WHERE mm.mx > mm.mn),
+      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g
+      |      WHERE mm.mx > mm.mn AND l.l_extendedprice IS NOT NULL),
       |h AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
       |cum AS (SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM h),
@@ -2220,24 +2222,40 @@ object QueryCatalog {
     * raw table; a wrong time-travel resolution (phantom rows, wrong
     * parent) would misclassify. Merge semantics never delete, so no
     * 'delete' rows can appear. */
-  def q100StoreCdcDiff(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders").select(
-      col("o_orderkey").cast("long").as("o_orderkey"),
-      col("o_custkey").cast("long").as("o_custkey"),
-      dec2(col("o_totalprice")).as("o_totalprice"),
-      col("o_orderstatus"))
-    val root = java.nio.file.Files.createTempDirectory("graft-q100").toString
-    val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8)
-    store.mergeFact("orders_cdc", base.filter(col("o_orderkey") % 7 =!= 0),
-      Seq("o_orderkey"))
-    store.mergeFact("orders_cdc",
-      base.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_totalprice",
-          (col("o_totalprice") + lit(1)).cast("decimal(18,2)")),
-      Seq("o_orderkey"))
-    val vs = store.committedVersions("orders_cdc")
-    store.diffVersions("orders_cdc", vs.head, vs.last, Seq("o_orderkey"))
+  /** Run `body` against a throwaway store root, eagerly localCheckpoint
+    * the result (pinning it off the store's files), then DELETE the
+    * directory — catalog queries run inside Bench/Verify loops and must
+    * not leak a parquet copy into /tmp per invocation. */
+  private def withTempStore(prefix: String)(body: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(root).localCheckpoint(eager = true)
+    finally {
+      val p = java.nio.file.Paths.get(root)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
   }
+
+  def q100StoreCdcDiff(s: SparkSession, dir: String): DataFrame =
+    withTempStore("graft-q100") { root =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        dec2(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8)
+      store.mergeFact("orders_cdc", base.filter(col("o_orderkey") % 7 =!= 0),
+        Seq("o_orderkey"))
+      store.mergeFact("orders_cdc",
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice",
+            (col("o_totalprice") + lit(1)).cast("decimal(18,2)")),
+        Seq("o_orderkey"))
+      val vs = store.committedVersions("orders_cdc")
+      store.diffVersions("orders_cdc", vs.head, vs.last, Seq("o_orderkey"))
+    }
 
   val q100Sql: String =
     """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -2250,18 +2268,18 @@ object QueryCatalog {
     * parquet IO and applies the exact predicate on the survivors. The
     * oracle computes the same band from the raw table, so a zone map
     * that over-prunes (dropping a bucket it shouldn't) breaks the hash. */
-  def q101StoreRangeRead(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders").select(
-      col("o_orderkey").cast("long").as("o_orderkey"),
-      dec2(col("o_totalprice")).as("o_totalprice"))
-    val root = java.nio.file.Files.createTempDirectory("graft-q101").toString
-    val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8,
-      statsColumns = Seq("o_totalprice"))
-    store.mergeFact("orders_zm", base, Seq("o_orderkey"))
-    store.readRange("orders_zm", "o_totalprice", 0.0, 50000.0)
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice")).cast("double").as("total"))
-  }
+  def q101StoreRangeRead(s: SparkSession, dir: String): DataFrame =
+    withTempStore("graft-q101") { root =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        dec2(col("o_totalprice")).as("o_totalprice"))
+      val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8,
+        statsColumns = Seq("o_totalprice"))
+      store.mergeFact("orders_zm", base, Seq("o_orderkey"))
+      store.readRange("orders_zm", "o_totalprice", 0.0, 50000.0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).cast("double").as("total"))
+    }
 
   val q101Sql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n,

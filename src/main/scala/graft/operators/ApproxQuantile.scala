@@ -31,10 +31,15 @@ object ApproxQuantile {
       "quantile fractions must be in (0, 1]")
     require(buckets >= 2 && buckets <= (1 << 16), "buckets must be in [2, 65536]")
     val v = col(valueCol)
+    // NULL values are excluded from n AND from the bucket stream — the
+    // exact-percentile twin (q59/q86) ignores NULLs, and counting them
+    // here would both inflate ceil(q·n) and (NULLS FIRST) pad every
+    // cumulative count, dragging both bounds toward lower quantiles
     val mm = df.groupBy(col(groupCol))
-      .agg(min(v).as("_mn"), max(v).as("_mx"), count(lit(1)).as("_n"))
+      .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
       .withColumnRenamed(groupCol, "_grp")
-    val b = df.join(broadcast(mm), col(groupCol) <=> col("_grp"))
+    val b = df.filter(v.isNotNull)
+      .join(broadcast(mm), col(groupCol) <=> col("_grp"))
       .filter(col("_mx") > col("_mn"))
       .select(col(groupCol),
         least(floor((v - col("_mn")) * buckets / (col("_mx") - col("_mn"))).cast("long"),

@@ -392,6 +392,23 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * everything dead immediately (the caller guarantees no outstanding
     * readers). Crash orphans (never referenced by any manifest) age by
     * directory mtime — no reader can ever have resolved them. */
+  /** Version directories currently ON DISK (live + superseded + crash
+    * orphans), ascending — the quantity vacuum bounds; compare with
+    * [[committedVersions]] (reachable history) to see what maintenance
+    * would reclaim. */
+  def onDiskVersionDirs(name: String): Seq[Long] = {
+    val d = Paths.get(dir(name))
+    if (!Files.exists(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
   override def vacuum(name: String, retainMillis: Long = 0L): Unit =
     CommitProtocol.lockFor(dir(name)).synchronized {
       val live = readManifest(name)._2.map(_._2).toSet

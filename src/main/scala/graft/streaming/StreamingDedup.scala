@@ -29,23 +29,33 @@ object StreamingDedup {
 
   /** Start a stream that drains `docs` (a streaming DataFrame with
     * `doc_id`/`text` columns) into the index, merging emitted pairs into
-    * `pairsTable` in the index's own store. Returns the running query. */
+    * `pairsTable` in the index's own store. Returns the running query.
+    *
+    * The default trigger is AvailableNow — process the current backlog
+    * and stop (the batch-job-over-a-stream shape, and what a test
+    * drains); pass `Trigger.ProcessingTime(...)` for a resident query
+    * over a live unbounded source. */
   def start(docs: DataFrame, index: IncrementalDedupIndex,
             pairsTable: String, checkpointDir: String,
             idCol: String = "doc_id", textCol: String = "text",
-            vacuumEveryBatches: Int = 0): StreamingQuery = {
+            vacuumEveryBatches: Int = 0,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = index.ingest(batch, idCol, textCol)
         // keyed MERGE: replayed batches re-emit the same (doc_a, doc_b)
         // rows and collapse to one — the pair table is exactly-once
         if (!pairs.isEmpty)
           index.store.mergeFact(pairsTable, pairs, Seq("doc_a", "doc_b"))
-        if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0)
+        if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0) {
           index.maintain()
+          // the pair sink accretes one version per micro-batch exactly
+          // like the index tables — reclaim it on the same schedule
+          if (index.store.exists(pairsTable)) index.store.vacuum(pairsTable)
+        }
         ()
       }
       .start()

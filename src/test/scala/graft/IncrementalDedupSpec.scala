@@ -66,15 +66,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-inc-dedup3").toString
     val store = new BucketedMergeWriter(spark, root, nBuckets = 4)
     val idx = new IncrementalDedupIndex(store, "docs", 3, 12, 4, 0.5)
-    def versionDirs(table: String): Int = {
-      val d = java.nio.file.Paths.get(root, table)
-      val s = Files.list(d)
-      try {
-        val it = s.iterator(); var n = 0
-        while (it.hasNext) { if (it.next().getFileName.toString.matches("v\\d+")) n += 1 }
-        n
-      } finally s.close()
-    }
+    def versionDirs(table: String): Int = store.onDiskVersionDirs(table).size
     // full-corpus ingest + 2 replays: every live bucket is rewritten each
     // time, so exactly one version per ingest accretes and only the
     // newest is live afterwards

@@ -537,6 +537,16 @@ class OperatorsSpec extends SparkSpec {
     val const = Seq(("c", 5.0), ("c", 5.0)).toDF("grp", "v")
     assert(graft.operators.ApproxQuantile.histogramQuantiles(
       const, "grp", "v", Seq("p50" -> 0.5)).count() === 0L)
+    // NULL values: excluded from n and the buckets, like the exact
+    // percentile — 40% NULLs must not drag the estimate toward low
+    // quantiles (ceil(q·n) inflation + NULLS-FIRST cumulative padding)
+    val withNulls = ((1 to 600).map(i => ("n", Some(i.toDouble))) ++
+      (1 to 400).map(_ => ("n", Option.empty[Double]))).toDF("grp", "v")
+    val nOut = graft.operators.ApproxQuantile.histogramQuantiles(
+      withNulls, "grp", "v", Seq("p90" -> 0.9), buckets = 256).head()
+    val nWidth = (600.0 - 1.0) / 256
+    assert(math.abs(nOut.getDouble(1) - 540.0) <= nWidth + 1e-6,
+      s"p90 over non-null values must be ~540, got ${nOut.getDouble(1)}")
   }
 
   test("blockedFuzzyJoin: finds within-distance pairs in the block, computes dist once") {
