@@ -2329,6 +2329,88 @@ object QueryCatalog {
         |FROM bk GROUP BY 1""".stripMargin
   }
 
+  /** Near-dup decontamination (Dedup.decontaminateNearDup): flag corpus
+    * docs whose MinHash signature agrees ≥ 50% with a benchmark item's —
+    * the PARAPHRASE-contamination catch q73/q80's exact n-gram overlap
+    * misses. Fixture benchmark = every 97th doc with a token appended
+    * (near-dup of its source but not exact, ids offset 1e6), derived
+    * identically in both engines — the operator is generic. */
+  def q103NearDupDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" eval item suffix")).as("text"))
+    operators.Dedup.decontaminateNearDup(docs, bench,
+      n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100)
+  }
+
+  val q103Sql: String = {
+    val prime = "4294967291"
+    val mhDefs = (0 until 12).map(i =>
+      s"min((h1 + $i * h2) % $prime) AS mh$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val parts = (b * 3 until (b + 1) * 3)
+        .map(i => s"'$i=' || CAST(mh$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(array_to_string(list_sort([$parts]), '|')) AS bucket FROM agg"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until 12).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH allsrc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' eval item suffix' AS text
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM allsrc),
+       |sdup AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 4, 0) + 1),
+       |  i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS shingle FROM w),
+       |s AS (SELECT DISTINCT doc_id, shingle FROM sdup),
+       |hs AS (SELECT doc_id,
+       |  CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $prime AS h1,
+       |  CAST(('0x' || substring(md5('s:' || shingle), 1, 15)) AS BIGINT) % $prime AS h2
+       |  FROM s),
+       |agg AS (SELECT doc_id, $mhDefs FROM hs GROUP BY doc_id),
+       |banded AS ($bandRows),
+       |cb AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id < 1000000),
+       |bb AS (SELECT doc_id AS bench_id, band, bucket FROM banded WHERE doc_id >= 1000000),
+       |ok_buckets AS (SELECT band, bucket FROM cb GROUP BY 1, 2 HAVING count(*) <= 100),
+       |cand AS (SELECT DISTINCT cb.doc_id, bb.bench_id
+       |  FROM cb JOIN ok_buckets USING (band, bucket) JOIN bb USING (band, bucket)),
+       |ag AS (SELECT cand.doc_id, cand.bench_id, ($agree) AS agree
+       |  FROM cand JOIN agg a ON a.doc_id = cand.doc_id
+       |  JOIN agg b ON b.doc_id = cand.bench_id)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminating,
+       |  round(max(agree / 12.0), 6) AS max_est_jaccard
+       |FROM ag WHERE agree / 12.0 >= 0.5 GROUP BY doc_id""".stripMargin
+  }
+
+  /** Uniform-budget frame sampling plan (Multimodal.uniformFramePlan):
+    * ≤ 8 frames per clip, centers of 8 equal segments, timestamps at
+    * 30 fps — integer-exact `⌊(2j+1)·n / 2K⌋`, so the decode schedule
+    * for a video corpus is computable from metadata alone. n_frames
+    * replays StubDecoder's md5 arithmetic as in q30. */
+  def q104FramePlan(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "text")
+    Multimodal.uniformFramePlan(
+      Multimodal.decodeAll(assets, Multimodal.StubDecoder).toDF(),
+      maxFrames = 8, fps = 30)
+      .select(col("asset_id"), col("n_frames"), col("sample_ix"),
+        col("frame_ix"), col("ts_ms"))
+  }
+
+  val q104Sql: String = {
+    def hx(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+       |f AS (SELECT doc_id AS asset_id,
+       |  CAST((((${hx(9)} * 16 + ${hx(10)}) % 128) + 1) AS BIGINT) AS n_frames FROM h),
+       |k AS (SELECT asset_id, n_frames, least(8, n_frames) AS kk FROM f),
+       |j AS (SELECT asset_id, n_frames, kk,
+       |        unnest(generate_series(0, kk - 1)) AS sample_ix FROM k)
+       |SELECT asset_id, n_frames, CAST(sample_ix AS BIGINT) AS sample_ix,
+       |  CAST(((2 * sample_ix + 1) * n_frames) // (2 * kk) AS BIGINT) AS frame_ix,
+       |  CAST((((2 * sample_ix + 1) * n_frames) // (2 * kk)) * 1000 // 30 AS BIGINT) AS ts_ms
+       |FROM j""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2436,7 +2518,9 @@ object QueryCatalog {
     ("q99_winsorize_sketch", q99WinsorizeSketch _, Some(q99Sql)),
     ("q100_store_cdc_diff", q100StoreCdcDiff _, Some(q100Sql)),
     ("q101_store_range_read", q101StoreRangeRead _, Some(q101Sql)),
-    ("q102_cluster_split", q102ClusterSplit _, Some(q102Sql)))
+    ("q102_cluster_split", q102ClusterSplit _, Some(q102Sql)),
+    ("q103_neardup_decontamination", q103NearDupDecontamination _, Some(q103Sql)),
+    ("q104_frame_plan", q104FramePlan _, Some(q104Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -350,6 +350,56 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** NEAR-DUP decontamination: flag corpus documents whose MinHash
+    * signature agrees with some benchmark document's at ≥ `threshold`
+    * estimated Jaccard — the contamination [[decontaminate]]'s exact
+    * n-gram overlap misses: a PARAPHRASED or lightly-edited copy of an
+    * eval item shares few exact 8-grams but keeps high shingle-set
+    * Jaccard. Both detectors run in a production decontamination pass
+    * (exact n-gram for verbatim leakage, near-dup for mutated leakage).
+    *
+    * Scale: the corpus side is q24's signature pipeline (one shingle
+    * dedup + one k-column min aggregate — never the text twice); the
+    * benchmark side is tiny by definition. Candidates come from the LSH
+    * band join (benchmark bands × corpus bands, hot corpus buckets
+    * capped exactly like [[minhashLsh]]); signature agreement verifies.
+    * Returns (doc_id, n_contaminating, max_est_jaccard) for flagged
+    * corpus docs — n_contaminating = how many benchmark items matched,
+    * max_est_jaccard round(…,6) for rank stability cross-engine.
+    */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int, k: Int, bands: Int, threshold: Double,
+                           maxBucket: Int = 1000,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cs = materialize(minhashSigWide(shinglePairs(corpus, n, idCol, textCol), k))
+    val bs = materialize(minhashSigWide(shinglePairs(benchmark, n, idCol, textCol), k))
+    val cb = bandRows(cs, k, bands)
+    val bb = bandRows(bs, k, bands).withColumnRenamed("doc_id", "bench_id")
+    // occupancy cap on the CORPUS side only — a web-scale bucket of
+    // boilerplate-identical docs must not explode the candidate join;
+    // the benchmark side is bounded by construction
+    val okBuckets = cb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val cand = cb.join(okBuckets, Seq("band", "bucket"))
+      .join(bb, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val sa = cs.toDF(cs.columns.toIndexedSeq
+      .map(c => if (c == "doc_id") "doc_id" else s"a_$c"): _*)
+    val sb = bs.toDF(bs.columns.toIndexedSeq
+      .map(c => if (c == "doc_id") "bench_id" else s"b_$c"): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    cand.join(sa, "doc_id").join(sb, "bench_id")
+      .withColumn("_est", agree.cast("double") / lit(k.toDouble))
+      .filter(col("_est") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        round(max(col("_est")), 6).as("max_est_jaccard"))
+  }
+
   /** Boilerplate detection: n-gram segments whose DOCUMENT frequency is
     * abnormally high are template/boilerplate content (nav bars, license
     * headers, repeated disclaimers), and removing them before training is

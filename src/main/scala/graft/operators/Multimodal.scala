@@ -88,6 +88,31 @@ object Multimodal {
       when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")))
 
+  /** Uniform-budget frame sampling: the video-LM ingestion plan — pick at
+    * most `maxFrames` frame indices spanning the clip evenly (center of
+    * each of K segments: `ix_j = ⌊(2j+1)·n / 2K⌋`, the standard uniform
+    * sampler), with per-frame timestamps at `fps`. All INTEGER arithmetic
+    * — no float boundary can flip an index between engines — and pure
+    * column math over decode METADATA: which frames to decode is planned
+    * (and oracle-checked) before any codec runs, so a 100 TB video corpus
+    * schedules its decode work from a metadata-only scan. Clips with
+    * n_frames ≤ maxFrames keep every frame (the formula degenerates to
+    * j). Emits one row per sampled frame:
+    * (asset_id, n_frames, sample_ix, frame_ix, ts_ms). */
+  def uniformFramePlan(decoded: DataFrame, maxFrames: Int, fps: Int): DataFrame = {
+    require(maxFrames > 0 && fps > 0, "maxFrames and fps must be positive")
+    decoded
+      .filter(col("n_frames") > 0)
+      .select(col("asset_id"), col("n_frames").cast("long").as("n_frames"),
+        least(lit(maxFrames.toLong), col("n_frames")).as("_k"))
+      .select(col("asset_id"), col("n_frames"), col("_k"),
+        explode(sequence(lit(0L), col("_k") - 1)).as("sample_ix"))
+      .withColumn("frame_ix",
+        expr("CAST(((2 * sample_ix + 1) * n_frames) DIV (2 * _k) AS BIGINT)"))
+      .withColumn("ts_ms", expr(s"CAST((frame_ix * 1000) DIV $fps AS BIGINT)"))
+      .drop("_k")
+  }
+
   /** Resize planning: target dimensions fitting (width, height) inside a
     * `box`×`box` square, aspect preserved, never upscaled — the metadata
     * half of a resize (the pixel half belongs to the Decoder impl). Pure

@@ -216,6 +216,42 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(3L), "near duplicate drops (jaccard > threshold)")
   }
 
+  test("decontaminateNearDup flags paraphrased benchmark copies that exact " +
+    "n-gram overlap at 8-grams would score low") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely unrelated text about spark shuffle partitions and joins"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank soon")
+      ).toDF("doc_id", "text") // 3 is a light edit of 1
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminateNearDup(
+      corpus, bench, n = 3, k = 12, bands = 4, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.contains(1L) && out(1L)._2 === 1.0, s"verbatim copy: $out")
+    assert(out.contains(3L), s"paraphrased near-dup must flag: $out")
+    assert(!out.contains(2L), "unrelated doc must not flag")
+  }
+
+  test("uniformFramePlan: integer-exact uniform indices, short clips keep all frames") {
+    val decoded = Seq(
+      (1L, 100),  // 100 frames, budget 8 -> centers of 8 segments
+      (2L, 5),    // fewer than budget -> all 5, ix = j
+      (3L, 0)     // zero frames -> no rows
+      ).toDF("asset_id", "n_frames")
+    val out = graft.operators.Multimodal.uniformFramePlan(decoded, maxFrames = 8, fps = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byAsset = out.groupBy(_._1)
+    // (2j+1)*100/16 floored: 6, 18, 31, 43, 56, 68, 81, 93
+    assert(byAsset(1L).map(_._3).toSeq.sorted === Seq(6L, 18L, 31L, 43L, 56L, 68L, 81L, 93L))
+    assert(byAsset(2L).map(_._3).toSeq.sorted === (0L until 5L), "short clip keeps every frame")
+    assert(!byAsset.contains(3L), "zero-frame asset emits nothing")
+    // ts at 25 fps: frame 6 -> 240 ms
+    assert(byAsset(1L).find(_._3 == 6L).get._4 === 240L)
+  }
+
   test("simhash: 64 bits, identical for identical docs, differs for unrelated") {
     val m = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
