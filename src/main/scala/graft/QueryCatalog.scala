@@ -2411,6 +2411,46 @@ object QueryCatalog {
        |FROM j""".stripMargin
   }
 
+  /** Vocabulary coverage curve (TextAnalysis.vocabCoverageCurve): token
+    * coverage of the top-{64, 256, 1024} types — the tokenizer-sizing
+    * analysis. One tf aggregate + three tree top-ks; no global rank
+    * window. */
+  def q105VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverageCurve(t(s, dir, "documents"), Seq(64, 256, 1024))
+
+  val q105Sql: String = {
+    def leg(v: Int) =
+      s"""SELECT CAST($v AS BIGINT) AS v, CAST(sum(cnt) AS BIGINT) AS covered_tokens
+         |FROM (SELECT cnt FROM tf ORDER BY cnt DESC, tok LIMIT $v)""".stripMargin
+    s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       |               CAST(count(*) AS BIGINT) AS n_types FROM tf),
+       |legs AS (${Seq(64, 256, 1024).map(leg).mkString("\nUNION ALL\n")})
+       |SELECT v, n_types, total_tokens, covered_tokens,
+       |  round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+       |FROM legs CROSS JOIN tot""".stripMargin
+  }
+
+  /** Character-class profile (TextAnalysis.charClassProfile): per-doc
+    * ascii-letter/digit/whitespace/other counts — the binary-junk and
+    * markup-dump QA scan; class counts by length difference against a
+    * class-stripped regexp_replace, identical in both engines. */
+  def q106CharClasses(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charClassProfile(t(s, dir, "documents"))
+
+  val q106Sql: String =
+    """WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      |  CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(length(t) - length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_space
+      |  FROM b)
+      |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+      |  n_chars - n_alpha - n_digit - n_space AS n_other,
+      |  CASE WHEN n_chars > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_chars, 6) END AS alpha_frac
+      |FROM c""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2520,7 +2560,9 @@ object QueryCatalog {
     ("q101_store_range_read", q101StoreRangeRead _, Some(q101Sql)),
     ("q102_cluster_split", q102ClusterSplit _, Some(q102Sql)),
     ("q103_neardup_decontamination", q103NearDupDecontamination _, Some(q103Sql)),
-    ("q104_frame_plan", q104FramePlan _, Some(q104Sql)))
+    ("q104_frame_plan", q104FramePlan _, Some(q104Sql)),
+    ("q105_vocab_coverage", q105VocabCoverage _, Some(q105Sql)),
+    ("q106_char_classes", q106CharClasses _, Some(q106Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -451,6 +451,61 @@ object TextAnalysis {
           (col("ca").cast("double") * col("cb").cast("double"))), 6).as("pmi"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size V,
+    * what fraction of the corpus TOKEN STREAM the top-V types cover —
+    * the sizing analysis run before committing to a tokenizer vocab
+    * (coverage knees answer "is 32k enough or does 64k pay for itself").
+    *
+    * Scale: ONE term-frequency aggregate (map-side partial), then each V
+    * is a TakeOrderedAndProject tree top-k over the materialized tf
+    * frame — no global rank window, no vocabulary-wide sort; ties broken
+    * (cnt desc, tok) so every engine picks the same top-V set. Returns
+    * one row per V: (v, n_types, total_tokens, covered_tokens,
+    * coverage round(…,6)). */
+  def vocabCoverageCurve(docs: DataFrame, sizes: Seq[Int],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
+    val tf = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // one tf pass shared by every V
+    val totals = tf.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    sizes.map { v =>
+      tf.orderBy(col("cnt").desc, col("tok")).limit(v)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_tokens"))
+        .select(lit(v.toLong).as("v"), col("covered_tokens"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("n_types"), col("total_tokens"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+  }
+
+  /** Character-class profile: per doc, how much of the text is ascii
+    * letters / digits / whitespace / other — the cheap corpus-QA scan
+    * that catches binary junk, markup dumps, and non-text payloads
+    * before they reach a tokenizer. Counts via length-difference against
+    * a class-stripped regexp_replace (each class one codegen'd scan of
+    * the value, no explode); fractions round(…,6) over n_chars. */
+  def charClassProfile(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    val n = length(t)
+    def classCount(pattern: String) =
+      n - length(regexp_replace(t, pattern, ""))
+    val alpha = classCount("[a-z]")
+    val digit = classCount("[0-9]")
+    val space = classCount("\\s")
+    docs.select(col(idCol).as("doc_id"),
+      n.cast("long").as("n_chars"),
+      alpha.cast("long").as("n_alpha"),
+      digit.cast("long").as("n_digit"),
+      space.cast("long").as("n_space"),
+      (n - alpha - digit - space).cast("long").as("n_other"),
+      when(n > 0, round(alpha.cast("double") / n, 6)).as("alpha_frac"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

@@ -166,6 +166,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out === (1L to 300L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents property: hybrid and star match union-find on random graphs") {
+    // deterministic seeded random graphs vs an in-memory union-find —
+    // independent of ANY of the three distributed implementations
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(123)
+    (1 to 3).foreach { trial =>
+      val nNodes = 30 + rnd.nextInt(60)
+      val nEdges = nNodes / 2 + rnd.nextInt(2 * nNodes)
+      val edges = (1 to nEdges).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val expected = unionFind(nNodes, edges)
+      val df = edges.toDF("doc_a", "doc_b")
+      def got(r: org.apache.spark.sql.DataFrame) = r.collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster_id")).toMap
+      assert(got(Dedup.connectedComponents(df)) === expected,
+        s"hybrid disagrees with union-find on trial $trial")
+      assert(got(Dedup.connectedComponentsStar(df)) === expected,
+        s"star disagrees with union-find on trial $trial")
+    }
+  }
+
   test("connectedComponents hybrid ≡ star ≡ min-label on a mixed random graph") {
     val rnd = new scala.util.Random(7)
     // 3 planted components over ids 0..149 (mod-3 classes), random extra
@@ -250,6 +283,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!byAsset.contains(3L), "zero-frame asset emits nothing")
     // ts at 25 fps: frame 6 -> 240 ms
     assert(byAsset(1L).find(_._3 == 6L).get._4 === 240L)
+  }
+
+  test("vocabCoverageCurve: monotone coverage, exact fractions, stable ties") {
+    // "a" x6, "b" x3, "c" x1 -> total 10; top-1 covers .6, top-2 .9, top-3 1.0
+    val d = Seq((1L, "a a a b b c"), (2L, "a a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverageCurve(d, Seq(1, 2, 3, 10))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === (3L, 10L, 6L, 0.6))
+    assert(out(2L) === (3L, 10L, 9L, 0.9))
+    assert(out(3L) === (3L, 10L, 10L, 1.0))
+    assert(out(10L) === (3L, 10L, 10L, 1.0), "V past n_types covers everything")
+  }
+
+  test("charClassProfile: class counts partition n_chars") {
+    val d = Seq((1L, "Ab1 c!"), (2L, "12345"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charClassProfile(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), Option(r.get(6)))).toMap
+    assert(out(1L) === (6L, 3L, 1L, 1L, 1L, Some(0.5)))   // "ab1 c!" lowered
+    assert(out(2L) === (5L, 0L, 5L, 0L, 0L, Some(0.0)))
+    assert(out(3L) === (0L, 0L, 0L, 0L, 0L, None), "empty doc: NULL fraction")
   }
 
   test("simhash: 64 bits, identical for identical docs, differs for unrelated") {
