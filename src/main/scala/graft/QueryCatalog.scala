@@ -2451,6 +2451,47 @@ object QueryCatalog {
       |  CASE WHEN n_chars > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_chars, 6) END AS alpha_frac
       |FROM c""".stripMargin
 
+  /** Label-centroid cosine similarity matrix: dataset-level similarity in
+    * EMBEDDING space (which labels/sources are semantically close),
+    * complementing q92's lexical MinHash overlap. One VectorSumAgg pass
+    * pools per-label centroids (shuffle = one double[64] per
+    * label-partition); the pairwise stage is a join over one row per
+    * label — labels², never vectors². Centroid components round(…,6)
+    * before the cosine so both engines fold identical inputs. */
+  def q107LabelCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.VectorSumAgg.vectorSum(col("embedding"), 64).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("label"), expr("transform(_s, x -> round(x / _n, 6))").as("c"))
+      .filter(col("c").isNotNull)
+    val a = cents.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(expr("aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (sqrt(expr("aggregate(ca, 0D, (acc, x) -> acc + x * x)")) *
+             sqrt(expr("aggregate(cb, 0D, (acc, x) -> acc + x * x)"))), 6)
+          .as("cos_sim"))
+  }
+
+  val q107Sql: String =
+    """WITH n AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS nv
+      |           FROM embeddings GROUP BY 1),
+      |e AS (SELECT CAST(label AS BIGINT) AS label,
+      |        generate_subscripts(embedding, 1) AS d,
+      |        unnest(CAST(embedding AS DOUBLE[])) AS v
+      |      FROM embeddings),
+      |s AS (SELECT label, d, sum(v) AS sv FROM e GROUP BY 1, 2),
+      |c AS (SELECT s.label, d, round(sv / n.nv, 6) AS cv FROM s JOIN n USING (label)),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        sum(a.cv * b.cv) AS dot,
+      |        sum(a.cv * a.cv) AS na, sum(b.cv * b.cv) AS nb
+      |      FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
+      |      GROUP BY 1, 2)
+      |SELECT label_a, label_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM p""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2562,7 +2603,8 @@ object QueryCatalog {
     ("q103_neardup_decontamination", q103NearDupDecontamination _, Some(q103Sql)),
     ("q104_frame_plan", q104FramePlan _, Some(q104Sql)),
     ("q105_vocab_coverage", q105VocabCoverage _, Some(q105Sql)),
-    ("q106_char_classes", q106CharClasses _, Some(q106Sql)))
+    ("q106_char_classes", q106CharClasses _, Some(q106Sql)),
+    ("q107_label_centroid_sim", q107LabelCentroidSim _, Some(q107Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
