@@ -204,6 +204,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), s"no side may re-tokenize the corpus:\n$p")
   }
 
+  test("q105 vocab coverage: tree top-k per size, no global rank window") {
+    val p = plan(QueryCatalog.q105VocabCoverage)
+    assert(p.contains("TakeOrderedAndProject"), s"top-V must be a tree top-k:\n$p")
+    assert(!p.contains("Window"), s"no vocabulary-wide rank window:\n$p")
+  }
+
+  test("q106 char classes: map-only, no exchange") {
+    val p = plan(QueryCatalog.q106CharClasses)
+    assert(!p.contains("Exchange"), s"charClassProfile must not shuffle:\n$p")
+  }
+
+  test("q104 frame plan: no window, metadata-only explode") {
+    val p = plan(QueryCatalog.q104FramePlan)
+    assert(!p.contains("Window"), s"frame plan must be pure column math:\n$p")
+    assert(p.contains("Generate"), s"one explode over the sample budget:\n$p")
+  }
+
+  test("q99 sketch winsorize: bounds broadcast back, clamp is not a second agg of the data") {
+    val p = plan(QueryCatalog.q99WinsorizeSketch)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bounds frame must broadcast:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
