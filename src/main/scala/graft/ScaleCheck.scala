@@ -94,6 +94,25 @@ object ScaleCheck {
       time("inc_ingest(10% batch)")(
         idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) === 0)))
     }
+    // r7 additions: near-dup decontamination (benchmark side FIXED at
+    // ~1% of sf0.1's corpus in both legs — the eval-suite shape; corpus
+    // side is q24's signature pipeline, so growth tracks the corpus
+    // scan), and the cluster-aware split (the measured CC path + one
+    // doc-keyed join + split hash)
+    time("neardup_decontam")(
+      Dedup.decontaminateNearDup(
+        docs,
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 500000)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
+        n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100))
+    time("cluster_split")(
+      graft.operators.Sampling.threeWaySplit(
+        docs.select(col("doc_id"))
+          .join(Dedup.connectedComponents(
+            Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4,
+              threshold = 0.5, maxBucket = 100)), Seq("doc_id"), "left")
+          .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id"))),
+        "group_key", 0.75, 0.125))
     spark.stop()
   }
 }
