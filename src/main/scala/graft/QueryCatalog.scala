@@ -2492,6 +2492,59 @@ object QueryCatalog {
       |SELECT label_a, label_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
       |FROM p""".stripMargin
 
+  /** SemDeDup (Similarity.semDedup): embedding dedup inside k-means cells —
+    * nearest-centroid assignment (16 seed cells, broadcast), then drop any
+    * vector with a lower-id cell-mate at cosine ≥ 0.3. The cell geometry is
+    * the point: candidates are bounded by Σ|cell|², adapted to the data
+    * distribution, vs q36's data-oblivious hyperplane buckets. Seed
+    * centroids (first 16 by vec_id, as q33) keep the oracle exact; real
+    * runs pass Lloyd-trained centroids. */
+  def q108SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), nCells = 16, threshold = 0.3)
+
+  val q108Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, cents.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents) WHERE rnk <= 1),
+       |d AS (SELECT DISTINCT hi.vec_id FROM a lo JOIN a hi
+       |  ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+       |  WHERE ${cosSql("lo.v", "hi.v")} >= 0.3)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM a LEFT JOIN d USING (vec_id)""".stripMargin
+
+  /** Exact-substring duplicate spans (Dedup.duplicateSpans): every 8-token
+    * window occurring ≥ 2 times anywhere in the corpus marks its range;
+    * overlapping/adjacent ranges merge into maximal per-document spans with
+    * 1-based token offsets a rewrite stage can cut. Total-occurrence
+    * trigger (within-doc repeats count), unlike q70's doc-frequency
+    * boilerplate rate. */
+  def q109DuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(t(s, dir, "documents"), n = 8)
+
+  val q109Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(0, len(words) - 8)) AS pos, words
+       |      FROM w WHERE len(words) >= 8),
+       |gr AS (SELECT doc_id, pos,
+       |    CAST(('0x' || substring(md5(array_to_string(words[pos+1 : pos+8], ' ')), 1, 15)) AS BIGINT) AS h
+       |  FROM g),
+       |c AS (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, pos FROM gr JOIN c USING (h)),
+       |m AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+       |         THEN 1 ELSE 0 END AS brk FROM d),
+       |i AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+       |SELECT doc_id, CAST(min(pos) + 1 AS BIGINT) AS span_start,
+       |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+       |FROM i GROUP BY doc_id, grp""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2604,7 +2657,9 @@ object QueryCatalog {
     ("q104_frame_plan", q104FramePlan _, Some(q104Sql)),
     ("q105_vocab_coverage", q105VocabCoverage _, Some(q105Sql)),
     ("q106_char_classes", q106CharClasses _, Some(q106Sql)),
-    ("q107_label_centroid_sim", q107LabelCentroidSim _, Some(q107Sql)))
+    ("q107_label_centroid_sim", q107LabelCentroidSim _, Some(q107Sql)),
+    ("q108_semdedup", q108SemDedup _, Some(q108Sql)),
+    ("q109_duplicate_spans", q109DuplicateSpans _, Some(q109Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

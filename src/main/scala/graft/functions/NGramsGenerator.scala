@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowercase, so output is byte-identical to the composed pipeline and to
   * the DuckDB oracle mirror (`regexp_replace(lower(trim(text)), ...)`).
   */
-case class NGramsGenerator(child: Expression, n: Int)
+case class NGramsGenerator(child: Expression, n: Int, withPos: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1, "n-gram size must be >= 1")
@@ -41,7 +41,11 @@ case class NGramsGenerator(child: Expression, n: Int)
   }
 
   override def elementSchema: StructType =
-    StructType(StructField("shingle", StringType, nullable = false) :: Nil)
+    if (withPos)
+      StructType(StructField("pos", IntegerType, nullable = false) ::
+        StructField("shingle", StringType, nullable = false) :: Nil)
+    else
+      StructType(StructField("shingle", StringType, nullable = false) :: Nil)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input).asInstanceOf[UTF8String]
@@ -54,7 +58,8 @@ case class NGramsGenerator(child: Expression, n: Int)
     val words = raw.trim().toLowerCase.toString.split("\\s+", -1)
     if (words.length < n) return Nil
     (0 to words.length - n).iterator.map { i =>
-      InternalRow(UTF8String.fromString(words.slice(i, i + n).mkString(" ")))
+      val s = UTF8String.fromString(words.slice(i, i + n).mkString(" "))
+      if (withPos) InternalRow(i, s) else InternalRow(s)
     }
   }
 
@@ -66,4 +71,10 @@ object NGramsGenerator {
   /** Column API: `select(col("doc_id"), ngrams(col("text"), 5))`. */
   def ngrams(text: Column, n: Int): Column =
     Bridge.toColumn(NGramsGenerator(Bridge.toExpression(text), n))
+
+  /** Positional variant: emits (pos, shingle) with pos = 0-based index of
+    * the shingle's first token — the shape span-level dedup needs. Same
+    * single-pass map-only Generate as [[ngrams]]. */
+  def posNgrams(text: Column, n: Int): Column =
+    Bridge.toColumn(NGramsGenerator(Bridge.toExpression(text), n, withPos = true))
 }

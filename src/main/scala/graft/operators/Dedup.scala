@@ -426,6 +426,55 @@ object Dedup {
       .withColumn("retained", col("n_shingles") - col("n_boiler"))
   }
 
+  /** Exact-substring duplicate spans (the span-extraction step of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): an n-token window whose content occurs at least
+    * `minCount` times in the corpus — in ANY document, within-document
+    * repeats included — marks its token range as duplicated, and
+    * overlapping/adjacent ranges merge into maximal removable spans per
+    * document. The paper finds repeats of arbitrary length with a suffix
+    * array; the fixed-n windowed formulation keeps the whole computation
+    * relational (a length-L repeat still surfaces as L-n+1 merged windows,
+    * so the reported SPAN is identical for repeats ≥ n tokens).
+    *
+    * Differs from [[boilerplateStats]] (per-doc counts of high-DOC-frequency
+    * shingles) in both trigger — total occurrences, so a page that repeats
+    * its own footer 50× is caught with no second document involved — and
+    * output: exact token offsets a rewrite stage can cut, not a rate.
+    *
+    * Scale: one map-only positional-shingle Generate (never re-tokenized —
+    * the frame is referenced by both the count and the position side, so
+    * it's materialized once), one shuffle on the 60-bit md5 window hash
+    * (two int64s per window, never the window string), one hash-join back,
+    * and a per-document interval merge whose window partitions by doc_id —
+    * bounded by document length, never corpus size. Positions are 1-based
+    * inclusive; documents with no duplicated window emit no rows.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int, minCount: Long = 2L,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = materialize(docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramsGenerator.posNgrams(col(textCol), n))
+      .select(col("doc_id"), col("pos").cast("long").as("_pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("_h")))
+    val dupHash = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select(col("_h"))
+    val dupPos = grams.join(dupHash, Seq("_h")).select(col("doc_id"), col("_pos"))
+    // gaps-and-islands: windows at p1 < p2 cover overlapping-or-adjacent
+    // token ranges iff p2 - p1 <= n, so a larger gap starts a new span
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
+    dupPos
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) > n, lit(1L)).otherwise(lit(0L)))
+      .withColumn("_grp", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg((min(col("_pos")) + 1).as("span_start"), (max(col("_pos")) + n).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Dataset-level overlap matrix: estimated shingle-set Jaccard between
     * every pair of SOURCES (crawl dumps, domains, languages), from one
     * MinHash signature per source over the union of its documents'

@@ -175,6 +175,55 @@ object Similarity {
         .select(col(idCol).as("cell"), col(vecCol).as("cvec")),
       queries, corpus, k, nProbe, idCol, vecCol)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup inside
+    * k-means cells. Every vector is assigned to its nearest centroid (one
+    * broadcast join — nCells rows), then a vector is marked a duplicate iff
+    * ANY lower-id vector in the SAME cell has cosine ≥ `threshold`. The
+    * lower-id rule is order-independent and one-pass-parallel; like
+    * [[Dedup.dedupCorpus]]'s greedy pairwise drop it can over-delete on
+    * transitive chains, which SemDeDup accepts by construction (the paper
+    * prunes within-cluster ε-balls the same way).
+    *
+    * Differs from [[Dedup.embeddingNearDupLsh]] in the bucketing geometry:
+    * k-means cells adapt to the data distribution (dense regions get their
+    * own cells), while random hyperplanes are data-oblivious — the paper's
+    * argument for clustering first. Candidate pairs are bounded by
+    * Σ|cell|², so nCells scales with the corpus (√N cells keeps expected
+    * cell size √N); pass Lloyd-trained centroids from
+    * [[trainIvfCentroids]] for real runs, or omit for the deterministic
+    * seed-centroid variant (first nCells vectors by id — reproducible and
+    * oracle-mirrorable).
+    *
+    * Returns one row per input vector: (idCol, cell, kept) with kept
+    * 1/0 as BIGINT.
+    */
+  def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
+               centroids: Option[DataFrame] = None,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.getOrElse(
+      emb.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val v = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    // assigned is referenced by BOTH pair sides — materialize once so the
+    // corpus×centroid assignment isn't recomputed per reference
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("d", score(col("_v"), col("cvec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("_id")).orderBy(col("d").desc, col("cell").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("_id"), col("_v"), col("cell"))
+      .localCheckpoint(true)
+    val lo = assigned.select(col("cell"), col("_id").as("_ida"), col("_v").as("_va"))
+    val hi = assigned.select(col("cell"), col("_id").as("_idb"), col("_v").as("_vb"))
+    val dups = lo.join(hi, Seq("cell"))
+      .filter(col("_ida") < col("_idb"))
+      .filter(score(col("_va"), col("_vb")) >= threshold)
+      .select(col("_idb").as("_id")).distinct()
+    assigned.join(dups.withColumn("_dup", lit(1L)), Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cell").cast("long").as("cell"),
+        when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   /** IVF search against an explicit (cell, cvec) centroid table — e.g. one
     * produced by [[trainIvfCentroids]]. */
   def annIvfWith(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,

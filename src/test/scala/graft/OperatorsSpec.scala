@@ -307,6 +307,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) === (0L, 0L, 0L, 0L, 0L, None), "empty doc: NULL fraction")
   }
 
+  test("duplicateSpans: merges overlapping windows, splits on gaps, counts within-doc repeats") {
+    val d = Seq(
+      (1L, "a b c d e f"),                       // shares "a b c","b c d" with doc 2
+      (2L, "z z a b c d z"),
+      (3L, "p q r x1 x2 x3 x4 x5 p q r"),        // within-doc repeat, gap 8 > 3
+      (4L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      (1L, 1L, 4L, 4L),   // windows at pos 0,1 merge -> tokens 1..4
+      (2L, 3L, 6L, 4L),   // windows at pos 2,3 merge -> tokens 3..6
+      (3L, 1L, 3L, 3L),   // "p q r" at pos 0 and 8: gap > n splits
+      (3L, 9L, 11L, 3L)))
+    // doc 4 emits nothing
+  }
+
+  test("duplicateSpans: a repeat longer than n reports the full merged span") {
+    // 5-token phrase repeated across docs, n=3 -> 3 overlapping windows
+    // each, merged into ONE span of 5 tokens per doc
+    val d = Seq(
+      (1L, "u1 u2 alpha beta gamma delta eps u3"),
+      (2L, "alpha beta gamma delta eps v1 v2 v3 v4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(out === Seq((1L, 3L, 7L, 5L), (2L, 1L, 5L, 5L)))
+  }
+
+  test("semDedup: drops only lower-id cell-mates above threshold, keeps cross-cell twins") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),   // seed centroid of cell 1
+      (2L, Seq(0.0, 1.0)),   // seed centroid of cell 2
+      (3L, Seq(0.7, 0.7)),   // equidistant -> tie-break to cell 1; cos vs v1 = .707 < τ
+      (4L, Seq(1.0, 0.0)),   // exact dup of v1, cell 1 -> dropped
+      (5L, Seq(0.0, 1.0)),   // exact dup of v2, cell 2 -> dropped
+      (6L, Seq(-1.0, 0.0))   // cell 2 (cos 0 beats cos -1); no close cell-mate -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, nCells = 2, threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === (1L, 1L) && out(4L) === (1L, 0L), "exact dup in cell 1 dropped")
+    assert(out(2L) === (2L, 1L) && out(5L) === (2L, 0L), "exact dup in cell 2 dropped")
+    assert(out(3L) === (1L, 1L), "tie-break assigns the lower cell; .707 under threshold")
+    assert(out(6L) === (2L, 1L), "opposite vector survives in cell 2")
+  }
+
   test("simhash: 64 bits, identical for identical docs, differs for unrelated") {
     val m = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap

@@ -227,6 +227,24 @@ class PlanSpec extends SparkSpec {
       s"bounds frame must broadcast:\n$p")
   }
 
+  test("q108 semdedup: centroid assignment broadcasts, pair join is an equi-join on cell") {
+    val p = plan(QueryCatalog.q108SemDedup)
+    assert(p.contains("Scan ExistingRDD"), s"assignment must be a materialized leaf:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing must be the cell equi-join, never all-pairs:\n$p")
+    assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+  }
+
+  test("q109 duplicate spans: grams materialized once, doc-partitioned interval merge") {
+    val p = plan(QueryCatalog.q109DuplicateSpans)
+    assert(p.contains("Scan ExistingRDD"), s"grams must be a materialized leaf:\n$p")
+    assert(!p.contains("Scan parquet"), s"no branch may re-tokenize the corpus:\n$p")
+    assert(p.contains("Window") && !p.contains("PARTITION BY ()"),
+      s"interval merge must be doc_id-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-hash join must be an equi-join:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
