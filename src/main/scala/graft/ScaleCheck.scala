@@ -15,12 +15,16 @@ import graft.operators.Dedup
   * instead shows ~38× at 10× — the measured demonstration of why occupancy,
   * not plane count, is the invariant to preserve.)
   *
-  * Usage: runMain graft.ScaleCheck <dir> [runs]
+  * Usage: runMain graft.ScaleCheck <dir> [runs] [onlyPrefixes]
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 2
+    // optional comma-separated prefix filter, e.g. "duplicate_spans,semdedup"
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      else None
     val spark = GraftSession.local("graft-scale-check")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -31,6 +35,7 @@ object ScaleCheck {
       math.ceil(math.log(nEmb / 32.0) / math.log(2)).toInt)
 
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (only.exists(!_.exists(name.startsWith))) return
       val secs = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
@@ -88,7 +93,7 @@ object ScaleCheck {
         nBuckets = 16),
       "docs", n = 5, k = 12, bands = 4, threshold = 0.5)
     time("inc_rebuild(100%)")(freshIndex().ingest(docs))
-    locally {
+    if (!only.exists(!_.exists("inc_ingest".startsWith))) {
       val idx = freshIndex()
       idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)) // 90%, untimed
       time("inc_ingest(10% batch)")(
@@ -105,6 +110,16 @@ object ScaleCheck {
         docs.filter(pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 500000)
           .select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
         n = 5, k = 12, bands = 4, threshold = 0.5, maxBucket = 100))
+    // r7-close additions: exact-substring duplicate spans (one positional
+    // Generate + one hash shuffle + a doc-bounded interval merge — cost
+    // tracks total token count) and SemDeDup (cells scaled √N so expected
+    // cell size stays √N: candidate pairs grow ~linearly in N)
+    time("duplicate_spans(n=8)")(Dedup.duplicateSpans(docs, n = 8))
+    locally {
+      val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+      time(s"semdedup(c=$cells)")(
+        graft.operators.Similarity.semDedup(emb, nCells = cells, threshold = 0.3))
+    }
     time("cluster_split")(
       graft.operators.Sampling.threeWaySplit(
         docs.select(col("doc_id"))
