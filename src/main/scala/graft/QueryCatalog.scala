@@ -2545,6 +2545,61 @@ object QueryCatalog {
        |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
        |FROM i GROUP BY doc_id, grp""".stripMargin
 
+  /** Naive Bayes self-classification audit (TextAnalysis.naiveBayesClassify):
+    * add-one-smoothed multinomial NB over the source labels, every doc
+    * labeled with its argmax class — the deterministic core of the
+    * fastText-style domain/quality gates. Scores are order-free DECIMAL
+    * sums of round(ln·,6) factors, so the argmax replays exactly. */
+  def q110NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.naiveBayesClassify(t(s, dir, "documents"))
+
+  val q110Sql: String =
+    s"""WITH base AS (SELECT doc_id, source AS actual, string_split($normSql, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, actual, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |cst AS (SELECT d.actual AS cand, tf.term, sum(tf.tf) AS cst
+       |        FROM tf JOIN d USING (doc_id) GROUP BY 1, 2),
+       |cs AS (SELECT cand, sum(cst) AS cs FROM cst GROUP BY 1),
+       |vc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
+       |nd AS (SELECT actual AS cand, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |consts AS (SELECT cand,
+       |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior_r,
+       |    CAST(round(ln(CAST(cs AS DOUBLE) + CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS floor_r
+       |  FROM nd CROSS JOIN nn JOIN cs USING (cand) CROSS JOIN vc),
+       |lmst AS (SELECT cand, term,
+       |    CAST(round(ln(CAST(cst AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6)) AS lp1_r FROM cst),
+       |part AS (SELECT tf.doc_id, lmst.cand,
+       |    sum(CAST(tf.tf AS DECIMAL(18,6)) * lp1_r) AS part
+       |  FROM tf JOIN lmst USING (term) GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, d.actual, c.cand,
+       |    c.prior_r - CAST(d.dl AS DECIMAL(18,6)) * c.floor_r
+       |      + coalesce(part, CAST(0 AS DECIMAL(38,12))) AS score
+       |  FROM d CROSS JOIN consts c
+       |  LEFT JOIN part ON part.doc_id = d.doc_id AND part.cand = c.cand),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cand ASC) AS rnk FROM sc)
+       |SELECT doc_id, actual, cand AS predicted, CAST(score AS DOUBLE) AS score,
+       |  CAST(CASE WHEN cand = actual THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM r WHERE rnk = 1""".stripMargin
+
+  /** CCNet head/middle/tail perplexity bands (TextAnalysis.perplexityBuckets):
+    * per-source ntile(3) over the bigram-LM fluency score — relative
+    * banding keeps every source's best instead of emptying off-register
+    * sources. The oracle nests q91's full mirror as the score subquery. */
+  def q111PerplexityBands(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(t(s, dir, "documents"), nBuckets = 3)
+
+  val q111Sql: String =
+    s"""SELECT b.doc_id, d.source, b.avg_logprob,
+       |  CAST(ntile(3) OVER (PARTITION BY d.source
+       |    ORDER BY b.avg_logprob DESC, b.doc_id) AS BIGINT) AS bucket,
+       |  CASE ntile(3) OVER (PARTITION BY d.source
+       |    ORDER BY b.avg_logprob DESC, b.doc_id)
+       |    WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS band
+       |FROM ($q91Sql) b JOIN documents d USING (doc_id)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2659,7 +2714,9 @@ object QueryCatalog {
     ("q106_char_classes", q106CharClasses _, Some(q106Sql)),
     ("q107_label_centroid_sim", q107LabelCentroidSim _, Some(q107Sql)),
     ("q108_semdedup", q108SemDedup _, Some(q108Sql)),
-    ("q109_duplicate_spans", q109DuplicateSpans _, Some(q109Sql)))
+    ("q109_duplicate_spans", q109DuplicateSpans _, Some(q109Sql)),
+    ("q110_naive_bayes", q110NaiveBayes _, Some(q110Sql)),
+    ("q111_perplexity_bands", q111PerplexityBands _, Some(q111Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -375,6 +375,106 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Multinomial Naive Bayes document classifier over a categorical label
+    * column — the deterministic core of the fastText-style domain/quality
+    * classifiers big pipelines gate on (CCNet's lang buckets, DCLM's
+    * quality model): train add-one-smoothed per-label token likelihoods on
+    * the corpus itself and label every document with its argmax class.
+    * Emits (doc_id, actual, predicted, score, correct) — the self-
+    * classification audit: `correct` measures how separable the labels
+    * are in token space, and off-diagonal rows are the mislabel report.
+    *
+    * Engine parity: the score decomposes as
+    * `prior + Σ_t tf·ln P(t|s)` = `prior − dl·ln(c_s+|V|) + Σ_{t∈s} tf·ln(c_st+1)`,
+    * so absent (term, label) pairs never need rows: each log factor is
+    * rounded to 6 and multiplied by an exact long under DECIMAL — the
+    * whole score is an order-free exact sum, argmax ties broken on the
+    * label string.
+    *
+    * Scale: labels are assumed few (domains/languages — the classifier
+    * use case). Training is two count aggregates on the (term, label)
+    * key; scoring joins the doc-term stream to the per-label term table
+    * on TERM (never forced broadcast — the vocabulary side grows with
+    * the corpus, exactly the q98 lesson) and combines per-(doc, label)
+    * partials map-side. The docs×labels grid rides a true broadcast:
+    * one row per label.
+    */
+  def naiveBayesClassify(docs: DataFrame, labelCol: String = "source",
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(labelCol).as("actual"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("actual"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    val tf = base.select(col("doc_id"), col("actual"), col("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumed by training AND scoring
+    val docsF = tf.select(col("doc_id"), col("actual"), col("dl")).distinct()
+    val cst = tf.groupBy(col("actual").as("cand"), col("term"))
+      .agg(sum(col("tf")).as("cst"))
+    val cs = cst.groupBy(col("cand")).agg(sum(col("cst")).as("cs"))
+    val vocab = tf.agg(countDistinct(col("term")).as("v"))
+    val nd = docsF.groupBy(col("actual").as("cand")).agg(count(lit(1)).as("nd"))
+    val n = docsF.agg(count(lit(1)).as("n"))
+    // one row per label: prior and the OOV floor, both rounded once
+    val consts = nd.crossJoin(n).join(cs, Seq("cand")).crossJoin(vocab)
+      .select(col("cand"),
+        round(log(col("nd").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(18,6)").as("prior_r"),
+        round(log(col("cs").cast("double") + col("v").cast("double")), 6)
+          .cast("decimal(18,6)").as("floor_r"))
+    val lmst = cst.select(col("cand"), col("term"),
+      round(log(col("cst").cast("double") + lit(1.0)), 6)
+        .cast("decimal(18,6)").as("lp1_r"))
+    val part = tf.join(lmst, Seq("term"))
+      .select(col("doc_id"), col("cand"),
+        (col("tf").cast("decimal(18,6)") * col("lp1_r")).as("_p"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("_p")).as("part"))
+    val scored = docsF.crossJoin(broadcast(consts))
+      .join(part, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("actual"), col("cand"),
+        (col("prior_r") - col("dl").cast("decimal(18,6)") * col("floor_r") +
+          coalesce(col("part"), lit(0).cast("decimal(38,12)"))).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_score").desc, col("cand").asc)
+    scored.withColumn("_rnk", row_number().over(w)).filter(col("_rnk") === 1)
+      .select(col("doc_id"), col("actual"), col("cand").as("predicted"),
+        col("_score").cast("double").as("score"),
+        when(col("cand") === col("actual"), 1L).otherwise(0L).as("correct"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): rank every document within its source by
+    * language-model fluency ([[bigramLogProb]]'s mean transition
+    * log-probability) and cut each source into `nBuckets` equal bands —
+    * head/middle/tail for the classic 3. Per-SOURCE ranking is the point:
+    * an absolute threshold would empty out sources whose register differs
+    * from the corpus mode; relative banding keeps every source's best.
+    *
+    * Scale: the LM score is [[bigramLogProb]] unchanged; banding adds one
+    * doc-keyed join and ONE window partitioned by source. Ordering is
+    * (avg_logprob desc, doc_id) so equal scores band deterministically.
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                        byCol: String = "source",
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val scored = bigramLogProb(docs, idCol, textCol)
+    val src = docs.select(col(idCol).as("doc_id"), col(byCol).as("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored.join(src, Seq("doc_id"))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("band",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets.toLong, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("bucket"), col("band"))
+  }
+
   /** Vocabulary induction + tokenization to ids — the step between raw
     * text and [[packSequences]]/[[lengthBucketedBatches]]: build the
     * top-`vocabSize` token vocabulary by corpus frequency (ties on the

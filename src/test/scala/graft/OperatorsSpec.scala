@@ -354,6 +354,56 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) === (2L, 1L), "opposite vector survives in cell 2")
   }
 
+  test("naiveBayesClassify: separable labels classify correctly, mislabeled doc flips") {
+    val d = Seq(
+      (1L, "a", "x x y"),
+      (2L, "a", "x y"),
+      (3L, "b", "z z w"),
+      (4L, "b", "z w"),
+      (5L, "a", "z z z")   // token mass is pure 'b' vocabulary -> predicted b
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.naiveBayesClassify(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(4))).toMap
+    assert(out(1L) === ("a", 1L) && out(2L) === ("a", 1L))
+    assert(out(3L) === ("b", 1L) && out(4L) === ("b", 1L))
+    assert(out(5L) === ("b", 0L), "z-only doc must classify as b despite its a label")
+    // hand-computed argmax margin for doc 5: score_b - score_a =
+    // (-0.916291 - 3*2.197225 + 3*1.386294) - (-0.510826 - 3*2.484907 + 3*1.386294)
+    val row5 = TextAnalysis.naiveBayesClassify(d).filter(col("doc_id") === 5).head()
+    assert(math.abs(row5.getDouble(3) - (-3.349084)) < 1e-6)
+  }
+
+  test("perplexityBuckets: per-source bands, sizes balanced, ordering by fluency") {
+    val mk = (i: Long, s: String, t: String) => (i, s, t)
+    // source A: 6 docs; source B: 3 docs — bands computed independently
+    val d = Seq(
+      mk(1, "A", "the cat sat on the mat"),
+      mk(2, "A", "the cat sat on the rug"),
+      mk(3, "A", "the dog sat on the mat"),
+      mk(4, "A", "mat the on sat cat the"),
+      mk(5, "A", "zq wv xk pj qq zz"),
+      mk(6, "A", "the cat sat"),
+      mk(7, "B", "the cat sat on the mat"),
+      mk(8, "B", "cat the sat"),
+      mk(9, "B", "zz qq xk")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.perplexityBuckets(d, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    val a = out.filter(_._2 == "A")
+    assert(a.count(_._5 == "head") === 2 && a.count(_._5 == "middle") === 2 &&
+      a.count(_._5 == "tail") === 2, "6 docs -> 2/2/2 bands")
+    val b = out.filter(_._2 == "B")
+    assert(b.map(x => (x._4, x._5)).sorted.toSeq ===
+      Seq((1L, "head"), (2L, "middle"), (3L, "tail")), "3 docs -> one per band")
+    // banding must agree with the score ordering inside each source
+    for (grp <- Seq(a, b)) {
+      val byScore = grp.sortBy(x => (-x._3, x._1)).map(_._4).toSeq
+      assert(byScore === byScore.sorted, "bucket must be monotone in (score desc, doc_id)")
+    }
+    // the gibberish doc is A's tail
+    assert(out.find(_._1 == 5L).get._5 === "tail")
+  }
+
   test("simhash: 64 bits, identical for identical docs, differs for unrelated") {
     val m = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap

@@ -245,6 +245,22 @@ class PlanSpec extends SparkSpec {
       s"dup-hash join must be an equi-join:\n$p")
   }
 
+  test("q110 naive bayes: tf materialized once, label grid broadcast, no cartesian") {
+    val p = plan(QueryCatalog.q110NaiveBayes)
+    assert(p.contains("Scan ExistingRDD"), s"tf must be a materialized leaf:\n$p")
+    assert(!p.contains("Scan parquet"), s"no branch may re-tokenize the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"docs x labels must ride a broadcast, never a cartesian:\n$p")
+    assert(!p.contains("PARTITION BY ()"), s"argmax window must partition by doc:\n$p")
+  }
+
+  test("q111 perplexity bands: source-partitioned ntile, LM tf materialized once") {
+    val p = plan(QueryCatalog.q111PerplexityBands)
+    assert(p.contains("Scan ExistingRDD"), s"LM tf must be a materialized leaf:\n$p")
+    assert(p.contains("Window") && !p.contains("PARTITION BY ()"),
+      s"banding must be per-source, never a global window:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
