@@ -471,32 +471,40 @@ object QueryCatalog {
     Dedup.minhashLsh(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
       threshold = 0.5, maxBucket = 100)
 
-  val q24Sql: String = {
+  /** CTE chain from `documents` to LSH candidate pairs `cand` (+ the
+    * shingle set `s`): shingleCte(n) → double-hash → k minhashes →
+    * banded buckets → hot-bucket cap → distinct candidate pairs. Shared
+    * by the Jaccard (q24) and containment (q112) mirrors. */
+  private def lshCandCteSql(n: Int, k: Int, bands: Int, maxBucket: Int): String = {
     val prime = "4294967291"
-    val mhDefs = (0 until 12).map(i =>
+    val rowsPer = k / bands
+    val mhDefs = (0 until k).map(i =>
       s"min((h1 + $i * h2) % $prime) AS mh$i").mkString(", ")
-    val bandRows = (0 until 4).map { b =>
-      val parts = (b * 3 until (b + 1) * 3)
+    val bandRows = (0 until bands).map { b =>
+      val parts = (b * rowsPer until (b + 1) * rowsPer)
         .map(i => s"'$i=' || CAST(mh$i AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(array_to_string(list_sort([$parts]), '|')) AS bucket FROM agg"
     }.mkString("\n  UNION ALL ")
-    s"""${shingleCte(5)},
+    s"""${shingleCte(n)},
        |hs AS (SELECT doc_id,
        |  CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $prime AS h1,
        |  CAST(('0x' || substring(md5('s:' || shingle), 1, 15)) AS BIGINT) % $prime AS h2
        |  FROM s),
        |agg AS (SELECT doc_id, $mhDefs FROM hs GROUP BY doc_id),
        |banded AS ($bandRows),
-       |ok_buckets AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
+       |ok_buckets AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
        |capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN capped b
-       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val q24Sql: String =
+    s"""${lshCandCteSql(5, 12, 4, 100)},
        |${jaccardTailSql(
             """SELECT doc_a, doc_b, count(*) AS common
               |  FROM cand JOIN s sa ON sa.doc_id = doc_a
               |  JOIN s sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle GROUP BY 1, 2""".stripMargin)}""".stripMargin
-  }
 
   /** 64-bit SimHash signatures. */
   def q25Simhash(s: SparkSession, dir: String): DataFrame =
@@ -2600,6 +2608,28 @@ object QueryCatalog {
        |    WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS band
        |FROM ($q91Sql) b JOIN documents d USING (doc_id)""".stripMargin
 
+  /** Asymmetric near-dup by shingle containment (Dedup.containmentPairs):
+    * |A∩B| / min(|A|,|B|) over the q24 banded-LSH candidates — catches
+    * expanded reposts and page+boilerplate supersets whose Jaccard the
+    * size ratio dilutes. Threshold 0.6 vs q24's Jaccard 0.5 on the same
+    * candidate machinery, so the diff between the two result sets IS the
+    * asymmetric-dup report. */
+  def q112ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
+      minContainment = 0.6, maxBucket = 100)
+
+  val q112Sql: String =
+    s"""${lshCandCteSql(5, 12, 4, 100)},
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM s GROUP BY doc_id),
+       |common AS (SELECT doc_a, doc_b, count(*) AS common
+       |  FROM cand JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle GROUP BY 1, 2),
+       |c AS (SELECT doc_a, doc_b, x.sz AS sz_a, y.sz AS sz_b,
+       |    round(CAST(common AS DOUBLE) / least(x.sz, y.sz), 6) AS containment
+       |  FROM common JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, sz_a, sz_b, containment FROM c
+       |WHERE containment >= 0.6""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2716,7 +2746,8 @@ object QueryCatalog {
     ("q108_semdedup", q108SemDedup _, Some(q108Sql)),
     ("q109_duplicate_spans", q109DuplicateSpans _, Some(q109Sql)),
     ("q110_naive_bayes", q110NaiveBayes _, Some(q110Sql)),
-    ("q111_perplexity_bands", q111PerplexityBands _, Some(q111Sql)))
+    ("q111_perplexity_bands", q111PerplexityBands _, Some(q111Sql)),
+    ("q112_containment_pairs", q112ContainmentPairs _, Some(q112Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -138,9 +138,14 @@ object Dedup {
       .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bucket)")
   }
 
-  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
-                 maxBucket: Int = 1000,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Shared LSH candidate + exact-verify stage: banded MinHash candidates
+    * (hot-bucket-capped) with exact shingle-intersection counts and both
+    * set sizes — the common core of [[minhashLsh]] (Jaccard gate) and
+    * [[containmentPairs]] (asymmetric gate). Returns
+    * (doc_a, doc_b, common, sz_a, sz_b) with doc_a < doc_b. */
+  private def lshCommonCounts(docs: DataFrame, n: Int, k: Int, bands: Int,
+                              maxBucket: Int,
+                              idCol: String, textCol: String): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     // referenced 4×: signatures, sizes, verify ×2
     val s = materialize(shinglePairs(docs, n, idCol, textCol))
@@ -159,7 +164,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
+    // verify candidates with exact intersection counts on the shingle sets
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = candidates
       .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
@@ -170,11 +175,43 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+                 maxBucket: Int = 1000,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshCommonCounts(docs, n, k, bands, maxBucket, idCol, textCol)
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+
+  /** Asymmetric near-dup: shingle-set CONTAINMENT of the smaller set in
+    * the larger, `|A∩B| / min(|A|,|B|)`, over the same banded-LSH
+    * candidates as [[minhashLsh]] — the gate that catches a document
+    * mostly CONTAINED in a bigger one (expanded reposts, quote-wrapped
+    * copies, page + boilerplate supersets), which symmetric Jaccard
+    * dilutes below any usable threshold (|A∩B|/|A∪B| shrinks with the
+    * SIZE RATIO even when containment is 1.0).
+    *
+    * Honest recall envelope: candidates are still MinHash-banded, and
+    * band collision probability tracks JACCARD — so recall falls with
+    * extreme size ratios (a tweet inside a book rarely collides). The
+    * operator's regime is bounded-ratio asymmetric near-dups (the common
+    * corpus case); needle-in-haystack quote search needs a different
+    * index (see [[decontaminate]]'s n-gram probe for that shape).
+    * Verification on candidates is exact. Containment rounds to 6 (all
+    * cross-engine float ranks do). Returns
+    * (doc_a, doc_b, sz_a, sz_b, containment) with doc_a < doc_b.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+                       minContainment: Double, maxBucket: Int = 1000,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshCommonCounts(docs, n, k, bands, maxBucket, idCol, textCol)
+      .withColumn("containment",
+        round(col("common").cast("double") / least(col("sz_a"), col("sz_b")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("containment"))
 
   /** SimHash: 64-bit signature from md5-derived token-hash bits (64 bits is
     * the standard width for real near-dup detection). Each bit of the

@@ -354,6 +354,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) === (2L, 1L), "opposite vector survives in cell 2")
   }
 
+  test("containmentPairs: catches a contained doc that the Jaccard gate misses") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // superset: +1 token
+      (3L, "completely unrelated content about spark engines here")
+    ).toDF("doc_id", "text")
+    // n=3: doc1 has 7 shingles, all contained in doc2's 8 -> containment 1.0,
+    // jaccard 7/8 = 0.875
+    val out = Dedup.containmentPairs(d, n = 3, k = 12, bands = 4,
+      minContainment = 0.9, maxBucket = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.contains((1L, 2L)), "contained pair must surface")
+    assert(out((1L, 2L)) === ((7L, 8L, 1.0)))
+    assert(out.size === 1, "unrelated doc must not pair")
+    // the symmetric gate at 0.9 misses the same pair (jaccard 0.875)
+    val jac = Dedup.minhashLsh(d, n = 3, k = 12, bands = 4,
+      threshold = 0.9, maxBucket = 100).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard >= 0.9 must miss the asymmetric pair containment catches")
+  }
+
   test("naiveBayesClassify: separable labels classify correctly, mislabeled doc flips") {
     val d = Seq(
       (1L, "a", "x x y"),

@@ -261,6 +261,14 @@ class PlanSpec extends SparkSpec {
       s"banding must be per-source, never a global window:\n$p")
   }
 
+  test("q112 containment: shingle/signature frames materialized once, equi-joins only") {
+    val p = plan(QueryCatalog.q112ContainmentPairs)
+    assert(p.contains("Scan ExistingRDD"), s"shingles must be a materialized leaf:\n$p")
+    assert(!p.contains("Scan parquet"), s"no branch may re-tokenize the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the band-bucket equi-join:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
