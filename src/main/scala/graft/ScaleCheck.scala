@@ -120,6 +120,13 @@ object ScaleCheck {
       time(s"semdedup(c=$cells)")(
         graft.operators.Similarity.semDedup(emb, nCells = cells, threshold = 0.3))
     }
+    // model-based filtering pair: NB rides two (term,label) aggregates +
+    // one term-keyed join (labels few by construction); the perplexity
+    // bands add one source-partitioned window on top of the bigram LM
+    time("naive_bayes")(
+      graft.operators.TextAnalysis.naiveBayesClassify(docs))
+    time("perplexity_bands")(
+      graft.operators.TextAnalysis.perplexityBuckets(docs, nBuckets = 3))
     time("cluster_split")(
       graft.operators.Sampling.threeWaySplit(
         docs.select(col("doc_id"))
