@@ -2630,6 +2630,41 @@ object QueryCatalog {
        |SELECT doc_a, doc_b, sz_a, sz_b, containment FROM c
        |WHERE containment >= 0.6""".stripMargin
 
+  /** Embedding-space label outliers (Similarity.labelOutliers): cosine to
+    * the vector's own label centroid, z-scored against the label's cosine
+    * distribution — the mislabel/contamination QA pass over labeled
+    * embeddings. Mean/std from exact DECIMAL sums of round(cos,6);
+    * singleton/degenerate labels emit NULL z and never flag. */
+  def q113LabelOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(t(s, dir, "embeddings"), dims = 64, zCut = 2.0)
+
+  val q113Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |      WHERE embedding IS NOT NULL),
+      |x AS (SELECT vec_id, label, generate_subscripts(v, 1) AS d, unnest(v) AS xv FROM e),
+      |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |c AS (SELECT x.label, d, round(sum(xv) / n, 6) AS cv
+      |      FROM x JOIN nv USING (label) GROUP BY x.label, d, n),
+      |cs AS (SELECT vec_id, x.label,
+      |    round(sum(xv * cv) / (sqrt(sum(xv * xv)) * sqrt(sum(cv * cv))), 6) AS cos_sim
+      |  FROM x JOIN c ON x.label = c.label AND x.d = c.d
+      |  GROUP BY 1, 2),
+      |st AS (SELECT label,
+      |    sum(CAST(cos_sim AS DECIMAL(18,6))) AS s1,
+      |    sum(CAST(cos_sim AS DECIMAL(18,6)) * CAST(cos_sim AS DECIMAL(18,6))) AS s2,
+      |    CAST(count(cos_sim) AS BIGINT) AS nc
+      |  FROM cs GROUP BY 1),
+      |zz AS (SELECT vec_id, cs.label, cos_sim,
+      |    CAST(s1 AS DOUBLE) / nc AS m,
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / nc - (CAST(s1 AS DOUBLE) / nc) * (CAST(s1 AS DOUBLE) / nc), 0)) AS sd
+      |  FROM cs JOIN st ON cs.label = st.label)
+      |SELECT vec_id, label, cos_sim,
+      |  CASE WHEN sd > 0 THEN round((cos_sim - m) / sd, 6) END AS z,
+      |  CAST(CASE WHEN sd > 0 AND round((cos_sim - m) / sd, 6) <= -2.0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM zz""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2747,7 +2782,8 @@ object QueryCatalog {
     ("q109_duplicate_spans", q109DuplicateSpans _, Some(q109Sql)),
     ("q110_naive_bayes", q110NaiveBayes _, Some(q110Sql)),
     ("q111_perplexity_bands", q111PerplexityBands _, Some(q111Sql)),
-    ("q112_containment_pairs", q112ContainmentPairs _, Some(q112Sql)))
+    ("q112_containment_pairs", q112ContainmentPairs _, Some(q112Sql)),
+    ("q113_label_outliers", q113LabelOutliers _, Some(q113Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

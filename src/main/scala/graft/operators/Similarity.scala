@@ -224,6 +224,57 @@ object Similarity {
         when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
+  /** Embedding-space label outliers: per-vector cosine to the vector's OWN
+    * label centroid, z-scored against the label's cosine distribution —
+    * the mislabel/contamination detector that runs before training a
+    * classifier on labeled embeddings (a vector far from its label's
+    * centroid relative to its peers is a labeling error, a near-dup from
+    * another class, or genuine tail — all worth a look). Per-VECTOR
+    * deviation is the point: q96/q107's centroids describe labels, this
+    * flags members.
+    *
+    * Engine parity: centroid components and cosines round(·,6); the
+    * label's mean/std come from exact DECIMAL sums of the rounded cosines
+    * (Σcos, Σcos² — order-free), combined in one fixed double expression;
+    * z rounds to 6. Degenerate labels (std = 0, e.g. singletons) emit
+    * NULL z and never flag.
+    *
+    * Scale: one VectorSumAgg pass for centroids (labels-sized, broadcast
+    * back), one map-only cosine, one labels-sized stats aggregate
+    * (broadcast back), one map-only z — the corpus is scanned once and
+    * never pairs. Returns (idCol, label, cos_sim, z, is_outlier) with
+    * is_outlier = 1 iff z ≤ -zCut.
+    */
+  def labelOutliers(emb: DataFrame, dims: Int, zCut: Double = 2.0,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    // NULL vectors can't be scored; excluding them keeps row membership
+    // aligned with the oracle mirror (whose unnest drops them anyway)
+    val v = emb.select(col(idCol).as("_id"), col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+    val cents = v.groupBy(col("label"))
+      .agg(graft.functions.VectorSumAgg.vectorSum(col("_v"), dims).as("_s"),
+        count(col("_v")).as("_n"))
+      .select(col("label"), expr("transform(_s, x -> round(x / _n, 6))").as("_c"))
+      .filter(col("_c").isNotNull)
+    val cosr = v.join(broadcast(cents), Seq("label"))
+      .select(col("_id"), col("label"), score(col("_v"), col("_c")).as("cos_sim"))
+    val stats = cosr.groupBy(col("label")).agg(
+      sum(col("cos_sim").cast("decimal(18,6)")).as("_s1"),
+      sum(col("cos_sim").cast("decimal(18,6)") * col("cos_sim").cast("decimal(18,6)")).as("_s2"),
+      count(col("cos_sim")).as("_nc"))
+    cosr.join(broadcast(stats), Seq("label"))
+      .withColumn("_mean", col("_s1").cast("double") / col("_nc").cast("double"))
+      .withColumn("_std", sqrt(greatest(
+        col("_s2").cast("double") / col("_nc").cast("double") - col("_mean") * col("_mean"),
+        lit(0.0))))
+      .withColumn("z",
+        when(col("_std") > 0, round((col("cos_sim") - col("_mean")) / col("_std"), 6)))
+      .select(col("_id").as(idCol), col("label"), col("cos_sim"), col("z"),
+        when(col("z") <= -zCut, 1L).otherwise(0L).as("is_outlier"))
+  }
+
   /** IVF search against an explicit (cell, cvec) centroid table — e.g. one
     * produced by [[trainIvfCentroids]]. */
   def annIvfWith(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,

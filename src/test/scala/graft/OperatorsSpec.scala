@@ -375,6 +375,24 @@ class OperatorsSpec extends SparkSpec {
       "jaccard >= 0.9 must miss the asymmetric pair containment catches")
   }
 
+  test("labelOutliers: far-from-centroid member flags, tight members don't, singleton NULLs") {
+    // label 1: 8 vectors at (1,0) + one at (0,1). Deviations: tight d/9,
+    // outlier -8d/9; std = d*sqrt(8)/9 -> z_outlier = -sqrt(8) = -2.8284
+    val emb = ((1L to 8L).map(i => (i, 1L, Seq(1.0, 0.0))) :+
+      (9L, 1L, Seq(0.0, 1.0)) :+
+      (10L, 2L, Seq(0.5, 0.5))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelOutliers(emb, dims = 2).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4))).toMap
+    assert(out(9L)._2 === 1L, "the (0,1) member must flag")
+    assert(math.abs(out(9L)._1.get - (-math.sqrt(8))) < 1e-3)
+    for (i <- 1L to 8L) {
+      assert(out(i)._2 === 0L)
+      assert(math.abs(out(i)._1.get - (1.0 / math.sqrt(8))) < 1e-3)
+    }
+    assert(out(10L)._1.isEmpty && out(10L)._2 === 0L,
+      "singleton label: std 0 -> NULL z, never flags")
+  }
+
   test("naiveBayesClassify: separable labels classify correctly, mislabeled doc flips") {
     val d = Seq(
       (1L, "a", "x x y"),

@@ -269,6 +269,13 @@ class PlanSpec extends SparkSpec {
       s"candidates must come from the band-bucket equi-join:\n$p")
   }
 
+  test("q113 label outliers: centroids and stats broadcast back, no window, no cartesian") {
+    val p = plan(QueryCatalog.q113LabelOutliers)
+    assert(p.contains("Broadcast"), s"labels-sized frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pairing anywhere:\n$p")
+    assert(!p.contains("Window"), s"z-scoring is joins + map math, never a window:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
