@@ -2647,7 +2647,9 @@ object QueryCatalog {
       |c AS (SELECT x.label, d, round(sum(xv) / n, 6) AS cv
       |      FROM x JOIN nv USING (label) GROUP BY x.label, d, n),
       |cs AS (SELECT vec_id, x.label,
-      |    round(sum(xv * cv) / (sqrt(sum(xv * xv)) * sqrt(sum(cv * cv))), 6) AS cos_sim
+      |    CASE WHEN sum(xv * xv) > 0 AND sum(cv * cv) > 0
+      |         THEN round(sum(xv * cv) / (sqrt(sum(xv * xv)) * sqrt(sum(cv * cv))), 6)
+      |    END AS cos_sim
       |  FROM x JOIN c ON x.label = c.label AND x.d = c.d
       |  GROUP BY 1, 2),
       |st AS (SELECT label,

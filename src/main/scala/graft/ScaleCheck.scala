@@ -93,10 +93,12 @@ object ScaleCheck {
         nBuckets = 16),
       "docs", n = 5, k = 12, bands = 4, threshold = 0.5)
     time("inc_rebuild(100%)")(freshIndex().ingest(docs))
-    if (!only.exists(!_.exists("inc_ingest".startsWith))) {
+    // guard on the FULL timer name so the prefix semantics match time()'s
+    val incName = "inc_ingest(10% batch)"
+    if (only.forall(_.exists(incName.startsWith))) {
       val idx = freshIndex()
       idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)) // 90%, untimed
-      time("inc_ingest(10% batch)")(
+      time(incName)(
         idx.ingest(docs.filter(pmod(col("doc_id"), lit(10)) === 0)))
     }
     // r7 additions: near-dup decontamination (benchmark side FIXED at

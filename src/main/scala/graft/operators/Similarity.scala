@@ -258,8 +258,14 @@ object Similarity {
         count(col("_v")).as("_n"))
       .select(col("label"), expr("transform(_s, x -> round(x / _n, 6))").as("_c"))
       .filter(col("_c").isNotNull)
+    // zero-norm guard: a zero vector (or all-zero centroid) makes the
+    // cosine 0/0 → NaN, which would poison the label's DECIMAL stats on
+    // one side and crash the oracle's DECIMAL cast on the other. Unscoreable
+    // members carry NULL cos_sim: excluded from mean/std, NULL z, never flag.
     val cosr = v.join(broadcast(cents), Seq("label"))
-      .select(col("_id"), col("label"), score(col("_v"), col("_c")).as("cos_sim"))
+      .select(col("_id"), col("label"),
+        when(norm(col("_v")) > 0 && norm(col("_c")) > 0,
+          score(col("_v"), col("_c"))).as("cos_sim"))
     val stats = cosr.groupBy(col("label")).agg(
       sum(col("cos_sim").cast("decimal(18,6)")).as("_s1"),
       sum(col("cos_sim").cast("decimal(18,6)") * col("cos_sim").cast("decimal(18,6)")).as("_s2"),

@@ -401,16 +401,21 @@ object TextAnalysis {
     */
   def naiveBayesClassify(docs: DataFrame, labelCol: String = "source",
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // base is the doc universe: derived PRE-explode so a NULL-text doc —
+    // which contributes no token rows — still gets scored (all-NULL score,
+    // first label by tie-break), exactly like the oracle mirror's `d` CTE.
+    // Materialized because docsF and the tf explode both read it.
     val base = docs.select(col(idCol).as("doc_id"), col(labelCol).as("actual"),
         tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("actual"), col("_toks"),
         size(col("_toks")).cast("long").as("dl"))
+      .localCheckpoint(true)
     val tf = base.select(col("doc_id"), col("actual"), col("dl"),
         explode(col("_toks")).as("term"))
       .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // consumed by training AND scoring
-    val docsF = tf.select(col("doc_id"), col("actual"), col("dl")).distinct()
+    val docsF = base.select(col("doc_id"), col("actual"), col("dl"))
     val cst = tf.groupBy(col("actual").as("cand"), col("term"))
       .agg(sum(col("tf")).as("cst"))
     val cs = cst.groupBy(col("cand")).agg(sum(col("cst")).as("cs"))

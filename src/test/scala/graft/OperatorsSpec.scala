@@ -391,6 +391,13 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(out(10L)._1.isEmpty && out(10L)._2 === 0L,
       "singleton label: std 0 -> NULL z, never flags")
+    // a zero vector is unscoreable (0/0 cosine): NULL cos/z, never flags,
+    // and it must NOT poison its label's mean/std for the other members
+    val withZero = emb.union(Seq((11L, 1L, Seq(0.0, 0.0))).toDF("vec_id", "label", "embedding"))
+    val out2 = Similarity.labelOutliers(withZero, dims = 2).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(out2(11L)._1.isEmpty && out2(11L)._2.isEmpty && out2(11L)._3 === 0L)
+    assert(out2(9L)._3 === 1L, "peers' z-scores unchanged by the unscoreable member")
   }
 
   test("naiveBayesClassify: separable labels classify correctly, mislabeled doc flips") {
@@ -406,6 +413,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) === ("a", 1L) && out(2L) === ("a", 1L))
     assert(out(3L) === ("b", 1L) && out(4L) === ("b", 1L))
     assert(out(5L) === ("b", 0L), "z-only doc must classify as b despite its a label")
+    // NULL text: no token rows, but the doc must still emit exactly one
+    // scored row (all-NULL score -> first label by tie-break), matching
+    // the oracle's row membership
+    val withNull = d.union(Seq((6L, "b", null.asInstanceOf[String])).toDF("doc_id", "source", "text"))
+    val r6 = TextAnalysis.naiveBayesClassify(withNull).filter(col("doc_id") === 6).collect()
+    assert(r6.length === 1, "NULL-text doc must not vanish from the output")
+    assert(r6.head.getString(2) === "a" && r6.head.isNullAt(3),
+      "all-NULL scores tie-break to the first label with a NULL score")
     // hand-computed argmax margin for doc 5: score_b - score_a =
     // (-0.916291 - 3*2.197225 + 3*1.386294) - (-0.510826 - 3*2.484907 + 3*1.386294)
     val row5 = TextAnalysis.naiveBayesClassify(d).filter(col("doc_id") === 5).head()
