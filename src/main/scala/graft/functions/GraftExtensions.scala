@@ -46,7 +46,22 @@ object GraftExtensions {
       arity("vec_norm(a)", 1)(c => Sqrt(DotProduct(c.head, c.head)))),
     ("cosine_sim", new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
       arity("cosine_sim(a, b)", 2)(c => Divide(DotProduct(c.head, c(1)),
-        Multiply(Sqrt(DotProduct(c.head, c.head)), Sqrt(DotProduct(c(1), c(1))))))))
+        Multiply(Sqrt(DotProduct(c.head, c.head)), Sqrt(DotProduct(c(1), c(1))))))),
+    // the UDTF surface: word n-gram generators, SQL-callable like explode
+    // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
+    // the generator's output schema is fixed at plan time
+    ("ngrams", new ExpressionInfo(classOf[NGramsGenerator].getName, "ngrams"),
+      arity("ngrams(text, n)", 2)(c => NGramsGenerator(c.head, literalInt("ngrams", c(1))))),
+    ("ngrams_pos", new ExpressionInfo(classOf[NGramsGenerator].getName, "ngrams_pos"),
+      arity("ngrams_pos(text, n)", 2)(c =>
+        NGramsGenerator(c.head, literalInt("ngrams_pos", c(1)), withPos = true))))
+
+  private def literalInt(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the n-gram size must be an INTEGER LITERAL (the generator's " +
+        "output schema is fixed at plan time)")
+  }
 
   /** Register graft functions AND the banded-theta-join optimizer rule on
     * an already-built session (the extensions class only hooks

@@ -20,6 +20,23 @@ class ExtensionsAndSkewSpec extends SparkSpec {
     assert(rows(1).getDouble(2) === 0.0, "orthogonal vectors: cosine 0")
   }
 
+  test("ngrams / ngrams_pos are SQL-callable generators; non-literal n rejected") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq((1L, "The  Quick brown fox")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ngdocs")
+    val sh = spark.sql("SELECT doc_id, ngrams(text, 2) AS shingle FROM ngdocs")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSeq === Seq((1L, "the quick"), (1L, "quick brown"), (1L, "brown fox")),
+      "normalization (trim/lower/whitespace) must match the Column API")
+    val pos = spark.sql("SELECT ngrams_pos(text, 3) FROM ngdocs")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(pos.toSeq === Seq((0, "the quick brown"), (1, "quick brown fox")))
+    val err = intercept[Exception](
+      spark.sql("SELECT ngrams(text, CAST(doc_id AS INT)) FROM ngdocs").collect())
+    assert(err.getMessage.contains("LITERAL") || err.toString.contains("LITERAL"),
+      s"non-literal n must fail loudly, got: $err")
+  }
+
   test("salted aggregates equal their unsalted counterparts on skewed data") {
     // hot key: 10k rows on one key, a handful elsewhere
     val df = ((1 to 10000).map(i => ("hot", i % 100)) ++

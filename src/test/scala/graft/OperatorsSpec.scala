@@ -325,6 +325,42 @@ class OperatorsSpec extends SparkSpec {
     // doc 4 emits nothing
   }
 
+  test("duplicateSpans: randomized brute-force equivalence") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val n = 2 + rnd.nextInt(2) // 2..3
+      val docs = (1L to 8L).map { id =>
+        val toks = Seq.fill(rnd.nextInt(12))("t" + rnd.nextInt(6))
+        (id, toks.mkString(" "))
+      }
+      // plain-Scala oracle: global window counts, per-doc island merge
+      val wins = docs.flatMap { case (id, text) =>
+        val ts = text.trim.toLowerCase.split("\\s+", -1).toSeq
+        if (ts.length < n) Nil
+        else (0 to ts.length - n).map(i => (id, i, ts.slice(i, i + n).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      val expected = wins.filter(w => counts(w._3) >= 2).groupBy(_._1).flatMap {
+        case (id, xs) =>
+          val ps = xs.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var start = ps.head; var last = ps.head
+          for (p <- ps.tail) {
+            if (p - last > n) {
+              spans += ((id, start + 1L, last + n.toLong, (last + n - start).toLong))
+              start = p
+            }
+            last = p
+          }
+          spans += ((id, start + 1L, last + n.toLong, (last + n - start).toLong))
+          spans
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), n = n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected, s"trial $trial n=$n docs=$docs")
+    }
+  }
+
   test("duplicateSpans: a repeat longer than n reports the full merged span") {
     // 5-token phrase repeated across docs, n=3 -> 3 overlapping windows
     // each, merged into ONE span of 5 tokens per doc
