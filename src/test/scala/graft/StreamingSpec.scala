@@ -45,6 +45,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregate runs under streaming state (windowed approx distinct users)") {
+    // TypedImperativeAggregates must serialize through the streaming state
+    // store; a windowed hllApproxCountDistinct proves the sketch family
+    // works in Structured Streaming, not just batch
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "1 hour")
+    val agg = events
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "6 hours"))
+      .agg(graft.functions.Sketches.hllApproxCountDistinct($"user_id").as("approx_users"))
+      .select($"window.start".as("window_start"), $"approx_users")
+    val q = agg.writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 40 distinct users across two micro-batches in the first window —
+      // the sketch must MERGE across batches through the state store
+      in.addData((1L to 20L).map(i => (i, ts(1), i)): _*)
+      q.processAllAvailable()
+      in.addData((21L to 40L).map(i => (i, ts(2), i)): _*)
+      q.processAllAvailable()
+      in.addData((99L, ts(20), 99L)) // advance watermark, finalize window 1
+      q.processAllAvailable()
+      in.addData((100L, ts(23), 100L))
+      q.processAllAvailable()
+      val out = spark.table("hll_out").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString -> r.getAs[Double]("approx_users"))
+        .toMap
+      val est = out("2024-01-01 00:00:00.0")
+      // precision-9 HLL on 40 distincts: comfortably within ±20%
+      assert(est >= 32 && est <= 48,
+        s"cross-batch merged estimate must be ~40, got $est")
+    } finally q.stop()
+  }
+
   test("continuous ProcessingTime trigger ingests files fed WHILE running (T1 parity)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-serve-feed").toString
