@@ -2667,6 +2667,50 @@ object QueryCatalog {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       |FROM zz""".stripMargin
 
+  /** Token-budget waterfilling (Sampling.budgetAllocation): allocate a
+    * 25k-token budget across sources proportionally to weight = ⌊√avail⌋
+    * with hard caps at availability — the closed-form fair-share prefix
+    * test, cross-multiplied so capping decisions are exact integer math.
+    * At sf0.01 the two smallest sources cap and their surplus
+    * redistributes; the oracle replays the identical window algebra. */
+  def q114BudgetAllocation(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents").groupBy(col("source"))
+      .agg(sum(size(graft.operators.TextAnalysis.tokens(col("text")))).cast("long").as("avail"))
+      .withColumn("weight", floor(sqrt(col("avail").cast("double"))).cast("long"))
+    graft.operators.Sampling.budgetAllocation(per, budget = 25000L)
+      .select(col("source"), col("avail"), col("weight"),
+        col("capped").cast("long").as("capped"), col("allocated"))
+  }
+
+  val q114Sql: String =
+    s"""WITH per AS (SELECT source,
+       |    CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS avail
+       |  FROM documents GROUP BY 1),
+       |pw AS (SELECT source, avail,
+       |    CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS weight FROM per),
+       |o AS (SELECT *,
+       |    coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a_prev,
+       |    coalesce(sum(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_prev,
+       |    sum(weight) OVER () AS w_tot
+       |  FROM pw),
+       |c AS (SELECT *,
+       |    weight > 0 AND (CAST(avail AS DECIMAL(18,0)) * (w_tot - w_prev)) <=
+       |      (CAST(weight AS DECIMAL(18,0)) * (25000 - a_prev)) AS capped
+       |  FROM o),
+       |f AS (SELECT *,
+       |    coalesce(sum(CASE WHEN capped THEN avail END) OVER (), 0) AS a_cap,
+       |    w_tot - coalesce(sum(CASE WHEN capped THEN weight END) OVER (), 0) AS w_rest
+       |  FROM c)
+       |SELECT source, avail, weight, CAST(capped AS BIGINT) AS capped,
+       |  CASE WHEN capped THEN avail
+       |       ELSE coalesce(CAST(
+       |         greatest(weight * (25000 - a_cap), 0)
+       |           // nullif(w_rest, 0) AS BIGINT), 0)
+       |  END AS allocated
+       |FROM f""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2785,7 +2829,8 @@ object QueryCatalog {
     ("q110_naive_bayes", q110NaiveBayes _, Some(q110Sql)),
     ("q111_perplexity_bands", q111PerplexityBands _, Some(q111Sql)),
     ("q112_containment_pairs", q112ContainmentPairs _, Some(q112Sql)),
-    ("q113_label_outliers", q113LabelOutliers _, Some(q113Sql)))
+    ("q113_label_outliers", q113LabelOutliers _, Some(q113Sql)),
+    ("q114_budget_allocation", q114BudgetAllocation _, Some(q114Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -147,6 +147,73 @@ object Sampling {
     * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
     * for a given key forever — the property that keeps a test set clean
     * across pipeline re-runs and data refreshes. */
+  /** Token-budget waterfilling: given one row per source with an integer
+    * availability (`avail`, e.g. total tokens) and an integer weight,
+    * allocate a total `budget` proportionally to weight but never more
+    * than a source HAS — the step after mixture weighting
+    * ([[temperatureRebalance]] chooses weights; this turns them into
+    * actual token counts an extraction job can execute). Small sources
+    * saturate ("capped") and their surplus redistributes to the rest —
+    * classic waterfilling, computed in CLOSED FORM: sorted by
+    * avail/weight ascending, a source is capped iff
+    * `avail·(W − W_prev) ≤ weight·(budget − A_prev)` (prefix sums A, W) —
+    * the standard fair-share argument, cross-multiplied so the test is
+    * EXACT integer/decimal math, no iteration and no float threshold.
+    * Uncapped sources get `weight·(budget − A_capped) div W_uncapped`
+    * (integer division — up to one token per source of flooring residue
+    * stays unallocated; deterministic, documented).
+    *
+    * Scale: the frame is one row per SOURCE (tiny by construction); the
+    * one window is over those rows — same class as q57's daily deltas.
+    * Returns (source, avail, weight, capped, allocated).
+    */
+  def budgetAllocation(perSource: DataFrame, budget: Long,
+                       sourceCol: String = "source", availCol: String = "avail",
+                       weightCol: String = "weight"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    // try_divide: ANSI mode errors on /0 even for doubles; weight-0 rows
+    // sort last (NULL here, inf/NULL in the mirror — same tail position)
+    // and are excluded from capping by the guard below either way
+    val w = Window
+      .orderBy(expr(s"try_divide(CAST($availCol AS DOUBLE), CAST($weightCol AS DOUBLE))")
+        .asc_nulls_last, col(sourceCol))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    // 18-digit operands (products stay ≤ 36/37 digits — exact in Spark AND
+    // in the DuckDB mirror, whose decimal multiply cannot widen past 38).
+    // Documented bound: avail, weight and budget each < 1e18.
+    val d = "decimal(18,0)"
+    val staged = perSource.select(
+        col(sourceCol).as("source"),
+        col(availCol).cast("long").as("avail"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("_A_prev", coalesce(sum(col("avail")).over(prev), lit(0L)))
+      .withColumn("_W_prev", coalesce(sum(col("weight")).over(prev), lit(0L)))
+      .withColumn("_W", sum(col("weight")).over(full))
+      .withColumn("capped",
+        // weight-0 sources are never "capped" (the cross-test degenerates
+        // to 0 ≤ 0 for them); they fall to the else branch and get 0
+        col("weight") > 0 &&
+          (col("avail").cast(d) * (col("_W") - col("_W_prev")).cast(d)) <=
+          (col("weight").cast(d) * (lit(budget) - col("_A_prev")).cast(d)))
+    staged
+      .withColumn("_A_cap", coalesce(
+        sum(when(col("capped"), col("avail"))).over(full), lit(0L)))
+      .withColumn("_W_rest",
+        col("_W") - coalesce(sum(when(col("capped"), col("weight"))).over(full), lit(0L)))
+      // allocation division runs in LONG (weight × remaining-budget must
+      // fit int64 — ANSI throws loudly past that): Spark's `div` and the
+      // mirror's BIGINT `//` both truncate; DECIMAL `//` in DuckDB does NOT
+      .withColumn("allocated",
+        when(col("capped"), col("avail")).otherwise(
+          coalesce(
+            expr(s"CAST(greatest(weight * (${budget}L - _A_cap), 0L) " +
+              "div nullif(_W_rest, 0L) AS BIGINT)"),
+            lit(0L))))
+      .select(col("source"), col("avail"), col("weight"), col("capped"), col("allocated"))
+  }
+
   def threeWaySplit(df: DataFrame, keyCol: String,
                     trainFrac: Double, valFrac: Double,
                     salt: String = ""): DataFrame = {

@@ -94,4 +94,34 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(stable === ids, "selection is content-determined, not partition-determined")
   }
+
+  test("budgetAllocation: waterfilling caps small sources, redistributes exactly") {
+    val per = Seq(("A", 100L, 1L), ("B", 1000L, 1L), ("C", 1000L, 2L))
+      .toDF("source", "avail", "weight")
+    // sorted by avail/weight: A(100) capped; C: 1000*3 > 2*(1200-100) uncapped;
+    // B uncapped. a_cap=100, w_rest=3 -> C: 2*1100 div 3 = 733, B: 1100 div 3 = 366
+    val out = Sampling.budgetAllocation(per, budget = 1200L).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(out("A") === ((true, 100L)))
+    assert(out("C") === ((false, 733L)))
+    assert(out("B") === ((false, 366L)))
+    assert(out.values.map(_._2).sum <= 1200L, "flooring residue never over-allocates")
+  }
+
+  test("budgetAllocation: ample budget caps everyone; zero-weight source gets nothing") {
+    val per = Seq(("A", 100L, 1L), ("B", 1000L, 1L), ("C", 1000L, 2L), ("D", 50L, 0L))
+      .toDF("source", "avail", "weight")
+    val out = Sampling.budgetAllocation(per, budget = 5000L).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(out("A") === ((true, 100L)) && out("B") === ((true, 1000L)) &&
+      out("C") === ((true, 1000L)))
+    assert(out("D") === ((false, 0L)), "weight 0 must never absorb budget")
+  }
+
+  test("budgetAllocation: allocation is proportional when no cap binds") {
+    val per = Seq(("X", 10000L, 3L), ("Y", 10000L, 1L)).toDF("source", "avail", "weight")
+    val out = Sampling.budgetAllocation(per, budget = 4000L).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("X") === 3000L && out("Y") === 1000L)
+  }
 }
