@@ -122,6 +122,14 @@ object ScaleCheck {
       time(s"semdedup(c=$cells)")(
         graft.operators.Similarity.semDedup(emb, nCells = cells, threshold = 0.3))
     }
+    // containment rides the q24 candidate machinery (measured above as
+    // minhash_lsh) + the same exact-verify join with a different gate
+    time("containment_pairs")(
+      Dedup.containmentPairs(docs, n = 5, k = 12, bands = 4,
+        minContainment = 0.6, maxBucket = 100))
+    // label outliers: one scan + two label-sized broadcast aggregates
+    time("label_outliers")(
+      graft.operators.Similarity.labelOutliers(emb, dims = 64))
     // model-based filtering pair: NB rides two (term,label) aggregates +
     // one term-keyed join (labels few by construction); the perplexity
     // bands add one source-partitioned window on top of the bigram LM

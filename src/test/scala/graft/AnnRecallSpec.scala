@@ -101,4 +101,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(multi > 0.5, s"8-table LSH recall@$k = $multi")
     assert(multi > one, "more tables must not lose recall")
   }
+
+  test("semDedup pair recall: cell partition captures near-dup pairs; fewer cells buy recall") {
+    // ground truth: EXACT cosine >= 0.3 pairs (q28's brute-force gate).
+    // semDedup only sees pairs co-located in a cell, so its detected dup
+    // set is a subset — measure how much of the exact pair graph the cell
+    // partition captures, and that recall moves the right way with nCells
+    // (fewer, larger cells => more co-location => higher recall).
+    val exactPairs = graft.operators.Dedup.embeddingNearDup(emb, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assume(exactPairs.nonEmpty, "fixture must contain near-dup pairs")
+    def cellOf(nCells: Int): Map[Long, Long] =
+      Similarity.semDedup(emb, nCells = nCells, threshold = 0.3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(cells: Map[Long, Long]): Double =
+      exactPairs.count { case (a, b) => cells(a) == cells(b) }.toDouble / exactPairs.size
+    val r8 = recall(cellOf(8))
+    val r32 = recall(cellOf(32))
+    info(f"semDedup pair recall vs exact (n=${exactPairs.size}): 8 cells=$r8%.3f, 32 cells=$r32%.3f")
+    assert(r8 > 0.2, s"8-cell recall $r8 — the cell partition must capture a real share")
+    assert(r8 >= r32 - 0.05, "fewer cells must not lose recall (co-location only grows)")
+  }
 }
