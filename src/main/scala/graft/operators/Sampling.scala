@@ -143,10 +143,6 @@ object Sampling {
       .drop("_rn")
   }
 
-  /** Train/validation/test split by key hash: returns the input with a
-    * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
-    * for a given key forever — the property that keeps a test set clean
-    * across pipeline re-runs and data refreshes. */
   /** Token-budget waterfilling: given one row per source with an integer
     * availability (`avail`, e.g. total tokens) and an integer weight,
     * allocate a total `budget` proportionally to weight but never more
@@ -180,10 +176,14 @@ object Sampling {
         .asc_nulls_last, col(sourceCol))
     val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    // 18-digit operands (products stay ≤ 36/37 digits — exact in Spark AND
-    // in the DuckDB mirror, whose decimal multiply cannot widen past 38).
-    // Documented bound: avail, weight and budget each < 1e18.
+    // Exactness bounds: individual avail/weight/budget < 1e18 (18-digit
+    // operand casts) AND the corpus TOTALS of avail and weight fit int64
+    // (the prefix sums are LONG — ANSI throws loudly past that). The
+    // prefix DIFFERENCES can reach 19-20 digits even under those bounds,
+    // so they cast to decimal(20,0): 18+20-digit products stay ≤ 38
+    // digits — exact in Spark and in the mirror.
     val d = "decimal(18,0)"
+    val dWide = "decimal(20,0)"
     val staged = perSource.select(
         col(sourceCol).as("source"),
         col(availCol).cast("long").as("avail"),
@@ -195,8 +195,8 @@ object Sampling {
         // weight-0 sources are never "capped" (the cross-test degenerates
         // to 0 ≤ 0 for them); they fall to the else branch and get 0
         col("weight") > 0 &&
-          (col("avail").cast(d) * (col("_W") - col("_W_prev")).cast(d)) <=
-          (col("weight").cast(d) * (lit(budget) - col("_A_prev")).cast(d)))
+          (col("avail").cast(d) * (col("_W") - col("_W_prev")).cast(dWide)) <=
+          (col("weight").cast(d) * (lit(budget) - col("_A_prev")).cast(dWide)))
     staged
       .withColumn("_A_cap", coalesce(
         sum(when(col("capped"), col("avail"))).over(full), lit(0L)))
@@ -214,6 +214,10 @@ object Sampling {
       .select(col("source"), col("avail"), col("weight"), col("capped"), col("allocated"))
   }
 
+  /** Train/validation/test split by key hash: returns the input with a
+    * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
+    * for a given key forever — the property that keeps a test set clean
+    * across pipeline re-runs and data refreshes. */
   def threeWaySplit(df: DataFrame, keyCol: String,
                     trainFrac: Double, valFrac: Double,
                     salt: String = ""): DataFrame = {
