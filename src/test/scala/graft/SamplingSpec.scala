@@ -118,6 +118,44 @@ class SamplingSpec extends SparkSpec {
     assert(out("D") === ((false, 0L)), "weight 0 must never absorb budget")
   }
 
+  test("budgetAllocation: randomized equivalence with an exact iterative waterfill") {
+    // reference: repeatedly allocate lambda*w with exact rational lambda,
+    // cap saturated sources, redistribute, until stable — the textbook
+    // iterative algorithm the closed prefix form must reproduce
+    def reference(rows: Seq[(String, Long, Long)], budget: Long): Map[String, Long] = {
+      var capped = Set.empty[String]
+      var stable = false
+      while (!stable) {
+        val free = rows.filterNot(r => capped(r._1))
+        val wSum = free.map(_._3).sum
+        val rem = budget - rows.filter(r => capped(r._1)).map(_._2).sum
+        val newly = free.filter { case (_, avail, w) =>
+          w > 0 && BigInt(avail) * wSum <= BigInt(w) * rem }.map(_._1).toSet
+        if (newly.isEmpty) stable = true else capped ++= newly
+      }
+      val aCap = rows.filter(r => capped(r._1)).map(_._2).sum
+      val wRest = rows.filterNot(r => capped(r._1)).map(_._3).sum
+      rows.map { case (s, avail, w) =>
+        s -> (if (capped(s)) avail
+              else if (wRest == 0 || w == 0) 0L
+              else (BigInt(w) * (budget - aCap).max(0L) / BigInt(wRest)).toLong)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(6)
+      val rows = (1 to n).map(i =>
+        (f"s$i%02d", rnd.nextInt(2000).toLong, rnd.nextInt(5).toLong))
+      val budget = rnd.nextInt(4000).toLong
+      val got = Sampling.budgetAllocation(rows.toDF("source", "avail", "weight"), budget)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val want = reference(rows, budget)
+      assert(got === want, s"trial $trial budget=$budget rows=$rows")
+      assert(got.values.sum <= budget.max(rows.map(_._2).sum),
+        "never over-allocates")
+    }
+  }
+
   test("budgetAllocation: allocation is proportional when no cap binds") {
     val per = Seq(("X", 10000L, 3L), ("Y", 10000L, 1L)).toDF("source", "avail", "weight")
     val out = Sampling.budgetAllocation(per, budget = 4000L).collect()
