@@ -2711,6 +2711,22 @@ object QueryCatalog {
        |  END AS allocated
        |FROM f""".stripMargin
 
+  /** Unicode-robust exact dedup (Dedup.exactBy ∘ fingerprintNfc): NFC
+    * canonical composition before the fingerprint, via the native
+    * codegen'd NfcNormalize expression — composed and decomposed
+    * encodings of the same text collapse to one class. The ASCII fixture
+    * makes NFC an identity here (result ≡ q21 — itself a useful pin);
+    * the composed/decomposed collapse is exercised with real unicode in
+    * OperatorsSpec. */
+  def q115DedupNfc(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactBy(t(s, dir, "documents"),
+      graft.operators.TextAnalysis.fingerprintNfc(col("text")))
+
+  val q115Sql: String =
+    """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2830,7 +2846,8 @@ object QueryCatalog {
     ("q111_perplexity_bands", q111PerplexityBands _, Some(q111Sql)),
     ("q112_containment_pairs", q112ContainmentPairs _, Some(q112Sql)),
     ("q113_label_outliers", q113LabelOutliers _, Some(q113Sql)),
-    ("q114_budget_allocation", q114BudgetAllocation _, Some(q114Sql)))
+    ("q114_budget_allocation", q114BudgetAllocation _, Some(q114Sql)),
+    ("q115_dedup_nfc", q115DedupNfc _, Some(q115Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -47,6 +47,9 @@ object GraftExtensions {
     ("cosine_sim", new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
       arity("cosine_sim(a, b)", 2)(c => Divide(DotProduct(c.head, c(1)),
         Multiply(Sqrt(DotProduct(c.head, c.head)), Sqrt(DotProduct(c(1), c(1))))))),
+    // same name as DuckDB's NFC function — the oracle mirror reads the same
+    ("nfc_normalize", new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize(s)", 1)(c => NfcNormalize(c.head))),
     // the UDTF surface: word n-gram generators, SQL-callable like explode
     // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
     // the generator's output schema is fixed at plan time

@@ -37,7 +37,13 @@ object Dedup {
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One hash-aggregate; at scale this is the cheapest possible dedup. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+    exactBy(docs, TextAnalysis.fingerprint(col(textCol)), idCol)
+
+  /** Exact dedup over an explicit fingerprint column — e.g.
+    * [[TextAnalysis.fingerprintNfc]] for unicode-robust collapsing, or a
+    * caller-supplied composite key. Same one-hash-aggregate shape. */
+  def exactBy(docs: DataFrame, fp: Column, idCol: String = "doc_id"): DataFrame =
+    docs.select(fp.as("fp"), col(idCol))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 

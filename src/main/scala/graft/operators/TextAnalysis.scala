@@ -69,6 +69,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Unicode-robust fingerprint: NFC-compose BEFORE the usual normalize —
+    * composed ("é" = U+00E9) and decomposed ("e"+U+0301) encodings of the
+    * same text collapse to one hash, which plain [[fingerprint]] silently
+    * splits. Mirror: `md5(regexp_replace(lower(trim(nfc_normalize(text))), …))`. */
+  def fingerprintNfc(text: Column): Column =
+    md5(regexp_replace(lower(trim(graft.functions.NfcNormalize.nfc(text))), "\\s+", " "))
+
   /** Word n-gram shingles of the normalized text (for Jaccard/MinHash). */
   def shingles(text: Column, n: Int): Column = {
     val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")

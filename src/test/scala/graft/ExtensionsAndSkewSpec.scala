@@ -37,6 +37,15 @@ class ExtensionsAndSkewSpec extends SparkSpec {
       s"non-literal n must fail loudly, got: $err")
   }
 
+  test("nfc_normalize is SQL-callable and matches java.text.Normalizer") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq(("café", "café")).toDF("dec", "com").createOrReplaceTempView("nfcv")
+    val r = spark.sql("SELECT nfc_normalize(dec) = com AS eq, length(nfc_normalize(dec)) AS l FROM nfcv")
+      .head()
+    assert(r.getBoolean(0), "decomposed input must compose to the canonical form")
+    assert(r.getInt(1) === 4)
+  }
+
   test("salted aggregates equal their unsalted counterparts on skewed data") {
     // hot key: 10k rows on one key, a handful elsewhere
     val df = ((1 to 10000).map(i => ("hot", i % 100)) ++

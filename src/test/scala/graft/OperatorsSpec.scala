@@ -22,6 +22,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("NFC fingerprint collapses composed/decomposed unicode; plain fingerprint splits them") {
+    val composed = "café au lait"          // é as U+00E9
+    val decomposed = "café au lait"       // e + combining acute
+    val d = Seq((1L, composed), (2L, decomposed), (3L, "cafe au lait"))
+      .toDF("doc_id", "text")
+    val nfc = Dedup.exactBy(d, TextAnalysis.fingerprintNfc(col("text"))).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).sortBy(_._1)
+    assert(nfc.toSeq === Seq((1L, 2L), (3L, 1L)),
+      "NFC: composed and decomposed encodings are ONE duplicate class")
+    val plain = Dedup.exact(d).collect()
+    assert(plain.length === 3, "plain fingerprint splits the encodings (the failure NFC fixes)")
+    // the expression must stay inside whole-stage codegen (no fallback);
+    // check over a parquet scan — a LocalRelation plan skips codegen anyway
+    val p = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.NfcNormalize.nfc(col("text")).as("n"))
+      .queryExecution.executedPlan
+    assert(p.toString.contains("WholeStageCodegen") || p.toString.contains("*("),
+      s"nfc_normalize must codegen:\n$p")
+    val hasFallback = p.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]))
+    assert(!hasFallback, "NfcNormalize must implement doGenCode, not CodegenFallback")
+  }
+
   test("shinglePairs produces size-n word windows, distinct per doc") {
     val sh = Dedup.shinglePairs(docs.filter(col("doc_id") === 1), 3)
       .collect().map(_.getAs[String]("shingle")).sorted
