@@ -2727,6 +2727,50 @@ object QueryCatalog {
       |  min(doc_id) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** DSIR importance resampling (TextAnalysis.dsirSample,
+    * arXiv:2302.03169): target model = the lang='en' docs, raw pool =
+    * everything else; hashed-unigram bucket models (2048 cells, add-one),
+    * per-doc log importance weight as an exact decimal sum of
+    * once-rounded bucket log-ratios, then deterministic Gumbel-top-k
+    * (noise from md5("g:"++doc_id)) keeps the 120 best — weighted
+    * sampling without replacement ∝ exp(logw), replayable bit-for-bit. */
+  def q116DsirSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirSample(t(s, dir, "documents"),
+      isTarget = col("lang") === "en", buckets = 2048, k = 120)
+
+  val q116Sql: String =
+    s"""WITH base AS (SELECT doc_id, lang = 'en' AS t,
+       |    string_split($normSql, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, t, unnest(toks) AS term FROM base),
+       |tf AS (SELECT doc_id, t,
+       |    CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) % 2048 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2, 3),
+       |tp AS (SELECT bucket, sum(c) AS tp FROM tf WHERE t GROUP BY 1),
+       |tq AS (SELECT bucket, sum(c) AS tq FROM tf WHERE NOT t GROUP BY 1),
+       |tot AS (SELECT sum(CASE WHEN t THEN c ELSE 0 END) AS t_tot,
+       |    sum(CASE WHEN NOT t THEN c ELSE 0 END) AS q_tot FROM tf),
+       |ratio AS (SELECT bucket,
+       |    CAST(round(ln((CAST(coalesce(tp, 0) AS DOUBLE) + 1.0) /
+       |        (CAST(t_tot AS DOUBLE) + 2048.0))
+       |      - ln((CAST(tq AS DOUBLE) + 1.0) /
+       |        (CAST(q_tot AS DOUBLE) + 2048.0)), 6) AS DECIMAL(18,6)) AS lr_r
+       |  FROM tq LEFT JOIN tp USING (bucket) CROSS JOIN tot),
+       |raw AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+       |  FROM base WHERE NOT t),
+       |part AS (SELECT doc_id, sum(CAST(c AS DECIMAL(18,6)) * lr_r) AS w
+       |  FROM tf JOIN ratio USING (bucket) WHERE NOT t GROUP BY 1),
+       |sc AS (SELECT raw.doc_id, raw.n_toks,
+       |    coalesce(w, CAST(0 AS DECIMAL(38,12))) AS logw,
+       |    CAST(round(-ln(-ln(
+       |      (CAST(CAST(('0x' || substring(md5('g:' || CAST(raw.doc_id AS VARCHAR)), 1, 15))
+       |          AS BIGINT) AS DOUBLE) + 1.0) / (power(2, 60) + 2.0))), 6)
+       |      AS DECIMAL(18,6)) AS gumbel_r
+       |  FROM raw LEFT JOIN part ON part.doc_id = raw.doc_id)
+       |SELECT doc_id, n_toks, CAST(logw AS DOUBLE) AS logw,
+       |  CAST(logw + gumbel_r AS DOUBLE) AS gkey
+       |FROM sc ORDER BY logw + gumbel_r DESC, doc_id LIMIT 120""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2847,7 +2891,8 @@ object QueryCatalog {
     ("q112_containment_pairs", q112ContainmentPairs _, Some(q112Sql)),
     ("q113_label_outliers", q113LabelOutliers _, Some(q113Sql)),
     ("q114_budget_allocation", q114BudgetAllocation _, Some(q114Sql)),
-    ("q115_dedup_nfc", q115DedupNfc _, Some(q115Sql)))
+    ("q115_dedup_nfc", q115DedupNfc _, Some(q115Sql)),
+    ("q116_dsir_sample", q116DsirSample _, Some(q116Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

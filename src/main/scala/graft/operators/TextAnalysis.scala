@@ -618,6 +618,96 @@ object TextAnalysis {
       when(n > 0, round(alpha.cast("double") / n, 6)).as("alpha_frac"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document in the RAW pool by how much more likely its
+    * hashed bag-of-words is under the TARGET corpus' bucket unigram model
+    * than under the raw pool's own. `isTarget` marks the quality-exemplar
+    * rows — they train the target model and are never scored; everything
+    * else is the raw pool being selected from.
+    *
+    * Features are md5-bucketed normalized tokens (`buckets` cells — the
+    * paper's hashed n-gram generative model), both models add-one
+    * smoothed over the bucket space. log w(x) = Σ_b c_b(x) ·
+    * [ln p_target(b) − ln p_raw(b)]; each per-bucket log-ratio is rounded
+    * ONCE to 6 dp and carried as DECIMAL(18,6), so the per-doc sum is an
+    * order-free exact decimal the oracle replays bit-for-bit (same
+    * determinism contract as [[naiveBayesClassify]]).
+    *
+    * Scale: tokenize+bucket is one map-only pass; per-doc bucket counts
+    * shuffle on (doc, bucket) — bounded by corpus tokens, and the bucket
+    * cap means a long document contributes at most `buckets` rows; the
+    * two model tables aggregate to ≤ `buckets` rows and broadcast back.
+    * Nothing pairs documents. A NULL-text raw doc scores logw = 0 (no
+    * feature rows), mirroring the oracle's row membership.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("_t"),
+        tokens(col(textCol)).as("_toks"))
+      .localCheckpoint(true) // read by the raw universe AND the tf explode
+    val tf = base
+      .select(col("doc_id"), col("_t"), explode(col("_toks")).as("term"))
+      .select(col("doc_id"), col("_t"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") %
+          buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("_t"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by both model aggregates AND scoring
+    val tp = tf.filter(col("_t"))
+      .groupBy(col("bucket")).agg(sum(col("c")).as("tp"))
+    val tq = tf.filter(!col("_t"))
+      .groupBy(col("bucket")).agg(sum(col("c")).as("tq"))
+    val totals = tf.agg(
+      sum(when(col("_t"), col("c")).otherwise(lit(0L))).as("t_tot"),
+      sum(when(!col("_t"), col("c")).otherwise(lit(0L))).as("q_tot"))
+    // raw docs only reference buckets present in tq, so tq LEFT JOIN tp
+    // covers the scored feature space; absent target buckets smooth to
+    // ln(1/(t_tot+B)).
+    val ratio = tq.join(tp, Seq("bucket"), "left").crossJoin(totals)
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("tp"), lit(0L)).cast("double") + 1.0) /
+            (col("t_tot").cast("double") + buckets.toDouble)) -
+            log((col("tq").cast("double") + 1.0) /
+              (col("q_tot").cast("double") + buckets.toDouble)), 6)
+          .cast("decimal(18,6)").as("lr_r"))
+    val rawDocs = base.filter(!col("_t"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_toks"))
+    val partial = tf.filter(!col("_t"))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(18,6)") * col("lr_r")).as("_w"))
+    rawDocs.join(partial, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("_w"), lit(0).cast("decimal(38,12)")).as("logw"))
+  }
+
+  /** The resampling step of DSIR: keep the `k` raw documents with the
+    * largest logw + Gumbel(0,1) noise — Gumbel-top-k IS weighted sampling
+    * without replacement ∝ exp(logw). The noise is derived
+    * deterministically from md5("g:" ++ doc_id), so the draw is seedless,
+    * replayable across runs/partitionings, and identically computable by
+    * the SQL oracle (same trick as [[Sampling.deterministicSample]]).
+    * Selection is orderBy+limit — TakeOrderedAndProject keeps per-partition
+    * heaps of k and never materializes a global sort at scale.
+    */
+  def dsirSample(docs: DataFrame, isTarget: Column, buckets: Int, k: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = dsirWeights(docs, isTarget, buckets, idCol, textCol)
+    val h = conv(substring(md5(concat(lit("g:"), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("double")
+    val u = (h + 1.0) / (math.pow(2.0, 60) + 2.0) // strictly inside (0,1)
+    val g = round(-log(-log(u)), 6).cast("decimal(18,6)")
+    w.withColumn("gumbel_r", g)
+      .withColumn("gkey", col("logw") + col("gumbel_r"))
+      .orderBy(col("gkey").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_toks"),
+        col("logw").cast("double").as("logw"),
+        col("gkey").cast("double").as("gkey"))
+  }
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

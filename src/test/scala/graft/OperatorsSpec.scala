@@ -486,6 +486,36 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row5.getDouble(3) - (-3.349084)) < 1e-6)
   }
 
+  test("dsirWeights/dsirSample: target-like docs outweigh off-target, deterministic Gumbel") {
+    val d = Seq(
+      (1L, "tgt", "x x y x"),     // target exemplars: x-heavy
+      (2L, "tgt", "x y x"),
+      (3L, "raw", "x x x y"),     // raw, target-like -> high weight
+      (4L, "raw", "z z w z"),     // raw, off-target -> low weight
+      (5L, "raw", null.asInstanceOf[String]) // no features -> logw 0, row kept
+    ).toDF("doc_id", "source", "text")
+    val w = TextAnalysis.dsirWeights(d, col("source") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getDecimal(2).doubleValue())).toMap
+    assert(w.keySet === Set(3L, 4L, 5L), "only raw-pool docs are scored")
+    assert(w(3L)._2 > w(4L)._2,
+      "doc made of target vocabulary must outweigh the off-target doc")
+    assert(w(5L)._1.isEmpty && w(5L)._2 === 0.0,
+      "NULL-text raw doc keeps its row with logw 0")
+    // Gumbel-top-k: deterministic across runs, k bounds the output, and
+    // every kept row is from the raw pool
+    val s1 = TextAnalysis.dsirSample(d, col("source") === "tgt", 64, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val s2 = TextAnalysis.dsirSample(d, col("source") === "tgt", 64, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(s1.toSeq === s2.toSeq, "md5-derived Gumbel keys replay exactly")
+    assert(s1.length === 2 && s1.map(_._1).forall(Set(3L, 4L, 5L)))
+    // with k >= pool size the sample is the whole pool ordered by gkey desc
+    val all = TextAnalysis.dsirSample(d, col("source") === "tgt", 64, k = 10)
+      .collect().map(_.getDouble(3))
+    assert(all.length === 3 && all.sameElements(all.sorted(Ordering[Double].reverse)))
+  }
+
   test("perplexityBuckets: per-source bands, sizes balanced, ordering by fluency") {
     val mk = (i: Long, s: String, t: String) => (i, s, t)
     // source A: 6 docs; source B: 3 docs — bands computed independently
