@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Cleanse, Dedup, HeavyHitters, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cleanse, Dedup, HeavyHitters, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.plans.{Integrity, StarSchema}
 
 /** The driver-contract query inventory: one entry per implemented operator
@@ -2771,6 +2771,40 @@ object QueryCatalog {
        |  CAST(logw + gumbel_r AS DOUBLE) AS gkey
        |FROM sc ORDER BY logw + gumbel_r DESC, doc_id LIMIT 120""".stripMargin
 
+  /** Interval-overlap join (Joins.intervalOverlap): concurrent-shipment
+    * pairs per supplier — each lineitem is "in transit" for
+    * [shipdate, shipdate + ceil(quantity/10) days], and every same-supplier
+    * pair of overlapping transit windows counts toward that supplier's
+    * concurrency load. Exercises the bucketized interval-to-interval join
+    * (equi-join on (key, 7-day bucket), exactly-once pair attribution to
+    * the overlap's first bucket — no theta join, no distinct). */
+  def q117ConcurrentShipments(s: SparkSession, dir: String): DataFrame = {
+    val day = unix_date(to_date(col("l_shipdate"))).cast("long")
+    val iv = t(s, dir, "lineitem").select(col("l_suppkey"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+      day.as("s_day"),
+      (day + ceil(col("l_quantity") / 10).cast("long")).as("e_day"))
+    Joins.intervalOverlap(iv, iv, Seq("l_suppkey"),
+        "s_day", "e_day", "s_day", "e_day", bucketWidth = 7)
+      .filter(col("uid") < col("right_uid"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e_day"), col("right_e_day")) -
+          greatest(col("s_day"), col("right_s_day")) + 1).as("overlap_days"))
+  }
+
+  val q117Sql: String =
+    """WITH iv AS (SELECT l_suppkey, l_orderkey*10 + l_linenumber AS uid,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS s_day,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+      |      + CAST(ceil(l_quantity / 10) AS BIGINT) AS e_day
+      |  FROM lineitem)
+      |SELECT a.l_suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(least(a.e_day, b.e_day) - greatest(a.s_day, b.s_day) + 1) AS BIGINT) AS overlap_days
+      |FROM iv a JOIN iv b ON a.l_suppkey = b.l_suppkey AND a.uid < b.uid
+      |  AND a.s_day <= b.e_day AND b.s_day <= a.e_day
+      |GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2892,7 +2926,8 @@ object QueryCatalog {
     ("q113_label_outliers", q113LabelOutliers _, Some(q113Sql)),
     ("q114_budget_allocation", q114BudgetAllocation _, Some(q114Sql)),
     ("q115_dedup_nfc", q115DedupNfc _, Some(q115Sql)),
-    ("q116_dsir_sample", q116DsirSample _, Some(q116Sql)))
+    ("q116_dsir_sample", q116DsirSample _, Some(q116Sql)),
+    ("q117_concurrent_shipments", q117ConcurrentShipments _, Some(q117Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

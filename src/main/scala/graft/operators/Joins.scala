@@ -106,6 +106,62 @@ object Joins {
         rightPayload.map(c => col(s"$rightPrefix$c")): _*)
   }
 
+  /** Interval-overlap join: all (left, right) pairs with the same key
+    * whose CLOSED intervals `[leftStart, leftEnd]` and `[rightStart,
+    * rightEnd]` intersect (`ls <= re AND rs <= le`) — the missing third
+    * temporal-join class next to [[asOf]] (point-to-latest) and
+    * [[rangeJoin]] (point-to-band): interval-to-interval. Bounds are
+    * numeric (epoch days/seconds/micros — caller's unit).
+    *
+    * Implementation: each side explodes its interval to the
+    * `bucketWidth`-wide buckets it covers, the join is a plain equi-join
+    * on (key, bucket), and each surviving pair is attributed to exactly
+    * ONE bucket — the bucket of `max(ls, rs)`, the overlap's start, which
+    * both sides necessarily cover — so no distinct/dedup shuffle is ever
+    * needed. Cost is rows × (span/bucketWidth + 1) per side, an explicit
+    * fan-out knob in place of the O(n²-per-key) theta join Spark would
+    * otherwise plan; pick `bucketWidth` near the typical interval length.
+    * A row whose span would explode to more than `maxSpanBuckets` buckets
+    * fails LOUDLY (raise_error) rather than silently fanning out — at
+    * 100 TB one year-long interval in day buckets is a data bug, not a
+    * join plan.
+    *
+    * Rows with NULL or inverted bounds (end < start) are dropped, like
+    * NULL keys in an equi-join.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      bucketWidth: Long, maxSpanBuckets: Int = 4096,
+                      rightPrefix: String = "right_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val b0 = floor(col(s) / bucketWidth)
+      val b1 = floor(col(e) / bucketWidth)
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(e) >= col(s))
+        .withColumn("_bucket", explode(sequence(b0,
+          when(b1 - b0 >= maxSpanBuckets, raise_error(concat(
+            lit(s"intervalOverlap: span exceeds $maxSpanBuckets buckets at ["),
+            col(s).cast("string"), lit(", "), col(e).cast("string"),
+            lit(s"] with bucketWidth=$bucketWidth — widen bucketWidth or clean the row")))
+          ).otherwise(b1))))
+    }
+    val rightPayload = right.columns.filterNot(keys.contains)
+    val lb = explodeBuckets(left, leftStart, leftEnd)
+    val rb = explodeBuckets(right, rightStart, rightEnd)
+      .select(keys.map(col) :+ col("_bucket") :+
+        struct(rightPayload.toIndexedSeq.map(col): _*).as("_rpay"): _*)
+    lb.join(rb, keys :+ "_bucket")
+      .filter(col(leftStart) <= col(s"_rpay.$rightEnd") &&
+        col(s"_rpay.$rightStart") <= col(leftEnd))
+      // exactly-once attribution: the overlap's first bucket
+      .filter(col("_bucket") ===
+        floor(greatest(col(leftStart), col(s"_rpay.$rightStart")) / bucketWidth))
+      .select(keys.map(col) ++
+        left.columns.filterNot(keys.contains).map(col) ++
+        rightPayload.map(c => col(s"_rpay.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Blocked fuzzy join (entity resolution): candidate pairs share a
     * `blockLen`-char name prefix (one equi-shuffle — the same
     * bucket-then-verify shape as the LSH band join, never all-pairs),

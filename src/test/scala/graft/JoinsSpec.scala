@@ -58,4 +58,40 @@ class JoinsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("right_rid")).sorted
     assert(out.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("intervalOverlap: inclusive bounds, exactly-once pairs across buckets, loud span guard") {
+    val left = Seq(
+      (1L, 10L, 0L, 10L),   // overlaps r1, touches r2 at 10
+      (1L, 11L, 20L, 25L),  // overlaps nothing
+      (1L, 12L, 8L, 32L),   // spans 4 buckets; overlaps r1, r2, r3
+      (2L, 13L, 0L, 10L)    // other key: never pairs with key-1 rows
+    ).toDF("k", "lid", "ls", "le")
+    val right = Seq(
+      (1L, 101L, 5L, 9L),   // r1
+      (1L, 102L, 10L, 15L), // r2: closed-interval touch at 10 counts
+      (1L, 103L, 30L, 40L), // r3: reached only by the long lid=12 row
+      (2L, 104L, 50L, 60L)  // r4: same key as lid=13 but disjoint
+    ).toDF("k", "rid", "rs", "re")
+    val out = Joins.intervalOverlap(left, right, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 10)
+      .collect().map(r => (r.getAs[Long]("lid"), r.getAs[Long]("right_rid")))
+    // every expected pair EXACTLY once — shared coverage of several
+    // buckets (lid=12 × r1 share none; lid=12 × r2 share buckets 1,2,3)
+    // must not duplicate the pair
+    assert(out.sorted.toSeq === Seq((10L, 101L), (10L, 102L),
+      (12L, 101L), (12L, 102L), (12L, 103L)).sorted)
+    // NULL and inverted bounds drop like NULL equi-join keys
+    val dirty = Seq((1L, 20L, Some(5L), Option.empty[Long]),
+      (1L, 21L, Some(9L), Some(3L))).toDF("k", "lid", "ls", "le")
+    assert(Joins.intervalOverlap(dirty, right, Seq("k"),
+      "ls", "le", "rs", "re", bucketWidth = 10).count() === 0L)
+    // pathological span fails loudly instead of fanning out
+    val wide = Seq((1L, 30L, 0L, 1000000L)).toDF("k", "lid", "ls", "le")
+    val e = intercept[Exception] {
+      Joins.intervalOverlap(wide, right, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 10, maxSpanBuckets = 100).count()
+    }
+    assert(e.getMessage.contains("span exceeds") ||
+      Option(e.getCause).exists(_.getMessage.contains("span exceeds")))
+  }
 }

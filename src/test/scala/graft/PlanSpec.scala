@@ -276,6 +276,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"z-scoring is joins + map math, never a window:\n$p")
   }
 
+  test("q116 dsir: tf materialized once, ratio table broadcast, top-k is TakeOrdered") {
+    val p = plan(QueryCatalog.q116DsirSample)
+    assert(p.contains("Scan ExistingRDD"), s"bucket tf must be a materialized leaf:\n$p")
+    assert(!p.contains("Scan parquet"), s"no branch may re-tokenize the corpus:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"Gumbel top-k must be TakeOrderedAndProject, not a global sort or window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("PARTITION BY ()"),
+      s"no all-pairs, no unpartitioned window:\n$p")
+  }
+
+  test("q117 interval overlap: equi-join on (key, bucket), never a theta join") {
+    val p = plan(QueryCatalog.q117ConcurrentShipments)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap predicate must ride the bucket equi-join:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in the pair path:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
