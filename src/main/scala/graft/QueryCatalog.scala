@@ -2805,6 +2805,51 @@ object QueryCatalog {
       |  AND a.s_day <= b.e_day AND b.s_day <= a.e_day
       |GROUP BY 1""".stripMargin
 
+  /** Tokenizer fertility / encoding efficiency per (source, lang) slice
+    * (TextAnalysis.tokenizerFertility): subword-per-word fertility,
+    * chars/token, UTF-8 bytes/token — the corpus-budget numbers. One scan
+    * + one tiny partial-agg shuffle. */
+  def q118TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(t(s, dir, "documents"))
+
+  val q118Sql: String =
+    """WITH m AS (SELECT source, lang,
+      |    len(string_split(text, ' ')) AS ws,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+      |    len(text) AS ch, strlen(text) AS bt
+      |  FROM documents)
+      |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ws) AS BIGINT) AS n_words,
+      |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(ch) AS BIGINT) AS n_chars,
+      |  CAST(sum(bt) AS BIGINT) AS n_bytes,
+      |  round(CAST(sum(ch) AS DOUBLE) / nullif(CAST(sum(bpe) AS DOUBLE), 0), 6) AS chars_per_token,
+      |  round(CAST(sum(bt) AS DOUBLE) / nullif(CAST(sum(bpe) AS DOUBLE), 0), 6) AS bytes_per_token,
+      |  round(CAST(sum(bpe) AS DOUBLE) / nullif(CAST(sum(ws) AS DOUBLE), 0), 6) AS fertility
+      |FROM m GROUP BY 1, 2""".stripMargin
+
+  /** Declared-vs-detected language confusion matrix
+    * (TextAnalysis.langConfusion): doc counts per (declared, predicted)
+    * cell — the metadata QA pass over the lang column. */
+  def q119LangConfusion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(t(s, dir, "documents"))
+
+  val q119Sql: String = {
+    def hits(ws: String) = s"len(regexp_extract_all(text, '\\b($ws)\\b'))"
+    val en = hits("the|and|of|to|in"); val de = hits("der|die|das|und|ist")
+    val fr = hits("le|la|les|et|est"); val es = hits("el|los|las|es|y")
+    s"""WITH p AS (SELECT lang,
+       |    CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+       |         WHEN $en = greatest($en, $de, $fr, $es) THEN 'en'
+       |         WHEN $de = greatest($en, $de, $fr, $es) THEN 'de'
+       |         WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM documents)
+       |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS BIGINT) AS is_match
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2927,7 +2972,9 @@ object QueryCatalog {
     ("q114_budget_allocation", q114BudgetAllocation _, Some(q114Sql)),
     ("q115_dedup_nfc", q115DedupNfc _, Some(q115Sql)),
     ("q116_dsir_sample", q116DsirSample _, Some(q116Sql)),
-    ("q117_concurrent_shipments", q117ConcurrentShipments _, Some(q117Sql)))
+    ("q117_concurrent_shipments", q117ConcurrentShipments _, Some(q117Sql)),
+    ("q118_tokenizer_fertility", q118TokenizerFertility _, Some(q118Sql)),
+    ("q119_lang_confusion", q119LangConfusion _, Some(q119Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

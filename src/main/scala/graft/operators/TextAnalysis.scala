@@ -708,6 +708,50 @@ object TextAnalysis {
         col("gkey").cast("double").as("gkey"))
   }
 
+  /** Tokenizer fertility / encoding-efficiency stats per group: how many
+    * subword tokens per word (fertility), characters per token, and UTF-8
+    * bytes per token each (source, lang) slice costs — the numbers that
+    * size a tokenizer's vocabulary and predict training-token budgets per
+    * corpus slice (multi-byte scripts inflate bytes/token; fragmenting
+    * scripts inflate fertility). One map-only scan + one partial-agg
+    * shuffle of a handful of longs per group; NULL-text docs count toward
+    * n_docs but contribute no token mass (sum skips NULL, both engines).
+    */
+  def tokenizerFertility(docs: DataFrame,
+                         groupCols: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val bpe = sum(col("_bpe"))
+    val ws = sum(col("_ws"))
+    docs.select(groupCols.map(col) ++ Seq(
+        tokenCount(col("text")).cast("long").as("_ws"),
+        tokenCountBpe(col("text")).cast("long").as("_bpe"),
+        length(col("text")).cast("long").as("_chars"),
+        octet_length(col("text")).cast("long").as("_bytes")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        ws.as("n_words"),
+        bpe.as("n_bpe_tokens"),
+        sum(col("_chars")).as("n_chars"),
+        sum(col("_bytes")).as("n_bytes"),
+        round(sum(col("_chars")).cast("double") /
+          when(bpe =!= 0, bpe.cast("double")), 6).as("chars_per_token"),
+        round(sum(col("_bytes")).cast("double") /
+          when(bpe =!= 0, bpe.cast("double")), 6).as("bytes_per_token"),
+        round(bpe.cast("double") /
+          when(ws =!= 0, ws.cast("double")), 6).as("fertility"))
+  }
+
+  /** Declared-vs-detected language confusion matrix: every (declared
+    * lang, [[langIdHeuristic]] prediction) cell with its doc count — the
+    * language-metadata QA pass that catches mislabeled slices before a
+    * lang-filtered training mix trusts the labels. One scan + one tiny
+    * aggregate; the matrix is at most |langs|² rows. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), langIdHeuristic(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_match",
+        when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+
   /** Per-document profile: all cheap text metrics in one projection (one
     * scan at any scale). */
   def profile(docs: DataFrame): DataFrame = docs.select(

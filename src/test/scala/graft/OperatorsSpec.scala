@@ -516,6 +516,45 @@ class OperatorsSpec extends SparkSpec {
     assert(all.length === 3 && all.sameElements(all.sorted(Ordering[Double].reverse)))
   }
 
+  test("tokenizerFertility: multibyte bytes>chars, NULL text counts docs only, zero guards") {
+    val d = Seq(
+      (1L, "a", "en", "cats and dogs"),        // 3 words, 3 bpe tokens
+      (2L, "a", "en", "state-of-the-art"),     // 1 word, 7 bpe tokens (4 runs + 3 hyphens)
+      (3L, "b", "de", "straße größe"),         // multibyte ß: bytes > chars
+      (4L, "b", "de", null.asInstanceOf[String]) // counts as a doc, no token mass
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.tokenizerFertility(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val a = out(("a", "en"))
+    assert(a.getAs[Long]("n_docs") === 2L && a.getAs[Long]("n_words") === 4L)
+    assert(a.getAs[Long]("n_bpe_tokens") === 10L)
+    assert(a.getAs[Double]("fertility") === 2.5)
+    val b = out(("b", "de"))
+    assert(b.getAs[Long]("n_docs") === 2L, "NULL-text doc still counts")
+    assert(b.getAs[Long]("n_bytes") > b.getAs[Long]("n_chars"),
+      "UTF-8 multibyte chars must make bytes exceed chars")
+    // all-NULL group: ratios NULL, not a crash or a zero-division
+    val nullOnly = Seq((5L, "c", "zz", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "lang", "text")
+    val c = TextAnalysis.tokenizerFertility(nullOnly).collect().head
+    assert(c.getAs[Long]("n_docs") === 1L && c.isNullAt(c.fieldIndex("fertility")))
+  }
+
+  test("langConfusion: cells count declared-vs-predicted, match flag set") {
+    val d = Seq(
+      (1L, "en", "the cat and the dog"),   // en predicted
+      (2L, "en", "der hund ist und das"),  // de predicted but declared en
+      (3L, "de", "der die das und ist"),   // de/de
+      (4L, "xx", "qqq zzz www")            // no stopword hits -> 'und'
+    ).toDF("doc_id", "lang", "text")
+    val cells = TextAnalysis.langConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(cells(("en", "en")) === ((1L, 1L)))
+    assert(cells(("en", "de")) === ((1L, 0L)))
+    assert(cells(("de", "de")) === ((1L, 1L)))
+    assert(cells(("xx", "und")) === ((1L, 0L)))
+  }
+
   test("perplexityBuckets: per-source bands, sizes balanced, ordering by fluency") {
     val mk = (i: Long, s: String, t: String) => (i, s, t)
     // source A: 6 docs; source B: 3 docs — bands computed independently
