@@ -137,6 +137,12 @@ object ScaleCheck {
       graft.operators.TextAnalysis.naiveBayesClassify(docs))
     time("perplexity_bands")(
       graft.operators.TextAnalysis.perplexityBuckets(docs, nBuckets = 3))
+    // DSIR weights: two corpus-token aggregates (models collapse to
+    // ≤ buckets rows and broadcast), one (doc,bucket) shuffle bounded by
+    // corpus tokens, TakeOrdered top-k — linear in the corpus
+    time("dsir_sample")(
+      graft.operators.TextAnalysis.dsirSample(docs,
+        isTarget = col("lang") === "en", buckets = 2048, k = 120))
     time("cluster_split")(
       graft.operators.Sampling.threeWaySplit(
         docs.select(col("doc_id"))
