@@ -2850,6 +2850,38 @@ object QueryCatalog {
        |FROM p GROUP BY 1, 2""".stripMargin
   }
 
+  /** Truncated EWMA trend smoothing (TimeSeries.ewmaSmooth): daily event
+    * counts per type, smoothed by an exponentially weighted mean over the
+    * trailing 14 observed days (α=0.3), computed scatter-style — each
+    * observation explodes to the days it influences with once-rounded
+    * decimal weights, one (series, day) shuffle, no window, no per-series
+    * sort. Gap days contribute nothing (weights renormalize over what's
+    * present). */
+  def q120EwmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TimeSeries.ewmaSmooth(daily, "event_type", "day", "n",
+      alpha = 0.3, horizonDays = 14)
+  }
+
+  val q120Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |sc AS (SELECT d.event_type, d.day + s.r AS day,
+      |    CAST(round(CAST(d.n AS DOUBLE), 6) AS DECIMAL(18,6))
+      |      * CAST(round(power(0.7, s.r), 9) AS DECIMAL(12,9)) AS wx,
+      |    CAST(round(power(0.7, s.r), 9) AS DECIMAL(12,9)) AS w
+      |  FROM daily d CROSS JOIN range(14) s(r)),
+      |agg AS (SELECT event_type, day, sum(wx) AS num, sum(w) AS den
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT d.event_type, d.day, d.n,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+      |FROM daily d JOIN agg USING (event_type, day)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -2974,7 +3006,8 @@ object QueryCatalog {
     ("q116_dsir_sample", q116DsirSample _, Some(q116Sql)),
     ("q117_concurrent_shipments", q117ConcurrentShipments _, Some(q117Sql)),
     ("q118_tokenizer_fertility", q118TokenizerFertility _, Some(q118Sql)),
-    ("q119_lang_confusion", q119LangConfusion _, Some(q119Sql)))
+    ("q119_lang_confusion", q119LangConfusion _, Some(q119Sql)),
+    ("q120_ewma_smooth", q120EwmaSmooth _, Some(q120Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

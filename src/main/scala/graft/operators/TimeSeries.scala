@@ -53,6 +53,49 @@ object TimeSeries {
           .as("anomaly"))
   }
 
+  /** Truncated EWMA trend smoothing: per series, the exponentially
+    * weighted mean of the last `horizonDays` observed daily values,
+    * w(δ) = (1−α)^δ normalized over the weights actually present — so a
+    * gap day simply contributes nothing instead of decaying a stale
+    * carry. Truncation is what makes it scale-correct: the classic
+    * recursive EWMA needs either a sequential scan per series or
+    * unbounded (1/(1−α))^day rescaling that overflows doubles after a few
+    * hundred days; a bounded horizon keeps every weight exactly
+    * representable and the window finite at any history length.
+    *
+    * Implementation is scatter-not-window: each observation explodes to
+    * the `horizonDays` target days it influences with a ONCE-rounded
+    * DECIMAL(12,9) weight (map-side, a constant-folded literal array), a
+    * single (series, day) shuffle sums exact decimal products, and an
+    * equi-join back onto observed days drops phantom targets. No window
+    * function, no per-series sort, deterministic under any partitioning —
+    * the oracle replays it bit-for-bit.
+    */
+  def ewmaSmooth(daily: DataFrame, seriesCol: String, dayCol: String,
+                 valueCol: String, alpha: Double,
+                 horizonDays: Int = 14): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(horizonDays >= 1 && horizonDays <= 3650, "horizon out of range")
+    val d = daily.localCheckpoint(true) // scatter source AND target spine
+    val offsets = array((0 until horizonDays).map { dl =>
+      struct(lit(dl.toLong).as("delta"),
+        round(lit(math.pow(1 - alpha, dl)), 9).cast("decimal(12,9)").as("w"))
+    }: _*)
+    val scattered = d
+      .select(col(seriesCol), col(dayCol), col(valueCol),
+        explode(offsets).as("_ow"))
+      .select(col(seriesCol),
+        (col(dayCol) + col("_ow.delta")).as(dayCol),
+        (round(col(valueCol), 6).cast("decimal(18,6)") * col("_ow.w")).as("_wx"),
+        col("_ow.w").as("_w"))
+      .groupBy(col(seriesCol), col(dayCol))
+      .agg(sum(col("_wx")).as("_num"), sum(col("_w")).as("_den"))
+    d.join(scattered, Seq(seriesCol, dayCol))
+      .select(col(seriesCol), col(dayCol), col(valueCol),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6)
+          .as("ewma"))
+  }
+
   def gapFillDaily(daily: DataFrame, seriesCol: String, dayCol: String,
                    valueCol: String): DataFrame = {
     // three consumers below (bounds, series dim, join side): materialize so

@@ -788,6 +788,30 @@ class OperatorsSpec extends SparkSpec {
     assert(s.values.forall(v => v._2 > 0.0))
   }
 
+  test("ewmaSmooth: hand-computed weights, gap days renormalize, horizon truncates") {
+    val daily = Seq(
+      ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 3L, 40.0), // gap at day 2
+      ("b", 0L, 5.0)
+    ).toDF("series", "day", "v")
+    val out = graft.operators.TimeSeries.ewmaSmooth(
+        daily, "series", "day", "v", alpha = 0.5, horizonDays = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out(("a", 0L)) === 10.0, "first day is its own mean")
+    // day1: (20*1 + 10*0.5) / 1.5
+    assert(math.abs(out(("a", 1L)) - 16.666667) < 1e-6)
+    // day3: day2 absent -> weights renormalize to just w0; day1 is past
+    // the 2-day horizon and must NOT leak in
+    assert(out(("a", 3L)) === 40.0)
+    assert(out(("b", 0L)) === 5.0, "series do not cross-contaminate")
+    // horizon 3 reaches across the gap: (40*1 + 20*0.25) / 1.25
+    val h3 = graft.operators.TimeSeries.ewmaSmooth(
+        daily, "series", "day", "v", alpha = 0.5, horizonDays = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(h3(("a", 3L)) - 36.0) < 1e-6)
+    // output has exactly one row per observed (series, day) — no phantom days
+    assert(out.size === 4)
+  }
+
   test("gapFillDaily: dense spine, forward fill, leading gaps stay NULL") {
     val daily = Seq(
       ("a", java.sql.Date.valueOf("2024-01-01"), 10.0),
