@@ -2882,6 +2882,45 @@ object QueryCatalog {
       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
       |FROM daily d JOIN agg USING (event_type, day)""".stripMargin
 
+  /** Poisson-bootstrap confidence interval (Stats.poissonBootstrap):
+    * ±1.96·SE interval on each source's mean document length from 32
+    * deterministic Poisson(1) resamples — multiplicities inverted from
+    * md5-derived uniforms so the "random" bootstrap replays bit-for-bit
+    * in both engines. */
+  def q121BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.poissonBootstrap(t(s, dir, "documents"),
+      "source", "doc_id", col("n_chars"), replicas = 32)
+
+  val q121Sql: String =
+    """WITH base AS (SELECT source, doc_id,
+      |    CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      |  FROM documents),
+      |pt AS (SELECT source, CAST(count(x) AS BIGINT) AS n,
+      |    round(CAST(sum(x) AS DOUBLE) / count(x), 6) AS mean FROM base GROUP BY 1),
+      |f AS (SELECT source, b.r AS b, x,
+      |    CAST(CAST(('0x' || substring(md5('p:' || CAST(b.r AS VARCHAR) || ':'
+      |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / power(2, 60) AS u
+      |  FROM base CROSS JOIN range(32) b(r)),
+      |c AS (SELECT source, b, x,
+      |    CASE WHEN u < 0.367879441171 THEN 0 WHEN u < 0.735758882343 THEN 1
+      |         WHEN u < 0.919698602929 THEN 2 WHEN u < 0.981011843124 THEN 3
+      |         WHEN u < 0.996340153173 THEN 4 WHEN u < 0.999405815182 THEN 5
+      |         WHEN u < 0.999916758851 THEN 6 WHEN u < 0.999989750803 THEN 7
+      |         ELSE 8 END AS cnt
+      |  FROM f),
+      |rm AS (SELECT source, b,
+      |    CAST(round(CAST(sum(cnt * x) AS DOUBLE) / sum(cnt), 9) AS DECIMAL(20,9)) AS m
+      |  FROM c GROUP BY 1, 2 HAVING sum(cnt) > 0),
+      |sp AS (SELECT source, CAST(count(m) AS BIGINT) AS n_replicas,
+      |    round(sqrt((CAST(sum(m * m) AS DOUBLE)
+      |        - CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE) / count(m))
+      |      / (count(m) - 1)), 6) AS se_boot
+      |  FROM rm GROUP BY 1)
+      |SELECT pt.source, n, mean, se_boot,
+      |  round(mean - 1.96 * se_boot, 6) AS ci_lo,
+      |  round(mean + 1.96 * se_boot, 6) AS ci_hi, n_replicas
+      |FROM pt JOIN sp USING (source)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3007,7 +3046,8 @@ object QueryCatalog {
     ("q117_concurrent_shipments", q117ConcurrentShipments _, Some(q117Sql)),
     ("q118_tokenizer_fertility", q118TokenizerFertility _, Some(q118Sql)),
     ("q119_lang_confusion", q119LangConfusion _, Some(q119Sql)),
-    ("q120_ewma_smooth", q120EwmaSmooth _, Some(q120Sql)))
+    ("q120_ewma_smooth", q120EwmaSmooth _, Some(q120Sql)),
+    ("q121_bootstrap_ci", q121BootstrapCi _, Some(q121Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

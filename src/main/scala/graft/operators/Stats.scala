@@ -61,4 +61,74 @@ object Stats {
           lit(" — rescale the metrics (bound: n*max|x|*max|y| < ~1e17)"))))
         .otherwise(denx > 0 && deny > 0 && lhs > rhs).as("strong"))
   }
+
+  /** Poisson(1) CDF thresholds, rounded once to 12 dp — shared verbatim
+    * with the SQL oracle so multiplicity draws are engine-identical. */
+  private val poissonCdf: Seq[Double] = Seq(
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * scale-correct bootstrap (Chamandy et al. 2012, "Estimating
+    * Uncertainty for Massive Data Streams"): classical resampling of n
+    * rows with replacement needs coordinated global draws, but each row's
+    * multiplicity in a resample is asymptotically an INDEPENDENT
+    * Poisson(1), so every row can draw its own multiplicities for all
+    * `replicas` replicas map-side and never talk to another row.
+    *
+    * Determinism: the multiplicity for (row, replica b) inverts the
+    * Poisson(1) CDF at u = md5("p:" ++ b ++ ":" ++ id) / 2^60 — seedless,
+    * partition-independent, replayed exactly by the oracle (the md5
+    * uniform trick of [[TextAnalysis.dsirSample]]'s Gumbel keys).
+    * Multiplicity caps at 8 (P ≈ 1e-6, the CDF tail rounds to 1 at 12 dp).
+    * Replica means ride exact decimal sums; a replica that draws zero
+    * total multiplicity for a group drops out of the spread (count of
+    * replica means, both engines).
+    *
+    * Returns (group, n, mean, se_boot, ci_lo, ci_hi, n_replicas) with a
+    * ±1.96·SE normal interval. Scale: one map-side `replicas`× fan-out
+    * (the documented bootstrap cost), one (group, replica) partial-agg
+    * shuffle, then one row per (group, replica) — nothing pairs rows.
+    */
+  def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
+                       value: Column, replicas: Int = 32): DataFrame = {
+    require(replicas >= 2 && replicas <= 1024, "replicas out of range")
+    val base = df.select(col(groupCol), col(idCol).as("_id"),
+        round(value, 6).cast("decimal(18,6)").as("_x"))
+      .localCheckpoint(true) // read by the point estimate AND the fan-out
+    val point = base.groupBy(col(groupCol))
+      .agg(count(col("_x")).as("n"),
+        round(sum(col("_x")).cast("double") / count(col("_x")), 6).as("mean"))
+    val u = conv(substring(md5(concat(lit("p:"), col("_b").cast("string"),
+      lit(":"), col("_id").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2.0, 60))
+    // CASE WHEN u<t0 THEN 0 WHEN u<t1 THEN 1 … ELSE 8 — built inside-out,
+    // so fold the thresholds largest-first and the smallest checks first
+    val multOrdered = poissonCdf.zipWithIndex.reverse.foldLeft(lit(8): Column) {
+      case (acc, (t, k)) => when(u < t, lit(k)).otherwise(acc)
+    }
+    val repMeans = base
+      .withColumn("_b", explode(array((0 until replicas).map(lit): _*)))
+      .withColumn("_c", multOrdered.cast("long"))
+      .groupBy(col(groupCol), col("_b"))
+      .agg(sum(col("_c") * col("_x")).as("_cx"), sum(col("_c")).as("_cn"))
+      .filter(col("_cn") > 0)
+      .select(col(groupCol),
+        round(col("_cx").cast("double") / col("_cn"), 9)
+          .cast("decimal(20,9)").as("_m"))
+    val spread = repMeans.groupBy(col(groupCol))
+      .agg(count(col("_m")).as("n_replicas"),
+        sum(col("_m")).as("_sm"), sum(col("_m") * col("_m")).as("_smm"))
+      .select(col(groupCol), col("n_replicas"),
+        when(col("n_replicas") > 1, round(sqrt(
+          (col("_smm").cast("double") -
+            col("_sm").cast("double") * col("_sm").cast("double") / col("n_replicas")) /
+            (col("n_replicas") - 1)), 6)).as("se_boot"))
+    point.join(spread, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("mean"),
+        col("se_boot"),
+        round(col("mean") - lit(1.96) * col("se_boot"), 6).as("ci_lo"),
+        round(col("mean") + lit(1.96) * col("se_boot"), 6).as("ci_hi"),
+        col("n_replicas"))
+  }
 }

@@ -812,6 +812,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("poissonBootstrap: constant group has zero spread, CI brackets the mean, deterministic") {
+    val const = (1L to 200L).map(i => ("c", i, 42.0))
+    val varied = (1L to 200L).map(i => ("v", i, (i % 10).toDouble))
+    val d = (const ++ varied).toDF("g", "id", "x")
+    val out = graft.operators.Stats.poissonBootstrap(d, "g", "id", col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = out("c")
+    assert(c.getAs[Long]("n") === 200L && c.getAs[Double]("mean") === 42.0)
+    assert(c.getAs[Double]("se_boot") === 0.0,
+      "every resample of a constant has the same mean")
+    assert(c.getAs[Double]("ci_lo") === 42.0 && c.getAs[Double]("ci_hi") === 42.0)
+    val v = out("v")
+    assert(v.getAs[Double]("se_boot") > 0.0)
+    // SE of the mean of 200 draws from {0..9} (sigma~2.87) is ~0.2 — the
+    // bootstrap spread must land in that ballpark, not at 0 or sigma
+    assert(v.getAs[Double]("se_boot") > 0.05 && v.getAs[Double]("se_boot") < 0.8)
+    assert(v.getAs[Double]("ci_lo") < v.getAs[Double]("mean") &&
+      v.getAs[Double]("mean") < v.getAs[Double]("ci_hi"))
+    assert(v.getAs[Long]("n_replicas") === 32L)
+    // deterministic: the "random" draw replays exactly
+    val again = graft.operators.Stats.poissonBootstrap(d, "g", "id", col("x"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("se_boot")).toMap
+    assert(again("v") === v.getAs[Double]("se_boot"))
+  }
+
   test("gapFillDaily: dense spine, forward fill, leading gaps stay NULL") {
     val daily = Seq(
       ("a", java.sql.Date.valueOf("2024-01-01"), 10.0),
