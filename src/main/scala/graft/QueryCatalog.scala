@@ -2921,6 +2921,39 @@ object QueryCatalog {
       |  round(mean + 1.96 * se_boot, 6) AS ci_hi, n_replicas
       |FROM pt JOIN sp USING (source)""".stripMargin
 
+  /** Canonical-doc centrality (Dedup.pageRank over the q24 near-dup pair
+    * graph): 8 damped power-method iterations with once-rounded decimal
+    * contribution sums, so the "which copy is canonical" ranking replays
+    * bit-for-bit. The oracle splices q24's pair CTE chain and unrolls the
+    * same 8 iterations as plain CTEs. */
+  def q122DedupPagerank(s: SparkSession, dir: String): DataFrame =
+    Dedup.pageRank(
+      Dedup.minhashLsh(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
+        threshold = 0.5, maxBucket = 100))
+
+  val q122Sql: String = {
+    val pairSelect = "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"
+    assert(q24Sql.endsWith(pairSelect), "q122Sql tracks q24Sql's pair tail")
+    val iters = (0 until 8).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |    sum(CAST(round(pr$i.pr / deg.deg, 12) AS DECIMAL(22,12))) AS s
+         |  FROM e JOIN pr$i ON e.src = pr$i.id JOIN deg ON deg.src = e.src
+         |  GROUP BY 1),
+         |pr${i + 1} AS (SELECT deg.src AS id,
+         |    round(0.15 / nn + 0.85 * CAST(coalesce(c$i.s, 0) AS DOUBLE), 12) AS pr
+         |  FROM deg CROSS JOIN n LEFT JOIN c$i ON c$i.id = deg.src)""".stripMargin
+    }.mkString(",\n")
+    q24Sql.dropRight(pairSelect.length).stripTrailing() + ",\n" +
+      s"""p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+         |pr0 AS (SELECT src AS id, round(1.0 / nn, 12) AS pr FROM deg CROSS JOIN n),
+         |$iters
+         |SELECT id AS doc_id, pr FROM pr8""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3047,7 +3080,8 @@ object QueryCatalog {
     ("q118_tokenizer_fertility", q118TokenizerFertility _, Some(q118Sql)),
     ("q119_lang_confusion", q119LangConfusion _, Some(q119Sql)),
     ("q120_ewma_smooth", q120EwmaSmooth _, Some(q120Sql)),
-    ("q121_bootstrap_ci", q121BootstrapCi _, Some(q121Sql)))
+    ("q121_bootstrap_ci", q121BootstrapCi _, Some(q121Sql)),
+    ("q122_dedup_pagerank", q122DedupPagerank _, Some(q122Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

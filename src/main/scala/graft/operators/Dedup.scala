@@ -589,6 +589,59 @@ object Dedup {
     * `edges` must have two id columns `(aCol, bCol)`; returns
     * (doc_id, cluster_id) for every node that appears in an edge.
     */
+  /** PageRank over the (undirected) near-dup pair graph: degree-weighted
+    * centrality for every document that has at least one near-duplicate —
+    * the principled "which copy is canonical" signal (the hub a cluster's
+    * variants all resemble ranks highest), where min-id keep rules pick
+    * an arbitrary member. Fixed `iterations` of the damped power method;
+    * an undirected graph has no dangling nodes, so no leaked-mass term.
+    *
+    * Determinism: each node's per-iteration contribution pr/deg is
+    * rounded ONCE to 12 dp and summed as DECIMAL(22,12) — order-free —
+    * and the damped update re-rounds to 12 dp, so every iteration's
+    * scores are bit-identical in any engine/partitioning and the oracle
+    * unrolls the same 8 steps as plain CTEs.
+    *
+    * Scale: per iteration one (src) equi-join of edges×scores and one
+    * dst-keyed partial-agg shuffle — cost ∝ edge count (the duplicated
+    * subset, never the corpus), frames localCheckpointed so the lineage
+    * stays flat. Iterations are fixed, not convergence-polled: power
+    * iteration's error decays as damping^k and downstream only consumes
+    * the RANKING, which stabilizes far earlier.
+    */
+  def pageRank(edges: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", iterations: Int = 8,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations out of range")
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = deg.count() // control-plane scalar: node count
+    if (n == 0) return deg.select(col("src").as("doc_id"), lit(0.0).as("pr"))
+    var pr = deg.select(col("src").as("id"), lit(rnd12(1.0 / n)).as("pr"))
+      .localCheckpoint(true)
+    val base = (1.0 - damping) / n
+    for (_ <- 0 until iterations) {
+      val c = und
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          round(col("pr") / col("deg"), 12).cast("decimal(22,12)").as("_c"))
+        .groupBy(col("id")).agg(sum(col("_c")).as("_s"))
+      pr = deg.select(col("src").as("id")).join(c, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(base) + lit(damping) *
+            coalesce(col("_s").cast("double"), lit(0.0)), 12).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id").as("doc_id"), col("pr"))
+  }
+
+  private def rnd12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxRounds: Int = 30,
                           escalateAfter: Int = 8): DataFrame = {

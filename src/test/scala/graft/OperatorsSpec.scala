@@ -812,6 +812,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("pageRank: hub outranks leaves, symmetry ties, mass conserved, deterministic") {
+    // star 1-{2,3,4} plus a disconnected symmetric pair 10-11
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val pr = graft.operators.Dedup.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size === 6)
+    assert(pr(1L) > pr(2L), "hub must outrank its leaves")
+    assert(pr(2L) === pr(3L) && pr(3L) === pr(4L), "symmetric leaves tie exactly")
+    assert(pr(10L) === pr(11L), "symmetric pair ties exactly")
+    // total mass stays ~1 (undirected graph: no dangling leak; only
+    // 12-dp rounding residue)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    val again = graft.operators.Dedup.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === pr, "fixed-iteration decimal path replays exactly")
+  }
+
   test("poissonBootstrap: constant group has zero spread, CI brackets the mean, deterministic") {
     val const = (1L to 200L).map(i => ("c", i, 42.0))
     val varied = (1L to 200L).map(i => ("v", i, (i % 10).toDouble))
