@@ -293,6 +293,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window anywhere in the pair path:\n$p")
   }
 
+  test("q120 ewma: scatter not window — no Window operator, one agg shuffle") {
+    val p = plan(QueryCatalog.q120EwmaSmooth)
+    assert(!p.contains("Window"), s"EWMA must be scatter+agg, never a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairing joins:\n$p")
+  }
+
+  test("q121 bootstrap: map-side fan-out, two agg shuffles, no window, no cartesian") {
+    val p = plan(QueryCatalog.q121BootstrapCi)
+    assert(p.contains("Scan ExistingRDD"), s"base frame must be a materialized leaf:\n$p")
+    assert(!p.contains("Window"), s"replica spread is aggregation, never a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pairing anywhere:\n$p")
+  }
+
+  test("q122 pagerank: iteration frames are materialized leaves, equi-joins only") {
+    val p = plan(QueryCatalog.q122DedupPagerank)
+    assert(p.contains("Scan ExistingRDD"),
+      s"per-iteration frames must be checkpointed leaves (flat lineage):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contribution flow must ride src/dst equi-joins:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
