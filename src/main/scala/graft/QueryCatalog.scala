@@ -2954,6 +2954,26 @@ object QueryCatalog {
          |SELECT id AS doc_id, pr FROM pr8""".stripMargin
   }
 
+  /** JL random projection (Similarity.randomProjection): 64-dim
+    * embeddings down to 16 ±1-signed components (Achlioptas 2003), the
+    * md5-derived sign matrix regenerated identically by both engines.
+    * Exploded (vec_id, j, component) output — comparator-safe, decimal
+    * sums order-free. */
+  def q123RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(t(s, dir, "embeddings"), dims = 64, outDims = 16)
+
+  val q123Sql: String =
+    """WITH s AS (SELECT CAST(r // 16 + 1 AS BIGINT) AS d, CAST(r % 16 AS BIGINT) AS j,
+      |    CASE WHEN CAST(('0x' || substring(md5('rp:' || CAST(r // 16 + 1 AS VARCHAR)
+      |        || ':' || CAST(r % 16 AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM range(1024) t(r)),
+      |v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(round(unnest(CAST(embedding AS DOUBLE[])), 6) AS DECIMAL(12,6)) AS x
+      |  FROM embeddings)
+      |SELECT vec_id, j, CAST(sum(x * sgn) AS DOUBLE) / sqrt(16.0) AS component
+      |FROM v JOIN s USING (d) GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3081,7 +3101,8 @@ object QueryCatalog {
     ("q119_lang_confusion", q119LangConfusion _, Some(q119Sql)),
     ("q120_ewma_smooth", q120EwmaSmooth _, Some(q120Sql)),
     ("q121_bootstrap_ci", q121BootstrapCi _, Some(q121Sql)),
-    ("q122_dedup_pagerank", q122DedupPagerank _, Some(q122Sql)))
+    ("q122_dedup_pagerank", q122DedupPagerank _, Some(q122Sql)),
+    ("q123_random_projection", q123RandomProjection _, Some(q123Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

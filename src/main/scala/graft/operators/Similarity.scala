@@ -310,4 +310,55 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
+
+  /** Johnson–Lindenstrauss random projection: reduce `dims`-dim embeddings
+    * to `outDims` components with a ±1 sign matrix (Achlioptas 2003,
+    * "Database-friendly random projections" — the dense ±1 variant
+    * preserves pairwise distances/cosines within 1±ε at
+    * outDims ≈ 8·ln(n)/ε², no Gaussians needed). The matrix is never
+    * stored: sign(d, j) is the parity of md5("rp:d:j"), so any executor —
+    * or the SQL oracle — regenerates the identical matrix from nothing.
+    *
+    * Output is EXPLODED (vec_id, j, component) rows — the shape every
+    * downstream op here consumes (and the comparator-safe one); pivot to
+    * arrays at the edge if a dense layout is needed. Components divide by
+    * √outDims so cosine/dot magnitudes stay comparable pre/post.
+    *
+    * Determinism: values are once-rounded to DECIMAL(12,6) before the
+    * sign multiply, so each component's sum is order-free exact decimal;
+    * the output is that exact decimal pushed through ONE IEEE division —
+    * deliberately NOT re-rounded, because a 6-dp decimal divided by
+    * √outDims lands exactly on half-ulp ties where engines' round()
+    * tie-rules diverge (Spark rounds the canonical decimal string, DuckDB
+    * the binary value), while the unrounded doubles are bit-identical.
+    *
+    * Scale: one posexplode scan of the vectors, one broadcast of the
+    * dims×outDims sign table (literal-sized), one (vec, j) partial-agg
+    * shuffle carrying outDims rows per vector — the shuffle SHRINKS by
+    * dims/outDims versus shipping raw vectors; this is the standard
+    * pre-reduction before ANN/clustering at web scale.
+    */
+  def randomProjection(emb: DataFrame, dims: Int, outDims: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && outDims >= 1 && outDims <= dims,
+      "need 1 <= outDims <= dims")
+    val signs = emb.sparkSession.range(dims.toLong * outDims)
+      .select((floor(col("id") / outDims) + 1).cast("long").as("d"),
+        (col("id") % outDims).cast("long").as("j"))
+      .select(col("d"), col("j"),
+        when(conv(substring(md5(concat(lit("rp:"), col("d").cast("string"),
+          lit(":"), col("j").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2 === 0, 1).otherwise(-1).as("_sign"))
+    val v = emb
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("d"),
+        round(col("_v").cast("double"), 6).cast("decimal(12,6)").as("_x"))
+    v.join(broadcast(signs), Seq("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("_x") * col("_sign")).as("_s"))
+      .select(col("vec_id"), col("j"),
+        (col("_s").cast("double") / lit(math.sqrt(outDims.toDouble)))
+          .as("component"))
+  }
 }

@@ -812,6 +812,51 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("randomProjection: basis vectors hit ±1/√k, linearity, cosine roughly preserved") {
+    // dims=2, outDims=2: projecting basis vectors exposes the sign matrix
+    val basis = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val p = graft.operators.Similarity.randomProjection(basis, dims = 2, outDims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val s = math.sqrt(2.0)
+    for (j <- 0L to 1L; i <- 1L to 2L)
+      assert(math.abs(math.abs(p((i, j))) - 1.0 / s) < 1e-9,
+        s"basis vector $i, component $j must be ±1/√2")
+    // linearity: p(2·e1 + 3·e2) = 2·p(e1) + 3·p(e2)
+    for (j <- 0L to 1L)
+      assert(math.abs(p((3L, j)) - (2 * p((1L, j)) + 3 * p((2L, j)))) < 1e-9)
+    // JL quality on real vectors: 64 -> 16 keeps pairwise cosine within a
+    // loose tolerance on average (sign-matrix projection, Achlioptas 2003)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val proj = graft.operators.Similarity.randomProjection(emb, 64, 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    val orig = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = orig.keys.toSeq.sorted
+    def meanErr(pr: Map[Long, Array[Double]]) = {
+      val errs = for (a <- ids; b <- ids if a < b)
+        yield math.abs(cos(orig(a), orig(b)) - cos(pr(a), pr(b)))
+      errs.sum / errs.size
+    }
+    val e16 = meanErr(proj)
+    assert(e16 < 0.3, f"mean cosine distortion $e16%.3f too high for 64->16")
+    // the budget dial: doubling outDims must cut distortion (measured
+    // ~0.19 at k=16 vs ~0.13 at k=32 on this fixture)
+    val proj32 = graft.operators.Similarity.randomProjection(emb, 64, 32)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    assert(meanErr(proj32) < e16,
+      f"k=32 distortion ${meanErr(proj32)}%.3f must beat k=16's $e16%.3f")
+  }
+
   test("pageRank: hub outranks leaves, symmetry ties, mass conserved, deterministic") {
     // star 1-{2,3,4} plus a disconnected symmetric pair 10-11
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
