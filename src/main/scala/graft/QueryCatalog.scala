@@ -2974,6 +2974,36 @@ object QueryCatalog {
       |SELECT vec_id, j, CAST(sum(x * sgn) AS DOUBLE) / sqrt(16.0) AS component
       |FROM v JOIN s USING (d) GROUP BY 1, 2""".stripMargin
 
+  /** Winnowing overlap pairs (Dedup.winnowOverlap — Schleimer et al. 2003,
+    * the MOSS fingerprinting algorithm): docs sharing ≥ 2 winnowed
+    * min-hash-per-window fingerprints (k=5, w=4, hot-fingerprint cap 100)
+    * — the combinatorial-guarantee complement to q24's probabilistic
+    * MinHash: any shared ≥ 8-token run through non-hot fingerprints is
+    * caught by construction. */
+  def q124WinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlap(t(s, dir, "documents"), k = 5, w = 4, minShared = 2,
+      maxDocsPerFp = 100)
+
+  val q124Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(0, len(words) - 5)) AS pos, words
+       |      FROM w WHERE len(words) >= 5),
+       |gr AS (SELECT doc_id, pos,
+       |    CAST(('0x' || substring(md5(array_to_string(words[pos+1 : pos+5], ' ')), 1, 15)) AS BIGINT) AS h
+       |  FROM g),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM gr GROUP BY 1),
+       |mn AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM gr),
+       |f AS (SELECT DISTINCT mn.doc_id, fp FROM mn JOIN cnt USING (doc_id)
+       |      WHERE pos <= c - 4),
+       |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+       |fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3102,7 +3132,8 @@ object QueryCatalog {
     ("q120_ewma_smooth", q120EwmaSmooth _, Some(q120Sql)),
     ("q121_bootstrap_ci", q121BootstrapCi _, Some(q121Sql)),
     ("q122_dedup_pagerank", q122DedupPagerank _, Some(q122Sql)),
-    ("q123_random_projection", q123RandomProjection _, Some(q123Sql)))
+    ("q123_random_projection", q123RandomProjection _, Some(q123Sql)),
+    ("q124_winnow_overlap", q124WinnowOverlap _, Some(q124Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -518,6 +518,65 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every k-gram, slide a w-wide window over consecutive
+    * hash positions, keep each full window's MINIMUM hash; the kept set is
+    * the document's sketch. Unlike MinHash's probabilistic recall, the
+    * guarantee is combinatorial: any shared run of ≥ w+k−1 tokens shares
+    * at least one fingerprint, at an expected density of 2/(w+1) of
+    * positions — a tunable index-size/guarantee dial MinHash doesn't have.
+    *
+    * Scale: one positional-shingle Generate (map-only), one doc-partitioned
+    * window for the sliding min (dense positions make the rows-frame the
+    * positional frame), one distinct — all bounded by token count.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "need k >= 1, w >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramsGenerator.posNgrams(col(textCol), k))
+      .select(col("doc_id"), col("pos").cast("long").as("_pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("_h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val cw = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("_fp", min(col("_h")).over(win))
+      .withColumn("_cnt", count(lit(1)).over(cw))
+      .filter(col("_pos") <= col("_cnt") - w) // full windows only
+      .select(col("doc_id"), col("_fp").as("fingerprint"))
+      .distinct()
+  }
+
+  /** Shared-fingerprint overlap pairs over [[winnowFingerprints]]: docs
+    * sharing ≥ `minShared` winnowed fingerprints, with fingerprints hit
+    * by more than `maxDocsPerFp` docs dropped first (boilerplate k-grams
+    * would otherwise fan the self-join out quadratically — the same
+    * hot-bucket cap as the LSH band join). Returns (doc_a, doc_b,
+    * n_shared); guarantee inherits from winnowing: any pair sharing a
+    * ≥ w+k−1-token run through non-hot fingerprints appears.
+    */
+  def winnowOverlap(docs: DataFrame, k: Int, w: Int, minShared: Long,
+                    maxDocsPerFp: Int = 100,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val fp = materialize(winnowFingerprints(docs, k, w, idCol, textCol))
+    val keep = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocsPerFp).select(col("fingerprint"))
+    val fk = fp.join(keep, Seq("fingerprint"))
+    fk.select(col("fingerprint"), col("doc_id").as("doc_a"))
+      .join(fk.select(col("fingerprint"), col("doc_id").as("doc_b")),
+        Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Dataset-level overlap matrix: estimated shingle-set Jaccard between
     * every pair of SOURCES (crawl dumps, domains, languages), from one
     * MinHash signature per source over the union of its documents'

@@ -812,6 +812,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("winnowing: w+k-1 shared run guarantees a shared fingerprint, hot cap drops boilerplate") {
+    val k = 3; val w = 3 // guarantee threshold: runs of >= 5 tokens
+    // docs 1,2 share an 8-token run embedded in different contexts;
+    // docs 1,3 share only a 4-token run (below w+k-1=5: no guarantee)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"one two $run three four"),
+      (2L, s"five six seven $run eight"),
+      (3L, "nine alpha beta gamma ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val fp = graft.operators.Dedup.winnowFingerprints(d, k, w)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a shared run of >= w+k-1 tokens MUST share a fingerprint")
+    // expected density 2/(w+1) = 0.5 of positions; allow a wide band
+    val nGrams1 = d.filter(col("doc_id") === 1).head.getString(1).split(" ").length - k + 1
+    assert(byDoc(1L).size <= nGrams1 && byDoc(1L).size >= nGrams1 / 5)
+    // overlap pairs: (1,2) present; determinism across runs
+    val pairs = graft.operators.Dedup.winnowOverlap(d, k, w, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // hot cap: a fingerprint present in EVERY doc is dropped when the cap
+    // is below the doc count — identical text across 4 docs, cap 3
+    val boiler = (1L to 4L).map(i => (i, "common common common common common"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.winnowOverlap(boiler, k, w,
+      minShared = 1, maxDocsPerFp = 3).count() === 0L,
+      "fingerprints above the hot cap must not pair anything")
+  }
+
   test("randomProjection: basis vectors hit ±1/√k, linearity, cosine roughly preserved") {
     // dims=2, outDims=2: projecting basis vectors exposes the sign matrix
     val basis = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
