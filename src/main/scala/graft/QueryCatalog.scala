@@ -3004,6 +3004,35 @@ object QueryCatalog {
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin
 
+  /** Product-quantization codes (Similarity.pqEncode, Jégou et al. 2011):
+    * 64-dim embeddings → 8 subspace codes against seed codebooks of 16,
+    * nearest by squared L2 with code-asc tie-break — the RAM-compression
+    * step of billion-scale ANN. (vec_id, subspace, code) rows. */
+  def q125PqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(t(s, dir, "embeddings"), dims = 64, subspaces = 8,
+      codebookSize = 16)
+
+  val q125Sql: String = {
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |sub AS (SELECT vec_id, t.r AS s, v[t.r*8+1 : t.r*8+8] AS sv
+       |  FROM e CROSS JOIN range(8) t(r)),
+       |csub AS (SELECT code, t.r AS s, v[t.r*8+1 : t.r*8+8] AS cv
+       |  FROM cb CROSS JOIN range(8) t(r)),
+       |d AS (SELECT vec_id, s, code,
+       |    ${dotSql("sv", "sv")} + ${dotSql("cv", "cv")}
+       |      - 2 * ${dotSql("sv", "cv")} AS dist
+       |  FROM sub JOIN csub USING (s)),
+       |r AS (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY dist ASC, code ASC) AS rnk FROM d)
+       |SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+       |FROM r WHERE rnk = 1""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3133,7 +3162,8 @@ object QueryCatalog {
     ("q121_bootstrap_ci", q121BootstrapCi _, Some(q121Sql)),
     ("q122_dedup_pagerank", q122DedupPagerank _, Some(q122Sql)),
     ("q123_random_projection", q123RandomProjection _, Some(q123Sql)),
-    ("q124_winnow_overlap", q124WinnowOverlap _, Some(q124Sql)))
+    ("q124_winnow_overlap", q124WinnowOverlap _, Some(q124Sql)),
+    ("q125_pq_codes", q125PqCodes _, Some(q125Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

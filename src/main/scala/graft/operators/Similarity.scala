@@ -311,6 +311,56 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each vector into
+    * `subspaces` contiguous subvectors and replace every subvector with
+    * the id of its nearest codeword in that subspace's codebook —
+    * compressing dims×4 bytes to `subspaces` small ints (the compression
+    * that makes billion-vector ANN indexes fit in RAM; asymmetric
+    * distance computation then scans codes against per-query lookup
+    * tables). Codebooks here are the deterministic seed variant the IVF
+    * path (q33) also uses — the first `codebookSize` vectors' subvectors,
+    * dense code ids 0..codebookSize−1; Lloyd refinement composes via
+    * [[trainIvfCentroids]]-style iterations if needed.
+    *
+    * Output is (vec_id, subspace, code) — comparator-safe, 1 row per
+    * subvector. Nearest is squared-L2 via the codegen'd dot Expression
+    * (|a−b|² = a·a + b·b − 2a·b), ties broken by code asc so the argmin
+    * replays exactly.
+    *
+    * Scale: the codebook is `subspaces`×`codebookSize` rows — a broadcast
+    * — and each vector fans out to `subspaces` rows map-side; one window
+    * ranks codewords PER (vector, subspace), never globally. Cost is
+    * linear in vectors × subspaces × codebookSize, all broadcast-local.
+    */
+  def pqEncode(emb: DataFrame, dims: Int, subspaces: Int, codebookSize: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % subspaces == 0, "subspaces must divide dims")
+    val d0 = dims / subspaces
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+    def subVecs(vc: Column) = explode(array((0 until subspaces).map { s =>
+      struct(lit(s).as("s"), slice(vc, s * d0 + 1, d0).as("sv"))
+    }: _*))
+    val sub = v.select(col("vec_id"), subVecs(col("_v")).as("_x"))
+      .select(col("vec_id"), col("_x.s").as("s"), col("_x.sv").as("sv"))
+    val code = v.orderBy(col("vec_id")).limit(codebookSize)
+      .localCheckpoint(true)
+      .withColumn("code", (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("long"))
+      .select(col("code"), subVecs(col("_v")).as("_x"))
+      .select(col("code"), col("_x.s").as("s"), col("_x.sv").as("cv"))
+    val dist = dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -
+      lit(2.0) * dot(col("sv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(dist.asc, col("code").asc)
+    sub.join(broadcast(code), Seq("s"))
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") === 1)
+      .select(col("vec_id"), col("s").cast("long").as("subspace"), col("code"))
+  }
+
   /** Johnson–Lindenstrauss random projection: reduce `dims`-dim embeddings
     * to `outDims` components with a ±1 sign matrix (Achlioptas 2003,
     * "Database-friendly random projections" — the dense ±1 variant

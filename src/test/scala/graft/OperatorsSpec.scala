@@ -812,6 +812,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("pqEncode: seed vectors self-assign, one code per subspace, mixed vectors mix codes") {
+    // 4 dims, 2 subspaces of 2; seeds = vecs 1..2 (codebookSize=2)
+    val d = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),    // codeword 0 in both subspaces
+      (2L, Seq(9f, 9f, 9f, 9f)),    // codeword 1 in both subspaces
+      (3L, Seq(0.1f, 0f, 9f, 9.1f)) // near code 0 in s=0, code 1 in s=1
+    ).toDF("vec_id", "embedding")
+    val codes = graft.operators.Similarity.pqEncode(d, dims = 4, subspaces = 2,
+        codebookSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes.size === 6, "every (vector, subspace) gets exactly one code")
+    assert(codes((1L, 0L)) === 0L && codes((1L, 1L)) === 0L,
+      "seed vector 1 reconstructs itself as codeword 0")
+    assert(codes((2L, 0L)) === 1L && codes((2L, 1L)) === 1L)
+    assert(codes((3L, 0L)) === 0L && codes((3L, 1L)) === 1L,
+      "subspaces quantize independently")
+    // real embeddings: codes stay in range and the encoding is total
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = graft.operators.Similarity.pqEncode(emb, 64, 8, 16).collect()
+    assert(pq.length === emb.count() * 8)
+    assert(pq.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
+  }
+
   test("winnowing: w+k-1 shared run guarantees a shared fingerprint, hot cap drops boilerplate") {
     val k = 3; val w = 3 // guarantee threshold: runs of >= 5 tokens
     // docs 1,2 share an 8-token run embedded in different contexts;
