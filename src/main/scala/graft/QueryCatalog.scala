@@ -3012,9 +3012,12 @@ object QueryCatalog {
     Similarity.pqEncode(t(s, dir, "embeddings"), dims = 64, subspaces = 8,
       codebookSize = 16)
 
-  val q125Sql: String = {
-    def dotSql(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+  private def pqDotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+
+  /** Shared PQ CTE chain (through per-(vector, subspace) code ranks) for
+    * q125/q126: 8 subspaces of 8 dims, seed codebooks of 16. */
+  private val pqCteSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
@@ -3024,14 +3027,43 @@ object QueryCatalog {
        |csub AS (SELECT code, t.r AS s, v[t.r*8+1 : t.r*8+8] AS cv
        |  FROM cb CROSS JOIN range(8) t(r)),
        |d AS (SELECT vec_id, s, code,
-       |    ${dotSql("sv", "sv")} + ${dotSql("cv", "cv")}
-       |      - 2 * ${dotSql("sv", "cv")} AS dist
+       |    ${pqDotSql("sv", "sv")} + ${pqDotSql("cv", "cv")}
+       |      - 2 * ${pqDotSql("sv", "cv")} AS dist
        |  FROM sub JOIN csub USING (s)),
        |r AS (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s
-       |    ORDER BY dist ASC, code ASC) AS rnk FROM d)
+       |    ORDER BY dist ASC, code ASC) AS rnk FROM d)""".stripMargin
+
+  val q125Sql: String =
+    s"""$pqCteSql
        |SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
        |FROM r WHERE rnk = 1""".stripMargin
+
+  /** PQ asymmetric-distance ANN (Similarity.annPq): per-query LUT of
+    * exact subvector→codeword distances, corpus scanned as codes, top-5
+    * by once-rounded decimal distance sums — the search half of q125. */
+  def q126AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annPq(emb.filter(col("vec_id") < 16), emb, k = 5,
+      dims = 64, subspaces = 8, codebookSize = 16)
   }
+
+  val q126Sql: String =
+    s"""$pqCteSql,
+       |codes AS (SELECT vec_id, s, code FROM r WHERE rnk = 1),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 16),
+       |qsub AS (SELECT query_id, t.r AS s, v[t.r*8+1 : t.r*8+8] AS qv
+       |  FROM q CROSS JOIN range(8) t(r)),
+       |lut AS (SELECT query_id, s, code,
+       |    CAST(round(${pqDotSql("qv", "qv")} + ${pqDotSql("cv", "cv")}
+       |      - 2 * ${pqDotSql("qv", "cv")}, 6) AS DECIMAL(18,6)) AS dq
+       |  FROM qsub JOIN csub USING (s)),
+       |a AS (SELECT query_id, vec_id, sum(dq) AS ad
+       |  FROM codes JOIN lut USING (s, code) GROUP BY 1, 2),
+       |rk AS (SELECT query_id, vec_id, ad, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ad ASC, vec_id ASC) AS rnk2 FROM a WHERE query_id <> vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(ad AS DOUBLE) AS approx_dist,
+       |  CAST(rnk2 AS BIGINT) AS rank
+       |FROM rk WHERE rnk2 <= 5""".stripMargin
 
   // =========================================================================
   // Registry
@@ -3163,7 +3195,8 @@ object QueryCatalog {
     ("q122_dedup_pagerank", q122DedupPagerank _, Some(q122Sql)),
     ("q123_random_projection", q123RandomProjection _, Some(q123Sql)),
     ("q124_winnow_overlap", q124WinnowOverlap _, Some(q124Sql)),
-    ("q125_pq_codes", q125PqCodes _, Some(q125Sql)))
+    ("q125_pq_codes", q125PqCodes _, Some(q125Sql)),
+    ("q126_ann_pq", q126AnnPq _, Some(q126Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -333,24 +333,37 @@ object Similarity {
     * ranks codewords PER (vector, subspace), never globally. Cost is
     * linear in vectors × subspaces × codebookSize, all broadcast-local.
     */
+  private def pqSubVecs(vc: Column, d0: Int, subspaces: Int): Column =
+    explode(array((0 until subspaces).map { s =>
+      struct(lit(s.toLong).as("s"), slice(vc, s * d0 + 1, d0).as("sv"))
+    }: _*))
+
+  /** Seed codebooks shared by [[pqEncode]] and [[annPq]]: the first
+    * `codebookSize` vectors' subvectors, dense code ids 0..size−1. */
+  private[operators] def pqCodebook(emb: DataFrame, dims: Int, subspaces: Int,
+                                    codebookSize: Int, idCol: String,
+                                    vecCol: String): DataFrame = {
+    val d0 = dims / subspaces
+    emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+      .orderBy(col("_id")).limit(codebookSize)
+      .localCheckpoint(true)
+      .withColumn("code", (row_number().over(Window.orderBy(col("_id"))) - 1)
+        .cast("long"))
+      .select(col("code"), pqSubVecs(col("_v"), d0, subspaces).as("_x"))
+      .select(col("code"), col("_x.s").as("s"), col("_x.sv").as("cv"))
+  }
+
   def pqEncode(emb: DataFrame, dims: Int, subspaces: Int, codebookSize: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dims % subspaces == 0, "subspaces must divide dims")
     val d0 = dims / subspaces
-    val v = emb.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("_v"))
+    val sub = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v"))
       .filter(col("_v").isNotNull)
-    def subVecs(vc: Column) = explode(array((0 until subspaces).map { s =>
-      struct(lit(s).as("s"), slice(vc, s * d0 + 1, d0).as("sv"))
-    }: _*))
-    val sub = v.select(col("vec_id"), subVecs(col("_v")).as("_x"))
+      .select(col("vec_id"), pqSubVecs(col("_v"), d0, subspaces).as("_x"))
       .select(col("vec_id"), col("_x.s").as("s"), col("_x.sv").as("sv"))
-    val code = v.orderBy(col("vec_id")).limit(codebookSize)
-      .localCheckpoint(true)
-      .withColumn("code", (row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .cast("long"))
-      .select(col("code"), subVecs(col("_v")).as("_x"))
-      .select(col("code"), col("_x.s").as("s"), col("_x.sv").as("cv"))
+    val code = pqCodebook(emb, dims, subspaces, codebookSize, idCol, vecCol)
     val dist = dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -
       lit(2.0) * dot(col("sv"), col("cv"))
     val w = Window.partitionBy(col("vec_id"), col("s"))
@@ -359,6 +372,53 @@ object Similarity {
       .withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") === 1)
       .select(col("vec_id"), col("s").cast("long").as("subspace"), col("code"))
+  }
+
+  /** PQ asymmetric-distance ANN (the search half of [[pqEncode]], Jégou
+    * et al. 2011 §IV): each query builds a `subspaces`×`codebookSize`
+    * lookup table of exact query-subvector→codeword distances, and every
+    * corpus vector's approximate distance is the sum of `subspaces` table
+    * entries selected by its stored codes — the corpus is scanned as
+    * small ints, never floats, which is the entire point of PQ at scale.
+    *
+    * Determinism: each table entry is rounded once to DECIMAL(18,6), so
+    * the per-vector sum is order-free; ranking ties break by neighbor id.
+    *
+    * Scale: codes and the LUT join on (subspace, code) — the LUT is
+    * queries×subspaces×codebookSize rows, broadcast; one partial-agg
+    * shuffle on (query, vector); top-k is a per-QUERY window. Approximate
+    * by construction: recall/compression trades via `subspaces` and
+    * `codebookSize` — the exact kNN (q26) and IVF (q33) paths sit beside
+    * it in the catalog.
+    */
+  def annPq(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+            subspaces: Int, codebookSize: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % subspaces == 0, "subspaces must divide dims")
+    val d0 = dims / subspaces
+    val codes = pqEncode(corpus, dims, subspaces, codebookSize, idCol, vecCol)
+      .withColumnRenamed("subspace", "s")
+    val cb = pqCodebook(corpus, dims, subspaces, codebookSize, idCol, vecCol)
+    val qsub = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_q"))
+      .filter(col("_q").isNotNull)
+      .select(col("query_id"), pqSubVecs(col("_q"), d0, subspaces).as("_x"))
+      .select(col("query_id"), col("_x.s").as("s"), col("_x.sv").as("qv"))
+    val lut = qsub.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        round(dot(col("qv"), col("qv")) + dot(col("cv"), col("cv")) -
+          lit(2.0) * dot(col("qv"), col("cv")), 6)
+          .cast("decimal(18,6)").as("_d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ad").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("_d")).as("_ad"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("_ad").cast("double").as("approx_dist"), col("rank"))
   }
 
   /** Johnson–Lindenstrauss random projection: reduce `dims`-dim embeddings
