@@ -315,6 +315,30 @@ class PlanSpec extends SparkSpec {
       s"contribution flow must ride src/dst equi-joins:\n$p")
   }
 
+  test("q124 winnowing: fingerprints materialized once, pair join is an equi-join") {
+    val p = plan(QueryCatalog.q124WinnowOverlap)
+    assert(p.contains("Scan ExistingRDD"),
+      s"fingerprint frame must be a materialized leaf (both join sides read it):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must ride the fingerprint equi-join:\n$p")
+    // the sliding-min window lives INSIDE the materialized frame; audit it
+    // directly: doc-partitioned, never global
+    val fp = graft.operators.Dedup.winnowFingerprints(
+      spark.read.parquet(s"$sf/documents.parquet"), 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(fp.contains("Window") && !fp.contains("PARTITION BY ()"),
+      s"sliding min must partition by doc:\n$fp")
+  }
+
+  test("q125/q126 PQ: codebook/LUT broadcast, per-(vec,subspace) windows only") {
+    for (q <- Seq(QueryCatalog.q125PqCodes _, QueryCatalog.q126AnnPq _)) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"codebook/LUT must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+      assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+    }
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
