@@ -143,6 +143,16 @@ object ScaleCheck {
     time("dsir_sample")(
       graft.operators.TextAnalysis.dsirSample(docs,
         isTarget = col("lang") === "en", buckets = 2048, k = 120))
+    // winnowing: one positional Generate + doc-partitioned sliding min +
+    // the capped fingerprint self-join (cost tracks token count; the cap
+    // bounds pair fan-out exactly like the LSH hot-bucket cap)
+    time("winnow_overlap")(
+      Dedup.winnowOverlap(docs, k = 5, w = 4, minShared = 2, maxDocsPerFp = 100))
+    // PQ encode: vectors × subspaces × codebook, all against a broadcast
+    // codebook — linear in the corpus
+    time("pq_encode")(
+      graft.operators.Similarity.pqEncode(emb, dims = 64, subspaces = 8,
+        codebookSize = 16))
     time("cluster_split")(
       graft.operators.Sampling.threeWaySplit(
         docs.select(col("doc_id"))
