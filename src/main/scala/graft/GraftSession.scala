@@ -48,11 +48,23 @@ object GraftSession {
   */
 object Tables {
   import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.expr
+  import org.apache.spark.sql.types.LongType
 
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark
+    * reads as a nanos long under `nanosAsLong` — and plain TIMESTAMP(µs),
+    * which it reads natively. Branch on the RESOLVED type, not an assumed
+    * generator flavor, and truncate the nanos form to µs (the same floor
+    * DuckDB applies on `CAST(ts AS TIMESTAMP)`), so every consumer sees one
+    * µs-timestamp schema either way. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }

@@ -24,18 +24,12 @@ import graft.plans.{Integrity, StarSchema}
   */
 object QueryCatalog {
 
-  /** Testdata loader. `events.ts` is parquet TIMESTAMP(NANOS), which Spark
-    * cannot represent natively: the session reads it as a nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong) and we truncate to a µs
-    * timestamp here — the same floor DuckDB applies on
-    * `CAST(ts_ns AS TIMESTAMP)`, so both engines see identical values. */
-  /** Only events.ts is TIMESTAMP(NANOS) in the testdata; orders/lineitem
-    * timestamps are µs and read natively. */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = Tables.load(s, dir, name)
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** Testdata loader. [[Tables.load]] normalizes `events.ts` to a µs
+    * timestamp whichever parquet flavor the generator emitted (nanos-long
+    * or native TIMESTAMP) — the same value DuckDB sees via
+    * `CAST(ts AS TIMESTAMP)`, so both engines agree bit-for-bit. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
 
   /** DECIMAL(18,2) view of a 2-dp double column: exact, associative sum. */
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")

@@ -11,8 +11,8 @@ class BucketingSpec extends SparkSpec {
 
   test("date-partitioned writes prune untouched partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
     val q = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
     val plan = q.queryExecution.executedPlan.toString
