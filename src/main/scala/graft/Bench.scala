@@ -59,17 +59,23 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"agg":"min","sf":"$sfDir"}"""
-    // stdout can be tail-clipped by the harness on long lines (r5/r6 lost
-    // the first ~38 per-query times), so the full JSON is ALSO persisted
-    // to a file that gets committed with the round
+    // stdout values are rounded to ms and the errors map deduped/omitted
+    // when empty: the harness capture clips stdout past ~4 KB (r5-r7 each
+    // lost the head of the line and parsed null), and ms precision is
+    // already below this box's run-to-run jitter. Full precision goes to
+    // the committed file below.
+    def j(round3: Boolean): String = {
+      val fmt: Double => String = if (round3) v => f"$v%.3f" else _.toString
+      val qs = results.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+      val es = errors.toMap.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val err = if (errors.isEmpty) "" else s""""errors":$es,"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$err"runs":$runs,"agg":"min","sf":"$sfDir"}"""
+    }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), j(round3 = false) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(json)
+    println(j(round3 = true))
     spark.stop()
   }
 }

@@ -48,23 +48,28 @@ object GraftSession {
   */
 object Tables {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.expr
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark
-    * reads as a nanos long under `nanosAsLong` — and plain TIMESTAMP(µs),
-    * which it reads natively. Branch on the RESOLVED type, not an assumed
-    * generator flavor, and truncate the nanos form to µs (the same floor
-    * DuckDB applies on `CAST(ts AS TIMESTAMP)`), so every consumer sees one
-    * µs-timestamp schema either way. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) — which Spark
+    * reads as a nanos long under `nanosAsLong` — as TIMESTAMP(µs,
+    * adjustedToUTC) — read natively as TIMESTAMP — and as TIMESTAMP(µs,
+    * local), which Spark 4 infers as TIMESTAMP_NTZ. Branch on the RESOLVED
+    * type, not an assumed generator flavor: truncate the nanos form to µs
+    * (the same floor DuckDB applies on `CAST(ts AS TIMESTAMP)`) and pin the
+    * NTZ form to the session-UTC instant (identical wall-clock, and the
+    * zoned type `unix_micros`/watermarks require), so every consumer sees
+    * one µs-TIMESTAMP schema either way. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 }

@@ -1921,8 +1921,8 @@ object QueryCatalog {
   def q89Sessionize(s: SparkSession, dir: String): DataFrame =
     operators.Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
       .select(col("user_id"), col("session_ix"), col("n_events"),
-        unix_micros(col("session_start")).as("start_us"),
-        unix_micros(col("session_end")).as("end_us"),
+        operators.Times.epochMicros(col("session_start")).as("start_us"),
+        operators.Times.epochMicros(col("session_end")).as("end_us"),
         col("duration_sec"))
 
   val q89Sql: String =
@@ -3059,6 +3059,24 @@ object QueryCatalog {
        |  CAST(rnk2 AS BIGINT) AS rank
        |FROM rk WHERE rnk2 <= 5""".stripMargin
 
+  /** Exact quantiles at bounded state (ApproxQuantile.exactQuantiles):
+    * the 100 TB-safe exact path next to q59's `percentile` aggregate —
+    * histogram-locates each order statistic's bucket, then selects the
+    * k-th smallest inside only that bucket. Same quantile_cont semantics,
+    * same oracle family as q59, run on the NEAR-UNIQUE price column where
+    * the value→count map the aggregate buffers is at its worst. */
+  def q127ExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.ApproxQuantile.exactQuantiles(
+      t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq("p05" -> 0.05, "p50" -> 0.5, "p95" -> 0.95))
+
+  val q127Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3190,7 +3208,8 @@ object QueryCatalog {
     ("q123_random_projection", q123RandomProjection _, Some(q123Sql)),
     ("q124_winnow_overlap", q124WinnowOverlap _, Some(q124Sql)),
     ("q125_pq_codes", q125PqCodes _, Some(q125Sql)),
-    ("q126_ann_pq", q126AnnPq _, Some(q126Sql)))
+    ("q126_ann_pq", q126AnnPq _, Some(q126Sql)),
+    ("q127_exact_quantiles", q127ExactQuantiles _, Some(q127Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -59,4 +59,127 @@ object ApproxQuantile {
           .as(name)
       }: _*)
   }
+
+  /** EXACT per-group quantiles with bounded state — the scalable twin of
+    * the `percentile` aggregate, bit-matching `quantile_cont` semantics
+    * (rank r = q·(n−1), linear interpolation between the two covering
+    * order statistics, round(…, 6)).
+    *
+    * The `percentile` aggregate buffers a value→count map per group —
+    * O(distinct values) memory, which is exactly what does NOT survive
+    * 100 TB of near-unique doubles (and is why q86 was the slowest query
+    * on the board at sf0.1). This pass never buffers values:
+    *
+    *   pass 1: per-group min/max/count (fixed state);
+    *   pass 2: equi-width histogram counts (`buckets` counters per group,
+    *           map-side combinable) + cumulative counts over the tiny
+    *           (groups × buckets) frame → the ONE bucket covering each
+    *           needed order statistic k = floor/ceil(q·(n−1));
+    *   pass 3: re-scan ONLY rows landing in target buckets (~n/buckets per
+    *           target), rank within (group, bucket), pick offset
+    *           k − count(before bucket) — the exact k-th smallest.
+    *
+    * Cost: three scans of a two-column projection and one window over the
+    * ~n/buckets target-bucket subset, vs one scan that accumulates an
+    * unbounded map. Worst case (all mass in one bucket, e.g. a constant
+    * plus outliers) degrades to sorting that bucket only. Groups that are
+    * constant or all-NULL short-circuit: quantile = the constant / NULL.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[(String, Double)],
+                     buckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "quantile fractions must be in [0, 1]")
+    require(buckets >= 2 && buckets <= (1 << 16), "buckets must be in [2, 65536]")
+    val v = col(valueCol)
+    val g = col(groupCol)
+    // the tiny internal frames (per-group stats, cumulative histogram,
+    // target picks — all ≤ groups × buckets rows) are each consumed by
+    // several downstream branches; localCheckpoint truncates their lineage
+    // so every reuse does NOT re-scan the input. With it, the operator
+    // performs exactly its three documented input scans.
+    val mm = df.groupBy(g)
+      .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
+      .withColumnRenamed(groupCol, "_grp")
+      .localCheckpoint(true)
+    // null-safe split: _mx <=> _mn also catches all-NULL groups (both
+    // NULL), whose quantiles are NULL — round(NULL) propagates below
+    val varied = mm.filter(col("_mx") > col("_mn"))
+    val flat = mm.filter(col("_mx") <=> col("_mn"))
+    // 0-based order-statistic indices per quantile: lo = ⌊q·(n−1)⌋,
+    // hi = ⌈q·(n−1)⌉ (equal when the rank is integral)
+    val withIdx = varied.select(
+      col("_grp") +: col("_n") +: qs.flatMap { case (name, q) => Seq(
+        floor(lit(q) * (col("_n") - 1)).cast("long").as(s"_ilo_$name"),
+        ceil(lit(q) * (col("_n") - 1)).cast("long").as(s"_ihi_$name"))
+      }: _*)
+    val bkt = least(
+      floor((v - col("_mn")) * buckets / (col("_mx") - col("_mn"))).cast("long"),
+      lit(buckets - 1L))
+    val b = df.filter(v.isNotNull)
+      .join(broadcast(varied), g === col("_grp"))
+      .select(g, v.as("_v"), bkt.as("_bkt"))
+    val h = b.groupBy(g, col("_bkt")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(g).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(g, col("_bkt"), sum(col("_c")).over(w).as("_cc"))
+    // ONE aggregation over the tiny cumulative frame finds, per target
+    // index k: the covering bucket (smallest _bkt with _cc ≥ k+1) AND the
+    // count of everything in earlier buckets (max _cc among _cc < k+1 —
+    // cum counts are strictly increasing over the non-empty buckets, so
+    // that max is exactly the cumulative count just before the covering
+    // bucket; coalesce(0) when the first non-empty bucket covers)
+    val picks = first(col("_n")).as("_n") +:
+      qs.flatMap { case (name, _) => Seq(
+        min(when(col("_cc") >= col(s"_ilo_$name") + 1, col("_bkt"))).as(s"_blo_$name"),
+        coalesce(max(when(col("_cc") < col(s"_ilo_$name") + 1, col("_cc"))), lit(0L))
+          .as(s"_clo_$name"),
+        min(when(col("_cc") >= col(s"_ihi_$name") + 1, col("_bkt"))).as(s"_bhi_$name"),
+        coalesce(max(when(col("_cc") < col(s"_ihi_$name") + 1, col("_cc"))), lit(0L))
+          .as(s"_chi_$name"),
+        first(col(s"_ilo_$name")).as(s"_xlo_$name"),
+        first(col(s"_ihi_$name")).as(s"_xhi_$name"))
+      }
+    val tb = cum.join(broadcast(withIdx), g === col("_grp"))
+      .groupBy(g).agg(picks.head, picks.tail: _*)
+      .localCheckpoint(true)
+    // unpivot to one row per needed order statistic:
+    // (group, covering bucket, index, offset-within-bucket)
+    val tgt = tb.select(g, explode(array(qs.flatMap { case (name, _) => Seq(
+        struct(col(s"_blo_$name").as("_tbkt"), col(s"_xlo_$name").as("_idx"),
+          (col(s"_xlo_$name") - col(s"_clo_$name")).as("_off")),
+        struct(col(s"_bhi_$name").as("_tbkt"), col(s"_xhi_$name").as("_idx"),
+          (col(s"_xhi_$name") - col(s"_chi_$name")).as("_off")))
+      }: _*)).as("_t"))
+      .select(g, col("_t._tbkt").as("_bkt"), col("_t._idx").as("_idx"),
+        col("_t._off").as("_off"))
+      .distinct()
+    val ranked = b
+      .join(broadcast(tgt.select(g, col("_bkt")).distinct()), Seq(groupCol, "_bkt"))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))) - 1)
+    val vals = ranked
+      .join(broadcast(tgt), Seq(groupCol, "_bkt"))
+      .filter(col("_rn") === col("_off"))
+      .select(g, col("_idx"), col("_v"))
+    // fold the ≤ 2·|qs| picked order statistics per group back to one row
+    val readAggs = first(col("_n")).as("_n") +: qs.flatMap { case (name, _) => Seq(
+      max(when(col("_idx") === col(s"_xlo_$name"), col("_v"))).as(s"_vlo_$name"),
+      max(when(col("_idx") === col(s"_xhi_$name"), col("_v"))).as(s"_vhi_$name"))
+    }
+    val interp = vals
+      .join(broadcast(tb.drop(qs.flatMap { case (name, _) =>
+        Seq(s"_blo_$name", s"_clo_$name", s"_bhi_$name", s"_chi_$name") }: _*)),
+        groupCol)
+      .groupBy(g).agg(readAggs.head, readAggs.tail: _*)
+      .select(g +: qs.map { case (name, q) =>
+        val r = lit(q) * (col("_n") - 1)
+        round(col(s"_vlo_$name") +
+          (r - floor(r)) * (col(s"_vhi_$name") - col(s"_vlo_$name")), 6).as(name)
+      }: _*)
+    val flatOut = flat.select(
+      col("_grp").as(groupCol) +: qs.map { case (name, _) =>
+        round(col("_mn"), 6).as(name) }: _*)
+    interp.unionByName(flatOut)
+  }
 }

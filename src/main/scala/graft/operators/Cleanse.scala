@@ -105,14 +105,16 @@ object Cleanse {
     * queries use), clamped values ride DECIMAL(18,6) into any downstream
     * sum so accumulation order stays moot.
     *
-    * Scale: one percentile aggregate per group (tiny result, broadcast
-    * back) + a map-only clamp — the data shuffles only for the
-    * percentile's own group-by. NOTE the exact `percentile` buffers a
-    * value→count map per group, expensive on near-unique doubles (q86
-    * measures ~3.4 s over 600 k prices where 50-distinct quantities cost
-    * ~0.25 s); at corpus scale feed the bounds from
-    * [[ApproxQuantile.histogramQuantiles]] instead — same clamp, fixed
-    * 256-counter state. Returns the input plus `<valueCol>_w`. */
+    * Scale: the exact bounds come from [[ApproxQuantile.exactQuantiles]]
+    * (histogram-locate + k-th-selection — bounded state, no per-group
+    * value map; identical results to the `percentile` aggregate, which
+    * buffered a value→count map per group and was the slowest query on
+    * the sf0.1 board on 600 k near-unique doubles), the tiny per-group
+    * bounds frame broadcasts back, and the clamp itself is map-only. The
+    * "agg" strategy keeps the single-pass `percentile` aggregate for
+    * small-group-cardinality frames where one scan beats three;
+    * "sketch" trades exactness for a single fixed-size histogram pass.
+    * Returns the input plus `<valueCol>_w`. */
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCol: String,
                 valueCol: String, pLo: Double = 0.05,
                 pHi: Double = 0.95,
@@ -121,6 +123,10 @@ object Cleanse {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val bnds = bounds match {
       case "exact" =>
+        ApproxQuantile.exactQuantiles(df, groupCol, valueCol,
+            Seq("_lo" -> pLo, "_hi" -> pHi))
+          .withColumnRenamed(groupCol, "_grp")
+      case "agg" =>
         df.groupBy(col(groupCol))
           .agg(round(expr(s"percentile($valueCol, $pLo)"), 6).as("_lo"),
             round(expr(s"percentile($valueCol, $pHi)"), 6).as("_hi"))
@@ -138,7 +144,7 @@ object Cleanse {
             Seq("_lo" -> pLo, "_hi" -> pHi), buckets)
           .withColumnRenamed(groupCol, "_grp")
       case other => throw new IllegalArgumentException(
-        s"unknown bounds strategy '$other' (exact | sketch)")
+        s"unknown bounds strategy '$other' (exact | agg | sketch)")
     }
     // LEFT join: the sketch drops constant-valued groups (mx == mn) from
     // its bounds frame — those clamp to themselves via the coalesce

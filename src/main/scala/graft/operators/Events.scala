@@ -70,7 +70,7 @@ object Events {
                  userCol: String = "user_id", tsCol: String = "ts",
                  tieCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    val us = unix_micros(col(tsCol))
+    val us = Times.epochMicros(col(tsCol))
     val newSession = when(
       lag(us, 1).over(w).isNull ||
         us - lag(us, 1).over(w) > lit(gapMinutes * 60L * 1000000L), 1L)

@@ -93,9 +93,9 @@ object Joins {
     }
     val leftPayload = left.columns.filterNot(keys.contains)
     val rightPayload = right.columns.filterNot(keys.contains)
-    val lb = left.withColumn("_lus", unix_micros(col(leftTime)))
+    val lb = left.withColumn("_lus", Times.epochMicros(col(leftTime)))
       .withColumn("_bucket", floor(col("_lus") / wUs))
-    val rb = right.withColumn("_rus", unix_micros(col(rightTime)))
+    val rb = right.withColumn("_rus", Times.epochMicros(col(rightTime)))
       .withColumn("_bucket", explode(array(
         floor(col("_rus") / wUs) - 1, floor(col("_rus") / wUs), floor(col("_rus") / wUs) + 1)))
       .select(keys.map(col) ++ Seq(col("_rus"), col("_bucket")) ++

@@ -1060,6 +1060,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1.0) > 1.0, "the low tail clamps up to p05")
   }
 
+  test("exactQuantiles: bit-matches the percentile aggregate on adversarial groups") {
+    import org.apache.spark.sql.functions.{col, expr, round => rnd}
+    val rng = new scala.util.Random(7)
+    // near-unique doubles, a skewed group (99% one value + outliers), a
+    // constant group, a single-row group, and an all-NULL group
+    val rows =
+      (1 to 997).map(_ => ("u", Some(rng.nextDouble() * 1e6))) ++
+      ((1 to 990).map(_ => ("s", Some(42.0))) ++
+        (1 to 10).map(i => ("s", Some(1e9 + i)))) ++
+      (1 to 5).map(_ => ("c", Some(3.14))) ++
+      Seq(("one", Some(8.0)), ("nul", Option.empty[Double]),
+        ("nul", Option.empty[Double]))
+    val d = rows.toDF("grp", "v")
+    val qs = Seq("p00" -> 0.0, "p05" -> 0.05, "p50" -> 0.5, "p95" -> 0.95,
+      "p100" -> 1.0)
+    val got = graft.operators.ApproxQuantile.exactQuantiles(d, "grp", "v", qs)
+      .collect().map(r => r.getString(0) ->
+        (1 to qs.size).map(i => Option(r.get(i)).map(_.asInstanceOf[Double]))).toMap
+    val want = d.groupBy(col("grp")).agg(
+        rnd(expr("percentile(v, 0.0)"), 6).as("p00"),
+        rnd(expr("percentile(v, 0.05)"), 6).as("p05"),
+        rnd(expr("percentile(v, 0.5)"), 6).as("p50"),
+        rnd(expr("percentile(v, 0.95)"), 6).as("p95"),
+        rnd(expr("percentile(v, 1.0)"), 6).as("p100"))
+      .collect().map(r => r.getString(0) ->
+        (1 to qs.size).map(i => Option(r.get(i)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet === want.keySet, "every group must appear exactly once")
+    for (g <- want.keySet; i <- qs.indices)
+      assert(got(g)(i) === want(g)(i),
+        s"group $g quantile ${qs(i)._1}: got ${got(g)(i)}, want ${want(g)(i)}")
+  }
+
   test("histogramQuantiles: estimate within one bucket width of the exact quantile") {
     val d = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val out = graft.operators.ApproxQuantile.histogramQuantiles(
