@@ -3077,6 +3077,49 @@ object QueryCatalog {
       |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Curriculum phase schedule (Sampling.curriculumPhases): per-source
+    * easy-first ordering (token count as the easiness proxy, doc_id
+    * tie-break), cut into consecutive 2048-token phases a training job
+    * consumes in order. Reduced to per-(source, phase) stats — all exact
+    * integers. */
+  def q128CurriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    operators.Sampling.curriculumPhases(d, "source", "doc_id",
+        "n_tokens", "n_tokens", phaseTokens = 2048L)
+      .groupBy(col("source"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("phase_tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val q128Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY n_tokens, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+       |p AS (SELECT *, CAST((cum - n_tokens) // 2048 AS BIGINT) AS phase FROM c)
+       |SELECT source, phase, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS phase_tokens,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** Template clusters (Dedup.templateClusters): digit-insensitive exact
+    * dedup — pages sharing one boilerplate skeleton that differ only in
+    * numbers collapse to a cluster with size, representative and template
+    * length. */
+  def q129TemplateClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.templateClusters(t(s, dir, "documents"))
+
+  val q129Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    md5(regexp_replace($normSql, '[0-9]+', '0', 'g')) AS template_hash,
+       |    CAST(len(regexp_replace($normSql, '[0-9]+', '0', 'g')) AS BIGINT) AS template_len
+       |  FROM documents)
+       |SELECT template_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS rep_doc_id, min(template_len) AS template_len
+       |FROM t GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3209,7 +3252,9 @@ object QueryCatalog {
     ("q124_winnow_overlap", q124WinnowOverlap _, Some(q124Sql)),
     ("q125_pq_codes", q125PqCodes _, Some(q125Sql)),
     ("q126_ann_pq", q126AnnPq _, Some(q126Sql)),
-    ("q127_exact_quantiles", q127ExactQuantiles _, Some(q127Sql)))
+    ("q127_exact_quantiles", q127ExactQuantiles _, Some(q127Sql)),
+    ("q128_curriculum_phases", q128CurriculumPhases _, Some(q128Sql)),
+    ("q129_template_clusters", q129TemplateClusters _, Some(q129Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

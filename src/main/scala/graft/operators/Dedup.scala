@@ -47,6 +47,32 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Template clustering: digit-insensitive exact dedup — the web-corpus
+    * pattern where thousands of pages share one boilerplate skeleton and
+    * differ only in numbers (prices, dates, counters, ids). Normalization
+    * = the standard fingerprint folding (lower, trim, collapse
+    * whitespace) plus digit-RUNS→'0' (runs, not digits — "42" and "7"
+    * must fold to the same hole); docs agreeing on the normalized
+    * template form a cluster. Emitted per cluster: size, the smallest doc
+    * id as representative, and the template length — the inputs a removal
+    * or cap-per-template policy needs.
+    *
+    * Same one-hash-aggregate shape (and 100 TB story) as [[exact]]:
+    * map-only normalize+hash, one groupBy on the 48-bit-prefix md5 key.
+    * Clusters below `minDocs` are dropped — singletons are the corpus
+    * bulk and carry no template signal. */
+  def templateClusters(docs: DataFrame, minDocs: Long = 2L,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tmpl = regexp_replace(
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " "), "[0-9]+", "0")
+    docs.select(col(idCol).as("doc_id"), md5(tmpl).as("template_hash"),
+        length(tmpl).as("template_len"))
+      .groupBy(col("template_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"),
+        min(col("template_len")).cast("long").as("template_len"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Exploded (doc_id, shingle) pairs, distinct per doc.
     *
     * Three formulations were measured (sf0.1): higher-order lambdas

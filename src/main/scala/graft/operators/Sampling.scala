@@ -214,6 +214,40 @@ object Sampling {
       .select(col("source"), col("avail"), col("weight"), col("capped"), col("allocated"))
   }
 
+  /** Curriculum phase assignment: within each group (source/domain), order
+    * documents by an easiness score (ascending — easy first, the standard
+    * curriculum-learning schedule), accumulate token counts down that
+    * order, and cut the stream into consecutive phases of `phaseTokens`
+    * tokens each. A training job then consumes phase 0, then 1, … —
+    * deterministic (score, key) ordering makes the schedule replayable
+    * bit-for-bit on any engine.
+    *
+    * phase = exclusive-prefix-sum(tokens) / phaseTokens — a document
+    * starts a new phase exactly when the previous documents filled the
+    * budget; a document larger than the budget occupies its phase alone
+    * (never split — documents are atomic training units).
+    *
+    * Scale: ONE window partitioned by the group — millions of sources
+    * spread across the cluster, and the per-group sort is the same
+    * shuffle any per-source ordering pays. For a single-source corpus the
+    * window degenerates to one partition; range-repartition + the
+    * KeyAssign dense-rank path is the documented escape hatch there.
+    * Returns the input plus `phase`. */
+  def curriculumPhases(df: DataFrame, groupCol: String, keyCol: String,
+                       scoreCol: String, tokensCol: String,
+                       phaseTokens: Long): DataFrame = {
+    require(phaseTokens > 0, "phaseTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      // integer `div`, not double `/`: the prefix sums are exact longs and
+      // must stay exact past 2^53 (the mirror's BIGINT `//` is the same op)
+      .withColumn("phase", expr(s"(_cum - $tokensCol) div ${phaseTokens}L"))
+      .drop("_cum")
+  }
+
   /** Train/validation/test split by key hash: returns the input with a
     * `split` column ("train"/"val"/"test"), disjoint and exhaustive, stable
     * for a given key forever — the property that keeps a test set clean

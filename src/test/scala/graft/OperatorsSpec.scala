@@ -1092,6 +1092,34 @@ class OperatorsSpec extends SparkSpec {
         s"group $g quantile ${qs(i)._1}: got ${got(g)(i)}, want ${want(g)(i)}")
   }
 
+  test("curriculumPhases: easy-first order, budget cuts, oversized doc gets its own phase") {
+    val d = Seq(
+      ("s", 1L, 10L), ("s", 2L, 10L), ("s", 3L, 10L), ("s", 4L, 10L),
+      ("s", 5L, 50L),              // bigger than the budget: its own phase
+      ("t", 6L, 5L))               // second group starts at phase 0
+      .toDF("src", "id", "toks")
+    val out = graft.operators.Sampling
+      .curriculumPhases(d, "src", "id", "toks", "toks", phaseTokens = 20L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // order within s: toks asc, id asc -> ids 1,2,3,4,5; cum-excl 0,10,20,30,40
+    assert(out(1L) === 0L && out(2L) === 0L, "first 20 tokens fill phase 0")
+    assert(out(3L) === 1L && out(4L) === 1L, "next 20 tokens fill phase 1")
+    assert(out(5L) === 2L, "the oversized doc opens phase 2 alone")
+    assert(out(6L) === 0L, "each group starts at phase 0")
+  }
+
+  test("templateClusters: digit-variants collapse, singletons dropped, min-id rep") {
+    val d = Seq(
+      (10L, "price is 42 dollars"), (3L, "Price is  99 dollars"),
+      (7L, "price is 1 dollars"),   // all one template (digits->0, ws/case fold)
+      (8L, "something else"))       // singleton: dropped
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.templateClusters(d).collect()
+    assert(out.length === 1, "exactly one cluster survives minDocs=2")
+    assert(out.head.getLong(1) === 3L, "cluster size 3")
+    assert(out.head.getLong(2) === 3L, "representative is the smallest doc id")
+  }
+
   test("histogramQuantiles: estimate within one bucket width of the exact quantile") {
     val d = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val out = graft.operators.ApproxQuantile.histogramQuantiles(

@@ -339,6 +339,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q127 exact quantiles: bounded-state passes — no percentile map-agg, " +
+      "group-partitioned windows, target selection rides broadcasts") {
+    val p = plan(QueryCatalog.q127ExactQuantiles)
+    assert(!p.contains("percentile("),
+      s"the point is to NOT buffer a value->count map per group:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"tiny internal frames must be materialized leaves, not re-scans:\n$p")
+    assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"target buckets/picks must broadcast back to the data scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("q128 curriculum: one source-partitioned window, partial agg on top") {
+    val p = plan(QueryCatalog.q128CurriculumPhases)
+    assert(p.contains("Window") && !p.contains("PARTITION BY ()"),
+      s"phase cumsum must be source-partitioned:\n$p")
+    assert(p.contains("partial_"), s"phase stats must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no join belongs in this plan:\n$p")
+  }
+
+  test("q129 template clusters: one hash-aggregate, no window, no join") {
+    val p = plan(QueryCatalog.q129TemplateClusters)
+    assert(!p.contains("Window"), s"template dedup must not sort/rank:\n$p")
+    assert(p.contains("partial_"), s"cluster stats must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"one aggregate, no join:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
