@@ -3120,6 +3120,48 @@ object QueryCatalog {
        |  min(doc_id) AS rep_doc_id, min(template_len) AS template_len
        |FROM t GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  /** Bloom-filtered join (Joins.bloomFilteredJoin): lineitem pre-filtered
+    * by a fixed-size Bloom filter of the high-value order keys BEFORE the
+    * join shuffle — semi-join reduction, result identical to the plain
+    * join (oracle IS the plain join), only the shuffled volume changes. */
+  def q130BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    operators.Joins.bloomFilteredJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        hi, "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(dec2(col("l_extendedprice"))).cast("double")).as("revenue"))
+  }
+
+  val q130Sql: String =
+    """WITH s AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150000)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN s ON l.l_orderkey = s.o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** Salted skew join (Skew.saltedJoin): events (the skewed fact side)
+    * joined to the customer dimension on (key, salt) so a hot user fans
+    * across reducers; row-identical to the plain join — the oracle is the
+    * plain join — only the key distribution across reducers changes. */
+  def q131SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    operators.Skew.saltedJoin(ev, cust, Seq("user_id"), saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
+  val q131Sql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3254,7 +3296,9 @@ object QueryCatalog {
     ("q126_ann_pq", q126AnnPq _, Some(q126Sql)),
     ("q127_exact_quantiles", q127ExactQuantiles _, Some(q127Sql)),
     ("q128_curriculum_phases", q128CurriculumPhases _, Some(q128Sql)),
-    ("q129_template_clusters", q129TemplateClusters _, Some(q129Sql)))
+    ("q129_template_clusters", q129TemplateClusters _, Some(q129Sql)),
+    ("q130_bloom_join", q130BloomJoin _, Some(q130Sql)),
+    ("q131_salted_join", q131SaltedJoin _, Some(q131Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -153,6 +153,25 @@ object ScaleCheck {
     time("pq_encode")(
       graft.operators.Similarity.pqEncode(emb, dims = 64, subspaces = 8,
         codebookSize = 16))
+    // r8 additions: exact quantiles at bounded state vs the `percentile`
+    // aggregate's O(distinct) value→count map — identical results, opposite
+    // memory laws. The value is a content-hash uniform double, so distinct
+    // count tracks the corpus exactly (the aggregate's worst case); the
+    // histogram path's state stays groups × 1024 counters at any scale.
+    locally {
+      val uni = docs.select(col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") / lit(2.81474976710656e14)).as("u"))
+      time("exact_quantiles")(
+        graft.operators.ApproxQuantile.exactQuantiles(uni, "lang", "u",
+          Seq("p05" -> 0.05, "p50" -> 0.5, "p95" -> 0.95)))
+      time("percentile_agg")(
+        uni.groupBy(col("lang")).agg(
+          expr("percentile(u, 0.05)"), expr("percentile(u, 0.5)"),
+          expr("percentile(u, 0.95)")))
+    }
+    // template clusters: the exact-dedup one-hash-aggregate law
+    time("template_clusters")(Dedup.templateClusters(docs))
     time("cluster_split")(
       graft.operators.Sampling.threeWaySplit(
         docs.select(col("doc_id"))

@@ -162,6 +162,39 @@ object Joins {
         rightPayload.map(c => col(s"_rpay.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Bloom-filtered equi-join (semi-join reduction): build a Bloom filter
+    * of the small side's keys (one fixed-size row, OR-merged map-side),
+    * broadcast it, and drop large-side rows that cannot match BEFORE the
+    * join's shuffle. The join result is IDENTICAL to the plain join — the
+    * filter has no false negatives, and its false positives are removed by
+    * the exact join — but the large side's exchange now carries only
+    * ~matching rows, which is the difference between shuffling 100 TB and
+    * shuffling the selectivity fraction of it. The classic use: a fact
+    * table joined to a filtered dimension whose surviving keys are far too
+    * many to broadcast-join outright but compress to a fixed-size bit set.
+    *
+    * Restricted to "inner"/"left_semi": an outer join must KEEP
+    * non-matching large rows, which is exactly what the pre-filter drops.
+    * Size numBits ≈ −n·ln(fpr)/ln(2)² for the small side's key count n
+    * (numHashes ≤ 4: the probe slices its k bit-indexes from ONE md5).
+    */
+  def bloomFilteredJoin(large: DataFrame, small: DataFrame, key: String,
+                        numBits: Int = 1 << 20, numHashes: Int = 4,
+                        joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi")(joinType),
+      s"semi-join reduction preserves only inner/left_semi semantics, got $joinType")
+    import graft.functions.Sketches
+    val bf = small.agg(Sketches.bloomFilter(col(key), numBits, numHashes).as("_bf"))
+    large
+      // one digest per row, probed outside-codegen-safe (hex form)
+      .withColumn("_h", md5(col(key).cast("string")))
+      .crossJoin(broadcast(bf))
+      .filter(col(key).isNotNull &&
+        Sketches.bloomMightContainHex(col("_bf"), col("_h"), numBits, numHashes))
+      .drop("_bf", "_h")
+      .join(small, Seq(key), joinType)
+  }
+
   /** Blocked fuzzy join (entity resolution): candidate pairs share a
     * `blockLen`-char name prefix (one equi-shuffle — the same
     * bucket-then-verify shape as the LSH band join, never all-pairs),

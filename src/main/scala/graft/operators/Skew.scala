@@ -72,4 +72,32 @@ object Skew {
     saltedAgg(df, keys, saltBuckets,
       Seq(("values", collect_set(col(valueCol)),
         (p: String) => array_distinct(flatten(collect_list(col(p)))))))
+
+  /** Salted equi-join for a skewed big-side key: the big side gets a
+    * position-mixed salt (same rationale as [[salt]] — identical duplicate
+    * rows of the hot key spread round-robin), the small side is replicated
+    * `saltBuckets`× (one copy per salt value), and the join runs on
+    * (keys, salt) — so the hot key's rows land on `saltBuckets` reducers
+    * instead of one. Every big row carries exactly ONE salt and each small
+    * row exists once per salt value, so the output is row-identical to the
+    * plain join for "inner" and "left" (each big row meets each matching
+    * small row exactly once); "right"/"full" would multiply-count the
+    * replicated small side and are rejected.
+    *
+    * When to reach for this over AQE's skew-join split: AQE splits
+    * oversized SORT-MERGE partitions at runtime, but a skewed key feeding
+    * a stream-static join, a broadcast-ineligible small side, or a
+    * downstream keyed aggregate still hot-spots — explicit salting is the
+    * deterministic, plan-time fix. Replication cost: |small| × saltBuckets
+    * rows shuffled, the explicit knob traded against the hot reducer. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int = 32, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left")(joinType),
+      s"salted join preserves only inner/left semantics, got $joinType")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val bigS = big.withColumn("_salt", salt(big, saltBuckets))
+    val smallS = small.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -70,6 +70,26 @@ class ExtensionsAndSkewSpec extends SparkSpec {
     assert(saltedSet === plainSet)
   }
 
+  test("saltedJoin is row-identical to the plain join; right/full rejected") {
+    // hot key 'hot' (1000 fact rows), duplicates included; dim has keys
+    // with no fact rows and the fact has keys missing from the dim
+    val fact = ((1 to 1000).map(i => ("hot", i % 7)) ++
+      (1 to 20).map(i => (s"k$i", i)) :+ (("orphan", 99))).toDF("k", "v")
+    val dim = ((Seq("hot") ++ (1 to 15).map(i => s"k$i") :+ "unused")
+      .zipWithIndex.map { case (k, i) => (k, s"attr$i") }).toDF("k", "a")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3.getOrElse(""))).toSeq
+    for (jt <- Seq("inner", "left")) {
+      val plain = canon(fact.join(dim, Seq("k"), jt))
+      val salted = canon(Skew.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8, joinType = jt))
+      assert(salted === plain, s"$jt salted join must be row-identical")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, Seq("k"), joinType = "right")
+    }
+  }
+
   test("salting spreads the hot key across buckets (the scale property)") {
     val df = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
     val buckets = df.withColumn("_salt",

@@ -94,4 +94,30 @@ class JoinsSpec extends SparkSpec {
     assert(e.getMessage.contains("span exceeds") ||
       Option(e.getCause).exists(_.getMessage.contains("span exceeds")))
   }
+
+  test("bloomFilteredJoin equals the plain join; outer types rejected") {
+    import org.apache.spark.sql.functions.col
+    // large side: duplicates per key, keys missing from small, NULL keys
+    val large = ((1 to 500).map(i => (Some((i % 50).toLong), i)) ++
+      Seq((Option.empty[Long], -1), (Option.empty[Long], -2)))
+      .toDF("k", "payload")
+    val small = (0 until 20).map(i => (i.toLong * 2, s"s$i")).toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("payload"), col("attr")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val plain = canon(large.join(small, Seq("k"), "inner"))
+    val bloomed = canon(Joins.bloomFilteredJoin(large, small, "k"))
+    assert(bloomed === plain, "semi-join reduction must not change the result")
+    assert(plain.nonEmpty, "fixture sanity: some keys must match")
+    // left_semi leg: distinct large rows whose key exists in small
+    val semiPlain = large.join(small, Seq("k"), "left_semi").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val semiBloom = Joins.bloomFilteredJoin(large, small, "k",
+        joinType = "left_semi").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(semiBloom === semiPlain)
+    intercept[IllegalArgumentException] {
+      Joins.bloomFilteredJoin(large, small, "k", joinType = "left")
+    }
+  }
 }

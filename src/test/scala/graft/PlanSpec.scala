@@ -368,6 +368,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"one aggregate, no join:\n$p")
   }
 
+  test("q130 bloom join: fixed-size filter probe reduces the large side before the join") {
+    val p = plan(QueryCatalog.q130BloomJoin)
+    assert(p.contains("shiftright"),
+      s"the bloom bit-probe must appear as a large-side filter:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the one-row filter rides a broadcast, never a cartesian:\n$p")
+    // the pre-filter must run BEFORE the join: in the formatted tree the
+    // probe Filter sits below the join on the large branch, so the plan
+    // string must show the probe between the large scan and the join
+    val probeIx = p.indexOf("shiftright")
+    val joinIx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("HashJoin"))
+    assert(joinIx >= 0, s"expected an equi-join in:\n$p")
+  }
+
+  test("q131 salted join: the join exchange is keyed by (key, salt)") {
+    val p = plan(QueryCatalog.q131SaltedJoin)
+    assert(p.contains("_salt"),
+      s"join keys must include the salt so the hot key fans out:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"replication is an explode, never a cartesian:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
