@@ -3162,6 +3162,61 @@ object QueryCatalog {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** Hard-negative mining (Similarity.hardNegatives): top-3 most similar
+    * corpus vectors with a DIFFERENT label per query — the contrastive-
+    * training pair miner, exact like q26 with the label-mismatch gate. */
+  def q132HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 16), emb, k = 3)
+  }
+
+  val q132Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS query_label
+       |  FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS neighbor_label
+       |  FROM embeddings),
+       |scored AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |    ${cosSql("qv", "cv")} AS cos
+       |  FROM q CROSS JOIN c
+       |  WHERE query_id <> neighbor_id AND query_label IS DISTINCT FROM neighbor_label)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 3""".stripMargin
+
+  /** Retrieval AP@10 eval (Similarity.retrievalAveragePrecision):
+    * label-relevance average precision per query over the exact cosine
+    * ranking — the embedding-eval harness as a query. P(i) terms rounded
+    * once and summed as DECIMAL so the fold is order-free. */
+  def q133RetrievalAp(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.retrievalAveragePrecision(emb.filter(col("vec_id") < 16), emb, k = 10)
+  }
+
+  val q133Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS query_label
+       |  FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS neighbor_label
+       |  FROM embeddings),
+       |scored AS (SELECT query_id, query_label,
+       |    CAST(CASE WHEN query_label IS NOT DISTINCT FROM neighbor_label THEN 1 ELSE 0 END AS BIGINT) AS rel,
+       |    ${cosSql("qv", "cv")} AS cos, neighbor_id
+       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+       |    sum(rel) OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS cumrel
+       |  FROM scored),
+       |a AS (SELECT query_id, query_label, CAST(sum(rel) AS BIGINT) AS n_relevant,
+       |    sum(CASE WHEN rnk <= 10 AND rel = 1
+       |        THEN CAST(round(CAST(cumrel AS DOUBLE) / rnk, 6) AS DECIMAL(18,6))
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS apsum
+       |  FROM r GROUP BY 1, 2)
+       |SELECT query_id, query_label, n_relevant,
+       |  CASE WHEN n_relevant = 0 THEN NULL
+       |       ELSE round(CAST(apsum AS DOUBLE) / least(n_relevant, 10), 6) END AS ap_at_10
+       |FROM a""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3298,7 +3353,9 @@ object QueryCatalog {
     ("q128_curriculum_phases", q128CurriculumPhases _, Some(q128Sql)),
     ("q129_template_clusters", q129TemplateClusters _, Some(q129Sql)),
     ("q130_bloom_join", q130BloomJoin _, Some(q130Sql)),
-    ("q131_salted_join", q131SaltedJoin _, Some(q131Sql)))
+    ("q131_salted_join", q131SaltedJoin _, Some(q131Sql)),
+    ("q132_hard_negatives", q132HardNegatives _, Some(q132Sql)),
+    ("q133_retrieval_ap", q133RetrievalAp _, Some(q133Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

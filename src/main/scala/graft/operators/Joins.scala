@@ -184,15 +184,30 @@ object Joins {
     require(Set("inner", "left_semi")(joinType),
       s"semi-join reduction preserves only inner/left_semi semantics, got $joinType")
     import graft.functions.Sketches
-    val bf = small.agg(Sketches.bloomFilter(col(key), numBits, numHashes).as("_bf"))
-    large
-      // one digest per row, probed outside-codegen-safe (hex form)
-      .withColumn("_h", md5(col(key).cast("string")))
-      .crossJoin(broadcast(bf))
-      .filter(col(key).isNotNull &&
-        Sketches.bloomMightContainHex(col("_bf"), col("_h"), numBits, numHashes))
-      .drop("_bf", "_h")
-      .join(small, Seq(key), joinType)
+    // The filter is materialized to the driver and probed as a LITERAL
+    // array — the standard runtime-filter shape (what Spark's own Bloom
+    // runtime filters do with their subquery result). Joining the one-row
+    // filter frame instead (crossJoin + filter) measures 10× slower: the
+    // probe predicate gets pushed into the BroadcastNestedLoopJoin's join
+    // condition, which is evaluated interpreted, outside whole-stage
+    // codegen, per large-side row. The collect is control-plane by
+    // construction: ONE row of numBits/64 longs, fixed size at any scale.
+    val bfRow = small.agg(
+      Sketches.bloomFilter(col(key), numBits, numHashes).as("_bf")).head()
+    if (bfRow.isNullAt(0)) {
+      // empty small side: inner/semi join result is empty by definition
+      large.filter(lit(false)).join(small, Seq(key), joinType)
+    } else {
+      val bits = bfRow.getSeq[Long](0).toArray
+      val probe = org.apache.spark.sql.graftbridge.Bridge.toColumn(
+        graft.functions.BloomProbe(
+          org.apache.spark.sql.graftbridge.Bridge.toExpression(
+            col(key).cast("string")),
+          bits, numBits, numHashes))
+      large
+        .filter(col(key).isNotNull && probe)
+        .join(small, Seq(key), joinType)
+    }
   }
 
   /** Blocked fuzzy join (entity resolution): candidate pairs share a

@@ -48,6 +48,83 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most similar corpus vectors with a DIFFERENT
+    * label — the "close but wrong" examples a contrastive or triplet
+    * objective needs. Exact brute-force like [[knnBruteForce]] (the
+    * calibration tool, and the right shape for the typical anchor-set
+    * sizes); at corpus scale mine from [[annLsh]]/[[annIvf]] candidates
+    * with the same label-mismatch gate before ranking. NULL labels count
+    * as different from everything (null-safe inequality), so unlabeled
+    * corpus rows can still serve as negatives.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("query_label") <=> col("neighbor_label")))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), score(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Retrieval-quality evaluation: average precision at `k` per query
+    * over the exact cosine ranking, with "relevant" = same label — the
+    * labeled-corpus eval harness (embedding-model regression tests, ANN
+    * recall audits) run as a query instead of a driver-side script.
+    *
+    * AP@k = Σ_{i≤k, rel_i} P(i) / min(R, k) with P(i) = (relevant in
+    * top i)/i and R = the query's total relevant corpus count. Each P(i)
+    * is an exact small rational rounded ONCE to 6 dp and summed as
+    * DECIMAL(18,6) — order-free, so any engine replays the sum
+    * bit-for-bit; the final division is a single double op on exact
+    * inputs. Queries with no relevant corpus rows yield NULL (not NaN).
+    *
+    * Cost: |queries| × |corpus| scoring (eval sets are small by
+    * construction — this is the measurement tool, not the index); one
+    * query-partitioned window ranks, one aggregate folds.
+    */
+  def retrievalAveragePrecision(queries: DataFrame, corpus: DataFrame, k: Int,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val ranked = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_label"),
+        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
+        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cumrel",
+        sum(col("rel")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.groupBy(col("query_id"), col("query_label"))
+      .agg(
+        sum(col("rel")).as("n_relevant"),
+        sum(when(col("rank") <= k && col("rel") === 1,
+            round(col("cumrel").cast("double") / col("rank"), 6)
+              .cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("_apsum"))
+      .select(col("query_id"), col("query_label"), col("n_relevant"),
+        when(col("n_relevant") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_apsum").cast("double") /
+            least(col("n_relevant"), lit(k.toLong)), 6))
+          .as(s"ap_at_$k"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, d):
     * a value in [-7.5, 7.5] derived from an md5 hex digit — engine-portable
     * and seed-stable, so bucket assignment is reproducible everywhere.

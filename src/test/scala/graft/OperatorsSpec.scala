@@ -678,6 +678,44 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("hardNegatives: nearest same-label excluded, NULL label is a negative") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), Some("a")),
+      (1L, Array(0.99f, 0.01f), Some("a")),  // closest overall but same label
+      (2L, Array(0.9f, 0.1f), Some("b")),    // hardest negative
+      (3L, Array(0.5f, 0.5f), Option.empty[String]), // NULL label: negative
+      (4L, Array(-1.0f, 0.0f), Some("b")))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb.filter(col("vec_id") === 0), emb, k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(out.toSeq === Seq((2L, 1L), (3L, 2L)),
+      "same-label twin must be skipped; NULL-label row serves as a negative")
+  }
+
+  test("retrievalAveragePrecision: hand-computed AP, zero-relevant query is NULL") {
+    // query 0 (label a): ranking by cosine is 1 (a), 2 (b), 3 (a), 4 (b)
+    // rel = 1,0,1,0 -> AP@10 = (round(1/1,6) + round(2/3,6))/min(2,10)
+    //                        = 1.666667/2 = 0.8333335 -> round 6 = 0.833334
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), "a"),
+      (1L, Array(0.99f, 0.01f), "a"),
+      (2L, Array(0.9f, 0.1f), "b"),
+      (3L, Array(0.5f, 0.5f), "a"),
+      (4L, Array(-1.0f, 0.0f), "b"),
+      (9L, Array(0.7f, 0.7f), "solo"))  // no other 'solo' rows -> NULL AP
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalAveragePrecision(
+        emb.filter(col("vec_id") === 0 || col("vec_id") === 9), emb, k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_relevant"), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(0L)._1 === 2L)
+    assert(out(0L)._2.exists(v => math.abs(v - 0.833334) < 1e-9),
+      s"AP must be (1 + 2/3)/2 rounded: got ${out(0L)._2}")
+    assert(out(9L) === ((0L, None)), "no relevant corpus rows -> NULL, not NaN")
+  }
+
   test("annLsh buckets are stable and same-bucket for identical vectors") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),

@@ -368,18 +368,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"one aggregate, no join:\n$p")
   }
 
-  test("q130 bloom join: fixed-size filter probe reduces the large side before the join") {
+  test("q130 bloom join: native probe filters the large side before the join") {
     val p = plan(QueryCatalog.q130BloomJoin)
-    assert(p.contains("shiftright"),
-      s"the bloom bit-probe must appear as a large-side filter:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"the one-row filter rides a broadcast, never a cartesian:\n$p")
-    // the pre-filter must run BEFORE the join: in the formatted tree the
-    // probe Filter sits below the join on the large branch, so the plan
-    // string must show the probe between the large scan and the join
-    val probeIx = p.indexOf("shiftright")
-    val joinIx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("HashJoin"))
-    assert(joinIx >= 0, s"expected an equi-join in:\n$p")
+    assert(p.contains("bloom_probe"),
+      s"the native bloom probe must appear as a large-side filter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the driver-materialized filter needs no join to reach the rows:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      s"expected an equi-join in:\n$p")
+    // the probe must not blow up plan strings: the bit array rides an
+    // opaque reference, never an inlined 16k-element literal
+    assert(p.length < 100000, s"plan string must stay bounded: ${p.length} chars")
   }
 
   test("q131 salted join: the join exchange is keyed by (key, salt)") {
