@@ -3217,6 +3217,113 @@ object QueryCatalog {
        |       ELSE round(CAST(apsum AS DOUBLE) / least(n_relevant, 10), 6) END AS ap_at_10
        |FROM a""".stripMargin
 
+  /** Per-group feature normalization (Stats.standardize): z-score and
+    * min-max of the price against its return-flag group — exact DECIMAL
+    * Σx/Σx² bases, fixed-shape double readout rounded once. */
+  def q134Normalize(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.standardize(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
+
+  val q134Sql: String =
+    """WITH x AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    CAST(l_extendedprice AS DECIMAL(18,6)) AS xd FROM lineitem),
+      |s AS (SELECT l_returnflag AS g, CAST(count(xd) AS BIGINT) AS n, sum(xd) AS sx,
+      |    sum(CAST(CAST(xd AS DECIMAL(28,6)) * xd AS DECIMAL(38,12))) AS q,
+      |    min(xd) AS mn, max(xd) AS mx
+      |  FROM x GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  CASE WHEN n > 1 AND CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n) > 0
+      |    THEN round((CAST(xd AS DOUBLE) - CAST(sx AS DOUBLE)/n) /
+      |      sqrt(CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6)
+      |  END AS l_extendedprice_z,
+      |  CASE WHEN mx > mn THEN round(CAST(xd - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6)
+      |  END AS l_extendedprice_minmax
+      |FROM x JOIN s ON l_returnflag = s.g""".stripMargin
+
+  /** Temporal split with embargo (Sampling.temporalSplit): train strictly
+    * before split−embargo, test at/after split, the 2-day gap labeled and
+    * excluded — the time-series leakage guard. Reduced to per-split
+    * stats. */
+  def q135TemporalSplit(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temporalSplit(
+        t(s, dir, "events"), "ts", "2024-01-20 00:00:00", "2 days")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val q135Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |l AS (SELECT user_id, CASE
+      |    WHEN us IS NULL THEN NULL
+      |    WHEN us < epoch_us(TIMESTAMP '2024-01-20 00:00:00') - 172800000000 THEN 'train'
+      |    WHEN us >= epoch_us(TIMESTAMP '2024-01-20 00:00:00') THEN 'test'
+      |    ELSE 'embargo' END AS split FROM e)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM l GROUP BY 1""".stripMargin
+
+  /** Hashing-trick features (TextAnalysis.featureHash): tokens hashed to
+    * a fixed 1024-bucket space, per-doc bucket counts as sparse COO rows
+    * — the vocabulary-free featurizer. */
+  def q136FeatureHash(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.featureHash(t(s, dir, "documents"), dims = 1024)
+
+  val q136Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents)
+       |SELECT doc_id,
+       |  CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) % 1024 AS feature_ix,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok GROUP BY 1, 2""".stripMargin
+
+  /** Hybrid-retrieval fusion (Similarity.rrfFuse): BM25 lexical ranking ×
+    * embedding-cosine ranking for one query, fused by reciprocal rank
+    * (Σ 1/(60+rank), per-term round-then-DECIMAL fold), top 20. */
+  def q137RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+    val lex = TextAnalysis.bm25(t(s, dir, "documents"), Seq("table", "stream", "vector"))
+      .withColumn("qid", lit("q1"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= 50)
+    val emb = t(s, dir, "embeddings")
+    val sem = Similarity.knnBruteForce(emb.filter(col("vec_id") === 0), emb, k = 50)
+      .select(lit("q1").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(lex.select(col("qid"), col("doc_id"), col("rank")),
+        sem, "qid", "doc_id")
+      .filter(col("fused_rank") <= 20)
+  }
+
+  val q137Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |b2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM b2),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+       |       WHERE term IN ('table', 'stream', 'vector') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |   CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |     * (CAST(tf AS DOUBLE) * 2.2)
+       |     / (CAST(tf AS DOUBLE) + 0.3 + 0.9 * CAST(dl * n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+       |bm AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score FROM sc GROUP BY 1),
+       |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_a
+       |        FROM bm QUALIFY rank_a <= 50),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |cos AS (SELECT doc_id, ${cosSql("qv", "cv")} AS cos FROM c CROSS JOIN q WHERE doc_id <> 0),
+       |sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank_b
+       |        FROM cos QUALIFY rank_b <= 50),
+       |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_a, rank_b,
+       |    coalesce(CAST(round(1.0 / (60 + rank_a), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+       |      + coalesce(CAST(round(1.0 / (60 + rank_b), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT 'q1' AS qid, doc_id, rank_a, rank_b, CAST(rrf AS DOUBLE) AS rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
+       |FROM f QUALIFY fused_rank <= 20""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3355,7 +3462,11 @@ object QueryCatalog {
     ("q130_bloom_join", q130BloomJoin _, Some(q130Sql)),
     ("q131_salted_join", q131SaltedJoin _, Some(q131Sql)),
     ("q132_hard_negatives", q132HardNegatives _, Some(q132Sql)),
-    ("q133_retrieval_ap", q133RetrievalAp _, Some(q133Sql)))
+    ("q133_retrieval_ap", q133RetrievalAp _, Some(q133Sql)),
+    ("q134_normalize", q134Normalize _, Some(q134Sql)),
+    ("q135_temporal_split", q135TemporalSplit _, Some(q135Sql)),
+    ("q136_feature_hash", q136FeatureHash _, Some(q136Sql)),
+    ("q137_rrf_fusion", q137RrfFusion _, Some(q137Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -78,19 +78,7 @@ object Joins {
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTime: String, rightTime: String, width: String,
                 rightPrefix: String = "right_"): DataFrame = {
-    val wUs = {
-      // parse width like "30 minutes" into microseconds
-      val parts = width.trim.split("\\s+")
-      require(parts.length == 2, s"width must be '<n> <unit>', got '$width'")
-      val n = parts(0).toLong
-      parts(1).toLowerCase match {
-        case "second" | "seconds" => n * 1000000L
-        case "minute" | "minutes" => n * 60L * 1000000L
-        case "hour" | "hours" => n * 3600L * 1000000L
-        case "day" | "days" => n * 86400L * 1000000L
-        case u => throw new IllegalArgumentException(s"unsupported unit $u")
-      }
-    }
+    val wUs = Times.parseDurationUs(width)
     val leftPayload = left.columns.filterNot(keys.contains)
     val rightPayload = right.columns.filterNot(keys.contains)
     val lb = left.withColumn("_lus", Times.epochMicros(col(leftTime)))

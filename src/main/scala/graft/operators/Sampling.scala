@@ -214,6 +214,27 @@ object Sampling {
       .select(col("source"), col("avail"), col("weight"), col("capped"), col("allocated"))
   }
 
+  /** Temporal train/test split with an embargo gap — the time-series
+    * leakage guard: rows strictly before `splitAt − embargo` train, rows
+    * at/after `splitAt` test, and the embargo window between is labeled
+    * "embargo" and EXCLUDED from both (features computed near the
+    * boundary leak across it through windows/sessions that straddle the
+    * cut; the gap absorbs that horizon — set it to the longest lookback
+    * any feature uses). Map-only, no shuffle; epoch-µs comparisons via
+    * [[Times.epochMicros]] so every timestamp flavor works. NULL
+    * timestamps label NULL (auditable, never silently trained on). */
+  def temporalSplit(df: DataFrame, tsCol: String, splitAt: String,
+                    embargo: String = "0 seconds"): DataFrame = {
+    val us = Times.epochMicros(col(tsCol))
+    val splitUs = Times.epochMicros(to_timestamp(lit(splitAt)))
+    val embargoUs = Times.parseDurationUs(embargo)
+    df.withColumn("split",
+      when(us.isNull, lit(null).cast("string"))
+        .when(us < splitUs - embargoUs, lit("train"))
+        .when(us >= splitUs, lit("test"))
+        .otherwise(lit("embargo")))
+  }
+
   /** Curriculum phase assignment: within each group (source/domain), order
     * documents by an easiness score (ascending — easy first, the standard
     * curriculum-learning schedule), accumulate token counts down that

@@ -125,6 +125,39 @@ object Similarity {
           .as(s"ap_at_$k"))
   }
 
+  /** Reciprocal-rank fusion of two per-query rankings (hybrid retrieval:
+    * lexical BM25 × embedding cosine is the classic pair): fused score =
+    * Σ 1/(k+rank) over the rankings that contain the item, re-ranked by
+    * (score desc, id). Items on one list only still score (the absent
+    * list contributes 0) — that robustness to disjoint result sets is
+    * why RRF beats score-level mixing across incomparable scales.
+    *
+    * Each 1/(k+rank) term is rounded once to 6 dp and summed as
+    * DECIMAL(18,6) (order-free, engine-replayable); ranks ride along as
+    * `rank_a`/`rank_b` (NULL = absent). One full-outer join on
+    * (query, id) + one query-partitioned window — rankings are top-N by
+    * construction, so both are bounded by queries × N. */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
+              k: Int = 60, rankCol: String = "rank"): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val zero = lit(0).cast("decimal(18,6)")
+    val ar = a.select(col(queryCol).as("_q"), col(idCol).as("_id"),
+      col(rankCol).cast("long").as("rank_a"))
+    val br = b.select(col(queryCol).as("_q"), col(idCol).as("_id"),
+      col(rankCol).cast("long").as("rank_b"))
+    val fused = ar.join(br, Seq("_q", "_id"), "full_outer")
+      .select(col("_q"), col("_id"), col("rank_a"), col("rank_b"),
+        (coalesce(round(lit(1.0) / (lit(k) + col("rank_a")), 6)
+            .cast("decimal(18,6)"), zero) +
+          coalesce(round(lit(1.0) / (lit(k) + col("rank_b")), 6)
+            .cast("decimal(18,6)"), zero)).as("_rrf"))
+    val w = Window.partitionBy(col("_q")).orderBy(col("_rrf").desc, col("_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .select(col("_q").as(queryCol), col("_id").as(idCol),
+        col("rank_a"), col("rank_b"),
+        col("_rrf").cast("double").as("rrf"), col("fused_rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, d):
     * a value in [-7.5, 7.5] derived from an md5 hex digit — engine-portable
     * and seed-stable, so bucket assignment is reproducible everywhere.

@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Per-group feature normalization — the feature-engineering staple:
+    * z-score and min-max scaling of a numeric column against its group's
+    * distribution, as one stats aggregate broadcast back + a map-only
+    * projection (the winsorize/q113 topology).
+    *
+    * Determinism contract: values enter as DECIMAL(18,6); Σx and Σx² are
+    * EXACT decimal sums (order-free), and the mean/σ/scaled outputs are
+    * fixed-shape double expressions over those exact bases, rounded to 6 —
+    * so any engine replays every z bit-for-bit. σ is the population form
+    * √(Q/n − μ²). Degenerate groups defined away from NaN: zero variance →
+    * NULL z; constant min=max → NULL minmax; NULL values pass through
+    * NULL. Exactness bound: Σx² stays in DECIMAL(38,12) while
+    * n·max(x)² < ~1e25 — rescale heavier-tailed metrics first.
+    *
+    * Returns the input plus `<valueCol>_z` and `<valueCol>_minmax`. */
+  def standardize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(18,6)")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(xd).as("_n"),
+        sum(xd).as("_s"),
+        sum((xd * xd).cast("decimal(38,12)")).as("_q"),
+        min(xd).as("_mn"), max(xd).as("_mx"))
+      .withColumnRenamed(groupCol, "_grp")
+    val mean = col("_s").cast("double") / col("_n")
+    val variance = col("_q").cast("double") / col("_n") - mean * mean
+    df.join(broadcast(stats), col(groupCol) <=> col("_grp"), "left")
+      .withColumn(s"${valueCol}_z",
+        when(col("_n") > 1 && variance > 0,
+          round((xd.cast("double") - mean) / sqrt(variance), 6)))
+      .withColumn(s"${valueCol}_minmax",
+        when(col("_mx") > col("_mn"),
+          round((xd - col("_mn")).cast("double") /
+            (col("_mx") - col("_mn")).cast("double"), 6)))
+      .drop("_grp", "_n", "_s", "_q", "_mn", "_mx")
+  }
+
   /** Group-wise Pearson correlation between two INTEGER-valued metrics,
     * with an exact strength verdict: `strong` ⇔ corr² > threshold², cross-
     * multiplied into DECIMAL(38,0) so the decision never touches a float —

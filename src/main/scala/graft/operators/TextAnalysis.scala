@@ -262,6 +262,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("_s")).cast("double").as("score"))
   }
 
+  /** Hashing-trick featurizer (the fastText/Vowpal-Wabbit input encoding):
+    * each token hashes to a fixed `dims`-bucket feature index and per-doc
+    * bucket counts form the sparse feature vector — no vocabulary pass, no
+    * id table, fixed feature space however large the corpus grows.
+    * Output is sparse COO rows (doc_id, feature_ix, cnt) — the shape a
+    * trainer or a [[dsirWeights]]-style model consumes.
+    *
+    * The index is the same md5 bucket arithmetic as dsirWeights (60-bit
+    * hex prefix mod dims — engine-portable, collision-deterministic).
+    * One map-only tokenize+hash pass; the only shuffle is the
+    * (doc, bucket) count, bounded by corpus tokens with per-doc fan-out
+    * capped at `dims`. Docs with NULL text contribute no rows. */
+  def featureHash(docs: DataFrame, dims: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dims >= 2 && dims <= (1 << 24), "dims must be in [2, 2^24]")
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % dims)
+          .as("feature_ix"))
+      .groupBy(col("doc_id"), col("feature_ix"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Unigram language-model quality score (the CCNet idea cut to its
     * deterministic core): train a unigram LM on the corpus itself — one
     * inverted-index count aggregate — and score each document by its mean

@@ -25,4 +25,20 @@ object Times {
     * zone offset cancels in `us - lag(us)`.
     */
   def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Parse a "<n> <unit>" duration (seconds/minutes/hours/days) into
+    * exact microseconds — the shared width/embargo parser for the
+    * banded range join and the temporal split. */
+  def parseDurationUs(width: String): Long = {
+    val parts = width.trim.split("\\s+")
+    require(parts.length == 2, s"duration must be '<n> <unit>', got '$width'")
+    val n = parts(0).toLong
+    parts(1).toLowerCase match {
+      case "second" | "seconds" => n * 1000000L
+      case "minute" | "minutes" => n * 60L * 1000000L
+      case "hour" | "hours" => n * 3600L * 1000000L
+      case "day" | "days" => n * 86400L * 1000000L
+      case u => throw new IllegalArgumentException(s"unsupported unit $u")
+    }
+  }
 }

@@ -716,6 +716,69 @@ class OperatorsSpec extends SparkSpec {
     assert(out(9L) === ((0L, None)), "no relevant corpus rows -> NULL, not NaN")
   }
 
+  test("standardize: hand-computed z and minmax, constant group NULLs, NULL passthrough") {
+    val d = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Option.empty[Double]),
+      ("c", Some(7.0)), ("c", Some(7.0))).toDF("grp", "v")
+    val out = graft.operators.Stats.standardize(d, "grp", "v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // g: mean 2, pop var = (1+4+9)/3 - 4 = 2/3, sigma = sqrt(2/3)
+    val sigma = math.sqrt(2.0 / 3.0)
+    assert(out(("g", Some(2.0)))._1.contains(0.0), "mean value z = 0")
+    assert(out(("g", Some(3.0)))._1.exists(z => math.abs(z - math.round(1 / sigma * 1e6) / 1e6) < 1e-9))
+    assert(out(("g", Some(1.0)))._2.contains(0.0) && out(("g", Some(3.0)))._2.contains(1.0),
+      "minmax endpoints are 0 and 1")
+    assert(out(("g", None)) === ((None, None)), "NULL value stays NULL")
+    assert(out(("c", Some(7.0))) === ((None, None)),
+      "constant group: zero variance and mn=mx must NULL, never NaN")
+  }
+
+  test("temporalSplit: boundary semantics and NULL timestamps") {
+    import java.sql.Timestamp
+    val d = Seq(
+      (1L, Some(Timestamp.valueOf("2024-01-17 23:59:59"))), // train (< split-2d)
+      (2L, Some(Timestamp.valueOf("2024-01-18 00:00:00"))), // embargo (== split-2d)
+      (3L, Some(Timestamp.valueOf("2024-01-19 12:00:00"))), // embargo
+      (4L, Some(Timestamp.valueOf("2024-01-20 00:00:00"))), // test (== split)
+      (5L, Option.empty[Timestamp]))
+      .toDF("id", "ts")
+    val out = graft.operators.Sampling
+      .temporalSplit(d, "ts", "2024-01-20 00:00:00", "2 days")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).contains("train") && out(2L).contains("embargo") &&
+      out(3L).contains("embargo") && out(4L).contains("test"))
+    assert(out(5L).isEmpty, "NULL ts labels NULL, never silently trains")
+  }
+
+  test("featureHash: same token same bucket, counts exact, bounded index space") {
+    val d = Seq((1L, "alpha beta alpha"), (2L, "beta"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.featureHash(d, dims = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(t => t._2 >= 0 && t._2 < 64), "indexes inside the space")
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(_._3).sum === 3L, "doc 1 has 3 tokens")
+    val betaIx1 = d1.filter(_._3 == 1L).map(_._2)  // beta appears once in doc 1
+    val betaIx2 = rows.filter(_._1 == 2L).map(_._2)
+    assert(betaIx1.toSeq === betaIx2.toSeq, "same token must hash to the same bucket")
+    assert(!rows.exists(_._1 == 3L), "NULL text contributes no rows")
+  }
+
+  test("rrfFuse: hand-computed fusion, one-list items still score") {
+    val a = Seq(("q", 10L, 1L), ("q", 11L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq(("q", 11L, 1L), ("q", 12L, 2L)).toDF("qid", "id", "rank")
+    val out = graft.operators.Similarity.rrfFuse(a, b, "qid", "id", k = 60)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(4), r.getLong(5))).toMap
+    // 11: 1/62 + 1/61 -> round each to 6: 0.016129 + 0.016393 = 0.032522
+    assert(math.abs(out(11L)._1 - 0.032522) < 1e-9, s"got ${out(11L)._1}")
+    assert(out(11L)._2 === 1L, "item on both lists wins")
+    // 10: only list a rank 1 -> 1/61 = 0.016393; 12: only list b rank 2 -> 1/62 = 0.016129
+    assert(out(10L)._2 === 2L && out(12L)._2 === 3L,
+      "one-list items rank by their single contribution")
+  }
+
   test("annLsh buckets are stable and same-bucket for identical vectors") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
