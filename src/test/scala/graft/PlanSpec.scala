@@ -368,6 +368,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"one aggregate, no join:\n$p")
   }
 
+  test("q123 random projection: map-only — literal sign matrix, no join, no exchange") {
+    val p = plan(QueryCatalog.q123RandomProjection)
+    assert(!p.contains("Join"), s"the sign matrix is a literal, never a join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"per-row fold + posexplode must not shuffle anything:\n$p")
+  }
+
   test("q130 bloom join: native probe filters the large side before the join") {
     val p = plan(QueryCatalog.q130BloomJoin)
     assert(p.contains("bloom_probe"),
