@@ -3324,6 +3324,21 @@ object QueryCatalog {
        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
        |FROM f QUALIFY fused_rank <= 20""".stripMargin
 
+  /** Winsorize via the single-pass `percentile` aggregate (bounds="agg")
+    * — the third bounds strategy next to q86 (two-pass exact) and q99
+    * (sketch). Same oracle as q86: the strategies are result-identical by
+    * contract, and this row PROVES it on the driver gate. */
+  def q138WinsorizeAgg(s: SparkSession, dir: String): DataFrame =
+    operators.Cleanse.winsorize(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", bounds = "agg")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("mean_raw"),
+        (sum(col("l_extendedprice_w").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean_winsorized"))
+
+  val q138Sql: String = q86Sql
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3466,7 +3481,8 @@ object QueryCatalog {
     ("q134_normalize", q134Normalize _, Some(q134Sql)),
     ("q135_temporal_split", q135TemporalSplit _, Some(q135Sql)),
     ("q136_feature_hash", q136FeatureHash _, Some(q136Sql)),
-    ("q137_rrf_fusion", q137RrfFusion _, Some(q137Sql)))
+    ("q137_rrf_fusion", q137RrfFusion _, Some(q137Sql)),
+    ("q138_winsorize_agg", q138WinsorizeAgg _, Some(q138Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -172,6 +172,21 @@ object ScaleCheck {
     }
     // template clusters: the exact-dedup one-hash-aggregate law
     time("template_clusters")(Dedup.templateClusters(docs))
+    // r8-close additions: the hashing featurizer (one map-only hash pass +
+    // one (doc, bucket)-bounded count shuffle — linear in corpus tokens),
+    // per-group normalization (one stats aggregate + map-only readout),
+    // and curriculum phasing (one source-partitioned window)
+    time("feature_hash(1024)")(
+      graft.operators.TextAnalysis.featureHash(docs, dims = 1024))
+    time("standardize")(
+      graft.operators.Stats.standardize(
+        docs.select(col("lang"), col("n_chars").cast("double").as("v")),
+        "lang", "v"))
+    time("curriculum_phases")(
+      graft.operators.Sampling.curriculumPhases(
+        docs.select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n")),
+        "source", "doc_id", "n", "n", phaseTokens = 65536L))
     time("cluster_split")(
       graft.operators.Sampling.threeWaySplit(
         docs.select(col("doc_id"))

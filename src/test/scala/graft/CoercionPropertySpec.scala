@@ -103,4 +103,33 @@ class CoercionPropertySpec extends SparkSpec {
       case None => succeed
     }
   }
+
+  test("exactQuantiles equals the percentile aggregate on randomized frames " +
+      "(sizes, duplicates, group counts, quantile sets all drawn)") {
+    // the riskiest operator of the two-pass family: every randomized trial
+    // compares the histogram-locate + k-th-selection path against Spark's
+    // exact aggregate on the SAME frame — bucket-boundary and offset
+    // arithmetic bugs show up as any single mismatched group
+    for (trial <- 0 until 3) {
+      val seed = 1000L + trial
+      val nGroups = 1 + (trial * 2) // 1, 3, 5 groups
+      val rows = samples(for {
+        g <- Gen.chooseNum(0, nGroups - 1)
+        // heavy duplication on small ranges mixed with near-unique doubles
+        v <- Gen.oneOf(Gen.chooseNum(0, 9).map(_.toDouble),
+          Gen.chooseNum(-1e6, 1e6))
+      } yield (s"g$g", v), 400 + 100 * trial, seed)
+      val d = rows.toDF("grp", "v")
+      val qs = Seq("q1" -> 0.013, "q2" -> 0.5, "q3" -> 0.977)
+      val got = graft.operators.ApproxQuantile.exactQuantiles(d, "grp", "v", qs,
+          buckets = 16) // tiny buckets: many values per bucket, offsets stressed
+        .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+      val want = d.groupBy(col("grp")).agg(
+          round(expr("percentile(v, 0.013)"), 6).as("q1"),
+          round(expr("percentile(v, 0.5)"), 6).as("q2"),
+          round(expr("percentile(v, 0.977)"), 6).as("q3"))
+        .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+      assert(got === want, s"trial $trial (seed $seed) diverged")
+    }
+  }
 }
