@@ -421,13 +421,18 @@ object TextAnalysis {
     * whole score is an order-free exact sum, argmax ties broken on the
     * label string.
     *
-    * Scale: labels are assumed few (domains/languages — the classifier
-    * use case). Training is two count aggregates on the (term, label)
-    * key; scoring joins the doc-term stream to the per-label term table
-    * on TERM (never forced broadcast — the vocabulary side grows with
-    * the corpus, exactly the q98 lesson) and combines per-(doc, label)
-    * partials map-side. The docs×labels grid rides a true broadcast:
-    * one row per label.
+    * Scale: labels are few BY DEFINITION (they are a classifier's
+    * classes; the label list is read driver-side — a control-plane
+    * collect of the class set, like KeyAssign's partition array).
+    * Training is two count aggregates on the (term, label) key; the
+    * per-label log factors then PIVOT to ONE row per term, so the
+    * term-keyed scoring join (never forced broadcast — the vocabulary
+    * side grows with the corpus, exactly the q98 lesson) carries each
+    * doc-term row ONCE instead of once per label — the earlier
+    * unpivoted join shuffled tf × |labels| rows and measured ~2×
+    * slower at sf0.1. Per-doc partials combine map-side as |labels|
+    * decimal sums per doc; only the final tiny (docs × labels) frame
+    * explodes for the argmax window.
     */
   def naiveBayesClassify(docs: DataFrame, labelCol: String = "source",
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -459,19 +464,49 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("prior_r"),
         round(log(col("cs").cast("double") + col("v").cast("double")), 6)
           .cast("decimal(18,6)").as("floor_r"))
-    val lmst = cst.select(col("cand"), col("term"),
-      round(log(col("cst").cast("double") + lit(1.0)), 6)
-        .cast("decimal(18,6)").as("lp1_r"))
-    val part = tf.join(lmst, Seq("term"))
-      .select(col("doc_id"), col("cand"),
-        (col("tf").cast("decimal(18,6)") * col("lp1_r")).as("_p"))
-      .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(col("_p")).as("part"))
-    val scored = docsF.crossJoin(broadcast(consts))
-      .join(part, Seq("doc_id", "cand"), "left")
+    // class set, driver-side: a classifier's labels are bounded by
+    // definition (control-plane read; NULL labels are not classes — a
+    // NULL-labeled doc still gets scored against the real classes)
+    val labels: Seq[String] = docsF.select(col("actual")).distinct()
+      .collect().map(r => Option(r.getString(0))).flatten.sorted.toSeq
+    require(labels.nonEmpty, "need at least one non-NULL label")
+    val lpCols = labels.indices.map(i => s"_lp_$i")
+    // per-label add-one log factors PIVOTED to one row per term, so the
+    // term-keyed scoring join fans out ×1, not ×|labels|
+    val lmstW = cst.groupBy(col("term"))
+      .agg(
+        max(when(col("cand") === labels.head,
+          round(log(col("cst").cast("double") + lit(1.0)), 6)
+            .cast("decimal(18,6)"))).as(lpCols.head),
+        labels.tail.zipWithIndex.map { case (l, i) =>
+          max(when(col("cand") === l,
+            round(log(col("cst").cast("double") + lit(1.0)), 6)
+              .cast("decimal(18,6)"))).as(lpCols(i + 1))
+        }: _*)
+    val zero = lit(0).cast("decimal(18,6)")
+    val partW = tf.join(lmstW, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf").cast("decimal(18,6)") * coalesce(col(lpCols.head), zero))
+          .as(s"_part_0"),
+        lpCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(col("tf").cast("decimal(18,6)") * coalesce(col(c), zero))
+            .as(s"_part_${i + 1}")
+        }: _*)
+    // the docs×labels grid only exists on the tiny per-doc frame
+    val scored = docsF.join(partW, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("actual") +: col("dl") +:
+        labels.indices.map(i =>
+          coalesce(col(s"_part_$i"), lit(0).cast("decimal(38,12)")).as(s"_part_$i")): _*)
+      .select(col("doc_id"), col("actual"), col("dl"),
+        explode(array(labels.indices.map(i =>
+          struct(lit(labels(i)).as("cand"), col(s"_part_$i").as("part"))): _*)).as("_e"))
+      .select(col("doc_id"), col("actual"), col("dl"),
+        col("_e.cand").as("cand"), col("_e.part").as("part"))
+      .join(broadcast(consts), Seq("cand"))
       .select(col("doc_id"), col("actual"), col("cand"),
         (col("prior_r") - col("dl").cast("decimal(18,6)") * col("floor_r") +
-          coalesce(col("part"), lit(0).cast("decimal(38,12)"))).as("_score"))
+          col("part")).as("_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("_score").desc, col("cand").asc)
     scored.withColumn("_rnk", row_number().over(w)).filter(col("_rnk") === 1)
