@@ -3339,6 +3339,27 @@ object QueryCatalog {
 
   val q138Sql: String = q86Sql
 
+  /** Robust scaling (Stats.robustScale): (x − median)/IQR per return
+    * flag — outlier-immune normalization whose bounds ride the
+    * bounded-state exact quantile path (q127's operator, reused). */
+  def q139RobustScale(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.robustScale(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
+
+  val q139Sql: String =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |    round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+      |    round(quantile_cont(l_extendedprice, 0.5), 6) AS med,
+      |    round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  CASE WHEN q3 > q1
+      |    THEN round((l_extendedprice - med) / (q3 - q1), 6) END AS l_extendedprice_robust
+      |FROM lineitem JOIN b ON l_returnflag = b.g""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3482,7 +3503,8 @@ object QueryCatalog {
     ("q135_temporal_split", q135TemporalSplit _, Some(q135Sql)),
     ("q136_feature_hash", q136FeatureHash _, Some(q136Sql)),
     ("q137_rrf_fusion", q137RrfFusion _, Some(q137Sql)),
-    ("q138_winsorize_agg", q138WinsorizeAgg _, Some(q138Sql)))
+    ("q138_winsorize_agg", q138WinsorizeAgg _, Some(q138Sql)),
+    ("q139_robust_scale", q139RobustScale _, Some(q139Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -46,6 +46,28 @@ object Stats {
       .drop("_grp", "_n", "_s", "_q", "_mn", "_mx")
   }
 
+  /** Robust per-group scaling: (x − median) / IQR — the outlier-immune
+    * twin of [[standardize]] (one wild value moves a mean/σ arbitrarily
+    * far; the median and quartiles move by at most one rank). Bounds come
+    * from [[ApproxQuantile.exactQuantiles]] — the bounded-state exact
+    * path, so the operator survives near-unique doubles at any scale —
+    * broadcast back as one tiny row per group; the scaling itself is
+    * map-only. Zero-IQR groups (≥ 50% mass on one value) yield NULL,
+    * never NaN/Inf; NULL values pass through NULL.
+    *
+    * Returns the input plus `<valueCol>_robust`. */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val b = ApproxQuantile.exactQuantiles(df, groupCol, valueCol,
+        Seq("_q1" -> 0.25, "_med" -> 0.5, "_q3" -> 0.75))
+      .withColumnRenamed(groupCol, "_grp")
+    df.join(broadcast(b), col(groupCol) <=> col("_grp"), "left")
+      .withColumn(s"${valueCol}_robust",
+        when(col("_q3") > col("_q1"),
+          round((col(valueCol).cast("double") - col("_med")) /
+            (col("_q3") - col("_q1")), 6)))
+      .drop("_grp", "_q1", "_med", "_q3")
+  }
+
   /** Group-wise Pearson correlation between two INTEGER-valued metrics,
     * with an exact strength verdict: `strong` ⇔ corr² > threshold², cross-
     * multiplied into DECIMAL(38,0) so the decision never touches a float —

@@ -735,6 +735,21 @@ class OperatorsSpec extends SparkSpec {
       "constant group: zero variance and mn=mx must NULL, never NaN")
   }
 
+  test("robustScale: median centers, IQR scales, outlier does not move the bounds") {
+    // 1..9 plus a wild outlier: median 5.5, q1 3.25, q3 7.75 over 10 values
+    val d = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1e9))
+      .toDF("grp", "v")
+    val out = graft.operators.Stats.robustScale(d, "grp", "v")
+      .collect().map(r => r.getDouble(1) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // quantile_cont over sorted 1..9,1e9: q1 = 3.25, med = 5.5, q3 = 7.75, iqr = 4.5
+    assert(out(5.0).exists(v => math.abs(v - ((5.0 - 5.5) / 4.5 * 1e6).round / 1e6) < 1e-9))
+    assert(out(1e9).exists(_ > 1e8 / 4.5 / 2), "the outlier lands far out without poisoning the scale")
+    // constant group: zero IQR -> NULL
+    val c = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("grp", "v")
+    assert(graft.operators.Stats.robustScale(c, "grp", "v")
+      .collect().forall(_.isNullAt(2)), "zero-IQR group must NULL, never Inf")
+  }
+
   test("temporalSplit: boundary semantics and NULL timestamps") {
     import java.sql.Timestamp
     val d = Seq(

@@ -396,6 +396,39 @@ class PlanSpec extends SparkSpec {
       s"replication is an explode, never a cartesian:\n$p")
   }
 
+  test("q134/q139 normalization: one stats aggregate broadcast back, map-only scaling") {
+    for (q <- Seq(QueryCatalog.q134Normalize _, QueryCatalog.q139RobustScale _)) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"bounds frame must broadcast:\n$p")
+      // q139's quantile-bounds subtree carries its own (group, bucket)-
+      // partitioned selection windows; what's forbidden is ranking the
+      // DATA globally
+      assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+    }
+  }
+
+  test("q135 temporal split: the labeling is map-only before the reduction") {
+    val p = plan(QueryCatalog.q135TemporalSplit)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"split labeling is a projection, nothing else:\n$p")
+    assert(p.contains("partial_"), s"split stats must combine map-side:\n$p")
+  }
+
+  test("q136 feature hash: one count shuffle, no join, no window") {
+    val p = plan(QueryCatalog.q136FeatureHash)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"hashing needs no vocabulary join and no rank:\n$p")
+    assert(p.contains("partial_count"), s"bucket counts combine map-side:\n$p")
+  }
+
+  test("q137 rrf fusion: query-partitioned window only, no cartesian") {
+    val p = plan(QueryCatalog.q137RrfFusion)
+    assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ranking fusion is a keyed full-outer join, never all-pairs:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
