@@ -3360,6 +3360,29 @@ object QueryCatalog {
       |    THEN round((l_extendedprice - med) / (q3 - q1), 6) END AS l_extendedprice_robust
       |FROM lineitem JOIN b ON l_returnflag = b.g""".stripMargin
 
+  /** Per-label embedding dispersion (Similarity.labelDispersion): mean
+    * squared distance to the label centroid via E‖x−c‖² = E‖x‖² − ‖c‖² —
+    * the diversity metric, one pass, no pairwise stage. */
+  def q140LabelDispersion(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelDispersion(
+      t(s, dir, "embeddings").withColumn("label", col("label").cast("long")), 64)
+
+  val q140Sql: String =
+    """WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    sum(CAST(round(list_sum(list_transform(v, x -> x * x)), 6) AS DECIMAL(18,6))) AS s2
+      |  FROM e GROUP BY 1),
+      |u AS (SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+      |c AS (SELECT u.label, d, round(sum(x) / n.n_vecs, 6) AS cv
+      |      FROM u JOIN n USING (label) GROUP BY u.label, d, n.n_vecs),
+      |c2 AS (SELECT label, round(sum(cv * cv), 6) AS centroid_sq_norm FROM c GROUP BY 1)
+      |SELECT n.label, n.n_vecs,
+      |  round(CAST(s2 AS DOUBLE) / n_vecs, 6) AS mean_sq_norm,
+      |  c2.centroid_sq_norm,
+      |  round(round(CAST(s2 AS DOUBLE) / n_vecs, 6) - c2.centroid_sq_norm, 6) AS dispersion
+      |FROM n JOIN c2 USING (label)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3504,7 +3527,8 @@ object QueryCatalog {
     ("q136_feature_hash", q136FeatureHash _, Some(q136Sql)),
     ("q137_rrf_fusion", q137RrfFusion _, Some(q137Sql)),
     ("q138_winsorize_agg", q138WinsorizeAgg _, Some(q138Sql)),
-    ("q139_robust_scale", q139RobustScale _, Some(q139Sql)))
+    ("q139_robust_scale", q139RobustScale _, Some(q139Sql)),
+    ("q140_label_dispersion", q140LabelDispersion _, Some(q140Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -158,6 +158,38 @@ object Similarity {
         col("_rrf").cast("double").as("rrf"), col("fused_rank"))
   }
 
+  /** Per-label embedding dispersion — the diversity metric
+    * diversity-aware data selection ranks labels/sources by: mean squared
+    * distance to the label centroid, via the centroid identity
+    * `E‖x−c‖² = E‖x‖² − ‖c‖²`, so ONE pass computes it (a VectorSumAgg
+    * centroid + a decimal sum of once-rounded ‖x‖² per label) — no
+    * pairwise anything, no second scan. Low dispersion = near-duplicate
+    * mass (a SemDeDup candidate); high = heterogeneous content.
+    *
+    * Determinism: ‖x‖² is the codegen'd sequential-fold dot_product
+    * rounded once to 6 dp and summed as DECIMAL (order-free);
+    * centroid components round(Σ/n, 6) like q96; the final subtraction
+    * is one double expression rounded to 6. Returns one row per label:
+    * (label, n_vecs, mean_sq_norm, centroid_sq_norm, dispersion). */
+  def labelDispersion(emb: DataFrame, dims: Int,
+                      vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val m2 = round(graft.functions.VectorFunctions.dot_product(col(vecCol), col(vecCol)), 6)
+      .cast("decimal(18,6)")
+    emb.select(col(labelCol).as("label"), col(vecCol).as("_v"), m2.as("_m2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_m2")).as("_s2"),
+        graft.functions.VectorSumAgg.vectorSum(col("_v"), dims).as("_sum"))
+      .withColumn("_c", expr("transform(_sum, x -> round(x / n_vecs, 6))"))
+      .select(col("label"), col("n_vecs"),
+        round(col("_s2").cast("double") / col("n_vecs"), 6).as("mean_sq_norm"),
+        round(graft.functions.VectorFunctions.dot_product(col("_c"), col("_c")), 6)
+          .as("centroid_sq_norm"))
+      .withColumn("dispersion",
+        round(col("mean_sq_norm") - col("centroid_sq_norm"), 6))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, d):
     * a value in [-7.5, 7.5] derived from an md5 hex digit — engine-portable
     * and seed-stable, so bucket assignment is reproducible everywhere.

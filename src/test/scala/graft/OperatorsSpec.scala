@@ -794,6 +794,35 @@ class OperatorsSpec extends SparkSpec {
       "one-list items rank by their single contribution")
   }
 
+  test("labelDispersion: duplicates disperse 0, opposite vectors disperse ||x||^2") {
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 1L), (1L, Array(3.0f, 4.0f), 1L),  // identical: c = x
+      (2L, Array(3.0f, 4.0f), 2L), (3L, Array(-3.0f, -4.0f), 2L)) // opposite: c = 0
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelDispersion(emb, dims = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) === ((25.0, 25.0, 0.0)), "identical vectors: E||x||^2 = ||c||^2")
+    assert(out(2L) === ((25.0, 0.0, 25.0)), "opposite vectors: zero centroid, full dispersion")
+  }
+
+  test("curriculumPhases matches a per-group sequential fold on randomized frames") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (s"s${rng.nextInt(4)}", i.toLong, 1L + rng.nextInt(100).toLong) }
+    val budget = 150L
+    val got = graft.operators.Sampling
+      .curriculumPhases(rows.toDF("src", "id", "toks"), "src", "id", "toks", "toks", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // reference: plain fold over each group's (toks, id)-sorted stream
+    val want = rows.groupBy(_._1).flatMap { case (src, g) =>
+      var cum = 0L
+      g.sortBy(r => (r._3, r._2)).map { r =>
+        val phase = cum / budget; cum += r._3; (src, r._2) -> phase }
+    }.toMap
+    assert(got === want, "operator must equal the sequential fold exactly")
+  }
+
   test("annLsh buckets are stable and same-bucket for identical vectors") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
