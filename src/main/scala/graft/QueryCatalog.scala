@@ -3383,6 +3383,21 @@ object QueryCatalog {
       |  round(round(CAST(s2 AS DOUBLE) / n_vecs, 6) - c2.centroid_sq_norm, 6) AS dispersion
       |FROM n JOIN c2 USING (label)""".stripMargin
 
+  /** Per-source duplication profile (Dedup.dupProfile): docs, distinct
+    * contents, exact duplicates, integer per-mille duplication rate —
+    * the curator's first diagnostic, one row per source. */
+  def q141DupProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupProfile(t(s, dir, "documents"))
+
+  val q141Sql: String =
+    s"""WITH f AS (SELECT source, md5($normSql) AS fp, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(sum(n) - count(*) AS BIGINT) AS n_dups,
+       |  CAST((sum(n) - count(*)) * 1000 // sum(n) AS BIGINT) AS dup_permille
+       |FROM f GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3528,7 +3543,8 @@ object QueryCatalog {
     ("q137_rrf_fusion", q137RrfFusion _, Some(q137Sql)),
     ("q138_winsorize_agg", q138WinsorizeAgg _, Some(q138Sql)),
     ("q139_robust_scale", q139RobustScale _, Some(q139Sql)),
-    ("q140_label_dispersion", q140LabelDispersion _, Some(q140Sql)))
+    ("q140_label_dispersion", q140LabelDispersion _, Some(q140Sql)),
+    ("q141_dup_profile", q141DupProfile _, Some(q141Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -73,6 +73,24 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-source duplication profile — the first diagnostic a corpus
+    * curator reads: docs, distinct contents (exact fingerprints), exact
+    * duplicate count, and the per-mille duplication rate, one row per
+    * source. Rate is reported as exact integer per-mille (cross-
+    * multiplied, no float division) so thresholds on it replay in any
+    * engine. One (source, fingerprint)-keyed aggregate + one per-source
+    * fold — the [[exact]] dedup shape with a source dimension. */
+  def dupProfile(docs: DataFrame, sourceCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy(col("source"), col("_fp")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("_n")) - count(lit(1))).as("n_dups"))
+      .withColumn("dup_permille", expr("(n_dups * 1000L) div n_docs"))
+
   /** Exploded (doc_id, shingle) pairs, distinct per doc.
     *
     * Three formulations were measured (sf0.1): higher-order lambdas

@@ -1253,6 +1253,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) === 0L, "each group starts at phase 0")
   }
 
+  test("dupProfile: exact per-source counts and integer per-mille rate") {
+    val d = Seq(
+      (1L, "same text", "a"), (2L, "Same  TEXT", "a"), (3L, "other", "a"),
+      (4L, "unique one", "b"), (5L, "unique two", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.dupProfile(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // source a: 3 docs, 2 distinct (case/whitespace fold), 1 dup, 333 permille
+    assert(out("a") === ((3L, 2L, 1L, 333L)))
+    assert(out("b") === ((2L, 2L, 0L, 0L)))
+  }
+
   test("templateClusters: digit-variants collapse, singletons dropped, min-id rep") {
     val d = Seq(
       (10L, "price is 42 dollars"), (3L, "Price is  99 dollars"),
