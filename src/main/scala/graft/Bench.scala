@@ -43,6 +43,16 @@ object Bench {
     var errors = List.empty[(String, String)]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // one UNTIMED full query before the measured loop: the parquet-read
+    // warm-up above does not compile the query-shaped codegen/JIT paths,
+    // so session warm-up was landing on whatever query ran first (q11
+    // measured 6.8 s cold vs 1.23 s warm in the r8 runs) — a false >2×
+    // "regression" waiting to trip. Failures are ignored here; the
+    // measured loop reports them.
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = selected.map { case (name, fn) =>
       // a failed attempt reports time -1 and is EXCLUDED from the total, so
       // a regression that breaks a query can never improve the headline
@@ -65,7 +75,11 @@ object Bench {
     // already below this box's run-to-run jitter. Full precision goes to
     // the committed file below.
     def j(round3: Boolean): String = {
-      val fmt: Double => String = if (round3) v => f"$v%.3f" else _.toString
+      // explicit root locale: f"$v%.3f" uses the JVM default locale, and a
+      // comma-decimal locale (de_DE) would emit `80,915` — invalid JSON
+      val fmt: Double => String =
+        if (round3) v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        else _.toString
       val qs = results.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
       val es = errors.toMap.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum

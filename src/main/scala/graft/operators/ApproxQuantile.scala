@@ -116,8 +116,12 @@ object ApproxQuantile {
     val bkt = least(
       floor((v - col("_mn")) * buckets / (col("_mx") - col("_mn"))).cast("long"),
       lit(buckets - 1L))
+    // every group-key join below is NULL-SAFE (<=>): a NULL-keyed group is
+    // a group like any other to the percentile aggregate this operator is
+    // contractually identical to, and a plain === join would silently drop
+    // its rows here (no bucket rows → no output row)
     val b = df.filter(v.isNotNull)
-      .join(broadcast(varied), g === col("_grp"))
+      .join(broadcast(varied), g <=> col("_grp"))
       .select(g, v.as("_v"), bkt.as("_bkt"))
     val h = b.groupBy(g, col("_bkt")).agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(g).orderBy(col("_bkt"))
@@ -140,7 +144,7 @@ object ApproxQuantile {
         first(col(s"_ilo_$name")).as(s"_xlo_$name"),
         first(col(s"_ihi_$name")).as(s"_xhi_$name"))
       }
-    val tb = cum.join(broadcast(withIdx), g === col("_grp"))
+    val tb = cum.join(broadcast(withIdx), g <=> col("_grp"))
       .groupBy(g).agg(picks.head, picks.tail: _*)
       .localCheckpoint(true)
     // unpivot to one row per needed order statistic:
@@ -154,12 +158,15 @@ object ApproxQuantile {
       .select(g, col("_t._tbkt").as("_bkt"), col("_t._idx").as("_idx"),
         col("_t._off").as("_off"))
       .distinct()
+    val tgtBkts = tgt.select(g.as("_tg"), col("_bkt").as("_tb")).distinct()
     val ranked = b
-      .join(broadcast(tgt.select(g, col("_bkt")).distinct()), Seq(groupCol, "_bkt"))
+      .join(broadcast(tgtBkts), g <=> col("_tg") && col("_bkt") === col("_tb"))
+      .drop("_tg", "_tb")
       .withColumn("_rn",
         row_number().over(Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))) - 1)
+    val tgtR = tgt.select(g.as("_tg"), col("_bkt").as("_tb"), col("_idx"), col("_off"))
     val vals = ranked
-      .join(broadcast(tgt), Seq(groupCol, "_bkt"))
+      .join(broadcast(tgtR), g <=> col("_tg") && col("_bkt") === col("_tb"))
       .filter(col("_rn") === col("_off"))
       .select(g, col("_idx"), col("_v"))
     // fold the ≤ 2·|qs| picked order statistics per group back to one row
@@ -167,10 +174,12 @@ object ApproxQuantile {
       max(when(col("_idx") === col(s"_xlo_$name"), col("_v"))).as(s"_vlo_$name"),
       max(when(col("_idx") === col(s"_xhi_$name"), col("_v"))).as(s"_vhi_$name"))
     }
+    val tbR = tb.drop(qs.flatMap { case (name, _) =>
+        Seq(s"_blo_$name", s"_clo_$name", s"_bhi_$name", s"_chi_$name") }: _*)
+      .withColumnRenamed(groupCol, "_tbg")
     val interp = vals
-      .join(broadcast(tb.drop(qs.flatMap { case (name, _) =>
-        Seq(s"_blo_$name", s"_clo_$name", s"_bhi_$name", s"_chi_$name") }: _*)),
-        groupCol)
+      .join(broadcast(tbR), g <=> col("_tbg"))
+      .drop("_tbg")
       .groupBy(g).agg(readAggs.head, readAggs.tail: _*)
       .select(g +: qs.map { case (name, q) =>
         val r = lit(q) * (col("_n") - 1)

@@ -172,6 +172,21 @@ object Joins {
     require(Set("inner", "left_semi")(joinType),
       s"semi-join reduction preserves only inner/left_semi semantics, got $joinType")
     import graft.functions.Sketches
+    // Build and probe hash md5(key AS STRING) — so both sides MUST render
+    // matching keys to the same string. With mismatched key types (DECIMAL
+    // '5.00' vs BIGINT '5') the renderings differ and the probe would drop
+    // rows the plain join (which type-coerces) keeps. Guard: try_cast the
+    // SMALL side's key to the LARGE side's type before hashing. Value-
+    // preserving whenever a match is possible — a small key equal to some
+    // large key is by definition representable in the large key's type and
+    // casts to exactly that value; a small key the cast nulls out (ANSI
+    // overflow/garbage) or truncates can never equal any large-side key,
+    // so dropping it from the filter (or adding a false positive the exact
+    // join removes) loses nothing.
+    val largeKeyType = large.schema(key).dataType
+    val smallKey =
+      if (small.schema(key).dataType == largeKeyType) col(key)
+      else col(key).try_cast(largeKeyType)
     // The filter is materialized to the driver and probed as a LITERAL
     // array — the standard runtime-filter shape (what Spark's own Bloom
     // runtime filters do with their subquery result). Joining the one-row
@@ -181,7 +196,7 @@ object Joins {
     // codegen, per large-side row. The collect is control-plane by
     // construction: ONE row of numBits/64 longs, fixed size at any scale.
     val bfRow = small.agg(
-      Sketches.bloomFilter(col(key), numBits, numHashes).as("_bf")).head()
+      Sketches.bloomFilter(smallKey, numBits, numHashes).as("_bf")).head()
     if (bfRow.isNullAt(0)) {
       // empty small side: inner/semi join result is empty by definition
       large.filter(lit(false)).join(small, Seq(key), joinType)

@@ -120,4 +120,24 @@ class JoinsSpec extends SparkSpec {
       Joins.bloomFilteredJoin(large, small, "k", joinType = "left")
     }
   }
+
+  test("bloomFilteredJoin: mismatched key types keep result identity (ADVICE r8)") {
+    import org.apache.spark.sql.functions.col
+    // DECIMAL small keys render '4.00' while BIGINT large keys render '4':
+    // without the common-type cast the hash strings differ and the probe
+    // false-negatives away every matching row. Includes a non-integral
+    // small key (5.50) that matches nothing, and a small key (1e19) that
+    // overflows BIGINT — both must simply not match, never crash.
+    val large = (1 to 100).map(i => ((i % 10).toLong, i)).toDF("k", "payload")
+    val small = Seq("2.00", "4.00", "5.50", "10000000000000000000.00")
+      .toDF("ks").select(col("ks").cast("decimal(22,2)").as("k"),
+        col("ks").as("attr"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("payload")).collect().map(_.getInt(0)).sorted.toSeq
+    val plain = canon(large.join(small, Seq("k"), "inner"))
+    val bloomed = canon(Joins.bloomFilteredJoin(large, small, "k"))
+    assert(plain.nonEmpty, "fixture sanity: keys 2 and 4 must match")
+    assert(bloomed === plain,
+      "cross-type semi-join reduction must not change the result")
+  }
 }

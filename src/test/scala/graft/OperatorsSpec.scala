@@ -1237,6 +1237,42 @@ class OperatorsSpec extends SparkSpec {
         s"group $g quantile ${qs(i)._1}: got ${got(g)(i)}, want ${want(g)(i)}")
   }
 
+  test("exactQuantiles: a NULL group KEY is a group like any other (ADVICE r8)") {
+    import org.apache.spark.sql.functions.{col, expr, round => rnd}
+    // NULL-keyed group with VARIED values — the case the r8 advice flagged:
+    // non-null-safe joins silently dropped it while the percentile
+    // aggregate it mirrors keeps it
+    val rows = Seq((Option.empty[String], 1.0), (Option.empty[String], 5.0),
+      (Option.empty[String], 9.0), (Some("g"), 2.0), (Some("g"), 4.0))
+    val d = rows.toDF("grp", "v")
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5)
+    val got = graft.operators.ApproxQuantile.exactQuantiles(d, "grp", "v", qs)
+      .collect().map(r => Option(r.getString(0)) ->
+        (1 to qs.size).map(i => r.getDouble(i))).toMap
+    val want = d.groupBy(col("grp")).agg(
+        rnd(expr("percentile(v, 0.25)"), 6).as("p25"),
+        rnd(expr("percentile(v, 0.5)"), 6).as("p50"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (1 to qs.size).map(i => r.getDouble(i))).toMap
+    assert(got.keySet === want.keySet,
+      "the NULL-keyed group must produce an output row")
+    for (g <- want.keySet; i <- qs.indices)
+      assert(got(g)(i) === want(g)(i), s"group $g ${qs(i)._1}")
+    // propagation: winsorize exact == agg strategy on NULL-keyed rows,
+    // and robustScale scales them instead of emitting NULL
+    val wd = ((1 to 99).map(i => (Option.empty[String], i.toDouble)) :+
+      (Option.empty[String], 10000.0)).toDF("grp", "v")
+    val we = graft.operators.Cleanse.winsorize(wd, "grp", "v", bounds = "exact")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val wa = graft.operators.Cleanse.winsorize(wd, "grp", "v", bounds = "agg")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(we === wa, "exact and agg bounds must clamp NULL-keyed rows identically")
+    assert(we(10000.0) < 10000.0, "the NULL-keyed outlier must actually clamp")
+    val rs = graft.operators.Stats.robustScale(wd, "grp", "v")
+      .collect().map(r => r.getDouble(1) -> Option(r.get(2))).toMap
+    assert(rs(50.0).isDefined, "NULL-keyed rows must get a _robust value")
+  }
+
   test("curriculumPhases: easy-first order, budget cuts, oversized doc gets its own phase") {
     val d = Seq(
       ("s", 1L, 10L), ("s", 2L, 10L), ("s", 3L, 10L), ("s", 4L, 10L),
