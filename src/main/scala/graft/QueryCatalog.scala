@@ -3398,6 +3398,101 @@ object QueryCatalog {
        |  CAST((sum(n) - count(*)) * 1000 // sum(n) AS BIGINT) AS dup_permille
        |FROM f GROUP BY 1""".stripMargin
 
+  /** ANN-gated hard-negative mining (Similarity.hardNegativesAnn): q132's
+    * different-label top-k over q33's IVF candidate gate instead of the
+    * cross join — the corpus-scale path (queries ≈ training set). Same
+    * query set as q132 so AnnRecallSpec can measure recall exact-vs-ANN
+    * on the very rows both catalog queries emit. Deterministic seed
+    * centroids (first 32 corpus vectors) keep the oracle replayable. */
+  def q142HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegativesAnn(emb.filter(col("vec_id") < 16), emb, k = 3,
+      nCells = 32, nProbe = 4)
+  }
+
+  val q142Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 32),
+       |ca AS (SELECT neighbor_id, cv, neighbor_label, cell_id FROM (
+       |  SELECT e.vec_id AS neighbor_id, e.v AS cv, e.label AS neighbor_label,
+       |    cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents) WHERE rnk <= 1),
+       |qp AS (SELECT query_id, qv, query_label, cell_id FROM (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.label AS query_label,
+       |    cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents WHERE e.vec_id < 16) WHERE rnk <= 4),
+       |scored AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |    max(${cosSql("qv", "cv")}) AS cos
+       |  FROM qp JOIN ca USING (cell_id)
+       |  WHERE query_id <> neighbor_id AND query_label IS DISTINCT FROM neighbor_label
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 3""".stripMargin
+
+  /** End-to-end curation composition: SemDeDup (q108) keeps one vector
+    * per near-identical semantic ball → leakage-safe hash split (q45/q102
+    * family) → ANN hard-negative mining (q142) with queries = the val
+    * split against corpus = the train split — the actual shape of a
+    * contrastive-curation run, proven as ONE oracle row instead of three
+    * independent ones. Every stage is the deterministic variant, so the
+    * whole chain replays in DuckDB. */
+  def q143CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val kept = Similarity.semDedup(emb, nCells = 16, threshold = 0.3)
+      .filter(col("kept") === 1L).select("vec_id")
+      .join(emb, Seq("vec_id"))
+    val split = operators.Sampling.threeWaySplit(kept, "vec_id", 0.75, 0.125)
+    Similarity.hardNegativesAnn(
+      split.filter(col("split") === "val"),
+      split.filter(col("split") === "train"),
+      k = 3, nCells = 32, nProbe = 4)
+  }
+
+  val q143Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |cents0 AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, cents0.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents0.cvec")} DESC, cents0.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents0) WHERE rnk <= 1),
+       |d AS (SELECT DISTINCT hi.vec_id FROM a lo JOIN a hi
+       |  ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+       |  WHERE ${cosSql("lo.v", "hi.v")} >= 0.3),
+       |kept AS (SELECT e.* FROM e LEFT JOIN d USING (vec_id) WHERE d.vec_id IS NULL),
+       |sp AS (SELECT *, CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+       |    % 1000000 AS b FROM kept),
+       |q AS (SELECT vec_id AS query_id, v AS qv, label AS query_label
+       |      FROM sp WHERE b >= 750000 AND b < 875000),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, label AS neighbor_label
+       |      FROM sp WHERE b < 750000),
+       |cents AS (SELECT neighbor_id AS cell, cv AS cvec FROM c ORDER BY neighbor_id LIMIT 32),
+       |ca AS (SELECT neighbor_id, cv, neighbor_label, cell_id FROM (
+       |  SELECT c.neighbor_id, c.cv, c.neighbor_label, cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY c.neighbor_id
+       |      ORDER BY ${cosSql("c.cv", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM c CROSS JOIN cents) WHERE rnk <= 1),
+       |qp AS (SELECT query_id, qv, query_label, cell_id FROM (
+       |  SELECT q.query_id, q.qv, q.query_label, cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("q.qv", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM q CROSS JOIN cents) WHERE rnk <= 4),
+       |scored AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |    max(${cosSql("qv", "cv")}) AS cos
+       |  FROM qp JOIN ca USING (cell_id)
+       |  WHERE query_id <> neighbor_id AND query_label IS DISTINCT FROM neighbor_label
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 3""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3544,7 +3639,9 @@ object QueryCatalog {
     ("q138_winsorize_agg", q138WinsorizeAgg _, Some(q138Sql)),
     ("q139_robust_scale", q139RobustScale _, Some(q139Sql)),
     ("q140_label_dispersion", q140LabelDispersion _, Some(q140Sql)),
-    ("q141_dup_profile", q141DupProfile _, Some(q141Sql)))
+    ("q141_dup_profile", q141DupProfile _, Some(q141Sql)),
+    ("q142_hard_negatives_ann", q142HardNegativesAnn _, Some(q142Sql)),
+    ("q143_curation_pipeline", q143CurationPipeline _, Some(q143Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

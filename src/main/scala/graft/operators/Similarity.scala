@@ -423,25 +423,29 @@ object Similarity {
         when(col("z") <= -zCut, 1L).otherwise(0L).as("is_outlier"))
   }
 
+  /** Top-`n` nearest centroids per row (broadcast centroid table, window
+    * partitioned by the ID column alone — never by the vector, a wide
+    * partition key would hash the whole array per row for nothing).
+    * Shared by [[annIvfWith]] and [[hardNegativesAnn]]. */
+  private def nearestCellsWith(cents: DataFrame, df: DataFrame, idc: String,
+                               vcol: String, out: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("d", score(col(vcol), col("cvec")))
+    val w = Window.partitionBy(col(idc)).orderBy(col("d").desc, col("cell").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("cell").as(out): _*)
+  }
+
   /** IVF search against an explicit (cell, cvec) centroid table — e.g. one
     * produced by [[trainIvfCentroids]]. */
   def annIvfWith(centroids: DataFrame, queries: DataFrame, corpus: DataFrame,
                  k: Int, nProbe: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = centroids
-    // window partitions by the ID column alone (never by the vector — a
-    // wide partition key would hash the whole array per row for nothing)
-    def nearestCells(df: DataFrame, idc: String, vcol: String, out: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("d", score(col(vcol), col("cvec")))
-      val w = Window.partitionBy(col(idc)).orderBy(col("d").desc, col("cell").asc)
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
-        .select(df.columns.toIndexedSeq.map(col) :+ col("cell").as(out): _*)
-    }
-    val cAssigned = nearestCells(
+    val cAssigned = nearestCellsWith(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       "neighbor_id", "cv", "cell_id", 1)
-    val qProbed = nearestCells(
+    val qProbed = nearestCellsWith(cents,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", "cell_id", nProbe)
     val scored = qProbed.join(cAssigned, Seq("cell_id"))
@@ -451,6 +455,59 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** ANN-gated hard-negative mining — the corpus-scale composition of
+    * [[hardNegatives]]' different-label top-k with [[annIvfWith]]'s IVF
+    * candidate gate, closing the one remaining cartesian a production
+    * pipeline would actually run at scale: contrastive-training prep mines
+    * negatives for queries ≈ the whole training set, where the exact
+    * cross join is O(N²) and this is one broadcast cell assignment per
+    * side + one equi-join on cell id.
+    *
+    * Candidates = corpus vectors sharing any of the query's `nProbe`
+    * nearest cells (corpus assigned to its 1 nearest); the same label
+    * gate as the exact path (NULL-safe inequality — unlabeled corpus rows
+    * still serve as negatives) filters BEFORE ranking, and the top-k
+    * window ranks by round(cosine, 6) with an id tie-break. Approximate
+    * by design: a true hard negative in a cell the query never probes is
+    * missed — AnnRecallSpec measures recall against [[hardNegatives]] at
+    * the fixed candidate budget. Centroids default to the deterministic
+    * seed variant (first `nCells` corpus vectors by id — reproducible and
+    * oracle-mirrorable); pass Lloyd-trained centroids from
+    * [[trainIvfCentroids]] for real runs.
+    */
+  def hardNegativesAnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nCells: Int, nProbe: Int,
+                       centroids: Option[DataFrame] = None,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val cAssigned = nearestCellsWith(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neighbor_label")),
+      "neighbor_id", "cv", "cell_id", 1)
+    val qProbed = nearestCellsWith(cents,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("query_label")),
+      "query_id", "qv", "cell_id", nProbe)
+    val scored = qProbed.join(cAssigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("query_label") <=> col("neighbor_label")))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), score(col("qv"), col("cv")).as("cos"))
+      // corpus rows sit in exactly one cell so a pair appears at most once;
+      // the agg is the same idempotent collapse annIvfWith carries, kept so
+      // multi-assignment centroid tables (if ever passed) stay correct
+      .groupBy(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Product-quantization encoding (Jégou et al. 2011, "Product

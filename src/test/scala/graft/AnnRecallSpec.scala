@@ -126,6 +126,31 @@ class AnnRecallSpec extends SparkSpec {
       s"cell partition must capture a real share of the pair graph ($r8 / $r32)")
   }
 
+  test("hardNegativesAnn recall vs exact mining is measured at the fixed candidate budget") {
+    // truth = the exact cartesian miner's top-k (q132's operator); the
+    // ANN-gated miner sees only IVF-colocated candidates, so its hit set
+    // is a subset of what a 4-of-32-cell budget can reach. Same loose-gate
+    // philosophy as the other recall tests: measured, non-degenerate, and
+    // more probes must not lose recall.
+    val kNeg = 5
+    def exactOf(qs: org.apache.spark.sql.DataFrame) =
+      neighborSets(Similarity.hardNegatives(qs, emb, kNeg))
+    val exact = exactOf(queries)
+    val r4 = recallOf(neighborSets(
+      Similarity.hardNegativesAnn(queries, emb, kNeg, nCells = 32, nProbe = 4)), exact)
+    val r12 = recallOf(neighborSets(
+      Similarity.hardNegativesAnn(queries, emb, kNeg, nCells = 32, nProbe = 12)), exact)
+    info(f"hardNegativesAnn recall@$kNeg vs exact: probe4=$r4%.3f probe12=$r12%.3f")
+    assert(r4 > 0.3, s"probe-4 ANN hard-negative recall@$kNeg = $r4 degenerate")
+    assert(r12 >= r4, "more probes must not lose recall")
+    assert(r12 > 0.7, s"probe-12 ANN hard-negative recall@$kNeg = $r12")
+    // label-gate correctness on the ANN path: no returned negative may
+    // share the query's label (the whole point of the miner)
+    val out = Similarity.hardNegativesAnn(queries, emb, kNeg, nCells = 32, nProbe = 4)
+      .filter(col("query_label") <=> col("neighbor_label")).count()
+    assert(out === 0L, "ANN-gated mining must never return a same-label neighbor")
+  }
+
   test("annPq recall@10 vs exact L2 is measured; bigger codebooks don't collapse it") {
     // exact L2 truth computed in-test (brute force ranks by cosine, PQ by
     // L2 — apples-to-apples needs an L2 oracle; the fixture is tiny)

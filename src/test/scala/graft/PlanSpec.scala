@@ -429,6 +429,17 @@ class PlanSpec extends SparkSpec {
       s"ranking fusion is a keyed full-outer join, never all-pairs:\n$p")
   }
 
+  test("q142 ANN hard negatives: candidate join is keyed on cell, windows per-query") {
+    val p = plan(QueryCatalog.q142HardNegativesAnn)
+    // the only nested-loop allowed is each side × the 32-row broadcast
+    // centroid table; queries × corpus itself must ride the cell equi-join
+    // (this is the entire point of the operator vs q132's cartesian)
+    assert(!p.contains("CartesianProduct"),
+      s"queries x corpus must be the cell equi-join, never all-pairs:\n$p")
+    assert(!p.contains("PARTITION BY ()"),
+      s"ranking windows must partition by the id, never globally:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
