@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // banded theta joins (abs(a.t - b.t) <= w with no equi key) rewrite to
     // the bucketed equi-join instead of a nested-loop plan
     ext.injectOptimizerRule(_ => graft.plans.BandedThetaJoinRule)
+    // Bloom runtime filters for small-but-unbroadcastable build sides
+    ext.injectOptimizerRule(_ => graft.plans.BloomJoinRule)
   }
 }
 
@@ -76,7 +78,7 @@ object GraftExtensions {
         spark, name, info, builder)
     }
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(graft.plans.BandedThetaJoinRule))
-      spark.experimental.extraOptimizations = cur :+ graft.plans.BandedThetaJoinRule
+    val rules = Seq(graft.plans.BandedThetaJoinRule, graft.plans.BloomJoinRule)
+    spark.experimental.extraOptimizations = cur ++ rules.filterNot(cur.contains)
   }
 }
