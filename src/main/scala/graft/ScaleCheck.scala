@@ -195,6 +195,16 @@ object ScaleCheck {
               threshold = 0.5, maxBucket = 100)), Seq("doc_id"), "left")
           .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id"))),
         "group_key", 0.75, 0.125))
+    // r9 addition: corpus-scale hard-negative mining — queries = the WHOLE
+    // embedding set (the contrastive-prep shape the ANN gate exists for;
+    // the exact cartesian would be n² scores and is deliberately absent
+    // here). Cells scale √N like semdedup so candidate work stays ~linear.
+    locally {
+      val cells = math.max(32, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+      time(s"hard_neg_ann(c=$cells)")(
+        graft.operators.Similarity.hardNegativesAnn(emb, emb, k = 5,
+          nCells = cells, nProbe = 4))
+    }
     spark.stop()
   }
 }
