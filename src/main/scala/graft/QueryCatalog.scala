@@ -3493,6 +3493,76 @@ object QueryCatalog {
        |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
        |WHERE rank <= 3""".stripMargin
 
+  /** REAL WAV decode end-to-end (Multimodal.decodeWavFeatures over
+    * MediaCodecs.decodeWav — a pure-JVM RIFF/PCM parser, no codec lib):
+    * per-doc PCM waves are synthesized from closed-form integer formulas
+    * (synthWavAssets), ENCODED to real WAV bytes, then decoded back by
+    * the parser under test; the oracle recomputes every feature from the
+    * same formulas — so a parser that misreads any header field or
+    * sample byte hash-mismatches. sum_sq is the exact integer Σ s², rms
+    * the one fixed-shape double readout. */
+  def q144WavDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavFeatures(
+      Multimodal.synthWavAssets(t(s, dir, "documents"), "doc_id")).toDF()
+
+  val q144Sql: String =
+    """WITH p AS (SELECT doc_id AS asset_id,
+      |    CAST(256 + (doc_id % 17) * 16 AS BIGINT) AS n,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate FROM documents),
+      |s AS (SELECT asset_id, n, rate,
+      |    unnest(generate_series(0, n - 1)) AS i FROM p),
+      |a AS (SELECT asset_id, n, rate,
+      |    sum((((asset_id * 7 + i * 13) % 201 - 100) * 64)
+      |      * (((asset_id * 7 + i * 13) % 201 - 100) * 64)) AS ss
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, rate AS sample_rate,
+      |  CAST(1 AS INT) AS n_channels, n AS n_samples,
+      |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(ss AS BIGINT) AS sum_sq,
+      |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms
+      |FROM a""".stripMargin
+
+  /** REAL BMP pixel pipeline: synthesize (closed-form pixels) → encode
+    * (real 24-bpp BMP bytes, padded bottom-up rows) → decode → nearest-
+    * neighbor resize into an 8-box (resizePlan's floor math, integer
+    * index map src = dst·srcDim div dstDim) → RE-encode → RE-decode the
+    * resized payload, emitting its exact channel sums. The oracle
+    * replays dims, the resize index arithmetic, and the channel sums
+    * from the formulas — four codec passes proven by one hash. */
+  def q145BmpResize(s: SparkSession, dir: String): DataFrame = {
+    val resized = Multimodal.resizeBmp(
+      Multimodal.synthBmpAssets(t(s, dir, "documents"), "doc_id"), box = 8).toDF()
+    val redecoded = Multimodal.decodeBmpFeatures(
+        resized.select(col("asset_id"), col("out_payload").as("payload"))).toDF()
+      .select(col("asset_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+    resized.select(col("asset_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .join(redecoded, Seq("asset_id"))
+  }
+
+  val q145Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height FROM documents),
+      |o AS (SELECT *,
+      |    GREATEST(1, CAST(floor(width * LEAST(8.0 / width, 8.0 / height, 1.0)) AS INT)) AS ow,
+      |    GREATEST(1, CAST(floor(height * LEAST(8.0 / width, 8.0 / height, 1.0)) AS INT)) AS oh
+      |  FROM d),
+      |pi AS (SELECT asset_id, width, height, ow, oh,
+      |    unnest(generate_series(0, ow - 1)) AS i FROM o),
+      |pj AS (SELECT asset_id, width, height, ow, oh, i,
+      |    unnest(generate_series(0, oh - 1)) AS j FROM pi),
+      |sums AS (SELECT asset_id, width, height, ow, oh,
+      |    sum((asset_id + 3 * ((i * width) // ow) + 5 * ((j * height) // oh)) % 256) AS sr,
+      |    sum((2 * asset_id + ((i * width) // ow) + 7 * ((j * height) // oh)) % 256) AS sg,
+      |    sum((5 * asset_id + 11 * ((i * width) // ow) + ((j * height) // oh)) % 256) AS sb
+      |  FROM pj GROUP BY 1, 2, 3, 4, 5)
+      |SELECT asset_id, width, height,
+      |  CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+      |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+      |  CAST(sb AS BIGINT) AS sum_b
+      |FROM sums""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3641,7 +3711,9 @@ object QueryCatalog {
     ("q140_label_dispersion", q140LabelDispersion _, Some(q140Sql)),
     ("q141_dup_profile", q141DupProfile _, Some(q141Sql)),
     ("q142_hard_negatives_ann", q142HardNegativesAnn _, Some(q142Sql)),
-    ("q143_curation_pipeline", q143CurationPipeline _, Some(q143Sql)))
+    ("q143_curation_pipeline", q143CurationPipeline _, Some(q143Sql)),
+    ("q144_wav_decode", q144WavDecode _, Some(q144Sql)),
+    ("q145_bmp_resize", q145BmpResize _, Some(q145Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

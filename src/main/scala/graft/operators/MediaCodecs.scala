@@ -1,0 +1,220 @@
+package graft.operators
+
+/** Pure-JVM media codecs for the container formats that are byte-format
+  * PARSES, not codec work: RIFF/WAVE PCM audio and uncompressed 24-bit
+  * BMP images. No external library — plain header/chunk arithmetic — so
+  * the sandbox constraint ("no image/audio codecs installed") does not
+  * apply, and [[Multimodal]]'s decode path is REAL for these formats
+  * (compressed formats — JPEG/MP3/H.264 — still enter through the
+  * [[Multimodal.Decoder]] trait and need a real codec behind it).
+  *
+  * Decoders are strict-but-total: any malformed payload (bad magic,
+  * truncated chunk, unsupported variant) returns None — never throws —
+  * matching the reference's per-record error-channel philosophy
+  * (`flink/stream_to_star.py:284-298` drops the record, keeps the
+  * stream).
+  */
+object MediaCodecs {
+
+  // ---------------------------------------------------------------------
+  // WAV (RIFF/WAVE, PCM integer)
+  // ---------------------------------------------------------------------
+
+  /** Decoded PCM audio: samples are interleaved 16-bit, `sumSq` is the
+    * EXACT integer Σ sample² over all channels (Long cannot overflow
+    * below ~2^31 samples), so downstream RMS math is a fixed-shape
+    * double expression any engine replays. */
+  final case class WavData(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nSamplesPerChannel: Long, sumSq: Long) {
+    /** Whole milliseconds, integer division — engine-exact. */
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else nSamplesPerChannel * 1000L / sampleRate
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** 16-bit PCM little-endian encoder (mono or interleaved multichannel;
+    * `samples.length` must be a multiple of `channels`). Canonical
+    * 44-byte header + data chunk. */
+  def encodeWav(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      "samples must interleave a whole number of frames")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)         // byte rate
+      .putShort((channels * 2).toShort)          // block align
+      .putShort(16.toShort)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.putShort(s))
+    out.array()
+  }
+
+  /** RIFF chunk-walking decoder: accepts any chunk order, skips unknown
+    * chunks (LIST/INFO/fact/...) including RIFF's odd-size pad byte;
+    * requires PCM (format tag 1) at 16 bits. Returns None on anything
+    * malformed — wrong magic, truncated chunk, missing fmt/data,
+    * unsupported encoding. */
+  def decodeWav(bytes: Array[Byte]): Option[WavData] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = u32(bytes, pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = u16(bytes, pos + 8)
+          if (audioFormat != 1) return None    // PCM only
+          fmt = Some((u16(bytes, pos + 10), u32(bytes, pos + 12).toInt,
+            u16(bytes, pos + 22)))
+        case "data" => data = Some((pos + 8, len.toInt))
+        case _ => ()                           // skip LIST/fact/...
+      }
+      pos += 8 + len.toInt + (len.toInt & 1)   // odd chunks pad one byte
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((off, dlen)))
+          if ch >= 1 && rate > 0 && bits == 16 && dlen % (2 * ch) == 0 =>
+        var i = off
+        var sumSq = 0L
+        while (i + 1 < off + dlen) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          sumSq += s * s
+          i += 2
+        }
+        Some(WavData(rate, ch, bits, dlen.toLong / (2 * ch), sumSq))
+      case _ => None
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // BMP (BITMAPINFOHEADER, 24 bpp, uncompressed)
+  // ---------------------------------------------------------------------
+
+  /** Decoded image: pixels row-major TOP-DOWN, packed 0xRRGGBB. */
+  final case class BmpData(width: Int, height: Int, pixels: Array[Int]) {
+    def r(x: Int, y: Int): Int = (pixels(y * width + x) >> 16) & 0xff
+    def g(x: Int, y: Int): Int = (pixels(y * width + x) >> 8) & 0xff
+    def b(x: Int, y: Int): Int = pixels(y * width + x) & 0xff
+    /** Exact integer channel sums (r, g, b) for engine-portable means. */
+    def channelSums: (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      pixels.foreach { p =>
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      (sr, sg, sb)
+    }
+  }
+
+  /** 24-bit uncompressed BMP encoder: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER(40), bottom-up rows, each padded to 4 bytes —
+    * the canonical layout every viewer reads. `px(x, y)` returns packed
+    * 0xRRGGBB with (0,0) the TOP-LEFT pixel. */
+  def encodeBmp(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataLen = (rowBytes + pad) * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)                  // pixel offset
+    out.putInt(40).putInt(width).putInt(height)            // positive = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)       // 72 dpi, no palette
+    var y = height - 1                                     // bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = px(x, y)
+        out.put((p & 0xff).toByte)                         // B
+          .put(((p >> 8) & 0xff).toByte)                   // G
+          .put(((p >> 16) & 0xff).toByte)                  // R
+        x += 1
+      }
+      var i = 0
+      while (i < pad) { out.put(0.toByte); i += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Decoder for the layout [[encodeBmp]] writes plus the common
+    * variants: top-down rows (negative height) and any pixel-data offset
+    * the file header declares. 24 bpp uncompressed only; anything else
+    * (palette, RLE, 32 bpp, truncated data) returns None. */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpData] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (!(bytes(0) == 'B' && bytes(1) == 'M')) return None
+    val pixOff = u32(bytes, 10).toInt
+    val hdrSize = u32(bytes, 14).toInt
+    if (hdrSize < 40) return None
+    val width = u32(bytes, 18).toInt
+    val rawHeight = u32(bytes, 22).toInt
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val planes = u16(bytes, 26)
+    val bpp = u16(bytes, 28)
+    val compression = u32(bytes, 30)
+    if (width <= 0 || height <= 0 || planes != 1 || bpp != 24 || compression != 0L)
+      return None
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    if (pixOff < 54 || pixOff.toLong + stride.toLong * height > bytes.length)
+      return None
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      val base = pixOff + srcRow * stride
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        pixels(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpData(width, height, pixels))
+  }
+
+  /** Nearest-neighbor resize with the integer index map
+    * `src = (dst * srcDim) div dstDim` — the floor form both engines
+    * compute exactly, so a resized image's pixel content is
+    * closed-form-checkable from the source formula. */
+  def resizeNearest(img: BmpData, outW: Int, outH: Int): BmpData = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    val px = new Array[Int](outW * outH)
+    var j = 0
+    while (j < outH) {
+      val sy = (j.toLong * img.height / outH).toInt
+      var i = 0
+      while (i < outW) {
+        val sx = (i.toLong * img.width / outW).toInt
+        px(j * outW + i) = img.pixels(sy * img.width + sx)
+        i += 1
+      }
+      j += 1
+    }
+    BmpData(outW, outH, px)
+  }
+}

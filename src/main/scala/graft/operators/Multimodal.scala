@@ -126,4 +126,153 @@ object Multimodal {
       .withColumn("out_width", floor(col("width") * scale).cast("long"))
       .withColumn("out_height", floor(col("height") * scale).cast("long"))
   }
+
+  // ---------------------------------------------------------------------
+  // REAL decode for codec-free container formats (MediaCodecs: RIFF/WAVE
+  // PCM, uncompressed 24-bit BMP — byte-format parses, no codec library,
+  // so the sandbox's "no codecs" constraint does not gate them). Same
+  // mapPartitions batch shape as decodeAll; malformed payloads emit
+  // ok = 0 rows with NULL features instead of failing the batch — the
+  // reference's per-record error-channel semantics.
+  // ---------------------------------------------------------------------
+
+  case class WavFeatureRow(asset_id: Long, ok: Long,
+                           sample_rate: Option[Int], n_channels: Option[Int],
+                           n_samples: Option[Long], duration_ms: Option[Long],
+                           sum_sq: Option[Long], rms: Option[Double])
+
+  /** Decode WAV payloads to audio features. `sum_sq` is the exact
+    * integer Σ sample² (all channels), so `rms = round(sqrt(sum_sq /
+    * (n_samples·channels)), 6)` is one fixed-shape double expression any
+    * engine replays from the integers. */
+  def decodeWavFeatures(assets: DataFrame): Dataset[WavFeatureRow] = {
+    val enc = Encoders.product[WavFeatureRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeWav(payload) match {
+            case Some(w) =>
+              val n = w.nSamplesPerChannel * w.channels
+              val rms =
+                if (n == 0) None
+                else Some(BigDecimal(math.sqrt(w.sumSq.toDouble / n))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              WavFeatureRow(id, 1L, Some(w.sampleRate), Some(w.channels),
+                Some(w.nSamplesPerChannel), Some(w.durationMs), Some(w.sumSq), rms)
+            case None =>
+              WavFeatureRow(id, 0L, None, None, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  case class BmpFeatureRow(asset_id: Long, ok: Long,
+                           width: Option[Int], height: Option[Int],
+                           sum_r: Option[Long], sum_g: Option[Long],
+                           sum_b: Option[Long], mean_r: Option[Double])
+
+  /** Decode BMP payloads to image features: dims + exact integer channel
+    * sums (+ mean_r = round(sum_r / (w·h), 6) precomputed for the common
+    * audit). */
+  def decodeBmpFeatures(assets: DataFrame): Dataset[BmpFeatureRow] = {
+    val enc = Encoders.product[BmpFeatureRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeBmp(payload) match {
+            case Some(img) =>
+              val (sr, sg, sb) = img.channelSums
+              val n = img.width.toLong * img.height
+              BmpFeatureRow(id, 1L, Some(img.width), Some(img.height),
+                Some(sr), Some(sg), Some(sb),
+                Some(BigDecimal(sr.toDouble / n)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            case None => BmpFeatureRow(id, 0L, None, None, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  case class ResizedBmpRow(asset_id: Long, ok: Long,
+                           width: Option[Int], height: Option[Int],
+                           out_width: Option[Int], out_height: Option[Int],
+                           out_payload: Array[Byte])
+
+  /** REAL pixel resize: decode → nearest-neighbor fit into `box`×`box`
+    * ([[resizePlan]]'s exact floor math, never upscaled) → re-encode.
+    * The output payload is a valid BMP (round-trips through decode), so
+    * a downstream stage — or the q145 oracle chain — can re-decode it. */
+  def resizeBmp(assets: DataFrame, box: Int): Dataset[ResizedBmpRow] = {
+    require(box > 0, "box must be positive")
+    val enc = Encoders.product[ResizedBmpRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeBmp(payload) match {
+            case Some(img) =>
+              val scale = math.min(1.0,
+                math.min(box.toDouble / img.width, box.toDouble / img.height))
+              val ow = math.max(1, math.floor(img.width * scale).toInt)
+              val oh = math.max(1, math.floor(img.height * scale).toInt)
+              val out = MediaCodecs.resizeNearest(img, ow, oh)
+              ResizedBmpRow(id, 1L, Some(img.width), Some(img.height),
+                Some(ow), Some(oh),
+                MediaCodecs.encodeBmp(ow, oh, (x, y) => out.pixels(y * ow + x)))
+            case None => ResizedBmpRow(id, 0L, None, None, None, None, null)
+          }
+        }
+      }(enc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic asset synthesis — the FIXTURE half of the q144/q145
+  // end-to-end proof. Every byte is a closed-form function of the asset
+  // id, so a DuckDB oracle recomputes the decoded features from the same
+  // formulas while Spark actually round-trips the bytes through the real
+  // encoder + parser. Constants are part of the oracle contract.
+  // ---------------------------------------------------------------------
+
+  /** Per-id PCM wave: n = 256 + (id%17)·16 samples at rate 8000 +
+    * (id%3)·4000, sample_i = ((id·7 + i·13) mod 201 − 100) · 64. */
+  def synthWavAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 256 + (id % 17).toInt * 16
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7 + i.toLong * 13) % 201 - 100) * 64).toShort)
+          (id, MediaCodecs.encodeWav(samples, rate))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "audio/wav")
+  }
+
+  /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,
+    * r(x,y) = (id + 3x + 5y) mod 256, g = (2id + x + 7y) mod 256,
+    * b = (5id + 11x + y) mod 256. */
+  def synthBmpAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 9).toInt
+          val bytes = MediaCodecs.encodeBmp(w, h, (x, y) => {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + x + 7L * y) % 256).toInt
+            val b = ((5L * id + 11L * x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/bmp")
+  }
 }

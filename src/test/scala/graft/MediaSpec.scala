@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{MediaCodecs, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Real codec-free media decode: RIFF/WAVE PCM and 24-bpp BMP parsers.
+  * Golden byte arrays are constructed BY HAND (not via the encoder), so
+  * an encoder/decoder pair sharing a cancelling bug cannot pass. */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- WAV ----
+
+  test("wav: hand-built golden bytes decode exactly (incl. a skipped LIST chunk)") {
+    // 2 samples [100, -200], mono, 8000 Hz, with a 6-byte LIST chunk
+    // between fmt and data (chunk walking + odd-size padding: len 5 pads
+    // to 6)
+    val bb = java.nio.ByteBuffer.allocate(44 + 14 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 14 + 4).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte)
+    bb.put("data".getBytes).putInt(4).putShort(100).putShort(-200)
+    val got = MediaCodecs.decodeWav(bb.array()).get
+    assert(got.sampleRate === 8000 && got.channels === 1 && got.bitsPerSample === 16)
+    assert(got.nSamplesPerChannel === 2L)
+    assert(got.sumSq === 100L * 100 + 200L * 200)
+    assert(got.durationMs === 2000L / 8000)
+  }
+
+  test("wav: encode/decode round-trip incl. stereo; malformed payloads -> None") {
+    val samples = Array.tabulate(300)(i => ((i * 37) % 1001 - 500).toShort)
+    val mono = MediaCodecs.decodeWav(MediaCodecs.encodeWav(samples, 16000)).get
+    assert(mono.nSamplesPerChannel === 300L && mono.sampleRate === 16000)
+    assert(mono.sumSq === samples.map(s => s.toLong * s).sum)
+    val stereo = MediaCodecs.decodeWav(MediaCodecs.encodeWav(samples, 16000, 2)).get
+    assert(stereo.channels === 2 && stereo.nSamplesPerChannel === 150L)
+    assert(stereo.sumSq === mono.sumSq, "sumSq covers all channels")
+
+    assert(MediaCodecs.decodeWav(null).isEmpty)
+    assert(MediaCodecs.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.decodeWav("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40)).isEmpty)
+    val good = MediaCodecs.encodeWav(samples, 16000)
+    assert(MediaCodecs.decodeWav(good.take(50)).isEmpty, "truncated data chunk")
+    val nonPcm = good.clone; nonPcm(20) = 2 // format tag 2 (ADPCM)
+    assert(MediaCodecs.decodeWav(nonPcm).isEmpty, "non-PCM rejected")
+  }
+
+  // ---- BMP ----
+
+  test("bmp: hand-built golden 2x2 bottom-up bytes decode exactly") {
+    // pixels (top-down): (0,0)=R only, (1,0)=G only, (0,1)=B only,
+    // (1,1)=white. 2x2 @ 24bpp: row = 6 bytes + 2 pad. Bottom-up: row
+    // y=1 first.
+    val bb = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0).putInt(16)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom row (y=1): BGR of (0,1)=blue, (1,1)=white, pad 2
+    bb.put(Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0))
+    // top row (y=0): (0,0)=red -> BGR 0,0,255; (1,0)=green -> 0,255,0
+    bb.put(Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0))
+    val img = MediaCodecs.decodeBmp(bb.array()).get
+    assert(img.width === 2 && img.height === 2)
+    assert((img.r(0, 0), img.g(0, 0), img.b(0, 0)) === ((255, 0, 0)))
+    assert((img.r(1, 0), img.g(1, 0), img.b(1, 0)) === ((0, 255, 0)))
+    assert((img.r(0, 1), img.g(0, 1), img.b(0, 1)) === ((0, 0, 255)))
+    assert((img.r(1, 1), img.g(1, 1), img.b(1, 1)) === ((255, 255, 255)))
+  }
+
+  test("bmp: round-trip with odd width exercises row padding; variants + malformed") {
+    def px(x: Int, y: Int): Int = ((x * 40 + 7) << 16) | ((y * 80 + 3) << 8) | (x + y)
+    val img = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(3, 5, px)).get
+    assert(img.width === 3 && img.height === 5)
+    for (x <- 0 until 3; y <- 0 until 5)
+      assert(img.pixels(y * 3 + x) === px(x, y), s"pixel ($x,$y)")
+    // top-down variant: negative height, rows in natural order
+    val td = MediaCodecs.encodeBmp(3, 5, px).clone
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -5)
+    // flip the row block order to match top-down
+    val stride = 3 * 3 + 3 // 9 + pad 3 = 12
+    val rows = (0 until 5).map(i => td.slice(54 + i * stride, 54 + (i + 1) * stride))
+    rows.reverse.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(r, 0, td, 54 + i * stride, stride) }
+    val img2 = MediaCodecs.decodeBmp(td).get
+    assert(img2.pixels.toSeq === img.pixels.toSeq, "top-down decode matches")
+
+    assert(MediaCodecs.decodeBmp(null).isEmpty)
+    assert(MediaCodecs.decodeBmp("not a bmp at all, truly not".getBytes ++
+      new Array[Byte](54)).isEmpty)
+    val trunc = MediaCodecs.encodeBmp(3, 5, px).take(60)
+    assert(MediaCodecs.decodeBmp(trunc).isEmpty, "truncated pixel data")
+    val bpp32 = MediaCodecs.encodeBmp(3, 5, px).clone; bpp32(28) = 32
+    assert(MediaCodecs.decodeBmp(bpp32).isEmpty, "32 bpp rejected")
+  }
+
+  test("bmp: nearest-neighbor resize picks the floor-index pixels") {
+    def px(x: Int, y: Int): Int = (y << 8) | x
+    val img = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(4, 4, px)).get
+    val half = MediaCodecs.resizeNearest(img, 2, 2)
+    // src = dst * 4 / 2 = dst * 2 -> picks (0,0),(2,0),(0,2),(2,2)
+    assert(half.pixels.toSeq === Seq(px(0, 0), px(2, 0), px(0, 2), px(2, 2)))
+  }
+
+  // ---- Spark-side plumbing ----
+
+  test("decodeWavFeatures/decodeBmpFeatures: ok rows exact, garbage rows ok=0 not failure") {
+    val wav = MediaCodecs.encodeWav(Array[Short](1000, -1000, 500), 8000)
+    val assets = Seq(
+      (1L, wav), (2L, "garbage".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.decodeWavFeatures(assets).collect()
+      .map(r => r.asset_id -> r).toMap
+    assert(out(1L).ok === 1L && out(1L).sum_sq === Some(1000L * 1000 * 2 + 500L * 500))
+    assert(out(1L).duration_ms === Some(3L * 1000 / 8000))
+    assert(out(2L).ok === 0L && out(2L).rms.isEmpty)
+    assert(out(3L).ok === 0L, "NULL payload flows to ok=0, never throws")
+
+    val bmp = MediaCodecs.encodeBmp(2, 2, (x, y) => (x + y) * 10)
+    val bout = Multimodal.decodeBmpFeatures(
+        Seq((7L, bmp), (8L, "junk".getBytes)).toDF("asset_id", "payload"))
+      .collect().map(r => r.asset_id -> r).toMap
+    assert(bout(7L).ok === 1L && bout(7L).width === Some(2))
+    assert(bout(7L).sum_b === Some(0L + 10 + 10 + 20))
+    assert(bout(8L).ok === 0L)
+  }
+
+  test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
+    val assets = Multimodal.synthBmpAssets(
+      spark.range(20).toDF("doc_id"), "doc_id")
+    val resized = Multimodal.resizeBmp(assets, box = 8).collect()
+    assert(resized.forall(_.ok == 1L))
+    resized.foreach { r =>
+      assert(r.out_width.get <= 8 && r.out_height.get <= 8)
+      val re = MediaCodecs.decodeBmp(r.out_payload).get
+      assert(re.width === r.out_width.get && re.height === r.out_height.get,
+        s"asset ${r.asset_id} payload round-trip")
+    }
+    // never upscaled: an 8x8 source stays 8x8
+    val small = resized.find(r => r.width.get == 8 && r.height.get == 8).get
+    assert(small.out_width.get === 8 && small.out_height.get === 8)
+  }
+}
