@@ -205,6 +205,29 @@ object ScaleCheck {
         graft.operators.Similarity.hardNegativesAnn(emb, emb, k = 5,
           nCells = cells, nProbe = 4))
     }
+    // persisted IVF index: the claim under test mirrors the dedup index —
+    // ingesting a batch costs ~the batch (one broadcast-assign + a keyed
+    // MERGE), not ~the stored corpus. Rebuild leg ingests 100% into a
+    // fresh index; the incremental leg ingests one 10% batch into an
+    // index prebuilt (untimed) over the other 90%.
+    locally {
+      val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+      def freshAnn() = new graft.operators.IncrementalAnnIndex(
+        new graft.plans.BucketedMergeWriter(spark,
+          java.nio.file.Files.createTempDirectory("graft-scale-ann").toString,
+          nBuckets = 16),
+        "vecs", nCells = cells)
+      time("ann_rebuild(100%)")({
+        val i = freshAnn(); i.ensureCentroids(emb, lloydIters = 0); i.ingest(emb)
+      })
+      val annName = "ann_ingest(10% batch)"
+      if (only.forall(_.exists(annName.startsWith))) {
+        val idx = freshAnn(); idx.ensureCentroids(emb, lloydIters = 0)
+        idx.ingest(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)) // 90%, untimed
+        time(annName)(
+          idx.ingest(emb.filter(pmod(col("vec_id"), lit(10)) === 0)))
+      }
+    }
     spark.stop()
   }
 }

@@ -427,8 +427,8 @@ object Similarity {
     * partitioned by the ID column alone — never by the vector, a wide
     * partition key would hash the whole array per row for nothing).
     * Shared by [[annIvfWith]] and [[hardNegativesAnn]]. */
-  private def nearestCellsWith(cents: DataFrame, df: DataFrame, idc: String,
-                               vcol: String, out: String, n: Int): DataFrame = {
+  private[operators] def nearestCellsWith(cents: DataFrame, df: DataFrame, idc: String,
+                                          vcol: String, out: String, n: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(cents))
       .withColumn("d", score(col(vcol), col("cvec")))
     val w = Window.partitionBy(col(idc)).orderBy(col("d").desc, col("cell").asc)

@@ -440,6 +440,11 @@ class PlanSpec extends SparkSpec {
       s"ranking windows must partition by the id, never globally:\n$p")
   }
 
+  test("q144 wav decode: map-only — synthesis and parse stay in one pass, no shuffle") {
+    val p = plan(QueryCatalog.q144WavDecode)
+    assert(!p.contains("Exchange"), s"decode must not shuffle:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
