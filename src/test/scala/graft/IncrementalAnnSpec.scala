@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * (same frozen centroids), replays must not corrupt the index, and the
   * centroid geometry must be immutable after the first build. */
 class IncrementalAnnSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -67,5 +68,52 @@ class IncrementalAnnSpec extends SparkSpec {
     val idx = mkIndex()
     intercept[IllegalArgumentException] { idx.ingest(emb) }
     intercept[IllegalArgumentException] { idx.search(queries, 5, 4) }
+  }
+
+  test("StreamingAnn: a vector stream indexes continuously; replays leave the index exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = mkIndex()
+    val cents = idx.ensureCentroids(emb, lloydIters = 0).localCheckpoint(true)
+    val ckpt = Files.createTempDirectory("graft-stream-ann-ckpt").toString
+
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val vectors = in.toDF().toDF("vec_id", "embedding")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingAnn.start(vectors, idx, ckpt)
+      q.awaitTermination() // AvailableNow: stops once the backlog drains
+    }
+    val half = rows.length / 2
+    in.addData(rows.take(half): _*)
+    in.addData(rows.drop(half): _*)
+    drain()
+    val want = resultSet(Similarity.annIvfWith(cents, queries, emb, k = 5, nProbe = 4))
+    assert(resultSet(idx.search(queries, k = 5, nProbe = 4)) === want,
+      "streamed index must serve exactly the one-shot results")
+
+    // replay the second half from a FRESH checkpoint: MERGE absorbs it
+    val nAssigned = idx.store.read(idx.assignTable).count()
+    val ckpt2 = Files.createTempDirectory("graft-stream-ann-ckpt2").toString
+    val in2 = MemoryStream[(Long, Array[Float])]
+    in2.addData(rows.drop(half): _*)
+    val q2 = graft.streaming.StreamingAnn.start(
+      in2.toDF().toDF("vec_id", "embedding"), idx, ckpt2)
+    q2.awaitTermination()
+    assert(idx.store.read(idx.assignTable).count() === nAssigned,
+      "replayed micro-batch must leave the assignment table unchanged")
+    assert(resultSet(idx.search(queries, k = 5, nProbe = 4)) === want)
+  }
+
+  test("StreamingAnn refuses to start without a centroid geometry") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = mkIndex()
+    val in = MemoryStream[(Long, Array[Float])]
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingAnn.start(in.toDF().toDF("vec_id", "embedding"),
+        idx, Files.createTempDirectory("graft-stream-ann-ckpt3").toString)
+    }
   }
 }
