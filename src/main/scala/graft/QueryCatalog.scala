@@ -3563,6 +3563,28 @@ object QueryCatalog {
       |  CAST(sb AS BIGINT) AS sum_b
       |FROM sums""".stripMargin
 
+  /** Frame-level audio energy (Multimodal.wavWindowFeatures): the q144
+    * fixture decoded into 128-frame windows — the VAD/energy-curriculum
+    * pass — with per-window exact Σs² and the rounded rms readout;
+    * oracle groups the closed-form sample stream by i div 128. */
+  def q146WavWindows(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavWindowFeatures(
+      Multimodal.synthWavAssets(t(s, dir, "documents"), "doc_id"),
+      winFrames = 128).toDF()
+
+  val q146Sql: String =
+    """WITH p AS (SELECT doc_id AS asset_id,
+      |    CAST(256 + (doc_id % 17) * 16 AS BIGINT) AS n FROM documents),
+      |s AS (SELECT asset_id,
+      |    unnest(generate_series(0, n - 1)) AS i FROM p),
+      |w AS (SELECT asset_id, i // 128 AS window_ix,
+      |    ((asset_id * 7 + i * 13) % 201 - 100) * 64 AS smp FROM s)
+      |SELECT asset_id, CAST(window_ix AS BIGINT) AS window_ix,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+      |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 6) AS rms
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3713,7 +3735,8 @@ object QueryCatalog {
     ("q142_hard_negatives_ann", q142HardNegativesAnn _, Some(q142Sql)),
     ("q143_curation_pipeline", q143CurationPipeline _, Some(q143Sql)),
     ("q144_wav_decode", q144WavDecode _, Some(q144Sql)),
-    ("q145_bmp_resize", q145BmpResize _, Some(q145Sql)))
+    ("q145_bmp_resize", q145BmpResize _, Some(q145Sql)),
+    ("q146_wav_windows", q146WavWindows _, Some(q146Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -104,6 +104,44 @@ object MediaCodecs {
     }
   }
 
+  /** Per-window exact energy over the PCM stream: fold the data chunk
+    * into windows of `winFrames` frames (all channels summed together,
+    * last window partial) and return each window's (sample count,
+    * Σ sample²) — the frame-level feature pass an audio training
+    * pipeline runs (VAD thresholds, energy curricula, silence trims)
+    * without ever materializing float samples. Same strict-but-total
+    * contract as [[decodeWav]]. */
+  def wavWindowSumSq(bytes: Array[Byte],
+                     winFrames: Int): Option[(WavData, Array[(Long, Long)])] = {
+    require(winFrames >= 1, "winFrames must be positive")
+    decodeWav(bytes).map { meta =>
+      // re-walk the chunks to find the data block (decodeWav validated it)
+      var pos = 12
+      var dOff = -1; var dLen = 0
+      while (dOff < 0) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = u32(bytes, pos + 4).toInt
+        if (id == "data") { dOff = pos + 8; dLen = len }
+        else pos += 8 + len + (len & 1)
+      }
+      val perWin = winFrames * meta.channels
+      val nWins = ((meta.nSamplesPerChannel * meta.channels + perWin - 1) / perWin).toInt
+      val out = new Array[(Long, Long)](nWins)
+      var w = 0
+      var i = dOff
+      while (w < nWins) {
+        var n = 0L; var ss = 0L
+        val end = math.min(dOff + dLen, i + perWin * 2)
+        while (i + 1 < end) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          ss += s * s; n += 1; i += 2
+        }
+        out(w) = (n, ss); w += 1
+      }
+      (meta, out)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // BMP (BITMAPINFOHEADER, 24 bpp, uncompressed)
   // ---------------------------------------------------------------------

@@ -195,6 +195,32 @@ object Multimodal {
       }(enc)
   }
 
+  case class WavWindowRow(asset_id: Long, window_ix: Long, n_samples: Long,
+                          sum_sq: Long, rms: Double)
+
+  /** Frame-level audio energy: one row per `winFrames`-frame window of
+    * each decodable payload (undecodable payloads emit no rows — pair
+    * with [[decodeWavFeatures]]'s ok flag when the error set matters).
+    * sum_sq is exact; rms is the one rounded double readout. */
+  def wavWindowFeatures(assets: DataFrame, winFrames: Int): Dataset[WavWindowRow] = {
+    val enc = Encoders.product[WavWindowRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          MediaCodecs.wavWindowSumSq(payload, winFrames).toSeq.flatMap {
+            case (_, wins) =>
+              wins.iterator.zipWithIndex.map { case ((n, ss), ix) =>
+                WavWindowRow(id, ix.toLong, n, ss,
+                  if (n == 0) 0.0
+                  else BigDecimal(math.sqrt(ss.toDouble / n))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+          }
+        }
+      }(enc)
+  }
+
   case class ResizedBmpRow(asset_id: Long, ok: Long,
                            width: Option[Int], height: Option[Int],
                            out_width: Option[Int], out_height: Option[Int],

@@ -128,6 +128,23 @@ class MediaSpec extends SparkSpec {
     assert(bout(8L).ok === 0L)
   }
 
+  test("wavWindowSumSq: windows tile the stream exactly; partial tail; stereo frames") {
+    val samples = Array.tabulate(10)(i => (i * 100 - 400).toShort) // -400..500
+    val (meta, wins) = MediaCodecs.wavWindowSumSq(
+      MediaCodecs.encodeWav(samples, 8000), winFrames = 4).get
+    assert(meta.nSamplesPerChannel === 10L)
+    assert(wins.length === 3, "10 frames at window 4 -> 3 windows")
+    assert(wins.map(_._1).toSeq === Seq(4L, 4L, 2L), "partial tail window")
+    assert(wins.map(_._2).sum === samples.map(s => s.toLong * s).sum,
+      "window sums partition the total energy")
+    assert(wins(0)._2 === samples.take(4).map(s => s.toLong * s).sum)
+    // stereo: a window of 2 FRAMES covers 4 interleaved samples
+    val (m2, w2) = MediaCodecs.wavWindowSumSq(
+      MediaCodecs.encodeWav(samples, 8000, channels = 2), winFrames = 2).get
+    assert(m2.channels === 2 && w2.map(_._1).toSeq === Seq(4L, 4L, 2L))
+    assert(MediaCodecs.wavWindowSumSq("junk".getBytes, 4).isEmpty)
+  }
+
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
     val assets = Multimodal.synthBmpAssets(
       spark.range(20).toDF("doc_id"), "doc_id")
