@@ -48,7 +48,9 @@ object ConvergenceCheck {
       val refTop = ref.take(k).map(_._1).toSet
       println(s"[pagerank] $dir nodes=$n ref_iters=$maxIt")
       for (it <- 1 to maxIt) {
-        val r = ranking(it)
+        // it == maxIt is byte-identical to ref (deterministic rounding +
+        // tie-break) — reuse instead of re-running the costliest leg
+        val r = if (it == maxIt) ref else ranking(it)
         val topOverlap = r.take(k).map(_._1).toSet.intersect(refTop).size.toDouble / k
         val agree = r.map(_._1).zip(ref.map(_._1)).count { case (a, b) => a == b }
           .toDouble / n

@@ -175,17 +175,29 @@ object Joins {
     // Build and probe hash md5(key AS STRING) — so both sides MUST render
     // matching keys to the same string. With mismatched key types (DECIMAL
     // '5.00' vs BIGINT '5') the renderings differ and the probe would drop
-    // rows the plain join (which type-coerces) keeps. Guard: try_cast the
-    // SMALL side's key to the LARGE side's type before hashing. Value-
-    // preserving whenever a match is possible — a small key equal to some
-    // large key is by definition representable in the large key's type and
-    // casts to exactly that value; a small key the cast nulls out (ANSI
-    // overflow/garbage) or truncates can never equal any large-side key,
-    // so dropping it from the filter (or adding a false positive the exact
-    // join removes) loses nothing.
+    // rows the plain join (which type-coerces) keeps. Guard: for NUMERIC
+    // pairs, try_cast the SMALL side's key to the LARGE side's type before
+    // hashing — value-preserving whenever a match is possible (a small key
+    // equal to some large key is representable in the large key's type and
+    // casts to exactly that value; a key the cast nulls/truncates can
+    // never match, so losing it from the filter — or adding a false
+    // positive the exact join removes — changes nothing). Any OTHER
+    // mixture (e.g. STRING large vs BIGINT small, where the plain join
+    // coerces both sides but '5.0' still renders ≠ '5') has no
+    // provably-safe one-sided cast — fail LOUDLY and make the caller
+    // align the key types, never silently drop matching rows.
     val largeKeyType = large.schema(key).dataType
+    val smallKeyType = small.schema(key).dataType
+    val bothNumeric =
+      largeKeyType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        smallKeyType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    require(smallKeyType == largeKeyType || bothNumeric,
+      s"bloomFilteredJoin key types must match or both be numeric (got " +
+        s"small=$smallKeyType, large=$largeKeyType): the string-hash filter " +
+        "cannot guarantee result identity across other coercions — cast the " +
+        "key columns to a common type first")
     val smallKey =
-      if (small.schema(key).dataType == largeKeyType) col(key)
+      if (smallKeyType == largeKeyType) col(key)
       else col(key).try_cast(largeKeyType)
     // The filter is materialized to the driver and probed as a LITERAL
     // array — the standard runtime-filter shape (what Spark's own Bloom

@@ -60,12 +60,10 @@ object MediaCodecs {
     out.array()
   }
 
-  /** RIFF chunk-walking decoder: accepts any chunk order, skips unknown
-    * chunks (LIST/INFO/fact/...) including RIFF's odd-size pad byte;
-    * requires PCM (format tag 1) at 16 bits. Returns None on anything
-    * malformed — wrong magic, truncated chunk, missing fmt/data,
-    * unsupported encoding. */
-  def decodeWav(bytes: Array[Byte]): Option[WavData] = {
+  /** One chunk walk shared by [[decodeWav]] and [[wavWindowSumSq]]:
+    * (channels, rate, bits, dataOffset, dataLength) of a valid PCM-16
+    * RIFF/WAVE payload, or None on anything malformed. */
+  private def parseWavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
@@ -92,17 +90,27 @@ object MediaCodecs {
     (fmt, data) match {
       case (Some((ch, rate, bits)), Some((off, dlen)))
           if ch >= 1 && rate > 0 && bits == 16 && dlen % (2 * ch) == 0 =>
-        var i = off
-        var sumSq = 0L
-        while (i + 1 < off + dlen) {
-          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
-          sumSq += s * s
-          i += 2
-        }
-        Some(WavData(rate, ch, bits, dlen.toLong / (2 * ch), sumSq))
+        Some((ch, rate, bits, off, dlen))
       case _ => None
     }
   }
+
+  /** RIFF chunk-walking decoder: accepts any chunk order, skips unknown
+    * chunks (LIST/INFO/fact/...) including RIFF's odd-size pad byte;
+    * requires PCM (format tag 1) at 16 bits. Returns None on anything
+    * malformed — wrong magic, truncated chunk, missing fmt/data,
+    * unsupported encoding. */
+  def decodeWav(bytes: Array[Byte]): Option[WavData] =
+    parseWavLayout(bytes).map { case (ch, rate, bits, off, dlen) =>
+      var i = off
+      var sumSq = 0L
+      while (i + 1 < off + dlen) {
+        val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+        sumSq += s * s
+        i += 2
+      }
+      WavData(rate, ch, bits, dlen.toLong / (2 * ch), sumSq)
+    }
 
   /** Per-window exact energy over the PCM stream: fold the data chunk
     * into windows of `winFrames` frames (all channels summed together,
@@ -114,19 +122,15 @@ object MediaCodecs {
   def wavWindowSumSq(bytes: Array[Byte],
                      winFrames: Int): Option[(WavData, Array[(Long, Long)])] = {
     require(winFrames >= 1, "winFrames must be positive")
-    decodeWav(bytes).map { meta =>
-      // re-walk the chunks to find the data block (decodeWav validated it)
-      var pos = 12
-      var dOff = -1; var dLen = 0
-      while (dOff < 0) {
-        val id = new String(bytes, pos, 4, "US-ASCII")
-        val len = u32(bytes, pos + 4).toInt
-        if (id == "data") { dOff = pos + 8; dLen = len }
-        else pos += 8 + len + (len & 1)
-      }
-      val perWin = winFrames * meta.channels
-      val nWins = ((meta.nSamplesPerChannel * meta.channels + perWin - 1) / perWin).toInt
+    // single pass: the shared layout walk locates the data chunk, the
+    // windowed scan below is the only sample traversal, and the
+    // whole-stream sumSq is the sum of the window sums it produces
+    parseWavLayout(bytes).map { case (ch, rate, bits, dOff, dLen) =>
+      val nFrames = dLen.toLong / (2 * ch)
+      val perWin = winFrames * ch
+      val nWins = ((nFrames * ch + perWin - 1) / perWin).toInt
       val out = new Array[(Long, Long)](nWins)
+      var total = 0L
       var w = 0
       var i = dOff
       while (w < nWins) {
@@ -136,9 +140,9 @@ object MediaCodecs {
           val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
           ss += s * s; n += 1; i += 2
         }
-        out(w) = (n, ss); w += 1
+        out(w) = (n, ss); total += ss; w += 1
       }
-      (meta, out)
+      (WavData(rate, ch, bits, nFrames, total), out)
     }
   }
 
@@ -213,11 +217,18 @@ object MediaCodecs {
     val compression = u32(bytes, 30)
     if (width <= 0 || height <= 0 || planes != 1 || bpp != 24 || compression != 0L)
       return None
-    val rowBytes = width * 3
-    val stride = rowBytes + (4 - rowBytes % 4) % 4
-    if (pixOff < 54 || pixOff.toLong + stride.toLong * height > bytes.length)
+    // ALL size arithmetic in Long: a crafted header with width near
+    // Int.MaxValue overflows Int rowBytes/stride into passing the bounds
+    // check and then throws on array allocation — the never-throws
+    // contract requires the overflow itself to be unrepresentable here
+    val rowBytesL = width.toLong * 3
+    val strideL = rowBytesL + (4 - rowBytesL % 4) % 4
+    val nPixelsL = width.toLong * height
+    if (pixOff < 54 || pixOff.toLong + strideL * height > bytes.length ||
+        nPixelsL > Int.MaxValue)
       return None
-    val pixels = new Array[Int](width * height)
+    val stride = strideL.toInt
+    val pixels = new Array[Int](nPixelsL.toInt)
     var y = 0
     while (y < height) {
       val srcRow = if (topDown) y else height - 1 - y

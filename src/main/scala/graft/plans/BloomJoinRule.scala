@@ -121,7 +121,13 @@ object BloomJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               a.references.subsetOf(r.outputSet) => (b, a)
         }
         equi match {
-          case Some((lk, rk)) =>
+          case Some((lk, rk)) if conf.autoBroadcastJoinThreshold > 0 =>
+            // threshold <= 0 means the user DISABLED broadcast joins to
+            // force shuffle plans — "over the broadcast threshold" would
+            // then cover every build side down to one row and tax every
+            // join with an extra build-side scan; the envelope is defined
+            // relative to a real threshold, so without one the rule sits
+            // out (the explicit bloomFilteredJoin API remains available)
             val (lSize, rSize) = (l.stats.sizeInBytes, r.stats.sizeInBytes)
             val bcast = BigInt(conf.autoBroadcastJoinThreshold)
             def fits(creSize: BigInt, appSize: BigInt, cre: LogicalPlan) =
@@ -137,7 +143,7 @@ object BloomJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 Join(l, inject(r, rk, l, lk), jt, Some(cond), hint)
               else j
             }
-          case None => j
+          case _ => j
         }
     }
   }

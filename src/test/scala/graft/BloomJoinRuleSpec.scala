@@ -90,6 +90,17 @@ class BloomJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("broadcast joins disabled (threshold -1): rule sits out entirely") {
+    // threshold <= 0 means the user forced shuffle joins; 'over the
+    // broadcast threshold' would then match every build side and tax
+    // every join with an extra build-side scan
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = optimized(probe.join(build, col("k") === col("bk")))
+      assert(!p.contains("might_contain"),
+        s"no real threshold, no envelope — rule must not fire:\n$p")
+    }
+  }
+
   test("kill switch: spark.graft.bloomJoinRule.enabled=false disables injection") {
     withConfs("spark.sql.autoBroadcastJoinThreshold" -> "1024",
         "spark.graft.bloomJoinRule.enabled" -> "false") {

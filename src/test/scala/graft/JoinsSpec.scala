@@ -139,5 +139,13 @@ class JoinsSpec extends SparkSpec {
     assert(plain.nonEmpty, "fixture sanity: keys 2 and 4 must match")
     assert(bloomed === plain,
       "cross-type semi-join reduction must not change the result")
+    // non-numeric mixtures have no provably-safe one-sided cast (a STRING
+    // large key '5.0' matches BIGINT 5 under join coercion but renders a
+    // different hash string) — must fail loudly, never silently drop rows
+    val largeStr = Seq(("5.0", 1), ("5", 2), ("abc", 3)).toDF("k", "payload")
+    val smallNum = Seq(5L).toDF("k")
+    intercept[IllegalArgumentException] {
+      Joins.bloomFilteredJoin(largeStr, smallNum, "k")
+    }
   }
 }

@@ -95,6 +95,18 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodecs.decodeBmp(trunc).isEmpty, "truncated pixel data")
     val bpp32 = MediaCodecs.encodeBmp(3, 5, px).clone; bpp32(28) = 32
     assert(MediaCodecs.decodeBmp(bpp32).isEmpty, "32 bpp rejected")
+    // crafted headers whose Int size arithmetic would overflow past the
+    // bounds check must return None, never throw (OOM/negative-size):
+    // width=0x7FFFFFFF overflows rowBytes; 715827883×3 overflows w×h
+    for ((w, h) <- Seq((0x7fffffff, 1), (715827883, 3))) {
+      val evil = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      evil.put('B'.toByte).put('M'.toByte).putInt(64).putShort(0).putShort(0).putInt(54)
+      evil.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0).putInt(0)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      assert(MediaCodecs.decodeBmp(evil.array()).isEmpty,
+        s"overflowing header ($w x $h) must reject, not throw")
+    }
   }
 
   test("bmp: nearest-neighbor resize picks the floor-index pixels") {
