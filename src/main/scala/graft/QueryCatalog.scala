@@ -3585,6 +3585,69 @@ object QueryCatalog {
       |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 6) AS rms
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  private val q147AHashCte: String =
+    """WITH d AS (SELECT doc_id AS asset_id, doc_id // 2 AS base,
+      |    doc_id % 2 AS parity FROM documents),
+      |dim AS (SELECT *, CAST(8 + base % 9 AS INT) AS w,
+      |    CAST(8 + (base * 3) % 9 AS INT) AS h FROM d),
+      |gi AS (SELECT *, unnest(generate_series(0, 7)) AS i FROM dim),
+      |gc AS (SELECT *, unnest(generate_series(0, 7)) AS j FROM gi),
+      |s AS (SELECT asset_id, i, j,
+      |    (CASE WHEN (i * w) // 8 = 0 AND (j * h) // 8 = 0
+      |          THEN LEAST(255, (base % 256) + parity)
+      |          ELSE (base + 3 * ((i * w) // 8) + 5 * ((j * h) // 8)) % 256 END)
+      |    + (2 * base + ((i * w) // 8) + 7 * ((j * h) // 8)) % 256
+      |    + (5 * base + 11 * ((i * w) // 8) + ((j * h) // 8)) % 256 AS lum
+      |  FROM gc),
+      |t AS (SELECT asset_id, sum(lum) AS total FROM s GROUP BY 1),
+      |b AS (SELECT s.asset_id, j * 8 + i AS k,
+      |    CASE WHEN lum * 64 > total THEN 1 ELSE 0 END AS bit
+      |  FROM s JOIN t ON s.asset_id = t.asset_id),
+      |hashes AS (SELECT asset_id, CAST(1 AS BIGINT) AS ok,
+      |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |      THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM b GROUP BY 1)""".stripMargin
+
+  /** Perceptual average-hash over real decoded pixels
+    * (Multimodal.imageAHash): the standard image near-dup fingerprint —
+    * 8×8 nearest-neighbor thumbnail, integer luma, cross-multiplied
+    * above-mean bits, two 32-bit halves. Fixture plants a
+    * visually-identical pair per base id (one-unit single-pixel
+    * perturbation); the oracle replays resize indices, luma, mean
+    * comparison, and bit packing in closed form. */
+  def q147ImageAhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(
+      Multimodal.synthBmpPairAssets(t(s, dir, "documents"), "doc_id")).toDF()
+
+  val q147Sql: String =
+    s"""$q147AHashCte
+       |SELECT asset_id, ok, ahash_hi, ahash_lo FROM hashes""".stripMargin
+
+  /** Perceptual-duplicate clustering: group by the aHash halves — exact
+    * dedup's one-hash-aggregate law applied to the perceptual
+    * fingerprint, so visually-identical images cluster with NO pairwise
+    * stage and no embedding model (the production image-dedup shape:
+    * equality on the perceptual hash, pairwise hamming only within
+    * candidate buckets if at all). Most planted pairs collapse (the
+    * one-unit perturbation rarely crosses a bit's mean boundary);
+    * whether a given pair does is the SAME deterministic integer
+    * comparison in both engines. */
+  def q148AhashClusters(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(
+        Multimodal.synthBmpPairAssets(t(s, dir, "documents"), "doc_id")).toDF()
+      .filter(col("ok") === 1)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("rep_asset_id"))
+      .filter(col("n_assets") >= 2)
+
+  val q148Sql: String =
+    s"""$q147AHashCte
+       |SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_assets,
+       |  min(asset_id) AS rep_asset_id
+       |FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3736,7 +3799,9 @@ object QueryCatalog {
     ("q143_curation_pipeline", q143CurationPipeline _, Some(q143Sql)),
     ("q144_wav_decode", q144WavDecode _, Some(q144Sql)),
     ("q145_bmp_resize", q145BmpResize _, Some(q145Sql)),
-    ("q146_wav_windows", q146WavWindows _, Some(q146Sql)))
+    ("q146_wav_windows", q146WavWindows _, Some(q146Sql)),
+    ("q147_image_ahash", q147ImageAhash _, Some(q147Sql)),
+    ("q148_ahash_clusters", q148AhashClusters _, Some(q148Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -221,6 +221,47 @@ object Multimodal {
       }(enc)
   }
 
+  case class AHashRow(asset_id: Long, ok: Long,
+                      ahash_hi: Option[Long], ahash_lo: Option[Long])
+
+  /** Perceptual average-hash over REAL decoded pixels — the standard
+    * image near-dup fingerprint (aHash): nearest-neighbor resize to 8×8
+    * ([[MediaCodecs.resizeNearest]]'s exact integer index map), per-cell
+    * luma s = r+g+b (the /3 is monotone and cancels against the mean —
+    * integer-exact without it), bit k = y·8+x set iff s·64 > Σs
+    * (cross-multiplied, no float mean). Emitted as two 32-bit halves
+    * (rows 0-3 → ahash_hi, rows 4-7 → ahash_lo) so neither engine
+    * touches the sign bit of a 64-bit value. Visually-identical images
+    * (crops aside) collapse to equal hashes; clustering is then ONE
+    * hash-aggregate ([[graft.operators.Dedup.exact]]'s law) — no
+    * pairwise stage, no embedding model. */
+  def imageAHash(assets: DataFrame): Dataset[AHashRow] = {
+    val enc = Encoders.product[AHashRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeBmp(payload) match {
+            case Some(img) =>
+              val g = MediaCodecs.resizeNearest(img, 8, 8)
+              val s = g.pixels.map(p =>
+                (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong)
+              val total = s.sum
+              var hi = 0L; var lo = 0L
+              var k = 0
+              while (k < 64) {
+                if (s(k) * 64 > total) {
+                  if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+                }
+                k += 1
+              }
+              AHashRow(id, 1L, Some(hi), Some(lo))
+            case None => AHashRow(id, 0L, None, None)
+          }
+        }
+      }(enc)
+  }
+
   case class ResizedBmpRow(asset_id: Long, ok: Long,
                            width: Option[Int], height: Option[Int],
                            out_width: Option[Int], out_height: Option[Int],
@@ -277,6 +318,34 @@ object Multimodal {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("asset_id", "payload")
     toAssets(rows, "asset_id", "payload", "audio/wav")
+  }
+
+  /** Near-duplicate image fixture: CONSECUTIVE ids (2k, 2k+1) render the
+    * SAME base pattern (dims and pixels keyed by id div 2, the
+    * [[synthBmpAssets]] formulas) except a one-unit red perturbation of
+    * source pixel (0,0) on odd ids — a planted visually-identical pair
+    * per base, the workload perceptual hashing exists for. */
+  def synthBmpPairAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id / 2
+          val parity = (id % 2).toInt
+          val w = 8 + (base % 9).toInt
+          val h = 8 + ((base * 3) % 9).toInt
+          val bytes = MediaCodecs.encodeBmp(w, h, (x, y) => {
+            val r0 = ((base + 3L * x + 5L * y) % 256).toInt
+            val r = if (x == 0 && y == 0) math.min(255, r0 + parity) else r0
+            val g = ((2L * base + x + 7L * y) % 256).toInt
+            val b = ((5L * base + 11L * x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/bmp")
   }
 
   /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,

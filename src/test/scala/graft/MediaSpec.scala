@@ -157,6 +157,31 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodecs.wavWindowSumSq("junk".getBytes, 4).isEmpty)
   }
 
+  test("imageAHash: identical images hash equal, perturbed twins mostly collapse, distinct differ") {
+    val assets = Multimodal.synthBmpPairAssets(
+      spark.range(40).toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.imageAHash(assets).collect()
+      .map(r => r.asset_id -> (r.ahash_hi.get, r.ahash_lo.get)).toMap
+    assert(hashes.size === 40)
+    // planted near-dup pairs (2k, 2k+1): the one-unit single-pixel edit
+    // rarely crosses a bit's mean boundary — most pairs collapse
+    val pairsEqual = (0 until 20).count(k => hashes(2L * k) == hashes(2L * k + 1))
+    assert(pairsEqual >= 16, s"only $pairsEqual/20 perturbed twins collapsed")
+    // distinct base patterns must not ALL collide. The fixture's pixels
+    // are linear ramps in (x, y), and aHash of any linear gradient is
+    // roughly the same above-mean half-plane — so substantial collision
+    // across bases is EXPECTED here (aHash groups by coarse luminance
+    // structure); the gate is non-degeneracy, not uniqueness
+    val distinctHashes = (0 until 20).map(k => hashes(2L * k)).toSet
+    assert(distinctHashes.size >= 5,
+      s"only ${distinctHashes.size} distinct hashes over 20 base patterns")
+    // garbage payloads flow to ok=0
+    import spark.implicits._
+    val bad = Multimodal.imageAHash(
+      Seq((99L, "nope".getBytes)).toDF("asset_id", "payload")).collect()
+    assert(bad.head.ok === 0L && bad.head.ahash_hi.isEmpty)
+  }
+
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
     val assets = Multimodal.synthBmpAssets(
       spark.range(20).toDF("doc_id"), "doc_id")
