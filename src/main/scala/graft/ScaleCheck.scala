@@ -228,6 +228,16 @@ object ScaleCheck {
           idx.ingest(emb.filter(pmod(col("vec_id"), lit(10)) === 0)))
       }
     }
+    // r9 media legs: real byte-level codec work (synthesize → encode →
+    // parse; aHash adds resize + bit packing) — map-only passes whose
+    // cost should track asset count ~linearly
+    val docIds = docs.select(col("doc_id"))
+    time("wav_decode")(
+      graft.operators.Multimodal.decodeWavFeatures(
+        graft.operators.Multimodal.synthWavAssets(docIds, "doc_id")).toDF())
+    time("image_ahash")(
+      graft.operators.Multimodal.imageAHash(
+        graft.operators.Multimodal.synthBmpPairAssets(docIds, "doc_id")).toDF())
     spark.stop()
   }
 }
