@@ -3648,6 +3648,30 @@ object QueryCatalog {
        |  min(asset_id) AS rep_asset_id
        |FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Silence-trim planning (Multimodal.silenceTrimPlan): decode
+    * silence-padded WAVs through the real parser, locate the voiced span
+    * by exact per-window energy, emit the sample offsets a cut stage
+    * keeps. The fixture pads with window-aligned silence (lead =
+    * (id%4)·64, tail = (id%3)·64 zeros around a 256-sample body), so
+    * every output column is closed-form — a parser or window-accounting
+    * bug anywhere in the chain breaks the hash. */
+  def q149SilenceTrim(s: SparkSession, dir: String): DataFrame =
+    Multimodal.silenceTrimPlan(
+      Multimodal.synthWavSilenceAssets(t(s, dir, "documents"), "doc_id"),
+      winFrames = 64)
+
+  val q149Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    (doc_id % 4) * 64 AS lead, (doc_id % 3) * 64 AS tail FROM documents)
+      |SELECT asset_id,
+      |  CAST((lead + 256 + tail) // 64 AS BIGINT) AS n_windows,
+      |  CAST(lead + 256 + tail AS BIGINT) AS n_samples,
+      |  CAST(lead // 64 AS BIGINT) AS first_voiced,
+      |  CAST(lead // 64 + 3 AS BIGINT) AS last_voiced,
+      |  CAST(lead AS BIGINT) AS trim_start_sample,
+      |  CAST(lead + 256 AS BIGINT) AS trim_end_sample
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3801,7 +3825,8 @@ object QueryCatalog {
     ("q145_bmp_resize", q145BmpResize _, Some(q145Sql)),
     ("q146_wav_windows", q146WavWindows _, Some(q146Sql)),
     ("q147_image_ahash", q147ImageAhash _, Some(q147Sql)),
-    ("q148_ahash_clusters", q148AhashClusters _, Some(q148Sql)))
+    ("q148_ahash_clusters", q148AhashClusters _, Some(q148Sql)),
+    ("q149_silence_trim", q149SilenceTrim _, Some(q149Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -348,6 +348,46 @@ object Multimodal {
     toAssets(rows, "asset_id", "payload", "image/bmp")
   }
 
+  /** Silence-trim planning — the curation ACTION on top of
+    * [[wavWindowFeatures]]: per asset, the first/last window whose
+    * exact energy exceeds `minSumSq` and the sample offsets a cut stage
+    * would keep ([trim_start_sample, trim_end_sample)). Assets that are
+    * silent throughout emit NULL bounds (drop candidates); window
+    * arithmetic is pure integers, so the plan replays in any engine. */
+  def silenceTrimPlan(assets: DataFrame, winFrames: Int,
+                      minSumSq: Long = 0L): DataFrame =
+    wavWindowFeatures(assets, winFrames).toDF()
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_samples")).as("n_samples"),
+        min(when(col("sum_sq") > minSumSq, col("window_ix"))).as("first_voiced"),
+        max(when(col("sum_sq") > minSumSq, col("window_ix"))).as("last_voiced"))
+      .withColumn("trim_start_sample",
+        col("first_voiced") * winFrames)
+      .withColumn("trim_end_sample",
+        least(col("n_samples"), (col("last_voiced") + 1) * winFrames))
+
+  /** Silence-padded audio fixture: lead = (id mod 4)·64 zero samples,
+    * a 256-sample wave body (the [[synthWavAssets]] formula), tail =
+    * (id mod 3)·64 zeros — window-aligned silence so trim bounds are
+    * closed-form. Mono, 8 kHz. */
+  def synthWavSilenceAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val lead = (id % 4).toInt * 64
+          val tail = (id % 3).toInt * 64
+          val body = Array.tabulate(256)(i =>
+            (((id * 7 + i.toLong * 13) % 201 - 100) * 64).toShort)
+          val samples = new Array[Short](lead) ++ body ++ new Array[Short](tail)
+          (id, MediaCodecs.encodeWav(samples, 8000))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "audio/wav")
+  }
+
   /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,
     * r(x,y) = (id + 3x + 5y) mod 256, g = (2id + x + 7y) mod 256,
     * b = (5id + 11x + y) mod 256. */

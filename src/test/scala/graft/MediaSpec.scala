@@ -182,6 +182,26 @@ class MediaSpec extends SparkSpec {
     assert(bad.head.ok === 0L && bad.head.ahash_hi.isEmpty)
   }
 
+  test("silenceTrimPlan: voiced span located exactly; all-silent assets get NULL bounds") {
+    import spark.implicits._
+    val voiced = MediaCodecs.encodeWav(
+      (new Array[Short](128) ++ Array.tabulate(64)(i => (i * 50).toShort) ++
+        new Array[Short](64)), 8000)
+    val silent = MediaCodecs.encodeWav(new Array[Short](256), 8000)
+    val out = Multimodal.silenceTrimPlan(
+        Seq((1L, voiced), (2L, silent)).toDF("asset_id", "payload"), winFrames = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val v = out(1L)
+    assert(v.getAs[Long]("n_windows") === 4L)
+    assert(v.getAs[Long]("first_voiced") === 2L && v.getAs[Long]("last_voiced") === 2L)
+    assert(v.getAs[Long]("trim_start_sample") === 128L)
+    assert(v.getAs[Long]("trim_end_sample") === 192L)
+    val s = out(2L)
+    assert(s.isNullAt(s.fieldIndex("first_voiced")) &&
+      s.isNullAt(s.fieldIndex("trim_start_sample")),
+      "all-silent assets are drop candidates with NULL bounds")
+  }
+
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
     val assets = Multimodal.synthBmpAssets(
       spark.range(20).toDF("doc_id"), "doc_id")
