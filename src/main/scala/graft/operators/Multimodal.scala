@@ -24,6 +24,24 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = true),
     StructField("checksum", StringType, nullable = true)))
 
+  /** Read a directory/glob of real media files into the asset shape via
+    * Spark's binaryFile source — the ingestion half for on-disk corpora
+    * (the decode half is [[decodeWavFeatures]]/[[decodeBmpFeatures]]/
+    * [[imageAHash]]). asset_id is the content-independent xxhash64 of
+    * the file path (stable across re-lists and partitionings); the path
+    * rides along for lineage. Filters and the pathGlobFilter push into
+    * the file index, so a 100 TB asset lake lists before it reads. */
+  def readAssetDir(spark: SparkSession, pathGlob: String,
+                   mediaType: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        abs(xxhash64(col("path"))).as("asset_id"),
+        lit(mediaType).as("media_type"),
+        col("content").as("payload"),
+        col("length").cast(LongType).as("n_bytes"),
+        md5(col("content")).as("checksum"),
+        col("path"))
+
   /** Wrap any (id, bytes-ish) frame into the asset shape. Used in tests
     * with documents.text as a stand-in payload. */
   def toAssets(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =

@@ -117,6 +117,49 @@ class MediaSpec extends SparkSpec {
     assert(half.pixels.toSeq === Seq(px(0, 0), px(2, 0), px(0, 2), px(2, 2)))
   }
 
+  test("property: decoders never throw on arbitrary byte garbage (fuzz)") {
+    // the never-throws totality contract, pushed past the hand-picked
+    // malformed cases: random buffers, random mutations of VALID files
+    // (header corruption), and random truncations of valid files
+    val rnd = new scala.util.Random(1234)
+    val validWav = MediaCodecs.encodeWav(
+      Array.tabulate(100)(i => (i * 31).toShort), 8000)
+    val validBmp = MediaCodecs.encodeBmp(5, 4, (x, y) => x * 40 + y)
+    for (round <- 0 until 300) {
+      val payload = round % 3 match {
+        case 0 => // pure noise, random length
+          val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+        case 1 => // corrupt a valid file at 1-8 random offsets
+          val src = if (round % 2 == 0) validWav else validBmp
+          val b = src.clone
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+          b
+        case _ => // truncate a valid file at a random point
+          val src = if (round % 2 == 0) validWav else validBmp
+          src.take(rnd.nextInt(src.length + 1))
+      }
+      // must return (None or Some) without throwing — that's the assert
+      MediaCodecs.decodeWav(payload)
+      MediaCodecs.decodeBmp(payload)
+      MediaCodecs.wavWindowSumSq(payload, 16)
+    }
+  }
+
+  test("readAssetDir: real files on disk flow through binaryFile into the decode path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets")
+    val wav = MediaCodecs.encodeWav(Array.tabulate(50)(i => (i * 100).toShort), 16000)
+    java.nio.file.Files.write(dir.resolve("a.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("b.wav"),
+      MediaCodecs.encodeWav(Array[Short](1, 2, 3), 8000))
+    java.nio.file.Files.write(dir.resolve("junk.wav"), "not audio".getBytes)
+    val assets = Multimodal.readAssetDir(spark, s"$dir/*.wav", "audio/wav")
+    assert(assets.count() === 3)
+    val out = Multimodal.decodeWavFeatures(assets).collect()
+    assert(out.count(_.ok == 1L) === 2 && out.count(_.ok == 0L) === 1)
+    assert(out.filter(_.ok == 1L).map(_.n_samples.get).sorted.toSeq === Seq(3L, 50L))
+  }
+
   // ---- Spark-side plumbing ----
 
   test("decodeWavFeatures/decodeBmpFeatures: ok rows exact, garbage rows ok=0 not failure") {
