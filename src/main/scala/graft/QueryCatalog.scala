@@ -3672,6 +3672,116 @@ object QueryCatalog {
       |  CAST(lead + 256 AS BIGINT) AS trim_end_sample
       |FROM d""".stripMargin
 
+  /** IVF-PQ ANN (Similarity.annIvfPq — the FAISS IndexIVFPQ composition):
+    * coarse cells route vectors, PQ encodes the residual v − centroid,
+    * queries probe 4 cells and score candidates by per-cell ADC
+    * lookup-table sums over stored codes. Seed centroids (first 16 by
+    * vec_id) and the md5-sampled residual codebook keep every argmin
+    * oracle-replayable; real runs pass Lloyd-trained centroids. */
+  def q150AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annIvfPq(emb.filter(col("vec_id") < 16), emb, k = 5,
+      nCells = 16, nProbe = 4, dims = 64, subspaces = 8, codebookSize = 16)
+  }
+
+  val q150Sql: String = {
+    def d2(a: String, b: String) =
+      s"round(${pqDotSql(a, a)} + ${pqDotSql(b, b)} - 2 * ${pqDotSql(a, b)}, 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cents AS (SELECT vec_id AS cell, v AS cvec
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |ca AS (SELECT vec_id AS neighbor_id, cell_id, res FROM (
+       |  SELECT e.vec_id, cents.cell AS cell_id,
+       |    list_transform(list_zip(e.v, cents.cvec), x -> x[1] - x[2]) AS res,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${d2("e.v", "cents.cvec")} ASC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents) WHERE rnk = 1),
+       |cb AS (SELECT row_number() OVER (ORDER BY hk, neighbor_id) - 1 AS code, res
+       |  FROM (SELECT neighbor_id, res,
+       |      md5('ivfpq:' || CAST(neighbor_id AS VARCHAR)) AS hk
+       |    FROM ca ORDER BY hk, neighbor_id LIMIT 16)),
+       |csub AS (SELECT code, t.r AS s, res[t.r*8+1 : t.r*8+8] AS cv
+       |  FROM cb CROSS JOIN range(8) t(r)),
+       |sub AS (SELECT neighbor_id, cell_id, t.r AS s, res[t.r*8+1 : t.r*8+8] AS sv
+       |  FROM ca CROSS JOIN range(8) t(r)),
+       |enc AS (SELECT neighbor_id, cell_id, s, code FROM (
+       |  SELECT neighbor_id, cell_id, s, code,
+       |    row_number() OVER (PARTITION BY neighbor_id, s
+       |      ORDER BY ${d2("sv", "cv")} ASC, code ASC) AS rnk
+       |  FROM sub JOIN csub USING (s)) WHERE rnk = 1),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 16),
+       |qp AS (SELECT query_id, cell_id, res FROM (
+       |  SELECT q.query_id, cents.cell AS cell_id,
+       |    list_transform(list_zip(q.v, cents.cvec), x -> x[1] - x[2]) AS res,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${d2("q.v", "cents.cvec")} ASC, cents.cell ASC) AS rnk
+       |  FROM q CROSS JOIN cents) WHERE rnk <= 4),
+       |qsub AS (SELECT query_id, cell_id, t.r AS s, res[t.r*8+1 : t.r*8+8] AS qv
+       |  FROM qp CROSS JOIN range(8) t(r)),
+       |lut AS (SELECT query_id, cell_id, s, code,
+       |    CAST(${d2("qv", "cv")} AS DECIMAL(18,6)) AS dq
+       |  FROM qsub JOIN csub USING (s)),
+       |a AS (SELECT query_id, neighbor_id, sum(dq) AS ad
+       |  FROM enc JOIN lut USING (cell_id, s, code)
+       |  WHERE query_id <> neighbor_id GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ad ASC, neighbor_id ASC) AS rnk FROM a)
+       |SELECT query_id, neighbor_id, CAST(ad AS DOUBLE) AS approx_dist,
+       |  CAST(rnk AS BIGINT) AS rank
+       |FROM rk WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Zero-crossing rate + peak over REAL WAV decode
+    * (Multimodal.wavZcrFeatures ∘ MediaCodecs.wavZeroCross): the
+    * voiced/unvoiced + clipping screen, replayed by the oracle from
+    * synthWavAssets' closed-form sample formula — the per-channel
+    * crossing logic, the sign convention (0 counts as non-negative), and
+    * every parsed byte are all pinned by the hash. */
+  def q151WavZcr(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavZcrFeatures(
+      Multimodal.synthWavAssets(t(s, dir, "documents"), "doc_id")).toDF()
+
+  val q151Sql: String =
+    """WITH p AS (SELECT doc_id AS asset_id,
+      |    CAST(256 + (doc_id % 17) * 16 AS BIGINT) AS n FROM documents),
+      |s AS (SELECT asset_id, n,
+      |    unnest(generate_series(0, n - 1)) AS i FROM p),
+      |a AS (SELECT asset_id, n,
+      |    sum(CASE WHEN i >= 1 AND
+      |        (((asset_id * 7 + (i - 1) * 13) % 201 - 100 < 0)
+      |          <> ((asset_id * 7 + i * 13) % 201 - 100 < 0))
+      |      THEN 1 ELSE 0 END) AS crossings,
+      |    max(abs(((asset_id * 7 + i * 13) % 201 - 100) * 64)) AS peak
+      |  FROM s GROUP BY 1, 2)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, n AS n_samples,
+      |  CAST(crossings AS BIGINT) AS crossings, CAST(peak AS BIGINT) AS peak,
+      |  round(CAST(crossings AS DOUBLE) / (n - 1), 6) AS zcr
+      |FROM a""".stripMargin
+
+  /** Shannon character entropy (TextAnalysis.charEntropy): the
+    * compressibility screen — base64/hex junk high, repeated-char
+    * padding near 0 — with naiveBayesClassify's determinism contract
+    * (round(ln c, 6) × exact count under DECIMAL, order-free). */
+  def q152CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(t(s, dir, "documents"))
+
+  val q152Sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+      |  FROM base WHERE len(text) >= 1),
+      |cnt AS (SELECT doc_id, substr(text, i, 1) AS ch, count(*) AS c
+      |  FROM pos GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+      |    sum(CAST(c AS DECIMAL(12,0)) * CAST(round(ln(c), 6) AS DECIMAL(12,6)))
+      |      AS plogp
+      |  FROM cnt GROUP BY 1)
+      |SELECT b.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+      |  CASE WHEN a.n IS NOT NULL THEN
+      |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3826,7 +3936,10 @@ object QueryCatalog {
     ("q146_wav_windows", q146WavWindows _, Some(q146Sql)),
     ("q147_image_ahash", q147ImageAhash _, Some(q147Sql)),
     ("q148_ahash_clusters", q148AhashClusters _, Some(q148Sql)),
-    ("q149_silence_trim", q149SilenceTrim _, Some(q149Sql)))
+    ("q149_silence_trim", q149SilenceTrim _, Some(q149Sql)),
+    ("q150_ann_ivfpq", q150AnnIvfPq _, Some(q150Sql)),
+    ("q151_wav_zcr", q151WavZcr _, Some(q151Sql)),
+    ("q152_char_entropy", q152CharEntropy _, Some(q152Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -146,6 +146,37 @@ object MediaCodecs {
     }
   }
 
+  /** Zero-crossing count + peak amplitude over the PCM stream, one pass:
+    * a crossing is counted at sample j when sign(s_j) differs from
+    * sign(s_{j-ch}) — the previous sample of the SAME channel, so
+    * interleaved stereo never counts inter-channel flips — with
+    * "negative vs non-negative" as the sign split (0 groups with
+    * positive, the usual DSP convention; integer-exact, no epsilon).
+    * Peak is max |s| over all channels. The (crossings, peak, frames)
+    * triple is the voiced/unvoiced + clipping screen an audio ingest
+    * runs next to [[wavWindowSumSq]]'s energy pass. */
+  def wavZeroCross(bytes: Array[Byte]): Option[(WavData, Long, Long)] =
+    parseWavLayout(bytes).map { case (ch, rate, bits, off, dlen) =>
+      var i = off
+      var sumSq = 0L
+      var crossings = 0L
+      var peak = 0L
+      val prev = new Array[Long](ch)
+      val seen = new Array[Boolean](ch)
+      var c = 0
+      while (i + 1 < off + dlen) {
+        val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+        sumSq += s * s
+        if (s > peak) peak = s
+        if (-s > peak) peak = -s
+        if (seen(c) && ((prev(c) < 0) != (s < 0))) crossings += 1
+        prev(c) = s; seen(c) = true
+        c += 1; if (c == ch) c = 0
+        i += 2
+      }
+      (WavData(rate, ch, bits, dlen.toLong / (2 * ch), sumSq), crossings, peak)
+    }
+
   // ---------------------------------------------------------------------
   // BMP (BITMAPINFOHEADER, 24 bpp, uncompressed)
   // ---------------------------------------------------------------------

@@ -239,6 +239,38 @@ object Multimodal {
       }(enc)
   }
 
+  case class WavZcrRow(asset_id: Long, ok: Long, n_samples: Option[Long],
+                       crossings: Option[Long], peak: Option[Long],
+                       zcr: Option[Double])
+
+  /** Zero-crossing rate + peak amplitude per payload — the
+    * voiced/unvoiced screen (high ZCR ≈ noise/fricatives, low ≈ tone/
+    * voiced speech) and the clipping audit (peak at 32767 ⇒ clipped
+    * take) an audio ingest runs before any model. One decode pass
+    * ([[MediaCodecs.wavZeroCross]]); `zcr` is the single rounded double
+    * readout, crossings / (total samples − channels) — the count of
+    * comparisons made, multichannel-exact. */
+  def wavZcrFeatures(assets: DataFrame): Dataset[WavZcrRow] = {
+    val enc = Encoders.product[WavZcrRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.wavZeroCross(payload) match {
+            case Some((w, crossings, peak)) =>
+              val comparisons = w.nSamplesPerChannel * w.channels - w.channels
+              val zcr =
+                if (comparisons <= 0) None
+                else Some(BigDecimal(crossings.toDouble / comparisons)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              WavZcrRow(id, 1L, Some(w.nSamplesPerChannel), Some(crossings),
+                Some(peak), zcr)
+            case None => WavZcrRow(id, 0L, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
   case class AHashRow(asset_id: Long, ok: Long,
                       ahash_hi: Option[Long], ahash_lo: Option[Long])
 

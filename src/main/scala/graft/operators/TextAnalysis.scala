@@ -676,6 +676,47 @@ object TextAnalysis {
       when(n > 0, round(alpha.cast("double") / n, 6)).as("alpha_frac"))
   }
 
+  /** Shannon character entropy per document (nats) — the compressibility
+    * screen next to [[charClassProfile]]'s class counts: base64 blobs /
+    * hex dumps sit near ln(alphabet) (high), single-character padding
+    * and repeated-char junk near 0 (low), natural prose in between —
+    * catching binary-ish junk whose CLASS mix looks normal.
+    *
+    * H = ln(n) − (Σ_c c·ln c)/n over per-character counts c. Determinism
+    * contract (same as [[naiveBayesClassify]]): each ln(c) is rounded
+    * ONCE to 6 dp and multiplied by the exact integer count under
+    * DECIMAL, so the per-doc sum is order-free; the readout is that
+    * exact decimal through one fixed-shape double expression, rounded
+    * once. Empty/NULL text yields zero counts and NULL entropy.
+    *
+    * Scale: one map-only explode to (doc, position) — rows bounded by
+    * corpus characters, exactly the [[chunk]] family's cost envelope —
+    * then a (doc, char) partial-count whose map-side combine collapses
+    * repeats before the shuffle; per-doc state is ≤ alphabet size.
+    * Nothing pairs documents; no window anywhere. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+    val counts = base.filter(length(col("_t")) >= 1)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")))).as("_i"))
+      .select(col("doc_id"), expr("substring(_t, _i, 1)").as("_ch"))
+      .groupBy(col("doc_id"), col("_ch")).agg(count(lit(1)).as("_c"))
+    val agg = counts.groupBy(col("doc_id")).agg(
+      sum(col("_c")).as("_n"),
+      count(lit(1)).as("_nd"),
+      sum((col("_c").cast("decimal(12,0)") *
+        round(log(col("_c").cast("double")), 6).cast("decimal(12,6)"))
+        .cast("decimal(24,6)")).as("_plogp"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_n"), lit(0L)).cast("long").as("n_chars"),
+        coalesce(col("_nd"), lit(0L)).cast("long").as("n_distinct"),
+        when(col("_n").isNotNull,
+          round(round(log(col("_n").cast("double")), 6) -
+            col("_plogp").cast("double") / col("_n"), 6)).as("entropy"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document in the RAW pool by how much more likely its

@@ -178,4 +178,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(r16 > 0.1, s"PQ recall@$k = $r16 degenerate")
     assert(r32 > 0.1, s"PQ cb32 recall@$k = $r32 degenerate")
   }
+
+  test("annIvfPq recall@10 vs exact L2 is measured; residual PQ beats raw PQ's floor") {
+    // same exact-L2 truth construction as the annPq test (IVF-PQ ranks by
+    // L2 ADC sums); two approximation axes stack here — probed cells AND
+    // residual quantization — so the gate stays loose while the probe
+    // dial is asserted not to lose recall.
+    val all = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qids = all.keys.filter(_ < 16).toSeq
+    val exact = qids.map { q =>
+      q -> all.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(all(q), all(n)), n)).take(k).toSet
+    }.toMap
+    def ivfpqRecall(nProbe: Int): Double = recallOf(neighborSets(
+      Similarity.annIvfPq(emb.filter(col("vec_id") < 16), emb, k,
+        nCells = 16, nProbe = nProbe, dims = 64, subspaces = 8,
+        codebookSize = 16)), exact)
+    val r4 = ivfpqRecall(4)
+    val r12 = ivfpqRecall(12)
+    info(f"IVF-PQ recall@$k vs exact L2: probe4=$r4%.3f probe12=$r12%.3f")
+    assert(r4 > 0.1, s"IVF-PQ probe-4 recall@$k = $r4 degenerate")
+    assert(r12 >= r4, "more probes must not lose recall")
+    assert(r12 > 0.3, s"IVF-PQ probe-12 recall@$k = $r12")
+  }
 }

@@ -47,6 +47,36 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodecs.decodeWav(nonPcm).isEmpty, "non-PCM rejected")
   }
 
+  test("wav zero-cross: sign convention, per-channel comparison, peak") {
+    // mono: [-1, 0, 1, -1] — crossings at -1->0 (neg vs non-neg), none at
+    // 0->1 (both non-neg), one at 1->-1: total 2. Peak 1.
+    val mono = MediaCodecs.wavZeroCross(
+      MediaCodecs.encodeWav(Array[Short](-1, 0, 1, -1), 8000)).get
+    assert(mono._2 === 2L && mono._3 === 1L)
+    assert(mono._1.sumSq === 3L, "single pass still carries exact energy")
+
+    // stereo interleaved [100, -7, 200, -3]: ch0 = [100, 200] (no flip),
+    // ch1 = [-7, -3] (no flip) -> 0 per-channel crossings, where a naive
+    // interleaved scan would count 3. Peak spans channels: 200.
+    val stereo = MediaCodecs.wavZeroCross(
+      MediaCodecs.encodeWav(Array[Short](100, -7, 200, -3), 8000, 2)).get
+    assert(stereo._2 === 0L, "inter-channel flips must not count")
+    assert(stereo._3 === 200L)
+
+    assert(MediaCodecs.wavZeroCross(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("wavZcrFeatures: dataset wrapper computes zcr over comparisons; malformed -> ok=0") {
+    val good = MediaCodecs.encodeWav(Array[Short](5, -5, 5, -5, 5), 8000)
+    val assets = Seq((1L, good), (2L, Array[Byte](9, 9))).toDF("asset_id", "payload")
+    val rows = Multimodal.wavZcrFeatures(assets).collect()
+      .map(r => r.asset_id -> r).toMap
+    val ok = rows(1L)
+    assert(ok.ok === 1L && ok.crossings === Some(4L) && ok.peak === Some(5L))
+    assert(ok.zcr === Some(1.0), "alternating signs flip at every comparison")
+    assert(rows(2L).ok === 0L && rows(2L).zcr.isEmpty)
+  }
+
   // ---- BMP ----
 
   test("bmp: hand-built golden 2x2 bottom-up bytes decode exactly") {

@@ -1557,6 +1557,63 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == "the"), s"sub-minCount pairs must drop: ${out.keys}")
   }
 
+  test("annIvfPq: all cells probed + lossless codebook = exact L2 ranks; shapes hold") {
+    // dims=4, subspaces=2, integer-valued vectors so every rounded
+    // distance is exact. codebookSize >= N makes the residual codebook
+    // lossless (every residual is its own codeword: ADC distance
+    // collapses to exact ||q - v||^2), and nProbe = nCells removes the
+    // probe loss — so the approximate index must reproduce exact L2
+    // top-k ranks bit-for-bit.
+    val vecs = Seq(
+      0L -> Array(0f, 0f, 0f, 0f), 1L -> Array(10f, 0f, 0f, 0f),
+      2L -> Array(0f, 20f, 0f, 0f), 3L -> Array(1f, 1f, 0f, 0f),
+      4L -> Array(9f, 1f, 0f, 0f), 5L -> Array(0f, 19f, 1f, 0f),
+      6L -> Array(2f, 0f, 1f, 0f), 7L -> Array(11f, 2f, 0f, 1f),
+      8L -> Array(1f, 21f, 0f, 0f), 9L -> Array(0f, 2f, 2f, 1f),
+      10L -> Array(8f, 0f, 2f, 0f), 11L -> Array(2f, 18f, 0f, 2f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.annIvfPq(
+        emb.filter(col("vec_id") < 3), emb, k = 4, nCells = 3, nProbe = 3,
+        dims = 4, subspaces = 2, codebookSize = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist")))
+      .toMap
+    val all = vecs.toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    for (q <- 0L to 2L) {
+      val exact = all.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(all(q), all(n)), n)).take(4)
+      exact.zipWithIndex.foreach { case (n, ix) =>
+        val (got, d) = out((q, ix + 1L))
+        assert(got === n, s"query $q rank ${ix + 1}: got $got want $n")
+        assert(d === l2(all(q), all(n)), s"ADC distance must be exact here")
+      }
+    }
+    // ranks are contiguous 1..k and self never appears
+    assert(out.keys.groupBy(_._1).forall(_._2.map(_._2).toSet == Set(1L, 2L, 3L, 4L)))
+    assert(!out.exists { case ((q, _), (n, _)) => q == n })
+  }
+
+  test("charEntropy: hand-computed nats; empty and NULL text keep rows with NULL entropy") {
+    val d = Seq(
+      (1L, "aaaa"),           // one symbol -> H = 0
+      (2L, "abab"),           // two even symbols -> H = ln 2
+      (3L, "abcd"),           // uniform 4 -> H = ln 4
+      (4L, ""),               // empty -> zero counts, NULL H
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === ((4L, 1L, Some(0.0))))
+    assert(out(2L) === ((4L, 2L, Some(0.693147))))
+    assert(out(3L) === ((4L, 4L, Some(1.386294))))
+    assert(out(4L) === ((0L, 0L, None)))
+    assert(out(5L) === ((0L, 0L, None)))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
