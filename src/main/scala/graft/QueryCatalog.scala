@@ -3782,6 +3782,90 @@ object QueryCatalog {
       |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Distinct-audience overlap across event types via HLL SET ALGEBRA
+    * (Sketches.hllRegisters / hllUnionRegs / hllEstimateFromRegs):
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union is an
+    * elementwise register max — the mergeable-sketch path that answers
+    * every pairwise overlap from one tiny per-group sketch table, never
+    * re-shuffling raw ids. `exact_overlap` is the ground-truth audit
+    * column (the id self-join the sketch path exists to avoid at scale —
+    * kept here exactly like q58 keeps exact_nd beside approx_nd). The
+    * oracle replays the md5 registers, the union, and the estimator
+    * CASE bit-for-bit (q58's CTE family). */
+  def q153HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val ev = t(s, dir, "events")
+    val regs = ev.groupBy(col("event_type"))
+      .agg(Sketches.hllRegisters(col("user_id")).as("regs"))
+    val pairs = regs.select(col("event_type").as("type_a"), col("regs").as("ra"))
+      .join(broadcast(regs.select(col("event_type").as("type_b"), col("regs").as("rb"))),
+        col("type_a") < col("type_b"))
+    val est = pairs.select(col("type_a"), col("type_b"),
+        round(Sketches.hllEstimateFromRegs(col("ra")), 2).as("nd_a"),
+        round(Sketches.hllEstimateFromRegs(col("rb")), 2).as("nd_b"),
+        round(Sketches.hllEstimateFromRegs(
+          Sketches.hllUnionRegs(col("ra"), col("rb"))), 2).as("nd_union"))
+      .withColumn("nd_intersect_est",
+        round(col("nd_a") + col("nd_b") - col("nd_union"), 2))
+    val du = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = du.as("x")
+      .join(du.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+  }
+
+  val q153Sql: String = {
+    def est(src: String, keys: String) =
+      s"""SELECT $keys, round(CASE
+         |    WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 18446744073709551616.0
+         |         / CAST(s AS DOUBLE) <= 1280.0 AND zeros > 0
+         |    THEN 512 * ln(512.0 / zeros)
+         |    ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 18446744073709551616.0
+         |         / CAST(s AS DOUBLE) END, 2) AS est
+         |  FROM (SELECT $keys,
+         |      SUM(CAST(power(2.0, 64 - rho) AS HUGEINT))
+         |        + (512 - COUNT(*)) * CAST(18446744073709551616 AS HUGEINT) AS s,
+         |      512 - COUNT(*) AS zeros
+         |    FROM $src GROUP BY $keys)""".stripMargin
+    s"""WITH h AS (SELECT event_type,
+       |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h1 // 8388608 AS idx,
+       |    (h1 % 8388608) * 4294967296 + h2 AS w FROM h),
+       |regs AS (SELECT event_type, idx,
+       |    MAX(CASE WHEN w = 0 THEN 56 ELSE 56 - length(format('{:b}', w)) END) AS rho
+       |  FROM r GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT event_type FROM h),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM types a JOIN types b ON a.event_type < b.event_type),
+       |uregs AS (SELECT p.type_a, p.type_b, g.idx, MAX(g.rho) AS rho
+       |  FROM pairs p JOIN regs g
+       |    ON g.event_type = p.type_a OR g.event_type = p.type_b
+       |  GROUP BY 1, 2, 3),
+       |ea AS (${est("regs", "event_type")}),
+       |eu AS (${est("uregs", "type_a, type_b")}),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events
+       |  WHERE user_id IS NOT NULL),
+       |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    count(*) AS cnt
+       |  FROM du x JOIN du y ON x.user_id = y.user_id
+       |    AND x.event_type < y.event_type
+       |  GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b, a.est AS nd_a, b.est AS nd_b,
+       |  u.est AS nd_union, round(a.est + b.est - u.est, 2) AS nd_intersect_est,
+       |  CAST(coalesce(ov.cnt, 0) AS BIGINT) AS exact_overlap
+       |FROM pairs p
+       |JOIN ea a ON a.event_type = p.type_a
+       |JOIN ea b ON b.event_type = p.type_b
+       |JOIN eu u ON u.type_a = p.type_a AND u.type_b = p.type_b
+       |LEFT JOIN ov ON ov.type_a = p.type_a AND ov.type_b = p.type_b""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3939,7 +4023,8 @@ object QueryCatalog {
     ("q149_silence_trim", q149SilenceTrim _, Some(q149Sql)),
     ("q150_ann_ivfpq", q150AnnIvfPq _, Some(q150Sql)),
     ("q151_wav_zcr", q151WavZcr _, Some(q151Sql)),
-    ("q152_char_entropy", q152CharEntropy _, Some(q152Sql)))
+    ("q152_char_entropy", q152CharEntropy _, Some(q152Sql)),
+    ("q153_hll_overlap", q153HllOverlap _, Some(q153Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

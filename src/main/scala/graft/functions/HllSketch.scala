@@ -35,6 +35,50 @@ import org.apache.spark.unsafe.types.UTF8String
   * m ≥ 128 constant): idx = top p bits, ρ = leading-zero count of the
   * remaining 64−p bits + 1, small-range correction below 2.5·m.
   */
+/** The register-update/merge/estimate core shared by [[HllSketchAgg]]
+  * (emits the estimate) and [[HllRegistersAgg]] (emits the registers, for
+  * sketch SET OPERATIONS — union two groups' registers elementwise-max
+  * and re-estimate, the mergeable-sketch algebra a 100 TB overlap audit
+  * runs instead of shuffling raw ids). One implementation so the two
+  * aggregates can never drift. */
+private[functions] object HllCore {
+  def update(buf: Array[Byte], digest: java.security.MessageDigest,
+             valueBytes: Array[Byte], precision: Int): Unit = {
+    digest.reset()
+    val hexBytes = digest.digest(valueBytes)
+    // first 16 hex digits = first 8 md5 bytes, as two unsigned 32-bit ints
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 4) { h1 = (h1 << 8) | (hexBytes(i) & 0xffL); i += 1 }
+    while (i < 8) { h2 = (h2 << 8) | (hexBytes(i) & 0xffL); i += 1 }
+    val idx = (h1 >>> (32 - precision)).toInt
+    val w = ((h1 & ((1L << (32 - precision)) - 1)) << 32) | h2
+    val rho = (if (w == 0L) 64 - precision + 1
+               else java.lang.Long.numberOfLeadingZeros(w) - precision + 1).toByte
+    if (rho > buf(idx)) buf(idx) = rho
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte], m: Int): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  def estimate(buf: Array[Byte], m: Int): Double = {
+    var zeros = 0
+    var s = BigInteger.ZERO
+    var i = 0
+    while (i < m) {
+      if (buf(i) == 0) zeros += 1
+      s = s.add(BigInteger.ONE.shiftLeft(64 - buf(i)))
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m * 1.8446744073709551616e19 / s.doubleValue
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}
+
 case class HllSketchAgg(
     child: Expression,
     precision: Int = 9,
@@ -56,42 +100,15 @@ case class HllSketchAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      digest.reset()
-      val hexBytes = digest.digest(v.asInstanceOf[UTF8String].getBytes)
-      // first 16 hex digits = first 8 md5 bytes, as two unsigned 32-bit ints
-      var h1 = 0L; var h2 = 0L
-      var i = 0
-      while (i < 4) { h1 = (h1 << 8) | (hexBytes(i) & 0xffL); i += 1 }
-      while (i < 8) { h2 = (h2 << 8) | (hexBytes(i) & 0xffL); i += 1 }
-      val idx = (h1 >>> (32 - precision)).toInt
-      val w = ((h1 & ((1L << (32 - precision)) - 1)) << 32) | h2
-      val rho = (if (w == 0L) 64 - precision + 1
-                 else java.lang.Long.numberOfLeadingZeros(w) - precision + 1).toByte
-      if (rho > buf(idx)) buf(idx) = rho
-    }
+    if (v != null)
+      HllCore.update(buf, digest, v.asInstanceOf[UTF8String].getBytes, precision)
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllCore.merge(a, b, m)
 
-  override def eval(buf: Array[Byte]): Any = {
-    var zeros = 0
-    var s = BigInteger.ZERO
-    var i = 0
-    while (i < m) {
-      if (buf(i) == 0) zeros += 1
-      s = s.add(BigInteger.ONE.shiftLeft(64 - buf(i)))
-      i += 1
-    }
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val raw = alpha * m * m * 1.8446744073709551616e19 / s.doubleValue
-    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
-  }
+  override def eval(buf: Array[Byte]): Any = HllCore.estimate(buf, m)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -104,6 +121,57 @@ case class HllSketchAgg(
     copy(child = newChild)
 }
 
+/** [[HllSketchAgg]]'s register array instead of its estimate — one
+  * `int` per register (byte-valued, int-typed so plain Column math —
+  * `zip_with`/`greatest`/`aggregate` — composes without binary
+  * plumbing). Registers are the HLL's whole state, so groups become
+  * SET-ALGEBRA values: union = elementwise max, |A∩B| ≈ est(A) +
+  * est(B) − est(A∪B) by inclusion-exclusion — no raw ids ever
+  * re-shuffled. Estimate with [[Sketches.hllEstimateFromRegs]]. */
+case class HllRegistersAgg(
+    child: Expression,
+    precision: Int = 9,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(precision >= 7 && precision <= 16, "precision must be in [7, 16]")
+  private val m = 1 << precision
+
+  override def prettyName: String = "hll_registers"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null)
+      HllCore.update(buf, digest, v.asInstanceOf[UTF8String].getBytes, precision)
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllCore.merge(a, b, m)
+
+  override def eval(buf: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegistersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegistersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): HllRegistersAgg =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the sketch aggregates. */
 object Sketches {
   /** Approximate count-distinct of `c` (any type — hashed via its string
@@ -113,6 +181,45 @@ object Sketches {
     Bridge.toColumn(
       HllSketchAgg(Bridge.toExpression(c.cast("string")), precision)
         .toAggregateExpression())
+
+  /** [[hllApproxCountDistinct]]'s register state as array<int> — the
+    * set-algebra form: union groups with [[hllUnionRegs]], estimate any
+    * register array with [[hllEstimateFromRegs]]. */
+  def hllRegisters(c: Column, precision: Int = 9): Column =
+    Bridge.toColumn(
+      HllRegistersAgg(Bridge.toExpression(c.cast("string")), precision)
+        .toAggregateExpression())
+
+  /** Sketch union: elementwise register max — the lossless HLL merge, so
+    * `hllEstimateFromRegs(hllUnionRegs(a, b))` estimates |A ∪ B| exactly
+    * as one sketch built over both inputs would. */
+  def hllUnionRegs(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    zip_with(a, b, (x, y) => greatest(x, y))
+  }
+
+  /** The [[HllSketchAgg]] estimator over a register-array column, as pure
+    * Column math — bit-identical to the aggregate's own eval: the
+    * register sum Σ 2^(64−M[j]) is EXACT (2^k is an exact double for
+    * k ≤ 64; summed as DECIMAL(38,0), order-free), the α·m²·2^64/S
+    * readout is the same left-associated double expression, and the
+    * linear-counting branch the same m·ln(m/V). Callers round(…, 2) like
+    * every HLL readout (ln's last ulp is engine-specific). */
+  def hllEstimateFromRegs(regs: Column, precision: Int = 9): Column = {
+    import org.apache.spark.sql.functions._
+    val m = 1 << precision
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zeros = aggregate(regs, lit(0),
+      (acc, r) => acc + when(r === 0, 1).otherwise(0))
+    val s = aggregate(regs, lit(0).cast("decimal(38,0)"),
+      (acc, r) => (acc + pow(lit(2.0), lit(64) - r).cast("decimal(38,0)"))
+        .cast("decimal(38,0)"))
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+      lit(1.8446744073709551616e19) / s.cast("double")
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
 
   /** Count-Min sketch of `c` (string form): a depth×width counter table
     * as a flat array<long>, row r at offset r·width. Query it with

@@ -39,6 +39,36 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hllRegisters: column estimator replays the aggregate bit-for-bit; union law holds") {
+    // 1) est(registers) must equal the estimate-emitting aggregate EXACTLY
+    //    (same register state, same double expression shape)
+    val df = spark.range(30000).repartition(16).toDF("x")
+    val row = df.agg(
+      Sketches.hllApproxCountDistinct(col("x")).as("agg_est"),
+      Sketches.hllEstimateFromRegs(Sketches.hllRegisters(col("x"))).as("col_est"))
+      .head()
+    assert(row.getDouble(0) === row.getDouble(1),
+      "column estimator must be bit-identical to the aggregate's eval")
+
+    // 2) union law: regs(A ∪ B) == unionRegs(regs(A), regs(B)) as arrays,
+    //    so the union ESTIMATE equals one sketch built over both inputs —
+    //    the property that makes pairwise overlap answerable from
+    //    per-group sketches alone
+    val a = spark.range(0, 12000).toDF("x")
+    val b = spark.range(8000, 20000).toDF("x") // overlapping ranges
+    def regsOf(d: org.apache.spark.sql.DataFrame) =
+      d.agg(Sketches.hllRegisters(col("x")).as("r"))
+    val merged = regsOf(a).crossJoin(regsOf(b).withColumnRenamed("r", "r2"))
+      .select(Sketches.hllUnionRegs(col("r"), col("r2")).as("u")).head().getSeq[Int](0)
+    val direct = regsOf(a.union(b)).head().getSeq[Int](0)
+    assert(merged === direct, "register union must equal the union's registers")
+
+    // 3) registers are partition-independent (the merge is a register max)
+    val r1 = regsOf(df.repartition(1)).head().getSeq[Int](0)
+    val r32 = regsOf(df.repartition(32)).head().getSeq[Int](0)
+    assert(r1 === r32)
+  }
+
   test("nulls are ignored like count(DISTINCT)") {
     val df = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("x")
     val e = df.agg(Sketches.hllApproxCountDistinct(col("x"))).head().getDouble(0)
