@@ -3866,6 +3866,58 @@ object QueryCatalog {
        |LEFT JOIN ov ON ov.type_a = p.type_a AND ov.type_b = p.type_b""".stripMargin
   }
 
+  /** BPE merge training (TextAnalysis.bpeMerges, Sennrich et al. 2016):
+    * four corpus-wide merge rounds over the distinct-word symbol table —
+    * the real subword-tokenizer trainer, integer-exact end to end. The
+    * oracle replays every round: pair counts, the (count desc, left,
+    * right) argmax, and the windowed leftmost-nonoverlapping rewrite
+    * (equal-symbol chains resolved by even run offset). */
+  def q154BpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 4)
+
+  val q154Sql: String = {
+    val rounds = 4
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+         |words AS (SELECT w, count(*) AS freq FROM w0 GROUP BY 1),
+         |s1 AS (SELECT w, freq, i AS pos,
+         |    CASE WHEN i <= len(w) THEN substr(w, i, 1) ELSE '</w>' END AS sym
+         |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) + 1)) AS i
+         |        FROM words))""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |p$r AS (SELECT w, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s$r),
+           |b$r AS (SELECT sym AS l, nxt AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM p$r WHERE nxt IS NOT NULL
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r2 LIMIT 1),
+           |mk$r AS (SELECT *, rnAll - min(rnAll) OVER (PARTITION BY w, sym, island)
+           |      AS runpos
+           |  FROM (SELECT p.*, b.l, b.r2,
+           |      row_number() OVER (PARTITION BY w ORDER BY pos) AS rnAll,
+           |      row_number() OVER (PARTITION BY w ORDER BY pos)
+           |        - row_number() OVER (PARTITION BY w, sym ORDER BY pos) AS island
+           |    FROM p$r p CROSS JOIN b$r b)),
+           |cs$r AS (SELECT *, coalesce(lag(strt) OVER (PARTITION BY w ORDER BY pos),
+           |      false) AS consumed
+           |  FROM (SELECT *, (sym = l AND nxt = r2
+           |      AND (l <> r2 OR runpos % 2 = 0)) AS strt FROM mk$r)),
+           |s${r + 1} AS (SELECT w, freq,
+           |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+           |    CASE WHEN strt THEN sym || nxt ELSE sym END AS sym
+           |  FROM cs$r WHERE NOT consumed)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r2 AS "right",
+         |  cnt AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.append(")")
+    sb.toString
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4024,7 +4076,8 @@ object QueryCatalog {
     ("q150_ann_ivfpq", q150AnnIvfPq _, Some(q150Sql)),
     ("q151_wav_zcr", q151WavZcr _, Some(q151Sql)),
     ("q152_char_entropy", q152CharEntropy _, Some(q152Sql)),
-    ("q153_hll_overlap", q153HllOverlap _, Some(q153Sql)))
+    ("q153_hll_overlap", q153HllOverlap _, Some(q153Sql)),
+    ("q154_bpe_merges", q154BpeMerges _, Some(q154Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -581,6 +581,84 @@ object TextAnalysis {
         sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — the actual
+    * BPE trainer, not a frequency cut): start from characters (+ a
+    * word-final `</w>` marker), and for `rounds` iterations count every
+    * adjacent symbol pair weighted by word frequency, merge the most
+    * frequent pair corpus-wide, rewrite, repeat. Returns the merge table
+    * (round, left, right, pair_count) — the artifact a subword tokenizer
+    * ships.
+    *
+    * The per-round rewrite is WINDOW math, not a sequential fold: a merge
+    * can only chain into itself when left == right (pairs at p and p+1
+    * share symbol p+1, forcing a == b), so BPE's leftmost-nonoverlapping
+    * rule is exactly "merge starts at even offsets within each
+    * equal-symbol run" — computable with gaps-and-islands row_numbers,
+    * all partitioned by word. Every count is an exact long and ties
+    * break (count desc, left, right), so the table replays bit-for-bit
+    * on any engine and any partitioning.
+    *
+    * Scale: the state is the DISTINCT-WORD symbol table (words × avg
+    * word length rows — the classic trainer's working set, corpus
+    * frequency folded in as a weight column, never re-scanned), each
+    * round is one pair-count aggregate (map-side partial), a tree top-1
+    * (no global sort), and one word-partitioned window pass;
+    * localCheckpoint per round cuts the k-round lineage exactly like
+    * the PageRank loop. Rounds are bounded and explicit. */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // (w, freq, pos, sym): characters 1..len, then the </w> marker
+    var syms = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) + 1)).as("pos"))
+      .withColumn("sym",
+        when(col("pos") <= length(col("w")),
+          expr("substring(w, pos, 1)")).otherwise(lit("</w>")))
+      .localCheckpoint(true)
+    val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+    var table: DataFrame = null
+    for (r <- 1 to rounds) {
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("left"), col("nxt").as("right"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(1)
+        .withColumn("round", lit(r.toLong))
+        .localCheckpoint(true)
+      table = if (table == null) best else table.unionByName(best)
+      // rewrite: leftmost-nonoverlapping occurrences of (left, right).
+      // Chaining is only possible when left == right, where the rule is
+      // "even offset within the equal-symbol run" (gaps-and-islands).
+      val rnAll = row_number().over(wWord)
+      val rnSym = row_number().over(
+        Window.partitionBy(col("w"), col("sym")).orderBy(col("pos")))
+      val marked = withNext.crossJoin(broadcast(best.select(
+          col("left").as("_l"), col("right").as("_r"))))
+        .withColumn("_rnAll", rnAll)
+        .withColumn("_island", rnAll - rnSym)
+        .withColumn("_runpos", col("_rnAll") - min(col("_rnAll")).over(
+          Window.partitionBy(col("w"), col("sym"), col("_island"))))
+        .withColumn("_start",
+          col("sym") === col("_l") && col("nxt") === col("_r") &&
+            (col("_l") =!= col("_r") || col("_runpos") % 2 === 0))
+        .withColumn("_consumed",
+          coalesce(lag(col("_start"), 1).over(wWord), lit(false)))
+      syms = marked.filter(!col("_consumed"))
+        .select(col("w"), col("freq"),
+          row_number().over(wWord).as("pos"),
+          when(col("_start"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .localCheckpoint(true)
+    }
+    table.select(col("round"), col("left"), col("right"), col("pair_count"))
+  }
+
   /** Collocation mining by pointwise mutual information — the phrase
     * discovery a vocabulary/tokenizer pipeline runs before deciding what
     * deserves a merged token: for adjacent token pairs occurring at least

@@ -1614,6 +1614,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L, None)))
   }
 
+  test("bpeMerges: the classic Sennrich vocabulary replays by hand; partition-stable") {
+    // {low:5, lower:2, newest:6, widest:3} with </w> markers:
+    // r1 ties at 9 among (e,s),(s,t),(t,</w>) -> (e,s) by left asc -> "es"
+    // r2 ties at 9 between (es,t),(t,</w>)    -> (es,t)            -> "est"
+    // r3 (est,</w>) alone at 9                                     -> "est</w>"
+    // r4 ties at 7 between (l,o),(o,w)        -> (l,o)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeMerges(df, rounds = 4).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1)
+    val got = run(d)
+    assert(got === Seq(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L)))
+    // word frequencies are content-determined: a re-partitioned corpus
+    // with the same words split across rows trains the identical table
+    val d2 = Seq((1L, "low low low newest newest newest widest"),
+      (2L, "low low lower newest newest newest widest widest lower"))
+      .toDF("doc_id", "text").repartition(7)
+    assert(run(d2) === got)
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
