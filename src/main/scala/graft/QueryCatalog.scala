@@ -3875,8 +3875,10 @@ object QueryCatalog {
   def q154BpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 4)
 
-  val q154Sql: String = {
-    val rounds = 4
+  /** The q154/q155 shared oracle prefix: the full `rounds`-round BPE
+    * training CTE chain, ending with per-round winners b1..b{rounds} and
+    * the rewritten symbol table s{rounds+1}. */
+  private def bpeCteSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w0 AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
@@ -3909,14 +3911,39 @@ object QueryCatalog {
            |    CASE WHEN strt THEN sym || nxt ELSE sym END AS sym
            |  FROM cs$r WHERE NOT consumed)""".stripMargin)
     }
-    sb.append("\nSELECT * FROM (\n")
-    sb.append((1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r2 AS "right",
-         |  cnt AS pair_count FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n"))
-    sb.append(")")
     sb.toString
   }
+
+  val q154Sql: String = {
+    val rounds = 4
+    bpeCteSql(rounds) + "\nSELECT * FROM (\n" +
+      (1 to rounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r2 AS "right",
+           |  cnt AS pair_count FROM b$r""".stripMargin
+      }.mkString("\nUNION ALL\n") + ")"
+  }
+
+  /** BPE segmentation stats (TextAnalysis.bpeSegment): apply q154's
+    * trained merges and report per-doc word/subword counts and the
+    * chars-per-subword compression the tokenizer sizing tracks. */
+  def q155BpeSegment(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeSegment(t(s, dir, "documents"), rounds = 4)
+
+  val q155Sql: String =
+    bpeCteSql(4) +
+      s""",
+         |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS nsym,
+         |    CAST(len(w) AS BIGINT) AS wlen FROM s5 GROUP BY w),
+         |toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |  FROM documents),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |    CAST(sum(nsym) AS BIGINT) AS ns, CAST(sum(wlen) AS BIGINT) AS nc
+         |  FROM toks JOIN ws USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.nw, CAST(0 AS BIGINT)) AS n_words,
+         |  coalesce(a.ns, CAST(0 AS BIGINT)) AS n_subwords,
+         |  CASE WHEN a.ns > 0 THEN round(CAST(a.nc AS DOUBLE) / a.ns, 6) END
+         |    AS chars_per_subword
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // =========================================================================
   // Registry
@@ -4077,7 +4104,8 @@ object QueryCatalog {
     ("q151_wav_zcr", q151WavZcr _, Some(q151Sql)),
     ("q152_char_entropy", q152CharEntropy _, Some(q152Sql)),
     ("q153_hll_overlap", q153HllOverlap _, Some(q153Sql)),
-    ("q154_bpe_merges", q154BpeMerges _, Some(q154Sql)))
+    ("q154_bpe_merges", q154BpeMerges _, Some(q154Sql)),
+    ("q155_bpe_segment", q155BpeSegment _, Some(q155Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -607,7 +607,46 @@ object TextAnalysis {
     * localCheckpoint per round cuts the k-round lineage exactly like
     * the PageRank loop. Rounds are bounded and explicit. */
   def bpeMerges(docs: DataFrame, rounds: Int,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bpeTrain(docs, rounds, textCol)._1
+
+  /** Per-document subword statistics under a `rounds`-merge BPE model —
+    * the INFERENCE half of [[bpeMerges]] (its pqEncode to the trainer's
+    * codebook): train the merge table, keep the rewritten distinct-word
+    * symbol table, and join each document's token stream against its
+    * word's post-merge symbol count. `n_subwords` counts the `</w>`
+    * markers too (they are real vocabulary entries); `chars_per_subword`
+    * is the compression readout tokenizer sizing tracks (round(…, 6),
+    * marker chars excluded from the numerator). Docs with no tokens
+    * (NULL text) keep a row with zero counts and NULL ratio.
+    *
+    * Scale: the per-doc stream joins the distinct-word stats on the word
+    * key — the same shuffle the tf aggregates already do; the training
+    * cost is [[bpeMerges]]'s and is paid once. */
+  def bpeSegment(docs: DataFrame, rounds: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wordStats = bpeTrain(docs, rounds, textCol)._2
+      .groupBy(col("w")).agg(count(lit(1)).as("_nsym"))
+      .withColumn("_wlen", length(col("w")))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val agg = toks.join(wordStats, Seq("w"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("_nw"),
+        sum(col("_nsym")).as("_ns"),
+        sum(col("_wlen").cast("long")).as("_nc"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nw"), lit(0L)).cast("long").as("n_words"),
+        coalesce(col("_ns"), lit(0L)).cast("long").as("n_subwords"),
+        when(col("_ns").isNotNull && col("_ns") > 0,
+          round(col("_nc").cast("double") / col("_ns"), 6))
+          .as("chars_per_subword"))
+  }
+
+  /** Shared trainer core: (merge table, final rewritten symbol table). */
+  private def bpeTrain(docs: DataFrame, rounds: Int,
+                       textCol: String): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
@@ -656,7 +695,8 @@ object TextAnalysis {
             .otherwise(col("sym")).as("sym"))
         .localCheckpoint(true)
     }
-    table.select(col("round"), col("left"), col("right"), col("pair_count"))
+    (table.select(col("round"), col("left"), col("right"), col("pair_count")),
+      syms)
   }
 
   /** Collocation mining by pointwise mutual information — the phrase

@@ -1641,6 +1641,22 @@ class OperatorsSpec extends SparkSpec {
     assert(run(d2) === got)
   }
 
+  test("bpeSegment: post-merge symbol counts replay by hand; NULL text keeps a zero row") {
+    // same Sennrich corpus -> merges es, est, est</w>, lo. Rewritten:
+    // low = [lo, w, </w>] (3), lower = [lo, w, e, r, </w>] (5),
+    // newest = [n, e, w, est</w>] (4), widest = [w, i, d, est</w>] (4).
+    // 16 words, subwords 5*3+2*5+6*4+3*4 = 61, chars 5*3+2*5+6*6+3*6 = 79.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeSegment(d, rounds = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === ((16L, 61L, Some(BigDecimal(79.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(out(2L) === ((0L, 0L, None)))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
