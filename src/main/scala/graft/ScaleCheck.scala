@@ -238,6 +238,30 @@ object ScaleCheck {
     time("image_ahash")(
       graft.operators.Multimodal.imageAHash(
         graft.operators.Multimodal.synthBmpPairAssets(docIds, "doc_id")).toDF())
+    // r9-close additions: character entropy (rows ∝ corpus characters,
+    // map-side combine collapses (doc, char) repeats before the shuffle),
+    // BPE training (state = the DISTINCT-WORD symbol table — sublinear in
+    // the corpus once word reuse saturates; rounds fixed at 4), IVF-PQ
+    // search (codes/LUT joins all broadcast-keyed; cells scale √N), and
+    // the HLL overlap (per-group registers merge map-side; the pairwise
+    // stage is independent of corpus size)
+    time("char_entropy")(
+      graft.operators.TextAnalysis.charEntropy(docs))
+    time("bpe_merges(r=4)")(
+      graft.operators.TextAnalysis.bpeMerges(docs, rounds = 4))
+    locally {
+      val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+      time(s"ann_ivfpq(c=$cells)")(
+        graft.operators.Similarity.annIvfPq(
+          emb.filter(col("vec_id") % 100 === 0), emb, k = 5, nCells = cells,
+          nProbe = 4, dims = 64, subspaces = 8, codebookSize = 64))
+    }
+    time("hll_overlap")(
+      docs.groupBy(col("lang"))
+        .agg(graft.functions.Sketches.hllRegisters(col("doc_id")).as("r"))
+        .select(col("lang"),
+          round(graft.functions.Sketches.hllEstimateFromRegs(col("r")), 2)
+            .as("nd")))
     spark.stop()
   }
 }

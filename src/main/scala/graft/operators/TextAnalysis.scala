@@ -644,11 +644,16 @@ object TextAnalysis {
           .as("chars_per_subword"))
   }
 
-  /** Shared trainer core: (merge table, final rewritten symbol table). */
-  private def bpeTrain(docs: DataFrame, rounds: Int,
-                       textCol: String): (DataFrame, DataFrame) = {
+  /** Shared trainer core: (merge table, final rewritten symbol table).
+    * `checkpoint = false` keeps the full lineage — exponentially deep
+    * past a few rounds, so ONLY for plan audits (PlanSpec inspects the
+    * window partitioning the eager checkpoints would otherwise hide). */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int, textCol: String,
+                              checkpoint: Boolean = true): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
     import org.apache.spark.sql.expressions.Window
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // (w, freq, pos, sym): characters 1..len, then the </w> marker
@@ -658,7 +663,7 @@ object TextAnalysis {
       .withColumn("sym",
         when(col("pos") <= length(col("w")),
           expr("substring(w, pos, 1)")).otherwise(lit("</w>")))
-      .localCheckpoint(true)
+    syms = cp(syms)
     val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
     var table: DataFrame = null
     for (r <- 1 to rounds) {
@@ -669,15 +674,15 @@ object TextAnalysis {
         .orderBy(col("pair_count").desc, col("left"), col("right"))
         .limit(1)
         .withColumn("round", lit(r.toLong))
-        .localCheckpoint(true)
-      table = if (table == null) best else table.unionByName(best)
+      val bestCp = cp(best)
+      table = if (table == null) bestCp else table.unionByName(bestCp)
       // rewrite: leftmost-nonoverlapping occurrences of (left, right).
       // Chaining is only possible when left == right, where the rule is
       // "even offset within the equal-symbol run" (gaps-and-islands).
       val rnAll = row_number().over(wWord)
       val rnSym = row_number().over(
         Window.partitionBy(col("w"), col("sym")).orderBy(col("pos")))
-      val marked = withNext.crossJoin(broadcast(best.select(
+      val marked = withNext.crossJoin(broadcast(bestCp.select(
           col("left").as("_l"), col("right").as("_r"))))
         .withColumn("_rnAll", rnAll)
         .withColumn("_island", rnAll - rnSym)
@@ -693,7 +698,7 @@ object TextAnalysis {
           row_number().over(wWord).as("pos"),
           when(col("_start"), concat(col("sym"), col("nxt")))
             .otherwise(col("sym")).as("sym"))
-        .localCheckpoint(true)
+      syms = cp(syms)
     }
     (table.select(col("round"), col("left"), col("right"), col("pair_count")),
       syms)

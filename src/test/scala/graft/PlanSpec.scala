@@ -445,6 +445,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"decode must not shuffle:\n$p")
   }
 
+  test("q150 IVF-PQ: codebook/ADC tables broadcast, candidates ride the cell equi-join") {
+    val p = plan(QueryCatalog.q150AnnIvfPq)
+    // nested loops are only each side × the broadcast centroid table;
+    // corpus codes × query LUTs join hashed on (cell, subspace, code)
+    assert(!p.contains("CartesianProduct"),
+      s"queries x corpus must never be all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook and ADC tables must broadcast:\n$p")
+  }
+
+  test("q152 char entropy: two partial-agg shuffles, no window, no pairing join") {
+    val p = plan(QueryCatalog.q152CharEntropy)
+    assert(p.contains("partial_"), s"char counts must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"), s"nothing pairs documents:\n$p")
+  }
+
+  test("q153 HLL overlap: the sketch path never re-shuffles ids — only the audit join does") {
+    val p = plan(QueryCatalog.q153HllOverlap)
+    // the pairwise estimate side is tiny-broadcast set algebra; the single
+    // allowed id shuffle is the exact_overlap ground-truth column
+    assert(p.contains("hll_registers"), s"register aggregate must appear:\n$p")
+    assert(p.contains("partial_hll_registers") || p.contains("partial_"),
+      s"sketches must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"type pairs ride the broadcast:\n$p")
+  }
+
+  test("q154/q155 BPE: every window is word-partitioned; the argmax is a tree top-1") {
+    // the catalog query checkpoints each round (cutting the plan), so the
+    // audit runs the trainer core with lineage kept
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (table, syms) = graft.operators.TextAnalysis.bpeTrain(
+      docs, rounds = 2, textCol = "text", checkpoint = false)
+    val p = table.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"per-round argmax must be a tree top-1, not a global sort:\n$p")
+    val ps = syms.queryExecution.executedPlan.toString
+    assert(!ps.contains("CartesianProduct"),
+      s"only one-row merge winners may cross-join (as broadcast):\n$ps")
+    // every Window node's spec must be word-partitioned: Spark prints
+    // unpartitioned specs as windowspecdefinition(<sort>, <frame>) with no
+    // partition columns before the sort order — assert the word key leads
+    val winLines = ps.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("windowspecdefinition(w#")),
+      s"window must partition by word:\n${winLines.mkString("\n")}")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
