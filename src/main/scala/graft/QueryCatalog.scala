@@ -3945,6 +3945,75 @@ object QueryCatalog {
          |    AS chars_per_subword
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Perceptual difference-hash (Multimodal.imageDHash): 9×8 thumbnail,
+    * bit = horizontal luma gradient — the brightness-shift-stable
+    * fingerprint production image dedup prefers, beside q147's aHash.
+    * The oracle replays resize indices (÷9 horizontal, ÷8 vertical),
+    * luma, the lead() comparison, and the bit packing. */
+  def q156ImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(
+      Multimodal.synthBmpPairAssets(t(s, dir, "documents"), "doc_id")).toDF()
+
+  val q156Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id, doc_id // 2 AS base,
+      |    doc_id % 2 AS parity FROM documents),
+      |dim AS (SELECT *, CAST(8 + base % 9 AS INT) AS w,
+      |    CAST(8 + (base * 3) % 9 AS INT) AS h FROM d),
+      |gi AS (SELECT *, unnest(generate_series(0, 8)) AS i FROM dim),
+      |gc AS (SELECT *, unnest(generate_series(0, 7)) AS j FROM gi),
+      |s AS (SELECT asset_id, i, j,
+      |    (CASE WHEN (i * w) // 9 = 0 AND (j * h) // 8 = 0
+      |          THEN LEAST(255, (base % 256) + parity)
+      |          ELSE (base + 3 * ((i * w) // 9) + 5 * ((j * h) // 8)) % 256 END)
+      |    + (2 * base + ((i * w) // 9) + 7 * ((j * h) // 8)) % 256
+      |    + (5 * base + 11 * ((i * w) // 9) + ((j * h) // 8)) % 256 AS lum
+      |  FROM gc),
+      |nb AS (SELECT asset_id, i, j, lum,
+      |    lead(lum) OVER (PARTITION BY asset_id, j ORDER BY i) AS rlum FROM s),
+      |b AS (SELECT asset_id, j * 8 + i AS k,
+      |    CASE WHEN lum > rlum THEN 1 ELSE 0 END AS bit
+      |  FROM nb WHERE i < 8),
+      |hashes AS (SELECT asset_id, CAST(1 AS BIGINT) AS ok,
+      |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |      THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM b GROUP BY 1)
+      |SELECT asset_id, ok, dhash_hi, dhash_lo FROM hashes""".stripMargin
+
+  /** Zipf rank-frequency slope (TextAnalysis.zipfSlope): OLS on
+    * (ln rank, ln count) over each source's top-512 types — natural text
+    * ≈ −1, boilerplate flattens toward 0. Exact decimal OLS sums, one
+    * rounded double readout. */
+  def q157ZipfSlope(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(t(s, dir, "documents"))
+
+  val q157Sql: String =
+    s"""WITH tf AS (SELECT source AS g, tok, count(*) AS cnt
+       |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY g
+       |    ORDER BY cnt DESC, tok) AS rnk FROM tf),
+       |f AS (SELECT g, CAST(round(ln(rnk), 6) AS DECIMAL(12,6)) AS x,
+       |    CAST(round(ln(cnt), 6) AS DECIMAL(12,6)) AS y, cnt
+       |  FROM rk WHERE rnk <= 512),
+       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(24,6))) AS sx,
+       |    sum(CAST(y AS DECIMAL(24,6))) AS sy,
+       |    sum(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+       |    sum(CAST(x * x AS DECIMAL(30,12))) AS sxx,
+       |    CAST(max(cnt) AS BIGINT) AS top_count
+       |  FROM f GROUP BY 1)
+       |SELECT g AS source, n AS n_types_fit, top_count,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+       |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS zipf_slope
+       |FROM agg""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4105,7 +4174,9 @@ object QueryCatalog {
     ("q152_char_entropy", q152CharEntropy _, Some(q152Sql)),
     ("q153_hll_overlap", q153HllOverlap _, Some(q153Sql)),
     ("q154_bpe_merges", q154BpeMerges _, Some(q154Sql)),
-    ("q155_bpe_segment", q155BpeSegment _, Some(q155Sql)))
+    ("q155_bpe_segment", q155BpeSegment _, Some(q155Sql)),
+    ("q156_image_dhash", q156ImageDhash _, Some(q156Sql)),
+    ("q157_zipf_slope", q157ZipfSlope _, Some(q157Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -312,6 +312,50 @@ object Multimodal {
       }(enc)
   }
 
+  case class DHashRow(asset_id: Long, ok: Long,
+                      dhash_hi: Option[Long], dhash_lo: Option[Long])
+
+  /** Perceptual difference-hash over REAL decoded pixels — the
+    * gradient-based fingerprint usually preferred over [[imageAHash]] in
+    * production (aHash's global mean makes every bit move when exposure
+    * shifts; dHash bits are LOCAL comparisons, stable under brightness
+    * changes): nearest-neighbor resize to 9×8, per-cell integer luma
+    * s = r+g+b, bit k = y·8+x set iff lum(x,y) > lum(x+1,y) — one
+    * strict integer comparison per bit, no mean, no float anywhere.
+    * Same two-halves packing and one-hash-aggregate clustering law as
+    * aHash; the two hashes disagree on different perturbation classes,
+    * which is why image-dedup stacks run both. */
+  def imageDHash(assets: DataFrame): Dataset[DHashRow] = {
+    val enc = Encoders.product[DHashRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeBmp(payload) match {
+            case Some(img) =>
+              val g = MediaCodecs.resizeNearest(img, 9, 8)
+              val s = g.pixels.map(p =>
+                (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong)
+              var hi = 0L; var lo = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val k = y * 8 + x
+                  if (s(y * 9 + x) > s(y * 9 + x + 1)) {
+                    if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              DHashRow(id, 1L, Some(hi), Some(lo))
+            case None => DHashRow(id, 0L, None, None)
+          }
+        }
+      }(enc)
+  }
+
   case class ResizedBmpRow(asset_id: Long, ok: Long,
                            width: Option[Int], height: Option[Int],
                            out_width: Option[Int], out_height: Option[Int],

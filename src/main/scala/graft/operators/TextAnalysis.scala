@@ -704,6 +704,53 @@ object TextAnalysis {
       syms)
   }
 
+  /** Zipf rank-frequency slope per group — the corpus-health readout:
+    * natural language's rank-frequency plot is near-linear in log-log
+    * with slope ≈ −1 (Zipf's law); generated/boilerplate text flattens
+    * it (slope → 0), dedup failures steepen the head. Fits ordinary
+    * least squares on (ln rank, ln count) over each group's `topK` most
+    * frequent types (ties (count desc, token) so the fitted set is
+    * engine-exact).
+    *
+    * Determinism: x = round(ln rank, 6) and y = round(ln count, 6) carry
+    * as DECIMAL; all four OLS sums are exact decimal; the slope is one
+    * fixed-shape double expression over them, rounded once. Groups with
+    * < 2 types get NULL slope.
+    *
+    * Scale: one (group, token) count aggregate (map-side partial), one
+    * GROUP-partitioned rank window (sort within each group's vocabulary
+    * — never a global sort), the topK filter, and a per-group sum
+    * aggregate over ≤ topK rows. */
+  def zipfSlope(docs: DataFrame, topK: Int = 512, groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    require(topK >= 2, "need at least 2 ranks to fit a slope")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("cnt").desc, col("tok"))
+    val ranked = docs.select(col(groupCol).as("_g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("_g"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+    val x = round(log(col("rnk").cast("double")), 6).cast("decimal(12,6)")
+    val y = round(log(col("cnt").cast("double")), 6).cast("decimal(12,6)")
+    val fitted = ranked.groupBy(col("_g")).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("decimal(24,6)")).as("sx"),
+      sum(y.cast("decimal(24,6)")).as("sy"),
+      sum((x * y).cast("decimal(30,12)")).as("sxy"),
+      sum((x * x).cast("decimal(30,12)")).as("sxx"),
+      max(col("cnt")).as("top_count"))
+    val n = col("n").cast("double")
+    val denom = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    fitted.select(col("_g").as(groupCol), col("n").as("n_types_fit"),
+      col("top_count"),
+      when(denom =!= 0.0,
+        round((n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) / denom, 6))
+        .as("zipf_slope"))
+  }
+
   /** Collocation mining by pointwise mutual information — the phrase
     * discovery a vocabulary/tokenizer pipeline runs before deciding what
     * deserves a merged token: for adjacent token pairs occurring at least

@@ -255,6 +255,40 @@ class MediaSpec extends SparkSpec {
     assert(bad.head.ok === 0L && bad.head.ahash_hi.isEmpty)
   }
 
+  test("imageDHash: golden 2x2 checker gives hand-computed gradient bits; twins collapse") {
+    // 2x2 BMP: (0,0)=white, (1,0)=black / (0,1)=black, (1,1)=white.
+    // 9x8 resize: columns 0-4 <- src x=0, 5-8 <- src x=1; rows 0-3 <- y=0,
+    // 4-7 <- y=1. The only horizontal gradient is at x=4: rows 0-3 have
+    // lum 765 > 0 (bit set), rows 4-7 have 0 > 765 (clear). So bits
+    // k = 4, 12, 20, 28 — all in the hi half.
+    val bb = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0).putInt(16)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom-up: row y=1 first: black, white; then y=0: white, black (BGR)
+    bb.put(Array[Byte](0, 0, 0, -1, -1, -1, 0, 0)) // y=1 + 2 pad bytes
+    bb.put(Array[Byte](-1, -1, -1, 0, 0, 0, 0, 0)) // y=0 + 2 pad bytes
+    import spark.implicits._
+    val out = Multimodal.imageDHash(
+      Seq((7L, bb.array())).toDF("asset_id", "payload")).collect().head
+    assert(out.ok === 1L)
+    assert(out.dhash_hi === Some((1L << 4) | (1L << 12) | (1L << 20) | (1L << 28)))
+    assert(out.dhash_lo === Some(0L))
+
+    // planted one-unit twins: the local gradient comparison is even more
+    // stable than aHash's global mean — most pairs collapse
+    val assets = Multimodal.synthBmpPairAssets(
+      spark.range(40).toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.imageDHash(assets).collect()
+      .map(r => r.asset_id -> (r.dhash_hi.get, r.dhash_lo.get)).toMap
+    val pairsEqual = (0 until 20).count(k => hashes(2L * k) == hashes(2L * k + 1))
+    assert(pairsEqual >= 16, s"only $pairsEqual/20 perturbed twins collapsed")
+    val bad = Multimodal.imageDHash(
+      Seq((99L, "nope".getBytes)).toDF("asset_id", "payload")).collect()
+    assert(bad.head.ok === 0L && bad.head.dhash_hi.isEmpty)
+  }
+
   test("silenceTrimPlan: voiced span located exactly; all-silent assets get NULL bounds") {
     import spark.implicits._
     val voiced = MediaCodecs.encodeWav(

@@ -1657,6 +1657,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0L, None)))
   }
 
+  test("zipfSlope: exact power-law fits -1, flat corpus fits 0, singleton NULL") {
+    def rep(t: String, n: Int) = Seq.fill(n)(t).mkString(" ")
+    val d = Seq(
+      // counts 12/6/4/3 = 12/r^1 -> log-log collinear with slope -1
+      (1L, "zipf", s"${rep("a", 12)} ${rep("b", 6)} ${rep("c", 4)} ${rep("d", 3)}"),
+      // equal counts -> y constant -> slope exactly 0
+      (2L, "flat", s"${rep("p", 5)} ${rep("q", 5)} ${rep("r", 5)}"),
+      // one type -> denominator 0 -> NULL
+      (3L, "one", rep("x", 9)))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val (nZ, topZ, slopeZ) = out("zipf")
+    assert(nZ === 4L && topZ === 12L)
+    assert(math.abs(slopeZ.get + 1.0) < 1e-4, s"power-law slope was $slopeZ")
+    assert(out("flat") === ((3L, 5L, Some(0.0))))
+    assert(out("one") === ((1L, 9L, None)))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
