@@ -3795,7 +3795,11 @@ object QueryCatalog {
   def q153HllOverlap(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Sketches
     val ev = t(s, dir, "events")
-    val regs = ev.groupBy(col("event_type"))
+    // membership mirrors the oracle's register CTE: a type whose user_ids
+    // are ALL NULL has no registers and no distinct users — it carries no
+    // overlap information, so it gets no row (not a zero-sketch row)
+    val regs = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
       .agg(Sketches.hllRegisters(col("user_id")).as("regs"))
     val pairs = regs.select(col("event_type").as("type_a"), col("regs").as("ra"))
       .join(broadcast(regs.select(col("event_type").as("type_b"), col("regs").as("rb"))),

@@ -52,6 +52,11 @@ object GraftExtensions {
     // same name as DuckDB's NFC function — the oracle mirror reads the same
     ("nfc_normalize", new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize(s)", 1)(c => NfcNormalize(c.head))),
+    // per-row entropy stats (map-only quality screen; CodegenFallback by
+    // design — the per-row work is a code-point hash map)
+    ("char_entropy_stats", new ExpressionInfo(classOf[CharEntropyStats].getName,
+      "char_entropy_stats"),
+      arity("char_entropy_stats(s)", 1)(c => CharEntropyStats(c.head))),
     // the UDTF surface: word n-gram generators, SQL-callable like explode
     // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
     // the generator's output schema is fixed at plan time

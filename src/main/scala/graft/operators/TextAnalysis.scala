@@ -859,33 +859,22 @@ object TextAnalysis {
     * exact decimal through one fixed-shape double expression, rounded
     * once. Empty/NULL text yields zero counts and NULL entropy.
     *
-    * Scale: one map-only explode to (doc, position) — rows bounded by
-    * corpus characters, exactly the [[chunk]] family's cost envelope —
-    * then a (doc, char) partial-count whose map-side combine collapses
-    * repeats before the shuffle; per-doc state is ≤ alphabet size.
+    * Scale: MAP-ONLY — the per-doc character counts are per-row local
+    * state (≤ alphabet size), so the whole operator is one scan through
+    * the native [[graft.functions.CharEntropyStats]] expression: no
+    * explode, no shuffle, nothing but the projection. The expression's
+    * arithmetic is value-identical to the relational formulation the
+    * ORACLE runs (per-char counts, decimal plogp sum, one rounded
+    * readout), so the plan changed and the results cannot.
     * Nothing pairs documents; no window anywhere. */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
-    val counts = base.filter(length(col("_t")) >= 1)
-      .select(col("doc_id"), col("_t"),
-        explode(sequence(lit(1), length(col("_t")))).as("_i"))
-      .select(col("doc_id"), expr("substring(_t, _i, 1)").as("_ch"))
-      .groupBy(col("doc_id"), col("_ch")).agg(count(lit(1)).as("_c"))
-    val agg = counts.groupBy(col("doc_id")).agg(
-      sum(col("_c")).as("_n"),
-      count(lit(1)).as("_nd"),
-      sum((col("_c").cast("decimal(12,0)") *
-        round(log(col("_c").cast("double")), 6).cast("decimal(12,6)"))
-        .cast("decimal(24,6)")).as("_plogp"))
-    base.join(agg, Seq("doc_id"), "left")
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.CharEntropyStats.stats(col(textCol)).as("_s"))
       .select(col("doc_id"),
-        coalesce(col("_n"), lit(0L)).cast("long").as("n_chars"),
-        coalesce(col("_nd"), lit(0L)).cast("long").as("n_distinct"),
-        when(col("_n").isNotNull,
-          round(round(log(col("_n").cast("double")), 6) -
-            col("_plogp").cast("double") / col("_n"), 6)).as("entropy"))
-  }
+        col("_s.n_chars").as("n_chars"),
+        col("_s.n_distinct").as("n_distinct"),
+        col("_s.entropy").as("entropy"))
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):

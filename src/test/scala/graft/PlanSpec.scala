@@ -455,11 +455,11 @@ class PlanSpec extends SparkSpec {
       s"codebook and ADC tables must broadcast:\n$p")
   }
 
-  test("q152 char entropy: two partial-agg shuffles, no window, no pairing join") {
+  test("q152 char entropy: map-only — one scan through the native expression, no shuffle") {
     val p = plan(QueryCatalog.q152CharEntropy)
-    assert(p.contains("partial_"), s"char counts must combine map-side:\n$p")
-    assert(!p.contains("Window"), s"no window anywhere:\n$p")
-    assert(!p.contains("CartesianProduct"), s"nothing pairs documents:\n$p")
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"no explode — per-row counts are local state:\n$p")
+    assert(p.contains("char_entropy_stats"), s"the native expression must appear:\n$p")
   }
 
   test("q153 HLL overlap: the sketch path never re-shuffles ids — only the audit join does") {
