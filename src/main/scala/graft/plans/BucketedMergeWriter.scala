@@ -166,7 +166,11 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         val df = spark.read.parquet(versionDir(name, v))
         val bs = ps.map(_._1)
         if (bs.size >= nBuckets) df else df.filter(col("_bucket").isin(bs: _*))
-      }.reduce(_ unionByName _)
+      // allowMissingColumns: version dirs written before an ADDITIVE
+      // schema evolution lack the newer columns — they read as NULL, the
+      // evolution contract (oldest version leads, so the stored column
+      // order is stable and new columns append)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   override def read(name: String): DataFrame =
@@ -276,9 +280,17 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * the join already prunes columns to natKey + the compared struct.) */
   def diffVersions(name: String, fromV: Long, toV: Long,
                    natKey: Seq[String]): DataFrame = {
-    val from = readAsOf(name, fromV)
-    val to = readAsOf(name, toV)
-    val attrs = to.columns.filterNot(natKey.contains).toIndexedSeq
+    val from0 = readAsOf(name, fromV)
+    val to0 = readAsOf(name, toV)
+    // snapshots may straddle an ADDITIVE schema evolution: compare over
+    // the union layout with NULL back-fill, so a column added between the
+    // two versions reads as NULL→value updates, not an analysis error
+    val union = SchemaEvolution.unionAttrs(
+      from0.schema.fields.toSeq.filterNot(f => natKey.contains(f.name)),
+      to0.schema.fields.toSeq.filterNot(f => natKey.contains(f.name)))
+    val from = SchemaEvolution.padMissing(from0, union)
+    val to = SchemaEvolution.padMissing(to0, union)
+    val attrs = union.map(_.name)
     val f = from.select(natKey.map(col) :+
       struct(attrs.map(col): _*).as("_from"): _*)
     val t = to.select(natKey.map(col) :+
@@ -314,7 +326,10 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * FK resolution, so they come straight from memory. */
   private def view(name: String, out: DataFrame, kept: Seq[(Int, Long)]): DataFrame = {
     val o = out.drop("_bucket")
-    if (kept.isEmpty) o else o.unionByName(readPairs(name, kept).drop("_bucket"))
+    // untouched buckets may predate an additive evolution — NULL back-fill
+    if (kept.isEmpty) o
+    else o.unionByName(readPairs(name, kept).drop("_bucket"),
+      allowMissingColumns = true)
   }
 
   /** Store-specific shell over [[CommitProtocol.commitLoop]]. `compute`
@@ -449,8 +464,23 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         // alongside the natural key (it is a function of it), so both
         // sides' partition columns coalesce.
         val curTouched = readPairs(name, pairs, Some(touched))
+        // ADDITIVE schema evolution (SchemaEvolution): batch-only columns
+        // append (stored rows read NULL), stored-only columns are RETAINED
+        // on updated rows and NULL on fresh ones; shared columns must
+        // type-match loudly. Attribute layout: stored order, new appended.
+        SchemaEvolution.requireCompatible(name, batchB, curTouched)
+        val reserved = (natKey :+ skCol) :+ "_bucket"
+        val storedFields = curTouched.schema.fields.toSeq
+          .filterNot(f => reserved.contains(f.name))
+        val batchFields = batchB.schema.fields.toSeq
+          .filterNot(f => reserved.contains(f.name))
+        val allAttrs = SchemaEvolution.unionAttrs(storedFields, batchFields)
+        val batchHas = batchFields.map(_.name).toSet
+        val storedHas = storedFields.map(_.name).toSet
+        val keyCols = (natKey :+ skCol).map(col) :+ col("_bucket")
         val cur = curTouched.select((natKey :+ "_bucket").map(col) ++
-          (col(skCol).as("_cur_sk") +: attrs.map(c => col(c).as(s"_cur_$c"))): _*)
+          (col(skCol).as("_cur_sk") +:
+            storedFields.map(f => col(f.name).as(s"_cur_${f.name}"))): _*)
         val freshObs = org.apache.spark.sql.Observation()
         val j = batchB.withColumn("_in_batch", lit(1))
           .join(cur, natKey :+ "_bucket", "full_outer")
@@ -461,12 +491,17 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
           .map(_.asInstanceOf[Long])
         val known = j.filter(col("_in_batch").isNotNull && col("_cur_sk").isNotNull)
           .withColumn(skCol, col("_cur_sk"))
-        val knownPart = known.select(cols.map(col): _*)
+          .select(keyCols ++ allAttrs.map(f =>
+            (if (batchHas(f.name)) col(f.name)              // batch value wins
+             else col(s"_cur_${f.name}"))                   // retained stored-only
+              .as(f.name)): _*)
+        val knownPart = known
           .unionByName(j.filter(col("_in_batch").isNull) // untouched rows
             .withColumn(skCol, col("_cur_sk"))
-            .select(((natKey :+ skCol).map(col) :+ col("_bucket")) ++
-              attrs.map(c => col(s"_cur_$c").as(c)): _*)
-            .select(cols.map(col): _*))
+            .select(keyCols ++ allAttrs.map(f =>
+              (if (storedHas(f.name)) col(s"_cur_${f.name}")
+               else lit(null).cast(f.dataType))             // new column back-fill
+                .as(f.name)): _*))
         // steady state has NO new keys in most batches — the observed count
         // (free: same job as the checkpoint) lets us skip KeyAssign's
         // partition-sizes job entirely, one fewer job per table per batch
@@ -474,7 +509,9 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         else {
           val fresh = j.filter(col("_in_batch").isNotNull && col("_cur_sk").isNull)
           val (freshKeyed, nNew) = KeyAssign.dense(fresh.drop("_cur_sk"), skCol, maxSk)
-          (knownPart.unionByName(freshKeyed.select(cols.map(col): _*)),
+          (knownPart.unionByName(freshKeyed.select(keyCols ++ allAttrs.map(f =>
+            (if (batchHas(f.name)) col(f.name)
+             else lit(null).cast(f.dataType)).as(f.name)): _*)),
             touched, maxSk + nNew)
         }
     }
@@ -486,7 +523,6 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     if (!exists(name) && batch.isEmpty) return batch
     val (batchB, touched) = materialize(batch.withColumn("_bucket", bucketCol(natKey)))
     if (touched.isEmpty) return read(name)
-    val others = batch.columns.filterNot(natKey.contains).toIndexedSeq
     val (out, kept) = commitLoop(name, replace = true) {
       case None =>
         (batchB.select(cols.map(col): _*), touched, 0L)
@@ -495,14 +531,33 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         // wins where present, else the current row) — no anti-join, no
         // checkpoint: the commit's write executes the join exactly once,
         // and fact views are rarely re-consumed (the star pipeline ignores
-        // the fact merge's return value)
+        // the fact merge's return value). Same ADDITIVE evolution contract
+        // as mergeDim: new batch columns append, batch-omitted stored
+        // columns are retained (updates) / NULL (inserts), type conflicts
+        // fail loudly.
         val curTouched = readPairs(name, pairs, Some(touched))
+        SchemaEvolution.requireCompatible(name, batchB, curTouched)
+        val reserved = natKey :+ "_bucket"
+        val storedFields = curTouched.schema.fields.toSeq
+          .filterNot(f => reserved.contains(f.name))
+        val batchFields = batchB.schema.fields.toSeq
+          .filterNot(f => reserved.contains(f.name))
+        val allOthers = SchemaEvolution.unionAttrs(storedFields, batchFields)
+        val batchHas = batchFields.map(_.name).toSet
+        val storedHas = storedFields.map(_.name).toSet
         val cur = curTouched.select((natKey :+ "_bucket").map(col) ++
-          others.map(c => col(c).as(s"_cur_$c")): _*)
+          storedFields.map(f => col(f.name).as(s"_cur_${f.name}")): _*)
         val j = batchB.withColumn("_in_batch", lit(1))
           .join(cur, natKey :+ "_bucket", "full_outer")
-        val merged = j.select((natKey :+ "_bucket").map(col) ++ others.map(c =>
-          when(col("_in_batch").isNotNull, col(c)).otherwise(col(s"_cur_$c")).as(c)): _*)
+        val merged = j.select((natKey :+ "_bucket").map(col) ++ allOthers.map { f =>
+          (if (batchHas(f.name) && storedHas(f.name))
+             when(col("_in_batch").isNotNull, col(f.name))
+               .otherwise(col(s"_cur_${f.name}"))
+           else if (batchHas(f.name))
+             when(col("_in_batch").isNotNull, col(f.name)) // else NULL back-fill
+           else col(s"_cur_${f.name}"))                    // retained / NULL insert
+            .as(f.name)
+        }: _*)
         (merged, touched, maxSk)
     }
     view(name, out, kept)
@@ -533,6 +588,9 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * the new one. */
   override def appendTable(name: String, batch: DataFrame): DataFrame = {
     if (batch.isEmpty) return if (exists(name)) read(name) else batch
+    // additive evolution holds for appends too (old versions NULL-fill on
+    // read); the compat gate keeps type drift loud at write time
+    if (exists(name)) SchemaEvolution.requireCompatible(name, batch, read(name))
     val (out, touched) = materialize(batch.withColumn("_bucket",
       pmod(xxhash64(batch.columns.toIndexedSeq.map(col): _*), lit(nBuckets)).cast("int")))
     val (o, kept) = commitLoop(name, replace = false) { prev =>

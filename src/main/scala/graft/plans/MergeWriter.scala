@@ -81,15 +81,29 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     * the merge (existing sks, untouched rows) against the winner's state
     * rather than blindly re-swapping a stale result. */
   def mergeDim(name: String, batch: DataFrame, natKey: Seq[String], skCol: String): DataFrame = {
-    val attrs = batch.columns.filterNot(natKey.contains)
     CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
       val merged = snap match {
         case None => assignKeys(batch, skCol, 0L)
         case Some(curV) =>
           val cur = readVersion(name, curV)
+          // same ADDITIVE evolution contract as the bucketed store: new
+          // batch columns append (stored rows NULL), batch-omitted stored
+          // columns are retained on updates / NULL on inserts, shared
+          // columns must type-match loudly
+          SchemaEvolution.requireCompatible(name, batch, cur)
           val keyCols = natKey.map(col)
-          // updated = batch rows, keeping existing sk where the key is known
-          val joined = batch.join(cur.select((natKey :+ skCol).map(col): _*), natKey, "left")
+          val storedFields = cur.schema.fields.toSeq
+            .filterNot(f => (natKey :+ skCol).contains(f.name))
+          val batchFields = batch.schema.fields.toSeq
+            .filterNot(f => natKey.contains(f.name))
+          val allAttrs = SchemaEvolution.unionAttrs(storedFields, batchFields)
+          val batchHas = batchFields.map(_.name).toSet
+          val storedHas = storedFields.map(_.name).toSet
+          // the join carries sk AND the stored-only attrs (for retention)
+          val storedOnly = storedFields.filterNot(f => batchHas(f.name))
+          val joined = batch.join(cur.select((natKey :+ skCol).map(col) ++
+            storedOnly.map(f => col(f.name).as(s"_cur_${f.name}")): _*),
+            natKey, "left")
           val known = joined.filter(col(skCol).isNotNull)
           val fresh = joined.filter(col(skCol).isNull).drop(skCol)
           // max(sk) is NULL on an empty current table — guard the scalar
@@ -98,10 +112,16 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
           val freshKeyed = assignKeys(fresh, skCol, maxSk)
           // untouched = current rows whose key is not in the batch
           val untouched = cur.join(batch.select(keyCols: _*), natKey, "left_anti")
-          val cols = (natKey :+ skCol) ++ attrs
-          untouched.select(cols.map(col): _*)
-            .unionByName(known.select(cols.map(col): _*))
-            .unionByName(freshKeyed.select(cols.map(col): _*))
+          val heads = (natKey :+ skCol).map(col)
+          untouched.select(heads ++ allAttrs.map(f =>
+              (if (storedHas(f.name)) col(f.name)
+               else lit(null).cast(f.dataType)).as(f.name)): _*)
+            .unionByName(known.select(heads ++ allAttrs.map(f =>
+              (if (batchHas(f.name)) col(f.name)
+               else col(s"_cur_${f.name}")).as(f.name)): _*))
+            .unionByName(freshKeyed.select(heads ++ allAttrs.map(f =>
+              (if (batchHas(f.name)) col(f.name)
+               else lit(null).cast(f.dataType)).as(f.name)): _*))
       }
       // cut lineage before overwrite; result is in memory — no re-scan
       casAttempt(name, merged.localCheckpoint(true))
@@ -116,7 +136,10 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
       val merged = snap match {
         case None    => batch
-        case Some(v) => readVersion(name, v).unionByName(batch)
+        case Some(v) =>
+          val cur = readVersion(name, v)
+          SchemaEvolution.requireCompatible(name, batch, cur)
+          cur.unionByName(batch, allowMissingColumns = true)
       }
       casAttempt(name, merged.localCheckpoint(true))
     }
@@ -130,14 +153,36 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     CommitProtocol.commitLoop(tableDir(name), PointerFile)(_ => casAttempt(name, out))
   }
 
-  /** Fact upsert: pure last-write-wins on the fact natural key, no sk. */
+  /** Fact upsert: pure last-write-wins on the fact natural key, no sk.
+    * Additive evolution matches [[mergeDim]]: batch-only columns append,
+    * batch-omitted stored columns are retained on updated rows. */
   def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame =
     CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
       val merged = snap match {
         case None => batch
         case Some(v) =>
-          readVersion(name, v).join(batch.select(natKey.map(col): _*), natKey, "left_anti")
-            .unionByName(batch)
+          val cur = readVersion(name, v)
+          SchemaEvolution.requireCompatible(name, batch, cur)
+          val storedFields = cur.schema.fields.toSeq
+            .filterNot(f => natKey.contains(f.name))
+          val batchFields = batch.schema.fields.toSeq
+            .filterNot(f => natKey.contains(f.name))
+          val allOthers = SchemaEvolution.unionAttrs(storedFields, batchFields)
+          val batchHas = batchFields.map(_.name).toSet
+          val storedHas = storedFields.map(_.name).toSet
+          val cur2 = cur.select(natKey.map(col) ++
+            storedFields.map(f => col(f.name).as(s"_cur_${f.name}")): _*)
+          batch.withColumn("_in_batch", lit(1))
+            .join(cur2, natKey, "full_outer")
+            .select(natKey.map(col) ++ allOthers.map { f =>
+              (if (batchHas(f.name) && storedHas(f.name))
+                 when(col("_in_batch").isNotNull, col(f.name))
+                   .otherwise(col(s"_cur_${f.name}"))
+               else if (batchHas(f.name))
+                 when(col("_in_batch").isNotNull, col(f.name))
+               else col(s"_cur_${f.name}"))
+                .as(f.name)
+            }: _*)
       }
       casAttempt(name, merged.localCheckpoint(true))
     }
