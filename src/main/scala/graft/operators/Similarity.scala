@@ -554,7 +554,8 @@ object Similarity {
   }
 
   def pqEncode(emb: DataFrame, dims: Int, subspaces: Int, codebookSize: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               codebook: Option[DataFrame] = None): DataFrame = {
     require(dims % subspaces == 0, "subspaces must divide dims")
     val d0 = dims / subspaces
     val sub = emb.select(col(idCol).as("vec_id"),
@@ -562,7 +563,8 @@ object Similarity {
       .filter(col("_v").isNotNull)
       .select(col("vec_id"), pqSubVecs(col("_v"), d0, subspaces).as("_x"))
       .select(col("vec_id"), col("_x.s").as("s"), col("_x.sv").as("sv"))
-    val code = pqCodebook(emb, dims, subspaces, codebookSize, idCol, vecCol)
+    val code = codebook.getOrElse(
+      pqCodebook(emb, dims, subspaces, codebookSize, idCol, vecCol))
     val dist = dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -
       lit(2.0) * dot(col("sv"), col("cv"))
     val w = Window.partitionBy(col("vec_id"), col("s"))
@@ -571,6 +573,64 @@ object Similarity {
       .withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") === 1)
       .select(col("vec_id"), col("s").cast("long").as("subspace"), col("code"))
+  }
+
+  /** Lloyd rounds over per-subspace codewords — the shared k-means core
+    * of [[trainPqCodebook]] (raw subvectors) and [[annIvfPq]]'s
+    * `codebookIters` (residual subvectors). `sub` is (idc, s, sv);
+    * the assignment argmin rounds to 6 dp with a code tie-break like
+    * every rank here, the per-(s, code) mean rides VectorSumAgg (one
+    * aggregation pass), and codewords that lose all members keep their
+    * previous value. Trained codebooks are spec-measured, not
+    * oracle-replayed — double means are order-sensitive in the last ulp,
+    * the same contract as [[trainIvfCentroids]]. */
+  private def lloydPq(sub: DataFrame, idc: String, cbInit: DataFrame,
+                      d0: Int, iters: Int): DataFrame = {
+    var cb = cbInit
+    for (_ <- 0 until iters) {
+      val assigned = sub.join(broadcast(cb), Seq("s"))
+        .withColumn("_d", round(dot(col("sv"), col("sv")) +
+          dot(col("cv"), col("cv")) - lit(2.0) * dot(col("sv"), col("cv")), 6))
+        .withColumn("_rnk", row_number().over(Window
+          .partitionBy(col(idc), col("s"))
+          .orderBy(col("_d").asc, col("code").asc)))
+        .filter(col("_rnk") === 1)
+      val means = assigned.groupBy(col("s"), col("code"))
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("sv"), d0).as("_sm"),
+          count(col("sv")).as("_n"))
+        .select(col("s"), col("code"),
+          expr("transform(_sm, x -> x / _n)").as("_next"))
+      cb = cb.withColumnRenamed("cv", "_prev")
+        .join(means, Seq("s", "code"), "left")
+        .select(col("code"), col("s"),
+          coalesce(col("_next"), col("_prev")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Lloyd-trained PQ codebooks (Jégou et al. 2011 §III trains per-
+    * subspace k-means; the seed variant [[pqCodebook]] is the
+    * deterministic oracle path): refine the first-k seeds with `iters`
+    * assignment/mean rounds per subspace. Feed the result to
+    * [[pqEncode]]/[[annPq]] via their `codebook` parameter —
+    * AnnRecallSpec measures what training buys at a fixed budget. */
+  def trainPqCodebook(corpus: DataFrame, dims: Int, subspaces: Int,
+                      codebookSize: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dims % subspaces == 0, "subspaces must divide dims")
+    val d0 = dims / subspaces
+    val sub = corpus.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(col("_id"), pqSubVecs(col("_v"), d0, subspaces).as("_x"))
+      .select(col("_id"), col("_x.s").as("s"), col("_x.sv").as("sv"))
+      .localCheckpoint(true) // re-scanned every Lloyd round
+    lloydPq(sub, "_id",
+      pqCodebook(corpus, dims, subspaces, codebookSize, idCol, vecCol)
+        .localCheckpoint(true),
+      d0, iters)
   }
 
   /** PQ asymmetric-distance ANN (the search half of [[pqEncode]], Jégou
@@ -592,12 +652,15 @@ object Similarity {
     */
   def annPq(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
             subspaces: Int, codebookSize: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            codebook: Option[DataFrame] = None): DataFrame = {
     require(dims % subspaces == 0, "subspaces must divide dims")
     val d0 = dims / subspaces
-    val codes = pqEncode(corpus, dims, subspaces, codebookSize, idCol, vecCol)
+    val cb = codebook.getOrElse(
+      pqCodebook(corpus, dims, subspaces, codebookSize, idCol, vecCol))
+    val codes = pqEncode(corpus, dims, subspaces, codebookSize, idCol, vecCol,
+        codebook = Some(cb))
       .withColumnRenamed("subspace", "s")
-    val cb = pqCodebook(corpus, dims, subspaces, codebookSize, idCol, vecCol)
     val qsub = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_q"))
       .filter(col("_q").isNotNull)
@@ -672,7 +735,8 @@ object Similarity {
   def annIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
                nCells: Int, nProbe: Int, dims: Int, subspaces: Int,
                codebookSize: Int, centroids: Option[DataFrame] = None,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               codebookIters: Int = 0): DataFrame = {
     require(dims % subspaces == 0, "subspaces must divide dims")
     val d0 = dims / subspaces
     val cents = centroids.getOrElse(
@@ -687,7 +751,7 @@ object Similarity {
     val cAssigned = nearestCellsL2(cents, c, "neighbor_id", "_cv", 1)
       .select(col("neighbor_id"), col("cell_id"), col("_res"))
       .localCheckpoint(true)
-    val cb = cAssigned.withColumn("_hk",
+    val cbSeed = cAssigned.withColumn("_hk",
         md5(concat(lit("ivfpq:"), col("neighbor_id").cast("string"))))
       .orderBy(col("_hk"), col("neighbor_id")).limit(codebookSize)
       .localCheckpoint(true)
@@ -700,6 +764,13 @@ object Similarity {
         pqSubVecs(col("_res"), d0, subspaces).as("_x"))
       .select(col("neighbor_id"), col("cell_id"),
         col("_x.s").as("s"), col("_x.sv").as("sv"))
+    // optional Lloyd refinement of the residual codebook (codebookIters
+    // > 0): spec-measured like every trained path — the oracle rows stay
+    // on the deterministic seed
+    val cb =
+      if (codebookIters <= 0) cbSeed
+      else lloydPq(sub, "neighbor_id", cbSeed.localCheckpoint(true),
+        d0, codebookIters)
     val encW = Window.partitionBy(col("neighbor_id"), col("s"))
       .orderBy(round(dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -
         lit(2.0) * dot(col("sv"), col("cv")), 6).asc, col("code").asc)

@@ -179,6 +179,42 @@ class AnnRecallSpec extends SparkSpec {
     assert(r32 > 0.1, s"PQ cb32 recall@$k = $r32 degenerate")
   }
 
+  test("Lloyd-trained PQ codebooks: training must not lose recall at the same budget") {
+    // same exact-L2 truth as the annPq test; the trained codebook replaces
+    // the first-16 seed (PQ's worst case on isotropic data) — the dial is
+    // measured, and training may not regress materially
+    val all = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qids = all.keys.filter(_ < 16).toSeq
+    val exact = qids.map { q =>
+      q -> all.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(all(q), all(n)), n)).take(k).toSet
+    }.toMap
+    val qs = emb.filter(col("vec_id") < 16)
+    val seed = recallOf(neighborSets(
+      Similarity.annPq(qs, emb, k, dims = 64, subspaces = 8,
+        codebookSize = 16)), exact)
+    val cbT = Similarity.trainPqCodebook(emb, dims = 64, subspaces = 8,
+      codebookSize = 16, iters = 3)
+    val trained = recallOf(neighborSets(
+      Similarity.annPq(qs, emb, k, dims = 64, subspaces = 8,
+        codebookSize = 16, codebook = Some(cbT))), exact)
+    info(f"PQ recall@$k: seed=$seed%.3f lloyd3=$trained%.3f")
+    assert(trained >= seed - 0.05,
+      s"trained codebook must not materially regress: $trained vs $seed")
+    // IVF-PQ's residual codebook refinement, same non-regression gate
+    def ivfpq(iters: Int) = recallOf(neighborSets(
+      Similarity.annIvfPq(qs, emb, k, nCells = 16, nProbe = 4, dims = 64,
+        subspaces = 8, codebookSize = 16, codebookIters = iters)), exact)
+    val rSeed = ivfpq(0)
+    val rTrained = ivfpq(2)
+    info(f"IVF-PQ recall@$k: seed=$rSeed%.3f lloyd2=$rTrained%.3f")
+    assert(rTrained >= rSeed - 0.05,
+      s"trained residual codebook must not materially regress: $rTrained vs $rSeed")
+  }
+
   test("annIvfPq recall@10 vs exact L2 is measured; residual PQ beats raw PQ's floor") {
     // same exact-L2 truth construction as the annPq test (IVF-PQ ranks by
     // L2 ADC sums); two approximation axes stack here — probed cells AND
