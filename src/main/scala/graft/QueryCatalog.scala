@@ -4018,6 +4018,38 @@ object QueryCatalog {
        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS zipf_slope
        |FROM agg""".stripMargin
 
+  /** ADDITIVE schema evolution end-to-end (plans/SchemaEvolution): a
+    * narrow table takes an evolved batch (new column on a key subset),
+    * then a narrow batch again (updates that must RETAIN the evolved
+    * column) — the read reflects NULL back-fill on never-evolved rows,
+    * batch values on evolved ones, and retention through the later
+    * narrow update. The oracle derives the same final state from the raw
+    * orders table, so any wrong back-fill/retention breaks the hash. */
+  def q158StoreEvolution(s: SparkSession, dir: String): DataFrame =
+    withTempStore("graft-q158") { root =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"))
+      val store = new graft.plans.BucketedMergeWriter(s, root, nBuckets = 8)
+      store.mergeFact("orders_evo", base, Seq("o_orderkey"))
+      store.mergeFact("orders_evo",
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_note", concat(col("o_orderstatus"), lit("!"))),
+        Seq("o_orderkey"))
+      store.mergeFact("orders_evo",
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("X")),
+        Seq("o_orderkey"))
+      store.read("orders_evo")
+    }
+
+  val q158Sql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '!' END AS o_note
+      |FROM orders""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4180,7 +4212,8 @@ object QueryCatalog {
     ("q154_bpe_merges", q154BpeMerges _, Some(q154Sql)),
     ("q155_bpe_segment", q155BpeSegment _, Some(q155Sql)),
     ("q156_image_dhash", q156ImageDhash _, Some(q156Sql)),
-    ("q157_zipf_slope", q157ZipfSlope _, Some(q157Sql)))
+    ("q157_zipf_slope", q157ZipfSlope _, Some(q157Sql)),
+    ("q158_store_evolution", q158StoreEvolution _, Some(q158Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
