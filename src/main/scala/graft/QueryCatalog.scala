@@ -4050,6 +4050,47 @@ object QueryCatalog {
       |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '!' END AS o_note
       |FROM orders""".stripMargin
 
+  /** Directed per-source unigram KL divergence
+    * (TextAnalysis.sourceKlDivergence): the distribution-drift metric
+    * beside q92's lexical overlap and q107's embedding similarity —
+    * add-one smoothed over the global vocabulary, exact-decimal sums of
+    * once-rounded ln factors, one rounded readout per ordered pair. */
+  def q159SourceKl(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceKlDivergence(t(s, dir, "documents"))
+
+  val q159Sql: String =
+    s"""WITH tf AS (SELECT source AS g, tok, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents) GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c) AS n FROM tf GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok) AS v FROM tf),
+       |srcs AS (SELECT g, n + v AS n1 FROM tot CROSS JOIN voc),
+       |pairs AS (SELECT a.g AS a, a.n1 AS na1, b.g AS b, b.n1 AS nb1
+       |  FROM srcs a JOIN srcs b ON a.g <> b.g),
+       |ta AS (SELECT g AS a, tok, c AS ca FROM tf),
+       |tb AS (SELECT g AS b, tok, c AS cb FROM tf),
+       |present AS (SELECT p.a, p.b, p.na1, p.nb1, ta.tok, ta.ca,
+       |    coalesce(tb.cb, 0) AS cb
+       |  FROM pairs p JOIN ta ON ta.a = p.a
+       |  LEFT JOIN tb ON tb.b = p.b AND tb.tok = ta.tok),
+       |bonly AS (SELECT p.a, p.b, p.na1, p.nb1, tb.tok, 0 AS ca, tb.cb
+       |  FROM pairs p JOIN tb ON tb.b = p.b
+       |  WHERE NOT EXISTS (SELECT 1 FROM ta
+       |    WHERE ta.a = p.a AND ta.tok = tb.tok)),
+       |terms AS (SELECT * FROM present UNION ALL SELECT * FROM bonly),
+       |sums AS (SELECT a, b, na1, nb1,
+       |    sum(CAST(CAST(ca + 1 AS DECIMAL(20,0)) *
+       |      (CAST(round(ln(ca + 1), 6) AS DECIMAL(12,6)) -
+       |       CAST(round(ln(cb + 1), 6) AS DECIMAL(12,6))) AS DECIMAL(30,6)))
+       |      AS s
+       |  FROM terms GROUP BY 1, 2, 3, 4)
+       |SELECT a AS source_a, b AS source_b,
+       |  round((CAST(s AS DOUBLE) + CAST(na1 AS DOUBLE) *
+       |    (CAST(CAST(round(ln(nb1), 6) AS DECIMAL(12,6)) AS DOUBLE) -
+       |     CAST(CAST(round(ln(na1), 6) AS DECIMAL(12,6)) AS DOUBLE)))
+       |    / na1, 6) AS kl_div
+       |FROM sums""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4213,7 +4254,8 @@ object QueryCatalog {
     ("q155_bpe_segment", q155BpeSegment _, Some(q155Sql)),
     ("q156_image_dhash", q156ImageDhash _, Some(q156Sql)),
     ("q157_zipf_slope", q157ZipfSlope _, Some(q157Sql)),
-    ("q158_store_evolution", q158StoreEvolution _, Some(q158Sql)))
+    ("q158_store_evolution", q158StoreEvolution _, Some(q158Sql)),
+    ("q159_source_kl", q159SourceKl _, Some(q159Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

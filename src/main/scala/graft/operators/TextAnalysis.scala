@@ -704,6 +704,64 @@ object TextAnalysis {
       syms)
   }
 
+  /** Directed KL divergence between per-source unigram distributions —
+    * the dataset-mixture drift metric beside q92's lexical overlap and
+    * q107's embedding similarity: KL(A‖B) answers "how surprised is a
+    * model of B by A's tokens" (asymmetric by design — a subset corpus
+    * diverges little FROM its superset but the superset diverges from
+    * it). Add-one smoothing over the GLOBAL vocabulary keeps every term
+    * finite.
+    *
+    * Determinism (the NB contract): with ca1 = c_a+1, na1 = N_a+V, the
+    * sum decomposes as Σ ca1·(ln ca1 − ln cb1) + na1·(ln nb1 − ln na1) —
+    * tokens absent from both sources contribute exactly 0 to the first
+    * term, so summing over each pair's PRESENT tokens is exact. Every ln
+    * is rounded once to 6 dp and multiplied by exact integers under
+    * DECIMAL; the readout is one division, rounded once.
+    *
+    * Scale: ONE (source, token) count aggregate; the pair grid is
+    * sources² (tiny, broadcast); per-pair terms are two token-keyed
+    * equi-joins of the tf frame against the grid — cost sources × vocab,
+    * never corpus². V rides a one-row broadcast, no driver collect. */
+  def sourceKlDivergence(docs: DataFrame, groupCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    def r6ln(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(12,6)")
+    val tf = docs.select(col(groupCol).as("_g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("_g"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumed by totals + both pair legs
+    val totals = tf.groupBy(col("_g")).agg(sum(col("c")).as("n"))
+    val vocab = tf.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val srcs = totals.crossJoin(broadcast(vocab))
+      .select(col("_g"), (col("n") + col("v")).as("n1"))
+    val pairs = srcs.select(col("_g").as("a"), col("n1").as("na1"))
+      .join(broadcast(srcs.select(col("_g").as("b"), col("n1").as("nb1"))),
+        col("a") =!= col("b"))
+    val ta = tf.select(col("_g").as("a"), col("tok"), col("c").as("ca"))
+    val tb = tf.select(col("_g").as("b"), col("tok"), col("c").as("cb"))
+    // per-pair union vocabulary in two exact legs: a-present tokens with
+    // b's count left-joined, then b-only tokens (anti-join) with ca = 0
+    val present = pairs.join(ta, Seq("a"))
+      .select(col("a"), col("b"), col("na1"), col("nb1"), col("tok"), col("ca"))
+      .join(tb, Seq("b", "tok"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    val bOnly = pairs.join(tb, Seq("b"))
+      .join(ta, Seq("a", "tok"), "left_anti")
+      .select(col("a"), col("b"), col("na1"), col("nb1"), col("tok"),
+        lit(0L).as("ca"), col("cb"))
+    val sums = present.unionByName(bOnly)
+      .withColumn("_t",
+        ((col("ca") + 1).cast("decimal(20,0)") *
+          (r6ln(col("ca") + 1) - r6ln(col("cb") + 1))).cast("decimal(30,6)"))
+      .groupBy(col("a"), col("b"), col("na1"), col("nb1"))
+      .agg(sum(col("_t")).as("_s"))
+    sums.select(col("a").as("source_a"), col("b").as("source_b"),
+      round((col("_s").cast("double") +
+        col("na1").cast("double") * (r6ln(col("nb1")).cast("double") -
+          r6ln(col("na1")).cast("double"))) / col("na1"), 6).as("kl_div"))
+  }
+
   /** Zipf rank-frequency slope per group — the corpus-health readout:
     * natural language's rank-frequency plot is near-linear in log-log
     * with slope ≈ −1 (Zipf's law); generated/boilerplate text flattens

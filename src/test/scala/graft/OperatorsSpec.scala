@@ -1677,6 +1677,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out("one") === ((1L, 9L, None)))
   }
 
+  test("sourceKlDivergence: hand-computed directed divergences; identical sources give 0") {
+    // X = {a:2, b:1}, Y = {a:1, b:3}; V = 2; na1 = 5, nb1 = 6 (smoothed).
+    val d = Seq((1L, "X", "a a b"), (2L, "Y", "a b b b"), (3L, "Z", "a a b"))
+      .toDF("doc_id", "source", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ln6(x: Double) = r6(math.log(x))
+    // replicate the exact double shape: (decimal sum + na1*(ln nb1 - ln na1)) / na1
+    def kl(ca: Map[String, Long], cb: Map[String, Long], v: Long): Double = {
+      val na1 = ca.values.sum + v; val nb1 = cb.values.sum + v
+      val toks = (ca.keySet ++ cb.keySet).toSeq
+      val s = toks.map { t =>
+        val c1 = ca.getOrElse(t, 0L) + 1; val c2 = cb.getOrElse(t, 0L) + 1
+        BigDecimal(c1) * (BigDecimal(ln6(c1.toDouble)) - BigDecimal(ln6(c2.toDouble)))
+      }.sum.toDouble
+      r6((s + na1.toDouble * (ln6(nb1.toDouble) - ln6(na1.toDouble))) / na1)
+    }
+    val x = Map("a" -> 2L, "b" -> 1L); val y = Map("a" -> 1L, "b" -> 3L)
+    val out = TextAnalysis.sourceKlDivergence(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 6, s"3 sources -> 6 ordered pairs: ${out.keys}")
+    assert(out(("X", "Y")) === kl(x, y, 2))
+    assert(out(("Y", "X")) === kl(y, x, 2))
+    assert(out(("X", "Y")) !== out(("Y", "X")), "KL is directed")
+    assert(out(("X", "Z")) === 0.0 && out(("Z", "X")) === 0.0,
+      "identical distributions diverge by exactly 0")
+    assert(out.values.forall(_ >= 0.0), s"KL must be non-negative: $out")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
