@@ -262,6 +262,13 @@ object ScaleCheck {
         .select(col("lang"),
           round(graft.functions.Sketches.hllEstimateFromRegs(col("r")), 2)
             .as("nd")))
+    // zipf: one tf aggregate + a group-partitioned rank window; KL: the
+    // same tf + sources² pair grid × token-keyed joins — both bounded by
+    // vocabulary, not corpus²
+    time("zipf_slope")(
+      graft.operators.TextAnalysis.zipfSlope(docs))
+    time("source_kl")(
+      graft.operators.TextAnalysis.sourceKlDivergence(docs))
     spark.stop()
   }
 }
