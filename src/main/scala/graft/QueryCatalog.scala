@@ -4091,6 +4091,44 @@ object QueryCatalog {
        |    / na1, 6) AS kl_div
        |FROM sums""".stripMargin
 
+  /** Population Stability Index drift grid (Stats.psi): the numeric-
+    * column drift metric beside q159's token KL — events.value binned on
+    * the shared global 16-bin equal-width grid, pairwise per event_type.
+    * Bin assignment is pure IEEE arithmetic (engine-exact); terms are
+    * once-rounded and DECIMAL-summed, so the fold is order-free. */
+  def q160PsiDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.psi(t(s, dir, "events"), "event_type", "value", bins = 16)
+
+  val q160Sql: String =
+    """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+      |  FROM events WHERE value IS NOT NULL),
+      |span AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+      |binned AS (SELECT g,
+      |    CASE WHEN mx > mn THEN least(15, CAST(floor((x - mn) * 16.0 / (mx - mn)) AS BIGINT))
+      |         ELSE 0 END AS bin
+      |  FROM base CROSS JOIN span),
+      |cnt AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+      |tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY 1),
+      |grid AS (SELECT a.g AS a, a.n AS na, b.g AS b, b.n AS nb, r.range AS bin
+      |  FROM tot a JOIN tot b ON a.g <> b.g CROSS JOIN range(16) r),
+      |sm AS (SELECT a, b, grid.bin AS bin,
+      |    coalesce(ca.c, 0) + 1 AS ca1, na + 16 AS na1,
+      |    coalesce(cb.c, 0) + 1 AS cb1, nb + 16 AS nb1
+      |  FROM grid
+      |  LEFT JOIN cnt ca ON ca.g = grid.a AND ca.bin = grid.bin
+      |  LEFT JOIN cnt cb ON cb.g = grid.b AND cb.bin = grid.bin),
+      |terms AS (SELECT a, b,
+      |    CAST(round((CAST(ca1 AS DOUBLE) / na1 - CAST(cb1 AS DOUBLE) / nb1) *
+      |      CAST(CAST(round(ln(ca1), 6) AS DECIMAL(12,6)) -
+      |           CAST(round(ln(na1), 6) AS DECIMAL(12,6)) -
+      |           CAST(round(ln(cb1), 6) AS DECIMAL(12,6)) +
+      |           CAST(round(ln(nb1), 6) AS DECIMAL(12,6)) AS DOUBLE),
+      |      12) AS DECIMAL(24,12)) AS t
+      |  FROM sm)
+      |SELECT a AS event_type_a, b AS event_type_b,
+      |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4255,7 +4293,8 @@ object QueryCatalog {
     ("q156_image_dhash", q156ImageDhash _, Some(q156Sql)),
     ("q157_zipf_slope", q157ZipfSlope _, Some(q157Sql)),
     ("q158_store_evolution", q158StoreEvolution _, Some(q158Sql)),
-    ("q159_source_kl", q159SourceKl _, Some(q159Sql)))
+    ("q159_source_kl", q159SourceKl _, Some(q159Sql)),
+    ("q160_psi_drift", q160PsiDrift _, Some(q160Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -120,6 +120,76 @@ object Stats {
         .otherwise(denx > 0 && deny > 0 && lhs > rhs).as("strong"))
   }
 
+  /** Population Stability Index between every ordered pair of groups —
+    * the model-monitoring drift metric for NUMERIC columns, beside
+    * [[TextAnalysis.sourceKlDivergence]]'s token-distribution drift:
+    * PSI(A→B) = Σ_bins (p_A − p_B)·ln(p_A/p_B) over a SHARED equal-width
+    * binning (industry folklore: < 0.1 stable, 0.1–0.25 shifting,
+    * > 0.25 drifted). Symmetric in information terms but reported per
+    * ordered pair to match the KL surface.
+    *
+    * Determinism contract: the bin edges come from the GLOBAL min/max
+    * (exact aggregate), and bin assignment is
+    * `least(B−1, floor((x−mn)·B / (mx−mn)))` — plain IEEE-754 ops that
+    * every engine computes bit-identically (only transcendentals vary
+    * across libms). Counts are add-one smoothed over all B bins so every
+    * term is finite; the ln factors are each rounded once to 6 dp and
+    * combined as DECIMAL; each bin's term is one fixed-shape double
+    * expression over exact integers and those decimals, rounded once to
+    * 12 dp, and the per-pair fold is an exact DECIMAL sum — order-free,
+    * so any engine replays the PSI bit-for-bit. NULL values are
+    * excluded from the distributions; a degenerate column (mx = mn)
+    * puts all mass in bin 0 and every PSI is 0.
+    *
+    * Scale: ONE (group, bin) count aggregate over the data (map-side
+    * partial — at most groups×B partial rows per task), a one-row
+    * min/max broadcast, and a groups²×B dense grid for the readout —
+    * never corpus². B is the state bound, not the data. */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+          bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 4096, "bins out of range")
+    def r6ln(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(12,6)")
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .select(col(groupCol).as("_g"), x.as("_x"))
+    val span = base.agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+    val binned = base.crossJoin(broadcast(span))
+      .select(col("_g"),
+        when(col("_mx") > col("_mn"),
+          least(lit(bins - 1L), floor((col("_x") - col("_mn")) *
+            lit(bins.toDouble) / (col("_mx") - col("_mn")))))
+          .otherwise(lit(0L)).as("_bin"))
+      .groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by totals AND both pair legs
+    val totals = binned.groupBy(col("_g")).agg(sum(col("c")).as("n"))
+    // dense groups² × B grid: absent bins must still contribute their
+    // smoothed term, so left-join counts onto the full bin range
+    val grid = totals.select(col("_g").as("a"), col("n").as("na"))
+      .join(broadcast(totals.select(col("_g").as("b"), col("n").as("nb"))),
+        col("a") =!= col("b"))
+      .withColumn("_bin", explode(sequence(lit(0L), lit(bins - 1L))))
+      .join(binned.select(col("_g").as("a"), col("_bin"), col("c").as("ca")),
+        Seq("a", "_bin"), "left")
+      .join(binned.select(col("_g").as("b"), col("_bin"), col("c").as("cb")),
+        Seq("b", "_bin"), "left")
+      .withColumn("ca1", coalesce(col("ca"), lit(0L)) + 1)
+      .withColumn("cb1", coalesce(col("cb"), lit(0L)) + 1)
+      .withColumn("na1", col("na") + bins)
+      .withColumn("nb1", col("nb") + bins)
+    // (pA − pB)·ln(pA/pB): probability diff from exact integers via IEEE
+    // division; the log via once-rounded decimal factors
+    val pDiff = col("ca1").cast("double") / col("na1").cast("double") -
+      col("cb1").cast("double") / col("nb1").cast("double")
+    val lnRatio = (r6ln(col("ca1")) - r6ln(col("na1")) -
+      r6ln(col("cb1")) + r6ln(col("nb1"))).cast("double")
+    grid.withColumn("_t", round(pDiff * lnRatio, 12).cast("decimal(24,12)"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("_t")).as("_s"))
+      .select(col("a").as(s"${groupCol}_a"), col("b").as(s"${groupCol}_b"),
+        round(col("_s").cast("double"), 6).as("psi"))
+  }
+
   /** Poisson(1) CDF thresholds, rounded once to 12 dp — shared verbatim
     * with the SQL oracle so multiplicity draws are engine-identical. */
   private val poissonCdf: Seq[Double] = Seq(

@@ -1705,6 +1705,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.forall(_ >= 0.0), s"KL must be non-negative: $out")
   }
 
+  test("psi: hand-computed drift, zero for identical groups, NULLs excluded") {
+    import graft.operators.Stats
+    // A mass in low bins, B mass in high bins, C identical to A; one NULL
+    // value must not move any distribution. Global span [0, 10], 4 bins.
+    val d = Seq(
+      ("A", Some(0.0)), ("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(10.0)),
+      ("B", Some(8.0)), ("B", Some(9.0)), ("B", Some(10.0)), ("B", Some(0.0)),
+      ("C", Some(0.0)), ("C", Some(1.0)), ("C", Some(2.0)), ("C", Some(10.0)),
+      ("C", None)).toDF("grp", "v")
+    val out = Stats.psi(d, "grp", "v", bins = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 6, s"3 groups -> 6 ordered pairs: ${out.keys}")
+    // hand replay: bin = least(3, floor(x*4/10)); A/C = {0:3, 3:1}, B = {0:1, 3:3}
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ln6(x: Double) = r(math.log(x), 6)
+    def psiOf(ca: Map[Int, Long], cb: Map[Int, Long]): Double = {
+      val na1 = ca.values.sum + 4.0; val nb1 = cb.values.sum + 4.0
+      val s = (0 until 4).map { i =>
+        val c1 = ca.getOrElse(i, 0L) + 1; val c2 = cb.getOrElse(i, 0L) + 1
+        BigDecimal(r((c1 / na1 - c2 / nb1) *
+          (BigDecimal(ln6(c1.toDouble)) - BigDecimal(ln6(na1)) -
+            BigDecimal(ln6(c2.toDouble)) + BigDecimal(ln6(nb1))).toDouble, 12))
+      }.sum.toDouble
+      r(s, 6)
+    }
+    val a = Map(0 -> 3L, 3 -> 1L); val b = Map(0 -> 1L, 3 -> 3L)
+    assert(out(("A", "B")) === psiOf(a, b))
+    assert(out(("B", "A")) === psiOf(b, a))
+    assert(out(("A", "C")) === 0.0 && out(("C", "A")) === 0.0,
+      "identical distributions have PSI exactly 0 (NULL row excluded)")
+    assert(out(("A", "B")) > 0.1, s"opposed distributions must flag: $out")
+    // degenerate column: every value identical -> all mass in bin 0; with
+    // equal group sizes the smoothed distributions coincide -> PSI 0
+    // (unequal sizes keep a small smoothing residual by design)
+    val deg = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)).toDF("grp", "v")
+    val dOut = Stats.psi(deg, "grp", "v", bins = 4).collect().map(_.getDouble(2))
+    assert(dOut.forall(_ === 0.0), "single-point span puts all mass in bin 0")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
