@@ -4129,6 +4129,50 @@ object QueryCatalog {
       |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
       |FROM terms GROUP BY 1, 2""".stripMargin
 
+  /** Declarative expectation-suite audit (Expectations.audit): the
+    * Deequ/Great-Expectations contract gate — five row-level rules in
+    * ONE aggregate pass plus a natural-key uniqueness constraint, one
+    * verdict row per rule. The fixture suite mixes passing rules with
+    * two that genuinely fail on this data (tax ceiling, the colliding
+    * (orderkey, linenumber) pair), so both verdict polarities are
+    * exercised. */
+  def q161QualityAudit(s: SparkSession, dir: String): DataFrame = {
+    import operators.Expectations.{audit, Rule}
+    audit(t(s, dir, "lineitem"), Seq(
+      Rule("quantity_range", col("l_quantity").between(1, 50)),
+      Rule("discount_range", col("l_discount").between(0, 0.1)),
+      Rule("shipdate_present", col("l_shipdate").isNotNull),
+      Rule("returnflag_domain", col("l_returnflag").isin("R", "A", "N")),
+      Rule("tax_ceiling", col("l_tax") <= 0.05)),
+      uniqueKeys = Seq("lineitem_pk" -> Seq("l_orderkey", "l_linenumber")))
+  }
+
+  val q161Sql: String =
+    """WITH agg AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS v0,
+      |    sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 1 ELSE 0 END) AS v1,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v2,
+      |    sum(CASE WHEN NOT coalesce(l_returnflag IN ('R','A','N'), false) THEN 1 ELSE 0 END) AS v3,
+      |    sum(CASE WHEN NOT coalesce(l_tax <= 0.05, false) THEN 1 ELSE 0 END) AS v4,
+      |    sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS vnull
+      |  FROM lineitem),
+      |dups AS (SELECT coalesce(sum(c), 0) AS v FROM (
+      |    SELECT count(*) AS c FROM lineitem
+      |    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+      |rows_out AS (
+      |  SELECT 'quantity_range' AS rule, n AS n_rows, v0 AS n_violations FROM agg
+      |  UNION ALL SELECT 'discount_range', n, v1 FROM agg
+      |  UNION ALL SELECT 'shipdate_present', n, v2 FROM agg
+      |  UNION ALL SELECT 'returnflag_domain', n, v3 FROM agg
+      |  UNION ALL SELECT 'tax_ceiling', n, v4 FROM agg
+      |  UNION ALL SELECT 'lineitem_pk_key_complete', n, vnull FROM agg
+      |  UNION ALL SELECT 'lineitem_pk', n, (SELECT v FROM dups) FROM agg)
+      |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM rows_out""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4294,7 +4338,8 @@ object QueryCatalog {
     ("q157_zipf_slope", q157ZipfSlope _, Some(q157Sql)),
     ("q158_store_evolution", q158StoreEvolution _, Some(q158Sql)),
     ("q159_source_kl", q159SourceKl _, Some(q159Sql)),
-    ("q160_psi_drift", q160PsiDrift _, Some(q160Sql)))
+    ("q160_psi_drift", q160PsiDrift _, Some(q160Sql)),
+    ("q161_quality_audit", q161QualityAudit _, Some(q161Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

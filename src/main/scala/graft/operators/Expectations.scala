@@ -42,14 +42,13 @@ object Expectations {
           sum(when(coalesce(r.valid, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
         }
       val one = df.agg(aggs.head, aggs.tail: _*)
-      // unpivot the single verdict row: stack(k, 'name0', _v0, ...)
-      val stackArgs = rules.zipWithIndex.flatMap { case (r, i) =>
-        Seq(lit(r.name), col(s"_v$i"))
+      // unpivot the single verdict row: explode an array of per-rule structs
+      val verdictStructs = rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col("_n").as("n_rows"),
+          coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
       }
-      one.select(col("_n"),
-          stack(Seq(lit(rules.size)) ++ stackArgs: _*).as(Seq("rule", "n_violations")))
-        .select(col("rule"), col("_n").as("n_rows"),
-          coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+      one.select(explode(array(verdictStructs: _*)).as("_r"))
+        .select(col("_r.rule"), col("_r.n_rows"), col("_r.n_violations"))
     }
     val uniqVerdicts: Seq[DataFrame] = uniqueKeys.map { case (name, keys) =>
       require(keys.nonEmpty, s"uniqueness rule $name needs key columns")

@@ -1744,6 +1744,32 @@ class OperatorsSpec extends SparkSpec {
     assert(dOut.forall(_ === 0.0), "single-point span puts all mass in bin 0")
   }
 
+  test("expectations audit: NULL counts as violation; uniqueness + key-complete split") {
+    import graft.operators.Expectations.{audit, Rule}
+    val d = Seq(
+      (Some(1L), Some(1), Some(10.0)),  // clean
+      (Some(1L), Some(1), Some(20.0)),  // pk duplicate of row 1
+      (Some(2L), None,    Some(-5.0)),  // NULL key component + range violation
+      (Some(3L), Some(1), None),        // NULL value -> range rule violates
+      (Some(4L), Some(2), Some(30.0))). // clean
+      toDF("k1", "k2", "v")
+    val out = audit(d, Seq(Rule("v_nonneg", col("v") >= 0)),
+        uniqueKeys = Seq("pk" -> Seq("k1", "k2")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("v_nonneg") === ((5L, 2L, false)),
+      "the negative AND the NULL value both violate the range rule")
+    assert(out("pk") === ((5L, 2L, false)),
+      "both rows of the colliding key tuple count as violations")
+    assert(out("pk_key_complete") === ((5L, 1L, false)),
+      "the NULL key component is its own failure mode, not a dup")
+    // all-clean suite passes
+    val clean = audit(d.filter(col("k1") === 4L),
+      Seq(Rule("v_nonneg", col("v") >= 0)), Seq("pk" -> Seq("k1", "k2")))
+    assert(clean.collect().forall(_.getBoolean(3)))
+    intercept[IllegalArgumentException](audit(d, Nil, Nil))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
