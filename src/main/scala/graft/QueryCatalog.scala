@@ -4173,6 +4173,29 @@ object QueryCatalog {
       |  n_violations = 0 AS pass
       |FROM rows_out""".stripMargin
 
+  /** N-gram novelty rate (Dedup.ngramNovelty): the memorization /
+    * diversity readout — held-out docs (doc_id % 10 == 0) probed against
+    * the rest of the corpus at trigram granularity; novelty = share of a
+    * doc's distinct 3-grams absent from the reference side. */
+  def q162NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramNovelty(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), 3)
+  }
+
+  val q162Sql: String =
+    s"""${shingleCte(3)},
+       |probe AS (SELECT doc_id, shingle FROM s WHERE doc_id % 10 = 0),
+       |ref AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 10 <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM probe GROUP BY 1),
+       |seen AS (SELECT doc_id, count(*) AS n_seen FROM probe
+       |         JOIN ref USING (shingle) GROUP BY 1)
+       |SELECT doc_id, n_ngrams, coalesce(n_seen, 0) AS n_seen,
+       |  round(1.0 - CAST(coalesce(n_seen, 0) AS DOUBLE) / n_ngrams, 6)
+       |    AS novelty_rate
+       |FROM tot LEFT JOIN seen USING (doc_id)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4339,7 +4362,8 @@ object QueryCatalog {
     ("q158_store_evolution", q158StoreEvolution _, Some(q158Sql)),
     ("q159_source_kl", q159SourceKl _, Some(q159Sql)),
     ("q160_psi_drift", q160PsiDrift _, Some(q160Sql)),
-    ("q161_quality_audit", q161QualityAudit _, Some(q161Sql)))
+    ("q161_quality_audit", q161QualityAudit _, Some(q161Sql)),
+    ("q162_ngram_novelty", q162NgramNovelty _, Some(q162Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -403,6 +403,46 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Per-document n-gram novelty rate — the memorization/diversity
+    * readout on top of [[decontaminate]]'s machinery: for each `probe`
+    * document (a generated sample, a held-out split), the fraction of
+    * its DISTINCT n-grams that do NOT occur anywhere in `reference`
+    * (the training corpus). Novelty ≈ 0 flags regurgitated training
+    * text (Carlini et al., arXiv:2202.07646's verbatim-memorization
+    * signal at n-gram granularity); novelty ≈ 1 on a natural holdout is
+    * the healthy baseline. Small n (3–4) reads as a diversity score,
+    * large n (8+) as leak detection.
+    *
+    * Returns (doc_id, n_ngrams, n_seen, novelty_rate) for probe docs
+    * with ≥ 1 n-gram (shorter docs have no defined rate — same absence
+    * semantics as [[decontaminate]]); rate = round(1 − seen/total, 6),
+    * exact integers under the division.
+    *
+    * Scale: the reference side collapses to DISTINCT n-grams (map-side
+    * partial agg) and meets the probe pairs in a plain equi-join keyed
+    * by the n-gram — no broadcast required on either side, so BOTH may
+    * be corpus-sized; AQE picks broadcast when the probe set is small.
+    * For an extreme reference with a tiny probe set, pre-filter the
+    * reference stream with a Bloom filter of the probe n-grams
+    * ([[decontaminateBloom]]'s shape — no false negatives, and the
+    * exact join already kills false positives, so the rate is
+    * unchanged). */
+  def ngramNovelty(probe: DataFrame, reference: DataFrame, n: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val probePairs = materialize(shinglePairs(probe, n, idCol, textCol))
+    val refSet = shinglePairs(reference, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    val totals = probePairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val seen = probePairs.join(refSet, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+    totals.join(seen, Seq("doc_id"), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .withColumn("novelty_rate",
+        round(lit(1.0) - col("n_seen").cast("double") /
+          col("n_ngrams").cast("double"), 6))
+  }
+
   /** [[decontaminate]]'s scale path for benchmark sets too big to
     * broadcast as a hash relation: build a Bloom filter of the benchmark
     * shingles (one agg row — a few MB of longs regardless of benchmark

@@ -1770,6 +1770,24 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](audit(d, Nil, Nil))
   }
 
+  test("ngramNovelty: verbatim copy scores 0, fresh text 1, mixed doc exact fraction") {
+    val ref = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the quick brown fox"),            // all 2 trigrams seen -> 0.0
+      (2L, "entirely novel words here now"),  // 3 trigrams, none seen -> 1.0
+      (3L, "the quick brown zebra"),          // 2 trigrams, 1 seen -> 0.5
+      (4L, "too short")).                     // < 3 tokens: no rate row
+      toDF("doc_id", "text")
+    val out = graft.operators.Dedup.ngramNovelty(probe, ref, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 0.0)),
+      2L -> ((3L, 0L, 1.0)),
+      3L -> ((2L, 1L, 0.5))))
+    assert(!out.contains(4L), "docs with no n-gram have no defined rate")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
