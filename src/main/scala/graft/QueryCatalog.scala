@@ -4196,6 +4196,34 @@ object QueryCatalog {
        |    AS novelty_rate
        |FROM tot LEFT JOIN seen USING (doc_id)""".stripMargin
 
+  /** Embedding covariance triangle (Stats.embeddingCovariance): the PCA/
+    * whitening base object — pair products generated map-side by array
+    * algebra (no self-join), once-rounded and DECIMAL-summed so the
+    * d(d+1)/2 covariance entries replay bit-for-bit. The triangle is
+    * filtered to i ≤ 8 to keep the oracle result compact (the operator
+    * computes all 2080 entries; the filter is on the OUTPUT). */
+  def q163EmbeddingCov(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.embeddingCovariance(t(s, dir, "embeddings"), 64)
+      .filter(col("i") <= 8)
+
+  val q163Sql: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |    CAST(round(a.x * b.x, 12) AS DECIMAL(24,12)) AS xy
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |sxy AS (SELECT i, j, sum(CAST(xy AS DECIMAL(30,12))) AS s,
+      |    count(*) AS n FROM p GROUP BY 1, 2),
+      |m AS (SELECT i, sum(CAST(round(x, 9) AS DECIMAL(20,9))) AS sx
+      |  FROM e GROUP BY 1)
+      |SELECT CAST(sxy.i AS BIGINT) AS i, CAST(sxy.j AS BIGINT) AS j,
+      |  CAST(n AS BIGINT) AS n,
+      |  round(CAST(s AS DOUBLE) / n -
+      |    (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS cov
+      |FROM sxy JOIN m ma ON ma.i = sxy.i JOIN m mb ON mb.i = sxy.j
+      |WHERE sxy.i <= 8""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4363,7 +4391,8 @@ object QueryCatalog {
     ("q159_source_kl", q159SourceKl _, Some(q159Sql)),
     ("q160_psi_drift", q160PsiDrift _, Some(q160Sql)),
     ("q161_quality_audit", q161QualityAudit _, Some(q161Sql)),
-    ("q162_ngram_novelty", q162NgramNovelty _, Some(q162Sql)))
+    ("q162_ngram_novelty", q162NgramNovelty _, Some(q162Sql)),
+    ("q163_embedding_cov", q163EmbeddingCov _, Some(q163Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -190,6 +190,100 @@ object Stats {
         round(col("_s").cast("double"), 6).as("psi"))
   }
 
+  /** Upper-triangular covariance matrix of an embedding column — the
+    * base object for PCA/whitening/feature-correlation audits over a
+    * vector corpus, as (i, j, n, cov) rows with 1 ≤ i ≤ j ≤ d.
+    *
+    * Determinism contract: each cross product x_i·x_j is one IEEE
+    * double multiply (bit-identical everywhere), rounded once to 12 dp
+    * and summed as DECIMAL (order-free); component sums ride
+    * round(x, 9) DECIMAL the same way; cov = Σxy/n − (Σx_i/n)(Σx_j/n)
+    * is one fixed-shape double readout rounded to 6. Exactness bound:
+    * |x| < ~1e3 keeps DECIMAL(30,12) pair sums exact past 1e15 rows.
+    *
+    * Scale: the pair triples are generated MAP-SIDE by array algebra
+    * (slice + double transform — no self-join, no shuffle of the
+    * vectors); the only exchange carries (i, j) partial sums — at most
+    * d(d+1)/2 rows per task after partial aggregation, independent of
+    * corpus size. The O(N·d²) multiply work is the covariance itself.
+    * NULL vectors are skipped; ragged dims fail LOUDLY (the element
+    * count must be d for every row). */
+  def embeddingCovariance(df: DataFrame, d: Int,
+                          vecCol: String = "embedding"): DataFrame = {
+    require(d >= 1 && d <= 4096, "dims out of range")
+    val v = col(vecCol)
+    val checked = df.filter(v.isNotNull)
+      .select(when(size(v) === d, v.cast("array<double>"))
+        .otherwise(raise_error(concat(lit(s"embeddingCovariance: expected $d dims, got "),
+          size(v).cast("string")))).as("_v"))
+      .localCheckpoint(true) // read by the pair stream AND the mean stream
+    // map-side (i, j, round(xi*xj, 12)) triples: for row element i, pair
+    // it with elements i..d-1 via slice — pure array algebra, no join
+    val pairs = checked.select(explode(expr(
+      """flatten(transform(_v, (xi, i) ->
+        |  transform(slice(_v, i + 1, size(_v) - i), (xj, j) ->
+        |    struct(i + 1 AS i, i + j + 1 AS j,
+        |           cast(round(xi * xj, 12) AS decimal(24,12)) AS xy))))""".stripMargin))
+      .as("_p"))
+      .select(col("_p.i").cast("long").as("i"), col("_p.j").cast("long").as("j"),
+        col("_p.xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xy").cast("decimal(30,12)")).as("_sxy"), count(lit(1)).as("n"))
+    val means = checked.select(posexplode(col("_v")).as(Seq("_i0", "_x")))
+      .groupBy((col("_i0") + 1).cast("long").as("i"))
+      .agg(sum(round(col("_x"), 9).cast("decimal(20,9)")).as("_sx"))
+    pairs
+      .join(broadcast(means.select(col("i"), col("_sx").as("_sxi"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("_sx").as("_sxj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round(col("_sxy").cast("double") / col("n") -
+          (col("_sxi").cast("double") / col("n")) *
+            (col("_sxj").cast("double") / col("n")), 6).as("cov"))
+  }
+
+  /** Top principal component of a covariance matrix by power iteration —
+    * the PCA readout over [[embeddingCovariance]]'s result. The matrix
+    * is d×d (control-plane sized BY CONSTRUCTION — it never grows with
+    * the corpus), so the iteration runs on the driver: collect the
+    * triangle, mirror it, iterate v ← normalize(Cv) from the all-ones
+    * start. Deterministic: fixed iteration count, fixed start, driver
+    * double math (single-threaded, no reduction-order variance). The
+    * sign is canonicalized so the largest-|component| entry is positive.
+    * Returns (eigenvector, eigenvalue λ = ‖Cv‖ of the final iterate). */
+  def pcaTopComponent(cov: DataFrame, d: Int, iters: Int = 64): (Array[Double], Double) = {
+    require(iters >= 1 && iters <= 10000, "iters out of range")
+    val m = Array.ofDim[Double](d, d)
+    cov.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }; s
+      })
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      if (lambda > 0) v = w.map(_ / lambda)
+    }
+    // canonical sign: the max-|x| entry positive (ties: lowest index)
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v = v.map(-_)
+    (v, lambda)
+  }
+
+  /** Map-only projection of each vector onto a fixed component (the PCA
+    * score column): dot(x, component) via the same left-to-right fold
+    * both engines use for array dot products, rounded once to 6. */
+  def pcaProject(df: DataFrame, component: Array[Double],
+                 vecCol: String = "embedding", outCol: String = "pc1"): DataFrame = {
+    val lit64 = array(component.map(lit(_)): _*)
+    df.withColumn(outCol,
+      round(graft.functions.VectorFunctions.dot_product(
+        col(vecCol).cast("array<double>"), lit64), 6))
+  }
+
   /** Poisson(1) CDF thresholds, rounded once to 12 dp — shared verbatim
     * with the SQL oracle so multiplicity draws are engine-identical. */
   private val poissonCdf: Seq[Double] = Seq(

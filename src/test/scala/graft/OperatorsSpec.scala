@@ -1788,6 +1788,38 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.contains(4L), "docs with no n-gram have no defined rate")
   }
 
+  test("embeddingCovariance + PCA: hand-computed triangle, power iteration finds the axis") {
+    import graft.operators.Stats
+    // points t·(1,2) for t in {-2,-1,1,2}: mean 0, cov = [[2.5,5],[5,10]]
+    val pts = Seq(-2.0, -1.0, 1.0, 2.0).zipWithIndex
+      .map { case (t, i) => (i.toLong, Seq(t.toFloat, (2 * t).toFloat)) }
+    val d = pts.toDF("vec_id", "embedding")
+    val cov = Stats.embeddingCovariance(d, 2)
+    val entries = cov.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(entries === Map(
+      (1L, 1L) -> ((4L, 2.5)), (1L, 2L) -> ((4L, 5.0)), (2L, 2L) -> ((4L, 10.0))))
+    val (vec, lambda) = Stats.pcaTopComponent(cov, 2)
+    val expected = Array(1.0 / math.sqrt(5), 2.0 / math.sqrt(5))
+    assert(vec.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      s"eigenvector was ${vec.toSeq}")
+    assert(math.abs(lambda - 12.5) < 1e-9, s"eigenvalue was $lambda")
+    assert(vec(1) > 0, "sign canonicalized: max-|x| entry positive")
+    // projection scores = t·sqrt(5), rounded to 6
+    val scores = Stats.pcaProject(d, vec).orderBy("vec_id")
+      .collect().map(_.getDouble(2))
+    val s5 = math.sqrt(5)
+    scores.zip(Seq(-2 * s5, -s5, s5, 2 * s5)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5, s"score $a vs $b") }
+    // NULL vectors skipped, ragged dims fail LOUDLY
+    val withNull = d.union(Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    assert(Stats.embeddingCovariance(withNull, 2).collect().forall(_.getLong(2) === 4L))
+    val ragged = Seq((1L, Seq(1.0f)), (2L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Stats.embeddingCovariance(ragged, 2).collect())
+    assert(e.getMessage.contains("expected 2 dims") ||
+      e.getCause != null && e.getCause.getMessage.contains("expected 2 dims"))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
