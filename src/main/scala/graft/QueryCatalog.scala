@@ -4224,6 +4224,40 @@ object QueryCatalog {
       |FROM sxy JOIN m ma ON ma.i = sxy.i JOIN m mb ON mb.i = sxy.j
       |WHERE sxy.i <= 8""".stripMargin
 
+  /** Exact DFT bin power over REAL WAV decode
+    * (Multimodal.wavSpectralFeatures): frequency-domain audio features
+    * through the actual byte parser — synthesize closed-form PCM,
+    * encode real RIFF bytes, re-parse them, and accumulate integer-
+    * exact re/im sums at bins {0, 3, 7} with once-rounded micro-unit
+    * trig weights; the oracle replays every sample and weight from the
+    * same formulas. */
+  def q164WavSpectral(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSpectralFeatures(
+      Multimodal.synthWavAssets(t(s, dir, "documents"), "doc_id"),
+      bins = Seq(0, 3, 7)).toDF()
+
+  val q164Sql: String =
+    """WITH p AS (SELECT doc_id AS asset_id,
+      |    CAST(256 + (doc_id % 17) * 16 AS BIGINT) AS n FROM documents),
+      |bins AS (SELECT unnest([0, 3, 7]) AS k),
+      |s AS (SELECT asset_id, n, k,
+      |    unnest(generate_series(0, n - 1)) AS i FROM p CROSS JOIN bins),
+      |t AS (SELECT asset_id, n, k, i,
+      |    ((asset_id * 7 + i * 13) % 201 - 100) * 64 AS smp,
+      |    CAST(round(cos(-2 * pi() * k * i / n) * 1000000, 0) AS BIGINT) AS wc,
+      |    CAST(round(sin(-2 * pi() * k * i / n) * 1000000, 0) AS BIGINT) AS ws
+      |  FROM s),
+      |a AS (SELECT asset_id, n, k, sum(smp * wc) AS re6, sum(smp * ws) AS im6
+      |  FROM t GROUP BY 1, 2, 3)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, n AS n_samples,
+      |  CAST(k AS BIGINT) AS bin,
+      |  CAST(re6 AS DOUBLE) / 1000000 AS re,
+      |  CAST(im6 AS DOUBLE) / 1000000 AS im,
+      |  round(sqrt((CAST(re6 AS DOUBLE) / 1000000) * (CAST(re6 AS DOUBLE) / 1000000)
+      |           + (CAST(im6 AS DOUBLE) / 1000000) * (CAST(im6 AS DOUBLE) / 1000000))
+      |        / n, 6) AS magnitude
+      |FROM a""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4392,7 +4426,8 @@ object QueryCatalog {
     ("q160_psi_drift", q160PsiDrift _, Some(q160Sql)),
     ("q161_quality_audit", q161QualityAudit _, Some(q161Sql)),
     ("q162_ngram_novelty", q162NgramNovelty _, Some(q162Sql)),
-    ("q163_embedding_cov", q163EmbeddingCov _, Some(q163Sql)))
+    ("q163_embedding_cov", q163EmbeddingCov _, Some(q163Sql)),
+    ("q164_wav_spectral", q164WavSpectral _, Some(q164Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -177,6 +177,56 @@ object MediaCodecs {
       (WavData(rate, ch, bits, dlen.toLong / (2 * ch), sumSq), crossings, peak)
     }
 
+  /** Exact DFT power at selected bins over channel 0 of the PCM stream —
+    * the frequency-domain screen beside [[wavZeroCross]]'s time-domain
+    * one (dominant-tone detection, hum/DC screening, bandwidth checks)
+    * without an FFT library: per requested bin k (of an N-point DFT,
+    * N = frame count), re_k = Σ_n s_n·w_c and im_k = Σ_n s_n·w_s.
+    *
+    * Determinism: the trig weights are quantized ONCE to integer
+    * micro-units — w = round(cos(−2·π·k·n / N)·1e6) half-away-from-zero
+    * — so each term is an exact integer product (|s|·1e6 ≤ 3.3e10; the
+    * running sum stays far inside a long for any realistic clip) and
+    * the fold is order-free integer addition. Any engine that computes
+    * the same once-rounded weights replays re/im bit-for-bit; cos/sin
+    * themselves are the only libm call, rounded at 1e-6 granularity
+    * exactly like every ln in the text operators.
+    *
+    * Returns per bin (k, re, im) in micro-units (divide by 1e6 for
+    * sample units); the returned WavData's sumSq covers CHANNEL 0 only
+    * (the analyzed stream), unlike [[decodeWav]]'s all-channel energy.
+    * Cost O(N·bins) per asset, one sample pass per bin set, zero
+    * allocation beyond the result. */
+  def wavDftBins(bytes: Array[Byte], bins: Seq[Int]): Option[(WavData, Array[(Int, Long, Long)])] = {
+    require(bins.nonEmpty && bins.forall(_ >= 0), "bins must be non-negative")
+    parseWavLayout(bytes).map { case (ch, rate, bits, off, dlen) =>
+      val nFrames = (dlen.toLong / (2 * ch)).toInt
+      var sumSq = 0L
+      val out = new Array[(Int, Long, Long)](bins.size)
+      var b = 0
+      while (b < bins.size) {
+        val k = bins(b)
+        var re = 0L; var im = 0L
+        var n = 0
+        var i = off
+        while (n < nFrames) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          if (b == 0) sumSq += s * s // whole-stream energy once, ch-0 only
+          val theta = -2.0 * math.Pi * k * n / nFrames
+          re += s * java.math.BigDecimal.valueOf(Math.cos(theta) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          im += s * java.math.BigDecimal.valueOf(Math.sin(theta) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          n += 1
+          i += 2 * ch // channel 0 of interleaved frames
+        }
+        out(b) = (k, re, im)
+        b += 1
+      }
+      (WavData(rate, ch, bits, nFrames.toLong, sumSq), out)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // BMP (BITMAPINFOHEADER, 24 bpp, uncompressed)
   // ---------------------------------------------------------------------

@@ -271,6 +271,43 @@ object Multimodal {
       }(enc)
   }
 
+  case class WavDftRow(asset_id: Long, ok: Long, n_samples: Option[Long],
+                       bin: Option[Long], re: Option[Double], im: Option[Double],
+                       magnitude: Option[Double])
+
+  /** Exact DFT power at selected bins per payload — the frequency-domain
+    * audio screen ([[MediaCodecs.wavDftBins]]): dominant-tone detection,
+    * mains-hum / DC-offset audits, bandwidth checks, all without an FFT
+    * dependency. One sample pass per asset; each (asset, bin) row
+    * carries the integer-exact re/im sums scaled back to sample units
+    * and `magnitude` = round(√(re² + im²) / N, 6), the per-sample
+    * amplitude of that tone. Malformed payloads keep their row with
+    * ok = 0 (the reference's error-channel semantics). */
+  def wavSpectralFeatures(assets: DataFrame, bins: Seq[Int]): Dataset[WavDftRow] = {
+    val enc = Encoders.product[WavDftRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          MediaCodecs.wavDftBins(payload, bins) match {
+            case Some((w, rows)) =>
+              rows.iterator.map { case (k, re6, im6) =>
+                val re = re6 / 1e6; val im = im6 / 1e6
+                val mag =
+                  if (w.nSamplesPerChannel == 0) None
+                  else Some(BigDecimal(math.sqrt(re * re + im * im) /
+                      w.nSamplesPerChannel)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                WavDftRow(id, 1L, Some(w.nSamplesPerChannel), Some(k.toLong),
+                  Some(re6 / 1e6), Some(im6 / 1e6), mag)
+              }
+            case None =>
+              Iterator.single(WavDftRow(id, 0L, None, None, None, None, None))
+          }
+        }
+      }(enc)
+  }
+
   case class AHashRow(asset_id: Long, ok: Long,
                       ahash_hi: Option[Long], ahash_lo: Option[Long])
 

@@ -309,6 +309,45 @@ class MediaSpec extends SparkSpec {
       "all-silent assets are drop candidates with NULL bounds")
   }
 
+  test("wavDftBins: a pure tone dominates its own bin; stereo reads channel 0 only") {
+    // quantized sine at k=8 over N=64: bin 8 carries ~N/2 * amp, others ~0
+    val n = 64; val k = 8
+    val tone = Array.tabulate(n)(i =>
+      Math.round(1000.0 * Math.sin(2 * Math.PI * k * i / n)).toShort)
+    val bytes = MediaCodecs.encodeWav(tone, 8000)
+    val (w, rows) = MediaCodecs.wavDftBins(bytes, Seq(0, 7, 8, 9)).get
+    assert(w.nSamplesPerChannel === n.toLong)
+    val mag = rows.map { case (b, re6, im6) =>
+      b -> math.sqrt((re6 / 1e6) * (re6 / 1e6) + (im6 / 1e6) * (im6 / 1e6)) }.toMap
+    assert(mag(8) > 30000.0, s"tone bin magnitude ${mag(8)} should be ~N/2*amp")
+    assert(mag(0) < 1000.0 && mag(7) < 1000.0 && mag(9) < 1000.0,
+      s"off bins stay near zero: $mag")
+    // replay the exact integer accumulation by hand for bin 8
+    var re = 0L; var im = 0L
+    for (i <- 0 until n) {
+      val theta = -2.0 * math.Pi * 8 * i / n
+      def w6(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      re += tone(i) * w6(Math.cos(theta)); im += tone(i) * w6(Math.sin(theta))
+    }
+    val bin8 = rows.find(_._1 == 8).get
+    assert(bin8._2 === re && bin8._3 === im, "integer accumulation replays by hand")
+    // stereo: tone on ch0, silence on ch1 -> same ch-0 analysis
+    val inter = new Array[Short](2 * n)
+    for (i <- 0 until n) inter(2 * i) = tone(i)
+    val st = MediaCodecs.wavDftBins(
+      MediaCodecs.encodeWav(inter, 8000, channels = 2), Seq(8)).get
+    assert(st._2.head._2 === re && st._2.head._3 === im,
+      "interleaved stereo analyzes channel 0 with the same result")
+    // wrapper: malformed payload keeps its row with ok=0
+    val out = Multimodal.wavSpectralFeatures(
+        Seq((1L, bytes), (2L, "nope".getBytes)).toDF("asset_id", "payload"),
+        bins = Seq(8)).collect()
+    assert(out.count(_.ok == 1L) === 1 && out.count(_.ok == 0L) === 1)
+    val good = out.find(_.ok == 1L).get
+    assert(good.re.get === re / 1e6 && good.im.get === im / 1e6)
+  }
+
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
     val assets = Multimodal.synthBmpAssets(
       spark.range(20).toDF("doc_id"), "doc_id")
