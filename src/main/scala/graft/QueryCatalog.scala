@@ -4258,6 +4258,41 @@ object QueryCatalog {
       |        / n, 6) AS magnitude
       |FROM a""".stripMargin
 
+  /** Greedy k-center coreset (Similarity.kCenters): Gonzalez farthest-
+    * point traversal over the embedding corpus, k = 4 — the diversity-
+    * maximizing selection whose d2 column is the coverage-radius curve.
+    * The oracle unrolls all four rounds (seed by max norm, then argmax
+    * of the running least-rounded-distance, ids excluded as chosen). */
+  def q165KCenters(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenters(t(s, dir, "embeddings"), 4)
+
+  val q165Sql: String = {
+    def d2(v: String, c: String): String =
+      s"round(list_sum(list_transform(list_zip($v, $c), x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  WHERE embedding IS NOT NULL),
+             |c1 AS (SELECT id, v FROM e
+             |  ORDER BY round(list_sum(list_transform(v, x -> x * x)), 6) DESC,
+             |    id ASC LIMIT 1),
+             |m1 AS (SELECT e.id, e.v, """.stripMargin
+    sb ++= d2("e.v", "c1.v")
+    sb ++= " AS d FROM e CROSS JOIN c1 WHERE e.id <> c1.id)"
+    for (r <- 2 to 4) {
+      sb ++= s",\nc$r AS (SELECT id, v, d FROM m${r - 1} ORDER BY d DESC, id ASC LIMIT 1)"
+      if (r < 4) {
+        sb ++= s",\nm$r AS (SELECT m${r - 1}.id, m${r - 1}.v, least(m${r - 1}.d, "
+        sb ++= d2(s"m${r - 1}.v", s"c$r.v")
+        sb ++= s") AS d FROM m${r - 1} CROSS JOIN c$r WHERE m${r - 1}.id <> c$r.id)"
+      }
+    }
+    sb ++= "\nSELECT CAST(1 AS BIGINT) AS center_rank, id AS vec_id, CAST(NULL AS DOUBLE) AS d2 FROM c1"
+    for (r <- 2 to 4)
+      sb ++= s"\nUNION ALL SELECT $r, id, d FROM c$r"
+    sb.toString
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4427,7 +4462,8 @@ object QueryCatalog {
     ("q161_quality_audit", q161QualityAudit _, Some(q161Sql)),
     ("q162_ngram_novelty", q162NgramNovelty _, Some(q162Sql)),
     ("q163_embedding_cov", q163EmbeddingCov _, Some(q163Sql)),
-    ("q164_wav_spectral", q164WavSpectral _, Some(q164Sql)))
+    ("q164_wav_spectral", q164WavSpectral _, Some(q164Sql)),
+    ("q165_k_centers", q165KCenters _, Some(q165Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -48,6 +48,73 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —
+    * the diversity-maximizing data-selection pass: pick the max-norm
+    * vector, then k−1 times the point FARTHEST (in squared L2) from the
+    * already-chosen set. The selected set 2-approximates the optimal
+    * k-center cover, so it is the standard "small but spread-out"
+    * subset for labeling budgets, eval-set construction, and seeding
+    * clustering; the returned `d2` sequence (distance of each pick at
+    * selection time, non-increasing) IS the coverage-radius curve.
+    *
+    * Determinism: every distance is round(Σ(x_t−c_t)², 6) with the
+    * element-order fold both engines share (the [[score]] contract);
+    * argmax ties break on the lowest id; already-chosen ids are
+    * excluded so exact-duplicate points can never re-select a center.
+    * NULL vectors are ignored.
+    *
+    * Scale: k driver-coordinated rounds, each ONE distributed top-1
+    * (TakeOrdered — no global sort materialization) over the corpus
+    * against ≤ k broadcast literal centers; the corpus is scanned k
+    * times but never shuffled or paired with itself. The collected
+    * state is k vectors — control-plane by construction. */
+  def kCenters(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 4096, "k out of range")
+    val spark = corpus.sparkSession
+    val base = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .localCheckpoint(true) // scanned once per round — never recomputed
+    def d2To(c: Array[Double]): Column = {
+      val cl = array(c.map(lit(_)): _*)
+      val diff = zip_with(col("_v"), cl, (a, b) => a - b)
+      round(graft.functions.VectorFunctions.dot_product(diff, diff), 6)
+    }
+    val seedRow = base
+      .orderBy(round(graft.functions.VectorFunctions.dot_product(col("_v"), col("_v")), 6).desc,
+        col("_id").asc)
+      .limit(1).collect()
+    if (seedRow.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("center_rank", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d2", org.apache.spark.sql.types.DoubleType))))
+    }
+    var chosen = Vector[(Long, Array[Double], Option[Double])](
+      (seedRow(0).getLong(0), seedRow(0).getSeq[Double](1).toArray, None))
+    var r = 1
+    while (r < k) {
+      val ids = chosen.map(_._1)
+      val minD = chosen.map(c => d2To(c._2)).reduce(least(_, _))
+      val next = base.filter(!col("_id").isin(ids: _*))
+        .select(col("_id"), col("_v"), minD.as("_d"))
+        .orderBy(col("_d").desc, col("_id").asc)
+        .limit(1).collect()
+      if (next.isEmpty) r = k
+      else {
+        chosen = chosen :+ ((next(0).getLong(0),
+          next(0).getSeq[Double](1).toArray, Some(next(0).getDouble(2))))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, _, d), ix) => (ix + 1L, id, d) }
+      .toDF("center_rank", "vec_id", "d2")
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most similar corpus vectors with a DIFFERENT
     * label — the "close but wrong" examples a contrastive or triplet

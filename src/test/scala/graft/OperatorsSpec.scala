@@ -1820,6 +1820,28 @@ class OperatorsSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("expected 2 dims"))
   }
 
+  test("kCenters: farthest-point traversal replays by hand; duplicates never re-select") {
+    import graft.operators.Similarity
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(0.0f, 6.0f)),
+      (4L, Seq(10.0f, 0.0f)), // exact duplicate of id 2
+      (5L, Seq(5.0f, 0.0f)),
+      (9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val out = Similarity.kCenters(pts, 4).orderBy("center_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // seed = max norm (100 ties id2/id4 -> lowest id); then d2 curve 136, 36, 25
+    assert(out.toSeq === Seq(
+      (1L, 2L, None), (2L, 3L, Some(136.0)), (3L, 1L, Some(36.0)),
+      (4L, 5L, Some(25.0))))
+    assert(out.map(_._3).flatten.toSeq === out.map(_._3).flatten.toSeq.sorted.reverse,
+      "coverage-radius curve is non-increasing")
+    // k beyond distinct points: the duplicate is the only candidate left
+    val all = Similarity.kCenters(pts, 10).collect()
+    assert(all.length === 5 && all.map(_.getLong(1)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // empty corpus
+    assert(Similarity.kCenters(pts.filter(col("vec_id") > 100), 3).collect().isEmpty)
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
