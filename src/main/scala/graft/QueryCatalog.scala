@@ -4293,6 +4293,37 @@ object QueryCatalog {
     sb.toString
   }
 
+  /** Additive seasonal decomposition (TimeSeries.seasonalDecompose):
+    * per-event-type daily value totals split into centered-7-row trend,
+    * day-of-week seasonal, and residual — weekday derived as epoch-days
+    * mod 7 so no engine DOW convention leaks in. */
+  def q166SeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.seasonalDecompose(
+      t(s, dir, "events"), "event_type", "ts", "value")
+
+  val q166Sql: String =
+    """WITH daily AS (SELECT event_type AS s, CAST(ts AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS tot
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT s, day, tot,
+      |    count(*) OVER win AS c7, sum(tot) OVER win AS s7
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY s ORDER BY day
+      |                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t AS (SELECT s, day, tot,
+      |    CASE WHEN c7 = 7 THEN round(CAST(s7 AS DOUBLE) / 7, 6) END AS trend,
+      |    datediff('day', DATE '1970-01-01', day) % 7 AS dow
+      |  FROM w),
+      |d AS (SELECT *, round(CAST(tot AS DOUBLE) - trend, 6) AS detr FROM t),
+      |se AS (SELECT s, dow,
+      |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / count(detr), 6)
+      |      AS seasonal
+      |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2)
+      |SELECT d.s AS event_type, d.day, CAST(d.dow AS BIGINT) AS dow,
+      |  CAST(d.tot AS DOUBLE) AS total, d.trend, se.seasonal,
+      |  round(d.detr - se.seasonal, 6) AS residual
+      |FROM d LEFT JOIN se ON se.s = d.s AND se.dow = d.dow""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4463,7 +4494,8 @@ object QueryCatalog {
     ("q162_ngram_novelty", q162NgramNovelty _, Some(q162Sql)),
     ("q163_embedding_cov", q163EmbeddingCov _, Some(q163Sql)),
     ("q164_wav_spectral", q164WavSpectral _, Some(q164Sql)),
-    ("q165_k_centers", q165KCenters _, Some(q165Sql)))
+    ("q165_k_centers", q165KCenters _, Some(q165Sql)),
+    ("q166_seasonal_decompose", q166SeasonalDecompose _, Some(q166Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -37,6 +37,51 @@ object TimeSeries {
     *
     * Scale: one window PARTITIONED BY series — each series' frame sums
     * fan out independently, no global sort. */
+  /** Additive seasonal decomposition of a per-series daily metric —
+    * total = trend + seasonal(day-of-week) + residual, the classical
+    * STL-lite readout that separates "weekends are always low" from
+    * "this Tuesday actually broke": trend = centered 7-OBSERVATION
+    * rolling mean (rows, not calendar days — compose with
+    * [[gapFillDaily]] first when the series has holes), seasonal = the
+    * per-(series, weekday) mean of the detrended values, residual =
+    * what neither explains. Edge days without a full 7-row frame keep
+    * NULL trend/residual and are excluded from the seasonal means.
+    *
+    * Determinism: daily totals are exact DECIMAL(18,2) sums; the trend
+    * is one fixed-shape double readout of the exact window sum, rounded
+    * 6; detrended values are rounded once and re-summed as DECIMAL for
+    * the seasonal means; weekday = epoch-days mod 7 (pure integers —
+    * no engine-specific DOW convention). Every column replays
+    * bit-for-bit.
+    *
+    * Scale: one (series, day) aggregate over the raw events, then all
+    * windows PARTITION BY series (a series' daily frame is bounded by
+    * the calendar, and distinct series fan out); the seasonal join is a
+    * broadcast of series×7 rows. */
+  def seasonalDecompose(events: DataFrame, seriesCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val daily = events
+      .select(col(seriesCol).as("_s"), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("decimal(18,2)").as("_v"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("_s"), col("day")).agg(sum(col("_v")).as("_tot"))
+    val w7 = Window.partitionBy(col("_s")).orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("_c7", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("_c7") === 7, round(sum(col("_tot")).over(w7).cast("double") / 7, 6)))
+      .withColumn("dow", (datediff(col("day"), lit("1970-01-01")) % 7).cast("long"))
+      .withColumn("_detr", round(col("_tot").cast("double") - col("trend"), 6))
+    val seasonal = trended.filter(col("_detr").isNotNull)
+      .groupBy(col("_s"), col("dow"))
+      .agg(round(sum(col("_detr").cast("decimal(18,6)")).cast("double") /
+        count(col("_detr")), 6).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("_s", "dow"), "left")
+      .select(col("_s").as(seriesCol), col("day"), col("dow"),
+        col("_tot").cast("double").as("total"), col("trend"), col("seasonal"),
+        round(col("_detr") - col("seasonal"), 6).as("residual"))
+  }
+
   def rollingAnomalies(daily: DataFrame, seriesCol: String, dayCol: String,
                        countCol: String, windowDays: Int = 7,
                        sigmas: Int = 2): DataFrame = {

@@ -1842,6 +1842,33 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.kCenters(pts.filter(col("vec_id") > 100), 3).collect().isEmpty)
   }
 
+  test("seasonalDecompose: pure weekly pattern has zero interior residual") {
+    import graft.operators.TimeSeries
+    // 21 contiguous days, total(d) = 100 + p[d mod 7]: constant trend,
+    // pure weekly seasonality -> every full-frame residual is exactly 0
+    val p = Seq(0.0, 7.0, 14.0, -7.0, -14.0, 3.5, -3.5) // sums to 0 -> mp = 0
+    val rows = (0 until 21).map { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      ("clicks", java.sql.Timestamp.valueOf(day.atTime(12, 0)),
+        100.0 + p(day.toEpochDay.toInt % 7))
+    }
+    val out = TimeSeries.seasonalDecompose(
+        rows.toDF("event_type", "ts", "value"), "event_type", "ts", "value")
+      .orderBy("day").collect()
+    assert(out.length === 21)
+    val interior = out.slice(3, 18)
+    assert(interior.forall(r => r.getDouble(4) === 100.0),
+      "interior trend is the constant 100 (each frame sees each weekday once)")
+    interior.foreach { r =>
+      val dow = r.getLong(2).toInt
+      assert(r.getDouble(5) === p(dow), s"seasonal(dow=$dow) = p value")
+      assert(r.getDouble(6) === 0.0, s"interior residual must be 0, got $r")
+    }
+    // edge days: no full frame -> NULL trend and residual, seasonal still joined
+    val edges = out.take(3) ++ out.drop(18)
+    assert(edges.forall(r => r.isNullAt(4) && r.isNullAt(6) && !r.isNullAt(5)))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
