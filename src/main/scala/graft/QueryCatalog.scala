@@ -4208,19 +4208,18 @@ object QueryCatalog {
 
   val q163Sql: String =
     """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-      |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings
-      |  WHERE embedding IS NOT NULL),
-      |p AS (SELECT a.i AS i, b.i AS j,
-      |    CAST(round(a.x * b.x, 12) AS DECIMAL(24,12)) AS xy
+      |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS x
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i),
-      |sxy AS (SELECT i, j, sum(CAST(xy AS DECIMAL(30,12))) AS s,
+      |sxy AS (SELECT i, j, sum(CAST(xy AS DECIMAL(38,0))) AS s,
       |    count(*) AS n FROM p GROUP BY 1, 2),
-      |m AS (SELECT i, sum(CAST(round(x, 9) AS DECIMAL(20,9))) AS sx
-      |  FROM e GROUP BY 1)
+      |m AS (SELECT i, sum(CAST(x AS DECIMAL(38,0))) AS sx FROM e GROUP BY 1)
       |SELECT CAST(sxy.i AS BIGINT) AS i, CAST(sxy.j AS BIGINT) AS j,
       |  CAST(n AS BIGINT) AS n,
-      |  round(CAST(s AS DOUBLE) / n -
-      |    (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS cov
+      |  round(CAST(s AS DOUBLE) / 1e12 / n -
+      |    (CAST(ma.sx AS DOUBLE) / 1e6 / n) * (CAST(mb.sx AS DOUBLE) / 1e6 / n),
+      |    6) AS cov
       |FROM sxy JOIN m ma ON ma.i = sxy.i JOIN m mb ON mb.i = sxy.j
       |WHERE sxy.i <= 8""".stripMargin
 

@@ -269,6 +269,31 @@ object ScaleCheck {
       graft.operators.TextAnalysis.zipfSlope(docs))
     time("source_kl")(
       graft.operators.TextAnalysis.sourceKlDivergence(docs))
+    // round-9 batch 2: PSI rides one (group, bin) partial agg + a
+    // groups²×B grid; novelty is the decontaminate equi-join shape;
+    // covariance shuffles only d² partial sums per task (the N·d²
+    // multiply work is the operator's definition); k-centers is k
+    // distributed top-1 scans, never a pair; the audit is one scan +
+    // one key-count agg; the spectral pass is map-only per asset
+    time("psi(bins=16)")(
+      graft.operators.Stats.psi(docs, "source", "n_chars", bins = 16))
+    time("ngram_novelty(n=3)")(
+      Dedup.ngramNovelty(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), 3))
+    time("embedding_cov")(
+      graft.operators.Stats.embeddingCovariance(emb, 64))
+    time("k_centers(k=4)")(
+      graft.operators.Similarity.kCenters(emb, 4))
+    time("quality_audit")(
+      graft.operators.Expectations.audit(docs, Seq(
+        graft.operators.Expectations.Rule("chars_positive", col("n_chars") > 0),
+        graft.operators.Expectations.Rule("lang_present", col("lang").isNotNull)),
+        uniqueKeys = Seq("doc_pk" -> Seq("doc_id"))))
+    time("wav_spectral")(
+      graft.operators.Multimodal.wavSpectralFeatures(
+        graft.operators.Multimodal.synthWavAssets(docIds, "doc_id"),
+        bins = Seq(0, 3, 7)).toDF())
     spark.stop()
   }
 }

@@ -194,51 +194,56 @@ object Stats {
     * base object for PCA/whitening/feature-correlation audits over a
     * vector corpus, as (i, j, n, cov) rows with 1 ≤ i ≤ j ≤ d.
     *
-    * Determinism contract: each cross product x_i·x_j is one IEEE
-    * double multiply (bit-identical everywhere), rounded once to 12 dp
-    * and summed as DECIMAL (order-free); component sums ride
-    * round(x, 9) DECIMAL the same way; cov = Σxy/n − (Σx_i/n)(Σx_j/n)
-    * is one fixed-shape double readout rounded to 6. Exactness bound:
-    * |x| < ~1e3 keeps DECIMAL(30,12) pair sums exact past 1e15 rows.
+    * Determinism contract: each component is quantized ONCE to integer
+    * micro-units x̂ = round(x·1e6) — so every cross product x̂_i·x̂_j is
+    * an EXACT integer (no per-pair rounding at all), sums are exact
+    * DECIMAL folds of longs, and cov = Σx̂x̂/1e12/n − (Σx̂_i/1e6/n)
+    * (Σx̂_j/1e6/n) is one fixed-shape double readout rounded to 6. The
+    * result is the covariance of the 1e-6-quantized embeddings — the
+    * quantization perturbs cov by ≲ 1e-6·E|x|, below the rounded
+    * output's own granularity for unit-scale embeddings. Bound:
+    * |x| ≤ ~2e3 keeps each product inside a long; DECIMAL(38,0) sums
+    * never overflow.
     *
     * Scale: the pair triples are generated MAP-SIDE by array algebra
-    * (slice + double transform — no self-join, no shuffle of the
-    * vectors); the only exchange carries (i, j) partial sums — at most
-    * d(d+1)/2 rows per task after partial aggregation, independent of
-    * corpus size. The O(N·d²) multiply work is the covariance itself.
-    * NULL vectors are skipped; ragged dims fail LOUDLY (the element
-    * count must be d for every row). */
+    * (slice + transform — no self-join, no shuffle of the vectors);
+    * the only exchange carries (i, j) partial sums — at most d(d+1)/2
+    * rows per task after partial aggregation, independent of corpus
+    * size. The O(N·d²) multiply work is the covariance itself, and it
+    * runs as integer multiplies inside codegen. NULL vectors are
+    * skipped; ragged dims fail LOUDLY (the element count must be d for
+    * every row). */
   def embeddingCovariance(df: DataFrame, d: Int,
                           vecCol: String = "embedding"): DataFrame = {
     require(d >= 1 && d <= 4096, "dims out of range")
     val v = col(vecCol)
     val checked = df.filter(v.isNotNull)
-      .select(when(size(v) === d, v.cast("array<double>"))
+      .select(when(size(v) === d,
+        transform(v.cast("array<double>"), x => round(x * lit(1e6), 0).cast("long")))
         .otherwise(raise_error(concat(lit(s"embeddingCovariance: expected $d dims, got "),
           size(v).cast("string")))).as("_v"))
       .localCheckpoint(true) // read by the pair stream AND the mean stream
-    // map-side (i, j, round(xi*xj, 12)) triples: for row element i, pair
-    // it with elements i..d-1 via slice — pure array algebra, no join
+    // map-side (i, j, x̂i·x̂j) integer triples: for row element i, pair it
+    // with elements i..d-1 via slice — pure array algebra, no join
     val pairs = checked.select(explode(expr(
       """flatten(transform(_v, (xi, i) ->
         |  transform(slice(_v, i + 1, size(_v) - i), (xj, j) ->
-        |    struct(i + 1 AS i, i + j + 1 AS j,
-        |           cast(round(xi * xj, 12) AS decimal(24,12)) AS xy))))""".stripMargin))
+        |    struct(i + 1 AS i, i + j + 1 AS j, xi * xj AS xy))))""".stripMargin))
       .as("_p"))
       .select(col("_p.i").cast("long").as("i"), col("_p.j").cast("long").as("j"),
         col("_p.xy"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xy").cast("decimal(30,12)")).as("_sxy"), count(lit(1)).as("n"))
+      .agg(sum(col("xy").cast("decimal(38,0)")).as("_sxy"), count(lit(1)).as("n"))
     val means = checked.select(posexplode(col("_v")).as(Seq("_i0", "_x")))
       .groupBy((col("_i0") + 1).cast("long").as("i"))
-      .agg(sum(round(col("_x"), 9).cast("decimal(20,9)")).as("_sx"))
+      .agg(sum(col("_x").cast("decimal(38,0)")).as("_sx"))
     pairs
       .join(broadcast(means.select(col("i"), col("_sx").as("_sxi"))), Seq("i"))
       .join(broadcast(means.select(col("i").as("j"), col("_sx").as("_sxj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
-        round(col("_sxy").cast("double") / col("n") -
-          (col("_sxi").cast("double") / col("n")) *
-            (col("_sxj").cast("double") / col("n")), 6).as("cov"))
+        round(col("_sxy").cast("double") / lit(1e12) / col("n") -
+          (col("_sxi").cast("double") / lit(1e6) / col("n")) *
+            (col("_sxj").cast("double") / lit(1e6) / col("n")), 6).as("cov"))
   }
 
   /** Top principal component of a covariance matrix by power iteration —
