@@ -493,6 +493,38 @@ class PlanSpec extends SparkSpec {
       s"window must partition by word:\n${winLines.mkString("\n")}")
   }
 
+  test("q160 psi: one (group,bin) partial agg; the pair grid rides broadcasts") {
+    val p = plan(QueryCatalog.q160PsiDrift)
+    assert(p.contains("partial_"), s"bin counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the grid is broadcast-built:\n$p")
+    assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+  }
+
+  test("q162 novelty: probe meets reference in an equi-join, never a pair scan") {
+    val p = plan(QueryCatalog.q162NgramNovelty)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"n-gram membership must be an equi-join:\n$p")
+  }
+
+  test("q163 covariance: pair stream is map-side array algebra — no self-join of vectors") {
+    val p = plan(QueryCatalog.q163EmbeddingCov)
+    assert(p.contains("Generate"), s"pairs come from one explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no vector self-join — only broadcast mean joins allowed:\n$p")
+    assert(p.contains("partial_"), s"(i,j) sums must partial-aggregate:\n$p")
+  }
+
+  test("q164 spectral: pure map work per asset — no exchange before the result") {
+    val p = plan(QueryCatalog.q164WavSpectral)
+    assert(!p.contains("Exchange"), s"DFT accumulation is per-row JVM work:\n$p")
+  }
+
+  test("q166 seasonal: every window is series-partitioned; seasonal joins broadcast") {
+    val p = plan(QueryCatalog.q166SeasonalDecompose)
+    assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"series×7 seasonal frame must broadcast:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
