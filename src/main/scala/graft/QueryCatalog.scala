@@ -4323,6 +4323,50 @@ object QueryCatalog {
       |  round(d.detr - se.seasonal, 6) AS residual
       |FROM d LEFT JOIN se ON se.s = d.s AND se.dow = d.dow""".stripMargin
 
+  /** kNN label-agreement audit (Similarity.knnLabelAgreement): the
+    * Cleanlab-style label-noise detector on the IVF candidate path —
+    * per labeled vector, the share of its top-5 ANN neighbors sharing
+    * its label, with an integer-crossmultiplied `suspect` minority
+    * verdict. Same 32-cell/4-probe geometry as q142 so the oracle
+    * replays the identical candidate sets. */
+  def q167KnnLabelAgreement(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelAgreement(t(s, dir, "embeddings"),
+      k = 5, nCells = 32, nProbe = 4)
+
+  val q167Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 32),
+       |ca AS (SELECT neighbor_id, cv, neighbor_label, cell_id FROM (
+       |  SELECT e.vec_id AS neighbor_id, e.v AS cv, e.label AS neighbor_label,
+       |    cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents) WHERE rnk <= 1),
+       |qp AS (SELECT query_id, qv, query_label, cell_id FROM (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.label AS query_label,
+       |    cents.cell AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cents.cvec")} DESC, cents.cell ASC) AS rnk
+       |  FROM e CROSS JOIN cents WHERE e.label IS NOT NULL) WHERE rnk <= 4),
+       |scored AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |    max(${cosSql("qv", "cv")}) AS cos
+       |  FROM qp JOIN ca USING (cell_id)
+       |  WHERE query_id <> neighbor_id
+       |  GROUP BY 1, 2, 3, 4),
+       |top AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+       |  WHERE rank <= 5)
+       |SELECT query_id AS vec_id, CAST(query_label AS BIGINT) AS label,
+       |  count(*) AS n_neighbors,
+       |  CAST(sum(CASE WHEN query_label IS NOT DISTINCT FROM neighbor_label
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       |  round(CAST(sum(CASE WHEN query_label IS NOT DISTINCT FROM neighbor_label
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement,
+       |  sum(CASE WHEN query_label IS NOT DISTINCT FROM neighbor_label
+       |    THEN 1 ELSE 0 END) * 2 < count(*) AS suspect
+       |FROM top GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4494,7 +4538,8 @@ object QueryCatalog {
     ("q163_embedding_cov", q163EmbeddingCov _, Some(q163Sql)),
     ("q164_wav_spectral", q164WavSpectral _, Some(q164Sql)),
     ("q165_k_centers", q165KCenters _, Some(q165Sql)),
-    ("q166_seasonal_decompose", q166SeasonalDecompose _, Some(q166Sql)))
+    ("q166_seasonal_decompose", q166SeasonalDecompose _, Some(q166Sql)),
+    ("q167_knn_label_agreement", q167KnnLabelAgreement _, Some(q167Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -577,6 +577,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** kNN label-agreement audit — the Cleanlab-style label-noise
+    * detector beside q113's centroid-distance outliers: for each
+    * LABELED vector, the share of its top-k nearest neighbors carrying
+    * the SAME label. Low agreement flags probable mislabels (confident-
+    * learning's core signal); the `suspect` verdict is integer
+    * cross-multiplied (2·n_same < n_neighbors — strict minority), so
+    * the decision never touches a float.
+    *
+    * Built on the IVF candidate gate from the start (the
+    * [[hardNegativesAnn]] shape with queries = the labeled corpus) —
+    * never a cartesian: neighbors come from each query's nProbe nearest
+    * cells, scored with the exact rounded cosine and ranked with the id
+    * tie-break. Unlabeled rows are audited as nothing but still SERVE
+    * as neighbors (they agree with no label, diluting agreement — the
+    * conservative choice for a mixed corpus).
+    *
+    * Scale: [[annIvfWith]]'s law — broadcast ≤√N centroid table, cell
+    * equi-join, per-query top-k window partitioned by query. */
+  def knnLabelAgreement(corpus: DataFrame, k: Int, nCells: Int, nProbe: Int,
+                        centroids: Option[DataFrame] = None,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val cAssigned = nearestCellsWith(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neighbor_label")),
+      "neighbor_id", "cv", "cell_id", 1)
+    val qProbed = nearestCellsWith(cents,
+      corpus.filter(col(labelCol).isNotNull)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          col(labelCol).as("query_label")),
+      "query_id", "qv", "cell_id", nProbe)
+    val scored = qProbed.join(cAssigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), score(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id").as("vec_id"),
+        col("query_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("query_label") <=> col("neighbor_label"), 1L)
+          .otherwise(0L)).as("n_same"))
+      .withColumn("agreement",
+        round(col("n_same").cast("double") / col("n_neighbors"), 6))
+      .withColumn("suspect", col("n_same") * 2 < col("n_neighbors"))
+  }
+
   /** Product-quantization encoding (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split each vector into
     * `subspaces` contiguous subvectors and replace every subvector with

@@ -1869,6 +1869,41 @@ class OperatorsSpec extends SparkSpec {
     assert(edges.forall(r => r.isNullAt(4) && r.isNullAt(6) && !r.isNullAt(5)))
   }
 
+  test("knnLabelAgreement: planted mislabel flags suspect; unlabeled rows serve but aren't audited") {
+    import graft.operators.Similarity
+    // cluster A (label 0) near (1,0); cluster B (label 1) near (0,1);
+    // id 9 sits in cluster A but is labeled 1 (the planted mislabel);
+    // id 10 sits in cluster B unlabeled.
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1.0, 0.0), Some(0)), (2L, v(0.95, 0.05), Some(0)),
+      (3L, v(0.9, 0.1), Some(0)), (4L, v(0.85, 0.15), Some(0)),
+      (5L, v(0.0, 1.0), Some(1)), (6L, v(0.05, 0.95), Some(1)),
+      (7L, v(0.1, 0.9), Some(1)), (8L, v(0.15, 0.85), Some(1)),
+      (9L, v(0.92, 0.08), Some(1)),       // mislabeled: body in A
+      (10L, v(0.08, 0.92), None)).toDF("vec_id", "embedding", "label")
+    val cents = Seq((100L, v(1.0, 0.0)), (200L, v(0.0, 1.0)))
+      .toDF("cell", "cvec")
+    val out = Similarity.knnLabelAgreement(emb, k = 3, nCells = 2, nProbe = 1,
+        centroids = Some(cents)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(!out.contains(10L), "unlabeled rows are not audited")
+    val (l9, n9, same9, agr9, susp9) = out(9L)
+    assert(l9 === 1L && susp9, s"planted mislabel must flag suspect: ${out(9L)}")
+    assert(same9 === 0L && agr9 === 0.0, "all of id 9's neighbors are cluster A")
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(!out(id)._5, s"clean cluster-A member $id must not be suspect: ${out(id)}")
+    }
+    // id 10 serves as a neighbor in cluster B: some B member counts it
+    // (n_same < n_neighbors) while still agreeing with the B majority
+    Seq(5L, 6L, 7L, 8L).foreach { id =>
+      assert(!out(id)._5, s"clean cluster-B member $id must not be suspect: ${out(id)}")
+    }
+    assert(Seq(5L, 6L, 7L, 8L).exists(id => out(id)._3 < out(id)._2),
+      "the unlabeled neighbor dilutes someone's agreement without flipping the verdict")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
