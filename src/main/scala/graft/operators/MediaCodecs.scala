@@ -197,6 +197,32 @@ object MediaCodecs {
     * (the analyzed stream), unlike [[decodeWav]]'s all-channel energy.
     * Cost O(N·bins) per asset, one sample pass per bin set, zero
     * allocation beyond the result. */
+  // (k, N) → quantized weight tables. Clips cluster on a handful of frame
+  // counts and bin sets, so the tables amortize to ~zero; the size cap
+  // keeps a pathological every-N-distinct corpus from pinning memory
+  // (past it, weights are computed inline — identical values, just slower).
+  private val dftWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Long])]()
+
+  private def w6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  private def dftWeights(k: Int, n: Int): (Array[Long], Array[Long]) = {
+    def build: (Array[Long], Array[Long]) = {
+      val c = new Array[Long](n); val s = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val theta = -2.0 * math.Pi * k * i / n
+        c(i) = w6(Math.cos(theta)); s(i) = w6(Math.sin(theta))
+        i += 1
+      }
+      (c, s)
+    }
+    if (dftWeightCache.size > 1024) build
+    else dftWeightCache.computeIfAbsent((k.toLong << 32) | n, _ => build)
+  }
+
   def wavDftBins(bytes: Array[Byte], bins: Seq[Int]): Option[(WavData, Array[(Int, Long, Long)])] = {
     require(bins.nonEmpty && bins.forall(_ >= 0), "bins must be non-negative")
     parseWavLayout(bytes).map { case (ch, rate, bits, off, dlen) =>
@@ -206,17 +232,16 @@ object MediaCodecs {
       var b = 0
       while (b < bins.size) {
         val k = bins(b)
+        val (wc, ws) = if (nFrames > 0) dftWeights(k, nFrames)
+          else (Array.empty[Long], Array.empty[Long])
         var re = 0L; var im = 0L
         var n = 0
         var i = off
         while (n < nFrames) {
           val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
           if (b == 0) sumSq += s * s // whole-stream energy once, ch-0 only
-          val theta = -2.0 * math.Pi * k * n / nFrames
-          re += s * java.math.BigDecimal.valueOf(Math.cos(theta) * 1e6)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-          im += s * java.math.BigDecimal.valueOf(Math.sin(theta) * 1e6)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          re += s * wc(n)
+          im += s * ws(n)
           n += 1
           i += 2 * ch // channel 0 of interleaved frames
         }

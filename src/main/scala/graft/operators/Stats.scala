@@ -205,45 +205,47 @@ object Stats {
     * |x| ≤ ~2e3 keeps each product inside a long; DECIMAL(38,0) sums
     * never overflow.
     *
-    * Scale: the pair triples are generated MAP-SIDE by array algebra
-    * (slice + transform — no self-join, no shuffle of the vectors);
-    * the only exchange carries (i, j) partial sums — at most d(d+1)/2
-    * rows per task after partial aggregation, independent of corpus
-    * size. The O(N·d²) multiply work is the covariance itself, and it
-    * runs as integer multiplies inside codegen. NULL vectors are
-    * skipped; ragged dims fail LOUDLY (the element count must be d for
-    * every row). */
+    * Scale: the flat pair-product array is generated MAP-SIDE by array
+    * algebra (slice + transform — no self-join, no shuffle of the
+    * vectors) and folded by ONE [[graft.functions.LongVectorSumAgg]] —
+    * integer addition is associative, so the one-pass aggregate is
+    * bit-identical to any grouped formulation while the shuffle carries
+    * a single d(d+1)/2-long state row per partition. The O(N·d²)
+    * multiply work is the covariance itself. NULL vectors are skipped;
+    * ragged dims fail LOUDLY; sum overflow fails LOUDLY
+    * (Math.addExact — bound n·(1e6·max|x|)² < 2^63). */
   def embeddingCovariance(df: DataFrame, d: Int,
                           vecCol: String = "embedding"): DataFrame = {
     require(d >= 1 && d <= 4096, "dims out of range")
+    val p = d * (d + 1) / 2
     val v = col(vecCol)
     val checked = df.filter(v.isNotNull)
       .select(when(size(v) === d,
         transform(v.cast("array<double>"), x => round(x * lit(1e6), 0).cast("long")))
         .otherwise(raise_error(concat(lit(s"embeddingCovariance: expected $d dims, got "),
           size(v).cast("string")))).as("_v"))
-      .localCheckpoint(true) // read by the pair stream AND the mean stream
-    // map-side (i, j, x̂i·x̂j) integer triples: for row element i, pair it
-    // with elements i..d-1 via slice — pure array algebra, no join
-    val pairs = checked.select(explode(expr(
+    // map-side flat x̂i·x̂j products for i ≤ j (slice algebra, no join),
+    // folded in one pass; the (t → i,j) index map is a one-row explode
+    val products = expr(
       """flatten(transform(_v, (xi, i) ->
-        |  transform(slice(_v, i + 1, size(_v) - i), (xj, j) ->
-        |    struct(i + 1 AS i, i + j + 1 AS j, xi * xj AS xy))))""".stripMargin))
-      .as("_p"))
-      .select(col("_p.i").cast("long").as("i"), col("_p.j").cast("long").as("j"),
-        col("_p.xy"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xy").cast("decimal(38,0)")).as("_sxy"), count(lit(1)).as("n"))
-    val means = checked.select(posexplode(col("_v")).as(Seq("_i0", "_x")))
-      .groupBy((col("_i0") + 1).cast("long").as("i"))
-      .agg(sum(col("_x").cast("decimal(38,0)")).as("_sx"))
-    pairs
-      .join(broadcast(means.select(col("i"), col("_sx").as("_sxi"))), Seq("i"))
-      .join(broadcast(means.select(col("i").as("j"), col("_sx").as("_sxj"))), Seq("j"))
+        |  transform(slice(_v, i + 1, size(_v) - i), (xj, j) -> xi * xj)))""".stripMargin)
+    val aggRow = checked.agg(
+      graft.functions.LongVectorSumAgg.longVectorSum(products, p).as("_ps"),
+      graft.functions.LongVectorSumAgg.longVectorSum(col("_v"), d).as("_ms"),
+      count(lit(1)).as("n"))
+    val mapping = df.sparkSession.range(1).select(posexplode(expr(
+      s"""flatten(transform(sequence(1, $d), i ->
+         |  transform(sequence(i, $d), j -> struct(i AS i, j AS j))))""".stripMargin))
+      .as(Seq("_t", "_p")))
+      .select(col("_t"), col("_p.i").cast("long").as("i"),
+        col("_p.j").cast("long").as("j"))
+    aggRow.select(posexplode(col("_ps")).as(Seq("_t", "_sxy")), col("_ms"), col("n"))
+      .join(broadcast(mapping), Seq("_t"))
       .select(col("i"), col("j"), col("n"),
         round(col("_sxy").cast("double") / lit(1e12) / col("n") -
-          (col("_sxi").cast("double") / lit(1e6) / col("n")) *
-            (col("_sxj").cast("double") / lit(1e6) / col("n")), 6).as("cov"))
+          (element_at(col("_ms"), col("i").cast("int")).cast("double") / lit(1e6) / col("n")) *
+            (element_at(col("_ms"), col("j").cast("int")).cast("double") / lit(1e6) / col("n")),
+          6).as("cov"))
   }
 
   /** Top principal component of a covariance matrix by power iteration —
