@@ -4367,6 +4367,59 @@ object QueryCatalog {
        |    THEN 1 ELSE 0 END) * 2 < count(*) AS suspect
        |FROM top GROUP BY 1, 2""".stripMargin
 
+  /** Nearest-direction as-of join (Joins.asOf direction="nearest" —
+    * pandas merge_asof parity): each error event matched to the CLOSER
+    * purchase in time (ties → backward), per user; matched_dir reports
+    * which side won. One key shuffle, two window sorts — never a
+    * per-row probe. */
+  def q168AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    Joins.asOf(errors, purch, Seq("user_id"), "ts", "ts", "p_",
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_p_event_id").as("near_purchase_id"),
+        col("p_ts").as("near_purchase_ts"),
+        when(col("p_ts").isNull, lit(null).cast("string"))
+          .when(operators.Times.epochMicros(col("p_ts")) <=
+            operators.Times.epochMicros(col("ts")), lit("backward"))
+          .otherwise(lit("forward")).as("matched_dir"))
+  }
+
+  val q168Sql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type FROM events),
+      |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
+      |p AS (SELECT user_id, ts, max(event_id) AS p_event_id
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |b AS (SELECT err.event_id, p.p_event_id AS b_id, p.ts AS b_ts
+      |      FROM err ASOF LEFT JOIN p
+      |        ON err.user_id = p.user_id AND p.ts <= err.ts),
+      |f AS (SELECT err.event_id, p.p_event_id AS f_id, p.ts AS f_ts
+      |      FROM err ASOF LEFT JOIN p
+      |        ON err.user_id = p.user_id AND p.ts >= err.ts),
+      |pick AS (SELECT err.event_id, err.user_id, err.ts,
+      |    CASE WHEN b_id IS NULL THEN f_id
+      |         WHEN f_id IS NULL THEN b_id
+      |         WHEN epoch_us(f_ts) - epoch_us(err.ts)
+      |              < epoch_us(err.ts) - epoch_us(b_ts) THEN f_id
+      |         ELSE b_id END AS near_purchase_id,
+      |    CASE WHEN b_id IS NULL THEN f_ts
+      |         WHEN f_id IS NULL THEN b_ts
+      |         WHEN epoch_us(f_ts) - epoch_us(err.ts)
+      |              < epoch_us(err.ts) - epoch_us(b_ts) THEN f_ts
+      |         ELSE b_ts END AS near_purchase_ts
+      |  FROM err JOIN b USING (event_id) JOIN f USING (event_id))
+      |SELECT event_id, user_id, ts, near_purchase_id, near_purchase_ts,
+      |  CASE WHEN near_purchase_ts IS NULL THEN NULL
+      |       WHEN epoch_us(near_purchase_ts) <= epoch_us(ts) THEN 'backward'
+      |       ELSE 'forward' END AS matched_dir
+      |FROM pick""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4539,7 +4592,8 @@ object QueryCatalog {
     ("q164_wav_spectral", q164WavSpectral _, Some(q164Sql)),
     ("q165_k_centers", q165KCenters _, Some(q165Sql)),
     ("q166_seasonal_decompose", q166SeasonalDecompose _, Some(q166Sql)),
-    ("q167_knn_label_agreement", q167KnnLabelAgreement _, Some(q167Sql)))
+    ("q167_knn_label_agreement", q167KnnLabelAgreement _, Some(q167Sql)),
+    ("q168_asof_nearest", q168AsofNearest _, Some(q168Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

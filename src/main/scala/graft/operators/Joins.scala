@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** As-of join: for every left row, the single latest right row with
-    * `rightTime <= leftTime` for the same key (LEFT semantics: no match →
-    * NULL right columns).
+  /** As-of join with pandas-`merge_asof` direction semantics: for every
+    * left row, ONE matching right row for the same key — `backward`
+    * (default) the latest right with `rightTime <= leftTime`, `forward`
+    * the earliest right with `rightTime >= leftTime`, `nearest` the
+    * closer of the two (ties → backward). LEFT semantics: no match →
+    * NULL right columns.
     *
     * Implementation: tag and union both sides, then carry the right
-    * payload forward with `last(_, ignoreNulls)` over a window partitioned
-    * by key and ordered by (time, side) — right rows at time T sort before
-    * left rows at T, so ties are inclusive (`<=`), matching DuckDB's
-    * `ASOF JOIN`. One shuffle on the key; no per-row lookups.
+    * payload with `last(_, ignoreNulls)` over a window partitioned by
+    * key and ordered by (time, side) — ascending for backward,
+    * descending for forward; right rows at time T sort before left rows
+    * at T either way, so ties are inclusive, matching DuckDB's
+    * `ASOF JOIN`. `nearest` runs BOTH windows over the same union (one
+    * shuffle, two sorts) and picks per row by exact epoch-µs distance.
+    * One shuffle on the key regardless of direction; no per-row lookups.
     *
     * The right side must be unique per (key, rightTime) — pre-collapse
     * with e.g. lastWriteWins; otherwise which duplicate wins is
@@ -31,9 +37,14 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           rightPrefix: String = "right_"): DataFrame = {
+           rightPrefix: String = "right_",
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftPayload = left.columns.filterNot(keys.contains)
     val rightPayload = right.columns.filterNot(keys.contains)
+    require(direction != "nearest" || rightPayload.contains(rightTime),
+      "nearest needs the right time column outside the join keys")
     // The whole right payload travels as ONE nullable struct, so the carry
     // below picks every right column from the SAME matched row. Carrying
     // columns independently (last(c, ignoreNulls) per column) would stitch
@@ -54,12 +65,39 @@ object Joins {
       .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightPayload.toIndexedSeq.map(col): _*).as("_rpay"): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val wBack = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l2.unionByName(r2)
-      .select((keys.map(col) ++ Seq(col("_side")) ++ leftPayload.map(col) :+
-        last(col("_rpay"), ignoreNulls = true).over(w).as("_rpay")): _*)
+    // descending time: "last seen" right row is the EARLIEST with t >= left
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val union = l2.unionByName(r2)
+    val head = keys.map(col) ++ Seq(col("_side")) ++ leftPayload.map(col)
+    val carried = direction match {
+      case "backward" => union.select((head :+
+        last(col("_rpay"), ignoreNulls = true).over(wBack).as("_rpay")): _*)
+      case "forward" => union.select((head :+
+        last(col("_rpay"), ignoreNulls = true).over(wFwd).as("_rpay")): _*)
+      case "nearest" =>
+        // exact epoch-µs distance for time types, raw double otherwise —
+        // the comparison is integer micros either way for timestamps
+        def num(c: Column): Column = left.schema(leftTime).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType |
+               _: org.apache.spark.sql.types.TimestampNTZType |
+               _: org.apache.spark.sql.types.DateType => Times.epochMicros(c)
+          case _ => c.cast("double")
+        }
+        union
+          .withColumn("_b", last(col("_rpay"), ignoreNulls = true).over(wBack))
+          .withColumn("_f", last(col("_rpay"), ignoreNulls = true).over(wFwd))
+          .select((head :+
+            when(col("_b").isNull, col("_f"))
+              .when(col("_f").isNull, col("_b"))
+              .when(num(col(s"_f.$rightTime")) - num(col("_t")) <
+                num(col("_t")) - num(col(s"_b.$rightTime")), col("_f"))
+              .otherwise(col("_b")).as("_rpay")): _*)
+    }
     carried.filter(col("_side") === 1)
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"_rpay.$c").as(s"$rightPrefix$c")): _*)

@@ -30,6 +30,40 @@ class JoinsSpec extends SparkSpec {
     assert(out("e3") === None, "LEFT semantics: no match -> NULL")
   }
 
+  test("asOf directions: forward picks earliest-at-or-after; nearest ties go backward") {
+    val left = Seq(
+      (1L, ts("2024-01-01 05:00:00"), "e1"), // back 04:00 (60m), fwd 05:10 (10m) -> fwd
+      (1L, ts("2024-01-01 04:10:00"), "e2"), // back 04:00 (10m), fwd 05:10 (60m) -> back
+      (1L, ts("2024-01-01 04:35:00"), "e3"), // 35m both sides: tie -> backward
+      (1L, ts("2024-01-01 03:00:00"), "e4"), // nothing before -> fwd only
+      (2L, ts("2024-01-01 03:00:00"), "e5")  // no right rows at all
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 04:00:00"), "a"),
+      (1L, ts("2024-01-01 05:10:00"), "b")
+    ).toDF("k", "t", "v")
+    def run(dir: String) =
+      Joins.asOf(left, right, Seq("k"), "t", "t", direction = dir)
+        .collect().map(r => r.getAs[String]("name") ->
+          Option(r.getAs[String]("right_v"))).toMap
+    val fwd = run("forward")
+    assert(fwd === Map("e1" -> Some("b"), "e2" -> Some("b"), "e3" -> Some("b"),
+      "e4" -> Some("a"), "e5" -> None),
+      s"forward = earliest right at-or-after: $fwd")
+    val near = run("nearest")
+    assert(near === Map("e1" -> Some("b"), "e2" -> Some("a"), "e3" -> Some("a"),
+      "e4" -> Some("a"), "e5" -> None),
+      s"nearest picks the closer side, ties backward: $near")
+    // forward tie is inclusive too: a left row exactly AT a right time takes it
+    val tie = Joins.asOf(
+      Seq((1L, ts("2024-01-01 04:00:00"), "t1")).toDF("k", "t", "name"),
+      right, Seq("k"), "t", "t", direction = "forward")
+      .collect().map(r => Option(r.getAs[String]("right_v"))).head
+    assert(tie === Some("a"), "forward tie at equal times matches")
+    intercept[IllegalArgumentException](
+      Joins.asOf(left, right, Seq("k"), "t", "t", direction = "sideways"))
+  }
+
   test("asOf takes ALL right columns from the matched row, even NULL fields") {
     // the matched (latest at-or-before) right row has v=NULL: the output
     // must carry that NULL, NOT stitch v from the older right row — the
