@@ -4420,6 +4420,31 @@ object QueryCatalog {
       |       ELSE 'forward' END AS matched_dir
       |FROM pick""".stripMargin
 
+  /** Blocked Jaro-Winkler record linkage (Joins.blockedJaroWinklerJoin +
+    * the native jaro_winkler_similarity expression, semantics verified
+    * decision-for-decision against DuckDB's): part names on a fixed-key
+    * calibration subset, prefix-blocked, kept at similarity ≥ 0.8. */
+  def q169JaroWinklerLink(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") < 400)
+    Joins.blockedJaroWinklerJoin(
+        p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a")),
+        p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b")),
+        "name_a", "name_b", minSim = 0.8, blockLen = 6)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("similarity"))
+  }
+
+  val q169Sql: String =
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 400)
+      |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS similarity
+      |FROM p a JOIN p b
+      |  ON substring(a.p_name, 1, 6) = substring(b.p_name, 1, 6)
+      | AND a.p_partkey < b.p_partkey
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4593,7 +4618,8 @@ object QueryCatalog {
     ("q165_k_centers", q165KCenters _, Some(q165Sql)),
     ("q166_seasonal_decompose", q166SeasonalDecompose _, Some(q166Sql)),
     ("q167_knn_label_agreement", q167KnnLabelAgreement _, Some(q167Sql)),
-    ("q168_asof_nearest", q168AsofNearest _, Some(q168Sql)))
+    ("q168_asof_nearest", q168AsofNearest _, Some(q168Sql)),
+    ("q169_jaro_winkler_link", q169JaroWinklerLink _, Some(q169Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -57,6 +57,10 @@ object GraftExtensions {
     ("char_entropy_stats", new ExpressionInfo(classOf[CharEntropyStats].getName,
       "char_entropy_stats"),
       arity("char_entropy_stats(s)", 1)(c => CharEntropyStats(c.head))),
+    // same name as DuckDB's scorer — the oracle mirror reads the same
+    ("jaro_winkler_similarity", new ExpressionInfo(classOf[JaroWinkler].getName,
+      "jaro_winkler_similarity"),
+      arity("jaro_winkler_similarity(a, b)", 2)(c => JaroWinkler(c.head, c(1)))),
     // the UDTF surface: word n-gram generators, SQL-callable like explode
     // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
     // the generator's output schema is fixed at plan time

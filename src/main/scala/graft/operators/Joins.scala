@@ -288,4 +288,26 @@ object Joins {
         levenshtein(col(leftName), col(rightName), maxDist).cast("long"))
       .filter(col("dist") >= 0)
   }
+
+  /** [[blockedFuzzyJoin]]'s record-linkage twin scored by Jaro-Winkler
+    * ([[graft.functions.JaroWinkler]] — the name/title matcher where
+    * Levenshtein's length sensitivity misleads): candidates from the
+    * same prefix block, kept at `round(similarity, 6) >= minSim`. The
+    * prefix block is the NATURAL blocking key for Jaro-Winkler — the
+    * Winkler bonus rewards exactly the prefix the block guarantees.
+    * Same scale law: the join is a plain equi-join on the block key;
+    * the O(len²) scorer runs only on blocked candidates, never a
+    * cartesian. */
+  def blockedJaroWinklerJoin(left: DataFrame, right: DataFrame,
+                             leftName: String, rightName: String,
+                             minSim: Double, blockLen: Int = 6): DataFrame = {
+    require(minSim >= 0 && minSim <= 1 && blockLen >= 1,
+      "need 0 <= minSim <= 1, blockLen >= 1")
+    left.join(right,
+        substring(col(leftName), 1, blockLen) === substring(col(rightName), 1, blockLen))
+      .withColumn("similarity",
+        round(graft.functions.JaroWinkler.jaro_winkler(
+          col(leftName), col(rightName)), 6))
+      .filter(col("similarity") >= minSim)
+  }
 }

@@ -46,6 +46,39 @@ class ExtensionsAndSkewSpec extends SparkSpec {
     assert(r.getInt(1) === 4)
   }
 
+  test("jaro_winkler_similarity: reference values match DuckDB's decision-for-decision") {
+    import graft.functions.JaroWinkler.jw
+    // values probed from DuckDB jaro_winkler_similarity (the oracle's
+    // engine); the classic-variant decisions they pin: prefix bonus,
+    // 0.7 boost threshold, transposition halving, empty-string zeros
+    val expected = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // transposition + prefix 3
+      ("dixon", "dicksonx", 0.8133333333333332),  // prefix 2 bonus applied
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no common prefix
+      ("CRATE", "TRACE", 0.7333333333333334),     // >0.7 but prefix 0
+      ("kitten", "sitting", 0.746031746031746),
+      ("aaapppp", "appp", 0.8714285714285714),
+      ("ABCAWXYZ", "BCAWXYZ", 0.9107142857142857),
+      ("abqqqqqq", "abzzzzzz", 0.5),              // prefix 2 but jaro <= 0.7: NO bonus
+      ("ab", "abcdefghijklmnop", 0.7666666666666667),
+      ("abc", "abc", 1.0))
+    expected.foreach { case (a, b, v) =>
+      assert(math.abs(jw(a, b) - v) < 1e-12, s"jw($a, $b) = ${jw(a, b)}, want $v")
+      assert(jw(a, b) === jw(b, a), "symmetric")
+    }
+    assert(jw("", "") === 0.0 && jw("a", "") === 0.0, "empty strings score 0")
+    // SQL-callable under the DuckDB name; codegen'd (no UDF) — the input
+    // is id-dependent so constant folding can't collapse the plan
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.range(2).selectExpr(
+      "jaro_winkler_similarity(CASE WHEN id = 0 THEN 'martha' ELSE 'zzz' END, 'marhta') AS s")
+    assert(math.abs(r.orderBy(org.apache.spark.sql.functions.desc("s"))
+      .collect().head.getDouble(0) - 0.9611111111111111) < 1e-12)
+    // the `*(1)` stage marker = the Project runs inside WholeStageCodegen
+    assert(r.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      s"jaro_winkler must stay inside codegen:\n${r.queryExecution.executedPlan}")
+  }
+
   test("salted aggregates equal their unsalted counterparts on skewed data") {
     // hot key: 10k rows on one key, a handful elsewhere
     val df = ((1 to 10000).map(i => ("hot", i % 100)) ++
