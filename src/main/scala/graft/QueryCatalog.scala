@@ -4445,6 +4445,39 @@ object QueryCatalog {
       | AND a.p_partkey < b.p_partkey
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8""".stripMargin
 
+  /** Daily-value autocorrelation at lags 1..7
+    * (TimeSeries.autocorrelation): the period detector feeding q166's
+    * decomposition — calendar-paired, exact-cents Pearson via the q97
+    * integer law. */
+  def q170Autocorrelation(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.autocorrelation(
+      t(s, dir, "events"), "event_type", "ts", "value", maxLag = 7)
+
+  val q170Sql: String =
+    """WITH daily AS (SELECT event_type AS s, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |lags AS (SELECT unnest(range(1, 8)) AS lag),
+      |pairs AS (SELECT d1.s, lags.lag, d1.c AS x, d2.c AS y
+      |  FROM daily d1 CROSS JOIN lags
+      |  JOIN daily d2 ON d2.s = d1.s AND d2.day = d1.day + CAST(lags.lag AS INT)),
+      |a AS (SELECT s, lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1, 2),
+      |h AS (SELECT s, lag, n,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+      |  FROM a)
+      |SELECT s AS event_type, CAST(lag AS BIGINT) AS lag, n,
+      |  CASE WHEN denx > 0 AND deny > 0 THEN
+      |    round(CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6)
+      |  END AS acf
+      |FROM h""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4619,7 +4652,8 @@ object QueryCatalog {
     ("q166_seasonal_decompose", q166SeasonalDecompose _, Some(q166Sql)),
     ("q167_knn_label_agreement", q167KnnLabelAgreement _, Some(q167Sql)),
     ("q168_asof_nearest", q168AsofNearest _, Some(q168Sql)),
-    ("q169_jaro_winkler_link", q169JaroWinklerLink _, Some(q169Sql)))
+    ("q169_jaro_winkler_link", q169JaroWinklerLink _, Some(q169Sql)),
+    ("q170_autocorrelation", q170Autocorrelation _, Some(q170Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1904,6 +1904,40 @@ class OperatorsSpec extends SparkSpec {
       "the unlabeled neighbor dilutes someone's agreement without flipping the verdict")
   }
 
+  test("autocorrelation: alternating series scores exactly -1 at lag 1, +1 at lag 2; gaps pair nothing") {
+    import graft.operators.TimeSeries
+    val rows = (0 until 14).map { d =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(d)
+      ("m", java.sql.Timestamp.valueOf(day.atTime(9, 0)),
+        if (d % 2 == 0) 10.0 else 20.0)
+    }
+    val out = TimeSeries.autocorrelation(
+        rows.toDF("event_type", "ts", "value"), "event_type", "ts", "value",
+        maxLag = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === ((13L, Some(-1.0))), "perfect alternation anti-correlates at lag 1")
+    assert(out(2L) === ((12L, Some(1.0))), "period-2 series correlates exactly at lag 2")
+    assert(out(3L) === ((11L, Some(-1.0))))
+    // calendar pairing: a hole in the series removes exactly the pairs
+    // that would straddle it — no silent row-shift alignment
+    val gappy = rows.zipWithIndex.filter(_._2 != 7).map(_._1)
+    val g = TimeSeries.autocorrelation(
+        gappy.toDF("event_type", "ts", "value"), "event_type", "ts", "value",
+        maxLag = 1)
+      .collect().head
+    assert(g.getLong(2) === 11L, "13 pairs minus the two straddling the missing day")
+    // constant series: zero variance -> NULL acf
+    val const = (0 until 6).map { d =>
+      ("c", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(d).atTime(9, 0)), 5.0)
+    }
+    val c = TimeSeries.autocorrelation(
+        const.toDF("event_type", "ts", "value"), "event_type", "ts", "value",
+        maxLag = 1).collect().head
+    assert(c.isNullAt(3), "constant series has no defined correlation")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
