@@ -4478,6 +4478,30 @@ object QueryCatalog {
       |  END AS acf
       |FROM h""".stripMargin
 
+  /** Per-node triangle counts over the LSH duplicate-pair graph
+    * (Dedup.triangleCounts): the density diagnostic separating clique-
+    * like duplicate mass from chain-like borderline glue — same edge
+    * set as q75's components, oracle reuses q24's pair pipeline. */
+  def q171TriangleCounts(s: SparkSession, dir: String): DataFrame =
+    Dedup.triangleCounts(
+      Dedup.minhashLsh(t(s, dir, "documents"), n = 5, k = 12, bands = 4,
+        threshold = 0.5, maxBucket = 100))
+
+  /** q24's pair pipeline verbatim with the wedge + closing-edge joins
+    * appended (the q75 reuse pattern). */
+  val q171Sql: String = {
+    val pairSelect = "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"
+    assert(q24Sql.endsWith(pairSelect), "q171Sql tracks q24Sql's pair tail")
+    q24Sql.dropRight(pairSelect.length).stripTrailing() + ",\n" +
+      """p AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.5),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM p e1 JOIN p e2 ON e2.a = e1.b
+        |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS doc_id FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY 1""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4653,7 +4677,8 @@ object QueryCatalog {
     ("q167_knn_label_agreement", q167KnnLabelAgreement _, Some(q167Sql)),
     ("q168_asof_nearest", q168AsofNearest _, Some(q168Sql)),
     ("q169_jaro_winkler_link", q169JaroWinklerLink _, Some(q169Sql)),
-    ("q170_autocorrelation", q170Autocorrelation _, Some(q170Sql)))
+    ("q170_autocorrelation", q170Autocorrelation _, Some(q170Sql)),
+    ("q171_triangle_counts", q171TriangleCounts _, Some(q171Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

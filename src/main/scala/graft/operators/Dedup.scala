@@ -403,6 +403,35 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Per-node triangle counts over the duplicate-pair graph — the
+    * cluster-density diagnostic beside [[connectedComponents]]'s
+    * membership and [[dedupPageRank]]'s centrality: a component can be a
+    * sparse chain (pairwise borderline matches transitively glued — low
+    * triangle count, candidates for manual review) or a dense clique
+    * (true duplicate mass — triangle-rich). Counts each triangle once
+    * via the id-ordering orientation x < y < z: a wedge join on the
+    * shared middle vertex plus one closing-edge equi-join.
+    *
+    * Scale: both joins are equi-joins on node ids; wedge work is
+    * Σ deg² over the pair graph, and the pair generators already cap
+    * degree ([[minhashLsh]]'s hot-bucket cap / [[simhashNearDup]]'s
+    * pigeonhole), so no vertex explodes the wedge set. Edges are
+    * normalized (least/greatest, dedup) first — the input order never
+    * changes the result. */
+  def triangleCounts(pairs: DataFrame,
+                     aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val norm = materialize(pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    val tri = norm.as("e1")
+      .join(norm.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(norm.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Per-document n-gram novelty rate — the memorization/diversity
     * readout on top of [[decontaminate]]'s machinery: for each `probe`
     * document (a generated sample, a held-out split), the fraction of

@@ -1938,6 +1938,20 @@ class OperatorsSpec extends SparkSpec {
     assert(c.isNullAt(3), "constant series has no defined correlation")
   }
 
+  test("triangleCounts: K4 members sit in 3 triangles each, chains in none; input order irrelevant") {
+    import graft.operators.Dedup
+    // K4 on {1,2,3,4} (some edges reversed + one duplicate), chain 10-11-12
+    val edges = Seq(
+      (1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (2L, 1L), // duplicate, reversed
+      (10L, 11L), (12L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"each K4 vertex is in C(3,2)=3 triangles; chain nodes in none: $out")
+    assert(out.values.sum === 12L, "4 triangles x 3 vertices")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
