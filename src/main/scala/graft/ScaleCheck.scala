@@ -294,6 +294,19 @@ object ScaleCheck {
       graft.operators.Multimodal.wavSpectralFeatures(
         graft.operators.Multimodal.synthWavAssets(docIds, "doc_id"),
         bins = Seq(0, 3, 7)).toDF())
+    // triangles: wedge work = Σ deg² over the CAPPED pair graph — cost
+    // follows the duplicated subset, never the corpus
+    time("triangle_counts")(
+      Dedup.triangleCounts(
+        Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4, threshold = 0.5,
+          maxBucket = 100)))
+    // label agreement: the IVF candidate shape with queries = the corpus
+    locally {
+      val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+      time(s"knn_label_agree(c=$cells)")(
+        graft.operators.Similarity.knnLabelAgreement(emb, k = 5,
+          nCells = cells, nProbe = 4))
+    }
     spark.stop()
   }
 }

@@ -525,6 +525,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"series×7 seasonal frame must broadcast:\n$p")
   }
 
+  test("q167 label agreement: candidates ride the cell equi-join, never all-pairs") {
+    val p = plan(QueryCatalog.q167KnnLabelAgreement)
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x corpus must be the cell equi-join:\n$p")
+    assert(!p.contains("PARTITION BY ()"), s"no unpartitioned window:\n$p")
+  }
+
+  test("q169 record linkage: the JW scorer runs only on block-key equi-join candidates") {
+    val p = plan(QueryCatalog.q169JaroWinklerLink)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must be an equi-join:\n$p")
+    assert(p.contains("jarowinkler") || p.contains("jaro"),
+      s"the native expression must appear in the plan:\n$p")
+  }
+
+  test("q170 autocorrelation: lag pairs are equi-joins; five sums partial-aggregate") {
+    val p = plan(QueryCatalog.q170Autocorrelation)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calendar pairing must be an equi-join on (series, day):\n$p")
+    assert(p.contains("partial_"), s"sums must partial-aggregate:\n$p")
+  }
+
+  test("q171 triangles: wedge and closing edges are equi-joins over a materialized pair set") {
+    val p = plan(QueryCatalog.q171TriangleCounts)
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
