@@ -4502,6 +4502,40 @@ object QueryCatalog {
         |SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY 1""".stripMargin
   }
 
+  /** Group-aware k-fold assignment (Sampling.groupKFold): leakage-safe
+    * CV folds hashed from the GROUP key — every row of a source lands in
+    * one fold; the aggregate shape proves both the assignment and the
+    * no-straddle property (one row per source). */
+  def q172GroupKfold(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.groupKFold(t(s, dir, "documents"), "source", 5)
+      .groupBy(col("source"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val q172Sql: String =
+    """SELECT source,
+      |  CAST(('0x' || substring(md5(CAST(source AS VARCHAR)), 1, 12)) AS BIGINT)
+      |    % 1000000 % 5 AS fold,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Per-source vocabulary statistics (TextAnalysis.vocabStats): the
+    * Heaps'-law health readout — hapax rate collapsing flags template
+    * mass where q157's Zipf slope flags frequency-shape damage. */
+  def q173VocabStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(t(s, dir, "documents"))
+
+  val q173Sql: String =
+    s"""WITH tf AS (SELECT source, tok, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents) GROUP BY 1, 2)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS hapax_rate,
+       |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio
+       |FROM tf GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4678,7 +4712,9 @@ object QueryCatalog {
     ("q168_asof_nearest", q168AsofNearest _, Some(q168Sql)),
     ("q169_jaro_winkler_link", q169JaroWinklerLink _, Some(q169Sql)),
     ("q170_autocorrelation", q170Autocorrelation _, Some(q170Sql)),
-    ("q171_triangle_counts", q171TriangleCounts _, Some(q171Sql)))
+    ("q171_triangle_counts", q171TriangleCounts _, Some(q171Sql)),
+    ("q172_group_kfold", q172GroupKfold _, Some(q172Sql)),
+    ("q173_vocab_stats", q173VocabStats _, Some(q173Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

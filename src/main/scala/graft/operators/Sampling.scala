@@ -282,4 +282,24 @@ object Sampling {
     df.withColumn("split",
       when(b < t, lit("train")).when(b < v, lit("val")).otherwise(lit("test")))
   }
+
+  /** GROUP-aware k-fold assignment — cross-validation's leakage guard:
+    * the fold is hashed from the GROUP key (author, session, near-dup
+    * cluster id from [[graft.operators.Dedup.connectedComponents]]), so
+    * every row of a group lands in the SAME fold and a model can never
+    * meet its validation group's siblings in training — the
+    * [[threeWaySplit]] philosophy extended to k folds and correlated
+    * rows (sklearn's GroupKFold, made deterministic).
+    *
+    * fold = 48-bit md5 bucket of the group mod k — seedless,
+    * partition-independent, engine-replayable; NULL groups get NULL
+    * fold (route them explicitly, don't let them silently pool).
+    * Map-only: zero shuffles, zero state. */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int,
+                 salt: String = ""): DataFrame = {
+    require(k >= 2 && k <= 1024, "k out of range")
+    df.withColumn("fold",
+      when(col(groupCol).isNotNull,
+        pmod(hashBucket(col(groupCol), salt), lit(k.toLong))))
+  }
 }

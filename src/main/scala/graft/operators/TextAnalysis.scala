@@ -762,6 +762,33 @@ object TextAnalysis {
           r6ln(col("na1")).cast("double"))) / col("na1"), 6).as("kl_div"))
   }
 
+  /** Per-group vocabulary statistics — the Heaps'-law corpus-health
+    * readout beside [[zipfSlope]]'s frequency shape: token count, type
+    * (distinct-token) count, hapax/dis legomena (frequency-1/-2 types),
+    * hapax rate and type-token ratio. Natural text holds hapax rate
+    * ≈ 0.4-0.6 at any size (new words keep arriving — Heaps' law);
+    * boilerplate/template mass crushes it toward 0, and a deduped
+    * corpus shows it climbing back up. TTR falling with corpus size is
+    * expected; hapax RATE falling is the alarm.
+    *
+    * Determinism: pure integer counts; the two rates are one rounded
+    * division each. Scale: ONE (group, token) count aggregate (map-side
+    * combine collapses repeats) + a per-group conditional aggregate over
+    * the vocabulary — bounded by vocabulary, never corpus². */
+  def vocabStats(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("_g"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("_g"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("_g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("hapax"), col("dis"),
+        round(col("hapax").cast("double") / col("n_types"), 6).as("hapax_rate"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("type_token_ratio"))
+
   /** Zipf rank-frequency slope per group — the corpus-health readout:
     * natural language's rank-frequency plot is near-linear in log-log
     * with slope ≈ −1 (Zipf's law); generated/boilerplate text flattens

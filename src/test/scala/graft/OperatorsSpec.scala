@@ -1952,6 +1952,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.sum === 12L, "4 triangles x 3 vertices")
   }
 
+  test("groupKFold: whole groups share a fold; NULL groups get NULL; folds cover 0..k-1") {
+    import graft.operators.Sampling
+    val d = (1L to 400L).map(i => (i, s"g${i % 37}"))
+      .toDF("id", "grp")
+      .union(Seq((999L, null.asInstanceOf[String])).toDF("id", "grp"))
+    val out = Sampling.groupKFold(d, "grp", 5)
+    val byGroup = out.filter(col("grp").isNotNull)
+      .groupBy("grp").agg(countDistinct(col("fold")).as("nf"))
+      .collect().map(_.getLong(1))
+    assert(byGroup.forall(_ === 1L), "a group must never straddle folds")
+    val folds = out.filter(col("grp").isNotNull)
+      .select("fold").distinct().collect().map(_.getLong(0)).toSet
+    assert(folds.subsetOf((0L until 5L).toSet) && folds.size >= 4,
+      s"37 groups should hit nearly all 5 folds: $folds")
+    assert(out.filter(col("grp").isNull).collect().head.isNullAt(2),
+      "NULL group -> NULL fold, never silently pooled")
+    // partition-stability: fold is content-derived
+    val re = Sampling.groupKFold(d.repartition(13), "grp", 5)
+      .filter(col("id") === 7L).collect().head.getLong(2)
+    assert(re === out.filter(col("id") === 7L).collect().head.getLong(2))
+  }
+
+  test("vocabStats: hand-counted hapax/dis/ttr per group") {
+    val d = Seq(
+      (1L, "A", "a a a b b c d"),      // counts a:3 b:2 c:1 d:1
+      (2L, "B", "x x x x")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.vocabStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("A") === ((7L, 4L, 2L, 1L, 0.5, 0.571429)),
+      s"A: 7 tokens, 4 types, hapax {c,d}, dis {b}: ${out("A")}")
+    assert(out("B") === ((4L, 1L, 0L, 0L, 0.0, 0.25)),
+      "repeated-token corpus has zero hapax rate — the template-mass signal")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
