@@ -248,6 +248,106 @@ object Stats {
           6).as("cov"))
   }
 
+  /** Mahalanobis novelty scores — the covariance-aware outlier detector
+    * over an embedding corpus: m²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ), the distance
+    * that discounts directions the corpus itself varies in (a point far
+    * along the data's main axis is ordinary; the same distance across
+    * it is novel). The anomaly screen to run before trusting corpus
+    * statistics, beside q113's per-label centroid distances.
+    *
+    * Σ comes from [[embeddingCovariance]] (the quantized-exact
+    * triangle), μ from the same micro-unit sums; `ridge`·I is added
+    * before inversion so a rank-deficient corpus (constant dims, n < d)
+    * degrades smoothly instead of blowing up. The inverse runs ON THE
+    * DRIVER — Σ is d×d, control-plane sized BY CONSTRUCTION — via
+    * Gauss-Jordan with partial pivoting (deterministic double math,
+    * single-threaded); the per-row quadratic form is one mapPartitions
+    * pass with the d² matrix shipped in the closure (NOT as plan
+    * literals — 4096 literal columns would bloat every plan string).
+    *
+    * Not oracle-replayable by design (iterative inversion isn't SQL);
+    * the spec proves it against closed forms instead — the
+    * [[pcaTopComponent]] evidence contract. Returns (idCol, m2) with
+    * m2 = round(quadratic form, 6); NULL vectors are skipped. */
+  def mahalanobisScores(df: DataFrame, d: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        ridge: Double = 1e-6): DataFrame = {
+    require(d >= 1 && d <= 4096, "dims out of range")
+    val covRows = embeddingCovariance(df, d, vecCol)
+      .collect().map(r => (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
+        r.getDouble(3)))
+    require(covRows.nonEmpty, "mahalanobisScores: empty corpus")
+    val a = Array.tabulate(d, d)((i, j) => if (i == j) ridge else 0.0)
+    covRows.foreach { case (i, j, c) => a(i)(j) += c; a(j)(i) = a(i)(j) }
+    // mean from the same micro-unit quantization the covariance used
+    val stats = df.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(1e6), 0).cast("long")).as("_v"))
+      .agg(graft.functions.LongVectorSumAgg.longVectorSum(col("_v"), d).as("_s"),
+        count(lit(1)).as("n"))
+      .collect().head
+    val n = stats.getLong(1)
+    val mean = stats.getSeq[Long](0).map(_ / 1e6 / n).toArray
+    // Gauss-Jordan with partial pivoting: deterministic, single-threaded
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var colIx = 0
+    while (colIx < d) {
+      var pivot = colIx
+      var best = math.abs(a(colIx)(colIx))
+      var r = colIx + 1
+      while (r < d) {
+        if (math.abs(a(r)(colIx)) > best) { best = math.abs(a(r)(colIx)); pivot = r }
+        r += 1
+      }
+      require(best > 0, s"singular covariance at column $colIx — raise ridge")
+      if (pivot != colIx) {
+        val t = a(pivot); a(pivot) = a(colIx); a(colIx) = t
+        val t2 = inv(pivot); inv(pivot) = inv(colIx); inv(colIx) = t2
+      }
+      val p = a(colIx)(colIx)
+      var j = 0
+      while (j < d) { a(colIx)(j) /= p; inv(colIx)(j) /= p; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != colIx && a(r)(colIx) != 0.0) {
+          val f = a(r)(colIx)
+          j = 0
+          while (j < d) {
+            a(r)(j) -= f * a(colIx)(j); inv(r)(j) -= f * inv(colIx)(j); j += 1
+          }
+        }
+        r += 1
+      }
+      colIx += 1
+    }
+    val flatInv = inv.flatten // shipped in the closure, not as plan literals
+    val meanB = mean
+    val dd = d
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val diff = new Array[Double](dd)
+          var i = 0
+          while (i < dd) { diff(i) = v(i) - meanB(i); i += 1 }
+          var s = 0.0
+          i = 0
+          while (i < dd) {
+            var acc = 0.0
+            var j = 0
+            while (j < dd) { acc += flatInv(i * dd + j) * diff(j); j += 1 }
+            s += diff(i) * acc
+            i += 1
+          }
+          (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF(idCol, "m2")
+  }
+
   /** Top principal component of a covariance matrix by power iteration —
     * the PCA readout over [[embeddingCovariance]]'s result. The matrix
     * is d×d (control-plane sized BY CONSTRUCTION — it never grows with

@@ -1987,6 +1987,39 @@ class OperatorsSpec extends SparkSpec {
       "repeated-token corpus has zero hapax rate — the template-mass signal")
   }
 
+  test("mahalanobisScores: closed-form on axis-aligned data; cross-axis outlier ranks top") {
+    import graft.operators.Stats
+    // x-variance 4, y-variance 1, mean (0,0): m2((x,y)) = x²/4 + y²/1.
+    // Balanced ± pairs keep the mean exactly 0 and the quantized cov exact.
+    val base = Seq(
+      (1L, 2.0, 0.0), (2L, -2.0, 0.0), (3L, 2.0, 0.0), (4L, -2.0, 0.0),
+      (5L, 0.0, 1.0), (6L, 0.0, -1.0), (7L, 0.0, 1.0), (8L, 0.0, -1.0))
+    val d = base.map { case (i, x, y) => (i, Seq(x.toFloat, y.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val out = Stats.mahalanobisScores(d, 2, ridge = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    base.foreach { case (i, x, y) =>
+      val expect = x * x / 2.0 + y * y / 0.5 // var_x = 2, var_y = 0.5 from this sample
+      assert(math.abs(out(i) - expect) < 1e-4, s"m2($i) = ${out(i)}, want $expect")
+    }
+    // a point far ACROSS the thin axis scores higher than one equally far
+    // along the wide axis — the whole point of Mahalanobis
+    val withOut = (base.map { case (i, x, y) => (i, Seq(x.toFloat, y.toFloat)) } ++
+      Seq((100L, Seq(3.0f, 0.0f)), (101L, Seq(0.0f, 3.0f))))
+      .toDF("vec_id", "embedding")
+    val o = Stats.mahalanobisScores(withOut, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(o(101L) > o(100L),
+      s"equal Euclidean distance, but across the thin axis is more novel: $o")
+    assert(o.maxBy(_._2)._1 === 101L)
+    // singular covariance (constant dim) fails loudly at ridge 0, degrades at default
+    val flat = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(2.0f, 5.0f)), (3L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](Stats.mahalanobisScores(flat, 2, ridge = 0.0))
+    assert(Stats.mahalanobisScores(flat, 2).collect().length === 3,
+      "default ridge handles rank deficiency")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
