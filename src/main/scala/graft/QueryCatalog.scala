@@ -4536,6 +4536,84 @@ object QueryCatalog {
        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio
        |FROM tf GROUP BY 1""".stripMargin
 
+  /** Per-source curation dashboard — the composition row a curator runs
+    * FIRST: duplication (q141's profile), vocabulary health (q173's
+    * hapax rate/TTR), frequency shape (q157's Zipf slope), and mean char
+    * entropy (q152's per-doc screen averaged), joined per source into
+    * one diagnostic frame. Every leg is the deterministic variant, so
+    * the whole join replays in DuckDB; the tf aggregate is SHARED by the
+    * vocabulary and Zipf legs. */
+  def q174SourceDashboard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dup = Dedup.dupProfile(docs)
+      .select(col("source"), col("n_docs"), col("dup_permille"))
+    val vocab = TextAnalysis.vocabStats(docs)
+      .select(col("source"), col("hapax_rate"), col("type_token_ratio"))
+    val zipf = TextAnalysis.zipfSlope(docs)
+      .select(col("source"), col("zipf_slope"))
+    val entropy = docs.select(col("source"),
+        graft.functions.CharEntropyStats.stats(col("text"))
+          .getField("entropy").as("_e"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("_e").cast("decimal(18,6)")).cast("double") /
+        count(col("_e")), 6).as("mean_entropy"))
+    dup.join(vocab, Seq("source")).join(zipf, Seq("source"))
+      .join(entropy, Seq("source"))
+  }
+
+  val q174Sql: String =
+    s"""WITH tf AS (SELECT source, tok, count(*) AS cnt
+       |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents) GROUP BY 1, 2),
+       |voc AS (SELECT source,
+       |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS hapax_rate,
+       |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS type_token_ratio
+       |  FROM tf GROUP BY 1),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY cnt DESC, tok) AS rnk FROM tf),
+       |zf AS (SELECT source, CAST(round(ln(rnk), 6) AS DECIMAL(12,6)) AS x,
+       |    CAST(round(ln(cnt), 6) AS DECIMAL(12,6)) AS y
+       |  FROM rk WHERE rnk <= 512),
+       |zagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(24,6))) AS sx,
+       |    sum(CAST(y AS DECIMAL(24,6))) AS sy,
+       |    sum(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+       |    sum(CAST(x * x AS DECIMAL(30,12))) AS sxx
+       |  FROM zf GROUP BY 1),
+       |zipf AS (SELECT source,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+       |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       |  END AS zipf_slope FROM zagg),
+       |fp AS (SELECT source, md5($normSql) AS fp, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |dup AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST((sum(n) - count(*)) * 1000 // sum(n) AS BIGINT) AS dup_permille
+       |  FROM fp GROUP BY 1),
+       |pos AS (SELECT doc_id, source, text,
+       |    unnest(generate_series(1, len(text))) AS i
+       |  FROM documents WHERE len(text) >= 1),
+       |ccnt AS (SELECT doc_id, source, substr(text, i, 1) AS ch, count(*) AS c
+       |  FROM pos GROUP BY 1, 2, 3),
+       |eagg AS (SELECT doc_id, source, sum(c) AS n,
+       |    sum(CAST(c AS DECIMAL(12,0)) * CAST(round(ln(c), 6) AS DECIMAL(12,6)))
+       |      AS plogp
+       |  FROM ccnt GROUP BY 1, 2),
+       |edoc AS (SELECT source,
+       |    round(round(ln(n), 6) - CAST(plogp AS DOUBLE) / n, 6) AS e FROM eagg),
+       |esrc AS (SELECT source,
+       |    round(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(e), 6)
+       |      AS mean_entropy
+       |  FROM edoc GROUP BY 1)
+       |SELECT source, n_docs, dup_permille, hapax_rate, type_token_ratio,
+       |  zipf_slope, mean_entropy
+       |FROM dup JOIN voc USING (source) JOIN zipf USING (source)
+       |  JOIN esrc USING (source)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4714,7 +4792,8 @@ object QueryCatalog {
     ("q170_autocorrelation", q170Autocorrelation _, Some(q170Sql)),
     ("q171_triangle_counts", q171TriangleCounts _, Some(q171Sql)),
     ("q172_group_kfold", q172GroupKfold _, Some(q172Sql)),
-    ("q173_vocab_stats", q173VocabStats _, Some(q173Sql)))
+    ("q173_vocab_stats", q173VocabStats _, Some(q173Sql)),
+    ("q174_source_dashboard", q174SourceDashboard _, Some(q174Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

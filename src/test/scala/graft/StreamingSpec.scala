@@ -70,6 +70,54 @@ class StreamingSpec extends SparkSpec {
       "replays merge by key — no verdict-row duplication")
   }
 
+  test("StreamingDrift: per-batch PSI is bit-identical to Stats.psi inside the reference span") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val store = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-drift").toString, nBuckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString
+    // reference holds both extremes, so the frozen span = the union span
+    val refRows = Seq(0.0, 1.0, 2.0, 3.0, 10.0, 10.0, 9.0, 8.0)
+    val ref = refRows.map(Tuple1(_)).toDF("v")
+    val in = MemoryStream[Double]
+    val stream = in.toDF().toDF("v")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingDrift.start(stream, ref, "v",
+        bins = 4, threshold = 0.1, store = store,
+        verdictTable = "drift", checkpointDir = ckpt)
+      q.awaitTermination()
+    }
+    val b0 = Seq(0.5, 1.5, 9.5, 10.0) // balanced like the reference
+    val b1 = Seq(0.1, 0.2, 0.3, 0.4, 0.5) // all low bins: drifted
+    in.addData(b0: _*); drain()
+    in.addData(b1: _*); drain()
+    val v = store.read("drift").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Double]("psi"), r.getAs[Boolean]("drifted"))).toMap
+    // bit-identity with the batch operator on the tagged union frame
+    def batchPsi(cur: Seq[Double]): Double = {
+      val union = refRows.map(x => ("ref", x)) ++ cur.map(x => ("cur", x))
+      graft.operators.Stats.psi(union.toDF("grp", "v"), "grp", "v", bins = 4)
+        .filter(col("grp_a") === "cur").collect().head.getDouble(2)
+    }
+    assert(v(0L)._1 === batchPsi(b0), s"batch 0: ${v(0L)._1} vs ${batchPsi(b0)}")
+    assert(v(1L)._1 === batchPsi(b1), s"batch 1: ${v(1L)._1} vs ${batchPsi(b1)}")
+    assert(!v(0L)._2 && v(1L)._2, s"only the shifted batch drifts: $v")
+    // out-of-span values clamp into edge bins instead of vanishing
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-drift-ck2").toString
+    val in2 = MemoryStream[Double]
+    in2.addData(Seq(-5.0, 50.0, 50.0, 50.0): _*)
+    // small counts + add-one smoothing damp the score: threshold low here
+    val q2 = graft.streaming.StreamingDrift.start(in2.toDF().toDF("v"), ref, "v",
+      bins = 4, threshold = 0.05, store = store,
+      verdictTable = "drift2", checkpointDir = ckpt2)
+    q2.awaitTermination()
+    val d2 = store.read("drift2").collect().head
+    assert(d2.getAs[Long]("n_rows") === 4L && d2.getAs[Boolean]("drifted"),
+      "outliers beyond the frozen span count in the edge bins and flag drift")
+  }
+
   test("watermarked tumbling windows finalize once the watermark passes (T4)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, Double)]
