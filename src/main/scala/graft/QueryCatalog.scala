@@ -4614,6 +4614,55 @@ object QueryCatalog {
        |FROM dup JOIN voc USING (source) JOIN zipf USING (source)
        |  JOIN esrc USING (source)""".stripMargin
 
+  /** RFM user segmentation (Events.rfmSegments): recency/frequency/
+    * monetary quintile scores against the corpus' own distribution —
+    * exactQuantiles bounds (≡ quantile_cont) broadcast back, strict-
+    * greater scoring so ties land low in any engine. */
+  def q175RfmSegments(s: SparkSession, dir: String): DataFrame =
+    operators.Events.rfmSegments(t(s, dir, "events"))
+
+  val q175Sql: String =
+    """WITH base AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |a AS (SELECT max(tus) AS asof FROM base),
+      |per AS (SELECT user_id,
+      |    CAST((a.asof - max(tus)) // 86400000000 AS BIGINT) AS recency_days,
+      |    count(*) AS frequency, CAST(sum(v) AS DOUBLE) AS monetary
+      |  FROM base CROSS JOIN a GROUP BY user_id, a.asof),
+      |b AS (SELECT
+      |    round(quantile_cont(recency_days, 0.2), 6) AS r20,
+      |    round(quantile_cont(recency_days, 0.4), 6) AS r40,
+      |    round(quantile_cont(recency_days, 0.6), 6) AS r60,
+      |    round(quantile_cont(recency_days, 0.8), 6) AS r80,
+      |    round(quantile_cont(frequency, 0.2), 6) AS f20,
+      |    round(quantile_cont(frequency, 0.4), 6) AS f40,
+      |    round(quantile_cont(frequency, 0.6), 6) AS f60,
+      |    round(quantile_cont(frequency, 0.8), 6) AS f80,
+      |    round(quantile_cont(monetary, 0.2), 6) AS m20,
+      |    round(quantile_cont(monetary, 0.4), 6) AS m40,
+      |    round(quantile_cont(monetary, 0.6), 6) AS m60,
+      |    round(quantile_cont(monetary, 0.8), 6) AS m80
+      |  FROM per),
+      |scored AS (SELECT user_id, recency_days, frequency, monetary,
+      |    6 - (1 + CAST(recency_days > r20 AS BIGINT)
+      |           + CAST(recency_days > r40 AS BIGINT)
+      |           + CAST(recency_days > r60 AS BIGINT)
+      |           + CAST(recency_days > r80 AS BIGINT)) AS r_score,
+      |    1 + CAST(frequency > f20 AS BIGINT) + CAST(frequency > f40 AS BIGINT)
+      |      + CAST(frequency > f60 AS BIGINT) + CAST(frequency > f80 AS BIGINT)
+      |      AS f_score,
+      |    1 + CAST(monetary > m20 AS BIGINT) + CAST(monetary > m40 AS BIGINT)
+      |      + CAST(monetary > m60 AS BIGINT) + CAST(monetary > m80 AS BIGINT)
+      |      AS m_score
+      |  FROM per CROSS JOIN b)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |  CAST(r_score AS BIGINT) AS r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS segment
+      |FROM scored""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4793,7 +4842,8 @@ object QueryCatalog {
     ("q171_triangle_counts", q171TriangleCounts _, Some(q171Sql)),
     ("q172_group_kfold", q172GroupKfold _, Some(q172Sql)),
     ("q173_vocab_stats", q173VocabStats _, Some(q173Sql)),
-    ("q174_source_dashboard", q174SourceDashboard _, Some(q174Sql)))
+    ("q174_source_dashboard", q174SourceDashboard _, Some(q174Sql)),
+    ("q175_rfm_segments", q175RfmSegments _, Some(q175Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

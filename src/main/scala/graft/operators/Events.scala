@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,5 +103,60 @@ object Events {
       .groupBy(col("_cohort").as("cohort_day"),
         datediff(col("_day"), col("_cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** RFM segmentation — the classic user-value breakdown (recency /
+    * frequency / monetary, each scored 1-5 by corpus quintiles) as
+    * deterministic relational algebra: per-user aggregates, quintile
+    * bounds from [[ApproxQuantile.exactQuantiles]] (the bounded-state
+    * exact path, bit-equal to `quantile_cont`, broadcast back as one
+    * tiny row), and scores by strict-greater comparisons against the
+    * rounded bounds — ties land in the LOWER score in any engine.
+    * Recency is inverted (most recent = 5); the reference instant is
+    * the corpus' own max timestamp, so the result is a pure function of
+    * the data. NULL users/timestamps are excluded.
+    *
+    * Scale: one user-keyed aggregate over the events, three
+    * exactQuantiles passes over the (already user-collapsed) frame, and
+    * a map-only scoring projection under broadcast bounds. */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user_id"),
+        Times.epochMicros(col(tsCol)).as("_tus"),
+        col(valueCol).cast("decimal(18,2)").as("_v"))
+    val asOf = base.agg(max(col("_tus")).as("_asof"))
+    val per = base.groupBy(col("user_id"))
+      .agg(max(col("_tus")).as("_last"), count(lit(1)).as("frequency"),
+        sum(col("_v")).as("_m"))
+      .crossJoin(broadcast(asOf))
+      .select(col("user_id"),
+        // integer `div`, never double division — a quotient that double
+        // rounding nudges across an integer boundary would differ from
+        // the oracle's floor division
+        expr("(_asof - _last) div 86400000000").as("recency_days"),
+        col("frequency"), col("_m").cast("double").as("monetary"))
+      .localCheckpoint(true) // three quantile passes + the scoring read
+    val qs = Seq("_b20" -> 0.2, "_b40" -> 0.4, "_b60" -> 0.6, "_b80" -> 0.8)
+    def bounds(metric: String): DataFrame =
+      ApproxQuantile.exactQuantiles(
+        per.select(lit(1).as("_g"), col(metric)), "_g", metric, qs).drop("_g")
+    def scoreUp(metric: Column, b: String): Column =
+      (lit(1L) + (metric > col(s"$b._b20")).cast("long") +
+        (metric > col(s"$b._b40")).cast("long") +
+        (metric > col(s"$b._b60")).cast("long") +
+        (metric > col(s"$b._b80")).cast("long"))
+    per
+      .crossJoin(broadcast(bounds("recency_days").select(struct(col("*")).as("_rb"))))
+      .crossJoin(broadcast(bounds("frequency").select(struct(col("*")).as("_fb"))))
+      .crossJoin(broadcast(bounds("monetary").select(struct(col("*")).as("_mb"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(6L) - scoreUp(col("recency_days"), "_rb")).as("r_score"),
+        scoreUp(col("frequency"), "_fb").as("f_score"),
+        scoreUp(col("monetary"), "_mb").as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
   }
 }

@@ -2020,6 +2020,34 @@ class OperatorsSpec extends SparkSpec {
       "default ridge handles rank deficiency")
   }
 
+  test("rfmSegments: aligned quintiles give 555/111 at the extremes; ties score low") {
+    import graft.operators.Events
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(12, 0))
+    // user u has u events of value 10*u on day u: all three metrics align
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, ts(u), 10.0 * u))
+    }
+    val out = Events.rfmSegments(rows.toDF("user_id", "ts", "value")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    // reference instant = day 5; recency: u5 -> 0 days, u1 -> 4 days
+    assert(out(5L) === ((0L, 5L, 250.0, 5L, 5L, 5L, "555")),
+      s"best user on every axis: ${out(5L)}")
+    assert(out(1L) === ((4L, 1L, 10.0, 1L, 1L, 1L, "111")),
+      s"worst user on every axis: ${out(1L)}")
+    assert(out.values.forall { case (_, _, _, r, f, m, _) =>
+      Seq(r, f, m).forall(s => s >= 1 && s <= 5) }, "scores stay in 1..5")
+    // frequency-ties: equal metric values land in the same (lower) score
+    val tied = Seq((1L, ts(1), 5.0), (2L, ts(1), 5.0), (3L, ts(1), 5.0))
+      .toDF("user_id", "ts", "value")
+    val t = Events.rfmSegments(tied).collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).distinct
+    // strict-greater puts ties in the LOW score; recency inverts (6 - low = 5)
+    assert(t === Seq((5L, 1L, 1L)),
+      s"identical users score identically — f/m low, recency high by inversion: $t")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
