@@ -4663,6 +4663,104 @@ object QueryCatalog {
       |    || CAST(m_score AS VARCHAR) AS segment
       |FROM scored""".stripMargin
 
+  /** Entity-resolution composition: blocked Jaro-Winkler matching
+    * (q169's scorer at 0.9) → connected components (q65's closure) →
+    * per-cluster canonical record (min-id member's name) — the full
+    * record-linkage pipeline as ONE oracle row, the q143 composition
+    * pattern applied to the linkage family. */
+  def q176EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") < 400)
+    val pairs = Joins.blockedJaroWinklerJoin(
+        p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a")),
+        p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b")),
+        "name_a", "name_b", minSim = 0.9, blockLen = 6)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.connectedComponents(pairs)
+      .join(p.select(col("p_partkey").as("doc_id"), col("p_name")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_id"),
+        min_by(col("p_name"), col("doc_id")).as("canonical_name"))
+      .filter(col("n_members") >= 2)
+  }
+
+  val q176Sql: String =
+    """WITH RECURSIVE p0 AS (SELECT p_partkey, p_name FROM part
+      |  WHERE p_partkey < 400),
+      |pr AS (SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+      |  FROM p0 a JOIN p0 b
+      |    ON substring(a.p_name, 1, 6) = substring(b.p_name, 1, 6)
+      |   AND a.p_partkey < b.p_partkey
+      |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |      UNION ALL SELECT doc_b, doc_a FROM pr),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+      |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, count(*) AS n_members,
+      |  min(id) AS canonical_id, arg_min(p_name, id) AS canonical_name
+      |FROM cc JOIN p0 ON p0.p_partkey = cc.id
+      |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  /** Daily growth accounting (Events.dailyGrowth): DAU split into
+    * new/returning plus the cumulative-user curve — exact integers, the
+    * running sum over the calendar-bounded daily frame. */
+  def q177DailyGrowth(s: SparkSession, dir: String): DataFrame =
+    operators.Events.dailyGrowth(t(s, dir, "events"))
+
+  val q177Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |f AS (SELECT u, min(day) AS first_day FROM days GROUP BY 1),
+      |daily AS (SELECT day, count(*) AS dau,
+      |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_users
+      |  FROM days JOIN f USING (u) GROUP BY 1)
+      |SELECT day, dau, new_users,
+      |  dau - new_users AS returning_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM daily""".stripMargin
+
+  /** G.711 µ-law decode through the REAL compander
+    * (MediaCodecs.mulawEncode/mulawDecode — a genuine lossy audio codec
+    * in pure integer arithmetic): synth samples → µ-law bytes → byte
+    * parse → linear expansion; the oracle replays encode ∘ decode as
+    * integer formulas (bias 132, CASE-chain exponent, mantissa shift),
+    * so the quantization error itself is oracle-checked. */
+  def q178MulawDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMulawFeatures(
+      Multimodal.synthMulawAssets(t(s, dir, "documents"), "doc_id")).toDF()
+
+  val q178Sql: String =
+    """WITH p AS (SELECT doc_id AS asset_id,
+      |    CAST(256 + (doc_id % 17) * 16 AS BIGINT) AS n FROM documents),
+      |s AS (SELECT asset_id, n,
+      |    unnest(generate_series(0, n - 1)) AS i FROM p),
+      |t AS (SELECT asset_id, n,
+      |    ((asset_id * 7 + i * 13) % 201 - 100) * 64 AS smp FROM s),
+      |d AS (SELECT asset_id, n, abs(smp) + 132 AS x,
+      |    CASE WHEN smp < 0 THEN -1 ELSE 1 END AS sg FROM t),
+      |e AS (SELECT asset_id, n, sg, x,
+      |    CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6
+      |         WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+      |         WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+      |         WHEN x >= 256 THEN 1 ELSE 0 END AS ex FROM d),
+      |g AS (SELECT asset_id, n,
+      |    sg * (((x // CAST(pow(2, ex + 3) AS BIGINT)) % 16 * 8 + 132)
+      |      * CAST(pow(2, ex) AS BIGINT) - 132) AS lin FROM e),
+      |a AS (SELECT asset_id, n, sum(lin * lin) AS ss FROM g GROUP BY 1, 2)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok,
+      |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+      |  n AS n_samples, CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(ss AS BIGINT) AS sum_sq,
+      |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms
+      |FROM a""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4843,7 +4941,10 @@ object QueryCatalog {
     ("q172_group_kfold", q172GroupKfold _, Some(q172Sql)),
     ("q173_vocab_stats", q173VocabStats _, Some(q173Sql)),
     ("q174_source_dashboard", q174SourceDashboard _, Some(q174Sql)),
-    ("q175_rfm_segments", q175RfmSegments _, Some(q175Sql)))
+    ("q175_rfm_segments", q175RfmSegments _, Some(q175Sql)),
+    ("q176_entity_resolution", q176EntityResolution _, Some(q176Sql)),
+    ("q177_daily_growth", q177DailyGrowth _, Some(q177Sql)),
+    ("q178_mulaw_decode", q178MulawDecode _, Some(q178Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

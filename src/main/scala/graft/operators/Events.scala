@@ -105,6 +105,34 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Daily growth accounting — DAU split into new vs returning, plus the
+    * cumulative user count: the product-growth readout beside
+    * [[cohortRetention]]'s triangle. A user is "new" on their first-seen
+    * day (exact min over their distinct activity days) and "returning"
+    * after; cum_users is the running sum of new users.
+    *
+    * Scale: one (user, day) distinct, one per-user min-day aggregate,
+    * one per-day count — all user- or day-keyed. The running sum is a
+    * window over the DAILY frame, which is calendar-bounded (one row
+    * per day — thousands of rows for a decade), the documented
+    * tiny-frame exception to the no-unpartitioned-window rule. */
+  def dailyGrowth(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("day")).distinct()
+    val first = days.groupBy(col("_u")).agg(min(col("day")).as("_first"))
+    val daily = days.join(first, Seq("_u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("_first"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning_users", col("dau") - col("new_users"))
+    // running sum over the calendar-bounded daily frame (tiny by design)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   /** RFM segmentation — the classic user-value breakdown (recency /
     * frequency / monetary, each scored 1-5 by corpus quintiles) as
     * deterministic relational algebra: per-user aggregates, quintile

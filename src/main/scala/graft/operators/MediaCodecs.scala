@@ -60,17 +60,17 @@ object MediaCodecs {
     out.array()
   }
 
-  /** One chunk walk shared by [[decodeWav]] and [[wavWindowSumSq]]:
-    * (channels, rate, bits, dataOffset, dataLength) of a valid PCM-16
-    * RIFF/WAVE payload, or None on anything malformed. */
-  private def parseWavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+  /** Chunk walk returning (audioFormat, channels, rate, bits, dataOffset,
+    * dataLength) — accepts PCM-16 (format 1) and µ-law-8 (format 7, the
+    * G.711 telephony codec); anything else is malformed. */
+  private def parseWavLayoutFmt(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return None
     var pos = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
-    var data: Option[(Int, Int)] = None     // (offset, length)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, length)
     while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = u32(bytes, pos + 4)
@@ -79,21 +79,102 @@ object MediaCodecs {
         case "fmt " =>
           if (len < 16) return None
           val audioFormat = u16(bytes, pos + 8)
-          if (audioFormat != 1) return None    // PCM only
-          fmt = Some((u16(bytes, pos + 10), u32(bytes, pos + 12).toInt,
-            u16(bytes, pos + 22)))
+          if (audioFormat != 1 && audioFormat != 7) return None
+          fmt = Some((audioFormat, u16(bytes, pos + 10),
+            u32(bytes, pos + 12).toInt, u16(bytes, pos + 22)))
         case "data" => data = Some((pos + 8, len.toInt))
         case _ => ()                           // skip LIST/fact/...
       }
       pos += 8 + len.toInt + (len.toInt & 1)   // odd chunks pad one byte
     }
     (fmt, data) match {
-      case (Some((ch, rate, bits)), Some((off, dlen)))
-          if ch >= 1 && rate > 0 && bits == 16 && dlen % (2 * ch) == 0 =>
-        Some((ch, rate, bits, off, dlen))
+      case (Some((f, ch, rate, bits)), Some((off, dlen)))
+          if ch >= 1 && rate > 0 &&
+            ((f == 1 && bits == 16 && dlen % (2 * ch) == 0) ||
+             (f == 7 && bits == 8 && dlen % ch == 0)) =>
+        Some((f, ch, rate, bits, off, dlen))
       case _ => None
     }
   }
+
+  /** One chunk walk shared by [[decodeWav]] and [[wavWindowSumSq]]:
+    * (channels, rate, bits, dataOffset, dataLength) of a valid PCM-16
+    * RIFF/WAVE payload, or None on anything malformed. */
+  private def parseWavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    parseWavLayoutFmt(bytes).collect {
+      case (1, ch, rate, bits, off, dlen) => (ch, rate, bits, off, dlen)
+    }
+
+  // ---------------------------------------------------------------------
+  // G.711 µ-law — a REAL lossy audio codec in pure integer arithmetic
+  // (the telephony standard): 16-bit linear → 8-bit companded and back.
+  // Both directions are closed-form integer formulas, so an engine-
+  // external oracle can replay encode ∘ decode exactly.
+  // ---------------------------------------------------------------------
+
+  /** Linear 16-bit → µ-law byte (G.711: bias 0x84, clip 32635, 3-bit
+    * exponent by leading-bit position, 4-bit mantissa, ones' complement). */
+  def mulawEncode(s: Short): Byte = {
+    var x = s.toInt
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
+  /** µ-law byte → linear 16-bit (the exact inverse expansion). */
+  def mulawDecode(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val t = (((mant << 3) + 0x84) << exp) - 0x84
+    (if ((u & 0x80) != 0) -t else t).toShort
+  }
+
+  /** Encode samples as a format-7 (µ-law) RIFF/WAVE payload — one byte
+    * per sample, the real 2:1 companded container a telephony corpus
+    * ships in. */
+  def encodeWavMulaw(samples: Array[Short], sampleRate: Int,
+                     channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      "samples must interleave a whole number of frames")
+    val dataLen = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7.toShort)                       // µ-law
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels)             // byte rate
+      .putShort(channels.toShort)                // block align
+      .putShort(8.toShort)                       // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.put(mulawEncode(s)))
+    out.array()
+  }
+
+  /** Decode a µ-law payload: every byte expands through [[mulawDecode]]
+    * and the returned WavData carries the LINEAR-domain energy — the
+    * numbers a feature pipeline wants, not the companded codes. PCM-16
+    * payloads are rejected here (route them through [[decodeWav]]). */
+  def decodeWavMulaw(bytes: Array[Byte]): Option[WavData] =
+    parseWavLayoutFmt(bytes).collect {
+      case (7, ch, rate, bits, off, dlen) =>
+        var i = off
+        var sumSq = 0L
+        while (i < off + dlen) {
+          val s = mulawDecode(bytes(i)).toLong
+          sumSq += s * s
+          i += 1
+        }
+        WavData(rate, ch, bits, dlen.toLong / ch, sumSq)
+    }
 
   /** RIFF chunk-walking decoder: accepts any chunk order, skips unknown
     * chunks (LIST/INFO/fact/...) including RIFF's odd-size pad byte;

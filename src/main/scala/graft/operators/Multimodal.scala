@@ -185,6 +185,51 @@ object Multimodal {
       }(enc)
   }
 
+  /** µ-law twin of [[decodeWavFeatures]] — REAL lossy-codec decode
+    * ([[MediaCodecs.decodeWavMulaw]]): features come from the EXPANDED
+    * linear samples, so `sum_sq`/`rms` measure what a model would hear,
+    * not the companded byte codes. PCM payloads are ok=0 here (route by
+    * format — the Decoder-trait contract). */
+  def decodeMulawFeatures(assets: DataFrame): Dataset[WavFeatureRow] = {
+    val enc = Encoders.product[WavFeatureRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeWavMulaw(payload) match {
+            case Some(w) =>
+              val n = w.nSamplesPerChannel * w.channels
+              val rms =
+                if (n == 0) None
+                else Some(BigDecimal(math.sqrt(w.sumSq.toDouble / n))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              WavFeatureRow(id, 1L, Some(w.sampleRate), Some(w.channels),
+                Some(w.nSamplesPerChannel), Some(w.durationMs), Some(w.sumSq), rms)
+            case None =>
+              WavFeatureRow(id, 0L, None, None, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** µ-law fixture: the [[synthWavAssets]] sample formula encoded through
+    * the REAL G.711 compander (lossy — the oracle replays encode ∘ decode
+    * as integer formulas). Mono, 8 kHz, n = 256 + (id%17)·16. */
+  def synthMulawAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 256 + (id % 17).toInt * 16
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7 + i.toLong * 13) % 201 - 100) * 64).toShort)
+          (id, MediaCodecs.encodeWavMulaw(samples, 8000))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "audio/basic")
+  }
+
   case class BmpFeatureRow(asset_id: Long, ok: Long,
                            width: Option[Int], height: Option[Int],
                            sum_r: Option[Long], sum_g: Option[Long],

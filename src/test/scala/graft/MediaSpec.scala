@@ -348,6 +348,37 @@ class MediaSpec extends SparkSpec {
     assert(good.re.get === re / 1e6 && good.im.get === im / 1e6)
   }
 
+  test("mulaw: golden bytes, segment-bounded quantization error, format gating") {
+    import MediaCodecs.{mulawEncode, mulawDecode}
+    // golden values: silence is the all-ones byte (ones' complement of 0)
+    assert(mulawEncode(0) === 0xff.toByte && mulawDecode(0xff.toByte) === 0)
+    // 8324 = 8192+132 -> exp 6, mant 0 -> ~0x60 = 0x9f; expands to 8316
+    assert(mulawEncode(8192) === 0x9f.toByte && mulawDecode(0x9f.toByte) === 8316)
+    // sign symmetry and segment-bounded error across the full range
+    for (s <- -32000 to 32000 by 37) {
+      val d = mulawDecode(mulawEncode(s.toShort)).toInt
+      assert(math.signum(d) * math.signum(s) >= 0, s"sign flip at $s -> $d")
+      val seg = math.max(8, Integer.highestOneBit(math.abs(s) + 132) / 16)
+      assert(math.abs(d - s) <= seg, s"quantization error at $s: $d (seg $seg)")
+      assert(mulawDecode(mulawEncode((-s).toShort)) === -d, s"asymmetric at $s")
+    }
+    // container: µ-law payloads decode linear-domain energy; formats gate
+    val samples = Array.tabulate(64)(i => (i * 500 - 16000).toShort)
+    val mu = MediaCodecs.encodeWavMulaw(samples, 8000)
+    val w = MediaCodecs.decodeWavMulaw(mu).get
+    assert(w.nSamplesPerChannel === 64L && w.sampleRate === 8000)
+    val expectSs = samples.map(s => { val d = mulawDecode(mulawEncode(s)).toLong; d * d }).sum
+    assert(w.sumSq === expectSs, "energy is measured on the EXPANDED samples")
+    assert(MediaCodecs.decodeWav(mu).isEmpty, "PCM decoder rejects format 7")
+    assert(MediaCodecs.decodeWavMulaw(
+      MediaCodecs.encodeWav(samples, 8000)).isEmpty, "µ-law decoder rejects PCM")
+    // wrapper: ok/0 routing
+    val out = graft.operators.Multimodal.decodeMulawFeatures(
+      Seq((1L, mu), (2L, MediaCodecs.encodeWav(samples, 8000)),
+        (3L, "junk".getBytes)).toDF("asset_id", "payload")).collect()
+    assert(out.count(_.ok == 1L) === 1 && out.count(_.ok == 0L) === 2)
+  }
+
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
     val assets = Multimodal.synthBmpAssets(
       spark.range(20).toDF("doc_id"), "doc_id")

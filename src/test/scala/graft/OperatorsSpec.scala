@@ -2048,6 +2048,24 @@ class OperatorsSpec extends SparkSpec {
       s"identical users score identically — f/m low, recency high by inversion: $t")
   }
 
+  test("dailyGrowth: new/returning split and the cumulative curve replay by hand") {
+    import graft.operators.Events
+    def ts(day: Int, h: Int = 9) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 2, day).atTime(h, 0))
+    val rows = Seq(
+      (1L, ts(1)), (2L, ts(1)), (1L, ts(1, 15)), // day1: u1 u2 new (dup event)
+      (1L, ts(2)), (3L, ts(2)),                  // day2: u1 returns, u3 new
+      (2L, ts(4)), (3L, ts(4)), (4L, ts(4)))     // day4: two return, u4 new
+      .toDF("user_id", "ts")
+    val out = Events.dailyGrowth(rows.toDF("user_id", "ts")).orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("2024-02-01", 2L, 2L, 0L, 2L),
+      ("2024-02-02", 2L, 1L, 1L, 3L),
+      ("2024-02-04", 3L, 1L, 2L, 4L)))
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
