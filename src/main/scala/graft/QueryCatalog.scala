@@ -4761,6 +4761,78 @@ object QueryCatalog {
       |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms
       |FROM a""".stripMargin
 
+  /** TPC-H Q5 shape — local-supplier volume: the 6-table join
+    * (region→nation→{customer, supplier}→orders→lineitem) with the
+    * co-nation constraint c_nationkey = s_nationkey, revenue per nation.
+    * The relational stress test for join ORDER and broadcast choices:
+    * every dimension broadcasts, the fact tables meet in one keyed
+    * join, and revenue rides exact DECIMAL. */
+  def q179LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+  }
+
+  val q179Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q10 shape — returned-item reporting: revenue lost to
+    * returns per customer, top 20 by exact DECIMAL revenue (rank ties
+    * broken by custkey so the cut is engine-stable). */
+  def q180ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val rev = li.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum((dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("decimal(28,4)")).as("_rev"))
+    // top-20 cut via orderBy().limit(k) = TakeOrdered over the
+    // per-customer AGGREGATE — no global sort materializes
+    rev.orderBy(col("_rev").desc, col("c_custkey").asc).limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("_rev").cast("double").as("revenue"))
+  }
+
+  val q180Sql: String =
+    """WITH rev AS (SELECT c_custkey, c_name, n_name,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS DECIMAL(28,4))) AS r
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_custkey, c_name, n_name, CAST(r AS DOUBLE) AS revenue
+      |FROM rev ORDER BY r DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4944,7 +5016,9 @@ object QueryCatalog {
     ("q175_rfm_segments", q175RfmSegments _, Some(q175Sql)),
     ("q176_entity_resolution", q176EntityResolution _, Some(q176Sql)),
     ("q177_daily_growth", q177DailyGrowth _, Some(q177Sql)),
-    ("q178_mulaw_decode", q178MulawDecode _, Some(q178Sql)))
+    ("q178_mulaw_decode", q178MulawDecode _, Some(q178Sql)),
+    ("q179_local_supplier_volume", q179LocalSupplierVolume _, Some(q179Sql)),
+    ("q180_returned_items", q180ReturnedItems _, Some(q180Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

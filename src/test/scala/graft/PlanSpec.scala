@@ -552,6 +552,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
   }
 
+  test("q179 six-table join: dimensions broadcast, no cartesian, revenue partial-aggregates") {
+    val p = plan(QueryCatalog.q179LocalSupplierVolume)
+    assert(p.contains("BroadcastHashJoin"), s"nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    assert(p.contains("partial_"), s"revenue must partial-aggregate:\n$p")
+  }
+
+  test("q180 top-20 is a TakeOrdered over the customer aggregate, not a global sort") {
+    val p = plan(QueryCatalog.q180ReturnedItems)
+    assert(p.contains("TakeOrderedAndProject"), s"limit must ride TakeOrdered:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
