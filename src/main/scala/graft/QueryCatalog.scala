@@ -4833,6 +4833,31 @@ object QueryCatalog {
       |SELECT c_custkey, c_name, n_name, CAST(r AS DOUBLE) AS revenue
       |FROM rev ORDER BY r DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  /** QOI decode through the REAL codec (MediaCodecs.encodeQoi/decodeQoi
+    * — run-length, 64-slot index, delta ops): synth pixels → compressed
+    * QOI bytes → decode; LOSSLESSNESS is the proof — the oracle
+    * recomputes channel sums from the source formulas, so any
+    * compression bug breaks the hash. */
+  def q181QoiDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeQoiFeatures(
+      Multimodal.synthQoiAssets(t(s, dir, "documents"), "doc_id")).toDF()
+      .select(col("asset_id"), col("ok"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
+  val q181Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height FROM documents),
+      |pi AS (SELECT asset_id, width, height,
+      |    unnest(generate_series(0, width - 1)) AS x FROM d),
+      |pj AS (SELECT asset_id, width, height, x,
+      |    unnest(generate_series(0, height - 1)) AS y FROM pi)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, width, height,
+      |  CAST(sum((asset_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((2 * asset_id + x + 7 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((5 * asset_id + 11 * x + y) % 256) AS BIGINT) AS sum_b
+      |FROM pj GROUP BY 1, 2, 3, 4""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5018,7 +5043,8 @@ object QueryCatalog {
     ("q177_daily_growth", q177DailyGrowth _, Some(q177Sql)),
     ("q178_mulaw_decode", q178MulawDecode _, Some(q178Sql)),
     ("q179_local_supplier_volume", q179LocalSupplierVolume _, Some(q179Sql)),
-    ("q180_returned_items", q180ReturnedItems _, Some(q180Sql)))
+    ("q180_returned_items", q180ReturnedItems _, Some(q180Sql)),
+    ("q181_qoi_decode", q181QoiDecode _, Some(q181Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

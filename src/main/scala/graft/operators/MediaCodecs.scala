@@ -453,4 +453,134 @@ object MediaCodecs {
     }
     BmpData(outW, outH, px)
   }
+
+  // ---------------------------------------------------------------------
+  // QOI (Quite OK Image, qoiformat.org) — a REAL modern LOSSLESS image
+  // codec with actual compression machinery (run-length, a 64-slot seen-
+  // pixel index, small-delta ops), fully deterministic pure-JVM integer
+  // code. Losslessness is the oracle hook: synth → encode → decode must
+  // reproduce the closed-form pixels bit-for-bit, so the whole codec is
+  // checkable against the same formulas the BMP path uses.
+  // ---------------------------------------------------------------------
+
+  /** Encode row-major 0xRRGGBB pixels (alpha fixed 255, 3-channel sRGB)
+    * with the standard greedy op order: RUN → INDEX → DIFF → LUMA → RGB. */
+  def encodeQoi(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val out = new java.io.ByteArrayOutputStream(14 + width * height + 8)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    be32(width); be32(height)
+    out.write(3)  // channels
+    out.write(0)  // colorspace: sRGB
+    val index = new Array[Int](64) // packed 0xAARRGGBB, zero-initialized
+    var prev = 0xff000000 // r=g=b=0, a=255
+    var run = 0
+    var j = 0
+    while (j < height) {
+      var i = 0
+      while (i < width) {
+        val rgb = px(i, j) & 0xffffff
+        val cur = 0xff000000 | rgb
+        if (cur == prev) {
+          run += 1
+          if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val slot = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+          if (index(slot) == cur) out.write(slot) // QOI_OP_INDEX
+          else {
+            index(slot) = cur
+            val pr = (prev >> 16) & 0xff; val pg = (prev >> 8) & 0xff; val pb = prev & 0xff
+            val dr = r - pr; val dg = g - pg; val db = b - pb
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)) // DIFF
+            else {
+              val drg = dr - dg; val dbg = db - dg
+              if (dg >= -32 && dg <= 31 && drg >= -8 && drg <= 7 &&
+                  dbg >= -8 && dbg <= 7) {                               // LUMA
+                out.write(0x80 | (dg + 32)); out.write(((drg + 8) << 4) | (dbg + 8))
+              } else { out.write(0xfe); out.write(r); out.write(g); out.write(b) }
+            }
+          }
+          prev = cur
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    (0 until 7).foreach(_ => out.write(0)); out.write(1) // end marker
+    out.toByteArray
+  }
+
+  /** Decode a 3-or-4-channel QOI payload to [[BmpData]] (alpha dropped);
+    * None on bad magic, truncation, or a pixel-count mismatch. */
+  def decodeQoi(bytes: Array[Byte]): Option[BmpData] = {
+    if (bytes == null || bytes.length < 22) return None
+    if (!(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' && bytes(3) == 'f'))
+      return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    val w = be32(4); val h = be32(8)
+    val ch = bytes(12) & 0xff
+    if (w <= 0 || h <= 0 || w * h > 64000000L || (ch != 3 && ch != 4)) return None
+    val n = (w * h).toInt
+    val px = new Array[Int](n)
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var out = 0
+    var pos = 14
+    val end = bytes.length - 8 // the 8-byte end marker
+    while (out < n && pos < end) {
+      val b1 = bytes(pos) & 0xff; pos += 1
+      if (b1 == 0xfe) {          // RGB
+        if (pos + 3 > end) return None
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff; b = bytes(pos + 2) & 0xff
+        pos += 3
+      } else if (b1 == 0xff) {   // RGBA
+        if (pos + 4 > end) return None
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff; b = bytes(pos + 2) & 0xff
+        a = bytes(pos + 3) & 0xff
+        pos += 4
+      } else (b1 >> 6) match {
+        case 0 =>                // INDEX
+          val v = index(b1 & 0x3f)
+          a = (v >>> 24) & 0xff; r = (v >> 16) & 0xff; g = (v >> 8) & 0xff; b = v & 0xff
+        case 1 =>                // DIFF
+          r = (r + ((b1 >> 4) & 3) - 2) & 0xff
+          g = (g + ((b1 >> 2) & 3) - 2) & 0xff
+          b = (b + (b1 & 3) - 2) & 0xff
+        case 2 =>                // LUMA
+          if (pos + 1 > end) return None
+          val b2 = bytes(pos) & 0xff; pos += 1
+          val dg = (b1 & 0x3f) - 32
+          g = (g + dg) & 0xff
+          r = (r + dg + ((b2 >> 4) & 0x0f) - 8) & 0xff
+          b = (b + dg + (b2 & 0x0f) - 8) & 0xff
+        case _ =>                // RUN
+          val run = (b1 & 0x3f) + 1
+          if (out + run > n) return None
+          var k = 0
+          while (k < run) { px(out) = (r << 16) | (g << 8) | b; out += 1; k += 1 }
+          // the run repeats the PREVIOUS pixel: nothing else to do
+      }
+      if ((b1 >> 6) != 3 || b1 == 0xfe || b1 == 0xff) {
+        // every non-RUN op emits exactly one pixel and updates the index
+        if (b1 == 0xff || b1 == 0xfe || (b1 >> 6) != 3) {
+          if (out >= n) return None
+          px(out) = (r << 16) | (g << 8) | b; out += 1
+          index((r * 3 + g * 5 + b * 7 + a * 11) % 64) =
+            (a << 24) | (r << 16) | (g << 8) | b
+        }
+      }
+    }
+    if (out != n) return None
+    Some(BmpData(w.toInt, h.toInt, px))
+  }
 }

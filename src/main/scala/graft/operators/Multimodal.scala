@@ -564,6 +564,54 @@ object Multimodal {
     toAssets(rows, "asset_id", "payload", "audio/wav")
   }
 
+  /** QOI twin of [[decodeBmpFeatures]] — REAL compressed-format decode
+    * ([[MediaCodecs.decodeQoi]]): the run-length/index/delta machinery
+    * is exercised on every asset, and because QOI is LOSSLESS the
+    * decoded channel sums must equal the source formulas bit-for-bit —
+    * the oracle checks the codec, not just the plumbing. */
+  def decodeQoiFeatures(assets: DataFrame): Dataset[BmpFeatureRow] = {
+    val enc = Encoders.product[BmpFeatureRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.decodeQoi(payload) match {
+            case Some(img) =>
+              val (sr, sg, sb) = img.channelSums
+              val n = img.width.toLong * img.height
+              BmpFeatureRow(id, 1L, Some(img.width), Some(img.height),
+                Some(sr), Some(sg), Some(sb),
+                Some(BigDecimal(sr.toDouble / n)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            case None => BmpFeatureRow(id, 0L, None, None, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** QOI fixture: the [[synthBmpAssets]] pixel formulas through the REAL
+    * QOI encoder — same dims/content as the BMP twin, different real
+    * container + compression. */
+  def synthQoiAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 9).toInt
+          val bytes = MediaCodecs.encodeQoi(w, h, (x, y) => {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + x + 7L * y) % 256).toInt
+            val b = ((5L * id + 11L * x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/qoi")
+  }
+
   /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,
     * r(x,y) = (id + 3x + 5y) mod 256, g = (2id + x + 7y) mod 256,
     * b = (5id + 11x + y) mod 256. */

@@ -173,6 +173,8 @@ class MediaSpec extends SparkSpec {
       MediaCodecs.decodeWav(payload)
       MediaCodecs.decodeBmp(payload)
       MediaCodecs.wavWindowSumSq(payload, 16)
+      MediaCodecs.decodeWavMulaw(payload)
+      MediaCodecs.decodeQoi(payload)
     }
   }
 
@@ -377,6 +379,45 @@ class MediaSpec extends SparkSpec {
       Seq((1L, mu), (2L, MediaCodecs.encodeWav(samples, 8000)),
         (3L, "junk".getBytes)).toDF("asset_id", "payload")).collect()
     assert(out.count(_.ok == 1L) === 1 && out.count(_.ok == 0L) === 2)
+  }
+
+  test("qoi: hand-built golden bytes exercise every op; lossless round-trip; rejects") {
+    import MediaCodecs.{encodeQoi, decodeQoi}
+    // hand-built 6x1 stream: RGB(10,20,30), RUN(2), DIFF(+1,+1,+1),
+    // LUMA(dg=+8, drg=-2, dbg=+3), INDEX back to the first pixel
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write("qoif".getBytes); bb.write(Array[Byte](0, 0, 0, 6, 0, 0, 0, 1, 3, 0))
+    bb.write(0xfe); bb.write(10); bb.write(20); bb.write(30)  // RGB literal
+    bb.write(0xc0 | 1)                                        // RUN of 2
+    bb.write(0x40 | (3 << 4) | (3 << 2) | 3)                  // DIFF +1/+1/+1
+    bb.write(0x80 | (8 + 32)); bb.write(((-2 + 8) << 4) | (3 + 8)) // LUMA
+    bb.write((10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64)      // INDEX -> first
+    (0 until 7).foreach(_ => bb.write(0)); bb.write(1)
+    val img = decodeQoi(bb.toByteArray).get
+    assert(img.width === 6 && img.height === 1)
+    val px = img.pixels.map(p => ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
+    assert(px(0) === ((10, 20, 30)) && px(1) === px(0) && px(2) === px(0))
+    assert(px(3) === ((11, 21, 31)), "DIFF adds the biased deltas")
+    assert(px(4) === ((11 + 8 - 2, 21 + 8, 31 + 8 + 3)), "LUMA applies dg/drg/dbg")
+    assert(px(5) === ((10, 20, 30)), "INDEX recalls the seen-pixel table")
+    // lossless round-trip on content that exercises runs, index hits,
+    // small deltas AND literals (the mod-256 gradient re-visits colors)
+    def gen(x: Int, y: Int): Int =
+      (((x * 7 + y) % 256) << 16) | (((x + y * 5) % 256) << 8) | ((x * y + 3) % 256)
+    val rt = decodeQoi(encodeQoi(23, 17, gen)).get
+    assert(rt.width === 23 && rt.height === 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert(rt.pixels(y * 23 + x) === (gen(x, y) & 0xffffff), s"pixel ($x,$y)")
+    // constant image compresses to runs: far smaller than raw
+    val flat = encodeQoi(64, 64, (_, _) => 0x123456)
+    assert(flat.length < 64 * 64 / 10, s"run-length must compress: ${flat.length}")
+    assert(decodeQoi(flat).get.pixels.forall(_ == 0x123456))
+    // rejects: bad magic, truncation, pixel-count mismatch
+    assert(decodeQoi(null).isEmpty && decodeQoi("qoi?".getBytes).isEmpty)
+    val good = encodeQoi(5, 5, gen)
+    assert(decodeQoi(good.dropRight(12)).isEmpty, "truncated stream")
+    // injected oversized RUN must not crash (either decodes or rejects)
+    decodeQoi(good.take(14) ++ Array[Byte]((0xc0 | 61).toByte) ++ good.drop(14))
   }
 
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
