@@ -4858,6 +4858,51 @@ object QueryCatalog {
       |  CAST(sum((5 * asset_id + 11 * x + y) % 256) AS BIGINT) AS sum_b
       |FROM pj GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Cross-container image dedup (Multimodal.imageAHashSniff): the SAME
+    * pictures shipped as real BMP bytes AND real QOI bytes — the
+    * container-sniffing perceptual hash collapses each pair to one
+    * fingerprint (pixels, not bytes), so every cluster counts both
+    * containers. QOI-side ids offset by 1e6 to keep assets distinct. */
+  def q182CrossContainerDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bmp = Multimodal.synthBmpAssets(docs, "doc_id")
+    val qoi = Multimodal.synthQoiAssets(docs, "doc_id")
+      .withColumn("asset_id", col("asset_id") + 1000000L)
+    Multimodal.imageAHashSniff(bmp.unionByName(qoi)).toDF()
+      .filter(col("ok") === 1)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("asset_id") >= 1000000L).as("n_containers"),
+        min(col("asset_id")).as("rep_asset_id"))
+  }
+
+  val q182Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS w,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS h FROM documents),
+      |gi AS (SELECT *, unnest(generate_series(0, 7)) AS i FROM d),
+      |gc AS (SELECT *, unnest(generate_series(0, 7)) AS j FROM gi),
+      |s AS (SELECT asset_id, i, j,
+      |    (asset_id + 3 * ((i * w) // 8) + 5 * ((j * h) // 8)) % 256
+      |    + (2 * asset_id + ((i * w) // 8) + 7 * ((j * h) // 8)) % 256
+      |    + (5 * asset_id + 11 * ((i * w) // 8) + ((j * h) // 8)) % 256 AS lum
+      |  FROM gc),
+      |t AS (SELECT asset_id, sum(lum) AS total FROM s GROUP BY 1),
+      |b AS (SELECT s.asset_id, j * 8 + i AS k,
+      |    CASE WHEN lum * 64 > total THEN 1 ELSE 0 END AS bit
+      |  FROM s JOIN t ON s.asset_id = t.asset_id),
+      |hashes AS (SELECT asset_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |      THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM b GROUP BY 1)
+      |SELECT ahash_hi, ahash_lo,
+      |  CAST(2 * count(*) AS BIGINT) AS n_assets,
+      |  CAST(2 AS BIGINT) AS n_containers,
+      |  min(asset_id) AS rep_asset_id
+      |FROM hashes GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5044,7 +5089,8 @@ object QueryCatalog {
     ("q178_mulaw_decode", q178MulawDecode _, Some(q178Sql)),
     ("q179_local_supplier_volume", q179LocalSupplierVolume _, Some(q179Sql)),
     ("q180_returned_items", q180ReturnedItems _, Some(q180Sql)),
-    ("q181_qoi_decode", q181QoiDecode _, Some(q181Sql)))
+    ("q181_qoi_decode", q181QoiDecode _, Some(q181Sql)),
+    ("q182_cross_container_dedup", q182CrossContainerDedup _, Some(q182Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -367,32 +367,55 @@ object Multimodal {
     * (crops aside) collapse to equal hashes; clustering is then ONE
     * hash-aggregate ([[graft.operators.Dedup.exact]]'s law) — no
     * pairwise stage, no embedding model. */
-  def imageAHash(assets: DataFrame): Dataset[AHashRow] = {
+  /** The aHash core shared by the per-format entry points. */
+  private def ahashOf(img: MediaCodecs.BmpData): (Long, Long) = {
+    val g = MediaCodecs.resizeNearest(img, 8, 8)
+    val s = g.pixels.map(p =>
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong)
+    val total = s.sum
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (s(k) * 64 > total) {
+        if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  private def ahashWith(assets: DataFrame,
+                        decode: Array[Byte] => Option[MediaCodecs.BmpData]): Dataset[AHashRow] = {
     val enc = Encoders.product[AHashRow]
     assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          MediaCodecs.decodeBmp(payload) match {
+          decode(payload) match {
             case Some(img) =>
-              val g = MediaCodecs.resizeNearest(img, 8, 8)
-              val s = g.pixels.map(p =>
-                (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong)
-              val total = s.sum
-              var hi = 0L; var lo = 0L
-              var k = 0
-              while (k < 64) {
-                if (s(k) * 64 > total) {
-                  if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
-                }
-                k += 1
-              }
+              val (hi, lo) = ahashOf(img)
               AHashRow(id, 1L, Some(hi), Some(lo))
             case None => AHashRow(id, 0L, None, None)
           }
         }
       }(enc)
   }
+
+  def imageAHash(assets: DataFrame): Dataset[AHashRow] =
+    ahashWith(assets, MediaCodecs.decodeBmp)
+
+  /** Container-SNIFFING aHash — the cross-format dedup entry point: the
+    * same picture shipped as BMP by one crawler and QOI by another must
+    * collapse to ONE fingerprint, because the hash is computed on
+    * decoded PIXELS, not bytes (byte-level exact dedup can never catch
+    * re-containered copies). Dispatch is by magic bytes; unknown
+    * containers keep their row with ok = 0. */
+  def imageAHashSniff(assets: DataFrame): Dataset[AHashRow] =
+    ahashWith(assets, payload =>
+      if (payload != null && payload.length >= 4 &&
+          payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
+          payload(3) == 'f') MediaCodecs.decodeQoi(payload)
+      else MediaCodecs.decodeBmp(payload))
 
   case class DHashRow(asset_id: Long, ok: Long,
                       dhash_hi: Option[Long], dhash_lo: Option[Long])

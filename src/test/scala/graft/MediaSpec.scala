@@ -420,6 +420,21 @@ class MediaSpec extends SparkSpec {
     decodeQoi(good.take(14) ++ Array[Byte]((0xc0 | 61).toByte) ++ good.drop(14))
   }
 
+  test("imageAHashSniff: the same picture in BMP and QOI collapses to one fingerprint") {
+    def px(x: Int, y: Int): Int = ((x * 19 + y * 3) % 256 << 16) |
+      ((x + y * 11) % 256 << 8) | ((x * 5 + y) % 256)
+    val bmp = MediaCodecs.encodeBmp(11, 9, px)
+    val qoi = MediaCodecs.encodeQoi(11, 9, px)
+    val out = Multimodal.imageAHashSniff(
+        Seq((1L, bmp), (2L, qoi), (3L, "????".getBytes))
+          .toDF("asset_id", "payload")).collect()
+      .map(r => r.asset_id -> r).toMap
+    assert(out(1L).ok === 1L && out(2L).ok === 1L && out(3L).ok === 0L)
+    assert(out(1L).ahash_hi === out(2L).ahash_hi &&
+      out(1L).ahash_lo === out(2L).ahash_lo,
+      "pixel-level hashing is container-blind")
+  }
+
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
     val assets = Multimodal.synthBmpAssets(
       spark.range(20).toDF("doc_id"), "doc_id")
