@@ -4903,6 +4903,58 @@ object QueryCatalog {
       |  min(asset_id) AS rep_asset_id
       |FROM hashes GROUP BY 1, 2""".stripMargin
 
+  /** Relative-rank window coverage: percent_rank + cume_dist of supplier
+    * account balances WITHIN nation (partitioned windows, tie semantics
+    * identical across engines), rounded once. */
+  def q183RelativeRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"))
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nationkey"),
+        col("s_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val q183Sql: String =
+    """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nationkey, s_acctbal,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)""".stripMargin
+
+  /** Wide→long reshape via the native Dataset.unpivot (melt): per-nation
+    * customer/supplier counts melted to (n_name, metric, value) — the
+    * inverse of q50's pivot, covered as a first-class API. */
+  def q184NationUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .join(t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).cast("double").as("n_suppliers")), Seq("nationkey"))
+    wide.select(col("nationkey"), col("n_customers").cast("double"),
+        col("total_acctbal"), col("n_suppliers"))
+      .unpivot(Array(col("nationkey")),
+        Array(col("n_customers"), col("total_acctbal"), col("n_suppliers")),
+        "metric", "value")
+  }
+
+  val q184Sql: String =
+    """WITH wide AS (
+      |  SELECT c.nationkey, c.n_customers, c.total_acctbal, s.n_suppliers
+      |  FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |          CAST(count(*) AS DOUBLE) AS n_customers,
+      |          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |            AS total_acctbal
+      |        FROM customer GROUP BY 1) c
+      |  JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+      |          CAST(count(*) AS DOUBLE) AS n_suppliers
+      |        FROM supplier GROUP BY 1) s USING (nationkey))
+      |SELECT nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+      |UNION ALL SELECT nationkey, 'total_acctbal', total_acctbal FROM wide
+      |UNION ALL SELECT nationkey, 'n_suppliers', n_suppliers FROM wide""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5090,7 +5142,9 @@ object QueryCatalog {
     ("q179_local_supplier_volume", q179LocalSupplierVolume _, Some(q179Sql)),
     ("q180_returned_items", q180ReturnedItems _, Some(q180Sql)),
     ("q181_qoi_decode", q181QoiDecode _, Some(q181Sql)),
-    ("q182_cross_container_dedup", q182CrossContainerDedup _, Some(q182Sql)))
+    ("q182_cross_container_dedup", q182CrossContainerDedup _, Some(q182Sql)),
+    ("q183_relative_ranks", q183RelativeRanks _, Some(q183Sql)),
+    ("q184_nation_unpivot", q184NationUnpivot _, Some(q184Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
