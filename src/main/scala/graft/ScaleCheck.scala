@@ -294,6 +294,14 @@ object ScaleCheck {
       graft.operators.Multimodal.wavSpectralFeatures(
         graft.operators.Multimodal.synthWavAssets(docIds, "doc_id"),
         bins = Seq(0, 3, 7)).toDF())
+    // media codecs are map-only per asset: encode+decode cost ∝ pixels/
+    // samples, zero shuffle — the ratio IS the per-asset compute
+    time("qoi_roundtrip")(
+      graft.operators.Multimodal.decodeQoiFeatures(
+        graft.operators.Multimodal.synthQoiAssets(docIds, "doc_id")).toDF())
+    time("mulaw_roundtrip")(
+      graft.operators.Multimodal.decodeMulawFeatures(
+        graft.operators.Multimodal.synthMulawAssets(docIds, "doc_id")).toDF())
     // triangles: wedge work = Σ deg² over the CAPPED pair graph — cost
     // follows the duplicated subset, never the corpus
     time("triangle_counts")(
