@@ -167,16 +167,26 @@ object Events {
         col("frequency"), col("_m").cast("double").as("monetary"))
       .localCheckpoint(true) // three quantile passes + the scoring read
     val qs = Seq("_b20" -> 0.2, "_b40" -> 0.4, "_b60" -> 0.6, "_b80" -> 0.8)
+    // ONE quantile pass for all three metrics: melt to (_metric, value)
+    // and let exactQuantiles group by metric — a third of the jobs the
+    // per-metric formulation ran, same bit-exact bounds
+    val melted = per.select(explode(array(
+      struct(lit("recency").as("_metric"),
+        col("recency_days").cast("double").as("_mv")),
+      struct(lit("frequency").as("_metric"),
+        col("frequency").cast("double").as("_mv")),
+      struct(lit("monetary").as("_metric"), col("monetary").as("_mv")))).as("_e"))
+      .select(col("_e._metric").as("_metric"), col("_e._mv").as("_mv"))
+    val allBounds = ApproxQuantile.exactQuantiles(melted, "_metric", "_mv", qs)
     def bounds(metric: String): DataFrame =
-      ApproxQuantile.exactQuantiles(
-        per.select(lit(1).as("_g"), col(metric)), "_g", metric, qs).drop("_g")
+      allBounds.filter(col("_metric") === metric).drop("_metric")
     def scoreUp(metric: Column, b: String): Column =
       (lit(1L) + (metric > col(s"$b._b20")).cast("long") +
         (metric > col(s"$b._b40")).cast("long") +
         (metric > col(s"$b._b60")).cast("long") +
         (metric > col(s"$b._b80")).cast("long"))
     per
-      .crossJoin(broadcast(bounds("recency_days").select(struct(col("*")).as("_rb"))))
+      .crossJoin(broadcast(bounds("recency").select(struct(col("*")).as("_rb"))))
       .crossJoin(broadcast(bounds("frequency").select(struct(col("*")).as("_fb"))))
       .crossJoin(broadcast(bounds("monetary").select(struct(col("*")).as("_mb"))))
       .select(col("user_id"), col("recency_days"), col("frequency"),
