@@ -4110,13 +4110,13 @@ object QueryCatalog {
       |cnt AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
       |tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY 1),
       |grid AS (SELECT a.g AS a, a.n AS na, b.g AS b, b.n AS nb, r.range AS bin
-      |  FROM tot a JOIN tot b ON a.g <> b.g CROSS JOIN range(16) r),
+      |  FROM tot a JOIN tot b ON a.g IS DISTINCT FROM b.g CROSS JOIN range(16) r),
       |sm AS (SELECT a, b, grid.bin AS bin,
       |    coalesce(ca.c, 0) + 1 AS ca1, na + 16 AS na1,
       |    coalesce(cb.c, 0) + 1 AS cb1, nb + 16 AS nb1
       |  FROM grid
-      |  LEFT JOIN cnt ca ON ca.g = grid.a AND ca.bin = grid.bin
-      |  LEFT JOIN cnt cb ON cb.g = grid.b AND cb.bin = grid.bin),
+      |  LEFT JOIN cnt ca ON ca.g IS NOT DISTINCT FROM grid.a AND ca.bin = grid.bin
+      |  LEFT JOIN cnt cb ON cb.g IS NOT DISTINCT FROM grid.b AND cb.bin = grid.bin),
       |terms AS (SELECT a, b,
       |    CAST(round((CAST(ca1 AS DOUBLE) / na1 - CAST(cb1 AS DOUBLE) / nb1) *
       |      CAST(CAST(round(ln(ca1), 6) AS DECIMAL(12,6)) -
@@ -4321,7 +4321,7 @@ object QueryCatalog {
       |SELECT d.s AS event_type, d.day, CAST(d.dow AS BIGINT) AS dow,
       |  CAST(d.tot AS DOUBLE) AS total, d.trend, se.seasonal,
       |  round(d.detr - se.seasonal, 6) AS residual
-      |FROM d LEFT JOIN se ON se.s = d.s AND se.dow = d.dow""".stripMargin
+      |FROM d LEFT JOIN se ON se.s IS NOT DISTINCT FROM d.s AND se.dow = d.dow""".stripMargin
 
   /** kNN label-agreement audit (Similarity.knnLabelAgreement): the
     * Cleanlab-style label-noise detector on the IVF candidate path —
@@ -4460,7 +4460,7 @@ object QueryCatalog {
       |lags AS (SELECT unnest(range(1, 8)) AS lag),
       |pairs AS (SELECT d1.s, lags.lag, d1.c AS x, d2.c AS y
       |  FROM daily d1 CROSS JOIN lags
-      |  JOIN daily d2 ON d2.s = d1.s AND d2.day = d1.day + CAST(lags.lag AS INT)),
+      |  JOIN daily d2 ON d2.s IS NOT DISTINCT FROM d1.s AND d2.day = d1.day + CAST(lags.lag AS INT)),
       |a AS (SELECT s, lag, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    CAST(sum(x * y) AS BIGINT) AS sxy,

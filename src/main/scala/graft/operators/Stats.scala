@@ -165,14 +165,21 @@ object Stats {
     val totals = binned.groupBy(col("_g")).agg(sum(col("c")).as("n"))
     // dense groups² × B grid: absent bins must still contribute their
     // smoothed term, so left-join counts onto the full bin range
+    // null-safe inequality: a NULL group key is a REAL category for
+    // drift (the "suddenly unlabeled" failure mode) — plain =!= would
+    // silently drop it from the pair grid
     val grid = totals.select(col("_g").as("a"), col("n").as("na"))
       .join(broadcast(totals.select(col("_g").as("b"), col("n").as("nb"))),
-        col("a") =!= col("b"))
+        !(col("a") <=> col("b")))
       .withColumn("_bin", explode(sequence(lit(0L), lit(bins - 1L))))
-      .join(binned.select(col("_g").as("a"), col("_bin"), col("c").as("ca")),
-        Seq("a", "_bin"), "left")
-      .join(binned.select(col("_g").as("b"), col("_bin"), col("c").as("cb")),
-        Seq("b", "_bin"), "left")
+      .join(binned.select(col("_g").as("_ga"), col("_bin").as("_bina"),
+          col("c").as("ca")),
+        col("a") <=> col("_ga") && col("_bin") === col("_bina"), "left")
+      .drop("_ga", "_bina")
+      .join(binned.select(col("_g").as("_gb"), col("_bin").as("_binb"),
+          col("c").as("cb")),
+        col("b") <=> col("_gb") && col("_bin") === col("_binb"), "left")
+      .drop("_gb", "_binb")
       .withColumn("ca1", coalesce(col("ca"), lit(0L)) + 1)
       .withColumn("cb1", coalesce(col("cb"), lit(0L)) + 1)
       .withColumn("na1", col("na") + bins)

@@ -10,18 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** Daily gap-fill with forward fill: build the dense (series × day) spine
-    * over the data's own date range, left-join the observed daily values,
-    * and carry the last observation forward. Leading days before a series'
-    * first observation stay NULL (there is nothing to carry), and every row
-    * reports `was_gap` so downstream can weight imputed points.
-    *
-    * Scale shape: the spine is `distinct(series) × sequence(min,max)` — a
-    * broadcast of one two-column row against the (usually small) series
-    * dim, exploded map-side; the fill is a window PARTITIONED BY series
-    * (never a global sort), so a million series fan out across the
-    * cluster and each partition sorts only its own days.
-    */
   /** Per-series autocorrelation of the daily metric at calendar lags
     * 1..`maxLag` — the period detector that tells you WHICH seasonality
     * [[seasonalDecompose]] should model (a weekly cycle spikes ACF at
@@ -49,8 +37,10 @@ object TimeSeries {
       .withColumn("_lag", explode(array((1 to maxLag).map(lit): _*)))
       .select(col("_s"), col("_lag").cast("long").as("lag"),
         date_add(col("_day"), col("_lag")).as("_day"), col("_c").as("_x"))
-      .join(daily.select(col("_s"), col("_day"), col("_c").as("_y")),
-        Seq("_s", "_day"))
+      .join(daily.select(col("_s").as("_s2"), col("_day").as("_day2"),
+          col("_c").as("_y")),
+        col("_s") <=> col("_s2") && col("_day") === col("_day2"))
+      .drop("_s2", "_day2")
     val g = lagged.groupBy(col("_s"), col("lag"))
       .agg(count(lit(1)).as("n"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
@@ -106,7 +96,10 @@ object TimeSeries {
       .groupBy(col("_s"), col("dow"))
       .agg(round(sum(col("_detr").cast("decimal(18,6)")).cast("double") /
         count(col("_detr")), 6).as("seasonal"))
-    trended.join(broadcast(seasonal), Seq("_s", "dow"), "left")
+    trended.join(broadcast(seasonal
+        .withColumnRenamed("_s", "_s2").withColumnRenamed("dow", "_dow2")),
+      col("_s") <=> col("_s2") && col("dow") === col("_dow2"), "left")
+      .drop("_s2", "_dow2")
       .select(col("_s").as(seriesCol), col("day"), col("dow"),
         col("_tot").cast("double").as("total"), col("trend"), col("seasonal"),
         round(col("_detr") - col("seasonal"), 6).as("residual"))
@@ -186,6 +179,18 @@ object TimeSeries {
           .as("ewma"))
   }
 
+  /** Daily gap-fill with forward fill: build the dense (series × day) spine
+    * over the data's own date range, left-join the observed daily values,
+    * and carry the last observation forward. Leading days before a series'
+    * first observation stay NULL (there is nothing to carry), and every row
+    * reports `was_gap` so downstream can weight imputed points.
+    *
+    * Scale shape: the spine is `distinct(series) × sequence(min,max)` — a
+    * broadcast of one two-column row against the (usually small) series
+    * dim, exploded map-side; the fill is a window PARTITIONED BY series
+    * (never a global sort), so a million series fan out across the
+    * cluster and each partition sorts only its own days.
+    */
   def gapFillDaily(daily: DataFrame, seriesCol: String, dayCol: String,
                    valueCol: String): DataFrame = {
     // three consumers below (bounds, series dim, join side): materialize so
