@@ -1742,6 +1742,17 @@ class OperatorsSpec extends SparkSpec {
     val deg = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)).toDF("grp", "v")
     val dOut = Stats.psi(deg, "grp", "v", bins = 4).collect().map(_.getDouble(2))
     assert(dOut.forall(_ === 0.0), "single-point span puts all mass in bin 0")
+    // a NULL group KEY is a real drift category — it must appear in the
+    // grid with its own counts, not silently vanish (nor score as empty)
+    val withNullGrp = Seq((Some("A"), 1.0), (Some("A"), 2.0),
+      (None, 1.0), (None, 2.0)).map { case (g, v) => (g.orNull, v) }
+      .toDF("grp", "v")
+    val ng = Stats.psi(withNullGrp, "grp", "v", bins = 4).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getDouble(2))
+      .toMap
+    assert(ng.size === 2, s"A<->NULL both directions: ${ng.keys}")
+    assert(ng((Some("A"), None)) === 0.0 && ng((None, Some("A"))) === 0.0,
+      "identical distributions: the NULL group's counts must actually join")
   }
 
   test("expectations audit: NULL counts as violation; uniqueness + key-complete split") {
