@@ -2133,7 +2133,8 @@ object QueryCatalog {
   val q97Sql: String =
     """WITH b AS (SELECT event_type,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
-      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y FROM events),
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y FROM events
+      |  WHERE value IS NOT NULL AND ts IS NOT NULL),
       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    CAST(sum(x * y) AS BIGINT) AS sxy,

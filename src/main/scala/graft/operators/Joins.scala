@@ -45,6 +45,11 @@ object Joins {
     val rightPayload = right.columns.filterNot(keys.contains)
     require(direction != "nearest" || rightPayload.contains(rightTime),
       "nearest needs the right time column outside the join keys")
+    // a NULL left time matches NOTHING (merge_asof semantics) — route
+    // those rows around the windows: under the desc ordering NULLs sort
+    // last and the forward carry would otherwise fabricate a match
+    val (leftOk, leftNull) = (left.filter(col(leftTime).isNotNull),
+      left.filter(col(leftTime).isNull))
     // The whole right payload travels as ONE nullable struct, so the carry
     // below picks every right column from the SAME matched row. Carrying
     // columns independently (last(c, ignoreNulls) per column) would stitch
@@ -52,7 +57,7 @@ object Joins {
     // NULL in that field — diverging from ASOF JOIN semantics.
     val rpayType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c).copy(nullable = true)))
-    val l2 = left
+    val l2 = leftOk
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
@@ -101,6 +106,9 @@ object Joins {
     carried.filter(col("_side") === 1)
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"_rpay.$c").as(s"$rightPrefix$c")): _*)
+      .unionByName(leftNull.select(keys.map(col) ++ leftPayload.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"$rightPrefix$c")): _*))
   }
 
   /** Banded range join: all (left, right) pairs with the same key and

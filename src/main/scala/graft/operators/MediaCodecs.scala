@@ -529,7 +529,11 @@ object MediaCodecs {
         ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
     val w = be32(4); val h = be32(8)
     val ch = bytes(12) & 0xff
-    if (w <= 0 || h <= 0 || w * h > 64000000L || (ch != 3 && ch != 4)) return None
+    // bound each dimension BEFORE multiplying: w,h are raw 32-bit reads,
+    // so w*h on crafted headers would overflow Long past the area guard
+    // (the decodeBmp hardening, applied here too)
+    if (w <= 0 || h <= 0 || w > 64000000L || h > 64000000L ||
+        w * h > 64000000L || (ch != 3 && ch != 4)) return None
     val n = (w * h).toInt
     val px = new Array[Int](n)
     val index = new Array[Int](64)
@@ -570,14 +574,13 @@ object MediaCodecs {
           while (k < run) { px(out) = (r << 16) | (g << 8) | b; out += 1; k += 1 }
           // the run repeats the PREVIOUS pixel: nothing else to do
       }
+      // every non-RUN op emits exactly one pixel and updates the index
+      // (RUN already emitted its repeats above and changes no state)
       if ((b1 >> 6) != 3 || b1 == 0xfe || b1 == 0xff) {
-        // every non-RUN op emits exactly one pixel and updates the index
-        if (b1 == 0xff || b1 == 0xfe || (b1 >> 6) != 3) {
-          if (out >= n) return None
-          px(out) = (r << 16) | (g << 8) | b; out += 1
-          index((r * 3 + g * 5 + b * 7 + a * 11) % 64) =
-            (a << 24) | (r << 16) | (g << 8) | b
-        }
+        if (out >= n) return None
+        px(out) = (r << 16) | (g << 8) | b; out += 1
+        index((r * 3 + g * 5 + b * 7 + a * 11) % 64) =
+          (a << 24) | (r << 16) | (g << 8) | b
       }
     }
     if (out != n) return None

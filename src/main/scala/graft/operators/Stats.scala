@@ -88,7 +88,11 @@ object Stats {
     */
   def corrVerdict(df: DataFrame, groupCol: String, x: Column, y: Column,
                   thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    // rows where EITHER metric is NULL drop entirely: count(*) with
+    // null-skipping sums would mix mismatched populations in the
+    // cross-products and corrupt both corr and the verdict
     val g = df.select(col(groupCol), x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
@@ -139,7 +143,9 @@ object Stats {
     * 12 dp, and the per-pair fold is an exact DECIMAL sum — order-free,
     * so any engine replays the PSI bit-for-bit. NULL values are
     * excluded from the distributions; a degenerate column (mx = mn)
-    * puts all mass in bin 0 and every PSI is 0.
+    * puts all mass in bin 0 — equal-SIZED groups then score exactly 0,
+    * while unequal sizes keep the small add-one smoothing residual
+    * (smoothed probabilities depend on n).
     *
     * Scale: ONE (group, bin) count aggregate over the data (map-side
     * partial — at most groups×B partial rows per task), a one-row
@@ -221,25 +227,35 @@ object Stats {
     * multiply work is the covariance itself. NULL vectors are skipped;
     * ragged dims fail LOUDLY; sum overflow fails LOUDLY
     * (Math.addExact — bound n·(1e6·max|x|)² < 2^63). */
-  def embeddingCovariance(df: DataFrame, d: Int,
-                          vecCol: String = "embedding"): DataFrame = {
-    require(d >= 1 && d <= 4096, "dims out of range")
-    val p = d * (d + 1) / 2
+  /** Micro-unit quantization of the vector column (shared by the
+    * covariance and Mahalanobis paths). */
+  private def quantizedVecs(df: DataFrame, d: Int, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val checked = df.filter(v.isNotNull)
+    df.filter(v.isNotNull)
       .select(when(size(v) === d,
         transform(v.cast("array<double>"), x => round(x * lit(1e6), 0).cast("long")))
         .otherwise(raise_error(concat(lit(s"embeddingCovariance: expected $d dims, got "),
           size(v).cast("string")))).as("_v"))
-    // map-side flat x̂i·x̂j products for i ≤ j (slice algebra, no join),
-    // folded in one pass; the (t → i,j) index map is a one-row explode
+  }
+
+  /** ONE-pass (_ps pair-product sums, _ms component sums, n) over the
+    * quantized frame — both covariance and mean derive from this row. */
+  private def covAggRow(checked: DataFrame, d: Int): DataFrame = {
+    val p = d * (d + 1) / 2
+    // map-side flat x̂i·x̂j products for i ≤ j (slice algebra, no join)
     val products = expr(
       """flatten(transform(_v, (xi, i) ->
         |  transform(slice(_v, i + 1, size(_v) - i), (xj, j) -> xi * xj)))""".stripMargin)
-    val aggRow = checked.agg(
+    checked.agg(
       graft.functions.LongVectorSumAgg.longVectorSum(products, p).as("_ps"),
       graft.functions.LongVectorSumAgg.longVectorSum(col("_v"), d).as("_ms"),
       count(lit(1)).as("n"))
+  }
+
+  def embeddingCovariance(df: DataFrame, d: Int,
+                          vecCol: String = "embedding"): DataFrame = {
+    require(d >= 1 && d <= 4096, "dims out of range")
+    val aggRow = covAggRow(quantizedVecs(df, d, vecCol), d)
     val mapping = df.sparkSession.range(1).select(posexplode(expr(
       s"""flatten(transform(sequence(1, $d), i ->
          |  transform(sequence(i, $d), j -> struct(i AS i, j AS j))))""".stripMargin))
@@ -280,21 +296,31 @@ object Stats {
                         vecCol: String = "embedding",
                         ridge: Double = 1e-6): DataFrame = {
     require(d >= 1 && d <= 4096, "dims out of range")
-    val covRows = embeddingCovariance(df, d, vecCol)
-      .collect().map(r => (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
-        r.getDouble(3)))
-    require(covRows.nonEmpty, "mahalanobisScores: empty corpus")
+    // ONE aggregate pass yields both Σ and μ (covAggRow) — the matrix
+    // readout is the same fixed-shape arithmetic the oracle-checked
+    // covariance emits, replayed on the driver from the exact sums
+    val sums = covAggRow(quantizedVecs(df, d, vecCol), d).collect().head
+    require(!sums.isNullAt(0), "mahalanobisScores: empty corpus")
+    val ps = sums.getSeq[Long](0)
+    val ms = sums.getSeq[Long](1)
+    val n = sums.getLong(2)
+    def covOf(i: Int, j: Int, t: Int): Double = {
+      val raw = ps(t) / 1e12 / n - (ms(i) / 1e6 / n) * (ms(j) / 1e6 / n)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     val a = Array.tabulate(d, d)((i, j) => if (i == j) ridge else 0.0)
-    covRows.foreach { case (i, j, c) => a(i)(j) += c; a(j)(i) = a(i)(j) }
-    // mean from the same micro-unit quantization the covariance used
-    val stats = df.filter(col(vecCol).isNotNull)
-      .select(transform(col(vecCol).cast("array<double>"),
-        x => round(x * lit(1e6), 0).cast("long")).as("_v"))
-      .agg(graft.functions.LongVectorSumAgg.longVectorSum(col("_v"), d).as("_s"),
-        count(lit(1)).as("n"))
-      .collect().head
-    val n = stats.getLong(1)
-    val mean = stats.getSeq[Long](0).map(_ / 1e6 / n).toArray
+    var t = 0
+    var ii = 0
+    while (ii < d) {
+      var jj = ii
+      while (jj < d) {
+        val c = covOf(ii, jj, t)
+        a(ii)(jj) += c; if (ii != jj) a(jj)(ii) = a(jj)(ii) + c
+        t += 1; jj += 1
+      }
+      ii += 1
+    }
+    val mean = ms.map(_ / 1e6 / n).toArray
     // Gauss-Jordan with partial pivoting: deterministic, single-threaded
     val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var colIx = 0

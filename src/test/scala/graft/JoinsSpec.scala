@@ -54,6 +54,17 @@ class JoinsSpec extends SparkSpec {
     assert(near === Map("e1" -> Some("b"), "e2" -> Some("a"), "e3" -> Some("a"),
       "e4" -> Some("a"), "e5" -> None),
       s"nearest picks the closer side, ties backward: $near")
+    // a NULL left time matches NOTHING in any direction (merge_asof
+    // semantics) — under desc ordering it would otherwise pick up the
+    // earliest right row in the forward carry
+    val withNullT = left.union(
+      Seq((1L, null.asInstanceOf[java.sql.Timestamp], "eN")).toDF("k", "t", "name"))
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val nv = Joins.asOf(withNullT, right, Seq("k"), "t", "t", direction = dir)
+        .filter(col("name") === "eN").collect()
+      assert(nv.length === 1 && nv.head.isNullAt(nv.head.fieldIndex("right_v")),
+        s"NULL left time must keep NULL right columns under $dir")
+    }
     // forward tie is inclusive too: a left row exactly AT a right time takes it
     val tie = Joins.asOf(
       Seq((1L, ts("2024-01-01 04:00:00"), "t1")).toDF("k", "t", "name"),

@@ -418,6 +418,16 @@ class MediaSpec extends SparkSpec {
     assert(decodeQoi(good.dropRight(12)).isEmpty, "truncated stream")
     // injected oversized RUN must not crash (either decodes or rejects)
     decodeQoi(good.take(14) ++ Array[Byte]((0xc0 | 61).toByte) ++ good.drop(14))
+    // crafted header whose w*h would overflow Long past the area guard
+    // must reject, never throw (the decodeBmp hardening, here too)
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("qoif".getBytes)
+    (0 until 4).foreach(_ => evil.write(0xff)) // w = 0xFFFFFFFF
+    (0 until 4).foreach(_ => evil.write(0xff)) // h = 0xFFFFFFFF
+    evil.write(3); evil.write(0)
+    evil.write(new Array[Byte](16))
+    assert(decodeQoi(evil.toByteArray).isEmpty,
+      "overflowing dimensions must reject, not throw")
   }
 
   test("imageAHashSniff: the same picture in BMP and QOI collapses to one fingerprint") {

@@ -1512,6 +1512,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out("flat") === (None, false), "zero variance: corr undefined, never strong")
   }
 
+  test("corrVerdict: rows with a NULL metric drop entirely (no mixed-population sums)") {
+    import graft.operators.Stats
+    // without the filter, n=3 would pair with y-sums over 2 rows and
+    // corrupt the cross-products; with it the NULL row vanishes and the
+    // remaining two points correlate exactly +1
+    val d = Seq((1L, Some(1L), Some(2L)), (1L, Some(5L), Some(10L)),
+      (1L, Some(9L), None)).map { case (g, x, y) =>
+        (g, x.map(_.toLong), y.map(_.toLong)) }
+      .toDF("g", "x", "y")
+    val r = Stats.corrVerdict(d, "g", col("x"), col("y")).collect().head
+    assert(r.getLong(1) === 2L, "n counts only both-non-null rows")
+    assert(r.getDouble(2) === 1.0 && r.getBoolean(3))
+  }
+
   test("corrVerdict: decimal overflow past the documented bound fails LOUDLY") {
     // 10 rows at ±7.07e8: each long sum fits (sxx ≈ 5e18 < 2^63), but
     // denx ≈ n·sxx ≈ 5e19 so denx·deny ≈ 2.5e39 overflows DECIMAL(38,0).
