@@ -1184,8 +1184,8 @@ object QueryCatalog {
        |  CAST(b2 * 16 + n3 + 16 AS BIGINT) AS height
        |FROM b)
        |SELECT doc_id AS asset_id, width, height,
-       |  CAST(floor(width * least(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_width,
-       |  CAST(floor(height * least(224.0 / width, 224.0 / height, 1.0)) AS BIGINT) AS out_height
+       |  GREATEST(1, CAST(floor(width * least(224.0 / width, 224.0 / height, 1.0)) AS BIGINT)) AS out_width,
+       |  GREATEST(1, CAST(floor(height * least(224.0 / width, 224.0 / height, 1.0)) AS BIGINT)) AS out_height
        |FROM d""".stripMargin
   }
 
@@ -3370,7 +3370,7 @@ object QueryCatalog {
 
   val q140Sql: String =
     """WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL),
       |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
       |    sum(CAST(round(list_sum(list_transform(v, x -> x * x)), 6) AS DECIMAL(18,6))) AS s2
       |  FROM e GROUP BY 1),
@@ -3669,8 +3669,8 @@ object QueryCatalog {
       |  CAST(lead + 256 + tail AS BIGINT) AS n_samples,
       |  CAST(lead // 64 AS BIGINT) AS first_voiced,
       |  CAST(lead // 64 + 3 AS BIGINT) AS last_voiced,
-      |  CAST(lead AS BIGINT) AS trim_start_sample,
-      |  CAST(lead + 256 AS BIGINT) AS trim_end_sample
+      |  CAST(lead AS BIGINT) AS trim_start_frame,
+      |  CAST(lead + 256 AS BIGINT) AS trim_end_frame
       |FROM d""".stripMargin
 
   /** IVF-PQ ANN (Similarity.annIvfPq — the FAISS IndexIVFPQ composition):

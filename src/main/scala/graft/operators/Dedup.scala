@@ -130,22 +130,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: k salted min-hashes over the shingle set.
-    * minhash_i(doc) = min over shingles of md5(i || ':' || shingle) —
-    * md5 hex strings compare lexicographically, which is a valid uniform
-    * order, and is engine-portable. Shuffle cost: k small aggregates over
-    * the exploded shingles (k ≪ shingle count; partial agg collapses
-    * map-side).
-    */
-  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
-    val salted = shingles.select(col("doc_id"),
-      explode(sequence(lit(0), lit(k - 1))).as("i"),
-      col("shingle"))
-      .select(col("doc_id"), col("i"),
-        md5(concat(col("i").cast("string"), lit(":"), col("shingle"))).as("h"))
-    salted.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-  }
-
   /** MinHash + LSH banding: documents sharing any band bucket become
     * candidate pairs, then candidates are verified with exact Jaccard.
     * bands*rowsPerBand == k. At scale: each doc shuffles b times (band

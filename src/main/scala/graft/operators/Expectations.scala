@@ -20,13 +20,15 @@ object Expectations {
     * unexpected NULL sail through a range check). */
   final case class Rule(name: String, valid: Column)
 
-  /** Evaluate `rules` in ONE aggregate pass over `df` (every rule is a
-    * conditional count in the same hash-aggregate — map-side partial,
-    * one row out), plus one count-distinct pass per `uniqueKeys` entry
-    * (rows whose key tuple occurs more than once are violations; rows
-    * with any NULL key component are counted by a paired
+  /** Evaluate `rules` in ONE aggregate pass over `df` — every row rule
+    * AND every uniqueness key's NULL-component count is a conditional
+    * sum in the same hash-aggregate (map-side partial, one row out) —
+    * plus exactly one (key → count) aggregate per `uniqueKeys` entry
+    * for the duplicate counts (rows whose key tuple occurs more than
+    * once are violations; NULL key components land in the paired
     * `<name>_key_complete` rule instead, keeping the two failure modes
-    * separately actionable).
+    * separately actionable). Rule names must be distinct across the
+    * whole suite — the streaming sink merges on (batch_id, rule).
     *
     * Output: (rule STRING, n_rows BIGINT, n_violations BIGINT,
     * pass BOOLEAN), one row per rule — deterministic trivially (exact
@@ -36,40 +38,49 @@ object Expectations {
   def audit(df: DataFrame, rules: Seq[Rule],
             uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "empty expectation suite")
-    val rowVerdicts: Option[DataFrame] = Option.when(rules.nonEmpty) {
-      val aggs = count(lit(1)).as("_n") +:
-        rules.zipWithIndex.map { case (r, i) =>
-          sum(when(coalesce(r.valid, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
-        }
-      val one = df.agg(aggs.head, aggs.tail: _*)
-      // unpivot the single verdict row: explode an array of per-rule structs
-      val verdictStructs = rules.zipWithIndex.map { case (r, i) =>
-        struct(lit(r.name).as("rule"), col("_n").as("n_rows"),
-          coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
-      }
-      one.select(explode(array(verdictStructs: _*)).as("_r"))
-        .select(col("_r.rule"), col("_r.n_rows"), col("_r.n_violations"))
+    uniqueKeys.foreach { case (name, keys) =>
+      require(keys.nonEmpty, s"uniqueness rule $name needs key columns") }
+    // rule names must be globally distinct (incl. the derived
+    // <name>_key_complete rows): a collision would fan out the
+    // (batch_id, rule)-keyed MERGE in StreamingAudit's sink on replay
+    val allNames = rules.map(_.name) ++
+      uniqueKeys.flatMap { case (n, _) => Seq(n, s"${n}_key_complete") }
+    require(allNames.distinct.size == allNames.size,
+      s"duplicate rule names in the suite: ${allNames.diff(allNames.distinct).distinct}")
+    // ONE pass for every per-row count: row rules AND each uniqueness
+    // key's NULL-component count ride the same aggregate
+    val rowAggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(coalesce(r.valid, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
     }
-    val uniqVerdicts: Seq[DataFrame] = uniqueKeys.map { case (name, keys) =>
-      require(keys.nonEmpty, s"uniqueness rule $name needs key columns")
-      val keyCols = keys.map(col)
+    val keyAggs = uniqueKeys.zipWithIndex.map { case ((_, keys), i) =>
       val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
-      val total = df.agg(count(lit(1)).as("_n"),
-        sum(when(nonNull, 0L).otherwise(1L)).as("_nullKeys"))
+      sum(when(nonNull, 0L).otherwise(1L)).as(s"_k$i")
+    }
+    val aggs = count(lit(1)).as("_n") +: (rowAggs ++ keyAggs)
+    val one = df.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // joined by every uniqueness verdict
+    val rowVerdictStructs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col("_n").as("n_rows"),
+        coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+    } ++ uniqueKeys.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(s"${name}_key_complete").as("rule"), col("_n").as("n_rows"),
+        coalesce(col(s"_k$i"), lit(0L)).as("n_violations"))
+    }
+    val rowVerdicts = one.select(explode(array(rowVerdictStructs: _*)).as("_r"))
+      .select(col("_r.rule"), col("_r.n_rows"), col("_r.n_violations"))
+    // per uniqueness key: ONE (key -> count) aggregate; totals come from
+    // the shared row pass above
+    val uniqVerdicts: Seq[DataFrame] = uniqueKeys.map { case (name, keys) =>
+      val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
       val dupRows = df.filter(nonNull)
-        .groupBy(keyCols: _*).agg(count(lit(1)).as("_c"))
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
         .filter(col("_c") > 1)
         .agg(coalesce(sum(col("_c")), lit(0L)).as("_dups"))
-      total.crossJoin(dupRows).select(
-        explode(array(
-          struct(lit(s"${name}_key_complete").as("rule"),
-            col("_n").as("n_rows"), col("_nullKeys").as("n_violations")),
-          struct(lit(name).as("rule"),
-            col("_n").as("n_rows"), col("_dups").as("n_violations")))).as("_r"))
-        .select(col("_r.rule"), col("_r.n_rows"),
-          coalesce(col("_r.n_violations"), lit(0L)).as("n_violations"))
+      one.select(col("_n")).crossJoin(dupRows)
+        .select(lit(name).as("rule"), col("_n").as("n_rows"),
+          col("_dups").as("n_violations"))
     }
-    (rowVerdicts.toSeq ++ uniqVerdicts)
+    (rowVerdicts +: uniqVerdicts)
       .reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
   }

@@ -140,9 +140,13 @@ object Multimodal {
   def resizePlan(decoded: DataFrame, box: Int): DataFrame = {
     val scale = least(
       lit(box.toDouble) / col("width"), lit(box.toDouble) / col("height"), lit(1.0))
+    // clamp at 1: an extreme aspect ratio would otherwise plan a 0-size
+    // dimension the actual resize (resizeBmp) never produces
     decoded
-      .withColumn("out_width", floor(col("width") * scale).cast("long"))
-      .withColumn("out_height", floor(col("height") * scale).cast("long"))
+      .withColumn("out_width",
+        greatest(lit(1L), floor(col("width") * scale).cast("long")))
+      .withColumn("out_height",
+        greatest(lit(1L), floor(col("height") * scale).cast("long")))
   }
 
   // ---------------------------------------------------------------------
@@ -163,13 +167,19 @@ object Multimodal {
     * integer Σ sample² (all channels), so `rms = round(sqrt(sum_sq /
     * (n_samples·channels)), 6)` is one fixed-shape double expression any
     * engine replays from the integers. */
-  def decodeWavFeatures(assets: DataFrame): Dataset[WavFeatureRow] = {
+  def decodeWavFeatures(assets: DataFrame): Dataset[WavFeatureRow] =
+    wavFeaturesWith(assets, MediaCodecs.decodeWav)
+
+  /** Shared wrapper body for the PCM and µ-law feature paths — one place
+    * for the rms rounding and the ok=0 row shape. */
+  private def wavFeaturesWith(assets: DataFrame,
+      decode: Array[Byte] => Option[MediaCodecs.WavData]): Dataset[WavFeatureRow] = {
     val enc = Encoders.product[WavFeatureRow]
     assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          MediaCodecs.decodeWav(payload) match {
+          decode(payload) match {
             case Some(w) =>
               val n = w.nSamplesPerChannel * w.channels
               val rms =
@@ -190,27 +200,8 @@ object Multimodal {
     * linear samples, so `sum_sq`/`rms` measure what a model would hear,
     * not the companded byte codes. PCM payloads are ok=0 here (route by
     * format — the Decoder-trait contract). */
-  def decodeMulawFeatures(assets: DataFrame): Dataset[WavFeatureRow] = {
-    val enc = Encoders.product[WavFeatureRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          MediaCodecs.decodeWavMulaw(payload) match {
-            case Some(w) =>
-              val n = w.nSamplesPerChannel * w.channels
-              val rms =
-                if (n == 0) None
-                else Some(BigDecimal(math.sqrt(w.sumSq.toDouble / n))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              WavFeatureRow(id, 1L, Some(w.sampleRate), Some(w.channels),
-                Some(w.nSamplesPerChannel), Some(w.durationMs), Some(w.sumSq), rms)
-            case None =>
-              WavFeatureRow(id, 0L, None, None, None, None, None, None)
-          }
-        }
-      }(enc)
-  }
+  def decodeMulawFeatures(assets: DataFrame): Dataset[WavFeatureRow] =
+    wavFeaturesWith(assets, MediaCodecs.decodeWavMulaw)
 
   /** µ-law fixture: the [[synthWavAssets]] sample formula encoded through
     * the REAL G.711 compander (lossy — the oracle replays encode ∘ decode
@@ -238,13 +229,18 @@ object Multimodal {
   /** Decode BMP payloads to image features: dims + exact integer channel
     * sums (+ mean_r = round(sum_r / (w·h), 6) precomputed for the common
     * audit). */
-  def decodeBmpFeatures(assets: DataFrame): Dataset[BmpFeatureRow] = {
+  def decodeBmpFeatures(assets: DataFrame): Dataset[BmpFeatureRow] =
+    bmpFeaturesWith(assets, MediaCodecs.decodeBmp)
+
+  /** Shared wrapper body for the BMP and QOI feature paths. */
+  private def bmpFeaturesWith(assets: DataFrame,
+      decode: Array[Byte] => Option[MediaCodecs.BmpData]): Dataset[BmpFeatureRow] = {
     val enc = Encoders.product[BmpFeatureRow]
     assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          MediaCodecs.decodeBmp(payload) match {
+          decode(payload) match {
             case Some(img) =>
               val (sr, sg, sb) = img.channelSums
               val n = img.width.toLong * img.height
@@ -550,21 +546,47 @@ object Multimodal {
   /** Silence-trim planning — the curation ACTION on top of
     * [[wavWindowFeatures]]: per asset, the first/last window whose
     * exact energy exceeds `minSumSq` and the sample offsets a cut stage
-    * would keep ([trim_start_sample, trim_end_sample)). Assets that are
+    * would keep ([trim_start_frame, trim_end_frame) in the FRAME domain). Assets that are
     * silent throughout emit NULL bounds (drop candidates); window
     * arithmetic is pure integers, so the plan replays in any engine. */
+  private case class TrimWindowRow(asset_id: Long, window_ix: Long,
+                                   n_samples: Long, sum_sq: Long,
+                                   n_channels: Int)
+
+  /** Trim bounds are FRAME offsets (per-channel sample positions) — a
+    * window spans winFrames frames = winFrames·channels interleaved
+    * samples, so multiplying window indexes by winFrames lands in the
+    * frame domain and the total must too (n_samples/channels). The
+    * channel count rides an internal window row so multichannel clips
+    * trim correctly; `n_samples` stays the all-channel count. */
   def silenceTrimPlan(assets: DataFrame, winFrames: Int,
-                      minSumSq: Long = 0L): DataFrame =
-    wavWindowFeatures(assets, winFrames).toDF()
-      .groupBy(col("asset_id"))
+                      minSumSq: Long = 0L): DataFrame = {
+    val enc = Encoders.product[TrimWindowRow]
+    val wins = assets
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          MediaCodecs.wavWindowSumSq(payload, winFrames).toSeq.flatMap {
+            case (w, rows) =>
+              rows.iterator.zipWithIndex.map { case ((n, ss), ix) =>
+                TrimWindowRow(id, ix.toLong, n, ss, w.channels)
+              }
+          }
+        }
+      }(enc).toDF()
+    wins.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(col("n_samples")).as("n_samples"),
+        max(col("n_channels")).as("_ch"),
         min(when(col("sum_sq") > minSumSq, col("window_ix"))).as("first_voiced"),
         max(when(col("sum_sq") > minSumSq, col("window_ix"))).as("last_voiced"))
-      .withColumn("trim_start_sample",
+      .withColumn("trim_start_frame",
         col("first_voiced") * winFrames)
-      .withColumn("trim_end_sample",
-        least(col("n_samples"), (col("last_voiced") + 1) * winFrames))
+      .withColumn("trim_end_frame",
+        least(expr("n_samples div _ch"), (col("last_voiced") + 1) * winFrames))
+      .drop("_ch")
+  }
 
   /** Silence-padded audio fixture: lead = (id mod 4)·64 zero samples,
     * a 256-sample wave body (the [[synthWavAssets]] formula), tail =
@@ -592,25 +614,8 @@ object Multimodal {
     * is exercised on every asset, and because QOI is LOSSLESS the
     * decoded channel sums must equal the source formulas bit-for-bit —
     * the oracle checks the codec, not just the plumbing. */
-  def decodeQoiFeatures(assets: DataFrame): Dataset[BmpFeatureRow] = {
-    val enc = Encoders.product[BmpFeatureRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          MediaCodecs.decodeQoi(payload) match {
-            case Some(img) =>
-              val (sr, sg, sb) = img.channelSums
-              val n = img.width.toLong * img.height
-              BmpFeatureRow(id, 1L, Some(img.width), Some(img.height),
-                Some(sr), Some(sg), Some(sb),
-                Some(BigDecimal(sr.toDouble / n)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-            case None => BmpFeatureRow(id, 0L, None, None, None, None, None, None)
-          }
-        }
-      }(enc)
-  }
+  def decodeQoiFeatures(assets: DataFrame): Dataset[BmpFeatureRow] =
+    bmpFeaturesWith(assets, MediaCodecs.decodeQoi)
 
   /** QOI fixture: the [[synthBmpAssets]] pixel formulas through the REAL
     * QOI encoder — same dims/content as the BMP twin, different real

@@ -243,7 +243,11 @@ object Similarity {
                       labelCol: String = "label"): DataFrame = {
     val m2 = round(graft.functions.VectorFunctions.dot_product(col(vecCol), col(vecCol)), 6)
       .cast("decimal(18,6)")
-    emb.select(col(labelCol).as("label"), col(vecCol).as("_v"), m2.as("_m2"))
+    // count only rows with a vector: count(lit(1)) would divide
+    // NULL-skipping sums by an inflated n and bias both the centroid
+    // and the dispersion (the VectorSumAgg caveat, applied here too)
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), col(vecCol).as("_v"), m2.as("_m2"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("_m2")).as("_s2"),

@@ -303,12 +303,27 @@ class MediaSpec extends SparkSpec {
     val v = out(1L)
     assert(v.getAs[Long]("n_windows") === 4L)
     assert(v.getAs[Long]("first_voiced") === 2L && v.getAs[Long]("last_voiced") === 2L)
-    assert(v.getAs[Long]("trim_start_sample") === 128L)
-    assert(v.getAs[Long]("trim_end_sample") === 192L)
+    assert(v.getAs[Long]("trim_start_frame") === 128L)
+    assert(v.getAs[Long]("trim_end_frame") === 192L)
     val s = out(2L)
     assert(s.isNullAt(s.fieldIndex("first_voiced")) &&
-      s.isNullAt(s.fieldIndex("trim_start_sample")),
+      s.isNullAt(s.fieldIndex("trim_start_frame")),
       "all-silent assets are drop candidates with NULL bounds")
+    // STEREO: bounds stay in the FRAME domain — a window holds
+    // winFrames*channels samples, so the old samples-vs-frames mix would
+    // land bounds in neither unit (the review finding)
+    val stTone = Array.tabulate(256)(i => (((i * 13) % 201 - 100) * 64).toShort)
+    val stereoSamples = new Array[Short](2 * (128 + 256)) // 128 silent frames lead
+    for (i <- 0 until 256) { stereoSamples(2 * (128 + i)) = stTone(i)
+                             stereoSamples(2 * (128 + i) + 1) = stTone(i) }
+    val st = Multimodal.silenceTrimPlan(
+        Seq((9L, MediaCodecs.encodeWav(stereoSamples, 8000, 2)))
+          .toDF("asset_id", "payload"), winFrames = 64)
+      .collect().head
+    assert(st.getAs[Long]("n_samples") === 768L, "all-channel sample count")
+    assert(st.getAs[Long]("trim_start_frame") === 128L &&
+      st.getAs[Long]("trim_end_frame") === 384L,
+      s"stereo bounds must be frame offsets: $st")
   }
 
   test("wavDftBins: a pure tone dominates its own bin; stereo reads channel 0 only") {

@@ -1793,6 +1793,12 @@ class OperatorsSpec extends SparkSpec {
       Seq(Rule("v_nonneg", col("v") >= 0)), Seq("pk" -> Seq("k1", "k2")))
     assert(clean.collect().forall(_.getBoolean(3)))
     intercept[IllegalArgumentException](audit(d, Nil, Nil))
+    // duplicate rule names would fan out the (batch_id, rule) streaming
+    // MERGE on replay — rejected at suite construction
+    intercept[IllegalArgumentException](audit(d,
+      Seq(Rule("pk", col("v") >= 0)), Seq("pk" -> Seq("k1"))))
+    intercept[IllegalArgumentException](audit(d,
+      Seq(Rule("pk_key_complete", col("v") >= 0)), Seq("pk" -> Seq("k1"))))
   }
 
   test("ngramNovelty: verbatim copy scores 0, fresh text 1, mixed doc exact fraction") {
