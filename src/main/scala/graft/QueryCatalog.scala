@@ -958,7 +958,8 @@ object QueryCatalog {
   val q45Sql: String =
     """WITH b AS (SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
       |    AS BIGINT) % 1000000 AS bk FROM orders)
-      |SELECT CASE WHEN bk < 750000 THEN 'train'
+      |SELECT CASE WHEN bk IS NULL THEN NULL
+      |            WHEN bk < 750000 THEN 'train'
       |            WHEN bk < 875000 THEN 'val' ELSE 'test' END AS split,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM b GROUP BY 1""".stripMargin

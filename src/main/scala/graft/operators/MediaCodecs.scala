@@ -284,6 +284,10 @@ object MediaCodecs {
   // (past it, weights are computed inline — identical values, just slower).
   private val dftWeightCache =
     new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Long])]()
+  private val dftCachedElems = new java.util.concurrent.atomic.AtomicLong(0)
+  // total cached LONGS across all tables (~64 MB at the cap) — an entry
+  // COUNT cap alone would let a few minute-long clips pin gigabytes
+  private val dftCacheMaxElems = 8L << 20
 
   private def w6(x: Double): Long =
     java.math.BigDecimal.valueOf(x * 1e6)
@@ -300,8 +304,10 @@ object MediaCodecs {
       }
       (c, s)
     }
-    if (dftWeightCache.size > 1024) build
-    else dftWeightCache.computeIfAbsent((k.toLong << 32) | n, _ => build)
+    if (dftCachedElems.get + 2L * n > dftCacheMaxElems) build
+    else dftWeightCache.computeIfAbsent((k.toLong << 32) | n, _ => {
+      dftCachedElems.addAndGet(2L * n); build
+    })
   }
 
   def wavDftBins(bytes: Array[Byte], bins: Seq[Int]): Option[(WavData, Array[(Int, Long, Long)])] = {

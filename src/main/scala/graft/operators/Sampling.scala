@@ -101,7 +101,8 @@ object Sampling {
       .withColumnRenamed(groupCol, "_grp")
     val rn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(hashBucket(col(keyCol), salt), col(keyCol))
+      .orderBy(hashBucket(col(keyCol), salt).asc_nulls_last,
+        col(keyCol).asc_nulls_last)
     df.join(broadcast(targets), col(groupCol) <=> col("_grp"))
       .withColumn("_rn", row_number().over(rn))
       .filter(col("_rn") <= col("_target"))
@@ -279,8 +280,12 @@ object Sampling {
     val b = hashBucket(col(keyCol), salt)
     val t = (trainFrac * buckets).toLong
     val v = ((trainFrac + valFrac) * buckets).toLong
+    // a NULL key gets a NULL split — the otherwise() branch would
+    // silently pool every NULL-key row into "test" and contaminate the
+    // holdout (the groupKFold contract, applied here)
     df.withColumn("split",
-      when(b < t, lit("train")).when(b < v, lit("val")).otherwise(lit("test")))
+      when(col(keyCol).isNotNull,
+        when(b < t, lit("train")).when(b < v, lit("val")).otherwise(lit("test"))))
   }
 
   /** GROUP-aware k-fold assignment — cross-validation's leakage guard:

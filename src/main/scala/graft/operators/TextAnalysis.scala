@@ -78,7 +78,7 @@ object TextAnalysis {
 
   /** Word n-gram shingles of the normalized text (for Jaccard/MinHash). */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val words = tokens(text) // the ONE tokenizer — never re-derive it
     // slide an index window: shingle i = words[i..i+n-1], for i in 0..len-n
     filter(
       transform(sequence(lit(0), greatest(size(words) - lit(n), lit(0))),
@@ -675,6 +675,15 @@ object TextAnalysis {
         .limit(1)
         .withColumn("round", lit(r.toLong))
       val bestCp = cp(best)
+      // a fully-merged corpus has no adjacent pairs left: best is EMPTY,
+      // and the crossJoin below would wipe the symbol table for every
+      // remaining round — stop instead (later rounds are no-ops)
+      if (bestCp.isEmpty) {
+        val out = if (table == null)
+          bestCp.select(col("round"), col("left"), col("right"), col("pair_count"))
+        else table.select(col("round"), col("left"), col("right"), col("pair_count"))
+        return (out, syms)
+      }
       table = if (table == null) bestCp else table.unionByName(bestCp)
       // rewrite: leftmost-nonoverlapping occurrences of (left, right).
       // Chaining is only possible when left == right, where the rule is

@@ -92,6 +92,7 @@ object TimeSeries {
         when(col("_c7") === 7, round(sum(col("_tot")).over(w7).cast("double") / 7, 6)))
       .withColumn("dow", (datediff(col("day"), lit("1970-01-01")) % 7).cast("long"))
       .withColumn("_detr", round(col("_tot").cast("double") - col("trend"), 6))
+      .localCheckpoint(true) // both sides of the seasonal join
     val seasonal = trended.filter(col("_detr").isNotNull)
       .groupBy(col("_s"), col("dow"))
       .agg(round(sum(col("_detr").cast("decimal(18,6)")).cast("double") /

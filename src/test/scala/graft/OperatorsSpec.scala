@@ -2097,6 +2097,29 @@ class OperatorsSpec extends SparkSpec {
       ("2024-02-04", 3L, 1L, 2L, 4L)))
   }
 
+  test("threeWaySplit: NULL keys get NULL split, never silently pooled into test") {
+    import graft.operators.Sampling
+    val d = Seq(Some(1L), Some(2L), None).map(Tuple1(_)).toDF("k")
+    val out = Sampling.threeWaySplit(d, "k", 0.75, 0.125).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> Option(r.getString(1)))
+      .toMap
+    assert(out(None).isEmpty, "NULL key -> NULL split (route explicitly)")
+    assert(out(Some(1L)).nonEmpty && out(Some(2L)).nonEmpty)
+  }
+
+  test("bpeMerges: a fully-merged corpus stops early instead of wiping the table") {
+    // one repeated 2-char word fully merges in 2 rounds; asking for 6
+    // must return those 2 rounds and keep the final symbol table intact
+    val d = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeMerges(d, rounds = 6)
+    val rows = merges.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length === 2, s"only the real merges survive: ${rows.toSeq}")
+    // segmentation still sees the merged corpus (the table wasn't wiped)
+    val seg = graft.operators.TextAnalysis.bpeSegment(d, rounds = 6).collect()
+    assert(seg.length === 1 && seg.head.getLong(2) === 3L,
+      s"3 fully-merged subword tokens: ${seg.toSeq}")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
