@@ -4957,6 +4957,47 @@ object QueryCatalog {
       |UNION ALL SELECT nationkey, 'total_acctbal', total_acctbal FROM wide
       |UNION ALL SELECT nationkey, 'n_suppliers', n_suppliers FROM wide""".stripMargin
 
+  /** Quantile-binned PSI (Stats.psiQuantileBins): equal-MASS drift bins
+    * — edges at the global deciles (≡ quantile_cont, rounded 6), bin =
+    * count of edges strictly below x, the heavy-tail-robust variant of
+    * q160's equal-width grid; shared pair/term fold. */
+  def q185PsiQuantile(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.psiQuantileBins(t(s, dir, "events"), "event_type", "value",
+      bins = 10)
+
+  val q185Sql: String = {
+    val edgeDefs = (1 until 10).map(i =>
+      s"round(quantile_cont(x, 0.$i), 6) AS e$i").mkString(",\n      |    ")
+    val binExpr = (1 until 10).map(i => s"CAST(x > e$i AS BIGINT)").mkString(" + ")
+    s"""WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |edges AS (SELECT
+       |    $edgeDefs
+       |  FROM base),
+       |binned AS (SELECT g, $binExpr AS bin FROM base CROSS JOIN edges),
+       |cnt AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY 1),
+       |grid AS (SELECT a.g AS a, a.n AS na, b.g AS b, b.n AS nb, r.range AS bin
+       |  FROM tot a JOIN tot b ON a.g IS DISTINCT FROM b.g CROSS JOIN range(10) r),
+       |sm AS (SELECT a, b, grid.bin AS bin,
+       |    coalesce(ca.c, 0) + 1 AS ca1, na + 10 AS na1,
+       |    coalesce(cb.c, 0) + 1 AS cb1, nb + 10 AS nb1
+       |  FROM grid
+       |  LEFT JOIN cnt ca ON ca.g IS NOT DISTINCT FROM grid.a AND ca.bin = grid.bin
+       |  LEFT JOIN cnt cb ON cb.g IS NOT DISTINCT FROM grid.b AND cb.bin = grid.bin),
+       |terms AS (SELECT a, b,
+       |    CAST(round((CAST(ca1 AS DOUBLE) / na1 - CAST(cb1 AS DOUBLE) / nb1) *
+       |      CAST(CAST(round(ln(ca1), 6) AS DECIMAL(12,6)) -
+       |           CAST(round(ln(na1), 6) AS DECIMAL(12,6)) -
+       |           CAST(round(ln(cb1), 6) AS DECIMAL(12,6)) +
+       |           CAST(round(ln(nb1), 6) AS DECIMAL(12,6)) AS DOUBLE),
+       |      12) AS DECIMAL(24,12)) AS t
+       |  FROM sm)
+       |SELECT a AS event_type_a, b AS event_type_b,
+       |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+       |FROM terms GROUP BY 1, 2""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5146,7 +5187,8 @@ object QueryCatalog {
     ("q181_qoi_decode", q181QoiDecode _, Some(q181Sql)),
     ("q182_cross_container_dedup", q182CrossContainerDedup _, Some(q182Sql)),
     ("q183_relative_ranks", q183RelativeRanks _, Some(q183Sql)),
-    ("q184_nation_unpivot", q184NationUnpivot _, Some(q184Sql)))
+    ("q184_nation_unpivot", q184NationUnpivot _, Some(q184Sql)),
+    ("q185_psi_quantile", q185PsiQuantile _, Some(q185Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

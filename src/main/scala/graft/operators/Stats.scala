@@ -154,8 +154,6 @@ object Stats {
   def psi(df: DataFrame, groupCol: String, valueCol: String,
           bins: Int = 16): DataFrame = {
     require(bins >= 2 && bins <= 4096, "bins out of range")
-    def r6ln(c: Column): Column =
-      round(log(c.cast("double")), 6).cast("decimal(12,6)")
     val x = col(valueCol).cast("double")
     val base = df.filter(x.isNotNull)
       .select(col(groupCol).as("_g"), x.as("_x"))
@@ -166,6 +164,42 @@ object Stats {
           least(lit(bins - 1L), floor((col("_x") - col("_mn")) *
             lit(bins.toDouble) / (col("_mx") - col("_mn")))))
           .otherwise(lit(0L)).as("_bin"))
+    psiFromBinned(binned, bins, groupCol)
+  }
+
+  /** [[psi]] with EQUAL-MASS bins — edges at the global i/B quantiles
+    * ([[ApproxQuantile.exactQuantiles]], ≡ quantile_cont, rounded 6)
+    * instead of equal width: the heavy-tail-robust variant (one outlier
+    * stretches an equal-width grid until every real value shares a bin;
+    * quantile edges keep each bin carrying ~1/B of the reference mass,
+    * the industry-standard PSI binning). Bin = the count of edges
+    * STRICTLY below x (ties land low), a fixed-shape integer sum both
+    * engines replay; the grid/term fold is [[psi]]'s, unchanged. */
+  def psiQuantileBins(df: DataFrame, groupCol: String, valueCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 256, "bins out of range")
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .select(col(groupCol).as("_g"), x.as("_x"))
+      .localCheckpoint(true) // quantile pass + binning pass
+    val qs = (1 until bins).map(i => s"_e$i" -> i.toDouble / bins)
+    val edges = ApproxQuantile.exactQuantiles(
+      base.select(lit(1).as("_q"), col("_x")), "_q", "_x", qs).drop("_q")
+    val binExpr = (1 until bins)
+      .map(i => (col("_x") > col(s"_e$i")).cast("long"))
+      .reduce(_ + _)
+    val binned = base.crossJoin(broadcast(edges))
+      .select(col("_g"), binExpr.as("_bin"))
+    psiFromBinned(binned, bins, groupCol)
+  }
+
+  /** The shared PSI tail: (group, bin) counts → smoothed pair grid →
+    * once-rounded DECIMAL-summed terms. `binned` = (_g, _bin) rows. */
+  private def psiFromBinned(prebinned: DataFrame, bins: Int,
+                            groupCol: String): DataFrame = {
+    def r6ln(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(12,6)")
+    val binned = prebinned
       .groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // read by totals AND both pair legs
     val totals = binned.groupBy(col("_g")).agg(sum(col("c")).as("n"))

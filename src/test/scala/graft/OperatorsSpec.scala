@@ -2120,6 +2120,30 @@ class OperatorsSpec extends SparkSpec {
       s"3 fully-merged subword tokens: ${seg.toSeq}")
   }
 
+  test("psiQuantileBins: an outlier blinds equal-width bins but not quantile bins") {
+    import graft.operators.Stats
+    // A sits on 1..50, B on 51..100 — clearly shifted; one 1e9 outlier
+    // stretches the equal-width grid until A and B share bin 0, while
+    // the decile edges still separate them
+    val rows = (1 to 50).map(v => ("A", v.toDouble)) ++
+      (51 to 100).map(v => ("B", v.toDouble)) :+ (("B", 1e9))
+    val d = rows.toDF("grp", "v")
+    val wide = Stats.psi(d, "grp", "v", bins = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val quant = Stats.psiQuantileBins(d, "grp", "v", bins = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(wide(("A", "B")) < 0.1,
+      s"equal-width grid is blinded by the outlier: $wide")
+    assert(quant(("A", "B")) > 1.0,
+      s"quantile bins keep resolving the shift: $quant")
+    // identical groups still score 0 under quantile bins
+    val same = (1 to 40).flatMap(v => Seq(("X", v.toDouble), ("Y", v.toDouble)))
+      .toDF("grp", "v")
+    val s0 = Stats.psiQuantileBins(same, "grp", "v", bins = 10).collect()
+      .map(_.getDouble(2))
+    assert(s0.forall(_ === 0.0), s"identical distributions: ${s0.toSeq}")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
