@@ -4998,6 +4998,69 @@ object QueryCatalog {
        |FROM terms GROUP BY 1, 2""".stripMargin
   }
 
+  /** Pairwise chi-square categorical drift (Stats.chiSquareDrift): the
+    * language mix per source as a 2×k contingency test — χ², dof, and
+    * Cramér's V per ordered source pair; the categorical complement of
+    * q160/q185's numeric PSI grids (exact counts, once-rounded cell
+    * terms, DECIMAL fold). */
+  def q186ChiSquareDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.chiSquareDrift(t(s, dir, "documents"), "source", "lang")
+
+  val q186Sql: String =
+    """WITH cnt AS (SELECT source AS g, lang AS k, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY 1),
+      |grid AS (SELECT a.g AS a, a.n AS na, b.g AS b, b.n AS nb, cats.k AS k
+      |  FROM tot a JOIN tot b ON a.g IS DISTINCT FROM b.g
+      |  CROSS JOIN (SELECT DISTINCT k FROM cnt) cats),
+      |cells AS (SELECT a, b, na, nb,
+      |    coalesce(ca.c, 0) AS ca0, coalesce(cb.c, 0) AS cb0
+      |  FROM grid
+      |  LEFT JOIN cnt ca ON ca.g IS NOT DISTINCT FROM grid.a
+      |    AND ca.k IS NOT DISTINCT FROM grid.k
+      |  LEFT JOIN cnt cb ON cb.g IS NOT DISTINCT FROM grid.b
+      |    AND cb.k IS NOT DISTINCT FROM grid.k
+      |  WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0),
+      |terms AS (SELECT a, b, na, nb,
+      |    CAST(round(
+      |      (CAST(ca0 AS DOUBLE) * (na + nb) - CAST(na AS DOUBLE) * (ca0 + cb0)) *
+      |      (CAST(ca0 AS DOUBLE) * (na + nb) - CAST(na AS DOUBLE) * (ca0 + cb0)) /
+      |      (CAST(na AS DOUBLE) * (ca0 + cb0) * (na + nb)) +
+      |      (CAST(cb0 AS DOUBLE) * (na + nb) - CAST(nb AS DOUBLE) * (ca0 + cb0)) *
+      |      (CAST(cb0 AS DOUBLE) * (na + nb) - CAST(nb AS DOUBLE) * (ca0 + cb0)) /
+      |      (CAST(nb AS DOUBLE) * (ca0 + cb0) * (na + nb)), 12)
+      |      AS DECIMAL(24,12)) AS t
+      |  FROM cells)
+      |SELECT a AS source_a, b AS source_b,
+      |  round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
+      |  count(*) - 1 AS dof,
+      |  CASE WHEN count(*) > 1
+      |    THEN round(sqrt(round(CAST(sum(t) AS DOUBLE), 6) / (na + nb)), 6)
+      |    ELSE 0.0 END AS cramers_v
+      |FROM terms GROUP BY a, b, na, nb""".stripMargin
+
+  /** Source-concentration Gini (Stats.giniConcentration): how unevenly
+    * the corpus character mass spreads across sources, via the
+    * order-free mean-absolute-difference identity (no sort/rank to
+    * replay) — the mixture-design audit next to q159's KL and q186's
+    * chi-square. */
+  def q187GiniConcentration(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.giniConcentration(t(s, dir, "documents"), "source", "n_chars")
+
+  val q187Sql: String =
+    """WITH g AS (SELECT source AS grp,
+      |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |mad AS (SELECT CAST(sum(abs(a.w - b.w)) AS BIGINT) AS mad
+      |  FROM g a CROSS JOIN g b),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(w) AS BIGINT) AS total_w FROM g)
+      |SELECT n_groups, total_w,
+      |  CASE WHEN total_w > 0
+      |    THEN round(CAST(mad AS DOUBLE) / (2.0 * n_groups * total_w), 6)
+      |    ELSE 0.0 END AS gini
+      |FROM tot CROSS JOIN mad""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5188,7 +5251,9 @@ object QueryCatalog {
     ("q182_cross_container_dedup", q182CrossContainerDedup _, Some(q182Sql)),
     ("q183_relative_ranks", q183RelativeRanks _, Some(q183Sql)),
     ("q184_nation_unpivot", q184NationUnpivot _, Some(q184Sql)),
-    ("q185_psi_quantile", q185PsiQuantile _, Some(q185Sql)))
+    ("q185_psi_quantile", q185PsiQuantile _, Some(q185Sql)),
+    ("q186_chi_square_drift", q186ChiSquareDrift _, Some(q186Sql)),
+    ("q187_gini_concentration", q187GiniConcentration _, Some(q187Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

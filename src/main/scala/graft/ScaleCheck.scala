@@ -315,6 +315,12 @@ object ScaleCheck {
         graft.operators.Similarity.knnLabelAgreement(emb, k = 5,
           nCells = cells, nProbe = 4))
     }
+    // drift/concentration audits: one count aggregate over the data each,
+    // then tiny broadcast grids — expected near-1× wall ratios at 10×
+    time("chi_square_drift")(
+      graft.operators.Stats.chiSquareDrift(docs, "source", "lang"))
+    time("gini_concentration")(
+      graft.operators.Stats.giniConcentration(docs, "source", "n_chars"))
     spark.stop()
   }
 }

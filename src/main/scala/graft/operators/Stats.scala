@@ -237,6 +237,102 @@ object Stats {
         round(col("_s").cast("double"), 6).as("psi"))
   }
 
+  /** Pairwise two-sample chi-square drift over a CATEGORICAL column —
+    * the categorical complement of [[psi]]'s numeric grid (language mix
+    * per source, label mix per split, event-type mix per day). For each
+    * ordered group pair (a, b) and each category with pooled support,
+    * the cell term is the classic contingency form
+    * (O − E)²/E with E the pooled-rate expectation, folded as once-
+    * rounded DECIMAL; the readout adds the degrees of freedom (pooled
+    * categories − 1) and Cramér's V = √(χ²/n) (the 2×k association
+    * strength, 0 when dof = 0).
+    *
+    * Determinism contract: counts are exact integers; each cell term is
+    * ONE fixed-shape double expression over those integers
+    * ((c·n − nₐ·k)² / (nₐ·k·n), both sides' terms added), rounded once
+    * to 12 dp, summed as DECIMAL, with the final χ²/V readouts rounded
+    * once to 6 — any engine replays the table bit-for-bit. NULL
+    * categories are REAL categories (the "suddenly unlabeled" drift
+    * mode) and NULL group keys real groups — all pairings null-safe.
+    *
+    * Scale: ONE (group, category) count aggregate over the data
+    * (map-side partial), then a groups²×categories grid built from
+    * broadcast aggregates — never corpus². */
+  def chiSquareDrift(df: DataFrame, groupCol: String,
+                     catCol: String): DataFrame = {
+    val cnt = df.select(col(groupCol).as("_g"), col(catCol).as("_k"))
+      .groupBy(col("_g"), col("_k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by totals, the cat union, both legs
+    val totals = cnt.groupBy(col("_g")).agg(sum(col("c")).as("n"))
+    val pairs = totals.select(col("_g").as("a"), col("n").as("na"))
+      .join(broadcast(totals.select(col("_g").as("b"), col("n").as("nb"))),
+        !(col("a") <=> col("b")))
+    val grid = pairs
+      .join(broadcast(cnt.select(col("_k")).distinct()))
+      .join(cnt.select(col("_g").as("_ga"), col("_k").as("_ka"),
+          col("c").as("ca")),
+        col("a") <=> col("_ga") && col("_k") <=> col("_ka"), "left")
+      .drop("_ga", "_ka")
+      .join(cnt.select(col("_g").as("_gb"), col("_k").as("_kb"),
+          col("c").as("cb")),
+        col("b") <=> col("_gb") && col("_k") <=> col("_kb"), "left")
+      .drop("_gb", "_kb")
+      .withColumn("ca0", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb0", coalesce(col("cb"), lit(0L)))
+      // a category absent from BOTH sides of the pair contributes no
+      // cell (its expectation is 0); it exists only via other groups
+      .filter(col("ca0") + col("cb0") > 0)
+    val nD = (col("na") + col("nb")).cast("double")
+    val ck = (col("ca0") + col("cb0")).cast("double")
+    val numA = col("ca0").cast("double") * nD - col("na").cast("double") * ck
+    val numB = col("cb0").cast("double") * nD - col("nb").cast("double") * ck
+    val tA = numA * numA / (col("na").cast("double") * ck * nD)
+    val tB = numB * numB / (col("nb").cast("double") * ck * nD)
+    grid.withColumn("_t", round(tA + tB, 12).cast("decimal(24,12)"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(sum(col("_t")).as("_s"), count(lit(1)).as("_cells"))
+      .withColumn("chi2", round(col("_s").cast("double"), 6))
+      .select(col("a").as(s"${groupCol}_a"), col("b").as(s"${groupCol}_b"),
+        col("chi2"), (col("_cells") - 1).as("dof"),
+        when(col("_cells") > 1,
+          round(sqrt(col("chi2") / (col("na") + col("nb")).cast("double")), 6))
+          .otherwise(lit(0.0)).as("cramers_v"))
+  }
+
+  /** Gini coefficient of corpus-mass concentration across groups — the
+    * one-number "is this corpus dominated by a few sources?" audit a
+    * mixture designer reads before setting sampling weights (0 = evenly
+    * spread, (n−1)/n = all mass in one group).
+    *
+    * Computed via the mean-absolute-difference identity
+    * G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) — completely ORDER-FREE: no sort, no
+    * rank, no tie-break policy to keep in sync with another engine, and
+    * NULL group keys participate as real groups. The pair sum runs on
+    * the groups×groups cross of the per-group totals frame (tiny by
+    * construction — distinct groups, broadcast), never on the data.
+    *
+    * Determinism contract: per-group weights are exact integer sums
+    * (all-NULL groups coalesce to 0), |xᵢ−xⱼ| and its fold stay in
+    * exact longs, and the single readout is one fixed-shape double
+    * division rounded once to 6. Zero total mass reads 0. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        weightCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("w"))
+      .localCheckpoint(true) // read by the pair sum AND the totals
+    val mad = g.select(col("w").as("wa"))
+      .crossJoin(broadcast(g.select(col("w").as("wb"))))
+      .agg(sum(abs(col("wa") - col("wb"))).as("mad"))
+    g.agg(count(lit(1)).as("n_groups"), sum(col("w")).as("total_w"))
+      .crossJoin(broadcast(mad))
+      .select(col("n_groups"), col("total_w"),
+        when(col("total_w") > 0,
+          round(col("mad").cast("double") /
+            (lit(2.0) * col("n_groups").cast("double") *
+              col("total_w").cast("double")), 6))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   /** Upper-triangular covariance matrix of an embedding column — the
     * base object for PCA/whitening/feature-correlation audits over a
     * vector corpus, as (i, j, n, cov) rows with 1 ≤ i ≤ j ≤ d.

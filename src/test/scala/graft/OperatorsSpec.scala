@@ -2144,6 +2144,49 @@ class OperatorsSpec extends SparkSpec {
     assert(s0.forall(_ === 0.0), s"identical distributions: ${s0.toSeq}")
   }
 
+  test("chiSquareDrift: hand-computed 2x2 table, zero on identical, NULL is a category") {
+    import graft.operators.Stats
+    // classic 2x2: A = 30x/10y, B = 10x/30y -> chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d))
+    // = 80*800^2/40^4 = 20, dof = 1, V = sqrt(20/80) = 0.5
+    val rows = Seq.fill(30)(("A", "x")) ++ Seq.fill(10)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(30)(("B", "y"))
+    val out = Stats.chiSquareDrift(rows.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("A", "B")) === ((20.0, 1L, 0.5)), s"hand value: $out")
+    assert(out(("B", "A")) === ((20.0, 1L, 0.5)), "symmetric statistic")
+    // identical distributions score exactly 0
+    val same = (1 to 20).flatMap(i => Seq(("X", s"c${i % 4}"), ("Y", s"c${i % 4}")))
+    val s0 = Stats.chiSquareDrift(same.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(r => (r.getDouble(2), r.getLong(3)))
+    assert(s0.forall { case (chi, dof) => chi === 0.0 && dof === 3L }, s0.toSeq)
+    // a NULL category is REAL drift: A all-labeled, B half-unlabeled
+    val nulls = Seq.fill(20)(("A", "x")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(10)(("B", null: String))
+    val nv = Stats.chiSquareDrift(nulls.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // 2x2 with the NULL column: chi2 = 40*(20*10-0*10)^2/(20*20*30*10) = 40/3
+    assert(math.abs(nv(("A", "B")) - 40.0 / 3) < 1e-5,
+      s"NULL column participates with real counts: $nv")
+  }
+
+  test("giniConcentration: even spread is 0, one-group dominance is (n-1)/n") {
+    import graft.operators.Stats
+    def corpus(ws: Seq[Long]) = ws.zipWithIndex.flatMap { case (w, i) =>
+      Seq((s"s$i", w)) }.toDF("src", "chars")
+    val even = Stats.giniConcentration(corpus(Seq(5L, 5L, 5L, 5L)), "src", "chars")
+      .collect().head
+    assert((even.getLong(0), even.getLong(1), even.getDouble(2)) === ((4L, 20L, 0.0)))
+    // all mass in one of 4 groups: G = (n-1)/n = 0.75
+    val dom = Stats.giniConcentration(corpus(Seq(0L, 0L, 0L, 4L)), "src", "chars")
+      .collect().head
+    assert(dom.getDouble(2) === 0.75, s"max concentration: $dom")
+    // hand value for (1, 3): mad = |1-3|*2 = 4 -> G = 4/(2*2*4) = 0.25
+    val two = Stats.giniConcentration(corpus(Seq(1L, 3L)), "src", "chars")
+      .collect().head
+    assert(two.getDouble(2) === 0.25, s"hand gini: $two")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
