@@ -5061,6 +5061,81 @@ object QueryCatalog {
       |    ELSE 0.0 END AS gini
       |FROM tot CROSS JOIN mad""".stripMargin
 
+  /** TPC-H Q3 shape (shipping priority): BUILDING-segment customers,
+    * orders placed before / items shipped after the cut date, top-10
+    * unshipped orders by revenue — completes the Q3/Q5/Q10 classic
+    * trio (q179/q180). Broadcast segment dim, partial agg before the
+    * exchange, TakeOrdered over the per-order aggregate. */
+  def q188ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("date")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") > cut)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("order_date"), col("o_orderpriority"))
+      .agg(sum((dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("decimal(28,4)")).as("_rev"))
+      .orderBy(col("_rev").desc, col("l_orderkey").asc).limit(10)
+      .select(col("l_orderkey"), col("order_date"), col("o_orderpriority"),
+        col("_rev").cast("double").as("revenue"))
+  }
+
+  val q188Sql: String =
+    """WITH rev AS (SELECT l_orderkey,
+      |    CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS DECIMAL(28,4))) AS r
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |    AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+      |  GROUP BY 1, 2, 3)
+      |SELECT l_orderkey, order_date, o_orderpriority,
+      |  CAST(r AS DOUBLE) AS revenue
+      |FROM rev ORDER BY r DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Benford first-digit audit (Stats.benfordAudit): observed vs
+    * expected leading-digit distribution of line-item prices — the
+    * forensic "is this numeric feed natural?" gate; digit from the
+    * DECIMAL string rendering, constants baked as literals. */
+  def q189BenfordPrices(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
+
+  val q189Sql: String = {
+    val ps = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+    val caseExpr = ps.map { case (d, p) =>
+      s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+    s"""WITH base AS (SELECT abs(CAST(l_extendedprice AS DECIMAL(18,2))) AS x
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |    AND CAST(l_extendedprice AS DECIMAL(18,2)) <> 0),
+       |d AS (SELECT CAST(substr(regexp_replace(CAST(x AS VARCHAR),
+       |    '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit FROM base),
+       |cnt AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM cnt),
+       |digits AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+       |shares AS (SELECT digits.digit,
+       |    CAST(coalesce(cnt.n_obs, 0) AS BIGINT) AS n_obs,
+       |    CASE WHEN t > 0 THEN round(
+       |      CAST(coalesce(cnt.n_obs, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+       |      ELSE 0.0 END AS obs_share,
+       |    CASE digits.digit $caseExpr END AS benford_p
+       |  FROM digits LEFT JOIN cnt ON digits.digit = cnt.digit CROSS JOIN tot)
+       |SELECT digit, n_obs, obs_share, benford_p,
+       |  round(obs_share - benford_p, 6) AS dev FROM shares""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5253,7 +5328,9 @@ object QueryCatalog {
     ("q184_nation_unpivot", q184NationUnpivot _, Some(q184Sql)),
     ("q185_psi_quantile", q185PsiQuantile _, Some(q185Sql)),
     ("q186_chi_square_drift", q186ChiSquareDrift _, Some(q186Sql)),
-    ("q187_gini_concentration", q187GiniConcentration _, Some(q187Sql)))
+    ("q187_gini_concentration", q187GiniConcentration _, Some(q187Sql)),
+    ("q188_shipping_priority", q188ShippingPriority _, Some(q188Sql)),
+    ("q189_benford_prices", q189BenfordPrices _, Some(q189Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -333,6 +333,52 @@ object Stats {
           .otherwise(lit(0.0)).as("gini"))
   }
 
+  /** Benford first-significant-digit audit — the forensic data-quality
+    * staple: naturally-occurring multiplicative quantities (prices,
+    * populations, file sizes) follow P(d) = log₁₀(1 + 1/d); fabricated
+    * or truncated columns don't. Emits one row per digit 1-9 with the
+    * observed share, the Benford expectation, and the deviation — the
+    * table an auditor eyeballs before trusting a numeric feed.
+    *
+    * Determinism contract: the digit is extracted from the DECIMAL(18,2)
+    * string rendering (first char after stripping everything outside
+    * 1-9) — a fixed-point rendering both engines print identically, no
+    * float-to-string or log₁₀-of-value anywhere near the data; counts
+    * are exact; the Benford constants are 6-dp literals baked into both
+    * engines' queries; shares/deviations are fixed-shape double
+    * divisions rounded once to 6. NULL and exact-zero values (no
+    * leading significant digit) are excluded; absent digits still get
+    * their row via the literal 1-9 frame.
+    *
+    * Scale: one map-side digit projection + a 9-row count aggregate;
+    * everything after is a 9-row broadcast readout. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val ps = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+    val x = abs(col(valueCol).cast("decimal(18,2)"))
+    val counts = df.select(x.as("_x"))
+      .filter(col("_x").isNotNull && col("_x") =!= 0)
+      .select(substring(
+        regexp_replace(col("_x").cast("string"), "[^1-9]", ""), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("_tot"))
+    val pExpr = ps.tail.foldLeft(when(col("digit") === 1, ps.head._2)) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, p) }
+    df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("obs_share",
+        when(col("_tot") > 0,
+          round(col("n_obs").cast("double") / col("_tot").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("benford_p", pExpr)
+      .select(col("digit"), col("n_obs"), col("obs_share"), col("benford_p"),
+        round(col("obs_share") - col("benford_p"), 6).as("dev"))
+  }
+
   /** Upper-triangular covariance matrix of an embedding column — the
     * base object for PCA/whitening/feature-correlation audits over a
     * vector corpus, as (i, j, n, cov) rows with 1 ≤ i ≤ j ≤ d.

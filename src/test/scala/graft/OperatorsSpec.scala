@@ -2187,6 +2187,24 @@ class OperatorsSpec extends SparkSpec {
     assert(two.getDouble(2) === 0.25, s"hand gini: $two")
   }
 
+  test("benfordAudit: digit extraction by hand, zeros/NULLs excluded, dense 1-9 rows") {
+    import graft.operators.Stats
+    // digits: 1.00->1, 19.99->1, 0.10->1 (leading SIGNIFICANT digit),
+    // 2.50->2, -3.00->3 (abs); 0 and NULL are excluded
+    val vals = Seq(Some(1.00), Some(19.99), Some(0.10), Some(2.50),
+      Some(-3.00), Some(0.0), None)
+    val out = Stats.benfordAudit(vals.map(Tuple1(_)).toDF("v"), "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet === (1 to 9).toSet, "dense digit frame")
+    assert(out(1)._1 === 3L && out(1)._2 === 0.6)
+    assert(out(2)._1 === 1L && out(2)._2 === 0.2)
+    assert(out(3)._1 === 1L && out(3)._2 === 0.2)
+    assert((4 to 9).forall(d => out(d)._1 === 0L && out(d)._2 === 0.0))
+    assert(out(1)._3 === 0.30103 && out(1)._4 === 0.29897, s"dev vs Benford: $out")
+    assert(out(9)._3 === 0.045757)
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
