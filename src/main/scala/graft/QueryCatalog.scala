@@ -5136,6 +5136,44 @@ object QueryCatalog {
        |  round(obs_share - benford_p, 6) AS dev FROM shares""".stripMargin
   }
 
+  /** Pairwise Jensen-Shannon divergence (Stats.jsDivergence) of the
+    * per-source language mix — the symmetric, [0, ln 2]-bounded drift
+    * score beside q186's chi-square test and q159's directed KL;
+    * integer-ratio ln factors keep it engine-exact. */
+  def q190JsDivergence(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.jsDivergence(t(s, dir, "documents"), "source", "lang")
+
+  val q190Sql: String =
+    """WITH cnt AS (SELECT source AS g, lang AS k, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY 1),
+      |nc AS (SELECT count(*) AS nk FROM (SELECT DISTINCT k FROM cnt)),
+      |grid AS (SELECT a.g AS a, a.n AS na0, b.g AS b, b.n AS nb0, cats.k AS k
+      |  FROM tot a JOIN tot b ON a.g IS DISTINCT FROM b.g
+      |  CROSS JOIN (SELECT DISTINCT k FROM cnt) cats),
+      |sm AS (SELECT a, b,
+      |    coalesce(ca.c, 0) + 1 AS ca1, coalesce(cb.c, 0) + 1 AS cb1,
+      |    na0 + nc.nk AS na1, nb0 + nc.nk AS nb1
+      |  FROM grid CROSS JOIN nc
+      |  LEFT JOIN cnt ca ON ca.g IS NOT DISTINCT FROM grid.a
+      |    AND ca.k IS NOT DISTINCT FROM grid.k
+      |  LEFT JOIN cnt cb ON cb.g IS NOT DISTINCT FROM grid.b
+      |    AND cb.k IS NOT DISTINCT FROM grid.k),
+      |terms AS (SELECT a, b,
+      |    CAST(round(
+      |      CAST(ca1 AS DOUBLE) / na1 *
+      |      CAST(CAST(round(ln(ca1 * nb1 * 2), 6) AS DECIMAL(12,6)) -
+      |           CAST(round(ln(ca1 * nb1 + cb1 * na1), 6) AS DECIMAL(12,6))
+      |        AS DOUBLE) +
+      |      CAST(cb1 AS DOUBLE) / nb1 *
+      |      CAST(CAST(round(ln(cb1 * na1 * 2), 6) AS DECIMAL(12,6)) -
+      |           CAST(round(ln(ca1 * nb1 + cb1 * na1), 6) AS DECIMAL(12,6))
+      |        AS DOUBLE), 12) AS DECIMAL(24,12)) AS t
+      |  FROM sm)
+      |SELECT a AS source_a, b AS source_b,
+      |  round(CAST(sum(t) AS DOUBLE) / 2.0, 6) AS jsd
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5330,7 +5368,8 @@ object QueryCatalog {
     ("q186_chi_square_drift", q186ChiSquareDrift _, Some(q186Sql)),
     ("q187_gini_concentration", q187GiniConcentration _, Some(q187Sql)),
     ("q188_shipping_priority", q188ShippingPriority _, Some(q188Sql)),
-    ("q189_benford_prices", q189BenfordPrices _, Some(q189Sql)))
+    ("q189_benford_prices", q189BenfordPrices _, Some(q189Sql)),
+    ("q190_js_divergence", q190JsDivergence _, Some(q190Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -333,6 +333,69 @@ object Stats {
           .otherwise(lit(0.0)).as("gini"))
   }
 
+  /** Pairwise Jensen-Shannon divergence over a categorical column — the
+    * SYMMETRIC, BOUNDED ([0, ln 2]) drift measure that complements
+    * [[chiSquareDrift]] (a significance test) and q159's directed KL
+    * (unbounded, asymmetric): JSD(a,b) = ½Σp·ln(2p/(p+q)) +
+    * ½Σq·ln(2q/(p+q)) with add-one smoothed category probabilities, so
+    * a monitoring dashboard can threshold it without per-pair dof math.
+    *
+    * Determinism contract: with p = ca/na and q = cb/nb the ln
+    * arguments are RATIOS OF INTEGERS — 2p/(p+q) = 2·ca·nb /
+    * (ca·nb + cb·na) — so every ln factor is a once-rounded 6-dp
+    * DECIMAL of an integer's log ([[psi]]'s discipline, no ln of a
+    * float anywhere); each cell term is one fixed-shape double
+    * expression over exact integers and those decimals, rounded once to
+    * 12 dp, DECIMAL-summed, halved and rounded once to 6. Exactness
+    * bound: the integer products ca·nb stay exact in double while
+    * counts·total < ~9e15 — far past any per-category count this
+    * audit meets. NULL categories and NULL groups are real rows
+    * (null-safe pairings throughout).
+    *
+    * Scale: the [[chiSquareDrift]] topology — one (group, category)
+    * count aggregate, then broadcast groups²×k grids. */
+  def jsDivergence(df: DataFrame, groupCol: String,
+                   catCol: String): DataFrame = {
+    def r6ln(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(12,6)")
+    val cnt = df.select(col(groupCol).as("_g"), col(catCol).as("_k"))
+      .groupBy(col("_g"), col("_k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by totals, the cat union, both legs
+    val totals = cnt.groupBy(col("_g")).agg(sum(col("c")).as("n"))
+    val nCats = cnt.select(col("_k")).distinct().count()
+    val grid = totals.select(col("_g").as("a"), col("n").as("na0"))
+      .join(broadcast(totals.select(col("_g").as("b"), col("n").as("nb0"))),
+        !(col("a") <=> col("b")))
+      .join(broadcast(cnt.select(col("_k")).distinct()))
+      .join(cnt.select(col("_g").as("_ga"), col("_k").as("_ka"),
+          col("c").as("ca")),
+        col("a") <=> col("_ga") && col("_k") <=> col("_ka"), "left")
+      .drop("_ga", "_ka")
+      .join(cnt.select(col("_g").as("_gb"), col("_k").as("_kb"),
+          col("c").as("cb")),
+        col("b") <=> col("_gb") && col("_k") <=> col("_kb"), "left")
+      .drop("_gb", "_kb")
+      // add-one smoothing over the FULL category union (psi's policy):
+      // every cell has mass on both sides, so every ln argument is a
+      // positive integer ratio
+      .withColumn("ca1", coalesce(col("ca"), lit(0L)) + 1)
+      .withColumn("cb1", coalesce(col("cb"), lit(0L)) + 1)
+      .withColumn("na1", col("na0") + nCats)
+      .withColumn("nb1", col("nb0") + nCats)
+    val p = col("ca1").cast("double") / col("na1").cast("double")
+    val q = col("cb1").cast("double") / col("nb1").cast("double")
+    // 2p/(p+q) = 2·ca·nb / (ca·nb + cb·na): integer-ratio ln factors
+    val cross = col("ca1") * col("nb1")
+    val ssorc = col("cb1") * col("na1")
+    val lnP = (r6ln(cross * 2) - r6ln(cross + ssorc)).cast("double")
+    val lnQ = (r6ln(ssorc * 2) - r6ln(cross + ssorc)).cast("double")
+    grid.withColumn("_t", round(p * lnP + q * lnQ, 12).cast("decimal(24,12)"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("_t")).as("_s"))
+      .select(col("a").as(s"${groupCol}_a"), col("b").as(s"${groupCol}_b"),
+        round(col("_s").cast("double") / 2.0, 6).as("jsd"))
+  }
+
   /** Benford first-significant-digit audit — the forensic data-quality
     * staple: naturally-occurring multiplicative quantities (prices,
     * populations, file sizes) follow P(d) = log₁₀(1 + 1/d); fabricated

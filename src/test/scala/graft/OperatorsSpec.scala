@@ -2205,6 +2205,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(9)._3 === 0.045757)
   }
 
+  test("jsDivergence: zero on identical, symmetric, bounded by ln 2 near disjoint") {
+    import graft.operators.Stats
+    // identical category mixes score exactly 0 (ln factors cancel)
+    val same = (1 to 30).flatMap(i => Seq(("X", s"c${i % 3}"), ("Y", s"c${i % 3}")))
+    val s0 = Stats.jsDivergence(same.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(_.getDouble(2))
+    assert(s0.forall(_ === 0.0), s"identical mixes: ${s0.toSeq}")
+    // disjoint mixes approach the ln 2 bound; statistic is symmetric
+    val disj = Seq.fill(200)(("A", "only_a")) ++ Seq.fill(200)(("B", "only_b"))
+    val dv = Stats.jsDivergence(disj.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(dv(("A", "B")) === dv(("B", "A")), "symmetric")
+    assert(dv(("A", "B")) > 0.6 && dv(("A", "B")) <= math.log(2) + 1e-9,
+      s"near the ln 2 = 0.693 bound: $dv")
+    // a NULL category drives real divergence (half of B unlabeled)
+    val nulls = Seq.fill(40)(("A", "x")) ++
+      Seq.fill(20)(("B", "x")) ++ Seq.fill(20)(("B", null: String))
+    val nv = Stats.jsDivergence(nulls.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(r => r.getDouble(2))
+    assert(nv.forall(v => v > 0.1), s"NULL category counts as drift: ${nv.toSeq}")
+  }
+
   test("temperatureRebalance flattens a skewed mixture and is partition-stable") {
     val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toSeq
     val d = rows.toDF("id", "grp")
