@@ -525,10 +525,12 @@ object QueryCatalog {
 
   /** Cosine SQL over DOUBLE[] exprs — same sequential fold + 6-dp rounding
     * as Similarity.score, so ranks can never diverge between engines. */
+  /** `+ 0` canonicalizes DuckDB's signed zero (round keeps -0.0 there;
+    * Spark's normalizes) — mirrors Stats.canonZero on the Spark leg. */
   private def cosSql(a: String, b: String): String =
-    s"""round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+    s"""(round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
        | (sqrt(list_sum(list_transform($a, x -> x * x))) *
-       |  sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin.replace("\n", "")
+       |  sqrt(list_sum(list_transform($b, x -> x * x)))), 6) + 0)""".stripMargin.replace("\n", "")
 
   /** Brute-force top-5 cosine kNN for 16 query vectors — the exact
     * baseline every ANN path is measured against. */
@@ -2149,7 +2151,7 @@ object QueryCatalog {
       |  FROM a)
       |SELECT event_type, n,
       |  CASE WHEN denx > 0 AND deny > 0 THEN
-      |    round(CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6)
+      |    round(CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6) + 0
       |  END AS corr,
       |  (denx > 0 AND deny > 0 AND num * num * 4 > denx * deny) AS strong
       |FROM h""".stripMargin
@@ -2640,11 +2642,11 @@ object QueryCatalog {
       |      WHERE embedding IS NOT NULL),
       |x AS (SELECT vec_id, label, generate_subscripts(v, 1) AS d, unnest(v) AS xv FROM e),
       |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
-      |c AS (SELECT x.label, d, round(sum(xv) / n, 6) AS cv
+      |c AS (SELECT x.label, d, round(sum(xv) / n, 6) + 0 AS cv
       |      FROM x JOIN nv USING (label) GROUP BY x.label, d, n),
       |cs AS (SELECT vec_id, x.label,
       |    CASE WHEN sum(xv * xv) > 0 AND sum(cv * cv) > 0
-      |         THEN round(sum(xv * cv) / (sqrt(sum(xv * xv)) * sqrt(sum(cv * cv))), 6)
+      |         THEN round(sum(xv * cv) / (sqrt(sum(xv * xv)) * sqrt(sum(cv * cv))), 6) + 0
       |    END AS cos_sim
       |  FROM x JOIN c ON x.label = c.label AND x.d = c.d
       |  GROUP BY 1, 2),
@@ -2658,7 +2660,7 @@ object QueryCatalog {
       |    sqrt(greatest(CAST(s2 AS DOUBLE) / nc - (CAST(s1 AS DOUBLE) / nc) * (CAST(s1 AS DOUBLE) / nc), 0)) AS sd
       |  FROM cs JOIN st ON cs.label = st.label)
       |SELECT vec_id, label, cos_sim,
-      |  CASE WHEN sd > 0 THEN round((cos_sim - m) / sd, 6) END AS z,
+      |  CASE WHEN sd > 0 THEN round((cos_sim - m) / sd, 6) + 0 END AS z,
       |  CAST(CASE WHEN sd > 0 AND round((cos_sim - m) / sd, 6) <= -2.0
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       |FROM zz""".stripMargin
@@ -2875,7 +2877,7 @@ object QueryCatalog {
       |agg AS (SELECT event_type, day, sum(wx) AS num, sum(w) AS den
       |  FROM sc GROUP BY 1, 2)
       |SELECT d.event_type, d.day, d.n,
-      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 AS ewma
       |FROM daily d JOIN agg USING (event_type, day)""".stripMargin
 
   /** Poisson-bootstrap confidence interval (Stats.poissonBootstrap):
@@ -3239,7 +3241,7 @@ object QueryCatalog {
       |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
       |  CASE WHEN n > 1 AND CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n) > 0
       |    THEN round((CAST(xd AS DOUBLE) - CAST(sx AS DOUBLE)/n) /
-      |      sqrt(CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6)
+      |      sqrt(CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) + 0
       |  END AS l_extendedprice_z,
       |  CASE WHEN mx > mn THEN round(CAST(xd - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6)
       |  END AS l_extendedprice_minmax
@@ -3359,7 +3361,7 @@ object QueryCatalog {
       |  FROM lineitem GROUP BY 1)
       |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
       |  CASE WHEN q3 > q1
-      |    THEN round((l_extendedprice - med) / (q3 - q1), 6) END AS l_extendedprice_robust
+      |    THEN round((l_extendedprice - med) / (q3 - q1), 6) + 0 END AS l_extendedprice_robust
       |FROM lineitem JOIN b ON l_returnflag = b.g""".stripMargin
 
   /** Per-label embedding dispersion (Similarity.labelDispersion): mean
@@ -3382,7 +3384,7 @@ object QueryCatalog {
       |SELECT n.label, n.n_vecs,
       |  round(CAST(s2 AS DOUBLE) / n_vecs, 6) AS mean_sq_norm,
       |  c2.centroid_sq_norm,
-      |  round(round(CAST(s2 AS DOUBLE) / n_vecs, 6) - c2.centroid_sq_norm, 6) AS dispersion
+      |  round(round(CAST(s2 AS DOUBLE) / n_vecs, 6) - c2.centroid_sq_norm, 6) + 0 AS dispersion
       |FROM n JOIN c2 USING (label)""".stripMargin
 
   /** Per-source duplication profile (Dedup.dupProfile): docs, distinct
@@ -4017,7 +4019,7 @@ object QueryCatalog {
        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS zipf_slope
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0 END AS zipf_slope
        |FROM agg""".stripMargin
 
   /** ADDITIVE schema evolution end-to-end (plans/SchemaEvolution): a
@@ -4090,7 +4092,7 @@ object QueryCatalog {
        |  round((CAST(s AS DOUBLE) + CAST(na1 AS DOUBLE) *
        |    (CAST(CAST(round(ln(nb1), 6) AS DECIMAL(12,6)) AS DOUBLE) -
        |     CAST(CAST(round(ln(na1), 6) AS DECIMAL(12,6)) AS DOUBLE)))
-       |    / na1, 6) AS kl_div
+       |    / na1, 6) + 0 AS kl_div
        |FROM sums""".stripMargin
 
   /** Population Stability Index drift grid (Stats.psi): the numeric-
@@ -4128,7 +4130,7 @@ object QueryCatalog {
       |      12) AS DECIMAL(24,12)) AS t
       |  FROM sm)
       |SELECT a AS event_type_a, b AS event_type_b,
-      |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+      |  round(CAST(sum(t) AS DOUBLE), 6) + 0 AS psi
       |FROM terms GROUP BY 1, 2""".stripMargin
 
   /** Declarative expectation-suite audit (Expectations.audit): the
@@ -4221,7 +4223,7 @@ object QueryCatalog {
       |  CAST(n AS BIGINT) AS n,
       |  round(CAST(s AS DOUBLE) / 1e12 / n -
       |    (CAST(ma.sx AS DOUBLE) / 1e6 / n) * (CAST(mb.sx AS DOUBLE) / 1e6 / n),
-      |    6) AS cov
+      |    6) + 0 AS cov
       |FROM sxy JOIN m ma ON ma.i = sxy.i JOIN m mb ON mb.i = sxy.j
       |WHERE sxy.i <= 8""".stripMargin
 
@@ -4312,17 +4314,17 @@ object QueryCatalog {
       |  WINDOW win AS (PARTITION BY s ORDER BY day
       |                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |t AS (SELECT s, day, tot,
-      |    CASE WHEN c7 = 7 THEN round(CAST(s7 AS DOUBLE) / 7, 6) END AS trend,
-      |    datediff('day', DATE '1970-01-01', day) % 7 AS dow
+      |    CASE WHEN c7 = 7 THEN round(CAST(s7 AS DOUBLE) / 7, 6) + 0 END AS trend,
+      |    ((datediff('day', DATE '1970-01-01', day) % 7) + 7) % 7 AS dow
       |  FROM w),
-      |d AS (SELECT *, round(CAST(tot AS DOUBLE) - trend, 6) AS detr FROM t),
+      |d AS (SELECT *, round(CAST(tot AS DOUBLE) - trend, 6) + 0 AS detr FROM t),
       |se AS (SELECT s, dow,
-      |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / count(detr), 6)
+      |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / count(detr), 6) + 0
       |      AS seasonal
       |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2)
       |SELECT d.s AS event_type, d.day, CAST(d.dow AS BIGINT) AS dow,
       |  CAST(d.tot AS DOUBLE) AS total, d.trend, se.seasonal,
-      |  round(d.detr - se.seasonal, 6) AS residual
+      |  round(d.detr - se.seasonal, 6) + 0 AS residual
       |FROM d LEFT JOIN se ON se.s IS NOT DISTINCT FROM d.s AND se.dow = d.dow""".stripMargin
 
   /** kNN label-agreement audit (Similarity.knnLabelAgreement): the
@@ -4476,7 +4478,7 @@ object QueryCatalog {
       |  FROM a)
       |SELECT s AS event_type, CAST(lag AS BIGINT) AS lag, n,
       |  CASE WHEN denx > 0 AND deny > 0 THEN
-      |    round(CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6)
+      |    round(CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6) + 0
       |  END AS acf
       |FROM h""".stripMargin
 
@@ -4994,7 +4996,7 @@ object QueryCatalog {
        |      12) AS DECIMAL(24,12)) AS t
        |  FROM sm)
        |SELECT a AS event_type_a, b AS event_type_b,
-       |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+       |  round(CAST(sum(t) AS DOUBLE), 6) + 0 AS psi
        |FROM terms GROUP BY 1, 2""".stripMargin
   }
 
@@ -5133,7 +5135,7 @@ object QueryCatalog {
        |    CASE digits.digit $caseExpr END AS benford_p
        |  FROM digits LEFT JOIN cnt ON digits.digit = cnt.digit CROSS JOIN tot)
        |SELECT digit, n_obs, obs_share, benford_p,
-       |  round(obs_share - benford_p, 6) AS dev FROM shares""".stripMargin
+       |  round(obs_share - benford_p, 6) + 0 AS dev FROM shares""".stripMargin
   }
 
   /** Pairwise Jensen-Shannon divergence (Stats.jsDivergence) of the
@@ -5171,8 +5173,41 @@ object QueryCatalog {
       |        AS DOUBLE), 12) AS DECIMAL(24,12)) AS t
       |  FROM sm)
       |SELECT a AS source_a, b AS source_b,
-      |  round(CAST(sum(t) AS DOUBLE) / 2.0, 6) AS jsd
+      |  round(CAST(sum(t) AS DOUBLE) / 2.0, 6) + 0 AS jsd
       |FROM terms GROUP BY 1, 2""".stripMargin
+
+  /** Diagonal-Σ Mahalanobis novelty (Stats.mahalanobisScores with
+    * diagonal = true): the one previously spec-only operator, now under
+    * the driver's hash gate — Gauss-Jordan on a diagonal matrix is
+    * bit-exactly diag(1/(ridge + varᵢ)), and the mapPartitions
+    * quadratic form degenerates to the ordered fold
+    * Σᵢ (xᵢ−μᵢ)·(invᵢᵢ·(xᵢ−μᵢ)), which the oracle replays with a
+    * list_sum over the identical index order, literal shapes, and the
+    * same 1e-6 ridge. Variances come from the q163 quantized-exact
+    * triangle (its diagonal), μ from the same micro-unit sums. */
+  def q191MahalanobisDiag(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.mahalanobisScores(t(s, dir, "embeddings"), 64,
+      diagonal = true)
+
+  val q191Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i,
+      |    CAST(round(unnest(v) * 1000000, 0) AS BIGINT) AS xh FROM e),
+      |st AS (SELECT i, sum(CAST(xh AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(xh AS DECIMAL(38,0)) * CAST(xh AS DECIMAL(38,0))) AS sxx,
+      |    count(*) AS n FROM x GROUP BY 1),
+      |dg AS (SELECT i, CAST(sx AS DOUBLE) / 1e6 / n AS mu,
+      |    1.0 / (1e-6 + round(CAST(sxx AS DOUBLE) / 1e12 / n -
+      |      (CAST(sx AS DOUBLE) / 1e6 / n) * (CAST(sx AS DOUBLE) / 1e6 / n),
+      |      6)) AS invv
+      |  FROM st),
+      |mv AS (SELECT list(mu ORDER BY i) AS mus, list(invv ORDER BY i) AS invs
+      |  FROM dg)
+      |SELECT vec_id,
+      |  round(list_sum(list_transform(range(1, 65),
+      |    i -> (v[i] - mus[i]) * (invs[i] * (v[i] - mus[i])))), 6) + 0 AS m2
+      |FROM e CROSS JOIN mv""".stripMargin
 
   // =========================================================================
   // Registry
@@ -5369,7 +5404,8 @@ object QueryCatalog {
     ("q187_gini_concentration", q187GiniConcentration _, Some(q187Sql)),
     ("q188_shipping_priority", q188ShippingPriority _, Some(q188Sql)),
     ("q189_benford_prices", q189BenfordPrices _, Some(q189Sql)),
-    ("q190_js_divergence", q190JsDivergence _, Some(q190Sql)))
+    ("q190_js_divergence", q190JsDivergence _, Some(q190Sql)),
+    ("q191_mahalanobis_diag", q191MahalanobisDiag _, Some(q191Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

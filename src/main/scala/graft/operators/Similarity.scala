@@ -27,7 +27,8 @@ object Similarity {
     * operator here. Ranking on the rounded value (with an id tie-break)
     * makes top-k results reproducible across engines: a last-ulp
     * difference in float summation order can never flip a rank. */
-  def score(a: Column, b: Column): Column = round(cosine(a, b), 6)
+  def score(a: Column, b: Column): Column =
+    Stats.canonZero(round(cosine(a, b), 6))
 
   /** Brute-force top-k cosine neighbors for each query vector — the exact
     * baseline. Cost is |queries| × |corpus|; use for small query sets or as
@@ -258,7 +259,7 @@ object Similarity {
         round(graft.functions.VectorFunctions.dot_product(col("_c"), col("_c")), 6)
           .as("centroid_sq_norm"))
       .withColumn("dispersion",
-        round(col("mean_sq_norm") - col("centroid_sq_norm"), 6))
+        Stats.canonZero(round(col("mean_sq_norm") - col("centroid_sq_norm"), 6)))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, d):
@@ -489,7 +490,8 @@ object Similarity {
         col("_s2").cast("double") / col("_nc").cast("double") - col("_mean") * col("_mean"),
         lit(0.0))))
       .withColumn("z",
-        when(col("_std") > 0, round((col("cos_sim") - col("_mean")) / col("_std"), 6)))
+        when(col("_std") > 0,
+          Stats.canonZero(round((col("cos_sim") - col("_mean")) / col("_std"), 6))))
       .select(col("_id").as(idCol), col("label"), col("cos_sim"), col("z"),
         when(col("z") <= -zCut, 1L).otherwise(0L).as("is_outlier"))
   }

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Canonicalize IEEE signed zero: `-0.0 + 0.0 = +0.0`; every other
+    * double (including NULL and NaN) is unchanged. Applied to every
+    * rounded double readout whose argument can be tiny-negative, and
+    * mirrored as `+ 0` in the oracle SQL — the r9 q163 lesson: Spark's
+    * BigDecimal round normalizes `-0.0` to `+0.0` while DuckDB's round
+    * preserves the sign, so a cov cell whose 6-dp rounding is zero
+    * hashed differently on the two legs despite comparing equal. The
+    * bit-exact replay contract must not hinge on either engine's zero-
+    * sign policy. */
+  def canonZero(c: Column): Column = c + lit(0d)
+
   /** Per-group feature normalization — the feature-engineering staple:
     * z-score and min-max scaling of a numeric column against its group's
     * distribution, as one stats aggregate broadcast back + a map-only
@@ -38,7 +49,7 @@ object Stats {
     df.join(broadcast(stats), col(groupCol) <=> col("_grp"), "left")
       .withColumn(s"${valueCol}_z",
         when(col("_n") > 1 && variance > 0,
-          round((xd.cast("double") - mean) / sqrt(variance), 6)))
+          canonZero(round((xd.cast("double") - mean) / sqrt(variance), 6))))
       .withColumn(s"${valueCol}_minmax",
         when(col("_mx") > col("_mn"),
           round((xd - col("_mn")).cast("double") /
@@ -63,8 +74,8 @@ object Stats {
     df.join(broadcast(b), col(groupCol) <=> col("_grp"), "left")
       .withColumn(s"${valueCol}_robust",
         when(col("_q3") > col("_q1"),
-          round((col(valueCol).cast("double") - col("_med")) /
-            (col("_q3") - col("_q1")), 6)))
+          canonZero(round((col(valueCol).cast("double") - col("_med")) /
+            (col("_q3") - col("_q1")), 6))))
       .drop("_grp", "_q1", "_med", "_q3")
   }
 
@@ -103,8 +114,8 @@ object Stats {
     val num = d(col("n")) * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))
     val denx = d(col("n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
     val deny = d(col("n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
-    val corr = round(num.cast("double") /
-      (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6)
+    val corr = canonZero(round(num.cast("double") /
+      (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6))
     // Outside the documented bound, non-ANSI decimal multiply returns NULL
     // — without a guard `strong` would silently become NULL and a pipeline
     // branching on it would treat the group as neither strong nor weak.
@@ -234,7 +245,7 @@ object Stats {
       .groupBy(col("a"), col("b"))
       .agg(sum(col("_t")).as("_s"))
       .select(col("a").as(s"${groupCol}_a"), col("b").as(s"${groupCol}_b"),
-        round(col("_s").cast("double"), 6).as("psi"))
+        canonZero(round(col("_s").cast("double"), 6)).as("psi"))
   }
 
   /** Pairwise two-sample chi-square drift over a CATEGORICAL column —
@@ -346,11 +357,11 @@ object Stats {
     * DECIMAL of an integer's log ([[psi]]'s discipline, no ln of a
     * float anywhere); each cell term is one fixed-shape double
     * expression over exact integers and those decimals, rounded once to
-    * 12 dp, DECIMAL-summed, halved and rounded once to 6. Exactness
-    * bound: the integer products ca·nb stay exact in double while
-    * counts·total < ~9e15 — far past any per-category count this
-    * audit meets. NULL categories and NULL groups are real rows
-    * (null-safe pairings throughout).
+    * 12 dp, DECIMAL-summed, halved and rounded once to 6. The cross
+    * products ca·nb run in DECIMAL(38,0) (exact to 1e38, like the
+    * oracle's hugeint), so no count scale this audit can meet wraps
+    * them. NULL categories and NULL groups are real rows (null-safe
+    * pairings throughout).
     *
     * Scale: the [[chiSquareDrift]] topology — one (group, category)
     * count aggregate, then broadcast groups²×k grids. */
@@ -384,16 +395,21 @@ object Stats {
       .withColumn("nb1", col("nb0") + nCats)
     val p = col("ca1").cast("double") / col("na1").cast("double")
     val q = col("cb1").cast("double") / col("nb1").cast("double")
-    // 2p/(p+q) = 2·ca·nb / (ca·nb + cb·na): integer-ratio ln factors
-    val cross = col("ca1") * col("nb1")
-    val ssorc = col("cb1") * col("na1")
+    // 2p/(p+q) = 2·ca·nb / (ca·nb + cb·na): integer-ratio ln factors.
+    // DECIMAL(38,0) products, not long: ca·nb wraps silently past 2^63 in
+    // long arithmetic, while decimal stays exact to 1e38 (and the DuckDB
+    // oracle's hugeint leg to 1.7e38) — the corr/LongVectorSumAgg loud-
+    // overflow discipline, applied here by widening instead of guarding
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cross = d38(col("ca1")) * d38(col("nb1"))
+    val ssorc = d38(col("cb1")) * d38(col("na1"))
     val lnP = (r6ln(cross * 2) - r6ln(cross + ssorc)).cast("double")
     val lnQ = (r6ln(ssorc * 2) - r6ln(cross + ssorc)).cast("double")
     grid.withColumn("_t", round(p * lnP + q * lnQ, 12).cast("decimal(24,12)"))
       .groupBy(col("a"), col("b"))
       .agg(sum(col("_t")).as("_s"))
       .select(col("a").as(s"${groupCol}_a"), col("b").as(s"${groupCol}_b"),
-        round(col("_s").cast("double") / 2.0, 6).as("jsd"))
+        canonZero(round(col("_s").cast("double") / 2.0, 6)).as("jsd"))
   }
 
   /** Benford first-significant-digit audit — the forensic data-quality
@@ -439,7 +455,7 @@ object Stats {
           .otherwise(lit(0.0)))
       .withColumn("benford_p", pExpr)
       .select(col("digit"), col("n_obs"), col("obs_share"), col("benford_p"),
-        round(col("obs_share") - col("benford_p"), 6).as("dev"))
+        canonZero(round(col("obs_share") - col("benford_p"), 6)).as("dev"))
   }
 
   /** Upper-triangular covariance matrix of an embedding column — the
@@ -504,10 +520,10 @@ object Stats {
     aggRow.select(posexplode(col("_ps")).as(Seq("_t", "_sxy")), col("_ms"), col("n"))
       .join(broadcast(mapping), Seq("_t"))
       .select(col("i"), col("j"), col("n"),
-        round(col("_sxy").cast("double") / lit(1e12) / col("n") -
+        canonZero(round(col("_sxy").cast("double") / lit(1e12) / col("n") -
           (element_at(col("_ms"), col("i").cast("int")).cast("double") / lit(1e6) / col("n")) *
             (element_at(col("_ms"), col("j").cast("int")).cast("double") / lit(1e6) / col("n")),
-          6).as("cov"))
+          6)).as("cov"))
   }
 
   /** Mahalanobis novelty scores — the covariance-aware outlier detector
@@ -527,13 +543,22 @@ object Stats {
     * pass with the d² matrix shipped in the closure (NOT as plan
     * literals — 4096 literal columns would bloat every plan string).
     *
-    * Not oracle-replayable by design (iterative inversion isn't SQL);
-    * the spec proves it against closed forms instead — the
-    * [[pcaTopComponent]] evidence contract. Returns (idCol, m2) with
-    * m2 = round(quadratic form, 6); NULL vectors are skipped. */
+    * The general inverse is not oracle-replayable (iterative inversion
+    * isn't SQL); the spec proves it against closed forms instead — the
+    * [[pcaTopComponent]] evidence contract. `diagonal = true` zeroes the
+    * off-diagonal Σ entries BEFORE inversion, and then the whole path
+    * IS replayable: Gauss-Jordan on a diagonal matrix performs no row
+    * swaps and no eliminations, so the inverse is bit-exactly
+    * diag(1/(ridge + varᵢ)) (one IEEE division per dim), and the
+    * quadratic-form loop degenerates to the ordered fold
+    * Σᵢ diffᵢ·(invᵢᵢ·diffᵢ) — the q191 oracle replays it with a
+    * list_sum over the same index order and the same literal shapes.
+    * Returns (idCol, m2) with m2 = round(quadratic form, 6); NULL
+    * vectors are skipped. */
   def mahalanobisScores(df: DataFrame, d: Int, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        ridge: Double = 1e-6): DataFrame = {
+                        ridge: Double = 1e-6,
+                        diagonal: Boolean = false): DataFrame = {
     require(d >= 1 && d <= 4096, "dims out of range")
     // ONE aggregate pass yields both Σ and μ (covAggRow) — the matrix
     // readout is the same fixed-shape arithmetic the oracle-checked
@@ -553,7 +578,7 @@ object Stats {
     while (ii < d) {
       var jj = ii
       while (jj < d) {
-        val c = covOf(ii, jj, t)
+        val c = if (diagonal && ii != jj) 0.0 else covOf(ii, jj, t)
         a(ii)(jj) += c; if (ii != jj) a(jj)(ii) = a(jj)(ii) + c
         t += 1; jj += 1
       }

@@ -766,9 +766,9 @@ object TextAnalysis {
       .groupBy(col("a"), col("b"), col("na1"), col("nb1"))
       .agg(sum(col("_t")).as("_s"))
     sums.select(col("a").as("source_a"), col("b").as("source_b"),
-      round((col("_s").cast("double") +
+      Stats.canonZero(round((col("_s").cast("double") +
         col("na1").cast("double") * (r6ln(col("nb1")).cast("double") -
-          r6ln(col("na1")).cast("double"))) / col("na1"), 6).as("kl_div"))
+          r6ln(col("na1")).cast("double"))) / col("na1"), 6)).as("kl_div"))
   }
 
   /** Per-group vocabulary statistics — the Heaps'-law corpus-health
@@ -840,8 +840,8 @@ object TextAnalysis {
     fitted.select(col("_g").as(groupCol), col("n").as("n_types_fit"),
       col("top_count"),
       when(denom =!= 0.0,
-        round((n * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) / denom, 6))
+        Stats.canonZero(round((n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) / denom, 6)))
         .as("zipf_slope"))
   }
 

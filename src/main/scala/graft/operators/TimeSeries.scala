@@ -53,8 +53,8 @@ object TimeSeries {
     val deny = d(col("n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
     g.select(col("_s").as(seriesCol), col("lag"), col("n"),
       when(denx > 0 && deny > 0,
-        round(num.cast("double") /
-          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6)).as("acf"))
+        Stats.canonZero(round(num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6))).as("acf"))
   }
 
   /** Additive seasonal decomposition of a per-series daily metric —
@@ -89,21 +89,26 @@ object TimeSeries {
     val trended = daily
       .withColumn("_c7", count(lit(1)).over(w7))
       .withColumn("trend",
-        when(col("_c7") === 7, round(sum(col("_tot")).over(w7).cast("double") / 7, 6)))
-      .withColumn("dow", (datediff(col("day"), lit("1970-01-01")) % 7).cast("long"))
-      .withColumn("_detr", round(col("_tot").cast("double") - col("trend"), 6))
+        when(col("_c7") === 7,
+          Stats.canonZero(round(sum(col("_tot")).over(w7).cast("double") / 7, 6))))
+      // pmod, not %: the signed remainder puts pre-1970 dates in -6..0,
+      // splitting one weekday into two seasonal groups across the epoch
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      .withColumn("_detr",
+        Stats.canonZero(round(col("_tot").cast("double") - col("trend"), 6)))
       .localCheckpoint(true) // both sides of the seasonal join
     val seasonal = trended.filter(col("_detr").isNotNull)
       .groupBy(col("_s"), col("dow"))
-      .agg(round(sum(col("_detr").cast("decimal(18,6)")).cast("double") /
-        count(col("_detr")), 6).as("seasonal"))
+      .agg(Stats.canonZero(round(sum(col("_detr").cast("decimal(18,6)")).cast("double") /
+        count(col("_detr")), 6)).as("seasonal"))
     trended.join(broadcast(seasonal
         .withColumnRenamed("_s", "_s2").withColumnRenamed("dow", "_dow2")),
       col("_s") <=> col("_s2") && col("dow") === col("_dow2"), "left")
       .drop("_s2", "_dow2")
       .select(col("_s").as(seriesCol), col("day"), col("dow"),
         col("_tot").cast("double").as("total"), col("trend"), col("seasonal"),
-        round(col("_detr") - col("seasonal"), 6).as("residual"))
+        Stats.canonZero(round(col("_detr") - col("seasonal"), 6)).as("residual"))
   }
 
   /** Rolling anomaly detection with INTEGER-EXACT verdicts: flag a day
@@ -176,7 +181,8 @@ object TimeSeries {
       .agg(sum(col("_wx")).as("_num"), sum(col("_w")).as("_den"))
     d.join(scattered, Seq(seriesCol, dayCol))
       .select(col(seriesCol), col(dayCol), col(valueCol),
-        round(col("_num").cast("double") / col("_den").cast("double"), 6)
+        Stats.canonZero(
+          round(col("_num").cast("double") / col("_den").cast("double"), 6))
           .as("ewma"))
   }
 

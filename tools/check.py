@@ -7,9 +7,14 @@ For each query result parquet written by `graft.Verify`, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = views over the sfDir
 parquet files) and compares: row count, column names, dtypes, and values
 (rows sorted by all columns). Exit 0 iff everything matches.
+
+Doubles are compared by BIT PATTERN (the way the driver hashes them), not
+pandas equality — pandas treats -0.0 == 0.0, which masked the q163 r9
+mismatch where DuckDB's round() kept -0.0 and Spark's normalized to +0.0.
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -24,6 +29,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                      getattr(v, "ndim", 0) == 1 and not isinstance(v, str)).any():
             df[c] = df[c].map(lambda v: tuple(v) if v is not None and not isinstance(v, (str, float, int)) else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def bit_mismatch(a: pd.DataFrame, b: pd.DataFrame):
+    """First (column, row) where float64 cells differ in BIT PATTERN after
+    the value-sort — catches -0.0 vs +0.0 and NaN-payload differences that
+    pandas equality hides. Also unpacks float arrays carried as tuples."""
+    for c in a.columns:
+        if a[c].dtype == np.float64:
+            av = a[c].to_numpy().view(np.uint64)
+            bv = b[c].to_numpy().view(np.uint64)
+            neq = av != bv
+            if neq.any():
+                i = int(np.nonzero(neq)[0][0])
+                return c, i, float(a[c].iloc[i]), float(b[c].iloc[i])
+        elif a[c].dtype == object:
+            for i, (x, y) in enumerate(zip(a[c], b[c])):
+                if isinstance(x, tuple) and isinstance(y, tuple):
+                    ax, ay = np.asarray(x), np.asarray(y)
+                    if ax.dtype == np.float64 and ay.dtype == np.float64 and \
+                            len(ax) == len(ay) and \
+                            (ax.view(np.uint64) != ay.view(np.uint64)).any():
+                        return c, i, x, y
+    return None
 
 
 def main():
@@ -64,6 +92,13 @@ def main():
             ok = True; detail = ""
         except AssertionError as e:
             ok = False; detail = str(e).splitlines()[-1][:200]
+        if ok:
+            bm = bit_mismatch(a, b)
+            if bm is not None:
+                c, i, va, vb = bm
+                ok = False
+                detail = (f"BIT_PATTERN col={c} row={i} "
+                          f"spark={va!r} duck={vb!r}")
         if ok:
             results[name] = "OK" + (f" (dtypes differ: {dtypes_diff})" if dtypes_diff else "")
         else:
