@@ -5209,6 +5209,50 @@ object QueryCatalog {
       |    i -> (v[i] - mus[i]) * (invs[i] * (v[i] - mus[i])))), 6) + 0 AS m2
       |FROM e CROSS JOIN mv""".stripMargin
 
+  /** Mergeable rank-sketch quantiles (ApproxQuantile.sampledQuantiles
+    * over functions/RankSampleAgg): the heavy-tail-safe ONE-pass sketch
+    * beside q87's equi-width histogram (error range/256) and q127's
+    * exact three-pass — a bottom-k-by-md5-hash row sample whose final
+    * state is a pure function of the input multiset (arrival/merge
+    * order free), so the oracle replays sample AND readout exactly:
+    * `row_number() OVER (ORDER BY h, v) <= k`, then the same
+    * r = q·(m−1) interpolation as exactQuantiles. */
+  def q192SampledQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.ApproxQuantile.sampledQuantiles(
+      t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      idCols = Seq("l_orderkey", "l_linenumber"),
+      qs = Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99),
+      k = 1024)
+
+  val q192Sql: String =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |    CAST(('0x' || substring(md5(l_orderkey || '|' || l_linenumber), 1, 15))
+      |      AS BIGINT) AS h,
+      |    CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+      |  FROM b),
+      |o AS (SELECT g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS i,
+      |    count(*) OVER (PARTITION BY g) AS m
+      |  FROM rk WHERE rn <= 1024),
+      |f AS (SELECT g, m,
+      |    max(CASE WHEN i = CAST(floor(0.5 * (m - 1)) AS BIGINT) THEN v END) AS lo50,
+      |    max(CASE WHEN i = CAST(ceil(0.5 * (m - 1)) AS BIGINT) THEN v END) AS hi50,
+      |    max(CASE WHEN i = CAST(floor(0.9 * (m - 1)) AS BIGINT) THEN v END) AS lo90,
+      |    max(CASE WHEN i = CAST(ceil(0.9 * (m - 1)) AS BIGINT) THEN v END) AS hi90,
+      |    max(CASE WHEN i = CAST(floor(0.99 * (m - 1)) AS BIGINT) THEN v END) AS lo99,
+      |    max(CASE WHEN i = CAST(ceil(0.99 * (m - 1)) AS BIGINT) THEN v END) AS hi99
+      |  FROM o GROUP BY 1, 2)
+      |SELECT g AS l_returnflag,
+      |  round(lo50 + (0.5 * (m - 1) - floor(0.5 * (m - 1))) * (hi50 - lo50), 6) + 0
+      |    AS p50_est,
+      |  round(lo90 + (0.9 * (m - 1) - floor(0.9 * (m - 1))) * (hi90 - lo90), 6) + 0
+      |    AS p90_est,
+      |  round(lo99 + (0.99 * (m - 1) - floor(0.99 * (m - 1))) * (hi99 - lo99), 6) + 0
+      |    AS p99_est
+      |FROM f""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5405,7 +5449,8 @@ object QueryCatalog {
     ("q188_shipping_priority", q188ShippingPriority _, Some(q188Sql)),
     ("q189_benford_prices", q189BenfordPrices _, Some(q189Sql)),
     ("q190_js_divergence", q190JsDivergence _, Some(q190Sql)),
-    ("q191_mahalanobis_diag", q191MahalanobisDiag _, Some(q191Sql)))
+    ("q191_mahalanobis_diag", q191MahalanobisDiag _, Some(q191Sql)),
+    ("q192_sampled_quantiles", q192SampledQuantiles _, Some(q192Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -191,4 +191,47 @@ object ApproxQuantile {
         round(col("_mn"), 6).as(name) }: _*)
     interp.unionByName(flatOut)
   }
+
+  /** ONE-pass quantile estimates off a MERGEABLE rank sketch
+    * ([[graft.functions.RankSampleAgg]] — bottom-k-by-hash row sample):
+    * the heavy-tail-safe sketch path this family was missing.
+    * [[histogramQuantiles]]' equi-width counters bound error by
+    * range/buckets — useless once one outlier stretches the range —
+    * and [[exactQuantiles]] is exact but takes three passes; this takes
+    * ONE pass with k doubles of state per group and rank error
+    * O(1/√k) at ANY tail shape (the sample is uniform over rows, so
+    * order statistics of the sample estimate order statistics of the
+    * group with the standard binomial bound — range never enters).
+    *
+    * `idCols` must uniquely key rows (they seed the md5 sampling hash;
+    * duplicates would correlate the sample). The readout is
+    * [[exactQuantiles]]' interpolation — r = q·(m−1) over the m sampled
+    * order statistics, linear between the two covering values,
+    * round(…, 6) — so the q192 oracle replays sample AND readout
+    * bit-for-bit via `row_number() OVER (ORDER BY h, v) <= k`.
+    *
+    * Scale: one grouped aggregate, map-side combinable, ≤ 2k pairs of
+    * state per task per group — the 100 TB shuffle carries sketches,
+    * never values. */
+  def sampledQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       idCols: Seq[String], qs: Seq[(String, Double)],
+                       k: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "quantile fractions must be in [0, 1]")
+    require(idCols.nonEmpty, "idCols must uniquely key rows")
+    // 60-bit md5 hash of the unique row key — the engine-portable random
+    // source (DuckDB: CAST('0x' || substring(md5(...), 1, 15) AS BIGINT))
+    val h = conv(substring(md5(
+      concat_ws("|", idCols.map(col): _*)), 1, 15), 16, 10).cast("long")
+    val sampled = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.RankSampleAgg.rankSample(h, col(valueCol), k).as("_smp"))
+    val m = size(col("_smp"))
+    sampled.select(col(groupCol) +: qs.map { case (name, q) =>
+      val r = lit(q) * (m - 1).cast("double")
+      val vlo = element_at(col("_smp"), (floor(r) + 1).cast("int"))
+      val vhi = element_at(col("_smp"), (ceil(r) + 1).cast("int"))
+      Stats.canonZero(round(vlo + (r - floor(r)) * (vhi - vlo), 6)).as(name)
+    }: _*)
+  }
 }

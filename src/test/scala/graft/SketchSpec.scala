@@ -168,6 +168,73 @@ class SketchSpec extends SparkSpec {
     assert(p.contains("partial_vector_sum"), s"expected map-side partial:\n$p")
   }
 
+  // ---------------------------------------------------------------------
+  // RankSampleAgg — the mergeable rank sketch (bottom-k-by-hash sample)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic heavy-tail fixture: ~lognormal via exp of a hash-
+    * uniform, plus one monster outlier per group — the shape that
+    * breaks equi-width histograms (range explodes; every real value
+    * lands in bucket 0). */
+  private def heavyTail(n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n.toLong).toDF("id")
+      .withColumn("g", (col("id") % 2).cast("int"))
+      // salt "v|": the sampler keys on md5(id) itself — an unsalted u
+      // would be perfectly correlated with the sampling hash and the
+      // bottom-k "sample" would just be the k smallest values
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("v|"), col("id").cast("string"))), 1, 15), 16, 10)
+          .cast("double") / lit(math.pow(2, 60))))
+      .withColumn("v",
+        when(col("id") < 2, lit(1e9)) // one outlier per group
+          .otherwise(exp(lit(6.0) * col("u"))))
+
+  test("rankSample state is independent of partitioning and arrival order") {
+    val df = heavyTail(20000)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.ApproxQuantile
+        .sampledQuantiles(d, "g", "v", Seq("id"), qs, k = 512)
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val base = run(df.coalesce(1))
+    assert(run(df.repartition(13)) === base, "13-way repartition changed the sketch")
+    assert(run(df.orderBy(col("v").desc)) === base, "arrival order changed the sketch")
+  }
+
+  test("rankSample plan partial-aggregates map-side (sketches cross the shuffle)") {
+    val p = heavyTail(100)
+      .groupBy(col("g"))
+      .agg(graft.functions.RankSampleAgg.rankSample(col("id"), col("v"), 64))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert(p.contains("partial_rank_sample"), s"expected map-side partial:\n$p")
+  }
+
+  test("rankSample beats the equi-width histogram on heavy tails (the reason it exists)") {
+    val df = heavyTail(20000).localCheckpoint(true)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val exact = graft.operators.ApproxQuantile.exactQuantiles(df, "g", "v", qs)
+      .collect().map(r => r.getInt(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sketch = graft.operators.ApproxQuantile.sampledQuantiles(df, "g", "v", Seq("id"), qs, k = 1024)
+      .collect().map(r => r.getInt(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val hist = graft.operators.ApproxQuantile.histogramQuantiles(df, "g", "v", qs)
+      .collect().map(r => r.getInt(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // histogram error bound is range/256 ≈ 1e9/256 ≈ 3.9e6 — the outlier
+    // destroys it; the sample's rank error is scale-free
+    def relErr(est: Seq[Double], tru: Seq[Double]): Double =
+      est.zip(tru).map { case (e, t) => math.abs(e - t) / math.max(t, 1e-12) }.max
+    for (g <- exact.keys) {
+      val se = relErr(sketch(g), exact(g))
+      val he = relErr(hist(g), exact(g))
+      info(f"group $g: sketch(k=1024) max rel err $se%.4f vs histogram(256) $he%.1f " +
+        s"(exact=${exact(g)})")
+      assert(se < 0.15, s"group $g sketch rel err $se too big (exact=${exact(g)}, sketch=${sketch(g)})")
+      assert(se < he / 10,
+        s"group $g: sketch err $se not ≪ histogram err $he — the scale story is broken")
+    }
+  }
+
   test("decontaminateBloom output is IDENTICAL to the exact formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
