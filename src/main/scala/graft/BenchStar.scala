@@ -18,8 +18,10 @@ import graft.streaming.StreamToStar
   * dominated by fixed per-batch planning cost and scales to millions of
   * rows per batch unchanged.
   *
-  * Usage: runMain graft.BenchStar [store] [nFiles] [rowsPerFile] [filesPerTrigger]
+  * Usage: runMain graft.BenchStar [store] [nFiles] [rowsPerFile] [filesPerTrigger] [audit]
   * Prints one JSON line {"records":N,"sec":s,"records_per_sec":r,...}.
+  * [audit] = on|off (default on — the full pipeline including the
+  * per-batch expectation verdicts; off isolates the audit's fixed cost).
   */
 object BenchStar {
   def main(args: Array[String]): Unit = {
@@ -27,6 +29,7 @@ object BenchStar {
     val nFiles = if (args.length > 1) args(1).toInt else 10
     val rows = if (args.length > 2) args(2).toInt else 1000
     val perTrigger = if (args.length > 3) args(3).toInt else 1
+    val audit = args.length <= 4 || args(4) != "off"
     val spark = GraftSession.local("graft-bench-star")
 
     val feedDir = Files.createTempDirectory("graft-bench-feed").toString
@@ -59,13 +62,13 @@ object BenchStar {
 
     val t0 = System.nanoTime()
     StreamToStar.startFromFiles(spark, s"$feedDir/MOCK_DATA_*.csv", store, ckpt,
-      filesPerTrigger = perTrigger)
+      filesPerTrigger = perTrigger, audit = audit)
       .awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     val n = nFiles.toLong * rows
     val fact = store.read("fact_sales").count()
     require(fact == rows, s"fact must collapse to $rows rows, got $fact")
-    println(f"""{"records":$n,"sec":$sec%.2f,"records_per_sec":${(n / sec).toLong},"store":"$storeKind","files":$nFiles,"files_per_trigger":$perTrigger,"fact_rows":$fact}""")
+    println(f"""{"records":$n,"sec":$sec%.2f,"records_per_sec":${(n / sec).toLong},"store":"$storeKind","files":$nFiles,"files_per_trigger":$perTrigger,"fact_rows":$fact,"audit":$audit}""")
     spark.stop()
   }
 }

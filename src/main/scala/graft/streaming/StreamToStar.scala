@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Expectations
 import graft.plans.{StarSchema, TableStore}
 import graft.sources.SalesFeed
 
@@ -50,7 +51,33 @@ object StreamToStar {
     }
   }
 
-  def processBatch(feed: DataFrame, store: TableStore): Unit = {
+  /** The reference's own warehouse integrity checks (`README.md:183-219`
+    * — the six missing-FK counts plus fact-id uniqueness, expected all
+    * zeros) as a declarative [[Expectations]] suite, evaluated per
+    * MICRO-BATCH over the resolved fact rows inside the same
+    * foreachBatch that merges them: the r9 quality-gate family meets the
+    * reference-parity pipeline in one path, and contract drift ("the
+    * upstream change NULLed customer ids three batches ago") surfaces on
+    * the batch that introduced it instead of at the next post-hoc psql
+    * audit. NULL natural keys resolve to NULL FKs BY DESIGN (nullable FK
+    * columns, reference DDL) — such rows count as violations here
+    * exactly as the reference's check would count them. */
+  val starExpectations: Seq[Expectations.Rule] = Seq(
+    "customer" -> "customer_key", "seller" -> "seller_key",
+    "product" -> "product_key", "store" -> "store_key",
+    "supplier" -> "supplier_key", "date" -> "date_key"
+  ).map { case (dim, fk) =>
+    Expectations.Rule(s"${dim}_key_resolved", col(fk).isNotNull) }
+
+  /** Post-lastWriteWins the batch is unique on source_sale_id by
+    * construction — the verdict row PROVES the invariant every batch
+    * (the Deequ posture: contracts are checked, not assumed). */
+  val starUniqueKeys: Seq[(String, Seq[String])] =
+    Seq("fact_sale_id_unique" -> Seq("source_sale_id"))
+
+  def processBatch(feed: DataFrame, store: TableStore,
+                   batchId: Long = -1L,
+                   auditTable: Option[String] = Some("audit_verdicts")): Unit = {
     val phases = new StringBuilder
     // Deterministic block cleanup: everything this batch localCheckpoints
     // (the feed materialization + each merge's internal frames) is dead
@@ -136,11 +163,24 @@ object StreamToStar {
 
       val fact = StarSchema.lastWriteWins(
         StarSchema.factRows(cached), Seq("source_sale_id"), "_seq")
-      val resolved = StarSchema.resolveFactKeys(
+      val resolved0 = StarSchema.resolveFactKeys(
         fact,
         dims("dim_customer"), dims("dim_seller"), dims("dim_product"),
         dims("dim_store"), dims("dim_supplier"), dimDate)
+      // with the audit on, the resolved frame is read twice (merge +
+      // verdict aggregates) — materialize once; swept at batch end
+      val resolved =
+        if (auditTable.isDefined) resolved0.localCheckpoint(true) else resolved0
       timed("fact", phases)(store.mergeFact("fact_sales", resolved, Seq("source_sale_id")))
+      auditTable.foreach { tbl =>
+        val verdicts = Expectations
+          .audit(resolved, starExpectations, starUniqueKeys)
+          .withColumn("batch_id", lit(batchId))
+        // keyed on (batch_id, rule): a replayed micro-batch overwrites
+        // its own verdict rows — the star tables' effectively-once shape
+        timed("audit", phases)(
+          store.mergeFact(tbl, verdicts, Seq("batch_id", "rule")))
+      }
       ()
     } finally {
       val persisted = sc.getPersistentRDDs
@@ -153,7 +193,8 @@ object StreamToStar {
   /** S3/T1/T2 — Kafka source wiring (value = one JSON message per row). */
   def startFromKafka(
       spark: SparkSession, bootstrap: String, topic: String,
-      store: TableStore, checkpoint: String): StreamingQuery = {
+      store: TableStore, checkpoint: String,
+      audit: Boolean = true): StreamingQuery = {
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -166,7 +207,7 @@ object StreamToStar {
       .select(from_json(col("value").cast("string"), SalesFeed.rawSchema).as("r"),
         struct(col("partition").cast("long").as("p"), col("offset").as("o")).as("_seq"))
       .select(col("r.*"), col("_seq"))
-    startForeachBatch(feed, store, checkpoint)
+    startForeachBatch(feed, store, checkpoint, audit)
   }
 
   /** File-source variant (same pipeline; used for tests and batch replay).
@@ -184,7 +225,8 @@ object StreamToStar {
       spark: SparkSession, glob: String,
       store: TableStore, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      filesPerTrigger: Int = 1): StreamingQuery = {
+      filesPerTrigger: Int = 1,
+      audit: Boolean = true): StreamingQuery = {
     val raw = spark.readStream
       .schema(SalesFeed.rawSchemaWithCorrupt)
       .option("header", "true")
@@ -196,8 +238,9 @@ object StreamToStar {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(SalesFeed.withArrivalSeq(batch), store)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(SalesFeed.withArrivalSeq(batch), store, batchId,
+          if (audit) Some("audit_verdicts") else None)
       }
       .start()
   }
@@ -210,7 +253,8 @@ object StreamToStar {
   def startFromJsonFiles(
       spark: SparkSession, glob: String,
       store: TableStore, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      audit: Boolean = true): StreamingQuery = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(glob)
@@ -218,9 +262,10 @@ object StreamToStar {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(
-          SalesFeed.withArrivalSeq(SalesFeed.fromKafkaMessages(batch)), store)
+          SalesFeed.withArrivalSeq(SalesFeed.fromKafkaMessages(batch)), store,
+          batchId, if (audit) Some("audit_verdicts") else None)
       }
       .start()
   }
@@ -239,11 +284,15 @@ object StreamToStar {
       Trigger.ProcessingTime(interval))
 
   private def startForeachBatch(
-      feed: DataFrame, store: TableStore, checkpoint: String): StreamingQuery =
+      feed: DataFrame, store: TableStore, checkpoint: String,
+      audit: Boolean = true): StreamingQuery =
     feed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, store) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, store, batchId,
+          if (audit) Some("audit_verdicts") else None)
+      }
       .start()
 }

@@ -121,6 +121,58 @@ class StarPipelineSpec extends SparkSpec {
     assert(after === before, "surrogate keys must be stable across replays")
   }
 
+  test("star stream emits per-batch expectation verdicts (reference integrity rules, exactly-once)") {
+    val feedDir = Files.createTempDirectory("graft-feed-av").toString
+    val tableDir = Files.createTempDirectory("graft-tables-av").toString
+    writeFeed(feedDir, nFiles = 3, nRows = 200)
+    val store = new graft.plans.BucketedMergeWriter(spark, tableDir, nBuckets = 4)
+    StreamToStar.startFromFiles(spark, s"$feedDir/MOCK_DATA_*.csv", store,
+      Files.createTempDirectory("graft-ckpt-av").toString).awaitTermination()
+    val v = store.read("audit_verdicts")
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("rule")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass")))
+      .toMap
+    // 3 single-file micro-batches × 8 rules (6 FK + uniqueness + its
+    // key-complete twin), all green on this feed: every FK resolves
+    // (including the id-alias rows — README's missing-FK counts all 0)
+    // and post-lastWriteWins the batch is unique on source_sale_id
+    assert(v.keys.map(_._1).toSet === Set(0L, 1L, 2L), s"batch ids: ${v.keys}")
+    val ruleNames = StreamToStar.starExpectations.map(_.name).toSet ++
+      Set("fact_sale_id_unique", "fact_sale_id_unique_key_complete")
+    assert(v.keys.map(_._2).toSet === ruleNames)
+    assert(v.size === 24)
+    v.foreach { case ((b, rule), (n, viol, pass)) =>
+      assert(n === 200L, s"batch $b rule $rule n_rows $n")
+      assert(viol === 0L && pass, s"batch $b rule $rule violated: $viol")
+    }
+    // replay from a fresh checkpoint: verdicts MERGE on (batch_id, rule)
+    // — same 24 rows, no duplication (the star tables' contract)
+    StreamToStar.startFromFiles(spark, s"$feedDir/MOCK_DATA_*.csv", store,
+      Files.createTempDirectory("graft-ckpt-av2").toString).awaitTermination()
+    assert(store.read("audit_verdicts").count() === 24L)
+    // and a feed that BREAKS a contract shows up as a failing verdict:
+    // NULL seller ids (no alias fallback) → seller_key_resolved fails
+    val badDir = Files.createTempDirectory("graft-feed-av-bad").toString
+    val pw = new PrintWriter(s"$badDir/MOCK_DATA_9.csv")
+    pw.println(SalesFeed.fieldNames.mkString(","))
+    for (i <- 1001 to 1010) {
+      val m = Map("id" -> i.toString, "customer_first_name" -> s"F$i",
+        "customer_last_name" -> s"L$i", "sale_customer_id" -> i.toString,
+        "sale_product_id" -> i.toString, "sale_date" -> "3/14/2021",
+        "sale_quantity" -> "1", "sale_total_price" -> "5.00",
+        "store_name" -> "S1", "supplier_name" -> "Su1")
+      pw.println(SalesFeed.fieldNames.map(c => m.getOrElse(c, "")).mkString(","))
+    }
+    pw.close()
+    StreamToStar.startFromFiles(spark, s"$badDir/MOCK_DATA_*.csv", store,
+      Files.createTempDirectory("graft-ckpt-av3").toString).awaitTermination()
+    val bad = store.read("audit_verdicts")
+      .filter(col("rule") === "seller_key_resolved" && !col("pass"))
+      .collect()
+    assert(bad.length === 1 && bad.head.getAs[Long]("n_violations") === 10L,
+      "NULL seller ids must surface as a failing per-batch verdict")
+  }
+
   test("dead-letter writes are idempotent across checkpoint replays (both stores)") {
     val feedDir = Files.createTempDirectory("graft-feed-dl").toString
     val pw = new PrintWriter(s"$feedDir/MOCK_DATA_0.csv")
