@@ -65,6 +65,27 @@ class JoinsSpec extends SparkSpec {
       assert(nv.length === 1 && nv.head.isNullAt(nv.head.fieldIndex("right_v")),
         s"NULL left time must keep NULL right columns under $dir")
     }
+    // a NULL RIGHT time can never be carried as a match either: under the
+    // ascending backward window NULLs would sort FIRST and their payload
+    // would fabricate a match for left rows preceding every real right
+    // row (and 'nearest' would inherit it via its backward leg) — r2
+    // filters them out, mirroring the NULL-left routing
+    val rightWithNull = right.union(
+      Seq((1L, null.asInstanceOf[java.sql.Timestamp], "ghost")).toDF("k", "t", "v"))
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val rv = Joins.asOf(left, rightWithNull, Seq("k"), "t", "t", direction = dir)
+        .collect().map(r => Option(r.getAs[String]("right_v"))).toSet
+      assert(!rv.contains(Some("ghost")),
+        s"NULL right time must never be carried under $dir")
+      // and results are identical to the NULL-free right side
+      val base = Joins.asOf(left, right, Seq("k"), "t", "t", direction = dir)
+        .collect().map(r => r.getAs[String]("name") ->
+          Option(r.getAs[String]("right_v"))).toMap
+      val withG = Joins.asOf(left, rightWithNull, Seq("k"), "t", "t", direction = dir)
+        .collect().map(r => r.getAs[String]("name") ->
+          Option(r.getAs[String]("right_v"))).toMap
+      assert(withG === base, s"NULL right rows must be inert under $dir")
+    }
     // forward tie is inclusive too: a left row exactly AT a right time takes it
     val tie = Joins.asOf(
       Seq((1L, ts("2024-01-01 04:00:00"), "t1")).toDF("k", "t", "name"),
