@@ -5253,6 +5253,47 @@ object QueryCatalog {
       |    AS p99_est
       |FROM f""".stripMargin
 
+  /** Sparse TF-IDF cosine near-dup pairs (Dedup.sparseCosinePairs): the
+    * bag-of-words dedup scorer over a df-capped inverted index — needs
+    * only text (no embeddings), weights rarity (unlike Jaccard's set
+    * view), pair generation bounded by maxDf² per token. idf factors
+    * are once-rounded integer logs, dot/norms exact DECIMAL folds, one
+    * rounded cos readout — the psi determinism discipline on an
+    * inverted index. */
+  def q193SparseCosine(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.sparseCosinePairs(t(s, dir, "documents"),
+      maxDf = 50, threshold = 0.6)
+
+  val q193Sql: String =
+    s"""WITH tf AS (SELECT doc_id AS d, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+       |  HAVING count(*) <= 50),
+       |w AS (SELECT d, tf.tok, df,
+       |    CAST(CAST(tf AS DECIMAL(12,0)) *
+       |      (CAST(round(ln(n + 1), 6) AS DECIMAL(12,6)) -
+       |       CAST(round(ln(df + 1), 6) AS DECIMAL(12,6)))
+       |      AS DECIMAL(18,6)) AS w
+       |  FROM tf JOIN dfc USING (tok) CROSS JOIN nd),
+       |norms AS (SELECT d, sum(CAST(w * w AS DECIMAL(30,12))) AS n2
+       |  FROM w GROUP BY 1),
+       |idx AS (SELECT tok, d, w FROM w WHERE df >= 2),
+       |dots AS (SELECT a.d AS doc_a, b.d AS doc_b,
+       |    sum(CAST(a.w * b.w AS DECIMAL(30,12))) AS dot
+       |  FROM idx a JOIN idx b ON a.tok = b.tok AND a.d < b.d
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT doc_a, doc_b,
+       |    round(CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) + 0
+       |      AS cos
+       |  FROM dots
+       |  JOIN norms na ON na.d = dots.doc_a
+       |  JOIN norms nb ON nb.d = dots.doc_b)
+       |SELECT doc_a, doc_b, cos FROM scored WHERE cos >= 0.6""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5450,7 +5491,8 @@ object QueryCatalog {
     ("q189_benford_prices", q189BenfordPrices _, Some(q189Sql)),
     ("q190_js_divergence", q190JsDivergence _, Some(q190Sql)),
     ("q191_mahalanobis_diag", q191MahalanobisDiag _, Some(q191Sql)),
-    ("q192_sampled_quantiles", q192SampledQuantiles _, Some(q192Sql)))
+    ("q192_sampled_quantiles", q192SampledQuantiles _, Some(q192Sql)),
+    ("q193_sparse_cosine", q193SparseCosine _, Some(q193Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -218,16 +218,30 @@ object ApproxQuantile {
                        k: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
       "quantile fractions must be in [0, 1]")
-    require(idCols.nonEmpty, "idCols must uniquely key rows")
-    // 60-bit md5 hash of the unique row key — the engine-portable random
-    // source (DuckDB: CAST('0x' || substring(md5(...), 1, 15) AS BIGINT))
-    val h = conv(substring(md5(
-      concat_ws("|", idCols.map(col): _*)), 1, 15), 16, 10).cast("long")
     val sampled = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(graft.functions.RankSampleAgg.rankSample(h, col(valueCol), k).as("_smp"))
+      .agg(graft.functions.RankSampleAgg
+        .rankSample(rowHash60(idCols), col(valueCol), k).as("_smp"))
+    readSampleQuantiles(sampled, Seq(groupCol), qs)
+  }
+
+  /** 60-bit md5 hash of the unique row key — the engine-portable random
+    * source (DuckDB: CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)).
+    * Shared by [[sampledQuantiles]] and the streaming monitor so the two
+    * paths sample IDENTICAL pairs. */
+  private[graft] def rowHash60(idCols: Seq[String]): Column = {
+    require(idCols.nonEmpty, "idCols must uniquely key rows")
+    conv(substring(md5(
+      concat_ws("|", idCols.map(col): _*)), 1, 15), 16, 10).cast("long")
+  }
+
+  /** The rank-sample readout — exactQuantiles' r = q·(m−1) interpolation
+    * over a `_smp` column (values sorted ascending). One shared shape so
+    * batch and streaming verdicts are bit-identical on the same sample. */
+  private[graft] def readSampleQuantiles(sampled: DataFrame, keep: Seq[String],
+                                         qs: Seq[(String, Double)]): DataFrame = {
     val m = size(col("_smp"))
-    sampled.select(col(groupCol) +: qs.map { case (name, q) =>
+    sampled.select(keep.map(col) ++ qs.map { case (name, q) =>
       val r = lit(q) * (m - 1).cast("double")
       val vlo = element_at(col("_smp"), (floor(r) + 1).cast("int"))
       val vhi = element_at(col("_smp"), (ceil(r) + 1).cast("int"))

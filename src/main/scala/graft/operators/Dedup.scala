@@ -1008,4 +1008,70 @@ object Dedup {
         Similarity.score(col("_va"), col("_vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Sparse LEXICAL near-duplicate pairs by TF-IDF cosine over a
+    * df-capped inverted index — the bag-of-words complement to the
+    * embedding paths ([[embeddingNearDup]]/SemDeDup need a vector per
+    * doc; this needs only the text) and the scoring complement to
+    * [[minhashLsh]] (Jaccard sees shingle SETS; TF-IDF cosine sees
+    * term FREQUENCIES with rarity weighting, so it separates "same
+    * template, different entities" from "same entities, same counts").
+    *
+    * Vocabulary policy: tokens with df > `maxDf` are dropped ENTIRELY
+    * (df-based stop-wording — they carry no discriminative mass and
+    * their posting lists are the quadratic hazard); tokens with df = 1
+    * stay in the norms but are pruned from pair GENERATION (a term in
+    * one document can never co-occur — free pruning, zero score
+    * change). Pairs per token are then ≤ maxDf², the documented bound
+    * that replaces the all-pairs blowup: one shuffle by token, one by
+    * (doc_a, doc_b), cost ∝ Σ_t df(t)² over df ∈ [2, maxDf].
+    *
+    * Determinism contract ([[Stats.psi]]'s discipline): idf =
+    * r6ln(N+1) − r6ln(df+1) — once-rounded 6-dp DECIMAL logs of exact
+    * integers; w = tf·idf is an EXACT decimal product; dot products and
+    * norms are exact DECIMAL sums (order-free); the single float step
+    * is the final cos readout, rounded once to 6 and zero-canonicalized.
+    * NULL texts drop (no tokens); empty-vocab docs never pair.
+    *
+    * Returns (doc_a, doc_b, cos) with doc_a < doc_b, cos ≥ threshold. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", maxDf: Int = 100,
+                        threshold: Double = 0.5): DataFrame = {
+    require(maxDf >= 2 && maxDf <= 100000, "maxDf out of range")
+    require(threshold >= 0 && threshold <= 1, "threshold out of range")
+    def r6ln(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(12,6)")
+    val tf = docs
+      .select(col(idCol).as("_d"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("_d"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // df aggregate + weights read it
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // w = tf · (r6ln(N+1) − r6ln(df+1)): exact decimal, like the oracle
+    val weights = tf.join(dfc, Seq("tok"))
+      .select(col("_d"), col("tok"), col("df"),
+        (col("tf").cast("decimal(12,0)") *
+          (r6ln(lit(nDocs + 1)) - r6ln(col("df") + 1))).cast("decimal(18,6)").as("w"))
+      .localCheckpoint(true) // norms + the pair join read it
+    val norms = weights.groupBy(col("_d"))
+      .agg(sum((col("w") * col("w")).cast("decimal(30,12)")).as("n2"))
+    val idx = weights.filter(col("df") >= 2) // df=1 can't co-occur
+      .select(col("tok"), col("_d"), col("w"))
+    val dots = idx.select(col("tok"), col("_d").as("doc_a"), col("w").as("wa"))
+      .join(idx.select(col("tok"), col("_d").as("doc_b"), col("w").as("wb")),
+        Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum((col("wa") * col("wb")).cast("decimal(30,12)")).as("dot"))
+    dots
+      .join(norms.select(col("_d").as("doc_a"), col("n2").as("_na")), Seq("doc_a"))
+      .join(norms.select(col("_d").as("doc_b"), col("n2").as("_nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Stats.canonZero(round(col("dot").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))),
+          6)).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

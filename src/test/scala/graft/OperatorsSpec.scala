@@ -2242,4 +2242,43 @@ class OperatorsSpec extends SparkSpec {
     assert(stable === kept.collect().map(_.getLong(0)).toSet,
       "selection is content-determined, not partition-determined")
   }
+
+  test("sparseCosinePairs: hand-checked TF-IDF cosine, df cap drops stop terms, df=1 prunes") {
+    // 4 docs; "the" appears in all 4 (df=4 > maxDf=3 → stop-worded);
+    // "unique" df=1 (in norms, never pairs); a/b share {apple, pie}
+    val docs = Seq(
+      (1L, "the apple pie apple"),
+      (2L, "the apple pie"),
+      (3L, "the banana split unique"),
+      (4L, "the banana split")
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.sparseCosinePairs(docs, maxDf = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // hand replay: N=4, idf(t) = round(ln5,6) − round(ln(df+1),6)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val ln5 = r6(math.log(5))
+    def idf(df: Int) = BigDecimal(ln5) - BigDecimal(r6(math.log(df + 1.0)))
+    val iApple = idf(2); val iPie = idf(2); val iBan = idf(2)
+    val iSplit = idf(2); val iUniq = idf(1)
+    // doc1: apple tf2, pie tf1; doc2: apple 1, pie 1
+    val dot12 = (2 * iApple) * (1 * iApple) + (1 * iPie) * (1 * iPie)
+    val n1 = (2 * iApple).pow(2) + iPie.pow(2)
+    val n2 = iApple.pow(2) + iPie.pow(2)
+    val exp12 = r6(dot12.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble)))
+    assert(out.keySet === Set((1L, 2L), (3L, 4L)),
+      s"only same-fruit pairs can co-occur under the df policy: ${out.keySet}")
+    assert(out((1L, 2L)) === exp12, s"hand cosine: ${out((1L, 2L))} vs $exp12")
+    // doc3 vs doc4: identical over the PAIRABLE vocab, but doc3's norm
+    // carries the df=1 'unique' term → cosine strictly below 1
+    val dot34 = iBan.pow(2) + iSplit.pow(2)
+    val n3 = iBan.pow(2) + iSplit.pow(2) + iUniq.pow(2)
+    val exp34 = r6(dot34.toDouble / (math.sqrt(n3.toDouble) * math.sqrt(dot34.toDouble)))
+    assert(out((3L, 4L)) === exp34 && out((3L, 4L)) < 1.0,
+      s"df=1 terms must weigh the norm: ${out((3L, 4L))} vs $exp34")
+    // identical docs (after the stop cap) score exactly 1
+    val twin = Seq((1L, "x y z"), (2L, "x y z"), (3L, "filler")).toDF("doc_id", "text")
+    val tw = operators.Dedup.sparseCosinePairs(twin, maxDf = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(tw((1L, 2L)) === 1.0)
+  }
 }

@@ -341,4 +341,57 @@ class StreamingSpec extends SparkSpec {
         s"duplicate session emission: ${all.mkString(";")}")
     } finally q.stop()
   }
+
+  test("StreamingQuantiles: cumulative sketch equals the batch operator bit-for-bit; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-sq-store").toString,
+      nBuckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sq-ckpt").toString
+    val in = MemoryStream[(Long, Double)]
+    val stream = in.toDF().toDF("id", "v")
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    def drain(c: String = ckpt, src: MemoryStream[(Long, Double)] = in): Unit = {
+      val q = graft.streaming.StreamingQuantiles.start(
+        stream = src.toDF().toDF("id", "v"), valueCol = "v", idCols = Seq("id"),
+        qs = qs, store = store, stateTable = "q_state", verdictTable = "q_verdicts",
+        checkpointDir = c, k = 64)
+      q.awaitTermination()
+    }
+    // heavy-ish tail, unique ids, three arbitrary batch cuts
+    val all = (1 to 500).map(i => (i.toLong, math.exp((i * 7919 % 500) / 80.0)))
+    val (b0, rest) = all.splitAt(137); val (b1, b2) = rest.splitAt(211)
+    in.addData(b0: _*); drain()
+    in.addData(b1: _*); drain()
+    in.addData(b2: _*); drain()
+    val verdicts = store.read("q_verdicts")
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_sample"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))
+      .toMap
+    assert(verdicts.keySet === Set(0L, 1L, 2L))
+    assert(verdicts(0L)._1 === 64L, "sample saturates at k")
+    // the final verdict must BIT-match the batch operator over ALL data:
+    // same hash, same k, same readout expressions
+    val batchDf = spark.createDataFrame(all).toDF("id", "v")
+      .withColumn("g", org.apache.spark.sql.functions.lit(1))
+    val expected = graft.operators.ApproxQuantile
+      .sampledQuantiles(batchDf, "g", "v", Seq("id"), qs, k = 64)
+      .collect().head
+    assert(verdicts(2L)._2 === expected.getAs[Double]("p50"),
+      s"streamed p50 ${verdicts(2L)._2} != batch ${expected.getAs[Double]("p50")}")
+    assert(verdicts(2L)._3 === expected.getAs[Double]("p90"))
+    // replaying the last batch from a fresh checkpoint: same rows -> same
+    // pairs -> set-dedup absorbs them; state rows unchanged, verdict count
+    // unchanged (the replay's batch 0 overwrites by key)
+    val stateBefore = store.read("q_state")
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Double]("v"))).toSet
+    val in2 = MemoryStream[(Long, Double)]
+    in2.addData(b2: _*)
+    drain(java.nio.file.Files.createTempDirectory("graft-sq-ckpt2").toString, in2)
+    val stateAfter = store.read("q_state")
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Double]("v"))).toSet
+    assert(stateAfter === stateBefore, "replayed rows must be absorbed by the set state")
+    assert(store.read("q_verdicts").count() === 3L)
+  }
 }
