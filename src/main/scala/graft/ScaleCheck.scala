@@ -321,6 +321,17 @@ object ScaleCheck {
       graft.operators.Stats.chiSquareDrift(docs, "source", "lang"))
     time("gini_concentration")(
       graft.operators.Stats.giniConcentration(docs, "source", "n_chars"))
+    // r10 additions: the mergeable rank sketch (ONE grouped aggregate,
+    // ≤2k pairs of state per task — near-linear in the scan) and the
+    // df-capped sparse-cosine pair generator (cost ∝ Σ df(t)² over
+    // df ∈ [2, cap] — grows with the DUPLICATED subset's shared-term
+    // mass, never corpus²)
+    time("sampled_quantiles")(
+      graft.operators.ApproxQuantile.sampledQuantiles(
+        docs, "source", "n_chars", Seq("doc_id"),
+        Seq("p50" -> 0.5, "p99" -> 0.99), k = 1024))
+    time("sparse_cosine(df<=50)")(
+      Dedup.sparseCosinePairs(docs, maxDf = 50, threshold = 0.6))
     spark.stop()
   }
 }

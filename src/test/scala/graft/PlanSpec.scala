@@ -552,6 +552,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
   }
 
+  test("q192 rank sketch partial-aggregates map-side; q193 pairs are equi-joins, never cartesian") {
+    val p192 = plan(QueryCatalog.q192SampledQuantiles)
+    assert(p192.contains("partial_rank_sample"),
+      s"sketches, not values, must cross the shuffle:\n$p192")
+    val p193 = plan(QueryCatalog.q193SparseCosine)
+    assert(!p193.contains("CartesianProduct"),
+      s"pair generation must ride the token equi-join:\n$p193")
+    assert(p193.contains("partial_"), s"dot products must partial-aggregate:\n$p193")
+  }
+
   test("q179 six-table join: dimensions broadcast, no cartesian, revenue partial-aggregates") {
     val p = plan(QueryCatalog.q179LocalSupplierVolume)
     assert(p.contains("BroadcastHashJoin"), s"nation/region must broadcast:\n$p")
