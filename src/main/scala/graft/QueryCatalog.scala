@@ -5294,6 +5294,55 @@ object QueryCatalog {
        |  JOIN norms nb ON nb.d = dots.doc_b)
        |SELECT doc_a, doc_b, cos FROM scored WHERE cos >= 0.6""".stripMargin
 
+  /** Quantile normalization (Stats.quantileNormalize): every return
+    * flag's price distribution remapped onto flag A's — per-row exact
+    * min-rank ECDF position, reference quantile from a broadcast
+    * 257-edge exactQuantiles grid with in-slot linear interpolation.
+    * The cross-source score-alignment transform the z-score family
+    * (q134/q139) cannot express (they keep each group's shape). */
+  def q194QuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.quantileNormalize(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", refGroup = lit("A"), slots = 256)
+
+  val q194Sql: String =
+    """WITH ref AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS xq
+      |  FROM lineitem WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
+      |o AS (SELECT xq, row_number() OVER (ORDER BY xq) - 1 AS idx,
+      |    count(*) OVER () AS n FROM ref),
+      |nn AS (SELECT max(n) AS n FROM o),
+      |g AS (SELECT i, (i * (n - 1)) // 256 AS ilo,
+      |    ((i * (n - 1)) + 255) // 256 AS ihi,
+      |    (i * (n - 1)) % 256 AS frE
+      |  FROM range(0, 257) t(i) CROSS JOIN nn),
+      |ed AS (SELECT g.i,
+      |    lo.xq + CAST(CAST(g.frE AS DECIMAL(10,0)) *
+      |        CAST(0.00390625 AS DECIMAL(13,12)) AS DECIMAL(13,12)) *
+      |      (hi.xq - lo.xq) AS e
+      |  FROM g JOIN o lo ON lo.idx = g.ilo JOIN o hi ON hi.idx = g.ihi),
+      |el AS (SELECT list(CAST(e AS DECIMAL(25,18)) ORDER BY i) AS eg FROM ed),
+      |r AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    rank() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC NULLS LAST) AS rk,
+      |    count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |s AS (SELECT *, CASE WHEN n > 1
+      |      THEN least((rk - 1) * 256 // (n - 1), 255) ELSE 0 END AS slot
+      |  FROM r),
+      |t2 AS (SELECT *, (rk - 1) * 256 - slot * (n - 1) AS a FROM s),
+      |u AS (SELECT *, CASE WHEN n > 1 THEN (a * 1000000) // (n - 1)
+      |      ELSE 0 END AS fr6 FROM t2)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  CASE WHEN l_extendedprice IS NOT NULL THEN
+      |    CAST(round(eg[slot + 1] +
+      |      CAST(CAST(fr6 AS DECIMAL(7,0)) * CAST(0.000001 AS DECIMAL(7,6))
+      |        AS DECIMAL(7,6)) *
+      |      (eg[slot + 2] - eg[slot + 1]), 6) AS DOUBLE) + 0
+      |  END AS l_extendedprice_qnorm
+      |FROM u CROSS JOIN el""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5492,7 +5541,8 @@ object QueryCatalog {
     ("q190_js_divergence", q190JsDivergence _, Some(q190Sql)),
     ("q191_mahalanobis_diag", q191MahalanobisDiag _, Some(q191Sql)),
     ("q192_sampled_quantiles", q192SampledQuantiles _, Some(q192Sql)),
-    ("q193_sparse_cosine", q193SparseCosine _, Some(q193Sql)))
+    ("q193_sparse_cosine", q193SparseCosine _, Some(q193Sql)),
+    ("q194_quantile_normalize", q194QuantileNormalize _, Some(q194Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -88,6 +88,27 @@ object ApproxQuantile {
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      qs: Seq[(String, Double)],
                      buckets: Int = 1024): DataFrame = {
+    val stats = exactOrderStats(df, groupCol, valueCol, qs, buckets)
+    stats.select(col(groupCol) +: qs.map { case (name, q) =>
+      val r = lit(q) * (col("_n") - 1)
+      round(col(s"_vlo_$name") +
+        (r - floor(r)) * (col(s"_vhi_$name") - col(s"_vlo_$name")), 6).as(name)
+    }: _*)
+  }
+
+  /** [[exactQuantiles]] WITHOUT the final interpolate-and-round: one row
+    * per group with `_n` and, per quantile, the UNROUNDED covering order
+    * statistics `_vlo_<name>` / `_vhi_<name>` (the q·(n−1) rank's floor/
+    * ceil neighbors; equal when the rank is integral, and both = the
+    * constant for a flat group). Values keep the INPUT column's type —
+    * feed a DECIMAL column and the order stats come back exact decimals,
+    * which is what lets [[Stats.quantileNormalize]] build its edge grid
+    * in pure decimal arithmetic (a rounded-double readout at 6 dp is a
+    * cross-engine coin flip whenever the true value is an exact decimal
+    * half — cents interpolated at k/256 land there constantly). */
+  def exactOrderStats(df: DataFrame, groupCol: String, valueCol: String,
+                      qs: Seq[(String, Double)],
+                      buckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
       "quantile fractions must be in [0, 1]")
     require(buckets >= 2 && buckets <= (1 << 16), "buckets must be in [2, 65536]")
@@ -177,19 +198,17 @@ object ApproxQuantile {
     val tbR = tb.drop(qs.flatMap { case (name, _) =>
         Seq(s"_blo_$name", s"_clo_$name", s"_bhi_$name", s"_chi_$name") }: _*)
       .withColumnRenamed(groupCol, "_tbg")
-    val interp = vals
+    val variedStats = vals
       .join(broadcast(tbR), g <=> col("_tbg"))
       .drop("_tbg")
       .groupBy(g).agg(readAggs.head, readAggs.tail: _*)
-      .select(g +: qs.map { case (name, q) =>
-        val r = lit(q) * (col("_n") - 1)
-        round(col(s"_vlo_$name") +
-          (r - floor(r)) * (col(s"_vhi_$name") - col(s"_vlo_$name")), 6).as(name)
-      }: _*)
-    val flatOut = flat.select(
-      col("_grp").as(groupCol) +: qs.map { case (name, _) =>
-        round(col("_mn"), 6).as(name) }: _*)
-    interp.unionByName(flatOut)
+    // flat/all-NULL groups: every order statistic IS the constant (or
+    // NULL), so vlo = vhi = _mn — interpolation in the caller degrades
+    // to the constant, matching the old round(_mn) branch bit-for-bit
+    val flatStats = flat.select(
+      col("_grp").as(groupCol) +: col("_n") +: qs.flatMap { case (name, _) =>
+        Seq(col("_mn").as(s"_vlo_$name"), col("_mn").as(s"_vhi_$name")) }: _*)
+    variedStats.unionByName(flatStats)
   }
 
   /** ONE-pass quantile estimates off a MERGEABLE rank sketch

@@ -57,6 +57,110 @@ object Stats {
       .drop("_grp", "_n", "_s", "_q", "_mn", "_mx")
   }
 
+  /** Quantile normalization — map every group's value DISTRIBUTION onto
+    * a reference group's (the feature-engineering/bioinformatics staple
+    * beside [[standardize]]'s moments and [[robustScale]]'s quartiles:
+    * z-scores align location/scale but keep each source's SHAPE; this
+    * makes "the p-th best document of source B" score exactly like "the
+    * p-th best of source A", which is what a cross-source ranking cutoff
+    * actually needs).
+    *
+    * Per row: p = (rank − 1)/(n − 1), the min-rank ECDF position within
+    * the row's own group (ties share the min rank — ANSI rank() in both
+    * engines; a singleton group reads p = 0). The reference's quantile
+    * at p comes from a (slots+1)-edge grid — the reference's exact
+    * quantiles at i/slots via [[ApproxQuantile.exactQuantiles]]
+    * (bounded state, ≡ quantile_cont rounded 6) — broadcast once, with
+    * linear interpolation INSIDE the slot. Within-slot error ≤ the
+    * reference's density variation over a 1/S quantile step (S = 256
+    * default) — the documented bound that keeps state FIXED while the
+    * exact per-row rank stays exact.
+    *
+    * Determinism contract — NO double arithmetic anywhere near the
+    * readout (the first draft rounded an interpolated double and hit a
+    * genuine cross-engine round-boundary flip at row 697 of sf0.01:
+    * Spark's round works on the exact binary value via BigDecimal,
+    * DuckDB's multiplies by 1e6 first, and a last-ulp difference
+    * straddled the 6-dp boundary): slot = ⌊(rank−1)·S/(n−1)⌋ and the
+    * in-slot fraction ⌊a·10⁶/(n−1)⌋ (a = (rank−1)·S − slot·(n−1)) are
+    * INTEGER floor divisions — exact in any engine; edges enter as
+    * DECIMAL(18,6); the interpolation e_lo + fr·(e_hi − e_lo) and its
+    * final 6-dp rounding run entirely in exact decimal. The millionth-
+    * quantized fraction perturbs the output by ≤ 1e-6 slot widths —
+    * part of the transform's definition, identical on every engine.
+    *
+    * Scale: one rank window per group (PARTITION BY group — groups fan
+    * out), one 3-pass exactQuantiles over the REFERENCE subset only,
+    * one broadcast of S+1 doubles. NULL values pass through NULL.
+    *
+    * Returns the input plus `<valueCol>_qnorm`. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        refGroup: Column, slots: Int = 256): DataFrame = {
+    require(slots >= 8 && slots <= 4096, "slots out of range")
+    require((slots & (slots - 1)) == 0,
+      "slots must be a power of two (so i/slots is binary-exact and the " +
+        "in-edge fraction has a finite decimal expansion)")
+    val x = col(valueCol).cast("double")
+    val qs = (0 to slots).map(i => s"_e$i" -> i.toDouble / slots)
+    // reference values quantized ONCE to 6 dp — order statistics of the
+    // quantized column are exact decimals, so the whole edge grid below
+    // is decimal arithmetic with no double round anywhere
+    val stats = ApproxQuantile.exactOrderStats(
+      df.filter(col(groupCol) <=> refGroup && x.isNotNull)
+        .select(lit(1).as("_rq"), x.cast("decimal(18,6)").as("_rx")),
+      "_rq", "_rx", qs)
+    // edge i = vlo + ((i·(n−1)) mod S)/S · (vhi − vlo): the fraction is
+    // an exact decimal (S a power of two), the products stay in decimal
+    // every decimal step below keeps precision ≤ 38 BY CONSTRUCTION —
+    // Spark silently rounds (and DuckDB errors) past the cap, so the
+    // scales are pinned with explicit casts that are value-exact
+    val invS = new java.math.BigDecimal(java.math.BigDecimal.ONE.toBigInteger)
+      .divide(new java.math.BigDecimal(slots), 12, java.math.RoundingMode.UNNECESSARY)
+    val edges = stats.select((0 to slots).map { i =>
+      val frE = pmod(lit(i.toLong) * (col("_n") - 1), lit(slots.toLong))
+        .cast("decimal(10,0)")
+      val fracE = (frE * lit(invS).cast("decimal(13,12)")).cast("decimal(13,12)")
+      (col(s"_vlo__e$i") + fracE * (col(s"_vhi__e$i") - col(s"_vlo__e$i")))
+        .cast("decimal(25,18)").as(s"_e$i")
+    }: _*)
+    // nulls LAST: Spark's asc default is nulls-first, which would shift
+    // every non-null rank by the group's null count (DuckDB sorts them
+    // last) — and p must be the ECDF over the NON-NULL values
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(x.asc_nulls_last)
+    val ranked = df
+      .withColumn("_rk",
+        when(x.isNotNull, rank().over(w).cast("long")))
+      .withColumn("_n",
+        when(x.isNotNull, count(x).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)))))
+    // integer-exact slot and millionth-quantized fraction (see contract)
+    val staged = ranked
+      .withColumn("_nm1", (col("_n") - 1).cast("long"))
+      .withColumn("_rkS", ((col("_rk") - 1) * slots).cast("long"))
+      .withColumn("_slot",
+        when(col("_n") > 1, least(expr("_rkS DIV _nm1"), lit(slots - 1L)))
+          .otherwise(lit(0L)))
+      .withColumn("_a", col("_rkS") - col("_slot") * col("_nm1"))
+      .withColumn("_fr6",
+        when(col("_n") > 1, expr("(_a * 1000000) DIV _nm1"))
+          .otherwise(lit(0L)))
+    val fr = (col("_fr6").cast("decimal(7,0)") *
+      lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)"))
+      .cast("decimal(7,6)")
+    // one array projection + two element_at lookups, not a 2×S-branch
+    // CASE chain (which would blow the codegen method budget at S=256)
+    val arr = array((0 to slots).map(i => col(s"_e$i")): _*)
+    val eLo = element_at(arr, (col("_slot") + 1).cast("int"))
+    val eHi = element_at(arr, (col("_slot") + 2).cast("int"))
+    staged.crossJoin(broadcast(edges))
+      .withColumn(s"${valueCol}_qnorm",
+        when(x.isNotNull,
+          canonZero(round(eLo + fr * (eHi - eLo), 6).cast("double"))))
+      .drop((Seq("_rk", "_n", "_nm1", "_rkS", "_slot", "_a", "_fr6") ++
+        qs.map(_._1)): _*)
+  }
+
   /** Robust per-group scaling: (x − median) / IQR — the outlier-immune
     * twin of [[standardize]] (one wild value moves a mean/σ arbitrarily
     * far; the median and quartiles move by at most one rank). Bounds come

@@ -2243,6 +2243,35 @@ class OperatorsSpec extends SparkSpec {
       "selection is content-determined, not partition-determined")
   }
 
+  test("quantileNormalize: hand-checked mapping onto the reference distribution") {
+    val df = Seq(
+      ("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0), // the reference
+      ("B", 1.0), ("B", 2.0), ("B", 3.0),                 // remapped
+      ("C", 99.0)                                         // singleton
+    ).toDF("g", "v")
+      .union(Seq(("B", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "v").select(col("g"), col("v").cast("double")))
+    val out = operators.Stats.quantileNormalize(df, "g", "v", lit("A"), slots = 8)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // B's ECDF positions 0 / 0.5 / 1 land on A's min / median / max:
+    // p=0.5 -> r = 0.5*(4-1) = 1.5 -> 20 + 0.5*(30-20) = 25
+    assert(out(("B", Some(1.0))) === Some(10.0))
+    assert(out(("B", Some(2.0))) === Some(25.0))
+    assert(out(("B", Some(3.0))) === Some(40.0))
+    // a singleton group reads p = 0 -> the reference minimum
+    assert(out(("C", Some(99.0))) === Some(10.0))
+    // NULL values pass through NULL
+    assert(out(("B", None)) === None)
+    // the reference maps ~onto itself: within one slot's interpolation
+    // error (slots=8 on 4 points), not exact — that's the S-slot contract
+    val selfMapped = Seq(10.0, 20.0, 30.0, 40.0)
+      .map(v => out(("A", Some(v))).get)
+    selfMapped.zip(Seq(10.0, 20.0, 30.0, 40.0)).foreach { case (m, v) =>
+      assert(math.abs(m - v) < 2.0, s"self-map $v -> $m drifted past slot error") }
+    assert(selfMapped === selfMapped.sorted, "monotone transform")
+  }
+
   test("sparseCosinePairs: hand-checked TF-IDF cosine, df cap drops stop terms, df=1 prunes") {
     // 4 docs; "the" appears in all 4 (df=4 > maxDf=3 → stop-worded);
     // "unique" df=1 (in norms, never pairs); a/b share {apple, pie}
