@@ -394,4 +394,62 @@ class StreamingSpec extends SparkSpec {
     assert(stateAfter === stateBefore, "replayed rows must be absorbed by the set state")
     assert(store.read("q_verdicts").count() === 3L)
   }
+
+  test("StreamingHeavyHitters: bounds contain exact counts, heavy items never missed, watermark absorbs replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-shh-store").toString,
+      nBuckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shh-ckpt").toString
+    val in = MemoryStream[String]
+    def drain(c: String = ckpt, src: MemoryStream[String] = in): Unit = {
+      val q = graft.streaming.StreamingHeavyHitters.start(
+        src.toDF().toDF("item"), "item", k = 10, store = store,
+        stateTable = "hh_state", verdictTable = "hh_verdicts",
+        checkpointDir = c, cap = 64, topM = 10)
+      q.awaitTermination()
+    }
+    // skewed stream: two global heavies + a long singleton tail; h2 is
+    // deliberately spread so it is NOT heavy in every single batch
+    val b0 = Seq.fill(60)("h1") ++ Seq.fill(25)("h2") ++ (1 to 100).map(i => s"t0_$i")
+    val b1 = Seq.fill(50)("h1") ++ Seq.fill(30)("h2") ++ (1 to 120).map(i => s"t1_$i")
+    val b2 = Seq.fill(40)("h1") ++ Seq.fill(35)("h2") ++ (1 to 110).map(i => s"t2_$i")
+    in.addData(b0: _*); drain()
+    in.addData(b1: _*); drain()
+    in.addData(b2: _*); drain()
+    val all = b0 ++ b1 ++ b2
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val st = store.read("hh_state").collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("aerr"))).toMap
+    val errAll = store.read("hh_state").head().getAs[Long]("err_all")
+    // invariant 1: cnt <= true <= cnt + aerr for every tracked item
+    st.foreach { case (item, (cnt, aerr)) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(cnt <= t && t <= cnt + aerr,
+        s"$item: true $t outside [${cnt}, ${cnt + aerr}]")
+    }
+    // invariant 2: every item with true count > err_all is tracked
+    exact.foreach { case (item, t) =>
+      if (t > errAll) assert(st.contains(item), s"heavy $item (count $t) lost")
+    }
+    assert(st.contains("h1") && st.contains("h2"), "both heavies tracked")
+    // the final verdict ranks h1 first with n_seen = the full stream
+    val v2 = store.read("hh_verdicts").filter(col("batch_id") === 2).collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("cnt_lo"), r.getAs[Long]("cnt_hi"), r.getAs[Long]("n_seen")))
+      .toMap
+    assert(v2("h1")._3 === all.size.toLong)
+    assert(v2("h1")._1 <= 150L && 150L <= v2("h1")._2)
+    // replay the last batch from a fresh checkpoint: batchId 0 <= upto 2,
+    // the watermark skips the merge — counters unchanged
+    val in2 = MemoryStream[String]
+    in2.addData(b2: _*)
+    drain(java.nio.file.Files.createTempDirectory("graft-shh-ckpt2").toString, in2)
+    val stAfter = store.read("hh_state").collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("aerr"))).toMap
+    assert(stAfter === st, "watermark must absorb the replayed batch")
+  }
 }
