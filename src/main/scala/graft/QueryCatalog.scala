@@ -5343,6 +5343,39 @@ object QueryCatalog {
       |  END AS l_extendedprice_qnorm
       |FROM u CROSS JOIN el""".stripMargin
 
+  /** Hilbert layout key (functions/HilbertIndex — native codegen'd
+    * Expression; the rotation recurrence makes Column composition
+    * exponential): q64's exact input shape so the two layout keys are
+    * directly comparable; the oracle replays the 16-plane walk with a
+    * recursive CTE over two's-complement BIGINT arithmetic. */
+  def q195Hilbert(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"),
+      graft.functions.HilbertIndex.hilbert16(
+        pmod(col("c_custkey"), lit(4096)),
+        col("c_nationkey")).as("h"))
+
+  val q195Sql: String =
+    """WITH RECURSIVE b AS (SELECT c_custkey,
+      |    CAST(c_custkey % 4096 AS BIGINT) AS x0,
+      |    CAST(c_nationkey AS BIGINT) AS y0 FROM customer),
+      |h AS (
+      |  SELECT c_custkey, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d,
+      |    CAST(32768 AS BIGINT) AS s
+      |  FROM b
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |    CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN s - 1 - y ELSE y END,
+      |    CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN s - 1 - x ELSE x END,
+      |    d + s * s * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+      |                      WHEN rx = 0 THEN 1
+      |                      WHEN ry = 1 THEN 2 ELSE 3 END),
+      |    s // 2
+      |  FROM (SELECT c_custkey, x, y, d, s,
+      |      CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+      |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+      |    FROM h WHERE s > 0) t)
+      |SELECT c_custkey, d AS h FROM h WHERE s = 0""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5542,7 +5575,8 @@ object QueryCatalog {
     ("q191_mahalanobis_diag", q191MahalanobisDiag _, Some(q191Sql)),
     ("q192_sampled_quantiles", q192SampledQuantiles _, Some(q192Sql)),
     ("q193_sparse_cosine", q193SparseCosine _, Some(q193Sql)),
-    ("q194_quantile_normalize", q194QuantileNormalize _, Some(q194Sql)))
+    ("q194_quantile_normalize", q194QuantileNormalize _, Some(q194Sql)),
+    ("q195_hilbert", q195Hilbert _, Some(q195Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -61,6 +61,10 @@ object GraftExtensions {
     ("jaro_winkler_similarity", new ExpressionInfo(classOf[JaroWinkler].getName,
       "jaro_winkler_similarity"),
       arity("jaro_winkler_similarity(a, b)", 2)(c => JaroWinkler(c.head, c(1)))),
+    // the Hilbert layout key beside morton16 (which is Column-composed;
+    // Hilbert's rotation recurrence forces a native Expression)
+    ("hilbert16", new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert16"),
+      arity("hilbert16(x, y)", 2)(c => HilbertIndex(c.head, c(1)))),
     // the UDTF surface: word n-gram generators, SQL-callable like explode
     // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
     // the generator's output schema is fixed at plan time

@@ -89,4 +89,48 @@ class LayoutSpec extends SparkSpec {
     assert(xSpan >= 62, s"x-sort control should span y fully, got $xSpan")
     assert(spark.read.parquet(dirZ).count() === 64L * 64)
   }
+
+  test("hilbert16 matches the reference walk and out-clusters z-order on range queries") {
+    import graft.functions.HilbertIndex.xy2d
+    // reference points: the order-1 quadrant walk and full-domain extremes
+    assert(xy2d(0, 0) === 0L)
+    assert(Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)) // order-1 visit order...
+      .map { case (x, y) => xy2d(x << 15, y << 15) }
+      .map(_ >> 30) === Seq(0L, 1L, 2L, 3L),
+      "top-plane quadrants visit in Hilbert order (0,0)->(0,1)->(1,1)->(1,0)")
+    assert(xy2d(65535L, 65535L) < (1L << 32), "index stays within 32 bits")
+    // the curve NEVER teleports: consecutive indices are adjacent cells.
+    // Walk an 8-bit subgrid (coordinates scaled to the top 8 planes would
+    // need d2xy; instead check adjacency pairwise over a dense 32x32 tile)
+    val cells = for (x <- 0 until 32; y <- 0 until 32) yield (xy2d(x, y), x, y)
+    val byD = cells.sortBy(_._1)
+    byD.sliding(2).foreach { case Seq((d1, x1, y1), (d2, x2, y2)) =>
+      assert(d2 === d1 + 1, s"dense tile indices must be consecutive at $d1")
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"teleport between ($x1,$y1) and ($x2,$y2)") }
+    // clustering quality: for square query boxes, how many CONTIGUOUS
+    // index runs cover the box? Fewer runs = fewer shard touches for a
+    // range scan. Hilbert's advantage over Z is the point of the curve.
+    def runs(index: (Long, Long) => Long, x0: Int, y0: Int, side: Int): Int = {
+      val ds = (for (x <- x0 until x0 + side; y <- y0 until y0 + side)
+        yield index(x.toLong, y.toLong)).sorted
+      1 + ds.sliding(2).count { case Seq(a, b) => b != a + 1 }
+    }
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val boxes = for (x0 <- Seq(3, 17, 40, 100, 200); y0 <- Seq(5, 23, 77, 130))
+      yield (x0, y0)
+    val (hRuns, zRuns) = boxes.map { case (x0, y0) =>
+      (runs(xy2d, x0, y0, 16), runs(morton, x0, y0, 16)) }.unzip
+    info(s"16x16 boxes: hilbert runs ${hRuns.sum} vs z-order ${zRuns.sum} " +
+      s"(avg ${hRuns.sum / boxes.size.toDouble} vs ${zRuns.sum / boxes.size.toDouble})")
+    assert(hRuns.sum < zRuns.sum,
+      s"hilbert must decompose boxes into fewer index runs: $hRuns vs $zRuns")
+    // SQL registration parity with the Column API
+    val viaSql = spark.sql("SELECT hilbert16(CAST(300 AS BIGINT), CAST(200 AS BIGINT))")
+      .head().getLong(0)
+    assert(viaSql === xy2d(300, 200))
+  }
 }
