@@ -5376,6 +5376,60 @@ object QueryCatalog {
       |    FROM h WHERE s > 0) t)
       |SELECT c_custkey, d AS h FROM h WHERE s = 0""".stripMargin
 
+  /** Windowed HLL distinct users (Sketches.hllApproxCountDistinct under
+    * an event-time tumbling window): the "distinct users per window"
+    * dashboard query at sketch cost — per (window, task) the shuffle
+    * carries a 512-byte register array instead of the user-id stream,
+    * and window roll-ups stay mergeable (register max). Exact
+    * countDistinct rides along as the per-window reference; the oracle
+    * replays BOTH (q58's md5 register simulation, grouped by the same
+    * epoch-bucket window start). */
+  def q196WindowedHll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(
+        round(graft.functions.Sketches.hllApproxCountDistinct(col("user_id")), 2)
+          .as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("exact_users"))
+
+  val q196Sql: String =
+    """WITH w AS (SELECT
+      |    CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
+      |      AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
+      |    user_id
+      |  FROM events WHERE ts IS NOT NULL),
+      |h AS (SELECT window_start,
+      |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+      |  FROM w WHERE user_id IS NOT NULL),
+      |r AS (SELECT window_start, h1 // 8388608 AS idx,
+      |    (h1 % 8388608) * 4294967296 + h2 AS v FROM h),
+      |regs AS (SELECT window_start, idx,
+      |    MAX(CASE WHEN v = 0 THEN 56 ELSE 56 - length(format('{:b}', v)) END) AS rho
+      |  FROM r GROUP BY 1, 2),
+      |sums AS (SELECT window_start,
+      |    SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS s_present,
+      |    COUNT(*) AS present
+      |  FROM regs GROUP BY 1),
+      |fin AS (SELECT window_start,
+      |    s_present + (512 - present) * CAST(18446744073709551616 AS HUGEINT) AS s,
+      |    512 - present AS zeros
+      |  FROM sums),
+      |exact AS (SELECT window_start,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      |  FROM w GROUP BY 1)
+      |SELECT f.window_start,
+      |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 18446744073709551616.0
+      |                   / CAST(f.s AS DOUBLE) <= 1280.0 AND f.zeros > 0
+      |    THEN 512 * ln(512.0 / f.zeros)
+      |    ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 18446744073709551616.0
+      |         / CAST(f.s AS DOUBLE) END, 2) AS approx_users,
+      |  e.exact_users
+      |FROM fin f JOIN exact e USING (window_start)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5576,7 +5630,8 @@ object QueryCatalog {
     ("q192_sampled_quantiles", q192SampledQuantiles _, Some(q192Sql)),
     ("q193_sparse_cosine", q193SparseCosine _, Some(q193Sql)),
     ("q194_quantile_normalize", q194QuantileNormalize _, Some(q194Sql)),
-    ("q195_hilbert", q195Hilbert _, Some(q195Sql)))
+    ("q195_hilbert", q195Hilbert _, Some(q195Sql)),
+    ("q196_windowed_hll", q196WindowedHll _, Some(q196Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

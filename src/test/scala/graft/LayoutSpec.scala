@@ -88,6 +88,14 @@ class LayoutSpec extends SparkSpec {
     assert(zSpan <= 47, s"z-order shards must bound y too, got span $zSpan")
     assert(xSpan >= 62, s"x-sort control should span y fully, got $xSpan")
     assert(spark.read.parquet(dirZ).count() === 64L * 64)
+
+    // the Hilbert layout bounds shards at least as tightly (its square
+    // blobs vs Z's occasionally-split tiles) and loses no rows
+    val dirH = Files.createTempDirectory("graft-hilbert").toString
+    Layout.writeHilbertOrdered(grid, "x", "y", dirH, shards = 16)
+    val hSpan = maxYSpan(dirH)
+    assert(hSpan <= zSpan, s"hilbert y-span $hSpan must not exceed z's $zSpan")
+    assert(spark.read.parquet(dirH).count() === 64L * 64)
   }
 
   test("hilbert16 matches the reference walk and out-clusters z-order on range queries") {
