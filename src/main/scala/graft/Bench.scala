@@ -74,29 +74,40 @@ object Bench {
     // lost the head of the line and parsed null), and ms precision is
     // already below this box's run-to-run jitter. Full precision goes to
     // the committed file below.
-    def j(round3: Boolean, shortKeys: Boolean = false): String = {
+    def j(round3: Boolean, shortKeys: Boolean = false,
+          slowestOnly: Int = Int.MaxValue): String = {
       // explicit root locale: f"$v%.3f" uses the JVM default locale, and a
       // comma-decimal locale (de_DE) would emit `80,915` — invalid JSON
       val fmt: Double => String =
         if (round3) v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         else _.toString
-      // stdout uses the bare qNN prefix (the driver contract's example
-      // form): 192 full names at %.3f is ~5 KB, past the harness's ~4 KB
-      // stdout capture — r9's BENCH json recorded "parsed": null because
-      // the line's HEAD was clipped. Short keys fit with room to spare;
-      // the committed bench_out.json keeps full names and precision.
       val key: String => String =
         if (shortKeys) k => k.takeWhile(_ != '_') else identity
-      val qs = results.map { case (k, v) => s"${q(key(k))}:${fmt(v)}" }.mkString("{", ",", "}")
+      // a duplicate shortened prefix would silently collapse two results
+      // into one duplicate JSON key — fail loudly instead
+      require(results.map { case (k, _) => key(k) }.distinct.size == results.size,
+        "bench: shortened query keys collide — two queries share a prefix")
+      val shown =
+        if (slowestOnly >= results.size) results
+        else results.sortBy { case (_, v) => -v }.take(slowestOnly)
+      val qs = shown.map { case (k, v) => s"${q(key(k))}:${fmt(v)}" }.mkString("{", ",", "}")
       val es = errors.toMap.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val err = if (errors.isEmpty) "" else s""""errors":$es,"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$err"runs":$runs,"agg":"min","sf":"$sfDir"}"""
+      val omitted = if (shown.size == results.size) ""
+        else s""""queries_shown":${shown.size},"queries_total":${results.size},"full":"bench_out.json","""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$err$omitted"runs":$runs,"agg":"min","sf":"$sfDir"}"""
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), j(round3 = false) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(j(round3 = true, shortKeys = true))
+    // the harness records only the LAST ~2000 chars of stdout (sbt's
+    // "[success] ..." trailer included): r9 sent all full-name keys (~5 KB)
+    // and r10 all short keys (~2.9 KB) — both clipped the line's HEAD and
+    // the driver recorded "parsed": null. Total + the slowest 60 queries
+    // fits in < 1.2 KB with the trailer's room to spare; full per-query
+    // precision lives in the committed bench_out.json.
+    println(j(round3 = true, shortKeys = true, slowestOnly = 60))
     spark.stop()
   }
 }

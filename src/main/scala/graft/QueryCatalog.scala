@@ -5430,6 +5430,169 @@ object QueryCatalog {
       |  e.exact_users
       |FROM fin f JOIN exact e USING (window_start)""".stripMargin
 
+  /** GPT-style sequence packing (Packing.packSequences): the corpus laid
+    * end-to-end in doc_id order and cut into 256-token training blocks —
+    * per doc its global token offset and block span. The running sum is
+    * the scale-safe two-pass prefix sum (range partials → tiny ordered
+    * cumulative → partitioned within-range windows); the oracle replays
+    * it as one plain window cumsum (fine at oracle scale). */
+  def q197SequencePack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packSequences(
+      t(s, dir, "documents"), "doc_id", "text", blockLen = 256)
+
+  val q197Sql: String =
+    s"""WITH tf AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
+       |    END AS n_tok
+       |  FROM documents),
+       |st AS (SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM tf)
+       |SELECT doc_id, n_tok, tok_start,
+       |  CASE WHEN n_tok > 0 THEN tok_start // 256 END AS block_first,
+       |  CASE WHEN n_tok > 0 THEN (tok_start + n_tok - 1) // 256 END AS block_last,
+       |  CASE WHEN n_tok > 0
+       |    THEN (tok_start + n_tok - 1) // 256 > tok_start // 256
+       |  END AS crosses_block
+       |FROM st""".stripMargin
+
+  /** Block occupancy (Packing.blockOccupancy): q197's layout inverted to
+    * one row per 256-token training block — contributing docs, fill, and
+    * boundary-straddling docs (the attention-mask pollution readout). */
+  def q198BlockOccupancy(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.blockOccupancy(
+      t(s, dir, "documents"), "doc_id", "text", blockLen = 256)
+
+  val q198Sql: String =
+    s"""WITH tf AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
+       |    END AS n_tok
+       |  FROM documents),
+       |st AS (SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM tf WHERE n_tok > 0),
+       |sp AS (SELECT doc_id, n_tok, tok_start,
+       |    tok_start // 256 AS bf, (tok_start + n_tok - 1) // 256 AS bl
+       |  FROM st),
+       |ex AS (SELECT doc_id, n_tok, tok_start,
+       |    unnest(generate_series(bf, bl)) AS block_id
+       |  FROM sp)
+       |SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(least(tok_start + n_tok, (block_id + 1) * 256) -
+       |      greatest(tok_start, block_id * 256)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN tok_start < block_id * 256
+       |             OR tok_start + n_tok > (block_id + 1) * 256
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |FROM ex GROUP BY 1""".stripMargin
+
+  /** Sliding-window chunking (Packing.chunkDocuments): 32-token windows
+    * every 16 tokens — the RAG retrieval-index transform; map-only with
+    * a bounded explode, no shuffle. The oracle replays the slice walk
+    * with generate_series + list_slice. */
+  def q199ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.chunkDocuments(
+      t(s, dir, "documents"), "doc_id", "text", window = 32, stride = 16)
+
+  val q199Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS ntok FROM tk),
+       |c AS (SELECT doc_id, toks, ntok,
+       |    CASE WHEN ntok > 32 THEN (ntok - 32 + 15) // 16 ELSE 0 END AS lastc
+       |  FROM n),
+       |ex AS (SELECT doc_id, toks, ntok,
+       |    unnest(generate_series(0, lastc)) AS i
+       |  FROM c)
+       |SELECT doc_id, i AS chunk_id, i * 16 AS chunk_start,
+       |  least(32, ntok - i * 16) AS chunk_len,
+       |  array_to_string(list_slice(toks, i * 16 + 1,
+       |    i * 16 + least(32, ntok - i * 16)), ' ') AS chunk_text
+       |FROM ex""".stripMargin
+
+  /** Exact 3-gram-shingle Jaccard self-join at τ=0.60
+    * (SetSim.jaccardSelfJoin): the prefix-filtered AllPairs/PPJoin — no
+    * false negatives, integer-exact thresholding, shingle universe (a
+    * 31-word unigram vocabulary makes unigram prefixes useless — 240×
+    * more candidates, measured). The oracle replays the identical
+    * deterministic algorithm (rarest-first order via
+    * list(ORDER BY df, shingle), prefix slice, candidate join,
+    * list_intersect verify) — the result set equals the exact all-pairs
+    * answer by the prefix theorem, and the brute-force equivalence is
+    * proven in OperatorsSpec on a fixture. */
+  def q200SetSimJoin(s: SparkSession, dir: String): DataFrame =
+    operators.SetSim.jaccardSelfJoin(
+      t(s, dir, "documents"), "doc_id", "text", tauPct = 60)
+
+  val q200Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |toks AS (SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+       |    FROM (SELECT doc_id, ws,
+       |            unnest(generate_series(1, len(ws) - 2)) AS i
+       |          FROM w WHERE len(ws) >= 3))),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfreq
+       |  FROM toks GROUP BY 1),
+       |docs AS (SELECT doc_id, list(t.tok ORDER BY d.dfreq, t.tok) AS arr,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM toks t JOIN dfq d USING (tok) GROUP BY doc_id),
+       |pref AS (SELECT doc_id, n, unnest(list_slice(arr, 1,
+       |    CAST(n - (n * 60 + 99) // 100 + 1 AS INT))) AS ptok FROM docs),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+       |  WHERE 60 * greatest(a.n, b.n) <= 100 * least(a.n, b.n)),
+       |v AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(da.arr, db.arr)) AS BIGINT) AS inter,
+       |    da.n + db.n AS ns
+       |  FROM cand JOIN docs da ON da.doc_id = doc_a
+       |            JOIN docs db ON db.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, CAST(ns - inter AS BIGINT) AS n_union,
+       |  round(CAST(inter AS DOUBLE) / (ns - inter), 6) AS jac
+       |FROM v WHERE inter * 160 >= 60 * ns""".stripMargin
+
+  /** No-split next-fit packing (Packing.nextFitPack): 512-token bins,
+    * documents never cut, fresh bin per 1024-id range. The sequential
+    * bin-fill recurrence is replayed by the oracle as a per-range
+    * recursive CTE walking rows in id order — bit-identical semantics. */
+  def q201NextFitPack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.nextFitPack(
+      t(s, dir, "documents"), "doc_id", "text",
+      capacity = 512, rangeWidth = 1024)
+
+  val q201Sql: String =
+    s"""WITH RECURSIVE tf AS (SELECT doc_id,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |b AS (SELECT doc_id, n_tok, doc_id // 1024 AS rng,
+       |    row_number() OVER (PARTITION BY doc_id // 1024
+       |      ORDER BY doc_id) AS rn
+       |  FROM tf),
+       |walk AS (
+       |  SELECT rng, doc_id, n_tok, rn, n_tok AS fill,
+       |    CAST(0 AS BIGINT) AS lbin
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.rng, b.doc_id, b.n_tok, b.rn,
+       |    CASE WHEN w.fill + b.n_tok > 512 THEN b.n_tok
+       |         ELSE w.fill + b.n_tok END,
+       |    CASE WHEN w.fill + b.n_tok > 512 THEN w.lbin + 1
+       |         ELSE w.lbin END
+       |  FROM b JOIN walk w ON b.rng = w.rng AND b.rn = w.rn + 1),
+       |r AS (SELECT rng, max(lbin) + 1 AS nb FROM walk GROUP BY 1),
+       |o AS (SELECT rng, CAST(coalesce(sum(nb) OVER (ORDER BY rng
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS boff
+       |  FROM r)
+       |SELECT w.doc_id, w.n_tok, o.boff + w.lbin AS bin_id,
+       |  CAST(w.fill - w.n_tok AS BIGINT) AS fill_before
+       |FROM walk w JOIN o USING (rng)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5631,7 +5794,12 @@ object QueryCatalog {
     ("q193_sparse_cosine", q193SparseCosine _, Some(q193Sql)),
     ("q194_quantile_normalize", q194QuantileNormalize _, Some(q194Sql)),
     ("q195_hilbert", q195Hilbert _, Some(q195Sql)),
-    ("q196_windowed_hll", q196WindowedHll _, Some(q196Sql)))
+    ("q196_windowed_hll", q196WindowedHll _, Some(q196Sql)),
+    ("q197_sequence_pack", q197SequencePack _, Some(q197Sql)),
+    ("q198_block_occupancy", q198BlockOccupancy _, Some(q198Sql)),
+    ("q199_chunk_overlap", q199ChunkOverlap _, Some(q199Sql)),
+    ("q200_setsim_join", q200SetSimJoin _, Some(q200Sql)),
+    ("q201_next_fit_pack", q201NextFitPack _, Some(q201Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

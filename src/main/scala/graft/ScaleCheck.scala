@@ -332,6 +332,22 @@ object ScaleCheck {
         Seq("p50" -> 0.5, "p99" -> 0.99), k = 1024))
     time("sparse_cosine(df<=50)")(
       Dedup.sparseCosinePairs(docs, maxDf = 50, threshold = 0.6))
+    // r11 additions: the exact set-similarity join (prefix filter — the
+    // quadratic term is Σ df² over PREFIX shingles only, which a high τ
+    // keeps near-linear on a sparse shingle universe) and the packing /
+    // chunking layouts (two-pass prefix sums + bounded map-only explodes;
+    // the next-fit walk is per-range sequential with O(1) state, ranges
+    // embarrassingly parallel)
+    time("setsim_join(t=60)")(
+      graft.operators.SetSim.jaccardSelfJoin(docs, "doc_id", "text", 60))
+    time("pack_sequences(256)")(
+      graft.operators.Packing.packSequences(docs, "doc_id", "text", 256))
+    time("block_occupancy(256)")(
+      graft.operators.Packing.blockOccupancy(docs, "doc_id", "text", 256))
+    time("chunk_documents(32/16)")(
+      graft.operators.Packing.chunkDocuments(docs, "doc_id", "text", 32, 16))
+    time("next_fit_pack(512)")(
+      graft.operators.Packing.nextFitPack(docs, "doc_id", "text", 512, 1024))
     spark.stop()
   }
 }

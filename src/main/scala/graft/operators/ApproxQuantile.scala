@@ -211,6 +211,120 @@ object ApproxQuantile {
     variedStats.unionByName(flatStats)
   }
 
+  /** The FULL (slots+1)-edge quantile grid per group, long-form — the
+    * many-order-statistics twin of [[exactOrderStats]]. The wide path
+    * materializes 6 aggregate expressions PER quantile; at the grid
+    * sizes [[Stats.quantileNormalize]] needs (257 edges → ~1,500
+    * aggregates, 514-column frames) Catalyst planning goes quadratic
+    * and the hash aggregate falls out of whole-stage codegen past the
+    * 100-field limit — measured 32 s at sf0.1 where the data itself
+    * needs < 2 s. This path keeps every frame LONG (one row per edge
+    * index), so expression counts are constant in `slots` and every
+    * stage stays inside codegen.
+    *
+    * Edge math is bit-identical to the wide path's contract: edge i sits
+    * at rank i·(n−1)/slots, ilo = (i·(n−1)) DIV S and ihi the ceiling
+    * (INTEGER division — exact in any engine), and
+    * e_i = vlo + ((i·(n−1)) mod S)/S · (vhi − vlo) runs entirely in
+    * decimal (S a power of two ⇒ the fraction has a finite decimal
+    * expansion at scale 12). Feed a DECIMAL value column and the edges
+    * come back exact decimal(25,18).
+    *
+    * Returns one row per group: (`groupCol`, `_n`, `_edges`) with
+    * `_edges` the (slots+1)-element ascending edge array. Flat groups
+    * repeat the constant; all-NULL groups repeat NULL.
+    *
+    * Scale: the same three input passes as [[exactOrderStats]] (stats,
+    * histogram, target-bucket re-scan); the long control-plane frames
+    * are ≤ groups × (slots+1) rows. The covering-bucket match is a
+    * broadcast join of targets against the tiny cumulative-histogram
+    * frame with a band filter — groups × nonempty-buckets × targets
+    * predicate evaluations, all on control-plane rows. */
+  def edgeGrid(df: DataFrame, groupCol: String, valueCol: String,
+               slots: Int, buckets: Int = 1024): DataFrame = {
+    require(slots >= 2 && (slots & (slots - 1)) == 0,
+      "slots must be a power of two >= 2")
+    require(buckets >= 2 && buckets <= (1 << 16), "buckets must be in [2, 65536]")
+    val v = col(valueCol)
+    val g = col(groupCol)
+    val mm = df.groupBy(g)
+      .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
+      .withColumnRenamed(groupCol, "_grp")
+      .localCheckpoint(true)
+    val varied = mm.filter(col("_mx") > col("_mn"))
+    val flat = mm.filter(col("_mx") <=> col("_mn"))
+    // one row per (group, edge index i): exact integer order-statistic
+    // indices and the mod-S fraction numerator
+    val idx = varied.select(col("_grp"), col("_n"),
+        explode(sequence(lit(0L), lit(slots.toLong))).as("_i"))
+      .withColumn("_nm1", (col("_n") - 1).cast("long"))
+      .withColumn("_ilo", expr(s"(_i * _nm1) DIV $slots"))
+      .withColumn("_ihi", expr(s"(_i * _nm1 + ${slots - 1}) DIV $slots"))
+      .withColumn("_frE",
+        pmod(col("_i") * col("_nm1"), lit(slots.toLong)).cast("decimal(10,0)"))
+    // distinct 0-based order statistics actually needed (ilo ∪ ihi)
+    val tgt = idx.select(col("_grp"),
+        explode(array(col("_ilo"), col("_ihi"))).as("_k"))
+      .distinct()
+    // bucketed selection, same formulas as exactOrderStats
+    val bkt = least(
+      floor((v - col("_mn")) * buckets / (col("_mx") - col("_mn"))).cast("long"),
+      lit(buckets - 1L))
+    val b = df.filter(v.isNotNull)
+      .join(broadcast(varied), g <=> col("_grp"))
+      .select(g, v.as("_v"), bkt.as("_bkt"))
+    val h = b.groupBy(g, col("_bkt")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(g).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("_cc", sum(col("_c")).over(w))
+      .withColumn("_prev", col("_cc") - col("_c"))
+      .localCheckpoint(true)
+    // covering bucket per target: _prev ≤ k < _cc (0-based), offset
+    // within the bucket = k − _prev
+    val cov = cum.join(broadcast(tgt),
+        g <=> col("_grp") && col("_k") >= col("_prev") && col("_k") < col("_cc"))
+      .select(g, col("_k"), col("_bkt"), (col("_k") - col("_prev")).as("_off"))
+    val needB = cov.select(g.as("_tg"), col("_bkt").as("_tb")).distinct()
+    val ranked = b
+      .join(broadcast(needB), g <=> col("_tg") && col("_bkt") === col("_tb"))
+      .drop("_tg", "_tb")
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))) - 1)
+    val cov2 = cov.select(g.as("_tg"), col("_bkt").as("_tb"),
+      col("_k"), col("_off"))
+    val vals = ranked
+      .join(broadcast(cov2),
+        g <=> col("_tg") && col("_bkt") === col("_tb") && col("_rn") === col("_off"))
+      .select(g.as("_vg"), col("_k"), col("_v"))
+      .localCheckpoint(true)
+    // decimal edge interpolation, one row per (group, i)
+    val invS = new java.math.BigDecimal(java.math.BigDecimal.ONE.toBigInteger)
+      .divide(new java.math.BigDecimal(slots), 12, java.math.RoundingMode.UNNECESSARY)
+    val vlo = vals.select(col("_vg").as("_g1"), col("_k").as("_klo"),
+      col("_v").as("_vlo"))
+    val vhi = vals.select(col("_vg").as("_g2"), col("_k").as("_khi"),
+      col("_v").as("_vhi"))
+    val e = idx
+      .join(vlo, col("_grp") <=> col("_g1") && col("_ilo") === col("_klo"))
+      .join(vhi, col("_grp") <=> col("_g2") && col("_ihi") === col("_khi"))
+      .withColumn("_frac",
+        (col("_frE") * lit(invS).cast("decimal(13,12)")).cast("decimal(13,12)"))
+      .withColumn("_e",
+        (col("_vlo") + col("_frac") * (col("_vhi") - col("_vlo")))
+          .cast("decimal(25,18)"))
+    // collect_list is order-free; array_sort on the (i, e) struct keyed
+    // by the leading i restores the ascending edge order deterministically
+    val variedEdges = e.groupBy(col("_grp"))
+      .agg(first(col("_n")).as("_n"),
+        transform(
+          array_sort(collect_list(struct(col("_i").as("i"), col("_e").as("e")))),
+          s => s.getField("e")).as("_edges"))
+    val flatEdges = flat.select(col("_grp"), col("_n"),
+      array_repeat(col("_mn").cast("decimal(25,18)"), slots + 1).as("_edges"))
+    variedEdges.unionByName(flatEdges)
+      .withColumnRenamed("_grp", groupCol)
+  }
+
   /** ONE-pass quantile estimates off a MERGEABLE rank sketch
     * ([[graft.functions.RankSampleAgg]] — bottom-k-by-hash row sample):
     * the heavy-tail-safe sketch path this family was missing.

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing + context chunking — the two layout transforms that
+  * sit between a cleaned corpus and a training loader.
+  *
+  * [[packSequences]] is GPT-style concatenate-then-chunk: every
+  * document's token stream laid end-to-end in ascending id order, the
+  * stream cut into fixed `blockLen`-token training blocks; each document
+  * reads back its global token offset and the block span it occupies
+  * (reference has no packing surface — extension per the LLM-pipeline
+  * mandate, like the sampling/dedup families).
+  *
+  * [[blockOccupancy]] inverts that map: per training block, how many
+  * documents contribute, how many tokens land in it, and how many of its
+  * documents straddle a block boundary — the "attention-mask pollution"
+  * readout a packing policy is judged by.
+  *
+  * [[chunkDocuments]] is the RAG-side transform: per-document sliding
+  * token windows of `window` tokens at `stride` (< window ⇒ overlap), the
+  * standard retrieval-index chunking.
+  *
+  * All three are pure Column expressions over
+  * [[TextAnalysis.tokens]]' ONE normalized token-stream definition, so
+  * the DuckDB oracle replays them bit-for-bit.
+  */
+object Packing {
+
+  /** Normalized token count with the empty-document guard:
+    * [[TextAnalysis.tokens]] of an all-whitespace/NULL text yields [""]
+    * (size 1), so blank docs are pinned to 0 tokens explicitly. */
+  private def nTok(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0L))
+      .otherwise(size(TextAnalysis.tokens(text)).cast("long"))
+
+  /** Concatenate-then-chunk packing map. Documents are laid out in
+    * ascending `idCol` order; the token stream is cut into
+    * `blockLen`-token blocks. Returns one row per document:
+    * (`idCol`, `n_tok`, `tok_start`, `block_first`, `block_last`,
+    * `crosses_block`) — block columns NULL for empty documents (they
+    * occupy no span).
+    *
+    * Scale: the global running sum is NOT one global window (that
+    * single-partitions the corpus) — it is the classic two-pass prefix
+    * sum: (1) one aggregate of per-range token sums keyed by
+    * id DIV `rangeWidth`; (2) an ordered cumulative over the TINY range
+    * frame (one row per `rangeWidth` ids — control plane, the one
+    * documented unpartitioned window here); (3) range offsets broadcast
+    * back and a within-range cumulative window PARTITIONED by range.
+    * Ids must be unique; gaps are fine (order, not density, defines the
+    * layout). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    blockLen: Int, rangeWidth: Long = 1L << 16): DataFrame = {
+    require(blockLen >= 1, "blockLen must be positive")
+    require(rangeWidth >= 2, "rangeWidth must be >= 2")
+    val tf = df.select(col(idCol).as("_id"), nTok(col(textCol)).as("n_tok"))
+      .withColumn("_rng", expr(s"_id DIV $rangeWidth"))
+    val rsums = tf.groupBy(col("_rng")).agg(sum(col("n_tok")).as("_rsum"))
+    // tiny control-plane frame (one row per rangeWidth ids): the ordered
+    // cumulative here is the documented unpartitioned window
+    val roff = rsums
+      .withColumn("_roff", coalesce(
+        sum(col("_rsum")).over(Window.orderBy(col("_rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_rsum")
+      .localCheckpoint(true)
+    val ww = Window.partitionBy(col("_rng")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tf.join(broadcast(roff), "_rng")
+      .withColumn("tok_start",
+        col("_roff") + coalesce(sum(col("n_tok")).over(ww), lit(0L)))
+      .withColumn("block_first",
+        when(col("n_tok") > 0, expr(s"tok_start DIV $blockLen")))
+      .withColumn("block_last",
+        when(col("n_tok") > 0, expr(s"(tok_start + n_tok - 1) DIV $blockLen")))
+      .withColumn("crosses_block",
+        when(col("n_tok") > 0, col("block_last") > col("block_first")))
+      .select(col("_id").as(idCol), col("n_tok"), col("tok_start"),
+        col("block_first"), col("block_last"), col("crosses_block"))
+  }
+
+  /** Per-block packing stats over [[packSequences]]' layout: one row per
+    * `blockLen`-token block with `n_docs` (documents contributing ≥ 1
+    * token), `n_tokens` (the block's fill — `blockLen` everywhere except
+    * the final partial block), and `n_straddlers` (contributing documents
+    * that also extend beyond this block on either side).
+    *
+    * Scale: each document explodes to its own span of blocks —
+    * Σ (n_tok/blockLen + 1) rows ≈ corpus_tokens/blockLen + n_docs,
+    * linear — then ONE (block) count aggregate. */
+  def blockOccupancy(df: DataFrame, idCol: String, textCol: String,
+                     blockLen: Int, rangeWidth: Long = 1L << 16): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, blockLen, rangeWidth)
+      .filter(col("n_tok") > 0)
+    val end = col("tok_start") + col("n_tok") // exclusive
+    packed
+      .select(col("n_tok"), col("tok_start"),
+        explode(sequence(col("block_first"), col("block_last"))).as("block_id"))
+      .withColumn("_contrib",
+        least(end, (col("block_id") + 1) * blockLen) -
+          greatest(col("tok_start"), col("block_id") * lit(blockLen.toLong)))
+      .withColumn("_straddles",
+        (col("tok_start") < col("block_id") * lit(blockLen.toLong)) ||
+          (end > (col("block_id") + 1) * blockLen))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_contrib")).as("n_tokens"),
+        sum(when(col("_straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+  }
+
+  /** NO-SPLIT next-fit packing — the SFT-style layout where documents are
+    * never cut across sequence boundaries: walk documents in ascending
+    * `idCol` order, keep appending to the current `capacity`-token bin,
+    * open a new bin when the next document does not fit. A document longer
+    * than `capacity` sits alone in its own (overflowing) bin — next-fit
+    * semantics, no truncation, flagged by `fill_before = 0 ∧ n_tok >
+    * capacity` at the readout. Empty documents occupy no bin and are
+    * dropped.
+    *
+    * The walk is a SEQUENTIAL recurrence (bin fill is not a prefix sum —
+    * the reset-on-overflow makes it non-associative), so this is the one
+    * operator family where `mapPartitions` is the right tool, per the
+    * design hierarchy's clause (d): the recurrence runs independently per
+    * `rangeWidth`-id range (each range STARTS A FRESH BIN — that is part
+    * of the operator's definition, which makes the layout deterministic,
+    * partition-count-independent, and embarrassingly parallel), and
+    * global bin ids are assigned by prefix-summing per-range bin counts
+    * over the tiny range frame (one row per rangeWidth ids — control
+    * plane) exactly like [[packSequences]].
+    *
+    * Returns one row per non-empty document: (`idCol`, `n_tok`, `bin_id`,
+    * `fill_before`) — `fill_before` the bin's token load before this
+    * document was placed.
+    *
+    * Scale: one shuffle to co-locate ranges + an in-partition sorted walk
+    * (O(docs) state O(1)), one tiny range aggregate, one broadcast join
+    * back. 100 TB holds: ranges are independent, nothing is global. */
+  def nextFitPack(df: DataFrame, idCol: String, textCol: String,
+                  capacity: Long, rangeWidth: Long = 1L << 16): DataFrame = {
+    require(capacity >= 1, "capacity must be positive")
+    require(rangeWidth >= 2, "rangeWidth must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df.select(col(idCol).as("_id"), nTok(col(textCol)).as("_n"))
+      .filter(col("_n") > 0)
+      .withColumn("_rng", expr(s"_id DIV $rangeWidth"))
+      .select(col("_rng"), col("_id"), col("_n"))
+      .as[(Long, Long, Long)]
+    // co-locate each range in one partition, walk ranges in sorted order;
+    // state resets at every range change, so which ranges SHARE a
+    // partition cannot affect the output
+    val walked = tf
+      .repartition(col("_rng"))
+      .sortWithinPartitions(col("_rng"), col("_id"))
+      .mapPartitions { it =>
+        var curRng = Long.MinValue
+        var fill = 0L
+        var lbin = -1L
+        it.map { case (rng, id, n) =>
+          if (rng != curRng) { curRng = rng; fill = 0L; lbin = -1L }
+          if (lbin < 0 || fill + n > capacity) { lbin += 1; fill = 0L }
+          val before = fill
+          fill += n
+          (rng, id, n, lbin, before)
+        }
+      }
+      .toDF("_rng", "_id", "_n", "_lbin", "fill_before")
+      .localCheckpoint(true) // walked twice (bin counts + readout)
+    val roff = walked.groupBy(col("_rng"))
+      .agg((max(col("_lbin")) + 1L).as("_nb"))
+      .withColumn("_boff", coalesce(
+        sum(col("_nb")).over(Window.orderBy(col("_rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_nb")
+    walked.join(broadcast(roff), "_rng")
+      .select(col("_id").as(idCol), col("_n").as("n_tok"),
+        (col("_boff") + col("_lbin")).as("bin_id"), col("fill_before"))
+  }
+
+  /** Sliding-window chunking: per document, token windows of `window`
+    * tokens starting every `stride` tokens (stride < window ⇒ overlap,
+    * the RAG default). The last window starts at the smallest multiple
+    * of `stride` that still reaches the end — i.e. chunk indices
+    * 0 .. ceil((n_tok − window)/stride) (0 alone when n_tok ≤ window) —
+    * so every token is covered and no fully-redundant tail chunk is
+    * emitted. Empty/NULL documents yield no chunks.
+    *
+    * Returns (`idCol`, `chunk_id`, `chunk_start`, `chunk_len`,
+    * `chunk_text`). Map-only: one projection + one bounded explode
+    * (Σ chunks ≈ corpus_tokens/stride), no shuffle at all. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("_toks"), nTok(col(textCol)).as("_n"))
+    val lastChunk = when(col("_n") > window,
+        expr(s"(_n - $window + $stride - 1) DIV $stride")).otherwise(lit(0L))
+    base
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk_len", least(lit(window.toLong), col("_n") - col("chunk_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), (col("chunk_start") + 1).cast("int"),
+          col("chunk_len").cast("int")), " "))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        col("chunk_len"), col("chunk_text"))
+  }
+}

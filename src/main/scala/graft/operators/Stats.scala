@@ -90,8 +90,12 @@ object Stats {
     * part of the transform's definition, identical on every engine.
     *
     * Scale: one rank window per group (PARTITION BY group — groups fan
-    * out), one 3-pass exactQuantiles over the REFERENCE subset only,
-    * one broadcast of S+1 doubles. NULL values pass through NULL.
+    * out), one 3-pass [[ApproxQuantile.edgeGrid]] over the REFERENCE
+    * subset only; the grid's single S+1-edge row is collected (control
+    * plane: ONE row) and re-entered as plan literals, so the readout is
+    * a map-only projection with no join. An EMPTY reference group fails
+    * loudly instead of emptying the output. NULL values pass through
+    * NULL.
     *
     * Returns the input plus `<valueCol>_qnorm`. */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
@@ -101,28 +105,27 @@ object Stats {
       "slots must be a power of two (so i/slots is binary-exact and the " +
         "in-edge fraction has a finite decimal expansion)")
     val x = col(valueCol).cast("double")
-    val qs = (0 to slots).map(i => s"_e$i" -> i.toDouble / slots)
     // reference values quantized ONCE to 6 dp — order statistics of the
-    // quantized column are exact decimals, so the whole edge grid below
-    // is decimal arithmetic with no double round anywhere
-    val stats = ApproxQuantile.exactOrderStats(
+    // quantized column are exact decimals, so the whole edge grid (built
+    // long-form by edgeGrid: e_i = vlo + ((i·(n−1)) mod S)/S · (vhi−vlo),
+    // all-decimal, integer order-statistic indices) carries no double
+    // round anywhere. The grid is ONE row of S+1 decimals — collected to
+    // the driver (control plane) and re-entered as literals, so the
+    // per-row readout below is a pure map-only projection.
+    val grid = ApproxQuantile.edgeGrid(
       df.filter(col(groupCol) <=> refGroup && x.isNotNull)
         .select(lit(1).as("_rq"), x.cast("decimal(18,6)").as("_rx")),
-      "_rq", "_rx", qs)
-    // edge i = vlo + ((i·(n−1)) mod S)/S · (vhi − vlo): the fraction is
-    // an exact decimal (S a power of two), the products stay in decimal
-    // every decimal step below keeps precision ≤ 38 BY CONSTRUCTION —
-    // Spark silently rounds (and DuckDB errors) past the cap, so the
-    // scales are pinned with explicit casts that are value-exact
-    val invS = new java.math.BigDecimal(java.math.BigDecimal.ONE.toBigInteger)
-      .divide(new java.math.BigDecimal(slots), 12, java.math.RoundingMode.UNNECESSARY)
-    val edges = stats.select((0 to slots).map { i =>
-      val frE = pmod(lit(i.toLong) * (col("_n") - 1), lit(slots.toLong))
-        .cast("decimal(10,0)")
-      val fracE = (frE * lit(invS).cast("decimal(13,12)")).cast("decimal(13,12)")
-      (col(s"_vlo__e$i") + fracE * (col(s"_vhi__e$i") - col(s"_vlo__e$i")))
-        .cast("decimal(25,18)").as(s"_e$i")
-    }: _*)
+      "_rq", "_rx", slots)
+    val gridRows = grid.collect()
+    // an empty reference group would otherwise produce an edge frame of
+    // zero rows and silently EMPTY output downstream — fail loudly
+    require(gridRows.length == 1,
+      s"quantileNormalize: reference group has no non-null '$valueCol' rows")
+    val edgeVals = gridRows.head.getSeq[java.math.BigDecimal](
+      gridRows.head.fieldIndex("_edges"))
+    val edgesLit = array(edgeVals.map(d =>
+      if (d == null) lit(null).cast("decimal(25,18)")
+      else lit(d).cast("decimal(25,18)")): _*)
     // nulls LAST: Spark's asc default is nulls-first, which would shift
     // every non-null rank by the group's null count (DuckDB sorts them
     // last) — and p must be the ECDF over the NON-NULL values
@@ -148,17 +151,16 @@ object Stats {
     val fr = (col("_fr6").cast("decimal(7,0)") *
       lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)"))
       .cast("decimal(7,6)")
-    // one array projection + two element_at lookups, not a 2×S-branch
-    // CASE chain (which would blow the codegen method budget at S=256)
-    val arr = array((0 to slots).map(i => col(s"_e$i")): _*)
-    val eLo = element_at(arr, (col("_slot") + 1).cast("int"))
-    val eHi = element_at(arr, (col("_slot") + 2).cast("int"))
-    staged.crossJoin(broadcast(edges))
+    // two element_at lookups into the literal edge array, not a
+    // 2×S-branch CASE chain (which would blow the codegen method budget
+    // at S=256); no join at all — the edges are plan constants
+    val eLo = element_at(edgesLit, (col("_slot") + 1).cast("int"))
+    val eHi = element_at(edgesLit, (col("_slot") + 2).cast("int"))
+    staged
       .withColumn(s"${valueCol}_qnorm",
         when(x.isNotNull,
           canonZero(round(eLo + fr * (eHi - eLo), 6).cast("double"))))
-      .drop((Seq("_rk", "_n", "_nm1", "_rkS", "_slot", "_a", "_fr6") ++
-        qs.map(_._1)): _*)
+      .drop("_rk", "_n", "_nm1", "_rkS", "_slot", "_a", "_fr6")
   }
 
   /** Robust per-group scaling: (x − median) / IQR — the outlier-immune
@@ -462,10 +464,12 @@ object Stats {
     * float anywhere); each cell term is one fixed-shape double
     * expression over exact integers and those decimals, rounded once to
     * 12 dp, DECIMAL-summed, halved and rounded once to 6. The cross
-    * products ca·nb run in DECIMAL(38,0) (exact to 1e38, like the
-    * oracle's hugeint), so no count scale this audit can meet wraps
-    * them. NULL categories and NULL groups are real rows (null-safe
-    * pairings throughout).
+    * products ca·nb run in DECIMAL(38,0); the widened combinations
+    * (cross·2, cross+ssorc) are precision-capped at 38 by Spark, so the
+    * honest exactness bound is products < ~5e37 — far past any count
+    * two long-counted groups can produce (ca·nb ≤ n², exact up to
+    * n ≈ 7e18, beyond long range). NULL categories and NULL groups are
+    * real rows (null-safe pairings throughout).
     *
     * Scale: the [[chiSquareDrift]] topology — one (group, category)
     * count aggregate, then broadcast groups²×k grids. */
@@ -501,9 +505,10 @@ object Stats {
     val q = col("cb1").cast("double") / col("nb1").cast("double")
     // 2p/(p+q) = 2·ca·nb / (ca·nb + cb·na): integer-ratio ln factors.
     // DECIMAL(38,0) products, not long: ca·nb wraps silently past 2^63 in
-    // long arithmetic, while decimal stays exact to 1e38 (and the DuckDB
-    // oracle's hugeint leg to 1.7e38) — the corr/LongVectorSumAgg loud-
-    // overflow discipline, applied here by widening instead of guarding
+    // long arithmetic. The widened sums below stay capped at precision 38,
+    // so exactness holds while the products stay < ~5e37 (n ≈ 7e18 —
+    // unreachable for long-typed counts); the DuckDB oracle's hugeint leg
+    // carries the same headroom
     def d38(c: Column) = c.cast("decimal(38,0)")
     val cross = d38(col("ca1")) * d38(col("nb1"))
     val ssorc = d38(col("cb1")) * d38(col("na1"))

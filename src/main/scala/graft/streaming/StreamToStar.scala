@@ -77,7 +77,15 @@ object StreamToStar {
 
   def processBatch(feed: DataFrame, store: TableStore,
                    batchId: Long = -1L,
-                   auditTable: Option[String] = Some("audit_verdicts")): Unit = {
+                   auditTable: Option[String] = None): Unit = {
+    // the audit verdict rows key on (batch_id, rule): auditing under the
+    // sentinel batchId -1 would make every direct caller's verdicts
+    // overwrite each other — auditing requires a REAL batch id (the
+    // streaming entry points always pass one); the direct entry point
+    // defaults to no audit
+    require(auditTable.isEmpty || batchId >= 0L,
+      "processBatch: auditTable requires an explicit non-negative batchId " +
+        "(verdicts merge on (batch_id, rule))")
     val phases = new StringBuilder
     // Deterministic block cleanup: everything this batch localCheckpoints
     // (the feed materialization + each merge's internal frames) is dead

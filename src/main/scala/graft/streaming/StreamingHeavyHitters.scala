@@ -22,8 +22,13 @@ import graft.plans.TableStore
   * asserted in the spec:
   *
   *   - cnt ≤ true count ≤ cnt + aerr for every tracked item;
-  *   - every item with true count > err_all (= Σ_b ⌊n_b/k⌋) is tracked —
-  *     absent items are bounded above by err_all.
+  *   - every item with true count > err_all + floor_err is tracked —
+  *     ABSENT items are bounded above by err_all + floor_err, NOT by
+  *     err_all alone: a never-tracked item's count is ≤ err_all
+  *     (= Σ_b ⌊n_b/k⌋), but a PRUNED item's bound at prune time was
+  *     ≤ floor_err and it can accrue at most err_all more afterwards,
+  *     so only the sum bounds both cases. The verdict rows carry BOTH
+  *     scalars so a consumer can apply the honest absence bound.
   *
   * State is capped at `cap` items by (cnt + aerr) descending; pruning
   * folds the largest pruned bound into a scalar `floor_err`, and items
@@ -136,6 +141,10 @@ object StreamingHeavyHitters {
               col("cnt").as("cnt_lo"), (col("cnt") + col("aerr")).as("cnt_hi"))
             .withColumn("n_seen", lit(nSeen))
             .withColumn("err_all", lit(errAll))
+            // absence bound = err_all + floor_err (see invariant above);
+            // emitting only err_all would let a consumer under-bound a
+            // pruned-and-absent item's true count
+            .withColumn("floor_err", lit(floorErr))
           store.mergeFact(verdictTable, verdict, Seq("batch_id", "item"))
         }
         ()

@@ -2270,6 +2270,49 @@ class OperatorsSpec extends SparkSpec {
     selfMapped.zip(Seq(10.0, 20.0, 30.0, 40.0)).foreach { case (m, v) =>
       assert(math.abs(m - v) < 2.0, s"self-map $v -> $m drifted past slot error") }
     assert(selfMapped === selfMapped.sorted, "monotone transform")
+    // an empty/absent reference group FAILS LOUDLY instead of silently
+    // producing an empty frame (the r10 advisor finding)
+    val ex = intercept[IllegalArgumentException] {
+      operators.Stats.quantileNormalize(df, "g", "v", lit("ZZZ"), slots = 8)
+    }
+    assert(ex.getMessage.contains("reference group"), ex.getMessage)
+  }
+
+  test("edgeGrid: long-form grid matches brute-force order statistics per group") {
+    // two varied groups with different sizes + a flat group + an all-NULL
+    // group; values exact decimals so the grid is exact
+    val rows =
+      (1 to 37).map(i => ("a", BigDecimal(i * 3 % 41).setScale(6))) ++
+      (1 to 11).map(i => ("b", BigDecimal(100 - i * 7).setScale(6))) ++
+      Seq.fill(5)(("flat", BigDecimal(9).setScale(6))) ++
+      Seq(("nul", null.asInstanceOf[BigDecimal]))
+    val df = rows.toDF("g", "v").select(col("g"), col("v").cast("decimal(18,6)").as("v"))
+    val slots = 8
+    val out = operators.ApproxQuantile.edgeGrid(df, "g", "v", slots, buckets = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[java.math.BigDecimal](2))).toMap
+    // brute-force replay: e_i = vlo + ((i*(n-1)) mod S)/S * (vhi - vlo)
+    def brute(vs: Seq[BigDecimal]): Seq[BigDecimal] = {
+      val s = vs.sorted; val n = s.size
+      (0 to slots).map { i =>
+        val ilo = (i * (n - 1)) / slots
+        val ihi = (i * (n - 1) + slots - 1) / slots
+        val fr = BigDecimal((i * (n - 1)) % slots) / slots
+        s(ilo) + fr * (s(ihi) - s(ilo))
+      }
+    }
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == g).map(_._2)
+      val exp = brute(vs)
+      val got = out(g)._2.map(BigDecimal(_))
+      assert(out(g)._1 === vs.size.toLong)
+      assert(got.size === slots + 1)
+      got.zip(exp).zipWithIndex.foreach { case ((gv, ev), i) =>
+        assert(gv === ev, s"group $g edge $i: $gv != $ev") }
+    }
+    assert(out("flat")._2.forall(e => BigDecimal(e) === BigDecimal(9)),
+      "flat group repeats the constant")
+    assert(out("nul")._2.forall(_ == null), "all-NULL group repeats NULL")
   }
 
   test("sparseCosinePairs: hand-checked TF-IDF cosine, df cap drops stop terms, df=1 prunes") {
@@ -2309,5 +2352,132 @@ class OperatorsSpec extends SparkSpec {
     val tw = operators.Dedup.sparseCosinePairs(twin, maxDf = 3, threshold = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(tw((1L, 2L)) === 1.0)
+  }
+
+  test("packSequences: hand-checked layout; partition/range-width invariance") {
+    // docs: 3 + 4 + 0 (blank) + 5 tokens, blockLen 4 →
+    // stream |aaa b|bbb c|cccc| → doc 20 crosses the 4-token boundary
+    val docs = Seq(
+      (10L, "a a a"), (20L, "b b  b b"), (30L, "   "), (40L, "c c c c c"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, rw: Long) = operators.Packing
+      .packSequences(d, "doc_id", "text", blockLen = 4, rangeWidth = rw)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    val out = run(docs, 1L << 16)
+    assert(out(10L) === ((3L, 0L, Some(0L), Some(0L), Some(false))))
+    assert(out(20L) === ((4L, 3L, Some(0L), Some(1L), Some(true))))
+    assert(out(30L) === ((0L, 7L, None, None, None)), "blank doc spans nothing")
+    assert(out(40L) === ((5L, 7L, Some(1L), Some(2L), Some(true))))
+    // layout is content-determined: shuffled partitions and a range width
+    // that SPLITS the id space (rw=25 → range 0 holds docs 10/20, range 1
+    // holds 30/40, exercising the cross-range offset) give the same map
+    assert(run(docs.repartition(7), 1L << 16) === out)
+    assert(run(docs, 25L) === out)
+  }
+
+  test("blockOccupancy: fills, doc counts and straddlers match the hand layout") {
+    val docs = Seq(
+      (10L, "a a a"), (20L, "b b  b b"), (30L, "   "), (40L, "c c c c c"))
+      .toDF("doc_id", "text")
+    // stream of 12 tokens over blocks [0,4) [4,8) [8,12):
+    // doc10 [0,3) doc20 [3,7) doc40 [7,12)
+    val occ = operators.Packing
+      .blockOccupancy(docs, "doc_id", "text", blockLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(occ(0L) === ((2L, 4L, 1L)), "block 0: doc10 whole + doc20 head")
+    assert(occ(1L) === ((2L, 4L, 2L)), "block 1: doc20 tail + doc40 head")
+    assert(occ(2L) === ((1L, 4L, 1L)), "block 2: doc40 tail")
+    assert(occ.values.map(_._2).sum === 12L, "every token lands exactly once")
+  }
+
+  test("jaccardSelfJoin: matches brute-force exact shingle Jaccard on a seeded fixture") {
+    // seeded corpus with planted near-dups: base docs + token-appended
+    // copies (appending ONE token adds one 3-gram -> J = s/(s+1) >= 0.6)
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def mkDoc(): Seq[String] =
+      Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+    val bases = (0 until 30).map(i => (i.toLong, mkDoc()))
+    val mutated = bases.take(12).map { case (i, ws) =>
+      (100L + i, ws :+ vocab(rnd.nextInt(vocab.size)))
+    }
+    val all = bases ++ mutated :+ (999L -> Seq("a", "b")) // < 3 toks: no shingles
+    val docsDf = all.map { case (i, ws) => (i, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = operators.SetSim.jaccardSelfJoin(docsDf, "doc_id", "text", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // brute force over ALL pairs of distinct 3-gram shingle sets
+    val sets = all.map { case (i, ws) =>
+      i -> ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val exp = (for {
+      a <- sets.keys; b <- sets.keys
+      if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+      inter = (sets(a) & sets(b)).size.toLong
+      uni = (sets(a) | sets(b)).size.toLong
+      if inter * 160 >= 60 * (sets(a).size + sets(b).size)
+    } yield (a, b) -> (inter, uni)).toMap
+    assert(got === exp, s"prefix-filtered join != brute force " +
+      s"(got ${got.size}, expected ${exp.size} pairs)")
+    assert(exp.nonEmpty, "fixture must plant at least one qualifying pair")
+    assert(got.keys.exists { case (a, b) => b == a + 100 },
+      "at least one planted mutation pair survives the threshold")
+    assert(!got.keys.exists { case (a, b) => a == 999L || b == 999L },
+      "shingle-less short doc joins nothing")
+  }
+
+  test("nextFitPack: hand-checked bins, oversized isolation, invariances") {
+    // capacity 10; range 0: 4,5,3,10,2 -> bins [4,5] [3] [10] [2]? walk:
+    //   4 (fill 4), 5 (fill 9), 3 -> overflow -> bin1 (fill 3),
+    //   10 -> overflow -> bin2 alone, 2 -> overflow -> bin3
+    // range 1 (ids >= 20 at rangeWidth 20): starts fresh: 7,6 -> one bin
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "b b b b b"), (3L, "c c c"),
+      (4L, "d d d d d d d d d d"), (5L, "e e"), (6L, "   "),
+      (21L, "f f f f f f f"), (22L, "g g g g g g"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, rw: Long) = operators.Packing
+      .nextFitPack(d, "doc_id", "text", capacity = 10, rangeWidth = rw)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val out = run(docs, 20L)
+    assert(out(1L) === ((4L, 0L, 0L)))
+    assert(out(2L) === ((5L, 0L, 4L)))
+    assert(out(3L) === ((3L, 1L, 0L)), "3 does not fit bin 0 (fill 9)")
+    assert(out(4L) === ((10L, 2L, 0L)), "exact-capacity doc opens its own bin")
+    assert(out(5L) === ((2L, 3L, 0L)), "bin 2 is full (fill 10)")
+    assert(!out.contains(6L), "blank doc occupies no bin")
+    assert(out(21L) === ((7L, 4L, 0L)), "new range starts a fresh bin")
+    assert(out(22L) === ((6L, 5L, 0L)), "7 + 6 = 13 > 10 -> doc 22 overflows to bin 5")
+    // partition-count invariance
+    assert(run(docs.repartition(5), 20L) === out)
+    // no bin holds more than capacity unless it is a single oversized doc
+    val byBin = out.values.groupBy(_._2)
+    byBin.foreach { case (bin, ds) =>
+      val tot = ds.map(_._1).sum
+      assert(tot <= 10L || ds.size == 1, s"bin $bin overfilled by splitable docs")
+    }
+  }
+
+  test("chunkDocuments: window/stride walk, tail clamp, blank docs dropped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, W=8 S=4 → 2 chunks
+      (2L, "s1 s2 s3"),                       // fits one window
+      (3L, null.asInstanceOf[String]),
+      (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = operators.Packing.chunkDocuments(docs, "doc_id", "text",
+        window = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.keySet === Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    assert(out((1L, 0L)) === ((0L, 8L, "t1 t2 t3 t4 t5 t6 t7 t8")))
+    assert(out((1L, 1L)) === ((4L, 6L, "t5 t6 t7 t8 t9 t10")),
+      "last chunk clamps to the doc tail")
+    assert(out((2L, 0L)) === ((0L, 3L, "s1 s2 s3")))
   }
 }

@@ -423,16 +423,21 @@ class StreamingSpec extends SparkSpec {
     val st = store.read("hh_state").collect()
       .map(r => r.getAs[String]("item") ->
         (r.getAs[Long]("cnt"), r.getAs[Long]("aerr"))).toMap
-    val errAll = store.read("hh_state").head().getAs[Long]("err_all")
+    val meta = store.read("hh_state").head()
+    val errAll = meta.getAs[Long]("err_all")
+    val floorErr = meta.getAs[Long]("floor_err")
     // invariant 1: cnt <= true <= cnt + aerr for every tracked item
     st.foreach { case (item, (cnt, aerr)) =>
       val t = exact.getOrElse(item, 0L)
       assert(cnt <= t && t <= cnt + aerr,
         s"$item: true $t outside [${cnt}, ${cnt + aerr}]")
     }
-    // invariant 2: every item with true count > err_all is tracked
+    // invariant 2: every item with true count > err_all + floor_err is
+    // tracked (err_all alone is NOT a valid absence bound once pruning
+    // has engaged: a pruned item re-accrues on top of its pruned bound)
     exact.foreach { case (item, t) =>
-      if (t > errAll) assert(st.contains(item), s"heavy $item (count $t) lost")
+      if (t > errAll + floorErr)
+        assert(st.contains(item), s"heavy $item (count $t) lost")
     }
     assert(st.contains("h1") && st.contains("h2"), "both heavies tracked")
     // the final verdict ranks h1 first with n_seen = the full stream
@@ -442,6 +447,10 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(v2("h1")._3 === all.size.toLong)
     assert(v2("h1")._1 <= 150L && 150L <= v2("h1")._2)
+    // the verdict rows expose BOTH absence-bound scalars
+    val vRow = store.read("hh_verdicts").filter(col("batch_id") === 2).head()
+    assert(vRow.getAs[Long]("err_all") === errAll)
+    assert(vRow.getAs[Long]("floor_err") === floorErr)
     // replay the last batch from a fresh checkpoint: batchId 0 <= upto 2,
     // the watermark skips the merge — counters unchanged
     val in2 = MemoryStream[String]
