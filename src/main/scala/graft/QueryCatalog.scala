@@ -5593,6 +5593,95 @@ object QueryCatalog {
        |  CAST(w.fill - w.n_tok AS BIGINT) AS fill_before
        |FROM walk w JOIN o USING (rng)""".stripMargin
 
+  /** Context-window assembly (Packing.contextWindow): per user, the most
+    * recent events whose newest-first cumulative cost fits a 300-unit
+    * budget — the SFT "latest turns that fit the context" truncation.
+    * One user-partitioned window, no join. */
+  def q202ContextWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("cost",
+      (length(col("event_type")) + length(coalesce(col("props"), lit(""))))
+        .cast("long"))
+    operators.Packing.contextWindow(ev, "user_id", "event_id", "ts", "cost",
+      budget = 300)
+  }
+
+  val q202Sql: String =
+    """WITH c AS (SELECT user_id, event_id, ts,
+      |    CAST(length(event_type) + length(coalesce(props, '')) AS BIGINT)
+      |      AS cost
+      |  FROM events),
+      |w AS (SELECT user_id, event_id, cost,
+      |    CAST(sum(cost) OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cost,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) - 1 AS BIGINT) AS turns_back
+      |  FROM c)
+      |SELECT user_id, event_id, cost, cum_cost, turns_back
+      |FROM w WHERE cum_cost <= 300""".stripMargin
+
+  /** Balanced serpentine shard assignment (Packing.balancedShards): docs
+    * ranked by token count desc and dealt boustrophedon onto 8 shards.
+    * The oracle's single row_number() is replayed scale-safe on the
+    * Spark side via the distinct-weight offset decomposition. */
+  def q203BalancedShards(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      operators.Packing.tokenCount(col("text")).as("n_tok"))
+    operators.Packing.balancedShards(d, "doc_id", "n_tok", 8)
+  }
+
+  val q203Sql: String =
+    s"""WITH tf AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
+       |    END AS n_tok
+       |  FROM documents),
+       |rn AS (SELECT doc_id, n_tok,
+       |    row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r
+       |  FROM tf)
+       |SELECT doc_id, n_tok,
+       |  CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+       |            ELSE 7 - (r % 8) END AS BIGINT) AS shard
+       |FROM rn""".stripMargin
+
+  /** Materialized 256-token training blocks (Packing.materializeBlocks):
+    * q197's layout emitted as the loader's actual output — per block the
+    * concatenated token stream, doc count and fill. The oracle reassembles
+    * each block with string_agg(piece, ' ' ORDER BY tok_start) over the
+    * same overlap slices. */
+  def q204BlockText(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.materializeBlocks(
+      t(s, dir, "documents"), "doc_id", "text", blockLen = 256)
+
+  val q204Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |tf AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM w),
+       |st AS (SELECT doc_id, toks, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM tf),
+       |sp AS (SELECT doc_id, toks, n_tok, tok_start,
+       |    tok_start // 256 AS bf, (tok_start + n_tok - 1) // 256 AS bl
+       |  FROM st),
+       |ex AS (SELECT toks, n_tok, tok_start,
+       |    unnest(generate_series(bf, bl)) AS block_id
+       |  FROM sp),
+       |p AS (SELECT block_id, tok_start,
+       |    greatest(tok_start, block_id * 256) AS s,
+       |    least(tok_start + n_tok, (block_id + 1) * 256) AS e,
+       |    array_to_string(list_slice(toks,
+       |      greatest(tok_start, block_id * 256) - tok_start + 1,
+       |      least(tok_start + n_tok, (block_id + 1) * 256) - tok_start),
+       |      ' ') AS piece
+       |  FROM ex)
+       |SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(e - s) AS BIGINT) AS n_tokens,
+       |  string_agg(piece, ' ' ORDER BY tok_start) AS block_text
+       |FROM p GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5799,7 +5888,10 @@ object QueryCatalog {
     ("q198_block_occupancy", q198BlockOccupancy _, Some(q198Sql)),
     ("q199_chunk_overlap", q199ChunkOverlap _, Some(q199Sql)),
     ("q200_setsim_join", q200SetSimJoin _, Some(q200Sql)),
-    ("q201_next_fit_pack", q201NextFitPack _, Some(q201Sql)))
+    ("q201_next_fit_pack", q201NextFitPack _, Some(q201Sql)),
+    ("q202_context_window", q202ContextWindow _, Some(q202Sql)),
+    ("q203_balanced_shards", q203BalancedShards _, Some(q203Sql)),
+    ("q204_block_text", q204BlockText _, Some(q204Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -32,6 +32,8 @@ object Packing {
   /** Normalized token count with the empty-document guard:
     * [[TextAnalysis.tokens]] of an all-whitespace/NULL text yields [""]
     * (size 1), so blank docs are pinned to 0 tokens explicitly. */
+  def tokenCount(text: Column): Column = nTok(text)
+
   private def nTok(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, lit(0L))
       .otherwise(size(TextAnalysis.tokens(text)).cast("long"))
@@ -178,6 +180,111 @@ object Packing {
     walked.join(broadcast(roff), "_rng")
       .select(col("_id").as(idCol), col("_n").as("n_tok"),
         (col("_boff") + col("_lbin")).as("bin_id"), col("fill_before"))
+  }
+
+  /** Context-window assembly: per `userCol`, keep the MOST RECENT rows
+    * whose newest-first cumulative `costCol` stays within `budget` — the
+    * "fit the latest turns into the model's context" truncation every
+    * conversational/SFT loader runs. Rows are walked newest-first
+    * (`tsCol` desc, `idCol` desc as the deterministic tie-break); because
+    * costs are non-negative the cumulative is monotone, so "stop at the
+    * first overflow" and "keep every prefix row with cum ≤ budget" are
+    * the same rule, and the latter is one window + one filter.
+    *
+    * Returns the kept rows: (`userCol`, `idCol`, `costCol`, `cum_cost`,
+    * `turns_back`) with `turns_back` = 0 for the newest kept row.
+    *
+    * Scale: ONE window partitioned by user (fans out), no join, no
+    * state — a single shuffle on the user key. */
+  def contextWindow(df: DataFrame, userCol: String, idCol: String,
+                    tsCol: String, costCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val order = Seq(col(tsCol).desc, col(idCol).desc)
+    val wnd = Window.partitionBy(col(userCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    df.select(col(userCol), col(idCol), col(tsCol), col(costCol))
+      .withColumn("cum_cost", sum(col(costCol)).over(wnd))
+      .withColumn("turns_back", (row_number().over(rk) - 1).cast("long"))
+      .filter(col("cum_cost") <= budget)
+      .select(col(userCol), col(idCol), col(costCol),
+        col("cum_cost"), col("turns_back"))
+  }
+
+  /** Balanced shard assignment: rows ranked by `weightCol` DESC (ties by
+    * `idCol` ASC) and dealt onto `nShards` shards SERPENTINE (pass 0 left
+    * to right, pass 1 right to left, …) — the deterministic longest-
+    * processing-time-style heuristic that keeps per-shard weight sums
+    * within one max-weight of each other, used to balance token counts
+    * across training shards / workers.
+    *
+    * The global rank is NOT one unpartitioned window: per distinct
+    * weight, a count aggregate; an ordered cumulative over the DISTINCT-
+    * WEIGHT frame (control plane — token counts are bounded integers, so
+    * this frame is small by construction: one row per distinct length);
+    * offsets broadcast back; within-weight ranks via a window PARTITIONED
+    * by weight. Identical to row_number() OVER (ORDER BY w DESC, id) — 1.
+    *
+    * Returns (`idCol`, `weightCol`, `shard`). */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val w = df.select(col(idCol).as("_id"), col(weightCol).cast("long").as("_w"))
+    val off = w.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy(col("_w").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_c")
+      .localCheckpoint(true)
+    val within = Window.partitionBy(col("_w")).orderBy(col("_id"))
+    val rn = w.join(broadcast(off), "_w")
+      .withColumn("_rn", col("_off") + row_number().over(within) - 1)
+    val pos = pmod(col("_rn"), lit(nShards.toLong))
+    val pass = expr(s"_rn DIV $nShards")
+    rn.withColumn("shard",
+        when(pmod(pass, lit(2L)) === 0L, pos).otherwise(lit(nShards - 1L) - pos))
+      .select(col("_id").as(idCol), col("_w").as(weightCol), col("shard"))
+  }
+
+  /** Materialized training blocks — the actual loader output of
+    * [[packSequences]]' layout: one row per `blockLen`-token block with
+    * its full concatenated token text, assembled from each contributing
+    * document's overlap slice in stream order. `n_tokens` = `blockLen`
+    * everywhere except the final partial block.
+    *
+    * Scale: one id-keyed join of the packing map against the token
+    * arrays, the bounded span explode (Σ rows ≈ corpus_tokens/blockLen +
+    * n_docs), then ONE block-keyed aggregate; within a block the
+    * contributing slices are disjoint, so sorting the collected
+    * (tok_start, piece) structs is exact and per-block state is ≤
+    * blockLen tokens. Linear in the corpus, shuffles ∝ corpus tokens. */
+  def materializeBlocks(df: DataFrame, idCol: String, textCol: String,
+                        blockLen: Int, rangeWidth: Long = 1L << 16): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, blockLen, rangeWidth)
+      .filter(col("n_tok") > 0)
+    val toksDf = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val bstart = col("block_id") * blockLen
+    val bend = bstart + blockLen
+    val s = greatest(col("tok_start"), bstart)
+    val e = least(col("tok_start") + col("n_tok"), bend)
+    packed.join(toksDf, idCol)
+      .select(col("_toks"), col("tok_start"), col("n_tok"),
+        explode(sequence(col("block_first"), col("block_last"))).as("block_id"))
+      .withColumn("_s", s)
+      .withColumn("_len", e - s)
+      .withColumn("_piece", array_join(
+        slice(col("_toks"), (col("_s") - col("tok_start") + 1).cast("int"),
+          col("_len").cast("int")), " "))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_len")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_s").as("s"),
+              col("_piece").as("p")))),
+            x => x.getField("p")),
+          " ").as("block_text"))
   }
 
   /** Sliding-window chunking: per document, token windows of `window`

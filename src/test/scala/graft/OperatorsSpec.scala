@@ -2463,6 +2463,80 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("contextWindow: newest-first budget fit, tie-break, zero-cost rows") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: costs newest-first are 5 (id 14), 4 (id 13), 3 (id 12), 8 (id 11)
+      (1L, 11L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L),
+      (1L, 12L, Timestamp.valueOf("2024-01-01 11:00:00"), 3L),
+      (1L, 13L, Timestamp.valueOf("2024-01-01 12:00:00"), 4L),
+      (1L, 14L, Timestamp.valueOf("2024-01-01 13:00:00"), 5L),
+      // user 2: same ts -> id desc breaks the tie; zero-cost row rides free
+      (2L, 21L, Timestamp.valueOf("2024-01-01 10:00:00"), 6L),
+      (2L, 22L, Timestamp.valueOf("2024-01-01 10:00:00"), 0L),
+      (2L, 23L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L))
+      .toDF("user_id", "event_id", "ts", "cost")
+    val out = operators.Packing
+      .contextWindow(ev, "user_id", "event_id", "ts", "cost", budget = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // user 1: 5, 5+4=9, 9+3=12 kept; +8 would be 20 -> dropped
+    assert(out.keySet.filter(_._1 == 1L).map(_._2) === Set(14L, 13L, 12L))
+    assert(out((1L, 14L)) === ((5L, 5L, 0L)))
+    assert(out((1L, 12L)) === ((3L, 12L, 2L)), "exactly-at-budget row kept")
+    // user 2 walks 23, 22, 21: 7, 7, 13 -> 21 dropped, free row kept
+    assert(out.keySet.filter(_._1 == 2L).map(_._2) === Set(23L, 22L))
+    assert(out((2L, 22L)) === ((0L, 7L, 1L)))
+  }
+
+  test("balancedShards: serpentine deal equals row_number replay; sums balanced") {
+    val rows = (1L to 37L).map(i => (i, (i * 13 % 29) + 1)) // repeated weights
+    val df = rows.toDF("doc_id", "w")
+    val out = operators.Packing.balancedShards(df, "doc_id", "w", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replay: global rank by (w desc, id asc), serpentine onto 4 shards
+    val ranked = rows.sortBy { case (id, w) => (-w, id) }.zipWithIndex
+    val exp = ranked.map { case ((id, w), r) =>
+      val pos = r % 4
+      id -> ((w, if ((r / 4) % 2 == 0) pos.toLong else 3L - pos))
+    }.toMap
+    assert(out === exp, "distinct-weight offset decomposition != row_number")
+    // serpentine balance: per-shard sums within one max weight
+    val sums = out.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    val maxW = rows.map(_._2).max
+    assert(sums.values.max - sums.values.min <= maxW,
+      s"shard sums $sums spread past one max weight")
+    // invariance to input partitioning
+    val out2 = operators.Packing.balancedShards(df.repartition(7), "doc_id", "w", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2 === out)
+  }
+
+  test("materializeBlocks: block text reassembles the exact stream; round-trip") {
+    val docs = Seq(
+      (10L, "a a a"), (20L, "b b  b b"), (30L, "   "), (40L, "c c c c c"))
+      .toDF("doc_id", "text")
+    val out = operators.Packing
+      .materializeBlocks(docs, "doc_id", "text", blockLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) === ((2L, 4L, "a a a b")))
+    assert(out(1L) === ((2L, 4L, "b b b c")))
+    assert(out(2L) === ((1L, 4L, "c c c c")))
+    // round-trip with distinct tokens: blocks in order == corpus in id order
+    val docs2 = Seq(
+      (1L, (1 to 3).map("t" + _).mkString(" ")),
+      (2L, (4 to 7).map("t" + _).mkString(" ")),
+      (3L, (8 to 13).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val blocks = operators.Packing
+      .materializeBlocks(docs2, "doc_id", "text", blockLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).sortBy(_._1)
+    assert(blocks.map(_._2).mkString(" ") === (1 to 13).map("t" + _).mkString(" "),
+      "concatenated blocks must replay the corpus stream exactly")
+    assert(blocks.last._2.split(" ").length === 3, "final partial block")
+  }
+
   test("chunkDocuments: window/stride walk, tail clamp, blank docs dropped") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, W=8 S=4 → 2 chunks

@@ -461,4 +461,85 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("cnt"), r.getAs[Long]("aerr"))).toMap
     assert(stAfter === st, "watermark must absorb the replayed batch")
   }
+
+  test("StreamingPacker: incremental layout == batch nextFitPack; watermark absorbs replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-sp-store").toString,
+      nBuckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sp-ckpt").toString
+    // ids ascending per range across batches (append-only ingest); range
+    // width 20 puts 1..5 and 21..25 in different ranges; capacity 10
+    val b0 = Seq((1L, "a a a a"), (2L, "b b b b b"), (21L, "f f f f f f f"))
+    val b1 = Seq((3L, "c c c"), (4L, "d d d d d d d d d d"), (22L, "g g g g g g"))
+    val b2 = Seq((5L, "e e"), (6L, "   "))
+    val in = MemoryStream[(Long, String)]
+    def drain(c: String = ckpt, src: MemoryStream[(Long, String)] = in): Unit = {
+      val q = graft.streaming.StreamingPacker.start(
+        src.toDF().toDF("doc_id", "text"), store,
+        stateTable = "pk_state", assignTable = "pk_assign",
+        checkpointDir = c, capacity = 10L, rangeWidth = 20L)
+      q.awaitTermination()
+    }
+    in.addData(b0: _*); drain()
+    in.addData(b1: _*); drain()
+    in.addData(b2: _*); drain()
+    // equivalence with the all-at-once batch operator (same per-range
+    // local bins; global ids via the same prefix-sum readout)
+    val batchOut = graft.operators.Packing.nextFitPack(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+      capacity = 10, rangeWidth = 20L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val streamOut = graft.streaming.StreamingPacker.globalBins(
+      store.read("pk_assign"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamOut === batchOut,
+      s"incremental layout diverged: $streamOut vs $batchOut")
+    assert(!streamOut.contains(6L), "blank doc occupies no bin")
+    // replayed batch against the committed watermark: nothing changes
+    val stateBefore = store.read("pk_state").collect()
+      .map(r => (r.getAs[Long]("rng"), r.getAs[Long]("lbin"),
+        r.getAs[Long]("fill"))).toSet
+    graft.streaming.StreamingPacker.processBatch(
+      b2.toDF("doc_id", "text"), batchId = 2L, store = store,
+      stateTable = "pk_state", assignTable = "pk_assign",
+      capacity = 10L, rangeWidth = 20L)
+    val stateAfter = store.read("pk_state").collect()
+      .map(r => (r.getAs[Long]("rng"), r.getAs[Long]("lbin"),
+        r.getAs[Long]("fill"))).toSet
+    assert(stateAfter === stateBefore, "watermark must absorb the replay")
+    assert(store.read("pk_assign").count() === 7L)
+    // crash INSIDE the commit window: batch 3's assignments merged but
+    // the state commit lost — simulate by snapshotting the pre-batch
+    // state, running the batch, restoring the snapshot (fills AND
+    // watermark rewound), then replaying. The replay walks the UNCHANGED
+    // state, re-derives byte-identical assignments, and lands the state
+    // commit that crashed.
+    val b3 = Seq((7L, "h h h"))
+    val preState = store.read("pk_state").collect()
+    graft.streaming.StreamingPacker.processBatch(
+      b3.toDF("doc_id", "text"), 3L, store, "pk_state", "pk_assign", 10L, 20L)
+    val assign1 = store.read("pk_assign").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rng"),
+        r.getAs[Long]("lbin"), r.getAs[Long]("fill_before"))).toSet
+    val postState = store.read("pk_state").collect()
+      .map(r => (r.getAs[Long]("rng"), r.getAs[Long]("lbin"),
+        r.getAs[Long]("fill"), r.getAs[Long]("upto"))).toSet
+    store.replaceTable("pk_state", // the crash: state never committed
+      spark.createDataFrame(spark.sparkContext.parallelize(preState.toSeq),
+        store.read("pk_state").schema), Seq("rng"))
+    graft.streaming.StreamingPacker.processBatch(
+      b3.toDF("doc_id", "text"), 3L, store, "pk_state", "pk_assign", 10L, 20L)
+    val assign2 = store.read("pk_assign").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rng"),
+        r.getAs[Long]("lbin"), r.getAs[Long]("fill_before"))).toSet
+    assert(assign2 === assign1, "replay against unchanged state must be byte-identical")
+    val replayedState = store.read("pk_state").collect()
+      .map(r => (r.getAs[Long]("rng"), r.getAs[Long]("lbin"),
+        r.getAs[Long]("fill"), r.getAs[Long]("upto"))).toSet
+    assert(replayedState === postState, "replay must land the lost state commit")
+  }
 }
