@@ -5682,6 +5682,164 @@ object QueryCatalog {
        |  string_agg(piece, ' ' ORDER BY tok_start) AS block_text
        |FROM p GROUP BY 1""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose line quantity
+    * sum exceeds 250, joined back to customer, top 100 by total price.
+    * The aggregate runs BEFORE the joins (the Q18 plan lesson — filter on
+    * the agg, then enrich), customer broadcast. */
+  def q205LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(250).cast("decimal(18,2)"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    o.join(hot, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("order_date"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  val q205Sql: String =
+    """WITH hot AS (SELECT l_orderkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      |  FROM lineitem GROUP BY 1 HAVING sq > 250)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+      |  CAST(sq AS DOUBLE) AS sum_qty
+      |FROM hot JOIN orders ON o_orderkey = l_orderkey
+      |         JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+    * multi-supplier orders, the suppliers whose line shipped > 90 days
+    * after the order date while EVERY other supplier shipped on time —
+    * the exists/not-exists double self-correlation, rewritten as two
+    * grouped aggregates over one (order, supplier) lateness frame (no
+    * correlated re-scans; the classic decorrelated plan). */
+  def q206WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("_od"))
+    val os = t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate").cast("date") > date_add(col("_od"), 90),
+        1L).otherwise(0L)).as("_late"))
+    val a = os.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("_ns"), sum(col("_late")).as("_nl"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    os.join(a, "l_orderkey")
+      .filter(col("_late") === 1L && col("_ns") >= 2L && col("_nl") === 1L)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+      .select(col("s_name"), col("n_name"), col("numwait"))
+  }
+
+  val q206Sql: String =
+    """WITH os AS (SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN CAST(l_shipdate AS DATE) >
+      |        CAST(o_orderdate AS DATE) + 90 THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+      |a AS (SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
+      |  FROM os GROUP BY 1)
+      |SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM os JOIN a USING (l_orderkey)
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE late = 1 AND ns >= 2 AND nl = 1
+      |GROUP BY 1, 2 ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): revenue between NATION_1 and
+    * NATION_2 (both directions) by ship year — the two-role nation
+    * dimension join (same tiny table broadcast twice under different
+    * keys). */
+  def q207VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("_sk"),
+      col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("_ck"),
+      col("n_name").as("cust_nation"))
+    val rev = (dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+      .cast("decimal(28,4)")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("_ck"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate").cast("date")).cast("int"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(rev).as("_r"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("_r").cast("double").as("revenue"))
+  }
+
+  val q207Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with an
+    * above-average positive balance who never placed a large order,
+    * counted per nation. The scalar average is compared WITHOUT division
+    * (balance·n > Σbalance in exact decimal — the cross-engine float-
+    * division hazard never exists); the "never" is a left-anti join. */
+  def q208SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val st = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2(col("c_acctbal"))).as("_s"), count(lit(1)).as("_n"))
+    val large = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(st)) // one-row stats frame (documented pattern)
+      .filter(dec2(col("c_acctbal")) * col("_n") > col("_s"))
+      .join(large, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).as("_t"))
+      .select(col("c_nationkey"), col("numcust"),
+        col("_t").cast("double").as("totacctbal"))
+  }
+
+  val q208Sql: String =
+    """WITH st AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer WHERE c_acctbal > 0),
+      |lg AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_totalprice > 400000)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, st
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * st.n > st.s
+      |  AND NOT EXISTS (SELECT 1 FROM lg WHERE o_custkey = c_custkey)
+      |GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -5891,7 +6049,11 @@ object QueryCatalog {
     ("q201_next_fit_pack", q201NextFitPack _, Some(q201Sql)),
     ("q202_context_window", q202ContextWindow _, Some(q202Sql)),
     ("q203_balanced_shards", q203BalancedShards _, Some(q203Sql)),
-    ("q204_block_text", q204BlockText _, Some(q204Sql)))
+    ("q204_block_text", q204BlockText _, Some(q204Sql)),
+    ("q205_large_volume", q205LargeVolume _, Some(q205Sql)),
+    ("q206_waiting_suppliers", q206WaitingSuppliers _, Some(q206Sql)),
+    ("q207_volume_shipping", q207VolumeShipping _, Some(q207Sql)),
+    ("q208_sales_opportunity", q208SalesOpportunity _, Some(q208Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -574,6 +574,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"limit must ride TakeOrdered:\n$p")
   }
 
+  test("q205/q206/q207/q208 TPC-H shapes: decorrelated plans, broadcast dims, TakeOrdered tops") {
+    val p205 = plan(QueryCatalog.q205LargeVolume)
+    assert(p205.contains("TakeOrderedAndProject"),
+      s"q205 top-100 must ride TakeOrdered, not a global sort:\n$p205")
+    assert(p205.contains("partial_sum"),
+      s"q205 quantity sum must partial-aggregate before its exchange:\n$p205")
+    val p206 = plan(QueryCatalog.q206WaitingSuppliers)
+    assert(!p206.contains("CartesianProduct") &&
+      !p206.contains("BroadcastNestedLoopJoin"),
+      s"q206 exists/not-exists must decorrelate to equi-joins:\n$p206")
+    assert(p206.contains("TakeOrderedAndProject"), s"q206 top-20:\n$p206")
+    val p207 = plan(QueryCatalog.q207VolumeShipping)
+    assert(p207.contains("BroadcastHashJoin"),
+      s"q207 nation/supplier dims must broadcast:\n$p207")
+    assert(!p207.contains("CartesianProduct"), s"q207 no all-pairs:\n$p207")
+    val p208 = plan(QueryCatalog.q208SalesOpportunity)
+    assert(p208.contains("LeftAnti"),
+      s"q208 'never placed a large order' must be a left-anti join:\n$p208")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
