@@ -348,6 +348,17 @@ object ScaleCheck {
       graft.operators.Packing.chunkDocuments(docs, "doc_id", "text", 32, 16))
     time("next_fit_pack(512)")(
       graft.operators.Packing.nextFitPack(docs, "doc_id", "text", 512, 1024))
+    // materialized blocks carry the corpus text through one id join + the
+    // span explode + one block aggregate — the heaviest layout leg; the
+    // serpentine shard deal is one count aggregate + a distinct-weight
+    // control frame + within-weight windows
+    time("materialize_blocks(256)")(
+      graft.operators.Packing.materializeBlocks(docs, "doc_id", "text", 256))
+    time("balanced_shards(8)")(
+      graft.operators.Packing.balancedShards(
+        docs.select(col("doc_id"),
+          graft.operators.Packing.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", 8))
     spark.stop()
   }
 }
