@@ -500,6 +500,21 @@ object Similarity {
     * partitioned by the ID column alone — never by the vector, a wide
     * partition key would hash the whole array per row for nothing).
     * Shared by [[annIvfWith]] and [[hardNegativesAnn]]. */
+  /** The IVF candidate join (probed queries × cell-assigned corpus) with
+    * PINNED-width partitioning on both sides: the per-candidate cosine
+    * downstream is CPU per row, not bytes, and AQE's byte-based
+    * coalescing under-parallelizes exactly that stage (the q200 lesson;
+    * measured q167 2.1 → ~1.1 s at sf0.1 on 32 cores with coalescing
+    * disabled). The explicit count disables the coalesce at the
+    * session's configured width; candidate volume ∝ queries × probes ×
+    * cell size — never corpus². */
+  private def cellJoin(qProbed: DataFrame, cAssigned: DataFrame): DataFrame = {
+    val nPart = qProbed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    qProbed.repartition(nPart, col("cell_id"))
+      .join(cAssigned.repartition(nPart, col("cell_id")), Seq("cell_id"))
+  }
+
   private[operators] def nearestCellsWith(cents: DataFrame, df: DataFrame, idc: String,
                                           vcol: String, out: String, n: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(cents))
@@ -521,7 +536,7 @@ object Similarity {
     val qProbed = nearestCellsWith(cents,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", "cell_id", nProbe)
-    val scored = qProbed.join(cAssigned, Seq("cell_id"))
+    val scored = cellJoin(qProbed, cAssigned)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), score(col("qv"), col("cv")).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
@@ -566,7 +581,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("query_label")),
       "query_id", "qv", "cell_id", nProbe)
-    val scored = qProbed.join(cAssigned, Seq("cell_id"))
+    val scored = cellJoin(qProbed, cAssigned)
       .filter(col("query_id") =!= col("neighbor_id") &&
         !(col("query_label") <=> col("neighbor_label")))
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
@@ -617,7 +632,7 @@ object Similarity {
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           col(labelCol).as("query_label")),
       "query_id", "qv", "cell_id", nProbe)
-    val scored = qProbed.join(cAssigned, Seq("cell_id"))
+    val scored = cellJoin(qProbed, cAssigned)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
         col("neighbor_label"), score(col("qv"), col("cv")).as("cos"))
