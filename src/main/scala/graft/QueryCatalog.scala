@@ -5840,6 +5840,527 @@ object QueryCatalog {
       |  AND NOT EXISTS (SELECT 1 FROM lg WHERE o_custkey = c_custkey)
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-predicate
+    * query — every filter (ship year, discount band, quantity cap) sits on
+    * base lineitem columns, so ALL of them reach the parquet scan as
+    * PushedFilters and the plan is scan → partial agg → single-row final
+    * agg. Revenue = Σ extendedprice·discount in exact DECIMAL. */
+  def q209ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        sum((dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("decimal(28,4)")).cast("double").as("revenue"))
+
+  val q209Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q4 shape (order-priority checking): orders from one quarter
+    * with at least one line shipped > 30 days after the order date (the
+    * reference schema has no commitdate; ship-lateness is the same
+    * EXISTS shape), counted by priority. The correlated EXISTS is a
+    * LEFT SEMI join — the probe side never duplicates orders. */
+  def q210OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q210Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): the conditional-numerator ratio —
+    * promo revenue share per ship year, both legs summed as exact DECIMAL
+    * over the broadcast part join, divided once at readout. */
+  def q211PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = (dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).cast("decimal(28,4)")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("l_year", year(col("l_shipdate").cast("date")).cast("int"))
+      .groupBy(col("l_year"))
+      .agg(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(28,4)"))).as("_promo"),
+        sum(rev).as("_total"))
+      .select(col("l_year"),
+        round(lit(100d) * col("_promo").cast("double") / col("_total").cast("double"), 6)
+          .as("promo_pct"),
+        col("_total").cast("double").as("total_revenue"))
+  }
+
+  val q211Sql: String =
+    """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+      |  round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))
+      |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 6)
+      |    AS promo_pct,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE)
+      |    AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * so zero-order customers survive with count 0, then a second
+    * aggregation over the counts — the classic double-groupBy histogram.
+    * Urgent orders are excluded in the JOIN CONDITION (not a post-filter),
+    * matching Q13's "special requests" pattern. */
+  def q212CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q212Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lines of one brand's
+    * parts whose quantity is under 20% of that part's average. The
+    * correlated per-part average is decorrelated into one grouped
+    * aggregate, and the 0.2·avg comparison is cleared of division:
+    * 5·qty·n < Σqty in exact integers (quantities are whole-valued). */
+  def q213SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("p_partkey").as("_pk"))
+      .agg(count(lit(1)).as("_n"), sum(col("l_quantity").cast("long")).as("_sq"))
+    li.join(stats, col("p_partkey") === col("_pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("_n") < col("_sq"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 6)
+          .as("avg_yearly"))
+  }
+
+  val q213Sql: String =
+    """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13'),
+      |st AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+      |    AS avg_yearly
+      |FROM li JOIN st ON l_partkey = pk
+      |WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    * the suppliers tied at the maximum — the scalar-subquery max compared
+    * in EXACT DECIMAL (a double max would make the tie test a float
+    * equality). Ties all surface, deterministically. */
+  def q214TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("decimal(28,4)")).as("_rev"))
+    val mx = rev.agg(max(col("_rev")).as("_mx"))
+    rev.crossJoin(broadcast(mx)) // one-row stats frame (documented pattern)
+      .filter(col("_rev") === col("_mx"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_revenue"))
+  }
+
+  val q214Sql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE r = (SELECT max(r) FROM rev)""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    * brand/size/quantity band disjuncts evaluated in ONE pass over the
+    * broadcast part join — the optimizer keeps the common l_partkey =
+    * p_partkey conjunct as the join key and the disjunction as a post-join
+    * filter; no union of three scans. */
+  def q215DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val branch =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20, 40))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(count(lit(1)).as("n_items"),
+        sum((dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("decimal(28,4)")).cast("double").as("revenue"))
+  }
+
+  val q215Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): NATION_1 suppliers' share of
+    * STANDARD-part revenue sold to EUROPE customers, per order year — the
+    * conditional-numerator ratio over a 6-table join (fact → orders →
+    * customer → nation → region on one side, supplier → nation on the
+    * other, part as a broadcast filter dim). Both legs exact DECIMAL,
+    * one division at readout. */
+  def q216MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = (dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).cast("decimal(28,4)")
+    val custNation = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val natRegion = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("_cnk"))
+    val suppNation = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natRegion), col("c_nationkey") === col("_cnk"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("o_year", year(col("o_orderdate").cast("date")).cast("int"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_1", rev)
+          .otherwise(lit(0).cast("decimal(28,4)"))).as("_num"),
+        sum(rev).as("_den"))
+      .select(col("o_year"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6)
+          .as("mkt_share"),
+        col("_den").cast("double").as("total_revenue"))
+  }
+
+  val q216Sql: String =
+    """WITH rev AS (SELECT
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |    n2.n_name AS supp_nation,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS r
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+      |SELECT o_year,
+      |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN r
+      |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
+      |    CAST(sum(r) AS DOUBLE), 6) AS mkt_share,
+      |  CAST(sum(r) AS DOUBLE) AS total_revenue
+      |FROM rev GROUP BY 1""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): profit = revenue − cost per
+    * supplier nation × order year. The schema has no partsupp/supplycost,
+    * so cost is p_retailprice·quantity — the same 5-table join and
+    * two-term DECIMAL expression; negative profits kept (the shape's
+    * point: the measure is signed). */
+  def q217ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val profit = ((dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).cast("decimal(28,4)") -
+      (dec2(col("p_retailprice")) * col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(28,4)")).cast("decimal(28,4)")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate").cast("date")).cast("int"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(profit).cast("double").as("profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q217Sql: String =
+    """SELECT n_name,
+      |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) -
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
+      |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS DECIMAL(28,4)))
+      |    AS DOUBLE) AS profit,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Exact one-vs-rest ROC AUC (Eval.rocAuc): per class c, AUC of
+    * embedding component c as a ranker for label = c — the tie-aware
+    * Mann-Whitney fold carried DOUBLED in BIGINTs (2·avgrank = 2·rank +
+    * ties − 1), one double division at readout. The embedding-quality
+    * probe: which dimensions already separate which labels. */
+  def q218RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(col("embedding"), col("label"),
+        explode(array((0 until 10).map(i => lit(i)): _*)).as("cls"))
+      .select(col("cls").cast("int").as("cls"),
+        element_at(col("embedding"), col("cls") + 1).cast("double").as("score"),
+        (col("label") === col("cls")).cast("int").as("pos"))
+    operators.Eval.rocAuc(x, "cls", "score", "pos")
+  }
+
+  val q218Sql: String =
+    """WITH cl AS (SELECT CAST(cls AS INT) AS cls FROM range(10) t(cls)),
+      |x AS (SELECT cls, CAST(embedding[cls + 1] AS DOUBLE) AS score,
+      |    CASE WHEN label = cls THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings CROSS JOIN cl),
+      |r AS (SELECT cls, pos,
+      |    2 * rank() OVER (PARTITION BY cls ORDER BY score ASC) +
+      |      count(*) OVER (PARTITION BY cls, score) - 1 AS ar2 FROM x),
+      |g AS (SELECT cls, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+      |    CAST(sum(pos * ar2) AS BIGINT) AS s2 FROM r GROUP BY 1)
+      |SELECT cls, n_pos, n_neg,
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+      |    ELSE round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) /
+      |      CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc
+      |FROM g""".stripMargin
+
+  /** Reliability bins + ECE (Eval.calibrationBins): a hash-mod rational
+    * pseudo-confidence (exact DECIMAL — the operator's contract) against
+    * a label-derived outcome; per-bin means and the n_b-cancelling ECE
+    * identity Σ|Σconf − Σpos|/N, every fold exact, one division each at
+    * readout. */
+  def q219CalibrationEce(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(((col("vec_id") * 2654435761L) % 1000).cast("decimal(6,0)").as("_m"),
+        col("label"))
+      .select((col("_m") * lit(new java.math.BigDecimal("0.001")).cast("decimal(6,3)"))
+          .cast("decimal(7,3)").as("conf"),
+        (col("label") < 5).cast("int").as("pos"))
+    operators.Eval.calibrationBins(x, "conf", "pos", bins = 10)
+  }
+
+  val q219Sql: String =
+    """WITH x AS (SELECT
+      |    CAST(CAST((vec_id * 2654435761) % 1000 AS DECIMAL(6,0)) *
+      |      CAST(0.001 AS DECIMAL(6,3)) AS DECIMAL(7,3)) AS conf,
+      |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings),
+      |b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(conf AS DECIMAL(18,6))) AS sc,
+      |    CAST(sum(pos) AS BIGINT) AS sp
+      |  FROM x GROUP BY 1),
+      |g AS (SELECT *, abs(CAST(sc - CAST(sp AS DECIMAL(18,6)) AS DECIMAL(20,6))) AS absgap FROM b),
+      |tot AS (SELECT sum(absgap) AS tg, CAST(sum(n) AS BIGINT) AS tn FROM g)
+      |SELECT bin, n,
+      |  round(CAST(sc AS DOUBLE) / n, 6) AS conf_mean,
+      |  round(CAST(sp AS DOUBLE) / n, 6) AS acc,
+      |  round(CAST(CAST(sp AS DECIMAL(18,6)) - sc AS DOUBLE) / n, 6) + 0 AS gap,
+      |  round(CAST(tg AS DOUBLE) / tn, 6) AS ece
+      |FROM g CROSS JOIN tot""".stripMargin
+
+  /** Cohen's κ inter-annotator agreement (Eval.cohenKappa): two heuristic
+    * "raters" over documents (char-length gate vs whitespace-token gate),
+    * κ per language from the division-free integer identity
+    * (n·agree − pe)/(n² − pe). */
+  def q220CohensKappa(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.cohenKappa(t(s, dir, "documents"), "lang",
+      col("n_chars") > 400,
+      length(col("text")) - length(expr("replace(text, ' ', '')")) >= 80)
+
+  val q220Sql: String =
+    """WITH x AS (SELECT lang,
+      |    CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 80
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(a) AS BIGINT) AS a1, CAST(sum(b) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM x GROUP BY 1),
+      |p AS (SELECT *, a1 * b1 + (n - a1) * (n - b1) AS pe FROM g)
+      |SELECT lang, n, round(CAST(agree AS DOUBLE) / n, 6) AS po,
+      |  CASE WHEN n * n = pe THEN NULL
+      |    ELSE round(CAST(n * agree - pe AS DOUBLE) /
+      |      CAST(n * n - pe AS DOUBLE), 6) + 0 END AS kappa
+      |FROM p""".stripMargin
+
+  /** nDCG@10 retrieval eval (Similarity.ndcgAtK): q133's graded-position
+    * twin — the log₂ discount weights and the IDCG table are plan-time
+    * DECIMAL literals (no engine evaluates a logarithm), DCG an exact
+    * decimal fold, one division at readout. */
+  def q221Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ndcgAtK(emb.filter(col("vec_id") < 16), emb, k = 10)
+  }
+
+  val q221Sql: String =
+    s"""WITH wts(rnk, wt) AS (VALUES
+       |    (1, CAST(1.000000 AS DECIMAL(18,6))), (2, CAST(0.630930 AS DECIMAL(18,6))),
+       |    (3, CAST(0.500000 AS DECIMAL(18,6))), (4, CAST(0.430677 AS DECIMAL(18,6))),
+       |    (5, CAST(0.386853 AS DECIMAL(18,6))), (6, CAST(0.356207 AS DECIMAL(18,6))),
+       |    (7, CAST(0.333333 AS DECIMAL(18,6))), (8, CAST(0.315465 AS DECIMAL(18,6))),
+       |    (9, CAST(0.301030 AS DECIMAL(18,6))), (10, CAST(0.289065 AS DECIMAL(18,6)))),
+       |icg(m, iwt) AS (VALUES
+       |    (1, CAST(1.000000 AS DECIMAL(18,6))), (2, CAST(1.630930 AS DECIMAL(18,6))),
+       |    (3, CAST(2.130930 AS DECIMAL(18,6))), (4, CAST(2.561607 AS DECIMAL(18,6))),
+       |    (5, CAST(2.948460 AS DECIMAL(18,6))), (6, CAST(3.304667 AS DECIMAL(18,6))),
+       |    (7, CAST(3.638000 AS DECIMAL(18,6))), (8, CAST(3.953465 AS DECIMAL(18,6))),
+       |    (9, CAST(4.254495 AS DECIMAL(18,6))), (10, CAST(4.543560 AS DECIMAL(18,6)))),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS query_label
+       |  FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS neighbor_label
+       |  FROM embeddings),
+       |scored AS (SELECT query_id, query_label,
+       |    CAST(CASE WHEN query_label IS NOT DISTINCT FROM neighbor_label THEN 1 ELSE 0 END AS BIGINT) AS rel,
+       |    ${cosSql("qv", "cv")} AS cos, neighbor_id
+       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk FROM scored),
+       |a AS (SELECT query_id, query_label, CAST(sum(rel) AS BIGINT) AS n_relevant,
+       |    sum(CASE WHEN r.rnk <= 10 AND rel = 1 THEN wt
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg
+       |  FROM r LEFT JOIN wts ON r.rnk = wts.rnk GROUP BY 1, 2)
+       |SELECT query_id, query_label, n_relevant,
+       |  CASE WHEN n_relevant = 0 THEN NULL
+       |    ELSE round(CAST(dcg AS DOUBLE) / CAST(iwt AS DOUBLE), 6) END AS ndcg_at_10
+       |FROM a LEFT JOIN icg ON least(n_relevant, 10) = icg.m""".stripMargin
+
+  /** k-anonymity / l-diversity audit (Eval.kAnonymity): customer
+    * (nation, segment) quasi-identifier classes against a balance-sign
+    * sensitive attribute — the single-row BIGINT release-risk verdict. */
+  def q222KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").withColumn("bal_band",
+      when(col("c_acctbal") > 0, lit("pos")).otherwise(lit("nonpos")))
+    operators.Eval.kAnonymity(cust, Seq("c_nationkey", "c_mktsegment"),
+      "bal_band", k = 10)
+  }
+
+  val q222Sql: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT CASE WHEN c_acctbal > 0 THEN 'pos'
+      |      ELSE 'nonpos' END) AS BIGINT) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT min(n) AS k_anonymity, min(l) AS l_diversity,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+      |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |FROM cls""".stripMargin
+
+  /** CUSUM changepoint monitor (TimeSeries.cusumChangepoints): per
+    * event-type daily volumes, the max(0, S+x−μ) recurrence closed-formed
+    * into prefix-sum − running-min windows, carried in D-scaled BIGINTs
+    * (no division, no float) with the h·mean alarm compared in integers. */
+  def q223CusumChangepoints(s: SparkSession, dir: String): DataFrame =
+    // h = ½·mean: at this data's daily-volume jitter the alarm then
+    // separates series (some fire, some stay quiet) instead of being
+    // all-quiet (h=1) or all-noise
+    operators.TimeSeries.cusumChangepoints(t(s, dir, "events"),
+      "event_type", "ts", threshNum = 1L, threshDen = 2L)
+
+  val q223Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type AS s2, CAST(count(*) AS BIGINT) AS d,
+      |    CAST(sum(n) AS BIGINT) AS t
+      |  FROM daily GROUP BY 1),
+      |x AS (SELECT event_type, day, n, d, t, d * n - t AS dev
+      |  FROM daily JOIN tot ON event_type = s2),
+      |p AS (SELECT *, CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp FROM x),
+      |w AS (SELECT *,
+      |    min(pp) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn,
+      |    max(pp) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS mx
+      |  FROM p)
+      |SELECT event_type, day, n,
+      |  round(CAST(pp - mn AS DOUBLE) / d, 6) AS cusum_hi,
+      |  round(CAST(mx - pp AS DOUBLE) / d, 6) AS cusum_lo,
+      |  (pp - mn) * 2 > t AS alarm_hi,
+      |  (mx - pp) * 2 > t AS alarm_lo
+      |FROM w""".stripMargin
+
+  /** Copeland pairwise-preference ranking (Eval.copelandRanking): event
+    * types dueling on per-user total value — the RLHF-adjacent
+    * preference aggregate, integer end to end (+2 win / +1 tie, doubled
+    * so no ½-point floats). */
+  def q224CopelandPreference(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.copelandRanking(t(s, dir, "events"),
+      "user_id", "event_type", "value")
+
+  val q224Sql: String =
+    """WITH sc AS (SELECT user_id AS v, event_type AS i,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS s
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (SELECT a.i AS i, a2.i AS j,
+      |    CAST(sum(CASE WHEN a.s > a2.s THEN 1 ELSE 0 END) AS BIGINT) AS w
+      |  FROM sc a JOIN sc a2 ON a.v = a2.v AND a.i <> a2.i GROUP BY 1, 2)
+      |SELECT p.i AS item,
+      |  CAST(sum(CASE WHEN p.w > f.w THEN 1 ELSE 0 END) AS BIGINT) AS pair_wins,
+      |  CAST(sum(CASE WHEN p.w = f.w THEN 1 ELSE 0 END) AS BIGINT) AS pair_ties,
+      |  CAST(sum(CASE WHEN p.w < f.w THEN 1 ELSE 0 END) AS BIGINT) AS pair_losses,
+      |  CAST(sum(CASE WHEN p.w > f.w THEN 2 WHEN p.w = f.w THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS copeland2
+      |FROM pr p JOIN pr f ON p.i = f.j AND p.j = f.i
+      |GROUP BY 1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -6053,7 +6574,23 @@ object QueryCatalog {
     ("q205_large_volume", q205LargeVolume _, Some(q205Sql)),
     ("q206_waiting_suppliers", q206WaitingSuppliers _, Some(q206Sql)),
     ("q207_volume_shipping", q207VolumeShipping _, Some(q207Sql)),
-    ("q208_sales_opportunity", q208SalesOpportunity _, Some(q208Sql)))
+    ("q208_sales_opportunity", q208SalesOpportunity _, Some(q208Sql)),
+    ("q209_forecast_revenue", q209ForecastRevenue _, Some(q209Sql)),
+    ("q210_order_priority", q210OrderPriority _, Some(q210Sql)),
+    ("q211_promo_revenue", q211PromoRevenue _, Some(q211Sql)),
+    ("q212_customer_distribution", q212CustomerDistribution _, Some(q212Sql)),
+    ("q213_small_qty_revenue", q213SmallQtyRevenue _, Some(q213Sql)),
+    ("q214_top_supplier", q214TopSupplier _, Some(q214Sql)),
+    ("q215_discounted_revenue", q215DiscountedRevenue _, Some(q215Sql)),
+    ("q216_market_share", q216MarketShare _, Some(q216Sql)),
+    ("q217_product_profit", q217ProductProfit _, Some(q217Sql)),
+    ("q218_roc_auc", q218RocAuc _, Some(q218Sql)),
+    ("q219_calibration_ece", q219CalibrationEce _, Some(q219Sql)),
+    ("q220_cohens_kappa", q220CohensKappa _, Some(q220Sql)),
+    ("q221_ndcg", q221Ndcg _, Some(q221Sql)),
+    ("q222_k_anonymity", q222KAnonymity _, Some(q222Sql)),
+    ("q223_cusum_changepoints", q223CusumChangepoints _, Some(q223Sql)),
+    ("q224_copeland_preference", q224CopelandPreference _, Some(q224Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

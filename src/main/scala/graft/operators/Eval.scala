@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic model/label-quality evaluation operators — the metrics a
+  * training-data pipeline computes over its own labels, scores, and
+  * annotations before (and after) a model ever trains: exact ROC AUC,
+  * calibration/ECE, inter-annotator agreement, re-identification risk,
+  * and pairwise-preference ranking.
+  *
+  * Engine-parity discipline (matches the catalog contract): every metric
+  * is an INTEGER or exact-DECIMAL fold with at most one double division at
+  * readout, rounded once — no transcendental, no float accumulation, so
+  * the DuckDB oracle replays each value bit-for-bit.
+  *
+  * Scale notes are per method; the common shape is one shuffle on the
+  * group key and group-partitioned windows only — no global sort, no
+  * driver fold.
+  */
+object Eval {
+
+  /** Exact ROC AUC per group via the tie-aware Mann-Whitney identity.
+    *
+    * With ranks assigned ascending by score and ties sharing their
+    * AVERAGE rank, `U = Σ_pos avgrank − np(np+1)/2` and
+    * `AUC = U / (np·nn)`. Average ranks step by ½, so the whole fold is
+    * carried DOUBLED in integers: for a tie block starting at min-rank r
+    * with c members, `2·avgrank = 2r + c − 1` (exact BIGINT), and
+    *
+    *   AUC = (Σ_pos (2r + c − 1) − np(np+1)) / (2·np·nn)
+    *
+    * — one double division at readout, rounded to 6 dp. Degenerate groups
+    * (no positives or no negatives) yield NULL, never NaN.
+    *
+    * Plan shape: one window sort per group for `rank()` + a same-window
+    * tie count, then one grouped aggregate — the distributed exact-AUC
+    * plan (each group sorts independently; no global sort). 100 TB note:
+    * partitions by `groupCol`, so skewed single-group inputs should be
+    * pre-bucketed by score range and merged via the rank-offset identity;
+    * at the catalog's shapes (per-class, per-slice AUC) groups are many
+    * and modest.
+    *
+    * @param df       input rows
+    * @param groupCol one AUC per distinct value
+    * @param scoreCol ranking score (any orderable numeric; ties handled)
+    * @param posCol   0/1 positive-class indicator
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             posCol: String): DataFrame = {
+    val rankW = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+    val tieW = Window.partitionBy(col(groupCol), col(scoreCol))
+    val ranked = df.select(col(groupCol), col(scoreCol),
+        col(posCol).cast("long").as("_pos"))
+      .withColumn("_ar2",
+        lit(2L) * rank().over(rankW).cast("long") +
+          count(lit(1)).over(tieW) - lit(1L))
+    ranked.groupBy(col(groupCol))
+      .agg(sum(col("_pos")).as("n_pos"),
+        sum(lit(1L) - col("_pos")).as("n_neg"),
+        sum(col("_pos") * col("_ar2")).as("_s2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
+  /** Reliability-diagram bins + expected calibration error, exactly.
+    *
+    * `confCol` must be an EXACT decimal confidence in [0,1] (the catalog
+    * derives one as a hash-mod rational; a real pipeline quantizes model
+    * probabilities once upstream) — binning and both bin means are then
+    * exact: bin b holds n_b rows with Σconf (DECIMAL) and Σpos (BIGINT),
+    * `conf_mean = Σconf/n_b`, `acc = Σpos/n_b`, `gap = acc − conf_mean`.
+    * The per-bin n_b cancels in ECE's weighted sum, so
+    * `ECE = Σ_b |Σconf_b − Σpos_b| / N` — one exact DECIMAL fold and ONE
+    * double division for the whole frame (not one per bin), rounded once.
+    *
+    * Single grouped aggregate + a one-row totals frame broadcast back over
+    * the `bins`-row result (the documented stats-frame pattern; no
+    * unpartitioned window) — no shuffle beyond the groupBy at any input
+    * size. */
+  def calibrationBins(df: DataFrame, confCol: String, posCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    // floor, not a bare integer cast: Spark's decimal→long cast truncates
+    // while DuckDB's ROUNDS — floor() means the same thing in both engines
+    val binned = df.select(
+      least(floor(col(confCol) * bins).cast("long"), lit(bins - 1L)).as("bin"),
+      col(confCol).cast("decimal(18,6)").as("_c"),
+      col(posCol).cast("long").as("_p"))
+    val agg = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_c")).as("_sc"),
+        sum(col("_p")).as("_sp"))
+      .withColumn("_absgap", abs((col("_sc") -
+        col("_sp").cast("decimal(18,6)")).cast("decimal(20,6)")))
+    val totals = agg.agg(sum(col("_absgap")).as("_totGap"),
+      sum(col("n")).as("_totN"))
+    agg.crossJoin(broadcast(totals)) // one-row stats frame (documented pattern)
+      .select(col("bin"), col("n"),
+        round(col("_sc").cast("double") / col("n"), 6).as("conf_mean"),
+        round(col("_sp").cast("double") / col("n"), 6).as("acc"),
+        Stats.canonZero(round((col("_sp").cast("decimal(18,6)") - col("_sc"))
+          .cast("double") / col("n"), 6)).as("gap"),
+        round(col("_totGap").cast("double") / col("_totN"), 6).as("ece"))
+  }
+
+  /** Cohen's κ between two binary raters, per group — the
+    * inter-annotator-agreement gate a labeling pipeline runs before
+    * trusting a batch of annotations.
+    *
+    * Division-free core: with n rows, a1/b1 positive votes per rater and
+    * `agree` matching votes, chance agreement has numerator
+    * `pe_num = a1·b1 + (n−a1)(n−b1)` over n², and
+    *
+    *   κ = (n·agree − pe_num) / (n² − pe_num)
+    *
+    * — exact BIGINTs until the single readout division (NULL when the
+    * denominator is 0, i.e. a degenerate all-one-cell table). Observed
+    * agreement `po` rides along. One grouped aggregate; scales as a
+    * count. */
+  def cohenKappa(df: DataFrame, groupCol: String, raterA: Column,
+                 raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean").cast("long")
+    val b = raterB.cast("boolean").cast("long")
+    df.select(col(groupCol), a.as("_a"), b.as("_b"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_a")).as("_a1"),
+        sum(col("_b")).as("_b1"),
+        sum((col("_a") === col("_b")).cast("long")).as("_agree"))
+      .withColumn("_pe",
+        col("_a1") * col("_b1") + (col("n") - col("_a1")) * (col("n") - col("_b1")))
+      .select(col(groupCol), col("n"),
+        round(col("_agree").cast("double") / col("n"), 6).as("po"),
+        when(col("n") * col("n") === col("_pe"), lit(null).cast("double"))
+          .otherwise(Stats.canonZero(round(
+            (col("n") * col("_agree") - col("_pe")).cast("double") /
+              (col("n") * col("n") - col("_pe")).cast("double"), 6)))
+          .as("kappa"))
+  }
+
+  /** k-anonymity / l-diversity audit over a quasi-identifier set — the
+    * re-identification risk check a release pipeline runs before
+    * publishing: every row whose quasi-identifier equivalence class is
+    * smaller than `k` is individually re-identifiable to that class.
+    *
+    * One row out, all BIGINT: `k_anonymity` = the smallest class,
+    * `l_diversity` = the fewest distinct `sensitiveCol` values in any
+    * class, `n_classes`, plus the classes and rows below the `k`
+    * threshold. Two grouped aggregates (classes, then the summary) — a
+    * count-shaped plan at any scale. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        countDistinct(col(sensitiveCol)).as("_l"))
+    classes.agg(
+      min(col("_n")).as("k_anonymity"),
+      min(col("_l")).as("l_diversity"),
+      count(lit(1)).as("n_classes"),
+      sum((col("_n") < k).cast("long")).as("n_small_classes"),
+      sum(when(col("_n") < k, col("_n")).otherwise(lit(0L))).as("rows_at_risk"))
+  }
+
+  /** Copeland pairwise-preference ranking — the RLHF-adjacent aggregate:
+    * items dueling via per-voter scores, ranked by pairwise wins. Item a
+    * beats item b when MORE voters score a above b than b above a; the
+    * Copeland score is +2 per opponent beaten, +1 per drawn opponent
+    * (doubled to stay integer — no ½-point floats).
+    *
+    * Per-voter scores fold as exact DECIMAL so the within-voter
+    * comparison is order-free; the voter-local self-join fans each voter
+    * to items² ordered pairs (items is small by construction — event
+    * types, model variants, prompt templates), then one global pair
+    * aggregate and one item aggregate. Linear in voters; never
+    * voters×voters. */
+  def copelandRanking(df: DataFrame, voterCol: String, itemCol: String,
+                      scoreCol: String): DataFrame = {
+    val s = df.select(col(voterCol).as("_v"), col(itemCol).as("_i"),
+        col(scoreCol).cast("decimal(18,6)").as("_s"))
+      .groupBy(col("_v"), col("_i")).agg(sum(col("_s")).as("_s"))
+    val o = s.select(col("_v"), col("_i").as("_j"), col("_s").as("_t"))
+    // ordered pairs (i, j), i != j: wins_ij = #voters with s_i > s_j
+    val pairs = s.join(o, Seq("_v")).filter(col("_i") =!= col("_j"))
+      .groupBy(col("_i"), col("_j"))
+      .agg(sum((col("_s") > col("_t")).cast("long")).as("_w"))
+    val flipped = pairs.select(col("_i").as("_j2"), col("_j").as("_i2"),
+      col("_w").as("_wr"))
+    pairs.join(flipped, col("_i") === col("_i2") && col("_j") === col("_j2"))
+      .groupBy(col("_i"))
+      .agg(sum((col("_w") > col("_wr")).cast("long")).as("pair_wins"),
+        sum((col("_w") === col("_wr")).cast("long")).as("pair_ties"),
+        sum((col("_w") < col("_wr")).cast("long")).as("pair_losses"),
+        sum(when(col("_w") > col("_wr"), 2L)
+          .when(col("_w") === col("_wr"), 1L).otherwise(0L)).as("copeland2"))
+      .withColumnRenamed("_i", "item")
+  }
+}

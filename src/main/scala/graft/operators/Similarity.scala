@@ -193,6 +193,59 @@ object Similarity {
           .as(s"ap_at_$k"))
   }
 
+  /** nDCG@k over the exact cosine ranking — [[retrievalAveragePrecision]]'s
+    * graded-position twin (AP weights by precision at each hit; nDCG
+    * discounts by 1/log₂(rank+1) and normalizes by the ideal ordering).
+    *
+    * The k discount weights and their prefix sums (the IDCG table) are
+    * PLAN-TIME LITERALS — `round(1/log₂(i+1), 6)` computed once on the
+    * driver and embedded as DECIMAL(18,6) constants — so no executor and
+    * no oracle engine ever evaluates a logarithm: DCG is an exact decimal
+    * dot product of relevance flags with constants, IDCG an array lookup
+    * at `min(n_relevant, k)`, and nDCG one double division rounded once.
+    * (The nearest literal sits ≥ 5.8e-8 from a rounding boundary, orders
+    * of magnitude beyond any libm's log error — verified offline.)
+    *
+    * Same plan shape as AP: query×corpus score, one query-partitioned
+    * window, one grouped fold. NULL nDCG when the query has no relevant
+    * corpus item. */
+  def ndcgAtK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 64, "k out of range")
+    val weights: Seq[java.math.BigDecimal] = (1 to k).map { i =>
+      new java.math.BigDecimal(1.0 / (Math.log(i + 1.0) / Math.log(2.0)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    val idcg = weights.scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail
+    val wLit = array(weights.map(x => lit(x).cast("decimal(18,6)")): _*)
+    val idcgLit = array(idcg.map(x => lit(x).cast("decimal(18,6)")): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_label"),
+        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
+        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(
+        sum(col("rel")).as("n_relevant"),
+        sum(when(col("rank") <= k && col("rel") === 1,
+            element_at(wLit, col("rank").cast("int")))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("_dcg"))
+      .select(col("query_id"), col("query_label"), col("n_relevant"),
+        when(col("n_relevant") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_dcg").cast("double") /
+            element_at(idcgLit,
+              least(col("n_relevant"), lit(k.toLong)).cast("int")).cast("double"), 6))
+          .as(s"ndcg_at_$k"))
+  }
+
   /** Reciprocal-rank fusion of two per-query rankings (hybrid retrieval:
     * lexical BM25 × embedding cosine is the classic pair): fused score =
     * Σ 1/(k+rank) over the rankings that contain the item, re-ranked by

@@ -215,4 +215,48 @@ object TimeSeries {
         col(valueCol).isNull.as("was_gap"),
         last(col(valueCol), ignoreNulls = true).over(w).as(valueCol))
   }
+
+  /** Page-Hinkley / CUSUM changepoint detection over a per-series count
+    * grid, in PURE INTEGERS — the upward-shift alarm a pipeline monitor
+    * raises when a day's volume regime changes.
+    *
+    * The textbook recurrence `S_t = max(0, S_{t−1} + x_t − μ)` is not a
+    * window function, but its closed form is: with `P_t = Σ_{j≤t}(x_j−μ)`,
+    * `S_t = P_t − min_{j≤t} P_j` — a cumulative sum minus a running
+    * minimum, both plain prefix windows. To keep μ (the series mean)
+    * out of float arithmetic the whole series is scaled by its day count
+    * D: `d_t = D·x_t − T` (T = Σx, so Σd = 0 exactly), making S_t a
+    * BIGINT that is D times the true CUSUM. The alarm threshold scales
+    * identically: `S_t > h·T` flags days where the accumulated upward
+    * deviation exceeds h× the series MEAN (h·T = h·μ·D). The downward
+    * twin uses the running max. No division anywhere; the readout
+    * divides by D once for a human-readable cusum value, rounded to 6.
+    *
+    * One (series, day) aggregate + series-partitioned prefix windows —
+    * each series sorts only its own days, the 100 TB shape for
+    * many-series monitoring (the catalog's: one series per event type).
+    *
+    * @param threshNum h as a rational `threshNum/threshDen` (default 1):
+    *                  alarm when the mean-scaled CUSUM exceeds h·mean. */
+  def cusumChangepoints(events: DataFrame, seriesCol: String, tsCol: String,
+                        threshNum: Long = 1L, threshDen: Long = 1L): DataFrame = {
+    require(threshNum > 0 && threshDen > 0, "threshold must be positive")
+    val daily = events
+      .select(col(seriesCol).as("_s"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("_s"), col("day")).agg(count(lit(1)).as("n"))
+    val totals = daily.groupBy(col("_s").as("_s2"))
+      .agg(count(lit(1)).as("_d"), sum(col("n")).as("_t"))
+    val pre = Window.partitionBy(col("_s")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(totals), col("_s") === col("_s2"))
+      .withColumn("_dev", col("_d") * col("n") - col("_t"))
+      .withColumn("_p", sum(col("_dev")).over(pre))
+      .withColumn("_shi", col("_p") - min(col("_p")).over(pre))
+      .withColumn("_slo", max(col("_p")).over(pre) - col("_p"))
+      .select(col("_s").as(seriesCol), col("day"), col("n"),
+        round(col("_shi").cast("double") / col("_d"), 6).as("cusum_hi"),
+        round(col("_slo").cast("double") / col("_d"), 6).as("cusum_lo"),
+        (col("_shi") * threshDen > col("_t") * threshNum).as("alarm_hi"),
+        (col("_slo") * threshDen > col("_t") * threshNum).as("alarm_lo"))
+  }
 }

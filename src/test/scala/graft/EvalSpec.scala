@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Eval, Similarity, TimeSeries}
+
+/** Evaluation-operator invariants: each metric checked against a
+  * hand-computable fixture plus the properties that pin the exact
+  * integer/decimal folds (tie handling, partition-independence,
+  * degenerate-group NULLs, closed-form-vs-recurrence equivalence).
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- rocAuc ------------------------------------------------------------
+
+  test("rocAuc: perfect, inverted, random and tied rankers; degenerate NULL") {
+    // group a: perfect separation -> 1.0; group b: inverted -> 0.0;
+    // group c: all scores tied -> 0.5 exactly (the tie-aware identity);
+    // group d: one class only -> NULL
+    val rows = Seq(
+      ("a", 0.1, 0), ("a", 0.2, 0), ("a", 0.8, 1), ("a", 0.9, 1),
+      ("b", 0.1, 1), ("b", 0.2, 1), ("b", 0.8, 0), ("b", 0.9, 0),
+      ("c", 0.5, 0), ("c", 0.5, 1), ("c", 0.5, 0), ("c", 0.5, 1),
+      ("d", 0.3, 1), ("d", 0.7, 1)
+    ).toDF("g", "score", "pos")
+    val out = Eval.rocAuc(rows, "g", "score", "pos")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) null else Double.box(r.getDouble(3)))).toMap
+    assert(out("a") === 1.0)
+    assert(out("b") === 0.0)
+    assert(out("c") === 0.5)
+    assert(out("d") === null)
+  }
+
+  test("rocAuc equals the O(n²) pair definition on a mixed-tie fixture") {
+    val scores = Seq(1.0, 2.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0, 6.0, 6.0)
+    val pos = Seq(0, 1, 0, 1, 0, 1, 1, 0, 1, 1)
+    val df = scores.zip(pos).map { case (s, p) => ("g", s, p) }
+      .toDF("g", "score", "pos")
+    val got = Eval.rocAuc(df, "g", "score", "pos").collect().head.getDouble(3)
+    // brute force: AUC = mean over (pos, neg) pairs of [s_p > s_n] + ½[s_p = s_n]
+    val ps = scores.zip(pos).filter(_._2 == 1).map(_._1)
+    val ns = scores.zip(pos).filter(_._2 == 0).map(_._1)
+    val brute = (for { p <- ps; n <- ns }
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (ps.size * ns.size)
+    assert(got === math.rint(brute * 1e6) / 1e6)
+    // partition-independence of the window fold
+    val re = Eval.rocAuc(df.repartition(7), "g", "score", "pos")
+      .collect().head.getDouble(3)
+    assert(re === got)
+  }
+
+  // ---- calibrationBins ---------------------------------------------------
+
+  test("calibrationBins: exact bin means, gap sign, ECE identity") {
+    // two bins, exact rationals: bin 0 has conf .1/.2 with 1 pos of 2;
+    // bin 9 has conf .95/.95 both pos
+    val df = Seq(
+      (new java.math.BigDecimal("0.100"), 1),
+      (new java.math.BigDecimal("0.200"), 0),
+      (new java.math.BigDecimal("0.950"), 1),
+      (new java.math.BigDecimal("0.950"), 1)
+    ).toDF("conf", "pos")
+    val out = Eval.calibrationBins(df, "conf", "pos", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b0 = out(1L) // conf .1/.2 both land in bin 1? floor(.1*10)=1, floor(.2*10)=2
+    // recompute expectation honestly: .100->bin 1, .200->bin 2, .950->bin 9
+    assert(out.keySet === Set(1L, 2L, 9L))
+    assert(out(1L).getAs[Double]("conf_mean") === 0.1)
+    assert(out(1L).getAs[Double]("acc") === 1.0)
+    assert(out(1L).getAs[Double]("gap") === 0.9)
+    assert(out(9L).getAs[Double]("acc") === 1.0)
+    assert(out(9L).getAs[Double]("gap") === 0.05)
+    // ECE = (|0.1-1| + |0.2-0| + |1.9-2|)/4 = (0.9+0.2+0.1)/4 = 0.3
+    assert(out(1L).getAs[Double]("ece") === 0.3)
+    assert(out(2L).getAs[Double]("ece") === 0.3)
+    assert(b0 != null)
+  }
+
+  test("calibrationBins: conf = 1.0 lands in the top bin, never bins") {
+    val df = Seq((new java.math.BigDecimal("1.000"), 1)).toDF("conf", "pos")
+    val out = Eval.calibrationBins(df, "conf", "pos", bins = 10).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 9L)
+  }
+
+  // ---- cohenKappa --------------------------------------------------------
+
+  test("cohenKappa: perfect agreement 1, independence ~0, degenerate NULL") {
+    val perfect = (1 to 40).map(i => ("p", i % 2 == 0, i % 2 == 0))
+      .toDF("g", "a", "b")
+    val kp = Eval.cohenKappa(perfect, "g", col("a"), col("b")).collect().head
+    assert(kp.getAs[Double]("kappa") === 1.0 && kp.getAs[Double]("po") === 1.0)
+    // independent raters on a balanced 2x2 grid: agree = 2, n = 4,
+    // pe_num = 1*1+... construct the exact 2x2: (T,T),(T,F),(F,T),(F,F)
+    val indep = Seq(("i", true, true), ("i", true, false),
+      ("i", false, true), ("i", false, false)).toDF("g", "a", "b")
+    val ki = Eval.cohenKappa(indep, "g", col("a"), col("b")).collect().head
+    assert(ki.getAs[Double]("kappa") === 0.0)
+    // all rows in one cell: pe_num = n², kappa NULL
+    val degen = Seq(("d", true, true), ("d", true, true)).toDF("g", "a", "b")
+    val kd = Eval.cohenKappa(degen, "g", col("a"), col("b")).collect().head
+    assert(kd.isNullAt(kd.fieldIndex("kappa")))
+  }
+
+  test("cohenKappa matches the textbook formula on an asymmetric fixture") {
+    // n=10, a1=6, b1=4, agree=6 -> po=.6, pe=(24+24)/100=.48, k=(.6-.48)/.52
+    val rows = Seq.fill(3)(("g", true, true)) ++ Seq.fill(3)(("g", true, false)) ++
+      Seq.fill(1)(("g", false, true)) ++ Seq.fill(3)(("g", false, false))
+    val k = Eval.cohenKappa(rows.toDF("g", "a", "b"), "g", col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa")
+    assert(k === math.rint((0.6 - 0.48) / 0.52 * 1e6) / 1e6)
+  }
+
+  // ---- kAnonymity --------------------------------------------------------
+
+  test("kAnonymity: min class, l-diversity, rows at risk") {
+    val df = Seq(
+      (1, "x", "s1"), (1, "x", "s2"), (1, "x", "s1"), // class (1,x): n=3, l=2
+      (2, "y", "s1"),                                 // class (2,y): n=1, l=1
+      (3, "z", "s1"), (3, "z", "s1")                  // class (3,z): n=2, l=1
+    ).toDF("q1", "q2", "sens")
+    val r = Eval.kAnonymity(df, Seq("q1", "q2"), "sens", k = 3).collect().head
+    assert(r.getAs[Long]("k_anonymity") === 1L)
+    assert(r.getAs[Long]("l_diversity") === 1L)
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("n_small_classes") === 2L)
+    assert(r.getAs[Long]("rows_at_risk") === 3L)
+  }
+
+  // ---- copelandRanking ---------------------------------------------------
+
+  test("copelandRanking: condorcet winner tops, scores bounded, ties counted") {
+    // 3 voters, 3 items; item A beats everything for 2 of 3 voters
+    val rows = Seq(
+      (1L, "A", 3.0), (1L, "B", 2.0), (1L, "C", 1.0),
+      (2L, "A", 3.0), (2L, "B", 1.0), (2L, "C", 2.0),
+      (3L, "A", 1.0), (3L, "B", 3.0), (3L, "C", 2.0)
+    ).toDF("voter", "item", "score")
+    val out = Eval.copelandRanking(rows, "voter", "item", "score")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("copeland2")).toMap
+    assert(out("A") === 4L, "A beats B and C pairwise -> +2 each")
+    assert(out("B") === 2L, "B beats C 2:1 (v1 2>1, v3 3>2)")
+    assert(out("C") === 0L)
+    // total pairwise points are conserved: each unordered pair hands out 2
+    assert(out.values.sum === 3 * 2)
+  }
+
+  test("copelandRanking: a drawn duel scores +1 to both") {
+    val rows = Seq(
+      (1L, "A", 2.0), (1L, "B", 1.0),
+      (2L, "A", 1.0), (2L, "B", 2.0)
+    ).toDF("voter", "item", "score")
+    val out = Eval.copelandRanking(rows, "voter", "item", "score")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("pair_ties"), r.getAs[Long]("copeland2"))).toMap
+    assert(out("A") === ((1L, 1L)) && out("B") === ((1L, 1L)))
+  }
+
+  // ---- ndcgAtK -----------------------------------------------------------
+
+  test("ndcgAtK: ideal ranking scores 1.0; no relevant -> NULL") {
+    // 1 query (id 0, label 1); corpus: two label-1 vectors closest, then noise
+    val mk = (id: Long, v: Array[Float], l: Int) => (id, v, l)
+    val data = Seq(
+      mk(0L, Array(1f, 0f), 1),
+      mk(1L, Array(0.99f, 0.1f), 1),  // rank 1, relevant
+      mk(2L, Array(0.98f, 0.15f), 1), // rank 2, relevant
+      mk(3L, Array(0f, 1f), 2),       // rank 3, not relevant
+      mk(4L, Array(-1f, 0f), 3)       // rank 4, not relevant
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ndcgAtK(data.filter(col("vec_id") === 0), data, k = 10)
+      .collect().head
+    // both relevant docs at the top -> DCG = IDCG -> exactly 1.0
+    assert(out.getAs[Long]("n_relevant") === 2L)
+    assert(out.getAs[Double]("ndcg_at_10") === 1.0)
+    // a query whose label matches nothing -> NULL
+    val lonely = Seq(mk(9L, Array(0.5f, 0.5f), 42)).toDF("vec_id", "embedding", "label")
+    val out2 = Similarity.ndcgAtK(lonely, data.union(lonely), k = 10).collect().head
+    assert(out2.isNullAt(out2.fieldIndex("ndcg_at_10")))
+  }
+
+  test("ndcgAtK: worst placement of one relevant doc gets weight w_k ratio") {
+    // one relevant doc at rank 4 of 4 -> ndcg = w4 / w1 = 0.430677
+    val mk = (id: Long, v: Array[Float], l: Int) => (id, v, l)
+    val data = Seq(
+      mk(0L, Array(1f, 0f), 1),
+      mk(1L, Array(0.9f, 0.1f), 2),
+      mk(2L, Array(0.8f, 0.2f), 3),
+      mk(3L, Array(0.7f, 0.3f), 4),
+      mk(4L, Array(-1f, 0.5f), 1)  // the only relevant, most dissimilar
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ndcgAtK(data.filter(col("vec_id") === 0), data, k = 10)
+      .collect().head
+    assert(out.getAs[Double]("ndcg_at_10") === 0.430677)
+  }
+
+  // ---- cusumChangepoints -------------------------------------------------
+
+  test("cusum closed form equals the max(0, S+x-mu) recurrence; level shift alarms") {
+    // series: 10 quiet days then 5 loud days — a level shift the hi-side
+    // CUSUM must accumulate on; timestamps synthesized per day
+    val counts = Seq.fill(10)(2) ++ Seq.fill(5)(10)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => ("s", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:01")))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val out = TimeSeries.cusumChangepoints(df, "event_type", "ts",
+        threshNum = 1L, threshDen = 2L)
+      .orderBy(col("day")).collect()
+    // replay the recurrence in doubles (D-scaled ints / D = exact here)
+    val dCount = counts.size.toDouble
+    val mean = counts.sum / dCount
+    var st = 0.0
+    val expect = counts.map { x => st = math.max(0.0, st + x - mean); st }
+    out.zip(expect).foreach { case (r, e) =>
+      assert(math.abs(r.getAs[Double]("cusum_hi") - e) < 1e-6,
+        s"day ${r.getAs[java.sql.Date]("day")}") }
+    // the shift fires the hi alarm on the loud tail and never before it
+    val alarms = out.map(_.getAs[Boolean]("alarm_hi")).toSeq
+    assert(!alarms.take(10).exists(identity), "no alarm during the quiet run")
+    assert(alarms.drop(10).exists(identity), "level shift must alarm")
+    // partition-independence (windows are keyed, input order free)
+    val re = TimeSeries.cusumChangepoints(df.repartition(7), "event_type", "ts",
+        threshNum = 1L, threshDen = 2L)
+      .orderBy(col("day")).collect().map(_.getAs[Double]("cusum_hi")).toSeq
+    assert(re === out.map(_.getAs[Double]("cusum_hi")).toSeq)
+  }
+}
