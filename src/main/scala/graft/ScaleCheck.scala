@@ -359,6 +359,23 @@ object ScaleCheck {
         docs.select(col("doc_id"),
           graft.operators.Packing.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", 8))
+    // late-r11 additions: exact one-vs-rest AUC is rows×classes through
+    // ONE class-partitioned window sort + one grouped fold (the ratio is
+    // the sort's n·log n over 10 fixed groups — see Eval.rocAuc's
+    // many-groups caveat); nDCG@10 with a FIXED 16-query panel is one
+    // broadcast cross join, linear in the corpus
+    time("roc_auc_ovr(10)")({
+      val x = emb
+        .select(col("embedding"), col("label"),
+          explode(array((0 until 10).map(i => lit(i)): _*)).as("cls"))
+        .select(col("cls").cast("int").as("cls"),
+          element_at(col("embedding"), col("cls") + 1).cast("double").as("score"),
+          (col("label") === col("cls")).cast("int").as("pos"))
+      graft.operators.Eval.rocAuc(x, "cls", "score", "pos")
+    })
+    time("ndcg_at_10(q=16)")(
+      graft.operators.Similarity.ndcgAtK(
+        emb.filter(col("vec_id") < 16), emb, k = 10))
     spark.stop()
   }
 }
