@@ -6361,6 +6361,349 @@ object QueryCatalog {
       |FROM pr p JOIN pr f ON p.i = f.j AND p.j = f.i
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q12 shape (shipping modes / priority classes): lineitem joined
+    * to orders (fact-fact equi-join on the order key — AQE picks the
+    * side-sized strategy), the ship-year filter pushed to the parquet
+    * scan, then CASE-counts of high- vs low-priority lines per class
+    * (`l_returnflag` stands in for the absent `l_shipmode`). */
+  def q225ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q225Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q2 shape (min-cost supplier): the correlated min-subquery
+    * decorrelated into a part-partitioned window min. The testdata has no
+    * partsupp, so supply cost derives from lineitem as the per-(part,
+    * supplier) minimum observed price — same join topology: derived ps ⋈
+    * filtered part ⋈ (supplier ⋈ nation ⋈ region, dims broadcast), then
+    * keep the per-part cost minimum within the region. */
+  def q226MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("cost"))
+    val p = t(s, dir, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select(col("p_partkey"))
+    val eu = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("_best", min(col("cost")).over(
+        Window.partitionBy(col("p_partkey"))))
+      .filter(col("cost") === col("_best"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost").cast("double").as("cost"))
+  }
+
+  val q226Sql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |c AS (SELECT p_partkey, s_name, s_acctbal, n_name, cost,
+      |    min(cost) OVER (PARTITION BY p_partkey) AS best
+      |  FROM ps JOIN part ON l_partkey = p_partkey
+      |    JOIN eu ON l_suppkey = s_suppkey
+      |  WHERE p_size <= 10 AND p_type = 'LARGE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey,
+      |  CAST(cost AS DOUBLE) AS cost
+      |FROM c WHERE cost = best
+      |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part value from one nation's
+    * suppliers vs a global-threshold scalar — the HAVING-over-subquery
+    * rewritten division-free: `value·1000 > total` in exact DECIMAL (the
+    * 0.1% importance cut), with the one-row total broadcast. */
+  def q227ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select(col("s_suppkey"))
+    val v = t(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("_val"))
+    val tot = v.agg(sum(col("_val")).as("_tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("_val") * 1000 > col("_tot"))
+      .select(col("l_partkey"), col("_val").cast("double").as("value"))
+  }
+
+  val q227Sql: String =
+    """WITH v AS (SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7' GROUP BY 1),
+      |t AS (SELECT sum(val) AS tot FROM v)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      |FROM v, t WHERE val * 1000 > tot""".stripMargin
+
+  /** TPC-H Q16 shape (supplier counts by part attributes): the derived
+    * (part, supplier) pairs against a filtered part dim, suppliers with
+    * negative balance excluded (the Q16 complaints exclusion adapted),
+    * COUNT(DISTINCT supplier) per (brand, type, size). */
+  def q228SupplierPartCounts(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    val ok = t(s, dir, "supplier").filter(col("s_acctbal") >= 0)
+      .select(col("s_suppkey"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(ok), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q228Sql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1,4,9,14,19,24,29,34,39,44)
+      |  AND s_acctbal >= 0
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q20 shape (suppliers over a volume threshold): per-(supplier,
+    * part) shipped quantity in the probe year vs lifetime, kept when the
+    * year holds >20% of lifetime volume — division-free `5·qty_y > qty`
+    * in BIGINTs (quantities are whole-valued) — then the survivor
+    * suppliers resolved through the region dims. The availqty>½·shipped
+    * correlation of the original, re-anchored on derivable columns. */
+  def q229SurgeSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"))
+    val inYear = col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+      col("l_shipdate").cast("date") < lit("1998-01-01").cast("date")
+    val a = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(inYear, col("l_quantity").cast("long")).otherwise(0L)).as("_qy"),
+        sum(col("l_quantity").cast("long")).as("_qt"))
+    val hot = a.filter(col("_qy") * 5 > col("_qt"))
+      .select(col("l_suppkey")).distinct()
+    hot
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("s_name"), col("n_name"))
+  }
+
+  val q229Sql: String =
+    """WITH a AS (SELECT l_suppkey,
+      |    sum(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qy,
+      |    sum(CAST(l_quantity AS BIGINT)) AS qt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%widget%'
+      |  GROUP BY l_suppkey, l_partkey),
+      |hot AS (SELECT DISTINCT l_suppkey FROM a WHERE qy * 5 > qt)
+      |SELECT s_name, n_name
+      |FROM hot JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'""".stripMargin
+
+  /** Market-basket association rules (Baskets.associationRules): parts
+    * co-purchased per order, pair support ≥ 2, confidence and the exact
+    * integer lift verdict. The pair fan-out is a basket-key self-join
+    * with the hot-basket cap — never a cartesian. */
+  def q230AssociationRules(s: SparkSession, dir: String): DataFrame =
+    operators.Baskets.associationRules(t(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minPairCount = 2L)
+
+  val q230Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |  FROM lineitem),
+      |sz AS (SELECT bk, count(*) AS bs FROM b GROUP BY 1),
+      |k AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk) WHERE bs <= 256),
+      |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM k),
+      |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
+      |p AS (SELECT a.it AS item_a, b2.it AS item_b,
+      |    CAST(count(*) AS BIGINT) AS pair_cnt
+      |  FROM k a JOIN k b2 ON a.bk = b2.bk AND a.it < b2.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, pair_cnt, ca.c AS cnt_a, cb.c AS cnt_b,
+      |  n_baskets,
+      |  round(CAST(pair_cnt AS DOUBLE) / ca.c, 6) AS confidence,
+      |  pair_cnt * n_baskets > ca.c * cb.c AS lift_gt1
+      |FROM p JOIN ic ca ON item_a = ca.it JOIN ic cb ON item_b = cb.it, n""".stripMargin
+
+  /** First-order Markov transitions (Events.markovTransitions): the
+    * session-flow "what happens after X" counts + row-stochastic
+    * probabilities, successor pairs from one unit-partitioned lead
+    * window with the event-id tie-break. */
+  def q231EventTransitions(s: SparkSession, dir: String): DataFrame =
+    operators.Events.markovTransitions(t(s, dir, "events"))
+
+  val q231Sql: String =
+    """WITH st AS (SELECT event_type AS from_event,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_event
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |c AS (SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM st WHERE to_event IS NOT NULL GROUP BY 1, 2),
+      |tt AS (SELECT from_event, CAST(sum(cnt) AS BIGINT) AS from_total
+      |  FROM c GROUP BY 1)
+      |SELECT from_event, to_event, cnt, from_total,
+      |  round(CAST(cnt AS DOUBLE) / from_total, 6) AS prob
+      |FROM c JOIN tt USING (from_event)""".stripMargin
+
+  /** Kaplan-Meier life table (Survival.kaplanMeier): per-user activity
+    * spans, churn event = quiet ≥7 days before the as-of timestamp,
+    * survivor curve carried in log domain as an exact sum of per-term
+    * rounded-decimal lns (the catalog's KL/LM transcendental
+    * discipline). */
+  def q232SurvivalKm(s: SparkSession, dir: String): DataFrame =
+    operators.Survival.kaplanMeier(t(s, dir, "events"), censorDays = 7)
+
+  val q232Sql: String =
+    """WITH u AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |sp AS (SELECT user_id, min(tu) AS f, max(tu) AS l FROM u GROUP BY 1),
+      |ao AS (SELECT max(tu) AS t_end FROM u),
+      |pu AS (SELECT CAST((l - f) // 86400000000 AS BIGINT) AS dur_days,
+      |    CASE WHEN l < t_end - 604800000000 THEN 1 ELSE 0 END AS ev
+      |  FROM sp, ao),
+      |tb AS (SELECT dur_days, CAST(sum(ev) AS BIGINT) AS n_event,
+      |    CAST(sum(1 - ev) AS BIGINT) AS n_censored,
+      |    CAST(count(*) AS BIGINT) AS nd
+      |  FROM pu GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM pu),
+      |rk AS (SELECT *, tot - (sum(nd) OVER (ORDER BY dur_days
+      |    ROWS UNBOUNDED PRECEDING) - nd) AS n_risk FROM tb, tt),
+      |tm AS (SELECT *, CASE
+      |    WHEN n_event > 0 AND n_risk = n_event
+      |      THEN CAST(-13.815511 AS DECIMAL(12,6))
+      |    WHEN n_event > 0 THEN CAST(round(ln(
+      |      CAST(n_risk - n_event AS DOUBLE) / n_risk), 6) AS DECIMAL(12,6))
+      |    ELSE CAST(0 AS DECIMAL(12,6)) END AS term FROM rk)
+      |SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk, n_event, n_censored,
+      |  round(CAST(n_event AS DOUBLE) / n_risk, 6) AS hazard,
+      |  CAST(sum(term) OVER (ORDER BY dur_days ROWS UNBOUNDED PRECEDING)
+      |    AS DOUBLE) AS log_survival
+      |FROM tm""".stripMargin
+
+  /** Two-proportion A/B verdict (Eval.twoProportionTest): user-parity
+    * variants, per-event-type conversion rates, the z-test squared and
+    * cross-multiplied into one exact DECIMAL(38,0) inequality — no
+    * square root, no float in the verdict. */
+  def q233AbVerdict(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.twoProportionTest(t(s, dir, "events"),
+      "user_id", "event_type", pmod(col("user_id"), lit(2)))
+
+  val q233Sql: String =
+    """WITH b AS (SELECT user_id AS u, event_type AS metric,
+      |    CAST(user_id % 2 AS BIGINT) AS v
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |e AS (SELECT v, CAST(count(DISTINCT u) AS BIGINT) AS n
+      |  FROM (SELECT DISTINCT u, v FROM b) GROUP BY 1),
+      |nn AS (SELECT CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n0 FROM e),
+      |cv AS (SELECT metric,
+      |    CAST(count(DISTINCT CASE WHEN v = 1 THEN u END) AS BIGINT) AS x1,
+      |    CAST(count(DISTINCT CASE WHEN v = 0 THEN u END) AS BIGINT) AS x0
+      |  FROM b GROUP BY 1)
+      |SELECT metric, n1, x1, n0, x0,
+      |  round(CAST(x1 * n0 - x0 * n1 AS DOUBLE) / (n1 * n0), 6) + 0 AS effect,
+      |  CAST(x1 * n0 - x0 * n1 AS DECIMAL(38,0))
+      |    * CAST(x1 * n0 - x0 * n1 AS DECIMAL(38,0))
+      |    * (n1 + n0) * 100 * 100 >
+      |  CAST(196 AS DECIMAL(38,0)) * 196
+      |    * CAST(x1 + x0 AS DECIMAL(38,0))
+      |    * ((n1 + n0) - (x1 + x0)) * n1 * n0 AS significant
+      |FROM cv, nn""".stripMargin
+
+  /** 2-D Pareto skyline (Skyline.paretoFront2d): the part-catalog
+    * price-vs-size frontier via the bucketed O(n log n) sorted-scan —
+    * the oracle replays the textbook O(n²) NOT-EXISTS definition, so two
+    * independent algorithms cross-check. */
+  def q234ParetoFront(s: SparkSession, dir: String): DataFrame =
+    operators.Skyline.paretoFront2d(
+      t(s, dir, "part").select(col("p_retailprice"),
+        col("p_size").cast("long").as("p_size")),
+      "p_retailprice", "p_size")
+
+  val q234Sql: String =
+    """WITH g AS (SELECT p_retailprice AS v_min, CAST(p_size AS BIGINT) AS v_max,
+      |    CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1, 2),
+      |pm AS (SELECT v_min, v_max, n AS n_rows FROM (
+      |    SELECT *, max(v_max) OVER (PARTITION BY v_min) AS b FROM g)
+      |  WHERE v_max = b)
+      |SELECT v_min, v_max, n_rows FROM pm p1
+      |WHERE NOT EXISTS (SELECT 1 FROM pm p2
+      |  WHERE p2.v_min < p1.v_min AND p2.v_max >= p1.v_max)""".stripMargin
+
+  /** Functional-dependency audit (Expectations.fdAudit): schema-contract
+    * verdicts — "does the unit key determine the event type?" (it does
+    * not — behavioral data) vs "does the event id?" (a key — zero
+    * violations), one summary row per claimed FD. */
+  def q235FdAudit(s: SparkSession, dir: String): DataFrame =
+    operators.Expectations.fdAudit(t(s, dir, "events"),
+      Seq((Seq("user_id"), "event_type"), (Seq("event_id"), "event_type")))
+
+  val q235Sql: String =
+    """WITH g1 AS (SELECT user_id, count(DISTINCT event_type) AS d,
+      |    count(*) AS n FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+      |a1 AS (SELECT 'user_id->event_type' AS fd,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS violating_groups,
+      |    CAST(coalesce(sum(CASE WHEN d > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+      |      AS violating_rows,
+      |    CAST(coalesce(max(d), 0) AS BIGINT) AS max_rhs_per_group FROM g1),
+      |g2 AS (SELECT event_id, count(DISTINCT event_type) AS d,
+      |    count(*) AS n FROM events
+      |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+      |a2 AS (SELECT 'event_id->event_type' AS fd,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS violating_groups,
+      |    CAST(coalesce(sum(CASE WHEN d > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+      |      AS violating_rows,
+      |    CAST(coalesce(max(d), 0) AS BIGINT) AS max_rhs_per_group FROM g2)
+      |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -6590,7 +6933,18 @@ object QueryCatalog {
     ("q221_ndcg", q221Ndcg _, Some(q221Sql)),
     ("q222_k_anonymity", q222KAnonymity _, Some(q222Sql)),
     ("q223_cusum_changepoints", q223CusumChangepoints _, Some(q223Sql)),
-    ("q224_copeland_preference", q224CopelandPreference _, Some(q224Sql)))
+    ("q224_copeland_preference", q224CopelandPreference _, Some(q224Sql)),
+    ("q225_shipping_priority", q225ShippingPriority _, Some(q225Sql)),
+    ("q226_min_cost_supplier", q226MinCostSupplier _, Some(q226Sql)),
+    ("q227_important_stock", q227ImportantStock _, Some(q227Sql)),
+    ("q228_supplier_part_counts", q228SupplierPartCounts _, Some(q228Sql)),
+    ("q229_surge_suppliers", q229SurgeSuppliers _, Some(q229Sql)),
+    ("q230_association_rules", q230AssociationRules _, Some(q230Sql)),
+    ("q231_event_transitions", q231EventTransitions _, Some(q231Sql)),
+    ("q232_survival_km", q232SurvivalKm _, Some(q232Sql)),
+    ("q233_ab_verdict", q233AbVerdict _, Some(q233Sql)),
+    ("q234_pareto_front", q234ParetoFront _, Some(q234Sql)),
+    ("q235_fd_audit", q235FdAudit _, Some(q235Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -199,4 +199,62 @@ object Eval {
           .when(col("_w") === col("_wr"), 1L).otherwise(0L)).as("copeland2"))
       .withColumnRenamed("_i", "item")
   }
+
+  /** Division-free two-proportion z-test — the A/B experiment readout,
+    * one verdict row per metric: does variant 1's unit-conversion rate to
+    * that metric differ from variant 0's at the given critical value?
+    *
+    * The textbook test `|p₁−p₀| > z·√(p̂(1−p̂)(1/n₁+1/n₀))` is squared and
+    * cross-multiplied into one INTEGER inequality over DECIMAL(38,0)
+    * operands. Headroom: the left side is `(x₁n₀−x₀n₁)²·N·critDen²`
+    * ≲ n⁵·10⁴, inside DECIMAL(38,0) for per-variant unit counts to
+    * ~5·10⁶ — past that Spark's 38-digit cap NULLs the product
+    * (non-ANSI) rather than corrupting it, and the experiment should be
+    * read per-stratum (where the identity is then exact again):
+    *
+    *   (x₁n₀ − x₀n₁)² · N · critDen  >  critNum² · X(N−X) · n₁ · n₀
+    *
+    * with X = x₁+x₀, N = n₁+n₀ and z = critNum/critDen (default
+    * 196/100 = 1.96, the two-sided 5% level) — no square root, no float,
+    * so the DuckDB oracle replays the verdict bit-for-bit. The only
+    * double is the effect-size readout, divided once, rounded once, and
+    * zero-canonicalized (a −0.0 effect would flip the driver's
+    * bit-pattern hash).
+    *
+    * Plan shape: exposure counts per variant (one aggregate over units),
+    * conversion counts per (metric, variant) (one distinct-unit
+    * aggregate), then a ≤-variants-wide broadcast — count-shaped at any
+    * scale.
+    *
+    * @param variant 0/1 assignment expression over the input columns
+    *                (deterministic — e.g. `pmod(col("user_id"), 2)`)
+    */
+  def twoProportionTest(df: DataFrame, unitCol: String, metricCol: String,
+                        variant: Column, critNum: Long = 196L,
+                        critDen: Long = 100L): DataFrame = {
+    require(critNum > 0 && critDen > 0, "critical value must be positive")
+    val base = df.filter(col(unitCol).isNotNull && col(metricCol).isNotNull)
+      .select(col(unitCol).as("_u"), col(metricCol).as("metric"),
+        variant.cast("long").as("_v"))
+    val exposed = base.select(col("_u"), col("_v")).distinct()
+      .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+    val nRow = exposed.groupBy()
+      .agg(sum(when(col("_v") === 1L, col("_n"))).as("n1"),
+        sum(when(col("_v") === 0L, col("_n"))).as("n0"))
+    val conv = base.groupBy(col("metric"))
+      .agg(countDistinct(when(col("_v") === 1L, col("_u"))).as("x1"),
+        countDistinct(when(col("_v") === 0L, col("_u"))).as("x0"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val num = d38(col("x1") * col("n0") - col("x0") * col("n1"))
+    val bigN = d38(col("n1") + col("n0"))
+    val bigX = d38(col("x1") + col("x0"))
+    conv.crossJoin(broadcast(nRow))
+      .select(col("metric"), col("n1"), col("x1"), col("n0"), col("x0"),
+        Stats.canonZero(round(
+          (col("x1") * col("n0") - col("x0") * col("n1")).cast("double") /
+            (col("n1") * col("n0")).cast("double"), 6)).as("effect"),
+        (num * num * bigN * d38(lit(critDen)) * d38(lit(critDen)) >
+          d38(lit(critNum)) * d38(lit(critNum)) * bigX * (bigN - bigX) *
+            d38(col("n1")) * d38(col("n0"))).as("significant"))
+  }
 }

@@ -197,4 +197,40 @@ object Events {
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
   }
+
+  /** First-order Markov transition counts over per-unit event sequences —
+    * the "what happens after X" path-analysis primitive (session flow
+    * graphs, curriculum-order audits).
+    *
+    * Each unit's events are ordered by timestamp with `idCol` as the
+    * deterministic tie-break (same-µs events otherwise make `lead`
+    * nondeterministic under shuffle); successor pairs come from ONE
+    * unit-partitioned `lead` window — each unit sorts only its own rows,
+    * no global sort, no self-join. Then two key-partitioned aggregates:
+    * (from,to) counts and from-totals (a second small aggregate joined
+    * back — the from-state alphabet, not the event count).
+    *
+    * Output: `from_event`, `to_event`, `cnt`, `from_total`,
+    * `prob` = round(cnt/from_total, 6) — one division at readout. */
+  def markovTransitions(events: DataFrame, unitCol: String = "user_id",
+                        tsCol: String = "ts", typeCol: String = "event_type",
+                        idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(unitCol))
+      .orderBy(Times.epochMicros(col(tsCol)).asc, col(idCol).asc)
+    val steps = events
+      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(unitCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_event"))
+      .withColumn("to_event", lead(col("from_event"), 1).over(w))
+      .filter(col("to_event").isNotNull)
+    val cnts = steps.groupBy(col("from_event"), col("to_event"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnts.groupBy(col("from_event"))
+      .agg(sum(col("cnt")).as("from_total"))
+    cnts.join(totals, "from_event")
+      .select(col("from_event"), col("to_event"), col("cnt"),
+        col("from_total"),
+        round(col("cnt").cast("double") / col("from_total"), 6).as("prob"))
+  }
 }

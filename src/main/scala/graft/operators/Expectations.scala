@@ -84,4 +84,35 @@ object Expectations {
       .reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Functional-dependency audit — "does LHS determine RHS?" as a
+    * verdict row per claimed dependency: the schema-contract companion
+    * to [[audit]] (uniqueness is the special case LHS = key, RHS = the
+    * whole row). A NULL on either side is excluded up front — FD
+    * semantics over NULLs are ambiguous, and the null-completeness rule
+    * belongs to [[audit]].
+    *
+    * One (LHS → distinct-RHS, rows) aggregate per dependency, then a
+    * one-row summary fold — two key-partitioned aggregates each, no
+    * joins. Output per FD: `fd` (name), `n_groups`, `violating_groups`
+    * (LHS values mapping to >1 RHS), `violating_rows` (rows under those
+    * LHS values), `max_rhs_per_group`. */
+  def fdAudit(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "need at least one functional dependency")
+    fds.map { case (lhs, rhs) =>
+      require(lhs.nonEmpty, s"FD for '$rhs' needs LHS columns")
+      val name = s"${lhs.mkString(",")}->$rhs"
+      val nonNull = (lhs :+ rhs).map(col(_).isNotNull).reduce(_ && _)
+      df.filter(nonNull)
+        .groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("_d"), count(lit(1)).as("_n"))
+        .agg(lit(name).as("fd"),
+          count(lit(1)).as("n_groups"),
+          coalesce(sum((col("_d") > 1L).cast("long")), lit(0L))
+            .as("violating_groups"),
+          coalesce(sum(when(col("_d") > 1L, col("_n")).otherwise(0L)),
+            lit(0L)).as("violating_rows"),
+          coalesce(max(col("_d")), lit(0L)).as("max_rhs_per_group"))
+    }.reduce(_ unionByName _)
+  }
 }
