@@ -6704,6 +6704,49 @@ object QueryCatalog {
       |    CAST(coalesce(max(d), 0) AS BIGINT) AS max_rhs_per_group FROM g2)
       |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin
 
+  /** PNG decode through the REAL DEFLATE codec (MediaCodecs.encodePng/
+    * decodePng — adaptive per-row filters, zlib via java.util.zip,
+    * chunk CRCs verified): synth pixels → compressed PNG bytes → decode;
+    * LOSSLESSNESS is the proof — the oracle recomputes channel sums
+    * from the source formulas, so any LZ77/Huffman/filter bug breaks
+    * the hash. Same fixture formulas as the BMP (q145) and QOI (q181)
+    * twins: three containers, one pixel truth. */
+  def q236PngDecode(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.decodePngFeatures(
+      operators.Multimodal.synthPngAssets(t(s, dir, "documents"), "doc_id")).toDF()
+      .select(col("asset_id"), col("ok"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
+  val q236Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height FROM documents),
+      |pi AS (SELECT asset_id, width, height,
+      |    unnest(generate_series(0, width - 1)) AS x FROM d),
+      |pj AS (SELECT asset_id, width, height, x,
+      |    unnest(generate_series(0, height - 1)) AS y FROM pi)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, width, height,
+      |  CAST(sum((asset_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((2 * asset_id + x + 7 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((5 * asset_id + 11 * x + y) % 256) AS BIGINT) AS sum_b
+      |FROM pj GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Gzip text inflate-and-fingerprint (Compressed.gunzipTextFeatures):
+    * the web-crawl ingest shape — documents arrive as real gzip members
+    * (java.util.zip, bomb-capped), the decoded PLAINTEXT is
+    * fingerprinted. Oracle computes strlen/md5 from the source column
+    * without seeing a gzip byte, so the hash proves DEFLATE round-trip
+    * fidelity on text. */
+  def q237GzipText(s: SparkSession, dir: String): DataFrame =
+    operators.Compressed.gunzipTextFeatures(
+      operators.Compressed.synthGzipDocs(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+
+  val q237Sql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS ok,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -6944,7 +6987,9 @@ object QueryCatalog {
     ("q232_survival_km", q232SurvivalKm _, Some(q232Sql)),
     ("q233_ab_verdict", q233AbVerdict _, Some(q233Sql)),
     ("q234_pareto_front", q234ParetoFront _, Some(q234Sql)),
-    ("q235_fd_audit", q235FdAudit _, Some(q235Sql)))
+    ("q235_fd_audit", q235FdAudit _, Some(q235Sql)),
+    ("q236_png_decode", q236PngDecode _, Some(q236Sql)),
+    ("q237_gzip_text", q237GzipText _, Some(q237Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1,12 +1,13 @@
 package graft.operators
 
-/** Pure-JVM media codecs for the container formats that are byte-format
-  * PARSES, not codec work: RIFF/WAVE PCM audio and uncompressed 24-bit
-  * BMP images. No external library — plain header/chunk arithmetic — so
-  * the sandbox constraint ("no image/audio codecs installed") does not
-  * apply, and [[Multimodal]]'s decode path is REAL for these formats
-  * (compressed formats — JPEG/MP3/H.264 — still enter through the
-  * [[Multimodal.Decoder]] trait and need a real codec behind it).
+/** Pure-JVM media codecs — no external library, so the sandbox
+  * constraint ("no image/audio codecs installed") does not apply and
+  * [[Multimodal]]'s decode path is REAL for every format here:
+  * byte-format parses (RIFF/WAVE PCM, uncompressed 24-bit BMP), the
+  * G.711 µ-law compander, QOI (run-length/index/delta), and PNG —
+  * actual DEFLATE entropy coding via `java.util.zip`, which IS zlib.
+  * Transform-coded formats (JPEG/MP3/H.264) still enter through the
+  * [[Multimodal.Decoder]] trait and need a real codec behind it.
   *
   * Decoders are strict-but-total: any malformed payload (bad magic,
   * truncated chunk, unsupported variant) returns None — never throws —
@@ -592,4 +593,234 @@ object MediaCodecs {
     if (out != n) return None
     Some(BmpData(w.toInt, h.toInt, px))
   }
+
+  // ---------------------------------------------------------------------
+  // PNG (ISO/IEC 15948 / RFC 2083) — the ubiquitous DEFLATE-compressed
+  // lossless image format, and the first REAL entropy-coded codec in this
+  // file: java.util.zip's Deflater/Inflater IS zlib (LZ77 + Huffman), so
+  // nothing here is a stub. Scope: 8-bit depth, color types 0 (gray),
+  // 2 (RGB), 6 (RGBA), no interlace — the overwhelming majority of
+  // machine-generated PNGs. Adam7/palette/16-bit return None (honest
+  // strict-but-total contract, same as the other decoders).
+  // ---------------------------------------------------------------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                       data: Array[Byte]): Unit = {
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(data.length)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(data)
+    be32(crc.getValue.toInt)
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — exact integer form. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode row-major 0xRRGGBB pixels as an 8-bit truecolor PNG with the
+    * libpng heuristic: per row, try all five filters and keep the one
+    * minimizing Σ|signed filtered byte| — so real encodes exercise every
+    * unfilter path, and round-trip tests prove all of them. IDAT is split
+    * at 8 KiB so decoders must handle multi-chunk streams (ours does). */
+  def encodePng(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((1 + stride) * height)
+    val prior = new Array[Byte](stride)   // unfiltered previous row
+    val cur = new Array[Byte](stride)
+    val cand = new Array[Byte](stride)
+    val best = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = px(x, y)
+        cur(x * 3) = ((p >> 16) & 0xff).toByte
+        cur(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        cur(x * 3 + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      var bestF = 0; var bestScore = Long.MaxValue
+      var f = 0
+      while (f < 5) {
+        var score = 0L
+        var i = 0
+        while (i < stride && score < bestScore) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          val b = if (y > 0) prior(i) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) prior(i - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => cur(i) & 0xff
+            case 1 => (cur(i) & 0xff) - a
+            case 2 => (cur(i) & 0xff) - b
+            case 3 => (cur(i) & 0xff) - (a + b) / 2
+            case _ => (cur(i) & 0xff) - paeth(a, b, c)
+          }
+          val sb = v.toByte
+          cand(i) = sb
+          score += math.abs(sb.toInt)
+          i += 1
+        }
+        if (i == stride && score < bestScore) {
+          bestScore = score; bestF = f
+          System.arraycopy(cand, 0, best, 0, stride)
+        }
+        f += 1
+      }
+      raw(y * (1 + stride)) = bestF.toByte
+      System.arraycopy(best, 0, raw, y * (1 + stride) + 1, stride)
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    // zlib-wrap via the real Deflater
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      zout.write(buf, 0, n)
+    }
+    defl.end()
+    val z = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream(z.length + 128)
+    out.write(PngSig, 0, 8)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(2.toByte)      // bit depth 8, truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter0, no interlace
+    pngChunk(out, "IHDR", ihdr.array())
+    var off = 0
+    while (off < z.length) {              // multi-IDAT split
+      val n = math.min(8192, z.length - off)
+      pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, off, off + n))
+      off += n
+    }
+    if (z.isEmpty) pngChunk(out, "IDAT", Array.emptyByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit gray/RGB/RGBA non-interlaced PNG to [[BmpData]]
+    * (gray replicated to RGB, alpha dropped). Chunk CRCs are VERIFIED —
+    * a flipped payload bit is detected, not silently decoded. None on
+    * any unsupported variant or malformed framing; never throws. */
+  def decodePng(bytes: Array[Byte]): Option[BmpData] = {
+    if (bytes == null || bytes.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    var pos = 8
+    var w = 0L; var h = 0L; var colorType = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32
+    while (pos + 12 <= bytes.length && !sawIend) {
+      val len = u32be(bytes, pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length) return None
+      val dataOff = pos + 8
+      val dataLen = len.toInt
+      crc.reset()
+      crc.update(bytes, pos + 4, 4 + dataLen)
+      if ((crc.getValue & 0xffffffffL) != u32be(bytes, dataOff + dataLen))
+        return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || dataLen != 13) return None
+          sawIhdr = true
+          w = u32be(bytes, dataOff); h = u32be(bytes, dataOff + 4)
+          val depth = bytes(dataOff + 8) & 0xff
+          colorType = bytes(dataOff + 9) & 0xff
+          val (comp, filt, inter) = (bytes(dataOff + 10) & 0xff,
+            bytes(dataOff + 11) & 0xff, bytes(dataOff + 12) & 0xff)
+          // bound each dim BEFORE multiplying (the decodeBmp hardening)
+          if (w <= 0 || h <= 0 || w > 64000000L || h > 64000000L ||
+              w * h > 64000000L) return None
+          if (depth != 8 || comp != 0 || filt != 0 || inter != 0 ||
+              (colorType != 0 && colorType != 2 && colorType != 6)) return None
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(bytes, dataOff, dataLen)
+        case "IEND" => sawIend = true
+        case _ => // ancillary (tEXt, pHYs, gAMA, …) — skip
+          if (!sawIhdr) return None
+      }
+      pos = dataOff + dataLen + 4
+    }
+    if (!sawIhdr || !sawIend) return None
+    val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = (w * channels).toInt
+    val rawLen = (1L + stride) * h
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        if (n == 0 && infl.needsInput()) return None // truncated stream
+        got += n
+      }
+      // a correct stream yields EXACTLY the filtered-scanline byte count
+      if (got != raw.length || !(infl.finished() ||
+          infl.inflate(new Array[Byte](1)) == 0 && infl.finished()))
+        return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally infl.end()
+    val width = w.toInt; val height = h.toInt
+    val px = new Array[Int](width * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1
+      val filter = raw(rowOff - 1) & 0xff
+      if (filter > 4) return None
+      var i2 = 0
+      while (i2 < stride) {
+        val priorOff = rowOff - 1 - stride     // previous row's recon'd bytes
+        val a = if (i2 >= bpp) raw(rowOff + i2 - bpp) & 0xff else 0
+        val b = if (y > 0) raw(priorOff + i2) & 0xff else 0
+        val c = if (y > 0 && i2 >= bpp) raw(priorOff + i2 - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => raw(rowOff + i2) & 0xff
+          case 1 => ((raw(rowOff + i2) & 0xff) + a) & 0xff
+          case 2 => ((raw(rowOff + i2) & 0xff) + b) & 0xff
+          case 3 => ((raw(rowOff + i2) & 0xff) + (a + b) / 2) & 0xff
+          case _ => ((raw(rowOff + i2) & 0xff) + paeth(a, b, c)) & 0xff
+        }
+        raw(rowOff + i2) = recon.toByte  // in place: next bytes read recon'd
+        i2 += 1
+      }
+      var x = 0
+      while (x < width) {
+        val o = rowOff + x * bpp
+        val (r, g, bl) = colorType match {
+          case 0 => val v = raw(o) & 0xff; (v, v, v)
+          case _ => (raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+        }
+        px(y * width + x) = (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpData(width, height, px))
+  }
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 }

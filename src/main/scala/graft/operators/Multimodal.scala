@@ -640,6 +640,38 @@ object Multimodal {
     toAssets(rows, "asset_id", "payload", "image/qoi")
   }
 
+  /** PNG twin of [[decodeBmpFeatures]] — REAL DEFLATE-compressed decode
+    * ([[MediaCodecs.decodePng]]: zlib inflate + all five PNG filter
+    * reconstructions + chunk-CRC verification). PNG is LOSSLESS, so the
+    * decoded channel sums must equal the source formulas bit-for-bit —
+    * the oracle checks LZ77/Huffman round-trip fidelity, not just
+    * plumbing. */
+  def decodePngFeatures(assets: DataFrame): Dataset[BmpFeatureRow] =
+    bmpFeaturesWith(assets, MediaCodecs.decodePng)
+
+  /** PNG fixture: the [[synthBmpAssets]] pixel formulas through the REAL
+    * PNG encoder (adaptive per-row filter choice + Deflater), same dims/
+    * content as the BMP and QOI twins. */
+  def synthPngAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 9).toInt
+          val bytes = MediaCodecs.encodePng(w, h, (x, y) => {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + x + 7L * y) % 256).toInt
+            val b = ((5L * id + 11L * x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/png")
+  }
+
   /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,
     * r(x,y) = (id + 3x + 5y) mod 256, g = (2id + x + 7y) mod 256,
     * b = (5id + 11x + y) mod 256. */

@@ -475,4 +475,192 @@ class MediaSpec extends SparkSpec {
     val small = resized.find(r => r.width.get == 8 && r.height.get == 8).get
     assert(small.out_width.get === 8 && small.out_height.get === 8)
   }
+
+  // ---- PNG ----
+
+  /** Frame hand-authored filtered scanlines into a real PNG: zlib via
+    * the JDK's Deflater and CRCs via the JDK's CRC32 (both TRUSTED
+    * third-party code, not our encoder), so the decoder's chunk walk,
+    * inflate loop, and all five unfilter reconstructions are tested
+    * independently of encodePng. */
+  private def framePng(w: Int, h: Int, colorType: Int, depth: Int,
+                       interlace: Int, raw: Array[Byte],
+                       corruptCrc: Boolean = false): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte], breakCrc: Boolean = false): Unit = {
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      be32(data.length); out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue.toInt ^ (if (breakCrc) 0xdeadbeef else 0))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("tEXt", "graft fixture".getBytes("US-ASCII")) // ancillary: skipped
+    chunk("IDAT", zout.toByteArray, breakCrc = corruptCrc)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("png: hand-built scanlines exercise all five unfilter reconstructions") {
+    // 2x5 RGB, one row per filter: Sub, Up, Average, Paeth, None —
+    // expected pixels computed BY HAND from the spec's recon formulas
+    val raw = Array[Int](
+      1, 10, 20, 30, 5, 5, 5,
+      2, 1, 2, 3, 4, 5, 6,
+      3, 10, 10, 10, 10, 10, 10,
+      4, 1, 1, 1, 2, 2, 2,
+      0, 100, 101, 102, 103, 104, 105).map(_.toByte)
+    val img = MediaCodecs.decodePng(framePng(2, 5, 2, 8, 0, raw)).get
+    assert(img.width === 2 && img.height === 5)
+    val px = img.pixels.map(p => ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
+    assert(px(0) === ((10, 20, 30)) && px(1) === ((15, 25, 35)), "Sub adds left")
+    assert(px(2) === ((11, 22, 33)) && px(3) === ((19, 30, 41)), "Up adds above")
+    assert(px(4) === ((15, 21, 26)) && px(5) === ((27, 35, 43)),
+      "Average adds floor((left+above)/2)")
+    assert(px(6) === ((16, 22, 27)) && px(7) === ((29, 37, 45)),
+      "Paeth picks the nearest predictor")
+    assert(px(8) === ((100, 101, 102)) && px(9) === ((103, 104, 105)), "None")
+  }
+
+  test("png: gray and RGBA variants; strict rejects; CRC verification") {
+    import MediaCodecs.decodePng
+    // gray (color type 0): 2x2, filter None — replicated to RGB
+    val gray = decodePng(framePng(2, 2, 0, 8, 0,
+      Array[Int](0, 7, 200, 0, 55, 255).map(_.toByte))).get
+    assert(gray.pixels.toSeq === Seq(0x070707, 0xc8c8c8, 0x373737, 0xffffff))
+    // RGBA (color type 6): 1x2, alpha dropped
+    val rgba = decodePng(framePng(1, 2, 6, 8, 0,
+      Array[Int](0, 1, 2, 3, 9, 0, 4, 5, 6, 200).map(_.toByte))).get
+    assert(rgba.pixels.toSeq === Seq(0x010203, 0x040506))
+    val raw22 = Array[Int](0, 1, 2, 3, 4, 5, 6,
+      0, 7, 8, 9, 10, 11, 12).map(_.toByte)
+    assert(decodePng(framePng(2, 2, 2, 8, 0, raw22)).isDefined, "baseline ok")
+    assert(decodePng(framePng(2, 2, 2, 8, 1, raw22)).isEmpty, "Adam7 rejected")
+    assert(decodePng(framePng(2, 2, 2, 16, 0, raw22)).isEmpty, "16-bit rejected")
+    assert(decodePng(framePng(2, 2, 3, 8, 0, raw22)).isEmpty, "palette rejected")
+    assert(decodePng(framePng(2, 2, 2, 8, 0, raw22, corruptCrc = true)).isEmpty,
+      "a flipped chunk CRC must be DETECTED, not decoded through")
+    assert(decodePng(framePng(2, 2, 2, 8, 0, raw22.dropRight(3))).isEmpty,
+      "short raw stream (inflate ends early) rejected")
+    assert(decodePng(framePng(2, 2, 2, 8, 0,
+      raw22 ++ Array[Byte](1, 2, 3))).isEmpty, "overlong raw stream rejected")
+    val bad = framePng(2, 2, 2, 8, 0, raw22)
+    assert(decodePng(bad.take(40)).isEmpty, "truncated file rejected")
+    assert(decodePng(null).isEmpty)
+  }
+
+  test("png: encode round-trip is lossless; adaptive filters + multi-IDAT; compresses") {
+    import MediaCodecs.{encodePng, decodePng}
+    def gen(x: Int, y: Int): Int =
+      (((x * 7 + y) % 256) << 16) | (((x + y * 5) % 256) << 8) | ((x * y + 3) % 256)
+    val rt = decodePng(encodePng(23, 17, gen)).get
+    assert(rt.width === 23 && rt.height === 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert(rt.pixels(y * 23 + x) === (gen(x, y) & 0xffffff), s"pixel ($x,$y)")
+    // flat image: DEFLATE collapses it far below raw size
+    val flat = encodePng(64, 64, (_, _) => 0x123456)
+    assert(flat.length < 64 * 64 * 3 / 10, s"deflate must compress: ${flat.length}")
+    assert(decodePng(flat).get.pixels.forall(_ == 0x123456))
+    // LCG noise is incompressible -> zlib stream > 8 KiB -> multi-IDAT,
+    // and the decoder must reassemble the chunks
+    var seed = 12345L
+    def noise(x: Int, y: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 40) & 0xffffff).toInt
+    }
+    val pxs = Array.tabulate(64 * 64)(i => noise(i % 64, i / 64))
+    val noisy = encodePng(64, 64, (x, y) => pxs(y * 64 + x))
+    def countIdat(b: Array[Byte]): Int =
+      (0 until b.length - 4).count(i => b(i) == 'I' && b(i + 1) == 'D' &&
+        b(i + 2) == 'A' && b(i + 3) == 'T')
+    assert(countIdat(noisy) >= 2, s"noise must split IDAT: ${noisy.length} bytes")
+    assert(decodePng(noisy).get.pixels.toSeq === pxs.toSeq)
+  }
+
+  test("png + gzip: fuzz — decoders never throw on garbage/mutations/truncations") {
+    val rnd = new scala.util.Random(4321)
+    val validPng = MediaCodecs.encodePng(9, 7, (x, y) => x * 37 + y * 11)
+    val validGz = graft.operators.Compressed.gzipBytes(
+      "the quick brown fox".getBytes("UTF-8"))
+    for (round <- 0 until 300) {
+      val payload = round % 3 match {
+        case 0 =>
+          val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+        case 1 =>
+          val src = if (round % 2 == 0) validPng else validGz
+          val b = src.clone
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+          b
+        case _ =>
+          val src = if (round % 2 == 0) validPng else validGz
+          src.take(rnd.nextInt(src.length + 1))
+      }
+      MediaCodecs.decodePng(payload)
+      graft.operators.Compressed.gunzipBytes(payload)
+    }
+  }
+
+  test("gzip: round-trip, multi-member concat, rejects, and the bomb cap") {
+    import graft.operators.Compressed.{gzipBytes, gunzipBytes, MaxInflated}
+    val text = ("mixed é世界 content " * 100).getBytes("UTF-8")
+    assert(gunzipBytes(gzipBytes(text)).get.toSeq === text.toSeq)
+    // two members concatenated inflate to the concatenation (WARC shape)
+    val two = gzipBytes("alpha ".getBytes("UTF-8")) ++
+      gzipBytes("beta".getBytes("UTF-8"))
+    assert(new String(gunzipBytes(two).get, "UTF-8") === "alpha beta")
+    assert(gunzipBytes("not gzip at all".getBytes).isEmpty)
+    assert(gunzipBytes(gzipBytes(text).dropRight(5)).isEmpty, "truncated member")
+    // bomb: 80 MiB of zeros compresses tiny but must NOT materialize
+    val bomb = gzipBytes(new Array[Byte](MaxInflated + (1 << 20)))
+    assert(bomb.length < (1 << 20), "sanity: the bomb itself is small")
+    assert(gunzipBytes(bomb).isEmpty, "inflate cap rejects the bomb")
+  }
+
+  test("png/gzip Spark plumbing: synth assets decode ok; fingerprints match SQL truth") {
+    val ids = spark.range(30).toDF("doc_id")
+    val png = Multimodal.decodePngFeatures(
+      Multimodal.synthPngAssets(ids, "doc_id")).collect()
+    assert(png.length === 30 && png.forall(_.ok == 1L))
+    // PNG twin must agree with the BMP twin pixel-for-pixel (channel sums)
+    val bmp = Multimodal.decodeBmpFeatures(
+      Multimodal.synthBmpAssets(ids, "doc_id")).collect()
+      .map(r => r.asset_id -> ((r.sum_r, r.sum_g, r.sum_b))).toMap
+    png.foreach { r =>
+      assert(((r.sum_r, r.sum_g, r.sum_b)) === bmp(r.asset_id),
+        s"asset ${r.asset_id}: containers must agree on pixels")
+    }
+    // gzip: md5 of inflated text == Spark's own md5 of the source column
+    val docs = spark.range(25).toDF("doc_id")
+      .withColumn("text", concat(lit("doc body ü"), col("doc_id")))
+    val got = graft.operators.Compressed.gunzipTextFeatures(
+      graft.operators.Compressed.synthGzipDocs(docs, "doc_id", "text"))
+      .collect().map(r => r.doc_id -> ((r.ok, r.n_bytes.get, r.md5_hex.get))).toMap
+    val want = docs.select(col("doc_id"), octet_length(col("text")).as("n"),
+      md5(col("text").cast("binary")).as("m")).collect()
+    assert(got.size === 25)
+    want.foreach { r =>
+      val (ok, n, m) = got(r.getLong(0))
+      assert(ok === 1L && n === r.getInt(1).toLong && m === r.getString(2))
+    }
+    // a garbage payload routes to ok=0, never a task failure
+    val junk = Multimodal.toAssets(
+      Seq((99L, "junk".getBytes)).toDF("asset_id", "payload"),
+      "asset_id", "payload", "application/gzip")
+    val bad = graft.operators.Compressed.gunzipTextFeatures(junk).collect()
+    assert(bad.length === 1 && bad.head.ok === 0L)
+  }
 }
