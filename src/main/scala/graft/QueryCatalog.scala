@@ -6229,7 +6229,8 @@ object QueryCatalog {
       |    CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS a,
       |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 80
       |      THEN 1 ELSE 0 END AS b
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
       |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(a) AS BIGINT) AS a1, CAST(sum(b) AS BIGINT) AS b1,
       |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
@@ -6327,8 +6328,8 @@ object QueryCatalog {
       |p AS (SELECT *, CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp FROM x),
       |w AS (SELECT *,
-      |    min(pp) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn,
-      |    max(pp) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS mx
+      |    least(min(pp) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS mn,
+      |    greatest(max(pp) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS mx
       |  FROM p)
       |SELECT event_type, day, n,
       |  round(CAST(pp - mn AS DOUBLE) / d, 6) AS cusum_hi,

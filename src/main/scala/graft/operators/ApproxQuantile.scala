@@ -242,8 +242,13 @@ object ApproxQuantile {
     * predicate evaluations, all on control-plane rows. */
   def edgeGrid(df: DataFrame, groupCol: String, valueCol: String,
                slots: Int, buckets: Int = 1024): DataFrame = {
-    require(slots >= 2 && (slots & (slots - 1)) == 0,
-      "slots must be a power of two >= 2")
+    // Upper bound 4096 = 2^12: invS below carries 1/slots at scale 12
+    // with RoundingMode.UNNECESSARY, which is exact only while slots'
+    // decimal expansion fits 12 digits (2^-12 = 0.000244140625). Beyond
+    // that the divide would throw an opaque ArithmeticException at plan
+    // build — fail here with a real message instead.
+    require(slots >= 2 && slots <= 4096 && (slots & (slots - 1)) == 0,
+      "slots must be a power of two in [2, 4096]")
     require(buckets >= 2 && buckets <= (1 << 16), "buckets must be in [2, 65536]")
     val v = col(valueCol)
     val g = col(groupCol)

@@ -127,6 +127,10 @@ object Eval {
     val a = raterA.cast("boolean").cast("long")
     val b = raterB.cast("boolean").cast("long")
     df.select(col(groupCol), a.as("_a"), b.as("_b"))
+      // A row where either rater abstained (NULL) is not a rated item:
+      // drop it from n, the marginals, AND the agreement count alike —
+      // counting it in n but skipping it in the sums deflates po/pe.
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("_a")).as("_a1"),
         sum(col("_b")).as("_b1"),
@@ -245,14 +249,17 @@ object Eval {
       .agg(countDistinct(when(col("_v") === 1L, col("_u"))).as("x1"),
         countDistinct(when(col("_v") === 0L, col("_u"))).as("x0"))
     def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val num = d38(col("x1") * col("n0") - col("x0") * col("n1"))
+    // Multiply in decimal(38,0), never LONG: x1·n0 at ~3e9 units each
+    // wraps a long silently; the decimal product NULLs on precision
+    // overflow instead of corrupting the significance verdict.
+    val num = d38(col("x1")) * d38(col("n0")) - d38(col("x0")) * d38(col("n1"))
     val bigN = d38(col("n1") + col("n0"))
     val bigX = d38(col("x1") + col("x0"))
     conv.crossJoin(broadcast(nRow))
       .select(col("metric"), col("n1"), col("x1"), col("n0"), col("x0"),
         Stats.canonZero(round(
-          (col("x1") * col("n0") - col("x0") * col("n1")).cast("double") /
-            (col("n1") * col("n0")).cast("double"), 6)).as("effect"),
+          num.cast("double") /
+            (d38(col("n1")) * d38(col("n0"))).cast("double"), 6)).as("effect"),
         (num * num * bigN * d38(lit(critDen)) * d38(lit(critDen)) >
           d38(lit(critNum)) * d38(lit(critNum)) * bigX * (bigN - bigX) *
             d38(col("n1")) * d38(col("n0"))).as("significant"))

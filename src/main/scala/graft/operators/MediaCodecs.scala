@@ -772,7 +772,11 @@ object MediaCodecs {
     try {
       while (got < raw.length && !infl.finished()) {
         val n = infl.inflate(raw, got, raw.length - got)
-        if (n == 0 && infl.needsInput()) return None // truncated stream
+        // Zero progress without finishing means the stream can never
+        // complete: truncated input (needsInput) OR a preset-dictionary
+        // stream (FDICT set → needsDictionary, where needsInput stays
+        // false and the loop would spin forever). Either way: reject.
+        if (n == 0 && !infl.finished()) return None
         got += n
       }
       // a correct stream yields EXACTLY the filtered-scanline byte count

@@ -251,8 +251,12 @@ object TimeSeries {
     daily.join(broadcast(totals), col("_s") === col("_s2"))
       .withColumn("_dev", col("_d") * col("n") - col("_t"))
       .withColumn("_p", sum(col("_dev")).over(pre))
-      .withColumn("_shi", col("_p") - min(col("_p")).over(pre))
-      .withColumn("_slo", max(col("_p")).over(pre) - col("_p"))
+      // Clamp the running extrema to include the implicit P_0 = 0:
+      // the textbook recurrence S_t = max(0, S_{t-1} + dev) with S_0 = 0
+      // equals P_t - min(0, P_1..P_t), so a head-of-series regime shift
+      // (all prefix sums positive) must measure against 0, not P_1.
+      .withColumn("_shi", col("_p") - least(min(col("_p")).over(pre), lit(0L)))
+      .withColumn("_slo", greatest(max(col("_p")).over(pre), lit(0L)) - col("_p"))
       .select(col("_s").as(seriesCol), col("day"), col("n"),
         round(col("_shi").cast("double") / col("_d"), 6).as("cusum_hi"),
         round(col("_slo").cast("double") / col("_d"), 6).as("cusum_lo"),
