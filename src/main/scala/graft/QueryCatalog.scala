@@ -6748,6 +6748,37 @@ object QueryCatalog {
       |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** GLOBAL exact ROC AUC via the score-range-sharded rank-offset path
+    * (Eval.rocAucSharded): one group covering the whole embeddings table
+    * — the skew shape where the plain per-group window would serialize
+    * the rank sort into a single task. The oracle replays the UNSHARDED
+    * Mann-Whitney form; the rank-offset identity makes the two
+    * bit-identical, so the oracle row doubles as the equivalence proof. */
+  def q238GlobalAucSharded(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(lit("all").as("slice"),
+        element_at(col("embedding"), 1).cast("double").as("score"),
+        (col("label") < 5).cast("int").as("pos"))
+    operators.Eval.rocAucSharded(x, "slice", "score", "pos", buckets = 64)
+  }
+
+  val q238Sql: String =
+    """WITH x AS (SELECT 'all' AS slice,
+      |    CAST(embedding[1] AS DOUBLE) AS score,
+      |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings),
+      |r AS (SELECT slice, pos,
+      |    2 * rank() OVER (PARTITION BY slice ORDER BY score ASC) +
+      |      count(*) OVER (PARTITION BY slice, score) - 1 AS ar2 FROM x),
+      |g AS (SELECT slice, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+      |    CAST(sum(pos * ar2) AS BIGINT) AS s2 FROM r GROUP BY 1)
+      |SELECT slice, n_pos, n_neg,
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+      |    ELSE round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) /
+      |      CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc
+      |FROM g""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -6990,7 +7021,8 @@ object QueryCatalog {
     ("q234_pareto_front", q234ParetoFront _, Some(q234Sql)),
     ("q235_fd_audit", q235FdAudit _, Some(q235Sql)),
     ("q236_png_decode", q236PngDecode _, Some(q236Sql)),
-    ("q237_gzip_text", q237GzipText _, Some(q237Sql)))
+    ("q237_gzip_text", q237GzipText _, Some(q237Sql)),
+    ("q238_global_auc_sharded", q238GlobalAucSharded _, Some(q238Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

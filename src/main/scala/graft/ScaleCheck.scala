@@ -376,6 +376,16 @@ object ScaleCheck {
     time("ndcg_at_10(q=16)")(
       graft.operators.Similarity.ndcgAtK(
         emb.filter(col("vec_id") < 16), emb, k = 10))
+    // r12: GLOBAL AUC through the score-range-sharded rank-offset path —
+    // ONE group over the whole table, the shape that would serialize the
+    // plain per-group window; the ratio should track the bucketed sorts
+    // (n·log(n/B) per bucket), i.e. stay ~linear
+    time("roc_auc_global_sharded(64)")({
+      val x = emb.select(lit("all").as("slice"),
+        element_at(col("embedding"), 1).cast("double").as("score"),
+        (col("label") < 5).cast("int").as("pos"))
+      graft.operators.Eval.rocAucSharded(x, "slice", "score", "pos", 64)
+    })
     spark.stop()
   }
 }

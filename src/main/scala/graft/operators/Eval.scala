@@ -37,10 +37,10 @@ object Eval {
     * Plan shape: one window sort per group for `rank()` + a same-window
     * tie count, then one grouped aggregate — the distributed exact-AUC
     * plan (each group sorts independently; no global sort). 100 TB note:
-    * partitions by `groupCol`, so skewed single-group inputs should be
-    * pre-bucketed by score range and merged via the rank-offset identity;
-    * at the catalog's shapes (per-class, per-slice AUC) groups are many
-    * and modest.
+    * partitions by `groupCol`, so a skewed single-group input (a GLOBAL
+    * AUC) should use [[rocAucSharded]] — score-range buckets merged via
+    * the rank-offset identity, bit-identical result; at the catalog's
+    * shapes (per-class, per-slice AUC) groups are many and modest.
     *
     * @param df       input rows
     * @param groupCol one AUC per distinct value
@@ -61,6 +61,69 @@ object Eval {
         sum(lit(1L) - col("_pos")).as("n_neg"),
         sum(col("_pos") * col("_ar2")).as("_s2"))
       .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
+  /** Exact ROC AUC per group, sharded by score range — the skew-safe twin
+    * of [[rocAuc]] for ONE giant group (a global AUC over 100 TB of
+    * scores), where partitioning by `groupCol` alone would serialize the
+    * rank sort into a single task.
+    *
+    * Rank-offset identity: bucket rows by score range (monotone in the
+    * score, so ties of one score value land in one bucket and earlier
+    * buckets hold strictly smaller scores). With `off_b` = rows in
+    * earlier buckets, a row's global min-rank is its in-bucket min-rank
+    * + `off_b`, so its doubled average rank is the IN-BUCKET doubled
+    * average rank + `2·off_b`, and
+    *
+    *   Σ_pos 2·avgrank  =  Σ_b ( Σ_pos∈b 2·avgrank_local + 2·off_b·np_b )
+    *
+    * — exact BIGINTs end to end; the readout formula is [[rocAuc]]'s.
+    * Result is bit-identical to [[rocAuc]] on any input (the bucketing
+    * never reaches the value, only the plan).
+    *
+    * Plan shape: rank/tie windows partition by (group, bucket) — the
+    * giant group spreads over `buckets` tasks; the offset prefix sum
+    * runs on the groups×buckets control-plane frame and broadcasts
+    * back. One grouped aggregate per bucket, one per group. */
+  def rocAucSharded(df: DataFrame, groupCol: String, scoreCol: String,
+                    posCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536, "buckets out of range")
+    val base = df.select(col(groupCol), col(scoreCol).as("_v"),
+      col(posCol).cast("long").as("_pos"))
+    val g = col(groupCol)
+    val stats = base.groupBy(g.as("_sg"))
+      .agg(min(col("_v")).cast("double").as("_lo"),
+        max(col("_v")).cast("double").as("_hi"))
+    val bucketed = base.join(broadcast(stats), g <=> col("_sg"))
+      .withColumn("_bkt",
+        when(col("_hi") <= col("_lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            greatest(lit(0), floor((col("_v").cast("double") - col("_lo")) *
+              buckets / (col("_hi") - col("_lo"))).cast("int")))))
+    val rankW = Window.partitionBy(g, col("_bkt")).orderBy(col("_v").asc)
+    val tieW = Window.partitionBy(g, col("_bkt"), col("_v"))
+    val perBucket = bucketed
+      .withColumn("_ar2loc",
+        lit(2L) * rank().over(rankW).cast("long") +
+          count(lit(1)).over(tieW) - lit(1L))
+      .groupBy(g, col("_bkt"))
+      .agg(count(lit(1)).as("_nb"), sum(col("_pos")).as("_npb"),
+        sum(col("_pos") * col("_ar2loc")).as("_s2loc"))
+    // groups×buckets control-plane frame: prefix row counts per group
+    val offW = Window.partitionBy(g).orderBy(col("_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("_off", coalesce(sum(col("_nb")).over(offW), lit(0L)))
+      .groupBy(g)
+      .agg(sum(col("_npb")).as("n_pos"),
+        sum(col("_nb") - col("_npb")).as("n_neg"),
+        sum(col("_s2loc") + lit(2L) * col("_off") * col("_npb")).as("_s2"))
+      .select(g, col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
           .otherwise(round(
             (col("_s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /

@@ -23,16 +23,21 @@ object Skyline {
     *      ride a one-row broadcast), and inside each bucket keep a point
     *      only if its `maxCol` beats the running max of all
     *      strictly-cheaper in-bucket points (bucket-partitioned window);
-    *   3. global pass over the bucket survivors with the same
-    *      running-max filter. Sound because each bucket's overall best
-    *      `maxCol` always survives its local pass, so the cross-bucket
-    *      running max over survivors equals the running max over ALL
-    *      points — the standard divide-and-merge skyline decomposition.
+    *   3. cross-bucket merge via the two-pass range-offset pattern
+    *      (`Packing.packSequences`): per-bucket max `maxCol` (one row
+    *      per nonempty bucket, ≤ `buckets` rows), an ordered prefix max
+    *      over that TINY control-plane frame, broadcast back — a local
+    *      survivor is global iff it beats the prefix max of all earlier
+    *      buckets. Sound because bucketing is monotone in `minCol`
+    *      (earlier buckets = strictly cheaper points) and the local pass
+    *      already proved each survivor beats every strictly-cheaper
+    *      IN-bucket point.
     *
-    * The phase-3 window is unpartitioned BY DESIGN over the survivor
-    * frame only — bounded by Σ per-bucket front sizes, a vanishing
-    * fraction of the input (fronts are the anti-chain of the dominance
-    * order); the data-sized windows in phases 1-2 are all partitioned.
+    * No window ever ranges over a data-sized unpartitioned frame: the
+    * only unpartitioned window is the ≤ `buckets`-row prefix max (the
+    * documented control-plane exception), so a worst-case anti-chain
+    * (strictly increasing `maxCol` — the whole input IS the front)
+    * cannot serialize the merge into one task.
     *
     * Output: one row per front point — `v_min`, `v_max` (the per-point
     * best), `n_rows` (input rows sitting exactly on that point).
@@ -64,12 +69,19 @@ object Skyline {
           .rowsBetween(Window.unboundedPreceding, -1)))
       .filter(col("_m").isNull || col("_m") < col("v_max"))
       .drop("_m")
-    // survivors-only global merge: tiny frame (the candidate anti-chain)
-    local
-      .withColumn("_m", max(col("v_max")).over(
-        Window.orderBy(col("v_min").asc)
+    // cross-bucket prefix max over the ≤buckets-row bucket frame (the
+    // one control-plane unpartitioned window), broadcast back: a local
+    // survivor is a global front point iff it beats every earlier
+    // (strictly cheaper) bucket's best v_max.
+    val prevMax = bucketed.groupBy(col("_bkt").as("_pb"))
+      .agg(max(col("v_max")).as("_bmax"))
+      .withColumn("_prev", max(col("_bmax")).over(
+        Window.orderBy(col("_pb").asc)
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .filter(col("_m").isNull || col("_m") < col("v_max"))
+      .drop("_bmax")
+      .localCheckpoint(true)
+    local.join(broadcast(prevMax), col("_bkt") === col("_pb"))
+      .filter(col("_prev").isNull || col("_prev") < col("v_max"))
       .select(col("v_min"), col("v_max"), col("n_rows"))
   }
 }

@@ -171,6 +171,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("paretoFront2d: worst-case anti-chain (whole input IS the front) stays exact") {
+    // strictly increasing v_max with increasing v_min: nothing dominates
+    // anything — the case that used to serialize the survivors-only
+    // global window into one task; the bucket prefix-max merge must keep
+    // every point.
+    val df = (0 until 500).map(i => (i.toDouble, i.toLong)).toDF("c", "q")
+    val out = Skyline.paretoFront2d(df, "c", "q", buckets = 16).collect()
+    assert(out.length === 500)
+    assert(out.map(_.getLong(2)).forall(_ == 1L))
+  }
+
   test("paretoFront2d: degenerate single v_min value") {
     val df = Seq((5.0, 1L), (5.0, 9L), (5.0, 9L)).toDF("a", "b")
     val out = Skyline.paretoFront2d(df, "a", "b").collect()

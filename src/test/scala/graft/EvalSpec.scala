@@ -50,6 +50,27 @@ class EvalSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("rocAucSharded is bit-identical to rocAuc: ties, skew, degenerates, any bucket count") {
+    // hash-spread scores with heavy ties (mod 13) so tie blocks straddle
+    // bucket boundaries at every bucket count; one giant group + small
+    // groups + a degenerate all-positive group
+    val rows = (0 until 600).map { i =>
+      val h = (i * 2654435761L) & 0xffffL
+      val g = if (i % 10 == 0) "small" else "big"
+      (g, (h % 13L).toDouble, (h % 3 == 0).compare(false))
+    } ++ Seq(("onecls", 1.0, 1), ("onecls", 2.0, 1))
+    val df = rows.toDF("g", "score", "pos")
+    val plain = Eval.rocAuc(df, "g", "score", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else Double.box(r.getDouble(3)))).toSet
+    for (b <- Seq(1, 3, 64, 1024)) {
+      val sharded = Eval.rocAucSharded(df.repartition(7), "g", "score", "pos", b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else Double.box(r.getDouble(3)))).toSet
+      assert(sharded === plain, s"buckets=$b")
+    }
+  }
+
   // ---- calibrationBins ---------------------------------------------------
 
   test("calibrationBins: exact bin means, gap sign, ECE identity") {
