@@ -598,10 +598,12 @@ object MediaCodecs {
   // PNG (ISO/IEC 15948 / RFC 2083) — the ubiquitous DEFLATE-compressed
   // lossless image format, and the first REAL entropy-coded codec in this
   // file: java.util.zip's Deflater/Inflater IS zlib (LZ77 + Huffman), so
-  // nothing here is a stub. Scope: 8-bit depth, color types 0 (gray),
-  // 2 (RGB), 6 (RGBA), no interlace — the overwhelming majority of
-  // machine-generated PNGs. Adam7/palette/16-bit return None (honest
-  // strict-but-total contract, same as the other decoders).
+  // nothing here is a stub. Decode scope: every non-interlaced
+  // depth×type combination the spec allows — gray 1/2/4/8/16,
+  // truecolor 8/16, palette (PLTE) 1/2/4/8, truecolor+alpha 8/16.
+  // Only Adam7 interlace returns None (honest strict-but-total
+  // contract, same as the other decoders) — palette PNGs are endemic
+  // in crawl data and must not silently vanish from multimodal stats.
   // ---------------------------------------------------------------------
 
   private val PngSig: Array[Byte] =
@@ -685,7 +687,13 @@ object MediaCodecs {
       System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
     }
-    // zlib-wrap via the real Deflater
+    wrapPng(width, height, depth = 8, colorType = 2, raw, palette = null)
+  }
+
+  /** zlib-deflate `raw` and frame it as IHDR [+PLTE] +IDAT(8 KiB splits)
+    * +IEND. */
+  private def wrapPng(width: Int, height: Int, depth: Int, colorType: Int,
+                      raw: Array[Byte], palette: Array[Int]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
@@ -700,9 +708,20 @@ object MediaCodecs {
     out.write(PngSig, 0, 8)
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
-    ihdr.put(8.toByte).put(2.toByte)      // bit depth 8, truecolor
+    ihdr.put(depth.toByte).put(colorType.toByte)
     ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter0, no interlace
     pngChunk(out, "IHDR", ihdr.array())
+    if (palette != null) {
+      val plte = new Array[Byte](palette.length * 3)
+      var k = 0
+      while (k < palette.length) {
+        plte(3 * k) = ((palette(k) >> 16) & 0xff).toByte
+        plte(3 * k + 1) = ((palette(k) >> 8) & 0xff).toByte
+        plte(3 * k + 2) = (palette(k) & 0xff).toByte
+        k += 1
+      }
+      pngChunk(out, "PLTE", plte)
+    }
     var off = 0
     while (off < z.length) {              // multi-IDAT split
       val n = math.min(8192, z.length - off)
@@ -714,17 +733,121 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Decode an 8-bit gray/RGB/RGBA non-interlaced PNG to [[BmpData]]
-    * (gray replicated to RGB, alpha dropped). Chunk CRCs are VERIFIED —
-    * a flipped payload bit is detected, not silently decoded. None on
-    * any unsupported variant or malformed framing; never throws. */
+  /** Encode an indexed-color PNG: `palette` of 0xRRGGBB entries (≤ 256,
+    * and ≤ 2^depth for `depth` ∈ {1,2,4,8}), `idx(x, y)` the palette
+    * index per pixel. Sub-byte indices pack MSB-first within each
+    * scanline byte (spec §7.2); rows use filter 0 (filters rarely help
+    * index planes — the adaptive heuristic lives in [[encodePng]]). */
+  def encodePngPaletted(width: Int, height: Int, palette: Array[Int],
+                        idx: (Int, Int) => Int, depth: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      "palette depth must be 1, 2, 4 or 8")
+    require(palette.nonEmpty && palette.length <= 256 &&
+      palette.length <= (1 << depth), "palette size out of range for depth")
+    val stride = (width * depth + 7) / 8
+    val raw = new Array[Byte]((1 + stride) * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1    // filter byte stays 0
+      var x = 0
+      while (x < width) {
+        val v = idx(x, y)
+        require(v >= 0 && v < palette.length, s"index $v out of palette")
+        val bitPos = x * depth
+        val shift = 8 - depth - (bitPos & 7)
+        raw(rowOff + (bitPos >> 3)) =
+          (raw(rowOff + (bitPos >> 3)) | (v << shift)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    wrapPng(width, height, depth, colorType = 3, raw, palette)
+  }
+
+  /** Encode a grayscale PNG at `depth` ∈ {1,2,4,8}: `level(x, y)` returns
+    * the gray LEVEL in [0, 2^depth) (not an 8-bit value — the decoder
+    * scales levels to 0..255 as level·255/(2^depth−1), per the spec's
+    * sample-depth rescaling). Rows use filter 0. */
+  def encodePngGray(width: Int, height: Int, depth: Int,
+                    level: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      "gray depth must be 1, 2, 4 or 8")
+    val stride = (width * depth + 7) / 8
+    val raw = new Array[Byte]((1 + stride) * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1    // filter byte stays 0
+      var x = 0
+      while (x < width) {
+        val v = level(x, y)
+        require(v >= 0 && v < (1 << depth), s"level $v out of range for depth")
+        val bitPos = x * depth
+        val shift = 8 - depth - (bitPos & 7)
+        raw(rowOff + (bitPos >> 3)) =
+          (raw(rowOff + (bitPos >> 3)) | (v << shift)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    wrapPng(width, height, depth, colorType = 0, raw, palette = null)
+  }
+
+  /** Encode 16-bit-per-sample PNG (gray when `gray16`, else truecolor):
+    * `sample(x, y)` returns the 0xRRGGBB (or replicated gray) 8-bit
+    * pixel, widened to 16 bits as (v<<8)|v — the exact inverse of the
+    * decoder's high-byte reduction, so encode→decode round-trips
+    * bit-for-bit on the 8-bit values. */
+  def encodePng16(width: Int, height: Int, px: (Int, Int) => Int,
+                  gray16: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val channels = if (gray16) 1 else 3
+    val stride = width * channels * 2
+    val raw = new Array[Byte]((1 + stride) * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1    // filter byte stays 0
+      var x = 0
+      while (x < width) {
+        val p = px(x, y)
+        val o = rowOff + x * channels * 2
+        if (gray16) {
+          val v = p & 0xff
+          raw(o) = v.toByte; raw(o + 1) = v.toByte
+        } else {
+          var ci = 0
+          while (ci < 3) {
+            val v = (p >> (16 - 8 * ci)) & 0xff
+            raw(o + 2 * ci) = v.toByte; raw(o + 2 * ci + 1) = v.toByte
+            ci += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    wrapPng(width, height, depth = 16, colorType = if (gray16) 0 else 2,
+      raw, palette = null)
+  }
+
+  /** Decode a non-interlaced PNG to [[BmpData]] (gray replicated to RGB,
+    * alpha dropped, 16-bit samples reduced to their high byte, palette
+    * indices resolved through PLTE). Supported depth×type matrix (PNG
+    * spec §11.2.2): gray 1/2/4/8/16, truecolor 8/16, palette 1/2/4/8,
+    * truecolor+alpha 8/16 — everything non-interlaced; only Adam7
+    * returns None. Chunk CRCs are VERIFIED — a flipped payload bit is
+    * detected, not silently decoded. None on any malformed framing
+    * (out-of-range palette index, missing PLTE, misplaced chunks);
+    * never throws. */
   def decodePng(bytes: Array[Byte]): Option[BmpData] = {
     if (bytes == null || bytes.length < 8 + 25) return None
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
     var pos = 8
-    var w = 0L; var h = 0L; var colorType = -1
-    var sawIhdr = false; var sawIend = false
+    var w = 0L; var h = 0L; var colorType = -1; var depth = 0
+    var sawIhdr = false; var sawIend = false; var sawIdat = false
+    var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new java.util.zip.CRC32
     while (pos + 12 <= bytes.length && !sawIend) {
@@ -742,17 +865,37 @@ object MediaCodecs {
           if (sawIhdr || dataLen != 13) return None
           sawIhdr = true
           w = u32be(bytes, dataOff); h = u32be(bytes, dataOff + 4)
-          val depth = bytes(dataOff + 8) & 0xff
+          depth = bytes(dataOff + 8) & 0xff
           colorType = bytes(dataOff + 9) & 0xff
           val (comp, filt, inter) = (bytes(dataOff + 10) & 0xff,
             bytes(dataOff + 11) & 0xff, bytes(dataOff + 12) & 0xff)
           // bound each dim BEFORE multiplying (the decodeBmp hardening)
           if (w <= 0 || h <= 0 || w > 64000000L || h > 64000000L ||
               w * h > 64000000L) return None
-          if (depth != 8 || comp != 0 || filt != 0 || inter != 0 ||
-              (colorType != 0 && colorType != 2 && colorType != 6)) return None
+          val okCombo = colorType match {
+            case 0     => depth == 1 || depth == 2 || depth == 4 ||
+                          depth == 8 || depth == 16
+            case 2 | 6 => depth == 8 || depth == 16
+            case 3     => depth == 1 || depth == 2 || depth == 4 || depth == 8
+            case _     => false
+          }
+          if (!okCombo || comp != 0 || filt != 0 || inter != 0) return None
+        case "PLTE" =>
+          // exactly one, before IDAT, 1..256 RGB triplets; PLTE on a
+          // grayscale image is a spec error (§11.2.3)
+          if (!sawIhdr || sawIdat || palette != null || colorType == 0 ||
+              dataLen == 0 || dataLen % 3 != 0 || dataLen > 768) return None
+          palette = new Array[Int](dataLen / 3)
+          var k = 0
+          while (k < palette.length) {
+            palette(k) = ((bytes(dataOff + 3 * k) & 0xff) << 16) |
+              ((bytes(dataOff + 3 * k + 1) & 0xff) << 8) |
+              (bytes(dataOff + 3 * k + 2) & 0xff)
+            k += 1
+          }
         case "IDAT" =>
           if (!sawIhdr) return None
+          sawIdat = true
           idat.write(bytes, dataOff, dataLen)
         case "IEND" => sawIend = true
         case _ => // ancillary (tEXt, pHYs, gAMA, …) — skip
@@ -761,10 +904,14 @@ object MediaCodecs {
       pos = dataOff + dataLen + 4
     }
     if (!sawIhdr || !sawIend) return None
-    val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
-    val stride = (w * channels).toInt
-    val rawLen = (1L + stride) * h
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case _ => 4 }
+    val bitsPp = depth * channels               // bits per pixel ≤ 64
+    val strideL = (w * bitsPp + 7) / 8          // scanline bytes, sans filter
+    val rawLen = (1L + strideL) * h
     if (rawLen > Int.MaxValue) return None
+    val stride = strideL.toInt
     val raw = new Array[Byte](rawLen.toInt)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
@@ -787,7 +934,10 @@ object MediaCodecs {
     finally infl.end()
     val width = w.toInt; val height = h.toInt
     val px = new Array[Int](width * height)
-    val bpp = channels
+    // filters operate on BYTES at a pixel's byte distance; for sub-byte
+    // pixels that distance is one byte (spec §9.2)
+    val fbpp = math.max(1, bitsPp / 8)
+    val sampleStep = depth / 8                  // 0 for sub-byte
     var y = 0
     while (y < height) {
       val rowOff = y * (1 + stride) + 1
@@ -796,9 +946,9 @@ object MediaCodecs {
       var i2 = 0
       while (i2 < stride) {
         val priorOff = rowOff - 1 - stride     // previous row's recon'd bytes
-        val a = if (i2 >= bpp) raw(rowOff + i2 - bpp) & 0xff else 0
+        val a = if (i2 >= fbpp) raw(rowOff + i2 - fbpp) & 0xff else 0
         val b = if (y > 0) raw(priorOff + i2) & 0xff else 0
-        val c = if (y > 0 && i2 >= bpp) raw(priorOff + i2 - bpp) & 0xff else 0
+        val c = if (y > 0 && i2 >= fbpp) raw(priorOff + i2 - fbpp) & 0xff else 0
         val recon = filter match {
           case 0 => raw(rowOff + i2) & 0xff
           case 1 => ((raw(rowOff + i2) & 0xff) + a) & 0xff
@@ -811,12 +961,35 @@ object MediaCodecs {
       }
       var x = 0
       while (x < width) {
-        val o = rowOff + x * bpp
-        val (r, g, bl) = colorType match {
-          case 0 => val v = raw(o) & 0xff; (v, v, v)
-          case _ => (raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+        var rgb = 0
+        if (depth < 8) {                 // gray 1/2/4 or palette 1/2/4
+          val bitPos = x * depth
+          val shift = 8 - depth - (bitPos & 7)
+          val v = (raw(rowOff + (bitPos >> 3)) >> shift) & ((1 << depth) - 1)
+          if (colorType == 3) {
+            if (v >= palette.length) return None
+            rgb = palette(v)
+          } else {                       // scale to full 8-bit range
+            val s = v * 255 / ((1 << depth) - 1)
+            rgb = (s << 16) | (s << 8) | s
+          }
+        } else {
+          // 8-bit sample = the byte; 16-bit sample = its HIGH byte
+          // (big-endian — the standard 16→8 reduction)
+          val o = rowOff + x * channels * sampleStep
+          colorType match {
+            case 0 => val v = raw(o) & 0xff; rgb = (v << 16) | (v << 8) | v
+            case 3 =>
+              val v = raw(o) & 0xff
+              if (v >= palette.length) return None
+              rgb = palette(v)
+            case _ =>
+              rgb = ((raw(o) & 0xff) << 16) |
+                ((raw(o + sampleStep) & 0xff) << 8) |
+                (raw(o + 2 * sampleStep) & 0xff)
+          }
         }
-        px(y * width + x) = (r << 16) | (g << 8) | bl
+        px(y * width + x) = rgb
         x += 1
       }
       y += 1

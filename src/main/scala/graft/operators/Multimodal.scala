@@ -650,8 +650,12 @@ object Multimodal {
     bmpFeaturesWith(assets, MediaCodecs.decodePng)
 
   /** PNG fixture: the [[synthBmpAssets]] pixel formulas through the REAL
-    * PNG encoder (adaptive per-row filter choice + Deflater), same dims/
-    * content as the BMP and QOI twins. */
+    * PNG encoder — rotating by id across the three on-disk layouts the
+    * decoder supports (id%3 = 0: 8-bit truecolor with adaptive per-row
+    * filters; 1: indexed-color PLTE — the images are ≤ 16×16 so their
+    * ≤ 256 distinct colors always fit a palette; 2: 16-bit truecolor,
+    * samples widened (v<<8)|v). All three decode to IDENTICAL pixels, so
+    * one oracle covers every path. */
   def synthPngAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
@@ -659,12 +663,26 @@ object Multimodal {
         it.map { id =>
           val w = 8 + (id % 9).toInt
           val h = 8 + ((id * 3) % 9).toInt
-          val bytes = MediaCodecs.encodePng(w, h, (x, y) => {
+          val pxf = (x: Int, y: Int) => {
             val r = ((id + 3L * x + 5L * y) % 256).toInt
             val g = ((2L * id + x + 7L * y) % 256).toInt
             val b = ((5L * id + 11L * x + y) % 256).toInt
             (r << 16) | (g << 8) | b
-          })
+          }
+          val bytes = (id % 3) match {
+            case 1 =>
+              val pal = new java.util.LinkedHashMap[Integer, Integer]()
+              for (y <- 0 until h; x <- 0 until w) {
+                val c = pxf(x, y)
+                if (!pal.containsKey(c)) pal.put(c, pal.size())
+              }
+              val colors = new Array[Int](pal.size())
+              pal.forEach((c, i) => colors(i) = c)
+              MediaCodecs.encodePngPaletted(w, h, colors,
+                (x, y) => pal.get(pxf(x, y)))
+            case 2 => MediaCodecs.encodePng16(w, h, pxf)
+            case _ => MediaCodecs.encodePng(w, h, pxf)
+          }
           (id, bytes)
         }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))

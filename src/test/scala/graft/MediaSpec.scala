@@ -485,7 +485,8 @@ class MediaSpec extends SparkSpec {
     * independently of encodePng. */
   private def framePng(w: Int, h: Int, colorType: Int, depth: Int,
                        interlace: Int, raw: Array[Byte],
-                       corruptCrc: Boolean = false): Array[Byte] = {
+                       corruptCrc: Boolean = false,
+                       plte: Array[Int] = null): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -508,6 +509,9 @@ class MediaSpec extends SparkSpec {
     ihdr.putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(interlace.toByte)
     chunk("IHDR", ihdr.array())
+    if (plte != null)
+      chunk("PLTE", plte.flatMap(c => Array(((c >> 16) & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte, (c & 0xff).toByte)))
     chunk("tEXt", "graft fixture".getBytes("US-ASCII")) // ancillary: skipped
     chunk("IDAT", zout.toByteArray, breakCrc = corruptCrc)
     chunk("IEND", Array.emptyByteArray)
@@ -549,8 +553,10 @@ class MediaSpec extends SparkSpec {
       0, 7, 8, 9, 10, 11, 12).map(_.toByte)
     assert(decodePng(framePng(2, 2, 2, 8, 0, raw22)).isDefined, "baseline ok")
     assert(decodePng(framePng(2, 2, 2, 8, 1, raw22)).isEmpty, "Adam7 rejected")
-    assert(decodePng(framePng(2, 2, 2, 16, 0, raw22)).isEmpty, "16-bit rejected")
-    assert(decodePng(framePng(2, 2, 3, 8, 0, raw22)).isEmpty, "palette rejected")
+    assert(decodePng(framePng(2, 2, 2, 16, 0, raw22)).isEmpty,
+      "16-bit stream of 8-bit length rejected (wrong scanline byte count)")
+    assert(decodePng(framePng(2, 2, 3, 8, 0, raw22)).isEmpty,
+      "palette image without a PLTE chunk rejected")
     assert(decodePng(framePng(2, 2, 2, 8, 0, raw22, corruptCrc = true)).isEmpty,
       "a flipped chunk CRC must be DETECTED, not decoded through")
     assert(decodePng(framePng(2, 2, 2, 8, 0, raw22.dropRight(3))).isEmpty,
@@ -588,6 +594,59 @@ class MediaSpec extends SparkSpec {
         b(i + 2) == 'A' && b(i + 3) == 'T')
     assert(countIdat(noisy) >= 2, s"noise must split IDAT: ${noisy.length} bytes")
     assert(decodePng(noisy).get.pixels.toSeq === pxs.toSeq)
+  }
+
+  test("png: palette, sub-byte gray and 16-bit round-trips; palette rejects") {
+    import MediaCodecs.{decodePng, encodePngPaletted, encodePngGray, encodePng16}
+    // palette at every depth: distinct colors round-trip exactly
+    val pal = Array(0xff0000, 0x00ff00, 0x0000ff, 0x123456, 0xfedcba,
+      0x000000, 0xffffff, 0x808080)
+    for (d <- Seq(1, 2, 4, 8)) {
+      val nc = math.min(pal.length, 1 << d)
+      val w = 11; val h = 6   // 11*depth bits per row: exercises ragged last byte
+      val img = decodePng(encodePngPaletted(w, h, pal.take(nc),
+        (x, y) => (x * 3 + y * 5) % nc, d)).get
+      assert(img.width === w && img.height === h, s"depth $d")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) === pal((x * 3 + y * 5) % nc),
+          s"palette depth $d pixel ($x,$y)")
+    }
+    // sub-byte gray: levels rescale to 0..255 by level*255/(2^d-1)
+    for (d <- Seq(1, 2, 4)) {
+      val levels = 1 << d
+      val img = decodePng(encodePngGray(levels, 2, d,
+        (x, _) => x)).get
+      for (x <- 0 until levels) {
+        val v = x * 255 / (levels - 1)
+        assert(img.pixels(x) === ((v << 16) | (v << 8) | v),
+          s"gray depth $d level $x")
+      }
+    }
+    // 16-bit truecolor and gray: high-byte reduction inverts (v<<8)|v
+    def gen(x: Int, y: Int): Int =
+      (((x * 7 + y) % 256) << 16) | (((x + y * 5) % 256) << 8) | ((x * y + 3) % 256)
+    val rgb16 = decodePng(encodePng16(13, 9, gen)).get
+    for (y <- 0 until 9; x <- 0 until 13)
+      assert(rgb16.pixels(y * 13 + x) === gen(x, y), s"rgb16 ($x,$y)")
+    val g16 = decodePng(encodePng16(7, 5, (x, y) => (x * 31 + y * 7) % 256,
+      gray16 = true)).get
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val v = (x * 31 + y * 7) % 256
+      assert(g16.pixels(y * 7 + x) === ((v << 16) | (v << 8) | v), s"g16 ($x,$y)")
+    }
+    // strict palette rejects: an index past the palette end must return
+    // None (not crash, not wrap) - 1-entry PLTE, index byte 1
+    assert(decodePng(framePng(2, 1, 3, 8, 0,
+      Array[Byte](0, 0, 1), plte = Array(0xaaaaaa))).isEmpty,
+      "out-of-range palette index rejected")
+    // gray + PLTE is a spec error
+    assert(decodePng(framePng(2, 1, 0, 8, 0,
+      Array[Byte](0, 10, 20), plte = Array(0xaaaaaa))).isEmpty,
+      "PLTE on grayscale rejected")
+    // the encoder itself guards impossible palettes
+    intercept[IllegalArgumentException] {
+      encodePngPaletted(2, 1, Array(0xaaaaaa), (x, _) => x, 8)
+    }
   }
 
   test("png + gzip: fuzz — decoders never throw on garbage/mutations/truncations") {
