@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * as a post-filter. `left_outer` additionally emits (l, NULLs) once l's
   * no-match fate is sealed — i.e. only after the watermark crosses, one
   * trigger later; an attribution pipeline reads those as "impression
-  * never converted".
+  * never converted". `right_outer` is the mirror — (NULLs, r) for a click
+  * that never attributed to any impression (the fraud/orphan signal) —
+  * and `full_outer` emits both sealed-null shapes.
   *
   * Scale: state is per-key and time-bounded — at 1000 executors the join
   * shuffles both streams by key and each task holds only `horizon + w` of
@@ -36,8 +38,9 @@ object StreamStreamJoin {
                 horizon: String = "30 minutes",
                 watermarkDelay: String = "10 minutes",
                 joinType: String = "inner"): DataFrame = {
-    require(Seq("inner", "left_outer").contains(joinType),
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Seq("inner", "left_outer", "right_outer", "full_outer")
+      .contains(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer, got $joinType")
     val overlap = impressions.columns.toSet
       .intersect(clicks.columns.toSet) - keyCol
     require(overlap.isEmpty,
@@ -50,6 +53,9 @@ object StreamStreamJoin {
           col(rightTsCol) >= col(leftTsCol) &&
           col(rightTsCol) <= col(leftTsCol) + expr(s"interval $horizon"),
         joinType)
+      // right_outer/full_outer emit rows whose LEFT side is all-NULL —
+      // the key must survive from whichever side is present
+      .withColumn(keyCol, coalesce(col(keyCol), col("_rk")))
       .drop("_rk")
   }
 }
