@@ -6748,6 +6748,31 @@ object QueryCatalog {
       |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** Multi-member gzip shard split (Compressed.gunzipMemberFeatures over
+    * synthGzipShards): documents packed 8-per-shard as concatenated REAL
+    * gzip members — the WET-shard layout — then split back with byte
+    * boundaries walked from the RFC 1952 framing (header extensions,
+    * raw-DEFLATE body length via Inflater.getBytesRead, verified
+    * CRC32+ISIZE trailers). The oracle replays (n_bytes, md5) per
+    * (shard, rank-in-shard) from the source column without seeing a gzip
+    * byte; boundary coordinates are spec-proven (ranged re-slice) and
+    * kept out of the oracle row since they depend on DEFLATE's choices. */
+  def q239GzipMembers(s: SparkSession, dir: String): DataFrame =
+    operators.Compressed.gunzipMemberFeatures(
+      operators.Compressed.synthGzipShards(
+        t(s, dir, "documents"), "doc_id", "text", shardSize = 8))
+      .toDF()
+      .select(col("shard_id"), col("member_idx"), col("ok"),
+        col("n_bytes"), col("md5_hex"))
+
+  val q239Sql: String =
+    """SELECT CAST(doc_id // 8 AS BIGINT) AS shard_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |    - 1 AS BIGINT) AS member_idx,
+      |  CAST(1 AS BIGINT) AS ok,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   /** GLOBAL exact ROC AUC via the score-range-sharded rank-offset path
     * (Eval.rocAucSharded): one group covering the whole embeddings table
     * — the skew shape where the plain per-group window would serialize
@@ -7022,7 +7047,8 @@ object QueryCatalog {
     ("q235_fd_audit", q235FdAudit _, Some(q235Sql)),
     ("q236_png_decode", q236PngDecode _, Some(q236Sql)),
     ("q237_gzip_text", q237GzipText _, Some(q237Sql)),
-    ("q238_global_auc_sharded", q238GlobalAucSharded _, Some(q238Sql)))
+    ("q238_global_auc_sharded", q238GlobalAucSharded _, Some(q238Sql)),
+    ("q239_gzip_members", q239GzipMembers _, Some(q239Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -55,6 +55,89 @@ object Compressed {
   final case class GzipTextRow(doc_id: Long, ok: Long, n_bytes: Option[Long],
                                md5_hex: Option[String])
 
+  /** One gzip member inside a multi-member shard: where it starts in the
+    * shard (`offset`), how many compressed bytes it spans (`compLen`),
+    * and its inflated payload. */
+  final case class GzipMember(offset: Long, compLen: Long, data: Array[Byte])
+
+  /** Split a multi-member gzip shard into its members WITH byte
+    * boundaries — the WARC/WET access path: real WET shards concatenate
+    * one gzip member per record, and a reader that knows (offset,
+    * compLen) can later fetch ONE record with a ranged read instead of
+    * inflating the whole shard. [[gunzipBytes]] inflates the
+    * concatenation but surfaces no boundaries; this walks the RFC 1952
+    * framing itself: per member, the 10-byte header (+ FEXTRA/FNAME/
+    * FCOMMENT/FHCRC extensions), a raw-DEFLATE body inflated with
+    * `Inflater(nowrap)` whose `getBytesRead` marks the body end, then
+    * the CRC32+ISIZE trailer — both VERIFIED. None on any malformed
+    * framing, trailing garbage, CRC/length mismatch, or the
+    * [[MaxInflated]] bomb cap summed ACROSS members; never throws. */
+  def gunzipMemberSplit(bytes: Array[Byte]): Option[Seq[GzipMember]] = {
+    if (bytes == null || bytes.length < 18) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val members = scala.collection.mutable.ArrayBuffer.empty[GzipMember]
+    var pos = 0
+    var totalInflated = 0L
+    while (pos < bytes.length) {
+      val start = pos
+      if (pos + 10 > bytes.length) return None
+      if ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b ||
+          (bytes(pos + 2) & 0xff) != 8) return None   // magic + DEFLATE CM
+      val flg = bytes(pos + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None               // reserved bits set
+      pos += 10
+      if ((flg & 4) != 0) {                            // FEXTRA
+        if (pos + 2 > bytes.length) return None
+        val xlen = le16(pos); pos += 2 + xlen
+        if (pos > bytes.length) return None
+      }
+      var z = 0
+      while (z < 2) {                                  // FNAME, FCOMMENT
+        if ((flg & (if (z == 0) 8 else 16)) != 0) {
+          while (pos < bytes.length && bytes(pos) != 0) pos += 1
+          if (pos >= bytes.length) return None
+          pos += 1                                     // the NUL
+        }
+        z += 1
+      }
+      if ((flg & 2) != 0) {                            // FHCRC
+        pos += 2
+        if (pos > bytes.length) return None
+      }
+      val infl = new java.util.zip.Inflater(true)      // raw DEFLATE body
+      infl.setInput(bytes, pos, bytes.length - pos)
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val crc = new java.util.zip.CRC32
+      val buf = new Array[Byte](8192)
+      var bodyLen = 0L
+      try {
+        while (!infl.finished()) {
+          val n = infl.inflate(buf)
+          if (n == 0 && !infl.finished()) return None  // truncated/FDICT
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+          totalInflated += n
+          if (totalInflated > MaxInflated) return None // bomb cap
+        }
+        bodyLen = infl.getBytesRead                    // before end() frees it
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally infl.end()
+      pos += bodyLen.toInt
+      if (pos + 8 > bytes.length) return None
+      if (le32(pos) != crc.getValue) return None       // CRC32 trailer
+      if (le32(pos + 4) != (out.size() & 0xffffffffL)) return None // ISIZE
+      pos += 8
+      members += GzipMember(start.toLong, (pos - start).toLong, out.toByteArray)
+    }
+    if (members.isEmpty) None else Some(members.toSeq)
+  }
+
+  final case class GzipMemberRow(shard_id: Long, member_idx: Long, ok: Long,
+                                 offset: Option[Long], comp_len: Option[Long],
+                                 n_bytes: Option[Long], md5_hex: Option[String])
+
   /** Gzip fixture: each document's UTF-8 text through the REAL gzip
     * encoder → (asset_id, media_type, payload, n_bytes, checksum), the
     * [[Multimodal.toAssets]] envelope. */
@@ -69,6 +152,68 @@ object Compressed {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("asset_id", "payload")
     Multimodal.toAssets(rows, "asset_id", "payload", "application/gzip")
+  }
+
+  /** Multi-member shard fixture: documents grouped `shardSize` to a
+    * shard (shard_id = doc_id DIV shardSize), each document gzipped as
+    * its OWN member, members concatenated in ascending doc_id order —
+    * the WET-shard layout. One (asset_id = shard_id, payload) row per
+    * shard. The collect_list is per-shard (bounded by shardSize
+    * documents), sorted by the struct's leading doc_id for a
+    * deterministic layout under any partitioning. */
+  def synthGzipShards(docs: DataFrame, idCol: String, textCol: String,
+                      shardSize: Int = 8): DataFrame = {
+    require(shardSize >= 1, "shardSize must be positive")
+    val grouped = docs.filter(col(textCol).isNotNull)
+      .select(expr(s"CAST($idCol AS BIGINT) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_text")))).as("_docs"))
+    val rows = grouped
+      .select(col("_shard"), col("_docs._text").as("_texts"))
+      .as(Encoders.product[(Long, Seq[String])])
+      .mapPartitions { it =>
+        it.map { case (shard, texts) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          texts.foreach { t =>
+            val m = gzipBytes(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/gzip")
+  }
+
+  /** Split each shard payload into members and fingerprint each member's
+    * PLAINTEXT — one row per member with its BYTE BOUNDARIES (offset,
+    * comp_len: the ranged-read coordinates) and (n_bytes, md5) of the
+    * inflated text. A shard that fails [[gunzipMemberSplit]] yields one
+    * ok=0 row with member_idx −1. The oracle replays n_bytes/md5 from
+    * the source column per (shard, rank-in-shard) without seeing a gzip
+    * byte; boundaries are proven by the re-slice round-trip in the
+    * spec (each `[offset, offset+comp_len)` slice must inflate alone). */
+  def gunzipMemberFeatures(assets: DataFrame): Dataset[GzipMemberRow] = {
+    val enc = Encoders.product[GzipMemberRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          gunzipMemberSplit(payload) match {
+            case Some(members) => members.iterator.zipWithIndex.map {
+              case (m, i) =>
+                md.reset()
+                val hex = md.digest(m.data).map("%02x".format(_)).mkString
+                GzipMemberRow(id, i.toLong, 1L, Some(m.offset), Some(m.compLen),
+                  Some(m.data.length.toLong), Some(hex))
+            }
+            case None => Iterator.single(
+              GzipMemberRow(id, -1L, 0L, None, None, None, None))
+          }
+        }
+      }(enc)
   }
 
   /** Inflate gzip text payloads and fingerprint the PLAINTEXT: exact

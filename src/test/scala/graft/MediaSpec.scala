@@ -689,6 +689,63 @@ class MediaSpec extends SparkSpec {
     assert(gunzipBytes(bomb).isEmpty, "inflate cap rejects the bomb")
   }
 
+  test("gzip member split: boundaries re-slice, header extensions, strict rejects") {
+    import graft.operators.Compressed.{gzipBytes, gunzipBytes, gunzipMemberSplit, MaxInflated}
+    val texts = Seq("alpha record", "beta \u00e9\u4e16\u754c", "", "gamma " * 50)
+    val shard = texts.map(t => gzipBytes(t.getBytes("UTF-8")))
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    val members = gunzipMemberSplit(shard).get
+    assert(members.length === texts.length)
+    members.zip(texts).foreach { case (m, t) =>
+      assert(new String(m.data, "UTF-8") === t)
+    }
+    // boundary arithmetic: contiguous, exhaustive, and each slice is a
+    // standalone gzip stream (the ranged-read contract)
+    assert(members.head.offset === 0L)
+    members.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + a.compLen === b.offset, "members are contiguous") }
+    assert(members.last.offset + members.last.compLen === shard.length.toLong)
+    members.foreach { m =>
+      val slice = java.util.Arrays.copyOfRange(shard,
+        m.offset.toInt, (m.offset + m.compLen).toInt)
+      assert(gunzipBytes(slice).get.toSeq === m.data.toSeq,
+        "a [offset, offset+comp_len) ranged read inflates alone")
+    }
+    // FNAME + FCOMMENT + FEXTRA + FHCRC headers all walk correctly: build
+    // a member with every optional field via raw framing
+    val body = "payload with headers".getBytes("UTF-8")
+    val defl = new java.util.zip.Deflater(-1, true)
+    defl.setInput(body); defl.finish()
+    val cbuf = new Array[Byte](1024)
+    val clen = defl.deflate(cbuf); defl.end()
+    val crc = new java.util.zip.CRC32; crc.update(body)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 0))                       // FEXTRA|FNAME|FCOMMENT
+    bos.write(Array[Byte](3, 0, 1, 2, 3))      // xlen=3 + 3 extra bytes
+    bos.write("name.txt".getBytes("US-ASCII")); bos.write(0)
+    bos.write("a comment".getBytes("US-ASCII")); bos.write(0)
+    bos.write(cbuf, 0, clen)
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bos.write(le32(crc.getValue)); bos.write(le32(body.length.toLong))
+    val fancy = bos.toByteArray
+    val m2 = gunzipMemberSplit(fancy ++ gzipBytes("tail".getBytes("UTF-8"))).get
+    assert(m2.length === 2 && new String(m2.head.data, "UTF-8") === "payload with headers")
+    assert(new String(m2(1).data, "UTF-8") === "tail")
+    // strict rejects: trailing garbage, corrupt trailer CRC, truncation, bomb
+    assert(gunzipMemberSplit(shard ++ Array[Byte](1, 2, 3)).isEmpty,
+      "trailing garbage is not a member")
+    val corrupt = shard.clone()
+    corrupt(shard.length - 5) = (corrupt(shard.length - 5) ^ 0x40).toByte
+    assert(gunzipMemberSplit(corrupt).isEmpty, "flipped trailer bit detected")
+    assert(gunzipMemberSplit(shard.dropRight(3)).isEmpty, "truncated trailer")
+    assert(gunzipMemberSplit(null).isEmpty)
+    val bomb = gzipBytes(new Array[Byte](MaxInflated / 2 + (1 << 20)))
+    assert(gunzipMemberSplit(bomb ++ bomb).isEmpty,
+      "the bomb cap sums ACROSS members")
+  }
+
   test("png/gzip Spark plumbing: synth assets decode ok; fingerprints match SQL truth") {
     val ids = spark.range(30).toDF("doc_id")
     val png = Multimodal.decodePngFeatures(
