@@ -594,6 +594,59 @@ class PlanSpec extends SparkSpec {
       s"q208 'never placed a large order' must be a left-anti join:\n$p208")
   }
 
+  test("q225/q226/q229 late TPC-H shapes: broadcast dims, no cartesians, decorrelated windows") {
+    val p225 = plan(QueryCatalog.q225ShippingPriority)
+    assert(p225.contains("BroadcastHashJoin") && !p225.contains("SortMergeJoin"),
+      s"q225 orders must broadcast against the filtered lineitem scan:\n$p225")
+    assert(p225.contains("PushedFilters"), s"q225 date range must reach the scan:\n$p225")
+    val p226 = plan(QueryCatalog.q226MinCostSupplier)
+    assert(!p226.contains("CartesianProduct"), s"q226 no all-pairs:\n$p226")
+    assert(p226.contains("BroadcastHashJoin"), s"q226 dims must broadcast:\n$p226")
+    assert(p226.contains("TakeOrderedAndProject"),
+      s"q226 top-100 must ride TakeOrdered, not a global sort:\n$p226")
+    // the correlated min-cost subquery must decorrelate to a
+    // part-partitioned window, never a per-row re-aggregation
+    assert(p226.contains("windowspecdefinition(p_partkey"),
+      s"q226 min cost must be a partkey-partitioned window:\n$p226")
+    val p229 = plan(QueryCatalog.q229SurgeSuppliers)
+    assert(!p229.contains("CartesianProduct") && !p229.contains("SortMergeJoin"),
+      s"q229 joins must broadcast:\n$p229")
+  }
+
+  test("q230 association rules: basket windows partition by basket; joins broadcast") {
+    val p = plan(QueryCatalog.q230AssociationRules)
+    assert(!p.contains("CartesianProduct"), s"q230 no all-pairs:\n$p")
+    // every basket-size window must key on the basket column
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(_b")),
+      s"q230 windows must partition by basket:\n${specs.mkString("\n")}")
+  }
+
+  test("q234 skyline: every data window is partitioned (anti-chain cannot serialize)") {
+    val p = plan(QueryCatalog.q234ParetoFront)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // phase-1 best-per-v_min partitions by v_min; phase-2 local scan by
+    // bucket; the cross-bucket prefix max runs at BUILD time on the
+    // checkpointed ≤buckets-row frame, so it never appears here as an
+    // unpartitioned window over data
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("windowspecdefinition(v_min") ||
+        s.contains("windowspecdefinition(_bkt")),
+      s"q234 windows must partition by v_min or bucket:\n${specs.mkString("\n")}")
+  }
+
+  test("q238 sharded global AUC: rank sorts partition by score bucket, not one task") {
+    val p = plan(QueryCatalog.q238GlobalAucSharded)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the rank/tie windows must carry the bucket key; the only
+    // order-only window is the prefix sum over the ≤buckets-row
+    // control frame (rowsBetween(unboundedPreceding, -1))
+    val dataWins = specs.filterNot(_.contains("unboundedpreceding$(), -1"))
+    assert(dataWins.nonEmpty && dataWins.forall(_.contains("_bkt")),
+      s"q238 rank windows must partition by bucket:\n${specs.mkString("\n")}")
+    assert(p.contains("partial_"), "final per-group fold must partial-aggregate")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
