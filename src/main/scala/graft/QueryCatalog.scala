@@ -6804,6 +6804,39 @@ object QueryCatalog {
       |      CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc
       |FROM g""".stripMargin
 
+  /** Deterministic epoch shuffle (functions.FeistelPermute): each epoch
+    * orders the corpus by a seeded Feistel BIJECTION of doc_id — a full
+    * collision-free reshuffle computed as one codegen'd map expression
+    * (no rand(), no global sort key ties, reproducible from the seed
+    * alone), with `pos % 8` dealing balanced shards because positions
+    * are a permutation. The oracle replays the 4-round network through
+    * CTEs in plain BIGINT arithmetic — bit-identical by construction. */
+  def q240EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      explode(array(lit(0L), lit(1L))).as("epoch"))
+    e.select(col("epoch"), col("doc_id"),
+        functions.FeistelPermute.feistel(col("doc_id"),
+          col("epoch") * 7919L + 17L).as("pos"))
+      .withColumn("shard", pmod(col("pos"), lit(8L)))
+  }
+
+  val q240Sql: String =
+    """WITH e AS (SELECT doc_id, CAST(ep AS BIGINT) AS epoch
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS ep)),
+      |s0 AS (SELECT epoch, doc_id, epoch * 7919 + 17 AS sd,
+      |    (doc_id // 65536) & 65535 AS l0, doc_id & 65535 AS r0 FROM e),
+      |s1 AS (SELECT *, r0 AS l1,
+      |    xor(l0, ((r0 * 2654435761 + sd + 40503 * 1) // 65536) & 65535) AS r1 FROM s0),
+      |s2 AS (SELECT *, r1 AS l2,
+      |    xor(l1, ((r1 * 2654435761 + sd + 40503 * 2) // 65536) & 65535) AS r2 FROM s1),
+      |s3 AS (SELECT *, r2 AS l3,
+      |    xor(l2, ((r2 * 2654435761 + sd + 40503 * 3) // 65536) & 65535) AS r3 FROM s2),
+      |s4 AS (SELECT *, r3 AS l4,
+      |    xor(l3, ((r3 * 2654435761 + sd + 40503 * 4) // 65536) & 65535) AS r4 FROM s3)
+      |SELECT epoch, doc_id, CAST(l4 * 65536 + r4 AS BIGINT) AS pos,
+      |  CAST((l4 * 65536 + r4) % 8 AS BIGINT) AS shard
+      |FROM s4""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7048,7 +7081,8 @@ object QueryCatalog {
     ("q236_png_decode", q236PngDecode _, Some(q236Sql)),
     ("q237_gzip_text", q237GzipText _, Some(q237Sql)),
     ("q238_global_auc_sharded", q238GlobalAucSharded _, Some(q238Sql)),
-    ("q239_gzip_members", q239GzipMembers _, Some(q239Sql)))
+    ("q239_gzip_members", q239GzipMembers _, Some(q239Sql)),
+    ("q240_epoch_shuffle", q240EpochShuffle _, Some(q240Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

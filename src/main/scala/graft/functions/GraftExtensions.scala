@@ -65,6 +65,9 @@ object GraftExtensions {
     // Hilbert's rotation recurrence forces a native Expression)
     ("hilbert16", new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert16"),
       arity("hilbert16(x, y)", 2)(c => HilbertIndex(c.head, c(1)))),
+    // seeded epoch-shuffle bijection over [0, 2^32): `feistel32(id, seed)`
+    ("feistel32", new ExpressionInfo(classOf[FeistelPermute].getName, "feistel32"),
+      arity("feistel32(id, seed)", 2)(c => FeistelPermute(c.head, c(1)))),
     // the UDTF surface: word n-gram generators, SQL-callable like explode
     // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
     // the generator's output schema is fixed at plan time
