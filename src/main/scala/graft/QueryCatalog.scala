@@ -6837,6 +6837,33 @@ object QueryCatalog {
       |  CAST((l4 * 65536 + r4) % 8 AS BIGINT) AS shard
       |FROM s4""".stripMargin
 
+  /** GIF decode through the REAL LZW codec (MediaCodecs.encodeGif/
+    * decodeGif — variable-width codes, clear-code resets, interlace on
+    * odd ids): synth pixels → LZW-compressed GIF bytes → decode.
+    * LOSSLESSNESS is the proof — the oracle recomputes channel sums
+    * from the source formulas, so any LZW/color-table/interlace bug
+    * breaks the hash. Fourth container over the q145/q181/q236 pixel
+    * truth. */
+  def q241GifDecode(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.decodeGifFeatures(
+      operators.Multimodal.synthGifAssets(t(s, dir, "documents"), "doc_id")).toDF()
+      .select(col("asset_id"), col("ok"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
+  val q241Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height FROM documents),
+      |pi AS (SELECT asset_id, width, height,
+      |    unnest(generate_series(0, width - 1)) AS x FROM d),
+      |pj AS (SELECT asset_id, width, height, x,
+      |    unnest(generate_series(0, height - 1)) AS y FROM pi)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, width, height,
+      |  CAST(sum((asset_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((2 * asset_id + x + 7 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((5 * asset_id + 11 * x + y) % 256) AS BIGINT) AS sum_b
+      |FROM pj GROUP BY 1, 2, 3, 4""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7082,7 +7109,8 @@ object QueryCatalog {
     ("q237_gzip_text", q237GzipText _, Some(q237Sql)),
     ("q238_global_auc_sharded", q238GlobalAucSharded _, Some(q238Sql)),
     ("q239_gzip_members", q239GzipMembers _, Some(q239Sql)),
-    ("q240_epoch_shuffle", q240EpochShuffle _, Some(q240Sql)))
+    ("q240_epoch_shuffle", q240EpochShuffle _, Some(q240Sql)),
+    ("q241_gif_decode", q241GifDecode _, Some(q241Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1000,4 +1000,272 @@ object MediaCodecs {
   private def u32be(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  // =========================================================================
+  // GIF (real LZW) — the remaining endemic crawl-image container after
+  // BMP/QOI/PNG. GIF87a writer, 87a/89a reader (89a extension blocks are
+  // skipped), global+local color tables, interlace, variable-width LZW
+  // with clear-code resets and deferred-clear tolerance. Same contract as
+  // decodePng: STRICT BUT TOTAL — None on any malformed payload, never
+  // throws, never hangs, output bounded by the declared w×h.
+  // Format: GIF87a spec (CompuServe, 1987) / RFC-adjacent W3C GIF89a note.
+  // Reference repo treats media as opaque blobs (no codec surface to cite).
+  // =========================================================================
+
+  /** Interlace pass schedule: (first row, row step) per GIF spec. */
+  private val GifPasses = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** Encode a GIF87a image. `palette` = packed 0xRRGGBB colors (1..256);
+    * `index(x, y)` returns the palette index of the TOP-LEFT-origin
+    * pixel. Real variable-width LZW with dictionary resets at 4096
+    * codes, so arbitrarily large frames encode correctly. */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+                index: (Int, Int) => Int,
+                interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "dims must fit u16")
+    require(palette.nonEmpty && palette.length <= 256, "palette size 1..256")
+    // GCT size is 2^(N+1); LZW min code size covers the table and is >= 2
+    var gctBits = 1
+    while ((1 << gctBits) < palette.length) gctBits += 1
+    val tableSize = 1 << gctBits
+    val mcs = math.max(2, gctBits)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16le(width); u16le(height)
+    out.write(0x80 | (7 << 4) | (gctBits - 1)) // GCT present, 8-bit color res
+    out.write(0)                               // background color index
+    out.write(0)                               // aspect ratio
+    var i = 0
+    while (i < tableSize) {
+      val c = if (i < palette.length) palette(i) else 0
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+      i += 1
+    }
+    out.write(0x2c)                            // image descriptor
+    u16le(0); u16le(0); u16le(width); u16le(height)
+    out.write(if (interlaced) 0x40 else 0x00)  // no LCT
+    out.write(mcs)
+    // pixel indices in STORED row order (interlace permutes rows on disk)
+    val rows: Seq[Int] =
+      if (interlaced) GifPasses.toIndexedSeq.flatMap { case (f, s) => f until height by s }
+      else 0 until height
+    val data = new Array[Byte](width * height)
+    var p = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < width) {
+        val v = index(x, y)
+        require(v >= 0 && v < tableSize, s"index $v out of color table")
+        data(p) = v.toByte; p += 1; x += 1
+      }
+    }
+    // --- LZW compress (LSB-first bit packing, 255-byte sub-blocks) ---
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val body = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0; var codeWidth = mcs + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += codeWidth
+      while (nbits >= 8) { body.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    var cur = data(0) & 0xff
+    p = 1
+    while (p < data.length) {
+      val k = data(p) & 0xff
+      val key = (cur.toLong << 8) | k
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (next <= 4095) {
+          dict.put(key, Integer.valueOf(next)); next += 1
+          // grow when the decoder's mirrored table reaches 2^width
+          // (its `next` trails ours by one — see decodeGif)
+          if (next == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+        } else {
+          emit(clear)
+          dict = new java.util.HashMap[Long, Integer]()
+          next = eoi + 1; codeWidth = mcs + 1
+        }
+        cur = k
+      }
+      p += 1
+    }
+    emit(cur); emit(eoi)
+    if (nbits > 0) body.write((acc & 0xff).toInt)
+    val enc = body.toByteArray
+    var off = 0
+    while (off < enc.length) {
+      val n = math.min(255, enc.length - off)
+      out.write(n); out.write(enc, off, n); off += n
+    }
+    out.write(0)                               // block terminator
+    out.write(0x3b)                            // trailer
+    out.toByteArray
+  }
+
+  /** Decode the FIRST image frame of a GIF87a/89a payload to pixels.
+    * Handles global AND local color tables, interlace, 89a extension
+    * blocks (skipped), variable-width LZW with clear codes, the KwKwK
+    * self-referencing case, and deferred clears (full table keeps
+    * decoding at 12 bits until a clear arrives). Returns None on any
+    * structural violation: bad signature, truncated sub-blocks, codes
+    * beyond the table, or pixel output ≠ the descriptor's w×h. Frames
+    * after the first (animation) are ignored — feature extraction reads
+    * the poster frame. */
+  def decodeGif(bytes: Array[Byte]): Option[BmpData] = {
+    if (bytes == null || bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    var pos = 6
+    def avail(n: Int): Boolean = pos + n <= bytes.length
+    def u16(): Int = { val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8); pos += 2; v }
+    if (!avail(7)) return None
+    u16(); u16()                               // logical screen dims (canvas)
+    val packed = bytes(pos) & 0xff; pos += 3   // packed, bg index, aspect
+    var table: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (!avail(3 * n)) return None
+      table = Array.tabulate(n) { i =>
+        val o = pos + 3 * i
+        ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+      }
+      pos += 3 * n
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    var guard = 0
+    while (guard < 4096) {
+      guard += 1
+      if (!avail(1)) return None
+      val intro = bytes(pos) & 0xff; pos += 1
+      intro match {
+        case 0x21 =>                           // extension: label + sub-blocks
+          if (!avail(1)) return None
+          pos += 1
+          var len = -1
+          while (len != 0) {
+            if (!avail(1)) return None
+            len = bytes(pos) & 0xff; pos += 1
+            if (len > 0) { if (!avail(len)) return None; pos += len }
+          }
+        case 0x2c =>                           // image descriptor
+          if (!avail(9)) return None
+          u16(); u16()                         // left, top (frame offset)
+          val w = u16(); val h = u16()
+          val ipacked = bytes(pos) & 0xff; pos += 1
+          if (w <= 0 || h <= 0) return None
+          if (w.toLong * h > 64L * 1024 * 1024) return None // bomb cap
+          val interlaced = (ipacked & 0x40) != 0
+          var colors = table
+          if ((ipacked & 0x80) != 0) {         // local color table wins
+            val n = 1 << ((ipacked & 7) + 1)
+            if (!avail(3 * n)) return None
+            colors = Array.tabulate(n) { i =>
+              val o = pos + 3 * i
+              ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+            }
+            pos += 3 * n
+          }
+          if (colors == null) return None
+          if (!avail(1)) return None
+          val mcs = bytes(pos) & 0xff; pos += 1
+          if (mcs < 2 || mcs > 11) return None
+          return decodeGifLzw(bytes, pos, w, h, mcs, interlaced, colors)
+        case 0x3b => return None               // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** LZW-decode one image's sub-block stream into BmpData. */
+  private def decodeGifLzw(bytes: Array[Byte], start: Int, w: Int, h: Int,
+                           mcs: Int, interlaced: Boolean,
+                           colors: Array[Int]): Option[BmpData] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    // dictionary as prefix/suffix arrays; roots are their own suffix
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = eoi + 1
+    var codeWidth = mcs + 1
+    val nPix = w * h
+    val idxOut = new Array[Byte](nPix)
+    var got = 0
+    var pos = start
+    var blockLeft = 0
+    var acc = 0L; var nbits = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    var done = false
+    while (!done) {
+      // refill the bit buffer across sub-block boundaries
+      while (nbits < codeWidth) {
+        if (blockLeft == 0) {
+          if (pos >= bytes.length) return None
+          blockLeft = bytes(pos) & 0xff; pos += 1
+          if (blockLeft == 0) return None      // terminator before EOI code
+        }
+        if (pos >= bytes.length) return None
+        acc |= (bytes(pos) & 0xffL) << nbits; nbits += 8; pos += 1; blockLeft -= 1
+      }
+      val code = (acc & ((1L << codeWidth) - 1)).toInt
+      acc >>= codeWidth; nbits -= codeWidth
+      if (code == clear) {
+        next = eoi + 1; codeWidth = mcs + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return None         // first code must be a root
+        if (got >= nPix) return None
+        idxOut(got) = code.toByte; got += 1
+        prev = code
+      } else {
+        if (code > next || (code == next && next > 4095)) return None
+        // materialize the string for `code` (KwKwK: prev's string + its head)
+        var sp = 0
+        var c = if (code == next) prev else code
+        while (c >= clear) {                   // walk the chain to the root
+          if (sp >= 4096) return None          // corrupt self-referencing chain
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        if (c >= clear) return None
+        val head = c.toByte
+        val extra = if (code == next) 1 else 0
+        if (got + 1 + sp + extra > nPix) return None
+        idxOut(got) = head; got += 1
+        while (sp > 0) { sp -= 1; idxOut(got) = stack(sp); got += 1 }
+        if (code == next) { idxOut(got) = head; got += 1 }
+        if (next <= 4095) {
+          prefix(next) = prev; suffix(next) = head; next += 1
+          if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    if (got != nPix) return None
+    // map stored row order back to raster order, then indices to colors
+    val px = new Array[Int](nPix)
+    val rows: Seq[Int] =
+      if (interlaced) GifPasses.toIndexedSeq.flatMap { case (f, s) => f until h by s }
+      else 0 until h
+    var r = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < w) {
+        val ix = idxOut(r * w + x) & 0xff
+        if (ix >= colors.length) return None
+        px(y * w + x) = colors(ix)
+        x += 1
+      }
+      r += 1
+    }
+    Some(BmpData(w, h, px))
+  }
 }

@@ -690,6 +690,48 @@ object Multimodal {
     toAssets(rows, "asset_id", "payload", "image/png")
   }
 
+  /** GIF twin of [[decodeBmpFeatures]] — REAL LZW-compressed decode
+    * ([[MediaCodecs.decodeGif]]: variable-width LZW, clear-code resets,
+    * interlace, color tables). GIF is LOSSLESS, so the decoded channel
+    * sums must equal the source formulas bit-for-bit — the oracle checks
+    * the LZW round-trip, not just plumbing. */
+  def decodeGifFeatures(assets: DataFrame): Dataset[BmpFeatureRow] =
+    bmpFeaturesWith(assets, MediaCodecs.decodeGif)
+
+  /** GIF fixture: the [[synthBmpAssets]] pixel formulas through the REAL
+    * GIF87a encoder — the images are ≤ 16×16 so their ≤ 256 distinct
+    * colors always fit the global color table; odd ids store interlaced
+    * (the 4-pass row permutation), so both raster orders decode against
+    * ONE oracle. */
+  def synthGifAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 9).toInt
+          val pxf = (x: Int, y: Int) => {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + x + 7L * y) % 256).toInt
+            val b = ((5L * id + 11L * x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val pal = new java.util.LinkedHashMap[Integer, Integer]()
+          for (y <- 0 until h; x <- 0 until w) {
+            val c = pxf(x, y)
+            if (!pal.containsKey(c)) pal.put(c, pal.size())
+          }
+          val colors = new Array[Int](pal.size())
+          pal.forEach((c, i) => colors(i) = c)
+          val bytes = MediaCodecs.encodeGif(w, h, colors,
+            (x, y) => pal.get(pxf(x, y)), interlaced = id % 2 == 1)
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/gif")
+  }
+
   /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,
     * r(x,y) = (id + 3x + 5y) mod 256, g = (2id + x + 7y) mod 256,
     * b = (5id + 11x + y) mod 256. */

@@ -779,4 +779,120 @@ class MediaSpec extends SparkSpec {
     val bad = graft.operators.Compressed.gunzipTextFeatures(junk).collect()
     assert(bad.length === 1 && bad.head.ok === 0L)
   }
+
+  // ---- GIF ----
+
+  test("gif: hand-built golden bytes decode exactly (LZW walked by hand)") {
+    // 2x2, palette [red, white], indices row-major [0,1,1,0]; mcs=2,
+    // clear=4, eoi=5. Hand-run LZW: codes 4,0,1,1 at width 3, then 0,5
+    // at width 4 (the third add makes next==9==2^3+1) — LSB-packed to
+    // bytes 0x44 0x02 0x05.
+    val g = Array[Int](
+      'G', 'I', 'F', '8', '7', 'a',
+      2, 0, 2, 0, 0xF0, 0, 0,            // LSD: 2x2, GCT of 2, 8-bit res
+      0xFF, 0x00, 0x00, 0xFF, 0xFF, 0xFF, // GCT: red, white
+      0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0x00, // image descriptor, no interlace
+      0x02,                               // LZW min code size
+      0x03, 0x44, 0x02, 0x05, 0x00,       // one sub-block + terminator
+      0x3B).map(_.toByte)
+    val img = MediaCodecs.decodeGif(g).get
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixels.toSeq === Seq(0xFF0000, 0xFFFFFF, 0xFFFFFF, 0xFF0000))
+    assert(img.channelSums === ((1020L, 510L, 510L)))
+  }
+
+  test("gif: encode round-trip lossless; interlace permutes storage only") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 6) {
+      val w = 3 + rnd.nextInt(30); val h = 2 + rnd.nextInt(25)
+      val nCol = 1 + rnd.nextInt(256)
+      val palette = Array.fill(nCol)(rnd.nextInt(1 << 24))
+      val idx = Array.fill(h, w)(rnd.nextInt(nCol))
+      for (inter <- Seq(false, true)) {
+        val bytes = MediaCodecs.encodeGif(w, h, palette, (x, y) => idx(y)(x), inter)
+        val img = MediaCodecs.decodeGif(bytes).get
+        assert(img.width === w && img.height === h, s"trial $trial inter=$inter")
+        for (y <- 0 until h; x <- 0 until w)
+          assert(img.pixels(y * w + x) === palette(idx(y)(x)),
+            s"trial $trial inter=$inter pixel ($x,$y)")
+      }
+    }
+    // interlaced vs not: identical pixels, different bytes on disk
+    val pal = Array(0x102030, 0x405060, 0x708090)
+    val f = (x: Int, y: Int) => (x + 2 * y) % 3
+    val a = MediaCodecs.decodeGif(MediaCodecs.encodeGif(9, 9, pal, f)).get
+    val b = MediaCodecs.decodeGif(
+      MediaCodecs.encodeGif(9, 9, pal, f, interlaced = true)).get
+    assert(a.pixels.toSeq === b.pixels.toSeq)
+  }
+
+  test("gif: dictionary exhaustion forces a clear-code reset and survives") {
+    // 128x64 of high-entropy indices emits > 4096 codes: the encoder
+    // must hit the 12-bit ceiling, emit CLEAR, and rebuild; the decoder
+    // must follow the reset mid-stream.
+    val rnd = new scala.util.Random(12345)
+    val w = 128; val h = 64
+    val palette = Array.tabulate(256)(i => (i * 0x010203) & 0xffffff)
+    val idx = Array.fill(h, w)(rnd.nextInt(256))
+    val bytes = MediaCodecs.encodeGif(w, h, palette, (x, y) => idx(y)(x))
+    val img = MediaCodecs.decodeGif(bytes).get
+    assert(img.width === w && img.height === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.pixels(y * w + x) === palette(idx(y)(x)))
+  }
+
+  test("gif: 89a extension blocks are skipped; strict rejects") {
+    val pal = Array(0xAA0000, 0x00BB00, 0x0000CC, 0xDDDDDD)
+    val base = MediaCodecs.encodeGif(5, 4, pal, (x, y) => (x ^ y) & 3)
+    val want = MediaCodecs.decodeGif(base).get.pixels.toSeq
+    // splice a Graphic Control Extension after the GCT (offset 13 + 3*4)
+    val cut = 13 + 12
+    val gce = Array[Int](0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00)
+      .map(_.toByte)
+    val spliced = base.take(cut) ++ gce ++ base.drop(cut)
+    spliced(4) = '9'.toByte // GIF87a -> GIF89a
+    assert(MediaCodecs.decodeGif(spliced).get.pixels.toSeq === want)
+    // rejects: signature, truncation at every boundary class, early trailer
+    assert(MediaCodecs.decodeGif("GIF90a????????".getBytes).isEmpty)
+    assert(MediaCodecs.decodeGif(base.take(10)).isEmpty, "inside the LSD")
+    assert(MediaCodecs.decodeGif(base.take(cut + 5)).isEmpty, "inside the descriptor")
+    assert(MediaCodecs.decodeGif(base.dropRight(3)).isEmpty, "inside the data")
+    val noImage = base.take(cut) :+ 0x3B.toByte
+    assert(MediaCodecs.decodeGif(noImage).isEmpty, "trailer before any image")
+    // a corrupted min-code-size (1 is spec-invalid) rejects
+    val badMcs = base.clone; badMcs(cut + 10) = 1.toByte
+    assert(MediaCodecs.decodeGif(badMcs).isEmpty)
+  }
+
+  test("gif: fuzz — decoder never throws on garbage/mutations/truncations") {
+    val rnd = new scala.util.Random(8642)
+    val pal = Array.tabulate(16)(i => i * 0x111111)
+    val valid = MediaCodecs.encodeGif(11, 7, pal, (x, y) => (x * 3 + y) & 15)
+    for (round <- 0 until 300) {
+      val payload = round % 3 match {
+        case 0 => val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
+        case 1 =>
+          val b = valid.clone
+          (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+          b
+        case _ => valid.take(rnd.nextInt(valid.length + 1))
+      }
+      MediaCodecs.decodeGif(payload) // Option, never a throw or a hang
+    }
+  }
+
+  test("gif Spark plumbing: synth assets agree with the BMP pixel truth") {
+    val ids = spark.range(30).toDF("doc_id")
+    val gif = Multimodal.decodeGifFeatures(
+      Multimodal.synthGifAssets(ids, "doc_id")).collect()
+    assert(gif.length === 30 && gif.forall(_.ok == 1L))
+    val bmp = Multimodal.decodeBmpFeatures(
+      Multimodal.synthBmpAssets(ids, "doc_id")).collect()
+      .map(r => r.asset_id -> ((r.sum_r, r.sum_g, r.sum_b))).toMap
+    gif.foreach { r =>
+      assert(((r.sum_r, r.sum_g, r.sum_b)) === bmp(r.asset_id),
+        s"asset ${r.asset_id}: containers must agree on pixels")
+    }
+  }
 }
