@@ -6864,6 +6864,45 @@ object QueryCatalog {
       |  CAST(sum((5 * asset_id + 11 * x + y) % 256) AS BIGINT) AS sum_b
       |FROM pj GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Split-conformal calibration per class (Eval.conformalCalibration):
+    * nonconformity = −(embedding component at the true label), the
+    * calibration/test split is the usual content-hash halves, α = 1/10.
+    * qhat is the ⌈(n+1)·9/10⌉-th smallest calibration score — an exact
+    * order statistic found via the bucket-histogram walk, no per-class
+    * sort — and the empirical test coverage rides along. The oracle
+    * replays k with integer ceiling math and picks qhat by row_number. */
+  def q242Conformal(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings").select(
+      col("label").cast("int").as("cls"),
+      (element_at(col("embedding"), col("label") + 1).cast("double") * lit(-1.0))
+        .as("score"),
+      (operators.Sampling.hashBucket(col("vec_id")) % 2 === 0).as("is_cal"))
+    operators.Eval.conformalCalibration(x, "cls", "score", "is_cal", 1L, 10L)
+  }
+
+  val q242Sql: String =
+    """WITH x AS (SELECT CAST(label AS INT) AS cls,
+      |    CAST(embedding[label + 1] AS DOUBLE) * -1.0 AS score,
+      |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 1000000 % 2 = 0 AS is_cal
+      |  FROM embeddings),
+      |c AS (SELECT cls, score FROM x WHERE is_cal),
+      |n AS (SELECT cls, count(*) AS n_cal FROM c GROUP BY 1),
+      |k AS (SELECT cls, n_cal, ((n_cal + 1) * 9 + 9) // 10 AS k_rank FROM n),
+      |r AS (SELECT cls, score,
+      |    row_number() OVER (PARTITION BY cls ORDER BY score) AS rn FROM c),
+      |q AS (SELECT k.cls, k.n_cal, k.k_rank, r.score AS qhat
+      |  FROM k LEFT JOIN r ON r.cls = k.cls AND r.rn = k.k_rank),
+      |t AS (SELECT cls, score FROM x WHERE NOT is_cal)
+      |SELECT t.cls, q.n_cal, q.k_rank, q.qhat,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN q.k_rank > q.n_cal OR t.score <= q.qhat
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  round(CAST(sum(CASE WHEN q.k_rank > q.n_cal OR t.score <= q.qhat
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+      |FROM t JOIN q ON t.cls = q.cls
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7110,7 +7149,8 @@ object QueryCatalog {
     ("q238_global_auc_sharded", q238GlobalAucSharded _, Some(q238Sql)),
     ("q239_gzip_members", q239GzipMembers _, Some(q239Sql)),
     ("q240_epoch_shuffle", q240EpochShuffle _, Some(q240Sql)),
-    ("q241_gif_decode", q241GifDecode _, Some(q241Sql)))
+    ("q241_gif_decode", q241GifDecode _, Some(q241Sql)),
+    ("q242_conformal", q242Conformal _, Some(q242Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

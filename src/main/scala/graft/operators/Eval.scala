@@ -327,4 +327,89 @@ object Eval {
           d38(lit(critNum)) * d38(lit(critNum)) * bigX * (bigN - bigX) *
             d38(col("n1")) * d38(col("n0"))).as("significant"))
   }
+
+  /** Split-conformal calibration per group (Mondrian conformal): from a
+    * calibration split's nonconformity scores, the threshold
+    * `qhat = the k-th smallest score, k = ⌈(n+1)·(1−α)⌉` guarantees
+    * marginal coverage ≥ 1−α on exchangeable test rows (Vovk et al.;
+    * Angelopoulos & Bates, arXiv:2107.07511 §2) — the distribution-free
+    * "how big must the prediction set be" primitive an eval pipeline
+    * runs per class/slice. Emits qhat plus the EMPIRICAL coverage
+    * measured on the test split.
+    *
+    * α is a RATIONAL `alphaNum/alphaDen`, so k is exact integer math;
+    * qhat is a SELECTED input value (an order statistic — no arithmetic,
+    * bit-exact in any engine); coverage is the one rounded readout.
+    * When k > n (calibration set too small for the requested level) the
+    * honest answer is qhat = +∞: emitted as NULL with every test row
+    * covered.
+    *
+    * Scale: the k-th order statistic is found WITHOUT a per-group sort —
+    * the [[ApproxQuantile.exactOrderStats]] bucket-histogram walk (range
+    * histogram → cumulative window over ≤ `buckets` rows per group →
+    * row_number inside the ONE covering bucket), so a skewed group costs
+    * one small-bucket sort, never a whole-group sort. Test rows take one
+    * broadcast join against the per-group threshold frame. */
+  def conformalCalibration(df: DataFrame, groupCol: String, scoreCol: String,
+                           calCol: String, alphaNum: Long, alphaDen: Long,
+                           buckets: Int = 1024): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    require(buckets >= 2 && buckets <= (1 << 16), "buckets in [2, 65536]")
+    val g = col(groupCol)
+    val cal = df.filter(col(calCol))
+      .select(g, col(scoreCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    // per-group stats + the exact conformal rank k = ⌈(n+1)(1−α)⌉
+    val st = cal.groupBy(g)
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+        count(lit(1)).as("_nc"))
+      .withColumn("_k", expr(
+        s"((_nc + 1) * ${alphaDen - alphaNum}L + ${alphaDen - 1}L) div ${alphaDen}L"))
+      .withColumn("_inf", col("_k") > col("_nc"))
+      .withColumnRenamed(groupCol, "_g")
+      .localCheckpoint(true)
+    val varied = st.filter(col("_mx") > col("_mn") && !col("_inf"))
+    // bucket histogram over the calibration scores of varied groups
+    val bkt = least(floor((col("_v") - col("_mn")) * buckets /
+      (col("_mx") - col("_mn"))).cast("long"), lit(buckets - 1L))
+    val b = cal.join(broadcast(varied), g <=> col("_g"))
+      .select(g, col("_v"), bkt.as("_bkt"))
+    val cum = b.groupBy(g, col("_bkt")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cc", sum(col("_c")).over(
+        Window.partitionBy(g).orderBy(col("_bkt"))))
+    // covering bucket (first cumulative count ≥ k) + count before it
+    val pick = cum.join(broadcast(varied), g <=> col("_g"))
+      .groupBy(g).agg(
+        min(when(col("_cc") >= col("_k"), col("_bkt"))).as("_tb"),
+        coalesce(max(when(col("_cc") < col("_k"), col("_cc"))), lit(0L))
+          .as("_before"),
+        first(col("_k")).as("_k2"))
+      .withColumnRenamed(groupCol, "_pg")
+    val qVaried = b.join(broadcast(pick),
+        g <=> col("_pg") && col("_bkt") === col("_tb"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(g).orderBy(col("_v"))))
+      .filter(col("_rn") === col("_k2") - col("_before"))
+      .select(g.as("_qg"), col("_v").as("_qv"))
+    // assemble qhat: NULL when infinite, the constant when flat
+    val thr = st.join(qVaried, col("_g") <=> col("_qg"), "left")
+      .select(col("_g"), col("_nc"), col("_k"), col("_inf"),
+        when(col("_inf"), lit(null).cast("double"))
+          .when(col("_mx") <=> col("_mn"), col("_mn"))
+          .otherwise(col("_qv")).as("qhat"))
+    // empirical coverage on the test split
+    val test = df.filter(!col(calCol))
+      .select(g, col(scoreCol).cast("double").as("_tv"))
+      .filter(col("_tv").isNotNull)
+    test.join(broadcast(thr), g <=> col("_g"))
+      .groupBy(g).agg(
+        first(col("_nc")).as("n_cal"),
+        first(col("_k")).as("k_rank"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
+          .as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test"), 6))
+  }
 }

@@ -246,4 +246,57 @@ class EvalSpec extends SparkSpec {
       .orderBy(col("day")).collect().map(_.getAs[Double]("cusum_hi")).toSeq
     assert(re === out.map(_.getAs[Double]("cusum_hi")).toSeq)
   }
+
+  // ---- conformalCalibration ----------------------------------------------
+
+  test("conformalCalibration: qhat equals the sorted-order pick; coverage exact") {
+    // two groups with known scores; α = 1/4 → k = ⌈(n+1)·3/4⌉
+    val rnd = new scala.util.Random(9)
+    val rows = for {
+      g <- Seq("a", "b"); i <- 0 until 40
+    } yield (g, rnd.nextInt(1000).toDouble / 7.0, i % 2 == 0)
+    val df = rows.toDF("grp", "s", "is_cal")
+    val out = Eval.conformalCalibration(df, "grp", "s", "is_cal", 1L, 4L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { g =>
+      val cal = rows.filter(r => r._1 == g && r._3).map(_._2).sorted
+      val test = rows.filter(r => r._1 == g && !r._3).map(_._2)
+      val k = ((cal.length + 1) * 3 + 3) / 4
+      val qhat = cal(k - 1)
+      val r = out(g)
+      assert(r.getAs[Long]("n_cal") === cal.length.toLong)
+      assert(r.getAs[Long]("k_rank") === k.toLong)
+      assert(r.getAs[Double]("qhat") === qhat)
+      val cov = test.count(_ <= qhat)
+      assert(r.getAs[Long]("n_covered") === cov.toLong)
+      assert(r.getAs[Long]("n_test") === test.length.toLong)
+    }
+  }
+
+  test("conformalCalibration: k > n gives infinite threshold (NULL, all covered); " +
+       "flat group picks the constant; partition-independent") {
+    // tiny calibration set at a strict level: n = 2, α = 1/10 → k = 3 > 2
+    val df = Seq(
+      ("tiny", 1.0, true), ("tiny", 2.0, true),
+      ("tiny", 99.0, false), ("tiny", -5.0, false),
+      ("flat", 7.0, true), ("flat", 7.0, true), ("flat", 7.0, true),
+      ("flat", 7.0, true), ("flat", 7.0, true), ("flat", 7.0, true),
+      ("flat", 7.0, true), ("flat", 7.0, true), ("flat", 7.0, true),
+      ("flat", 6.5, false), ("flat", 7.5, false))
+      .toDF("grp", "s", "is_cal")
+    val out = Eval.conformalCalibration(df, "grp", "s", "is_cal", 1L, 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tiny = out("tiny")
+    assert(tiny.isNullAt(tiny.fieldIndex("qhat")), "k>n must report +inf as NULL")
+    assert(tiny.getAs[Long]("n_covered") === 2L, "infinite threshold covers all")
+    val flat = out("flat")
+    assert(flat.getAs[Double]("qhat") === 7.0)
+    assert(flat.getAs[Long]("n_covered") === 1L, "6.5 covered, 7.5 not")
+    // partition-independence: selection must not depend on row order
+    val re = Eval.conformalCalibration(
+      Seq.fill(3)(Seq(("tiny", 1.0, true), ("tiny", 2.0, true))).flatten
+        .toDF("grp", "s", "is_cal")
+        .unionAll(df).repartition(13), "grp", "s", "is_cal", 1L, 10L)
+    assert(re.count() === 2L)
+  }
 }
