@@ -386,6 +386,27 @@ object ScaleCheck {
         (col("label") < 5).cast("int").as("pos"))
       graft.operators.Eval.rocAucSharded(x, "slice", "score", "pos", 64)
     })
+    // r12 additions: the epoch shuffle is ONE codegen'd projection (the
+    // ratio is the scan); GIF decode is the map-only synthesize→LZW→parse
+    // codec leg like wav/ahash; conformal is two scans + a histogram
+    // whose control frames are ≤ groups×buckets rows
+    time("epoch_shuffle(2)")({
+      val e = docs.select(col("doc_id"),
+        explode(array(lit(0L), lit(1L))).as("epoch"))
+      e.select(col("epoch"), col("doc_id"),
+        graft.functions.FeistelPermute.feistel(col("doc_id"),
+          col("epoch") * 7919L + 17L).as("pos"))
+    })
+    time("gif_decode")(
+      graft.operators.Multimodal.decodeGifFeatures(
+        graft.operators.Multimodal.synthGifAssets(docIds, "doc_id")).toDF())
+    time("conformal(a=1/10)")({
+      val x = emb.select(col("label").cast("int").as("cls"),
+        (element_at(col("embedding"), col("label") + 1).cast("double") * lit(-1.0))
+          .as("score"),
+        (pmod(col("vec_id"), lit(2)) === 0).as("is_cal"))
+      graft.operators.Eval.conformalCalibration(x, "cls", "score", "is_cal", 1L, 10L)
+    })
     spark.stop()
   }
 }

@@ -392,7 +392,7 @@ object Eval {
       .filter(col("_rn") === col("_k2") - col("_before"))
       .select(g.as("_qg"), col("_v").as("_qv"))
     // assemble qhat: NULL when infinite, the constant when flat
-    val thr = st.join(qVaried, col("_g") <=> col("_qg"), "left")
+    val thr = st.join(broadcast(qVaried), col("_g") <=> col("_qg"), "left")
       .select(col("_g"), col("_nc"), col("_k"), col("_inf"),
         when(col("_inf"), lit(null).cast("double"))
           .when(col("_mx") <=> col("_mn"), col("_mn"))

@@ -647,6 +647,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "final per-group fold must partial-aggregate")
   }
 
+  test("q240 epoch shuffle is one map-only codegen'd projection (no exchange)") {
+    val p = plan(QueryCatalog.q240EpochShuffle)
+    assert(!p.contains("Exchange"), s"the shuffle key is computed map-side:\n$p")
+    assert(!p.contains("Window"), "no window: positions come from the bijection")
+    // codegen'd operators print with a "*(n)" stage prefix
+    assert(p.linesIterator.exists(l => l.contains("*(") &&
+      l.contains("feistel_permute")), s"feistel must stay in codegen:\n$p")
+  }
+
+  test("q241 gif decode is scan -> mapPartitions, no shuffle of payloads") {
+    val p = plan(QueryCatalog.q241GifDecode)
+    assert(!p.contains("Exchange"), s"codec legs are map-only:\n$p")
+  }
+
+  test("q242 conformal: windows partition by group or group+bucket only") {
+    val p = plan(QueryCatalog.q242Conformal)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("cls")),
+      s"q242 windows must carry the class key:\n${specs.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      "control frames must broadcast, never SMJ")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
