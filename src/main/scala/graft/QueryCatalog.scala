@@ -6903,6 +6903,34 @@ object QueryCatalog {
       |FROM t JOIN q ON t.cls = q.cls
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** MRR@10 over the exact cosine ranking (Similarity.reciprocalRankAtK):
+    * the first-hit retrieval readout beside AP (q133), nDCG (q221) and
+    * RRF (q137) — same 16-query panel, same tie discipline (round(cos,6)
+    * desc, neighbor_id asc), NULL when no same-label neighbor reaches
+    * the top 10. */
+  def q243Mrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.reciprocalRankAtK(emb.filter(col("vec_id") < 16), emb, k = 10)
+  }
+
+  val q243Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+       |    label AS query_label FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+       |    label AS neighbor_label FROM embeddings),
+       |scored AS (SELECT query_id, query_label,
+       |    CAST(CASE WHEN query_label IS NOT DISTINCT FROM neighbor_label
+       |      THEN 1 ELSE 0 END AS BIGINT) AS rel,
+       |    ${cosSql("qv", "cv")} AS cos, neighbor_id
+       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk FROM scored)
+       |SELECT query_id, query_label,
+       |  min(CASE WHEN rnk <= 10 AND rel = 1 THEN rnk END) AS first_rel_rank,
+       |  round(CAST(1 AS DOUBLE) / min(CASE WHEN rnk <= 10 AND rel = 1
+       |    THEN rnk END), 6) AS rr_at_10
+       |FROM r GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7150,7 +7178,8 @@ object QueryCatalog {
     ("q239_gzip_members", q239GzipMembers _, Some(q239Sql)),
     ("q240_epoch_shuffle", q240EpochShuffle _, Some(q240Sql)),
     ("q241_gif_decode", q241GifDecode _, Some(q241Sql)),
-    ("q242_conformal", q242Conformal _, Some(q242Sql)))
+    ("q242_conformal", q242Conformal _, Some(q242Sql)),
+    ("q243_mrr", q243Mrr _, Some(q243Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -193,6 +193,40 @@ object Similarity {
           .as(s"ap_at_$k"))
   }
 
+  /** MRR@k over the exact cosine ranking — the first-hit twin of
+    * [[retrievalAveragePrecision]] (AP rewards every hit; MRR only the
+    * FIRST relevant rank, the navigational-search and RAG-single-answer
+    * readout). `rr_at_k = round(1 / first_rel_rank, 6)` — one double
+    * division of exact integer operands, engine-identical — and NULL
+    * when no relevant item lands in the top k (never 0: "no hit" and
+    * "hit at rank → 0 after rounding" must stay distinguishable).
+    *
+    * Same plan shape as AP/nDCG: query×corpus score with the query panel
+    * broadcast, ONE query-partitioned window, one grouped min — linear
+    * in the corpus for a fixed panel. */
+  def reciprocalRankAtK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_label"),
+        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
+        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(min(when(col("rank") <= k && col("rel") === 1, col("rank")))
+        .as("first_rel_rank"))
+      .withColumn(s"rr_at_$k",
+        round(lit(1.0) / col("first_rel_rank"), 6))
+  }
+
   /** nDCG@k over the exact cosine ranking — [[retrievalAveragePrecision]]'s
     * graded-position twin (AP weights by precision at each hit; nDCG
     * discounts by 1/log₂(rank+1) and normalizes by the ideal ordering).

@@ -247,6 +247,31 @@ class EvalSpec extends SparkSpec {
     assert(re === out.map(_.getAs[Double]("cusum_hi")).toSeq)
   }
 
+  // ---- reciprocalRankAtK ---------------------------------------------------
+
+  test("reciprocalRankAtK: first hit rank exact; no-hit is NULL, not zero") {
+    // 1 query vector (id 0, label 1); corpus engineered so the nearest
+    // same-label neighbor lands at rank 3 (two closer different-label
+    // vectors), plus a query whose label never appears in the top k
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1),    // query A
+      (1L, Array(0.99f, 0.1f), 2),   // rank 1, wrong label
+      (2L, Array(0.98f, 0.12f), 2),  // rank 2, wrong label
+      (3L, Array(0.9f, 0.2f), 1),    // rank 3, HIT
+      (10L, Array(0.0f, 1.0f), 9),   // query B: label 9 unique
+      (11L, Array(0.1f, 1.0f), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.reciprocalRankAtK(
+        df.filter(col("vec_id") === 0L || col("vec_id") === 10L), df, k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(0L)
+    assert(a.getAs[Long]("first_rel_rank") === 3L)
+    assert(a.getAs[Double]("rr_at_10") === 0.333333)
+    val b = out(10L)
+    assert(b.isNullAt(b.fieldIndex("first_rel_rank")))
+    assert(b.isNullAt(b.fieldIndex("rr_at_10")), "no hit must be NULL, not 0")
+  }
+
   // ---- conformalCalibration ----------------------------------------------
 
   test("conformalCalibration: qhat equals the sorted-order pick; coverage exact") {
