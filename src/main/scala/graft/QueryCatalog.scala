@@ -6931,6 +6931,56 @@ object QueryCatalog {
        |    THEN rnk END), 6) AS rr_at_10
        |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Omni-container perceptual dedup: the SAME pixels shipped as BMP,
+    * QOI, PNG and GIF (every real codec in the house, magic-byte
+    * sniffed) must collapse to ONE aHash group with all four containers
+    * present — q182's two-container check extended across the full
+    * codec surface. The oracle computes the hash ONCE from the pixel
+    * formulas and asserts the 4× multiplicity. */
+  def q244OmniDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val assets = Multimodal.synthBmpAssets(docs, "doc_id")
+      .unionByName(Multimodal.synthQoiAssets(docs, "doc_id")
+        .withColumn("asset_id", col("asset_id") + 1000000L))
+      .unionByName(Multimodal.synthPngAssets(docs, "doc_id")
+        .withColumn("asset_id", col("asset_id") + 2000000L))
+      .unionByName(Multimodal.synthGifAssets(docs, "doc_id")
+        .withColumn("asset_id", col("asset_id") + 3000000L))
+    Multimodal.imageAHashSniff(assets).toDF()
+      .filter(col("ok") === 1)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(expr("asset_id div 1000000L")).as("n_containers"),
+        min(col("asset_id")).as("rep_asset_id"))
+  }
+
+  val q244Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS w,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS h FROM documents),
+      |gi AS (SELECT *, unnest(generate_series(0, 7)) AS i FROM d),
+      |gc AS (SELECT *, unnest(generate_series(0, 7)) AS j FROM gi),
+      |s AS (SELECT asset_id, i, j,
+      |    (asset_id + 3 * ((i * w) // 8) + 5 * ((j * h) // 8)) % 256
+      |    + (2 * asset_id + ((i * w) // 8) + 7 * ((j * h) // 8)) % 256
+      |    + (5 * asset_id + 11 * ((i * w) // 8) + ((j * h) // 8)) % 256 AS lum
+      |  FROM gc),
+      |t AS (SELECT asset_id, sum(lum) AS total FROM s GROUP BY 1),
+      |b AS (SELECT s.asset_id, j * 8 + i AS k,
+      |    CASE WHEN lum * 64 > total THEN 1 ELSE 0 END AS bit
+      |  FROM s JOIN t ON s.asset_id = t.asset_id),
+      |hashes AS (SELECT asset_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |      THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM b GROUP BY 1)
+      |SELECT ahash_hi, ahash_lo,
+      |  CAST(4 * count(*) AS BIGINT) AS n_assets,
+      |  CAST(4 AS BIGINT) AS n_containers,
+      |  min(asset_id) AS rep_asset_id
+      |FROM hashes GROUP BY 1, 2""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7179,7 +7229,8 @@ object QueryCatalog {
     ("q240_epoch_shuffle", q240EpochShuffle _, Some(q240Sql)),
     ("q241_gif_decode", q241GifDecode _, Some(q241Sql)),
     ("q242_conformal", q242Conformal _, Some(q242Sql)),
-    ("q243_mrr", q243Mrr _, Some(q243Sql)))
+    ("q243_mrr", q243Mrr _, Some(q243Sql)),
+    ("q244_omni_dedup", q244OmniDedup _, Some(q244Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

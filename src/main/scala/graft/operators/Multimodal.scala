@@ -401,16 +401,21 @@ object Multimodal {
     ahashWith(assets, MediaCodecs.decodeBmp)
 
   /** Container-SNIFFING aHash — the cross-format dedup entry point: the
-    * same picture shipped as BMP by one crawler and QOI by another must
-    * collapse to ONE fingerprint, because the hash is computed on
-    * decoded PIXELS, not bytes (byte-level exact dedup can never catch
-    * re-containered copies). Dispatch is by magic bytes; unknown
-    * containers keep their row with ok = 0. */
+    * same picture shipped as BMP by one crawler, QOI by another, PNG or
+    * GIF by a third must collapse to ONE fingerprint, because the hash
+    * is computed on decoded PIXELS, not bytes (byte-level exact dedup
+    * can never catch re-containered copies). Dispatch is by magic bytes
+    * across all four real codecs; unknown containers keep their row
+    * with ok = 0. */
   def imageAHashSniff(assets: DataFrame): Dataset[AHashRow] =
     ahashWith(assets, payload =>
-      if (payload != null && payload.length >= 4 &&
-          payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
+      if (payload == null || payload.length < 6) None
+      else if (payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
           payload(3) == 'f') MediaCodecs.decodeQoi(payload)
+      else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+          payload(2) == 'N' && payload(3) == 'G') MediaCodecs.decodePng(payload)
+      else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == '8') MediaCodecs.decodeGif(payload)
       else MediaCodecs.decodeBmp(payload))
 
   case class DHashRow(asset_id: Long, ok: Long,

@@ -445,19 +445,27 @@ class MediaSpec extends SparkSpec {
       "overflowing dimensions must reject, not throw")
   }
 
-  test("imageAHashSniff: the same picture in BMP and QOI collapses to one fingerprint") {
+  test("imageAHashSniff: the same picture in BMP/QOI/PNG/GIF collapses to one fingerprint") {
     def px(x: Int, y: Int): Int = ((x * 19 + y * 3) % 256 << 16) |
       ((x + y * 11) % 256 << 8) | ((x * 5 + y) % 256)
     val bmp = MediaCodecs.encodeBmp(11, 9, px)
     val qoi = MediaCodecs.encodeQoi(11, 9, px)
+    val png = MediaCodecs.encodePng(11, 9, px)
+    // GIF is paletted: collect the distinct colors first
+    val pal = (for (y <- 0 until 9; x <- 0 until 11) yield px(x, y)).distinct.toArray
+    val gif = MediaCodecs.encodeGif(11, 9, pal,
+      (x, y) => pal.indexOf(px(x, y)), interlaced = true)
     val out = Multimodal.imageAHashSniff(
-        Seq((1L, bmp), (2L, qoi), (3L, "????".getBytes))
+        Seq((1L, bmp), (2L, qoi), (3L, "????".getBytes), (4L, png), (5L, gif))
           .toDF("asset_id", "payload")).collect()
       .map(r => r.asset_id -> r).toMap
-    assert(out(1L).ok === 1L && out(2L).ok === 1L && out(3L).ok === 0L)
-    assert(out(1L).ahash_hi === out(2L).ahash_hi &&
-      out(1L).ahash_lo === out(2L).ahash_lo,
-      "pixel-level hashing is container-blind")
+    assert(out(1L).ok === 1L && out(2L).ok === 1L && out(3L).ok === 0L &&
+      out(4L).ok === 1L && out(5L).ok === 1L)
+    Seq(2L, 4L, 5L).foreach { id =>
+      assert(out(1L).ahash_hi === out(id).ahash_hi &&
+        out(1L).ahash_lo === out(id).ahash_lo,
+        s"pixel-level hashing is container-blind (asset $id)")
+    }
   }
 
   test("resizeBmp emits valid BMP payloads that re-decode to the resized pixels") {
