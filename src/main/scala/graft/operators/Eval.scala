@@ -353,10 +353,38 @@ object Eval {
   def conformalCalibration(df: DataFrame, groupCol: String, scoreCol: String,
                            calCol: String, alphaNum: Long, alphaDen: Long,
                            buckets: Int = 1024): DataFrame = {
+    val g = col(groupCol)
+    val thr = conformalThreshold(df.filter(col(calCol)), groupCol, scoreCol,
+      alphaNum, alphaDen, buckets)
+    // empirical coverage on the test split
+    val test = df.filter(!col(calCol))
+      .select(g, col(scoreCol).cast("double").as("_tv"))
+      .filter(col("_tv").isNotNull)
+    test.join(broadcast(thr), g <=> col("_g"))
+      .groupBy(g).agg(
+        first(col("_nc")).as("n_cal"),
+        first(col("_k")).as("k_rank"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
+          .as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test"), 6))
+  }
+
+  /** The threshold half of [[conformalCalibration]]: per-group
+    * `(_g, _nc, _k, _inf, qhat)` from CALIBRATION rows only — qhat the
+    * exact k-th smallest score via the bucket-histogram rank walk, NULL
+    * with `_inf = true` when k > n. Shared by the batch operator and
+    * [[graft.streaming.StreamingConformal]] (which freezes this frame
+    * once and scores every micro-batch against it). */
+  def conformalThreshold(calDf: DataFrame, groupCol: String, scoreCol: String,
+                         alphaNum: Long, alphaDen: Long,
+                         buckets: Int = 1024): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
     require(buckets >= 2 && buckets <= (1 << 16), "buckets in [2, 65536]")
     val g = col(groupCol)
-    val cal = df.filter(col(calCol))
+    val cal = calDf
       .select(g, col(scoreCol).cast("double").as("_v"))
       .filter(col("_v").isNotNull)
     // per-group stats + the exact conformal rank k = ⌈(n+1)(1−α)⌉
@@ -392,24 +420,10 @@ object Eval {
       .filter(col("_rn") === col("_k2") - col("_before"))
       .select(g.as("_qg"), col("_v").as("_qv"))
     // assemble qhat: NULL when infinite, the constant when flat
-    val thr = st.join(broadcast(qVaried), col("_g") <=> col("_qg"), "left")
+    st.join(broadcast(qVaried), col("_g") <=> col("_qg"), "left")
       .select(col("_g"), col("_nc"), col("_k"), col("_inf"),
         when(col("_inf"), lit(null).cast("double"))
           .when(col("_mx") <=> col("_mn"), col("_mn"))
           .otherwise(col("_qv")).as("qhat"))
-    // empirical coverage on the test split
-    val test = df.filter(!col(calCol))
-      .select(g, col(scoreCol).cast("double").as("_tv"))
-      .filter(col("_tv").isNotNull)
-    test.join(broadcast(thr), g <=> col("_g"))
-      .groupBy(g).agg(
-        first(col("_nc")).as("n_cal"),
-        first(col("_k")).as("k_rank"),
-        first(col("qhat")).as("qhat"),
-        count(lit(1)).as("n_test"),
-        sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
-          .as("n_covered"))
-      .withColumn("coverage",
-        round(col("n_covered").cast("double") / col("n_test"), 6))
   }
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.plans.TableStore
+
+/** Continuous conformal-coverage monitoring over a STREAM — the
+  * operational twin of [[graft.operators.Eval.conformalCalibration]]:
+  * the per-group threshold frame (qhat = the ⌈(n+1)(1−α)⌉-th smallest
+  * calibration nonconformity) is FROZEN once at start — the conformal
+  * guarantee is against the calibration distribution, so a "drifting"
+  * threshold would hide exactly the miscoverage this monitor exists to
+  * catch — and every micro-batch is scored against it: one verdict row
+  * per (batch_id, group) with the covered count and a breach flag when
+  * coverage drops below `minCovNum/minCovDen` (e.g. 85/100 under
+  * α = 1/10 leaves 5 points of slack). Miscoverage on exchangeable data
+  * stays ≤ α; a breached batch means the exchangeability assumption
+  * broke — distribution shift, the streaming-eval alarm.
+  *
+  * Determinism and exactly-once: the threshold is an exact order
+  * statistic ([[graft.operators.Eval.conformalThreshold]], materialized
+  * via localCheckpoint so it is computed exactly once); per-batch
+  * coverage is integer counting with the ONE rounded readout; the
+  * breach test is cross-multiplied integers (`covered·den < n·num` —
+  * no float threshold); verdicts MERGE keyed (batch_id, group), so a
+  * replayed batch overwrites itself — the [[StreamingAudit]] shape.
+  *
+  * Scale: per batch one broadcast join against the ≤|groups|-row frozen
+  * frame + one grouped count. The calibration set is never rescanned. */
+object StreamingConformal {
+
+  def start(stream: DataFrame, calibration: DataFrame,
+            groupCol: String, scoreCol: String,
+            alphaNum: Long, alphaDen: Long,
+            minCovNum: Long, minCovDen: Long,
+            store: TableStore, verdictTable: String, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(minCovNum >= 0 && minCovDen > 0 && minCovNum <= minCovDen,
+      "minimum coverage must be a rational in [0, 1]")
+    // freeze the thresholds NOW (localCheckpoint materializes the frame;
+    // later batches must not replan it against a moving calibration set)
+    val thr = graft.operators.Eval.conformalThreshold(
+      calibration, groupCol, scoreCol, alphaNum, alphaDen)
+      .localCheckpoint(true)
+    require(thr.count() > 0, "empty calibration set: no thresholds to monitor")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = batch
+          .select(col(groupCol), col(scoreCol).cast("double").as("_tv"))
+          .filter(col("_tv").isNotNull)
+          .join(broadcast(thr), col(groupCol) <=> col("_g"))
+        val verdict = scored.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("n_rows"),
+            sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
+              .as("n_covered"))
+          .select(lit(batchId).as("batch_id"), col(groupCol),
+            col("n_rows"), col("n_covered"),
+            round(col("n_covered").cast("double") / col("n_rows"), 6)
+              .as("coverage"),
+            (col("n_covered") * minCovDen < col("n_rows") * minCovNum)
+              .as("breached"))
+        store.mergeFact(verdictTable, verdict, Seq("batch_id", groupCol))
+        ()
+      }
+      .start()
+  }
+}

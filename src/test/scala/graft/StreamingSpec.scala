@@ -118,6 +118,68 @@ class StreamingSpec extends SparkSpec {
       "outliers beyond the frozen span count in the edge bins and flag drift")
   }
 
+  test("StreamingConformal: per-batch coverage equals the batch operator; breach fires on shift; replay merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-conf").toString, nBuckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-conf-ckpt").toString
+    // calibration: group "g", 19 scores 1..19 — α = 1/10 → k = 18, qhat = 18.0
+    val calRows = (1 to 19).map(i => ("g", i.toDouble))
+    val cal = calRows.toDF("grp", "s")
+    val in = MemoryStream[(String, Double)]
+    val stream = in.toDF().toDF("grp", "s")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingConformal.start(stream, cal, "grp", "s",
+        alphaNum = 1L, alphaDen = 10L, minCovNum = 85L, minCovDen = 100L,
+        store = store, verdictTable = "conf", checkpointDir = ckpt)
+      q.awaitTermination()
+    }
+    val b0 = (1 to 10).map(i => ("g", i.toDouble))          // all ≤ 18: covered
+    val b1 = (1 to 10).map(i => ("g", 17.0 + i))            // shift: 18..27, 1/10 covered
+    in.addData(b0: _*); drain()
+    in.addData(b1: _*); drain()
+    val v = store.read("conf").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_covered"), r.getAs[Double]("coverage"),
+          r.getAs[Boolean]("breached")))).toMap
+    assert(v(0L) === ((10L, 1.0, false)))
+    assert(v(1L) === ((1L, 0.1, true)), "shifted batch must breach")
+    // equivalence with the batch operator on the same calibration + batch
+    def batchCoverage(batch: Seq[(String, Double)]): (Long, Double) = {
+      val df = calRows.map { case (g, s) => (g, s, true) }
+        .++(batch.map { case (g, s) => (g, s, false) })
+        .toDF("grp", "s", "is_cal")
+      val r = graft.operators.Eval.conformalCalibration(
+        df, "grp", "s", "is_cal", 1L, 10L).collect().head
+      (r.getAs[Long]("n_covered"), r.getAs[Double]("coverage"))
+    }
+    assert(batchCoverage(b0) === ((v(0L)._1, v(0L)._2)))
+    assert(batchCoverage(b1) === ((v(1L)._1, v(1L)._2)))
+    // replay from a fresh checkpoint: keyed MERGE absorbs the duplicate
+    val in2 = MemoryStream[(String, Double)]
+    in2.addData(b1: _*)
+    val q2 = graft.streaming.StreamingConformal.start(
+      in2.toDF().toDF("grp", "s"), cal, "grp", "s", 1L, 10L, 85L, 100L,
+      store, "conf", java.nio.file.Files.createTempDirectory("graft-conf-ck2").toString)
+    q2.awaitTermination()
+    assert(store.read("conf").count() === 2L,
+      "replays merge by (batch_id, group) — no verdict duplication")
+    // a too-small calibration group (k > n) covers everything honestly
+    val store2 = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-conf2").toString, nBuckets = 4)
+    val in3 = MemoryStream[(String, Double)]
+    in3.addData(("t", 1e9))
+    val q3 = graft.streaming.StreamingConformal.start(
+      in3.toDF().toDF("grp", "s"),
+      Seq(("t", 1.0), ("t", 2.0)).toDF("grp", "s"), "grp", "s", 1L, 10L,
+      85L, 100L, store2, "conf",
+      java.nio.file.Files.createTempDirectory("graft-conf-ck3").toString)
+    q3.awaitTermination()
+    val inf = store2.read("conf").collect().head
+    assert(inf.getAs[Long]("n_covered") === 1L && !inf.getAs[Boolean]("breached"),
+      "k > n means an infinite threshold: everything covered, no breach")
+  }
+
   test("watermarked tumbling windows finalize once the watermark passes (T4)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, Double)]
