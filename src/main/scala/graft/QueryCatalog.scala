@@ -4869,14 +4869,16 @@ object QueryCatalog {
     * containers. QOI-side ids offset by 1e6 to keep assets distinct. */
   def q182CrossContainerDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // container namespace = bit 40 (doc_id can never reach 2^40 — no
+    // cross-container id collision at any scale factor)
     val bmp = Multimodal.synthBmpAssets(docs, "doc_id")
     val qoi = Multimodal.synthQoiAssets(docs, "doc_id")
-      .withColumn("asset_id", col("asset_id") + 1000000L)
+      .withColumn("asset_id", col("asset_id") + lit(1L << 40))
     Multimodal.imageAHashSniff(bmp.unionByName(qoi)).toDF()
       .filter(col("ok") === 1)
       .groupBy(col("ahash_hi"), col("ahash_lo"))
       .agg(count(lit(1)).as("n_assets"),
-        countDistinct(col("asset_id") >= 1000000L).as("n_containers"),
+        countDistinct(col("asset_id") >= (1L << 40)).as("n_containers"),
         min(col("asset_id")).as("rep_asset_id"))
   }
 
@@ -6939,18 +6941,21 @@ object QueryCatalog {
     * formulas and asserts the 4× multiplicity. */
   def q244OmniDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // container namespace = bits 40+ (doc_id can never reach 2^40, so
+    // cross-container asset ids cannot collide at any scale factor)
+    val ns = 1L << 40
     val assets = Multimodal.synthBmpAssets(docs, "doc_id")
       .unionByName(Multimodal.synthQoiAssets(docs, "doc_id")
-        .withColumn("asset_id", col("asset_id") + 1000000L))
+        .withColumn("asset_id", col("asset_id") + lit(ns)))
       .unionByName(Multimodal.synthPngAssets(docs, "doc_id")
-        .withColumn("asset_id", col("asset_id") + 2000000L))
+        .withColumn("asset_id", col("asset_id") + lit(2L * ns)))
       .unionByName(Multimodal.synthGifAssets(docs, "doc_id")
-        .withColumn("asset_id", col("asset_id") + 3000000L))
+        .withColumn("asset_id", col("asset_id") + lit(3L * ns)))
     Multimodal.imageAHashSniff(assets).toDF()
       .filter(col("ok") === 1)
       .groupBy(col("ahash_hi"), col("ahash_lo"))
       .agg(count(lit(1)).as("n_assets"),
-        countDistinct(expr("asset_id div 1000000L")).as("n_containers"),
+        countDistinct(expr(s"asset_id div ${ns}L")).as("n_containers"),
         min(col("asset_id")).as("rep_asset_id"))
   }
 

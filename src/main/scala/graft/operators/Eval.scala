@@ -107,13 +107,21 @@ object Eval {
               buckets / (col("_hi") - col("_lo"))).cast("int")))))
     val rankW = Window.partitionBy(g, col("_bkt")).orderBy(col("_v").asc)
     val tieW = Window.partitionBy(g, col("_bkt"), col("_v"))
+    // overflow discipline (the abSignificance lesson): per-row 2r+c−1 and
+    // pos·ar2 fit a long (≤ 2·bucket-rows each), but the group-level SUMS
+    // reach n_pos·2n ≈ 10^20 at the giant-single-group scale this path
+    // exists for — every cross-term folds in DECIMAL(38,0), which NULLs
+    // loudly on precision overflow instead of wrapping. rank() is 32-bit:
+    // each BUCKET must stay under 2^31 rows (at the default 256 buckets
+    // that is ~5·10^11 rows per group; raise `buckets` beyond that).
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
     val perBucket = bucketed
       .withColumn("_ar2loc",
         lit(2L) * rank().over(rankW).cast("long") +
           count(lit(1)).over(tieW) - lit(1L))
       .groupBy(g, col("_bkt"))
       .agg(count(lit(1)).as("_nb"), sum(col("_pos")).as("_npb"),
-        sum(col("_pos") * col("_ar2loc")).as("_s2loc"))
+        sum(d38(col("_pos") * col("_ar2loc"))).as("_s2loc"))
     // groups×buckets control-plane frame: prefix row counts per group
     val offW = Window.partitionBy(g).orderBy(col("_bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -122,12 +130,15 @@ object Eval {
       .groupBy(g)
       .agg(sum(col("_npb")).as("n_pos"),
         sum(col("_nb") - col("_npb")).as("n_neg"),
-        sum(col("_s2loc") + lit(2L) * col("_off") * col("_npb")).as("_s2"))
+        sum(col("_s2loc") + lit(2) * d38(col("_off")) * d38(col("_npb")))
+          .as("_s2"))
       .select(g, col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
           .otherwise(round(
-            (col("_s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+            (col("_s2") - d38(col("n_pos")) * (d38(col("n_pos")) + 1))
+              .cast("double") /
+              (lit(2) * d38(col("n_pos")) * d38(col("n_neg"))).cast("double"),
+            6))
           .as("auc"))
   }
 

@@ -1024,6 +1024,8 @@ object MediaCodecs {
                 interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       "dims must fit u16")
+    require(width.toLong * height <= 64L * 1024 * 1024,
+      "pixel count over the 64M cap (the decoder's bomb bound)")
     require(palette.nonEmpty && palette.length <= 256, "palette size 1..256")
     // GCT size is 2^(N+1); LZW min code size covers the table and is >= 2
     var gctBits = 1

@@ -16,7 +16,10 @@ import graft.plans.TableStore
   * coverage drops below `minCovNum/minCovDen` (e.g. 85/100 under
   * α = 1/10 leaves 5 points of slack). Miscoverage on exchangeable data
   * stays ≤ α; a breached batch means the exchangeability assumption
-  * broke — distribution shift, the streaming-eval alarm.
+  * broke — distribution shift, the streaming-eval alarm. A group with
+  * NO calibration threshold (brand-new in the stream — the clearest
+  * shift of all) still gets its verdict row: unscored (NULL coverage)
+  * and breached, never silently dropped.
   *
   * Determinism and exactly-once: the threshold is an exact order
   * statistic ([[graft.operators.Eval.conformalThreshold]], materialized
@@ -49,19 +52,26 @@ object StreamingConformal {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // LEFT join: a group with no calibration threshold is the
+        // clearest exchangeability break there is — it must surface as
+        // an unscored-and-breached verdict row, never vanish silently
         val scored = batch
           .select(col(groupCol), col(scoreCol).cast("double").as("_tv"))
           .filter(col("_tv").isNotNull)
-          .join(broadcast(thr), col(groupCol) <=> col("_g"))
+          .join(broadcast(thr), col(groupCol) <=> col("_g"), "left")
         val verdict = scored.groupBy(col(groupCol))
           .agg(count(lit(1)).as("n_rows"),
+            max(col("_g").isNotNull).as("_scored"),
             sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
-              .as("n_covered"))
+              .as("_cov"))
           .select(lit(batchId).as("batch_id"), col(groupCol),
-            col("n_rows"), col("n_covered"),
-            round(col("n_covered").cast("double") / col("n_rows"), 6)
+            col("n_rows"),
+            when(col("_scored"), col("_cov")).as("n_covered"),
+            when(col("_scored"),
+              round(col("_cov").cast("double") / col("n_rows"), 6))
               .as("coverage"),
-            (col("n_covered") * minCovDen < col("n_rows") * minCovNum)
+            (!col("_scored") ||
+              col("_cov") * minCovDen < col("n_rows") * minCovNum)
               .as("breached"))
         store.mergeFact(verdictTable, verdict, Seq("batch_id", groupCol))
         ()

@@ -178,6 +178,23 @@ class StreamingSpec extends SparkSpec {
     val inf = store2.read("conf").collect().head
     assert(inf.getAs[Long]("n_covered") === 1L && !inf.getAs[Boolean]("breached"),
       "k > n means an infinite threshold: everything covered, no breach")
+    // a group ABSENT from calibration surfaces as unscored + breached
+    val store3 = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-conf3").toString, nBuckets = 4)
+    val in4 = MemoryStream[(String, Double)]
+    in4.addData(("known", 1.0), ("NEW", 5.0), ("NEW", 6.0))
+    val q4 = graft.streaming.StreamingConformal.start(
+      in4.toDF().toDF("grp", "s"), cal.withColumn("grp", lit("known")),
+      "grp", "s", 1L, 10L, 85L, 100L, store3, "conf",
+      java.nio.file.Files.createTempDirectory("graft-conf-ck4").toString)
+    q4.awaitTermination()
+    val byGrp = store3.read("conf").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val nw = byGrp("NEW")
+    assert(nw.getAs[Long]("n_rows") === 2L &&
+      nw.isNullAt(nw.fieldIndex("coverage")) && nw.getAs[Boolean]("breached"),
+      "an uncalibrated group must alarm, not vanish")
+    assert(!byGrp("known").getAs[Boolean]("breached"))
   }
 
   test("watermarked tumbling windows finalize once the watermark passes (T4)") {
