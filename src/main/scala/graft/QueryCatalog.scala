@@ -6986,6 +6986,27 @@ object QueryCatalog {
       |  min(asset_id) AS rep_asset_id
       |FROM hashes GROUP BY 1, 2""".stripMargin
 
+  /** Avro container decode (AvroCodec.decodeAvroFeatures): documents
+    * round-trip through REAL Avro Object Container Files — binary
+    * varint/zigzag records, embedded schema, null AND deflate block
+    * codecs rotating by id — and the decoded record count / Σseq / body
+    * bytes / first-body md5 must match the source column, proving the
+    * container walk without the spark-avro connector. */
+  def q245AvroDecode(s: SparkSession, dir: String): DataFrame =
+    operators.AvroCodec.decodeAvroFeatures(
+      operators.AvroCodec.synthAvroDocs(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .select(col("asset_id"), col("ok"), col("n_records"), col("sum_seq"),
+        col("n_body_bytes"), col("md5_first"))
+
+  val q245Sql: String =
+    """SELECT doc_id AS asset_id, CAST(1 AS BIGINT) AS ok,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_records,
+      |  CAST(((doc_id % 3) * (doc_id % 3 + 1)) // 2 AS BIGINT) AS sum_seq,
+      |  CAST((1 + doc_id % 3) * strlen(text) AS BIGINT) AS n_body_bytes,
+      |  md5(text) AS md5_first
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7235,7 +7256,8 @@ object QueryCatalog {
     ("q241_gif_decode", q241GifDecode _, Some(q241Sql)),
     ("q242_conformal", q242Conformal _, Some(q242Sql)),
     ("q243_mrr", q243Mrr _, Some(q243Sql)),
-    ("q244_omni_dedup", q244OmniDedup _, Some(q244Sql)))
+    ("q244_omni_dedup", q244OmniDedup _, Some(q244Sql)),
+    ("q245_avro_decode", q245AvroDecode _, Some(q245Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

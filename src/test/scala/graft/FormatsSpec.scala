@@ -56,6 +56,59 @@ class FormatsSpec extends SparkSpec {
     assert(tolerant.filter(col("_corrupt_record").isNull).count() === 200L)
   }
 
+  test("Avro containers: round-trip both codecs, schema gate, bombs and fuzz reject") {
+    import graft.operators.AvroCodec
+    // round-trip: null and deflate codecs decode to identical features
+    for (deflate <- Seq(false, true)) {
+      val bodies = Seq("alpha", "béta 世界", "", "gamma " * 40)
+      val payload = AvroCodec.encodeAvroDoc(bodies, deflate)
+      val (n, sumSeq, bytes, md5First) = AvroCodec.decodeAvroDoc(payload).get
+      assert(n === bodies.length.toLong)
+      assert(sumSeq === (0 until bodies.length).sum.toLong)
+      assert(bytes === bodies.map(_.getBytes("UTF-8").length.toLong).sum)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(md5First ===
+        md.digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    // a container whose schema lacks the contract fields is rejected
+    val otherSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"X","fields":[{"name":"z","type":"long"}]}""")
+    val w = new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](otherSchema)
+    val dfw = new org.apache.avro.file.DataFileWriter(w)
+    val bos = new java.io.ByteArrayOutputStream()
+    dfw.create(otherSchema, bos)
+    val rec = new org.apache.avro.generic.GenericData.Record(otherSchema)
+    rec.put("z", 1L); dfw.append(rec); dfw.close()
+    assert(AvroCodec.decodeAvroDoc(bos.toByteArray).isEmpty, "schema gate")
+    // empty container, bad magic, truncation, mutation fuzz
+    assert(AvroCodec.decodeAvroDoc(
+      AvroCodec.encodeAvroDoc(Nil, deflate = false)).isEmpty, "empty shard")
+    assert(AvroCodec.decodeAvroDoc("not avro".getBytes).isEmpty)
+    val valid = AvroCodec.encodeAvroDoc(Seq("abc", "def"), deflate = true)
+    val rnd = new scala.util.Random(31337)
+    for (round <- 0 until 200) {
+      val payload = round % 2 match {
+        case 0 => valid.take(rnd.nextInt(valid.length + 1))
+        case _ =>
+          val b = valid.clone
+          (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+          b
+      }
+      AvroCodec.decodeAvroDoc(payload) // Option, never a throw
+    }
+    // Spark plumbing: synth fixtures decode ok=1, garbage routes to ok=0
+    val assets = AvroCodec.synthAvroDocs(docs.limit(20), "doc_id", "text")
+    val out = AvroCodec.decodeAvroFeatures(assets).collect()
+    assert(out.length === 20 && out.forall(_.ok == 1L))
+    val junk = graft.operators.Multimodal.toAssets(
+      Seq((9L, "Objgarbage".getBytes)).toDF("asset_id", "payload"),
+      "asset_id", "payload", "application/avro")
+    val bad = AvroCodec.decodeAvroFeatures(junk).collect()
+    assert(bad.length === 1 && bad.head.ok === 0L)
+  }
+
   test("CSV with compression round-trips (the feed format, zipped at rest)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     docs.write.mode("overwrite").option("header", "true")
