@@ -400,6 +400,9 @@ object ScaleCheck {
     time("gif_decode")(
       graft.operators.Multimodal.decodeGifFeatures(
         graft.operators.Multimodal.synthGifAssets(docIds, "doc_id")).toDF())
+    time("avro_decode")(
+      graft.operators.AvroCodec.decodeAvroFeatures(
+        graft.operators.AvroCodec.synthAvroDocs(docs, "doc_id", "text")).toDF())
     time("conformal(a=1/10)")({
       val x = emb.select(col("label").cast("int").as("cls"),
         (element_at(col("embedding"), col("label") + 1).cast("double") * lit(-1.0))

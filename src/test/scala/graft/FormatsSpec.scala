@@ -107,6 +107,16 @@ class FormatsSpec extends SparkSpec {
       "asset_id", "payload", "application/avro")
     val bad = AvroCodec.decodeAvroFeatures(junk).collect()
     assert(bad.length === 1 && bad.head.ok === 0L)
+    // real .avro files on disk flow through binaryFile into the decoder
+    val dir = Files.createTempDirectory("graft-avro").toString
+    Seq("one", "two").zipWithIndex.foreach { case (t, i) =>
+      Files.write(java.nio.file.Paths.get(s"$dir/part$i.avro"),
+        AvroCodec.encodeAvroDoc(Seq(t), deflate = i == 1))
+    }
+    val fromDisk = AvroCodec.decodeAvroFeatures(
+      graft.operators.Multimodal.readAssetDir(spark, s"$dir/*.avro",
+        "application/avro")).collect()
+    assert(fromDisk.length === 2 && fromDisk.forall(_.ok == 1L))
   }
 
   test("CSV with compression round-trips (the feed format, zipped at rest)") {

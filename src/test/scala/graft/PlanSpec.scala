@@ -670,6 +670,25 @@ class PlanSpec extends SparkSpec {
       "control frames must broadcast, never SMJ")
   }
 
+  test("q243 MRR: query panel broadcasts; the one window partitions by query") {
+    val p = plan(QueryCatalog.q243Mrr)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 16-query panel must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no SMJ in the panel join")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id")),
+      s"q243 windows must partition by query_id:\n${specs.mkString("\n")}")
+  }
+
+  test("q244/q245 codec queries: map-only decode, no payload shuffle before the fold") {
+    val p244 = plan(QueryCatalog.q244OmniDedup)
+    // the only exchange is the final hash groupBy over 64-bit fingerprints
+    assert(!p244.contains("SortMergeJoin") && !p244.contains("Window"),
+      s"q244 is decode -> one grouped fold:\n$p244")
+    val p245 = plan(QueryCatalog.q245AvroDecode)
+    assert(!p245.contains("Exchange"), s"q245 is map-only:\n$p245")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
