@@ -6828,13 +6828,13 @@ object QueryCatalog {
       |s0 AS (SELECT epoch, doc_id, epoch * 7919 + 17 AS sd,
       |    (doc_id // 65536) & 65535 AS l0, doc_id & 65535 AS r0 FROM e),
       |s1 AS (SELECT *, r0 AS l1,
-      |    xor(l0, ((r0 * 2654435761 + sd + 40503 * 1) // 65536) & 65535) AS r1 FROM s0),
+      |    xor(l0, ((r0 * 2654435761 + (sd + 40503 * 1) * 65537) // 65536) & 65535) AS r1 FROM s0),
       |s2 AS (SELECT *, r1 AS l2,
-      |    xor(l1, ((r1 * 2654435761 + sd + 40503 * 2) // 65536) & 65535) AS r2 FROM s1),
+      |    xor(l1, ((r1 * 2654435761 + (sd + 40503 * 2) * 65537) // 65536) & 65535) AS r2 FROM s1),
       |s3 AS (SELECT *, r2 AS l3,
-      |    xor(l2, ((r2 * 2654435761 + sd + 40503 * 3) // 65536) & 65535) AS r3 FROM s2),
+      |    xor(l2, ((r2 * 2654435761 + (sd + 40503 * 3) * 65537) // 65536) & 65535) AS r3 FROM s2),
       |s4 AS (SELECT *, r3 AS l4,
-      |    xor(l3, ((r3 * 2654435761 + sd + 40503 * 4) // 65536) & 65535) AS r4 FROM s3)
+      |    xor(l3, ((r3 * 2654435761 + (sd + 40503 * 4) * 65537) // 65536) & 65535) AS r4 FROM s3)
       |SELECT epoch, doc_id, CAST(l4 * 65536 + r4 AS BIGINT) AS pos,
       |  CAST((l4 * 65536 + r4) % 8 AS BIGINT) AS shard
       |FROM s4""".stripMargin

@@ -23,13 +23,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * preference (c)); one static call stays inside whole-stage codegen.
   *
   * The round function is plain integer arithmetic —
-  * `F(r) = ((r·2654435761 + seed + 40503·round) DIV 2^halfBits) AND mask`
-  * — multiply, add, integer divide, mask: bit-replayable in DuckDB with
-  * BIGINT-only math for halfBits ≤ 16 (the q240 oracle chains the four
-  * rounds through CTEs). Bijectivity holds for ANY round function
-  * (Feistel's theorem), so the mixing constants are free choices; with
-  * halfBits ≤ 23 nothing overflows a signed 64-bit long, no wraparound
-  * semantics to match across engines.
+  * `F(r) = ((r·2654435761 + (seed + 40503·round)·65537) DIV 2^halfBits)
+  * AND mask` — multiply, add, integer divide, mask: bit-replayable in
+  * DuckDB with BIGINT-only math for halfBits ≤ 16 (the q240 oracle
+  * chains the four rounds through CTEs). The ·65537 spread (= s<<16 + s)
+  * puts the seed's LOW bits above the DIV cut as well — without it,
+  * seeds differing only in their low halfBits shift the whole
+  * difference out of the kept window and collide. Bijectivity holds for
+  * ANY round function (Feistel's theorem), so the mixing constants are
+  * free choices; keep |seed| under ~2^40 so nothing overflows a signed
+  * 64-bit long (Scala would wrap silently where an engine replay
+  * errors — same magnitude contract as the epoch·7919 seeds in use).
   *
   * Scale: at 100 TB the shuffle order is computed where the data lives
   * (a codegen'd projection), and the sort is by a LONG key — range
@@ -78,7 +82,13 @@ object FeistelPermute {
     var r = x & mask
     var round = 1
     while (round <= 4) {
-      val f = ((r * 2654435761L + seed + 40503L * round) >>> halfBits) & mask
+      // (seed + 40503·round)·65537 = (s << 16) + s: the seed's LOW bits
+      // land above the >>> halfBits cut too — without the spread,
+      // adjacent seeds (17 vs 18) shift their whole difference out of
+      // the kept window and produce IDENTICAL permutations (caught by
+      // FeistelSpec's seed-separation leg at halfBits = 16)
+      val f = ((r * 2654435761L + (seed + 40503L * round) * 65537L)
+        >>> halfBits) & mask
       val t = r
       r = l ^ f
       l = t

@@ -72,6 +72,29 @@ object Layout {
     writeCurveOrdered(df, xCol, yCol, path, shards,
       graft.functions.HilbertIndex.hilbert16)
 
+  /** Materialize one training EPOCH: rows written in the seeded Feistel
+    * order ([[graft.functions.FeistelPermute]] — a bijection of the id,
+    * so the order is a full collision-free shuffle, reproducible from
+    * the seed alone) as `shards` range-partitioned files. Different
+    * seeds give completely different orders over the same data — the
+    * multi-epoch reshuffle without `rand()` (non-replayable), without a
+    * persisted permutation table (a second dataset to keep consistent),
+    * and without hash-clumped shards (positions are a permutation, so
+    * range-cutting them deals near-equal shard sizes for dense ids).
+    *
+    * One codegen'd projection + one range exchange + streamed
+    * per-partition sorts — the [[writeSorted]] cost shape at any scale.
+    * The position key is dropped from the files (derivable from the
+    * seed). */
+  def writeEpochShuffled(df: DataFrame, idCol: String, seed: Long,
+                         path: String, shards: Int): Unit =
+    df.withColumn("_pos",
+        graft.functions.FeistelPermute.feistel(col(idCol), lit(seed)))
+      .repartitionByRange(shards, col("_pos"))
+      .sortWithinPartitions(col("_pos"))
+      .drop("_pos")
+      .write.mode("overwrite").parquet(path)
+
   private def writeCurveOrdered(df: DataFrame, xCol: String, yCol: String,
                                 path: String, shards: Int,
                                 key: (org.apache.spark.sql.Column,

@@ -28,13 +28,19 @@ class FeistelSpec extends SparkSpec {
   }
 
   test("different seeds give different orders; same seed is reproducible") {
-    val h = 8
+    // halfBits = 16 is the production width — the width where a round
+    // function that drops the seed's low bits makes ADJACENT seeds
+    // collide (the bug the ·65537 spread fixes); check every pair in a
+    // small seed neighborhood, not just one
+    val h = 16
     val ids = (0L until 1024L)
-    val a = ids.map(FeistelPermute.permute(_, 17L, h))
-    val b = ids.map(FeistelPermute.permute(_, 17L, h))
-    val c = ids.map(FeistelPermute.permute(_, 18L, h))
-    assert(a == b, "same seed must replay the identical permutation")
-    assert(a != c, "adjacent seeds must not produce the same permutation")
+    def order(seed: Long) = ids.map(FeistelPermute.permute(_, seed, h))
+    assert(order(17L) == order(17L), "same seed must replay identically")
+    val orders = (0L until 8L).map(s => order(s))
+    for (i <- orders.indices; j <- orders.indices if i < j)
+      assert(orders(i) != orders(j), s"seeds $i and $j must not collide")
+    // epoch-style seeds too (the q240 shape)
+    assert(order(7919L + 17L) != order(2 * 7919L + 17L))
   }
 
   test("codegen'd column path matches the interpreted walk, and SQL " +
@@ -49,6 +55,35 @@ class FeistelSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).distinct.length == rows.length)
     val viaSql = spark.sql("SELECT feistel32(7L, 42L) AS p").head.getLong(0)
     assert(viaSql == FeistelPermute.permute(7L, 42L, 16))
+  }
+
+  test("writeEpochShuffled: reproducible from the seed, reshuffled across seeds, balanced") {
+    import graft.plans.Layout
+    val df = spark.range(0, 4096).withColumn("v", col("id") * 3)
+    def readOrder(dir: String): Seq[Long] = {
+      // file order = range-partition order; rows inside are pos-sorted
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+      files.flatMap(f => spark.read.parquet(f).select("id")
+        .collect().map(_.getLong(0))).toSeq
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ep1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ep2").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft-ep3").toString
+    Layout.writeEpochShuffled(df, "id", seed = 17L, d1, shards = 8)
+    Layout.writeEpochShuffled(df.repartition(13), "id", seed = 17L, d2, shards = 8)
+    Layout.writeEpochShuffled(df, "id", seed = 18L, d3, shards = 8)
+    val (o1, o2, o3) = (readOrder(d1), readOrder(d2), readOrder(d3))
+    assert(o1 === o2, "same seed replays the identical epoch order under any input partitioning")
+    assert(o1 !== o3, "a new seed is a genuinely different epoch order")
+    assert(o1.sorted === (0L until 4096L), "a permutation: every row exactly once")
+    assert(o1 !== (0L until 4096L), "and NOT the identity order")
+    // range-cut permutation positions deal near-equal shards
+    val sizes = new java.io.File(d1).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      .map(f => spark.read.parquet(f).count())
+    assert(sizes.sum === 4096L && sizes.forall(s => s > 256 && s < 768),
+      s"shards near-balanced: ${sizes.mkString(",")}")
   }
 
   test("shards dealt by pmod(pos, k) are balanced for a contiguous id range") {
