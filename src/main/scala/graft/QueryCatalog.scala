@@ -7007,6 +7007,37 @@ object QueryCatalog {
       |  md5(text) AS md5_first
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** Animated-GIF structural metadata (Multimodal.gifMetaFeatures over
+    * MediaCodecs.gifMeta): frame counts + poster-frame channel sums from
+    * ONE fixture — the container walk (extensions + per-frame LZW
+    * sub-blocks skipped by length, clean-trailer required) joined to the
+    * first-frame pixel decode, proving the multi-image walk and the
+    * poster-frame contract against the same formulas. */
+  def q246GifMeta(s: SparkSession, dir: String): DataFrame = {
+    val assets = operators.Multimodal.synthAnimatedGifAssets(
+      t(s, dir, "documents"), "doc_id")
+    val meta = operators.Multimodal.gifMetaFeatures(assets).toDF()
+      .select(col("asset_id"), col("ok"), col("width"), col("height"),
+        col("n_frames"), col("animated"))
+    val poster = operators.Multimodal.decodeGifFeatures(assets).toDF()
+      .select(col("asset_id").as("_pid"), col("sum_r").as("poster_sum"))
+    meta.join(poster, col("asset_id") === col("_pid")).drop("_pid")
+  }
+
+  val q246Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height FROM documents),
+      |pi AS (SELECT asset_id, width, height,
+      |    unnest(generate_series(0, width - 1)) AS x FROM d),
+      |pj AS (SELECT asset_id, width, height, x,
+      |    unnest(generate_series(0, height - 1)) AS y FROM pi)
+      |SELECT asset_id, CAST(1 AS BIGINT) AS ok, width, height,
+      |  CAST(1 + asset_id % 4 AS BIGINT) AS n_frames,
+      |  asset_id % 4 > 0 AS animated,
+      |  CAST(sum((asset_id + 3 * x + 5 * y) % 256) AS BIGINT) AS poster_sum
+      |FROM pj GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7257,7 +7288,8 @@ object QueryCatalog {
     ("q242_conformal", q242Conformal _, Some(q242Sql)),
     ("q243_mrr", q243Mrr _, Some(q243Sql)),
     ("q244_omni_dedup", q244OmniDedup _, Some(q244Sql)),
-    ("q245_avro_decode", q245AvroDecode _, Some(q245Sql)))
+    ("q245_avro_decode", q245AvroDecode _, Some(q245Sql)),
+    ("q246_gif_meta", q246GifMeta _, Some(q246Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

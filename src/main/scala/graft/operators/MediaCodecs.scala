@@ -1021,12 +1021,26 @@ object MediaCodecs {
     * codes, so arbitrarily large frames encode correctly. */
   def encodeGif(width: Int, height: Int, palette: Array[Int],
                 index: (Int, Int) => Int,
-                interlaced: Boolean = false): Array[Byte] = {
+                interlaced: Boolean = false): Array[Byte] =
+    encodeGifFrames(width, height, palette, Seq(index), interlaced,
+      delayCs = 0)
+
+  /** Multi-frame (animated) GIF89a: each frame gets a Graphic Control
+    * Extension carrying `delayCs` (centiseconds) and its own
+    * LZW-compressed image. One frame with delay 0 degrades to the
+    * plain-87a layout [[encodeGif]] emits. */
+  def encodeGifFrames(width: Int, height: Int, palette: Array[Int],
+                      frames: Seq[(Int, Int) => Int],
+                      interlaced: Boolean = false,
+                      delayCs: Int = 4): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       "dims must fit u16")
     require(width.toLong * height <= 64L * 1024 * 1024,
       "pixel count over the 64M cap (the decoder's bomb bound)")
     require(palette.nonEmpty && palette.length <= 256, "palette size 1..256")
+    require(frames.nonEmpty, "at least one frame")
+    require(delayCs >= 0 && delayCs <= 0xffff, "delay must fit u16")
+    val animated = frames.length > 1
     // GCT size is 2^(N+1); LZW min code size covers the table and is >= 2
     var gctBits = 1
     while ((1 << gctBits) < palette.length) gctBits += 1
@@ -1034,7 +1048,7 @@ object MediaCodecs {
     val mcs = math.max(2, gctBits)
     val out = new java.io.ByteArrayOutputStream()
     def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write((if (animated) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
     u16le(width); u16le(height)
     out.write(0x80 | (7 << 4) | (gctBits - 1)) // GCT present, 8-bit color res
     out.write(0)                               // background color index
@@ -1045,25 +1059,39 @@ object MediaCodecs {
       out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
       i += 1
     }
-    out.write(0x2c)                            // image descriptor
-    u16le(0); u16le(0); u16le(width); u16le(height)
-    out.write(if (interlaced) 0x40 else 0x00)  // no LCT
-    out.write(mcs)
-    // pixel indices in STORED row order (interlace permutes rows on disk)
-    val rows: Seq[Int] =
-      if (interlaced) GifPasses.toIndexedSeq.flatMap { case (f, s) => f until height by s }
-      else 0 until height
-    val data = new Array[Byte](width * height)
-    var p = 0
-    rows.foreach { y =>
-      var x = 0
-      while (x < width) {
-        val v = index(x, y)
-        require(v >= 0 && v < tableSize, s"index $v out of color table")
-        data(p) = v.toByte; p += 1; x += 1
+    frames.foreach { index =>
+      if (animated) {                          // GCE: delay, no transparency
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); u16le(delayCs); out.write(0); out.write(0)
       }
+      out.write(0x2c)                          // image descriptor
+      u16le(0); u16le(0); u16le(width); u16le(height)
+      out.write(if (interlaced) 0x40 else 0x00) // no LCT
+      out.write(mcs)
+      // pixel indices in STORED row order (interlace permutes rows on disk)
+      val rows: Seq[Int] =
+        if (interlaced) GifPasses.toIndexedSeq.flatMap { case (f, s) => f until height by s }
+        else 0 until height
+      val data = new Array[Byte](width * height)
+      var p = 0
+      rows.foreach { y =>
+        var x = 0
+        while (x < width) {
+          val v = index(x, y)
+          require(v >= 0 && v < tableSize, s"index $v out of color table")
+          data(p) = v.toByte; p += 1; x += 1
+        }
+      }
+      writeGifLzw(out, data, mcs)
     }
-    // --- LZW compress (LSB-first bit packing, 255-byte sub-blocks) ---
+    out.write(0x3b)                            // trailer
+    out.toByteArray
+  }
+
+  /** LZW-compress `data` (LSB-first bit packing) and emit it as
+    * 255-byte sub-blocks + terminator. */
+  private def writeGifLzw(out: java.io.ByteArrayOutputStream,
+                          data: Array[Byte], mcs: Int): Unit = {
     val clear = 1 << mcs
     val eoi = clear + 1
     val body = new java.io.ByteArrayOutputStream()
@@ -1076,7 +1104,7 @@ object MediaCodecs {
     var next = eoi + 1
     emit(clear)
     var cur = data(0) & 0xff
-    p = 1
+    var p = 1
     while (p < data.length) {
       val k = data(p) & 0xff
       val key = (cur.toLong << 8) | k
@@ -1098,7 +1126,15 @@ object MediaCodecs {
       }
       p += 1
     }
-    emit(cur); emit(eoi)
+    emit(cur)
+    // the decoder ADDS one more entry after reading that final data code
+    // (the encoder has nothing to pair it with — the stream ended), and
+    // if its `next` lands exactly on 2^width it grows before reading the
+    // NEXT code: mirror the phantom add so EOI is written at the width
+    // the decoder will read it with (caught by MediaSpec's boundary
+    // round-trip — (x+y)&3 on 5×4 at mcs=2 ends on next == 16 == 2^4)
+    if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    emit(eoi)
     if (nbits > 0) body.write((acc & 0xff).toInt)
     val enc = body.toByteArray
     var off = 0
@@ -1107,8 +1143,72 @@ object MediaCodecs {
       out.write(n); out.write(enc, off, n); off += n
     }
     out.write(0)                               // block terminator
-    out.write(0x3b)                            // trailer
-    out.toByteArray
+  }
+
+  final case class GifMeta(width: Int, height: Int, nFrames: Long,
+                           animated: Boolean, interlaced: Boolean)
+
+  /** Structural metadata WITHOUT decoding pixels: canvas dims, frame
+    * count (animated-GIF detection — a crawl pipeline's poster-frame /
+    * video-ish routing signal), interlace flag of the first frame. Walks
+    * every block — extensions skipped, each frame's LZW sub-blocks
+    * skipped by length — and requires a clean trailer; None on any
+    * malformed framing. Cost is O(container bytes), no LZW work. */
+  def gifMeta(bytes: Array[Byte]): Option[GifMeta] = {
+    if (bytes == null || bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    var pos = 6
+    def avail(n: Int): Boolean = pos + n <= bytes.length
+    def u16(): Int = { val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8); pos += 2; v }
+    if (!avail(7)) return None
+    val w = u16(); val h = u16()
+    val packed = bytes(pos) & 0xff; pos += 3
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      if (!avail(n)) return None
+      pos += n
+    }
+    var frames = 0L
+    var firstInterlaced = false
+    def skipSubBlocks(): Boolean = {
+      var len = -1
+      while (len != 0) {
+        if (!avail(1)) return false
+        len = bytes(pos) & 0xff; pos += 1
+        if (len > 0) { if (!avail(len)) return false; pos += len }
+      }
+      true
+    }
+    while (true) {
+      if (!avail(1)) return None
+      val intro = bytes(pos) & 0xff; pos += 1
+      intro match {
+        case 0x21 =>
+          if (!avail(1)) return None
+          pos += 1
+          if (!skipSubBlocks()) return None
+        case 0x2c =>
+          if (!avail(9)) return None
+          pos += 8
+          val ipacked = bytes(pos) & 0xff; pos += 1
+          if (frames == 0) firstInterlaced = (ipacked & 0x40) != 0
+          if ((ipacked & 0x80) != 0) {
+            val n = 3 * (1 << ((ipacked & 7) + 1))
+            if (!avail(n)) return None
+            pos += n
+          }
+          if (!avail(1)) return None
+          pos += 1                             // LZW min code size
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case 0x3b =>
+          if (frames == 0) return None
+          return Some(GifMeta(w, h, frames, frames > 1, firstInterlaced))
+        case _ => return None
+      }
+    }
+    None
   }
 
   /** Decode the FIRST image frame of a GIF87a/89a payload to pixels.

@@ -737,6 +737,53 @@ object Multimodal {
     toAssets(rows, "asset_id", "payload", "image/gif")
   }
 
+  case class GifMetaRow(asset_id: Long, ok: Long, width: Option[Int],
+                        height: Option[Int], n_frames: Option[Long],
+                        animated: Option[Boolean])
+
+  /** Structural GIF metadata without pixel decode
+    * ([[MediaCodecs.gifMeta]]): dims + frame count — the animated-GIF
+    * routing signal (poster-frame extraction vs video-ish handling)
+    * computed at container-walk cost. */
+  def gifMetaFeatures(assets: DataFrame): Dataset[GifMetaRow] = {
+    val enc = Encoders.product[GifMetaRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.gifMeta(payload) match {
+            case Some(m) => GifMetaRow(id, 1L, Some(m.width), Some(m.height),
+              Some(m.nFrames), Some(m.animated))
+            case None => GifMetaRow(id, 0L, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** Animated-GIF fixture: `1 + id mod 4` frames on the [[synthBmpAssets]]
+    * dims, frame f's pixels shifted by 16·f — multi-frame containers with
+    * GCE delay blocks that [[gifMetaFeatures]] counts and
+    * [[decodeGifFeatures]] reads the POSTER (first) frame of. */
+  def synthAnimatedGifAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 9).toInt
+          val nFrames = 1 + (id % 4).toInt
+          val pal = Array.tabulate(256)(i => (i * 0x010101) & 0xffffff)
+          val frames: Seq[(Int, Int) => Int] = (0 until nFrames).map { f =>
+            (x: Int, y: Int) => ((id + 3L * x + 5L * y + 16L * f) % 256).toInt
+          }
+          (id, MediaCodecs.encodeGifFrames(w, h, pal, frames,
+            interlaced = id % 2 == 1, delayCs = 4))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/gif")
+  }
+
   /** Per-id image: w = 8 + id%9, h = 8 + (id·3)%9,
     * r(x,y) = (id + 3x + 5y) mod 256, g = (2id + x + 7y) mod 256,
     * b = (5id + 11x + y) mod 256. */

@@ -832,6 +832,18 @@ class MediaSpec extends SparkSpec {
     val b = MediaCodecs.decodeGif(
       MediaCodecs.encodeGif(9, 9, pal, f, interlaced = true)).get
     assert(a.pixels.toSeq === b.pixels.toSeq)
+    // width-boundary sweep: the decoder's phantom final add can land its
+    // `next` exactly on 2^width right before EOI — (x+y)&3 on 5×4 at
+    // mcs=2 is such a stream (next == 16); sweep shapes so several sizes
+    // cross a boundary on their LAST code
+    val pal4 = Array(0x111111, 0x222222, 0x333333, 0x444444)
+    for (w <- 2 to 12; h <- 2 to 8) {
+      val g = (x: Int, y: Int) => (x + y) & 3
+      val img = MediaCodecs.decodeGif(MediaCodecs.encodeGif(w, h, pal4, g))
+      assert(img.isDefined, s"boundary case ${w}x$h must decode")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.get.pixels(y * w + x) === pal4(g(x, y)), s"${w}x$h ($x,$y)")
+    }
   }
 
   test("gif: dictionary exhaustion forces a clear-code reset and survives") {
@@ -887,6 +899,39 @@ class MediaSpec extends SparkSpec {
         case _ => valid.take(rnd.nextInt(valid.length + 1))
       }
       MediaCodecs.decodeGif(payload) // Option, never a throw or a hang
+    }
+  }
+
+  test("gif animation: multi-frame encode, meta walk, poster-frame decode") {
+    val pal = Array(0x111111, 0x222222, 0x333333, 0x444444)
+    val frames: Seq[(Int, Int) => Int] =
+      (0 until 3).map(f => (x: Int, y: Int) => (x + y + f) & 3)
+    val anim = MediaCodecs.encodeGifFrames(5, 4, pal, frames, delayCs = 7)
+    assert(new String(anim, 0, 6, "US-ASCII") === "GIF89a")
+    val meta = MediaCodecs.gifMeta(anim).get
+    assert(meta.width === 5 && meta.height === 4 && meta.nFrames === 3L &&
+      meta.animated && !meta.interlaced)
+    // poster contract: decodeGif reads exactly frame 0
+    val poster = MediaCodecs.decodeGif(anim).get
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(poster.pixels(y * 5 + x) === pal((x + y) & 3))
+    // single frame degrades to plain 87a and meta agrees with decode
+    val single = MediaCodecs.encodeGif(5, 4, pal, frames.head)
+    val m1 = MediaCodecs.gifMeta(single).get
+    assert(new String(single, 0, 6, "US-ASCII") === "GIF87a")
+    assert(m1.nFrames === 1L && !m1.animated)
+    // meta is strict: truncation inside any frame's sub-blocks, missing
+    // trailer, zero frames
+    assert(MediaCodecs.gifMeta(anim.dropRight(1)).isEmpty, "no trailer")
+    assert(MediaCodecs.gifMeta(anim.take(40)).isEmpty, "inside the data")
+    val noImage = single.take(13 + 12) :+ 0x3b.toByte
+    assert(MediaCodecs.gifMeta(noImage).isEmpty, "zero frames")
+    // and total: meta never throws on the fuzz corpus
+    val rnd = new scala.util.Random(777)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(b)
+      MediaCodecs.gifMeta(b)
+      MediaCodecs.gifMeta(anim.take(rnd.nextInt(anim.length + 1)))
     }
   }
 
