@@ -7038,6 +7038,44 @@ object QueryCatalog {
       |  CAST(sum((asset_id + 3 * x + 5 * y) % 256) AS BIGINT) AS poster_sum
       |FROM pj GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  /** Isotonic calibration per class (Eval.isotonicCalibration): the PAV
+    * least-squares monotone fit of a noisy outcome against the class
+    * confidence. The oracle replays the fit through the MINIMAX identity
+    * ŷ_k = max_{i≤k} min_{j≥k} mean(y[i..j]) — a different algorithm
+    * (prefix-sum pairs + two windows) than the linear stack walk, so the
+    * engines cross-check the mathematics, not the implementation. */
+  def q247Isotonic(s: SparkSession, dir: String): DataFrame = {
+    val conf = element_at(col("embedding"), col("label") + 1)
+    val x = t(s, dir, "embeddings").select(
+      col("label").cast("int").as("cls"),
+      conf.cast("double").as("score"),
+      when(conf > 0, col("vec_id") % 4 < 3)
+        .otherwise(col("vec_id") % 4 < 1).cast("int").as("pos"))
+    operators.Eval.isotonicCalibration(x, "cls", "score", "pos")
+  }
+
+  val q247Sql: String =
+    """WITH x AS (SELECT CAST(label AS INT) AS cls,
+      |    CAST(embedding[label + 1] AS DOUBLE) AS score,
+      |    CASE WHEN embedding[label + 1] > 0
+      |      THEN CASE WHEN vec_id % 4 < 3 THEN 1 ELSE 0 END
+      |      ELSE CASE WHEN vec_id % 4 < 1 THEN 1 ELSE 0 END END AS pos
+      |  FROM embeddings),
+      |p AS (SELECT cls, score, CAST(sum(pos) AS BIGINT) AS sy,
+      |    CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS k,
+      |    sum(sy) OVER w AS cs, sum(n) OVER w AS cn FROM p
+      |  WINDOW w AS (PARTITION BY cls ORDER BY score)),
+      |a AS (SELECT i.cls, i.k AS ik, j.k AS jk,
+      |    CAST(j.cs - (i.cs - i.sy) AS DOUBLE) / (j.cn - (i.cn - i.n)) AS avgv
+      |  FROM r i JOIN r j ON i.cls = j.cls AND j.k >= i.k),
+      |m AS (SELECT cls, ik, jk, min(avgv) OVER
+      |    (PARTITION BY cls, ik ORDER BY jk DESC) AS mv FROM a),
+      |f AS (SELECT cls, jk, ik, max(mv) OVER
+      |    (PARTITION BY cls, jk ORDER BY ik) AS fv FROM m)
+      |SELECT r.cls, r.score, r.n, r.sy AS sum_pos, round(f.fv, 6) AS fitted
+      |FROM r JOIN f ON f.cls = r.cls AND f.jk = r.k AND f.ik = r.k""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7289,7 +7327,8 @@ object QueryCatalog {
     ("q243_mrr", q243Mrr _, Some(q243Sql)),
     ("q244_omni_dedup", q244OmniDedup _, Some(q244Sql)),
     ("q245_avro_decode", q245AvroDecode _, Some(q245Sql)),
-    ("q246_gif_meta", q246GifMeta _, Some(q246Sql)))
+    ("q246_gif_meta", q246GifMeta _, Some(q246Sql)),
+    ("q247_isotonic", q247Isotonic _, Some(q247Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -383,6 +383,94 @@ object Eval {
         round(col("n_covered").cast("double") / col("n_test"), 6))
   }
 
+  /** Isotonic calibration per group — the pool-adjacent-violators fit
+    * (Barlow et al. 1972; the standard probability-calibration method
+    * beside [[calibrationBins]]' ECE readout and
+    * [[conformalCalibration]]'s coverage guarantee): the least-squares
+    * NONDECREASING fit of a 0/1 outcome against a score, i.e. the
+    * calibrated probability table a reliability-critical consumer maps
+    * raw scores through.
+    *
+    * Engine-exact: equal scores pre-pool into one point (the standard
+    * tie rule); PAV pool merges compare means by CROSS-MULTIPLIED
+    * integer sums (`sumA·nB ≥ sumB·nA` — no float decides a pool);
+    * `fitted = round(Σpos/n, 6)` is the one double division per pool,
+    * rounded once. The oracle replays the fit through the minimax
+    * identity `ŷ_k = max_{i≤k} min_{j≥k} mean(y[i..j])` — a DIFFERENT
+    * algorithm (O(n²) prefix-sum pairs vs the linear stack walk), so the
+    * two implementations cross-check; double min/max selection is an
+    * exact decider because distinct pooled means p/q, p'/q' with
+    * q ≤ n differ by ≥ 1/n², orders of magnitude past double rounding
+    * at calibration-set sizes.
+    *
+    * Scale: one grouped pre-pool aggregate, then each group's walk runs
+    * SEQUENTIALLY inside its partition (hash-repartition by group +
+    * sortWithinPartitions — the [[graft.operators.Packing]] next-fit
+    * pattern): PAV is inherently order-coupled, so the unit of
+    * parallelism is the group, the same contract as [[rocAuc]]'s
+    * window; calibration sets are sampled and bounded by construction.
+    * State = the pool stack (≤ distinct scores per group). */
+  def isotonicCalibration(df: DataFrame, groupCol: String, scoreCol: String,
+                          posCol: String): DataFrame = {
+    val g = col(groupCol)
+    val pts = df
+      .filter(g.isNotNull && col(scoreCol).isNotNull && col(posCol).isNotNull)
+      .select(g, col(scoreCol).cast("double").as("_x"),
+        col(posCol).cast("long").as("_y"))
+      .groupBy(g, col("_x"))
+      .agg(sum(col("_y")).as("_sy"), count(lit(1)).as("_n"))
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    // the group key rides as a string so one walk serves any key type;
+    // readback casts it to the input column's type
+    val keyType = pts.schema(groupCol).dataType
+    val walked = pts
+      .select(g.cast("string").as("_g"), col("_x"), col("_sy"), col("_n"))
+      .repartition(col("_g"))
+      .sortWithinPartitions(col("_g"), col("_x"))
+      .as(enc)
+      .mapPartitions { it =>
+        // pools: (sumY, n, points-in-pool); flush on group change / end
+        final case class Pool(var sy: Long, var n: Long,
+                              pts: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)])
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Double, Long, Long, Double)]
+        val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+        var curG: String = null
+        def flush(): Unit = {
+          stack.foreach { p =>
+            val fitted = BigDecimal(p.sy.toDouble / p.n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            p.pts.foreach { case (x, sy, n) => out += ((curG, x, n, sy, fitted)) }
+          }
+          stack.clear()
+        }
+        it.foreach { case (grp, x, sy, n) =>
+          if (grp != curG) { flush(); curG = grp }
+          stack += Pool(sy, n, scala.collection.mutable.ArrayBuffer((x, sy, n)))
+          // merge while the new pool's mean is BELOW its predecessor's
+          // (cross-multiplied longs; sums bounded by calibration-set
+          // sizes, far inside long range)
+          while (stack.length >= 2 &&
+              stack(stack.length - 1).sy * stack(stack.length - 2).n <=
+              stack(stack.length - 2).sy * stack(stack.length - 1).n) {
+            val top = stack.remove(stack.length - 1)
+            val prev = stack(stack.length - 1)
+            prev.sy += top.sy; prev.n += top.n; prev.pts ++= top.pts
+          }
+        }
+        flush()
+        out.iterator
+      }(outEnc)
+      .toDF("_g", "score", "n", "sum_pos", "fitted")
+    walked.select(col("_g").cast(keyType).as(groupCol), col("score"),
+      col("n"), col("sum_pos"), col("fitted"))
+  }
+
   /** The threshold half of [[conformalCalibration]]: per-group
     * `(_g, _nc, _k, _inf, qhat)` from CALIBRATION rows only — qhat the
     * exact k-th smallest score via the bucket-histogram rank walk, NULL

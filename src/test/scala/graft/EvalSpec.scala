@@ -272,6 +272,70 @@ class EvalSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("rr_at_10")), "no hit must be NULL, not 0")
   }
 
+  // ---- isotonicCalibration -------------------------------------------------
+
+  test("isotonicCalibration: equals the in-memory PAV; monotone; partition-free") {
+    // reference PAV on (x, y) pairs with exact rational pool comparisons
+    def refPav(pts: Seq[(Double, Long, Long)]): Map[Double, Double] = {
+      val stack = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, List[Double])]
+      pts.sortBy(_._1).foreach { case (x, sy, n) =>
+        stack += ((sy, n, List(x)))
+        while (stack.length >= 2 &&
+            stack.last._1 * stack(stack.length - 2)._2 <=
+            stack(stack.length - 2)._1 * stack.last._2) {
+          val t = stack.remove(stack.length - 1)
+          val p = stack.remove(stack.length - 1)
+          stack += ((p._1 + t._1, p._2 + t._2, p._3 ++ t._3))
+        }
+      }
+      stack.flatMap { case (sy, n, xs) =>
+        val f = BigDecimal(sy.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        xs.map(_ -> f)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(4)
+    val raw = for {
+      g <- Seq("a", "b"); _ <- 0 until 120
+    } yield (g, rnd.nextInt(40).toDouble / 3.0, // ties across rows
+             if (rnd.nextDouble() < 0.4) 1 else 0)
+    val out = Eval.isotonicCalibration(
+        raw.toDF("grp", "s", "y").repartition(7), "grp", "s", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    Seq("a", "b").foreach { g =>
+      val pts = raw.filter(_._1 == g).groupBy(_._2).toSeq
+        .map { case (x, rows) => (x, rows.map(_._3.toLong).sum, rows.size.toLong) }
+      val want = refPav(pts)
+      pts.foreach { case (x, sy, n) =>
+        val (gn, gsy, fitted) = out((g, x))
+        assert(gn === n && gsy === sy, s"$g point stats at x=$x")
+        assert(fitted === want(x), s"$g fitted at x=$x")
+      }
+      // the defining property: fitted is nondecreasing in score
+      val sorted = pts.map(_._1).sorted.map(x => out((g, x))._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"$g fit must be monotone")
+    }
+  }
+
+  test("isotonicCalibration: already-monotone data is untouched; constant pools pool") {
+    val df = Seq(("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 1), ("g", 4.0, 1))
+      .toDF("grp", "s", "y")
+    val out = Eval.isotonicCalibration(df, "grp", "s", "y")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    assert(out === Map(1.0 -> 0.0, 2.0 -> 0.0, 3.0 -> 1.0, 4.0 -> 1.0),
+      "a perfect step function is its own isotonic fit")
+    // strictly decreasing outcomes collapse to one pool = the global mean
+    val dec = Seq(("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 0), ("g", 4.0, 0))
+      .toDF("grp", "s", "y")
+    val o2 = Eval.isotonicCalibration(dec, "grp", "s", "y")
+      .collect().map(_.getDouble(4)).distinct
+    assert(o2 === Array(0.5), "anti-monotone data pools to the mean")
+  }
+
   // ---- conformalCalibration ----------------------------------------------
 
   test("conformalCalibration: qhat equals the sorted-order pick; coverage exact") {
