@@ -403,6 +403,14 @@ object ScaleCheck {
     time("avro_decode")(
       graft.operators.AvroCodec.decodeAvroFeatures(
         graft.operators.AvroCodec.synthAvroDocs(docs, "doc_id", "text")).toDF())
+    time("isotonic")({
+      val conf = element_at(col("embedding"), col("label") + 1)
+      val x = emb.select(col("label").cast("int").as("cls"),
+        conf.cast("double").as("score"),
+        when(conf > 0, col("vec_id") % 4 < 3)
+          .otherwise(col("vec_id") % 4 < 1).cast("int").as("pos"))
+      graft.operators.Eval.isotonicCalibration(x, "cls", "score", "pos")
+    })
     time("conformal(a=1/10)")({
       val x = emb.select(col("label").cast("int").as("cls"),
         (element_at(col("embedding"), col("label") + 1).cast("double") * lit(-1.0))
