@@ -5444,7 +5444,7 @@ object QueryCatalog {
 
   val q197Sql: String =
     s"""WITH tf AS (SELECT doc_id,
-       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |    CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0
        |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
        |    END AS n_tok
        |  FROM documents),
@@ -5470,7 +5470,7 @@ object QueryCatalog {
 
   val q198Sql: String =
     s"""WITH tf AS (SELECT doc_id,
-       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |    CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0
        |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
        |    END AS n_tok
        |  FROM documents),
@@ -5503,7 +5503,8 @@ object QueryCatalog {
 
   val q199Sql: String =
     s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks
-       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |  FROM documents WHERE text IS NOT NULL
+      |    AND regexp_replace(text, '\\s', '', 'g') <> ''),
        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS ntok FROM tk),
        |c AS (SELECT doc_id, toks, ntok,
        |    CASE WHEN ntok > 32 THEN (ntok - 32 + 15) // 16 ELSE 0 END AS lastc
@@ -5533,7 +5534,8 @@ object QueryCatalog {
 
   val q200Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
-       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |  FROM documents WHERE text IS NOT NULL
+      |    AND regexp_replace(text, '\\s', '', 'g') <> ''),
        |toks AS (SELECT DISTINCT doc_id, tok FROM (
        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
        |    FROM (SELECT doc_id, ws,
@@ -5570,7 +5572,8 @@ object QueryCatalog {
   val q201Sql: String =
     s"""WITH RECURSIVE tf AS (SELECT doc_id,
        |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
-       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |  FROM documents WHERE text IS NOT NULL
+      |    AND regexp_replace(text, '\\s', '', 'g') <> ''),
        |b AS (SELECT doc_id, n_tok, doc_id // 1024 AS rng,
        |    row_number() OVER (PARTITION BY doc_id // 1024
        |      ORDER BY doc_id) AS rn
@@ -5609,8 +5612,8 @@ object QueryCatalog {
 
   val q202Sql: String =
     """WITH c AS (SELECT user_id, event_id, ts,
-      |    CAST(length(event_type) + length(coalesce(props, '')) AS BIGINT)
-      |      AS cost
+      |    CAST(coalesce(length(event_type) + length(coalesce(props, '')), 0)
+      |      AS BIGINT) AS cost
       |  FROM events),
       |w AS (SELECT user_id, event_id, cost,
       |    CAST(sum(cost) OVER (PARTITION BY user_id
@@ -5635,7 +5638,7 @@ object QueryCatalog {
 
   val q203Sql: String =
     s"""WITH tf AS (SELECT doc_id,
-       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |    CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0
        |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
        |    END AS n_tok
        |  FROM documents),
@@ -5658,7 +5661,8 @@ object QueryCatalog {
 
   val q204Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS toks
-       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |  FROM documents WHERE text IS NOT NULL
+      |    AND regexp_replace(text, '\\s', '', 'g') <> ''),
        |tf AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM w),
        |st AS (SELECT doc_id, toks, n_tok,
        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id

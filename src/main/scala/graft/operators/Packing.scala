@@ -31,11 +31,21 @@ object Packing {
 
   /** Normalized token count with the empty-document guard:
     * [[TextAnalysis.tokens]] of an all-whitespace/NULL text yields [""]
-    * (size 1), so blank docs are pinned to 0 tokens explicitly. */
+    * (size 1), so blank docs are pinned to 0 tokens explicitly.
+    * NOT the same as [[TextAnalysis.tokenCount]] (raw space-split size,
+    * no normalization/guard — q69's legacy per-shard packer); new layout
+    * code should use THIS one. */
   def tokenCount(text: Column): Column = nTok(text)
 
+  /** True iff the text has NO non-whitespace character. `trim` (both
+    * engines) strips only ASCII space, so a tab/newline-only doc would
+    * pass a trim-based guard and leak phantom "" tokens into the layout
+    * — strip the \s class instead. */
+  private[operators] def isBlank(text: Column): Column =
+    text.isNull || length(regexp_replace(text, "\\s", "")) === 0
+
   private def nTok(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, lit(0L))
+    when(isBlank(text), lit(0L))
       .otherwise(size(TextAnalysis.tokens(text)).cast("long"))
 
   /** Concatenate-then-chunk packing map. Documents are laid out in
@@ -203,11 +213,16 @@ object Packing {
     val wnd = Window.partitionBy(col(userCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rk = Window.partitionBy(col(userCol)).orderBy(order: _*)
-    df.select(col(userCol), col(idCol), col(tsCol), col(costCol))
-      .withColumn("cum_cost", sum(col(costCol)).over(wnd))
+    // a NULL cost coalesces to 0: sum().over skips NULLs, so a raw sum
+    // would DROP the null-cost row while keeping OLDER rows — breaking
+    // the "most recent rows" prefix property this operator is for
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    df.select(col(userCol), col(idCol), col(tsCol),
+        cost.as("_cost"))
+      .withColumn("cum_cost", sum(col("_cost")).over(wnd))
       .withColumn("turns_back", (row_number().over(rk) - 1).cast("long"))
       .filter(col("cum_cost") <= budget)
-      .select(col(userCol), col(idCol), col(costCol),
+      .select(col(userCol), col(idCol), col("_cost").as(costCol),
         col("cum_cost"), col("turns_back"))
   }
 
@@ -229,6 +244,11 @@ object Packing {
   def balancedShards(df: DataFrame, idCol: String, weightCol: String,
                      nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
+    // weights compare as LONGs (token counts — the intended domain;
+    // fractional weights rank by their truncation, ties by id). A NULL
+    // weight is a real row that must land on exactly one shard, not
+    // vanish through a null≠null join: it groups, joins (<=>) and ranks
+    // (desc = nulls last) like any other weight.
     val w = df.select(col(idCol).as("_id"), col(weightCol).cast("long").as("_w"))
     val off = w.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(
@@ -237,7 +257,8 @@ object Packing {
       .drop("_c")
       .localCheckpoint(true)
     val within = Window.partitionBy(col("_w")).orderBy(col("_id"))
-    val rn = w.join(broadcast(off), "_w")
+    val rn = w.join(broadcast(off.withColumnRenamed("_w", "_w2")),
+        col("_w") <=> col("_w2")).drop("_w2")
       .withColumn("_rn", col("_off") + row_number().over(within) - 1)
     val pos = pmod(col("_rn"), lit(nShards.toLong))
     val pass = expr(s"_rn DIV $nShards")
@@ -263,7 +284,7 @@ object Packing {
     val packed = packSequences(df, idCol, textCol, blockLen, rangeWidth)
       .filter(col("n_tok") > 0)
     val toksDf = df
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .filter(!isBlank(col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
     val bstart = col("block_id") * blockLen
     val bend = bstart + blockLen
@@ -304,7 +325,7 @@ object Packing {
       "need 1 <= stride <= window")
     val toks = TextAnalysis.tokens(col(textCol))
     val base = df
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .filter(!isBlank(col(textCol)))
       .select(col(idCol), toks.as("_toks"), nTok(col(textCol)).as("_n"))
     val lastChunk = when(col("_n") > window,
         expr(s"(_n - $window + $stride - 1) DIV $stride")).otherwise(lit(0L))

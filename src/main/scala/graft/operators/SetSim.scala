@@ -51,27 +51,19 @@ object SetSim {
     require(tauPct >= 1 && tauPct <= 100, "tauPct must be in [1, 100]")
     require(shingleLen >= 1, "shingleLen must be positive")
     val t = tauPct
-    // shingles via posexplode + lead() windows, NOT a transform() lambda
-    // over element_at(tokens(text), i): higher-order functions are
-    // interpreted (no codegen, no common-subexpression elimination), so
-    // the lambda re-evaluates the full regexp_replace+split token
-    // expression per element — O(tokens²) regex work per document,
-    // measured 12.7 s of a 26 s run at sf0.1. Here tokens() is evaluated
-    // ONCE per document by the generator; the lead window is partitioned
-    // by doc (fans out); concat_ws never sees a null mid-shingle because
-    // lead(k) non-null implies every lead(j<k) non-null.
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_pos"))
-    val leads = (1 until shingleLen).map(k => lead(col("_w"), k).over(wnd))
+    // shingles via the MAP-ONLY native generator (one pass per row), NOT
+    // a transform() lambda over element_at(tokens(text), i) — interpreted
+    // HOFs re-evaluate the token split per element, O(tokens²) regex work
+    // (measured 12.7 s of a 26 s run at sf0.1) — and NOT the earlier
+    // posexplode + lead() windows, which paid a corpus-wide shuffle+sort
+    // on doc_id just to reassemble adjacent words (the exact shape
+    // NGramsGenerator's scaladoc names as what it replaces). Same
+    // normalization, byte-identical shingles, zero shuffles here.
     val toks = df
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .filter(!Packing.isBlank(col(textCol)))
       .select(col(idCol).as("_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_w")))
-      .withColumn("_tok", concat_ws(" ", (col("_w") +: leads): _*))
-      .withColumn("_full",
-        if (shingleLen == 1) lit(true) else leads.last.isNotNull)
-      .filter(col("_full"))
-      .select(col("_id"), col("_tok"))
+        graft.functions.NGramsGenerator.ngrams(col(textCol), shingleLen))
+      .withColumnRenamed("shingle", "_tok")
       .distinct()
     val dfreq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     // per doc: distinct shingles sorted by (df, shingle) ascending — the
@@ -97,7 +89,9 @@ object SetSim {
     // 4.3 s → 1.7 s at sf0.1 on 32 cores). An explicit count disables
     // the coalesce; the session's shuffle-partition setting keeps it
     // cluster-appropriate. Cost ∝ candidate pairs — never the corpus.
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // numShufflePartitions resolves non-numeric settings (e.g. "auto" on
+    // managed platforms) where a raw conf .toInt would throw
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val cand = a.join(b, "_ptok")
       .filter(col("doc_a") < col("doc_b") &&
         lit(t) * greatest(col("_na"), col("_nb")) <=

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Raw whitespace token count (plain space split — no normalization,
+    * no blank guard; NULL text → NULL). [[Packing.tokenCount]] is the
+    * guarded, normalized twin new layout code should prefer. */
   def tokenCount(text: Column): Column =
     size(split(text, " "))
 
@@ -154,7 +156,9 @@ object TextAnalysis {
     * would serialize the corpus through one task; per-shard packing wastes
     * at most one partial pack per shard, negligible at corpus scale.)
     * Integer arithmetic only (`div`/`mod` on token cumsums), so the
-    * assignment is engine-exact. */
+    * assignment is engine-exact. NOT the same operator as
+    * [[Packing.packSequences]] (global concatenate-then-chunk layout) —
+    * this is the per-shard pack_id/pack_offset assignment q69 covers. */
   def packSequences(docs: DataFrame, capacity: Long = 2048,
                     shardCol: String = "source"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -30,11 +30,20 @@ import graft.plans.TableStore
   * EXACTLY-ONCE is the [[StreamingHeavyHitters]] batch-id watermark:
   * pack state (unlike a set) cannot absorb the same documents twice, so
   * every state row carries `upto` = the last folded batch id, committed
-  * atomically with the fills in one replaceTable AFTER the idempotent
-  * keyed assignment merge. A replayed batch (batchId ≤ upto) skips both:
+  * (keyed merge on rng — O(touched ranges)) AFTER the idempotent keyed
+  * assignment merge. A replayed batch (batchId ≤ max upto) skips both:
   * its assignments are already in (they merge BEFORE the state commit);
   * a crash between the two replays the batch against the UNCHANGED state
   * and re-derives byte-identical assignments.
+  *
+  * INPUT CONTRACT — ids are unique across the stream's lifetime: the
+  * watermark absorbs REPLAYS of a batch, but a NOVEL re-delivery of an
+  * already-packed doc_id in a later batch (source retention re-read, CDC
+  * update) would be walked again — double-counting its tokens in the
+  * range state while the keyed assignment merge overwrites its old bin,
+  * leaving a hole no reader can see. Sources without the guarantee must
+  * pre-filter (`batch.join(store.read(assignTable), Seq(idCol),
+  * "left_anti")`, or a Bloom of packed ids at scale) before the fold.
   *
   * Scale: per batch one shuffle to co-locate ranges (state sentinels ride
   * the same shuffle), an O(batch) in-partition walk with O(1) state, one
@@ -72,10 +81,13 @@ object StreamingPacker {
           col("lbin").as("_lb"), lit(true).as("_st"))
       else spark.emptyDataset[(Long, Long, Long, Long, Boolean)]
         .toDF("_rng", "_id", "_n", "_lb", "_st")
+    // `_st` DESC tie-break: a REAL doc with id == Long.MinValue must not
+    // sort ahead of its range's state sentinel (same id) and walk against
+    // unseeded state
     val walked = tf.unionByName(sent)
       .as[(Long, Long, Long, Long, Boolean)]
       .repartition(col("_rng"))
-      .sortWithinPartitions(col("_rng"), col("_id"))
+      .sortWithinPartitions(col("_rng"), col("_id"), col("_st").desc)
       .mapPartitions { it =>
         var curRng = Long.MinValue
         var fill = 0L
@@ -104,19 +116,13 @@ object StreamingPacker {
         max_by(struct(col("lbin"), (col("fill_before") + col("n_tok"))
           .as("fill")), col("doc_id")).as("s"))
         .select(col("rng"), col("s.lbin").as("lbin"), col("s.fill").as("fill"))
-      val kept =
-        if (store.exists(stateTable))
-          store.read(stateTable).select("rng", "lbin", "fill")
-            .join(touched, Seq("rng"), "left_anti")
-        else touched.limit(0)
-      store.replaceTable(stateTable,
-        kept.unionByName(touched).withColumn("upto", lit(batchId)),
-        Seq("rng"))
-    } else if (store.exists(stateTable)) {
-      // advance the watermark even on an empty batch
-      store.replaceTable(stateTable,
-        store.read(stateTable).select("rng", "lbin", "fill")
-          .withColumn("upto", lit(batchId)), Seq("rng"))
+      // keyed MERGE, not a full-table rewrite: only touched ranges get
+      // restamped — the watermark is read as max(upto), which one touched
+      // row advances, so untouched rows keep their old stamp at O(touched)
+      // write cost instead of O(all ranges) per batch. An EMPTY batch
+      // advances nothing: replaying an empty batch is already a no-op.
+      store.mergeFact(stateTable,
+        touched.withColumn("upto", lit(batchId)), Seq("rng"))
     }
   }
 

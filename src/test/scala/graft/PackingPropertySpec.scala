@@ -20,7 +20,9 @@ class PackingPropertySpec extends SparkSpec {
   }
 
   /** Random corpus: unique ids with gaps, docs of 0..30 tokens over a
-    * small vocabulary (collisions guaranteed), some blank/null. */
+    * small vocabulary (collisions guaranteed), some blank/null —
+    * including TAB/NEWLINE-only blanks, the class an ASCII-space trim
+    * guard would leak phantom tokens for. */
   private def corpus(seed: Long, nDocs: Int = 60,
                      vocab: Int = 12): Seq[(Long, String)] = {
     val lens = samples(Gen.chooseNum(0, 30), nDocs, seed)
@@ -28,13 +30,18 @@ class PackingPropertySpec extends SparkSpec {
     val words = samples(Gen.chooseNum(0, vocab - 1), nDocs * 30, seed + 2)
     val ids = gaps.scanLeft(0L)(_ + _).tail
     ids.zip(lens.zipWithIndex.map { case (len, i) =>
-      if (len == 0) (if (i % 2 == 0) null else "   ")
+      if (len == 0) (i % 4 match {
+        case 0 => null
+        case 1 => "   "
+        case 2 => "\t\t"
+        case _ => " \n \t "
+      })
       else (0 until len).map(k => s"w${words(i * 30 + k)}").mkString(" ")
     })
   }
 
   private def nToks(text: String): Long =
-    if (text == null || text.trim.isEmpty) 0L
+    if (text == null || text.replaceAll("\\s", "").isEmpty) 0L
     else text.trim.toLowerCase.split("\\s+").length.toLong
 
   test("packSequences: tok_start is the exact running sum in id order; spans consistent") {
@@ -101,6 +108,43 @@ class PackingPropertySpec extends SparkSpec {
         assert(tot <= cap || ds.size == 1, s"seed $seed bin $bin overfilled")
       }
     }
+  }
+
+  test("tab/newline-only docs are blank: zero tokens, no chunks, no bins") {
+    val df = Seq((1L, "\t"), (2L, "a b c"), (3L, " \n "), (4L, null: String))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === Map(1L -> 0L, 2L -> 3L, 3L -> 0L, 4L -> 0L),
+      "whitespace-class blanks must pin to 0 tokens, not phantom \"\" tokens")
+    assert(Packing.chunkDocuments(df, "doc_id", "text", 2, 1)
+      .filter(col("doc_id") =!= 2L).count() === 0L)
+    assert(Packing.nextFitPack(df, "doc_id", "text", 10, 1024)
+      .filter(col("doc_id") =!= 2L).count() === 0L)
+  }
+
+  test("contextWindow: a NULL cost counts as 0 and cannot break the prefix") {
+    val df = Seq(
+      ("u", 3L, 3, null.asInstanceOf[java.lang.Long]), // newest, null cost
+      ("u", 2L, 2, java.lang.Long.valueOf(100L)),
+      ("u", 1L, 1, java.lang.Long.valueOf(250L)))
+      .toDF("user", "id", "ts", "cost")
+    val out = Packing.contextWindow(df, "user", "id", "ts", "cost", 300)
+      .orderBy(col("turns_back")).collect()
+    // kept rows must be the newest-first PREFIX: e3 (0-cost) then e2
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 2L),
+      "null-cost newest row stays; the prefix property holds")
+    assert(out.head.getAs[Long]("turns_back") === 0L)
+  }
+
+  test("balancedShards: NULL weights land on exactly one shard, never vanish") {
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(9L)), (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "w")
+    val out = Packing.balancedShards(df, "doc_id", "w", 2).collect()
+    assert(out.length === 4, "every row sharded, null weights included")
+    assert(out.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    out.foreach(r => assert(r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 2))
   }
 
   test("jaccardSelfJoin: equals brute-force shingle Jaccard on random corpora") {
