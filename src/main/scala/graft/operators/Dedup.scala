@@ -141,6 +141,17 @@ object Dedup {
     * for that band only — with multiple bands they still surface via their
     * other bands, the standard LSH hot-bucket mitigation.
     */
+  /** The minhash double-hash family — ONE definition of (p, h1, h2) so
+    * every consumer (the one-shot q24 path, the incremental index, the
+    * cross-source overlap) stays bit-for-bit in the same family: h1/h2 =
+    * first 60 md5-hex bits mod the largest 32-bit prime, salted apart. */
+  private[operators] val MinhashPrime = 4294967291L
+  private[operators] def minhashH1: Column =
+    conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashPrime
+  private[operators] def minhashH2: Column =
+    conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10)
+      .cast("long") % MinhashPrime
+
   /** Wide minhash signature frame (doc_id, mh0..mh{k−1}) over a shingle
     * frame — ONE shuffle, with double-hashing: the k salted hashes are
     * derived as (h1 + i·h2) mod p from TWO md5s per shingle instead of k
@@ -150,10 +161,9 @@ object Dedup {
     * in int64 — bit-for-bit replicable in SQL. Shared by the one-shot
     * q24 path and the incremental index. */
   private[operators] def minhashSigWide(shingles: DataFrame, k: Int): DataFrame = {
-    val p = 4294967291L
-    val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
-    val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
-    val mhCols = (0 until k).map(i => min((h1 + lit(i) * h2) % p).as(s"mh$i"))
+    val p = MinhashPrime
+    val mhCols = (0 until k).map(i =>
+      min((minhashH1 + lit(i) * minhashH2) % p).as(s"mh$i"))
     shingles.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
   }
 
@@ -698,9 +708,8 @@ object Dedup {
     */
   def sourceOverlap(docs: DataFrame, n: Int, k: Int,
                     groupCol: String = "source", textCol: String = "text"): DataFrame = {
-    val p = 4294967291L
-    val h1 = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % p
-    val h2 = conv(substring(md5(concat(lit("s:"), col("shingle"))), 1, 15), 16, 10).cast("long") % p
+    val p = MinhashPrime
+    val (h1, h2) = (minhashH1, minhashH2)
     // hash BEFORE the distinct: the dedup shuffle carries two int64s per
     // shingle instead of the shingle string. Result-identical: rows equal
     // on (h1, h2) derive equal (h1 + i·h2) for EVERY i, so collapsing
@@ -769,8 +778,17 @@ object Dedup {
                bCol: String = "doc_b", iterations: Int = 8,
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations out of range")
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // SIMPLE-graph normalization (same defense as triangleCounts): a pair
+    // delivered twice — or once as (a,b) and once as (b,a) by a union of
+    // generators — must weigh like one edge, and a self-loop must not
+    // retain rank mass at its own node
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+    val und = canon.select(col("_a").as("src"), col("_b").as("dst"))
+      .union(canon.select(col("_b").as("src"), col("_a").as("dst")))
       .localCheckpoint(true)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)

@@ -19,16 +19,30 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Delegates to the shared [[graft.functions.VectorFunctions]] surface —
+    * ONE definition of the vector math for operators and SQL callers. */
+  def norm(a: Column): Column = graft.functions.VectorFunctions.vec_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** Cosine rounded to 6 dp — the ranking/score currency of every search
     * operator here. Ranking on the rounded value (with an id tie-break)
     * makes top-k results reproducible across engines: a last-ulp
-    * difference in float summation order can never flip a rank. */
-  def score(a: Column, b: Column): Column =
-    Stats.canonZero(round(cosine(a, b), 6))
+    * difference in float summation order can never flip a rank.
+    *
+    * A ZERO-NORM vector scores NULL, never NaN: 0/0 is IEEE NaN, and
+    * Spark sorts NaN ABOVE every real double — one all-zero padding
+    * vector would rank FIRST in every cosine-desc window and pass every
+    * ≥ threshold test (the poison [[labelOutliers]] documents). NULL
+    * instead sorts LAST in desc windows, fails thresholds, and matches
+    * DuckDB, whose 0.0/0.0 is NULL — so the oracles agree by
+    * construction. */
+  def score(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    Stats.canonZero(round(when(denom === 0.0, lit(null)).otherwise(
+      dot(a, b) / denom), 6))
+  }
 
   /** Brute-force top-k cosine neighbors for each query vector — the exact
     * baseline. Cost is |queries| × |corpus|; use for small query sets or as
@@ -126,6 +140,28 @@ object Similarity {
     * as different from everything (null-safe inequality), so unlabeled
     * corpus rows can still serve as negatives.
     */
+  /** Shared scaffold for the retrieval-eval triplet (AP / MRR / nDCG):
+    * query×corpus cosine with the self-pair excluded, same-label
+    * relevance flag (null-safe), and the canonical
+    * (round(cos,6) desc, neighbor_id asc) rank — ONE definition of the
+    * relevance/ranking rule, three metric folds on top. */
+  private def rankedRelevance(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              labelCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_label"),
+        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
+        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
@@ -135,7 +171,8 @@ object Similarity {
       col(labelCol).as("neighbor_label"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id") &&
-        !(col("query_label") <=> col("neighbor_label")))
+        (col("query_label").isNull || col("neighbor_label").isNull ||
+          col("query_label") =!= col("neighbor_label")))
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
         col("neighbor_label"), score(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -165,18 +202,9 @@ object Similarity {
                                 vecCol: String = "embedding",
                                 labelCol: String = "label"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col(labelCol).as("query_label"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("neighbor_label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val ranked = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("query_label"),
-        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
-        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = rankedRelevance(queries, corpus, idCol, vecCol, labelCol)
       .withColumn("cumrel",
         sum(col("rel")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     ranked.groupBy(col("query_id"), col("query_label"))
@@ -208,18 +236,7 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         labelCol: String = "label"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col(labelCol).as("query_label"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("neighbor_label"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("query_label"),
-        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
-        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    rankedRelevance(queries, corpus, idCol, vecCol, labelCol)
       .groupBy(col("query_id"), col("query_label"))
       .agg(min(when(col("rank") <= k && col("rel") === 1, col("rank")))
         .as("first_rel_rank"))
@@ -254,18 +271,7 @@ object Similarity {
     val idcg = weights.scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail
     val wLit = array(weights.map(x => lit(x).cast("decimal(18,6)")): _*)
     val idcgLit = array(idcg.map(x => lit(x).cast("decimal(18,6)")): _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col(labelCol).as("query_label"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("neighbor_label"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("query_label"),
-        (col("query_label") <=> col("neighbor_label")).cast("long").as("rel"),
-        score(col("qv"), col("cv")).as("cos"), col("neighbor_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    rankedRelevance(queries, corpus, idCol, vecCol, labelCol)
       .groupBy(col("query_id"), col("query_label"))
       .agg(
         sum(col("rel")).as("n_relevant"),
@@ -372,7 +378,10 @@ object Similarity {
         lit(planeComponent(table * planes + p, d))): _*)
       when(dot(vec, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    // a NULL vector gets a NULL bucket (dot(NULL, plane) is NULL → every
+    // `>= 0` falls to "0"): it must not collide with real all-negative-dot
+    // vectors and surface as an unscorable NULL-cos candidate
+    when(vec.isNull, lit(null).cast("string")).otherwise(concat(bits: _*))
   }
 
   /** (id, table, bucket) rows across `tables` independent hash tables —
@@ -432,11 +441,14 @@ object Similarity {
     if (dimsRow.isEmpty)
       return v.limit(0).select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
     val dims = dimsRow.head.getInt(0)
+    // dense 0..n-1 cells numbered by the TRUE id order — renumbering on
+    // an int-cast id would wrap/collide past 2^31 and make the window
+    // tie-break (hence every downstream assignment) run-dependent
     var cents = v.filter(col("_v").isNotNull).orderBy(col("_id")).limit(nCells)
-      .select(col("_id").cast("int").as("cell"), col("_v").as("cvec"))
       .localCheckpoint(true)
-      .withColumn("cell", row_number().over(
-        Window.orderBy(col("cell"))).cast("int") - 1) // dense 0..n-1 cells
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("_id"))) - 1).cast("int"))
+      .select(col("cell"), col("_v").as("cvec"))
     for (_ <- 0 until iters) {
       val assigned = v.crossJoin(broadcast(cents))
         .withColumn("d", score(col("_v"), col("cvec")))
@@ -472,7 +484,7 @@ object Similarity {
   def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int, nProbe: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     annIvfWith(
-      corpus.orderBy(col(idCol)).limit(nCells)
+      corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("cell"), col(vecCol).as("cvec")),
       queries, corpus, k, nProbe, idCol, vecCol)
 
@@ -502,7 +514,7 @@ object Similarity {
                centroids: Option[DataFrame] = None,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = centroids.getOrElse(
-      emb.orderBy(col(idCol)).limit(nCells)
+      emb.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
     val v = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
     // assigned is referenced by BOTH pair sides — materialize once so the
@@ -658,7 +670,7 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        labelCol: String = "label"): DataFrame = {
     val cents = centroids.getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCells)
+      corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
     val cAssigned = nearestCellsWith(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -670,7 +682,8 @@ object Similarity {
       "query_id", "qv", "cell_id", nProbe)
     val scored = cellJoin(qProbed, cAssigned)
       .filter(col("query_id") =!= col("neighbor_id") &&
-        !(col("query_label") <=> col("neighbor_label")))
+        (col("query_label").isNull || col("neighbor_label").isNull ||
+          col("query_label") =!= col("neighbor_label")))
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
         col("neighbor_label"), score(col("qv"), col("cv")).as("cos"))
       // corpus rows sit in exactly one cell so a pair appears at most once;
@@ -708,7 +721,7 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         labelCol: String = "label"): DataFrame = {
     val cents = centroids.getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCells)
+      corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
     val cAssigned = nearestCellsWith(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

@@ -102,6 +102,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(multi > one, "more tables must not lose recall")
   }
 
+  test("zero-norm and NULL embeddings cannot poison rankings or semDedup") {
+    import spark.implicits._
+    // a zero vector's cosine is NULL (never NaN — Spark sorts NaN ABOVE
+    // every real double, which would make it everyone's rank-1 neighbor
+    // and a universal semDedup 'duplicate')
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.8f, 0.3f), 2),
+      (3L, Array(0.0f, 0.0f), 1),          // zero-norm poison candidate
+      (4L, null.asInstanceOf[Array[Float]], 2)) // NULL embedding
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnBruteForce(df.filter(col("vec_id") === 0L), df, k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(knn === Set(1L, 2L),
+      s"zero/NULL vectors must rank LAST, not first: $knn")
+    val dd = graft.operators.Dedup.embeddingNearDup(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!dd.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"unscorable vectors emit no near-dup pairs: $dd")
+    val sd = Similarity.semDedup(df, nCells = 2, threshold = 0.5)
+    // whatever the cell layout, the zero vector must never mark a real
+    // vector as its duplicate
+    val kept = sd.filter(col("kept") === 1).count()
+    assert(kept >= 3, s"semDedup over-deletion via NaN: kept=$kept of 5")
+  }
+
   test("semDedup pair recall: cell partition captures near-dup pairs; fewer cells buy recall") {
     // ground truth: EXACT cosine >= 0.3 pairs (q28's brute-force gate).
     // semDedup only sees pairs co-located in a cell, so its detected dup
