@@ -1456,7 +1456,7 @@ object QueryCatalog {
     TextAnalysis.gopherFilter(t(s, dir, "documents"))
 
   val q68Sql: String = {
-    val words = "len(string_split(text, ' '))"
+    val words = "(CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END)"
     val chars = "length(regexp_replace(text, '\\s', '', 'g'))"
     val sym = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
     val stop = "len(regexp_extract_all(text, '\\b(the|a|of|and|or|in|to)\\b'))"
@@ -1480,8 +1480,8 @@ object QueryCatalog {
     TextAnalysis.packSequences(t(s, dir, "documents"), 2048)
 
   val q69Sql: String =
-    """WITH d AS (SELECT doc_id, source AS shard,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+    s"""WITH d AS (SELECT doc_id, source AS shard,
+      |  CAST(CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END AS BIGINT) AS n_tokens FROM documents),
       |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_ FROM d)
       |SELECT doc_id, shard, n_tokens, before_ // 2048 AS pack_id,
@@ -2024,7 +2024,7 @@ object QueryCatalog {
         (max(col("padded_len")) * count(lit(1)) - sum(col("n_tokens"))).as("waste_tokens"))
 
   val q93Sql: String =
-    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    s"""WITH d AS (SELECT doc_id, CAST(CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END AS BIGINT) AS n_tokens
        |           FROM documents),
        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM d),
        |r AS (SELECT doc_id, n_tokens, bucket,
@@ -2598,13 +2598,16 @@ object QueryCatalog {
     TextAnalysis.perplexityBuckets(t(s, dir, "documents"), nBuckets = 3)
 
   val q111Sql: String =
-    s"""SELECT b.doc_id, d.source, b.avg_logprob,
-       |  CAST(ntile(3) OVER (PARTITION BY d.source
-       |    ORDER BY b.avg_logprob DESC, b.doc_id) AS BIGINT) AS bucket,
-       |  CASE ntile(3) OVER (PARTITION BY d.source
-       |    ORDER BY b.avg_logprob DESC, b.doc_id)
-       |    WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS band
-       |FROM ($q91Sql) b JOIN documents d USING (doc_id)""".stripMargin
+    s"""WITH banded AS (SELECT b.doc_id, b.avg_logprob,
+       |    CAST(ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY b.avg_logprob DESC, b.doc_id) AS BIGINT) AS bucket,
+       |    CASE ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY b.avg_logprob DESC, b.doc_id)
+       |      WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS band
+       |  FROM ($q91Sql) b JOIN documents d USING (doc_id))
+       |SELECT d.doc_id, d.source, banded.avg_logprob, banded.bucket,
+       |  banded.band
+       |FROM documents d LEFT JOIN banded USING (doc_id)""".stripMargin
 
   /** Asymmetric near-dup by shingle containment (Dedup.containmentPairs):
     * |A∩B| / min(|A|,|B|) over the q24 banded-LSH candidates — catches
@@ -2892,7 +2895,7 @@ object QueryCatalog {
   val q121Sql: String =
     """WITH base AS (SELECT source, doc_id,
       |    CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
-      |  FROM documents),
+      |  FROM documents WHERE n_chars IS NOT NULL),
       |pt AS (SELECT source, CAST(count(x) AS BIGINT) AS n,
       |    round(CAST(sum(x) AS DOUBLE) / count(x), 6) AS mean FROM base GROUP BY 1),
       |f AS (SELECT source, b.r AS b, x,
@@ -2910,9 +2913,9 @@ object QueryCatalog {
       |    CAST(round(CAST(sum(cnt * x) AS DOUBLE) / sum(cnt), 9) AS DECIMAL(20,9)) AS m
       |  FROM c GROUP BY 1, 2 HAVING sum(cnt) > 0),
       |sp AS (SELECT source, CAST(count(m) AS BIGINT) AS n_replicas,
-      |    round(sqrt((CAST(sum(m * m) AS DOUBLE)
+      |    round(sqrt(greatest((CAST(sum(m * m) AS DOUBLE)
       |        - CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE) / count(m))
-      |      / (count(m) - 1)), 6) AS se_boot
+      |      / (count(m) - 1), 0)), 6) AS se_boot
       |  FROM rm GROUP BY 1)
       |SELECT pt.source, n, mean, se_boot,
       |  round(mean - 1.96 * se_boot, 6) AS ci_lo,
@@ -3239,7 +3242,7 @@ object QueryCatalog {
       |    min(xd) AS mn, max(xd) AS mx
       |  FROM x GROUP BY 1)
       |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-      |  CASE WHEN n > 1 AND CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n) > 0
+      |  CASE WHEN n > 1 AND q * n > CAST(CAST(sx AS DECIMAL(28,6)) * sx AS DECIMAL(38,12))
       |    THEN round((CAST(xd AS DOUBLE) - CAST(sx AS DOUBLE)/n) /
       |      sqrt(CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) + 0
       |  END AS l_extendedprice_z,
@@ -5121,9 +5124,9 @@ object QueryCatalog {
       d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
     val caseExpr = ps.map { case (d, p) =>
       s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
-    s"""WITH base AS (SELECT abs(CAST(l_extendedprice AS DECIMAL(18,2))) AS x
+    s"""WITH base AS (SELECT abs(CAST(l_extendedprice AS DECIMAL(38,12))) AS x
        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
-       |    AND CAST(l_extendedprice AS DECIMAL(18,2)) <> 0),
+       |    AND CAST(l_extendedprice AS DECIMAL(38,12)) <> 0),
        |d AS (SELECT CAST(substr(regexp_replace(CAST(x AS VARCHAR),
        |    '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit FROM base),
        |cnt AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),

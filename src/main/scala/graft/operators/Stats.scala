@@ -48,7 +48,11 @@ object Stats {
     val variance = col("_q").cast("double") / col("_n") - mean * mean
     df.join(broadcast(stats), col(groupCol) <=> col("_grp"), "left")
       .withColumn(s"${valueCol}_z",
-        when(col("_n") > 1 && variance > 0,
+        // EXACT zero-variance gate (n·Q > S², the corrVerdict pattern):
+        // the float variance of a constant group can land at ±1e-18 and
+        // flip NULL/0.0 between engines; the decimal cross-multiplication
+        // cannot
+        when(col("_n") > 1 && col("_q") * col("_n") > col("_s") * col("_s"),
           canonZero(round((xd.cast("double") - mean) / sqrt(variance), 6))))
       .withColumn(s"${valueCol}_minmax",
         when(col("_mx") > col("_mn"),
@@ -543,7 +547,11 @@ object Stats {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val ps = (1 to 9).map(d =>
       d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
-    val x = abs(col(valueCol).cast("decimal(18,2)"))
+    // decimal(38,12), NOT a coarse scale: rounding to 2 dp would cross
+    // leading-digit boundaries (0.096 -> 0.10 reads digit 1, not 9;
+    // 1.996 -> 2.00 reads 2) and silently drop |x| < 0.005 — only
+    // |x| < 0.5e-12 falls out now, and trailing zeros strip in the regex
+    val x = abs(col(valueCol).cast("decimal(38,12)"))
     val counts = df.select(x.as("_x"))
       .filter(col("_x").isNotNull && col("_x") =!= 0)
       .select(substring(
@@ -828,8 +836,12 @@ object Stats {
   def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
                        value: Column, replicas: Int = 32): DataFrame = {
     require(replicas >= 2 && replicas <= 1024, "replicas out of range")
+    // NULL values are excluded from BOTH the numerator and the replica
+    // denominators: a NULL-x row's multiplicity in sum(_c) (with sum(_c·_x)
+    // skipping it) would bias every replica mean toward 0
     val base = df.select(col(groupCol), col(idCol).as("_id"),
         round(value, 6).cast("decimal(18,6)").as("_x"))
+      .filter(col("_x").isNotNull)
       .localCheckpoint(true) // read by the point estimate AND the fan-out
     val point = base.groupBy(col(groupCol))
       .agg(count(col("_x")).as("n"),
@@ -855,11 +867,15 @@ object Stats {
       .agg(count(col("_m")).as("n_replicas"),
         sum(col("_m")).as("_sm"), sum(col("_m") * col("_m")).as("_smm"))
       .select(col(groupCol), col("n_replicas"),
-        when(col("n_replicas") > 1, round(sqrt(
+        when(col("n_replicas") > 1, round(sqrt(greatest(
           (col("_smm").cast("double") -
             col("_sm").cast("double") * col("_sm").cast("double") / col("n_replicas")) /
-            (col("n_replicas") - 1)), 6)).as("se_boot"))
-    point.join(spread, Seq(groupCol))
+            (col("n_replicas") - 1), lit(0.0))), 6)).as("se_boot"))
+        // greatest(·, 0): exact-decimal sums subtracted in doubles can
+        // cancel to ~-1e-18 for zero-spread replicas — sqrt would be NaN
+    // null-safe group join: a NULL group key is a group like any other
+    point.join(spread.withColumnRenamed(groupCol, "_sg"),
+        col(groupCol) <=> col("_sg"))
       .select(col(groupCol), col("n"), col("mean"),
         col("se_boot"),
         round(col("mean") - lit(1.96) * col("se_boot"), 6).as("ci_lo"),

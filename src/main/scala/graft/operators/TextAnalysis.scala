@@ -123,7 +123,10 @@ object TextAnalysis {
                    minWords: Int = 30, maxWords: Int = 10000,
                    minMeanLen: Int = 2, maxMeanLen: Int = 10,
                    maxSymbolsPer10Words: Int = 1, minStopwords: Int = 2): DataFrame = {
-    val words = tokenCount(col("text")).cast("long")
+    // NORMALIZED word count (Packing.tokenCount): the raw single-space
+    // split counts "w1 w2\nw3" as two words and blank docs as one — a
+    // quality gate misjudging newline-wrapped text defeats its purpose
+    val words = Packing.tokenCount(col("text"))
     val alphaChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
     val sym = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
     val stop = size(regexp_extract_all(col("text"),
@@ -165,7 +168,7 @@ object TextAnalysis {
       .partitionBy(col("shard")).orderBy(col("doc_id")) // post-rename frame below
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col("doc_id"), col(shardCol).as("shard"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.tokenCount(col("text")).as("n_tokens"))
       .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"_before div ${capacity}L").as("pack_id"),
@@ -339,11 +342,13 @@ object TextAnalysis {
   def lengthBucketedBatches(docs: DataFrame, bucketWidth: Int, batchSize: Int,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0, "need positive bucketWidth/batchSize")
+    // window references the POST-rename column: ordering on col(idCol)
+    // would throw UNRESOLVED_COLUMN for any idCol other than "doc_id"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"))
-      .orderBy(Sampling.hashBucket(col(idCol)), col(idCol))
+      .orderBy(Sampling.hashBucket(col("doc_id")), col("doc_id"))
     val ranked = docs.select(col(idCol).as("doc_id"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        Packing.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("batch_ix", expr(s"(_rn - 1) div $batchSize"))
@@ -539,12 +544,18 @@ object TextAnalysis {
     val src = docs.select(col(idCol).as("doc_id"), col(byCol).as("source"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("avg_logprob").desc, col("doc_id"))
-    scored.join(src, Seq("doc_id"))
+    val banded = scored.join(src, Seq("doc_id"))
       .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
       .withColumn("band",
         when(col("bucket") === 1, "head")
           .when(col("bucket") === nBuckets.toLong, "tail")
           .otherwise("middle"))
+    // docs with NO transitions (single-token/blank — bigramLogProb emits
+    // no row) are still CORPUS MEMBERS: they surface with NULL score and
+    // band rather than silently vanishing from the banding. They do not
+    // participate in the ntile (an undefined perplexity has no rank).
+    src.join(banded.select(col("doc_id"), col("avg_logprob"),
+        col("bucket"), col("band")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("avg_logprob"),
         col("bucket"), col("band"))
   }
@@ -748,19 +759,29 @@ object TextAnalysis {
     val vocab = tf.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
     val srcs = totals.crossJoin(broadcast(vocab))
       .select(col("_g"), (col("n") + col("v")).as("n1"))
+    // NULL-SAFE pair grid and joins throughout (the psiFromBinned /
+    // chiSquareDrift discipline): a NULL source is a real group — the
+    // "suddenly unlabeled" drift mode — and =!= / equi-joins would
+    // silently drop it from every pair
     val pairs = srcs.select(col("_g").as("a"), col("n1").as("na1"))
       .join(broadcast(srcs.select(col("_g").as("b"), col("n1").as("nb1"))),
-        col("a") =!= col("b"))
+        !(col("a") <=> col("b")))
     val ta = tf.select(col("_g").as("a"), col("tok"), col("c").as("ca"))
     val tb = tf.select(col("_g").as("b"), col("tok"), col("c").as("cb"))
     // per-pair union vocabulary in two exact legs: a-present tokens with
     // b's count left-joined, then b-only tokens (anti-join) with ca = 0
-    val present = pairs.join(ta, Seq("a"))
+    val present = pairs
+      .join(ta.withColumnRenamed("a", "_ja"), col("a") <=> col("_ja"))
       .select(col("a"), col("b"), col("na1"), col("nb1"), col("tok"), col("ca"))
-      .join(tb, Seq("b", "tok"), "left")
+      .join(tb.withColumnRenamed("b", "_jb").withColumnRenamed("tok", "_jt"),
+        col("b") <=> col("_jb") && col("tok") === col("_jt"), "left")
       .withColumn("cb", coalesce(col("cb"), lit(0L)))
-    val bOnly = pairs.join(tb, Seq("b"))
-      .join(ta, Seq("a", "tok"), "left_anti")
+      .select(col("a"), col("b"), col("na1"), col("nb1"), col("tok"),
+        col("ca"), col("cb"))
+    val bOnly = pairs
+      .join(tb.withColumnRenamed("b", "_jb"), col("b") <=> col("_jb"))
+      .join(ta.withColumnRenamed("a", "_ja").withColumnRenamed("tok", "_jt"),
+        col("a") <=> col("_ja") && col("tok") === col("_jt"), "left_anti")
       .select(col("a"), col("b"), col("na1"), col("nb1"), col("tok"),
         lit(0L).as("ca"), col("cb"))
     val sums = present.unionByName(bOnly)
@@ -867,8 +888,8 @@ object TextAnalysis {
     * three frames share the token key so the shuffle join co-partitions.
     */
   def collocations(docs: DataFrame, minCount: Long = 5,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+                   textCol: String = "text"): DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("_toks"))
     val grams = base
       .select(col("_toks"), posexplode(col("_toks")).as(Seq("_i", "a")))
       .filter(col("_i") < size(col("_toks")) - 1)
@@ -901,7 +922,6 @@ object TextAnalysis {
     * one row per V: (v, n_types, total_tokens, covered_tokens,
     * coverage round(…,6)). */
   def vocabCoverageCurve(docs: DataFrame, sizes: Seq[Int],
-                         idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
     val tf = docs.select(explode(tokens(col(textCol))).as("tok"))

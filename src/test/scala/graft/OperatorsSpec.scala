@@ -1097,6 +1097,15 @@ class OperatorsSpec extends SparkSpec {
     val again = graft.operators.Stats.poissonBootstrap(d, "g", "id", col("x"))
       .collect().map(r => r.getString(0) -> r.getAs[Double]("se_boot")).toMap
     assert(again("v") === v.getAs[Double]("se_boot"))
+    // NULL values are excluded from numerator AND replica denominators:
+    // results must equal dropping the NULL rows up front
+    val dn = (const.map { case (g, i, x) => (g, i, Option(x)) } ++
+      Seq(("c", 999L, Option.empty[Double]))).toDF("g", "id", "x")
+    val nOut = graft.operators.Stats.poissonBootstrap(dn, "g", "id", col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(nOut("c").getAs[Double]("mean") === 42.0 &&
+      nOut("c").getAs[Double]("se_boot") === 0.0,
+      "a NULL value must not bias replica means toward 0")
   }
 
   test("gapFillDaily: dense spine, forward fill, leading gaps stay NULL") {
@@ -1406,6 +1415,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("s1", "s2")) === (16L, 1.0), "equal shingle sets: all hashes agree")
     assert(out(("s1", "s3"))._1 === 0L, "disjoint sets: no min-hash collision at k=16")
     assert(out.size === 3, "all unordered source pairs present")
+  }
+
+  test("benfordAudit: first SIGNIFICANT digit, not the digit after 2dp rounding") {
+    import graft.operators.Stats
+    // 0.096 must read 9 (2dp rounding would turn it into 0.10 -> 1);
+    // 1.996 must read 1 (rounding would read 2)
+    val d = Seq(0.096, 1.996, 905.17, 0.004).toDF("x")
+    val out = Stats.benfordAudit(d, "x")
+      .filter(col("n_obs") > 0)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_obs")).toMap
+    assert(out === Map(9 -> 2L, 1 -> 1L, 4 -> 1L), // 0.096 AND 905.17 read 9
+      s"digits must come from the unrounded value: $out")
+  }
+
+  test("perplexityBuckets: transition-less docs surface with NULL band, not dropped") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "s1"),
+      (2L, "beta gamma alpha beta gamma", "s1"),
+      (3L, "single", "s1"),              // no bigram -> unscored
+      (4L, null.asInstanceOf[String], "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.perplexityBuckets(d, nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 4, "every corpus member gets a row")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("band")) &&
+      out(4L).isNullAt(out(4L).fieldIndex("band")),
+      "unscorable docs band NULL")
+    assert(!out(1L).isNullAt(out(1L).fieldIndex("band")))
+  }
+
+  test("lengthBucketedBatches with a custom id column resolves (post-rename window)") {
+    val d = (1L to 40L).map(i => (i, "tok " * i.toInt)).toDF("my_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lengthBucketedBatches(d, bucketWidth = 8, batchSize = 4, idCol = "my_id")
+    assert(out.count() === 40L)
   }
 
   test("lengthBucketedBatches bounds padding waste to the bucket width") {
