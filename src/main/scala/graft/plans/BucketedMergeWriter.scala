@@ -87,9 +87,22 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       .find(_.startsWith("#parent=")).map(_.stripPrefix("#parent=").trim.toLong)
   }
 
-  private def readManifest(name: String): (Long, Seq[(Int, Long)]) =
-    parseManifest(snapshot(name).getOrElse(
-      throw new java.nio.file.NoSuchFileException(manifestPath(name).toString)))
+  private def readManifest(name: String): (Long, Seq[(Int, Long)]) = {
+    val body = snapshot(name).getOrElse(
+      throw new java.nio.file.NoSuchFileException(manifestPath(name).toString))
+    // the bucket count is part of the table's IDENTITY: a writer opened
+    // with a different nBuckets would tag batch rows _bucket = h%N' while
+    // stored rows sit at h%N — the merge join finds no match and silently
+    // duplicates natural keys. Manifests record it (#-line, ignored by
+    // older parsers); mismatch fails loudly here.
+    body.linesIterator.find(_.startsWith("#nbuckets=")).foreach { l =>
+      val n = l.stripPrefix("#nbuckets=").trim.toInt
+      require(n == nBuckets,
+        s"table '$name' was created with nBuckets=$n; this writer uses " +
+          s"$nBuckets — reopen with the table's bucket count")
+    }
+    parseManifest(body)
+  }
 
   private def writeManifest(name: String, maxSk: Long, pairs: Seq[(Int, Long)],
                             commitV: Long): Unit = {
@@ -105,7 +118,8 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
-    val body = (s"maxsk=$maxSk" +: pairs.sorted.map { case (b, v) => s"$b $v" })
+    val body = (s"maxsk=$maxSk" +: s"#nbuckets=$nBuckets" +:
+      pairs.sorted.map { case (b, v) => s"$b $v" })
       .mkString("", "\n", "\n")
     // time travel: the full post-commit manifest body lands inside the
     // commit's own version dir BEFORE the pointer swap — a crash between
@@ -159,8 +173,14 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
                         only: Option[Seq[Int]] = None): DataFrame = {
     val relevant = only.fold(all)(bs => all.filter(p => bs.contains(p._1)))
     if (relevant.isEmpty)
-      // none of the requested buckets exist yet — empty frame, table schema
-      spark.read.parquet(versionDir(name, all.head._2)).filter(lit(false))
+      // none of the requested buckets exist yet — empty frame carrying the
+      // UNION schema of all live versions: one arbitrary version could
+      // predate an additive evolution, and a schema missing the newer
+      // columns would let requireCompatible pass a type-conflicting batch
+      all.map(_._2).distinct.sorted
+        .map(v => spark.read.parquet(versionDir(name, v)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(lit(false))
     else
       relevant.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, ps) =>
         val df = spark.read.parquet(versionDir(name, v))
@@ -379,7 +399,13 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       CommitProtocol.commitOnce(dir(name), ManifestFile) { snap =>
         val (maxSk, pairs) = parseManifest(snap.getOrElse(
           throw new java.nio.file.NoSuchFileException(manifestPath(name).toString)))
-        val (all, buckets) = materialize(readPairs(name, pairs))
+        // the bucket set is already IN the manifest pairs — no job needed —
+        // and the source version dirs persist until vacuum, so the
+        // compaction write streams (no localCheckpoint of the whole table
+        // into executor memory; writeStats reads columns from the schema
+        // and aggregates the just-written files)
+        val all = readPairs(name, pairs)
+        val buckets = pairs.map(_._1).distinct.sorted
         Attempt[Unit](
           writeVersion = v => {
             all.write.mode("overwrite").partitionBy("_bucket")
@@ -424,7 +450,8 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     }
   }
 
-  override def vacuum(name: String, retainMillis: Long = 0L): Unit =
+  override def vacuum(name: String, retainMillis: Long = 0L): Unit = {
+    if (!exists(name)) return // no-op, the MergeWriter/TableStore contract
     CommitProtocol.lockFor(dir(name)).synchronized {
       val live = readManifest(name)._2.map(_._2).toSet
       val tomb = readTombstones(name)
@@ -441,6 +468,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
             .mkString("", "\n", "\n").getBytes)
       }
     }
+  }
 
   override def mergeDim(name: String, batch: DataFrame, natKey: Seq[String],
                         skCol: String): DataFrame = {
@@ -469,6 +497,14 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         // on updated rows and NULL on fresh ones; shared columns must
         // type-match loudly. Attribute layout: stored order, new appended.
         SchemaEvolution.requireCompatible(name, batchB, curTouched)
+        // internal marker/prefix names must fail LOUDLY: a user column
+        // named _in_batch would be silently overwritten with lit(1), and
+        // a _cur_* column would collide with the stored-side aliases
+        batchB.columns.foreach { c =>
+          require(c != "_in_batch" && !c.startsWith("_cur_"),
+            s"column name '$c' collides with the merge writer's internal " +
+              "markers (_in_batch, _cur_*) — rename it before merging")
+        }
         val reserved = (natKey :+ skCol) :+ "_bucket"
         val storedFields = curTouched.schema.fields.toSeq
           .filterNot(f => reserved.contains(f.name))
@@ -537,6 +573,13 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         // fail loudly.
         val curTouched = readPairs(name, pairs, Some(touched))
         SchemaEvolution.requireCompatible(name, batchB, curTouched)
+        // same internal-marker guard as mergeDim: fail loudly, not with
+        // an ambiguous-reference error (or worse, silently)
+        batchB.columns.foreach { c =>
+          require(c != "_in_batch" && !c.startsWith("_cur_"),
+            s"column name '$c' collides with the merge writer's internal " +
+              "markers (_in_batch, _cur_*) — rename it before merging")
+        }
         val reserved = natKey :+ "_bucket"
         val storedFields = curTouched.schema.fields.toSeq
           .filterNot(f => reserved.contains(f.name))

@@ -101,9 +101,13 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
           val storedHas = storedFields.map(_.name).toSet
           // the join carries sk AND the stored-only attrs (for retention)
           val storedOnly = storedFields.filterNot(f => batchHas(f.name))
+          // checkpoint ONCE: the join otherwise re-executes in KeyAssign's
+          // per-partition sizes job and again in each union branch (the
+          // pattern the bucketed writer documents and fixes the same way)
           val joined = batch.join(cur.select((natKey :+ skCol).map(col) ++
             storedOnly.map(f => col(f.name).as(s"_cur_${f.name}")): _*),
             natKey, "left")
+            .localCheckpoint(true)
           val known = joined.filter(col(skCol).isNotNull)
           val fresh = joined.filter(col(skCol).isNull).drop(skCol)
           // max(sk) is NULL on an empty current table — guard the scalar
@@ -163,6 +167,13 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
         case Some(v) =>
           val cur = readVersion(name, v)
           SchemaEvolution.requireCompatible(name, batch, cur)
+          // internal marker/prefix names must fail LOUDLY, not silently
+          // overwrite user data (the BucketedMergeWriter guard)
+          batch.columns.foreach { c =>
+            require(c != "_in_batch" && !c.startsWith("_cur_"),
+              s"column name '$c' collides with the merge writer's internal " +
+                "markers (_in_batch, _cur_*) — rename it before merging")
+          }
           val storedFields = cur.schema.fields.toSeq
             .filterNot(f => natKey.contains(f.name))
           val batchFields = batch.schema.fields.toSeq
@@ -191,12 +202,18 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     * skipping in-flight commits. `retainMillis` ages by directory mtime —
     * this store keeps no tombstones, so retention is measured from version
     * creation (conservative: a version is at least that old when reaped). */
-  override def vacuum(name: String, retainMillis: Long = 0L): Unit = {
-    val live = CommitProtocol.readPointer(tableDir(name), PointerFile)
-      .map(_.trim.drop(1).toLong).toSet
-    val now = System.currentTimeMillis()
-    CommitProtocol.vacuumVersions(tableDir(name), live, retainMillis,
-      p => now - Files.getLastModifiedTime(p).toMillis)
-    ()
-  }
+  override def vacuum(name: String, retainMillis: Long = 0L): Unit =
+    // under the TABLE LOCK (the BucketedMergeWriter discipline): reading
+    // the pointer outside it races a commit landing between the read and
+    // the sweep — the just-committed version is not in `live`, no longer
+    // in-flight, and at retain 0 would be DELETED while _CURRENT
+    // references it (dangling pointer, data loss)
+    CommitProtocol.lockFor(tableDir(name)).synchronized {
+      val live = CommitProtocol.readPointer(tableDir(name), PointerFile)
+        .map(_.trim.drop(1).toLong).toSet
+      val now = System.currentTimeMillis()
+      CommitProtocol.vacuumVersions(tableDir(name), live, retainMillis,
+        p => now - Files.getLastModifiedTime(p).toMillis)
+      ()
+    }
 }

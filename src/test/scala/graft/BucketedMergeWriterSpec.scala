@@ -106,7 +106,8 @@ class BucketedMergeWriterSpec extends SparkSpec {
     assert(rows === (1 to 6).map(i => i.toLong -> (i.toLong, s"a$i")).toMap)
     // live version count is bounded by compactAfter
     val manifest = Files.readAllLines(java.nio.file.Paths.get(s"$root/d/_MANIFEST"))
-      .asScala.drop(1).map(_.trim.split("\\s+")(1)).toSet
+      .asScala.drop(1).filterNot(_.startsWith("#"))
+      .map(_.trim.split("\\s+")(1)).toSet
     assert(manifest.size <= 3, s"expected <=3 live versions, got $manifest")
   }
 
@@ -147,5 +148,38 @@ class BucketedMergeWriterSpec extends SparkSpec {
     val b = runWith(new BucketedMergeWriter(spark, Files.createTempDirectory("tb").toString, 8))
     assert(a === b)
     assert(a("fact_sales") === 50)
+  }
+
+  test("reopening a table with a different nBuckets fails loudly (identity guard)") {
+    val root = freshRoot()
+    val w8 = new BucketedMergeWriter(spark, root, nBuckets = 8)
+    w8.mergeDim("d", Seq((1L, "a")).toDF("k", "attr"), Seq("k"), "sk")
+    val w16 = new BucketedMergeWriter(spark, root, nBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      w16.mergeDim("d", Seq((2L, "b")).toDF("k", "attr"), Seq("k"), "sk")
+    }
+    assert(e.getMessage.contains("nBuckets"),
+      s"mismatched bucket count must name the problem: ${e.getMessage}")
+    // the matching writer still works
+    w8.mergeDim("d", Seq((2L, "b")).toDF("k", "attr"), Seq("k"), "sk")
+    assert(w8.read("d").count() === 2L)
+  }
+
+  test("batch columns colliding with internal merge markers are rejected") {
+    val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
+    store.mergeDim("d", Seq((1L, "a")).toDF("k", "attr"), Seq("k"), "sk")
+    intercept[IllegalArgumentException] {
+      store.mergeDim("d",
+        Seq((2L, "b", 7)).toDF("k", "attr", "_in_batch"), Seq("k"), "sk")
+    }
+    intercept[IllegalArgumentException] {
+      store.mergeFact("d",
+        Seq((3L, "c", 7)).toDF("k", "attr", "_cur_attr"), Seq("k"))
+    }
+  }
+
+  test("vacuum on a never-created table is a no-op (TableStore contract)") {
+    val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
+    store.vacuum("never_created") // must not throw
   }
 }

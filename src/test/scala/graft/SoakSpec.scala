@@ -29,7 +29,7 @@ class SoakSpec extends SparkSpec {
 
   private def liveVersions(root: String, table: String): Set[Long] =
     Files.readAllLines(Paths.get(root, table, "_MANIFEST")).asScala
-      .drop(1).filter(_.trim.nonEmpty)
+      .drop(1).filter(l => l.trim.nonEmpty && !l.startsWith("#"))
       .map(_.trim.split("\\s+")(1).toLong).toSet
 
   private def diskVersions(root: String, table: String): Set[Long] = {
