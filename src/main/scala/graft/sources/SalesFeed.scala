@@ -117,12 +117,35 @@ object SalesFeed {
       .option("topic", topic)
       .save()
 
-  /** P1 — parse Kafka-shaped JSON values back into the 50 raw columns.
-    * Mirrors the reference's JsonToDict (flink/stream_to_star.py:79-81).
-    * Column pruning: if the caller selects fewer fields downstream,
-    * Catalyst prunes the JSON parse to just those fields.
-    */
+  /** Parse a JSON string column into the raw columns PLUS the
+    * corrupt-record column; any other columns (e.g. a `_seq` ordering
+    * struct) ride along. Malformed JSON lands in `_corrupt_record`
+    * (routed to the dead-letter channel by [[graft.streaming.ErrorChannel
+    * .tagged]]) — a bare `from_json(value, rawSchema)` would return an
+    * all-NULL struct and the garbage row would flow into the star tables
+    * as a valid record, the exact silent-nulling T8 forbids. A NULL or
+    * unparseable-but-not-flagged message (from_json can return a NULL
+    * struct for empty input) is flagged too. */
+  def parseJsonWithCorrupt(df: DataFrame, valueCol: String): DataFrame = {
+    val cc = graft.streaming.ErrorChannel.corruptCol
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> cc)
+    val others = df.columns.filterNot(_ == valueCol).toSeq
+    df.select((col(valueCol).cast(StringType).as("_raw") +:
+        others.map(col)): _*)
+      .select((from_json(col("_raw"), rawSchemaWithCorrupt, opts).as("r") +:
+        col("_raw") +: others.map(col)): _*)
+      .select((rawSchema.fieldNames.toSeq.map(f => col(s"r.$f")) :+
+        coalesce(col(s"r.$cc"),
+          when(col("r").isNull,
+            coalesce(col("_raw"), lit("<null message>")))).as(cc)) ++
+        others.map(col): _*)
+  }
+
+  /** P1 — parse Kafka-shaped JSON values back into the 50 raw columns
+    * (+ corrupt-record routing). Mirrors the reference's JsonToDict
+    * (flink/stream_to_star.py:79-81). Column pruning: if the caller
+    * selects fewer fields downstream, Catalyst prunes the JSON parse to
+    * just those fields. */
   def fromKafkaMessages(df: DataFrame): DataFrame =
-    df.select(from_json(col("value").cast(StringType), rawSchema).as("r"))
-      .select("r.*")
+    parseJsonWithCorrupt(df.select(col("value")), "value")
 }

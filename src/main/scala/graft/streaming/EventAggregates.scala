@@ -50,7 +50,11 @@ object EventAggregates {
     implicit val outEnc = Encoders.product[UserSummary]
     val timeoutConf = if (idleTimeout.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    // a NULL event time would NPE inside the executor-side fold and kill
+    // the query on every restart (the poison record replays from the
+    // checkpoint); watermarks do not filter NULL timestamps
     events
+      .filter((e: UserEvent) => e.ts != null)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .mapGroupsWithState[UserState, UserSummary](timeoutConf) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
@@ -105,6 +109,7 @@ object EventAggregates {
       Session(uid, new java.sql.Timestamp(s.head), new java.sql.Timestamp(s.last),
         s.size.toLong, (s.last - s.head) / 1000L)
     events
+      .filter((e: SessEvent) => e.ts != null) // same NULL-ts poison guard
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessBuffer, Session](
@@ -173,14 +178,12 @@ object EventAggregates {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    maxLag: String = "30 minutes",
-                   watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
-    l.join(r, l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLag"))
-      .drop(r(key))
-  }
+                   watermark: String = "1 hour"): DataFrame =
+    // one implementation of the watermarked interval join: delegate to
+    // StreamStreamJoin.attribute (which adds the shared-column guard and
+    // the outer-join variants) instead of evolving a weaker twin
+    StreamStreamJoin.attribute(left, right, key, leftTs, rightTs,
+      maxLag, watermark)
 
   /** Output-mode helper: windowed aggregations under watermark emit
     * finalized windows in Append mode. */

@@ -45,6 +45,9 @@ object StreamStreamJoin {
       .intersect(clicks.columns.toSet) - keyCol
     require(overlap.isEmpty,
       s"sides share non-key columns: ${overlap.mkString(", ")}")
+    require(!clicks.columns.contains("_rk") &&
+      !impressions.columns.contains("_rk") && keyCol != "_rk",
+      "column name '_rk' collides with the join's internal key alias")
     val l = impressions.withWatermark(leftTsCol, watermarkDelay)
     val r = clicks.withWatermark(rightTsCol, watermarkDelay)
       .withColumnRenamed(keyCol, "_rk")

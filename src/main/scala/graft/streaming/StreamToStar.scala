@@ -21,6 +21,10 @@ import graft.sources.SalesFeed
   */
 object StreamToStar {
 
+  /** Serializes each batch's persistent-RDD snapshot→sweep window (see
+    * processBatch) across concurrent star pipelines in one JVM. */
+  private val sweepLock = new Object
+
   val dimSpecs: Seq[(String, DataFrame => DataFrame, Seq[String], String)] = Seq(
     ("dim_customer", StarSchema.customerRows _, Seq("source_customer_id"), "customer_sk"),
     ("dim_seller",   StarSchema.sellerRows _,   Seq("source_seller_id"),   "seller_sk"),
@@ -93,7 +97,20 @@ object StreamToStar {
     // of waiting for the ContextCleaner's GC-driven sweep — a serve-mode
     // driver between GCs would otherwise accumulate every batch's blocks.
     val sc = feed.sparkSession.sparkContext
+    // The snapshot→sweep window is serialized across ALL star batches in
+    // this JVM: the persistent-RDD diff is CONTEXT-global, so a
+    // concurrent batch's just-checkpointed blocks would land in this
+    // batch's diff and be unpersisted mid-flight (localCheckpoints
+    // truncate lineage — unpersisting one is unrecoverable). Unrelated
+    // caching racing a serve-mode pipeline on the same session remains
+    // the caller's hazard (documented; the sweep exists for the
+    // single-pipeline serve deployment).
+    sweepLock.synchronized {
     val persistedBefore = sc.getPersistentRDDs.keySet
+    // the try opens HERE: the empty-batch return and a throw from the
+    // dead-letter merge / status print must reach the sweep too, or each
+    // retry leaks this batch's checkpointed blocks
+    try {
     // ONE eager materialization of the error-tagged feed replaces three
     // separate scans of the raw source (empty-batch probe, error-presence
     // check, cache fill): the row/error counts ride the same job as
@@ -137,7 +154,6 @@ object StreamToStar {
         Seq("_dl_key")))
     }
     val cached = valid0 // a slice of the in-memory `mat` — no extra cache
-    try {
       // The 6 dimension merges are independent (distinct tables, shared
       // read-only input) — submit them CONCURRENTLY so the micro-batch
       // pays max(dim merge) instead of Σ(dim merge). Spark's scheduler
@@ -196,6 +212,7 @@ object StreamToStar {
         .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
       if (batchTiming) System.err.println(s"[graft-batch]$phases")
     }
+    }
   }
 
   /** S3/T1/T2 — Kafka source wiring (value = one JSON message per row). */
@@ -211,10 +228,13 @@ object StreamToStar {
       .load()
     // Kafka (partition, offset) = arrival order within a partition → the
     // _seq struct (lexicographic compare; no bit-packing overflow).
-    val feed = raw
-      .select(from_json(col("value").cast("string"), SalesFeed.rawSchema).as("r"),
-        struct(col("partition").cast("long").as("p"), col("offset").as("o")).as("_seq"))
-      .select(col("r.*"), col("_seq"))
+    // parseJsonWithCorrupt routes malformed messages to the dead-letter
+    // channel instead of silently nulling them (T8).
+    val feed = SalesFeed.parseJsonWithCorrupt(
+      raw.select(col("value"),
+        struct(col("partition").cast("long").as("p"),
+          col("offset").as("o")).as("_seq")),
+      "value")
     startForeachBatch(feed, store, checkpoint, audit)
   }
 

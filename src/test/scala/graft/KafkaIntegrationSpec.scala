@@ -71,8 +71,15 @@ class KafkaIntegrationSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val feed = SalesFeed.readCsv(spark, feedGlob)
       .drop("_seq", graft.streaming.ErrorChannel.corruptCol)
-    val roundTrip = SalesFeed.fromKafkaMessages(SalesFeed.toKafkaMessages(feed))
-    assert(roundTrip.columns.toSeq === SalesFeed.fieldNames)
+    val roundTrip0 = SalesFeed.fromKafkaMessages(SalesFeed.toKafkaMessages(feed))
+    // the parse CARRIES the corrupt-record column (T8: malformed messages
+    // route to the dead letter, never silently null) — all-NULL on a
+    // well-formed feed
+    val cc = graft.streaming.ErrorChannel.corruptCol
+    assert(roundTrip0.columns.toSeq === SalesFeed.fieldNames :+ cc)
+    assert(roundTrip0.filter(col(cc).isNotNull).count() === 0L,
+      "well-formed messages must not flag corrupt")
+    val roundTrip = roundTrip0.drop(cc)
     val a = feed.orderBy(col("id").cast("int")).collect()
     // JSON drops NULL fields; empty-string and NULL both mean "missing" in
     // the stringly-typed transport (the cleanse layer treats them alike)
@@ -81,5 +88,30 @@ class KafkaIntegrationSpec extends SparkSpec {
     def norm(r: org.apache.spark.sql.Row) =
       r.toSeq.map(v => Option(v).map(_.toString).filter(_.nonEmpty))
     assert(a.map(norm).toSeq === b.map(norm).toSeq)
+  }
+
+  test("malformed/NULL kafka messages flag corrupt and route to the dead letter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cc = graft.streaming.ErrorChannel.corruptCol
+    val msgs = Seq(
+      """{"id": "7", "customer_first_name": "Ann"}""", // valid (sparse)
+      """{"id": "8", "customer_first""",               // truncated JSON
+      null.asInstanceOf[String])                       // tombstone
+      .toDF("value")
+    val parsed = SalesFeed.fromKafkaMessages(msgs)
+    val byId = parsed.collect()
+    assert(byId.length === 3)
+    val flagged = parsed.filter(col(cc).isNotNull)
+    assert(flagged.count() === 2L, "truncated + null messages must flag")
+    // and through the star batch they land in dead_letter, not fact_sales
+    val store = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-kdl").toString, nBuckets = 4)
+    graft.streaming.StreamToStar.processBatch(
+      graft.sources.SalesFeed.withArrivalSeq(parsed), store)
+    assert(store.read("dead_letter").count() === 2L)
+    assert(store.read("fact_sales").filter(col("source_sale_id") === 7L).count() === 1L)
+    assert(store.read("fact_sales").count() === 1L,
+      "only the valid message becomes a fact row")
   }
 }
