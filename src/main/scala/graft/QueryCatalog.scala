@@ -1825,13 +1825,14 @@ object QueryCatalog {
       |               FROM events GROUP BY 1, 2),
       |f AS (SELECT event_type, day, n,
       |        CAST(count(n) OVER w AS BIGINT) AS m,
-      |        CAST(sum(n) OVER w AS BIGINT) AS s,
-      |        CAST(sum(n * n) OVER w AS BIGINT) AS q
+      |        CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS s,
+      |        CAST(coalesce(sum(n * n) OVER w, 0) AS BIGINT) AS q
       |      FROM daily
       |      WINDOW w AS (PARTITION BY event_type ORDER BY day
-      |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, day, n,
-      |  (m * n - s) * (m * n - s) > 4 * (m * q - s * s) AS anomaly
+      |  CASE WHEN m = 0 THEN false
+      |    ELSE (m * n - s) * (m * n - s) > 4 * (m * q - s * s) END AS anomaly
       |FROM f""".stripMargin
 
   /** Winsorized robust aggregation (Cleanse.winsorize): per-flag

@@ -32,15 +32,21 @@ object Events {
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
+    // NULL user/ts rows cannot enter the funnel: a NULL user groups into
+    // one phantom stage-0 "user" and a NULL-ts user gets _t = NULL — both
+    // can never convert (later joins/comparisons drop them), so they
+    // would inflate the funnel top and skew every rate (the
+    // dailyGrowth/rfmSegments guard)
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
     // fold: reached(k) = per-user min ts of stage-k events after reached(k-1)
-    var reached = events.filter(col(typeCol) === stages.head)
+    var reached = base.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
     var out = reached.agg(count(lit(1)).as("n_users"))
       .select(lit(0L).as("stage_ix"), lit(stages.head).as("stage"), col("n_users"))
     for ((s, i) <- stages.zipWithIndex.tail) {
       val inWindow = maxGapHours.map(g =>
         col(tsCol) <= col("_t") + expr(s"INTERVAL $g HOUR")).getOrElse(lit(true))
-      reached = events.filter(col(typeCol) === s)
+      reached = base.filter(col(typeCol) === s)
         .join(reached, userCol)
         .filter(col(tsCol) > col("_t") && inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
@@ -75,7 +81,10 @@ object Events {
       lag(us, 1).over(w).isNull ||
         us - lag(us, 1).over(w) > lit(gapMinutes * 60L * 1000000L), 1L)
       .otherwise(0L)
-    events
+    // a NULL-ts event would sort first and mint its own junk singleton
+    // session, renumbering every real session_ix on replay with one more
+    // NULL row — exclude, like markovTransitions
+    events.filter(col(tsCol).isNotNull)
       .withColumn("_new", newSession)
       .withColumn("session_ix", sum(col("_new")).over(w))
       .groupBy(col(userCol), col("session_ix"))
@@ -97,7 +106,9 @@ object Events {
     * result grid. */
   def cohortRetention(events: DataFrame,
                       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    val days = events.select(col(userCol), to_date(col(tsCol)).as("_day")).distinct()
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("_day"))
+      .filter(col(userCol).isNotNull && col("_day").isNotNull) // no (NULL, NULL) cells
+      .distinct()
     val cohorts = days.groupBy(col(userCol)).agg(min(col("_day")).as("_cohort"))
     days.join(cohorts, userCol)
       .groupBy(col("_cohort").as("cohort_day"),

@@ -47,7 +47,11 @@ object Joins {
       "nearest needs the right time column outside the join keys")
     // a NULL left time matches NOTHING (merge_asof semantics) — route
     // those rows around the windows: under the desc ordering NULLs sort
-    // last and the forward carry would otherwise fabricate a match
+    // last and the forward carry would otherwise fabricate a match.
+    // DELIBERATELY two scans of `left` (filter + complement union), NOT a
+    // localCheckpoint: the left side is the BIG side of an as-of join —
+    // materializing it into executor memory is exactly the wrong trade at
+    // the scale this join exists for; a second columnar scan is cheap.
     val (leftOk, leftNull) = (left.filter(col(leftTime).isNotNull),
       left.filter(col(leftTime).isNull))
     // The whole right payload travels as ONE nullable struct, so the carry
@@ -253,12 +257,12 @@ object Joins {
     // condition, which is evaluated interpreted, outside whole-stage
     // codegen, per large-side row. The collect is control-plane by
     // construction: ONE row of numBits/64 longs, fixed size at any scale.
+    // BloomFilterAgg is non-nullable: an EMPTY small side yields the
+    // zero-filled buffer, whose probe rejects every large-side row — the
+    // inner/semi result is empty through the normal path, no special case
     val bfRow = small.agg(
       Sketches.bloomFilter(smallKey, numBits, numHashes).as("_bf")).head()
-    if (bfRow.isNullAt(0)) {
-      // empty small side: inner/semi join result is empty by definition
-      large.filter(lit(false)).join(small, Seq(key), joinType)
-    } else {
+    locally {
       val bits = bfRow.getSeq[Long](0).toArray
       val probe = org.apache.spark.sql.graftbridge.Bridge.toColumn(
         graft.functions.BloomProbe(

@@ -189,6 +189,25 @@ object Stats {
       .drop("_grp", "_q1", "_med", "_q3")
   }
 
+  /** The shared exact-Pearson law: (num, denx, deny) from the five
+    * integer/decimal sums, everything in DECIMAL(38,0) — ONE definition
+    * for [[corrVerdict]] and [[TimeSeries.autocorrelation]], so the
+    * determinism-critical formula cannot drift between copies. */
+  private[operators] def pearsonParts(n: Column, sx: Column, sy: Column,
+      sxy: Column, sxx: Column, syy: Column): (Column, Column, Column) = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    (d(n) * d(sxy) - d(sx) * d(sy),
+      d(n) * d(sxx) - d(sx) * d(sx),
+      d(n) * d(syy) - d(sy) * d(sy))
+  }
+
+  /** The once-rounded r readout over [[pearsonParts]]; NULL for a
+    * degenerate (zero-variance) side. */
+  private[operators] def pearsonCorr(num: Column, denx: Column,
+                                     deny: Column): Column =
+    when(denx > 0 && deny > 0, canonZero(round(num.cast("double") /
+      (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6)))
+
   /** Group-wise Pearson correlation between two INTEGER-valued metrics,
     * with an exact strength verdict: `strong` ⇔ corr² > threshold², cross-
     * multiplied into DECIMAL(38,0) so the decision never touches a float —
@@ -220,12 +239,9 @@ object Stats {
         sum(col("_x") * col("_y")).as("_sxy"),
         sum(col("_x") * col("_x")).as("_sxx"),
         sum(col("_y") * col("_y")).as("_syy"))
-    def d(c: Column) = c.cast("decimal(38,0)")
-    val num = d(col("n")) * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))
-    val denx = d(col("n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
-    val deny = d(col("n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
-    val corr = canonZero(round(num.cast("double") /
-      (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6))
+    val (num, denx, deny) = pearsonParts(col("n"), col("_sx"), col("_sy"),
+      col("_sxy"), col("_sxx"), col("_syy"))
+    val corr = pearsonCorr(num, denx, deny)
     // Outside the documented bound, non-ANSI decimal multiply returns NULL
     // — without a guard `strong` would silently become NULL and a pipeline
     // branching on it would treat the group as neither strong nor weak.
@@ -238,7 +254,7 @@ object Stats {
     val overflowed = inputsOk &&
       (num.isNull || denx.isNull || deny.isNull || lhs.isNull || rhs.isNull)
     g.select(col(groupCol), col("n"),
-      when(denx > 0 && deny > 0, corr).as("corr"),
+      corr.as("corr"),
       when(overflowed, raise_error(concat(
           lit("corrVerdict: decimal overflow in group "), col(groupCol).cast("string"),
           lit(" — rescale the metrics (bound: n*max|x|*max|y| < ~1e17)"))))

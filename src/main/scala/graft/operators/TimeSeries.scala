@@ -41,20 +41,20 @@ object TimeSeries {
           col("_c").as("_y")),
         col("_s") <=> col("_s2") && col("_day") === col("_day2"))
       .drop("_s2", "_day2")
+    // products in DECIMAL before aggregation: cent-scaled daily totals
+    // past ~3e9 would overflow int64 in _x*_x (ANSI kills the query;
+    // non-ANSI silently wraps)
+    def d0(c: Column) = c.cast("decimal(38,0)")
     val g = lagged.groupBy(col("_s"), col("lag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-        sum(col("_x") * col("_y")).as("_sxy"),
-        sum(col("_x") * col("_x")).as("_sxx"),
-        sum(col("_y") * col("_y")).as("_syy"))
-    def d(c: Column) = c.cast("decimal(38,0)")
-    val num = d(col("n")) * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))
-    val denx = d(col("n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
-    val deny = d(col("n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
+        sum(d0(col("_x"))).as("_sx"), sum(d0(col("_y"))).as("_sy"),
+        sum(d0(col("_x")) * d0(col("_y"))).as("_sxy"),
+        sum(d0(col("_x")) * d0(col("_x"))).as("_sxx"),
+        sum(d0(col("_y")) * d0(col("_y"))).as("_syy"))
+    val (num, denx, deny) = Stats.pearsonParts(col("n"), col("_sx"),
+      col("_sy"), col("_sxy"), col("_sxx"), col("_syy"))
     g.select(col("_s").as(seriesCol), col("lag"), col("n"),
-      when(denx > 0 && deny > 0,
-        Stats.canonZero(round(num.cast("double") /
-          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6))).as("acf"))
+      Stats.pearsonCorr(num, denx, deny).as("acf"))
   }
 
   /** Additive seasonal decomposition of a per-series daily metric —
@@ -119,10 +119,18 @@ object TimeSeries {
     *
     *   |x − S/m| > k·σ  ⇔  (m·x − S)² > k²·(m·Q − S²)
     *
-    * with S = Σc, Q = Σc² over the frame — every quantity a BIGINT, so
-    * the flag is bit-identical in any engine. (Bound: products stay in
-    * int64 for frame sums up to ~3e9 — daily counts up to ~4e8 at the
-    * default 7-day window; rescale the metric beyond that.)
+    * with S = Σc, Q = Σc² over the BASELINE frame — every quantity a
+    * BIGINT, so the flag is bit-identical in any engine. (Bound: products
+    * stay in int64 for frame sums up to ~3e9 — daily counts up to ~4e8 at
+    * the default 7-day window; rescale the metric beyond that.)
+    *
+    * The baseline is the previous `windowDays` rows EXCLUDING the row
+    * under test: a frame that includes x caps the achievable deviation at
+    * √(m−1)·σ, so small windows could never flag anything at k ≥ √(m−1)
+    * (windowDays 5 at 2σ: mathematically impossible) — the self-masking
+    * failure every rolling-z implementation must dodge. A row with an
+    * EMPTY baseline (each series' first day) reports false: there is
+    * nothing to deviate from.
     *
     * Scale: one window PARTITIONED BY series — each series' frame sums
     * fan out independently, no global sort. */
@@ -131,14 +139,18 @@ object TimeSeries {
                        sigmas: Int = 2): DataFrame = {
     require(windowDays >= 2 && sigmas >= 1, "need windowDays >= 2, sigmas >= 1")
     val w = Window.partitionBy(col(seriesCol)).orderBy(col(dayCol))
-      .rowsBetween(-(windowDays - 1), Window.currentRow)
-    val c = col(countCol)
+      .rowsBetween(-windowDays, -1)
+    // cast BEFORE the product: an IntegerType count column would square
+    // in int32 and wrap at counts >= 46341, far below the documented bound
+    val c = col(countCol).cast("long")
     daily.select(col(seriesCol), col(dayCol), c.as("n"),
-        count(c).over(w).as("_m"), sum(c).over(w).as("_s"),
-        sum(c * c).over(w).as("_q"))
+        count(c).over(w).as("_m"),
+        coalesce(sum(c).over(w), lit(0L)).as("_s"),
+        coalesce(sum(c * c).over(w), lit(0L)).as("_q"))
       .select(col(seriesCol), col(dayCol), col("n"),
-        ((col("_m") * col("n") - col("_s")) * (col("_m") * col("n") - col("_s")) >
-          lit(sigmas.toLong * sigmas) * (col("_m") * col("_q") - col("_s") * col("_s")))
+        when(col("_m") === 0, lit(false)).otherwise(
+          (col("_m") * col("n") - col("_s")) * (col("_m") * col("n") - col("_s")) >
+            lit(sigmas.toLong * sigmas) * (col("_m") * col("_q") - col("_s") * col("_s")))
           .as("anomaly"))
   }
 
@@ -243,7 +255,10 @@ object TimeSeries {
     require(threshNum > 0 && threshDen > 0, "threshold must be positive")
     val daily = events
       .select(col(seriesCol).as("_s"), to_date(col(tsCol)).as("day"))
+      .filter(col("day").isNotNull) // a NULL-ts phantom day would shift
       .groupBy(col("_s"), col("day")).agg(count(lit(1)).as("n"))
+      // every prefix sum and alarm for the series (sorts first, inflates
+      // _d and _t) — same guard as autocorrelation/seasonalDecompose
     val totals = daily.groupBy(col("_s").as("_s2"))
       .agg(count(lit(1)).as("_d"), sum(col("n")).as("_t"))
     val pre = Window.partitionBy(col("_s")).orderBy(col("day"))

@@ -1197,12 +1197,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a", "2024-01-10")), "the 10x spike must be flagged")
     assert((1 to 9).forall(i => !out(("a", f"2024-01-0$i"))),
       "constant days must not be flagged (m·x = S ⇒ lhs = 0)")
-    assert(!out(("b", "2024-01-01")), "a lone observation is not an anomaly")
-    // mirror the day-10 frame by hand: six 10s + the 100
-    val frame = Seq.fill(6)(10L) :+ 100L
+    assert(!out(("b", "2024-01-01")),
+      "a lone observation has an empty baseline — not an anomaly")
+    // mirror the day-10 BASELINE by hand: the previous seven 10s (the row
+    // under test is excluded — an inclusive frame would cap z at √(m−1))
+    val frame = Seq.fill(7)(10L)
     val (m, s) = (frame.size.toLong, frame.sum)
     val q = frame.map(x => x * x).sum
     assert((m * 100 - s) * (m * 100 - s) > 4 * (m * q - s * s), "fixture math")
+    // the self-masking case the exclusive baseline fixes: a 5-day window
+    // at 2σ CAN flag now (inclusive frames cap z at √4 = 2, never > 2σ)
+    val tight = ((1 to 5).map(i => ("t", d(f"2024-02-0$i"), 10L)) :+
+      ("t", d("2024-02-06"), 1000L)).toDF("series", "day", "n")
+    val t = graft.operators.TimeSeries
+      .rollingAnomalies(tight, "series", "day", "n", windowDays = 5, sigmas = 2)
+      .collect().map(r => r.getDate(1).toString -> r.getBoolean(3)).toMap
+    assert(t("2024-02-06"), "windowDays=5 sigmas=2 must be able to flag")
   }
 
   test("winsorize clamps to the per-group [p05,p95] band; interior values untouched") {
