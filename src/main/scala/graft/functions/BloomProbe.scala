@@ -23,9 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated source), with an interpreted `nullSafeEval` fallback of the
   * same helper.
   */
-case class BloomProbe(child: Expression, bits: Array[Long],
+case class BloomProbe(child: Expression, bits: IndexedSeq[Long],
                       numBits: Int, numHashes: Int)
   extends UnaryExpression {
+
+  // IndexedSeq, NOT Array: a case class holding an array gets
+  // reference-based equals/hashCode, so two structurally identical probes
+  // (same small side, two join calls) never compare equal and Catalyst's
+  // sameResult/canonicalization misses exchange & subexpression reuse
+  @transient private lazy val bitsArr: Array[Long] = bits.toArray
 
   require(numBits >= 64 && numBits % 64 == 0 && bits.length == numBits / 64,
     "bits length must be numBits/64")
@@ -40,10 +46,10 @@ case class BloomProbe(child: Expression, bits: Array[Long],
   override def prettyName: String = "bloom_probe"
 
   override protected def nullSafeEval(v: Any): Any =
-    BloomProbe.contains(bits, numBits, numHashes, v.asInstanceOf[UTF8String])
+    BloomProbe.contains(bitsArr, numBits, numHashes, v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val bitsRef = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.BloomProbe.contains($bitsRef, $numBits, $numHashes, $c)")
   }

@@ -26,14 +26,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `F(r) = ((r·2654435761 + (seed + 40503·round)·65537) DIV 2^halfBits)
   * AND mask` — multiply, add, integer divide, mask: bit-replayable in
   * DuckDB with BIGINT-only math for halfBits ≤ 16 (the q240 oracle
-  * chains the four rounds through CTEs). The ·65537 spread (= s<<16 + s)
-  * puts the seed's LOW bits above the DIV cut as well — without it,
-  * seeds differing only in their low halfBits shift the whole
-  * difference out of the kept window and collide. Bijectivity holds for
-  * ANY round function (Feistel's theorem), so the mixing constants are
-  * free choices; keep |seed| under ~2^40 so nothing overflows a signed
-  * 64-bit long (Scala would wrap silently where an engine replay
-  * errors — same magnitude contract as the epoch·7919 seeds in use).
+  * chains the four rounds through CTEs; the spread is 65537 there). The
+  * ·(2^halfBits+1) spread (= s<<halfBits + s) puts the seed's LOW bits
+  * above the DIV cut at EVERY width — without it, seeds differing only
+  * in their low halfBits shift the whole difference out of the kept
+  * window and collide. Bijectivity holds for ANY round function
+  * (Feistel's theorem), so the mixing constants are free choices; keep
+  * seed in [0, 2^38) — that bounds every intermediate inside a signed
+  * 64-bit long at halfBits ≤ 23, and NEGATIVE seeds would break the
+  * engine-replay parity (>>> and BIGINT DIV diverge below zero) even
+  * though the permutation itself stays bijective under wrap.
   *
   * Scale: at 100 TB the shuffle order is computed where the data lives
   * (a codegen'd projection), and the sort is by a LONG key — range
@@ -78,16 +80,23 @@ object FeistelPermute {
     * on [0, 2^(2·halfBits)) for every seed. */
   def permute(x: Long, seed: Long, halfBits: Int): Long = {
     val mask = (1L << halfBits) - 1
+    // seed spread = 2^halfBits + 1, so (s·spread = (s << halfBits) + s)
+    // puts the seed's LOW bits above the >>> halfBits cut AT EVERY WIDTH —
+    // without it, adjacent seeds (17 vs 18) shift their whole difference
+    // out of the kept window and produce IDENTICAL permutations; a
+    // 16-pinned constant would leave the same collision alive for
+    // halfBits 17..23 (FeistelSpec's seed-separation legs). At the
+    // oracle-replayable width 16 the spread is exactly 65537, the q240
+    // CTE's constant. Overflow headroom: keep seed in [0, 2^38) so
+    // (seed + 40503·4)·2^24 stays inside a signed long — negative seeds
+    // also break the DuckDB DIV replay (>>> vs DIV diverge below zero),
+    // though bijectivity itself holds for ANY seed (wrap included).
+    val spread = (1L << halfBits) + 1L
     var l = (x >>> halfBits) & mask
     var r = x & mask
     var round = 1
     while (round <= 4) {
-      // (seed + 40503·round)·65537 = (s << 16) + s: the seed's LOW bits
-      // land above the >>> halfBits cut too — without the spread,
-      // adjacent seeds (17 vs 18) shift their whole difference out of
-      // the kept window and produce IDENTICAL permutations (caught by
-      // FeistelSpec's seed-separation leg at halfBits = 16)
-      val f = ((r * 2654435761L + (seed + 40503L * round) * 65537L)
+      val f = ((r * 2654435761L + (seed + 40503L * round) * spread)
         >>> halfBits) & mask
       val t = r
       r = l ^ f

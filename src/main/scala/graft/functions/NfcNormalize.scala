@@ -34,25 +34,33 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(s: Any): Any = {
-    val u = s.asInstanceOf[UTF8String]
-    val str = u.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) u
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
-  }
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.nfcOf(s.asInstanceOf[UTF8String])
 
+  // the generated code calls the SAME static helper the interpreted path
+  // uses, so the isNormalized short-circuit (the overwhelmingly common
+  // case: input already NFC, returned unchanged with zero allocation)
+  // applies under whole-stage codegen too — an inlined
+  // Normalizer.normalize call paid the full recomposition + String +
+  // UTF8String allocation on every row
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"java.text.Normalizer.normalize($c.toString(), " +
-        "java.text.Normalizer.Form.NFC))")
+      s"graft.functions.NfcNormalize.nfcOf($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 
 object NfcNormalize {
+
+  /** The shared eval: short-circuits on already-normalized input. */
+  def nfcOf(u: UTF8String): UTF8String = {
+    val str = u.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Column API: `select(nfc(col("text")))`. */
   def nfc(text: Column): Column =
     Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))

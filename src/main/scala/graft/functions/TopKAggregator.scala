@@ -20,14 +20,20 @@ case class ScoredId(score: Double, id: Long)
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
 
-  private def best(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
-    (a ++ b).sortBy(s => (-s.score, s.id)).take(k)
+  private def compact(a: Seq[ScoredId]): Seq[ScoredId] =
+    a.sortBy(s => (-s.score, s.id)).take(k)
 
   override def zero: Seq[ScoredId] = Nil
-  override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
-    best(buf, in :: Nil)
-  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = best(a, b)
-  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+  // append-then-compact-at-2k (the RankSampleAgg pattern): a full re-sort
+  // per input row would cost O(n·k·log k) on exactly the huge-group hot
+  // path this aggregate exists for; amortized this is O(n·log k)
+  override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] = {
+    val appended = in +: buf
+    if (appended.length >= 2 * k) compact(appended) else appended
+  }
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    compact(a ++ b)
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = compact(r)
   override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
 }

@@ -263,7 +263,7 @@ object Joins {
     val bfRow = small.agg(
       Sketches.bloomFilter(smallKey, numBits, numHashes).as("_bf")).head()
     locally {
-      val bits = bfRow.getSeq[Long](0).toArray
+      val bits = bfRow.getSeq[Long](0).toIndexedSeq
       val probe = org.apache.spark.sql.graftbridge.Bridge.toColumn(
         graft.functions.BloomProbe(
           org.apache.spark.sql.graftbridge.Bridge.toExpression(

@@ -41,6 +41,17 @@ class FeistelSpec extends SparkSpec {
       assert(orders(i) != orders(j), s"seeds $i and $j must not collide")
     // epoch-style seeds too (the q240 shape)
     assert(order(7919L + 17L) != order(2 * 7919L + 17L))
+    // EVERY width separates adjacent seeds — a 16-pinned spread constant
+    // left the collision alive for halfBits 17..23 (97% identical
+    // permutations at 23); the width-scaled spread closes it
+    for (hb <- Seq(17, 20, 23)) {
+      val ids = (0L until 4096L)
+      def o(seed: Long) = ids.map(FeistelPermute.permute(_, seed, hb))
+      val (a, b) = (o(17L), o(18L))
+      val same = a.zip(b).count { case (x, y) => x == y }
+      assert(same < ids.size / 10,
+        s"halfBits=$hb: adjacent seeds nearly collide ($same/${ids.size} fixed points)")
+    }
   }
 
   test("codegen'd column path matches the interpreted walk, and SQL " +
