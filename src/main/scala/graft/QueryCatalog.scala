@@ -1852,7 +1852,8 @@ object QueryCatalog {
       |                  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
       |           FROM lineitem GROUP BY 1),
       |w AS (SELECT l.l_returnflag, l.l_extendedprice,
-      |        least(greatest(l.l_extendedprice, b.lo), b.hi) AS xw
+      |        CASE WHEN l.l_extendedprice IS NULL THEN NULL
+      |          ELSE least(greatest(l.l_extendedprice, b.lo), b.hi) END AS xw
       |      FROM lineitem l JOIN b USING (l_returnflag))
       |SELECT l_returnflag, count(*) AS n,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,
@@ -1955,7 +1956,7 @@ object QueryCatalog {
   val q90Sql: String =
     """WITH p AS (SELECT lang, doc_id, n_chars,
       |    round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
-      |             / 281474976710656.0) / CAST(n_chars AS DOUBLE), 6) AS pri
+      |             / 281474976710656.0) / CAST(n_chars AS DOUBLE), 12) AS pri
       |  FROM documents WHERE n_chars > 0),
       |r AS (SELECT lang, doc_id, n_chars,
       |        row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn FROM p)
@@ -2213,8 +2214,9 @@ object QueryCatalog {
       |    round(mn + (bhi + 1) * (mx - mn) / 256, 6) AS hi
       |  FROM pick JOIN mm USING (g)),
       |w AS (SELECT l.l_returnflag, l.l_extendedprice,
-      |        least(greatest(l.l_extendedprice, coalesce(b.lo, l.l_extendedprice)),
-      |              coalesce(b.hi, l.l_extendedprice)) AS xw
+      |        CASE WHEN l.l_extendedprice IS NULL THEN NULL
+      |          ELSE least(greatest(l.l_extendedprice, coalesce(b.lo, l.l_extendedprice)),
+      |              coalesce(b.hi, l.l_extendedprice)) END AS xw
       |      FROM lineitem l LEFT JOIN bounds b USING (l_returnflag))
       |SELECT l_returnflag, count(*) AS n,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,

@@ -52,7 +52,10 @@ object Cleanse {
     * through and throw per row: a flag column cost ~2 s/600 k), and the
     * signed Infinity/NaN spellings. */
   private val numericish =
-    "^\\s*(?=[^0-9]*[0-9])[0-9eEdDfFxXpP+\\-.]+\\s*$|(?i)^\\s*[+-]?(inf(inity)?|nan)\\s*$"
+    // boundary class includes ISO control chars: Spark's cast runs
+    // UTF8String.trimAll (strips \u0000-\u001F), so the prefilter must
+    // accept what the cast would parse — "1.5\u001C" is a number to Spark
+    "^[\\s\\x00-\\x1F]*(?=[^0-9]*[0-9])[0-9eEdDfFxXpP+\\-.]+[\\s\\x00-\\x1F]*$|(?i)^[\\s\\x00-\\x1F]*[+-]?(inf(inity)?|nan)[\\s\\x00-\\x1F]*$"
   private def tryDouble(c: Column): Column =
     when(c.rlike(numericish), c.try_cast(DoubleType))
 
@@ -150,8 +153,13 @@ object Cleanse {
     // its bounds frame — those clamp to themselves via the coalesce
     df.join(broadcast(bnds), col(groupCol) <=> col("_grp"), "left")
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), coalesce(col("_lo"), col(valueCol))),
-          coalesce(col("_hi"), col(valueCol))))
+        // NULL stays NULL: greatest/least SKIP null arguments, so a bare
+        // clamp would fabricate _lo for a NULL metric and inflate every
+        // downstream aggregate over the winsorized column
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(
+            least(greatest(col(valueCol), coalesce(col("_lo"), col(valueCol))),
+              coalesce(col("_hi"), col(valueCol)))))
       .drop("_grp", "_lo", "_hi")
   }
 }

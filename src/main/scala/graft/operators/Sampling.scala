@@ -71,7 +71,13 @@ object Sampling {
     // any other, not silently dropped by null ≠ null join semantics)
     df.join(broadcast(counts), col(groupCol) <=> col("_grp"))
       .withColumn("_thr", least(lit(buckets), expr(s"(${cap}L * ${buckets}L) div _n")))
-      .filter(hashBucket(col(keyCol), salt) < col("_thr"))
+      // a NULL key hashes to NULL (concat semantics) and NULL < thr drops
+      // the row — but "keep smaller groups whole" must include NULL-key
+      // rows when the whole group survives (_thr == buckets). In an
+      // over-cap group a NULL key has no deterministic hash and is
+      // excluded, documented.
+      .filter(hashBucket(col(keyCol), salt) < col("_thr") ||
+        (col(keyCol).isNull && col("_thr") >= lit(buckets)))
       .drop("_grp", "_n", "_thr")
   }
 
@@ -135,7 +141,13 @@ object Sampling {
     val u = (h.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
     // ln(u) < 0, so DIVIDING by a larger weight pulls the priority toward
     // 0 from below: rank ascending-by-|ln(u)|/w == descending u^(1/w)
-    val pri = round(log(u) / col(weightCol).cast("double"), 6)
+    // 12 dp, not 6: ln(u)/w for large weights is tiny (|x| < 5e-7 already
+    // at w = 1e6), and a 6 dp round collapsed those rows into one massive
+    // tie broken by id — "weighted" sampling degenerated to
+    // pick-smallest-key among heavy items. 12 dp keeps ties away up to
+    // w ~ 1e11 while staying orders of magnitude above libm's cross-
+    // engine log error (~1e-16 relative)
+    val pri = round(log(u) / col(weightCol).cast("double"), 12)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(pri.desc, col(keyCol))
     df.filter(col(weightCol).cast("double") > 0)
@@ -277,6 +289,10 @@ object Sampling {
   def threeWaySplit(df: DataFrame, keyCol: String,
                     trainFrac: Double, valFrac: Double,
                     salt: String = ""): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"fractions must be non-negative with train+val <= 1 " +
+        s"(got $trainFrac + $valFrac) — an over-1 total silently empties " +
+        "the test holdout")
     val b = hashBucket(col(keyCol), salt)
     val t = (trainFrac * buckets).toLong
     val v = ((trainFrac + valFrac) * buckets).toLong

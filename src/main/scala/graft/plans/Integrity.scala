@@ -37,7 +37,11 @@ object Integrity {
         acc(fk) === col(s"_probe_$name"), "left")
     }
     val sums = dims.map { case (name, _, fk, _) =>
-      sum(when(col(fk).isNotNull && col(s"_probe_$name").isNull, 1).otherwise(0))
+      // coalesce: sum() over an EMPTY fact is NULL and getLong would NPE —
+      // an audit run before the first micro-batch must report zeros
+      coalesce(
+        sum(when(col(fk).isNotNull && col(s"_probe_$name").isNull, 1)
+          .otherwise(0)), lit(0L))
         .as(s"missing_$name")
     }
     agg.agg(sums.head, sums.tail: _*)
@@ -68,9 +72,15 @@ object Integrity {
         count(when(col(c).isNull || trim(col(c)) === "", 1)).as(s"null_$c"),
         countDistinct(col(c)).as(s"dist_$c")))
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // backtick-quote derived names and escape the label literal: a column
+    // named "total-price" (or one containing a quote) must profile, not
+    // throw an AnalysisException from the generated stack()
+    def bq(n: String) = "`" + n.replace("`", "``") + "`"
+    def lt(n: String) = "'" + n.replace("'", "''") + "'"
     val rows = numCols.map(c =>
-      s"'$c', null_$c, dist_$c, min_$c, max_$c") ++
-      strCols.map(c => s"'$c', null_$c, dist_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+      s"${lt(c)}, ${bq(s"null_$c")}, ${bq(s"dist_$c")}, ${bq(s"min_$c")}, ${bq(s"max_$c")}") ++
+      strCols.map(c =>
+        s"${lt(c)}, ${bq(s"null_$c")}, ${bq(s"dist_$c")}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
     one.selectExpr("n_rows",
       s"stack(${rows.size}, ${rows.mkString(", ")}) AS (column, n_null, n_distinct, min_num, max_num)")
       .select(col("column"), col("n_rows"), col("n_null"),

@@ -36,6 +36,10 @@ object StarSchema {
     * feed's schema (reference tolerates several, flink/stream_to_star.py:100). */
   private def aliasKeyIn(feed: DataFrame, names: String*): Column = {
     val present = names.filter(feed.columns.contains(_)).map(col)
+    require(present.nonEmpty,
+      s"none of the key alias spellings [${names.mkString(", ")}] exist in " +
+        s"the feed schema [${feed.columns.mkString(", ")}] — an empty " +
+        "coalesce would die with an opaque analysis error")
     aliasKey(present: _*)
   }
 
