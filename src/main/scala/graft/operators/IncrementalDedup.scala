@@ -38,7 +38,11 @@ import graft.plans.TableStore
 class IncrementalDedupIndex(val store: TableStore, table: String,
                             n: Int, k: Int, bands: Int, threshold: Double,
                             maxBucket: Int = 1000) {
-  require(k % bands == 0, "bands must divide k")
+  require(bands > 0 && k > 0 && k % bands == 0,
+    "need k > 0, bands > 0, bands dividing k")
+  require(threshold >= 0.0 && threshold <= 1.0,
+    s"threshold is a Jaccard estimate in [0, 1], got $threshold")
+  require(n >= 1 && maxBucket >= 1, "need n >= 1 and maxBucket >= 1")
   val sigTable = s"${table}_minhash_sig"
   val bandTable = s"${table}_minhash_bands"
 
@@ -47,15 +51,23 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
     * at least one side in the batch. */
   def ingest(batch: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
+    // empty-batch fast path: a zero-row trigger (offset-only Kafka
+    // batches) must not run the 8-job pipeline and — with a MergeWriter
+    // store — full-rewrite both index tables for nothing
+    if (batch.isEmpty)
+      return batch.select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
+        lit(0.0).as("est_jaccard")).limit(0)
     val shingles = Dedup.shinglePairs(batch, n, idCol, textCol)
     val sigNew = Dedup.minhashSigWide(shingles, k).localCheckpoint(true)
     val bandsNew = Dedup.bandRows(sigNew, k, bands).localCheckpoint(true)
 
     // replay safety: a re-ingested doc is in BOTH the store and the batch —
-    // anti-join the stored side on batch ids so every doc appears exactly
-    // once (otherwise replays double bucket occupancy and duplicate the
-    // signature join, multiplying emitted pair rows)
-    val batchIds = sigNew.select(col("doc_id"))
+    // anti-join the stored side on the BATCH ids (not sigNew's: a
+    // re-ingested doc whose new text yields zero shingles has no sigNew
+    // row but must still displace its stale index entry) so every doc
+    // appears exactly once
+    val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint(true)
     val allBands =
       if (store.exists(bandTable))
         store.read(bandTable).join(batchIds, Seq("doc_id"), "left_anti")
@@ -97,6 +109,23 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
     // keys, so replays update-in-place instead of duplicating band rows
     store.mergeFact(sigTable, sigNew, Seq("doc_id"))
     store.mergeFact(bandTable, bandsNew, Seq("doc_id", "band"))
+    // RETRACTION: a batch id with NO new signature (re-ingested text now
+    // blank/under n words) must not keep matching its old text forever —
+    // remove its stale rows. O(table) rewrite, but only on the rare batch
+    // that actually retracts; skipped when the rewrite would empty the
+    // table (the stores reject empty replaces — an all-retracted index is
+    // a rebuild, not a maintenance step).
+    val retracted = batchIds.join(sigNew.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint(true)
+    if (!retracted.isEmpty && store.exists(sigTable)) {
+      val keptSig = store.read(sigTable)
+        .join(retracted, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      if (!keptSig.isEmpty) {
+        store.replaceTable(sigTable, keptSig, Seq("doc_id"))
+        store.replaceTable(bandTable, store.read(bandTable)
+          .join(retracted, Seq("doc_id"), "left_anti"), Seq("doc_id", "band"))
+      }
+    }
     pairs
   }
 

@@ -39,6 +39,7 @@ object StreamingDedup {
             pairsTable: String, checkpointDir: String,
             idCol: String = "doc_id", textCol: String = "text",
             vacuumEveryBatches: Int = 0,
+            vacuumRetainMillis: Long = 0L,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
     docs.writeStream
@@ -51,10 +52,14 @@ object StreamingDedup {
         if (!pairs.isEmpty)
           index.store.mergeFact(pairsTable, pairs, Seq("doc_a", "doc_b"))
         if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0) {
-          index.maintain()
+          // vacuumRetainMillis > 0 is REQUIRED when external readers scan
+          // these tables concurrently: retain-0 deletes a superseded
+          // version a reader resolved moments ago (maintain's contract)
+          index.maintain(vacuumRetainMillis)
           // the pair sink accretes one version per micro-batch exactly
           // like the index tables — reclaim it on the same schedule
-          if (index.store.exists(pairsTable)) index.store.vacuum(pairsTable)
+          if (index.store.exists(pairsTable))
+            index.store.vacuum(pairsTable, vacuumRetainMillis)
         }
         ()
       }

@@ -57,6 +57,7 @@ object StreamingHeavyHitters {
   def start(stream: DataFrame, itemCol: String, k: Int,
             store: TableStore, stateTable: String, verdictTable: String,
             checkpointDir: String, cap: Int = 4096, topM: Int = 20,
+            vacuumEveryBatches: Int = 0,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(k >= 2, "k must be >= 2")
@@ -82,6 +83,17 @@ object StreamingHeavyHitters {
         var state = prev
         var nSeen = nSeen0; var errAll = errAll0; var floorErr = floorErr0
         var upto = upto0
+        // lineage note: a batchId strictly BELOW the watermark is either
+        // the SUPPORTED fresh-checkpoint tail replay (same data, renumbered
+        // from 0 — skipping is exactly right, proven in StreamingSpec) or a
+        // wiped checkpoint whose NEW lineage numbers different data below
+        // upto (skipping would drop rows). The two are indistinguishable
+        // from ids alone, so the skip stays but the hazard surfaces loudly.
+        if (batchId < upto0)
+          System.err.println(s"[graft] StreamingHeavyHitters: batch $batchId " +
+            s"below state watermark $upto0 — skipping as a replay. If this " +
+            "checkpoint is NEW over old state with DIFFERENT batching, " +
+            "counts will silently drop rows: wipe the state table too.")
         if (batchId > upto0) {
           // ---- batch: exact counts of the MG candidate set -----------
           val strItems = batch.select(col(itemCol).cast("string").as("item"))
@@ -146,6 +158,10 @@ object StreamingHeavyHitters {
             // pruned-and-absent item's true count
             .withColumn("floor_err", lit(floorErr))
           store.mergeFact(verdictTable, verdict, Seq("batch_id", "item"))
+          if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0) {
+            if (store.exists(stateTable)) store.vacuum(stateTable)
+            if (store.exists(verdictTable)) store.vacuum(verdictTable)
+          }
         }
         ()
       }

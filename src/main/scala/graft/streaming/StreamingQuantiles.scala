@@ -38,6 +38,7 @@ object StreamingQuantiles {
             qs: Seq[(String, Double)],
             store: TableStore, stateTable: String, verdictTable: String,
             checkpointDir: String, k: Int = 1024,
+            vacuumEveryBatches: Int = 0,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
@@ -51,7 +52,13 @@ object StreamingQuantiles {
         val pairs = batch.filter(col(valueCol).isNotNull)
           .select(ApproxQuantile.rowHash60(idCols).as("h"),
             col(valueCol).cast("double").as("v"))
-        val batchTop = pairs.orderBy(col("h"), col("v")).limit(k)
+        // (h, v) SET dedup BEFORE the limit: the cross-batch state is a
+        // set, and a multiset bottom-k here would let an in-batch
+        // redelivery occupy two slots and evict the true k-th pair —
+        // making the final sample depend on batching, which the header
+        // forbids
+        val batchTop = pairs.dropDuplicates("h", "v")
+          .orderBy(col("h"), col("v")).limit(k)
         val prev = if (store.exists(stateTable)) store.read(stateTable)
                    else spark.emptyDataFrame
             .withColumn("h", lit(0L)).withColumn("v", lit(0d)).limit(0)
@@ -71,6 +78,12 @@ object StreamingQuantiles {
           val verdict = ApproxQuantile.readSampleQuantiles(
             sampled, Seq("batch_id", "n_sample"), qs)
           store.mergeFact(verdictTable, verdict, Seq("batch_id"))
+        }
+        // both tables accrete one store version per micro-batch — a
+        // resident query must reclaim them (the StreamingDedup knob)
+        if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0) {
+          if (store.exists(stateTable)) store.vacuum(stateTable)
+          if (store.exists(verdictTable)) store.vacuum(verdictTable)
         }
         ()
       }

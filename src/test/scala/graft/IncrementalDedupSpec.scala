@@ -88,6 +88,28 @@ class IncrementalDedupSpec extends SparkSpec {
       s"post-vacuum replay must re-emit the same pairs: $replayed")
   }
 
+  test("re-ingest with blank/short text RETRACTS the stale index entry") {
+    import org.apache.spark.sql.functions.col
+    val idx = mkIndex()
+    idx.ingest(df(corpus.take(3)))
+    // doc 3 (dup of 1) is re-ingested with text too short to shingle:
+    // its old signature must not keep matching future dups of the old text
+    idx.ingest(Seq((3L, "tiny")).toDF("doc_id", "text"))
+    val pairs = idx.ingest(df(Seq((6L, corpus.head._2)))) // new dup of doc 1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 6L)),
+      s"retracted doc 3 must not resurface as a near-dup: $pairs")
+    // the index tables no longer carry doc 3
+    assert(idx.store.read(idx.sigTable)
+      .filter(col("doc_id") === 3L).count() === 0L)
+    assert(idx.store.read(idx.bandTable)
+      .filter(col("doc_id") === 3L).count() === 0L)
+    // empty batches are a fast-path no-op (no version churn, no pairs)
+    val before = idx.store.read(idx.sigTable).count()
+    assert(idx.ingest(df(Nil)).isEmpty)
+    assert(idx.store.read(idx.sigTable).count() === before)
+  }
+
   test("StreamingDedup: a document stream dedups continuously, exactly-once pairs") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
