@@ -6906,13 +6906,16 @@ object QueryCatalog {
       |q AS (SELECT k.cls, k.n_cal, k.k_rank, r.score AS qhat
       |  FROM k LEFT JOIN r ON r.cls = k.cls AND r.rn = k.k_rank),
       |t AS (SELECT cls, score FROM x WHERE NOT is_cal)
-      |SELECT t.cls, q.n_cal, q.k_rank, q.qhat,
-      |  CAST(count(*) AS BIGINT) AS n_test,
-      |  CAST(sum(CASE WHEN q.k_rank > q.n_cal OR t.score <= q.qhat
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-      |  round(CAST(sum(CASE WHEN q.k_rank > q.n_cal OR t.score <= q.qhat
-      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
-      |FROM t JOIN q ON t.cls = q.cls
+      |SELECT q.cls, q.n_cal, q.k_rank, q.qhat,
+      |  CAST(count(t.score) AS BIGINT) AS n_test,
+      |  CASE WHEN count(t.score) > 0
+      |    THEN CAST(sum(CASE WHEN q.k_rank > q.n_cal OR t.score <= q.qhat
+      |      THEN 1 ELSE 0 END) AS BIGINT) END AS n_covered,
+      |  CASE WHEN count(t.score) > 0
+      |    THEN round(CAST(sum(CASE WHEN q.k_rank > q.n_cal
+      |      OR t.score <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(t.score), 6) END AS coverage
+      |FROM q LEFT JOIN t ON t.cls = q.cls
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** MRR@10 over the exact cosine ranking (Similarity.reciprocalRankAtK):

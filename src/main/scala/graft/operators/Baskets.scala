@@ -60,7 +60,14 @@ object Baskets {
       .select(col("item_a"), col("item_b"), col("pair_cnt"),
         col("cnt_a"), col("cnt_b"), col("n_baskets"),
         round(col("pair_cnt").cast("double") / col("cnt_a"), 6).as("confidence"),
-        (col("pair_cnt") * col("n_baskets") > col("cnt_a") * col("cnt_b"))
+        // DECIMAL cross-products (the twoProportionTest discipline):
+        // cnt_a*cnt_b wraps a long silently past ~3e9 each — at the scale
+        // this module targets the lift verdict would flip, where decimal
+        // NULLs loudly
+        (col("pair_cnt").cast("decimal(38,0)") *
+            col("n_baskets").cast("decimal(38,0)") >
+          col("cnt_a").cast("decimal(38,0)") *
+            col("cnt_b").cast("decimal(38,0)"))
           .as("lift_gt1"))
   }
 }

@@ -51,8 +51,13 @@ object Eval {
              posCol: String): DataFrame = {
     val rankW = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
     val tieW = Window.partitionBy(col(groupCol), col(scoreCol))
+    // NULL score/indicator rows are excluded (the sibling discipline:
+    // kappa, conformal, isotonic all filter) — ranking them would break
+    // the Mann-Whitney identity and diverge from rocAucSharded, whose
+    // n_neg counts every non-positive row
     val ranked = df.select(col(groupCol), col(scoreCol),
         col(posCol).cast("long").as("_pos"))
+      .filter(col(scoreCol).isNotNull && col("_pos").isNotNull)
       .withColumn("_ar2",
         lit(2L) * rank().over(rankW).cast("long") +
           count(lit(1)).over(tieW) - lit(1L))
@@ -95,6 +100,7 @@ object Eval {
     require(buckets >= 1 && buckets <= 65536, "buckets out of range")
     val base = df.select(col(groupCol), col(scoreCol).as("_v"),
       col(posCol).cast("long").as("_pos"))
+      .filter(col("_v").isNotNull && col("_pos").isNotNull) // rocAuc parity
     val g = col(groupCol)
     val stats = base.groupBy(g.as("_sg"))
       .agg(min(col("_v")).cast("double").as("_lo"),
@@ -162,22 +168,29 @@ object Eval {
     require(bins >= 2, "bins must be >= 2")
     // floor, not a bare integer cast: Spark's decimal→long cast truncates
     // while DuckDB's ROUNDS — floor() means the same thing in both engines
+    // NULL confidence/indicator rows are excluded: least() skips NULL
+    // arguments, so a NULL conf would land in the TOP bin (inflating its
+    // n and acc while its conf skips sum_conf) instead of being rejected
     val binned = df.select(
       least(floor(col(confCol) * bins).cast("long"), lit(bins - 1L)).as("bin"),
       col(confCol).cast("decimal(18,6)").as("_c"),
       col(posCol).cast("long").as("_p"))
+      .filter(col("_c").isNotNull && col("_p").isNotNull)
     val agg = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_c")).as("_sc"),
         sum(col("_p")).as("_sp"))
-      .withColumn("_absgap", abs((col("_sc") -
-        col("_sp").cast("decimal(18,6)")).cast("decimal(20,6)")))
+      // decimal(38,6): a bin past 1e12 positives would NULL an (18,6)
+      // cast and sum() would silently SKIP the bin from the ECE numerator
+      .withColumn("_absgap", abs((col("_sc").cast("decimal(38,6)") -
+        col("_sp").cast("decimal(38,6)")).cast("decimal(38,6)")))
     val totals = agg.agg(sum(col("_absgap")).as("_totGap"),
       sum(col("n")).as("_totN"))
     agg.crossJoin(broadcast(totals)) // one-row stats frame (documented pattern)
       .select(col("bin"), col("n"),
         round(col("_sc").cast("double") / col("n"), 6).as("conf_mean"),
         round(col("_sp").cast("double") / col("n"), 6).as("acc"),
-        Stats.canonZero(round((col("_sp").cast("decimal(18,6)") - col("_sc"))
+        Stats.canonZero(round((col("_sp").cast("decimal(38,6)") -
+            col("_sc").cast("decimal(38,6)"))
           .cast("double") / col("n"), 6)).as("gap"),
         round(col("_totGap").cast("double") / col("_totN"), 6).as("ece"))
   }
@@ -198,6 +211,7 @@ object Eval {
     * count. */
   def cohenKappa(df: DataFrame, groupCol: String, raterA: Column,
                  raterB: Column): DataFrame = {
+    def d38k(c: Column): Column = c.cast("decimal(38,0)")
     val a = raterA.cast("boolean").cast("long")
     val b = raterB.cast("boolean").cast("long")
     df.select(col(groupCol), a.as("_a"), b.as("_b"))
@@ -210,13 +224,18 @@ object Eval {
         sum(col("_b")).as("_b1"),
         sum((col("_a") === col("_b")).cast("long")).as("_agree"))
       .withColumn("_pe",
-        col("_a1") * col("_b1") + (col("n") - col("_a1")) * (col("n") - col("_b1")))
+        d38k(col("_a1")) * d38k(col("_b1")) +
+          (d38k(col("n")) - d38k(col("_a1"))) *
+            (d38k(col("n")) - d38k(col("_b1"))))
       .select(col(groupCol), col("n"),
         round(col("_agree").cast("double") / col("n"), 6).as("po"),
-        when(col("n") * col("n") === col("_pe"), lit(null).cast("double"))
+        // decimal products: n·n and the pe cross-terms wrap a long past
+        // ~3e9 rows per group — decimal NULLs loudly instead
+        when(d38k(col("n")) * d38k(col("n")) === col("_pe"),
+            lit(null).cast("double"))
           .otherwise(Stats.canonZero(round(
-            (col("n") * col("_agree") - col("_pe")).cast("double") /
-              (col("n") * col("n") - col("_pe")).cast("double"), 6)))
+            (d38k(col("n")) * d38k(col("_agree")) - col("_pe")).cast("double") /
+              (d38k(col("n")) * d38k(col("n")) - col("_pe")).cast("double"), 6)))
           .as("kappa"))
   }
 
@@ -367,20 +386,27 @@ object Eval {
     val g = col(groupCol)
     val thr = conformalThreshold(df.filter(col(calCol)), groupCol, scoreCol,
       alphaNum, alphaDen, buckets)
-    // empirical coverage on the test split
+    // empirical coverage on the test split — grouped from the TEST side,
+    // then left-joined back onto the thresholds so a group with
+    // calibration rows but no test rows still surfaces its qhat
+    // (n_test = 0, coverage NULL) instead of vanishing
     val test = df.filter(!col(calCol))
       .select(g, col(scoreCol).cast("double").as("_tv"))
       .filter(col("_tv").isNotNull)
-    test.join(broadcast(thr), g <=> col("_g"))
+    val cov = test.join(broadcast(thr), g <=> col("_g"))
       .groupBy(g).agg(
-        first(col("_nc")).as("n_cal"),
-        first(col("_k")).as("k_rank"),
-        first(col("qhat")).as("qhat"),
         count(lit(1)).as("n_test"),
         sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
           .as("n_covered"))
+      .withColumnRenamed(groupCol, "_cg")
+    thr.join(broadcast(cov), col("_g") <=> col("_cg"), "left")
+      .select(col("_g").as(groupCol),
+        col("_nc").as("n_cal"), col("_k").as("k_rank"), col("qhat"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        when(col("n_test").isNotNull, col("n_covered")).as("n_covered"))
       .withColumn("coverage",
-        round(col("n_covered").cast("double") / col("n_test"), 6))
+        when(col("n_test") > 0,
+          round(col("n_covered").cast("double") / col("n_test"), 6)))
   }
 
   /** Isotonic calibration per group — the pool-adjacent-violators fit
@@ -433,38 +459,53 @@ object Eval {
       .repartition(col("_g"))
       .sortWithinPartitions(col("_g"), col("_x"))
       .as(enc)
-      .mapPartitions { it =>
-        // pools: (sumY, n, points-in-pool); flush on group change / end
+      .mapPartitions { (it: Iterator[(String, Double, Long, Long)]) =>
+        // pools: (sumY, n, points-in-pool). STREAMED per group: groups
+        // are contiguous after the sort, so buffering only the CURRENT
+        // group's pools bounds executor memory by one group — a hash
+        // partition can hold arbitrarily many groups, and collecting the
+        // whole partition's output first would hold them all at once
         final case class Pool(var sy: Long, var n: Long,
                               pts: scala.collection.mutable.ArrayBuffer[(Double, Long, Long)])
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Double, Long, Long, Double)]
-        val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
-        var curG: String = null
-        def flush(): Unit = {
-          stack.foreach { p =>
-            val fitted = BigDecimal(p.sy.toDouble / p.n)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            p.pts.foreach { case (x, sy, n) => out += ((curG, x, n, sy, fitted)) }
+        // NB: named `in`, not `buffered` — inside the anonymous Iterator,
+        // `buffered` resolves to THIS.buffered (Iterator's own method)
+        val in = it.buffered
+        new Iterator[(String, Double, Long, Long, Double)] {
+          private var outIt: Iterator[(String, Double, Long, Long, Double)] =
+            Iterator.empty
+          private def nextGroup(): Unit = {
+            val grp = in.head._1
+            val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+            while (in.hasNext && in.head._1 == grp) {
+              val (_, x, sy, n) = in.next()
+              stack += Pool(sy, n,
+                scala.collection.mutable.ArrayBuffer((x, sy, n)))
+              // merge while the new pool's mean is BELOW its predecessor's
+              // (cross-multiplied longs; sums bounded by calibration-set
+              // sizes, far inside long range)
+              while (stack.length >= 2 &&
+                  stack(stack.length - 1).sy * stack(stack.length - 2).n <=
+                  stack(stack.length - 2).sy * stack(stack.length - 1).n) {
+                val top = stack.remove(stack.length - 1)
+                val prev = stack(stack.length - 1)
+                prev.sy += top.sy; prev.n += top.n; prev.pts ++= top.pts
+              }
+            }
+            outIt = stack.iterator.flatMap { p =>
+              val fitted = BigDecimal(p.sy.toDouble / p.n)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              p.pts.iterator.map { case (x, sy, n) => (grp, x, n, sy, fitted) }
+            }
           }
-          stack.clear()
-        }
-        it.foreach { case (grp, x, sy, n) =>
-          if (grp != curG) { flush(); curG = grp }
-          stack += Pool(sy, n, scala.collection.mutable.ArrayBuffer((x, sy, n)))
-          // merge while the new pool's mean is BELOW its predecessor's
-          // (cross-multiplied longs; sums bounded by calibration-set
-          // sizes, far inside long range)
-          while (stack.length >= 2 &&
-              stack(stack.length - 1).sy * stack(stack.length - 2).n <=
-              stack(stack.length - 2).sy * stack(stack.length - 1).n) {
-            val top = stack.remove(stack.length - 1)
-            val prev = stack(stack.length - 1)
-            prev.sy += top.sy; prev.n += top.n; prev.pts ++= top.pts
+          override def hasNext: Boolean = {
+            while (!outIt.hasNext && in.hasNext) nextGroup()
+            outIt.hasNext
+          }
+          override def next(): (String, Double, Long, Long, Double) = {
+            if (!hasNext) throw new NoSuchElementException
+            outIt.next()
           }
         }
-        flush()
-        out.iterator
       }(outEnc)
       .toDF("_g", "score", "n", "sum_pos", "fitted")
     walked.select(col("_g").cast(keyType).as(groupCol), col("score"),

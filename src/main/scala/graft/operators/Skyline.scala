@@ -63,6 +63,10 @@ object Skyline {
           .otherwise(least(lit(buckets - 1),
             floor((col("v_min").cast("double") - col("_lo")) * buckets /
               (col("_hi") - col("_lo"))).cast("int"))))
+      // checkpoint the ONE-ROW-PER-DISTINCT-v_min frame: both the
+      // prefix-max pass and the local pass consume it, and without the
+      // cut each re-runs the full input scan + perMin window
+      .localCheckpoint(true)
     val local = bucketed
       .withColumn("_m", max(col("v_max")).over(
         Window.partitionBy(col("_bkt")).orderBy(col("v_min").asc)

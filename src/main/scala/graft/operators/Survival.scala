@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Survival analysis over activity spans — the Kaplan-Meier estimator a
   * retention/churn pipeline computes from raw event logs: each unit's
   * observed lifetime is `last event − first event`, a unit counts as a
-  * churn EVENT if it went quiet at least `censorDays` before the
+  * churn EVENT if it went quiet STRICTLY more than `censorDays` before the
   * dataset's as-of timestamp, otherwise it is right-CENSORED (still
   * alive when observation ended).
   */
