@@ -63,6 +63,81 @@ object AvroCodec {
                               n_body_bytes: Option[Long],
                               md5_first: Option[String])
 
+  /** Zigzag varlong at `pos`; None on truncation/overlong. */
+  private def readVarLong(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    var p = pos; var shift = 0; var acc = 0L
+    while (p < b.length && shift <= 63) {
+      val v = b(p) & 0xff; p += 1
+      acc |= (v & 0x7fL) << shift
+      if ((v & 0x80) == 0) return Some(((acc >>> 1) ^ -(acc & 1), p))
+      shift += 7
+    }
+    None
+  }
+
+  /** Walk the container FRAMING without decoding: header map, sync, then
+    * every block's (count, byteSize, data, sync). Rejects declared block
+    * sizes beyond the payload (a hostile header that would otherwise make
+    * DataFileStream allocate the declared size BEFORE any record-level
+    * cap runs) and record counts beyond [[MaxRecords]]. The residual
+    * hazard — a small DEFLATE block that inflates huge — is inherent to
+    * reading compressed blocks and bounded only by executor memory;
+    * documented, not defended. */
+  private def framingOk(b: Array[Byte]): Boolean = {
+    var pos = 4
+    // metadata map: (+count entries)* then 0; negative count = byteSize-prefixed
+    var guard = 0
+    var done = false
+    while (!done && guard < 1000) {
+      guard += 1
+      readVarLong(b, pos) match {
+        case None => return false
+        case Some((n0, p0)) =>
+          pos = p0
+          if (n0 == 0) done = true
+          else {
+            var n = n0
+            if (n < 0) {
+              n = -n
+              readVarLong(b, pos) match {
+                case None => return false
+                case Some((_, p1)) => pos = p1
+              }
+            }
+            var i = 0L
+            while (i < 2 * n) { // key and value are both length-prefixed
+              readVarLong(b, pos) match {
+                case None => return false
+                case Some((len, p1)) =>
+                  if (len < 0 || p1 + len > b.length) return false
+                  pos = (p1 + len).toInt
+              }
+              i += 1
+            }
+          }
+      }
+    }
+    pos += 16 // sync marker
+    if (pos > b.length) return false
+    var totalRecs = 0L
+    while (pos < b.length) {
+      readVarLong(b, pos) match {
+        case None => return false
+        case Some((cnt, p0)) =>
+          if (cnt < 0) return false
+          totalRecs += cnt
+          if (totalRecs > MaxRecords) return false
+          readVarLong(b, p0) match {
+            case None => return false
+            case Some((size, p1)) =>
+              if (size < 0 || p1 + size + 16 > b.length) return false
+              pos = (p1 + size + 16).toInt
+          }
+      }
+    }
+    true
+  }
+
   /** Decode one container payload: (record count, Σseq, Σ body bytes,
     * md5 of the FIRST body) — None on bad magic, truncated blocks,
     * schema mismatch (missing seq/body fields), sync-marker corruption,
@@ -72,6 +147,8 @@ object AvroCodec {
     // container magic: 'O' 'b' 'j' 0x01
     if (payload(0) != 'O' || payload(1) != 'b' || payload(2) != 'j' ||
         payload(3) != 1) return None
+    // framing pre-walk BEFORE the avro reader touches the payload
+    if (!framingOk(payload)) return None
     var dfs: org.apache.avro.file.DataFileStream[
       org.apache.avro.generic.GenericRecord] = null
     try {

@@ -32,25 +32,24 @@ object Compressed {
   }
 
   /** Inflate one-or-more concatenated gzip members; None on bad magic,
-    * truncation, CRC mismatch, or the [[MaxInflated]] bomb cap. */
-  def gunzipBytes(bytes: Array[Byte]): Option[Array[Byte]] = {
-    if (bytes == null || bytes.length < 18) return None
-    if ((bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return None
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 16))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size() > MaxInflated) { in.close(); return None }
-        n = in.read(buf)
+    * truncation, CRC mismatch, trailing garbage, or the [[MaxInflated]]
+    * bomb cap. Implemented over [[gunzipMemberSplit]]'s strict RFC 1952
+    * walk: the JDK's GZIPInputStream SWALLOWS a corrupt second member
+    * (its readTrailer treats a failed next-header read as end-of-stream),
+    * silently returning partial data where this contract promises None —
+    * and its byte counting avoids the Int overflow a
+    * `bytes.length * 4` pre-size would hit on ≥ 512 MiB payloads. */
+  def gunzipBytes(bytes: Array[Byte]): Option[Array[Byte]] =
+    gunzipMemberSplit(bytes).map { members =>
+      val total = members.map(_.data.length).sum
+      val out = new Array[Byte](total)
+      var off = 0
+      members.foreach { m =>
+        System.arraycopy(m.data, 0, out, off, m.data.length)
+        off += m.data.length
       }
-      in.close()
-      Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
-  }
+      out
+    }
 
   final case class GzipTextRow(doc_id: Long, ok: Long, n_bytes: Option[Long],
                                md5_hex: Option[String])

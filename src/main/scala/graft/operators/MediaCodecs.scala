@@ -209,7 +209,10 @@ object MediaCodecs {
     // whole-stream sumSq is the sum of the window sums it produces
     parseWavLayout(bytes).map { case (ch, rate, bits, dOff, dLen) =>
       val nFrames = dLen.toLong / (2 * ch)
-      val perWin = winFrames * ch
+      // Long window math: winFrames near Int.MaxValue ('one window = the
+      // whole clip') must not wrap perWin/nWins negative
+      val perWinL = winFrames.toLong * ch
+      val perWin = math.min(perWinL, math.max(1L, nFrames * ch)).toInt
       val nWins = ((nFrames * ch + perWin - 1) / perWin).toInt
       val out = new Array[(Long, Long)](nWins)
       var total = 0L
@@ -313,8 +316,14 @@ object MediaCodecs {
 
   def wavDftBins(bytes: Array[Byte], bins: Seq[Int]): Option[(WavData, Array[(Int, Long, Long)])] = {
     require(bins.nonEmpty && bins.forall(_ >= 0), "bins must be non-negative")
-    parseWavLayout(bytes).map { case (ch, rate, bits, off, dlen) =>
-      val nFrames = (dlen.toLong / (2 * ch)).toInt
+    parseWavLayout(bytes).flatMap { case (ch, rate, bits, off, dlen) =>
+      val nFramesL = dlen.toLong / (2 * ch)
+      // exactness bound: each re/im term is <= 32767·1e6 ≈ 3.28e10, so a
+      // signed-long accumulator holds ~2.8e8 frames (~1.75 h at 44.1 kHz)
+      // before wrapping SILENTLY — longer clips return None (strict but
+      // total) instead of an ok=1 garbage magnitude
+      if (nFramesL > 280L * 1000 * 1000) return None
+      val nFrames = nFramesL.toInt
       var sumSq = 0L
       val out = new Array[(Int, Long, Long)](bins.size)
       var b = 0
@@ -336,7 +345,7 @@ object MediaCodecs {
         out(b) = (k, re, im)
         b += 1
       }
-      (WavData(rate, ch, bits, nFrames.toLong, sumSq), out)
+      Some((WavData(rate, ch, bits, nFrames.toLong, sumSq), out))
     }
   }
 
@@ -875,7 +884,8 @@ object MediaCodecs {
           val okCombo = colorType match {
             case 0     => depth == 1 || depth == 2 || depth == 4 ||
                           depth == 8 || depth == 16
-            case 2 | 6 => depth == 8 || depth == 16
+            // type 4 = gray+alpha (masks/icons are common crawl assets)
+            case 2 | 4 | 6 => depth == 8 || depth == 16
             case 3     => depth == 1 || depth == 2 || depth == 4 || depth == 8
             case _     => false
           }
@@ -906,7 +916,7 @@ object MediaCodecs {
     if (!sawIhdr || !sawIend) return None
     if (colorType == 3 && palette == null) return None
     val channels = colorType match {
-      case 0 | 3 => 1; case 2 => 3; case _ => 4 }
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
     val bitsPp = depth * channels               // bits per pixel ≤ 64
     val strideL = (w * bitsPp + 7) / 8          // scanline bytes, sans filter
     val rawLen = (1L + strideL) * h
@@ -978,7 +988,8 @@ object MediaCodecs {
           // (big-endian — the standard 16→8 reduction)
           val o = rowOff + x * channels * sampleStep
           colorType match {
-            case 0 => val v = raw(o) & 0xff; rgb = (v << 16) | (v << 8) | v
+            // gray (+alpha, ignored like type 6's): first sample is luma
+            case 0 | 4 => val v = raw(o) & 0xff; rgb = (v << 16) | (v << 8) | v
             case 3 =>
               val v = raw(o) & 0xff
               if (v >= palette.length) return None
@@ -1277,7 +1288,10 @@ object MediaCodecs {
           if (colors == null) return None
           if (!avail(1)) return None
           val mcs = bytes(pos) & 0xff; pos += 1
-          if (mcs < 2 || mcs > 11) return None
+          // spec caps the LZW min code size at 8 (256-color tables);
+          // accepting 9..11 would let root codes 256..2047 truncate to a
+          // byte in the index buffer — silent pixel corruption
+          if (mcs < 2 || mcs > 8) return None
           return decodeGifLzw(bytes, pos, w, h, mcs, interlaced, colors)
         case 0x3b => return None               // trailer before any image
         case _ => return None

@@ -589,7 +589,12 @@ object Multimodal {
       .withColumn("trim_start_frame",
         col("first_voiced") * winFrames)
       .withColumn("trim_end_frame",
-        least(expr("n_samples div _ch"), (col("last_voiced") + 1) * winFrames))
+        // guard BEFORE least(): Spark least() SKIPS null arguments, so an
+        // all-silent asset (last_voiced NULL) would read back the full
+        // clip length instead of the documented NULL bounds
+        when(col("last_voiced").isNull, lit(null))
+          .otherwise(least(expr("n_samples div _ch"),
+            (col("last_voiced") + 1) * winFrames)))
       .drop("_ch")
   }
 

@@ -788,6 +788,47 @@ class MediaSpec extends SparkSpec {
     assert(bad.length === 1 && bad.head.ok === 0L)
   }
 
+  test("png gray+alpha (type 4) decodes; corrupt SECOND gzip member rejects whole payload") {
+    // hand-build a 2x1 type-4 PNG via the shared chunk writer: samples
+    // (gray, alpha) = (10, 255), (200, 0) — alpha ignored like RGBA's
+    val raw = Array[Byte](0, 10, -1, 200.toByte, 0)
+    // raw scanline = filter byte + 2px * 2 samples... build: 1 row, w=2
+    val raw2 = Array[Byte](0, 10, -1, 200.toByte, 0)
+    assert(raw.length == 5 && raw2.length == 5)
+    val png = {
+      val m = classOf[MediaCodecs.type].getDeclaredMethods
+        .find(_.getName == "wrapPng").get
+      m.setAccessible(true)
+      m.invoke(MediaCodecs, Integer.valueOf(2), Integer.valueOf(1),
+        Integer.valueOf(8), Integer.valueOf(4), raw2, null)
+        .asInstanceOf[Array[Byte]]
+    }
+    val img = MediaCodecs.decodePng(png).get
+    assert(img.pixels.toSeq === Seq(0x0a0a0a, 0xc8c8c8),
+      "gray+alpha reads the luma sample")
+    // strict multi-member gzip: corrupting member 2's magic must reject
+    // the WHOLE payload, not silently return member 1 (the JDK stream's
+    // readTrailer swallowed it)
+    import graft.operators.Compressed
+    val two = Compressed.gzipBytes("alpha".getBytes) ++
+      Compressed.gzipBytes("beta".getBytes)
+    val firstLen = Compressed.gzipBytes("alpha".getBytes).length
+    val corrupt = two.clone; corrupt(firstLen) = 0x00 // member-2 magic
+    assert(Compressed.gunzipBytes(corrupt).isEmpty,
+      "partial data must not surface as ok")
+  }
+
+  test("all-silent audio reports NULL trim bounds (least() null-skip guard)") {
+    import spark.implicits._
+    val silent = MediaCodecs.encodeWav(new Array[Short](256), 8000)
+    val assets = Multimodal.toAssets(Seq((1L, silent)).toDF("asset_id", "payload"),
+      "asset_id", "payload", "audio/wav")
+    val r = Multimodal.silenceTrimPlan(assets, winFrames = 64).collect().head
+    assert(r.isNullAt(r.fieldIndex("trim_start_frame")) &&
+      r.isNullAt(r.fieldIndex("trim_end_frame")),
+      "silent-throughout must yield NULL bounds on BOTH ends")
+  }
+
   // ---- GIF ----
 
   test("gif: hand-built golden bytes decode exactly (LZW walked by hand)") {
