@@ -36,9 +36,17 @@ object Skew {
     * spread round-robin. The salt is only stable within a run, which is
     * all that's required — it exists solely to spread phase 1, and the
     * phase-2 re-aggregate makes the OUTPUT identical for any salt. */
-  private def salt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id(): _*),
-      lit(saltBuckets)).cast("int")
+  private def salt(df: DataFrame, saltBuckets: Int): Column = {
+    // a user '_salt' column would be silently overwritten by withColumn
+    // and dropped at the end — fail loudly instead
+    require(!df.columns.contains("_salt"),
+      "column name '_salt' collides with the skew operators' working column")
+    // hash ONLY the position id: it already spreads identical duplicate
+    // rows round-robin, and hashing every column both paid per-byte cost
+    // on wide payloads and threw on MapType columns (xxhash64 rejects
+    // maps), failing a groupBy that plain Spark handles fine
+    pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int")
+  }
 
   /** Two-phase salted aggregation: `aggs` maps output column name →
     * (phase-1 aggregate of an input column, phase-2 re-aggregate of the

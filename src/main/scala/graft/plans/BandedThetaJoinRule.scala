@@ -15,13 +15,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * scale-killer a user writes in plain SQL. A qualifying pair always
   * falls in the same or an adjacent `w`-sized time bucket, so the rule
   *
-  *   1. stamps the left side with `bucket = t div w` (one projection);
-  *   2. explodes the right side to buckets {b-1, b, b+1} (bounded 3×);
-  *   3. joins on bucket equality, keeping the ORIGINAL predicate as the
-  *      exact residual filter (so results are identical — the bucket
+  *   1. stamps the LARGER side with `bucket = t div w` (one projection);
+  *   2. explodes the SMALLER side to buckets {b-1, b, b+1} (bounded 3× of
+  *      the cheaper input — sizes from plan stats, the BloomJoinRule
+  *      pattern);
+  *   3. joins on bucket equality, with the band test as the exact
+  *      residual filter REWRITTEN in widened Long arithmetic — the bucket
   *      match is a necessary condition, and each qualifying pair matches
-  *      on exactly ONE of the three replicas, so no duplicates);
+  *      on exactly ONE of the three replicas, so no duplicates;
   *   4. projects back to the original output.
+  *
+  * Arithmetic normalization (deliberate, documented): the residual
+  * evaluates abs(CAST(x AS LONG) − CAST(y AS LONG)) ≤ w, so for INT
+  * columns the rewrite is EXACT where the naive plan's 32-bit subtract
+  * would wrap (non-ANSI: a pair at distance ~2^32 'matched' by wrap is
+  * NOT matched here — that match is a corrupt-data artifact) or throw
+  * (ANSI: the nested-loop plan errors on any distant pair it merely
+  * EXAMINES; the rewrite never evaluates the residual on non-co-located
+  * pairs and returns the correct result). LONG columns keep long
+  * arithmetic (the same corner exists only at |x−y| ≥ 2^63). Kill switch:
+  * spark.graft.bandedThetaRule.enabled=false.
   *
   * `div` truncates where a mathematical floor would round down on
   * negatives, but over any interval of length `w` the truncated bucket
@@ -48,13 +61,17 @@ object BandedThetaJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case l: Long => l
   }
 
-  /** Extract |x - y| <= w (either comparison order). */
+  /** Extract |x - y| <= w (either comparison order). The null guard on
+    * the literal matters: a CAST(NULL AS BIGINT) width reaching litLong
+    * would MatchError inside the optimizer and kill the whole query. */
   private def bandOf(p: Expression): Option[(Expression, Expression, Long)] = p match {
     case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(w, t))
-        if isIntegral(x) && isIntegral(y) && (t == LongType || t == IntegerType) =>
+        if w != null && isIntegral(x) && isIntegral(y) &&
+          (t == LongType || t == IntegerType) =>
       Some((x, y, litLong(w)))
     case GreaterThanOrEqual(Literal(w, t), Abs(Subtract(x, y, _), _))
-        if isIntegral(x) && isIntegral(y) && (t == LongType || t == IntegerType) =>
+        if w != null && isIntegral(x) && isIntegral(y) &&
+          (t == LongType || t == IntegerType) =>
       Some((x, y, litLong(w)))
     case _ => None
   }
@@ -88,18 +105,34 @@ object BandedThetaJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val wLit = Literal(w, LongType)
           def bucket(t: Expression) =
             IntegralDivide(Cast(t, LongType), wLit)
-          val lAlias = Alias(bucket(lt), s"${bandPrefix}_l")()
-          val lProj = Project(l.output :+ lAlias, l)
-          val rBucket = bucket(rt)
+          // residual in widened LONG arithmetic (see the header's
+          // normalization note): exact for INT columns in both ANSI modes
+          val residual = {
+            val bandTest = LessThanOrEqual(
+              Abs(Subtract(Cast(lt, LongType), Cast(rt, LongType))), wLit)
+            val others = conjuncts.filter(p => bandOf(p).isEmpty)
+            (others :+ bandTest).reduce(And)
+          }
+          // explode the SMALLER side (3x the cheaper input); stamp the
+          // larger. Stats are always present (size-only estimates at
+          // minimum — the BloomJoinRule pattern).
+          val explodeLeft = l.stats.sizeInBytes < r.stats.sizeInBytes
+          val (stampPlan, stampT, genPlan, genT) =
+            if (explodeLeft) (r, rt, l, lt) else (l, lt, r, rt)
+          val stampAlias = Alias(bucket(stampT), s"${bandPrefix}_l")()
+          val stampProj = Project(stampPlan.output :+ stampAlias, stampPlan)
+          val gBucket = bucket(genT)
           val expand = CreateArray(Seq(
-            Subtract(rBucket, Literal(1L, LongType)), rBucket,
-            Add(rBucket, Literal(1L, LongType))))
-          val rAttr = AttributeReference(s"${bandPrefix}_r", LongType,
+            Subtract(gBucket, Literal(1L, LongType)), gBucket,
+            Add(gBucket, Literal(1L, LongType))))
+          val gAttr = AttributeReference(s"${bandPrefix}_r", LongType,
             nullable = expand.children.exists(_.nullable))()
-          val rGen = Generate(Explode(expand), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(rAttr), child = r)
-          val newCond = And(cond, EqualTo(lAlias.toAttribute, rAttr))
-          Project(j.output, Join(lProj, rGen, Inner, Some(newCond), hint))
+          val gen = Generate(Explode(expand), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(gAttr),
+            child = genPlan)
+          val newCond = And(residual, EqualTo(stampAlias.toAttribute, gAttr))
+          val (newL, newR) = if (explodeLeft) (gen, stampProj) else (stampProj, gen)
+          Project(j.output, Join(newL, newR, Inner, Some(newCond), hint))
         case _ => j
       }
   }

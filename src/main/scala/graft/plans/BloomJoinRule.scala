@@ -87,8 +87,17 @@ object BloomJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // project the key first so the subquery's scan prunes to one column
     // even before its own optimization pass runs
     val keyAlias = Alias(creKey, "_graft_bloom_key")()
+    // size the filter from the build side's stats instead of the 1M-item
+    // default: a 64 MB build side of short keys holds ~4M distinct items,
+    // and the default bloom degrades to ~0.7 FPP — pass-through cost with
+    // none of the pruning. ~16 bytes/key estimate, clamped to [2^12, 2^22]
+    // items at 20 bits each (FPP < 1%), the shape Spark's own
+    // InjectRuntimeFilter derives from rowCount.
+    val estItems = math.max(1L << 12,
+      math.min(1L << 22, (cre.stats.sizeInBytes / 16).toLong))
     val aggPlan = Aggregate(Nil,
-      Seq(Alias(new BloomFilterAggregate(new XxHash64(Seq(keyAlias.toAttribute)))
+      Seq(Alias(new BloomFilterAggregate(new XxHash64(Seq(keyAlias.toAttribute)),
+        Literal(estItems), Literal(estItems * 20))
         .toAggregateExpression(), "_graft_bloom_filter")()),
       Project(Seq(keyAlias), cre))
     Filter(BloomFilterMightContain(ScalarSubquery(aggPlan),
@@ -99,9 +108,12 @@ object BloomJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * is private[sql] — enumerate the public members). */
   private def eligibleKey(e: Expression): Boolean =
     e.deterministic && e.references.nonEmpty && (e.dataType match {
+      // no BooleanType: a 2-value key can never prune — blooming the
+      // flag conjunct of `ON p.flag = d.flag AND p.id = d.id` pays the
+      // full build-side scan for a filter that passes every probe row
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: FloatType | _: DoubleType | _: DecimalType | _: StringType |
-           _: BinaryType | _: BooleanType | _: DateType | _: TimestampType |
+           _: BinaryType | _: DateType | _: TimestampType |
            _: TimestampNTZType => true
       case _ => false
     })

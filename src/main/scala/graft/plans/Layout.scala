@@ -87,22 +87,40 @@ object Layout {
     * The position key is dropped from the files (derivable from the
     * seed). */
   def writeEpochShuffled(df: DataFrame, idCol: String, seed: Long,
-                         path: String, shards: Int): Unit =
-    df.withColumn("_pos",
-        graft.functions.FeistelPermute.feistel(col(idCol), lit(seed)))
+                         path: String, shards: Int): Unit = {
+    require(!df.columns.contains("_pos"),
+      "column name '_pos' collides with the epoch writer's working column")
+    // the feistel domain is [0, 2^32): an id with higher bits (snowflake
+    // ids, monotonically_increasing_id with partition bits) would ALIAS
+    // another id's position and the 'collision-free shuffle' contract
+    // silently breaks — fail per-row instead
+    val guarded = when(col(idCol) < 0 || col(idCol) >= lit(1L << 32),
+        raise_error(concat(lit(s"writeEpochShuffled: $idCol out of the " +
+          "feistel32 domain [0, 2^32): "), col(idCol).cast("string"))))
+      .otherwise(graft.functions.FeistelPermute.feistel(col(idCol), lit(seed)))
+    df.withColumn("_pos", guarded)
       .repartitionByRange(shards, col("_pos"))
       .sortWithinPartitions(col("_pos"))
       .drop("_pos")
       .write.mode("overwrite").parquet(path)
+  }
 
   private def writeCurveOrdered(df: DataFrame, xCol: String, yCol: String,
                                 path: String, shards: Int,
                                 key: (org.apache.spark.sql.Column,
                                   org.apache.spark.sql.Column) =>
                                   org.apache.spark.sql.Column): Unit = {
+    require(!df.columns.contains("_z"),
+      "column name '_z' collides with the curve writer's working column")
     val b = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    // empty (or all-NULL-key) input: no bounds to quantize — write the
+    // empty frame instead of NPEing on the null aggregate row
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def quantized(c: String, lo: Long, hi: Long) = {
       val width = math.max(1L, (hi - lo) / 65536L + 1)
       ((col(c).cast("long") - lo) / width).cast("long")
