@@ -3245,7 +3245,8 @@ object QueryCatalog {
       |    min(xd) AS mn, max(xd) AS mx
       |  FROM x GROUP BY 1)
       |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-      |  CASE WHEN n > 1 AND q * n > CAST(CAST(sx AS DECIMAL(28,6)) * sx AS DECIMAL(38,12))
+      |  CASE WHEN n > 1 AND mn < mx
+      |      AND (CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)) > 0
       |    THEN round((CAST(xd AS DOUBLE) - CAST(sx AS DOUBLE)/n) /
       |      sqrt(CAST(q AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) + 0
       |  END AS l_extendedprice_z,

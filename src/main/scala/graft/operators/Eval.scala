@@ -399,7 +399,7 @@ object Eval {
         sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
           .as("n_covered"))
       .withColumnRenamed(groupCol, "_cg")
-    thr.join(broadcast(cov), col("_g") <=> col("_cg"), "left")
+    val scored = thr.join(broadcast(cov), col("_g") <=> col("_cg"), "left")
       .select(col("_g").as(groupCol),
         col("_nc").as("n_cal"), col("_k").as("k_rank"), col("qhat"),
         coalesce(col("n_test"), lit(0L)).as("n_test"),
@@ -407,6 +407,18 @@ object Eval {
       .withColumn("coverage",
         when(col("n_test") > 0,
           round(col("n_covered").cast("double") / col("n_test"), 6)))
+    // groups with test rows but NO calibration threshold surface as an
+    // UNSCORED row (n_cal = 0, NULL k/qhat/coverage) instead of vanishing —
+    // parity with StreamingConformal's unscored verdict for unknown groups.
+    // Distinguishable from the k>n "+∞ threshold" case, which also carries a
+    // NULL qhat but has n_cal > 0 (and counts every test row covered).
+    val unscored = test.groupBy(g).agg(count(lit(1)).as("n_test"))
+      .join(broadcast(thr.select(col("_g"))), g <=> col("_g"), "left_anti")
+      .select(g, lit(0L).as("n_cal"), lit(null).cast("long").as("k_rank"),
+        lit(null).cast("double").as("qhat"), col("n_test"),
+        lit(null).cast("long").as("n_covered"),
+        lit(null).cast("double").as("coverage"))
+    scored.unionByName(unscored)
   }
 
   /** Isotonic calibration per group — the pool-adjacent-violators fit

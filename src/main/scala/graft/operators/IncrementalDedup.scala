@@ -112,11 +112,17 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
     // RETRACTION: a batch id with NO new signature (re-ingested text now
     // blank/under n words) must not keep matching its old text forever —
     // remove its stale rows. O(table) rewrite, but only on the rare batch
-    // that actually retracts; skipped when the rewrite would empty the
-    // table (the stores reject empty replaces — an all-retracted index is
-    // a rebuild, not a maintenance step).
-    val retracted = batchIds.join(sigNew.select(col("doc_id")),
-      Seq("doc_id"), "left_anti").localCheckpoint(true)
+    // that actually retracts: ids with no signature are first intersected
+    // with the STORED index (a brand-new blank/short doc was never indexed
+    // — nothing to retract, no rewrite), and skipped when the rewrite
+    // would empty the table (the stores reject empty replaces — an
+    // all-retracted index is a rebuild, not a maintenance step).
+    val sigless = batchIds.join(sigNew.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val retracted = (if (store.exists(sigTable))
+        sigless.join(store.read(sigTable).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else sigless.limit(0)).localCheckpoint(true)
     if (!retracted.isEmpty && store.exists(sigTable)) {
       val keptSig = store.read(sigTable)
         .join(retracted, Seq("doc_id"), "left_anti").localCheckpoint(true)

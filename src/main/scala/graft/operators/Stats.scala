@@ -48,11 +48,15 @@ object Stats {
     val variance = col("_q").cast("double") / col("_n") - mean * mean
     df.join(broadcast(stats), col(groupCol) <=> col("_grp"), "left")
       .withColumn(s"${valueCol}_z",
-        // EXACT zero-variance gate (n·Q > S², the corrVerdict pattern):
-        // the float variance of a constant group can land at ±1e-18 and
-        // flip NULL/0.0 between engines; the decimal cross-multiplication
-        // cannot
-        when(col("_n") > 1 && col("_q") * col("_n") > col("_s") * col("_s"),
+        // EXACT zero-variance gate: min < max decides group constancy with
+        // NO arithmetic at all (a decimal n·Q > S² cross-product looks
+        // exact but Spark's precision-loss rule rounds the 59-digit product
+        // to scale 6, blurring sub-1e-6 variances). The variance > 0
+        // conjunct is the float-cancellation guard: a non-constant group
+        // whose double cross-product cancels to ≤ 0 reads NULL z instead of
+        // NaN/∞ — deterministic, since both engines evaluate the identical
+        // fixed-shape expression over the same exact decimal bases.
+        when(col("_n") > 1 && col("_mn") < col("_mx") && variance > lit(0d),
           canonZero(round((xd.cast("double") - mean) / sqrt(variance), 6))))
       .withColumn(s"${valueCol}_minmax",
         when(col("_mx") > col("_mn"),

@@ -89,19 +89,23 @@ object BandedThetaJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if !l.output.exists(_.name.startsWith(bandPrefix)) &&
           !r.output.exists(_.name.startsWith(bandPrefix)) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // keep the PRODUCING conjunct alongside the extracted band: only that
+      // one conjunct is replaced by the widened residual — every other
+      // predicate (a second band, a same-side band filter, anything else)
+      // must survive verbatim or the join silently returns extra rows
       val band = conjuncts.flatMap { p =>
         bandOf(p).flatMap { case (x, y, w) =>
           if (w <= 0) None
           else if (x.references.subsetOf(l.outputSet) &&
-            y.references.subsetOf(r.outputSet)) Some((x, y, w))
+            y.references.subsetOf(r.outputSet)) Some((p, x, y, w))
           else if (y.references.subsetOf(l.outputSet) &&
-            x.references.subsetOf(r.outputSet)) Some((y, x, w))
+            x.references.subsetOf(r.outputSet)) Some((p, y, x, w))
           else None
         }
       }.headOption
       val hasEqui = conjuncts.exists(p => crossSideEquality(p, l, r))
       band match {
-        case Some((lt, rt, w)) if !hasEqui =>
+        case Some((chosen, lt, rt, w)) if !hasEqui =>
           val wLit = Literal(w, LongType)
           def bucket(t: Expression) =
             IntegralDivide(Cast(t, LongType), wLit)
@@ -110,7 +114,7 @@ object BandedThetaJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val residual = {
             val bandTest = LessThanOrEqual(
               Abs(Subtract(Cast(lt, LongType), Cast(rt, LongType))), wLit)
-            val others = conjuncts.filter(p => bandOf(p).isEmpty)
+            val others = conjuncts.filterNot(_ eq chosen)
             (others :+ bandTest).reduce(And)
           }
           // explode the SMALLER side (3x the cheaper input); stamp the

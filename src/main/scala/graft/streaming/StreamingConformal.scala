@@ -22,8 +22,13 @@ import graft.plans.TableStore
   * and breached, never silently dropped.
   *
   * Determinism and exactly-once: the threshold is an exact order
-  * statistic ([[graft.operators.Eval.conformalThreshold]], materialized
-  * via localCheckpoint so it is computed exactly once); per-batch
+  * statistic ([[graft.operators.Eval.conformalThreshold]], computed once
+  * at start and held as a DRIVER-LITERAL frame — a localCheckpoint would
+  * truncate lineage to executor blocks, and losing an executor mid-stream
+  * would fail every later micro-batch of a long-running monitor; the
+  * frame is ≤|groups| rows, the same bound that makes it broadcastable,
+  * so the driver copy is free and every batch can always rebuild the
+  * broadcast from it); per-batch
   * coverage is integer counting with the ONE rounded readout; the
   * breach test is cross-multiplied integers (`covered·den < n·num` —
   * no float threshold); verdicts MERGE keyed (batch_id, group), so a
@@ -42,12 +47,17 @@ object StreamingConformal {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(minCovNum >= 0 && minCovDen > 0 && minCovNum <= minCovDen,
       "minimum coverage must be a rational in [0, 1]")
-    // freeze the thresholds NOW (localCheckpoint materializes the frame;
-    // later batches must not replan it against a moving calibration set)
-    val thr = graft.operators.Eval.conformalThreshold(
+    // freeze the thresholds NOW, as a driver-literal frame: compute once,
+    // collect (≤|groups| rows — already the broadcast-size contract), and
+    // re-create as a LocalRelation. Replayable from the driver forever —
+    // an executor loss can never strand the monitor the way a
+    // lineage-truncated localCheckpoint block would.
+    val computed = graft.operators.Eval.conformalThreshold(
       calibration, groupCol, scoreCol, alphaNum, alphaDen)
-      .localCheckpoint(true)
-    require(thr.count() > 0, "empty calibration set: no thresholds to monitor")
+    val thrRows = computed.collect()
+    require(thrRows.nonEmpty, "empty calibration set: no thresholds to monitor")
+    val thr = calibration.sparkSession.createDataFrame(
+      java.util.Arrays.asList(thrRows: _*), computed.schema)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

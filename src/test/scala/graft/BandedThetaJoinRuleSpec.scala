@@ -78,6 +78,43 @@ class BandedThetaJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("two band predicates: the non-selected band survives as a residual") {
+    // |a_t - b_t| <= 10 AND |a_u - b_u| <= 5 — the rule rewrites ONE band
+    // into buckets; the other must stay in the join condition verbatim
+    val a = (0 until 80).map(i => (i.toLong, (i * 7L) % 100, (i * 11L) % 100))
+      .toDF("a_id", "a_t", "a_u")
+    val b = (0 until 80).map(i => (i.toLong + 500, (i * 13L) % 100, (i * 3L) % 100))
+      .toDF("b_id", "b_t", "b_u")
+    val joined = a.join(b,
+        abs(col("a_t") - col("b_t")) <= 10L && abs(col("a_u") - col("b_u")) <= 5L)
+      .select(col("a_id"), col("b_id"))
+    assert(joined.queryExecution.executedPlan.toString.contains("_graft_band"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = (for {
+      i <- 0 until 80; j <- 0 until 80
+      if math.abs((i * 7L) % 100 - (j * 13L) % 100) <= 10 &&
+        math.abs((i * 11L) % 100 - (j * 3L) % 100) <= 5
+    } yield (i.toLong, j.toLong + 500)).sorted
+    assert(got === want, "second band predicate must not be dropped")
+  }
+
+  test("same-side band filter survives the rewrite") {
+    // |a_t - a_u| <= 3 references only the left side: it is band-SHAPED but
+    // not a cross-side band — it must remain a filter, not vanish
+    val a = Seq((1L, 10L, 11L), (2L, 10L, 50L), (3L, 20L, 22L))
+      .toDF("a_id", "a_t", "a_u")
+    val b = Seq((7L, 12L), (8L, 90L)).toDF("b_id", "b_t")
+    val joined = a.join(b,
+        abs(col("a_t") - col("b_t")) <= 5L && abs(col("a_t") - col("a_u")) <= 3L)
+      .select(col("a_id"), col("b_id"))
+    assert(joined.queryExecution.executedPlan.toString.contains("_graft_band"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a_id=2 matches the cross band (|10-12|<=5) but fails |10-50|<=3;
+    // a_id=3 passes the same-side filter but fails the cross band (|20-12|=8)
+    assert(got === Set((1L, 7L)),
+      "same-side band-shaped filter must not be dropped")
+  }
+
   test("joins that already have an equi key are left alone") {
     val a = Seq((1L, 5L, 100L)).toDF("k", "a_t", "a_v")
     val b = Seq((1L, 7L, 200L)).toDF("k2", "b_t", "b_v")

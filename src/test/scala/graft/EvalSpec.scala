@@ -388,4 +388,24 @@ class EvalSpec extends SparkSpec {
         .unionAll(df).repartition(13), "grp", "s", "is_cal", 1L, 10L)
     assert(re.count() === 2L)
   }
+
+  test("conformalCalibration: a test-only group surfaces UNSCORED (n_cal=0, " +
+       "NULL qhat/coverage) — parity with StreamingConformal's unknown-group verdict") {
+    val df = Seq(
+      ("a", 1.0, true), ("a", 2.0, true), ("a", 3.0, true), ("a", 2.5, false),
+      ("b", 9.0, false), ("b", 1.0, false)) // group b: test rows, no calibration
+      .toDF("grp", "s", "is_cal")
+    val out = Eval.conformalCalibration(df, "grp", "s", "is_cal", 1L, 4L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a", "b"), "calibration-less group must not vanish")
+    val b = out("b")
+    assert(b.getAs[Long]("n_cal") === 0L, "n_cal = 0 marks the unscored row")
+    assert(b.isNullAt(b.fieldIndex("k_rank")) && b.isNullAt(b.fieldIndex("qhat")))
+    assert(b.getAs[Long]("n_test") === 2L)
+    assert(b.isNullAt(b.fieldIndex("n_covered")) && b.isNullAt(b.fieldIndex("coverage")),
+      "no threshold means coverage is unknowable, not zero")
+    // distinguishable from the k>n +inf case: that row keeps n_cal > 0
+    val a = out("a")
+    assert(a.getAs[Long]("n_cal") === 3L && a.getAs[Long]("n_test") === 1L)
+  }
 }

@@ -88,6 +88,22 @@ class IncrementalDedupSpec extends SparkSpec {
       s"post-vacuum replay must re-emit the same pairs: $replayed")
   }
 
+  test("a brand-new blank doc does NOT trigger the O(table) retraction rewrite") {
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-inc-dedup5").toString, nBuckets = 4)
+    val idx = new IncrementalDedupIndex(store, "docs", 3, 12, 4, 0.5)
+    idx.ingest(df(corpus.slice(0, 4)))
+    val before = store.onDiskVersionDirs(idx.sigTable).size
+    // doc 99 has no signature AND was never indexed: nothing to retract —
+    // the rewrite must not fire (it is O(table), reserved for real retractions)
+    idx.ingest(df(Seq((99L, ""))))
+    assert(store.onDiskVersionDirs(idx.sigTable).size === before,
+      "never-indexed blank docs must not rewrite the index")
+    // index still intact: a later dup of docs 1 and 3 is found against both
+    val p = pairSet(idx.ingest(df(Seq((7L, corpus.head._2)))))
+    assert(p === Set((1L, 7L), (3L, 7L)), s"index must survive the no-op batch: $p")
+  }
+
   test("re-ingest with blank/short text RETRACTS the stale index entry") {
     import org.apache.spark.sql.functions.col
     val idx = mkIndex()
