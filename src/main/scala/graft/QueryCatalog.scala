@@ -7090,6 +7090,57 @@ object QueryCatalog {
       |SELECT r.cls, r.score, r.n, r.sy AS sum_pos, round(f.fv, 6) AS fitted
       |FROM r JOIN f ON f.cls = r.cls AND f.jk = r.k AND f.ik = r.k""".stripMargin
 
+  /** HTML → text extraction (Html.htmlProfile over Html.synthHtmlDocs):
+    * documents wrapped in deterministic pages — title, inline script with
+    * a bare `<`, style block, comment, entity-encoded heading, link every
+    * third doc — then stripped back to text with structural counts. The
+    * oracle rebuilds the identical markup by concat and replays the same
+    * common-subset regex chain (see Html.scala's Java/RE2 note); the
+    * text-to-markup ratio is integer ppm, no rounded doubles. */
+  def q248HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    operators.Html.htmlProfile(
+      operators.Html.synthHtmlDocs(t(s, dir, "documents"), "doc_id", "text"))
+
+  val q248Sql: String =
+    """WITH h AS (SELECT doc_id,
+      |    '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+      |    ' &amp; friends</title><script type="text/javascript">var n = ' ||
+      |    doc_id || ' < 99; // inline</script><style>.c' || (doc_id % 7) ||
+      |    ' { color: #333; }</style></head><body><!-- shard ' || (doc_id % 5) ||
+      |    ' --><h1>Doc &lt;' || doc_id || '&gt;</h1><p>' ||
+      |    substring(text, 1, 40) || '</p>' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '<a href="http://example.org/d' || doc_id || '">ref</a>'
+      |      ELSE '' END ||
+      |    '<p>' || substring(text, 41) ||
+      |    ' &quot;quoted&quot;&nbsp;tail</p></body></html>' AS html
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]*>', ' ', 'g') AS strp
+      |  FROM h),
+      |d AS (SELECT doc_id, html,
+      |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |      strp, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS text,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS title
+      |  FROM s)
+      |SELECT doc_id, title, text,
+      |  CAST(length(html) AS BIGINT) AS html_chars,
+      |  CAST(length(text) AS BIGINT) AS text_chars,
+      |  CAST(length(text) AS BIGINT) * 1000000 // CAST(length(html) AS BIGINT) AS text_ppm,
+      |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a\s[^>]*href')) AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(html, '(?i)<p[\s>]')) AS BIGINT) AS n_paragraphs
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7342,7 +7393,8 @@ object QueryCatalog {
     ("q244_omni_dedup", q244OmniDedup _, Some(q244Sql)),
     ("q245_avro_decode", q245AvroDecode _, Some(q245Sql)),
     ("q246_gif_meta", q246GifMeta _, Some(q246Sql)),
-    ("q247_isotonic", q247Isotonic _, Some(q247Sql)))
+    ("q247_isotonic", q247Isotonic _, Some(q247Sql)),
+    ("q248_html_extract", q248HtmlExtract _, Some(q248Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
