@@ -7141,6 +7141,57 @@ object QueryCatalog {
       |  CAST(len(regexp_extract_all(html, '(?i)<p[\s>]')) AS BIGINT) AS n_paragraphs
       |FROM d""".stripMargin
 
+  /** URL parse profile + registrable domain (Urls.urlProfile over
+    * Urls.synthUrls): RFC-3986-shaped regex split (scheme/host/port/path/
+    * query) plus the mini-PSL eTLD+1 — the per-domain keying primitive of
+    * crawl curation. Fixture covers co.uk/com.au suffixes, an IPv4
+    * literal, a single-label host, case-folding, empty-vs-'?'-vs-absent
+    * queries, and a malformed row every 97th event. */
+  def q249UrlProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Urls.urlProfile(operators.Urls.synthUrls(t(s, dir, "events")))
+
+  val q249Sql: String = {
+    val re = """^([a-z][a-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
+    val psl = operators.Urls.PublicSuffixes2.map(sx => s"'$sx'").mkString(", ")
+    s"""WITH u AS (SELECT event_id,
+       |    CASE WHEN event_id % 97 = 0 THEN 'not a url ' || event_id
+       |    ELSE (CASE WHEN event_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+       |      (CASE WHEN event_id % 11 = 0 THEN 'Site' || (event_id % 5) || '.Example.CO.UK'
+       |            WHEN event_id % 11 = 1 THEN '10.0.' || (event_id % 256) || '.7'
+       |            WHEN event_id % 11 = 2 THEN 'localhost'
+       |            WHEN event_id % 11 = 3 THEN 'cdn.host' || (event_id % 7) || '.com.au'
+       |            ELSE 'www.dom' || (event_id % 50) || '.org' END) ||
+       |      (CASE WHEN event_id % 13 = 0 THEN ':8080' ELSE '' END) ||
+       |      (CASE WHEN event_id % 4 = 0 THEN ''
+       |            WHEN event_id % 4 = 1 THEN '/'
+       |            WHEN event_id % 4 = 2 THEN '/a/b/page' || (event_id % 9)
+       |            ELSE '/p//q' || (event_id % 3) || '/' END) ||
+       |      (CASE WHEN event_id % 5 = 0 THEN '?u=' || event_id || '&ref=feed'
+       |            WHEN event_id % 5 = 1 THEN '?' ELSE '' END)
+       |    END AS url FROM events),
+       |p AS (SELECT event_id, url,
+       |    nullif(regexp_extract(url, '$re', 1), '') AS scheme,
+       |    lower(nullif(regexp_extract(url, '$re', 2), '')) AS host,
+       |    TRY_CAST(nullif(regexp_replace(regexp_extract(url, '$re', 3), '^:', ''), '') AS BIGINT) AS port,
+       |    regexp_extract(url, '$re', 4) AS path,
+       |    nullif(regexp_replace(regexp_extract(url, '$re', 5), '^\\?', ''), '') AS query_string
+       |  FROM u),
+       |e AS (SELECT *, string_split(host, '.') AS labs FROM p)
+       |SELECT event_id, url, scheme, host, port, path, query_string,
+       |  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+       |  CAST(CASE WHEN query_string IS NULL THEN 0
+       |       ELSE len(string_split(query_string, '&')) END AS BIGINT) AS n_params,
+       |  CASE WHEN host IS NULL THEN NULL
+       |       WHEN regexp_matches(host, '^[0-9.]+${"$"}') THEN host
+       |       WHEN len(labs) <= 1 THEN host
+       |       WHEN (labs[-2] || '.' || labs[-1]) IN ($psl) THEN
+       |         CASE WHEN len(labs) >= 3
+       |              THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+       |              ELSE host END
+       |       ELSE labs[-2] || '.' || labs[-1] END AS etld1
+       |FROM e""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7394,7 +7445,8 @@ object QueryCatalog {
     ("q245_avro_decode", q245AvroDecode _, Some(q245Sql)),
     ("q246_gif_meta", q246GifMeta _, Some(q246Sql)),
     ("q247_isotonic", q247Isotonic _, Some(q247Sql)),
-    ("q248_html_extract", q248HtmlExtract _, Some(q248Sql)))
+    ("q248_html_extract", q248HtmlExtract _, Some(q248Sql)),
+    ("q249_url_profile", q249UrlProfile _, Some(q249Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Urls
+
+/** URL parsing + eTLD+1: field extraction on well-formed, hostile, and
+  * suffix-listed inputs; malformed rows must surface, never throw. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def profile(url: String) =
+    Urls.urlProfile(Seq((1L, url)).toDF("event_id", "url")).collect().head
+
+  test("full URL splits into every field") {
+    val r = profile("https://Sub.Example.CO.UK:8443/a//b/c?x=1&y=2&z#frag")
+    assert(r.getAs[String]("scheme") === "https")
+    assert(r.getAs[String]("host") === "sub.example.co.uk", "host case-folds")
+    assert(r.getAs[Long]("port") === 8443L)
+    assert(r.getAs[String]("path") === "/a//b/c")
+    assert(r.getAs[String]("query_string") === "x=1&y=2&z")
+    assert(r.getAs[Long]("path_depth") === 3L, "empty segments don't count")
+    assert(r.getAs[Long]("n_params") === 3L)
+    assert(r.getAs[String]("etld1") === "example.co.uk",
+      "two-label public suffix keeps three labels")
+  }
+
+  test("minimal and degenerate shapes") {
+    val bare = profile("http://example.org")
+    assert(bare.getAs[String]("path") === "" && bare.isNullAt(bare.fieldIndex("port")))
+    assert(bare.getAs[Long]("path_depth") === 0L && bare.getAs[Long]("n_params") === 0L)
+    assert(bare.getAs[String]("etld1") === "example.org")
+    val q = profile("http://a.net/?")
+    assert(q.isNullAt(q.fieldIndex("query_string")), "bare '?' is an empty query → NULL")
+    assert(q.getAs[Long]("n_params") === 0L)
+  }
+
+  test("eTLD+1: IP literals, single labels, naive-rule divergence") {
+    val rows = Seq(
+      "http://192.168.0.1/x" -> "192.168.0.1",
+      "http://localhost:80/" -> "localhost",
+      "http://deep.sub.blog.example.com.au/p" -> "example.com.au",
+      "http://www.plain.org/p" -> "plain.org",
+      // the host IS a public suffix: nothing registrable above it
+      "http://co.uk/" -> "co.uk")
+    rows.foreach { case (u, want) =>
+      assert(profile(u).getAs[String]("etld1") === want, s"etld1($u)")
+    }
+  }
+
+  test("malformed URLs surface with NULL host, never throw") {
+    val r = profile("not a url at all")
+    assert(r.isNullAt(r.fieldIndex("scheme")) && r.isNullAt(r.fieldIndex("host")))
+    assert(r.isNullAt(r.fieldIndex("etld1")))
+    assert(r.getAs[Long]("path_depth") === 0L)
+    // scheme must start with a letter — '3ttp' is not a scheme
+    val n = profile("3ttp://x.org/")
+    assert(n.isNullAt(n.fieldIndex("host")))
+  }
+
+  test("profile is map-only (no shuffle) and the fixture parses clean") {
+    val df = Urls.urlProfile(Urls.synthUrls(
+      spark.range(0, 500).select(col("id").as("event_id"))))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = df.collect()
+    val malformed = rows.count(r => r.isNullAt(r.fieldIndex("host")))
+    assert(malformed === rows.count(r => r.getAs[Long]("event_id") % 97 == 0),
+      "exactly the 97th-event rows are malformed")
+    assert(rows.filter(!_.isNullAt(2)).forall(_.getAs[String]("scheme").startsWith("http")))
+  }
+}
