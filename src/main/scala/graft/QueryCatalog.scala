@@ -7192,6 +7192,30 @@ object QueryCatalog {
        |FROM e""".stripMargin
   }
 
+  /** WARC record parse (Warc.warcRecordFeatures over Warc.synthWarcShards):
+    * documents laid out as Common-Crawl-style WET shards — one gzip member
+    * per conversion record, 8 records per shard — then split (RFC 1952
+    * walk) and parsed (version line, CRLF headers, Content-Length-bounded
+    * payload). The oracle replays every typed field and the payload md5
+    * from the source text without seeing a WARC byte. */
+  def q250WarcRecords(s: SparkSession, dir: String): DataFrame =
+    operators.Warc.warcRecordFeatures(
+      operators.Warc.synthWarcShards(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+
+  val q250Sql: String =
+    """SELECT CAST(doc_id // 8 AS BIGINT) AS shard_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |    - 1 AS BIGINT) AS member_idx,
+      |  CAST(1 AS BIGINT) AS ok,
+      |  'conversion' AS warc_type,
+      |  'http://example.org/doc/' || doc_id AS target_uri,
+      |  'text/plain' AS content_type,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  CAST(6 AS BIGINT) AS n_headers,
+      |  md5(text) AS md5_hex
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7446,7 +7470,8 @@ object QueryCatalog {
     ("q246_gif_meta", q246GifMeta _, Some(q246Sql)),
     ("q247_isotonic", q247Isotonic _, Some(q247Sql)),
     ("q248_html_extract", q248HtmlExtract _, Some(q248Sql)),
-    ("q249_url_profile", q249UrlProfile _, Some(q249Sql)))
+    ("q249_url_profile", q249UrlProfile _, Some(q249Sql)),
+    ("q250_warc_records", q250WarcRecords _, Some(q250Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
+
+/** WARC (ISO 28500) record parsing — the container format of Common Crawl
+  * and every serious web archive. A `.warc.gz` / `.wet.gz` shard is a
+  * concatenation of gzip members, ONE RECORD PER MEMBER (that per-record
+  * compression is what makes ranged reads possible, and is exactly the
+  * boundary walk [[Compressed.gunzipMemberSplit]] provides); each record
+  * is a version line, CRLF-separated named headers, a blank line, then
+  * `Content-Length` payload bytes. This operator turns a shard payload
+  * into typed records — the step between "bytes from the bucket" and
+  * [[Html]]/[[TextAnalysis]]'s text stages.
+  *
+  * Parsing is strict-but-total (the [[Compressed]] contract): a member
+  * that is not a well-formed record yields an ok=0 row carrying its
+  * member index, never an exception, and never silently repaired bytes.
+  * Header names are case-insensitive per the spec; values are trimmed of
+  * the optional single space after ':'. `Content-Length` is REQUIRED and
+  * must fit inside the member — a declared length past the end is a
+  * truncation, reported, not clamped.
+  *
+  * 100 TB shape: one `mapPartitions` over shard payloads (binary codec
+  * work — the documented exception to expression-only operators), one
+  * output row per record; no shuffle. Shards are the unit of parallelism
+  * exactly as they are on disk. */
+object Warc {
+
+  final case class WarcRecord(version: String, warcType: Option[String],
+                              targetUri: Option[String], date: Option[String],
+                              recordId: Option[String], contentType: Option[String],
+                              contentLength: Long, nHeaders: Long,
+                              payload: Array[Byte])
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Parse ONE record from one (inflated) member. None on: missing
+    * `WARC/` version line, malformed header line, missing/unparsable/
+    * oversized Content-Length, or trailing bytes after the payload that
+    * are not the spec's record separator (CRLF CRLF). */
+  def parseWarcRecord(bytes: Array[Byte]): Option[WarcRecord] = {
+    if (bytes == null || bytes.length < 16) return None
+    // locate the header/payload split: first CRLFCRLF
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(bytes, 0, split, Ascii)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
+    val version = lines(0)
+    var warcType, targetUri, date, recordId, contentType: Option[String] = None
+    var contentLength = -1L
+    var n = 0L
+    var li = 1
+    while (li < lines.length) {
+      val line = lines(li)
+      val c = line.indexOf(':')
+      if (c <= 0) return None
+      val name = line.substring(0, c).trim.toLowerCase
+      val value = line.substring(c + 1).trim
+      n += 1
+      name match {
+        case "warc-type" => warcType = Some(value)
+        case "warc-target-uri" => targetUri = Some(value)
+        case "warc-date" => date = Some(value)
+        case "warc-record-id" => recordId = Some(value)
+        case "content-type" => contentType = Some(value)
+        case "content-length" =>
+          contentLength = try value.toLong catch { case _: NumberFormatException => return None }
+        case _ => ()
+      }
+      li += 1
+    }
+    if (contentLength < 0) return None
+    val payloadStart = split + 4
+    if (payloadStart + contentLength > bytes.length) return None // truncated
+    val after = payloadStart + contentLength.toInt
+    // tolerate exactly the spec separator (or nothing) after the payload
+    val rest = bytes.length - after
+    val sepOk = rest == 0 ||
+      (rest == 4 && bytes(after) == '\r' && bytes(after + 1) == '\n' &&
+        bytes(after + 2) == '\r' && bytes(after + 3) == '\n') ||
+      (rest == 2 && bytes(after) == '\r' && bytes(after + 1) == '\n')
+    if (!sepOk) return None
+    val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, after)
+    Some(WarcRecord(version, warcType, targetUri, date, recordId, contentType,
+      contentLength, n, payload))
+  }
+
+  final case class WarcRow(shard_id: Long, member_idx: Long, ok: Long,
+                           warc_type: Option[String], target_uri: Option[String],
+                           content_type: Option[String],
+                           content_length: Option[Long], n_headers: Option[Long],
+                           md5_hex: Option[String])
+
+  /** Shard payloads → one row per WARC record: member split via the RFC
+    * 1952 walk, then [[parseWarcRecord]] per member. A shard whose gzip
+    * framing fails yields ONE ok=0 row (member_idx −1); a member whose
+    * record is malformed yields its own ok=0 row at its index. md5 is of
+    * the record PAYLOAD — the losslessness hook the oracle replays from
+    * the source text without seeing a WARC byte. */
+  def warcRecordFeatures(assets: DataFrame): Dataset[WarcRow] = {
+    val enc = Encoders.product[WarcRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          Compressed.gunzipMemberSplit(payload) match {
+            case None => Iterator.single(
+              WarcRow(id, -1L, 0L, None, None, None, None, None, None))
+            case Some(members) => members.iterator.zipWithIndex.map {
+              case (m, i) =>
+                parseWarcRecord(m.data) match {
+                  case Some(r) =>
+                    md.reset()
+                    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+                    WarcRow(id, i.toLong, 1L, r.warcType, r.targetUri,
+                      r.contentType, Some(r.contentLength), Some(r.nHeaders),
+                      Some(hex))
+                  case None =>
+                    WarcRow(id, i.toLong, 0L, None, None, None, None, None, None)
+                }
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Build the bytes of one WET-style conversion record (used by the
+    * fixture and the spec's golden tests). */
+  def buildRecord(uri: String, date: String, recordId: String,
+                  contentType: String, body: Array[Byte],
+                  warcType: String = "conversion"): Array[Byte] = {
+    val head = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recordId>\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes(Ascii)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** WET-shard fixture: documents grouped `shardSize` per shard, each
+    * wrapped as a conversion record (URI/record-id derived from doc_id),
+    * gzipped as its OWN member, members concatenated in doc_id order —
+    * byte-faithful to how Common Crawl lays out `.wet.gz`. */
+  def synthWarcShards(docs: DataFrame, idCol: String, textCol: String,
+                      shardSize: Int = 8): DataFrame = {
+    require(shardSize >= 1, "shardSize must be positive")
+    val grouped = docs.filter(col(textCol).isNotNull)
+      .select(expr(s"CAST($idCol AS BIGINT) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_text")))).as("_docs"))
+    val rows = grouped
+      .select(col("_shard"), col("_docs._id").as("_ids"), col("_docs._text").as("_texts"))
+      .as(Encoders.product[(Long, Seq[Long], Seq[String])])
+      .mapPartitions { it =>
+        it.map { case (shard, ids, texts) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          ids.lazyZip(texts).foreach { (id, text) =>
+            val rec = buildRecord(
+              uri = s"http://example.org/doc/$id",
+              date = "2024-01-01T00:00:00Z",
+              recordId = f"00000000-0000-0000-0000-${id}%012d",
+              contentType = "text/plain",
+              body = text.getBytes(Utf8))
+            val m = Compressed.gzipBytes(rec)
+            bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/warc")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import graft.operators.{Compressed, Warc}
+
+/** WARC record parsing: golden bytes, spec-separator tolerance, the
+  * malformed-record taxonomy, and per-member error isolation inside a
+  * multi-record shard. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val body = "hello warc world".getBytes(US_ASCII)
+  private def golden: Array[Byte] = Warc.buildRecord(
+    "http://example.org/doc/7", "2024-01-01T00:00:00Z",
+    "00000000-0000-0000-0000-000000000007", "text/plain", body)
+
+  test("golden record parses field-for-field") {
+    val r = Warc.parseWarcRecord(golden).get
+    assert(r.version === "WARC/1.0")
+    assert(r.warcType === Some("conversion"))
+    assert(r.targetUri === Some("http://example.org/doc/7"))
+    assert(r.date === Some("2024-01-01T00:00:00Z"))
+    assert(r.recordId === Some("<urn:uuid:00000000-0000-0000-0000-000000000007>"))
+    assert(r.contentType === Some("text/plain"))
+    assert(r.contentLength === body.length.toLong)
+    assert(r.nHeaders === 6L)
+    assert(r.payload.toSeq === body.toSeq)
+  }
+
+  test("separator tolerance: none, CRLF, CRLFCRLF ok; anything else rejected") {
+    val g = golden
+    assert(Warc.parseWarcRecord(g.dropRight(4)).isDefined, "bare payload end")
+    assert(Warc.parseWarcRecord(g.dropRight(2)).isDefined, "single CRLF")
+    assert(Warc.parseWarcRecord(g).isDefined, "spec CRLFCRLF")
+    assert(Warc.parseWarcRecord(g ++ "x".getBytes(US_ASCII)).isEmpty,
+      "trailing garbage after the separator")
+    assert(Warc.parseWarcRecord(g.dropRight(1)).isEmpty, "half a separator")
+  }
+
+  test("header names are case-insensitive; values trim one optional space") {
+    val rec = ("WARC/1.1\r\nwarc-type:response\r\nCONTENT-LENGTH: 3\r\n" +
+      "X-Custom: kept-but-uncounted-nowhere\r\n\r\nabc").getBytes(US_ASCII)
+    val r = Warc.parseWarcRecord(rec).get
+    assert(r.version === "WARC/1.1")
+    assert(r.warcType === Some("response"))
+    assert(r.contentLength === 3L)
+    assert(r.nHeaders === 3L, "unknown headers still count")
+    assert(new String(r.payload, US_ASCII) === "abc")
+  }
+
+  test("malformed taxonomy: each defect is None, never a throw") {
+    def rec(s: String) = Warc.parseWarcRecord(s.getBytes(US_ASCII))
+    assert(rec("HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n").isEmpty, "not WARC")
+    assert(rec("WARC/1.0\r\nWARC-Type: x\r\n\r\n").isEmpty, "no Content-Length")
+    assert(rec("WARC/1.0\r\nContent-Length: twelve\r\n\r\n").isEmpty, "unparsable length")
+    assert(rec("WARC/1.0\r\nContent-Length: 100\r\n\r\nshort").isEmpty, "truncated payload")
+    assert(rec("WARC/1.0\r\nbroken header line\r\nContent-Length: 0\r\n\r\n").isEmpty,
+      "header without a colon")
+    assert(rec("WARC/1.0\r\nContent-Length: -1\r\n\r\n").isEmpty, "negative length")
+    assert(Warc.parseWarcRecord(null).isEmpty)
+    assert(Warc.parseWarcRecord("WARC/1.0 no blank line".getBytes(US_ASCII)).isEmpty)
+  }
+
+  test("shard split isolates the bad member; framing failure is one shard row") {
+    val good = Compressed.gzipBytes(golden)
+    val bad = Compressed.gzipBytes("not a warc record at all".getBytes(US_ASCII))
+    val shard = good ++ bad ++ good
+    val rows = Warc.warcRecordFeatures(
+        Seq((5L, shard)).toDF("asset_id", "payload"))
+      .collect().sortBy(_.member_idx)
+    assert(rows.map(_.ok).toSeq === Seq(1L, 0L, 1L))
+    assert(rows(0).md5_hex === rows(2).md5_hex)
+    assert(rows(1).target_uri.isEmpty)
+    // broken gzip framing → a single ok=0 row at member_idx -1
+    val broken = Warc.warcRecordFeatures(
+        Seq((9L, "junk".getBytes(US_ASCII))).toDF("asset_id", "payload"))
+      .collect()
+    assert(broken.length === 1 && broken.head.ok === 0L &&
+      broken.head.member_idx === -1L)
+  }
+
+  test("fixture round-trip: every document comes back ok with its own URI") {
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (9L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val rows = Warc.warcRecordFeatures(
+        Warc.synthWarcShards(docs, "doc_id", "text", shardSize = 2))
+      .collect().sortBy(r => (r.shard_id, r.member_idx))
+    assert(rows.forall(_.ok === 1L))
+    assert(rows.map(_.shard_id).toSeq === Seq(0L, 0L, 4L))
+    assert(rows.map(_.target_uri.get).toSeq === Seq(
+      "http://example.org/doc/0", "http://example.org/doc/1",
+      "http://example.org/doc/9"))
+    assert(rows.map(_.content_length.get).toSeq === Seq(10L, 5L, 18L))
+  }
+}
