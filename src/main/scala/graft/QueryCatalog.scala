@@ -7216,6 +7216,25 @@ object QueryCatalog {
       |  md5(text) AS md5_hex
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** Multi-codec shard ingest (Compressed.codecTextFeatures over
+    * synthCodecDocs): zstd / lz4-frame / snappy-framed payloads (the
+    * `.jsonl.zst`-era shard formats) sniffed by magic bytes and inflated
+    * through the reference streams under the shared bomb cap. The oracle
+    * replays the codec choice from id arithmetic and the plaintext
+    * fingerprint from the source column. */
+  def q251CodecText(s: SparkSession, dir: String): DataFrame =
+    operators.Compressed.codecTextFeatures(
+      operators.Compressed.synthCodecDocs(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+
+  val q251Sql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4'
+      |    ELSE 'snappy' END AS codec,
+      |  CAST(1 AS BIGINT) AS ok,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7471,7 +7490,8 @@ object QueryCatalog {
     ("q247_isotonic", q247Isotonic _, Some(q247Sql)),
     ("q248_html_extract", q248HtmlExtract _, Some(q248Sql)),
     ("q249_url_profile", q249UrlProfile _, Some(q249Sql)),
-    ("q250_warc_records", q250WarcRecords _, Some(q250Sql)))
+    ("q250_warc_records", q250WarcRecords _, Some(q250Sql)),
+    ("q251_codec_text", q251CodecText _, Some(q251Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -215,6 +215,128 @@ object Compressed {
       }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // Multi-codec shard ingest: zstd / lz4-frame / snappy-framed / gzip
+  // ------------------------------------------------------------------
+
+  /** Identify a compressed payload by magic bytes: the four codecs real
+    * corpus shards arrive in (gzip for WET/WARC, zstd for RedPajama/
+    * Dolma-style `.jsonl.zst`, lz4 frames and snappy framing from
+    * Hadoop-adjacent producers). None for anything else — sniffing never
+    * guesses. */
+  def sniffCodec(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    def b(i: Int) = bytes(i) & 0xff
+    if (b(0) == 0x1f && b(1) == 0x8b) Some("gzip")
+    else if (b(0) == 0x28 && b(1) == 0xb5 && b(2) == 0x2f && b(3) == 0xfd) Some("zstd")
+    else if (b(0) == 0x04 && b(1) == 0x22 && b(2) == 0x4d && b(3) == 0x18) Some("lz4")
+    else if (bytes.length >= 10 && b(0) == 0xff && b(1) == 0x06 && b(2) == 0x00 &&
+      b(3) == 0x00 && b(4) == 's' && b(5) == 'N' && b(6) == 'a' &&
+      b(7) == 'P' && b(8) == 'p' && b(9) == 'Y') Some("snappy")
+    else None
+  }
+
+  /** Drain a codec InputStream under the [[MaxInflated]] bomb cap; None
+    * on any decode error or cap breach (strict-but-total, like
+    * [[gunzipBytes]]). */
+  private def drainCapped(in: java.io.InputStream): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > MaxInflated) return None
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+    finally in.close()
+  }
+
+  /** Sniff the codec and decompress: (codec, plaintext). gzip goes
+    * through the strict RFC 1952 walk (trailing garbage and partial
+    * members rejected); zstd/lz4/snappy through their reference streams
+    * (all three consume concatenated frames), each under the shared bomb
+    * cap. None on unknown magic or any decode failure. */
+  def decompressSniff(bytes: Array[Byte]): Option[(String, Array[Byte])] =
+    sniffCodec(bytes).flatMap { codec =>
+      val bin = () => new java.io.ByteArrayInputStream(bytes)
+      val plain = codec match {
+        case "gzip" => gunzipBytes(bytes)
+        case "zstd" =>
+          try drainCapped(new com.github.luben.zstd.ZstdInputStream(bin()))
+          catch { case _: java.io.IOException => None }
+        case "lz4" =>
+          try drainCapped(new net.jpountz.lz4.LZ4FrameInputStream(bin()))
+          catch { case _: java.io.IOException => None }
+        case "snappy" =>
+          try drainCapped(new org.xerial.snappy.SnappyFramedInputStream(bin()))
+          catch { case _: java.io.IOException => None }
+      }
+      plain.map(codec -> _)
+    }
+
+  /** Compress with a named codec — the fixture/writer side. */
+  def compressAs(codec: String, data: Array[Byte]): Array[Byte] = codec match {
+    case "gzip" => gzipBytes(data)
+    case "zstd" =>
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val s = new com.github.luben.zstd.ZstdOutputStream(bos)
+      s.write(data); s.close(); bos.toByteArray
+    case "lz4" =>
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val s = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      s.write(data); s.close(); bos.toByteArray
+    case "snappy" =>
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val s = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+      s.write(data); s.close(); bos.toByteArray
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+
+  final case class CodecTextRow(doc_id: Long, codec: Option[String], ok: Long,
+                                n_bytes: Option[Long], md5_hex: Option[String])
+
+  /** Mixed-codec fixture: each document compressed with the codec its id
+    * selects (zstd/lz4/snappy round-robin — gzip has its own q237 path),
+    * through the REAL encoders. */
+  def synthCodecDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rows = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType), col(textCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val codec = Seq("zstd", "lz4", "snappy")((id % 3).toInt)
+          (id, compressAs(codec,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/octet-stream")
+  }
+
+  /** Sniff + decompress each payload and fingerprint the plaintext:
+    * (doc_id, codec, ok, n_bytes, md5_hex). Unknown magic or a decode
+    * failure keeps the sniffed codec (when any) with ok=0. */
+  def codecTextFeatures(assets: DataFrame): Dataset[CodecTextRow] = {
+    val enc = Encoders.product[CodecTextRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          decompressSniff(payload) match {
+            case Some((codec, plain)) =>
+              md.reset()
+              val hex = md.digest(plain).map("%02x".format(_)).mkString
+              CodecTextRow(id, Some(codec), 1L, Some(plain.length.toLong), Some(hex))
+            case None => CodecTextRow(id, sniffCodec(payload), 0L, None, None)
+          }
+        }
+      }(enc)
+  }
+
   /** Inflate gzip text payloads and fingerprint the PLAINTEXT: exact
     * byte length + md5 of the decompressed bytes. Losslessness is the
     * oracle hook — DuckDB computes `strlen(text)`/`md5(text)` from the

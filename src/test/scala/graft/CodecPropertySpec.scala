@@ -97,4 +97,33 @@ class CodecPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("zstd/lz4/snappy: sniffed round-trip law; mutations never throw") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 4096)
+      entropy <- Gen.oneOf(0, 1)     // runs vs random — both codec regimes
+      s <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, entropy, s)
+    samples(gen, 60).foreach { case (n, entropy, s) =>
+      val rnd = new scala.util.Random(s)
+      val data = if (entropy == 0) Array.fill[Byte](n)((s % 251).toByte)
+        else Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      Seq("zstd", "lz4", "snappy", "gzip").foreach { codec =>
+        val comp = Compressed.compressAs(codec, data)
+        val got = Compressed.decompressSniff(comp)
+        assert(got.isDefined && got.get._1 === codec, s"$codec n=$n e=$entropy")
+        assert(got.get._2.toSeq === data.toSeq, s"$codec n=$n e=$entropy seed=$s")
+        // single-byte mutations: any outcome but a throw is acceptable,
+        // and a header-byte mutation must not mis-sniff into a crash
+        if (comp.length > 0) {
+          val m = comp.clone(); val at = rnd.nextInt(comp.length)
+          m(at) = (m(at) ^ (1 + rnd.nextInt(255))).toByte
+          Compressed.decompressSniff(m) // must be total
+        }
+      }
+    }
+    // unknown magic never guesses
+    assert(Compressed.sniffCodec("plaintext, no magic".getBytes("UTF-8")).isEmpty)
+    assert(Compressed.decompressSniff(Array[Byte](0, 1, 2)).isEmpty)
+  }
 }
