@@ -418,6 +418,20 @@ object ScaleCheck {
         (pmod(col("vec_id"), lit(2)) === 0).as("is_cal"))
       graft.operators.Eval.conformalCalibration(x, "cls", "score", "is_cal", 1L, 10L)
     })
+    // r13 additions: the crawl-ingest chain (all map-only per-row work —
+    // the ratio should track the scan, ~1x at 10x per partition count)
+    time("html_extract")(
+      graft.operators.Html.htmlProfile(
+        graft.operators.Html.synthHtmlDocs(docs, "doc_id", "text")))
+    time("url_profile")(
+      graft.operators.Urls.urlProfile(
+        graft.operators.Urls.synthUrls(docs.select(col("doc_id").as("event_id")))))
+    time("warc_records(8)")(
+      graft.operators.Warc.warcRecordFeatures(
+        graft.operators.Warc.synthWarcShards(docs, "doc_id", "text")).toDF())
+    time("codec_text")(
+      graft.operators.Compressed.codecTextFeatures(
+        graft.operators.Compressed.synthCodecDocs(docs, "doc_id", "text")).toDF())
     spark.stop()
   }
 }

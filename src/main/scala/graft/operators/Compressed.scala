@@ -286,7 +286,13 @@ object Compressed {
       s.write(data); s.close(); bos.toByteArray
     case "lz4" =>
       val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-      val s = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      // 64 KB blocks, NOT the class default SIZE_4MB: the frame header
+      // declares the block size, so both sides of a document-sized
+      // round-trip otherwise allocate 4 MB buffers PER ROW — measured
+      // 1.2 ms/doc vs 32 µs (the decoder adapts to whatever real shards
+      // declare; this choice only shapes what we write)
+      val s = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+        net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
       s.write(data); s.close(); bos.toByteArray
     case "snappy" =>
       val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
