@@ -607,12 +607,12 @@ object MediaCodecs {
   // PNG (ISO/IEC 15948 / RFC 2083) — the ubiquitous DEFLATE-compressed
   // lossless image format, and the first REAL entropy-coded codec in this
   // file: java.util.zip's Deflater/Inflater IS zlib (LZ77 + Huffman), so
-  // nothing here is a stub. Decode scope: every non-interlaced
-  // depth×type combination the spec allows — gray 1/2/4/8/16,
-  // truecolor 8/16, palette (PLTE) 1/2/4/8, truecolor+alpha 8/16.
-  // Only Adam7 interlace returns None (honest strict-but-total
-  // contract, same as the other decoders) — palette PNGs are endemic
-  // in crawl data and must not silently vanish from multimodal stats.
+  // nothing here is a stub. Decode scope: every depth×type combination
+  // the spec allows — gray 1/2/4/8/16, truecolor 8/16, palette (PLTE)
+  // 1/2/4/8, truecolor+alpha 8/16 — in BOTH interlace methods (Adam7
+  // decodes per-pass through the same filter machinery) — palette and
+  // progressive PNGs are endemic in crawl data and must not silently
+  // vanish from multimodal stats.
   // ---------------------------------------------------------------------
 
   private val PngSig: Array[Byte] =
@@ -699,10 +699,78 @@ object MediaCodecs {
     wrapPng(width, height, depth = 8, colorType = 2, raw, palette = null)
   }
 
+  /** Encode 0xRRGGBB pixels as an ADAM7-INTERLACED 8-bit truecolor PNG
+    * (spec §8.2): seven pass sub-images, each filtered per row with the
+    * same five-filter heuristic as [[encodePng]] — filter context (a/b/c
+    * bytes) is PER PASS, exactly the boundary the decoder must respect.
+    * Sub-8×8 images legitimately produce empty passes with no scanlines. */
+  def encodePngAdam7(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val bpp = 3
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val out = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = math.max(0, (width - x0 + dx - 1) / dx)
+      val hp = math.max(0, (height - y0 + dy - 1) / dy)
+      if (wp > 0 && hp > 0) {
+        val stride = wp * bpp
+        val prior = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        val cand = new Array[Byte](stride)
+        val best = new Array[Byte](stride)
+        var y = 0
+        while (y < hp) {
+          var x = 0
+          while (x < wp) {
+            val p = px(x0 + x * dx, y0 + y * dy)
+            cur(x * 3) = ((p >> 16) & 0xff).toByte
+            cur(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+            cur(x * 3 + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          var bestF = 0; var bestScore = Long.MaxValue
+          var f = 0
+          while (f < 5) {
+            var score = 0L
+            var i = 0
+            while (i < stride && score < bestScore) {
+              val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+              val b = if (y > 0) prior(i) & 0xff else 0
+              val c = if (y > 0 && i >= bpp) prior(i - bpp) & 0xff else 0
+              val v = f match {
+                case 0 => cur(i) & 0xff
+                case 1 => (cur(i) & 0xff) - a
+                case 2 => (cur(i) & 0xff) - b
+                case 3 => (cur(i) & 0xff) - (a + b) / 2
+                case _ => (cur(i) & 0xff) - paeth(a, b, c)
+              }
+              cand(i) = v.toByte
+              score += math.abs(v.toByte.toInt)
+              i += 1
+            }
+            if (i == stride && score < bestScore) {
+              bestScore = score; bestF = f
+              System.arraycopy(cand, 0, best, 0, stride)
+            }
+            f += 1
+          }
+          out.write(bestF)
+          out.write(best, 0, stride)
+          System.arraycopy(cur, 0, prior, 0, stride)
+          y += 1
+        }
+      }
+    }
+    wrapPng(width, height, depth = 8, colorType = 2, out.toByteArray,
+      palette = null, interlaced = true)
+  }
+
   /** zlib-deflate `raw` and frame it as IHDR [+PLTE] +IDAT(8 KiB splits)
     * +IEND. */
   private def wrapPng(width: Int, height: Int, depth: Int, colorType: Int,
-                      raw: Array[Byte], palette: Array[Int]): Array[Byte] = {
+                      raw: Array[Byte], palette: Array[Int],
+                      interlaced: Boolean = false): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
@@ -718,7 +786,8 @@ object MediaCodecs {
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
     ihdr.put(depth.toByte).put(colorType.toByte)
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter0, no interlace
+    ihdr.put(0.toByte).put(0.toByte)               // deflate, filter method 0
+    ihdr.put((if (interlaced) 1 else 0).toByte)    // interlace method
     pngChunk(out, "IHDR", ihdr.array())
     if (palette != null) {
       val plte = new Array[Byte](palette.length * 3)
@@ -840,21 +909,23 @@ object MediaCodecs {
       raw, palette = null)
   }
 
-  /** Decode a non-interlaced PNG to [[BmpData]] (gray replicated to RGB,
-    * alpha dropped, 16-bit samples reduced to their high byte, palette
-    * indices resolved through PLTE). Supported depth×type matrix (PNG
-    * spec §11.2.2): gray 1/2/4/8/16, truecolor 8/16, palette 1/2/4/8,
-    * truecolor+alpha 8/16 — everything non-interlaced; only Adam7
-    * returns None. Chunk CRCs are VERIFIED — a flipped payload bit is
-    * detected, not silently decoded. None on any malformed framing
-    * (out-of-range palette index, missing PLTE, misplaced chunks);
-    * never throws. */
+  /** Decode a PNG to [[BmpData]] (gray replicated to RGB, alpha dropped,
+    * 16-bit samples reduced to their high byte, palette indices resolved
+    * through PLTE). Supported depth×type matrix (PNG spec §11.2.2): gray
+    * 1/2/4/8/16, truecolor 8/16, palette 1/2/4/8, truecolor+alpha 8/16 —
+    * in BOTH interlace methods: progressive (Adam7, spec §8.2) images
+    * decode by running the same filter-reconstruction per PASS
+    * sub-image and scattering pixels onto the 8×8 pass grid. Chunk CRCs
+    * are VERIFIED — a flipped payload bit is detected, not silently
+    * decoded. None on any malformed framing (out-of-range palette index,
+    * missing PLTE, misplaced chunks); never throws. */
   def decodePng(bytes: Array[Byte]): Option[BmpData] = {
     if (bytes == null || bytes.length < 8 + 25) return None
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
     var pos = 8
     var w = 0L; var h = 0L; var colorType = -1; var depth = 0
+    var interlaced = false
     var sawIhdr = false; var sawIend = false; var sawIdat = false
     var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -889,7 +960,8 @@ object MediaCodecs {
             case 3     => depth == 1 || depth == 2 || depth == 4 || depth == 8
             case _     => false
           }
-          if (!okCombo || comp != 0 || filt != 0 || inter != 0) return None
+          if (!okCombo || comp != 0 || filt != 0 || inter > 1) return None
+          interlaced = inter == 1
         case "PLTE" =>
           // exactly one, before IDAT, 1..256 RGB triplets; PLTE on a
           // grayscale image is a spec error (§11.2.3)
@@ -918,10 +990,25 @@ object MediaCodecs {
     val channels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
     val bitsPp = depth * channels               // bits per pixel ≤ 64
-    val strideL = (w * bitsPp + 7) / 8          // scanline bytes, sans filter
-    val rawLen = (1L + strideL) * h
+    val width = w.toInt; val height = h.toInt
+    // Adam7 pass grid (x0, y0, dx, dy) per spec §8.2; non-interlaced
+    // decodes as ONE full-frame pass through the identical machinery
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlaced) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (width - x0 + dx - 1) / dx),
+        math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    // empty passes (sub-8px images) contribute NO scanlines (spec §8.2)
+    val rawLen = passes.map { p =>
+      val (wp, hp) = passDims(p)
+      if (wp == 0 || hp == 0) 0L
+      else (1L + (wp.toLong * bitsPp + 7) / 8) * hp
+    }.sum
     if (rawLen > Int.MaxValue) return None
-    val stride = strideL.toInt
     val raw = new Array[Byte](rawLen.toInt)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
@@ -942,68 +1029,78 @@ object MediaCodecs {
         return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally infl.end()
-    val width = w.toInt; val height = h.toInt
     val px = new Array[Int](width * height)
     // filters operate on BYTES at a pixel's byte distance; for sub-byte
     // pixels that distance is one byte (spec §9.2)
     val fbpp = math.max(1, bitsPp / 8)
     val sampleStep = depth / 8                  // 0 for sub-byte
-    var y = 0
-    while (y < height) {
-      val rowOff = y * (1 + stride) + 1
-      val filter = raw(rowOff - 1) & 0xff
-      if (filter > 4) return None
-      var i2 = 0
-      while (i2 < stride) {
-        val priorOff = rowOff - 1 - stride     // previous row's recon'd bytes
-        val a = if (i2 >= fbpp) raw(rowOff + i2 - fbpp) & 0xff else 0
-        val b = if (y > 0) raw(priorOff + i2) & 0xff else 0
-        val c = if (y > 0 && i2 >= fbpp) raw(priorOff + i2 - fbpp) & 0xff else 0
-        val recon = filter match {
-          case 0 => raw(rowOff + i2) & 0xff
-          case 1 => ((raw(rowOff + i2) & 0xff) + a) & 0xff
-          case 2 => ((raw(rowOff + i2) & 0xff) + b) & 0xff
-          case 3 => ((raw(rowOff + i2) & 0xff) + (a + b) / 2) & 0xff
-          case _ => ((raw(rowOff + i2) & 0xff) + paeth(a, b, c)) & 0xff
-        }
-        raw(rowOff + i2) = recon.toByte  // in place: next bytes read recon'd
-        i2 += 1
-      }
-      var x = 0
-      while (x < width) {
-        var rgb = 0
-        if (depth < 8) {                 // gray 1/2/4 or palette 1/2/4
-          val bitPos = x * depth
-          val shift = 8 - depth - (bitPos & 7)
-          val v = (raw(rowOff + (bitPos >> 3)) >> shift) & ((1 << depth) - 1)
-          if (colorType == 3) {
-            if (v >= palette.length) return None
-            rgb = palette(v)
-          } else {                       // scale to full 8-bit range
-            val s = v * 255 / ((1 << depth) - 1)
-            rgb = (s << 16) | (s << 8) | s
+    var base = 0                                // pass start within raw
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (wp, hp) = passDims(passes(pi))
+      if (wp > 0 && hp > 0) {
+        val stride = (wp * bitsPp + 7) / 8
+        var y = 0
+        while (y < hp) {
+          val rowOff = base + y * (1 + stride) + 1
+          val filter = raw(rowOff - 1) & 0xff
+          if (filter > 4) return None
+          var i2 = 0
+          while (i2 < stride) {
+            val priorOff = rowOff - 1 - stride // previous row's recon'd bytes
+            val a = if (i2 >= fbpp) raw(rowOff + i2 - fbpp) & 0xff else 0
+            val b = if (y > 0) raw(priorOff + i2) & 0xff else 0
+            val c = if (y > 0 && i2 >= fbpp) raw(priorOff + i2 - fbpp) & 0xff else 0
+            val recon = filter match {
+              case 0 => raw(rowOff + i2) & 0xff
+              case 1 => ((raw(rowOff + i2) & 0xff) + a) & 0xff
+              case 2 => ((raw(rowOff + i2) & 0xff) + b) & 0xff
+              case 3 => ((raw(rowOff + i2) & 0xff) + (a + b) / 2) & 0xff
+              case _ => ((raw(rowOff + i2) & 0xff) + paeth(a, b, c)) & 0xff
+            }
+            raw(rowOff + i2) = recon.toByte // in place: next bytes read recon'd
+            i2 += 1
           }
-        } else {
-          // 8-bit sample = the byte; 16-bit sample = its HIGH byte
-          // (big-endian — the standard 16→8 reduction)
-          val o = rowOff + x * channels * sampleStep
-          colorType match {
-            // gray (+alpha, ignored like type 6's): first sample is luma
-            case 0 | 4 => val v = raw(o) & 0xff; rgb = (v << 16) | (v << 8) | v
-            case 3 =>
-              val v = raw(o) & 0xff
-              if (v >= palette.length) return None
-              rgb = palette(v)
-            case _ =>
-              rgb = ((raw(o) & 0xff) << 16) |
-                ((raw(o + sampleStep) & 0xff) << 8) |
-                (raw(o + 2 * sampleStep) & 0xff)
+          var x = 0
+          while (x < wp) {
+            var rgb = 0
+            if (depth < 8) {               // gray 1/2/4 or palette 1/2/4
+              val bitPos = x * depth
+              val shift = 8 - depth - (bitPos & 7)
+              val v = (raw(rowOff + (bitPos >> 3)) >> shift) & ((1 << depth) - 1)
+              if (colorType == 3) {
+                if (v >= palette.length) return None
+                rgb = palette(v)
+              } else {                     // scale to full 8-bit range
+                val s = v * 255 / ((1 << depth) - 1)
+                rgb = (s << 16) | (s << 8) | s
+              }
+            } else {
+              // 8-bit sample = the byte; 16-bit sample = its HIGH byte
+              // (big-endian — the standard 16→8 reduction)
+              val o = rowOff + x * channels * sampleStep
+              colorType match {
+                // gray (+alpha, ignored like type 6's): first sample is luma
+                case 0 | 4 => val v = raw(o) & 0xff; rgb = (v << 16) | (v << 8) | v
+                case 3 =>
+                  val v = raw(o) & 0xff
+                  if (v >= palette.length) return None
+                  rgb = palette(v)
+                case _ =>
+                  rgb = ((raw(o) & 0xff) << 16) |
+                    ((raw(o + sampleStep) & 0xff) << 8) |
+                    (raw(o + 2 * sampleStep) & 0xff)
+              }
+            }
+            px((y0 + y * dy) * width + (x0 + x * dx)) = rgb
+            x += 1
           }
+          y += 1
         }
-        px(y * width + x) = rgb
-        x += 1
+        base += (1 + stride) * hp
       }
-      y += 1
+      pi += 1
     }
     Some(BmpData(width, height, px))
   }

@@ -660,12 +660,13 @@ object Multimodal {
     bmpFeaturesWith(assets, MediaCodecs.decodePng)
 
   /** PNG fixture: the [[synthBmpAssets]] pixel formulas through the REAL
-    * PNG encoder — rotating by id across the three on-disk layouts the
-    * decoder supports (id%3 = 0: 8-bit truecolor with adaptive per-row
+    * PNG encoder — rotating by id across the four on-disk layouts the
+    * decoder supports (id%4 = 0: 8-bit truecolor with adaptive per-row
     * filters; 1: indexed-color PLTE — the images are ≤ 16×16 so their
     * ≤ 256 distinct colors always fit a palette; 2: 16-bit truecolor,
-    * samples widened (v<<8)|v). All three decode to IDENTICAL pixels, so
-    * one oracle covers every path. */
+    * samples widened (v<<8)|v; 3: ADAM7-interlaced truecolor — the
+    * per-pass filter/scatter path). All four decode to IDENTICAL pixels,
+    * so one oracle covers every path. */
   def synthPngAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
@@ -679,7 +680,7 @@ object Multimodal {
             val b = ((5L * id + 11L * x + y) % 256).toInt
             (r << 16) | (g << 8) | b
           }
-          val bytes = (id % 3) match {
+          val bytes = (id % 4) match {
             case 1 =>
               val pal = new java.util.LinkedHashMap[Integer, Integer]()
               for (y <- 0 until h; x <- 0 until w) {
@@ -691,6 +692,7 @@ object Multimodal {
               MediaCodecs.encodePngPaletted(w, h, colors,
                 (x, y) => pal.get(pxf(x, y)))
             case 2 => MediaCodecs.encodePng16(w, h, pxf)
+            case 3 => MediaCodecs.encodePngAdam7(w, h, pxf)
             case _ => MediaCodecs.encodePng(w, h, pxf)
           }
           (id, bytes)

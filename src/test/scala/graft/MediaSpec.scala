@@ -604,6 +604,27 @@ class MediaSpec extends SparkSpec {
     assert(decodePng(noisy).get.pixels.toSeq === pxs.toSeq)
   }
 
+  test("png: Adam7 interlace round-trips equal the sequential decode") {
+    import MediaCodecs.{encodePng, encodePngAdam7, decodePng}
+    def gen(x: Int, y: Int): Int =
+      (((x * 11 + y * 3) % 256) << 16) | (((x + y * 7) % 256) << 8) | ((x * y + 9) % 256)
+    // shapes straddling the 8x8 pass grid: sub-8 dims produce EMPTY passes
+    for ((w, h) <- Seq((1, 1), (2, 3), (7, 5), (8, 8), (9, 16), (23, 17), (40, 3))) {
+      val seq = decodePng(encodePng(w, h, gen)).get
+      val adam = decodePng(encodePngAdam7(w, h, gen)).get
+      assert(adam.width === w && adam.height === h, s"${w}x$h dims")
+      assert(adam.pixels.toSeq === seq.pixels.toSeq,
+        s"${w}x$h: interlaced decode must equal sequential")
+    }
+    // the two encodings really differ at the container level (IHDR byte 12)
+    val a = encodePngAdam7(16, 16, gen); val b = encodePng(16, 16, gen)
+    // sig(8) + len(4) + type(4) + 13th IHDR data byte = offset 28
+    assert((a(28) & 0xff) === 1 && (b(28) & 0xff) === 0, "interlace method byte")
+    // truncating the last pass's scanlines must reject, not wrap around
+    val short = a.clone()
+    assert(decodePng(short.take(short.length - 20)).isEmpty)
+  }
+
   test("png: palette, sub-byte gray and 16-bit round-trips; palette rejects") {
     import MediaCodecs.{decodePng, encodePngPaletted, encodePngGray, encodePng16}
     // palette at every depth: distinct colors round-trip exactly
@@ -800,7 +821,8 @@ class MediaSpec extends SparkSpec {
         .find(_.getName == "wrapPng").get
       m.setAccessible(true)
       m.invoke(MediaCodecs, Integer.valueOf(2), Integer.valueOf(1),
-        Integer.valueOf(8), Integer.valueOf(4), raw2, null)
+        Integer.valueOf(8), Integer.valueOf(4), raw2, null,
+        java.lang.Boolean.FALSE)
         .asInstanceOf[Array[Byte]]
     }
     val img = MediaCodecs.decodePng(png).get
