@@ -7235,6 +7235,66 @@ object QueryCatalog {
       |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** The crawl-ingest chain END TO END as one oracle row set: documents
+    * wrapped as HTML pages (Html.synthHtmlDocs) → laid out as WARC shards
+    * of text/html response records, one gzip member each
+    * (Warc.synthWarcShards) → member-split + record-parsed back
+    * (Warc.warcTextRecords) → HTML-stripped and profiled
+    * (Html.htmlProfile). The oracle rebuilds the markup by concat and
+    * replays extraction — every byte crosses the gzip framing, the WARC
+    * framing, AND the tag stripper before it reaches the result. */
+  def q252CrawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val pages = operators.Html.synthHtmlDocs(t(s, dir, "documents"), "doc_id", "text")
+    val shards = operators.Warc.synthWarcShards(pages, "doc_id", "html",
+      shardSize = 8, contentType = "text/html")
+    val recs = operators.Warc.warcTextRecords(shards).toDF()
+      .filter(col("ok") === 1)
+      .select(col("target_uri"), col("text").as("html"))
+    operators.Html.htmlProfile(recs, "target_uri", "html")
+      .select(col("doc_id").as("target_uri"), col("title"), col("text_chars"),
+        col("text_ppm"), col("n_links"), col("n_paragraphs"),
+        md5(col("text")).as("text_md5"))
+  }
+
+  val q252Sql: String =
+    """WITH h AS (SELECT doc_id,
+      |    '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+      |    ' &amp; friends</title><script type="text/javascript">var n = ' ||
+      |    doc_id || ' < 99; // inline</script><style>.c' || (doc_id % 7) ||
+      |    ' { color: #333; }</style></head><body><!-- shard ' || (doc_id % 5) ||
+      |    ' --><h1>Doc &lt;' || doc_id || '&gt;</h1><p>' ||
+      |    substring(text, 1, 40) || '</p>' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '<a href="http://example.org/d' || doc_id || '">ref</a>'
+      |      ELSE '' END ||
+      |    '<p>' || substring(text, 41) ||
+      |    ' &quot;quoted&quot;&nbsp;tail</p></body></html>' AS html
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]*>', ' ', 'g') AS strp
+      |  FROM h),
+      |d AS (SELECT doc_id, html,
+      |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |      strp, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS text,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS title
+      |  FROM s)
+      |SELECT 'http://example.org/doc/' || doc_id AS target_uri, title,
+      |  CAST(length(text) AS BIGINT) AS text_chars,
+      |  CAST(length(text) AS BIGINT) * 1000000 // CAST(length(html) AS BIGINT) AS text_ppm,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a\s[^>]*href')) AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(html, '(?i)<p[\s>]')) AS BIGINT) AS n_paragraphs,
+      |  md5(text) AS text_md5
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7491,7 +7551,8 @@ object QueryCatalog {
     ("q248_html_extract", q248HtmlExtract _, Some(q248Sql)),
     ("q249_url_profile", q249UrlProfile _, Some(q249Sql)),
     ("q250_warc_records", q250WarcRecords _, Some(q250Sql)),
-    ("q251_codec_text", q251CodecText _, Some(q251Sql)))
+    ("q251_codec_text", q251CodecText _, Some(q251Sql)),
+    ("q252_crawl_pipeline", q252CrawlPipeline _, Some(q252Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

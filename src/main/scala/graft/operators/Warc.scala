@@ -135,6 +135,33 @@ object Warc {
       }(enc)
   }
 
+  final case class WarcTextRow(shard_id: Long, member_idx: Long, ok: Long,
+                               target_uri: Option[String], text: Option[String])
+
+  /** Shard payloads → records with their payload DECODED as UTF-8 text —
+    * the handoff row the downstream text stages ([[Html.htmlProfile]],
+    * [[TextAnalysis]]) consume directly. Same error taxonomy as
+    * [[warcRecordFeatures]]. */
+  def warcTextRecords(assets: DataFrame): Dataset[WarcTextRow] = {
+    val enc = Encoders.product[WarcTextRow]
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Compressed.gunzipMemberSplit(payload) match {
+            case None => Iterator.single(WarcTextRow(id, -1L, 0L, None, None))
+            case Some(members) => members.iterator.zipWithIndex.map {
+              case (m, i) => parseWarcRecord(m.data) match {
+                case Some(r) => WarcTextRow(id, i.toLong, 1L, r.targetUri,
+                  Some(new String(r.payload, Utf8)))
+                case None => WarcTextRow(id, i.toLong, 0L, None, None)
+              }
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Build the bytes of one WET-style conversion record (used by the
     * fixture and the spec's golden tests). */
   def buildRecord(uri: String, date: String, recordId: String,
@@ -161,7 +188,8 @@ object Warc {
     * gzipped as its OWN member, members concatenated in doc_id order —
     * byte-faithful to how Common Crawl lays out `.wet.gz`. */
   def synthWarcShards(docs: DataFrame, idCol: String, textCol: String,
-                      shardSize: Int = 8): DataFrame = {
+                      shardSize: Int = 8,
+                      contentType: String = "text/plain"): DataFrame = {
     require(shardSize >= 1, "shardSize must be positive")
     val grouped = docs.filter(col(textCol).isNotNull)
       .select(expr(s"CAST($idCol AS BIGINT) DIV $shardSize").as("_shard"),
@@ -179,7 +207,7 @@ object Warc {
               uri = s"http://example.org/doc/$id",
               date = "2024-01-01T00:00:00Z",
               recordId = f"00000000-0000-0000-0000-${id}%012d",
-              contentType = "text/plain",
+              contentType = contentType,
               body = text.getBytes(Utf8))
             val m = Compressed.gzipBytes(rec)
             bos.write(m, 0, m.length)

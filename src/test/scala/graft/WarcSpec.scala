@@ -79,6 +79,59 @@ class WarcSpec extends SparkSpec {
       broken.head.member_idx === -1L)
   }
 
+  test("StreamingCrawl: shard stream lands extracted docs + dead letters, exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.plans.BucketedMergeWriter
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-crawl").toString, nBuckets = 4)
+    val ckpt = Files.createTempDirectory("graft-crawl-ckpt").toString
+
+    def shard(id: Long, texts: Seq[(Long, String)]): (Long, Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      texts.foreach { case (docId, t) =>
+        val rec = Warc.buildRecord(s"http://example.org/doc/$docId",
+          "2024-01-01T00:00:00Z", f"00000000-0000-0000-0000-$docId%012d",
+          "text/html", s"<html><body><p>$t</p></body></html>".getBytes("UTF-8"))
+        val m = Compressed.gzipBytes(rec); bos.write(m, 0, m.length)
+      }
+      (id, bos.toByteArray)
+    }
+    val in = MemoryStream[(Long, Array[Byte])]
+    val stream = in.toDF().toDF("asset_id", "payload")
+    def drain(ck: String = ckpt): Unit = {
+      val q = graft.streaming.StreamingCrawl.start(stream, store,
+        "crawl_docs", "crawl_dead", ck)
+      q.awaitTermination()
+    }
+    in.addData(shard(0L, Seq(1L -> "alpha beta", 2L -> "gamma")))
+    // shard 1: a good record, then raw junk gzipped (parses as gzip, fails WARC)
+    val junk = Compressed.gzipBytes("NOT A RECORD".getBytes("UTF-8"))
+    val (gid, good) = shard(1L, Seq(3L -> "delta"))
+    in.addData((gid, good ++ junk))
+    drain()
+    val docs = store.read("crawl_docs").collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("member_idx"),
+        r.getAs[String]("text"))).toSet
+    assert(docs === Set((0L, 0L, "alpha beta"), (0L, 1L, "gamma"),
+      (1L, 0L, "delta")), s"extracted docs: $docs")
+    assert(store.read("crawl_dead").collect().map(r =>
+      (r.getAs[Long]("shard_id"), r.getAs[Long]("member_idx"))).toSet
+      === Set((1L, 1L)), "the junk member dead-letters under its index")
+
+    // replay shard 1 from a fresh checkpoint: keyed merges absorb it
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    in2.addData((gid, good ++ junk))
+    val q2 = graft.streaming.StreamingCrawl.start(
+      in2.toDF().toDF("asset_id", "payload"), store, "crawl_docs",
+      "crawl_dead", Files.createTempDirectory("graft-crawl-ckpt2").toString)
+    q2.awaitTermination()
+    assert(store.read("crawl_docs").count() === 3L &&
+      store.read("crawl_dead").count() === 1L,
+      "replayed shard must not duplicate rows")
+  }
+
   test("fixture round-trip: every document comes back ok with its own URI") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (9L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
