@@ -6917,7 +6917,14 @@ object QueryCatalog {
       |      OR t.score <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
       |      / count(t.score), 6) END AS coverage
       |FROM q LEFT JOIN t ON t.cls = q.cls
-      |GROUP BY 1, 2, 3, 4""".stripMargin
+      |GROUP BY 1, 2, 3, 4
+      |UNION ALL
+      |SELECT t.cls, CAST(0 AS BIGINT) AS n_cal,
+      |  CAST(NULL AS BIGINT) AS k_rank, CAST(NULL AS DOUBLE) AS qhat,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(NULL AS BIGINT) AS n_covered, CAST(NULL AS DOUBLE) AS coverage
+      |FROM t LEFT JOIN n ON n.cls = t.cls
+      |WHERE n.cls IS NULL GROUP BY 1""".stripMargin
 
   /** MRR@10 over the exact cosine ranking (Similarity.reciprocalRankAtK):
     * the first-hit retrieval readout beside AP (q133), nDCG (q221) and
@@ -7126,7 +7133,7 @@ object QueryCatalog {
       |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
       |      strp, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
       |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
-      |      '\s+', ' ', 'g')) AS text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text,
       |    replace(replace(replace(replace(replace(replace(
       |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -7137,8 +7144,8 @@ object QueryCatalog {
       |  CAST(length(text) AS BIGINT) AS text_chars,
       |  CAST(length(text) AS BIGINT) * 1000000 // CAST(length(html) AS BIGINT) AS text_ppm,
       |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
-      |  CAST(len(regexp_extract_all(html, '(?i)<a\s[^>]*href')) AS BIGINT) AS n_links,
-      |  CAST(len(regexp_extract_all(html, '(?i)<p[\s>]')) AS BIGINT) AS n_paragraphs
+      |  CAST(len(regexp_extract_all(html, '(?i)<a[ \t\n\x0B\f\r][^>]*href')) AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(html, '(?i)<p[ \t\n\x0B\f\r>]')) AS BIGINT) AS n_paragraphs
       |FROM d""".stripMargin
 
   /** URL parse profile + registrable domain (Urls.urlProfile over
@@ -7229,7 +7236,7 @@ object QueryCatalog {
 
   val q251Sql: String =
     """SELECT doc_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4'
+      |  CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4'
       |    ELSE 'snappy' END AS codec,
       |  CAST(1 AS BIGINT) AS ok,
       |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
@@ -7281,7 +7288,7 @@ object QueryCatalog {
       |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
       |      strp, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
       |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
-      |      '\s+', ' ', 'g')) AS text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text,
       |    replace(replace(replace(replace(replace(replace(
       |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -7290,8 +7297,8 @@ object QueryCatalog {
       |SELECT 'http://example.org/doc/' || doc_id AS target_uri, title,
       |  CAST(length(text) AS BIGINT) AS text_chars,
       |  CAST(length(text) AS BIGINT) * 1000000 // CAST(length(html) AS BIGINT) AS text_ppm,
-      |  CAST(len(regexp_extract_all(html, '(?i)<a\s[^>]*href')) AS BIGINT) AS n_links,
-      |  CAST(len(regexp_extract_all(html, '(?i)<p[\s>]')) AS BIGINT) AS n_paragraphs,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a[ \t\n\x0B\f\r][^>]*href')) AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(html, '(?i)<p[ \t\n\x0B\f\r>]')) AS BIGINT) AS n_paragraphs,
       |  md5(text) AS text_md5
       |FROM d""".stripMargin
 

@@ -313,7 +313,9 @@ object Compressed {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val codec = Seq("zstd", "lz4", "snappy")((id % 3).toInt)
+          // floorMod: a negative id must select the same branch the
+          // oracle's sign-normalized CASE does, not throw on Seq(-1)
+          val codec = Seq("zstd", "lz4", "snappy")(Math.floorMod(id, 3L).toInt)
           (id, compressAs(codec,
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }

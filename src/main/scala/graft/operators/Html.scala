@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * only bites alternations, which these patterns avoid). Entity decoding
   * uses LITERAL `replace`, no regex at all, with `&amp;` decoded LAST —
   * single-pass semantics, so `&amp;lt;` reads as the four characters
-  * `&lt;` and never double-decodes.
+  * `&lt;` and never double-decodes. Whitespace is always the EXPLICIT
+  * class `[ \t\n\x0B\f\r]` — shorthand `\s` is NOT common-subset
+  * (Java's includes vertical tab, RE2's does not, and real crawl text
+  * contains \x0B).
   *
   * 100 TB shape: everything here is a per-row projection — codegen'd
   * string expressions, no shuffle, no UDF. The profile is one map pass;
@@ -44,9 +47,9 @@ object Html {
   /** Title content (group 1), lazy so the first title wins. */
   val TitleRe = "(?is)<title[^>]*>(.*?)</title>"
   /** Anchor openers carrying an href — the link-density numerator. */
-  val LinkRe = "(?i)<a\\s[^>]*href"
+  val LinkRe = "(?i)<a[ \\t\\n\\x0B\\f\\r][^>]*href"
   /** Paragraph openers — the structure signal quality gates use. */
-  val ParaRe = "(?i)<p[\\s>]"
+  val ParaRe = "(?i)<p[ \\t\\n\\x0B\\f\\r>]"
 
   private def rep(c: Column, from: String, to: String): Column =
     call_function("replace", c, lit(from), lit(to))
@@ -73,7 +76,8 @@ object Html {
   /** The extracted text: strip → decode entities → collapse whitespace →
     * trim. Empty string (never NULL) for a markup-only page. */
   def extractText(html: Column): Column =
-    trim(regexp_replace(decodeEntities(stripped(html)), "\\s+", " "))
+    trim(regexp_replace(decodeEntities(stripped(html)),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** The (first) title, entity-decoded; empty string when absent. */
   def title(html: Column): Column =

@@ -81,7 +81,10 @@ object Warc {
     }
     if (contentLength < 0) return None
     val payloadStart = split + 4
-    if (payloadStart + contentLength > bytes.length) return None // truncated
+    // compare against the REMAINING bytes: `payloadStart + contentLength`
+    // would overflow Long for a hostile huge Content-Length, slip past the
+    // bound, and turn contentLength.toInt negative inside copyOfRange
+    if (contentLength > (bytes.length - payloadStart).toLong) return None // truncated
     val after = payloadStart + contentLength.toInt
     // tolerate exactly the spec separator (or nothing) after the payload
     val rest = bytes.length - after
@@ -101,12 +104,24 @@ object Warc {
                            content_length: Option[Long], n_headers: Option[Long],
                            md5_hex: Option[String])
 
-  /** Shard payloads → one row per WARC record: member split via the RFC
-    * 1952 walk, then [[parseWarcRecord]] per member. A shard whose gzip
-    * framing fails yields ONE ok=0 row (member_idx −1); a member whose
-    * record is malformed yields its own ok=0 row at its index. md5 is of
-    * the record PAYLOAD — the losslessness hook the oracle replays from
-    * the source text without seeing a WARC byte. */
+  /** The ONE shard walk both record readers share (the member-failure
+    * taxonomy must never drift between them): per shard, member split via
+    * the RFC 1952 walk, then [[parseWarcRecord]] per member. A shard
+    * whose gzip framing fails yields a single (−1, None); a member whose
+    * record is malformed yields (idx, None); good records (idx, Some). */
+  private def walkShard(payload: Array[Byte]): Iterator[(Long, Option[WarcRecord])] =
+    Compressed.gunzipMemberSplit(payload) match {
+      case None => Iterator.single((-1L, None))
+      case Some(members) => members.iterator.zipWithIndex.map {
+        case (m, i) => (i.toLong, parseWarcRecord(m.data))
+      }
+    }
+
+  /** Shard payloads → one row per WARC record with the typed header
+    * fields. md5 is of the record PAYLOAD — the losslessness hook the
+    * oracle replays from the source text without seeing a WARC byte.
+    * Error taxonomy per [[walkShard]]: framing failure = one ok=0 row at
+    * member_idx −1; a malformed member = its own ok=0 row at its index. */
   def warcRecordFeatures(assets: DataFrame): Dataset[WarcRow] = {
     val enc = Encoders.product[WarcRow]
     assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
@@ -114,22 +129,14 @@ object Warc {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, payload) =>
-          Compressed.gunzipMemberSplit(payload) match {
-            case None => Iterator.single(
-              WarcRow(id, -1L, 0L, None, None, None, None, None, None))
-            case Some(members) => members.iterator.zipWithIndex.map {
-              case (m, i) =>
-                parseWarcRecord(m.data) match {
-                  case Some(r) =>
-                    md.reset()
-                    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-                    WarcRow(id, i.toLong, 1L, r.warcType, r.targetUri,
-                      r.contentType, Some(r.contentLength), Some(r.nHeaders),
-                      Some(hex))
-                  case None =>
-                    WarcRow(id, i.toLong, 0L, None, None, None, None, None, None)
-                }
-            }
+          walkShard(payload).map {
+            case (i, Some(r)) =>
+              md.reset()
+              val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+              WarcRow(id, i, 1L, r.warcType, r.targetUri, r.contentType,
+                Some(r.contentLength), Some(r.nHeaders), Some(hex))
+            case (i, None) =>
+              WarcRow(id, i, 0L, None, None, None, None, None, None)
           }
         }
       }(enc)
@@ -140,23 +147,18 @@ object Warc {
 
   /** Shard payloads → records with their payload DECODED as UTF-8 text —
     * the handoff row the downstream text stages ([[Html.htmlProfile]],
-    * [[TextAnalysis]]) consume directly. Same error taxonomy as
-    * [[warcRecordFeatures]]. */
+    * [[TextAnalysis]]) consume directly. Same [[walkShard]] error
+    * taxonomy as [[warcRecordFeatures]]. */
   def warcTextRecords(assets: DataFrame): Dataset[WarcTextRow] = {
     val enc = Encoders.product[WarcTextRow]
     assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          Compressed.gunzipMemberSplit(payload) match {
-            case None => Iterator.single(WarcTextRow(id, -1L, 0L, None, None))
-            case Some(members) => members.iterator.zipWithIndex.map {
-              case (m, i) => parseWarcRecord(m.data) match {
-                case Some(r) => WarcTextRow(id, i.toLong, 1L, r.targetUri,
-                  Some(new String(r.payload, Utf8)))
-                case None => WarcTextRow(id, i.toLong, 0L, None, None)
-              }
-            }
+          walkShard(payload).map {
+            case (i, Some(r)) =>
+              WarcTextRow(id, i, 1L, r.targetUri, Some(new String(r.payload, Utf8)))
+            case (i, None) => WarcTextRow(id, i, 0L, None, None)
           }
         }
       }(enc)

@@ -46,9 +46,12 @@ object StreamingCrawl {
           .withColumn("text_chars", length(col("text")).cast("long"))
         if (!docs.isEmpty)
           store.mergeFact(docsTable, docs, Seq("shard_id", "member_idx"))
+        // last_seen (not first_seen): the keyed MERGE is last-write-wins,
+        // so a re-delivered bad member refreshes the column — an honest
+        // name beats a first-seen promise the sink can't keep
         val dead = recs.filter(col("ok") === 0)
           .select(col("shard_id"), col("member_idx"),
-            lit(batchId).as("first_seen_batch"))
+            lit(batchId).as("last_seen_batch"))
         if (!dead.isEmpty)
           store.mergeFact(deadTable, dead, Seq("shard_id", "member_idx"))
         ()

@@ -57,6 +57,10 @@ class WarcSpec extends SparkSpec {
     assert(rec("WARC/1.0\r\nbroken header line\r\nContent-Length: 0\r\n\r\n").isEmpty,
       "header without a colon")
     assert(rec("WARC/1.0\r\nContent-Length: -1\r\n\r\n").isEmpty, "negative length")
+    // a near-Long.Max length must not overflow the truncation bound and
+    // reach copyOfRange with a negative end (the never-throws contract)
+    assert(rec("WARC/1.0\r\nContent-Length: 9223372036854775804\r\n\r\n").isEmpty,
+      "huge length rejects instead of overflowing")
     assert(Warc.parseWarcRecord(null).isEmpty)
     assert(Warc.parseWarcRecord("WARC/1.0 no blank line".getBytes(US_ASCII)).isEmpty)
   }
