@@ -7302,6 +7302,31 @@ object QueryCatalog {
       |  md5(text) AS text_md5
       |FROM d""".stripMargin
 
+  /** Per-DOMAIN crawl cap (Urls.etld1 + Sampling.capPerGroup): the reason
+    * the registrable domain exists — capping documents per eTLD+1 so
+    * subdomain farms can't dodge a per-host limit. Hash-threshold
+    * sampling (deterministic in the id, rate = cap/n), reduced to kept
+    * counts per domain. The oracle nests the full q249 parse replay as a
+    * CTE and reapplies the q72 threshold arithmetic keyed on etld1. */
+  def q253DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val urls = operators.Urls.urlProfile(operators.Urls.synthUrls(t(s, dir, "events")))
+      .filter(col("host").isNotNull)
+    operators.Sampling.capPerGroup(urls, "etld1", "event_id", 50)
+      .groupBy(col("etld1")).agg(count(lit(1)).as("n_kept"))
+  }
+
+  val q253Sql: String =
+    s"""WITH base AS (
+       |$q249Sql
+       |),
+       |b AS (SELECT event_id, etld1 FROM base WHERE host IS NOT NULL),
+       |n AS (SELECT etld1, count(*) AS n_docs FROM b GROUP BY 1),
+       |t AS (SELECT etld1, least(1000000, (50 * 1000000) // n_docs) AS thr FROM n),
+       |k AS (SELECT d.etld1 FROM b d JOIN t ON d.etld1 = t.etld1
+       |      WHERE CAST(('0x' || substring(md5(CAST(d.event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+       |            % 1000000 < t.thr)
+       |SELECT etld1, count(*) AS n_kept FROM k GROUP BY etld1""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7559,7 +7584,8 @@ object QueryCatalog {
     ("q249_url_profile", q249UrlProfile _, Some(q249Sql)),
     ("q250_warc_records", q250WarcRecords _, Some(q250Sql)),
     ("q251_codec_text", q251CodecText _, Some(q251Sql)),
-    ("q252_crawl_pipeline", q252CrawlPipeline _, Some(q252Sql)))
+    ("q252_crawl_pipeline", q252CrawlPipeline _, Some(q252Sql)),
+    ("q253_domain_cap", q253DomainCap _, Some(q253Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
