@@ -689,6 +689,34 @@ class PlanSpec extends SparkSpec {
     assert(!p245.contains("Exchange"), s"q245 is map-only:\n$p245")
   }
 
+  test("q248/q249/q251 crawl-ingest legs are map-only (no exchange, no window)") {
+    Seq(plan(QueryCatalog.q248HtmlExtract), plan(QueryCatalog.q249UrlProfile),
+      plan(QueryCatalog.q251CodecText)).foreach { p =>
+      assert(!p.contains("Exchange") && !p.contains("Window"),
+        s"per-row extraction must not shuffle:\n$p")
+    }
+  }
+
+  test("q250/q252 WARC legs: the only exchange is the bounded shard assembly") {
+    Seq(plan(QueryCatalog.q250WarcRecords), plan(QueryCatalog.q252CrawlPipeline))
+      .foreach { p =>
+        val exchanges = p.linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+            !l.contains("Input") && !l.contains("Arguments"))
+        assert(exchanges <= 1, s"one shard-grouping shuffle only:\n$p")
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+          s"no join machinery in a decode chain:\n$p")
+      }
+  }
+
+  test("q253 domain cap: threshold frame broadcasts; no cartesian") {
+    val p = plan(QueryCatalog.q253DomainCap)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cap join must stay an equi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the per-domain threshold frame is tiny and must broadcast:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
