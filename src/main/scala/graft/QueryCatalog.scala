@@ -7327,6 +7327,26 @@ object QueryCatalog {
        |            % 1000000 < t.thr)
        |SELECT etld1, count(*) AS n_kept FROM k GROUP BY etld1""".stripMargin
 
+  /** Frequent 3-step event paths (Events.frequentPaths): the order-3
+    * generalization of q231's transitions — overlapping type trigrams per
+    * user from one shared lead window, counted with distinct-user reach,
+    * support ≥ 5. */
+  def q254EventPaths(s: SparkSession, dir: String): DataFrame =
+    operators.Events.frequentPaths(t(s, dir, "events"), k = 3, minSupport = 5L)
+
+  val q254Sql: String =
+    """WITH st AS (SELECT user_id, event_type AS t0,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT t0 || '>' || t1 || '>' || t2 AS path,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
+      |FROM st WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7585,7 +7605,8 @@ object QueryCatalog {
     ("q250_warc_records", q250WarcRecords _, Some(q250Sql)),
     ("q251_codec_text", q251CodecText _, Some(q251Sql)),
     ("q252_crawl_pipeline", q252CrawlPipeline _, Some(q252Sql)),
-    ("q253_domain_cap", q253DomainCap _, Some(q253Sql)))
+    ("q253_domain_cap", q253DomainCap _, Some(q253Sql)),
+    ("q254_event_paths", q254EventPaths _, Some(q254Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -244,4 +244,40 @@ object Events {
         col("from_total"),
         round(col("cnt").cast("double") / col("from_total"), 6).as("prob"))
   }
+
+  /** Frequent contiguous event PATHS of length `k` — the order-k
+    * generalization of [[markovTransitions]]' successor pairs, and the
+    * product-analytics "path analysis" staple (what k-step flows dominate
+    * the sessions): per unit, the type sequence ordered (ts, id) is cut
+    * into overlapping k-grams by `k−1` lead windows sharing ONE
+    * partition sort; paths are counted globally with the distinct-unit
+    * reach beside the raw occurrence count, and only paths with
+    * `n_occurrences ≥ minSupport` survive.
+    *
+    * Scale: one shuffle on the unit key (all leads share it), one
+    * grouped count on the path string — the path alphabet is
+    * |event types|^k but only OBSERVED paths materialize, and the
+    * support gate keeps the result ∝ the head of that distribution. */
+  def frequentPaths(events: DataFrame, k: Int = 3, minSupport: Long = 2L,
+                    unitCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type",
+                    idCol: String = "event_id"): DataFrame = {
+    require(k >= 2 && k <= 8, "path length k in [2, 8]")
+    val w = Window.partitionBy(col(unitCol))
+      .orderBy(Times.epochMicros(col(tsCol)).asc, col(idCol).asc)
+    val withLeads = (1 until k).foldLeft(
+      events.filter(col(unitCol).isNotNull && col(tsCol).isNotNull &&
+          col(typeCol).isNotNull)
+        .select(col(unitCol), col(tsCol), col(idCol), col(typeCol).as("_t0"))) {
+      case (df, i) => df.withColumn(s"_t$i", lead(col("_t0"), i).over(w))
+    }
+    withLeads
+      .filter((1 until k).map(i => col(s"_t$i").isNotNull).reduce(_ && _))
+      .select(col(unitCol).as("_unit"),
+        concat_ws(">", (0 until k).map(i => col(s"_t$i")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("_unit")).as("n_units"))
+      .filter(col("n_occurrences") >= minSupport)
+  }
 }

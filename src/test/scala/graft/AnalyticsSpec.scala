@@ -76,6 +76,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(re === out.keySet)
   }
 
+  test("frequentPaths: overlapping k-grams, unit reach, support gate, tie-break") {
+    val rows = Seq(
+      (1L, ts(0), 10L, "A"), (1L, ts(1), 11L, "B"), (1L, ts(2), 12L, "C"),
+      (1L, ts(3), 13L, "A"), (1L, ts(4), 14L, "B"), (1L, ts(5), 15L, "C"),
+      (2L, ts(0), 20L, "A"), (2L, ts(1), 21L, "B"), (2L, ts(2), 22L, "C"),
+      // same ts: id order decides the path A>B (30 before 31)
+      (3L, ts(7), 30L, "A"), (3L, ts(7), 31L, "B"),
+      (4L, ts(0), 40L, "Z")) // single event: no path
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val k3 = Events.frequentPaths(rows, k = 3, minSupport = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // user 1 contributes A>B>C twice (overlapping windows also yield
+    // B>C>A and C>A>B once each); user 2 once more
+    assert(k3("A>B>C") === ((3L, 2L)), s"got $k3")
+    assert(k3("B>C>A") === ((1L, 1L)) && k3("C>A>B") === ((1L, 1L)))
+    assert(!k3.contains("Z"), "k-gram needs k events")
+    // the support gate prunes singleton paths
+    val gated = Events.frequentPaths(rows, k = 3, minSupport = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(gated === Set("A>B>C"))
+    // k=2 equals the transition pair set (sanity vs markovTransitions)
+    val pairs = Events.frequentPaths(rows, k = 2, minSupport = 1L)
+      .collect().map(_.getString(0)).toSet
+    assert(pairs.contains("A>B") && !pairs.contains("B>A"),
+      "same-ts tie must follow event_id order")
+    // partition independence
+    assert(Events.frequentPaths(rows.repartition(5), 3, 1L).count() === 3L)
+  }
+
   // ---- kaplanMeier -------------------------------------------------------
 
   test("kaplanMeier: hand-computed life table with end-censoring") {

@@ -126,4 +126,40 @@ class CodecPropertySpec extends SparkSpec {
     assert(Compressed.sniffCodec("plaintext, no magic".getBytes("UTF-8")).isEmpty)
     assert(Compressed.decompressSniff(Array[Byte](0, 1, 2)).isEmpty)
   }
+
+  test("warc: record round-trip law; mutations/truncations are total, and a " +
+       "parsed record never lies about its payload") {
+    import graft.operators.Warc
+    val gen = for {
+      n <- Gen.chooseNum(0, 2000)
+      uriLen <- Gen.chooseNum(0, 80)
+      s <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, uriLen, s)
+    samples(gen, 50).foreach { case (n, uriLen, s) =>
+      val rnd = new scala.util.Random(s)
+      // bodies may contain CRLF runs and even 'WARC/' — framing must hold
+      val body = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      val uri = "http://x.org/" + Seq.fill(uriLen)('a').mkString
+      val rec = Warc.buildRecord(uri, "2024-01-01T00:00:00Z", "id", "text/plain", body)
+      Warc.parseWarcRecord(rec) match {
+        case Some(r) =>
+          assert(r.targetUri === Some(uri) && r.payload.toSeq === body.toSeq,
+            s"n=$n seed=$s")
+        case None =>
+          // legal only when the random BODY itself contains bytes that
+          // make the HEADER ambiguous — i.e. a CRLFCRLF before the real
+          // split. Everything else must parse.
+          val headEnd = rec.indexOfSlice(Seq[Byte]('\r', '\n', '\r', '\n'))
+          assert(body.containsSlice(Seq[Byte]('\r', '\n', '\r', '\n')) ||
+            headEnd < 0, s"well-framed record must parse: n=$n seed=$s")
+      }
+      // single-byte mutations and truncations: any outcome but a throw
+      if (rec.nonEmpty) {
+        val m = rec.clone(); val at = rnd.nextInt(rec.length)
+        m(at) = (m(at) ^ (1 + rnd.nextInt(255))).toByte
+        Warc.parseWarcRecord(m)
+        Warc.parseWarcRecord(rec.take(rnd.nextInt(rec.length)))
+      }
+    }
+  }
 }
