@@ -113,10 +113,17 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     val dropped = oldLive -- pairs.map(_._2).toSet
     if (dropped.nonEmpty) {
       val now = System.currentTimeMillis()
-      Files.write(tombstonesPath(name),
-        dropped.toSeq.sorted.map(v => s"$v $now").mkString("", "\n", "\n").getBytes,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      // read-rewrite-move, never append-in-place: _TOMBSTONES follows the
+      // same tmp+ATOMIC_MOVE discipline as every other metadata file — a
+      // crash mid-append must not leave a torn line that breaks vacuum or
+      // a lost tombstone that forfeits the reader grace period
+      val existing =
+        if (Files.exists(tombstonesPath(name)))
+          new String(Files.readAllBytes(tombstonesPath(name)))
+        else ""
+      CommitProtocol.atomicWrite(dir(name), "_TOMBSTONES",
+        existing + dropped.toSeq.sorted.map(v => s"$v $now")
+          .mkString("", "\n", "\n"))
     }
     val body = (s"maxsk=$maxSk" +: s"#nbuckets=$nBuckets" +:
       pairs.sorted.map { case (b, v) => s"$b $v" })
@@ -141,8 +148,14 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   private def readTombstones(name: String): Map[Long, Long] =
     if (!Files.exists(tombstonesPath(name))) Map.empty
     else Files.readAllLines(tombstonesPath(name)).asScala
-      .filter(_.trim.nonEmpty).map { l =>
-        val Array(v, t) = l.trim.split("\\s+"); (v.toLong, t.toLong)
+      .filter(_.trim.nonEmpty).flatMap { l =>
+        // a torn line (pre-atomic-write crash) degrades that version to
+        // the mtime fallback instead of breaking every future vacuum
+        l.trim.split("\\s+") match {
+          case Array(v, t) if v.forall(_.isDigit) && t.forall(_.isDigit) =>
+            Some((v.toLong, t.toLong))
+          case _ => None
+        }
       }.toMap
 
   private def bucketCol(natKey: Seq[String]): Column =
@@ -212,9 +225,16 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   private def writeStats(name: String, v: Long, out: DataFrame): Unit = {
     val cols = statsColumns.filter(out.columns.contains)
     if (cols.isEmpty) return
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"_mn_$c"),
-      max(col(c).cast("double")).as(s"_mx_$c")))
+    // NaN-safe: Spark's max() returns NaN if ANY value is NaN, and a NaN
+    // bound would make readRange's keep test false — pruning a bucket that
+    // still holds in-range rows (silent data loss). Excluding NaN from the
+    // bounds is SOUND: a NaN row can never satisfy a finite between(lo,hi)
+    // residual (NaN sorts above every double, so NaN <= hi is false).
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      val safe = when(!isnan(v), v)
+      Seq(min(safe).as(s"_mn_$c"), max(safe).as(s"_mx_$c"))
+    }
     // aggregate the JUST-WRITTEN version files, not `out`: mergeFact
     // deliberately leaves its full-outer join un-checkpointed (the parquet
     // write executes it exactly once) — aggregating the plan would run the
@@ -257,7 +277,10 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     val statsByV = pairs.map(_._2).distinct
       .map(v => v -> readStats(name, v)).toMap
     val keep = pairs.filter { case (b, v) =>
-      statsByV(v).get((b, column)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      // NaN bounds (stats files written before the NaN-safe aggregate)
+      // are unusable, not exclusionary — scan the bucket
+      statsByV(v).get((b, column)).forall { case (mn, mx) =>
+        mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
     }
     val base =
       if (keep.isEmpty)
@@ -463,9 +486,9 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
       // otherwise make every vacuum re-parse the table's full commit history
       if (reclaimed.nonEmpty && tomb.nonEmpty) {
         val keptTomb = tomb.filterNot { case (v, _) => reclaimed.contains(v) }
-        Files.write(tombstonesPath(name),
+        CommitProtocol.atomicWrite(dir(name), "_TOMBSTONES",
           keptTomb.toSeq.sorted.map { case (v, t) => s"$v $t" }
-            .mkString("", "\n", "\n").getBytes)
+            .mkString("", "\n", "\n"))
       }
     }
   }
@@ -513,13 +536,37 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         val allAttrs = SchemaEvolution.unionAttrs(storedFields, batchFields)
         val batchHas = batchFields.map(_.name).toSet
         val storedHas = storedFields.map(_.name).toSet
+        require(!batchB.columns.contains(skCol),
+          s"batch must not carry the surrogate key column '$skCol' " +
+            "(the merge writer assigns it)")
+        require(!natKey.contains("sk"),
+          "a natural-key column literally named 'sk' collides with the " +
+            "merge writer's _cur_sk marker — rename it before merging")
         val keyCols = (natKey :+ skCol).map(col) :+ col("_bucket")
-        val cur = curTouched.select((natKey :+ "_bucket").map(col) ++
+        // NULL-SAFE key match: natural keys come from groupBy-shaped
+        // upstreams where NULL is one group, so the merge must treat it
+        // the same way — a plain usingColumns join never matches NULL,
+        // and a NULL-keyed row would re-insert (fresh sk) on EVERY
+        // replay, breaking the effectively-once contract. Stored keys
+        // are aliased aside, matched with <=>, and the canonical key is
+        // the batch side where present (even when legitimately NULL).
+        val cur = curTouched.select(
+          (natKey.map(k => col(k).as(s"_cur_$k")) :+
+            col("_bucket").as("_cur__bucket")) ++
           (col(skCol).as("_cur_sk") +:
             storedFields.map(f => col(f.name).as(s"_cur_${f.name}"))): _*)
+        val joinCond = (natKey.map(k => col(k) <=> col(s"_cur_$k")) :+
+          (col("_bucket") === col("_cur__bucket"))).reduce(_ && _)
         val freshObs = org.apache.spark.sql.Observation()
-        val j = batchB.withColumn("_in_batch", lit(1))
-          .join(cur, natKey :+ "_bucket", "full_outer")
+        val j0 = batchB.withColumn("_in_batch", lit(1))
+          .join(cur, joinCond, "full_outer")
+        val j = natKey.foldLeft(j0) { (d, k) =>
+            d.withColumn(k, when(col("_in_batch").isNotNull, col(k))
+              .otherwise(col(s"_cur_$k"))).drop(s"_cur_$k")
+          }
+          .withColumn("_bucket", when(col("_in_batch").isNotNull, col("_bucket"))
+            .otherwise(col("_cur__bucket")))
+          .drop("_cur__bucket")
           .observe(freshObs, count(when(
             col("_in_batch").isNotNull && col("_cur_sk").isNull, 1)).as("fresh"))
           .localCheckpoint(true) // consumed 3× below + by the write + view
@@ -588,10 +635,23 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
         val allOthers = SchemaEvolution.unionAttrs(storedFields, batchFields)
         val batchHas = batchFields.map(_.name).toSet
         val storedHas = storedFields.map(_.name).toSet
-        val cur = curTouched.select((natKey :+ "_bucket").map(col) ++
+        // null-safe key match — see mergeDim's note (the fact upsert has
+        // the same replay-duplication hazard on NULL-keyed rows)
+        val cur = curTouched.select(
+          (natKey.map(k => col(k).as(s"_cur_$k")) :+
+            col("_bucket").as("_cur__bucket")) ++
           storedFields.map(f => col(f.name).as(s"_cur_${f.name}")): _*)
-        val j = batchB.withColumn("_in_batch", lit(1))
-          .join(cur, natKey :+ "_bucket", "full_outer")
+        val joinCond = (natKey.map(k => col(k) <=> col(s"_cur_$k")) :+
+          (col("_bucket") === col("_cur__bucket"))).reduce(_ && _)
+        val j0 = batchB.withColumn("_in_batch", lit(1))
+          .join(cur, joinCond, "full_outer")
+        val j = natKey.foldLeft(j0) { (d, k) =>
+            d.withColumn(k, when(col("_in_batch").isNotNull, col(k))
+              .otherwise(col(s"_cur_$k"))).drop(s"_cur_$k")
+          }
+          .withColumn("_bucket", when(col("_in_batch").isNotNull, col("_bucket"))
+            .otherwise(col("_cur__bucket")))
+          .drop("_cur__bucket")
         val merged = j.select((natKey :+ "_bucket").map(col) ++ allOthers.map { f =>
           (if (batchHas(f.name) && storedHas(f.name))
              when(col("_in_batch").isNotNull, col(f.name))
@@ -631,12 +691,16 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
     * the new one. */
   override def appendTable(name: String, batch: DataFrame): DataFrame = {
     if (batch.isEmpty) return if (exists(name)) read(name) else batch
-    // additive evolution holds for appends too (old versions NULL-fill on
-    // read); the compat gate keeps type drift loud at write time
-    if (exists(name)) SchemaEvolution.requireCompatible(name, batch, read(name))
     val (out, touched) = materialize(batch.withColumn("_bucket",
       pmod(xxhash64(batch.columns.toIndexedSeq.map(col): _*), lit(nBuckets)).cast("int")))
     val (o, kept) = commitLoop(name, replace = false) { prev =>
+      // additive evolution holds for appends too (old versions NULL-fill
+      // on read); the compat gate keeps type drift loud at write time —
+      // and it runs INSIDE the CAS loop, like mergeDim/mergeFact, so a
+      // retry re-validates against the snapshot actually being committed
+      // (two concurrent appends adding the same column at different types
+      // must not both pass against the stale pre-loop schema)
+      if (exists(name)) SchemaEvolution.requireCompatible(name, batch, read(name))
       (out, touched, prev.map(_._1).getOrElse(0L))
     }
     view(name, o, kept)

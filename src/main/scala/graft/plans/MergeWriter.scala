@@ -81,6 +81,21 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
     * the merge (existing sks, untouched rows) against the winner's state
     * rather than blindly re-swapping a stale result. */
   def mergeDim(name: String, batch: DataFrame, natKey: Seq[String], skCol: String): DataFrame = {
+    require(!batch.columns.contains(skCol),
+      s"batch must not carry the surrogate key column '$skCol' " +
+        "(the merge writer assigns it)")
+    // same internal-marker guard as mergeFact/the bucketed store: a user
+    // _cur_* column would collide with the stored-side aliases below and
+    // die with an opaque ambiguous-reference error instead of this one
+    batch.columns.foreach { c =>
+      require(c != "_in_batch" && !c.startsWith("_cur_"),
+        s"column name '$c' collides with the merge writer's internal " +
+          "markers (_in_batch, _cur_*) — rename it before merging")
+    }
+    // empty-batch short-circuit (the bucketed store's behavior): never
+    // rewrite the whole table into a new version for a no-op
+    if (batch.isEmpty)
+      return if (exists(name)) read(name) else batch.withColumn(skCol, lit(0L))
     CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
       val merged = snap match {
         case None => assignKeys(batch, skCol, 0L)
@@ -104,9 +119,14 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
           // checkpoint ONCE: the join otherwise re-executes in KeyAssign's
           // per-partition sizes job and again in each union branch (the
           // pattern the bucketed writer documents and fixes the same way)
-          val joined = batch.join(cur.select((natKey :+ skCol).map(col) ++
-            storedOnly.map(f => col(f.name).as(s"_cur_${f.name}")): _*),
-            natKey, "left")
+          // NULL-SAFE key match (the bucketed store's contract): a plain
+          // usingColumns join never matches NULL keys, so a NULL-keyed
+          // row would take a fresh sk on every replay
+          val joined = batch.join(cur.select(
+              (natKey.map(k => col(k).as(s"_cur_$k")) :+ col(skCol)) ++
+              storedOnly.map(f => col(f.name).as(s"_cur_${f.name}")): _*),
+              natKey.map(k => col(k) <=> col(s"_cur_$k")).reduce(_ && _), "left")
+            .drop(natKey.map(k => s"_cur_$k"): _*)
             .localCheckpoint(true)
           val known = joined.filter(col(skCol).isNotNull)
           val fresh = joined.filter(col(skCol).isNull).drop(skCol)
@@ -115,7 +135,9 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
             .map(_.asInstanceOf[Long]).getOrElse(0L)
           val freshKeyed = assignKeys(fresh, skCol, maxSk)
           // untouched = current rows whose key is not in the batch
-          val untouched = cur.join(batch.select(keyCols: _*), natKey, "left_anti")
+          val untouched = cur.join(
+            batch.select(natKey.map(k => col(k).as(s"_cur_$k")): _*),
+            natKey.map(k => col(k) <=> col(s"_cur_$k")).reduce(_ && _), "left_anti")
           val heads = (natKey :+ skCol).map(col)
           untouched.select(heads ++ allAttrs.map(f =>
               (if (storedHas(f.name)) col(f.name)
@@ -160,7 +182,9 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
   /** Fact upsert: pure last-write-wins on the fact natural key, no sk.
     * Additive evolution matches [[mergeDim]]: batch-only columns append,
     * batch-omitted stored columns are retained on updated rows. */
-  def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame =
+  def mergeFact(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
+    // empty-batch short-circuit: no version churn for a no-op
+    if (batch.isEmpty) return if (exists(name)) read(name) else batch
     CommitProtocol.commitLoop(tableDir(name), PointerFile) { snap =>
       val merged = snap match {
         case None => batch
@@ -181,10 +205,16 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
           val allOthers = SchemaEvolution.unionAttrs(storedFields, batchFields)
           val batchHas = batchFields.map(_.name).toSet
           val storedHas = storedFields.map(_.name).toSet
-          val cur2 = cur.select(natKey.map(col) ++
+          // null-safe key match — see mergeDim's note
+          val cur2 = cur.select(natKey.map(k => col(k).as(s"_cur_$k")) ++
             storedFields.map(f => col(f.name).as(s"_cur_${f.name}")): _*)
-          batch.withColumn("_in_batch", lit(1))
-            .join(cur2, natKey, "full_outer")
+          val j0 = batch.withColumn("_in_batch", lit(1))
+            .join(cur2, natKey.map(k => col(k) <=> col(s"_cur_$k")).reduce(_ && _),
+              "full_outer")
+          natKey.foldLeft(j0) { (d, k) =>
+              d.withColumn(k, when(col("_in_batch").isNotNull, col(k))
+                .otherwise(col(s"_cur_$k"))).drop(s"_cur_$k")
+            }
             .select(natKey.map(col) ++ allOthers.map { f =>
               (if (batchHas(f.name) && storedHas(f.name))
                  when(col("_in_batch").isNotNull, col(f.name))
@@ -197,6 +227,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
       }
       casAttempt(name, merged.localCheckpoint(true))
     }
+  }
 
   /** Reclaim superseded version directories (all but the pointer target),
     * skipping in-flight commits. `retainMillis` ages by directory mtime —

@@ -165,22 +165,48 @@ object StreamToStar {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.DurationInt
       import scala.concurrent.ExecutionContext.Implicits.global
+      // every merge future runs under one cancellable JOB GROUP (set
+      // per-thread inside the future): an Await timeout alone would leave
+      // the wedged merge running as a ZOMBIE while the finally sweep
+      // unpersists the localCheckpoint blocks it still reads, and the
+      // batch retry would race it on the same table
+      val mergeGroup = s"graft-star-merges-$batchId-${System.nanoTime()}"
+      def grouped[T](body: => T): T = {
+        sc.setJobGroup(mergeGroup, s"star dim merges (batch $batchId)",
+          interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
       val dimFutures = dimSpecs.map { case (name, rows, natKey, sk) =>
         name -> Future {
-          val collapsed = StarSchema.lastWriteWins(rows(cached), natKey, "_seq")
-          store.mergeDim(name, collapsed, natKey, sk)
+          grouped {
+            val collapsed = StarSchema.lastWriteWins(rows(cached), natKey, "_seq")
+            store.mergeDim(name, collapsed, natKey, sk)
+          }
         }
       }
       // dim_date is keyed by the value itself; attributes are derived, so
       // last-write-wins degenerates to distinct
       val dateFuture = Future {
-        store.mergeDim("dim_date", StarSchema.dateRows(cached), Seq("sale_date"), "date_sk")
+        grouped(store.mergeDim("dim_date", StarSchema.dateRows(cached),
+          Seq("sale_date"), "date_sk"))
       }
       // settle EVERY future before surfacing a failure: rethrowing while a
       // sibling merge is still writing would leave an orphan writer racing
-      // this table's merge when the failed batch is retried
-      val settled = timed("dims", phases)((dimFutures.map(_._2) :+ dateFuture)
-        .map(f => scala.util.Try(Await.result(f, 10.minutes))))
+      // this table's merge when the failed batch is retried. A TIMEOUT is
+      // not settlement — cancel the job group and re-await so the wedged
+      // merge is actually dead before the sweep/rethrow.
+      val settled = timed("dims", phases) {
+        val all = dimFutures.map(_._2) :+ dateFuture
+        val tries = all.map(f => scala.util.Try(Await.result(f, 10.minutes)))
+        if (tries.exists {
+          case scala.util.Failure(_: java.util.concurrent.TimeoutException) => true
+          case _ => false
+        }) {
+          sc.cancelJobGroup(mergeGroup)
+          all.foreach(f => scala.util.Try(Await.result(f, 1.minute)))
+        }
+        tries
+      }
       settled.collectFirst { case scala.util.Failure(e) => throw e }
       val dims = dimFutures.map(_._1).zip(settled.init.map(_.get)).toMap
       val dimDate = settled.last.get

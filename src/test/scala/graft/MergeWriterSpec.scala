@@ -31,6 +31,48 @@ class MergeWriterSpec extends SparkSpec {
     assert(t2.count() === 4)
   }
 
+  test("NULL natural keys upsert null-safely: replay is a no-op, sk stable") {
+    val store = freshStore()
+    val b1 = Seq((Some(10L), "a"), (None, "nullkey")).toDF("k", "attr")
+    val t1 = store.mergeDim("d", b1, Seq("k"), "sk")
+    assert(t1.count() === 2)
+    val nullSk = t1.filter(col("k").isNull).collect().head.getAs[Long]("sk")
+    // replaying the SAME batch must not mint a second NULL-keyed row
+    val t2 = store.mergeDim("d", b1, Seq("k"), "sk")
+    assert(t2.count() === 2, "replay must be a no-op on keys (incl. NULL)")
+    assert(t2.filter(col("k").isNull).collect().head.getAs[Long]("sk") === nullSk,
+      "the NULL-keyed row keeps its surrogate key")
+    // and the NULL-keyed row's attributes still update last-write-wins
+    val t3 = store.mergeDim("d",
+      Seq((Option.empty[Long], "updated")).toDF("k", "attr"), Seq("k"), "sk")
+    assert(t3.filter(col("k").isNull).collect().head.getAs[String]("attr")
+      === "updated")
+    // fact path: same contract, composite key with a NULL component
+    val f1 = Seq((Some(1L), Some("x"), 5.0), (Some(1L), None, 6.0))
+      .toDF("a", "b", "v")
+    store.mergeFact("f", f1, Seq("a", "b"))
+    store.mergeFact("f", f1, Seq("a", "b"))
+    assert(store.read("f").count() === 2, "fact replay must not duplicate NULL keys")
+  }
+
+  test("empty batches over an existing table are a no-op (no version churn)") {
+    val root = Files.createTempDirectory("graft-merge-empty").toString
+    val store = new MergeWriter(spark, root)
+    val b1 = Seq((10L, "a")).toDF("k", "attr")
+    store.mergeDim("d", b1, Seq("k"), "sk")
+    store.mergeFact("f", Seq((1L, 2.0)).toDF("k", "v"), Seq("k"))
+    def dirs(t: String) = {
+      val s = Files.list(java.nio.file.Paths.get(root, t))
+      try s.count() finally s.close()
+    }
+    val (dimDirs, factDirs) = (dirs("d"), dirs("f"))
+    store.mergeDim("d", b1.limit(0), Seq("k"), "sk")
+    store.mergeFact("f", Seq.empty[(Long, Double)].toDF("k", "v"), Seq("k"))
+    assert(dirs("d") === dimDirs, "empty dim merge must not write a version")
+    assert(dirs("f") === factDirs, "empty fact merge must not write a version")
+    assert(store.read("d").count() === 1 && store.read("f").count() === 1)
+  }
+
   test("mergeDim survives an empty current table (max(sk) NULL guard)") {
     val store = freshStore()
     val empty = Seq.empty[(Long, String)].toDF("k", "attr")

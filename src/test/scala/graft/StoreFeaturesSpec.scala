@@ -127,4 +127,37 @@ class StoreFeaturesSpec extends SparkSpec {
     assert(plain.readRange("f", "v", 3.0, 4.0)
       .collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L))
   }
+
+  test("NaN values never poison zone maps into pruning live rows") {
+    val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 2,
+      statsColumns = Seq("v"))
+    // every bucket holds a NaN beside in-range values: max() over the raw
+    // column would record NaN and a naive keep test would DROP the bucket
+    store.appendTable("m", Seq((1L, 10.0), (2L, Double.NaN), (3L, 11.0),
+      (4L, Double.NaN), (5L, 12.0), (6L, 13.0)).toDF("id", "v"))
+    val got = store.readRange("m", "v", 10.0, 13.0)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got === Set(1L, 3L, 5L, 6L),
+      "in-range rows must survive NaN neighbors (and NaN itself never " +
+        "matches a finite range)")
+    // an all-NaN commit carries no stats entry -> conservatively scanned
+    store.appendTable("m", Seq((7L, Double.NaN)).toDF("id", "v"))
+    assert(store.readRange("m", "v", 0.0, 100.0).count() === 4L)
+  }
+
+  test("NULL natural keys upsert null-safely in the bucketed store") {
+    val store = new BucketedMergeWriter(spark, freshRoot(), nBuckets = 4)
+    val b = Seq((Some(1L), "a"), (None, "nullkey")).toDF("k", "attr")
+    store.mergeDim("d", b, Seq("k"), "sk")
+    val sk0 = store.read("d").filter(col("k").isNull).head().getAs[Long]("sk")
+    store.mergeDim("d", b, Seq("k"), "sk")
+    assert(store.read("d").count() === 2, "replay is a no-op on NULL keys too")
+    assert(store.read("d").filter(col("k").isNull).head().getAs[Long]("sk") === sk0)
+    val f = Seq((Some(1L), Option.empty[String], 5.0)).toDF("a", "b", "v")
+    store.mergeFact("f2", f, Seq("a", "b"))
+    store.mergeFact("f2", f.withColumn("v", lit(9.0)), Seq("a", "b"))
+    val rows = store.read("f2").collect()
+    assert(rows.length === 1 && rows.head.getAs[Double]("v") === 9.0,
+      "NULL key component must update in place, not duplicate")
+  }
 }
