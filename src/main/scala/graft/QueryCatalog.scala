@@ -204,12 +204,13 @@ object QueryCatalog {
     StarSchema.lastWriteWins(t(s, dir, "events"), Seq("user_id"), "event_id")
 
   val q09Sql: String =
-    """SELECT user_id,
-      |  arg_max(CAST(ts AS TIMESTAMP), event_id) AS ts,
-      |  arg_max(event_type, event_id) AS event_type,
-      |  arg_max(value, event_id) AS value,
-      |  arg_max(props, event_id) AS props
-      |FROM events GROUP BY user_id""".stripMargin
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY event_id DESC) = 1""".stripMargin
+  // ^ whole-ROW pick, not per-column arg_max: arg_max skips NULL arguments,
+  // so a winning row carrying a NULL attribute would inherit the previous
+  // row's value — max_by(struct) takes ALL attributes from the one winner
 
   /** P10 — date-part extraction + counts per day. */
   def q10EventsByDay(s: SparkSession, dir: String): DataFrame =
@@ -527,10 +528,16 @@ object QueryCatalog {
     * as Similarity.score, so ranks can never diverge between engines. */
   /** `+ 0` canonicalizes DuckDB's signed zero (round keeps -0.0 there;
     * Spark's normalizes) — mirrors Stats.canonZero on the Spark leg. */
+  /** Zero-norm guard mirrors Similarity's NULL score: without the
+    * nullif, DuckDB computes 0/0 = NaN, and NaN sorts ABOVE every real
+    * double under ORDER BY cos DESC and passes >= thresholds — one
+    * all-zero embedding would become every query's rank-1 neighbor in
+    * the oracle while Spark's NULL sorts last (the r12 zero-norm lesson,
+    * applied to the SQL side). */
   private def cosSql(a: String, b: String): String =
     s"""(round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
-       | (sqrt(list_sum(list_transform($a, x -> x * x))) *
-       |  sqrt(list_sum(list_transform($b, x -> x * x)))), 6) + 0)""".stripMargin.replace("\n", "")
+       | nullif(sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |  sqrt(list_sum(list_transform($b, x -> x * x))), 0), 6) + 0)""".stripMargin.replace("\n", "")
 
   /** Brute-force top-5 cosine kNN for 16 query vectors — the exact
     * baseline every ANN path is measured against. */
@@ -742,7 +749,8 @@ object QueryCatalog {
         col("n_events"))
 
   val q35Sql: String =
-    """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE ts IS NOT NULL),
       |m AS (SELECT user_id, ts,
       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
@@ -855,9 +863,10 @@ object QueryCatalog {
   val q37Sql: String =
     """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
       |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
-      |p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
-      |        arg_max(value, event_id) AS p_value
-      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+      |      FROM e WHERE event_type = 'purchase'
+      |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) = 1)
       |SELECT err.event_id, err.user_id, err.ts,
       |  p.p_event_id AS last_purchase_id,
       |  p.ts AS last_purchase_ts,
@@ -1211,7 +1220,10 @@ object QueryCatalog {
       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1)
-      |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta FROM daily""".stripMargin
+      |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day NULLS FIRST) AS delta
+      |FROM daily""".stripMargin
+  // ^ NULLS FIRST: Spark's asc places NULL first, DuckDB's default last —
+  // a NULL-ts day group would otherwise shift every lag by one
 
   /** HLL sketch cardinality (§2.7 sketch aggregates): approximate distinct
     * parts per return flag next to the exact count — the profiling query a
@@ -1425,14 +1437,19 @@ object QueryCatalog {
   def q66Scd2History(s: SparkSession, dir: String): DataFrame =
     graft.plans.Scd2.history(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
 
+  // NULLS FIRST on ts everywhere: Spark's asc places NULL first, DuckDB's
+  // default last — a NULL-ts event would otherwise shift lag/lead/version
   val q66Sql: String =
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-      |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |c AS (SELECT *, lag(event_type) OVER
+      |  (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev FROM e),
       |ch AS (SELECT user_id, event_type, ts, event_id FROM c WHERE prev IS NULL OR prev <> event_type)
       |SELECT user_id, event_type AS state, ts AS effective_from,
-      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
-      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
-      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS effective_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts NULLS FIRST, event_id) AS BIGINT) AS version,
+      |  (lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts NULLS FIRST, event_id) IS NULL) AS is_current
       |FROM ch""".stripMargin
 
   /** Heavy hitters: Misra-Gries per-partition candidates + ONE exact
@@ -1622,8 +1639,8 @@ object QueryCatalog {
     val phone = "\\+\\d{1,3} \\d{3} \\d{4}"
     s"""WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 <> 0 THEN
        |  ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.' ||
-       |  CAST(doc_id % 200 AS VARCHAR) || '.7 or +1 555 0' ||
-       |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |  CAST(((doc_id % 200) + 200) % 200 AS VARCHAR) || '.7 or +1 555 0' ||
+       |  lpad(CAST(((doc_id % 1000) + 1000) % 1000 AS VARCHAR), 3, '0')
        |  ELSE '' END AS text FROM documents)
        |SELECT doc_id,
        |  CAST(length(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
@@ -1731,10 +1748,12 @@ object QueryCatalog {
       Seq("view", "click", "purchase"), maxGapHours = Some(24))
 
   val q81Sql: String =
-    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
-      |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 ON e.user_id = s0.user_id
+    """WITH ev AS (SELECT * FROM events
+      |       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |s0 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s0 ON e.user_id = s0.user_id
       |       WHERE e.event_type = 'click' AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 24 HOUR GROUP BY 1),
-      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
       |       WHERE e.event_type = 'purchase' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1)
       |SELECT CAST(0 AS BIGINT) AS stage_ix, 'view' AS stage, count(*) AS n_users FROM s0
       |UNION ALL SELECT CAST(1 AS BIGINT), 'click', count(*) FROM s1
@@ -1746,7 +1765,8 @@ object QueryCatalog {
     operators.Events.cohortRetention(t(s, dir, "events"))
 
   val q82Sql: String =
-    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |coh AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
       |SELECT coh.cohort AS cohort_day, CAST(date_diff('day', coh.cohort, days.day) AS BIGINT) AS day_offset,
       |  count(*) AS n_users
@@ -1851,10 +1871,11 @@ object QueryCatalog {
     """WITH b AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
       |                  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
       |           FROM lineitem GROUP BY 1),
-      |w AS (SELECT l.l_returnflag, l.l_extendedprice,
+      |w AS (SELECT l.l_returnflag AS l_returnflag, l.l_extendedprice,
       |        CASE WHEN l.l_extendedprice IS NULL THEN NULL
       |          ELSE least(greatest(l.l_extendedprice, b.lo), b.hi) END AS xw
-      |      FROM lineitem l JOIN b USING (l_returnflag))
+      |      FROM lineitem l JOIN b
+      |        ON l.l_returnflag IS NOT DISTINCT FROM b.l_returnflag)
       |SELECT l_returnflag, count(*) AS n,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,
       |  CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
@@ -1874,7 +1895,7 @@ object QueryCatalog {
       |                   CAST(count(l_quantity) AS BIGINT) AS n FROM lineitem GROUP BY 1),
       |b AS (SELECT l.l_returnflag AS g,
       |        least(CAST(floor((l.l_quantity - mm.mn) * 256 / (mm.mx - mm.mn)) AS BIGINT), 255) AS bkt
-      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g
+      |      FROM lineitem l JOIN mm ON l.l_returnflag IS NOT DISTINCT FROM mm.g
       |      WHERE mm.mx > mm.mn AND l.l_quantity IS NOT NULL),
       |h AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
       |cum AS (SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt
@@ -1931,7 +1952,8 @@ object QueryCatalog {
         col("duration_sec"))
 
   val q89Sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE ts IS NOT NULL),
       |l AS (SELECT user_id, event_id, us,
       |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
@@ -2200,7 +2222,7 @@ object QueryCatalog {
       |                   CAST(count(l_extendedprice) AS BIGINT) AS n FROM lineitem GROUP BY 1),
       |b AS (SELECT l.l_returnflag AS g,
       |        least(CAST(floor((l.l_extendedprice - mm.mn) * 256 / (mm.mx - mm.mn)) AS BIGINT), 255) AS bkt
-      |      FROM lineitem l JOIN mm ON l.l_returnflag = mm.g
+      |      FROM lineitem l JOIN mm ON l.l_returnflag IS NOT DISTINCT FROM mm.g
       |      WHERE mm.mx > mm.mn AND l.l_extendedprice IS NOT NULL),
       |h AS (SELECT g, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
       |cum AS (SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt
@@ -2213,11 +2235,12 @@ object QueryCatalog {
       |    round(mn + (blo + 1) * (mx - mn) / 256, 6) AS lo,
       |    round(mn + (bhi + 1) * (mx - mn) / 256, 6) AS hi
       |  FROM pick JOIN mm USING (g)),
-      |w AS (SELECT l.l_returnflag, l.l_extendedprice,
+      |w AS (SELECT l.l_returnflag AS l_returnflag, l.l_extendedprice,
       |        CASE WHEN l.l_extendedprice IS NULL THEN NULL
       |          ELSE least(greatest(l.l_extendedprice, coalesce(b.lo, l.l_extendedprice)),
       |              coalesce(b.hi, l.l_extendedprice)) END AS xw
-      |      FROM lineitem l LEFT JOIN bounds b USING (l_returnflag))
+      |      FROM lineitem l LEFT JOIN bounds b
+      |        ON l.l_returnflag IS NOT DISTINCT FROM b.l_returnflag)
       |SELECT l_returnflag, count(*) AS n,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_raw,
       |  CAST(sum(CAST(xw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
@@ -3252,7 +3275,7 @@ object QueryCatalog {
       |  END AS l_extendedprice_z,
       |  CASE WHEN mx > mn THEN round(CAST(xd - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6)
       |  END AS l_extendedprice_minmax
-      |FROM x JOIN s ON l_returnflag = s.g""".stripMargin
+      |FROM x JOIN s ON l_returnflag IS NOT DISTINCT FROM s.g""".stripMargin
 
   /** Temporal split with embargo (Sampling.temporalSplit): train strictly
     * before split−embargo, test at/after split, the 2-day gap labeled and
@@ -3369,7 +3392,7 @@ object QueryCatalog {
       |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
       |  CASE WHEN q3 > q1
       |    THEN round((l_extendedprice - med) / (q3 - q1), 6) + 0 END AS l_extendedprice_robust
-      |FROM lineitem JOIN b ON l_returnflag = b.g""".stripMargin
+      |FROM lineitem JOIN b ON l_returnflag IS NOT DISTINCT FROM b.g""".stripMargin
 
   /** Per-label embedding dispersion (Similarity.labelDispersion): mean
     * squared distance to the label centroid via E‖x−c‖² = E‖x‖² − ‖c‖² —

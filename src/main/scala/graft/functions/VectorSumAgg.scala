@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   * the final per-dimension statistic (`round(x/n, 6)`) exactly as the
   * cosine queries round scores — double addition is not associative, so
   * the unrounded last ulp may legitimately differ with partition count.
+  * KNOWN BOUND, not a guarantee: a mean landing within an ulp of a
+  * `…x.xxxxxx5` boundary can still round differently across engines or
+  * partitionings (probability ~ulp/1e-6 per component — never observed
+  * at the fixture scales, but real on adversarial data). A deployment
+  * needing bit-exactness under ANY partitioning should quantize first
+  * (`floor(x·1e6)` integer sums — the q163 embedding-covariance pattern;
+  * floor and multiply are exact IEEE ops in every engine) and accept the
+  * quantized-centroid semantics.
   *
   * NULL rows and NULL elements are skipped, and a group with NO non-NULL
   * input evaluates to NULL — `sum`'s SQL semantics, and what keeps an

@@ -107,7 +107,14 @@ object Joins {
                 num(col("_t")) - num(col(s"_b.$rightTime")), col("_f"))
               .otherwise(col("_b")).as("_rpay")): _*)
     }
+    // a NULL join KEY matches nothing (SQL ASOF JOIN equality semantics):
+    // the window treats the NULL-key rows as one ordinary partition, so
+    // without this gate a NULL-key left row would "match" NULL-key right
+    // rows — the carried payload is nulled for those rows instead
+    val keyNull = keys.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
     carried.filter(col("_side") === 1)
+      .withColumn("_rpay",
+        when(keyNull, lit(null).cast(rpayType)).otherwise(col("_rpay")))
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"_rpay.$c").as(s"$rightPrefix$c")): _*)
       .unionByName(leftNull.select(keys.map(col) ++ leftPayload.map(col) ++

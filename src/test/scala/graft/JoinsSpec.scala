@@ -30,6 +30,26 @@ class JoinsSpec extends SparkSpec {
     assert(out("e3") === None, "LEFT semantics: no match -> NULL")
   }
 
+  test("asOf: a NULL join key matches NOTHING (SQL ASOF equality semantics)") {
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 05:00:00"), "keyed"),
+      (None, ts("2024-01-01 05:00:00"), "nullkey"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (Some(1L), ts("2024-01-01 04:00:00"), "x"),
+      // a NULL-key right row exists BEFORE the null-key left row — the
+      // partitioned window would happily carry it; equality must not
+      (Option.empty[Long], ts("2024-01-01 04:30:00"), "poison"))
+      .toDF("k", "t", "v")
+    val out = Joins.asOf(left, right, Seq("k"), "t", "t")
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[String]("right_v"))).toMap
+    assert(out("keyed") === Some("x"))
+    assert(out("nullkey") === None,
+      "NULL-key left rows are kept (left join) but never matched")
+    assert(out.size === 2, "no rows lost")
+  }
+
   test("asOf directions: forward picks earliest-at-or-after; nearest ties go backward") {
     val left = Seq(
       (1L, ts("2024-01-01 05:00:00"), "e1"), // back 04:00 (60m), fwd 05:10 (10m) -> fwd
