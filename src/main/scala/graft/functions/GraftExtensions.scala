@@ -29,7 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Multiply, Sqrt}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+  // the SQL surface casts like SQL does: feistel32(7, 42) with INT
+  // literals and dot_product over array<decimal> literals must work the
+  // way the Column-API twins (which .cast explicitly) do — the native
+  // expressions demand exact types and none implements
+  // ImplicitCastInputTypes. Unconditional Cast: SimplifyCasts removes
+  // the no-op ones, uncastable inputs fail analysis with the clear
+  // cast error instead of a TypeCheckFailure.
+  private def asLong(e: Expression): Expression = Cast(e, LongType)
+  private def asVec(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
   private def arity(name: String, n: Int)
       (f: Seq[Expression] => Expression): Seq[Expression] => Expression =
@@ -43,12 +54,13 @@ object GraftExtensions {
     * built-ins, exactly like their Column-API twins in VectorFunctions). */
   private[functions] val sqlFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product", new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      arity("dot_product(a, b)", 2)(c => DotProduct(c.head, c(1)))),
+      arity("dot_product(a, b)", 2)(c => DotProduct(asVec(c.head), asVec(c(1))))),
     ("vec_norm", new ExpressionInfo(classOf[DotProduct].getName, "vec_norm"),
-      arity("vec_norm(a)", 1)(c => Sqrt(DotProduct(c.head, c.head)))),
+      arity("vec_norm(a)", 1)(c => { val v = asVec(c.head); Sqrt(DotProduct(v, v)) })),
     ("cosine_sim", new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
-      arity("cosine_sim(a, b)", 2)(c => Divide(DotProduct(c.head, c(1)),
-        Multiply(Sqrt(DotProduct(c.head, c.head)), Sqrt(DotProduct(c(1), c(1))))))),
+      arity("cosine_sim(a, b)", 2)(c => { val (a, b) = (asVec(c.head), asVec(c(1)))
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))) })),
     // same name as DuckDB's NFC function — the oracle mirror reads the same
     ("nfc_normalize", new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize(s)", 1)(c => NfcNormalize(c.head))),
@@ -64,10 +76,10 @@ object GraftExtensions {
     // the Hilbert layout key beside morton16 (which is Column-composed;
     // Hilbert's rotation recurrence forces a native Expression)
     ("hilbert16", new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert16"),
-      arity("hilbert16(x, y)", 2)(c => HilbertIndex(c.head, c(1)))),
+      arity("hilbert16(x, y)", 2)(c => HilbertIndex(asLong(c.head), asLong(c(1))))),
     // seeded epoch-shuffle bijection over [0, 2^32): `feistel32(id, seed)`
     ("feistel32", new ExpressionInfo(classOf[FeistelPermute].getName, "feistel32"),
-      arity("feistel32(id, seed)", 2)(c => FeistelPermute(c.head, c(1)))),
+      arity("feistel32(id, seed)", 2)(c => FeistelPermute(asLong(c.head), asLong(c(1))))),
     // the UDTF surface: word n-gram generators, SQL-callable like explode
     // (`SELECT doc_id, ngrams(text, 5) FROM docs`); n must be a literal —
     // the generator's output schema is fixed at plan time

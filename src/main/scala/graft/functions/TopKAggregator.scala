@@ -23,7 +23,10 @@ class TopKAggregator(k: Int)
   private def compact(a: Seq[ScoredId]): Seq[ScoredId] =
     a.sortBy(s => (-s.score, s.id)).take(k)
 
-  override def zero: Seq[ScoredId] = Nil
+  // Vector, not List: the per-row length check below must be O(1) — on a
+  // List it walks the whole buffer (~1.5k hops) for EVERY input row,
+  // turning the hot path O(n·k) despite the compaction amortization
+  override def zero: Seq[ScoredId] = Vector.empty
   // append-then-compact-at-2k (the RankSampleAgg pattern): a full re-sort
   // per input row would cost O(n·k·log k) on exactly the huge-group hot
   // path this aggregate exists for; amortized this is O(n·log k)

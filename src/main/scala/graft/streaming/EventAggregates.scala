@@ -63,7 +63,10 @@ object EventAggregates {
             state.remove()
             UserSummary(userId, s.n, s.total, s.lastTs)
           } else {
-            val prev = state.getOption.getOrElse(UserState(0L, 0.0, new java.sql.Timestamp(0)))
+            // seed with Long.MinValue, not epoch 0: a pre-1970 backfill
+            // timestamp is legal and must still win the max fold
+            val prev = state.getOption.getOrElse(
+              UserState(0L, 0.0, new java.sql.Timestamp(Long.MinValue)))
             val s = batch.foldLeft(prev) { (acc, e) =>
               UserState(acc.n + 1, acc.total + e.value,
                 if (e.ts.after(acc.lastTs)) e.ts else acc.lastTs)

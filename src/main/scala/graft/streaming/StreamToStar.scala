@@ -23,7 +23,9 @@ object StreamToStar {
 
   /** Serializes each batch's persistent-RDD snapshot→sweep window (see
     * processBatch) across concurrent star pipelines in one JVM. */
-  private val sweepLock = new Object
+  // shared with BlockSweep: star batches and the streaming monitors in
+  // one JVM must serialize their diff windows against each other
+  private def sweepLock = BlockSweep.lock
 
   val dimSpecs: Seq[(String, DataFrame => DataFrame, Seq[String], String)] = Seq(
     ("dim_customer", StarSchema.customerRows _, Seq("source_customer_id"), "customer_sk"),
@@ -107,6 +109,11 @@ object StreamToStar {
     // single-pipeline serve deployment).
     sweepLock.synchronized {
     val persistedBefore = sc.getPersistentRDDs.keySet
+    // set true only if every concurrent merge future provably settled —
+    // the finally sweep must NOT unpersist blocks a zombie merge still
+    // reads (leaking one batch's blocks is recoverable; truncated-lineage
+    // reads under a live writer are not)
+    var mergesSettled = true
     // the try opens HERE: the empty-batch return and a throw from the
     // dead-letter merge / status print must reach the sweep too, or each
     // retry leaks this batch's checkpointed blocks
@@ -171,7 +178,14 @@ object StreamToStar {
       // unpersists the localCheckpoint blocks it still reads, and the
       // batch retry would race it on the same table
       val mergeGroup = s"graft-star-merges-$batchId-${System.nanoTime()}"
+      // checked at future START: cancelJobGroup only reaches jobs running
+      // at call time, so a future still QUEUED behind the wedged one would
+      // otherwise start fresh jobs after the cancel
+      val mergesCancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       def grouped[T](body: => T): T = {
+        if (mergesCancelled.get())
+          throw new java.util.concurrent.CancellationException(
+            "merge group cancelled after a sibling timeout")
         sc.setJobGroup(mergeGroup, s"star dim merges (batch $batchId)",
           interruptOnCancel = true)
         try body finally sc.clearJobGroup()
@@ -202,8 +216,14 @@ object StreamToStar {
           case scala.util.Failure(_: java.util.concurrent.TimeoutException) => true
           case _ => false
         }) {
-          sc.cancelJobGroup(mergeGroup)
+          mergesCancelled.set(true)          // queued futures abort at start
+          sc.cancelJobGroup(mergeGroup)      // running Spark jobs die
+          // settlement must be PROVEN, not hoped: a merge wedged outside
+          // any Spark job (commit-loop I/O) survives the cancel — if any
+          // future is still unfinished after the grace re-await, keep its
+          // blocks (skip the sweep) rather than unpersist under it
           all.foreach(f => scala.util.Try(Await.result(f, 1.minute)))
+          if (all.exists(!_.isCompleted)) mergesSettled = false
         }
         tries
       }
@@ -233,9 +253,14 @@ object StreamToStar {
       }
       ()
     } finally {
-      val persisted = sc.getPersistentRDDs
-      (persisted.keySet -- persistedBefore)
-        .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+      if (mergesSettled) {
+        val persisted = sc.getPersistentRDDs
+        (persisted.keySet -- persistedBefore)
+          .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+      } else System.err.println(
+        "[graft-batch] WARN: a merge future never settled after cancellation " +
+          "— skipping this batch's block sweep (blocks leak; the " +
+          "ContextCleaner reclaims them on GC once the zombie dies)")
       if (batchTiming) System.err.println(s"[graft-batch]$phases")
     }
     }

@@ -42,10 +42,13 @@ object StreamingAnn {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         index.ingest(batch)
         if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0)
           index.maintain()
         ()
+      }
       }
       .start()
   }

@@ -40,10 +40,13 @@ object StreamingAudit {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         val verdicts = Expectations.audit(batch, rules, uniqueKeys)
           .withColumn("batch_id", lit(batchId))
         store.mergeFact(verdictTable, verdicts, Seq("batch_id", "rule"))
         ()
+      }
       }
       .start()
   }

@@ -62,29 +62,38 @@ object StreamingConformal {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         // LEFT join: a group with no calibration threshold is the
         // clearest exchangeability break there is — it must surface as
-        // an unscored-and-breached verdict row, never vanish silently
+        // an unscored-and-breached verdict row, never vanish silently.
+        // NULL scores are NOT pre-filtered: a group whose scores go
+        // all-NULL (upstream schema drift — the other silent failure)
+        // keeps its verdict row with n_scored = 0 and breaches; a
+        // partially-NULL batch shows the exclusion as n_rows > n_scored
+        // while coverage is honestly computed over the scored remainder.
         val scored = batch
           .select(col(groupCol), col(scoreCol).cast("double").as("_tv"))
-          .filter(col("_tv").isNotNull)
           .join(broadcast(thr), col(groupCol) <=> col("_g"), "left")
         val verdict = scored.groupBy(col(groupCol))
           .agg(count(lit(1)).as("n_rows"),
-            max(col("_g").isNotNull).as("_scored"),
-            sum((col("_inf") || col("_tv") <= col("qhat")).cast("long"))
-              .as("_cov"))
+            count(col("_tv")).as("n_scored"),
+            max(col("_g").isNotNull).as("_thr"),
+            sum(when(col("_tv").isNotNull &&
+                (col("_inf") || col("_tv") <= col("qhat")), 1L)
+              .otherwise(0L)).as("_cov"))
           .select(lit(batchId).as("batch_id"), col(groupCol),
-            col("n_rows"),
-            when(col("_scored"), col("_cov")).as("n_covered"),
-            when(col("_scored"),
-              round(col("_cov").cast("double") / col("n_rows"), 6))
+            col("n_rows"), col("n_scored"),
+            when(col("_thr") && col("n_scored") > 0, col("_cov")).as("n_covered"),
+            when(col("_thr") && col("n_scored") > 0,
+              round(col("_cov").cast("double") / col("n_scored"), 6))
               .as("coverage"),
-            (!col("_scored") ||
-              col("_cov") * minCovDen < col("n_rows") * minCovNum)
+            (!col("_thr") || col("n_scored") === 0 ||
+              col("_cov") * minCovDen < col("n_scored") * minCovNum)
               .as("breached"))
         store.mergeFact(verdictTable, verdict, Seq("batch_id", groupCol))
         ()
+      }
       }
       .start()
   }

@@ -37,6 +37,8 @@ object StreamingCrawl {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         // parsed once, read twice (ok + dead) — materialize
         val recs = Warc.warcTextRecords(batch).toDF().localCheckpoint(true)
         val docs = recs.filter(col("ok") === 1)
@@ -55,6 +57,7 @@ object StreamingCrawl {
         if (!dead.isEmpty)
           store.mergeFact(deadTable, dead, Seq("shard_id", "member_idx"))
         ()
+      }
       }
       .start()
   }

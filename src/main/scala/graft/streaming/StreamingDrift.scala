@@ -53,6 +53,8 @@ object StreamingDrift {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         val bx = batch.select(col(valueCol).cast("double").as("_x"))
           .filter(col("_x").isNotNull)
         val counts = new Array[Long](bins)
@@ -65,6 +67,7 @@ object StreamingDrift {
           .toDF("batch_id", "n_rows", "psi", "drifted")
         store.mergeFact(verdictTable, verdict, Seq("batch_id"))
         ()
+      }
       }
       .start()
   }

@@ -68,6 +68,8 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         import spark.implicits._
         // ---- load state ----------------------------------------------
         val (prev, nSeen0, errAll0, floorErr0, upto0) =
@@ -146,7 +148,14 @@ object StreamingHeavyHitters {
           }
         }
         // ---- verdict: current top items with bounds (idempotent) -----
-        val top = state.sortBy(s => (-s.cnt, s.item)).take(topM)
+        // ONLY for batches at/after the watermark: a stale replay
+        // (batchId < upto) skipped the counter merge above, so its
+        // verdict would be rebuilt from the FINAL cumulative state and
+        // overwrite the historical (batch_id, item) rows — flattening the
+        // per-batch time series to a copy of the last snapshot.
+        // Re-emission is idempotent only when the state matches the id.
+        val top = if (batchId >= upto) state.sortBy(s => (-s.cnt, s.item)).take(topM)
+          else Seq.empty[St]
         if (top.nonEmpty) {
           val verdict = top.toDF()
             .select(lit(batchId).as("batch_id"), col("item"),
@@ -164,6 +173,7 @@ object StreamingHeavyHitters {
           }
         }
         ()
+      }
       }
       .start()
   }

@@ -136,8 +136,11 @@ object StreamingPacker {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         processBatch(batch, batchId, store, stateTable, assignTable,
           capacity, rangeWidth, idCol, textCol)
+      }
       }
       .start()
   }

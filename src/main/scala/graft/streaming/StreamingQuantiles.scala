@@ -49,6 +49,8 @@ object StreamingQuantiles {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch block sweep: see BlockSweep's contract
+        BlockSweep.swept(batch.sparkSession.sparkContext) {
         val pairs = batch.filter(col(valueCol).isNotNull)
           .select(ApproxQuantile.rowHash60(idCols).as("h"),
             col(valueCol).cast("double").as("v"))
@@ -86,6 +88,7 @@ object StreamingQuantiles {
           if (store.exists(verdictTable)) store.vacuum(verdictTable)
         }
         ()
+      }
       }
       .start()
   }

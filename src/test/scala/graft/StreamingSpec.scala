@@ -194,6 +194,31 @@ class StreamingSpec extends SparkSpec {
     assert(nw.getAs[Long]("n_rows") === 2L &&
       nw.isNullAt(nw.fieldIndex("coverage")) && nw.getAs[Boolean]("breached"),
       "an uncalibrated group must alarm, not vanish")
+    // NULL scores must surface, not silently shrink the denominator: an
+    // all-NULL group alarms as unscored; a partial-NULL batch shows the
+    // exclusion (n_rows > n_scored) with coverage over the scored rows
+    val store4 = new graft.plans.BucketedMergeWriter(spark,
+      java.nio.file.Files.createTempDirectory("graft-conf4").toString, nBuckets = 4)
+    val in5 = MemoryStream[(String, java.lang.Double)]
+    in5.addData(("g", null), ("g", null),
+      ("g", java.lang.Double.valueOf(5.0)),
+      ("h", null))   // h: calibrated but ALL scores NULL this batch
+    val q5 = graft.streaming.StreamingConformal.start(
+      in5.toDF().toDF("grp", "s"),
+      cal.unionByName(cal.withColumn("grp", lit("h"))),
+      "grp", "s", 1L, 10L, 85L, 100L, store4, "conf",
+      java.nio.file.Files.createTempDirectory("graft-conf-ck5").toString)
+    q5.awaitTermination()
+    val nulls = store4.read("conf").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val g = nulls("g")
+    assert(g.getAs[Long]("n_rows") === 3L && g.getAs[Long]("n_scored") === 1L &&
+      g.getAs[Long]("n_covered") === 1L && g.getAs[Double]("coverage") === 1.0,
+      "partial NULLs: coverage over the scored remainder, exclusion visible")
+    val h = nulls("h")
+    assert(h.getAs[Long]("n_scored") === 0L &&
+      h.isNullAt(h.fieldIndex("coverage")) && h.getAs[Boolean]("breached"),
+      "an all-NULL-score group must alarm as unscored, never go silent")
     assert(!byGrp("known").getAs[Boolean]("breached"))
   }
 
