@@ -7332,8 +7332,15 @@ object QueryCatalog {
     * counts per domain. The oracle nests the full q249 parse replay as a
     * CTE and reapplies the q72 threshold arithmetic keyed on etld1. */
   def q253DomainCap(s: SparkSession, dir: String): DataFrame = {
+    // materialize the (event_id, etld1) projection ONCE: capPerGroup
+    // references its input twice (group counts + keep filter), filter
+    // pushdown re-inlines the synth-URL concat into every reference, and
+    // codegen CSE skips conditional branches — unmaterialized, the regex
+    // tree evaluated ~6x per row (4.6 s vs 0.9 s at sf0.1)
     val urls = operators.Urls.urlProfile(operators.Urls.synthUrls(t(s, dir, "events")))
       .filter(col("host").isNotNull)
+      .select(col("event_id"), col("etld1"))
+      .localCheckpoint(true)
     operators.Sampling.capPerGroup(urls, "etld1", "event_id", 50)
       .groupBy(col("etld1")).agg(count(lit(1)).as("n_kept"))
   }

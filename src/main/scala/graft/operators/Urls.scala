@@ -62,13 +62,14 @@ object Urls {
     nullif(regexp_replace(regexp_extract(url, UrlRe, 5), "^\\?", ""), lit(""))
 
   /** Count of non-empty '/'-separated path segments. */
-  def pathDepth(url: Column): Column =
-    size(filter(split(path(url), "/"), s => s =!= "")).cast("long")
+  def pathDepth(url: Column): Column = pathDepthOf(path(url))
+  def pathDepthOf(p: Column): Column =
+    size(filter(split(p, "/"), s => s =!= "")).cast("long")
 
   /** Count of '&'-separated query parameters; 0 when no query. */
-  def nParams(url: Column): Column =
-    when(query(url).isNull, lit(0L))
-      .otherwise(size(split(query(url), "&")).cast("long"))
+  def nParams(url: Column): Column = nParamsOf(query(url))
+  def nParamsOf(q: Column): Column =
+    when(q.isNull, lit(0L)).otherwise(size(split(q, "&")).cast("long"))
 
   /** Registrable domain (eTLD+1) of a host: last two labels, or last
     * THREE when the last two are a known public suffix; IP literals and
@@ -93,11 +94,21 @@ object Urls {
   def urlProfile(df: DataFrame, idCol: String = "event_id",
                  urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
+    // two STAGED projections, deliberately: etld1Of references its host
+    // argument ~8 times (label slices, the PSL test, fallbacks) inside
+    // CASE branches, where codegen's subexpression elimination does not
+    // reach — inlined, each reference would re-run the host regex (and
+    // whatever expression built the url). Staging host/path/query as
+    // real columns makes CollapseProject keep them materialized
+    // (non-cheap exprs referenced more than once are not collapsed).
     df.select(col(idCol), u,
-      scheme(u).as("scheme"), host(u).as("host"), port(u).as("port"),
-      path(u).as("path"), query(u).as("query_string"),
-      pathDepth(u).as("path_depth"), nParams(u).as("n_params"),
-      etld1(u).as("etld1"))
+        scheme(u).as("scheme"), host(u).as("host"), port(u).as("port"),
+        path(u).as("path"), query(u).as("query_string"))
+      .select(col(idCol), u, col("scheme"), col("host"), col("port"),
+        col("path"), col("query_string"),
+        pathDepthOf(col("path")).as("path_depth"),
+        nParamsOf(col("query_string")).as("n_params"),
+        etld1Of(col("host")).as("etld1"))
   }
 
   /** Deterministic URL fixture over the events table (the
