@@ -1979,7 +1979,7 @@ object QueryCatalog {
     """WITH p AS (SELECT lang, doc_id, n_chars,
       |    round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
       |             / 281474976710656.0) / CAST(n_chars AS DOUBLE), 12) AS pri
-      |  FROM documents WHERE n_chars > 0),
+      |  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL),
       |r AS (SELECT lang, doc_id, n_chars,
       |        row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn FROM p)
       |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 10""".stripMargin
@@ -6360,7 +6360,7 @@ object QueryCatalog {
       |    CAST(sum(n) AS BIGINT) AS t
       |  FROM daily GROUP BY 1),
       |x AS (SELECT event_type, day, n, d, t, d * n - t AS dev
-      |  FROM daily JOIN tot ON event_type = s2),
+      |  FROM daily JOIN tot ON event_type IS NOT DISTINCT FROM s2),
       |p AS (SELECT *, CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp FROM x),
       |w AS (SELECT *,

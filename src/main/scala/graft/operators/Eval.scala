@@ -277,7 +277,15 @@ object Eval {
     * voters×voters. */
   def copelandRanking(df: DataFrame, voterCol: String, itemCol: String,
                       scoreCol: String): DataFrame = {
-    val s = df.select(col(voterCol).as("_v"), col(itemCol).as("_i"),
+    // NULL voters are excluded, loudly documented rather than silently
+    // half-counted: groupBy would keep a NULL-voter group, but the
+    // self-join on _v (equality) could never match it — its preferences
+    // would tally into s yet contribute to no pair. A NULL voter is a
+    // missing identity, not a ballot. (Items that share no voter with
+    // any other item emit no pair rows and are absent from the output —
+    // the documented contract: this is a PAIRWISE ranking.)
+    val s = df.filter(col(voterCol).isNotNull)
+      .select(col(voterCol).as("_v"), col(itemCol).as("_i"),
         col(scoreCol).cast("decimal(18,6)").as("_s"))
       .groupBy(col("_v"), col("_i")).agg(sum(col("_s")).as("_s"))
     val o = s.select(col("_v"), col("_i").as("_j"), col("_s").as("_t"))
@@ -309,7 +317,7 @@ object Eval {
     * (non-ANSI) rather than corrupting it, and the experiment should be
     * read per-stratum (where the identity is then exact again):
     *
-    *   (x₁n₀ − x₀n₁)² · N · critDen  >  critNum² · X(N−X) · n₁ · n₀
+    *   (x₁n₀ − x₀n₁)² · N · critDen²  >  critNum² · X(N−X) · n₁ · n₀
     *
     * with X = x₁+x₀, N = n₁+n₀ and z = critNum/critDen (default
     * 196/100 = 1.96, the two-sided 5% level) — no square root, no float,

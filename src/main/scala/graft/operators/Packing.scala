@@ -44,6 +44,14 @@ object Packing {
   private[operators] def isBlank(text: Column): Column =
     text.isNull || length(regexp_replace(text, "\\s", "")) === 0
 
+  /** KNOWN BOUND, mirrored in every oracle: `tokens` trims only ASCII
+    * spaces (both engines), so a doc with edge `\t`/`\n` keeps one
+    * phantom "" token per side after the internal `\s+`→' ' collapse —
+    * inflating n_tok by ≤ 2. The DuckDB replays share the identical
+    * normalization, so every layout count stays engine-consistent; a
+    * deployment wanting exact word counts normalizes edge whitespace
+    * upstream (one regexp_replace) rather than forking the shared
+    * tokenizer contract mid-catalog. */
   private def nTok(text: Column): Column =
     when(isBlank(text), lit(0L))
       .otherwise(size(TextAnalysis.tokens(text)).cast("long"))

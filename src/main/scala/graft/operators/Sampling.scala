@@ -150,7 +150,11 @@ object Sampling {
     val pri = round(log(u) / col(weightCol).cast("double"), 12)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(pri.desc, col(keyCol))
-    df.filter(col(weightCol).cast("double") > 0)
+    // NULL keys are excluded, not sampled: their md5 priority AND the
+    // tie-break are both NULL, so which of several NULL-key rows survives
+    // row_number would depend on partition order — the one shape that
+    // breaks this operator's bit-for-bit replay contract
+    df.filter(col(weightCol).cast("double") > 0 && col(keyCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -256,10 +260,16 @@ object Sampling {
     * deterministic (score, key) ordering makes the schedule replayable
     * bit-for-bit on any engine.
     *
-    * phase = exclusive-prefix-sum(tokens) / phaseTokens — a document
-    * starts a new phase exactly when the previous documents filled the
-    * budget; a document larger than the budget occupies its phase alone
-    * (never split — documents are atomic training units).
+    * phase = exclusive-prefix-sum(tokens) / phaseTokens: a document's
+    * phase is decided by how many tokens PRECEDE it, so phases carry
+    * AT LEAST phaseTokens once a boundary is crossed, and a document
+    * larger than the budget is never split (documents are atomic
+    * training units) — it joins whatever phase its start falls in
+    * (sharing it with the smaller docs that opened the phase) and its
+    * overflow simply skips the phase numbers it covers. This is the
+    * standard greedy schedule, NOT an exact-capacity packer — use
+    * [[graft.operators.Packing.nextFitPack]] when hard per-bin caps
+    * matter more than the easy-first order.
     *
     * Scale: ONE window partitioned by the group — millions of sources
     * spread across the cluster, and the per-group sort is the same

@@ -296,7 +296,13 @@ object Stats {
           bins: Int = 16): DataFrame = {
     require(bins >= 2 && bins <= 4096, "bins out of range")
     val x = col(valueCol).cast("double")
-    val base = df.filter(x.isNotNull)
+    // NaN is excluded with NULL: it passes isNotNull, Spark's max() treats
+    // it as the largest double, and a NaN span makes every bin expression
+    // NaN — floor(NaN) = 0 puts ALL mass in bin 0 for every group and the
+    // drift monitor reads "stable" on arbitrarily drifted data. A NaN
+    // metric value carries no binnable information; it leaves the
+    // distribution like a NULL does.
+    val base = df.filter(x.isNotNull && !isnan(x))
       .select(col(groupCol).as("_g"), x.as("_x"))
     val span = base.agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
     val binned = base.crossJoin(broadcast(span))

@@ -32,6 +32,11 @@ object TimeSeries {
       .filter(col("_day").isNotNull)
       .groupBy(col("_s"), col("_day"))
       .agg((sum(col("_v")) * 100).cast("long").as("_c"))
+      // a day whose values are ALL NULL (or whose cent total overflows
+      // the long cast) yields _c = NULL: it must leave the lag pairs
+      // entirely — count(1) would tally the pair while the decimal sums
+      // skip the NULL side, corrupting r (the corrVerdict guard)
+      .filter(col("_c").isNotNull)
       .localCheckpoint(true) // both sides of every lag join
     val lagged = daily
       .withColumn("_lag", explode(array((1 to maxLag).map(lit): _*)))
@@ -87,7 +92,10 @@ object TimeSeries {
       .groupBy(col("_s"), col("day")).agg(sum(col("_v")).as("_tot"))
     val w7 = Window.partitionBy(col("_s")).orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
-      .withColumn("_c7", count(lit(1)).over(w7))
+      // count(_tot), not count(1): a day whose values are all NULL has
+      // _tot = NULL — dividing a 6-value sum by 7 would bias the trend
+      // low for every neighbor; the window must see 7 REAL totals
+      .withColumn("_c7", count(col("_tot")).over(w7))
       .withColumn("trend",
         when(col("_c7") === 7,
           Stats.canonZero(round(sum(col("_tot")).over(w7).cast("double") / 7, 6))))
@@ -179,7 +187,9 @@ object TimeSeries {
     require(horizonDays >= 1 && horizonDays <= 3650, "horizon out of range")
     val d = daily.localCheckpoint(true) // scatter source AND target spine
     val offsets = array((0 until horizonDays).map { dl =>
-      struct(lit(dl.toLong).as("delta"),
+      // Int, not Long: a DateType day column resolves `day + delta` to
+      // date_add, whose increment must be int — Long fails analysis
+      struct(lit(dl).as("delta"),
         round(lit(math.pow(1 - alpha, dl)), 9).cast("decimal(12,9)").as("w"))
     }: _*)
     val scattered = d
@@ -263,7 +273,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("_d"), sum(col("n")).as("_t"))
     val pre = Window.partitionBy(col("_s")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.join(broadcast(totals), col("_s") === col("_s2"))
+    daily.join(broadcast(totals), col("_s") <=> col("_s2"))
       .withColumn("_dev", col("_d") * col("n") - col("_t"))
       .withColumn("_p", sum(col("_dev")).over(pre))
       // Clamp the running extrema to include the implicit P_0 = 0:
