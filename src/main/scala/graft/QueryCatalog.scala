@@ -400,7 +400,7 @@ object QueryCatalog {
 
   /** SQL mirror of TextAnalysis.qualityScore (shared by q20 and q83). */
   private val qualitySqlExpr: String = {
-    val stop = "len(regexp_extract_all(text, '\\b(the|a|of|and|or|in|to)\\b'))"
+    val stop = "len(regexp_extract_all(text, '(?i)\\b(the|a|of|and|or|in|to)\\b'))"
     val sym = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
     s"""CAST((CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 40
        |             WHEN n_chars BETWEEN 50 AND 5000 THEN 20 ELSE 0 END)
@@ -408,11 +408,11 @@ object QueryCatalog {
   }
 
   val q20Sql: String = {
-    def hits(ws: String) = s"len(regexp_extract_all(text, '\\b($ws)\\b'))"
+    def hits(ws: String) = s"len(regexp_extract_all(text, '(?i)\\b($ws)\\b'))"
     val en = hits("the|and|of|to|in"); val de = hits("der|die|das|und|ist")
     val fr = hits("le|la|les|et|est"); val es = hits("el|los|las|es|y")
     s"""SELECT doc_id, lang, source,
-       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST((CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
        |  $qualitySqlExpr AS quality,
        |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
@@ -430,7 +430,7 @@ object QueryCatalog {
 
   val q21Sql: String =
     s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
-       |FROM documents GROUP BY 1""".stripMargin
+       |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin
 
   /** Shingle statistics: distinct 5-gram count per doc. */
   def q22ShingleStats(s: SparkSession, dir: String): DataFrame =
@@ -1476,7 +1476,7 @@ object QueryCatalog {
     val words = "(CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END)"
     val chars = "length(regexp_replace(text, '\\s', '', 'g'))"
     val sym = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
-    val stop = "len(regexp_extract_all(text, '\\b(the|a|of|and|or|in|to)\\b'))"
+    val stop = "len(regexp_extract_all(text, '(?i)\\b(the|a|of|and|or|in|to)\\b'))"
     s"""SELECT doc_id,
        |  CAST($words AS BIGINT) AS n_words,
        |  CAST($chars AS BIGINT) AS n_chars_nospace,
@@ -2033,7 +2033,8 @@ object QueryCatalog {
        |SELECT a.source AS src_a, b.source AS src_b,
        |  CAST($agree AS BIGINT) AS n_agree,
        |  CAST($agree AS DOUBLE) / $k.0 AS est_jaccard
-       |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+       |FROM sig a JOIN sig b ON (a.source < b.source
+       |  OR (a.source IS NULL AND b.source IS NOT NULL))""".stripMargin
   }
 
   /** Length-bucketed batching (TextAnalysis.lengthBucketedBatches): the
@@ -2663,7 +2664,9 @@ object QueryCatalog {
     * embeddings. Mean/std from exact DECIMAL sums of round(cos,6);
     * singleton/degenerate labels emit NULL z and never flag. */
   def q113LabelOutliers(s: SparkSession, dir: String): DataFrame =
-    Similarity.labelOutliers(t(s, dir, "embeddings"), dims = 64, zCut = 2.0)
+    Similarity.labelOutliers(
+      t(s, dir, "embeddings").withColumn("label", col("label").cast("long")),
+      dims = 64, zCut = 2.0)
 
   val q113Sql: String =
     """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -2752,7 +2755,7 @@ object QueryCatalog {
   val q115Sql: String =
     """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fp,
       |  min(doc_id) AS keep_id, count(*) AS n_dups
-      |FROM documents GROUP BY 1""".stripMargin
+      |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin
 
   /** DSIR importance resampling (TextAnalysis.dsirSample,
     * arXiv:2302.03169): target model = the lang='en' docs, raw pool =
@@ -2841,7 +2844,7 @@ object QueryCatalog {
 
   val q118Sql: String =
     """WITH m AS (SELECT source, lang,
-      |    len(string_split(text, ' ')) AS ws,
+      |    (CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END) AS ws,
       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
       |    len(text) AS ch, strlen(text) AS bt
       |  FROM documents)
@@ -2862,7 +2865,7 @@ object QueryCatalog {
     TextAnalysis.langConfusion(t(s, dir, "documents"))
 
   val q119Sql: String = {
-    def hits(ws: String) = s"len(regexp_extract_all(text, '\\b($ws)\\b'))"
+    def hits(ws: String) = s"len(regexp_extract_all(text, '(?i)\\b($ws)\\b'))"
     val en = hits("the|and|of|to|in"); val de = hits("der|die|das|und|ist")
     val fr = hits("le|la|les|et|est"); val es = hits("el|los|las|es|y")
     s"""WITH p AS (SELECT lang,
@@ -3054,8 +3057,8 @@ object QueryCatalog {
        |csub AS (SELECT code, t.r AS s, v[t.r*8+1 : t.r*8+8] AS cv
        |  FROM cb CROSS JOIN range(8) t(r)),
        |d AS (SELECT vec_id, s, code,
-       |    ${pqDotSql("sv", "sv")} + ${pqDotSql("cv", "cv")}
-       |      - 2 * ${pqDotSql("sv", "cv")} AS dist
+       |    round(${pqDotSql("sv", "sv")} + ${pqDotSql("cv", "cv")}
+       |      - 2 * ${pqDotSql("sv", "cv")}, 6) AS dist
        |  FROM sub JOIN csub USING (s)),
        |r AS (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s
        |    ORDER BY dist ASC, code ASC) AS rnk FROM d)""".stripMargin

@@ -44,6 +44,13 @@ object Dedup {
     * caller-supplied composite key. Same one-hash-aggregate shape. */
   def exactBy(docs: DataFrame, fp: Column, idCol: String = "doc_id"): DataFrame =
     docs.select(fp.as("fp"), col(idCol))
+      // a NULL fingerprint (NULL text) is ABSENT content, not duplicate
+      // content: groupBy would fuse every NULL-text doc into one bogus
+      // cluster and a pipeline acting on keep_id would drop docs whose
+      // contents were never compared — and dedupCorpus's equi-join stage
+      // already treats NULL fp as matching nothing; the two exact paths
+      // must agree
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -727,7 +734,12 @@ object Dedup {
     val b = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "_grp") "src_b" else s"b_$c"): _*)
     val agree = (0 until k).map(i =>
       when(col(s"a_mh$i") === col(s"b_mh$i"), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
-    a.join(b, col("src_a") < col("src_b"))
+    // NULL is a REAL source group (the sourceKlDivergence discipline: a
+    // "suddenly unlabeled" slice must surface in the audit, not vanish) —
+    // `src_a < src_b` alone evaluates NULL for it and emits no pair, so
+    // NULL orders FIRST explicitly
+    a.join(b, col("src_a") < col("src_b") ||
+        (col("src_a").isNull && col("src_b").isNotNull))
       .withColumn("n_agree", agree)
       .select(col("src_a"), col("src_b"), col("n_agree"),
         (col("n_agree").cast("double") / lit(k.toDouble)).as("est_jaccard"))

@@ -300,7 +300,12 @@ object Similarity {
     * construction, so both are bounded by queries × N. */
   def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
               k: Int = 60, rankCol: String = "rank"): DataFrame = {
-    require(k >= 0, "k must be non-negative")
+    // k >= 1, not 0: with a 0-BASED ranking (common for external BM25
+    // dumps) and k = 0, the top item's 1/(k+rank) is Infinity, whose
+    // decimal cast is NULL, which coalesce scores as 0 — the BEST item
+    // would silently sort LAST. RRF's canonical k is 60; 1 is the floor
+    // at which every finite rank stays finite.
+    require(k >= 1, "k must be >= 1 (k = 0 maps a 0-based top rank to 1/0)")
     val zero = lit(0).cast("decimal(18,6)")
     val ar = a.select(col(queryCol).as("_q"), col(idCol).as("_id"),
       col(rankCol).cast("long").as("rank_a"))
@@ -563,7 +568,11 @@ object Similarity {
                     labelCol: String = "label"): DataFrame = {
     // NULL vectors can't be scored; excluding them keeps row membership
     // aligned with the oracle mirror (whose unnest drops them anyway)
-    val v = emb.select(col(idCol).as("_id"), col(labelCol).cast("long").as("label"),
+    // label kept at ITS OWN type: the old cast("long") turned string
+    // labels into NULL, the centroid join matched nothing, and the
+    // detector returned an EMPTY result with no error — callers with
+    // "lang"-style labels got a clean-corpus report for an unchecked one
+    val v = emb.select(col(idCol).as("_id"), col(labelCol).as("label"),
         col(vecCol).cast("array<double>").as("_v"))
       .filter(col("_v").isNotNull)
     val cents = v.groupBy(col("label"))
@@ -808,8 +817,12 @@ object Similarity {
       .select(col("vec_id"), col("_x.s").as("s"), col("_x.sv").as("sv"))
     val code = codebook.getOrElse(
       pqCodebook(emb, dims, subspaces, codebookSize, idCol, vecCol))
-    val dist = dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -
-      lit(2.0) * dot(col("sv"), col("cv"))
+    // round(…, 6) like lloydPq's assignment and annIvfPq's encoder: the
+    // shipped codes must match the partition the codebook was TRAINED on
+    // — an unrounded argmin can flip a rounded tie the last Lloyd round
+    // broke toward the lower code id
+    val dist = round(dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -
+      lit(2.0) * dot(col("sv"), col("cv")), 6)
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(dist.asc, col("code").asc)
     sub.join(broadcast(code), Seq("s"))

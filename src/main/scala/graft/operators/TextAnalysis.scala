@@ -35,7 +35,11 @@ object TextAnalysis {
     */
   def qualityScore(text: Column, nChars: Column): Column = {
     val toks = tokenCount(text)
-    val stop = size(regexp_extract_all(text, lit("\\b(the|a|of|and|or|in|to)\\b"), lit(0)))
+    // (?i): quality/language gates must see "The" and "THE" — every other
+    // text operator lowercases via tokens(); these match raw text, so the
+    // flag carries the normalization (ALL-CAPS English scored 0 stopwords
+    // and failed the gate)
+    val stop = size(regexp_extract_all(text, lit("(?i)\\b(the|a|of|and|or|in|to)\\b"), lit(0)))
     val sym  = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
     val lenScore  = when(nChars.between(200, 2000), lit(40))
       .when(nChars.between(50, 5000), lit(20)).otherwise(lit(0))
@@ -51,7 +55,8 @@ object TextAnalysis {
     */
   def langIdHeuristic(text: Column): Column = {
     def hits(words: Seq[String]): Column =
-      size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+      size(regexp_extract_all(text,
+        lit("(?i)\\b(" + words.mkString("|") + ")\\b"), lit(0)))
     val en = hits(Seq("the", "and", "of", "to", "in"))
     val de = hits(Seq("der", "die", "das", "und", "ist"))
     val fr = hits(Seq("le", "la", "les", "et", "est"))
@@ -130,7 +135,7 @@ object TextAnalysis {
     val alphaChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
     val sym = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
     val stop = size(regexp_extract_all(col("text"),
-      lit("\\b(the|a|of|and|or|in|to)\\b"), lit(0))).cast("long")
+      lit("(?i)\\b(the|a|of|and|or|in|to)\\b"), lit(0))).cast("long")
     docs.select(
       col("doc_id"),
       words.as("n_words"),
@@ -1098,7 +1103,10 @@ object TextAnalysis {
     val bpe = sum(col("_bpe"))
     val ws = sum(col("_ws"))
     docs.select(groupCols.map(col) ++ Seq(
-        tokenCount(col("text")).cast("long").as("_ws"),
+        // the GUARDED count (Packing.tokenCount): the raw space split
+        // merges newline/tab-separated words, inflating fertility for
+        // every hard-wrapped document — the gopherFilter lesson
+        Packing.tokenCount(col("text")).cast("long").as("_ws"),
         tokenCountBpe(col("text")).cast("long").as("_bpe"),
         length(col("text")).cast("long").as("_chars"),
         octet_length(col("text")).cast("long").as("_bytes")): _*)
@@ -1134,7 +1142,7 @@ object TextAnalysis {
     col("doc_id"),
     col("lang"),
     col("source"),
-    tokenCount(col("text")).cast("long").as("n_tokens"),
+    Packing.tokenCount(col("text")).cast("long").as("n_tokens"),
     tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"),
     qualityScore(col("text"), col("n_chars")).cast("long").as("quality"),
     langIdHeuristic(col("text")).as("lang_pred"),
