@@ -2844,7 +2844,7 @@ object QueryCatalog {
 
   val q118Sql: String =
     """WITH m AS (SELECT source, lang,
-      |    (CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) END) AS ws,
+      |    (CASE WHEN text IS NULL OR regexp_replace(text, '\s', '', 'g') = '' THEN 0 ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END) AS ws,
       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
       |    len(text) AS ch, strlen(text) AS bt
       |  FROM documents)
@@ -6931,7 +6931,8 @@ object QueryCatalog {
       |r AS (SELECT cls, score,
       |    row_number() OVER (PARTITION BY cls ORDER BY score) AS rn FROM c),
       |q AS (SELECT k.cls, k.n_cal, k.k_rank, r.score AS qhat
-      |  FROM k LEFT JOIN r ON r.cls = k.cls AND r.rn = k.k_rank),
+      |  FROM k LEFT JOIN r ON r.cls IS NOT DISTINCT FROM k.cls
+      |    AND r.rn = k.k_rank),
       |t AS (SELECT cls, score FROM x WHERE NOT is_cal)
       |SELECT q.cls, q.n_cal, q.k_rank, q.qhat,
       |  CAST(count(t.score) AS BIGINT) AS n_test,
@@ -6942,15 +6943,15 @@ object QueryCatalog {
       |    THEN round(CAST(sum(CASE WHEN q.k_rank > q.n_cal
       |      OR t.score <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
       |      / count(t.score), 6) END AS coverage
-      |FROM q LEFT JOIN t ON t.cls = q.cls
+      |FROM q LEFT JOIN t ON t.cls IS NOT DISTINCT FROM q.cls
       |GROUP BY 1, 2, 3, 4
       |UNION ALL
       |SELECT t.cls, CAST(0 AS BIGINT) AS n_cal,
       |  CAST(NULL AS BIGINT) AS k_rank, CAST(NULL AS DOUBLE) AS qhat,
       |  CAST(count(*) AS BIGINT) AS n_test,
       |  CAST(NULL AS BIGINT) AS n_covered, CAST(NULL AS DOUBLE) AS coverage
-      |FROM t LEFT JOIN n ON n.cls = t.cls
-      |WHERE n.cls IS NULL GROUP BY 1""".stripMargin
+      |FROM t LEFT JOIN n ON n.cls IS NOT DISTINCT FROM t.cls
+      |WHERE n.n_cal IS NULL GROUP BY 1""".stripMargin
 
   /** MRR@10 over the exact cosine ranking (Similarity.reciprocalRankAtK):
     * the first-hit retrieval readout beside AP (q133), nDCG (q221) and

@@ -34,7 +34,6 @@ object Warc {
                               contentLength: Long, nHeaders: Long,
                               payload: Array[Byte])
 
-  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   /** Parse ONE record from one (inflated) member. None on: missing
@@ -52,7 +51,12 @@ object Warc {
       i += 1
     }
     if (split < 0) return None
-    val head = new String(bytes, 0, split, Ascii)
+    // UTF-8, not US_ASCII: the WARC spec allows UTF-8 header values
+    // (WARC-Target-URI especially), and an ASCII decode would silently
+    // U+FFFD-corrupt them — against the never-silently-repaired contract.
+    // The CRLFCRLF split above is byte-safe (no UTF-8 continuation byte
+    // is 0x0D/0x0A), so decoding the whole head block at once is sound.
+    val head = new String(bytes, 0, split, Utf8)
     val lines = head.split("\r\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
     val version = lines(0)
@@ -176,7 +180,7 @@ object Warc {
       s"WARC-Record-ID: <urn:uuid:$recordId>\r\n" +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${body.length}\r\n" +
-      "\r\n").getBytes(Ascii)
+      "\r\n").getBytes(Utf8) // UTF-8 header encode, the decoder's mirror
     val out = new Array[Byte](head.length + body.length + 4)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(body, 0, out, head.length, body.length)
@@ -193,8 +197,12 @@ object Warc {
                       shardSize: Int = 8,
                       contentType: String = "text/plain"): DataFrame = {
     require(shardSize >= 1, "shardSize must be positive")
+    // FLOOR division, not Spark's truncate-toward-zero DIV: the oracle
+    // replays this key as DuckDB `//` (floor), and the two disagree for
+    // negative ids. `x - pmod(x, n)` is exactly divisible by n, so the
+    // DIV afterwards is exact division — integer-safe at any magnitude.
     val grouped = docs.filter(col(textCol).isNotNull)
-      .select(expr(s"CAST($idCol AS BIGINT) DIV $shardSize").as("_shard"),
+      .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
         col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
       .groupBy(col("_shard"))
       .agg(sort_array(collect_list(struct(col("_id"), col("_text")))).as("_docs"))

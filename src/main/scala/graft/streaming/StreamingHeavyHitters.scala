@@ -39,11 +39,14 @@ import graft.plans.TableStore
   * EXACTLY-ONCE is a BATCH-ID WATERMARK, not content dedup: counter
   * state (unlike [[StreamingQuantiles]]' sample SET) cannot absorb the
   * same rows twice, so the state table carries `upto` = the last merged
-  * batch id, committed ATOMICALLY with the counters in one
-  * replaceTable; a replayed micro-batch (batchId ≤ upto) skips the
-  * merge and only re-emits its idempotent keyed verdict. The classic
-  * transactional-offset pattern — which also means one state table
-  * serves ONE logical stream+checkpoint lineage.
+  * batch id, committed ATOMICALLY with the counters in one replaceTable
+  * — and only AFTER that batch's verdict row is durably merged, so
+  * `upto` reaching b proves verdict b exists. A replayed micro-batch at
+  * the watermark (batchId == upto) skips the merge and re-emits its
+  * idempotent keyed verdict from the committed state; one strictly
+  * below it skips both (its verdict is already durable by the ordering
+  * invariant). The classic transactional-offset pattern — which also
+  * means one state table serves ONE logical stream+checkpoint lineage.
   *
   * Scale: per batch one map-only MG candidate pass + one exact
   * candidate recount (the [[HeavyHitters]] shuffle ledger), a ≤cap-row
@@ -136,25 +139,19 @@ object StreamingHeavyHitters {
             state = keep
           }
           upto = batchId
-          // ---- atomic state commit: counters + watermark together ----
-          if (state.nonEmpty) {
-            store.replaceTable(stateTable,
-              state.toDF()
-                .withColumn("n_seen", lit(nSeen))
-                .withColumn("err_all", lit(errAll))
-                .withColumn("floor_err", lit(floorErr))
-                .withColumn("upto", lit(upto)),
-              Seq("item"))
-          }
         }
         // ---- verdict: current top items with bounds (idempotent) -----
-        // ONLY for batches at/after the watermark: a stale replay
-        // (batchId < upto) skipped the counter merge above, so its
-        // verdict would be rebuilt from the FINAL cumulative state and
-        // overwrite the historical (batch_id, item) rows — flattening the
-        // per-batch time series to a copy of the last snapshot.
-        // Re-emission is idempotent only when the state matches the id.
-        val top = if (batchId >= upto) state.sortBy(s => (-s.cnt, s.item)).take(topM)
+        // Emitted BEFORE the state watermark advances (the replaceTable
+        // below): the watermark reaching b then PROVES batch b's verdict
+        // is durable, so a stale replay (batchId < upto0) can safely skip
+        // re-emission — re-emitting there would rebuild the row from the
+        // FINAL cumulative state and flatten the per-batch time series.
+        // A crash between the two merges replays as batchId > upto and
+        // re-derives the IDENTICAL fold (deterministic in prior state +
+        // batch content), so the keyed re-merge is a no-op.
+        // batchId == upto0 (state committed, tail replay) re-emits from
+        // the loaded state — idempotent because the state matches the id.
+        val top = if (batchId >= upto0) state.sortBy(s => (-s.cnt, s.item)).take(topM)
           else Seq.empty[St]
         if (top.nonEmpty) {
           val verdict = top.toDF()
@@ -167,10 +164,22 @@ object StreamingHeavyHitters {
             // pruned-and-absent item's true count
             .withColumn("floor_err", lit(floorErr))
           store.mergeFact(verdictTable, verdict, Seq("batch_id", "item"))
-          if (vacuumEveryBatches > 0 && (batchId + 1) % vacuumEveryBatches == 0) {
-            if (store.exists(stateTable)) store.vacuum(stateTable)
-            if (store.exists(verdictTable)) store.vacuum(verdictTable)
-          }
+        }
+        // ---- atomic state commit: counters + watermark together, AFTER
+        // the verdict so the watermark never outruns a durable verdict --
+        if (batchId > upto0 && state.nonEmpty) {
+          store.replaceTable(stateTable,
+            state.toDF()
+              .withColumn("n_seen", lit(nSeen))
+              .withColumn("err_all", lit(errAll))
+              .withColumn("floor_err", lit(floorErr))
+              .withColumn("upto", lit(upto)),
+            Seq("item"))
+        }
+        if (top.nonEmpty && vacuumEveryBatches > 0 &&
+            (batchId + 1) % vacuumEveryBatches == 0) {
+          if (store.exists(stateTable)) store.vacuum(stateTable)
+          if (store.exists(verdictTable)) store.vacuum(verdictTable)
         }
         ()
       }

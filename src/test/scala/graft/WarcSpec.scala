@@ -136,6 +136,27 @@ class WarcSpec extends SparkSpec {
       "replayed shard must not duplicate rows")
   }
 
+  test("UTF-8 header values survive the parse byte-exactly (WARC spec allows them)") {
+    val uri = "http://example.org/straße/日本語?q=café"
+    val r = Warc.parseWarcRecord(Warc.buildRecord(uri, "2024-01-01T00:00:00Z",
+      "00000000-0000-0000-0000-000000000001", "text/plain",
+      body)).get
+    assert(r.targetUri === Some(uri),
+      "an ASCII decode would have U+FFFD-replaced every multi-byte char")
+  }
+
+  test("negative doc ids shard by FLOOR division (the oracle's // semantics)") {
+    val docs = Seq((-1L, "a"), (-8L, "b"), (-9L, "c"), (7L, "d"))
+      .toDF("doc_id", "text")
+    val rows = Warc.warcRecordFeatures(
+        Warc.synthWarcShards(docs, "doc_id", "text", shardSize = 8))
+      .collect()
+    val byDoc = rows.map(r => r.target_uri.get.split('/').last.toLong -> r.shard_id).toMap
+    // floor(-1/8) = -1, floor(-8/8) = -1, floor(-9/8) = -2, floor(7/8) = 0;
+    // truncate-toward-zero DIV would have put -1 in shard 0 and -9 in -1
+    assert(byDoc === Map(-1L -> -1L, -8L -> -1L, -9L -> -2L, 7L -> 0L))
+  }
+
   test("fixture round-trip: every document comes back ok with its own URI") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (9L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
