@@ -7381,6 +7381,94 @@ object QueryCatalog {
       |FROM st WHERE t1 IS NOT NULL AND t2 IS NOT NULL
       |GROUP BY 1 HAVING count(*) >= 5""".stripMargin
 
+  /** Registrable domains under the FULL publicsuffix.org algorithm
+    * (Urls.etld1OfPsl over the TrimmedPsl real-rule subset): wildcard
+    * rules (`*.ck`, `*.kawasaki.jp`), their exceptions (`!www.ck`,
+    * `!city.kawasaki.jp`), longest-match priority, and the implicit `*`
+    * default — the cases the naive last-2-labels walk gets wrong within
+    * the first terabyte of a real crawl. The oracle interpolates the
+    * SAME rule lists from TrimmedPsl (they cannot drift) and replays the
+    * walk as a CASE over last-k label slices. */
+  def q255PslEtld1(s: SparkSession, dir: String): DataFrame = {
+    val hosts = operators.Urls.synthPslHosts(t(s, dir, "events"))
+    hosts.select(col("host"), operators.Urls.etld1Of(col("host")).as("etld1"))
+      .groupBy(col("host"), col("etld1")).agg(count(lit(1)).as("n"))
+  }
+
+  val q255Sql: String = {
+    def inList(xs: Seq[String]) = xs.sorted.map(x => s"'$x'").mkString(", ")
+    val psl = operators.Urls.TrimmedPsl
+    val p2 = inList(psl.plainByLen(2))
+    val w1 = inList(psl.wildcardParentsByLen(1))
+    val w2 = inList(psl.wildcardParentsByLen(2))
+    val e2 = inList(psl.exceptionsByLen(2))
+    val e3 = inList(psl.exceptionsByLen(3))
+    s"""WITH h AS (SELECT event_id,
+       |    CASE WHEN event_id % 9 = 0 THEN 'www.ck'
+       |         WHEN event_id % 9 = 1 THEN 'shop' || (event_id % 7) || '.ck'
+       |         WHEN event_id % 9 = 2 THEN 'a' || (event_id % 5) || '.shop.ck'
+       |         WHEN event_id % 9 = 3 THEN 'city.kawasaki.jp'
+       |         WHEN event_id % 9 = 4 THEN 'sub' || (event_id % 3) || '.city.kawasaki.jp'
+       |         WHEN event_id % 9 = 5 THEN 'blog' || (event_id % 4) || '.kawasaki.jp'
+       |         WHEN event_id % 9 = 6 THEN 'x.blog' || (event_id % 4) || '.kawasaki.jp'
+       |         WHEN event_id % 9 = 7 THEN 'news.example' || (event_id % 6) || '.co.uk'
+       |         ELSE 'site' || (event_id % 8) || '.example.org' END AS host
+       |  FROM events),
+       |e AS (SELECT host, string_split(host, '.') AS labs,
+       |    len(string_split(host, '.')) AS n FROM h),
+       |s AS (SELECT host, labs, n,
+       |    CASE WHEN n >= 3 AND array_to_string(labs[n-2:n], '.') IN ($e3) THEN 2
+       |         WHEN n >= 2 AND array_to_string(labs[n-1:n], '.') IN ($e2) THEN 1
+       |         WHEN n >= 3 AND array_to_string(labs[n-1:n], '.') IN ($w2) THEN 3
+       |         WHEN n >= 2 AND (array_to_string(labs[n-1:n], '.') IN ($p2)
+       |               OR labs[n] IN ($w1)) THEN 2
+       |         ELSE 1 END AS sfx
+       |  FROM e)
+       |SELECT host,
+       |  CASE WHEN n <= sfx THEN host
+       |       ELSE array_to_string(labs[n-sfx:n], '.') END AS etld1,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
+  /** WARC response-record HTTP envelope (Warc.warcResponseRecords over
+    * synthWarcResponseShards): documents laid out as Common Crawl WARC
+    * proper — request/response record PAIRS, the response payload a full
+    * HTTP message — then member-split and envelope-parsed back to typed
+    * status / served Content-Type / entity-body fingerprint. The oracle
+    * replays both members per document from id arithmetic: request rows
+    * have NULL http fields, response rows carry the status rotation
+    * (404 every 13th id), the mime rotation, and md5(text). */
+  def q256WarcHttp(s: SparkSession, dir: String): DataFrame =
+    operators.Warc.warcResponseRecords(
+      operators.Warc.synthWarcResponseShards(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+
+  val q256Sql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(doc_id // 8 AS BIGINT) AS shard_id,
+      |    CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+      |      - 1 AS BIGINT) AS pos
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT shard_id, CAST(2 * pos AS BIGINT) AS member_idx,
+      |  CAST(1 AS BIGINT) AS ok, 'request' AS warc_type,
+      |  'http://example.org/doc/' || doc_id AS target_uri,
+      |  CAST(NULL AS BIGINT) AS http_status,
+      |  CAST(NULL AS VARCHAR) AS http_content_type,
+      |  CAST(NULL AS BIGINT) AS body_bytes, CAST(NULL AS VARCHAR) AS md5_hex
+      |FROM d
+      |UNION ALL
+      |SELECT shard_id, CAST(2 * pos + 1 AS BIGINT) AS member_idx,
+      |  CAST(1 AS BIGINT) AS ok, 'response' AS warc_type,
+      |  'http://example.org/doc/' || doc_id AS target_uri,
+      |  CAST(CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN 404 ELSE 200 END
+      |    AS BIGINT) AS http_status,
+      |  CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+      |    WHEN 1 THEN 'text/plain' ELSE 'application/json' END
+      |    AS http_content_type,
+      |  CAST(strlen(text) AS BIGINT) AS body_bytes, md5(text) AS md5_hex
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7640,7 +7728,9 @@ object QueryCatalog {
     ("q251_codec_text", q251CodecText _, Some(q251Sql)),
     ("q252_crawl_pipeline", q252CrawlPipeline _, Some(q252Sql)),
     ("q253_domain_cap", q253DomainCap _, Some(q253Sql)),
-    ("q254_event_paths", q254EventPaths _, Some(q254Sql)))
+    ("q254_event_paths", q254EventPaths _, Some(q254Sql)),
+    ("q255_psl_etld1", q255PslEtld1 _, Some(q255Sql)),
+    ("q256_warc_http", q256WarcHttp _, Some(q256Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

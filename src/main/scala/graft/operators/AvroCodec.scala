@@ -190,7 +190,8 @@ object AvroCodec {
     * block codec rotating null/deflate by id parity — both codec paths
     * decode against ONE oracle computed from the source column. */
   def synthAvroDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val rows = docs.filter(col(textCol).isNotNull)
+    val rows = Spread.toCores(docs) // CPU-heavy encode leg
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType), col(textCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .mapPartitions { it =>
@@ -206,7 +207,8 @@ object AvroCodec {
   /** Decode container payloads to feature rows; malformed → ok=0. */
   def decodeAvroFeatures(assets: DataFrame): Dataset[AvroDocRow] = {
     val enc = Encoders.product[AvroDocRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>

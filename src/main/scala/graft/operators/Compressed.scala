@@ -141,7 +141,8 @@ object Compressed {
     * encoder → (asset_id, media_type, payload, n_bytes, checksum), the
     * [[Multimodal.toAssets]] envelope. */
   def synthGzipDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val rows = docs.filter(col(textCol).isNotNull)
+    val rows = Spread.toCores(docs) // CPU-heavy encode leg
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType), col(textCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .mapPartitions { it =>
@@ -163,7 +164,8 @@ object Compressed {
   def synthGzipShards(docs: DataFrame, idCol: String, textCol: String,
                       shardSize: Int = 8): DataFrame = {
     require(shardSize >= 1, "shardSize must be positive")
-    val grouped = docs.filter(col(textCol).isNotNull)
+    val grouped = Spread.toCores(docs) // CPU-heavy encode leg
+      .filter(col(textCol).isNotNull)
       .select(expr(s"CAST($idCol AS BIGINT) DIV $shardSize").as("_shard"),
         col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
       .groupBy(col("_shard"))
@@ -195,7 +197,8 @@ object Compressed {
     * spec (each `[offset, offset+comp_len)` slice must inflate alone). */
   def gunzipMemberFeatures(assets: DataFrame): Dataset[GzipMemberRow] = {
     val enc = Encoders.product[GzipMemberRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -308,7 +311,8 @@ object Compressed {
     * selects (zstd/lz4/snappy round-robin — gzip has its own q237 path),
     * through the REAL encoders. */
   def synthCodecDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val rows = docs.filter(col(textCol).isNotNull)
+    val rows = Spread.toCores(docs) // CPU-heavy encode leg
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType), col(textCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .mapPartitions { it =>
@@ -329,7 +333,8 @@ object Compressed {
     * failure keeps the sniffed codec (when any) with ok=0. */
   def codecTextFeatures(assets: DataFrame): Dataset[CodecTextRow] = {
     val enc = Encoders.product[CodecTextRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -352,7 +357,8 @@ object Compressed {
     * round-trip defect flips the hash. */
   def gunzipTextFeatures(assets: DataFrame): Dataset[GzipTextRow] = {
     val enc = Encoders.product[GzipTextRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -124,7 +124,10 @@ object Html {
                     textCol: String = "text"): DataFrame = {
     val id = col(idCol).cast("string")
     val txt = col(textCol)
-    docs.filter(col(textCol).isNotNull).select(col(idCol).as("doc_id"), concat(
+    // spread BEFORE the concat: downstream extraction regexes are the
+    // real cost and inherit this stage's partitioning — see Spread
+    Spread.toCores(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), concat(
       lit("<!DOCTYPE html><html><head><title>Doc "), id,
       lit(" &amp; friends</title><script type=\"text/javascript\">var n = "),
       id, lit(" < 99; // inline</script><style>.c"),

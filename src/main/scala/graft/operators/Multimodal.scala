@@ -83,12 +83,14 @@ object Multimodal {
   /** Batch decode: mapPartitions so the decoder amortizes per-partition
     * init (codec contexts, model weights) across the whole batch — the
     * exact shape `mapInPandas` gives Python pipelines. Partition count
-    * governs decode parallelism; repartition upstream by expected decode
-    * cost if payload sizes are skewed.
+    * governs decode parallelism; [[Spread.toCores]] guarantees at least
+    * the session's parallelism (a single-row-group input otherwise pins
+    * the chain to one core); still repartition upstream by expected
+    * decode cost if payload sizes are skewed.
     */
   def decodeAll(assets: DataFrame, decoder: Decoder): Dataset[DecodedRow] = {
     val enc = Encoders.product[DecodedRow]
-    assets.as(Encoders.product[AssetRow]).mapPartitions { it =>
+    Spread.toCores(assets).as(Encoders.product[AssetRow]).mapPartitions { it =>
       it.map { a =>
         val d = decoder.decode(if (a.payload == null) Array.empty else a.payload)
         DecodedRow(a.asset_id, a.media_type, a.n_bytes, a.checksum,
@@ -175,7 +177,8 @@ object Multimodal {
   private def wavFeaturesWith(assets: DataFrame,
       decode: Array[Byte] => Option[MediaCodecs.WavData]): Dataset[WavFeatureRow] = {
     val enc = Encoders.product[WavFeatureRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -208,7 +211,8 @@ object Multimodal {
     * as integer formulas). Mono, 8 kHz, n = 256 + (id%17)·16. */
   def synthMulawAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val n = 256 + (id % 17).toInt * 16
@@ -236,7 +240,8 @@ object Multimodal {
   private def bmpFeaturesWith(assets: DataFrame,
       decode: Array[Byte] => Option[MediaCodecs.BmpData]): Dataset[BmpFeatureRow] = {
     val enc = Encoders.product[BmpFeatureRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -263,7 +268,8 @@ object Multimodal {
     * sum_sq is exact; rms is the one rounded double readout. */
   def wavWindowFeatures(assets: DataFrame, winFrames: Int): Dataset[WavWindowRow] = {
     val enc = Encoders.product[WavWindowRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
@@ -293,7 +299,8 @@ object Multimodal {
     * comparisons made, multichannel-exact. */
   def wavZcrFeatures(assets: DataFrame): Dataset[WavZcrRow] = {
     val enc = Encoders.product[WavZcrRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -326,7 +333,8 @@ object Multimodal {
     * ok = 0 (the reference's error-channel semantics). */
   def wavSpectralFeatures(assets: DataFrame, bins: Seq[Int]): Dataset[WavDftRow] = {
     val enc = Encoders.product[WavDftRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
@@ -383,7 +391,8 @@ object Multimodal {
   private def ahashWith(assets: DataFrame,
                         decode: Array[Byte] => Option[MediaCodecs.BmpData]): Dataset[AHashRow] = {
     val enc = Encoders.product[AHashRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -433,7 +442,8 @@ object Multimodal {
     * which is why image-dedup stacks run both. */
   def imageDHash(assets: DataFrame): Dataset[DHashRow] = {
     val enc = Encoders.product[DHashRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -474,7 +484,8 @@ object Multimodal {
   def resizeBmp(assets: DataFrame, box: Int): Dataset[ResizedBmpRow] = {
     require(box > 0, "box must be positive")
     val enc = Encoders.product[ResizedBmpRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -506,7 +517,8 @@ object Multimodal {
     * (id%3)·4000, sample_i = ((id·7 + i·13) mod 201 − 100) · 64. */
   def synthWavAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val n = 256 + (id % 17).toInt * 16
@@ -527,7 +539,8 @@ object Multimodal {
     * per base, the workload perceptual hashing exists for. */
   def synthBmpPairAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val base = id / 2
@@ -604,7 +617,8 @@ object Multimodal {
     * closed-form. Mono, 8 kHz. */
   def synthWavSilenceAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val lead = (id % 4).toInt * 64
@@ -632,7 +646,8 @@ object Multimodal {
     * container + compression. */
   def synthQoiAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 9).toInt
@@ -669,7 +684,8 @@ object Multimodal {
     * so one oracle covers every path. */
   def synthPngAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 9).toInt
@@ -717,7 +733,8 @@ object Multimodal {
     * ONE oracle. */
   def synthGifAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 9).toInt
@@ -754,7 +771,8 @@ object Multimodal {
     * computed at container-walk cost. */
   def gifMetaFeatures(assets: DataFrame): Dataset[GifMetaRow] = {
     val enc = Encoders.product[GifMetaRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -773,7 +791,8 @@ object Multimodal {
     * [[decodeGifFeatures]] reads the POSTER (first) frame of. */
   def synthAnimatedGifAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 9).toInt
@@ -796,7 +815,8 @@ object Multimodal {
     * b = (5id + 11x + y) mod 256. */
   def synthBmpAssets(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val rows = ids.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 9).toInt

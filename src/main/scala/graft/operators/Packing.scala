@@ -191,6 +191,8 @@ object Packing {
       .localCheckpoint(true) // walked twice (bin counts + readout)
     val roff = walked.groupBy(col("_rng"))
       .agg((max(col("_lbin")) + 1L).as("_nb"))
+      // control-plane frame: one row per id RANGE (n_ids / rangeWidth),
+      // not per id — the unpartitioned cumulative is O(ranges)
       .withColumn("_boff", coalesce(
         sum(col("_nb")).over(Window.orderBy(col("_rng"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -259,6 +261,8 @@ object Packing {
     // (desc = nulls last) like any other weight.
     val w = df.select(col(idCol).as("_id"), col(weightCol).cast("long").as("_w"))
     val off = w.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      // control-plane frame: one row per DISTINCT weight value (token
+      // counts — bounded by the context length, not by the corpus)
       .withColumn("_off", coalesce(
         sum(col("_c")).over(Window.orderBy(col("_w").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -426,6 +426,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic seed centroids — the ONE shared implementation of
+    * "first `nCells` non-NULL vectors in id order, keyed by their own id
+    * (cell = vec id)". The seeds are oracle-visible (every IVF/PQ/SemDeDup
+    * oracle replays exactly this frame), so the former five hand-kept
+    * copies of this logic were one edit away from an oracle-parity bug;
+    * any variant (renumbered cells, pre-cast vectors) derives from this
+    * frame, never re-states the filter/order/limit. */
+  private[operators] def seedCentroids(corpus: DataFrame, nCells: Int,
+                                       idCol: String, vecCol: String): DataFrame =
+    corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+
   /** Deterministic Lloyd iterations for IVF centroid training: seed with
     * the first `nCells` corpus vectors (by id — reproducible), then
     * `iters` rounds of broadcast-assign + per-cell mean. Each round is one
@@ -449,11 +461,13 @@ object Similarity {
     // dense 0..n-1 cells numbered by the TRUE id order — renumbering on
     // an int-cast id would wrap/collide past 2^31 and make the window
     // tie-break (hence every downstream assignment) run-dependent
-    var cents = v.filter(col("_v").isNotNull).orderBy(col("_id")).limit(nCells)
+    var cents = seedCentroids(v, nCells, "_id", "_v")
       .localCheckpoint(true)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("_id"))) - 1).cast("int"))
-      .select(col("cell"), col("_v").as("cvec"))
+      // renumber to dense 0..n-1 in TRUE id order ("cell" holds the raw
+      // id here); an int-cast id would wrap/collide past 2^31. Control-
+      // plane frame: ≤ nCells rows (the seed limit)
+      .select((row_number().over(Window.orderBy(col("cell"))) - 1)
+        .cast("int").as("cell"), col("cvec"))
     for (_ <- 0 until iters) {
       val assigned = v.crossJoin(broadcast(cents))
         .withColumn("d", score(col("_v"), col("cvec")))
@@ -488,9 +502,7 @@ object Similarity {
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int, nProbe: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    annIvfWith(
-      corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell"), col(vecCol).as("cvec")),
+    annIvfWith(seedCentroids(corpus, nCells, idCol, vecCol),
       queries, corpus, k, nProbe, idCol, vecCol)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup inside
@@ -518,9 +530,7 @@ object Similarity {
   def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
                centroids: Option[DataFrame] = None,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids.getOrElse(
-      emb.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val cents = centroids.getOrElse(seedCentroids(emb, nCells, idCol, vecCol))
     val v = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
     // assigned is referenced by BOTH pair sides — materialize once so the
     // corpus×centroid assignment isn't recomputed per reference
@@ -678,9 +688,7 @@ object Similarity {
                        centroids: Option[DataFrame] = None,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        labelCol: String = "label"): DataFrame = {
-    val cents = centroids.getOrElse(
-      corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val cents = centroids.getOrElse(seedCentroids(corpus, nCells, idCol, vecCol))
     val cAssigned = nearestCellsWith(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("neighbor_label")),
@@ -729,9 +737,7 @@ object Similarity {
                         centroids: Option[DataFrame] = None,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         labelCol: String = "label"): DataFrame = {
-    val cents = centroids.getOrElse(
-      corpus.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val cents = centroids.getOrElse(seedCentroids(corpus, nCells, idCol, vecCol))
     val cAssigned = nearestCellsWith(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("neighbor_label")),
@@ -799,6 +805,7 @@ object Similarity {
       .filter(col("_v").isNotNull)
       .orderBy(col("_id")).limit(codebookSize)
       .localCheckpoint(true)
+      // control-plane frame: ≤ codebookSize rows (the limit above)
       .withColumn("code", (row_number().over(Window.orderBy(col("_id"))) - 1)
         .cast("long"))
       .select(col("code"), pqSubVecs(col("_v"), d0, subspaces).as("_x"))
@@ -995,10 +1002,9 @@ object Similarity {
                codebookIters: Int = 0): DataFrame = {
     require(dims % subspaces == 0, "subspaces must divide dims")
     val d0 = dims / subspaces
-    val cents = centroids.getOrElse(
-        corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-          .filter(col("_v").isNotNull).orderBy(col("_id")).limit(nCells)
-          .select(col("_id").as("cell"), col("_v").as("cvec")))
+    val cents = centroids.getOrElse(seedCentroids(
+        corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")),
+        nCells, "_id", "_v"))
       .localCheckpoint(true)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv")).filter(col("_cv").isNotNull)
@@ -1011,6 +1017,7 @@ object Similarity {
         md5(concat(lit("ivfpq:"), col("neighbor_id").cast("string"))))
       .orderBy(col("_hk"), col("neighbor_id")).limit(codebookSize)
       .localCheckpoint(true)
+      // control-plane frame: ≤ codebookSize rows (the limit above)
       .withColumn("code", (row_number().over(
         Window.orderBy(col("_hk"), col("neighbor_id"))) - 1).cast("long"))
       .select(col("code"), pqSubVecs(col("_res"), d0, subspaces).as("_x"))

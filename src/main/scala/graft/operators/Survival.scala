@@ -58,6 +58,9 @@ object Survival {
         sum(lit(1L) - col("_event")).as("n_censored"),
         count(lit(1)).as("_nd"))
       .crossJoin(broadcast(total))
+    // control-plane frame: one row per DISTINCT duration day (≤ study
+    // length in days) — the per-unit heavy lifting happened in the
+    // partial agg above, so the single-partition window is O(days)
     val ordW = Window.orderBy(col("dur_days").asc)
     val risk = table
       // units leaving strictly before d: cumulative count minus this row

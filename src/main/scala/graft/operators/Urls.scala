@@ -45,6 +45,62 @@ object Urls {
     "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
     "co.in", "co.kr", "co.za", "com.sg", "com.hk")
 
+  /** A compiled public-suffix rule set — the publicsuffix.org data model:
+    * plain rules (`co.uk`), wildcard rules (`*.ck` — ANY single label
+    * under the parent is a public suffix), and exception rules
+    * (`!www.ck` — overrides a matching wildcard; the public suffix is
+    * the exception minus its leftmost label). `parse` takes lines in the
+    * PSL file syntax (comments `//` and blanks ignored), so a production
+    * deployment loads the FULL Mozilla list with
+    * `PslRules.parse(Files.readAllLines(...))` and passes it to
+    * [[etld1OfPsl]] — the walk is parameterized, not hard-wired.
+    *
+    * Scale note: the rule literals compile into `isin` sets inside ONE
+    * codegen'd projection — no shuffle, no UDF, no driver lookup. The
+    * full ~9k-rule list is ~200 KB of literals; if that ever pressures
+    * codegen, the same walk runs with the sets hoisted into a broadcast
+    * and a native set-probe expression — the SHAPE (longest-match over
+    * last-k labels) is what this object fixes. */
+  final case class PslRules(plainByLen: Map[Int, Seq[String]],
+                            wildcardParentsByLen: Map[Int, Seq[String]],
+                            exceptionsByLen: Map[Int, Seq[String]]) {
+    /** Longest rule length (wildcard rule length = parent labels + 1). */
+    val maxRuleLen: Int =
+      (plainByLen.keySet ++ wildcardParentsByLen.keySet.map(_ + 1) ++
+        exceptionsByLen.keySet).foldLeft(1)(math.max)
+  }
+
+  object PslRules {
+    private def labelCount(s: String): Int = s.count(_ == '.') + 1
+    def parse(lines: Seq[String]): PslRules = {
+      val rules = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(_.toLowerCase)
+      val (exc, rest) = rules.partition(_.startsWith("!"))
+      val (wild, plain) = rest.partition(_.startsWith("*."))
+      PslRules(
+        plain.distinct.groupBy(labelCount),
+        wild.map(_.stripPrefix("*.")).distinct.groupBy(labelCount),
+        exc.map(_.stripPrefix("!")).distinct.groupBy(labelCount))
+    }
+  }
+
+  /** Trimmed REAL subset of the Mozilla public-suffix list: the mini-PSL
+    * two-label suffixes plus genuine wildcard and exception rules from
+    * the published list (`*.ck`/`!www.ck`, the Japanese city wildcards
+    * with their `!city.` exceptions, and the bare-wildcard ccTLDs) — so
+    * the walk exercises every rule type the full list contains. The full
+    * list is a drop-in via [[PslRules.parse]]. */
+  val TrimmedPsl: PslRules = PslRules.parse(PublicSuffixes2 ++ Seq(
+    "*.ck", "!www.ck",
+    "*.np", "*.jm", "*.kh", "*.mm", "*.pg",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    "*.kobe.jp", "!city.kobe.jp",
+    "*.nagoya.jp", "!city.nagoya.jp",
+    "*.sapporo.jp", "!city.sapporo.jp",
+    "*.sendai.jp", "!city.sendai.jp",
+    "*.yokohama.jp", "!city.yokohama.jp"))
+
   def scheme(url: Column): Column = nullif(regexp_extract(url, UrlRe, 1), lit(""))
 
   /** Host, lowercased (URL authority is case-insensitive; paths are not). */
@@ -71,20 +127,51 @@ object Urls {
   def nParamsOf(q: Column): Column =
     when(q.isNull, lit(0L)).otherwise(size(split(q, "&")).cast("long"))
 
-  /** Registrable domain (eTLD+1) of a host: last two labels, or last
-    * THREE when the last two are a known public suffix; IP literals and
-    * single-label hosts pass through whole. */
-  def etld1Of(h: Column): Column = {
+  /** Registrable domain (eTLD+1) of a host under the FULL publicsuffix.org
+    * algorithm, parameterized by rule set: exception rules override,
+    * otherwise the longest matching plain/wildcard rule prevails,
+    * otherwise the implicit `*` default (the bare TLD). The registrable
+    * domain is the public suffix plus one label; a host that IS a public
+    * suffix (or an IP literal) passes through whole — this library's
+    * keying convention, so per-domain caps still see one stable key.
+    *
+    * The walk unrolls statically over rule lengths 1..maxRuleLen into one
+    * codegen'd CASE chain — per-row O(maxRuleLen) label-slice probes, no
+    * shuffle, no UDF. */
+  def etld1OfPsl(h: Column, psl: PslRules): Column = {
     val labels = split(h, "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    // longest plain/wildcard match; ascending fold puts the LARGEST k
+    // outermost in the CASE chain, so longest-match wins (spec step 3).
+    // The implicit default rule '*' makes the unmatched suffix length 1.
+    val plainOrWild = (1 to psl.maxRuleLen).foldLeft(lit(1)) { case (acc, k) =>
+      val conds =
+        psl.plainByLen.get(k).map(r => lastK(k).isin(r: _*)).toSeq ++
+          (if (k >= 2) psl.wildcardParentsByLen.get(k - 1)
+                          .map(p => lastK(k - 1).isin(p: _*)).toSeq
+           else Nil)
+      if (conds.isEmpty) acc
+      else when(n >= k && conds.reduce(_ || _), lit(k)).otherwise(acc)
+    }
+    // exception rules OVERRIDE any other match (spec step 2): the public
+    // suffix is the exception minus its leftmost label → length e − 1
+    val suffixLen = psl.exceptionsByLen.toSeq.sortBy(_._1)
+      .foldLeft(plainOrWild) { case (acc, (e, rules)) =>
+        when(n >= e && lastK(e).isin(rules: _*), lit(e - 1)).otherwise(acc)
+      }
+    val rd = suffixLen + 1
     when(h.isNull, lit(null).cast("string"))
       .when(h.rlike("^[0-9.]+$"), h) // IPv4 literal
-      .when(n <= 1, h)
-      .when(last2.isin(PublicSuffixes2: _*), when(n >= 3, last3).otherwise(h))
-      .otherwise(last2)
+      .when(n <= suffixLen, h)       // the host IS a public suffix
+      .otherwise(concat_ws(".", slice(labels, lit(0) - rd, rd)))
   }
+
+  /** [[etld1OfPsl]] over [[TrimmedPsl]] — the default registrable-domain
+    * column. Behaviour on hosts outside the wildcard/exception rules is
+    * identical to the historical last-2-in-set walk (a plain 2-label rule
+    * is just suffix length 2), so existing consumers see no change. */
+  def etld1Of(h: Column): Column = etld1OfPsl(h, TrimmedPsl)
 
   def etld1(url: Column): Column = etld1Of(host(url))
 
@@ -132,10 +219,33 @@ object Urls {
     val queryPart = when(id % 5 === 0, concat(lit("?u="), ids, lit("&ref=feed")))
       .when(id % 5 === 1, lit("?"))
       .otherwise(lit(""))
-    events.select(id,
+    // spread BEFORE the concat so the downstream regex-heavy parse (the
+    // actual cost of every consumer) never runs on one core — see Spread
+    Spread.toCores(events).select(id,
       when(id % 97 === 0, concat(lit("not a url "), ids))
         .otherwise(concat(
           when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
           hostCol, portPart, pathPart, queryPart)).as("url"))
+  }
+
+  /** Host fixture exercising every publicsuffix.org rule TYPE in
+    * [[TrimmedPsl]]: a bare exception host, wildcard-suffix hosts at and
+    * above the suffix length (1- and 2-label wildcard parents), exception
+    * hosts with and without extra subdomains, a plain 2-label suffix, and
+    * the default-rule shape. Pure concat — the oracle rebuilds identical
+    * strings and replays the longest-match walk in SQL. */
+  def synthPslHosts(events: DataFrame, idCol: String = "event_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    Spread.toCores(events).select(id.as("event_id"),
+      when(id % 9 === 0, lit("www.ck"))
+        .when(id % 9 === 1, concat(lit("shop"), m(7), lit(".ck")))
+        .when(id % 9 === 2, concat(lit("a"), m(5), lit(".shop.ck")))
+        .when(id % 9 === 3, lit("city.kawasaki.jp"))
+        .when(id % 9 === 4, concat(lit("sub"), m(3), lit(".city.kawasaki.jp")))
+        .when(id % 9 === 5, concat(lit("blog"), m(4), lit(".kawasaki.jp")))
+        .when(id % 9 === 6, concat(lit("x.blog"), m(4), lit(".kawasaki.jp")))
+        .when(id % 9 === 7, concat(lit("news.example"), m(6), lit(".co.uk")))
+        .otherwise(concat(lit("site"), m(8), lit(".example.org"))).as("host"))
   }
 }

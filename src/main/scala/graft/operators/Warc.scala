@@ -128,7 +128,8 @@ object Warc {
     * member_idx −1; a malformed member = its own ok=0 row at its index. */
   def warcRecordFeatures(assets: DataFrame): Dataset[WarcRow] = {
     val enc = Encoders.product[WarcRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -155,7 +156,8 @@ object Warc {
     * taxonomy as [[warcRecordFeatures]]. */
   def warcTextRecords(assets: DataFrame): Dataset[WarcTextRow] = {
     val enc = Encoders.product[WarcTextRow]
-    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
@@ -163,6 +165,110 @@ object Warc {
             case (i, Some(r)) =>
               WarcTextRow(id, i, 1L, r.targetUri, Some(new String(r.payload, Utf8)))
             case (i, None) => WarcTextRow(id, i, 0L, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  // ---------------------------------------------------------------------
+  // HTTP envelope of request/response records — Common Crawl WARC proper
+  // (`.warc.gz`, not WET): a `response` record's payload is a FULL HTTP
+  // message (status line, headers, blank line, entity body). The typed
+  // fields a curation pipeline keys on — status code, served Content-Type
+  // — live in that envelope, not in the WARC headers.
+  // ---------------------------------------------------------------------
+
+  final case class HttpEnvelope(status: Long, contentType: Option[String],
+                                body: Array[Byte])
+
+  /** Split one HTTP RESPONSE message into (status, Content-Type, body).
+    * Strict-but-total: None on a missing CRLFCRLF split, a status line
+    * that is not `HTTP/<v> <3-digit code> ...`, or a malformed header
+    * line. Header names are case-insensitive (RFC 9110); the body is the
+    * byte remainder — the WARC record's Content-Length already bounded
+    * the whole message, so no HTTP Content-Length re-validation here
+    * (truncated-body detection belongs to the record layer). */
+  def parseHttpResponse(payload: Array[Byte]): Option[HttpEnvelope] = {
+    if (payload == null || payload.length < 12) return None
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    // a headers-only message (no body) may end with a single CRLF
+    val headEnd = if (split >= 0) split
+      else if (payload.length >= 2 && payload(payload.length - 2) == '\r' &&
+               payload(payload.length - 1) == '\n') payload.length - 2
+      else return None
+    val head = new String(payload, 0, headEnd, Utf8)
+    val lines = head.split("\r\n", -1)
+    val status = lines(0) match {
+      case s if s.startsWith("HTTP/") =>
+        val parts = s.split(" ", 3)
+        if (parts.length < 2 || !parts(1).matches("[0-9]{3}")) return None
+        parts(1).toLong
+      case _ => return None
+    }
+    var contentType: Option[String] = None
+    var li = 1
+    while (li < lines.length) {
+      val line = lines(li)
+      val c = line.indexOf(':')
+      if (c <= 0) return None
+      if (line.substring(0, c).trim.toLowerCase == "content-type")
+        contentType = Some(line.substring(c + 1).trim)
+      li += 1
+    }
+    val body =
+      if (split >= 0)
+        java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+      else Array.empty[Byte]
+    Some(HttpEnvelope(status, contentType, body))
+  }
+
+  final case class WarcHttpRow(shard_id: Long, member_idx: Long, ok: Long,
+                               warc_type: Option[String],
+                               target_uri: Option[String],
+                               http_status: Option[Long],
+                               http_content_type: Option[String],
+                               body_bytes: Option[Long],
+                               md5_hex: Option[String])
+
+  /** Shard payloads → one row per member with the HTTP envelope of
+    * `response` records split out: status code, served Content-Type,
+    * entity-body length and md5. Non-response records (request,
+    * conversion, metadata) stay visible as ok=1 rows with NULL http
+    * fields; a response whose envelope fails to parse is ok=0 WITH its
+    * warc_type/target_uri (envelope failure ≠ record failure); the
+    * [[walkShard]] framing taxonomy is unchanged below that. */
+  def warcResponseRecords(assets: DataFrame): Dataset[WarcHttpRow] = {
+    val enc = Encoders.product[WarcHttpRow]
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          walkShard(payload).map {
+            case (i, Some(r)) if r.warcType.contains("response") =>
+              parseHttpResponse(r.payload) match {
+                case Some(h) =>
+                  md.reset()
+                  val hex = md.digest(h.body).map("%02x".format(_)).mkString
+                  WarcHttpRow(id, i, 1L, r.warcType, r.targetUri,
+                    Some(h.status), h.contentType,
+                    Some(h.body.length.toLong), Some(hex))
+                case None =>
+                  WarcHttpRow(id, i, 0L, r.warcType, r.targetUri,
+                    None, None, None, None)
+              }
+            case (i, Some(r)) =>
+              WarcHttpRow(id, i, 1L, r.warcType, r.targetUri,
+                None, None, None, None)
+            case (i, None) =>
+              WarcHttpRow(id, i, 0L, None, None, None, None, None, None)
           }
         }
       }(enc)
@@ -201,7 +307,8 @@ object Warc {
     // replays this key as DuckDB `//` (floor), and the two disagree for
     // negative ids. `x - pmod(x, n)` is exactly divisible by n, so the
     // DIV afterwards is exact division — integer-safe at any magnitude.
-    val grouped = docs.filter(col(textCol).isNotNull)
+    val grouped = Spread.toCores(docs) // CPU-heavy encode leg
+      .filter(col(textCol).isNotNull)
       .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
         col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
       .groupBy(col("_shard"))
@@ -221,6 +328,67 @@ object Warc {
               body = text.getBytes(Utf8))
             val m = Compressed.gzipBytes(rec)
             bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/warc")
+  }
+
+  /** Request/response-pair fixture — the actual Common Crawl `.warc.gz`
+    * layout (WARC proper, not WET): per document, a `request` record with
+    * an HTTP request envelope, then a `response` record whose payload is
+    * a FULL HTTP response message (status line + headers + entity body =
+    * the document text). Status and served Content-Type vary by id
+    * arithmetic (floorMod — negative ids are in-contract like q251):
+    * every 13th doc is a 404, mime rotates html/plain/json. Each record
+    * is its own gzip member; 2·shardSize members per shard, doc order. */
+  def synthWarcResponseShards(docs: DataFrame, idCol: String, textCol: String,
+                              shardSize: Int = 8): DataFrame = {
+    require(shardSize >= 1, "shardSize must be positive")
+    val grouped = Spread.toCores(docs) // CPU-heavy encode leg
+      .filter(col(textCol).isNotNull)
+      .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_text")))).as("_docs"))
+    val rows = grouped
+      .select(col("_shard"), col("_docs._id").as("_ids"), col("_docs._text").as("_texts"))
+      .as(Encoders.product[(Long, Seq[Long], Seq[String])])
+      .mapPartitions { it =>
+        it.map { case (shard, ids, texts) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          ids.lazyZip(texts).foreach { (id, text) =>
+            val uri = s"http://example.org/doc/$id"
+            val date = "2024-01-01T00:00:00Z"
+            val reqBody = (s"GET /doc/$id HTTP/1.1\r\nHost: example.org\r\n" +
+              "User-Agent: graft/1.0\r\n").getBytes(Utf8)
+            val req = buildRecord(uri, date,
+              recordId = f"00000000-0000-0000-0001-${id}%012d",
+              contentType = "application/http; msgtype=request",
+              body = reqBody, warcType = "request")
+            val (status, reason) =
+              if (Math.floorMod(id, 13L) == 0L) (404, "Not Found") else (200, "OK")
+            val mime = Math.floorMod(id, 3L).toInt match {
+              case 0 => "text/html; charset=utf-8"
+              case 1 => "text/plain"
+              case _ => "application/json"
+            }
+            val textBytes = text.getBytes(Utf8)
+            val respHead = (s"HTTP/1.1 $status $reason\r\n" +
+              s"Content-Type: $mime\r\nServer: graft/1.0\r\n\r\n").getBytes(Utf8)
+            val respBody = new Array[Byte](respHead.length + textBytes.length)
+            System.arraycopy(respHead, 0, respBody, 0, respHead.length)
+            System.arraycopy(textBytes, 0, respBody, respHead.length, textBytes.length)
+            val resp = buildRecord(uri, date,
+              recordId = f"00000000-0000-0000-0002-${id}%012d",
+              contentType = "application/http; msgtype=response",
+              body = respBody, warcType = "response")
+            Seq(req, resp).foreach { rec =>
+              val m = Compressed.gzipBytes(rec)
+              bos.write(m, 0, m.length)
+            }
           }
           (shard, bos.toByteArray)
         }

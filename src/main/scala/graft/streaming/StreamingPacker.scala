@@ -151,6 +151,7 @@ object StreamingPacker {
   def globalBins(assignments: DataFrame): DataFrame = {
     val roff = assignments.groupBy(col("rng"))
       .agg((max(col("lbin")) + 1L).as("_nb"))
+      // control-plane frame: one row per id RANGE — O(ranges), not O(docs)
       .withColumn("_boff", coalesce(
         sum(col("_nb")).over(Window.orderBy(col("rng"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

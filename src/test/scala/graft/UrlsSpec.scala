@@ -47,6 +47,42 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("publicsuffix.org algorithm: wildcard, exception, longest-match, default") {
+    def e1(h: String): String = {
+      import org.apache.spark.sql.functions.{col, lit}
+      spark.range(1).select(Urls.etld1Of(lit(h)).as("e"))
+        .collect().head.getAs[String]("e")
+    }
+    // wildcard *.ck: any single label under ck is a public suffix
+    assert(e1("shop.ck") === "shop.ck", "host IS the wildcard suffix")
+    assert(e1("a.shop.ck") === "a.shop.ck", "one label above the wildcard suffix")
+    assert(e1("x.a.shop.ck") === "a.shop.ck", "deep subdomain under wildcard")
+    // exception !www.ck overrides the wildcard: suffix is bare 'ck'
+    assert(e1("www.ck") === "www.ck")
+    assert(e1("mail.www.ck") === "www.ck", "exception beats wildcard for subdomains too")
+    // 2-label wildcard parents (*.kawasaki.jp) + their !city exceptions
+    assert(e1("blog.kawasaki.jp") === "blog.kawasaki.jp")
+    assert(e1("x.blog.kawasaki.jp") === "x.blog.kawasaki.jp")
+    assert(e1("city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(e1("sub.city.kawasaki.jp") === "city.kawasaki.jp")
+    // longest match: co.uk (2 labels) beats the implicit '*'
+    assert(e1("a.b.example.co.uk") === "example.co.uk")
+    // default rule
+    assert(e1("deep.sub.example.org") === "example.org")
+    assert(e1("ck") === "ck", "bare TLD: wildcard needs a label to match")
+  }
+
+  test("PslRules.parse: comments, case, blanks, rule classification") {
+    val psl = Urls.PslRules.parse(Seq(
+      "// comment", "", "COM", "co.uk", "*.CK", "!www.ck", "*.kawasaki.jp"))
+    assert(psl.plainByLen(1) === Seq("com"))
+    assert(psl.plainByLen(2) === Seq("co.uk"))
+    assert(psl.wildcardParentsByLen(1) === Seq("ck"))
+    assert(psl.wildcardParentsByLen(2) === Seq("kawasaki.jp"))
+    assert(psl.exceptionsByLen(2) === Seq("www.ck"))
+    assert(psl.maxRuleLen === 3)
+  }
+
   test("malformed URLs surface with NULL host, never throw") {
     val r = profile("not a url at all")
     assert(r.isNullAt(r.fieldIndex("scheme")) && r.isNullAt(r.fieldIndex("host")))

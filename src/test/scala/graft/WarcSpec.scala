@@ -157,6 +157,52 @@ class WarcSpec extends SparkSpec {
     assert(byDoc === Map(-1L -> -1L, -8L -> -1L, -9L -> -2L, 7L -> 0L))
   }
 
+  test("HTTP envelope parse: status, case-insensitive Content-Type, body split") {
+    val msg = ("HTTP/1.1 200 OK\r\ncontent-TYPE: text/html; charset=utf-8\r\n" +
+      "Server: x\r\n\r\n<html>body</html>").getBytes(US_ASCII)
+    val h = Warc.parseHttpResponse(msg).get
+    assert(h.status === 200L)
+    assert(h.contentType === Some("text/html; charset=utf-8"))
+    assert(new String(h.body, US_ASCII) === "<html>body</html>")
+    // headers-only message (no body, single trailing CRLF)
+    val noBody = Warc.parseHttpResponse(
+      "HTTP/1.1 304 Not Modified\r\nServer: x\r\n".getBytes(US_ASCII)).get
+    assert(noBody.status === 304L && noBody.body.isEmpty)
+    // malformed taxonomy: None, never a throw
+    assert(Warc.parseHttpResponse("GET / HTTP/1.1\r\n\r\n".getBytes(US_ASCII)).isEmpty,
+      "a request line is not a response")
+    assert(Warc.parseHttpResponse("HTTP/1.1 2xx Bad\r\n\r\n".getBytes(US_ASCII)).isEmpty)
+    assert(Warc.parseHttpResponse("no crlf at all".getBytes(US_ASCII)).isEmpty)
+    assert(Warc.parseHttpResponse(null).isEmpty)
+  }
+
+  test("request/response fixture round-trips: pairs, statuses, body md5") {
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (13L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val rows = Warc.warcResponseRecords(
+        Warc.synthWarcResponseShards(docs, "doc_id", "text", shardSize = 8))
+      .collect().sortBy(r => (r.shard_id, r.member_idx))
+    assert(rows.length === 8, "two members per document")
+    assert(rows.forall(_.ok === 1L))
+    val reqs = rows.filter(_.warc_type.contains("request"))
+    assert(reqs.length === 4 && reqs.forall(r =>
+      r.http_status.isEmpty && r.md5_hex.isEmpty),
+      "request rows stay visible with NULL http fields")
+    val resp = rows.filter(_.warc_type.contains("response"))
+      .map(r => r.target_uri.get.split('/').last.toLong -> r).toMap
+    assert(resp(0L).http_status === Some(404L), "id 0 is a 13-multiple")
+    assert(resp(13L).http_status === Some(404L))
+    assert(resp(1L).http_status === Some(200L))
+    assert(resp(0L).http_content_type === Some("text/html; charset=utf-8"))
+    assert(resp(1L).http_content_type === Some("text/plain"))
+    assert(resp(3L).http_content_type === Some("text/html; charset=utf-8"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(resp(1L).md5_hex ===
+      Some(md.digest("beta".getBytes("UTF-8")).map("%02x".format(_)).mkString),
+      "entity-body md5 fingerprints the SOURCE text — envelope split is exact")
+    assert(resp(1L).body_bytes === Some(4L))
+  }
+
   test("fixture round-trip: every document comes back ok with its own URI") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (9L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
