@@ -7469,6 +7469,84 @@ object QueryCatalog {
       |  CAST(strlen(text) AS BIGINT) AS body_bytes, md5(text) AS md5_hex
       |FROM d""".stripMargin
 
+  /** Trained char-trigram language ID vs the marker-word heuristic
+    * (TextAnalysis.langIdNgram beside langIdHeuristic, on q119's
+    * confusion-matrix frame): add-one multinomial NB over character
+    * trigrams of the normalized text, trained on the corpus's own
+    * declared `lang` column — the fastText-lite profile classifier a
+    * real mixture pipeline keys on. Output: one row per (declared,
+    * ngram-predicted, heuristic-predicted) cell with counts — the
+    * three-way matrix localizes exactly where the trained profile and
+    * the heuristic disagree. The oracle replays the FULL NB scoring
+    * (q110's once-rounded decimal folds) over a trigram lateral. */
+  def q257LangIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nb = TextAnalysis.langIdNgram(docs)
+    val heur = docs.select(col("doc_id"),
+      TextAnalysis.langIdHeuristic(col("text")).as("pred_heur"))
+    nb.join(heur, Seq("doc_id"))
+      .groupBy(col("actual").as("lang"), col("predicted").as("pred_ngram"),
+        col("pred_heur"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct")).as("n_ngram_match"))
+  }
+
+  val q257Sql: String = {
+    def hits(ws: String) = s"len(regexp_extract_all(text, '(?i)\\b($ws)\\b'))"
+    val en = hits("the|and|of|to|in"); val de = hits("der|die|das|und|ist")
+    val fr = hits("le|la|les|et|est"); val es = hits("el|los|las|es|y")
+    s"""WITH base AS (SELECT doc_id, lang AS actual,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+       |d AS (SELECT doc_id, actual,
+       |    CAST(CASE WHEN norm IS NULL THEN NULL
+       |         WHEN len(norm) >= 3 THEN len(norm) - 2 ELSE 0 END AS BIGINT) AS dl
+       |  FROM base),
+       |tok AS (SELECT doc_id, substring(norm, CAST(i AS INT), 3) AS term
+       |  FROM (SELECT doc_id, norm,
+       |      unnest(range(1, CAST(len(norm) AS BIGINT) - 1)) AS i
+       |    FROM base WHERE len(norm) >= 3)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |cst AS (SELECT d.actual AS cand, tf.term, sum(tf.tf) AS cst
+       |        FROM tf JOIN d USING (doc_id) GROUP BY 1, 2),
+       |cs AS (SELECT cand, sum(cst) AS cs FROM cst GROUP BY 1),
+       |vc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
+       |nd AS (SELECT actual AS cand, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |consts AS (SELECT cand,
+       |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior_r,
+       |    CAST(round(ln(CAST(cs AS DOUBLE) + CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS floor_r
+       |  FROM nd CROSS JOIN nn JOIN cs USING (cand) CROSS JOIN vc
+       |  WHERE cand IS NOT NULL),
+       |lmst AS (SELECT cand, term,
+       |    CAST(round(ln(CAST(cst AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6)) AS lp1_r
+       |  FROM cst WHERE cand IS NOT NULL),
+       |part AS (SELECT tf.doc_id, lmst.cand,
+       |    sum(CAST(tf.tf AS DECIMAL(18,6)) * lp1_r) AS part
+       |  FROM tf JOIN lmst USING (term) GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, d.actual, c.cand,
+       |    c.prior_r - CAST(d.dl AS DECIMAL(18,6)) * c.floor_r
+       |      + coalesce(part, CAST(0 AS DECIMAL(38,12))) AS score
+       |  FROM d CROSS JOIN consts c
+       |  LEFT JOIN part ON part.doc_id = d.doc_id AND part.cand = c.cand),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cand ASC) AS rnk FROM sc),
+       |nbp AS (SELECT doc_id, actual, cand AS pred_ngram,
+       |    CAST(CASE WHEN cand = actual THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |  FROM r WHERE rnk = 1),
+       |hp AS (SELECT doc_id,
+       |    CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+       |         WHEN $en = greatest($en, $de, $fr, $es) THEN 'en'
+       |         WHEN $de = greatest($en, $de, $fr, $es) THEN 'de'
+       |         WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
+       |         ELSE 'es' END AS pred_heur
+       |  FROM documents)
+       |SELECT nbp.actual AS lang, nbp.pred_ngram, hp.pred_heur,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(nbp.correct) AS BIGINT) AS n_ngram_match
+       |FROM nbp JOIN hp USING (doc_id)
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7730,7 +7808,8 @@ object QueryCatalog {
     ("q253_domain_cap", q253DomainCap _, Some(q253Sql)),
     ("q254_event_paths", q254EventPaths _, Some(q254Sql)),
     ("q255_psl_etld1", q255PslEtld1 _, Some(q255Sql)),
-    ("q256_warc_http", q256WarcHttp _, Some(q256Sql)))
+    ("q256_warc_http", q256WarcHttp _, Some(q256Sql)),
+    ("q257_langid_ngram", q257LangIdNgram _, Some(q257Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

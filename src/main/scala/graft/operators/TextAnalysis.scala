@@ -449,13 +449,50 @@ object TextAnalysis {
     * explodes for the argmax window.
     */
   def naiveBayesClassify(docs: DataFrame, labelCol: String = "source",
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nbClassifyOver(docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("actual"), tokens(col(textCol)).as("_toks")))
+
+  /** Deterministic char-trigram language classifier — the fastText-lite
+    * shape a real pipeline keys mixture decisions on, replacing
+    * [[langIdHeuristic]]'s marker-word vote with a TRAINED profile: the
+    * same add-one multinomial NB as [[naiveBayesClassify]] (identical
+    * integer-exact scoring, so the argmax replays in any engine), with
+    * character trigrams of the whitespace-normalized lowercase text as
+    * the token stream and the DECLARED language column as the training
+    * label. Character n-grams are the standard language-ID feature
+    * (script coverage, no tokenizer dependency); training is
+    * self-supervised on the corpus's own metadata, so the readout doubles
+    * as a metadata QA pass — rows where the trained profile disagrees
+    * with the declared tag are the mislabeling candidates.
+    *
+    * Scale: trigram rows are 3-grams per char — same order as the
+    * tokenized corpus; everything downstream is [[naiveBayesClassify]]'s
+    * pivoted-join shape (one term-keyed join, |langs| decimal partials).
+    * The trigram array builds ONCE per row over the STAGED `_norm`
+    * column (the q200 HOF lesson: a lambda over an unstaged expression
+    * re-runs it per element). */
+  def langIdNgram(docs: DataFrame, labelCol: String = "lang",
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nbClassifyOver(docs
+      .select(col(idCol).as("doc_id"), col(labelCol).as("actual"),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("_norm"))
+      .select(col("doc_id"), col("actual"),
+        when(col("_norm").isNull, lit(null).cast("array<string>"))
+          .when(length(col("_norm")) >= 3,
+            transform(sequence(lit(1), length(col("_norm")) - 2),
+              i => col("_norm").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>")).as("_toks")))
+
+  /** The shared NB trainer/scorer over a prepared (doc_id, actual,
+    * _toks) frame — [[naiveBayesClassify]] and [[langIdNgram]] differ
+    * ONLY in how `_toks` is produced. */
+  private def nbClassifyOver(prepared: DataFrame): DataFrame = {
     // base is the doc universe: derived PRE-explode so a NULL-text doc —
     // which contributes no token rows — still gets scored (all-NULL score,
     // first label by tie-break), exactly like the oracle mirror's `d` CTE.
     // Materialized because docsF and the tf explode both read it.
-    val base = docs.select(col(idCol).as("doc_id"), col(labelCol).as("actual"),
-        tokens(col(textCol)).as("_toks"))
+    val base = prepared
       .select(col("doc_id"), col("actual"), col("_toks"),
         size(col("_toks")).cast("long").as("dl"))
       .localCheckpoint(true)

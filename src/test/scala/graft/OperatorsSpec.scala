@@ -486,6 +486,36 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row5.getDouble(3) - (-3.349084)) < 1e-6)
   }
 
+  test("langIdNgram: char-trigram profiles separate scripts the heuristic can't") {
+    // distinct character shapes per language; doc 5 carries German
+    // trigrams under an 'en' tag — the mislabel the trained profile flags
+    val d = Seq(
+      (1L, "en", "the quick thing there then"),
+      (2L, "en", "the other thing here"),
+      (3L, "de", "schneller durch schwarzwald schnee"),
+      (4L, "de", "schnell schwer durchschnitt"),
+      (5L, "en", "schnellschwarz durchschnee schwer")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdNgram(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(4))).toMap
+    assert(out(1L) === ("en", 1L) && out(2L) === ("en", 1L))
+    assert(out(3L) === ("de", 1L) && out(4L) === ("de", 1L))
+    assert(out(5L) === ("de", 0L),
+      "sch/rch trigram mass must out-vote the declared en tag")
+    // short/NULL text: < 3 chars → zero trigrams, still exactly one row
+    val edge = d.union(Seq((6L, "de", "ab"), (7L, "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text"))
+    val rows = TextAnalysis.langIdNgram(edge)
+      .filter(col("doc_id") >= 6).collect().sortBy(_.getLong(0))
+    assert(rows.length === 2, "degenerate docs must not vanish")
+    assert(rows(0).getString(2) !== null, "0-trigram doc scores on priors alone")
+    assert(rows(1).isNullAt(3), "NULL text scores NULL, tie-break label")
+    // partition-count independence (the decimal-fold order-free contract)
+    val wide = TextAnalysis.langIdNgram(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(wide === out.map { case (k, v) => k -> v._1 })
+  }
+
   test("dsirWeights/dsirSample: target-like docs outweigh off-target, deterministic Gumbel") {
     val d = Seq(
       (1L, "tgt", "x x y x"),     // target exemplars: x-heavy
