@@ -73,9 +73,12 @@ class HtmlSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_links") === 1L) // 3 % 3 == 0
     assert(out(2).getAs[Long]("n_links") === 0L)
     assert(out(2).getAs[String]("title") === "Doc 7 & friends")
-    // the extraction is map-only: no exchange anywhere in the plan
+    // the extraction is map-only: no KEYED exchange anywhere in the plan
+    // (the round-robin partition-spread guard is allowed — see Spread)
     val plan = Html.htmlProfile(Html.synthHtmlDocs(docs))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"profile must stay shuffle-free:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange") && !l.contains("RoundRobinPartitioning")),
+      s"profile must stay free of keyed shuffles:\n$plan")
   }
 }
