@@ -432,6 +432,19 @@ object ScaleCheck {
     time("codec_text")(
       graft.operators.Compressed.codecTextFeatures(
         graft.operators.Compressed.synthCodecDocs(docs, "doc_id", "text")).toDF())
+    // r14 additions: PSL registrable-domain walk (per-row CASE chain over
+    // label slices), WARC response-pair HTTP envelopes (2 members/doc),
+    // and the trained trigram language classifier (NB shape: two count
+    // aggregates + one term-keyed join — labels are few by definition)
+    time("psl_etld1")(
+      graft.operators.Urls.synthPslHosts(docs.select(col("doc_id").as("event_id")))
+        .select(col("event_id"), graft.operators.Urls.etld1Of(col("host")).as("etld1"))
+        .groupBy(col("etld1")).agg(count(lit(1)).as("n")))
+    time("warc_http(8)")(
+      graft.operators.Warc.warcResponseRecords(
+        graft.operators.Warc.synthWarcResponseShards(docs, "doc_id", "text")).toDF())
+    time("langid_ngram")(
+      graft.operators.TextAnalysis.langIdNgram(docs))
     spark.stop()
   }
 }
