@@ -7396,13 +7396,27 @@ object QueryCatalog {
   }
 
   val q255Sql: String = {
+    // the CASE arms are GENERATED from TrimmedPsl exactly the way the
+    // Scala walk unrolls (exceptions longest-first and overriding, then
+    // plain/wildcard longest-first, then the implicit '*'), so a rule-set
+    // change cannot drift the oracle or throw on a missing length slot
     def inList(xs: Seq[String]) = xs.sorted.map(x => s"'$x'").mkString(", ")
+    def lastK(k: Int) = if (k == 1) "labs[n]" else s"array_to_string(labs[n-${k - 1}:n], '.')"
     val psl = operators.Urls.TrimmedPsl
-    val p2 = inList(psl.plainByLen(2))
-    val w1 = inList(psl.wildcardParentsByLen(1))
-    val w2 = inList(psl.wildcardParentsByLen(2))
-    val e2 = inList(psl.exceptionsByLen(2))
-    val e3 = inList(psl.exceptionsByLen(3))
+    val excArms = psl.exceptionsByLen.toSeq.sortBy(-_._1).map { case (e, rules) =>
+      s"WHEN n >= $e AND ${lastK(e)} IN (${inList(rules)}) THEN ${e - 1}"
+    }
+    val ruleArms = (psl.maxRuleLen to 1 by -1).flatMap { k =>
+      val conds =
+        psl.plainByLen.get(k).map(r => s"${lastK(k)} IN (${inList(r)})").toSeq ++
+          (if (k >= 2) psl.wildcardParentsByLen.get(k - 1)
+                          .map(p => s"${lastK(k - 1)} IN (${inList(p)})").toSeq
+           else Nil)
+      if (conds.isEmpty) Nil
+      else Seq(s"WHEN n >= $k AND (${conds.mkString(" OR ")}) THEN $k")
+    }
+    val sfxCase =
+      (excArms ++ ruleArms).mkString("CASE ", "\n       |         ", "\n       |         ELSE 1 END")
     s"""WITH h AS (SELECT event_id,
        |    CASE WHEN event_id % 9 = 0 THEN 'www.ck'
        |         WHEN event_id % 9 = 1 THEN 'shop' || (event_id % 7) || '.ck'
@@ -7417,12 +7431,7 @@ object QueryCatalog {
        |e AS (SELECT host, string_split(host, '.') AS labs,
        |    len(string_split(host, '.')) AS n FROM h),
        |s AS (SELECT host, labs, n,
-       |    CASE WHEN n >= 3 AND array_to_string(labs[n-2:n], '.') IN ($e3) THEN 2
-       |         WHEN n >= 2 AND array_to_string(labs[n-1:n], '.') IN ($e2) THEN 1
-       |         WHEN n >= 3 AND array_to_string(labs[n-1:n], '.') IN ($w2) THEN 3
-       |         WHEN n >= 2 AND (array_to_string(labs[n-1:n], '.') IN ($p2)
-       |               OR labs[n] IN ($w1)) THEN 2
-       |         ELSE 1 END AS sfx
+       |    $sfxCase AS sfx
        |  FROM e)
        |SELECT host,
        |  CASE WHEN n <= sfx THEN host

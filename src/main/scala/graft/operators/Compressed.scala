@@ -164,7 +164,12 @@ object Compressed {
   def synthGzipShards(docs: DataFrame, idCol: String, textCol: String,
                       shardSize: Int = 8): DataFrame = {
     require(shardSize >= 1, "shardSize must be positive")
-    val grouped = Spread.toCores(docs) // CPU-heavy encode leg
+    // input-side spread parallelizes the scan/projection; the ENCODE
+    // mapPartitions below runs at the groupBy's post-shuffle partition
+    // count — spark.sql.shuffle.partitions bounded by AQE's parallelism-
+    // first coalescing floor — which the spread guard deliberately does
+    // not touch (probing a shuffle-fed frame would materialize its stages)
+    val grouped = Spread.toCores(docs)
       .filter(col(textCol).isNotNull)
       .select(expr(s"CAST($idCol AS BIGINT) DIV $shardSize").as("_shard"),
         col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))

@@ -23,12 +23,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
 
-  /** `df` repartitioned to `defaultParallelism` iff it is a batch frame
-    * with fewer partitions than that; streaming frames and already-wide
-    * inputs pass through untouched. */
+  /** `df` repartitioned to `defaultParallelism` iff it is a batch,
+    * SCAN-SHAPED (exchange-free) frame with fewer partitions than that;
+    * streaming frames, already-wide inputs, and exchange-bearing plans
+    * pass through untouched.
+    *
+    * Why exchange-bearing plans are skipped: (a) their runtime
+    * parallelism is governed by `spark.sql.shuffle.partitions` and AQE's
+    * parallelism-first coalescing floor, not by input file splits — the
+    * single-row-group pathology cannot arise there; (b) probing `.rdd`
+    * under AQE MATERIALIZES every upstream query stage (real shuffle
+    * jobs, run once for the probe and again by the actual query — and
+    * plan-only contexts like PlanDump would launch jobs). On an
+    * exchange-free plan, `.rdd` is pure wiring: partition count comes
+    * from driver-side file-split listing, no job runs. */
   def toCores(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.executedPlan.toString.contains("Exchange")) return df
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

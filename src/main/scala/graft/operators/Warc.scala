@@ -307,7 +307,12 @@ object Warc {
     // replays this key as DuckDB `//` (floor), and the two disagree for
     // negative ids. `x - pmod(x, n)` is exactly divisible by n, so the
     // DIV afterwards is exact division — integer-safe at any magnitude.
-    val grouped = Spread.toCores(docs) // CPU-heavy encode leg
+    // input-side spread parallelizes the scan/projection; the ENCODE
+    // mapPartitions below runs at the groupBy's post-shuffle partition
+    // count — spark.sql.shuffle.partitions bounded by AQE's parallelism-
+    // first coalescing floor — which the spread guard deliberately does
+    // not touch (probing a shuffle-fed frame would materialize its stages)
+    val grouped = Spread.toCores(docs)
       .filter(col(textCol).isNotNull)
       .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
         col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
@@ -347,7 +352,12 @@ object Warc {
   def synthWarcResponseShards(docs: DataFrame, idCol: String, textCol: String,
                               shardSize: Int = 8): DataFrame = {
     require(shardSize >= 1, "shardSize must be positive")
-    val grouped = Spread.toCores(docs) // CPU-heavy encode leg
+    // input-side spread parallelizes the scan/projection; the ENCODE
+    // mapPartitions below runs at the groupBy's post-shuffle partition
+    // count — spark.sql.shuffle.partitions bounded by AQE's parallelism-
+    // first coalescing floor — which the spread guard deliberately does
+    // not touch (probing a shuffle-fed frame would materialize its stages)
+    val grouped = Spread.toCores(docs)
       .filter(col(textCol).isNotNull)
       .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
         col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))

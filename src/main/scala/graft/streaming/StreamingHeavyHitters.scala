@@ -101,11 +101,25 @@ object StreamingHeavyHitters {
             "counts will silently drop rows: wipe the state table too.")
         if (batchId > upto0) {
           // ---- batch: exact counts of the MG candidate set -----------
+          // The fold must re-derive IDENTICALLY on a crash replay (the
+          // verdict-before-watermark ordering depends on it), so the MG
+          // candidate pass cannot run on arrival partitioning — input
+          // splits change with executor count across restarts. Hash-
+          // partitioning by item first makes the candidate set a pure
+          // function of (batch content, spark.sql.shuffle.partitions):
+          // each item's full batch count lands in ONE partition. Cost is
+          // unchanged — the exact-count groupBy below REUSES this
+          // exchange instead of adding its own. (Changing
+          // shuffle.partitions between a crash and its replay would
+          // still perturb the candidate set; keep it pinned per stream.)
           val strItems = batch.select(col(itemCol).cast("string").as("item"))
             .filter(col("item").isNotNull)
           val obs = Observation()
-          val cands = strItems
+          val spreadItems = strItems
             .observe(obs, count(lit(1)).as("n"))
+            .repartition(col("item"))
+            .localCheckpoint(true) // read twice: candidate pass + recount
+          val cands = spreadItems
             .as[String]
             .mapPartitions(it => HeavyHitters.mgSummary(k, it))
             .toDF("item").distinct()
@@ -113,7 +127,7 @@ object StreamingHeavyHitters {
           val nB = graft.plans.Observed.poll(obs).flatMap(_.get("n"))
             .map(_.asInstanceOf[Long]).getOrElse(strItems.count())
           if (nB > 0) {
-            val counted = strItems.join(broadcast(cands), "item")
+            val counted = spreadItems.join(broadcast(cands), "item")
               .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val errB = nB / k

@@ -26,29 +26,45 @@ class SpreadSpec extends SparkSpec {
     assert(Spread.toCores(sdf) eq sdf, "streaming frames pass through")
   }
 
-  test("every codec chain runs at full parallelism from a 1-partition input") {
-    val ids = spark.range(64).toDF("doc_id").coalesce(1)
-    val docs = ids.withColumn("text", concat(lit("body "), col("doc_id")))
+  test("every codec chain runs at full parallelism from a single-file parquet input") {
+    // the EXACT r13 driver shape: one parquet file = one row group = a
+    // 1-partition scan feeding the whole chain
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-spread").toString
+    spark.range(64).toDF("doc_id")
+      .withColumn("text", concat(lit("body "), col("doc_id")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    assert(docs.rdd.getNumPartitions === 1, "fixture precondition")
+    val ids = docs.select(col("doc_id"))
     def parts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
-    // image/audio synth → decode (q244/q245/q246 family)
+    // image/audio synth chains (q244/q245/q246 family): the synth spread
+    // fires on the scan-shaped input and the decode leg inherits it
     assert(parts(Multimodal.synthBmpAssets(ids, "doc_id")) >= cores, "bmp synth")
     assert(parts(Multimodal.decodeBmpFeatures(
-      Multimodal.synthBmpAssets(ids.coalesce(1), "doc_id").coalesce(1)).toDF()) >= cores,
-      "bmp decode re-spreads even when the synth output was re-collapsed")
+      Multimodal.synthBmpAssets(ids, "doc_id")).toDF()) >= cores, "bmp chain")
     assert(parts(Multimodal.decodeWavFeatures(
-      Multimodal.synthWavAssets(ids, "doc_id").coalesce(1)).toDF()) >= cores, "wav decode")
+      Multimodal.synthWavAssets(ids, "doc_id")).toDF()) >= cores, "wav chain")
     assert(parts(AvroCodec.decodeAvroFeatures(
-      AvroCodec.synthAvroDocs(docs, "doc_id", "text").coalesce(1)).toDF()) >= cores,
-      "avro decode")
-    // crawl chain (q248-q252 family)
-    assert(parts(Warc.warcRecordFeatures(
-      Warc.synthWarcShards(docs, "doc_id", "text").coalesce(1)).toDF()) >= cores,
-      "warc decode")
+      AvroCodec.synthAvroDocs(docs, "doc_id", "text")).toDF()) >= cores, "avro chain")
     assert(parts(Compressed.codecTextFeatures(
-      Compressed.synthCodecDocs(docs, "doc_id", "text").coalesce(1)).toDF()) >= cores,
-      "multi-codec decode")
-    assert(parts(Urls.synthUrls(
-      spark.range(64).toDF("event_id").coalesce(1))) >= cores, "url synth")
+      Compressed.synthCodecDocs(docs, "doc_id", "text")).toDF()) >= cores,
+      "multi-codec chain")
+    assert(parts(Urls.synthUrls(docs.select(col("doc_id").as("event_id")))) >= cores,
+      "url synth")
+    // a decode fed from a re-read single-file ASSET table (scan-shaped
+    // again after the write boundary) re-spreads at the decode entry
+    Multimodal.synthBmpAssets(ids, "doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/assets")
+    val assets = spark.read.parquet(s"$dir/assets")
+    assert(assets.rdd.getNumPartitions === 1, "asset fixture precondition")
+    assert(parts(Multimodal.decodeBmpFeatures(assets).toDF()) >= cores,
+      "decode entry re-spreads a 1-partition asset scan")
+    // exchange-bearing inputs are NOT probed or re-spread: parallelism
+    // there is AQE's job, and probing .rdd would materialize the stages
+    val shuffled = Warc.synthWarcShards(docs, "doc_id", "text") // groupBy inside
+    assert(Spread.toCores(shuffled) eq shuffled,
+      "exchange-bearing plans pass through un-probed")
   }
 
   test("spread does not change results (content-deterministic chains)") {
