@@ -7556,6 +7556,141 @@ object QueryCatalog {
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** URL canonicalization (Urls.canonicalOf over the staged parse): the
+    * normalization a crawl frontier and URL-level dedup apply before
+    * hashing — lowercase authority, root-dot strip, default-port strip,
+    * slash-run collapse, tracking-param drop, byte-sorted surviving
+    * params. Grouped to (canonical_url, n, n_raw) so the row set IS the
+    * dedup readout: n_raw > 1 proves distinct raw spellings collapsed.
+    * The oracle rebuilds the fixture strings and replays every
+    * normalization step with DuckDB list ops. */
+  def q258CanonicalUrls(s: SparkSession, dir: String): DataFrame = {
+    val parsed = operators.Urls.urlProfile(
+        operators.Urls.synthCanonUrls(t(s, dir, "events")))
+      .localCheckpoint(true) // canonicalOf references each component 2-3x
+    parsed.select(col("url"),
+        operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
+          col("path"), col("query_string")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("n_raw"))
+  }
+
+  val q258Sql: String = {
+    val re = """^([a-z][a-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
+    val track = operators.Urls.TrackingParamRe
+    s"""WITH u AS (SELECT event_id,
+       |    (CASE WHEN event_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+       |    (CASE WHEN event_id % 3 = 0 THEN 'Example.ORG.'
+       |          WHEN event_id % 3 = 1 THEN 'site' || (event_id % 5) || '.example.com'
+       |          ELSE 'example.co.uk' END) ||
+       |    (CASE WHEN event_id % 4 = 0 THEN ':80'
+       |          WHEN event_id % 4 = 1 THEN ':443'
+       |          WHEN event_id % 4 = 2 THEN ':8080' ELSE '' END) ||
+       |    (CASE WHEN event_id % 3 = 0 THEN ''
+       |          WHEN event_id % 3 = 1 THEN '/a//b' || (event_id % 7)
+       |          ELSE '/x/' END) ||
+       |    (CASE WHEN event_id % 5 = 0 THEN '?b=2&a=' || (event_id % 3) || '&utm_source=x'
+       |          WHEN event_id % 5 = 1 THEN '?gclid=123'
+       |          WHEN event_id % 5 = 2 THEN '?'
+       |          WHEN event_id % 5 = 3 THEN '?z=1&&a=2' ELSE '' END) AS url
+       |  FROM events),
+       |p AS (SELECT url,
+       |    lower(nullif(regexp_extract(url, '$re', 1), '')) AS scheme,
+       |    lower(nullif(regexp_extract(url, '$re', 2), '')) AS host,
+       |    TRY_CAST(nullif(regexp_replace(regexp_extract(url, '$re', 3), '^:', ''), '') AS BIGINT) AS port,
+       |    regexp_extract(url, '$re', 4) AS path,
+       |    nullif(regexp_replace(regexp_extract(url, '$re', 5), '^\\?', ''), '') AS q
+       |  FROM u),
+       |c AS (SELECT url,
+       |    CASE WHEN host IS NULL THEN NULL ELSE
+       |      scheme || '://' || regexp_replace(host, '\\.$$', '') ||
+       |      (CASE WHEN port IS NULL
+       |              OR (scheme = 'http' AND port = 80)
+       |              OR (scheme = 'https' AND port = 443) THEN ''
+       |            ELSE ':' || port END) ||
+       |      (CASE WHEN path = '' THEN '/' ELSE regexp_replace(path, '/{2,}', '/', 'g') END) ||
+       |      (CASE WHEN len(list_filter(string_split(coalesce(q, ''), '&'),
+       |               x -> x <> '' AND NOT regexp_matches(x, '$track'))) > 0
+       |            THEN '?' || array_to_string(list_sort(
+       |               list_filter(string_split(coalesce(q, ''), '&'),
+       |                 x -> x <> '' AND NOT regexp_matches(x, '$track'))), '&')
+       |            ELSE '' END)
+       |    END AS canonical_url
+       |  FROM p)
+       |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  /** robots.txt fetch gate (Robots.robotsGate over parsed synthRobots):
+    * RFC 9309 longest-match verdicts for crawler UA "graftbot/1.0" —
+    * group exclusivity (a matching named group HIDES the `*` group),
+    * Allow carve-outs beating shorter Disallows, `*`-wildcard and
+    * `$`-anchored rules, a block-everything host, default-allow on no
+    * match. The Spark side parses REAL robots bodies; the oracle rebuilds
+    * the rule set the parse must produce from the same id arithmetic and
+    * replays the IDENTICAL translate chain + tie-break — parser drift
+    * therefore breaks the hash even though SQL never sees body text. */
+  def q259RobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val rules = operators.Robots.robotsRules(operators.Robots.synthRobots(s))
+      .localCheckpoint(true) // tiny (7 hosts); read by the group-choice window + join
+    operators.Robots.robotsGate(
+      operators.Robots.synthCrawlUrls(t(s, dir, "events")),
+      rules, userAgent = "graftbot/1.0")
+  }
+
+  val q259Sql: String = {
+    // the translate chain must be byte-identical to Robots.matchedCol:
+    // trailing-$ split, then \ . + ? ( ) [ ] { } | ^ $ escapes, then *→.*
+    val coreExpr = "(CASE WHEN ends_with(c.rule, '$') " +
+      "THEN substring(c.rule, 1, len(c.rule) - 1) ELSE c.rule END)"
+    val esc = Seq("\\" -> "\\\\", "." -> "\\.", "+" -> "\\+", "?" -> "\\?",
+        "(" -> "\\(", ")" -> "\\)", "[" -> "\\[", "]" -> "\\]",
+        "{" -> "\\{", "}" -> "\\}", "|" -> "\\|", "^" -> "\\^", "$" -> "\\$")
+      .foldLeft(coreExpr) { case (acc, (m, r)) =>
+        def q(x: String) = x.replace("'", "''")
+        s"replace($acc, '${q(m)}', '${q(r)}')"
+      }
+    val starred = s"replace($esc, '*', '.*')"
+    s"""WITH hosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 7) r(i)),
+       |rules AS (
+       |  SELECT 'h' || i || '.org' AS host, '*' AS ua, 'disallow' AS dir,
+       |    '/private' AS rule FROM hosts WHERE i <> 6
+       |  UNION ALL SELECT 'h' || i || '.org', '*', 'allow', '/private/ok'
+       |    FROM hosts WHERE i <> 6
+       |  UNION ALL SELECT 'h' || i || '.org', '*', 'disallow', '/tmp/*.json$$'
+       |    FROM hosts WHERE i <> 6
+       |  UNION ALL SELECT 'h6.org', '*', 'disallow', '/'
+       |  UNION ALL SELECT 'h' || i || '.org', 'graftbot', 'disallow', '/bot-only'
+       |    FROM hosts WHERE i % 3 = 0
+       |  UNION ALL SELECT 'h' || i || '.org', 'graftbot', 'allow', '/bot-only/ok$$'
+       |    FROM hosts WHERE i % 3 = 0),
+       |chosen AS (SELECT * FROM (SELECT host, dir, rule,
+       |    (CASE WHEN ua = '*' THEN 0 ELSE len(ua) END) AS pri,
+       |    max(CASE WHEN ua = '*' THEN 0 ELSE len(ua) END)
+       |      OVER (PARTITION BY host) AS best
+       |  FROM rules) WHERE pri = best),
+       |u AS (SELECT event_id,
+       |    'h' || (event_id % 7) || '.org' AS host,
+       |    CASE WHEN event_id % 6 = 0 THEN '/private/doc' || (event_id % 9)
+       |         WHEN event_id % 6 = 1 THEN '/private/ok/doc' || (event_id % 9)
+       |         WHEN event_id % 6 = 2 THEN '/tmp/data' || (event_id % 9) || '.json'
+       |         WHEN event_id % 6 = 3 THEN '/tmp/data' || (event_id % 9) || '.jsonx'
+       |         WHEN event_id % 6 = 4 THEN '/bot-only/page' || (event_id % 9)
+       |         ELSE '/public/page' || (event_id % 9) END AS path
+       |  FROM events),
+       |m AS (SELECT u.event_id, u.host, u.path, c.dir, c.rule
+       |  FROM u JOIN chosen c ON c.host = u.host
+       |  WHERE regexp_matches(u.path, '^' || $starred ||
+       |    (CASE WHEN ends_with(c.rule, '$$') THEN '$$' ELSE '' END))),
+       |w AS (SELECT *, row_number() OVER (PARTITION BY event_id
+       |    ORDER BY len(rule) DESC, dir ASC, rule ASC) AS rnk FROM m)
+       |SELECT u.event_id, u.host, u.path,
+       |  CAST(CASE WHEN w.dir = 'disallow' THEN 0 ELSE 1 END AS BIGINT) AS allowed,
+       |  w.rule AS matched_rule, w.dir AS matched_directive
+       |FROM u LEFT JOIN (SELECT * FROM w WHERE rnk = 1) w USING (event_id)""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7818,7 +7953,9 @@ object QueryCatalog {
     ("q254_event_paths", q254EventPaths _, Some(q254Sql)),
     ("q255_psl_etld1", q255PslEtld1 _, Some(q255Sql)),
     ("q256_warc_http", q256WarcHttp _, Some(q256Sql)),
-    ("q257_langid_ngram", q257LangIdNgram _, Some(q257Sql)))
+    ("q257_langid_ngram", q257LangIdNgram _, Some(q257Sql)),
+    ("q258_canonical_urls", q258CanonicalUrls _, Some(q258Sql)),
+    ("q259_robots_gate", q259RobotsGate _, Some(q259Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

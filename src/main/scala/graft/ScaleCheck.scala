@@ -445,6 +445,20 @@ object ScaleCheck {
         graft.operators.Warc.synthWarcResponseShards(docs, "doc_id", "text")).toDF())
     time("langid_ngram")(
       graft.operators.TextAnalysis.langIdNgram(docs))
+    time("canonical_urls")({
+      val parsed = graft.operators.Urls.urlProfile(
+        graft.operators.Urls.synthCanonUrls(docs.select(col("doc_id").as("event_id"))))
+      parsed.select(graft.operators.Urls.canonicalOf(col("scheme"), col("host"),
+          col("port"), col("path"), col("query_string")).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n"))
+    })
+    time("robots_gate")({
+      val rules = graft.operators.Robots.robotsRules(
+        graft.operators.Robots.synthRobots(spark))
+      graft.operators.Robots.robotsGate(
+        graft.operators.Robots.synthCrawlUrls(docs.select(col("doc_id").as("event_id"))),
+        rules, "graftbot/1.0")
+    })
     spark.stop()
   }
 }

@@ -228,6 +228,83 @@ object Urls {
           hostCol, portPart, pathPart, queryPart)).as("url"))
   }
 
+  /** Tracking query parameters a canonicalizer strips — the public
+    * cross-site set (UTM campaign tags, click ids, the bare `ref`). */
+  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?$"
+
+  /** Canonical URL — the normalization every crawl frontier and URL-level
+    * dedup applies BEFORE hashing, so `HTTP://Host.com:80/a//b?b=2&a=1&utm_x=9`
+    * and `http://host.com/a/b?a=1&b=2` collapse to one key:
+    *
+    *   - scheme and host lowercased; a host's trailing root-dot dropped;
+    *   - default ports stripped (http:80, https:443), others kept;
+    *   - runs of '/' in the path collapsed, an empty path becomes '/';
+    *   - query parameters: tracking params ([[TrackingParamRe]]) and
+    *     empty tokens dropped, the survivors BYTE-SORTED and rejoined
+    *     (param order never carries meaning a cache key can rely on);
+    *     an emptied query disappears entirely;
+    *   - the fragment never reaches the server and is already outside
+    *     [[UrlRe]]'s capture.
+    *
+    * Dot-segment resolution (`/a/../b`) is deliberately NOT attempted:
+    * it needs a fixpoint loop no single codegen'd expression expresses,
+    * and a frontier treats such URLs as distinct fetch keys anyway.
+    * NULL host (malformed URL) → NULL canonical — the error-visibility
+    * contract. Takes the STAGED parse columns (the [[urlProfile]]
+    * staging lesson: each is referenced more than once). */
+  def canonicalOf(scheme: Column, host: Column, port: Column,
+                  path: Column, query: Column): Column = {
+    val sch = lower(scheme)
+    val h = regexp_replace(host, "\\.$", "")
+    val defPort = (sch === "http" && port === 80L) ||
+      (sch === "https" && port === 443L)
+    val portPart = when(port.isNull || defPort, lit(""))
+      .otherwise(concat(lit(":"), port.cast("string")))
+    val p = when(path === "", lit("/"))
+      .otherwise(regexp_replace(path, "/{2,}", "/"))
+    val kept = array_sort(filter(split(coalesce(query, lit("")), "&"),
+      x => x =!= "" && !x.rlike(TrackingParamRe)))
+    val qPart = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(concat(sch, lit("://"), h, portPart, p, qPart))
+  }
+
+  /** [[canonicalOf]] over a raw url column. One-off convenience: every
+    * component re-runs the host regex here (CASE branches defeat codegen
+    * CSE — the q253 lesson), so set-oriented callers should stage the
+    * parse once via [[urlProfile]] and call [[canonicalOf]]. */
+  def canonicalUrl(url: Column): Column =
+    canonicalOf(scheme(url), host(url), port(url), path(url), query(url))
+
+  /** Canonicalization fixture: scheme/port/trailing-dot/path-run/query
+    * variation by id arithmetic — default ports to strip, a kept :8080,
+    * a root-dot host, '' vs '/a//b' vs '/x/' paths, tracking params,
+    * empty tokens, a bare '?', and out-of-order params that must
+    * byte-sort. Pure concat; the oracle rebuilds identical strings. */
+  def synthCanonUrls(events: DataFrame, idCol: String = "event_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    val hostCol = when(id % 3 === 0, lit("Example.ORG."))
+      .when(id % 3 === 1, concat(lit("site"), m(5), lit(".example.com")))
+      .otherwise(lit("example.co.uk"))
+    val schemePart = when(id % 2 === 0, lit("http://")).otherwise(lit("https://"))
+    val portPart = when(id % 4 === 0, lit(":80"))
+      .when(id % 4 === 1, lit(":443"))
+      .when(id % 4 === 2, lit(":8080"))
+      .otherwise(lit(""))
+    val pathPart = when(id % 3 === 0, lit(""))
+      .when(id % 3 === 1, concat(lit("/a//b"), m(7)))
+      .otherwise(lit("/x/"))
+    val queryPart = when(id % 5 === 0, concat(lit("?b=2&a="), m(3), lit("&utm_source=x")))
+      .when(id % 5 === 1, lit("?gclid=123"))
+      .when(id % 5 === 2, lit("?"))
+      .when(id % 5 === 3, lit("?z=1&&a=2"))
+      .otherwise(lit(""))
+    Spread.toCores(events).select(id.as("event_id"),
+      concat(schemePart, hostCol, portPart, pathPart, queryPart).as("url"))
+  }
+
   /** Host fixture exercising every publicsuffix.org rule TYPE in
     * [[TrimmedPsl]]: a bare exception host, wildcard-suffix hosts at and
     * above the suffix length (1- and 2-label wildcard parents), exception

@@ -757,6 +757,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"tf counting must partial-aggregate:\n$p")
   }
 
+  test("q258 canonicalization: per-row column math + one agg, no join") {
+    val p = plan(QueryCatalog.q258CanonicalUrls)
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_"), s"the group readout must partial-aggregate:\n$p")
+  }
+
+  test("q259 robots gate: the 7-host rule frame broadcasts; url window per-url") {
+    val p = plan(QueryCatalog.q259RobotsGate)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the tiny rule frame must broadcast:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(l =>
+        l.contains("event_id") || l.contains("host")),
+      s"windows must partition by url id or host:\n${specs.mkString("\n")}")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed

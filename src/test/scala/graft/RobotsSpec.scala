@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Robots
+
+/** robots.txt: parser taxonomy (groups, comments, case, empty values),
+  * RFC 9309 longest-match evaluation, group exclusivity, wildcard/anchor
+  * rules, and the default-allow paths. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseRobots: groups, shared UA runs, comments, case, empty values") {
+    val body =
+      """# policy
+        |User-Agent: alpha
+        |user-agent: BETA
+        |Disallow: /a  # trailing comment
+        |Allow: /a/ok
+        |
+        |User-agent: gamma
+        |Disallow:
+        |Disallow: /g
+        |Sitemap: https://x.org/s.xml
+        |broken line without colon
+        |Crawl-delay: 10
+        |""".stripMargin
+    val rules = Robots.parseRobots("x.org", body)
+    // the alpha/beta UA run shares group 0; both get both rules
+    assert(rules.count(_.group_ix == 0L) === 4)
+    assert(rules.filter(_.user_agent == "alpha").map(r => (r.directive, r.rule_path)).toSet
+      === Set(("disallow", "/a"), ("allow", "/a/ok")))
+    assert(rules.filter(_.user_agent == "beta").size === 2, "UA tokens lowercase")
+    // gamma: the EMPTY Disallow emits nothing; /g lands in group 1
+    val gamma = rules.filter(_.user_agent == "gamma")
+    assert(gamma.map(r => (r.group_ix, r.directive, r.rule_path)) === Seq((1L, "disallow", "/g")))
+    assert(Robots.parseRobots("x.org", null).isEmpty)
+    // rules before any User-agent line belong to no group: dropped
+    assert(Robots.parseRobots("x.org", "Disallow: /orphan\nUser-agent: *\nAllow: /a\n")
+      .map(_.rule_path) === Seq("/a"))
+  }
+
+  test("robotsGate: longest match, Allow tie-break, wildcard/$ rules, defaults") {
+    val rules = Robots.robotsRules(Robots.synthRobots(spark)).localCheckpoint(true)
+    def gate(ua: String, rows: (Long, String, String)*) =
+      Robots.robotsGate(rows.toSeq.toDF("event_id", "host", "path"), rules, ua)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("allowed"), Option(r.getAs[String]("matched_rule")))).toMap
+    val g = gate("somebot/2.0",
+      (1L, "h1.org", "/private/doc"),       // prefix disallow
+      (2L, "h1.org", "/private/ok/doc"),    // longer Allow carve-out wins
+      (3L, "h1.org", "/tmp/a.json"),        // wildcard+anchor disallow
+      (4L, "h1.org", "/tmp/a.jsonx"),       // anchor near-miss -> allowed
+      (5L, "h1.org", "/public/x"),          // no match -> default allow
+      (6L, "h6.org", "/anything"),          // Disallow: / blocks all
+      (7L, "nowhere.org", "/x"))            // no robots -> allowed
+    assert(g(1L) === (0L, Some("/private")))
+    assert(g(2L) === (1L, Some("/private/ok")))
+    assert(g(3L) === (0L, Some("/tmp/*.json$")))
+    assert(g(4L) === (1L, None))
+    assert(g(5L) === (1L, None))
+    assert(g(6L) === (0L, Some("/")))
+    assert(g(7L) === (1L, None))
+    // group exclusivity: graftbot's group HIDES h0's * rules entirely
+    val b = gate("graftbot/1.0",
+      (1L, "h0.org", "/private/doc"),      // * rule invisible -> allowed
+      (2L, "h0.org", "/bot-only/page"),    // bot group disallow
+      (3L, "h0.org", "/bot-only/ok"),      // anchored Allow, exact end
+      (4L, "h0.org", "/bot-only/okx"),     // anchor misses -> the Disallow wins
+      (5L, "h6.org", "/anything"))         // graftbot group hides Disallow: /
+    assert(b(1L) === (1L, None))
+    assert(b(2L) === (0L, Some("/bot-only")))
+    assert(b(3L) === (1L, Some("/bot-only/ok$")))
+    assert(b(4L) === (0L, Some("/bot-only")))
+    assert(b(5L) === (1L, None))
+  }
+}

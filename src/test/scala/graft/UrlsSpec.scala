@@ -72,6 +72,27 @@ class UrlsSpec extends SparkSpec {
     assert(e1("ck") === "ck", "bare TLD: wildcard needs a label to match")
   }
 
+  test("canonicalUrl: authority case, default ports, slash runs, param sort/strip") {
+    import org.apache.spark.sql.functions.lit
+    def canon(u: String): String =
+      spark.range(1).select(Urls.canonicalUrl(lit(u)).as("c"))
+        .collect().head.getAs[String]("c")
+    assert(canon("http://Host.COM.:80//a///b?b=2&utm_source=x&a=1") ===
+      "http://host.com/a/b?a=1&b=2")
+    assert(canon("https://h.org:443/") === "https://h.org/")
+    assert(canon("https://h.org:8080") === "https://h.org:8080/",
+      "non-default port kept; empty path becomes /")
+    assert(canon("http://h.org/p?gclid=1&fbclid=2&ref=x") === "http://h.org/p",
+      "an all-tracking query disappears entirely")
+    assert(canon("http://h.org/p?z=1&&a=2") === "http://h.org/p?a=2&z=1",
+      "empty tokens dropped, survivors byte-sorted")
+    assert(canon("http://h.org/P?") === "http://h.org/P",
+      "path case preserved; bare '?' is no query")
+    val nullRow = spark.range(1)
+      .select(Urls.canonicalUrl(lit("not a url")).as("c")).collect().head
+    assert(nullRow.isNullAt(0), "malformed URL canonicalizes to NULL")
+  }
+
   test("PslRules.parse: comments, case, blanks, rule classification") {
     val psl = Urls.PslRules.parse(Seq(
       "// comment", "", "COM", "co.uk", "*.CK", "!www.ck", "*.kawasaki.jp"))
