@@ -7691,6 +7691,49 @@ object QueryCatalog {
        |FROM u LEFT JOIN (SELECT * FROM w WHERE rnk = 1) w USING (event_id)""".stripMargin
   }
 
+  /** Paragraph-level corpus dedup (Dedup.paragraphDedup over
+    * synthParagraphDocs): the C4/CCNet unit — only the globally FIRST
+    * occurrence of each case/whitespace-normalized paragraph survives,
+    * and each doc reports (n_paras, n_kept) plus the md5 of its REBUILT
+    * text, so the oracle verifies the actual rewrite byte-for-byte:
+    * cross-doc boilerplate footers (including a case variant that must
+    * collapse), an intra-doc repeat, and unique intros/bodies. */
+  def q260ParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.paragraphDedup(
+      operators.Dedup.synthParagraphDocs(t(s, dir, "documents")))
+
+  val q260Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    'Intro for doc ' || doc_id || chr(10) || chr(10) ||
+      |    substring(text, 1, 60) || chr(10) || chr(10) ||
+      |    (CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+      |          THEN 'LICENSE FOOTER V' || (((doc_id % 3) + 3) % 3)
+      |          ELSE 'License footer v' || (((doc_id % 3) + 3) % 3) END) ||
+      |    (CASE WHEN ((doc_id % 5) + 5) % 5 = 0
+      |          THEN chr(10) || chr(10) || 'License footer v' || (((doc_id % 3) + 3) % 3)
+      |          ELSE '' END) ||
+      |    (CASE WHEN len(text) > 60
+      |          THEN chr(10) || chr(10) || substring(text, 61, 60)
+      |          ELSE '' END) AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |px AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i, parts
+      |  FROM (SELECT doc_id, string_split_regex(t, '\n{2,}') AS parts FROM d)),
+      |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_ix,
+      |    trim(parts[CAST(i AS INT)]) AS p FROM px),
+      |pf AS (SELECT doc_id, para_ix, p,
+      |    md5(regexp_replace(lower(p), '\s+', ' ', 'g')) AS fp
+      |  FROM p WHERE p <> ''),
+      |k AS (SELECT *, row_number() OVER (PARTITION BY fp
+      |    ORDER BY doc_id, para_ix) AS rk FROM pf),
+      |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+      |    CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM k GROUP BY 1),
+      |rb AS (SELECT doc_id,
+      |    md5(string_agg(p, chr(10) || chr(10) ORDER BY para_ix)) AS kept_md5
+      |  FROM k WHERE rk = 1 GROUP BY 1)
+      |SELECT st.doc_id, st.n_paras, st.n_kept, rb.kept_md5
+      |FROM st LEFT JOIN rb USING (doc_id)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -7955,7 +7998,8 @@ object QueryCatalog {
     ("q256_warc_http", q256WarcHttp _, Some(q256Sql)),
     ("q257_langid_ngram", q257LangIdNgram _, Some(q257Sql)),
     ("q258_canonical_urls", q258CanonicalUrls _, Some(q258Sql)),
-    ("q259_robots_gate", q259RobotsGate _, Some(q259Sql)))
+    ("q259_robots_gate", q259RobotsGate _, Some(q259Sql)),
+    ("q260_paragraph_dedup", q260ParagraphDedup _, Some(q260Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -452,6 +452,9 @@ object ScaleCheck {
           col("port"), col("path"), col("query_string")).as("c"))
         .groupBy(col("c")).agg(count(lit(1)).as("n"))
     })
+    time("paragraph_dedup")(
+      graft.operators.Dedup.paragraphDedup(
+        graft.operators.Dedup.synthParagraphDocs(docs)))
     time("robots_gate")({
       val rules = graft.operators.Robots.robotsRules(
         graft.operators.Robots.synthRobots(spark))

@@ -583,6 +583,75 @@ object Dedup {
       .withColumn("retained", col("n_shingles") - col("n_boiler"))
   }
 
+  /** Paragraph-level exact dedup — the C4/CCNet production unit: the
+    * corpus keeps only the globally FIRST occurrence (by (doc_id,
+    * paragraph index)) of each normalized paragraph, and every document
+    * reports its paragraph counts plus the md5 of its REBUILT text (kept
+    * paragraphs rejoined in order) — the actual rewrite a training
+    * pipeline applies, not just a rate. Fingerprints normalize case and
+    * whitespace (the [[graft.operators.TextAnalysis.fingerprint]] rule),
+    * but the rebuilt text keeps each surviving paragraph's ORIGINAL
+    * bytes. Documents whose every paragraph is a duplicate rebuild to
+    * NULL (nothing retained — visible, not an empty-string lookalike).
+    *
+    * Scale: one posexplode (map-only), ONE shuffle on the paragraph
+    * fingerprint for the first-occurrence window, one per-doc
+    * aggregation; the reassembly array is bounded by paragraphs-per-doc.
+    * Returns (doc_id, n_paras, n_kept, kept_md5). */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     sepRegex: String = "\\n{2,}"): DataFrame = {
+    val paras = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("para_ix", "_p0")))
+      .select(col("doc_id"), col("para_ix").cast("long").as("para_ix"),
+        trim(col("_p0")).as("_p"))
+      .filter(col("_p") =!= "")
+      .withColumn("_fp", md5(regexp_replace(lower(col("_p")), "\\s+", " ")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col("doc_id").asc, col("para_ix").asc)
+    // materialized once: read by the stats aggregate AND the reassembly
+    val marked = materialize(paras
+      .withColumn("kept", when(row_number().over(w) === 1, 1L).otherwise(0L)))
+    val stats = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"), sum(col("kept")).as("n_kept"))
+    val rebuilt = marked.filter(col("kept") === 1L)
+      .groupBy(col("doc_id"))
+      .agg(md5(array_join(
+        transform(sort_array(collect_list(struct(col("para_ix"), col("_p")))),
+          x => x.getField("_p")),
+        "\n\n")).as("kept_md5"))
+    stats.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_md5"))
+  }
+
+  /** Paragraph-structured fixture over the flat corpus: a unique intro, a
+    * body slice, a LICENSE footer shared across every third doc (the
+    * cross-doc boilerplate paragraphDedup exists for; UPPERCASE on every
+    * 7th doc so the case-normalized fingerprint still collapses it), an
+    * intra-doc repeated footer on every 5th doc, and a second body slice
+    * for long texts — all '\n\n'-separated, pure concat the oracle
+    * rebuilds. */
+  def synthParagraphDocs(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val txt = col(textCol)
+    Spread.toCores(docs).filter(txt.isNotNull).select(id.as("doc_id"),
+      concat(
+        lit("Intro for doc "), id.cast("string"),
+        lit("\n\n"), substring(txt, 1, 60),
+        lit("\n\n"),
+        when(id % 7 === 0, concat(lit("LICENSE FOOTER V"), (id % 3).cast("string")))
+          .otherwise(concat(lit("License footer v"), (id % 3).cast("string"))),
+        when(id % 5 === 0,
+          concat(lit("\n\nLicense footer v"), (id % 3).cast("string")))
+          .otherwise(lit("")),
+        when(length(txt) > 60, concat(lit("\n\n"), substring(txt, 61, 60)))
+          .otherwise(lit(""))
+      ).as("text"))
+  }
+
   /** Exact-substring duplicate spans (the span-extraction step of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): an n-token window whose content occurs at least

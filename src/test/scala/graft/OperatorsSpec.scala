@@ -486,6 +486,33 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row5.getDouble(3) - (-3.349084)) < 1e-6)
   }
 
+  test("paragraphDedup: global first-occurrence keep, case-folded fingerprints, rebuild md5") {
+    val docs = Seq(
+      (1L, "alpha one\n\nSHARED FOOTER\n\nbody a"),
+      (2L, "beta two\n\nshared footer\n\nbody b"),   // case variant collapses
+      (3L, "gamma\n\ngamma"),                        // intra-doc repeat
+      (4L, "  \n\nonly\n\n\n\nend")                  // blank para dropped; \n{2,} runs = one separator
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getAs[String]("kept_md5")))).toMap
+    assert(out(1L)._1 === 3 && out(1L)._2 === 3, "doc 1 keeps everything (first)")
+    assert(out(2L)._1 === 3 && out(2L)._2 === 2,
+      "doc 2 loses the footer to doc 1 despite the case difference")
+    assert(out(3L)._1 === 2 && out(3L)._2 === 1,
+      "intra-doc repeat: second occurrence dropped")
+    assert(out(4L)._1 === 2 && out(4L)._2 === 2, "blank paragraph dropped")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L)._3 === Some(md5("beta two\n\nbody b")),
+      "rebuilt text = surviving ORIGINAL paragraphs rejoined")
+    assert(out(1L)._3 === Some(md5("alpha one\n\nSHARED FOOTER\n\nbody a")))
+    // a doc that is ENTIRELY duplicates rebuilds to NULL
+    val all = docs.union(Seq((5L, "SHARED footer")).toDF("doc_id", "text"))
+    val r5 = Dedup.paragraphDedup(all).filter(col("doc_id") === 5L).head()
+    assert(r5.getLong(2) === 0L && r5.isNullAt(3))
+  }
+
   test("langIdNgram: char-trigram profiles separate scripts the heuristic can't") {
     // distinct character shapes per language; doc 5 carries German
     // trigrams under an 'en' tag — the mislabel the trained profile flags

@@ -774,6 +774,28 @@ class PlanSpec extends SparkSpec {
       s"windows must partition by url id or host:\n${specs.mkString("\n")}")
   }
 
+  test("q260 paragraph dedup: fingerprint-partitioned window, no cartesian") {
+    val p = plan(QueryCatalog.q260ParagraphDedup)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair blow-up:\n$p")
+    // the first-occurrence window lives BEHIND the materialize boundary
+    // (localCheckpoint truncates the visible plan), so assert it on the
+    // un-materialized core: same paras frame, same window
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val paras = graft.operators.Dedup.synthParagraphDocs(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\n{2,}")).as(Seq("para_ix", "_p")))
+      .withColumn("_fp", md5(lower(col("_p"))))
+    val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"), col("para_ix"))
+    val core = paras.withColumn("_rk", row_number().over(w))
+      .queryExecution.executedPlan.toString
+    val specs = core.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_fp")),
+      s"the first-occurrence window must partition by fingerprint:\n${specs.mkString("\n")}")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
