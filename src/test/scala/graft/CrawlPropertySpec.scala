@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Robots, Urls}
+
+/** Property tests for the round-14 crawl operators: the codegen'd column
+  * math is checked against INDEPENDENT plain-Scala reference
+  * implementations on randomized inputs — the equivalence style that
+  * caught the Feistel seed collision and the Adam7 grid offsets. */
+class CrawlPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference publicsuffix.org walk, coded straight from the spec text
+    * (no column math shared with the implementation under test). */
+  private def refEtld1(host: String, psl: Urls.PslRules): String = {
+    if (host == null) return null
+    if (host.matches("^[0-9.]+$")) return host
+    val labels = host.split("\\.", -1).toSeq
+    val n = labels.length
+    def lastK(k: Int) = labels.takeRight(k).mkString(".")
+    // exception rules first (longest wins among them)
+    val exc = psl.exceptionsByLen.toSeq.sortBy(-_._1).collectFirst {
+      case (e, rules) if n >= e && rules.contains(lastK(e)) => e - 1
+    }
+    val suffixLen = exc.getOrElse {
+      // longest plain/wildcard match, default '*' = 1
+      (psl.maxRuleLen to 1 by -1).collectFirst {
+        case k if n >= k &&
+          (psl.plainByLen.getOrElse(k, Nil).contains(lastK(k)) ||
+            (k >= 2 && psl.wildcardParentsByLen.getOrElse(k - 1, Nil)
+              .contains(lastK(k - 1)))) => k
+      }.getOrElse(1)
+    }
+    if (n <= suffixLen) host else lastK(suffixLen + 1)
+  }
+
+  test("etld1OfPsl == the spec-text reference on randomized hosts") {
+    val rnd = new scala.util.Random(421)
+    val atoms = Seq("a", "bb", "www", "city", "shop", "kawasaki", "ck", "np",
+      "jp", "uk", "co", "com", "org", "example", "x0", "sendai", "yokohama")
+    val hosts = Seq.tabulate(600) { _ =>
+      val n = 1 + rnd.nextInt(5)
+      Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString(".")
+    } ++ Seq("10.0.0.7", "ck", "www.ck", "city.kawasaki.jp", "a.b.c.d.e.co.uk")
+    val got = hosts.toDF("host")
+      .select(col("host"), Urls.etld1Of(col("host")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.distinct.foreach { h =>
+      assert(got(h) === refEtld1(h, Urls.TrimmedPsl), s"etld1($h)")
+    }
+  }
+
+  /** Reference robots rule matcher: translate per RFC (escape, * -> any
+    * run, trailing $ anchors) using Java's own quoting — a DIFFERENT
+    * escape mechanism than the replace chain under test. */
+  private def refMatches(path: String, rule: String): Boolean = {
+    val anchored = rule.endsWith("$")
+    val core = if (anchored) rule.dropRight(1) else rule
+    // ^Q(part)E.*Q(part)E...(+$) — prefix-anchored like the chain, but
+    // quoting via \Q..\E, a different escape mechanism than replace()
+    val full = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      .mkString(".*")
+    val rx = ("^" + full + (if (anchored) "$" else "")).r
+    rx.findFirstIn(path).isDefined
+  }
+
+  test("robots rule matching == Pattern.quote reference on randomized paths/rules") {
+    val rnd = new scala.util.Random(1009)
+    val segs = Seq("a", "bb", "data", "x.json", "ok", "tmp", "p+q", "(v)", "b[1]")
+    def randPath() = "/" + Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.length))).mkString("/")
+    val rules = Seq("/a", "/a/*", "/tmp/*.json$", "/data", "/p+q", "/(v)", "/b[1]",
+      "/*ok$", "/", "/a*b")
+    val paths = Seq.fill(300)(randPath())
+    val df = paths.zipWithIndex.map { case (p, i) => (i.toLong, "h.org", p) }
+      .toDF("event_id", "host", "path")
+    val ruleRows = rules.map(r => Robots.RobotsRule("h.org", 0L, "*", "disallow", r))
+      .toDF()
+    // run every (path, rule) pair through the gate machinery one rule at
+    // a time so each decision is the raw matcher, not the tie-break
+    rules.foreach { r =>
+      val one = ruleRows.filter(col("rule_path") === r)
+      val got = Robots.robotsGate(df, one, "anybot")
+        .collect().map(x => x.getAs[Long]("event_id") ->
+          (x.getAs[Long]("allowed") == 0L)).toMap
+      paths.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i.toLong) === refMatches(p, r),
+          s"path=$p rule=$r (blocked means matched)")
+      }
+    }
+  }
+}
