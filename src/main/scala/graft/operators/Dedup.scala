@@ -601,19 +601,34 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      sepRegex: String = "\\n{2,}"): DataFrame = {
-    val paras = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), sepRegex)).as(Seq("para_ix", "_p0")))
-      .select(col("doc_id"), col("para_ix").cast("long").as("para_ix"),
-        trim(col("_p0")).as("_p"))
-      .filter(col("_p") =!= "")
-      .withColumn("_fp", md5(regexp_replace(lower(col("_p")), "\\s+", " ")))
+    val paras = paragraphRows(docs, idCol, textCol, sepRegex)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_fp"))
       .orderBy(col("doc_id").asc, col("para_ix").asc)
     // materialized once: read by the stats aggregate AND the reassembly
     val marked = materialize(paras
       .withColumn("kept", when(row_number().over(w) === 1, 1L).otherwise(0L)))
+    paragraphStats(marked)
+  }
+
+  /** The shared paragraph explode: (doc_id, para_ix, _p trimmed original,
+    * _fp normalized fingerprint) — one row per non-empty paragraph. Both
+    * the batch operator and [[graft.streaming.StreamingParagraphDedup]]
+    * derive from this frame, so split/normalize semantics cannot drift. */
+  private[graft] def paragraphRows(docs: DataFrame, idCol: String,
+                                   textCol: String, sepRegex: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("para_ix", "_p0")))
+      .select(col("doc_id"), col("para_ix").cast("long").as("para_ix"),
+        trim(col("_p0")).as("_p"))
+      .filter(col("_p") =!= "")
+      .withColumn("_fp", md5(regexp_replace(lower(col("_p")), "\\s+", " ")))
+
+  /** The kept-paragraph rebuild used by both the batch readout and the
+    * streaming verdicts: per doc, md5 of surviving ORIGINAL paragraphs
+    * rejoined in order. */
+  private[graft] def paragraphStats(marked: DataFrame): DataFrame = {
     val stats = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"), sum(col("kept")).as("n_kept"))
     val rebuilt = marked.filter(col("kept") === 1L)
