@@ -450,7 +450,10 @@ object TextAnalysis {
     */
   def naiveBayesClassify(docs: DataFrame, labelCol: String = "source",
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    nbClassifyOver(docs.select(col(idCol).as("doc_id"),
+    // Spread: the tokenize+explode is the CPU-heavy leg and inherits the
+    // input's partitioning — a single-row-group corpus file would pin it
+    // to one core (the codec-leg lesson, same shape)
+    nbClassifyOver(Spread.toCores(docs).select(col(idCol).as("doc_id"),
       col(labelCol).as("actual"), tokens(col(textCol)).as("_toks")))
 
   /** Deterministic char-trigram language classifier — the fastText-lite
@@ -473,16 +476,31 @@ object TextAnalysis {
     * column (the q200 HOF lesson: a lambda over an unstaged expression
     * re-runs it per element). */
   def langIdNgram(docs: DataFrame, labelCol: String = "lang",
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    nbClassifyOver(docs
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // NO trigram array is ever built: dl is pure length arithmetic and
+    // the token stream is explode(position sequence) + substring — whole
+    // plan stays in codegen, where a transform() HOF building a
+    // per-char array would run interpreted (measured ~2× slower at
+    // sf0.1 and 3× the text in array bytes through the checkpoint).
+    // norm is re-derived in both legs (one regexp per doc per leg) —
+    // cheaper than materializing arrays to make it single-pass.
+    val base = Spread.toCores(docs) // explode leg: never pin to 1 core
       .select(col(idCol).as("doc_id"), col(labelCol).as("actual"),
         regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("_norm"))
+    val docsF = base.select(col("doc_id"), col("actual"),
+      when(col("_norm").isNull, lit(null).cast("long"))
+        .when(length(col("_norm")) >= 3, (length(col("_norm")) - 2).cast("long"))
+        .otherwise(lit(0L)).as("dl"))
+    val tf = base.filter(length(col("_norm")) >= 3)
       .select(col("doc_id"), col("actual"),
-        when(col("_norm").isNull, lit(null).cast("array<string>"))
-          .when(length(col("_norm")) >= 3,
-            transform(sequence(lit(1), length(col("_norm")) - 2),
-              i => col("_norm").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>")).as("_toks")))
+        (length(col("_norm")) - 2).cast("long").as("dl"), col("_norm"),
+        explode(sequence(lit(1), length(col("_norm")) - 2)).as("_i"))
+      .select(col("doc_id"), col("actual"), col("dl"),
+        col("_norm").substr(col("_i"), lit(3)).as("term"))
+      .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    nbClassifyFrom(docsF, tf)
+  }
 
   /** The shared NB trainer/scorer over a prepared (doc_id, actual,
     * _toks) frame — [[naiveBayesClassify]] and [[langIdNgram]] differ
@@ -496,12 +514,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("actual"), col("_toks"),
         size(col("_toks")).cast("long").as("dl"))
       .localCheckpoint(true)
-    val tf = base.select(col("doc_id"), col("actual"), col("dl"),
-        explode(col("_toks")).as("term"))
-      .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // consumed by training AND scoring
-    val docsF = base.select(col("doc_id"), col("actual"), col("dl"))
+    nbClassifyFrom(
+      base.select(col("doc_id"), col("actual"), col("dl")),
+      base.select(col("doc_id"), col("actual"), col("dl"),
+          explode(col("_toks")).as("term"))
+        .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+  }
+
+  /** The NB trainer/scorer over prepared frames: `docsF` = one row per
+    * doc (doc_id, actual, dl), `tf` = per-doc term counts (doc_id,
+    * actual, dl, term, tf). Token production is the caller's — the array
+    * path ([[nbClassifyOver]]) and [[langIdNgram]]'s codegen'd
+    * explode-substring path both land here. */
+  private def nbClassifyFrom(docsFIn: DataFrame, tfIn: DataFrame): DataFrame = {
+    val tf = tfIn.localCheckpoint(true) // consumed by training AND scoring
+    val docsF = docsFIn
     val cst = tf.groupBy(col("actual").as("cand"), col("term"))
       .agg(sum(col("tf")).as("cst"))
     val cs = cst.groupBy(col("cand")).agg(sum(col("cst")).as("cs"))
