@@ -111,7 +111,10 @@ object Dedup {
     */
   def shinglePairs(docs: DataFrame, n: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // Spread: the tokenize+assemble Generate is the CPU-heavy stage of
+    // every LSH-family consumer and inherits the scan's partitioning — a
+    // single-row-group corpus file would pin it to one core
+    Spread.toCores(docs).select(col(idCol).as("doc_id"),
         graft.functions.NGramsGenerator.ngrams(col(textCol), n))
       .distinct()
 
@@ -300,7 +303,8 @@ object Dedup {
     * lambda evaluation is interpreted while the explode path is
     * codegen'd.) */
   private def simhashVotes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val toks = Spread.toCores(docs) // explode leg: never pin to 1 core
+      .select(col(idCol).as("doc_id"),
         posexplode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
           .as(Seq("_pos", "tok")))
       .withColumn("h", md5(col("tok")))
@@ -694,7 +698,7 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, n: Int, minCount: Long = 2L,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = materialize(docs
+    val grams = materialize(Spread.toCores(docs) // Generate leg: spread
       .select(col(idCol).as("doc_id"),
         graft.functions.NGramsGenerator.posNgrams(col(textCol), n))
       .select(col("doc_id"), col("pos").cast("long").as("_pos"),

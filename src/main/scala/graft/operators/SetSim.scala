@@ -59,7 +59,7 @@ object SetSim {
     // on doc_id just to reassemble adjacent words (the exact shape
     // NGramsGenerator's scaladoc names as what it replaces). Same
     // normalization, byte-identical shingles, zero shuffles here.
-    val toks = df
+    val toks = Spread.toCores(df) // shingle Generate: never pin to 1 core
       .filter(!Packing.isBlank(col(textCol)))
       .select(col(idCol).as("_id"),
         graft.functions.NGramsGenerator.ngrams(col(textCol), shingleLen))
