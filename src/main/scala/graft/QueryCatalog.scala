@@ -7185,7 +7185,7 @@ object QueryCatalog {
     operators.Urls.urlProfile(operators.Urls.synthUrls(t(s, dir, "events")))
 
   val q249Sql: String = {
-    val re = """^([a-z][a-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
+    val re = """^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
     val psl = operators.Urls.PublicSuffixes2.map(sx => s"'$sx'").mkString(", ")
     s"""WITH u AS (SELECT event_id,
        |    CASE WHEN event_id % 97 = 0 THEN 'not a url ' || event_id
@@ -7204,7 +7204,7 @@ object QueryCatalog {
        |            WHEN event_id % 5 = 1 THEN '?' ELSE '' END)
        |    END AS url FROM events),
        |p AS (SELECT event_id, url,
-       |    nullif(regexp_extract(url, '$re', 1), '') AS scheme,
+       |    lower(nullif(regexp_extract(url, '$re', 1), '')) AS scheme,
        |    lower(nullif(regexp_extract(url, '$re', 2), '')) AS host,
        |    TRY_CAST(nullif(regexp_replace(regexp_extract(url, '$re', 3), '^:', ''), '') AS BIGINT) AS port,
        |    regexp_extract(url, '$re', 4) AS path,
@@ -7567,6 +7567,11 @@ object QueryCatalog {
   def q258CanonicalUrls(s: SparkSession, dir: String): DataFrame = {
     val parsed = operators.Urls.urlProfile(
         operators.Urls.synthCanonUrls(t(s, dir, "events")))
+      // prune BEFORE the checkpoint: urlProfile's derived columns (the
+      // etld1 PSL walk especially) are never read here and would be
+      // eagerly computed + stored per row
+      .select(col("url"), col("scheme"), col("host"), col("port"),
+        col("path"), col("query_string"))
       .localCheckpoint(true) // canonicalOf references each component 2-3x
     parsed.select(col("url"),
         operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
@@ -7576,7 +7581,7 @@ object QueryCatalog {
   }
 
   val q258Sql: String = {
-    val re = """^([a-z][a-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
+    val re = """^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
     val track = operators.Urls.TrackingParamRe
     s"""WITH u AS (SELECT event_id,
        |    (CASE WHEN event_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||

@@ -46,13 +46,29 @@ object Robots {
   /** Parse ONE robots.txt body into typed rules. Total: unparseable
     * lines are skipped (the RFC's "ignore what you don't understand"),
     * never thrown on. Rules before any User-agent line are ignored (they
-    * belong to no group, per the RFC). */
+    * belong to no group, per the RFC). Ignorable lines (Sitemap,
+    * Crawl-delay, unknown fields, comments, blanks) do NOT end a
+    * User-agent run — per RFC 9309 they must be skipped entirely, so
+    * `User-agent: a / Sitemap: … / User-agent: b / Disallow: /x` keeps
+    * a and b in ONE group.
+    *
+    * Every declared (group, ua) also emits a zero-length SENTINEL row
+    * (directive `allow`, rule_path "") so an EMPTY group still EXISTS:
+    * the common whitelist idiom `User-agent: bot / Disallow:` followed
+    * by `User-agent: * / Disallow: /` must let the named group shadow
+    * `*` even though it carries no rules — without the sentinel, group
+    * selection falls through to `*` and blocks the whitelisted bot.
+    * [[robotsGate]] uses sentinels for group CHOICE only, never for
+    * matching. */
   def parseRobots(host: String, body: String): Seq[RobotsRule] = {
     if (body == null) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
     var groupIx = -1L
     var uas = List.empty[String]
     var inUaRun = false // true while consuming consecutive User-agent lines
+    def declareGroup(): Unit =
+      if (uas.nonEmpty)
+        uas.reverse.foreach(ua => out += RobotsRule(host, groupIx, ua, "allow", ""))
     body.split("\r?\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
@@ -61,16 +77,17 @@ object Robots {
         val value = line.substring(c + 1).trim
         field match {
           case "user-agent" if value.nonEmpty =>
-            if (!inUaRun) { groupIx += 1; uas = Nil; inUaRun = true }
+            if (!inUaRun) { declareGroup(); groupIx += 1; uas = Nil; inUaRun = true }
             uas = value.toLowerCase :: uas
           case "allow" | "disallow" =>
             inUaRun = false
             if (value.nonEmpty && uas.nonEmpty)
               uas.reverse.foreach(ua => out += RobotsRule(host, groupIx, ua, field, value))
-          case _ => inUaRun = false // sitemap, crawl-delay, unknown: ignored
+          case _ => () // sitemap, crawl-delay, unknown: IGNORED, run intact
         }
       }
     }
+    declareGroup()
     out.toSeq
   }
 
@@ -126,6 +143,10 @@ object Robots {
     val chosen = cand
       .withColumn("_best", max(col("_ua_pri")).over(wHost))
       .filter(col("_ua_pri") === col("_best"))
+      // sentinels (rule_path "") exist so empty groups can WIN the group
+      // choice above; they never participate in matching — an empty group
+      // then yields no matching rule = default allow, the RFC verdict
+      .filter(col("rule_path") =!= "")
       .select(col("host").as("_rh"), col("directive"), col("rule_path"))
     val u = urls.select(col(idCol), col(hostCol).as("host"), col(pathCol).as("path"))
     val joined = u.join(chosen, col("host") === col("_rh"), "left")

@@ -529,7 +529,10 @@ object TextAnalysis {
     * explode-substring path both land here. */
   private def nbClassifyFrom(docsFIn: DataFrame, tfIn: DataFrame): DataFrame = {
     val tf = tfIn.localCheckpoint(true) // consumed by training AND scoring
-    val docsF = docsFIn
+    // docsF is read FOUR times (class priors, corpus total, the labels
+    // collect, the scoring join) — tiny (3 columns, one row per doc), so
+    // materializing beats four corpus re-scans of the caller's tokenizer
+    val docsF = docsFIn.localCheckpoint(true)
     val cst = tf.groupBy(col("actual").as("cand"), col("term"))
       .agg(sum(col("tf")).as("cst"))
     val cs = cst.groupBy(col("cand")).agg(sum(col("cst")).as("cs"))

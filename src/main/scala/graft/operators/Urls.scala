@@ -34,8 +34,11 @@ import org.apache.spark.sql.functions._
   * pair with [[Skew.saltedAgg]] when one domain is half the crawl. */
 object Urls {
 
-  /** scheme://host[:port][/path][?query] — capture groups 1-5. */
-  val UrlRe = "^([a-z][a-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?"
+  /** scheme://host[:port][/path][?query] — capture groups 1-5. The
+    * scheme letters are case-insensitive per RFC 3986 §3.1 ('HTTP://' is
+    * the same scheme as 'http://'); [[scheme]] lowercases the capture,
+    * so consumers always see the canonical form. */
+  val UrlRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?"
 
   /** Two-label public suffixes (mini-PSL; see the header note). */
   val PublicSuffixes2: Seq[String] = Seq(
@@ -101,7 +104,8 @@ object Urls {
     "*.sendai.jp", "!city.sendai.jp",
     "*.yokohama.jp", "!city.yokohama.jp"))
 
-  def scheme(url: Column): Column = nullif(regexp_extract(url, UrlRe, 1), lit(""))
+  def scheme(url: Column): Column =
+    lower(nullif(regexp_extract(url, UrlRe, 1), lit("")))
 
   /** Host, lowercased (URL authority is case-insensitive; paths are not). */
   def host(url: Column): Column = lower(nullif(regexp_extract(url, UrlRe, 2), lit("")))

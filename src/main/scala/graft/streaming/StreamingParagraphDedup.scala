@@ -66,14 +66,21 @@ object StreamingParagraphDedup {
                 import sq.implicits._
                 Seq.empty[(String, Long, Long)].toDF("fp", "_own_doc", "_own_ix")
               }
-            // kept = batch-first occurrence AND (fp unseen OR owned by
-            // this very row — the replay-stability clause)
+            // kept = owned BY THIS ROW (replay stability: the registered
+            // owner keeps its paragraph regardless of its rank inside a
+            // replayed/coalesced batch — rank-1 might be a LATER doc that
+            // correctly lost the original race), OR the batch-first
+            // occurrence of an UNSEEN fingerprint. Ownership is
+            // (doc_id, para_ix)-exact: a REVISED doc whose paragraph
+            // moved to a new index re-scores as a duplicate — the
+            // append-only-registry contract (header), same as the
+            // incremental near-dup index.
             val marked = ranked
               .join(reg, ranked("_fp") === reg("fp"), "left")
-              .withColumn("kept", when(col("_rk") === 1 &&
-                  (col("fp").isNull ||
-                    (col("_own_doc") === col("doc_id") &&
-                      col("_own_ix") === col("para_ix"))), 1L)
+              .withColumn("kept", when(
+                  (col("_own_doc") === col("doc_id") &&
+                    col("_own_ix") === col("para_ix")) ||
+                  (col("_rk") === 1 && col("fp").isNull), 1L)
                 .otherwise(0L))
               .localCheckpoint(true) // read by the registry merge + stats
             // registry: new owners only; a replay re-merges itself (no-op)

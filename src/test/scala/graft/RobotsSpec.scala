@@ -24,7 +24,13 @@ class RobotsSpec extends SparkSpec {
         |broken line without colon
         |Crawl-delay: 10
         |""".stripMargin
-    val rules = Robots.parseRobots("x.org", body)
+    val all = Robots.parseRobots("x.org", body)
+    val sentinels = all.filter(_.rule_path == "")
+    val rules = all.filterNot(_.rule_path == "")
+    // every declared (group, ua) has exactly one zero-length sentinel
+    assert(sentinels.map(r => (r.group_ix, r.user_agent)).sorted ===
+      Seq((0L, "alpha"), (0L, "beta"), (1L, "gamma")))
+    assert(sentinels.forall(_.directive == "allow"))
     // the alpha/beta UA run shares group 0; both get both rules
     assert(rules.count(_.group_ix == 0L) === 4)
     assert(rules.filter(_.user_agent == "alpha").map(r => (r.directive, r.rule_path)).toSet
@@ -36,7 +42,33 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parseRobots("x.org", null).isEmpty)
     // rules before any User-agent line belong to no group: dropped
     assert(Robots.parseRobots("x.org", "Disallow: /orphan\nUser-agent: *\nAllow: /a\n")
-      .map(_.rule_path) === Seq("/a"))
+      .filterNot(_.rule_path == "").map(_.rule_path) === Seq("/a"))
+  }
+
+  test("ignorable lines do NOT end a User-agent run (RFC 9309)") {
+    val rules = Robots.parseRobots("x.org",
+      "User-agent: a\nSitemap: https://x.org/s.xml\nUser-agent: b\nDisallow: /x\n")
+      .filterNot(_.rule_path == "")
+    // a and b share ONE group; /x applies to both
+    assert(rules.map(r => (r.group_ix, r.user_agent, r.rule_path)).toSet ===
+      Set((0L, "a", "/x"), (0L, "b", "/x")))
+  }
+
+  test("an EMPTY named group still shadows * (the whitelist idiom)") {
+    val rules = Robots.robotsRules(Seq(("w.org",
+      "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"))
+      .toDF("host", "body")).localCheckpoint(true)
+    val verdicts = Robots.robotsGate(
+      Seq((1L, "w.org", "/anything"), (2L, "w.org", "/")).toDF("event_id", "host", "path"),
+      rules, "graftbot/1.0").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("allowed")).toMap
+    assert(verdicts === Map(1L -> 1L, 2L -> 1L),
+      "the whitelisted bot's empty group must hide Disallow: /")
+    // any other crawler still hits the * group
+    val other = Robots.robotsGate(
+      Seq((1L, "w.org", "/anything")).toDF("event_id", "host", "path"),
+      rules, "otherbot").collect().head
+    assert(other.getAs[Long]("allowed") === 0L)
   }
 
   test("robotsGate: longest match, Allow tie-break, wildcard/$ rules, defaults") {

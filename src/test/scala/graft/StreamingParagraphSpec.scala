@@ -65,5 +65,39 @@ class StreamingParagraphSpec extends SparkSpec {
     assert(verdictMap(store) === streamed, "replayed docs re-derive identical verdicts")
     assert(store.read("para_registry").count() ===
       batch.values.map(_._2).sum, "replay mints no new registry rows")
+
+    // COALESCED replay: all docs in ONE batch — the registered owner of a
+    // shared fingerprint may now rank BEHIND an earlier-id doc inside the
+    // batch (doc 2's footer row ranks before doc 5's 'SHARED footer'),
+    // and ownership, not batch rank, must decide
+    val in3 = MemoryStream[(Long, String)]
+    in3.addData(docsAll: _*)
+    drain(in3, store, Files.createTempDirectory("graft-para-ckpt3").toString)
+    assert(verdictMap(store) === streamed,
+      "a coalesced full replay must not flip any verdict")
+    assert(store.read("para_registry").count() ===
+      batch.values.map(_._2).sum, "coalesced replay mints no new registry rows")
+  }
+
+  test("ownership beats batch rank: an owner arriving late in a coalesced replay keeps its paragraph") {
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-para-oo").toString, nBuckets = 4)
+    // doc 9 arrives FIRST and owns the shared paragraph
+    val in = MemoryStream[(Long, String)]
+    in.addData((9L, "unique nine\n\ncommon block"))
+    drain(in, store, Files.createTempDirectory("graft-para-oo-c1").toString)
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((2L, "unique two\n\ncommon block"))
+    drain(in2, store, Files.createTempDirectory("graft-para-oo-c2").toString)
+    val before = verdictMap(store)
+    assert(before(9L)._2 === 2L && before(2L)._2 === 1L,
+      "first arrival owns; the later lower-id doc loses the shared block")
+    // coalesced replay of BOTH docs: doc 2's row ranks FIRST (lower id)
+    // inside the batch, but doc 9 is the registered owner and must win
+    val in3 = MemoryStream[(Long, String)]
+    in3.addData((9L, "unique nine\n\ncommon block"), (2L, "unique two\n\ncommon block"))
+    drain(in3, store, Files.createTempDirectory("graft-para-oo-c3").toString)
+    assert(verdictMap(store) === before,
+      "replay must preserve the first-ARRIVAL owner, not re-race by doc id")
   }
 }

@@ -79,6 +79,10 @@ class UrlsSpec extends SparkSpec {
         .collect().head.getAs[String]("c")
     assert(canon("http://Host.COM.:80//a///b?b=2&utm_source=x&a=1") ===
       "http://host.com/a/b?a=1&b=2")
+    assert(canon("HTTP://Host.com:80/a//b?b=2&a=1&utm_x=9") ===
+      "http://host.com/a/b?a=1&b=2",
+      "scheme letters are case-insensitive per RFC 3986 — the uppercase " +
+        "spelling must collapse to the same canonical key")
     assert(canon("https://h.org:443/") === "https://h.org/")
     assert(canon("https://h.org:8080") === "https://h.org:8080/",
       "non-default port kept; empty path becomes /")
