@@ -7739,6 +7739,136 @@ object QueryCatalog {
       |SELECT st.doc_id, st.n_paras, st.n_kept, rb.kept_md5
       |FROM st LEFT JOIN rb USING (doc_id)""".stripMargin
 
+  /** Shared DuckDB replay of the fixture link-edge derivation (q261 body,
+    * reused verbatim inside q262's degree oracle): rebuild the
+    * synthLinkedDocs pages, extract + entity-decode hrefs with the exact
+    * HrefRe, classify destination hosts (protocol-relative / root-relative
+    * / absolute http(s) / dropped), and key both ends by the mini-PSL
+    * registrable domain (the fixture's hosts use plain 2-label rules
+    * only, where etld1Of and the mini-PSL walk agree by construction). */
+  private def etld1SqlOf(h: String): String =
+    s"""CASE WHEN $h IS NULL THEN NULL
+       |    WHEN regexp_matches($h, '^[0-9.]+${"$"}') THEN $h
+       |    WHEN len(string_split($h, '.')) <= 1 THEN $h
+       |    WHEN (string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1])
+       |         IN (${operators.Urls.PublicSuffixes2.map(x => s"'$x'").mkString(", ")})
+       |      THEN CASE WHEN len(string_split($h, '.')) >= 3
+       |           THEN string_split($h, '.')[-3] || '.' || string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+       |           ELSE $h END
+       |    ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] END""".stripMargin
+
+  private val linkEdgesSql: String = {
+    val hrefRe = operators.Html.HrefRe
+    val urlRe = operators.Urls.UrlRe
+    s"""WITH h AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'news.dom' || (doc_id % 13) || '.co.uk'
+       |         ELSE 'www.site' || (doc_id % 13) || '.org' END AS src_host,
+       |    '<html><body><p>doc ' || doc_id || '</p>' ||
+       |    '<a href="http://www.site' || ((doc_id * 3 + 1) % 13) || '.org/p' || (doc_id % 7) || '">x</a>' ||
+       |    (CASE WHEN doc_id % 9 = 0 THEN '<A HREF="https://up.dom' || ((doc_id + 2) % 13) || '.co.uk/u">U</A>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN '<a class="nav" href="/local/p' || (doc_id % 5) || '">y</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '<a href="//cdn.site' || (doc_id % 13) || '.org/lib.js">c</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '<a href="https://t' || (doc_id % 3) || '.dom' || ((doc_id + 1) % 13) || '.co.uk/?a=1&amp;b=' || (doc_id % 4) || '">z</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:u' || doc_id || '@x.org">m</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN '<a href="ftp://files.site0.org/f">f</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 13 = 0 THEN '<a href=''/single-quoted''>s</a>' ELSE '' END) ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |x AS (SELECT doc_id, src_host,
+       |    unnest(list_transform(regexp_extract_all(html, '$hrefRe', 1),
+       |      u -> replace(replace(replace(replace(replace(replace(u,
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+       |        '&nbsp;', ' '), '&amp;', '&'))) AS href
+       |  FROM h),
+       |e AS (SELECT doc_id, lower(src_host) AS src_host_l,
+       |    CASE WHEN href LIKE '//%' THEN lower(nullif(regexp_extract(href, '^//([^/?#:]+)', 1), ''))
+       |         WHEN href LIKE '/%' THEN lower(src_host)
+       |         WHEN lower(nullif(regexp_extract(href, '$urlRe', 1), '')) IN ('http', 'https')
+       |           THEN lower(nullif(regexp_extract(href, '$urlRe', 2), ''))
+       |         ELSE NULL END AS dst_host
+       |  FROM x),
+       |g AS (SELECT doc_id,
+       |    ${etld1SqlOf("src_host_l")} AS src_domain,
+       |    ${etld1SqlOf("dst_host")} AS dst_domain
+       |  FROM e)
+       |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM g WHERE dst_domain IS NOT NULL GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Host-level web-graph edges (Html.linkEdges over synthLinkedDocs):
+    * hrefs extracted + entity-decoded, destinations resolved
+    * (protocol-relative keeps its host, root-relative stays on the page's
+    * host, absolute http(s) parses, mailto/ftp/single-quoted drop), both
+    * ends keyed by eTLD+1, aggregated to directed (src_domain,
+    * dst_domain, n_links, n_docs). The oracle replays extraction,
+    * decoding, classification, and the registrable-domain walk in SQL. */
+  def q261LinkEdges(s: SparkSession, dir: String): DataFrame =
+    operators.Html.linkEdges(operators.Html.synthLinkedDocs(t(s, dir, "documents")))
+
+  val q261Sql: String = linkEdgesSql
+
+  /** Per-domain degree profile (Html.hostGraphDegrees over the q261
+    * edges): out/in degree (distinct peers) and total out/in anchors per
+    * registrable domain, zeros for one-sided nodes — the hub/authority
+    * readout of the crawl graph. Edges are already aggregated, so both
+    * degree rollups and the full-outer stitch run on domain-graph
+    * cardinality, not corpus cardinality. */
+  def q262HostGraph(s: SparkSession, dir: String): DataFrame =
+    operators.Html.hostGraphDegrees(
+      operators.Html.linkEdges(operators.Html.synthLinkedDocs(t(s, dir, "documents"))))
+
+  val q262Sql: String =
+    s"""WITH edges AS ($linkEdgesSql),
+       |o AS (SELECT src_domain AS domain,
+       |    CAST(count(DISTINCT dst_domain) AS BIGINT) AS out_degree,
+       |    CAST(sum(n_links) AS BIGINT) AS n_out_links
+       |  FROM edges GROUP BY 1),
+       |i AS (SELECT dst_domain AS domain,
+       |    CAST(count(DISTINCT src_domain) AS BIGINT) AS in_degree,
+       |    CAST(sum(n_links) AS BIGINT) AS n_in_links
+       |  FROM edges GROUP BY 1)
+       |SELECT coalesce(o.domain, i.domain) AS domain,
+       |  CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       |  CAST(coalesce(n_out_links, 0) AS BIGINT) AS n_out_links,
+       |  CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+       |  CAST(coalesce(n_in_links, 0) AS BIGINT) AS n_in_links
+       |FROM o FULL OUTER JOIN i ON o.domain = i.domain""".stripMargin
+
+  /** RFC 3986 §5.2.4 dot-segment resolution (Urls.resolveDotSegments over
+    * synthDotPaths): per-path stack walk — mid-path `..`, leading `/.`,
+    * root-escaping `../..`, trailing `/.` and `/..` leaving a slash, dots
+    * inside ordinary segment names untouched. The fixture's resolutions
+    * are known by construction, so the oracle replays path AND expected
+    * result from the same arithmetic (the q259 pattern); the open-input
+    * space is covered by DotSegmentsSpec's property test against an
+    * independent buffer-walk reference. */
+  def q263DotSegments(s: SparkSession, dir: String): DataFrame = {
+    val p = operators.Urls.synthDotPaths(t(s, dir, "events"))
+    p.select(col("event_id"), col("path"),
+      operators.Urls.resolveDotSegments(col("path")).as("resolved_path"))
+  }
+
+  val q263Sql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 8 = 0 THEN '/a/b/../c' || (event_id % 4)
+      |       WHEN event_id % 8 = 1 THEN '/./x'
+      |       WHEN event_id % 8 = 2 THEN '/a/../../b'
+      |       WHEN event_id % 8 = 3 THEN '/a/b/..'
+      |       WHEN event_id % 8 = 4 THEN '/a/./'
+      |       WHEN event_id % 8 = 5 THEN '/..'
+      |       WHEN event_id % 8 = 6 THEN '/d.d/../x..'
+      |       ELSE '/p' || (event_id % 5) || '/' END AS path,
+      |  CASE WHEN event_id % 8 = 0 THEN '/a/c' || (event_id % 4)
+      |       WHEN event_id % 8 = 1 THEN '/x'
+      |       WHEN event_id % 8 = 2 THEN '/b'
+      |       WHEN event_id % 8 = 3 THEN '/a/'
+      |       WHEN event_id % 8 = 4 THEN '/a/'
+      |       WHEN event_id % 8 = 5 THEN '/'
+      |       WHEN event_id % 8 = 6 THEN '/x..'
+      |       ELSE '/p' || (event_id % 5) || '/' END AS resolved_path
+      |FROM events""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -8004,7 +8134,10 @@ object QueryCatalog {
     ("q257_langid_ngram", q257LangIdNgram _, Some(q257Sql)),
     ("q258_canonical_urls", q258CanonicalUrls _, Some(q258Sql)),
     ("q259_robots_gate", q259RobotsGate _, Some(q259Sql)),
-    ("q260_paragraph_dedup", q260ParagraphDedup _, Some(q260Sql)))
+    ("q260_paragraph_dedup", q260ParagraphDedup _, Some(q260Sql)),
+    ("q261_link_edges", q261LinkEdges _, Some(q261Sql)),
+    ("q262_host_graph", q262HostGraph _, Some(q262Sql)),
+    ("q263_dot_segments", q263DotSegments _, Some(q263Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -114,6 +114,148 @@ object Html {
       .drop(htmlCol)
   }
 
+  /** Anchor href VALUES (capture group 1): the double-quoted href inside
+    * an `<a>` opener. Double-quoted only, deliberately: HTML5 also allows
+    * single-quoted and unquoted attribute values, but an alternation over
+    * the three quoting forms leaves the Java/RE2 common subset (the
+    * leftmost-first vs leftmost-longest split bites exactly there), and a
+    * crawl-grade producer pipeline normalizes quoting upstream. The
+    * fixture carries a single-quoted anchor precisely to pin this
+    * contract: both engines skip it identically. */
+  val HrefRe = "(?i)<a[ \\t\\n\\x0B\\f\\r][^>]*href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*\"([^\"]*)\""
+
+  /** All href values in document order, entity-decoded (hrefs legally
+    * carry `&amp;` between query params — a raw-bytes join key would
+    * split one URL into two graph nodes). Array column, per-row. */
+  def hrefsOf(html: Column): Column =
+    transform(regexp_extract_all(html, lit(HrefRe), lit(1)), decodeEntities(_))
+
+  /** Host a link points at, given the href and the page's own host:
+    * protocol-relative `//host/...` keeps its explicit host, any other
+    * root-relative `/...` stays on the page's host, an absolute http(s)
+    * URL parses through [[Urls.host]], and everything else (mailto:,
+    * ftp:, fragments, relative-without-slash) is NULL — a host GRAPH
+    * keys on fetchable web hosts only. Lowercased like [[Urls.host]]. */
+  def linkHostOf(href: Column, srcHost: Column): Column =
+    when(href.startsWith("//"),
+      lower(nullif(regexp_extract(href, "^//([^/?#:]+)", 1), lit(""))))
+      .when(href.startsWith("/"), lower(srcHost))
+      .when(Urls.scheme(href).isin("http", "https"), Urls.host(href))
+      .otherwise(lit(null).cast("string"))
+
+  /** Host-level web-graph edges — the structure every crawl pipeline
+    * derives before computing domain centrality ([[Dedup.pageRank]] runs
+    * unchanged over these edges as (src, dst) pairs) or link-based
+    * quality priors: extract hrefs, resolve each to a destination host
+    * ([[linkHostOf]]), key BOTH ends by registrable domain (eTLD+1 — the
+    * unit crawl politeness and quality priors act on; `news.x.co.uk` and
+    * `blog.x.co.uk` are one node), and aggregate.
+    *
+    * Returns (src_domain, dst_domain, n_links, n_docs): total anchors and
+    * distinct linking documents per directed domain pair. Self-edges
+    * (intra-domain navigation) are kept — they are the denominator of
+    * external-link-ratio gates.
+    *
+    * 100 TB shape: extraction and host resolution are per-row codegen'd
+    * projections; the only shuffle is the final partial-aggregated
+    * groupBy on (src_domain, dst_domain), whose output cardinality is the
+    * edge count of the domain graph — sparse in practice (bounded by
+    * links actually present, never |domains|²). Skewed hub domains
+    * partial-aggregate before the exchange. */
+  def linkEdges(docs: DataFrame, idCol: String = "doc_id",
+                srcHostCol: String = "src_host",
+                htmlCol: String = "html"): DataFrame = {
+    val links = docs.select(col(idCol).as("doc_id"), col(srcHostCol),
+      explode(hrefsOf(col(htmlCol))).as("href"))
+    // stage the two host columns as real attributes (the urlProfile
+    // staging lesson): the eTLD+1 walk references its argument ~8 times
+    // inside CASE branches, and inlining linkHostOf's regex CASE at each
+    // reference blows the generated method past janino's limit — the
+    // whole aggregate stage then silently loses codegen
+    val hosts = links.select(col("doc_id"),
+      lower(col(srcHostCol)).as("src_host_l"),
+      linkHostOf(col("href"), col(srcHostCol)).as("dst_host"))
+    // the label arrays are staged too: two eTLD+1 walks share one
+    // projection here, and each inlined split() would multiply the
+    // generated code past janino's method limit (etld1FromLabels doc)
+    val labs = hosts.select(col("doc_id"), col("src_host_l"), col("dst_host"),
+      split(col("src_host_l"), "\\.").as("src_labs"),
+      split(col("dst_host"), "\\.").as("dst_labs"))
+    labs.select(col("doc_id"),
+        Urls.etld1FromLabels(col("src_host_l"), col("src_labs"),
+          Urls.TrimmedPsl).as("src_domain"),
+        Urls.etld1FromLabels(col("dst_host"), col("dst_labs"),
+          Urls.TrimmedPsl).as("dst_domain"))
+      .filter(col("dst_domain").isNotNull)
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Per-domain degree profile over [[linkEdges]] output: out/in degree
+    * (distinct peer domains, self included) and total out/in anchors —
+    * the hub/authority readout link-farm gates and frontier prioritizers
+    * key on. Input is the ALREADY-AGGREGATED edge list (cardinality =
+    * domain-graph edges, orders of magnitude below the corpus), so the
+    * two degree aggregations and the full-outer stitch are cheap by
+    * construction at any corpus size. */
+  def hostGraphDegrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src_domain").as("domain"))
+      .agg(countDistinct(col("dst_domain")).as("out_degree"),
+        sum(col("n_links")).as("n_out_links"))
+    val in = edges.groupBy(col("dst_domain").as("domain"))
+      .agg(countDistinct(col("src_domain")).as("in_degree"),
+        sum(col("n_links")).as("n_in_links"))
+    out.join(in, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("n_out_links"), lit(0L)).as("n_out_links"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("n_in_links"), lit(0L)).as("n_in_links"))
+  }
+
+  /** Deterministic linked-page fixture over a corpus: each doc gets a
+    * source host (co.uk / plain-org registrable domains by id arithmetic)
+    * and a body carrying every link shape [[linkEdges]] must classify —
+    * an always-present absolute cross-domain anchor, an uppercase `<A
+    * HREF` variant, a root-relative path, a protocol-relative CDN link,
+    * an entity-encoded href (`&amp;` between params), a mailto: and an
+    * ftp: to drop, and a single-quoted anchor that the double-quote
+    * contract skips. Pure concat arithmetic on doc_id, so the oracle
+    * rebuilds identical bytes in SQL. */
+  def synthLinkedDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    val srcHost = when(id % 4 === 0,
+        concat(lit("news.dom"), m(13), lit(".co.uk")))
+      .otherwise(concat(lit("www.site"), m(13), lit(".org")))
+    // spread BEFORE the concat: the downstream extraction regexes are the
+    // real cost and inherit this stage's partitioning — see Spread
+    Spread.toCores(docs).select(id.as("doc_id"), srcHost.as("src_host"),
+      concat(
+        lit("<html><body><p>doc "), id.cast("string"), lit("</p>"),
+        lit("<a href=\"http://www.site"), ((id * 3 + 1) % 13).cast("string"),
+        lit(".org/p"), m(7), lit("\">x</a>"),
+        when(id % 9 === 0, concat(lit("<A HREF=\"https://up.dom"),
+          ((id + 2) % 13).cast("string"), lit(".co.uk/u\">U</A>")))
+          .otherwise(lit("")),
+        when(id % 3 === 0, concat(lit("<a class=\"nav\" href=\"/local/p"),
+          m(5), lit("\">y</a>"))).otherwise(lit("")),
+        when(id % 6 === 0, concat(lit("<a href=\"//cdn.site"), m(13),
+          lit(".org/lib.js\">c</a>"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("<a href=\"https://t"), m(3),
+          lit(".dom"), ((id + 1) % 13).cast("string"),
+          lit(".co.uk/?a=1&amp;b="), m(4), lit("\">z</a>")))
+          .otherwise(lit("")),
+        when(id % 7 === 0, concat(lit("<a href=\"mailto:u"), id.cast("string"),
+          lit("@x.org\">m</a>"))).otherwise(lit("")),
+        when(id % 11 === 0, lit("<a href=\"ftp://files.site0.org/f\">f</a>"))
+          .otherwise(lit("")),
+        when(id % 13 === 0, lit("<a href='/single-quoted'>s</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+  }
+
   /** Deterministic HTML fixture over a text corpus (the
     * [[Compressed.synthGzipDocs]] pattern): each document is wrapped in a
     * page with a title, an inline script (containing a bare `<` — the

@@ -142,8 +142,18 @@ object Urls {
     * The walk unrolls statically over rule lengths 1..maxRuleLen into one
     * codegen'd CASE chain — per-row O(maxRuleLen) label-slice probes, no
     * shuffle, no UDF. */
-  def etld1OfPsl(h: Column, psl: PslRules): Column = {
-    val labels = split(h, "\\.")
+  def etld1OfPsl(h: Column, psl: PslRules): Column =
+    etld1FromLabels(h, split(h, "\\."), psl)
+
+  /** [[etld1OfPsl]] with the label array supplied as an already-STAGED
+    * column: the walk references the labels ~8 times (slices, length
+    * probes, the fallback), and inlining `split(host)` at every reference
+    * multiplies the generated code — two such walks in one projection
+    * (e.g. both ends of a link edge) then blow janino's method limit and
+    * the whole stage silently loses codegen. Callers computing more than
+    * one registrable domain per projection stage `split(host, "\\.")` as
+    * a real column and call this variant (see [[Html.linkEdges]]). */
+  def etld1FromLabels(h: Column, labels: Column, psl: PslRules): Column = {
     val n = size(labels)
     def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
     // longest plain/wildcard match; ascending fold puts the LARGEST k
@@ -250,9 +260,10 @@ object Urls {
     *   - the fragment never reaches the server and is already outside
     *     [[UrlRe]]'s capture.
     *
-    * Dot-segment resolution (`/a/../b`) is deliberately NOT attempted:
-    * it needs a fixpoint loop no single codegen'd expression expresses,
-    * and a frontier treats such URLs as distinct fetch keys anyway.
+    * Dot-segment resolution (`/a/../b`) is deliberately NOT folded in
+    * here (q258's key semantics are frozen); callers that want RFC 3986
+    * §5.2.4 resolution compose [[resolveDotSegments]] over the collapsed
+    * path — see q263.
     * NULL host (malformed URL) → NULL canonical — the error-visibility
     * contract. Takes the STAGED parse columns (the [[urlProfile]]
     * staging lesson: each is referenced more than once). */
@@ -272,6 +283,38 @@ object Urls {
       concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
     when(host.isNull, lit(null).cast("string"))
       .otherwise(concat(sch, lit("://"), h, portPart, p, qPart))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path — the one
+    * normalization [[canonicalOf]] leaves out: `/a/b/../c` → `/a/c`,
+    * `/./x` → `/x`, a `..` at the root is absorbed (`/../a` → `/a`; note
+    * `java.net.URI.normalize` diverges from the RFC exactly there), and a
+    * trailing `/.` or `/..` leaves a trailing slash, as the spec's buffer
+    * walk does. Implemented as a single `aggregate` HOF over the split
+    * segments — a per-row stack walk, no shuffle, no UDF, no driver
+    * round-trip; the interpreted-lambda cost is a few comparisons per
+    * path segment, noise next to the parse regexes upstream. Empty-string
+    * segments (uncollapsed slash runs) are preserved verbatim, exactly as
+    * the RFC's walk preserves them — compose AFTER run-collapse when one
+    * key per path is wanted. An empty path resolves to "/" (the
+    * [[canonicalOf]] convention). Verified against an independent
+    * buffer-walk reference on randomized paths (DotSegmentsSpec). */
+  def resolveDotSegments(p: Column): Column = {
+    // a trailing '/.' or '/..' must LEAVE a trailing slash (spec steps
+    // 2B/2C move a '/' back to the input); appending one here lets the
+    // stack walk see it as an explicit empty final segment
+    val p2 = when(p.rlike("/\\.\\.?$"), concat(p, lit("/"))).otherwise(p)
+    val segs0 = split(p2, "/")
+    val segs = slice(segs0, lit(2), size(segs0)) // drop the leading '' of an absolute path
+    val emptyStack = array().cast("array<string>")
+    aggregate(segs, emptyStack,
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..",
+            when(size(acc) <= 1, emptyStack)
+              .otherwise(slice(acc, lit(1), size(acc) - 1)))
+          .otherwise(concat(acc, array(s))),
+      acc => concat(lit("/"), array_join(acc, "/")))
   }
 
   /** [[canonicalOf]] over a raw url column. One-off convenience: every
@@ -328,5 +371,27 @@ object Urls {
         .when(id % 9 === 6, concat(lit("x.blog"), m(4), lit(".kawasaki.jp")))
         .when(id % 9 === 7, concat(lit("news.example"), m(6), lit(".co.uk")))
         .otherwise(concat(lit("site"), m(8), lit(".example.org"))).as("host"))
+  }
+
+  /** Dot-segment path fixture: every RFC 3986 §5.2.4 shape
+    * [[resolveDotSegments]] must handle — a mid-path `..`, a leading
+    * `/.`, a root-escaping `../..` that must absorb, trailing `/.` and
+    * `/..` that must leave a slash, a bare `/..`, dots inside ordinary
+    * segment names (`d.d`, `x..` — NOT dot segments), and
+    * already-resolved paths with and without trailing slash. Pure concat
+    * arithmetic — the oracle rebuilds the paths AND their expected
+    * resolutions from the same arithmetic. */
+  def synthDotPaths(events: DataFrame, idCol: String = "event_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    Spread.toCores(events).select(id.as("event_id"),
+      when(id % 8 === 0, concat(lit("/a/b/../c"), m(4)))
+        .when(id % 8 === 1, lit("/./x"))
+        .when(id % 8 === 2, lit("/a/../../b"))
+        .when(id % 8 === 3, lit("/a/b/.."))
+        .when(id % 8 === 4, lit("/a/./"))
+        .when(id % 8 === 5, lit("/.."))
+        .when(id % 8 === 6, lit("/d.d/../x.."))
+        .otherwise(concat(lit("/p"), m(5), lit("/"))).as("path"))
   }
 }

@@ -88,4 +88,49 @@ class CrawlPropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Reference RFC 3986 §5.2.4 remove_dot_segments — the spec's literal
+    * BUFFER walk over the raw string, a different mechanism than the
+    * split-segment stack column under test. (java.net.URI.normalize is
+    * NOT a valid reference: it preserves a root-escaping "/../" that the
+    * RFC absorbs.) */
+  private def refRemoveDotSegments(in0: String): String = {
+    var in = in0
+    val out = new StringBuilder
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        out.setLength(math.max(out.lastIndexOf("/"), 0))
+      } else if (in == "/..") {
+        in = "/"
+        out.setLength(math.max(out.lastIndexOf("/"), 0))
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val j = in.indexOf('/', 1)
+        val seg = if (j == -1) in else in.substring(0, j)
+        out.append(seg)
+        in = if (j == -1) "" else in.substring(j)
+      }
+    }
+    out.toString
+  }
+
+  test("resolveDotSegments == the RFC buffer walk on randomized paths") {
+    val rnd = new scala.util.Random(733)
+    val atoms = Seq("a", "bb", ".", "..", "x.y", "..z", "z..", "...", "")
+    val paths = Seq.tabulate(600) { _ =>
+      val n = rnd.nextInt(6)
+      "/" + Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString("/")
+    }.distinct ++ Seq("/", "/..", "/.", "/a/b/../c", "/a/../../b", "//", "/..//")
+    val got = paths.toDF("path")
+      .select(col("path"), Urls.resolveDotSegments(col("path")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    paths.distinct.foreach { p =>
+      assert(got(p) === refRemoveDotSegments(p), s"resolveDotSegments($p)")
+    }
+  }
 }

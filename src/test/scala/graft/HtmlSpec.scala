@@ -81,4 +81,54 @@ class HtmlSpec extends SparkSpec {
         l.contains("Exchange") && !l.contains("RoundRobinPartitioning")),
       s"profile must stay free of keyed shuffles:\n$plan")
   }
+
+  test("hrefsOf: double-quoted only, entity-decoded, case/whitespace-insensitive") {
+    val html =
+      """<body><a href="http://A.example.org/x?a=1&amp;b=2">x</a>
+        |<A HREF="/rel">r</A><a href='/single-quoted'>s</a>
+        |<a class="k" href = "//cdn.net/l">c</a><a name="no-href">n</a></body>"""
+        .stripMargin
+    val hrefs = Seq(html).toDF("h").select(Html.hrefsOf(col("h")).as("u"))
+      .collect().head.getSeq[String](0)
+    assert(hrefs === Seq("http://A.example.org/x?a=1&b=2", "/rel", "//cdn.net/l"),
+      "single-quoted skipped (documented contract), no-href anchor skipped, " +
+        "&amp; decoded, spaced '=' and uppercase HREF accepted")
+  }
+
+  test("linkEdges: domain-keyed directed edges; unfetchable schemes drop") {
+    val docs = Seq(
+      (1L, "news.a.co.uk",
+        "<a href=\"http://www.b.org/1\">x</a><a href=\"/nav\">n</a>" +
+          "<a href=\"mailto:z@b.org\">m</a>"),
+      (2L, "www.a.co.uk",
+        "<a href=\"http://www.b.org/2\">y</a><a href=\"ftp://f.b.org/f\">f</a>"),
+      (3L, "www.b.org", "<a href=\"//cdn.a.co.uk/l.js\">c</a>"))
+      .toDF("doc_id", "src_host", "html")
+    val edges = Html.linkEdges(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_links"), r.getAs[Long]("n_docs"))).toMap
+    assert(edges.size === 3, s"mailto/ftp must not mint edges: $edges")
+    assert(edges(("a.co.uk", "b.org")) === ((2L, 2L)),
+      "news./www. subdomains collapse onto one registrable-domain node")
+    assert(edges(("a.co.uk", "a.co.uk")) === ((1L, 1L)),
+      "root-relative link → self-edge on the page's own domain")
+    assert(edges(("b.org", "a.co.uk")) === ((1L, 1L)),
+      "protocol-relative link keeps its explicit host")
+  }
+
+  test("hostGraphDegrees: out/in stitch with zeros for one-sided nodes") {
+    val edges = Seq(
+      ("a.co.uk", "b.org", 2L, 2L),
+      ("a.co.uk", "a.co.uk", 1L, 1L),
+      ("b.org", "a.co.uk", 1L, 1L),
+      ("c.net", "a.co.uk", 5L, 3L)) // c.net has no inbound edges
+      .toDF("src_domain", "dst_domain", "n_links", "n_docs")
+    val deg = Html.hostGraphDegrees(edges).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("out_degree"), r.getAs[Long]("n_out_links"),
+          r.getAs[Long]("in_degree"), r.getAs[Long]("n_in_links"))).toMap
+    assert(deg("a.co.uk") === ((2L, 3L, 3L, 7L)))
+    assert(deg("b.org") === ((1L, 1L, 1L, 2L)))
+    assert(deg("c.net") === ((1L, 5L, 0L, 0L)), "no inbound → zero, not NULL")
+  }
 }

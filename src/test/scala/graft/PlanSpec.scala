@@ -796,6 +796,34 @@ class PlanSpec extends SparkSpec {
       s"the first-occurrence window must partition by fingerprint:\n${specs.mkString("\n")}")
   }
 
+  test("q261 link edges: extract+explode is map-side, aggs partial, no join") {
+    val p = plan(QueryCatalog.q261LinkEdges)
+    assert(!p.contains("Join"), s"edge building must not join:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("Generate"), s"hrefs must explode, not collect:\n$p")
+    assert(p.contains("partial_"), s"edge counts must partial-aggregate:\n$p")
+    // one distinct-agg rewrite = at most two keyed exchanges (the
+    // (src,dst,doc) phase then the (src,dst) phase); anything more means
+    // the domain projection stopped folding into the agg stages
+    assert(keyedExchanges(p) <= 2, s"edge agg grew extra shuffles:\n$p")
+    assert(p.contains("RoundRobinPartitioning") || p.contains("REPARTITION"),
+      s"the 1-partition fixture input must spread to cores:\n$p")
+  }
+
+  test("q262 host graph: degree stitch joins only post-agg domain frames") {
+    val p = plan(QueryCatalog.q262HostGraph)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the degree stitch is an equi-join on domain:\n$p")
+    assert(p.contains("partial_"), s"degree rollups must partial-aggregate:\n$p")
+  }
+
+  test("q263 dot segments: per-row stack walk, zero keyed shuffles") {
+    val p = plan(QueryCatalog.q263DotSegments)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"resolution is per-row column math:\n$p")
+    assert(keyedExchanges(p) === 0, s"no keyed shuffle in a map-only walk:\n$p")
+  }
+
   test("no unpartitioned windows anywhere in the star pipeline plans") {
     import graft.plans.StarSchema
     import graft.sources.SalesFeed
