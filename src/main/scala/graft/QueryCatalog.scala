@@ -7771,6 +7771,7 @@ object QueryCatalog {
        |    (CASE WHEN doc_id % 5 = 0 THEN '<a href="https://t' || (doc_id % 3) || '.dom' || ((doc_id + 1) % 13) || '.co.uk/?a=1&amp;b=' || (doc_id % 4) || '">z</a>' ELSE '' END) ||
        |    (CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:u' || doc_id || '@x.org">m</a>' ELSE '' END) ||
        |    (CASE WHEN doc_id % 11 = 0 THEN '<a href="ftp://files.site0.org/f">f</a>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 17 = 0 THEN '<a href="https://peer.ext' || (doc_id % 3) || '.net/e">p</a>' ELSE '' END) ||
        |    (CASE WHEN doc_id % 13 = 0 THEN '<a href=''/single-quoted''>s</a>' ELSE '' END) ||
        |    '</body></html>' AS html
        |  FROM documents),
@@ -7868,6 +7869,84 @@ object QueryCatalog {
       |       WHEN event_id % 8 = 6 THEN '/x..'
       |       ELSE '/p' || (event_id % 5) || '/' END AS resolved_path
       |FROM events""".stripMargin
+
+  /** Directed PageRank over the REAL host graph (Dedup.pageRankDirected
+    * over Html.linkEdges — the frontier-prioritization composition): rank
+    * flows along link direction, mass splits over out-degree, and the
+    * fixture's ext*.net nodes (in-degree only) exercise the dangling-mass
+    * redistribution every iteration. The oracle replays the q261 edge
+    * derivation, then unrolls the identical 8 damped steps as CTEs with
+    * the same once-rounded DECIMAL(22,12) contribution sums, dangling
+    * sums, and 12-dp re-rounds — engine- and order-exact. */
+  def q264HostPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Html.linkEdges(
+      operators.Html.synthLinkedDocs(t(s, dir, "documents")))
+    operators.Dedup.pageRankDirected(edges, "src_domain", "dst_domain")
+      .select(col("id").as("domain"), col("pr"))
+  }
+
+  val q264Sql: String = {
+    val iters = (0 until 8).map { i =>
+      s"""d$i AS (SELECT coalesce(sum(CAST(pr AS DECIMAL(22,12))), 0) AS dm
+         |  FROM pr$i WHERE id NOT IN (SELECT src FROM od)),
+         |c$i AS (SELECT e.dst AS id,
+         |    sum(CAST(round(pr$i.pr / od.odeg, 12) AS DECIMAL(22,12))) AS s
+         |  FROM e JOIN pr$i ON e.src = pr$i.id JOIN od ON od.src = e.src
+         |  GROUP BY 1),
+         |pr${i + 1} AS (SELECT nodes.id,
+         |    round(0.15 / nn.n + 0.85 * (coalesce(CAST(c$i.s AS DOUBLE), 0) +
+         |      round(CAST(d$i.dm AS DOUBLE) / nn.n, 12)), 12) AS pr
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |    LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($linkEdgesSql),
+       |e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst
+       |  FROM edges WHERE src_domain <> dst_domain),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |pr0 AS (SELECT id, round(1.0 / nn.n, 12) AS pr FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT id AS domain, pr FROM pr8""".stripMargin
+  }
+
+  /** Robots-meta indexing gate (Html.metaRobotsGate over synthMetaDocs):
+    * the in-page twin of the q259 robots.txt fetch gate — noindex/
+    * nofollow/none directives from the first `<meta name="robots">` tag,
+    * attribute order free, case/whitespace-insensitive directives, an
+    * unrelated description meta that must not trigger. The oracle
+    * rebuilds the pages and replays both regexes + the directive split
+    * in SQL. */
+  def q265MetaRobots(s: SparkSession, dir: String): DataFrame =
+    operators.Html.metaRobotsGate(
+      operators.Html.synthMetaDocs(t(s, dir, "documents")))
+
+  val q265Sql: String = {
+    val tagRe = operators.Html.MetaRobotsTagRe
+    val contentRe = operators.Html.ContentAttrRe
+    s"""WITH h AS (SELECT doc_id,
+       |    '<html><head>' ||
+       |    (CASE WHEN doc_id % 7 = 1 THEN '<meta name="robots" content="noindex">'
+       |          WHEN doc_id % 7 = 2 THEN '<meta name="robots" content="noindex, nofollow">'
+       |          WHEN doc_id % 7 = 3 THEN '<meta name="robots" content="NONE">'
+       |          WHEN doc_id % 7 = 4 THEN '<meta content="nofollow" name="robots">'
+       |          WHEN doc_id % 7 = 5 THEN '<meta name="description" content="noindex is a word here">'
+       |          WHEN doc_id % 7 = 6 THEN '<META NAME="robots" CONTENT="NOFOLLOW">'
+       |          ELSE '' END) ||
+       |    '</head><body><p>doc ' || doc_id || '</p></body></html>' AS html
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    list_transform(string_split(regexp_extract(
+       |      regexp_extract(html, '$tagRe', 0), '$contentRe', 1), ','),
+       |      x -> lower(trim(x))) AS dirs
+       |  FROM h)
+       |SELECT doc_id, array_to_string(dirs, ',') AS robots_content,
+       |  CAST(CASE WHEN list_contains(dirs, 'noindex')
+       |         OR list_contains(dirs, 'none') THEN 1 ELSE 0 END AS BIGINT) AS noindex,
+       |  CAST(CASE WHEN list_contains(dirs, 'nofollow')
+       |         OR list_contains(dirs, 'none') THEN 1 ELSE 0 END AS BIGINT) AS nofollow
+       |FROM m""".stripMargin
+  }
 
   // =========================================================================
   // Registry
@@ -8137,7 +8216,9 @@ object QueryCatalog {
     ("q260_paragraph_dedup", q260ParagraphDedup _, Some(q260Sql)),
     ("q261_link_edges", q261LinkEdges _, Some(q261Sql)),
     ("q262_host_graph", q262HostGraph _, Some(q262Sql)),
-    ("q263_dot_segments", q263DotSegments _, Some(q263Sql)))
+    ("q263_dot_segments", q263DotSegments _, Some(q263Sql)),
+    ("q264_host_pagerank", q264HostPagerank _, Some(q264Sql)),
+    ("q265_meta_robots", q265MetaRobots _, Some(q265Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

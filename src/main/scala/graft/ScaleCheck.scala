@@ -462,6 +462,27 @@ object ScaleCheck {
         graft.operators.Robots.synthCrawlUrls(docs.select(col("doc_id").as("event_id"))),
         rules, "graftbot/1.0")
     })
+    // late-r14 additions: the host web graph (per-link projection + one
+    // distinct-rewritten edge aggregate — output cardinality is the
+    // domain-graph edge count, not the corpus), its degree stitch (runs
+    // on the already-aggregated edges), and the dot-segment stack walk
+    // (pure per-row HOF, zero shuffles)
+    time("link_edges")(
+      graft.operators.Html.linkEdges(graft.operators.Html.synthLinkedDocs(docs)))
+    time("host_graph")(
+      graft.operators.Html.hostGraphDegrees(
+        graft.operators.Html.linkEdges(graft.operators.Html.synthLinkedDocs(docs))))
+    time("dot_segments")({
+      val p = graft.operators.Urls.synthDotPaths(docs.select(col("doc_id").as("event_id")))
+      p.select(col("event_id"), col("path"),
+        graft.operators.Urls.resolveDotSegments(col("path")).as("resolved"))
+    })
+    time("host_pagerank")(
+      graft.operators.Dedup.pageRankDirected(
+        graft.operators.Html.linkEdges(graft.operators.Html.synthLinkedDocs(docs)),
+        "src_domain", "dst_domain"))
+    time("meta_robots")(
+      graft.operators.Html.metaRobotsGate(graft.operators.Html.synthMetaDocs(docs)))
     spark.stop()
   }
 }

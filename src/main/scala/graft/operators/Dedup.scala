@@ -913,6 +913,71 @@ object Dedup {
     pr.select(col("id").as("doc_id"), col("pr"))
   }
 
+  /** Directed PageRank — the web-graph variant ([[pageRank]] above is the
+    * undirected dup-graph one): rank flows along edge DIRECTION, each
+    * node's mass splits over its OUT-degree, and dangling nodes (no
+    * out-edges — every leaf domain in a host graph) redistribute their
+    * mass uniformly, the standard stochastic-matrix completion. This is
+    * what a crawl frontier prioritizes by ([[Html.linkEdges]] output
+    * plugs in as (src_domain, dst_domain)).
+    *
+    * Same simple-graph normalization as the undirected walk: parallel
+    * edges collapse to one (a link farm's 500 identical anchors weigh
+    * like one edge — callers wanting weighted flow pass pre-weighted
+    * edges to a future variant, not duplicates), self-loops drop.
+    *
+    * Determinism (the [[pageRank]] contract): per-iteration contributions
+    * round ONCE to 12 dp and sum as DECIMAL(22,12) — order-free; the
+    * dangling share pre-rounds to 12 dp; the damped update re-rounds.
+    * `base` derives from exact-decimal 1−d before the double divide so
+    * the oracle's `0.15 / n` literal is bit-identical.
+    *
+    * Scale: per iteration one (src) equi-join + one dst-keyed partial-agg
+    * shuffle ∝ edge count, plus a one-row dangling-sum broadcast (the
+    * corpus-total idiom). Frames localCheckpointed so lineage stays flat;
+    * fixed iterations for the same ranking-stability reason as above. */
+  def pageRankDirected(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iterations: Int = 8,
+                       damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations out of range")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(true)
+    val n = nodes.count() // control-plane scalar: node count
+    if (n == 0) return nodes.select(col("id"), lit(0.0).as("pr"))
+    var pr = nodes.select(col("id"), lit(rnd12(1.0 / n)).as("pr"))
+      .localCheckpoint(true)
+    // exact-DECIMAL 1−d (BigDecimal of the double's BINARY value would
+    // give 0.1500…0002 where the oracle's `0.15` literal is 0.1499…994)
+    val base = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble / n
+    for (_ <- 0 until iterations) {
+      // dangling mass: one-row decimal sum over nodes with no out-edges
+      val dang = pr.join(outdeg.withColumnRenamed("src", "id"),
+          Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(22,12)")),
+          lit(0).cast("decimal(22,12)")).as("_d"))
+      val c = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"),
+          round(col("pr") / col("odeg"), 12).cast("decimal(22,12)").as("_c"))
+        .groupBy(col("id")).agg(sum(col("_c")).as("_s"))
+      pr = nodes.join(c, Seq("id"), "left").crossJoin(broadcast(dang))
+        .select(col("id"),
+          round(lit(base) + lit(damping) *
+            (coalesce(col("_s").cast("double"), lit(0.0)) +
+              round(col("_d").cast("double") / lit(n.toDouble), 12)), 12)
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
   private def rnd12(x: Double): Double =
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
 

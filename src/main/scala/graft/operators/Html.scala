@@ -214,6 +214,61 @@ object Html {
         coalesce(col("n_in_links"), lit(0L)).as("n_in_links"))
   }
 
+  /** The (first) `<meta name="robots">` tag — the in-page twin of
+    * robots.txt ([[Robots]]): robots.txt gates FETCHING, this gates
+    * INDEXING (noindex) and link FOLLOWING (nofollow), and a polite
+    * corpus pipeline honors both. Attribute order is free (`content`
+    * before `name` matches), quoting is the double-quote contract
+    * ([[HrefRe]]), first robots meta wins (the [[TitleRe]] convention). */
+  val MetaRobotsTagRe =
+    "(?i)<meta[ \\t\\n\\x0B\\f\\r][^>]*name[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*\"robots\"[^>]*>"
+  /** The content attribute's value (group 1) within a matched meta tag. */
+  val ContentAttrRe =
+    "(?i)content[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*\"([^\"]*)\""
+
+  /** Raw robots-meta content (empty string when the page has none). */
+  def metaRobotsContent(html: Column): Column =
+    regexp_extract(regexp_extract(html, MetaRobotsTagRe, 0), ContentAttrRe, 1)
+
+  /** Per-document robots-meta gate: (doc_id, robots_content, noindex,
+    * nofollow) with the flags as 0/1 BIGINTs (the [[Robots.robotsGate]]
+    * readout convention). Directives are comma-separated, surrounding
+    * whitespace and case insignificant per the de-facto REP-meta rules;
+    * `none` = noindex + nofollow; absent meta = index,follow (all zeros).
+    * One codegen'd map pass, no shuffle. */
+  def metaRobotsGate(docs: DataFrame, idCol: String = "doc_id",
+                     htmlCol: String = "html"): DataFrame = {
+    val dirs = transform(split(metaRobotsContent(col(htmlCol)), ","),
+      d => lower(trim(d)))
+    docs.select(col(idCol).as("doc_id"), col(htmlCol))
+      .withColumn("_dirs", dirs)
+      .select(col("doc_id"),
+        array_join(col("_dirs"), ",").as("robots_content"),
+        (array_contains(col("_dirs"), "noindex") ||
+          array_contains(col("_dirs"), "none")).cast("long").as("noindex"),
+        (array_contains(col("_dirs"), "nofollow") ||
+          array_contains(col("_dirs"), "none")).cast("long").as("nofollow"))
+  }
+
+  /** Robots-meta fixture: no meta at all, a plain noindex, a spaced
+    * "noindex, nofollow", an uppercase NONE, reversed attribute order, an
+    * unrelated description meta that must NOT trigger, and an uppercase
+    * META/NAME/CONTENT spelling. Pure concat arithmetic on doc_id. */
+  def synthMetaDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    Spread.toCores(docs).select(id.as("doc_id"), concat(
+      lit("<html><head>"),
+      when(id % 7 === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+        .when(id % 7 === 2, lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(id % 7 === 3, lit("<meta name=\"robots\" content=\"NONE\">"))
+        .when(id % 7 === 4, lit("<meta content=\"nofollow\" name=\"robots\">"))
+        .when(id % 7 === 5, lit("<meta name=\"description\" content=\"noindex is a word here\">"))
+        .when(id % 7 === 6, lit("<META NAME=\"robots\" CONTENT=\"NOFOLLOW\">"))
+        .otherwise(lit("")),
+      lit("</head><body><p>doc "), id.cast("string"),
+      lit("</p></body></html>")).as("html"))
+  }
+
   /** Deterministic linked-page fixture over a corpus: each doc gets a
     * source host (co.uk / plain-org registrable domains by id arithmetic)
     * and a body carrying every link shape [[linkEdges]] must classify —
@@ -251,6 +306,11 @@ object Html {
           lit("@x.org\">m</a>"))).otherwise(lit("")),
         when(id % 11 === 0, lit("<a href=\"ftp://files.site0.org/f\">f</a>"))
           .otherwise(lit("")),
+        // ext*.net never appears as a SOURCE host: these are the graph's
+        // dangling nodes (in-degree only) — they exercise the degree
+        // stitch's zero-coalesce and directed PageRank's dangling mass
+        when(id % 17 === 0, concat(lit("<a href=\"https://peer.ext"), m(3),
+          lit(".net/e\">p</a>"))).otherwise(lit("")),
         when(id % 13 === 0, lit("<a href='/single-quoted'>s</a>"))
           .otherwise(lit("")),
         lit("</body></html>")).as("html"))

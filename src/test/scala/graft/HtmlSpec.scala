@@ -116,6 +116,25 @@ class HtmlSpec extends SparkSpec {
       "protocol-relative link keeps its explicit host")
   }
 
+  test("metaRobotsGate: directives case/space-free, attr order free, first-wins") {
+    val docs = Seq(
+      (1L, "<head><meta name=\"robots\" content=\"noindex, NOFOLLOW\"></head>"),
+      (2L, "<head><meta content=\"none\" name=\"robots\"></head>"),
+      (3L, "<head><meta name=\"description\" content=\"noindex here\"></head>"),
+      (4L, "<head></head>"),
+      (5L, "<head><META NAME=\"robots\" CONTENT=\"nofollow\">" +
+        "<meta name=\"robots\" content=\"noindex\"></head>"))
+      .toDF("doc_id", "html")
+    val out = graft.operators.Html.metaRobotsGate(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("noindex"), r.getAs[Long]("nofollow"))).toMap
+    assert(out(1L) === ((1L, 1L)), "comma+space directives, mixed case")
+    assert(out(2L) === ((1L, 1L)), "none = noindex+nofollow, reversed attrs")
+    assert(out(3L) === ((0L, 0L)), "a description meta must not trigger")
+    assert(out(4L) === ((0L, 0L)), "absent meta = index,follow")
+    assert(out(5L) === ((0L, 1L)), "first robots meta wins (the title rule)")
+  }
+
   test("hostGraphDegrees: out/in stitch with zeros for one-sided nodes") {
     val edges = Seq(
       ("a.co.uk", "b.org", 2L, 2L),

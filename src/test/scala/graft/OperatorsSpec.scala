@@ -1131,6 +1131,29 @@ class OperatorsSpec extends SparkSpec {
     assert(again === pr, "fixed-iteration decimal path replays exactly")
   }
 
+  test("pageRankDirected: direction respected, dangling mass conserved, simple-graph") {
+    // a→b, a→c, b→c: c is DANGLING (no out-edges) — without the
+    // dangling-mass redistribution, total rank leaks every iteration
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val pr = graft.operators.Dedup.pageRankDirected(edges)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.size === 3)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6,
+      s"dangling mass must be redistributed, not leaked: $pr")
+    assert(pr("c") > pr("b"), "c receives from both a and b")
+    assert(pr("b") > 0.0 && pr("a") > 0.0)
+    // parallel edges collapse, self-loops drop: same result
+    val noisy = edges.union(Seq(("a", "b"), ("c", "c")).toDF("src", "dst"))
+    val pr2 = graft.operators.Dedup.pageRankDirected(noisy)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2 === pr, "duplicate edge and self-loop must not move rank")
+    // direction matters: reversing the chain flips the ordering
+    val rev = Seq(("b", "a"), ("c", "a"), ("c", "b")).toDF("src", "dst")
+    val pr3 = graft.operators.Dedup.pageRankDirected(rev)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr3("a") > pr3("c"), "reversed edges must reverse the flow")
+  }
+
   test("poissonBootstrap: constant group has zero spread, CI brackets the mean, deterministic") {
     val const = (1L to 200L).map(i => ("c", i, 42.0))
     val varied = (1L to 200L).map(i => ("v", i, (i % 10).toDouble))
