@@ -7948,6 +7948,27 @@ object QueryCatalog {
        |FROM m""".stripMargin
   }
 
+  /** C4-style term-blocklist gate (TextAnalysis.blocklistGate): per-doc
+    * blocked-token counts + verdict via set-membership over the
+    * normalized token stream — the list includes an uppercase spelling
+    * (case-fold must hit), two corpus-frequent terms, and a term that
+    * never occurs. The oracle replays the same token split + IN probe. */
+  def q266BlocklistGate(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.blocklistGate(t(s, dir, "documents"),
+      Seq("SPARK", "slow", "vector", "zzzunused"))
+
+  val q266Sql: String = {
+    val in = "x IN ('spark', 'slow', 'vector', 'zzzunused')"
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(t, x -> $in)) AS BIGINT) AS n_blocked,
+       |  CAST(len(list_distinct(list_filter(t, x -> $in))) AS BIGINT) AS n_blocked_distinct,
+       |  CAST(CASE WHEN len(list_filter(t, x -> $in)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+       |FROM d""".stripMargin
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -8218,7 +8239,8 @@ object QueryCatalog {
     ("q262_host_graph", q262HostGraph _, Some(q262Sql)),
     ("q263_dot_segments", q263DotSegments _, Some(q263Sql)),
     ("q264_host_pagerank", q264HostPagerank _, Some(q264Sql)),
-    ("q265_meta_robots", q265MetaRobots _, Some(q265Sql)))
+    ("q265_meta_robots", q265MetaRobots _, Some(q265Sql)),
+    ("q266_blocklist_gate", q266BlocklistGate _, Some(q266Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -116,6 +116,37 @@ object TextAnalysis {
         md5(expr(s"substring(_text, chunk_ix * $stride + 1, $size)")).as("chunk_md5"))
   }
 
+  /** Term-blocklist gate — the C4-style wordlist filter (C4 dropped any
+    * page containing a listed word; later pipelines keep the verdict as
+    * an audit column for mixture decisions). Matching is SET-MEMBERSHIP
+    * over the normalized [[tokens]] stream, deliberately NOT a regex
+    * alternation over the list: leftmost-first (Java) vs
+    * leftmost-longest-eligible scanning diverges between engines exactly
+    * on alternations with shared prefixes, and a 10k-term alternation
+    * stops being codegen-friendly. The lowercased list compiles into one
+    * INSET probe inside a codegen'd projection; a list too large for
+    * plan literals moves to a broadcast set/Bloom probe
+    * ([[graft.functions.BloomFilter]]) with the same per-token shape.
+    * Single-token terms only — multi-word phrases go through the n-gram
+    * machinery, not this gate. NULL-text docs are excluded (no tokens to
+    * judge); returns (doc_id, n_tokens, n_blocked, n_blocked_distinct,
+    * blocked). One map pass, no shuffle. */
+  def blocklistGate(docs: DataFrame, terms: Seq[String],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val termsLc = terms.map(_.toLowerCase).distinct
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        size(filter(col("_t"), t => t.isin(termsLc: _*)))
+          .cast("long").as("n_blocked"),
+        size(array_distinct(filter(col("_t"), t => t.isin(termsLc: _*))))
+          .cast("long").as("n_blocked_distinct"))
+      .withColumn("blocked", (col("n_blocked") > 0).cast("long"))
+  }
+
   /** Gopher-style quality gate (Rae et al. 2021's repetition/format rules,
     * cut down to the deterministic core): word-count bounds, mean word
     * length bounds, symbol-to-word ratio cap, minimum stopword hits. One

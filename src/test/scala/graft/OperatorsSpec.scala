@@ -73,6 +73,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.contains("hot")) // 400/1300 > 1/8 — must survive any order
   }
 
+  test("blocklistGate: case-folded set membership, counts, NULL-text excluded") {
+    val d = Seq(
+      (1L, "The SLOW fox and the slow dog"), // 'slow' twice (case-folded), 'the' not listed
+      (2L, "clean text only"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "assault is not ass plus fault")) // substring must NOT match
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .blocklistGate(d, Seq("Slow", "ass", "missing"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3, "NULL text excluded")
+    assert(out(1L).getAs[Long]("n_blocked") === 2L)
+    assert(out(1L).getAs[Long]("n_blocked_distinct") === 1L)
+    assert(out(1L).getAs[Long]("blocked") === 1L)
+    assert(out(2L).getAs[Long]("blocked") === 0L)
+    assert(out(4L).getAs[Long]("n_blocked") === 1L,
+      "whole-token 'ass' hits once; 'assault' must not (set membership, not substring)")
+  }
+
   test("gopherFilter verdicts: word bounds, mean length, stopwords") {
     val d = Seq(
       (1L, ("the quick brown fox and a dog " * 6).trim),     // passes all

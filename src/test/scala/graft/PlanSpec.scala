@@ -831,6 +831,13 @@ class PlanSpec extends SparkSpec {
     assert(keyedExchanges(p) === 0, s"no keyed shuffle in a map-only gate:\n$p")
   }
 
+  test("q266 blocklist gate: one map pass, INSET probe, zero shuffles") {
+    val p = plan(QueryCatalog.q266BlocklistGate)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the gate is per-row set membership:\n$p")
+    assert(keyedExchanges(p) === 0, s"no shuffle in a map-only gate:\n$p")
+  }
+
   // q264 (directed PageRank) has no plan leg: every iteration frame is
   // localCheckpoint-materialized (the lineage-flattening contract), so
   // the visible executed plan is a checkpoint scan; the edge-building
