@@ -7687,7 +7687,7 @@ object QueryCatalog {
        |m AS (SELECT u.event_id, u.host, u.path, c.dir, c.rule
        |  FROM u JOIN chosen c ON c.host = u.host
        |  WHERE regexp_matches(u.path, '^' || $starred ||
-       |    (CASE WHEN ends_with(c.rule, '$$') THEN '$$' ELSE '' END))),
+       |    (CASE WHEN ends_with(c.rule, '$$') THEN '\\z' ELSE '' END))),
        |w AS (SELECT *, row_number() OVER (PARTITION BY event_id
        |    ORDER BY len(rule) DESC, dir ASC, rule ASC) AS rnk FROM m)
        |SELECT u.event_id, u.host, u.path,
@@ -7794,7 +7794,8 @@ object QueryCatalog {
        |  FROM e)
        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-       |FROM g WHERE dst_domain IS NOT NULL GROUP BY 1, 2""".stripMargin
+       |FROM g WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** Host-level web-graph edges (Html.linkEdges over synthLinkedDocs):

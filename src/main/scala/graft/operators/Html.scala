@@ -157,14 +157,30 @@ object Html {
     * external-link-ratio gates.
     *
     * 100 TB shape: extraction and host resolution are per-row codegen'd
-    * projections; the only shuffle is the final partial-aggregated
-    * groupBy on (src_domain, dst_domain), whose output cardinality is the
+    * projections; the aggregation is the two-level fold (per-doc slice,
+    * then the domain pair — the SAME two exchanges the old
+    * countDistinct's rewrite planned), and output cardinality is the
     * edge count of the domain graph — sparse in practice (bounded by
     * links actually present, never |domains|²). Skewed hub domains
-    * partial-aggregate before the exchange. */
+    * partial-aggregate before each exchange. */
   def linkEdges(docs: DataFrame, idCol: String = "doc_id",
                 srcHostCol: String = "src_host",
-                htmlCol: String = "html"): DataFrame = {
+                htmlCol: String = "html"): DataFrame =
+    linkEdgesByDoc(docs, idCol, srcHostCol, htmlCol)
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(sum(col("n_links")).as("n_links"),
+        count(lit(1)).as("n_docs"))
+
+  /** Per-DOCUMENT edge contributions — (src_domain, dst_domain, doc_id,
+    * n_links), the unit [[linkEdges]] folds and the natural idempotency
+    * key for incremental maintenance: a document's contribution is a
+    * deterministic function of its bytes, so a streaming twin merging on
+    * this key absorbs replays, fresh-checkpoint re-deliveries, and
+    * re-crawls of the same doc without a batch-id watermark
+    * ([[graft.streaming.StreamingLinkGraph]]). */
+  def linkEdgesByDoc(docs: DataFrame, idCol: String = "doc_id",
+                     srcHostCol: String = "src_host",
+                     htmlCol: String = "html"): DataFrame = {
     val links = docs.select(col(idCol).as("doc_id"), col(srcHostCol),
       explode(hrefsOf(col(htmlCol))).as("href"))
     // stage the two host columns as real attributes (the urlProfile
@@ -186,10 +202,14 @@ object Html {
           Urls.TrimmedPsl).as("src_domain"),
         Urls.etld1FromLabels(col("dst_host"), col("dst_labs"),
           Urls.TrimmedPsl).as("dst_domain"))
-      .filter(col("dst_domain").isNotNull)
-      .groupBy(col("src_domain"), col("dst_domain"))
-      .agg(count(lit(1)).as("n_links"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      // BOTH ends must resolve: a NULL src_host (an unparseable crawl
+      // record) would otherwise mint NULL-domain edges that the degree
+      // stitch reports as a phantom hub while pageRankDirected's
+      // src =!= dst filter silently drops them — the two readouts of one
+      // edge list would disagree
+      .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull)
+      .groupBy(col("src_domain"), col("dst_domain"), col("doc_id"))
+      .agg(count(lit(1)).as("n_links"))
   }
 
   /** Per-domain degree profile over [[linkEdges]] output: out/in degree

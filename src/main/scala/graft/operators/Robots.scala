@@ -119,7 +119,11 @@ object Robots {
       call_function("replace", acc, lit(m), lit(r))
     }
     val starred = call_function("replace", escaped, lit("*"), lit(".*"))
-    val pattern = concat(lit("^"), starred, when(anchored, lit("$")).otherwise(lit("")))
+    // the end anchor is \z, not $: Java's '$' also matches before a final
+    // newline (a path CAN end in \n — UrlRe's path class admits it), RE2's
+    // does not; \z means end-of-text in both, so the byte-identical
+    // pattern contract with the oracle holds with identical semantics
+    val pattern = concat(lit("^"), starred, when(anchored, lit("\\z")).otherwise(lit("")))
     regexp_like(path, pattern)
   }
 

@@ -138,11 +138,14 @@ object TextAnalysis {
     val termsLc = terms.map(_.toLowerCase).distinct
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
-      .select(col("doc_id"),
-        size(col("_t")).cast("long").as("n_tokens"),
-        size(filter(col("_t"), t => t.isin(termsLc: _*)))
-          .cast("long").as("n_blocked"),
-        size(array_distinct(filter(col("_t"), t => t.isin(termsLc: _*))))
+      // stage the filtered array once (the urlProfile staging lesson):
+      // ArrayFilter is an interpreted HOF, so inlining it into both count
+      // columns would run the per-token probe twice per document
+      .select(col("doc_id"), size(col("_t")).cast("long").as("n_tokens"),
+        filter(col("_t"), t => t.isin(termsLc: _*)).as("_blocked"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_blocked")).cast("long").as("n_blocked"),
+        size(array_distinct(col("_blocked")))
           .cast("long").as("n_blocked_distinct"))
       .withColumn("blocked", (col("n_blocked") > 0).cast("long"))
   }

@@ -176,7 +176,11 @@ object Urls {
       }
     val rd = suffixLen + 1
     when(h.isNull, lit(null).cast("string"))
-      .when(h.rlike("^[0-9.]+$"), h) // IPv4 literal
+      // \z, not $: Java's '$' also matches BEFORE a final newline, RE2's
+      // does not — and UrlRe's host class admits \n, so a crawled
+      // "10.0.0.7\n" host would classify as an IP literal here but not in
+      // the oracle's RE2 replay (whose '$' already means end-of-text)
+      .when(h.rlike("^[0-9.]+\\z"), h) // IPv4 literal
       .when(n <= suffixLen, h)       // the host IS a public suffix
       .otherwise(concat_ws(".", slice(labels, lit(0) - rd, rd)))
   }
@@ -244,7 +248,9 @@ object Urls {
 
   /** Tracking query parameters a canonicalizer strips — the public
     * cross-site set (UTM campaign tags, click ids, the bare `ref`). */
-  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?$"
+  // \z, not $ (the etld1FromLabels note): a param value ending in \n must
+  // read identically in Java and the oracle's RE2
+  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?\\z"
 
   /** Canonical URL — the normalization every crawl frontier and URL-level
     * dedup applies BEFORE hashing, so `HTTP://Host.com:80/a//b?b=2&a=1&utm_x=9`
@@ -270,7 +276,7 @@ object Urls {
   def canonicalOf(scheme: Column, host: Column, port: Column,
                   path: Column, query: Column): Column = {
     val sch = lower(scheme)
-    val h = regexp_replace(host, "\\.$", "")
+    val h = regexp_replace(host, "\\.\\z", "") // \z: see the etld1FromLabels note
     val defPort = (sch === "http" && port === 80L) ||
       (sch === "https" && port === 443L)
     val portPart = when(port.isNull || defPort, lit(""))
@@ -303,7 +309,9 @@ object Urls {
     // a trailing '/.' or '/..' must LEAVE a trailing slash (spec steps
     // 2B/2C move a '/' back to the input); appending one here lets the
     // stack walk see it as an explicit empty final segment
-    val p2 = when(p.rlike("/\\.\\.?$"), concat(p, lit("/"))).otherwise(p)
+    // \z, not $: Java's '$' also fires before a final newline, and "..\n"
+    // is an ORDINARY segment — the buffer-walk reference agrees
+    val p2 = when(p.rlike("/\\.\\.?\\z"), concat(p, lit("/"))).otherwise(p)
     val segs0 = split(p2, "/")
     val segs = slice(segs0, lit(2), size(segs0)) // drop the leading '' of an absolute path
     val emptyStack = array().cast("array<string>")

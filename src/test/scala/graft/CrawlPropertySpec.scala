@@ -41,7 +41,10 @@ class CrawlPropertySpec extends SparkSpec {
     val hosts = Seq.tabulate(600) { _ =>
       val n = 1 + rnd.nextInt(5)
       Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString(".")
-    } ++ Seq("10.0.0.7", "ck", "www.ck", "city.kawasaki.jp", "a.b.c.d.e.co.uk")
+    } ++ Seq("10.0.0.7", "ck", "www.ck", "city.kawasaki.jp", "a.b.c.d.e.co.uk",
+      // a newline-bearing "IP" host: Java '$' would have classified it as
+      // an IP literal, the reference's whole-string matches() never did
+      "10.0.0.7\n")
     val got = hosts.toDF("host")
       .select(col("host"), Urls.etld1Of(col("host")).as("e"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -60,13 +63,16 @@ class CrawlPropertySpec extends SparkSpec {
     // quoting via \Q..\E, a different escape mechanism than replace()
     val full = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
       .mkString(".*")
-    val rx = ("^" + full + (if (anchored) "$" else "")).r
+    // \z like the implementation: '$' in Java also fires before a final
+    // newline, which is NOT RFC 9309 end-of-path
+    val rx = ("^" + full + (if (anchored) "\\z" else "")).r
     rx.findFirstIn(path).isDefined
   }
 
   test("robots rule matching == Pattern.quote reference on randomized paths/rules") {
     val rnd = new scala.util.Random(1009)
-    val segs = Seq("a", "bb", "data", "x.json", "ok", "tmp", "p+q", "(v)", "b[1]")
+    val segs = Seq("a", "bb", "data", "x.json", "ok", "tmp", "p+q", "(v)", "b[1]",
+      "x.json\n") // a path ending in \n must NOT satisfy a $-anchored rule
     def randPath() = "/" + Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.length))).mkString("/")
     val rules = Seq("/a", "/a/*", "/tmp/*.json$", "/data", "/p+q", "/(v)", "/b[1]",
       "/*ok$", "/", "/a*b")
@@ -121,7 +127,8 @@ class CrawlPropertySpec extends SparkSpec {
 
   test("resolveDotSegments == the RFC buffer walk on randomized paths") {
     val rnd = new scala.util.Random(733)
-    val atoms = Seq("a", "bb", ".", "..", "x.y", "..z", "z..", "...", "")
+    val atoms = Seq("a", "bb", ".", "..", "x.y", "..z", "z..", "...", "",
+      "..\n", "a\n") // "..\n" is an ORDINARY segment — '$' would dot-treat it at path end
     val paths = Seq.tabulate(600) { _ =>
       val n = rnd.nextInt(6)
       "/" + Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString("/")

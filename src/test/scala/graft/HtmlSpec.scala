@@ -102,7 +102,10 @@ class HtmlSpec extends SparkSpec {
           "<a href=\"mailto:z@b.org\">m</a>"),
       (2L, "www.a.co.uk",
         "<a href=\"http://www.b.org/2\">y</a><a href=\"ftp://f.b.org/f\">f</a>"),
-      (3L, "www.b.org", "<a href=\"//cdn.a.co.uk/l.js\">c</a>"))
+      (3L, "www.b.org", "<a href=\"//cdn.a.co.uk/l.js\">c</a>"),
+      // NULL src_host (unparseable record): its links must not mint
+      // NULL-domain edges
+      (4L, null.asInstanceOf[String], "<a href=\"http://www.b.org/x\">n</a>"))
       .toDF("doc_id", "src_host", "html")
     val edges = Html.linkEdges(docs).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
