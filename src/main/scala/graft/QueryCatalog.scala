@@ -1712,12 +1712,13 @@ object QueryCatalog {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
 
   val q79Sql: String =
-    """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents
+      |      WHERE doc_id IS NOT NULL GROUP BY 1),
       |w AS (SELECT lang, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt FROM n),
       |t AS (SELECT lang, wt, (200 * wt) // (SELECT sum(wt) FROM w) AS target FROM w),
       |r AS (SELECT d.lang, row_number() OVER (PARTITION BY d.lang
       |        ORDER BY CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000, d.doc_id) AS rn
-      |      FROM documents d)
+      |      FROM documents d WHERE d.doc_id IS NOT NULL)
       |SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept
       |FROM r JOIN t USING (lang) WHERE rn <= t.target GROUP BY 1""".stripMargin
 

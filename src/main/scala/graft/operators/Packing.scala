@@ -335,10 +335,13 @@ object Packing {
                      window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       "need 1 <= stride <= window")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // ONE tokenizer pass: _n derives from the staged array — nTok would
+    // re-run the whole lower/trim/regexp/split per row, and its blank
+    // guard is already enforced by the filter above
     val base = df
       .filter(!isBlank(col(textCol)))
-      .select(col(idCol), toks.as("_toks"), nTok(col(textCol)).as("_n"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).cast("long").as("_n"))
     val lastChunk = when(col("_n") > window,
         expr(s"(_n - $window + $stride - 1) DIV $stride")).otherwise(lit(0L))
     base

@@ -28,21 +28,33 @@ object Sampling {
   /** Uniform hash bucket in [0, 1e6) for a key column (content-derived,
     * partition-independent). `salt` decorrelates independent samples over
     * the same keys. */
-  def hashBucket(key: Column, salt: String = ""): Column =
+  /** The shared 48-bit content hash (first 12 md5 hex digits) every
+    * sampler's bucket/draw derives from — ONE definition, so the hash
+    * contract cannot drift between [[hashBucket]] and [[weightedSample]]. */
+  def hash48(key: Column, salt: String = ""): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12), 16, 10)
-      .cast("long") % buckets
+      .cast("long")
+
+  def hashBucket(key: Column, salt: String = ""): Column =
+    hash48(key, salt) % buckets
 
   /** Keep ~`fraction` of rows, chosen by key hash — deterministic across
     * runs, partitionings, and engines. */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
-                          salt: String = ""): DataFrame =
+                          salt: String = ""): DataFrame = {
+    // the threeWaySplit precedent: an out-of-range fraction silently
+    // empties (or silently keeps) the sample — fail loudly instead
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
     df.filter(hashBucket(col(keyCol), salt) < (fraction * buckets).toLong)
+  }
 
   /** Per-stratum fractions: e.g. keep 10% of "en" docs, 50% of "de".
     * Strata absent from the map are dropped (explicit is safer than a
     * silent default at corpus scale). One scan, no shuffle. */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        fractions: Map[String, Double], salt: String = ""): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"every stratum fraction must be in [0,1]: $fractions")
     val frac = fractions.foldLeft(lit(null).cast("double")) { case (acc, (k, f)) =>
       when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
@@ -99,8 +111,18 @@ object Sampling {
   def temperatureRebalance(df: DataFrame, groupCol: String, keyCol: String,
                            totalTarget: Long, salt: String = ""): DataFrame = {
     require(totalTarget > 0, "totalTarget must be positive")
-    val weights = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    // NULL keys are excluded, not sampled (the weightedSample contract):
+    // a group's NULL-key rows tie completely in the selection window
+    // (NULL hash AND NULL tie-break), so which ones survive the rank cut
+    // would depend on partition order — the one shape that breaks this
+    // operator's bit-for-bit replay promise. Excluded BEFORE the weights
+    // too, so targets reflect only sampleable rows.
+    val eligible = df.filter(col(keyCol).isNotNull)
+    // control-plane frame, read twice (totW and targets) — materialize
+    // once like the packSequences/balancedShards siblings
+    val weights = eligible.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
+      .localCheckpoint(true)
     val totW = weights.agg(sum(col("_w")).as("_tw"))
     val targets = weights.crossJoin(broadcast(totW))
       .withColumn("_target", expr(s"(${totalTarget}L * _w) div _tw"))
@@ -109,7 +131,7 @@ object Sampling {
       .partitionBy(col(groupCol))
       .orderBy(hashBucket(col(keyCol), salt).asc_nulls_last,
         col(keyCol).asc_nulls_last)
-    df.join(broadcast(targets), col(groupCol) <=> col("_grp"))
+    eligible.join(broadcast(targets), col(groupCol) <=> col("_grp"))
       .withColumn("_rn", row_number().over(rn))
       .filter(col("_rn") <= col("_target"))
       .drop("_grp", "_n", "_w", "_tw", "_target", "_rn")
@@ -136,8 +158,7 @@ object Sampling {
   def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
                      weightCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
-    val h = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 12), 16, 10)
-      .cast("long")
+    val h = hash48(col(keyCol), salt)
     val u = (h.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
     // ln(u) < 0, so DIVIDING by a larger weight pulls the priority toward
     // 0 from below: rank ascending-by-|ln(u)|/w == descending u^(1/w)
@@ -245,6 +266,10 @@ object Sampling {
     val us = Times.epochMicros(col(tsCol))
     val splitUs = Times.epochMicros(to_timestamp(lit(splitAt)))
     val embargoUs = Times.parseDurationUs(embargo)
+    // a NEGATIVE embargo would shift the train cut PAST splitAt and the
+    // when-chain (train tested first) would silently label test-period
+    // rows "train" — the exact leakage this operator exists to prevent
+    require(embargoUs >= 0, s"embargo must be non-negative: $embargo")
     df.withColumn("split",
       when(us.isNull, lit(null).cast("string"))
         .when(us < splitUs - embargoUs, lit("train"))

@@ -94,9 +94,14 @@ object Layout {
     // ids, monotonically_increasing_id with partition bits) would ALIAS
     // another id's position and the 'collision-free shuffle' contract
     // silently breaks — fail per-row instead
-    val guarded = when(col(idCol) < 0 || col(idCol) >= lit(1L << 32),
+    // isNull FIRST: a NULL id makes both range tests NULL (not true), so
+    // without it NULL ids would skip the raise_error, collapse onto one
+    // NULL position, and silently break the collision-free contract
+    val guarded = when(col(idCol).isNull ||
+        col(idCol) < 0 || col(idCol) >= lit(1L << 32),
         raise_error(concat(lit(s"writeEpochShuffled: $idCol out of the " +
-          "feistel32 domain [0, 2^32): "), col(idCol).cast("string"))))
+          "feistel32 domain [0, 2^32): "),
+          coalesce(col(idCol).cast("string"), lit("NULL")))))
       .otherwise(graft.functions.FeistelPermute.feistel(col(idCol), lit(seed)))
     df.withColumn("_pos", guarded)
       .repartitionByRange(shards, col("_pos"))
@@ -122,8 +127,18 @@ object Layout {
       return
     }
     def quantized(c: String, lo: Long, hi: Long) = {
-      val width = math.max(1L, (hi - lo) / 65536L + 1)
-      ((col(c).cast("long") - lo) / width).cast("long")
+      // BigInt span: a domain spanning more than Long.MaxValue (a 64-bit
+      // hash column) would wrap the raw subtraction negative and force
+      // width = 1 — morton16 then reads only the low 16 bits and shard
+      // locality silently dies. The row-level subtraction runs in
+      // DECIMAL for the same reason (ANSI long arithmetic throws
+      // mid-write); `div` is integral division, exact at any magnitude.
+      val width = ((BigInt(hi) - BigInt(lo)) / 65536 + 1).max(1).toLong
+      // lo as a string-cast decimal: a bare Long.MinValue literal cannot
+      // be parsed (the parser sees unary minus over an overflowing digit
+      // run)
+      expr(s"(CAST(`$c` AS DECIMAL(21,0)) - CAST('${lo}' AS DECIMAL(21,0)))" +
+        s" div ${width}L")
     }
     df.withColumn("_z", key(
         quantized(xCol, b.getLong(0), b.getLong(1)),

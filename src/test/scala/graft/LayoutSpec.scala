@@ -57,6 +57,19 @@ class LayoutSpec extends SparkSpec {
     assert(rows === Seq(0L, (1L << 32) - 1, 1L << 31, 1L << 30, 0x9L))
   }
 
+  test("writeZOrdered survives a full-Long domain (64-bit hash columns)") {
+    // span hi-lo > Long.MaxValue: raw long arithmetic would wrap the
+    // width negative (forcing width=1, destroying locality) and the
+    // per-row subtraction would throw under ANSI — the DECIMAL path must
+    // quantize cleanly instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-zext").toString
+    val ext = Seq((Long.MinValue, 0L), (Long.MaxValue, 1L), (0L, Long.MaxValue),
+      (-1L, Long.MinValue), (42L, -42L)).toDF("x", "y")
+    graft.plans.Layout.writeZOrdered(ext, "x", "y", dir, shards = 2)
+    assert(spark.read.parquet(dir).count() === 5L,
+      "all rows must survive the extreme-domain write")
+  }
+
   test("z-ordered shards bound BOTH dimensions; lexicographic sort only one") {
     // a full 64x64 grid: every (x, y); z-order should carve it into
     // near-square tiles, while sorting by x gives full-height stripes
