@@ -61,14 +61,22 @@ object Eval {
       .withColumn("_ar2",
         lit(2L) * rank().over(rankW).cast("long") +
           count(lit(1)).over(tieW) - lit(1L))
+    // DECIMAL(38,0) fold like rocAucSharded: Σ_pos(2r+c−1) reaches
+    // n_pos·2n ~ 10^20 at the scales this file advertises — a BIGINT sum
+    // would wrap SILENTLY. rank() itself is 32-bit (a Spark limit the
+    // sharded twin documents per bucket): past 2^31 rows per group the
+    // window wraps, so the AUC goes loudly NULL there instead of lying.
     ranked.groupBy(col(groupCol))
-      .agg(sum(col("_pos")).as("n_pos"),
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_pos")).as("n_pos"),
         sum(lit(1L) - col("_pos")).as("n_neg"),
-        sum(col("_pos") * col("_ar2")).as("_s2"))
+        sum((col("_pos") * col("_ar2")).cast("decimal(38,0)")).as("_s2"))
       .select(col(groupCol), col("n_pos"), col("n_neg"),
-        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+        when(col("n_pos") === 0 || col("n_neg") === 0 ||
+            col("_n") >= lit(Int.MaxValue.toLong), lit(null).cast("double"))
           .otherwise(round(
-            (col("_s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (col("_s2") - (col("n_pos") * (col("n_pos") + 1)).cast("decimal(38,0)"))
+              .cast("double") /
               (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
           .as("auc"))
   }
@@ -171,11 +179,16 @@ object Eval {
     // NULL confidence/indicator rows are excluded: least() skips NULL
     // arguments, so a NULL conf would land in the TOP bin (inflating its
     // n and acc while its conf skips sum_conf) instead of being rejected
+    // bin from _c — the SAME value the masses sum: binning on the raw
+    // conf while summing its (18,6) cast would let a finer-scale input
+    // land boundary mass in one bin and its rounded weight in another
     val binned = df.select(
-      least(floor(col(confCol) * bins).cast("long"), lit(bins - 1L)).as("bin"),
       col(confCol).cast("decimal(18,6)").as("_c"),
       col(posCol).cast("long").as("_p"))
       .filter(col("_c").isNotNull && col("_p").isNotNull)
+      .select(
+        least(floor(col("_c") * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        col("_c"), col("_p"))
     val agg = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_c")).as("_sc"),
         sum(col("_p")).as("_sp"))
@@ -252,9 +265,13 @@ object Eval {
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
                  k: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    // NULL is a sensitive VALUE to an attacker (absence is learnable):
+    // countDistinct alone skips NULLs, so an all-NULL class would report
+    // l = 0 and drag the frame minimum to a meaningless zero
     val classes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("_n"),
-        countDistinct(col(sensitiveCol)).as("_l"))
+        (countDistinct(col(sensitiveCol)) +
+          max(col(sensitiveCol).isNull.cast("long"))).as("_l"))
     classes.agg(
       min(col("_n")).as("k_anonymity"),
       min(col("_l")).as("l_diversity"),
@@ -392,8 +409,12 @@ object Eval {
                            calCol: String, alphaNum: Long, alphaDen: Long,
                            buckets: Int = 1024): DataFrame = {
     val g = col(groupCol)
+    // materialized once: thr feeds the coverage join, the scored frame,
+    // AND the unscored anti-join — without this the whole threshold
+    // pipeline (histogram, cumulative window, rank pick) re-runs three
+    // times over the calibration split. ≤ |groups| rows, control-plane.
     val thr = conformalThreshold(df.filter(col(calCol)), groupCol, scoreCol,
-      alphaNum, alphaDen, buckets)
+      alphaNum, alphaDen, buckets).localCheckpoint(true)
     // empirical coverage on the test split — grouped from the TEST side,
     // then left-joined back onto the thresholds so a group with
     // calibration rows but no test rows still surfaces its qhat
@@ -465,7 +486,6 @@ object Eval {
         col(posCol).cast("long").as("_y"))
       .groupBy(g, col("_x"))
       .agg(sum(col("_y")).as("_sy"), count(lit(1)).as("_n"))
-    val spark = df.sparkSession
     import org.apache.spark.sql.Encoders
     val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble,
       Encoders.scalaLong, Encoders.scalaLong)

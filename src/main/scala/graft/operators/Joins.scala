@@ -253,9 +253,26 @@ object Joins {
         s"small=$smallKeyType, large=$largeKeyType): the string-hash filter " +
         "cannot guarantee result identity across other coercions — cast the " +
         "key columns to a common type first")
+    // Hash in the JOIN's coercion type, not blindly the large side's:
+    // with a FLOATING side anywhere, the plain join compares in DOUBLE —
+    // casting a double small key back to an integral/decimal large type
+    // is LOSSY exactly where doubles alias (2^53+1 as BIGINT matches
+    // 2^53 as DOUBLE in the plain join, but '9007199254740993' is not in
+    // a filter built from '9007199254740992' — a silently dropped row).
+    // Hashing BOTH sides as double mirrors what the join itself compares;
+    // any aliasing this introduces is a false POSITIVE the exact join
+    // removes. For exact-numeric pairs (integral/decimal) the large type
+    // IS the comparison type and the one-sided cast is value-preserving
+    // for every matchable key (see the guard comment above).
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+    val floatingPair = smallKeyType != largeKeyType &&
+      Seq(smallKeyType, largeKeyType).exists(t =>
+        t == DoubleType || t == FloatType)
+    val hashType: DataType =
+      if (floatingPair) DoubleType else largeKeyType
     val smallKey =
       if (smallKeyType == largeKeyType) col(key)
-      else col(key).try_cast(largeKeyType)
+      else col(key).try_cast(hashType)
     // The filter is materialized to the driver and probed as a LITERAL
     // array — the standard runtime-filter shape (what Spark's own Bloom
     // runtime filters do with their subquery result). Joining the one-row
@@ -271,10 +288,12 @@ object Joins {
       Sketches.bloomFilter(smallKey, numBits, numHashes).as("_bf")).head()
     locally {
       val bits = bfRow.getSeq[Long](0).toIndexedSeq
+      val largeHashKey =
+        if (floatingPair) col(key).cast(DoubleType) else col(key)
       val probe = org.apache.spark.sql.graftbridge.Bridge.toColumn(
         graft.functions.BloomProbe(
           org.apache.spark.sql.graftbridge.Bridge.toExpression(
-            col(key).cast("string")),
+            largeHashKey.cast("string")),
           bits, numBits, numHashes))
       large
         .filter(col(key).isNotNull && probe)

@@ -234,4 +234,22 @@ class JoinsSpec extends SparkSpec {
       Joins.bloomFilteredJoin(largeStr, smallNum, "k")
     }
   }
+
+  test("bloomFilteredJoin: integral-large vs floating-small beyond 2^53 keeps identity") {
+    import org.apache.spark.sql.functions.col
+    // the plain join compares BIGINT vs DOUBLE in DOUBLE, where 2^53 and
+    // 2^53+1 ALIAS — hashing the large key in its own integral type would
+    // false-negative away a row the plain join emits; both sides must
+    // hash in the join's comparison type (double)
+    val big = (1L << 53) // 9007199254740992
+    val large = Seq((big, 1), (big + 1, 2), (42L, 3)).toDF("k", "payload")
+    val small = Seq(big.toDouble, 42.0).toDF("k")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("payload")).collect().map(_.getInt(0)).sorted.toSeq
+    val plain = canon(large.join(small, Seq("k"), "inner"))
+    assert(plain === Seq(1, 2, 3),
+      "fixture sanity: double coercion aliases 2^53 and 2^53+1")
+    assert(canon(Joins.bloomFilteredJoin(large, small, "k")) === plain,
+      "the bloom variant must keep every row the plain join emits")
+  }
 }
