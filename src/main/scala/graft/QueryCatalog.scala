@@ -1852,7 +1852,7 @@ object QueryCatalog {
       |      WINDOW w AS (PARTITION BY event_type ORDER BY day
       |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, day, n,
-      |  CASE WHEN m = 0 THEN false
+      |  CASE WHEN m < 2 THEN false
       |    ELSE (m * n - s) * (m * n - s) > 4 * (m * q - s * s) END AS anomaly
       |FROM f""".stripMargin
 
@@ -1954,7 +1954,7 @@ object QueryCatalog {
 
   val q89Sql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
-      |      FROM events WHERE ts IS NOT NULL),
+      |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |l AS (SELECT user_id, event_id, us,
       |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
@@ -4667,7 +4667,7 @@ object QueryCatalog {
       |a AS (SELECT max(tus) AS asof FROM base),
       |per AS (SELECT user_id,
       |    CAST((a.asof - max(tus)) // 86400000000 AS BIGINT) AS recency_days,
-      |    count(*) AS frequency, CAST(sum(v) AS DOUBLE) AS monetary
+      |    count(*) AS frequency, CAST(coalesce(sum(v), 0) AS DOUBLE) AS monetary
       |  FROM base CROSS JOIN a GROUP BY user_id, a.asof),
       |b AS (SELECT
       |    round(quantile_cont(recency_days, 0.2), 6) AS r20,
@@ -7376,7 +7376,9 @@ object QueryCatalog {
       |  FROM events
       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
-      |SELECT t0 || '>' || t1 || '>' || t2 AS path,
+      |SELECT replace(replace(t0, '\', '\\'), '>', '\>') || '>' ||
+      |  replace(replace(t1, '\', '\\'), '>', '\>') || '>' ||
+      |  replace(replace(t2, '\', '\\'), '>', '\>') AS path,
       |  CAST(count(*) AS BIGINT) AS n_occurrences,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
       |FROM st WHERE t1 IS NOT NULL AND t2 IS NOT NULL

@@ -14,8 +14,16 @@ object Events {
     * the stage-k event STRICTLY AFTER their stage-(k−1) entry time (the
     * ordered-funnel semantics: a purchase before the first view does not
     * count a user through the view→purchase funnel), optionally within
-    * `maxGapHours` of it (the conversion-window variant every analytics
-    * product ships).
+    * `maxGapHours` of it.
+    *
+    * The windowed variant is FIRST-TOUCH: stage k is anchored at the
+    * user's EARLIEST qualifying stage-(k−1) entry, and a user whose first
+    * entry falls outside the window is NOT re-attempted from a later
+    * occurrence (A@00:00, A@05:00, B@05:30 with a 1 h window does not
+    * convert — the re-attempting "any qualifying sequence" variant some
+    * products offer needs a sequential per-user scan, a different
+    * operator). Without a window the greedy min IS optimal and the two
+    * semantics coincide.
     *
     * Shape: one `min(ts)` aggregate per stage, each keyed by user — k
     * small shuffles all on the same key (and the join back to events
@@ -83,8 +91,10 @@ object Events {
       .otherwise(0L)
     // a NULL-ts event would sort first and mint its own junk singleton
     // session, renumbering every real session_ix on replay with one more
-    // NULL row — exclude, like markovTransitions
-    events.filter(col(tsCol).isNotNull)
+    // NULL row; NULL-user events are DIFFERENT unknown visitors that a
+    // NULL window partition would interleave into one phantom user's
+    // sessions — exclude both, like every other operator in this file
+    events.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
       .withColumn("_new", newSession)
       .withColumn("session_ix", sum(col("_new")).over(w))
       .groupBy(col(userCol), col("session_ix"))
@@ -166,9 +176,12 @@ object Events {
         Times.epochMicros(col(tsCol)).as("_tus"),
         col(valueCol).cast("decimal(18,2)").as("_v"))
     val asOf = base.agg(max(col("_tus")).as("_asof"))
+    // coalesce: a user whose value column is NULL on every event is a
+    // real no-revenue user — monetary 0 scores the m floor (1), where a
+    // NULL would propagate through the score into a NULL segment string
     val per = base.groupBy(col("user_id"))
       .agg(max(col("_tus")).as("_last"), count(lit(1)).as("frequency"),
-        sum(col("_v")).as("_m"))
+        coalesce(sum(col("_v")), lit(0).cast("decimal(18,2)")).as("_m"))
       .crossJoin(broadcast(asOf))
       .select(col("user_id"),
         // integer `div`, never double division — a quotient that double
@@ -274,7 +287,15 @@ object Events {
     withLeads
       .filter((1 until k).map(i => col(s"_t$i").isNotNull).reduce(_ && _))
       .select(col(unitCol).as("_unit"),
-        concat_ws(">", (0 until k).map(i => col(s"_t$i")): _*).as("path"))
+        // escape '>' inside event types BEFORE joining on '>': without it
+        // ('a>b', 'c') and ('a', 'b>c') collide into one counted key
+        // 'a>b>c' — distinct paths pooling support neither has. Literal
+        // replaces (backslash first, so the escape char escapes itself),
+        // byte-identical in any engine.
+        concat_ws(">", (0 until k).map(i =>
+          call_function("replace",
+            call_function("replace", col(s"_t$i"), lit("\\"), lit("\\\\")),
+            lit(">"), lit("\\>"))): _*).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("_unit")).as("n_units"))

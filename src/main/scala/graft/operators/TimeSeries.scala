@@ -18,7 +18,10 @@ object TimeSeries {
     * alignment), computed with [[Stats.corrVerdict]]'s integer law —
     * totals scale to exact cents, all five sums are exact, and the
     * displayed acf is one fixed-shape double readout rounded to 6.
-    * Degenerate lags (constant series, < 2 pairs) yield NULL.
+    * Degenerate lags (constant series, one pair) yield a row with NULL
+    * acf; a lag pairing ZERO days emits NO row at all (the group never
+    * forms) — consumers wanting the dense (series, lag) grid left-join
+    * against it.
     *
     * Scale: one (series, day) aggregate, one self-equi-join per lag on
     * (series, day+ℓ) — maxLag scans of a frame already collapsed to
@@ -156,7 +159,12 @@ object TimeSeries {
         coalesce(sum(c).over(w), lit(0L)).as("_s"),
         coalesce(sum(c * c).over(w), lit(0L)).as("_q"))
       .select(col(seriesCol), col(dayCol), col("n"),
-        when(col("_m") === 0, lit(false)).otherwise(
+        // m < 2, not m == 0: a 1-row baseline has ZERO variance, so the
+        // cross-multiplied test (m·x−S)² > k²·0 flags ANY deviation —
+        // every series' second day would false-alarm on a 1% fluctuation;
+        // with m ≥ 2 a zero variance means a genuinely constant baseline,
+        // where flagging any change is the intended semantics
+        when(col("_m") < 2, lit(false)).otherwise(
           (col("_m") * col("n") - col("_s")) * (col("_m") * col("n") - col("_s")) >
             lit(sigmas.toLong * sigmas) * (col("_m") * col("_q") - col("_s") * col("_s")))
           .as("anomaly"))
@@ -185,7 +193,14 @@ object TimeSeries {
                  horizonDays: Int = 14): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
     require(horizonDays >= 1 && horizonDays <= 3650, "horizon out of range")
-    val d = daily.localCheckpoint(true) // scatter source AND target spine
+    // value-NULL rows (a gapFillDaily leading gap, a missing metric)
+    // carry NO weight: scattered unfiltered they would add to _den while
+    // their NULL _wx skips _num — silently DEFLATING every smoothed value
+    // within horizonDays of a gap. They are not target days either: the
+    // readout joins back onto observed days, and a day with no value has
+    // no (value, ewma) row to report.
+    val d = daily.filter(col(valueCol).isNotNull)
+      .localCheckpoint(true) // scatter source AND target spine
     val offsets = array((0 until horizonDays).map { dl =>
       // Int, not Long: a DateType day column resolves `day + delta` to
       // date_add, whose increment must be int — Long fails analysis
@@ -201,7 +216,12 @@ object TimeSeries {
         col("_ow.w").as("_w"))
       .groupBy(col(seriesCol), col(dayCol))
       .agg(sum(col("_wx")).as("_num"), sum(col("_w")).as("_den"))
-    d.join(scattered, Seq(seriesCol, dayCol))
+    // null-SAFE series key (the autocorrelation/cusum convention): a
+    // NULL-keyed series is a real series — a using-columns join would
+    // silently drop all of its rows
+    d.join(scattered.withColumnRenamed(seriesCol, "_sg")
+          .withColumnRenamed(dayCol, "_dg"),
+        col(seriesCol) <=> col("_sg") && col(dayCol) === col("_dg"))
       .select(col(seriesCol), col(dayCol), col(valueCol),
         Stats.canonZero(
           round(col("_num").cast("double") / col("_den").cast("double"), 6))
@@ -232,7 +252,11 @@ object TimeSeries {
       .select(col(seriesCol), explode(sequence(col("_mn"), col("_mx"))).as(dayCol))
     val w = Window.partitionBy(col(seriesCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(d, Seq(seriesCol, dayCol), "left")
+    // null-SAFE series key (the autocorrelation/cusum convention): the
+    // spine's distinct() emits the NULL series, and a using-columns join
+    // would pair none of its observed values — a phantom all-gap series
+    spine.join(d.withColumnRenamed(seriesCol, "_sg").withColumnRenamed(dayCol, "_dg"),
+        col(seriesCol) <=> col("_sg") && col(dayCol) === col("_dg"), "left")
       .select(col(seriesCol), col(dayCol),
         col(valueCol).isNull.as("was_gap"),
         last(col(valueCol), ignoreNulls = true).over(w).as(valueCol))
