@@ -38,6 +38,10 @@ object ApproxQuantile {
     val mm = df.groupBy(col(groupCol))
       .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
       .withColumnRenamed(groupCol, "_grp")
+      // per-group row, read by BOTH broadcast joins (binning and the
+      // cumulative pick) — without this pass 1 scans the input twice
+      // (the exactOrderStats convention)
+      .localCheckpoint(true)
     val b = df.filter(v.isNotNull)
       .join(broadcast(mm), col(groupCol) <=> col("_grp"))
       .filter(col("_mx") > col("_mn"))
@@ -369,8 +373,21 @@ object ApproxQuantile {
     * paths sample IDENTICAL pairs. */
   private[graft] def rowHash60(idCols: Seq[String]): Column = {
     require(idCols.nonEmpty, "idCols must uniquely key rows")
+    // the joint key must be INJECTIVE: concat_ws silently SKIPS NULL
+    // components (("a",NULL) and (NULL,"a") would collide) and a raw '|'
+    // inside a value aliases the separator — escape (backslash first, so
+    // the escape escapes itself), then sentinel NULLs; an escaped value
+    // can never read "\N", so the sentinel is unambiguous. Identical
+    // bytes to the plain concat for separator-free non-NULL keys (every
+    // existing oracle's shape).
+    def enc(n: String) = coalesce(
+      call_function("replace",
+        call_function("replace", col(n).cast("string"),
+          lit("\\"), lit("\\\\")),
+        lit("|"), lit("\\|")),
+      lit("\\N"))
     conv(substring(md5(
-      concat_ws("|", idCols.map(col): _*)), 1, 15), 16, 10).cast("long")
+      concat_ws("|", idCols.map(enc): _*)), 1, 15), 16, 10).cast("long")
   }
 
   /** The rank-sample readout — exactQuantiles' r = q·(m−1) interpolation

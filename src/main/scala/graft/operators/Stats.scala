@@ -227,22 +227,28 @@ object Stats {
     * ~1e37 — comfortably true for per-group slices into the billions of
     * rows with bounded metrics; past that, rescale the metrics.
     *
-    * Scale: ONE hash-aggregate over the group key (six long sums, map-
-    * side partial); everything after runs on one row per group.
+    * Scale: ONE hash-aggregate over the group key (six exact decimal
+    * sums, map-side partial); everything after runs on one row per group.
     */
   def corrVerdict(df: DataFrame, groupCol: String, x: Column, y: Column,
                   thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     // rows where EITHER metric is NULL drop entirely: count(*) with
     // null-skipping sums would mix mismatched populations in the
     // cross-products and corrupt both corr and the verdict
+    // per-row products and their sums fold in DECIMAL, not long: x = 1e10
+    // squares to 1e20 > Long.MaxValue and a long product wraps SILENTLY
+    // under non-ANSI even inside this operator's documented n·|x|·|y|
+    // bound — decimal(19,0)² → decimal(38,0) is exact to ~8.5e37, and
+    // past THAT the sum goes NULL, which the loud guard below catches
+    def dl(c: Column) = c.cast("decimal(19,0)")
     val g = df.select(col(groupCol), x.cast("long").as("_x"), y.cast("long").as("_y"))
       .filter(col("_x").isNotNull && col("_y").isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-        sum(col("_x") * col("_y")).as("_sxy"),
-        sum(col("_x") * col("_x")).as("_sxx"),
-        sum(col("_y") * col("_y")).as("_syy"))
+        sum(dl(col("_x"))).as("_sx"), sum(dl(col("_y"))).as("_sy"),
+        sum(dl(col("_x")) * dl(col("_y"))).as("_sxy"),
+        sum(dl(col("_x")) * dl(col("_x"))).as("_sxx"),
+        sum(dl(col("_y")) * dl(col("_y"))).as("_syy"))
     val (num, denx, deny) = pearsonParts(col("n"), col("_sx"), col("_sy"),
       col("_sxy"), col("_sxx"), col("_syy"))
     val corr = pearsonCorr(num, denx, deny)
@@ -255,8 +261,13 @@ object Stats {
     val rhs = lit(thresholdNum.toLong * thresholdNum) * denx * deny
     val inputsOk = col("_sx").isNotNull && col("_sy").isNotNull &&
       col("_sxy").isNotNull && col("_sxx").isNotNull && col("_syy").isNotNull
-    val overflowed = inputsOk &&
-      (num.isNull || denx.isNull || deny.isNull || lhs.isNull || rhs.isNull)
+    // two overflow surfaces, both loud: a SUM past 38 digits nulls the
+    // aggregate itself (n > 0 proves rows existed), and a cross-product
+    // past 38 digits nulls downstream of intact sums
+    val overflowed =
+      (col("n") > 0 && !inputsOk) ||
+        (inputsOk &&
+          (num.isNull || denx.isNull || deny.isNull || lhs.isNull || rhs.isNull))
     g.select(col(groupCol), col("n"),
       corr.as("corr"),
       when(overflowed, raise_error(concat(
@@ -326,7 +337,11 @@ object Stats {
                       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 256, "bins out of range")
     val x = col(valueCol).cast("double")
-    val base = df.filter(x.isNotNull)
+    // NaN leaves the distribution like a NULL does — the psi contract:
+    // binned unfiltered, NaN (largest in Spark's ordering) would pile
+    // into the top bin AND, past a 1/B fraction, turn the upper quantile
+    // edges themselves NaN, collapsing the grid
+    val base = df.filter(x.isNotNull && !isnan(x))
       .select(col(groupCol).as("_g"), x.as("_x"))
       .localCheckpoint(true) // quantile pass + binning pass
     val qs = (1 until bins).map(i => s"_e$i" -> i.toDouble / bins)
@@ -342,10 +357,15 @@ object Stats {
 
   /** The shared PSI tail: (group, bin) counts → smoothed pair grid →
     * once-rounded DECIMAL-summed terms. `binned` = (_g, _bin) rows. */
+  /** The shared once-rounded log: ln as ONE fixed-shape double readout,
+    * rounded to 6 and re-anchored in decimal so downstream folds are
+    * order-free — one definition for every divergence (PSI, JSD, the LM
+    * ratios), so the formula cannot drift between them. */
+  private def r6ln(c: Column): Column =
+    round(log(c.cast("double")), 6).cast("decimal(12,6)")
+
   private def psiFromBinned(prebinned: DataFrame, bins: Int,
                             groupCol: String): DataFrame = {
-    def r6ln(c: Column): Column =
-      round(log(c.cast("double")), 6).cast("decimal(12,6)")
     val binned = prebinned
       .groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // read by totals AND both pair legs
@@ -467,9 +487,12 @@ object Stats {
     val g = df.groupBy(col(groupCol).as("_g"))
       .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("w"))
       .localCheckpoint(true) // read by the pair sum AND the totals
+    // the pairwise fold is DECIMAL: G² pairs of |wa−wb| reach G²·W —
+    // byte totals over a large corpus push a long sum past 2^63 and it
+    // wraps SILENTLY under non-ANSI (a negative mad → negative gini)
     val mad = g.select(col("w").as("wa"))
       .crossJoin(broadcast(g.select(col("w").as("wb"))))
-      .agg(sum(abs(col("wa") - col("wb"))).as("mad"))
+      .agg(sum(abs(col("wa") - col("wb")).cast("decimal(38,0)")).as("mad"))
     g.agg(count(lit(1)).as("n_groups"), sum(col("w")).as("total_w"))
       .crossJoin(broadcast(mad))
       .select(col("n_groups"), col("total_w"),
@@ -505,8 +528,6 @@ object Stats {
     * count aggregate, then broadcast groups²×k grids. */
   def jsDivergence(df: DataFrame, groupCol: String,
                    catCol: String): DataFrame = {
-    def r6ln(c: Column): Column =
-      round(log(c.cast("double")), 6).cast("decimal(12,6)")
     val cnt = df.select(col(groupCol).as("_g"), col(catCol).as("_k"))
       .groupBy(col("_g"), col("_k")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // read by totals, the cat union, both legs
@@ -584,6 +605,10 @@ object Stats {
         regexp_replace(col("_x").cast("string"), "[^1-9]", ""), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      // ≤ 9 rows, read by the totals AND the digit join — without this
+      // the full digit-projection scan runs twice (the file's multi-
+      // reader checkpoint convention)
+      .localCheckpoint(true)
     val total = counts.agg(sum(col("n_obs")).as("_tot"))
     val pExpr = ps.tail.foldLeft(when(col("digit") === 1, ps.head._2)) {
       case (acc, (d, p)) => acc.when(col("digit") === d, p) }
@@ -632,7 +657,7 @@ object Stats {
     df.filter(v.isNotNull)
       .select(when(size(v) === d,
         transform(v.cast("array<double>"), x => round(x * lit(1e6), 0).cast("long")))
-        .otherwise(raise_error(concat(lit(s"embeddingCovariance: expected $d dims, got "),
+        .otherwise(raise_error(concat(lit(s"quantizedVecs (embeddingCovariance/mahalanobisScores): expected $d dims, got "),
           size(v).cast("string")))).as("_v"))
   }
 
@@ -864,10 +889,21 @@ object Stats {
     require(replicas >= 2 && replicas <= 1024, "replicas out of range")
     // NULL values are excluded from BOTH the numerator and the replica
     // denominators: a NULL-x row's multiplicity in sum(_c) (with sum(_c·_x)
-    // skipping it) would bias every replica mean toward 0
+    // skipping it) would bias every replica mean toward 0. NULL ids are
+    // excluded like every sampler's draw key (Sampling): a NULL id's md5
+    // draw is NULL, every threshold test falls through, and the row would
+    // ride EVERY replica at the deterministic base multiplicity 8 —
+    // variance-free weight that silently shrinks se_boot. A value that
+    // overflows DECIMAL(18,6) fails LOUDLY instead of silently leaving n
+    // and the mean (under ANSI the cast itself throws; this keeps the
+    // non-ANSI path honest too).
+    val xr = round(value, 6).cast("decimal(18,6)")
     val base = df.select(col(groupCol), col(idCol).as("_id"),
-        round(value, 6).cast("decimal(18,6)").as("_x"))
-      .filter(col("_x").isNotNull)
+        when(value.isNotNull && xr.isNull,
+          raise_error(lit("poissonBootstrap: value overflows DECIMAL(18,6)" +
+            " — rescale the metric")))
+          .otherwise(xr).as("_x"))
+      .filter(col("_x").isNotNull && col("_id").isNotNull)
       .localCheckpoint(true) // read by the point estimate AND the fan-out
     val point = base.groupBy(col(groupCol))
       .agg(count(col("_x")).as("n"),
