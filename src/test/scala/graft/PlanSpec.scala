@@ -675,11 +675,23 @@ class PlanSpec extends SparkSpec {
 
   test("q242 conformal: windows partition by group or group+bucket only") {
     val p = plan(QueryCatalog.q242Conformal)
-    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("cls")),
-      s"q242 windows must carry the class key:\n${specs.mkString("\n")}")
     assert(!p.contains("SortMergeJoin"),
       "control frames must broadcast, never SMJ")
+    // the threshold windows live BEHIND the localCheckpoint boundary now
+    // (the thrice-read control frame materializes once — q260 precedent):
+    // assert them on the un-materialized threshold core directly
+    import org.apache.spark.sql.functions._
+    val x = spark.read.parquet(s"$sf/embeddings.parquet").select(
+      col("label").cast("int").as("cls"),
+      (element_at(col("embedding"), col("label") + 1).cast("double") * lit(-1.0))
+        .as("score"),
+      (graft.operators.Sampling.hashBucket(col("vec_id")) % 2 === 0).as("is_cal"))
+    val core = graft.operators.Eval.conformalThreshold(
+      x.filter(col("is_cal")), "cls", "score", 1L, 10L)
+      .queryExecution.executedPlan.toString
+    val specs = core.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("cls")),
+      s"threshold windows must carry the class key:\n${specs.mkString("\n")}")
   }
 
   test("q243 MRR: query panel broadcasts; the one window partitions by query") {
