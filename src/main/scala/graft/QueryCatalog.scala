@@ -7760,10 +7760,11 @@ object QueryCatalog {
        |           ELSE $h END
        |    ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] END""".stripMargin
 
-  private val linkEdgesSql: String = {
+  /** The synthLinkedDocs page rebuild + href extraction CTEs (`h`, `x`) —
+    * shared by the q261 edge oracle and the q267 frontier oracle. */
+  private val linkFixtureCte: String = {
     val hrefRe = operators.Html.HrefRe
-    val urlRe = operators.Urls.UrlRe
-    s"""WITH h AS (SELECT doc_id,
+    s"""h AS (SELECT doc_id,
        |    CASE WHEN doc_id % 4 = 0 THEN 'news.dom' || (doc_id % 13) || '.co.uk'
        |         ELSE 'www.site' || (doc_id % 13) || '.org' END AS src_host,
        |    '<html><body><p>doc ' || doc_id || '</p>' ||
@@ -7783,7 +7784,12 @@ object QueryCatalog {
        |      u -> replace(replace(replace(replace(replace(replace(u,
        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
        |        '&nbsp;', ' '), '&amp;', '&'))) AS href
-       |  FROM h),
+       |  FROM h)""".stripMargin
+  }
+
+  private val linkEdgesSql: String = {
+    val urlRe = operators.Urls.UrlRe
+    s"""WITH $linkFixtureCte,
        |e AS (SELECT doc_id, lower(src_host) AS src_host_l,
        |    CASE WHEN href LIKE '//%' THEN lower(nullif(regexp_extract(href, '^//([^/?#:]+)', 1), ''))
        |         WHEN href LIKE '/%' THEN lower(src_host)
@@ -7971,6 +7977,96 @@ object QueryCatalog {
        |  CAST(len(list_distinct(list_filter(t, x -> $in))) AS BIGINT) AS n_blocked_distinct,
        |  CAST(CASE WHEN len(list_filter(t, x -> $in)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
        |FROM d""".stripMargin
+  }
+
+  /** Frontier composition — the end-to-end chain a crawl scheduler runs
+    * on every page's outlinks, every piece from this catalog interlocking
+    * on ONE fixture: extract + decode hrefs (q261's machinery), keep
+    * absolute http(s) candidates, CANONICALIZE each (q258's normalization
+    * with q263's dot-segment resolution composed in — identity on this
+    * fixture, so the oracle gates rather than replays the resolver),
+    * dedup by canonical key, hash-threshold cap at 50% per canonical
+    * (q253's keyed-sampling shape, salt 'frontier'), roll up per
+    * registrable domain, and join the q264 directed-PageRank prior over
+    * the SAME link graph. Returns (domain, n_links, n_distinct_urls,
+    * n_kept, pr). */
+  def q267Frontier(s: SparkSession, dir: String): DataFrame = {
+    val docs = operators.Html.synthLinkedDocs(t(s, dir, "documents"))
+      .localCheckpoint(true) // read by the candidate chain AND the pagerank edges
+    val links = docs.select(col("doc_id"),
+        explode(operators.Html.hrefsOf(col("html"))).as("href"))
+      .filter(operators.Urls.scheme(col("href")).isin("http", "https"))
+    // stage the parse once (the q258 staging discipline)
+    val parsed = links.select(
+        operators.Urls.scheme(col("href")).as("scheme"),
+        operators.Urls.host(col("href")).as("host"),
+        operators.Urls.port(col("href")).as("port"),
+        operators.Urls.path(col("href")).as("path"),
+        operators.Urls.query(col("href")).as("query_string"))
+      .localCheckpoint(true)
+    val canon = parsed.select(col("host"),
+      operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
+        operators.Urls.resolveDotSegments(col("path")),
+        col("query_string")).as("canonical"))
+    val kept = canon.select(
+        operators.Urls.etld1Of(col("host")).as("domain"), col("canonical"))
+      .groupBy(col("domain"), col("canonical"))
+      .agg(count(lit(1)).as("n_refs"))
+      .withColumn("_keep",
+        operators.Sampling.hashBucket(col("canonical"), "frontier") < 500000L)
+    val roll = kept.groupBy(col("domain")).agg(
+      sum(col("n_refs")).as("n_links"),
+      count(lit(1)).as("n_distinct_urls"),
+      sum(col("_keep").cast("long")).as("n_kept"))
+    val pr = operators.Dedup.pageRankDirected(
+        operators.Html.linkEdges(docs), "src_domain", "dst_domain")
+      .withColumnRenamed("id", "_prd")
+    // explicit broadcast: pr is one row per DOMAIN (graph-node
+    // cardinality at any corpus size), but it sits behind a checkpoint
+    // whose stats the static planner can't see — without the hint the
+    // initial plan sorts both sides
+    roll.join(broadcast(pr), col("domain") <=> col("_prd"), "left")
+      .select(col("domain"), col("n_links"), col("n_distinct_urls"),
+        col("n_kept"), col("pr"))
+  }
+
+  val q267Sql: String = {
+    val urlRe = operators.Urls.UrlRe
+    val track = operators.Urls.TrackingParamRe
+    s"""WITH $linkFixtureCte,
+       |cand AS (SELECT href,
+       |    lower(nullif(regexp_extract(href, '$urlRe', 1), '')) AS scheme,
+       |    lower(nullif(regexp_extract(href, '$urlRe', 2), '')) AS host,
+       |    TRY_CAST(nullif(regexp_replace(regexp_extract(href, '$urlRe', 3), '^:', ''), '') AS BIGINT) AS port,
+       |    regexp_extract(href, '$urlRe', 4) AS path,
+       |    nullif(regexp_replace(regexp_extract(href, '$urlRe', 5), '^\\?', ''), '') AS q
+       |  FROM x
+       |  WHERE lower(nullif(regexp_extract(href, '$urlRe', 1), '')) IN ('http', 'https')),
+       |c AS (SELECT host,
+       |    scheme || '://' || regexp_replace(host, '\\.$$', '') ||
+       |    (CASE WHEN port IS NULL
+       |            OR (scheme = 'http' AND port = 80)
+       |            OR (scheme = 'https' AND port = 443) THEN ''
+       |          ELSE ':' || port END) ||
+       |    (CASE WHEN path = '' THEN '/' ELSE regexp_replace(path, '/{2,}', '/', 'g') END) ||
+       |    (CASE WHEN len(list_filter(string_split(coalesce(q, ''), '&'),
+       |             x -> x <> '' AND NOT regexp_matches(x, '$track'))) > 0
+       |          THEN '?' || array_to_string(list_sort(
+       |             list_filter(string_split(coalesce(q, ''), '&'),
+       |               x -> x <> '' AND NOT regexp_matches(x, '$track'))), '&')
+       |          ELSE '' END) AS canonical
+       |  FROM cand),
+       |k AS (SELECT ${etld1SqlOf("host")} AS domain, canonical,
+       |    CAST(count(*) AS BIGINT) AS n_refs
+       |  FROM c GROUP BY 1, 2),
+       |r AS (SELECT domain, CAST(sum(n_refs) AS BIGINT) AS n_links,
+       |    CAST(count(*) AS BIGINT) AS n_distinct_urls,
+       |    CAST(sum(CASE WHEN CAST(('0x' || substring(md5('frontier' || canonical), 1, 12)) AS BIGINT) % 1000000 < 500000
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM k GROUP BY 1),
+       |prq AS (SELECT * FROM ($q264Sql))
+       |SELECT r.domain, n_links, n_distinct_urls, n_kept, prq.pr
+       |FROM r LEFT JOIN prq ON r.domain = prq.domain""".stripMargin
   }
 
   // =========================================================================
@@ -8244,7 +8340,8 @@ object QueryCatalog {
     ("q263_dot_segments", q263DotSegments _, Some(q263Sql)),
     ("q264_host_pagerank", q264HostPagerank _, Some(q264Sql)),
     ("q265_meta_robots", q265MetaRobots _, Some(q265Sql)),
-    ("q266_blocklist_gate", q266BlocklistGate _, Some(q266Sql)))
+    ("q266_blocklist_gate", q266BlocklistGate _, Some(q266Sql)),
+    ("q267_frontier", q267Frontier _, Some(q267Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -483,6 +483,8 @@ object ScaleCheck {
         "src_domain", "dst_domain"))
     time("meta_robots")(
       graft.operators.Html.metaRobotsGate(graft.operators.Html.synthMetaDocs(docs)))
+    time("frontier")(
+      graft.QueryCatalog.q267Frontier(spark, dir))
     spark.stop()
   }
 }

@@ -850,6 +850,14 @@ class PlanSpec extends SparkSpec {
     assert(keyedExchanges(p) === 0, s"no shuffle in a map-only gate:\n$p")
   }
 
+  test("q267 frontier: candidate chain map-side, no cartesian, pr joins broadcast") {
+    val p = plan(QueryCatalog.q267Frontier)
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the chain:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the domain-count frames must broadcast at fixture scale:\n$p")
+    assert(p.contains("partial_"), s"the rollups must partial-aggregate:\n$p")
+  }
+
   // q264 (directed PageRank) has no plan leg: every iteration frame is
   // localCheckpoint-materialized (the lineage-flattening contract), so
   // the visible executed plan is a checkpoint scan; the edge-building
