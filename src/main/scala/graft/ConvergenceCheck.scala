@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Joins}
+import graft.Materialize.MaterializeOps
 
 /** Evidence generators for two VERDICT-r8 measurement asks (results in
   * SCALE.md):
@@ -36,7 +37,7 @@ object ConvergenceCheck {
     for (dir <- dirs if !intervalsOnly) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val edges = Dedup.minhashLsh(docs, n = 5, k = 12, bands = 4,
-        threshold = 0.5, maxBucket = 100).localCheckpoint(true)
+        threshold = 0.5, maxBucket = 100).materialized
       val maxIt = 12
       def ranking(it: Int): Seq[(Long, Double)] =
         Dedup.pageRank(edges, iterations = it)

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.IncrementalDedupIndex
 import graft.plans.BucketedMergeWriter
+import graft.Materialize.MaterializeOps
 
 /** Growing-corpus ingest measurement for [[IncrementalDedupIndex]]
   * (VERDICT r6 #5): split a documents directory into `nBatches` equal
@@ -29,7 +30,7 @@ object IncrementalBench {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .localCheckpoint(true)
+      .materialized
     val n = docs.count()
 
     val root = java.nio.file.Files.createTempDirectory("graft-inc-bench").toString

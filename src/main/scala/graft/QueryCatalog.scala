@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Cleanse, Dedup, HeavyHitters, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.plans.{Integrity, StarSchema}
+import graft.Materialize.MaterializeOps
 
 /** The driver-contract query inventory: one entry per implemented operator
   * from SURVEY.md §2 plus the training-data-pipeline operators, each with a
@@ -2262,7 +2263,7 @@ object QueryCatalog {
     * not leak a parquet copy into /tmp per invocation. */
   private def withTempStore(prefix: String)(body: String => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(prefix).toString
-    try body(root).localCheckpoint(eager = true)
+    try body(root).materialized
     finally {
       val p = java.nio.file.Paths.get(root)
       val s = java.nio.file.Files.walk(p)
@@ -4943,6 +4944,43 @@ object QueryCatalog {
       |  min(asset_id) AS rep_asset_id
       |FROM hashes GROUP BY 1, 2""".stripMargin
 
+  /** Cross-container dedup THROUGH the lossy codec (the r14 VERDICT JPEG
+    * gap): the same block image as lossless BMP bytes and REAL JPEG
+    * bytes (javax.imageio, quality 0.9) must collapse to one aHash —
+    * q182's two-container check extended to the dominant web format.
+    * Blocks align to JPEG's DCT grid and every threshold comparison
+    * holds ≥ ~95 luma units of margin, so the oracle predicts the hash
+    * BITS closed-form from the block mask and replays the clustering;
+    * a single flipped bit on the JPEG leg splits a cluster and breaks
+    * n_containers. */
+  def q270JpegCrossDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHashSniff(
+        Multimodal.synthJpegBmpPairAssets(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .filter(col("ok") === 1)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("asset_id") >= (1L << 40)).as("n_containers"),
+        min(col("asset_id")).as("rep_asset_id"))
+
+  val q270Sql: String =
+    """WITH d AS (SELECT doc_id AS asset_id FROM documents),
+      |g AS (SELECT asset_id, unnest(generate_series(0, 63)) AS k FROM d),
+      |b AS (SELECT asset_id, k,
+      |    CASE WHEN (k + asset_id) % 8 < 2 + asset_id % 5 THEN 1 ELSE 0 END AS bit
+      |  FROM g),
+      |hashes AS (SELECT asset_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |      THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM b GROUP BY 1)
+      |SELECT ahash_hi, ahash_lo,
+      |  CAST(2 * count(*) AS BIGINT) AS n_assets,
+      |  CAST(2 AS BIGINT) AS n_containers,
+      |  min(asset_id) AS rep_asset_id
+      |FROM hashes GROUP BY 1, 2""".stripMargin
+
   /** Relative-rank window coverage: percent_rank + cume_dist of supplier
     * account balances WITHIN nation (partitioned windows, tie semantics
     * identical across engines), rounded once. */
@@ -7345,7 +7383,7 @@ object QueryCatalog {
     val urls = operators.Urls.urlProfile(operators.Urls.synthUrls(t(s, dir, "events")))
       .filter(col("host").isNotNull)
       .select(col("event_id"), col("etld1"))
-      .localCheckpoint(true)
+      .materialized
     operators.Sampling.capPerGroup(urls, "etld1", "event_id", 50)
       .groupBy(col("etld1")).agg(count(lit(1)).as("n_kept"))
   }
@@ -7575,7 +7613,7 @@ object QueryCatalog {
       // eagerly computed + stored per row
       .select(col("url"), col("scheme"), col("host"), col("port"),
         col("path"), col("query_string"))
-      .localCheckpoint(true) // canonicalOf references each component 2-3x
+      .materialized // canonicalOf references each component 2-3x
     parsed.select(col("url"),
         operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
           col("path"), col("query_string")).as("canonical_url"))
@@ -7630,6 +7668,202 @@ object QueryCatalog {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  /** Percent-encoding normalization composed into the canonical key
+    * (Urls.normalizePercent, RFC 3986 §6.2.2.2 — the r14 VERDICT gap):
+    * `%7e`/`%7E`/`~` collapse to one key, reserved `%2f` only case-folds
+    * to `%2F` (never a path slash), `%4a%4B` decodes to `JK`, invalid
+    * `%zz` / bare `%` stay verbatim, `?x=%31` meets `?x=1`, and an
+    * encoded-first-letter `%75tm_source` is recognized AS utm and
+    * dropped. Same (canonical_url, n, n_raw) readout as q258; the
+    * oracle replays the normalization generically with list ops. */
+  def q268PercentNorm(s: SparkSession, dir: String): DataFrame = {
+    val parsed = operators.Urls.urlProfile(
+        operators.Urls.synthPercentUrls(t(s, dir, "events")))
+      .select(col("url"), col("scheme"), col("host"), col("port"),
+        col("path"), col("query_string"))
+      .materialized // canonicalOf references each component 2-3x
+    parsed.select(col("url"),
+        operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
+          col("path"), col("query_string")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("n_raw"))
+  }
+
+  val q268Sql: String = {
+    val re = """^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?"""
+    val track = operators.Urls.TrackingParamRe
+    // generic replay of normalizePercent: split on '%', first fragment
+    // verbatim, each later fragment classified by its 2-char hex prefix
+    val hex2 = "upper(substring(seg, 1, 2))"
+    val code = s"CAST((strpos('0123456789ABCDEF', substring($hex2, 1, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789ABCDEF', substring($hex2, 2, 1)) - 1 AS INTEGER)"
+    def pct(c: String): String =
+      s"""(CASE WHEN $c IS NULL OR strpos($c, '%') = 0 THEN $c ELSE
+         |      string_split($c, '%')[1] || array_to_string(
+         |        list_transform(string_split($c, '%')[2:], seg -> CASE
+         |          WHEN NOT regexp_matches($hex2, '^[0-9A-F]{2}\\z')
+         |            THEN '%' || seg
+         |          WHEN ($code BETWEEN 48 AND 57) OR ($code BETWEEN 65 AND 90)
+         |            OR ($code BETWEEN 97 AND 122) OR $code IN (45, 46, 95, 126)
+         |            THEN chr($code) || substring(seg, 3)
+         |          ELSE '%' || $hex2 || substring(seg, 3) END), '') END)""".stripMargin
+    s"""WITH u AS (SELECT event_id,
+       |    'https://example.com' ||
+       |    (CASE WHEN event_id % 6 = 0 THEN '/%7euser' || (event_id % 5)
+       |          WHEN event_id % 6 = 1 THEN '/%7Euser' || (event_id % 5)
+       |          WHEN event_id % 6 = 2 THEN '/~user' || (event_id % 5)
+       |          WHEN event_id % 6 = 3 THEN '/a%2Fb' || (event_id % 5)
+       |          WHEN event_id % 6 = 4 THEN '/a%2fb' || (event_id % 5)
+       |          ELSE '/%4a%4B' || (event_id % 5) || '%zz%' END) ||
+       |    (CASE WHEN event_id % 4 = 0 THEN '?x=%31'
+       |          WHEN event_id % 4 = 1 THEN '?x=1'
+       |          WHEN event_id % 4 = 2 THEN '?%75tm_source=9&a=' || (event_id % 3)
+       |          ELSE '?a=' || (event_id % 3) END) AS url
+       |  FROM events),
+       |p AS (SELECT url,
+       |    lower(nullif(regexp_extract(url, '$re', 1), '')) AS scheme,
+       |    lower(nullif(regexp_extract(url, '$re', 2), '')) AS host,
+       |    TRY_CAST(nullif(regexp_replace(regexp_extract(url, '$re', 3), '^:', ''), '') AS BIGINT) AS port,
+       |    regexp_extract(url, '$re', 4) AS path,
+       |    nullif(regexp_replace(regexp_extract(url, '$re', 5), '^\\?', ''), '') AS q
+       |  FROM u),
+       |pn AS (SELECT url, scheme, host, port,
+       |    ${pct("path")} AS path,
+       |    ${pct("q")} AS q
+       |  FROM p),
+       |c AS (SELECT url,
+       |    CASE WHEN host IS NULL THEN NULL ELSE
+       |      scheme || '://' || regexp_replace(host, '\\.$$', '') ||
+       |      (CASE WHEN port IS NULL
+       |              OR (scheme = 'http' AND port = 80)
+       |              OR (scheme = 'https' AND port = 443) THEN ''
+       |            ELSE ':' || port END) ||
+       |      (CASE WHEN path = '' THEN '/' ELSE regexp_replace(path, '/{2,}', '/', 'g') END) ||
+       |      (CASE WHEN len(list_filter(string_split(coalesce(q, ''), '&'),
+       |               x -> x <> '' AND NOT regexp_matches(x, '$track'))) > 0
+       |            THEN '?' || array_to_string(list_sort(
+       |               list_filter(string_split(coalesce(q, ''), '&'),
+       |                 x -> x <> '' AND NOT regexp_matches(x, '$track'))), '&')
+       |            ELSE '' END)
+       |    END AS canonical_url
+       |  FROM pn)
+       |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  /** Polite-scheduler policy readout (Robots.crawlPolicy over parsed
+    * synthRobotsPolicy — the r14 VERDICT crawl-delay/sitemap gap): the
+    * chosen group's Crawl-delay (named group's 2.5 shadowing `*`'s 10,
+    * repeated values taking the min, unparseable/negative ignored to
+    * NULL, and a Sitemap line between two User-agent lines that must
+    * NOT split their group — p8 reads 3.5) beside the host's sitemap
+    * inventory (sorted, distinct, comma-joined). The Spark side parses
+    * REAL robots bodies; the oracle rebuilds the rule rows the parse
+    * must produce and replays the same group choice + aggregation. */
+  def q269CrawlPolicy(s: SparkSession, dir: String): DataFrame =
+    operators.Robots.crawlPolicy(
+      operators.Robots.robotsRules(operators.Robots.synthRobotsPolicy(s))
+        .materialized, // tiny (9 hosts); read by choice window + 3 joins
+      userAgent = "graftbot/1.0")
+
+  val q269Sql: String =
+    s"""WITH hosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 9) r(i)),
+       |grules AS (
+       |  SELECT 'p' || i || '.org' AS host, '*' AS ua,
+       |    'crawl-delay' AS dir, '10' AS v FROM hosts WHERE i % 3 = 0
+       |  UNION ALL SELECT 'p' || i || '.org', '*', 'disallow', '/private'
+       |    FROM hosts WHERE i % 3 = 0
+       |  UNION ALL SELECT 'p' || i || '.org', 'graftbot', 'crawl-delay', '2.5'
+       |    FROM hosts WHERE i % 3 = 0
+       |  UNION ALL SELECT 'p' || i || '.org', '*', 'crawl-delay', '10'
+       |    FROM hosts WHERE i % 3 = 1
+       |  UNION ALL SELECT 'p' || i || '.org', '*', 'crawl-delay', '7'
+       |    FROM hosts WHERE i % 3 = 1
+       |  UNION ALL SELECT 'p' || i || '.org', '*', 'crawl-delay', 'fast'
+       |    FROM hosts WHERE i % 3 = 2
+       |  UNION ALL SELECT 'p' || i || '.org', '*', 'crawl-delay', '-1'
+       |    FROM hosts WHERE i % 3 = 2
+       |  UNION ALL SELECT 'p8.org', 'graftbot', 'crawl-delay', '3.5'
+       |  UNION ALL SELECT 'p8.org', 'extra', 'crawl-delay', '3.5'),
+       |matching AS (SELECT host, dir, v,
+       |    (CASE WHEN ua = '*' THEN 0 ELSE len(ua) END) AS pri
+       |  FROM grules WHERE ua = '*' OR strpos('graftbot/1.0', ua) > 0),
+       |chosen AS (SELECT * FROM (SELECT host, dir, v, pri,
+       |    max(pri) OVER (PARTITION BY host) AS best FROM matching)
+       |  WHERE pri = best),
+       |delays AS (SELECT host, min(TRY_CAST(v AS DOUBLE)) AS crawl_delay
+       |  FROM chosen WHERE dir = 'crawl-delay'
+       |    AND TRY_CAST(v AS DOUBLE) >= 0 GROUP BY host),
+       |sm AS (
+       |  SELECT 'p' || i || '.org' AS host,
+       |    'https://p' || i || '.org/s1.xml' AS u FROM hosts WHERE i % 4 = 1
+       |  UNION ALL SELECT 'p' || i || '.org', 'https://p' || i || '.org/b.xml'
+       |    FROM hosts WHERE i % 4 = 2
+       |  UNION ALL SELECT 'p' || i || '.org', 'https://p' || i || '.org/a.xml'
+       |    FROM hosts WHERE i % 4 = 2
+       |  UNION ALL SELECT 'p' || i || '.org', 'https://p' || i || '.org/s.xml'
+       |    FROM hosts WHERE i % 4 = 3
+       |  UNION ALL SELECT 'p' || i || '.org', 'https://p' || i || '.org/s.xml'
+       |    FROM hosts WHERE i % 4 = 3
+       |  UNION ALL SELECT 'p8.org', 'https://p8.org/mid.xml'),
+       |smap AS (SELECT host, CAST(count(DISTINCT u) AS BIGINT) AS n_sitemaps,
+       |    array_to_string(list_sort(list(DISTINCT u)), ',') AS sitemaps_str
+       |  FROM sm GROUP BY host)
+       |SELECT h.host, d.crawl_delay,
+       |  coalesce(s.n_sitemaps, CAST(0 AS BIGINT)) AS n_sitemaps,
+       |  s.sitemaps_str
+       |FROM (SELECT 'p' || i || '.org' AS host FROM hosts) h
+       |LEFT JOIN delays d USING (host)
+       |LEFT JOIN smap s USING (host)""".stripMargin
+
+  /** IDN host folding composed into the canonical key (functions/IdnAscii
+    * native expression — the "same family" gap beside percent
+    * normalization in the r14 VERDICT): unicode, uppercase-unicode and
+    * pre-encoded `xn--` spellings of one authority collapse to ONE
+    * frontier key; an impossible 64-char label folds to NULL canonical
+    * (error-visibility, grouped like any other key). The oracle maps
+    * hosts through pinned punycode literals and replays the rest of the
+    * canonicalization generically. */
+  def q271IdnHosts(s: SparkSession, dir: String): DataFrame = {
+    val parsed = operators.Urls.urlProfile(
+        operators.Urls.synthIdnUrls(t(s, dir, "events")))
+      .select(col("url"), col("scheme"), col("host"), col("port"),
+        col("path"), col("query_string"))
+      .materialized // canonicalOf references each component 2-3x
+    parsed.select(col("url"),
+        operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
+          col("path"), col("query_string")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("n_raw"))
+  }
+
+  val q271Sql: String = {
+    val longLabel = "a" * 64
+    s"""WITH u AS (SELECT event_id,
+       |    'https://' ||
+       |    (CASE WHEN event_id % 5 = 0 THEN 'bücher.example'
+       |          WHEN event_id % 5 = 1 THEN 'BÜCHER.example'
+       |          WHEN event_id % 5 = 2 THEN 'xn--bcher-kva.example'
+       |          WHEN event_id % 5 = 3 THEN 'münchen.de'
+       |          ELSE '$longLabel.example' END) ||
+       |    '/p' || (event_id % 3) AS url
+       |  FROM events),
+       |p AS (SELECT event_id, url,
+       |    (CASE WHEN event_id % 5 IN (0, 1, 2) THEN 'xn--bcher-kva.example'
+       |          WHEN event_id % 5 = 3 THEN 'xn--mnchen-3ya.de'
+       |          ELSE NULL END) AS host_f,
+       |    '/p' || (event_id % 3) AS path
+       |  FROM u),
+       |c AS (SELECT url,
+       |    CASE WHEN host_f IS NULL THEN NULL
+       |         ELSE 'https://' || host_f || path END AS canonical_url
+       |  FROM p)
+       |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   /** robots.txt fetch gate (Robots.robotsGate over parsed synthRobots):
     * RFC 9309 longest-match verdicts for crawler UA "graftbot/1.0" —
     * group exclusivity (a matching named group HIDES the `*` group),
@@ -7641,7 +7875,7 @@ object QueryCatalog {
     * therefore breaks the hash even though SQL never sees body text. */
   def q259RobotsGate(s: SparkSession, dir: String): DataFrame = {
     val rules = operators.Robots.robotsRules(operators.Robots.synthRobots(s))
-      .localCheckpoint(true) // tiny (7 hosts); read by the group-choice window + join
+      .materialized // tiny (7 hosts); read by the group-choice window + join
     operators.Robots.robotsGate(
       operators.Robots.synthCrawlUrls(t(s, dir, "events")),
       rules, userAgent = "graftbot/1.0")
@@ -7992,7 +8226,7 @@ object QueryCatalog {
     * n_kept, pr). */
   def q267Frontier(s: SparkSession, dir: String): DataFrame = {
     val docs = operators.Html.synthLinkedDocs(t(s, dir, "documents"))
-      .localCheckpoint(true) // read by the candidate chain AND the pagerank edges
+      .materialized // read by the candidate chain AND the pagerank edges
     val links = docs.select(col("doc_id"),
         explode(operators.Html.hrefsOf(col("html"))).as("href"))
       .filter(operators.Urls.scheme(col("href")).isin("http", "https"))
@@ -8003,7 +8237,7 @@ object QueryCatalog {
         operators.Urls.port(col("href")).as("port"),
         operators.Urls.path(col("href")).as("path"),
         operators.Urls.query(col("href")).as("query_string"))
-      .localCheckpoint(true)
+      .materialized
     val canon = parsed.select(col("host"),
       operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
         operators.Urls.resolveDotSegments(col("path")),
@@ -8341,7 +8575,11 @@ object QueryCatalog {
     ("q264_host_pagerank", q264HostPagerank _, Some(q264Sql)),
     ("q265_meta_robots", q265MetaRobots _, Some(q265Sql)),
     ("q266_blocklist_gate", q266BlocklistGate _, Some(q266Sql)),
-    ("q267_frontier", q267Frontier _, Some(q267Sql)))
+    ("q267_frontier", q267Frontier _, Some(q267Sql)),
+    ("q268_percent_norm", q268PercentNorm _, Some(q268Sql)),
+    ("q269_crawl_policy", q269CrawlPolicy _, Some(q269Sql)),
+    ("q270_jpeg_cross_dedup", q270JpegCrossDedup _, Some(q270Sql)),
+    ("q271_idn_hosts", q271IdnHosts _, Some(q271Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

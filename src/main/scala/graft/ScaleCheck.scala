@@ -445,6 +445,22 @@ object ScaleCheck {
         graft.operators.Warc.synthWarcResponseShards(docs, "doc_id", "text")).toDF())
     time("langid_ngram")(
       graft.operators.TextAnalysis.langIdNgram(docs))
+    // diagnostic split: the tokenize+first-agg leg alone, to attribute
+    // the langid ratio between the linear trigram build and the
+    // term-keyed scoring join downstream
+    time("langid_tf_only")({
+      val base = docs
+        .select(col("doc_id"), col("lang").as("actual"),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("_norm"))
+      base.filter(length(col("_norm")) >= 3)
+        .select(col("doc_id"), col("actual"),
+          (length(col("_norm")) - 2).cast("long").as("dl"), col("_norm"),
+          explode(sequence(lit(1), length(col("_norm")) - 2)).as("_i"))
+        .select(col("doc_id"), col("actual"), col("dl"),
+          col("_norm").substr(col("_i"), lit(3)).as("term"))
+        .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    })
     time("canonical_urls")({
       val parsed = graft.operators.Urls.urlProfile(
         graft.operators.Urls.synthCanonUrls(docs.select(col("doc_id").as("event_id"))))

@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also writes `manifest.tsv` — one `name<TAB>rows<TAB>status` line per
+  * query, APPENDED as each query lands (a mid-run kill leaves a parsable
+  * prefix) — and mirrors each line to stdout. The r14 driver artifact
+  * came back empty with no way to tell "nothing ran" from "comparator
+  * died"; the manifest is the per-query signal that survives a dead
+  * comparator, parsable by anything that can split on tabs. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -20,13 +27,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val manifest = Paths.get(s"$outDir/manifest.tsv")
+    Files.writeString(manifest, "") // fresh file per run
+    def note(line: String): Unit = {
+      println(s"[verify] $line")
+      Files.writeString(manifest, line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // footer-metadata count of what actually landed — cheap, and it
+        // proves the files are readable, not just that the write returned
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        note(s"$name\t$rows\tok")
+      } catch { case e: Throwable =>
+        note(s"$name\t-1\tfailed: ${Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("[\\t\\n\\r]", " ").take(200)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -64,6 +64,8 @@ object GraftExtensions {
     // same name as DuckDB's NFC function — the oracle mirror reads the same
     ("nfc_normalize", new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize(s)", 1)(c => NfcNormalize(c.head))),
+    ("idn_ascii", new ExpressionInfo(classOf[IdnAscii].getName, "idn_ascii"),
+      arity("idn_ascii(host)", 1)(c => IdnAscii(c.head))),
     // per-row entropy stats (map-only quality screen; CodegenFallback by
     // design — the per-row work is a code-point hash map)
     ("char_entropy_stats", new ExpressionInfo(classOf[CharEntropyStats].getName,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Histogram-sketch quantiles — the 100 TB scale path next to the exact
   * `percentile` aggregate (q59): exact percentiles sort every group's
@@ -41,7 +42,7 @@ object ApproxQuantile {
       // per-group row, read by BOTH broadcast joins (binning and the
       // cumulative pick) — without this pass 1 scans the input twice
       // (the exactOrderStats convention)
-      .localCheckpoint(true)
+      .materialized
     val b = df.filter(v.isNotNull)
       .join(broadcast(mm), col(groupCol) <=> col("_grp"))
       .filter(col("_mx") > col("_mn"))
@@ -126,7 +127,7 @@ object ApproxQuantile {
     val mm = df.groupBy(g)
       .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
       .withColumnRenamed(groupCol, "_grp")
-      .localCheckpoint(true)
+      .materialized
     // null-safe split: _mx <=> _mn also catches all-NULL groups (both
     // NULL), whose quantiles are NULL — round(NULL) propagates below
     val varied = mm.filter(col("_mx") > col("_mn"))
@@ -171,7 +172,7 @@ object ApproxQuantile {
       }
     val tb = cum.join(broadcast(withIdx), g <=> col("_grp"))
       .groupBy(g).agg(picks.head, picks.tail: _*)
-      .localCheckpoint(true)
+      .materialized
     // unpivot to one row per needed order statistic:
     // (group, covering bucket, index, offset-within-bucket)
     val tgt = tb.select(g, explode(array(qs.flatMap { case (name, _) => Seq(
@@ -259,7 +260,7 @@ object ApproxQuantile {
     val mm = df.groupBy(g)
       .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
       .withColumnRenamed(groupCol, "_grp")
-      .localCheckpoint(true)
+      .materialized
     val varied = mm.filter(col("_mx") > col("_mn"))
     val flat = mm.filter(col("_mx") <=> col("_mn"))
     // one row per (group, edge index i): exact integer order-statistic
@@ -287,7 +288,7 @@ object ApproxQuantile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.withColumn("_cc", sum(col("_c")).over(w))
       .withColumn("_prev", col("_cc") - col("_c"))
-      .localCheckpoint(true)
+      .materialized
     // covering bucket per target: _prev ≤ k < _cc (0-based), offset
     // within the bucket = k − _prev
     val cov = cum.join(broadcast(tgt),
@@ -305,7 +306,7 @@ object ApproxQuantile {
       .join(broadcast(cov2),
         g <=> col("_tg") && col("_bkt") === col("_tb") && col("_rn") === col("_off"))
       .select(g.as("_vg"), col("_k"), col("_v"))
-      .localCheckpoint(true)
+      .materialized
     // decimal edge interpolation, one row per (group, i)
     val invS = new java.math.BigDecimal(java.math.BigDecimal.ONE.toBigInteger)
       .divide(new java.math.BigDecimal(slots), 12, java.math.RoundingMode.UNNECESSARY)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Deduplication family for training-data pipelines (exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine). Everything is expressed as
@@ -22,17 +23,16 @@ object Dedup {
     * candidate verify), i.e. four full corpus tokenization passes at 100 TB
     * where one suffices.
     *
-    * `localCheckpoint(eager = true)` computes the frame once, stores the
-    * partitions on the executors (memory, spilling to disk) and truncates
-    * the lineage, so all downstream references read the stored partitions.
-    * Storage is released by the ContextCleaner once the result is GC'd —
-    * no CacheManager residue across queries. On a cluster with dynamic
-    * allocation / preemptible executors you'd trade this for a reliable
-    * checkpoint or `persist` + explicit unpersist; locality and cost are
-    * identical.
+    * Routed through [[graft.Materialize]]: the default mode
+    * (`spark.graft.materialize=local`) computes the frame once via
+    * `localCheckpoint(eager = true)` — partitions stored on the executors,
+    * lineage truncated, storage released by the ContextCleaner once the
+    * result is GC'd. On a cluster with dynamic allocation / preemptible
+    * executors set the mode to `reliable` (or `persist`) — result-identity
+    * across modes is proven in MaterializeSpec.
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    df.materialized
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One hash-aggregate; at scale this is the cheapest possible dedup. */
@@ -682,6 +682,17 @@ object Dedup {
     * relational (a length-L repeat still surfaces as L-n+1 merged windows,
     * so the reported SPAN is identical for repeats ≥ n tokens).
     *
+    * EXPLICIT BOUND (the contract, spec-pinned at the boundary): repeats
+    * SHORTER than n tokens are invisible — n IS the minimum repeat
+    * length of interest, exactly the paper's min-match-length knob.
+    * Every length-n subwindow of a longer repeat is itself repeated, so
+    * choosing n = minLen finds ALL repeats ≥ minLen with spans identical
+    * to the suffix-array construction; there is nothing "between" this
+    * and Lee et al. except detecting repeats below the length a caller
+    * asked for, which no parameterization of THAT algorithm reports
+    * either. Callers wanting shorter repeats lower n (cost grows only in
+    * window-hash cardinality, the same single shuffle).
+    *
     * Differs from [[boilerplateStats]] (per-doc counts of high-DOC-frequency
     * shingles) in both trigger — total occurrences, so a page that repeats
     * its own footer 50× is caught with no second document involved — and
@@ -889,13 +900,13 @@ object Dedup {
       .distinct()
     val und = canon.select(col("_a").as("src"), col("_b").as("dst"))
       .union(canon.select(col("_b").as("src"), col("_a").as("dst")))
-      .localCheckpoint(true)
+      .materialized
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .materialized
     val n = deg.count() // control-plane scalar: node count
     if (n == 0) return deg.select(col("src").as("doc_id"), lit(0.0).as("pr"))
     var pr = deg.select(col("src").as("id"), lit(rnd12(1.0 / n)).as("pr"))
-      .localCheckpoint(true)
+      .materialized
     val base = (1.0 - damping) / n
     for (_ <- 0 until iterations) {
       val c = und
@@ -908,7 +919,7 @@ object Dedup {
         .select(col("id"),
           round(lit(base) + lit(damping) *
             coalesce(col("_s").cast("double"), lit(0.0)), 12).as("pr"))
-        .localCheckpoint(true)
+        .materialized
     }
     pr.select(col("id").as("doc_id"), col("pr"))
   }
@@ -943,15 +954,15 @@ object Dedup {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().materialized
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-      .localCheckpoint(true)
+      .materialized
     val n = nodes.count() // control-plane scalar: node count
     if (n == 0) return nodes.select(col("id"), lit(0.0).as("pr"))
     var pr = nodes.select(col("id"), lit(rnd12(1.0 / n)).as("pr"))
-      .localCheckpoint(true)
+      .materialized
     // exact-DECIMAL 1−d (BigDecimal of the double's BINARY value would
     // give 0.1500…0002 where the oracle's `0.15` literal is 0.1499…994)
     val base = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble / n
@@ -973,7 +984,7 @@ object Dedup {
             (coalesce(col("_s").cast("double"), lit(0.0)) +
               round(col("_d").cast("double") / lit(n.toDouble), 12)), 12)
             .as("pr"))
-        .localCheckpoint(true)
+        .materialized
     }
     pr
   }
@@ -1116,7 +1127,7 @@ object Dedup {
           (col("_nbr_min") < col("cluster_id")).as("_changed"))
         .observe(obs, count(when(col("_changed"), 1)).as("n"))
         .drop("_changed")
-        .localCheckpoint(true)
+        .materialized
       changed = graft.plans.Observed.poll(obs).flatMap(_.get("n"))
         .map(_.asInstanceOf[Long])
         .getOrElse(next.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
@@ -1228,7 +1239,7 @@ object Dedup {
       .select(col(idCol).as("_d"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("_d"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // df aggregate + weights read it
+      .materialized // df aggregate + weights read it
     val nDocs = docs.select(col(idCol)).distinct().count()
     val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -1237,7 +1248,7 @@ object Dedup {
       .select(col("_d"), col("tok"), col("df"),
         (col("tf").cast("decimal(12,0)") *
           (r6ln(lit(nDocs + 1)) - r6ln(col("df") + 1))).cast("decimal(18,6)").as("w"))
-      .localCheckpoint(true) // norms + the pair join read it
+      .materialized // norms + the pair join read it
     val norms = weights.groupBy(col("_d"))
       .agg(sum((col("w") * col("w")).cast("decimal(30,12)")).as("n2"))
     val idx = weights.filter(col("df") >= 2) // df=1 can't co-occur

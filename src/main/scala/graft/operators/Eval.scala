@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Deterministic model/label-quality evaluation operators — the metrics a
   * training-data pipeline computes over its own labels, scores, and
@@ -414,7 +415,7 @@ object Eval {
     // pipeline (histogram, cumulative window, rank pick) re-runs three
     // times over the calibration split. ≤ |groups| rows, control-plane.
     val thr = conformalThreshold(df.filter(col(calCol)), groupCol, scoreCol,
-      alphaNum, alphaDen, buckets).localCheckpoint(true)
+      alphaNum, alphaDen, buckets).materialized
     // empirical coverage on the test split — grouped from the TEST side,
     // then left-joined back onto the thresholds so a group with
     // calibration rows but no test rows still surfaces its qhat
@@ -575,7 +576,7 @@ object Eval {
         s"((_nc + 1) * ${alphaDen - alphaNum}L + ${alphaDen - 1}L) div ${alphaDen}L"))
       .withColumn("_inf", col("_k") > col("_nc"))
       .withColumnRenamed(groupCol, "_g")
-      .localCheckpoint(true)
+      .materialized
     val varied = st.filter(col("_mx") > col("_mn") && !col("_inf"))
     // bucket histogram over the calibration scores of varied groups
     val bkt = least(floor((col("_v") - col("_mn")) * buckets /

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Behavioral analytics over event streams: funnel conversion and cohort
   * retention — the two queries every product-analytics workload runs, both
@@ -189,7 +190,7 @@ object Events {
         // the oracle's floor division
         expr("(_asof - _last) div 86400000000").as("recency_days"),
         col("frequency"), col("_m").cast("double").as("monetary"))
-      .localCheckpoint(true) // three quantile passes + the scoring read
+      .materialized // three quantile passes + the scoring read
     val qs = Seq("_b20" -> 0.2, "_b40" -> 0.4, "_b60" -> 0.6, "_b80" -> 0.8)
     // ONE quantile pass for all three metrics: melt to (_metric, value)
     // and let exactQuantiles group by metric — a third of the jobs the

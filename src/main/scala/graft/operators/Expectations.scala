@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Declarative data-quality expectation suite — the Deequ/Great-
   * Expectations shape re-expressed as plain aggregates: a suite of named
@@ -58,7 +59,7 @@ object Expectations {
     }
     val aggs = count(lit(1)).as("_n") +: (rowAggs ++ keyAggs)
     val one = df.agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true) // joined by every uniqueness verdict
+      .materialized // joined by every uniqueness verdict
     val rowVerdictStructs = rules.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"), col("_n").as("n_rows"),
         coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))

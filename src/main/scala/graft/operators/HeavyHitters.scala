@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Frequent-items (heavy hitters) at scale: Misra-Gries candidate
   * summaries per partition, then ONE exact recount of the (small)
@@ -68,7 +69,7 @@ object HeavyHitters {
       .as[String]
       .mapPartitions(it => mgSummary(k, it))
       .toDF("item").distinct()
-      .localCheckpoint(true)
+      .materialized
     val n = graft.plans.Observed.poll(obs).flatMap(_.get("n"))
       .map(_.asInstanceOf[Long]).getOrElse(strItems.count())
     strItems.join(broadcast(cands), "item")

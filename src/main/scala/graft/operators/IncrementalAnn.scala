@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Persisted IVF similarity index over a GROWING embedding corpus — the
   * operational shape of vector search at 100 TB, parallel to
@@ -70,7 +71,7 @@ class IncrementalAnnIndex(val store: TableStore, table: String, nCells: Int,
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
         "vec_id", "embedding", "cell", 1)
       .select(col("vec_id"), col("cell"), col("embedding"))
-      .localCheckpoint(true) // pre-date the commit, like the dedup index
+      .materialized // pre-date the commit, like the dedup index
     store.mergeFact(assignTable, assigned, Seq("vec_id"))
     assigned.select(col("vec_id"), col("cell"))
   }

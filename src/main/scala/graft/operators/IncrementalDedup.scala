@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Incremental near-dup detection over a GROWING corpus — the operational
   * shape of dedup at 100 TB: a pipeline ingests documents continuously and
@@ -58,8 +59,8 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
       return batch.select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
         lit(0.0).as("est_jaccard")).limit(0)
     val shingles = Dedup.shinglePairs(batch, n, idCol, textCol)
-    val sigNew = Dedup.minhashSigWide(shingles, k).localCheckpoint(true)
-    val bandsNew = Dedup.bandRows(sigNew, k, bands).localCheckpoint(true)
+    val sigNew = Dedup.minhashSigWide(shingles, k).materialized
+    val bandsNew = Dedup.bandRows(sigNew, k, bands).materialized
 
     // replay safety: a re-ingested doc is in BOTH the store and the batch —
     // anti-join the stored side on the BATCH ids (not sigNew's: a
@@ -67,7 +68,7 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
     // row but must still displace its stale index entry) so every doc
     // appears exactly once
     val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
-      .localCheckpoint(true)
+      .materialized
     val allBands =
       if (store.exists(bandTable))
         store.read(bandTable).join(batchIds, Seq("doc_id"), "left_anti")
@@ -103,7 +104,7 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
       .withColumn("est_jaccard", agree.cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .localCheckpoint(true) // result must pre-date the index commit below
+      .materialized // result must pre-date the index commit below
 
     // commit the batch into the index — idempotent MERGE on the natural
     // keys, so replays update-in-place instead of duplicating band rows
@@ -122,10 +123,10 @@ class IncrementalDedupIndex(val store: TableStore, table: String,
     val retracted = (if (store.exists(sigTable))
         sigless.join(store.read(sigTable).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
-      else sigless.limit(0)).localCheckpoint(true)
+      else sigless.limit(0)).materialized
     if (!retracted.isEmpty && store.exists(sigTable)) {
       val keptSig = store.read(sigTable)
-        .join(retracted, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        .join(retracted, Seq("doc_id"), "left_anti").materialized
       if (!keptSig.isEmpty) {
         store.replaceTable(sigTable, keptSig, Seq("doc_id"))
         store.replaceTable(bandTable, store.read(bandTable)

@@ -1481,4 +1481,82 @@ object MediaCodecs {
     }
     Some(BmpData(w, h, px))
   }
+
+  // ---------------------------------------------------------------------
+  // JPEG — the dominant web image format, via the JDK's javax.imageio
+  // (public knowledge, pure-JVM, present in every Java 17 runtime). The
+  // pipeline contracts are the same as the hand-built codecs: decode
+  // never throws (None on anything malformed), the 64M-pixel bomb cap
+  // holds, pixels land in [[BmpData]]'s packed-RGB layout. Unlike
+  // BMP/QOI/PNG/GIF this codec is LOSSY — consumers that need
+  // bit-exactness (the lossless round-trip oracles) stay on the
+  // lossless containers; the perceptual-hash family tolerates the loss
+  // by construction (fixtures keep every aHash/dHash comparison far
+  // from its threshold, see synthJpegBmpPairAssets).
+  // ---------------------------------------------------------------------
+
+  /** Decode a JPEG payload to [[BmpData]]. None on: null/short input,
+    * wrong magic (SOI 0xFFD8), imageio failure of any kind, or
+    * dimensions over the 64M-pixel bomb cap (checked BEFORE full decode
+    * via the header-only reader, so a dimension bomb never allocates). */
+  def decodeJpeg(bytes: Array[Byte]): Option[BmpData] = {
+    if (bytes == null || bytes.length < 3) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > 64000000L) return None
+          val img = reader.read(0)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = img.getRGB(x, y) & 0xffffff
+              x += 1
+            }
+            y += 1
+          }
+          Some(BmpData(w, h, px))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Encode a synthetic image as REAL JPEG bytes at an explicit quality
+    * (0..1) — the fixture-side encoder ([[encodeBmp]]'s convention:
+    * `px(x, y)` returns packed 0xRRGGBB, (0,0) top-left). */
+  def encodeJpeg(width: Int, height: Int, px: (Int, Int) => Int,
+                 quality: Float = 0.9f): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    require(width.toLong * height <= 64000000L,
+      "pixel count over the 64M cap (the decoder's bomb bound)")
+    require(quality > 0f && quality <= 1f, "quality in (0, 1]")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, px(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
 }

@@ -410,12 +410,14 @@ object Multimodal {
     ahashWith(assets, MediaCodecs.decodeBmp)
 
   /** Container-SNIFFING aHash — the cross-format dedup entry point: the
-    * same picture shipped as BMP by one crawler, QOI by another, PNG or
-    * GIF by a third must collapse to ONE fingerprint, because the hash
-    * is computed on decoded PIXELS, not bytes (byte-level exact dedup
-    * can never catch re-containered copies). Dispatch is by magic bytes
-    * across all four real codecs; unknown containers keep their row
-    * with ok = 0. */
+    * same picture shipped as BMP by one crawler, QOI by another, PNG,
+    * GIF or JPEG by a third must collapse to ONE fingerprint, because
+    * the hash is computed on decoded PIXELS, not bytes (byte-level exact
+    * dedup can never catch re-containered copies). Dispatch is by magic
+    * bytes across all five real codecs — JPEG (SOI 0xFFD8) included,
+    * since it is the dominant web format and a Common-Crawl-shaped
+    * pipeline cannot dedup images without it; unknown containers keep
+    * their row with ok = 0. */
   def imageAHashSniff(assets: DataFrame): Dataset[AHashRow] =
     ahashWith(assets, payload =>
       if (payload == null || payload.length < 6) None
@@ -425,6 +427,8 @@ object Multimodal {
           payload(2) == 'N' && payload(3) == 'G') MediaCodecs.decodePng(payload)
       else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
           payload(3) == '8') MediaCodecs.decodeGif(payload)
+      else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+        MediaCodecs.decodeJpeg(payload)
       else MediaCodecs.decodeBmp(payload))
 
   case class DHashRow(asset_id: Long, ok: Long,
@@ -559,6 +563,36 @@ object Multimodal {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("asset_id", "payload")
     toAssets(rows, "asset_id", "payload", "image/bmp")
+  }
+
+  /** BMP/JPEG pair fixture for cross-container dedup THROUGH the lossy
+    * codec: per id, the same 64×64 image as lossless BMP bytes and as
+    * REAL JPEG bytes (quality 0.9). The image is an 8×8 grid of
+    * 8-pixel-square blocks, each pure black or pure white by id
+    * arithmetic — aligned to JPEG's DCT grid, so every block decodes
+    * DC-only with error of a few luma units, while each aHash threshold
+    * comparison is ≥ ~95 luma units from its boundary (white count held
+    * in [16, 48] by construction: per 8 consecutive block indexes,
+    * 2 + base%5 are white, rotated by base%8). aHash downsamples 64→8
+    * by nearest (samples each block's top-left interior pixel), so the
+    * predicted hash BITS are the block mask itself — closed-form for
+    * the oracle, robust to the documented JPEG loss. */
+  def synthJpegBmpPairAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          def px(x: Int, y: Int): Int = {
+            val k = (y / 8) * 8 + (x / 8)
+            if ((k + id) % 8 < 2 + (id % 5)) 0xffffff else 0x000000
+          }
+          Seq((id, MediaCodecs.encodeBmp(64, 64, px)),
+            (id + (1L << 40), MediaCodecs.encodeJpeg(64, 64, px _, 0.9f)))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/mixed")
   }
 
   /** Silence-trim planning — the curation ACTION on top of

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Sequence packing + context chunking — the two layout transforms that
   * sit between a cleaned corpus and a training loader.
@@ -86,7 +87,7 @@ object Packing {
         sum(col("_rsum")).over(Window.orderBy(col("_rng"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_rsum")
-      .localCheckpoint(true)
+      .materialized
     val ww = Window.partitionBy(col("_rng")).orderBy(col("_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     tf.join(broadcast(roff), "_rng")
@@ -188,7 +189,7 @@ object Packing {
         }
       }
       .toDF("_rng", "_id", "_n", "_lbin", "fill_before")
-      .localCheckpoint(true) // walked twice (bin counts + readout)
+      .materialized // walked twice (bin counts + readout)
     val roff = walked.groupBy(col("_rng"))
       .agg((max(col("_lbin")) + 1L).as("_nb"))
       // control-plane frame: one row per id RANGE (n_ids / rangeWidth),
@@ -267,7 +268,7 @@ object Packing {
         sum(col("_c")).over(Window.orderBy(col("_w").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_c")
-      .localCheckpoint(true)
+      .materialized
     val within = Window.partitionBy(col("_w")).orderBy(col("_id"))
     val rn = w.join(broadcast(off.withColumnRenamed("_w", "_w2")),
         col("_w") <=> col("_w2")).drop("_w2")

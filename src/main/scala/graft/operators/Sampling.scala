@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
   *
@@ -122,7 +123,7 @@ object Sampling {
     // once like the packSequences/balancedShards siblings
     val weights = eligible.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
-      .localCheckpoint(true)
+      .materialized
     val totW = weights.agg(sum(col("_w")).as("_tw"))
     val targets = weights.crossJoin(broadcast(totW))
       .withColumn("_target", expr(s"(${totalTarget}L * _w) div _tw"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin
   * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every unordered
@@ -75,7 +76,7 @@ object SetSim {
           array_sort(collect_list(struct(col("_df"), col("_tok")))),
           s => s.getField("_tok")).as("_arr"),
         count(lit(1)).as("_n"))
-      .localCheckpoint(true) // reused by prefix explode AND the verify join
+      .materialized // reused by prefix explode AND the verify join
     // prefix length p = n − ⌈t·n/100⌉ + 1 (integer ceiling division)
     val pref = docs
       .withColumn("_p", col("_n") - expr(s"(_n * $t + 99) DIV 100") + lit(1L))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -90,7 +91,7 @@ object Similarity {
     val base = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
-      .localCheckpoint(true) // scanned once per round — never recomputed
+      .materialized // scanned once per round — never recomputed
     def d2To(c: Array[Double]): Column = {
       val cl = array(c.map(lit(_)): _*)
       val diff = zip_with(col("_v"), cl, (a, b) => a - b)
@@ -462,7 +463,7 @@ object Similarity {
     // an int-cast id would wrap/collide past 2^31 and make the window
     // tie-break (hence every downstream assignment) run-dependent
     var cents = seedCentroids(v, nCells, "_id", "_v")
-      .localCheckpoint(true)
+      .materialized
       // renumber to dense 0..n-1 in TRUE id order ("cell" holds the raw
       // id here); an int-cast id would wrap/collide past 2^31. Control-
       // plane frame: ≤ nCells rows (the seed limit)
@@ -489,7 +490,7 @@ object Similarity {
       cents = cents.select(col("cell"), col("cvec").as("prev"))
         .join(means.withColumnRenamed("cvec", "next"), Seq("cell"), "left")
         .select(col("cell"), coalesce(col("next"), col("prev")).as("cvec"))
-        .localCheckpoint(true)
+        .materialized
     }
     cents
   }
@@ -540,7 +541,7 @@ object Similarity {
         Window.partitionBy(col("_id")).orderBy(col("d").desc, col("cell").asc)))
       .filter(col("rnk") === 1)
       .select(col("_id"), col("_v"), col("cell"))
-      .localCheckpoint(true)
+      .materialized
     val lo = assigned.select(col("cell"), col("_id").as("_ida"), col("_v").as("_va"))
     val hi = assigned.select(col("cell"), col("_id").as("_idb"), col("_v").as("_vb"))
     val dups = lo.join(hi, Seq("cell"))
@@ -804,7 +805,7 @@ object Similarity {
     emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .filter(col("_v").isNotNull)
       .orderBy(col("_id")).limit(codebookSize)
-      .localCheckpoint(true)
+      .materialized
       // control-plane frame: ≤ codebookSize rows (the limit above)
       .withColumn("code", (row_number().over(Window.orderBy(col("_id"))) - 1)
         .cast("long"))
@@ -867,7 +868,7 @@ object Similarity {
         .join(means, Seq("s", "code"), "left")
         .select(col("code"), col("s"),
           coalesce(col("_next"), col("_prev")).as("cv"))
-        .localCheckpoint(true)
+        .materialized
     }
     cb
   }
@@ -889,10 +890,10 @@ object Similarity {
       .filter(col("_v").isNotNull)
       .select(col("_id"), pqSubVecs(col("_v"), d0, subspaces).as("_x"))
       .select(col("_id"), col("_x.s").as("s"), col("_x.sv").as("sv"))
-      .localCheckpoint(true) // re-scanned every Lloyd round
+      .materialized // re-scanned every Lloyd round
     lloydPq(sub, "_id",
       pqCodebook(corpus, dims, subspaces, codebookSize, idCol, vecCol)
-        .localCheckpoint(true),
+        .materialized,
       d0, iters)
   }
 
@@ -1005,18 +1006,18 @@ object Similarity {
     val cents = centroids.getOrElse(seedCentroids(
         corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v")),
         nCells, "_id", "_v"))
-      .localCheckpoint(true)
+      .materialized
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv")).filter(col("_cv").isNotNull)
     // corpus → 1 nearest cell, residual attached; materialized once —
     // both the codebook seed scan and the encode scan read this frame
     val cAssigned = nearestCellsL2(cents, c, "neighbor_id", "_cv", 1)
       .select(col("neighbor_id"), col("cell_id"), col("_res"))
-      .localCheckpoint(true)
+      .materialized
     val cbSeed = cAssigned.withColumn("_hk",
         md5(concat(lit("ivfpq:"), col("neighbor_id").cast("string"))))
       .orderBy(col("_hk"), col("neighbor_id")).limit(codebookSize)
-      .localCheckpoint(true)
+      .materialized
       // control-plane frame: ≤ codebookSize rows (the limit above)
       .withColumn("code", (row_number().over(
         Window.orderBy(col("_hk"), col("neighbor_id"))) - 1).cast("long"))
@@ -1032,7 +1033,7 @@ object Similarity {
     // on the deterministic seed
     val cb =
       if (codebookIters <= 0) cbSeed
-      else lloydPq(sub, "neighbor_id", cbSeed.localCheckpoint(true),
+      else lloydPq(sub, "neighbor_id", cbSeed.materialized,
         d0, codebookIters)
     val encW = Window.partitionBy(col("neighbor_id"), col("s"))
       .orderBy(round(dot(col("sv"), col("sv")) + dot(col("cv"), col("cv")) -

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Pareto-skyline (dominance) queries — "no other row is at least as good
   * on both axes and strictly better on one". The classic multi-criteria
@@ -66,7 +67,7 @@ object Skyline {
       // checkpoint the ONE-ROW-PER-DISTINCT-v_min frame: both the
       // prefix-max pass and the local pass consume it, and without the
       // cut each re-runs the full input scan + perMin window
-      .localCheckpoint(true)
+      .materialized
     val local = bucketed
       .withColumn("_m", max(col("v_max")).over(
         Window.partitionBy(col("_bkt")).orderBy(col("v_min").asc)
@@ -83,7 +84,7 @@ object Skyline {
         Window.orderBy(col("_pb").asc)
           .rowsBetween(Window.unboundedPreceding, -1)))
       .drop("_bmax")
-      .localCheckpoint(true)
+      .materialized
     local.join(broadcast(prevMax), col("_bkt") === col("_pb"))
       .filter(col("_prev").isNull || col("_prev") < col("v_max"))
       .select(col("v_min"), col("v_max"), col("n_rows"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Exact-arithmetic statistics verdicts — the [[TimeSeries.rollingAnomalies]]
   * family: decisions a pipeline branches on must be engine-exact, so the
@@ -343,7 +344,7 @@ object Stats {
     // edges themselves NaN, collapsing the grid
     val base = df.filter(x.isNotNull && !isnan(x))
       .select(col(groupCol).as("_g"), x.as("_x"))
-      .localCheckpoint(true) // quantile pass + binning pass
+      .materialized // quantile pass + binning pass
     val qs = (1 until bins).map(i => s"_e$i" -> i.toDouble / bins)
     val edges = ApproxQuantile.exactQuantiles(
       base.select(lit(1).as("_q"), col("_x")), "_q", "_x", qs).drop("_q")
@@ -368,7 +369,7 @@ object Stats {
                             groupCol: String): DataFrame = {
     val binned = prebinned
       .groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // read by totals AND both pair legs
+      .materialized // read by totals AND both pair legs
     val totals = binned.groupBy(col("_g")).agg(sum(col("c")).as("n"))
     // dense groups² × B grid: absent bins must still contribute their
     // smoothed term, so left-join counts onto the full bin range
@@ -429,7 +430,7 @@ object Stats {
                      catCol: String): DataFrame = {
     val cnt = df.select(col(groupCol).as("_g"), col(catCol).as("_k"))
       .groupBy(col("_g"), col("_k")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // read by totals, the cat union, both legs
+      .materialized // read by totals, the cat union, both legs
     val totals = cnt.groupBy(col("_g")).agg(sum(col("c")).as("n"))
     val pairs = totals.select(col("_g").as("a"), col("n").as("na"))
       .join(broadcast(totals.select(col("_g").as("b"), col("n").as("nb"))),
@@ -486,7 +487,7 @@ object Stats {
                         weightCol: String): DataFrame = {
     val g = df.groupBy(col(groupCol).as("_g"))
       .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("w"))
-      .localCheckpoint(true) // read by the pair sum AND the totals
+      .materialized // read by the pair sum AND the totals
     // the pairwise fold is DECIMAL: G² pairs of |wa−wb| reach G²·W —
     // byte totals over a large corpus push a long sum past 2^63 and it
     // wraps SILENTLY under non-ANSI (a negative mad → negative gini)
@@ -530,7 +531,7 @@ object Stats {
                    catCol: String): DataFrame = {
     val cnt = df.select(col(groupCol).as("_g"), col(catCol).as("_k"))
       .groupBy(col("_g"), col("_k")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // read by totals, the cat union, both legs
+      .materialized // read by totals, the cat union, both legs
     val totals = cnt.groupBy(col("_g")).agg(sum(col("c")).as("n"))
     val nCats = cnt.select(col("_k")).distinct().count()
     val grid = totals.select(col("_g").as("a"), col("n").as("na0"))
@@ -608,7 +609,7 @@ object Stats {
       // ≤ 9 rows, read by the totals AND the digit join — without this
       // the full digit-projection scan runs twice (the file's multi-
       // reader checkpoint convention)
-      .localCheckpoint(true)
+      .materialized
     val total = counts.agg(sum(col("n_obs")).as("_tot"))
     val pExpr = ps.tail.foldLeft(when(col("digit") === 1, ps.head._2)) {
       case (acc, (d, p)) => acc.when(col("digit") === d, p) }
@@ -893,18 +894,22 @@ object Stats {
     // excluded like every sampler's draw key (Sampling): a NULL id's md5
     // draw is NULL, every threshold test falls through, and the row would
     // ride EVERY replica at the deterministic base multiplicity 8 —
-    // variance-free weight that silently shrinks se_boot. A value that
-    // overflows DECIMAL(18,6) fails LOUDLY instead of silently leaving n
-    // and the mean (under ANSI the cast itself throws; this keeps the
-    // non-ANSI path honest too).
+    // variance-free weight that silently shrinks se_boot. NaN/±Infinity
+    // are DROPPED like NULLs (the psiQuantileBins contract — a non-finite
+    // reading is absent data, not a rescaling problem); only a genuinely
+    // FINITE value that overflows DECIMAL(18,6) fails LOUDLY instead of
+    // silently leaving n and the mean (under ANSI the cast itself throws;
+    // this keeps the non-ANSI path honest too).
     val xr = round(value, 6).cast("decimal(18,6)")
+    val vd = value.cast("double")
+    val finite = !isnan(vd) && abs(vd) =!= lit(Double.PositiveInfinity)
     val base = df.select(col(groupCol), col(idCol).as("_id"),
-        when(value.isNotNull && xr.isNull,
+        when(value.isNotNull && finite && xr.isNull,
           raise_error(lit("poissonBootstrap: value overflows DECIMAL(18,6)" +
             " — rescale the metric")))
-          .otherwise(xr).as("_x"))
+          .otherwise(when(finite, xr)).as("_x"))
       .filter(col("_x").isNotNull && col("_id").isNotNull)
-      .localCheckpoint(true) // read by the point estimate AND the fan-out
+      .materialized // read by the point estimate AND the fan-out
     val point = base.groupBy(col(groupCol))
       .agg(count(col("_x")).as("n"),
         round(sum(col("_x")).cast("double") / count(col("_x")), 6).as("mean"))

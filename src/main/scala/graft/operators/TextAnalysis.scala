@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Text-analysis operators for large-scale training-data pipelines.
   * All pure Column expressions (codegen'd, no UDFs) so a 100 TB corpus
@@ -290,7 +291,7 @@ object TextAnalysis {
     val tf = base.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialized
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); norm = dl·N/Σdl (exact long
     // product, ONE double division). Same expression shape as the oracle.
@@ -349,7 +350,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
     val tf = base.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // consumed by the LM aggregate AND the score join
+      .materialized // consumed by the LM aggregate AND the score join
     val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = lm.agg(sum(col("cnt")).as("total"))
     val logp = round(log(col("cnt").cast("double") / col("total").cast("double")), 6)
@@ -392,7 +393,7 @@ object TextAnalysis {
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("batch_ix", expr(s"(_rn - 1) div $batchSize"))
       .drop("_rn")
-      .localCheckpoint(true) // consumed by the rows AND the batch-max sides
+      .materialized // consumed by the rows AND the batch-max sides
     val pads = ranked.groupBy(col("bucket"), col("batch_ix"))
       .agg(max(col("n_tokens")).as("padded_len"))
     ranked.join(pads, Seq("bucket", "batch_ix"))
@@ -431,7 +432,7 @@ object TextAnalysis {
         element_at(col("_toks"), col("_i") + 2).as("b"))
     val tf = grams.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // consumed by the LM aggregates AND the score join
+      .materialized // consumed by the LM aggregates AND the score join
     val big = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
     val pre = big.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     // |V|: distinct tokens anywhere (last token of a doc is a bigram 'b')
@@ -525,15 +526,20 @@ object TextAnalysis {
       when(col("_norm").isNull, lit(null).cast("long"))
         .when(length(col("_norm")) >= 3, (length(col("_norm")) - 2).cast("long"))
         .otherwise(lit(0L)).as("dl"))
+    // token INSTANCES, tf = 1 — NOT per-doc-aggregated counts: the
+    // (doc, term) groupBy barely compressed (per-doc trigrams are mostly
+    // distinct) while its full-stream shuffle + checkpoint dominated the
+    // 10×-scale wall (measured 25 s of 30 s); the decimal scoring fold
+    // is exact either way, so scores are bit-identical. The stream is
+    // deliberately not materialized — re-tokenizing for the second
+    // consumer is cheaper than storing every instance.
     val tf = base.filter(length(col("_norm")) >= 3)
       .select(col("doc_id"), col("actual"),
         (length(col("_norm")) - 2).cast("long").as("dl"), col("_norm"),
         explode(sequence(lit(1), length(col("_norm")) - 2)).as("_i"))
       .select(col("doc_id"), col("actual"), col("dl"),
-        col("_norm").substr(col("_i"), lit(3)).as("term"))
-      .groupBy(col("doc_id"), col("actual"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    nbClassifyFrom(docsF, tf)
+        col("_norm").substr(col("_i"), lit(3)).as("term"), lit(1L).as("tf"))
+    nbClassifyFrom(docsF, tf, materializeTf = false)
   }
 
   /** The shared NB trainer/scorer over a prepared (doc_id, actual,
@@ -547,7 +553,7 @@ object TextAnalysis {
     val base = prepared
       .select(col("doc_id"), col("actual"), col("_toks"),
         size(col("_toks")).cast("long").as("dl"))
-      .localCheckpoint(true)
+      .materialized
     nbClassifyFrom(
       base.select(col("doc_id"), col("actual"), col("dl")),
       base.select(col("doc_id"), col("actual"), col("dl"),
@@ -560,17 +566,34 @@ object TextAnalysis {
     * doc (doc_id, actual, dl), `tf` = per-doc term counts (doc_id,
     * actual, dl, term, tf). Token production is the caller's — the array
     * path ([[nbClassifyOver]]) and [[langIdNgram]]'s codegen'd
-    * explode-substring path both land here. */
-  private def nbClassifyFrom(docsFIn: DataFrame, tfIn: DataFrame): DataFrame = {
-    val tf = tfIn.localCheckpoint(true) // consumed by training AND scoring
+    * explode-substring path both land here.
+    *
+    * `tfIn` may be PER-DOC AGGREGATED counts (tf ≥ 1) or raw token
+    * INSTANCES (tf = 1, one row per occurrence) — the scoring fold
+    * `Σ tf·lp` is a DECIMAL sum, exact and associative, so both forms
+    * produce bit-identical scores. The instance form skips the
+    * (doc, term)-keyed aggregate whose full-token-stream shuffle +
+    * checkpoint dominated langid at scale (measured: the tf-only leg was
+    * 25 s of the 30 s 10× wall); training still partial-aggregates
+    * map-side because cst's key is (label, term) — vocabulary-sized
+    * output, not corpus-sized. `materializeTf=false` skips checkpointing
+    * the stream (storing every token instance costs more than the second
+    * tokenize pass it saves — the langid measurement); the aggregated
+    * word path keeps materializing its (smaller) tf. */
+  private def nbClassifyFrom(docsFIn: DataFrame, tfIn: DataFrame,
+                             materializeTf: Boolean = true): DataFrame = {
+    val tf = if (materializeTf) tfIn.materialized else tfIn
     // docsF is read FOUR times (class priors, corpus total, the labels
     // collect, the scoring join) — tiny (3 columns, one row per doc), so
     // materializing beats four corpus re-scans of the caller's tokenizer
-    val docsF = docsFIn.localCheckpoint(true)
+    val docsF = docsFIn.materialized
     val cst = tf.groupBy(col("actual").as("cand"), col("term"))
       .agg(sum(col("tf")).as("cst"))
+      .materialized // vocabulary-sized; read by cs, the pivot AND vocab
     val cs = cst.groupBy(col("cand")).agg(sum(col("cst")).as("cs"))
-    val vocab = tf.agg(countDistinct(col("term")).as("v"))
+    // distinct terms over cst ≡ distinct terms over tf (cst only folds
+    // the label axis) — but cst is vocabulary-sized, never corpus-sized
+    val vocab = cst.agg(countDistinct(col("term")).as("v"))
     val nd = docsF.groupBy(col("actual").as("cand")).agg(count(lit(1)).as("nd"))
     val n = docsF.agg(count(lit(1)).as("n"))
     // one row per label: prior and the OOV floor, both rounded once
@@ -775,7 +798,7 @@ object TextAnalysis {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
     import org.apache.spark.sql.expressions.Window
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint) df.materialized else df
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // (w, freq, pos, sym): characters 1..len, then the </w> marker
@@ -861,7 +884,7 @@ object TextAnalysis {
     val tf = docs.select(col(groupCol).as("_g"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("_g"), col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // consumed by totals + both pair legs
+      .materialized // consumed by totals + both pair legs
     val totals = tf.groupBy(col("_g")).agg(sum(col("c")).as("n"))
     val vocab = tf.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
     val srcs = totals.crossJoin(broadcast(vocab))
@@ -1001,7 +1024,7 @@ object TextAnalysis {
       .select(col("_toks"), posexplode(col("_toks")).as(Seq("_i", "a")))
       .filter(col("_i") < size(col("_toks")) - 1)
       .select(col("a"), element_at(col("_toks"), col("_i") + 2).as("b"))
-      .localCheckpoint(true) // consumed by the bigram AND both unigram counts
+      .materialized // consumed by the bigram AND both unigram counts
     val big = grams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minCount)
     // unigram counts over transition SLOTS (first/last doc tokens weigh
@@ -1033,7 +1056,7 @@ object TextAnalysis {
     require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
     val tf = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = true) // one tf pass shared by every V
+      .materialized // one tf pass shared by every V
     val totals = tf.agg(sum(col("cnt")).as("total_tokens"),
       count(lit(1)).as("n_types"))
     sizes.map { v =>
@@ -1128,7 +1151,7 @@ object TextAnalysis {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), isTarget.as("_t"),
         tokens(col(textCol)).as("_toks"))
-      .localCheckpoint(true) // read by the raw universe AND the tf explode
+      .materialized // read by the raw universe AND the tf explode
     val tf = base
       .select(col("doc_id"), col("_t"), explode(col("_toks")).as("term"))
       .select(col("doc_id"), col("_t"),
@@ -1136,7 +1159,7 @@ object TextAnalysis {
           buckets).as("bucket"))
       .groupBy(col("doc_id"), col("_t"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // read by both model aggregates AND scoring
+      .materialized // read by both model aggregates AND scoring
     val tp = tf.filter(col("_t"))
       .groupBy(col("bucket")).agg(sum(col("c")).as("tp"))
     val tq = tf.filter(!col("_t"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Time-series regularization operators: a metrics/feature pipeline wants a
   * dense, gap-free daily grid per series (sensor, user cohort, event type)
@@ -40,7 +41,7 @@ object TimeSeries {
       // entirely — count(1) would tally the pair while the decimal sums
       // skip the NULL side, corrupting r (the corrVerdict guard)
       .filter(col("_c").isNotNull)
-      .localCheckpoint(true) // both sides of every lag join
+      .materialized // both sides of every lag join
     val lagged = daily
       .withColumn("_lag", explode(array((1 to maxLag).map(lit): _*)))
       .select(col("_s"), col("_lag").cast("long").as("lag"),
@@ -108,7 +109,7 @@ object TimeSeries {
         pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
       .withColumn("_detr",
         Stats.canonZero(round(col("_tot").cast("double") - col("trend"), 6)))
-      .localCheckpoint(true) // both sides of the seasonal join
+      .materialized // both sides of the seasonal join
     val seasonal = trended.filter(col("_detr").isNotNull)
       .groupBy(col("_s"), col("dow"))
       .agg(Stats.canonZero(round(sum(col("_detr").cast("decimal(18,6)")).cast("double") /
@@ -200,7 +201,7 @@ object TimeSeries {
     // readout joins back onto observed days, and a day with no value has
     // no (value, ewma) row to report.
     val d = daily.filter(col(valueCol).isNotNull)
-      .localCheckpoint(true) // scatter source AND target spine
+      .materialized // scatter source AND target spine
     val offsets = array((0 until horizonDays).map { dl =>
       // Int, not Long: a DateType day column resolves `day + delta` to
       // date_add, whose increment must be int — Long fails analysis
@@ -245,7 +246,7 @@ object TimeSeries {
     // three consumers below (bounds, series dim, join side): materialize so
     // an expensive upstream (typically an aggregate over the raw event
     // stream) runs ONCE, not once per plan branch
-    val d = daily.localCheckpoint(true)
+    val d = daily.materialized
     val bounds = d.agg(min(col(dayCol)).as("_mn"), max(col(dayCol)).as("_mx"))
     val spine = d.select(col(seriesCol)).distinct()
       .crossJoin(broadcast(bounds))

@@ -252,6 +252,39 @@ object Urls {
   // read identically in Java and the oracle's RE2
   val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?\\z"
 
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization: within every valid
+    * `%XX` triplet the hex digits are UPPERCASED, and triplets encoding an
+    * UNRESERVED character (ALPHA / DIGIT / `-` `.` `_` `~`) are decoded —
+    * `/%7euser`, `/%7Euser` and `/~user` become one key. Reserved and
+    * non-ASCII octets stay encoded (only case-folded): `%2F` must NOT
+    * become a path `/`, `%3D` not a param `=` — decoding those would
+    * change where downstream splits cut. A `%` not followed by two hex
+    * digits is not a valid encoding; it is preserved verbatim (the
+    * error-transparency rule every lenient parser follows). NULL → NULL.
+    *
+    * Shape: one `split('%')` + a `transform` over the fragments + one
+    * rejoin — per-row, no shuffle; the common no-`%` row takes the
+    * `instr` fast path and never builds the array. Decoding unreserved
+    * characters can only produce ALPHA/DIGIT/`-._~` — never a delimiter —
+    * so composing this BEFORE slash-collapse, param-split and
+    * dot-segment resolution is order-safe. */
+  def normalizePercent(s: Column): Column = {
+    val parts = split(s, "%", -1) // -1: a trailing '%' keeps its empty tail
+    val fixed = transform(slice(parts, lit(2), size(parts) - 1), seg => {
+      val hex2 = upper(substring(seg, 1, 2))
+      val code = conv(hex2, 16, 10).cast("int")
+      val rest = substring(seg, 3, Int.MaxValue)
+      val unreserved = (code >= 48 && code <= 57) ||
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+        code === 45 || code === 46 || code === 95 || code === 126
+      when(!hex2.rlike("^[0-9A-F]{2}\\z"), concat(lit("%"), seg))
+        .when(unreserved, concat(call_function("char", code), rest))
+        .otherwise(concat(lit("%"), hex2, rest))
+    })
+    when(s.isNull || instr(s, "%") === 0, s)
+      .otherwise(concat(element_at(parts, 1), array_join(fixed, "")))
+  }
+
   /** Canonical URL — the normalization every crawl frontier and URL-level
     * dedup applies BEFORE hashing, so `HTTP://Host.com:80/a//b?b=2&a=1&utm_x=9`
     * and `http://host.com/a/b?a=1&b=2` collapse to one key:
@@ -263,6 +296,16 @@ object Urls {
     *     empty tokens dropped, the survivors BYTE-SORTED and rejoined
     *     (param order never carries meaning a cache key can rely on);
     *     an emptied query disappears entirely;
+    *   - percent-encodings in path and query normalized per
+    *     [[normalizePercent]] (RFC 3986 §6.2.2.2) BEFORE the collapse /
+    *     split steps — a round-15 key-version bump; %-free URLs (every
+    *     pre-r15 fixture) canonicalize byte-identically to the old key;
+    *   - the host IDN-folded to punycode ASCII
+    *     ([[graft.functions.IdnAscii]], same key-version bump): the
+    *     unicode and `xn--` spellings of one authority are one frontier
+    *     key; pure-ASCII hosts (every pre-r15 fixture) pass through
+    *     byte-identically, and a host ToASCII rejects folds to NULL
+    *     canonical — the same error-visibility contract as a NULL host;
     *   - the fragment never reaches the server and is already outside
     *     [[UrlRe]]'s capture.
     *
@@ -276,18 +319,28 @@ object Urls {
   def canonicalOf(scheme: Column, host: Column, port: Column,
                   path: Column, query: Column): Column = {
     val sch = lower(scheme)
-    val h = regexp_replace(host, "\\.\\z", "") // \z: see the etld1FromLabels note
+    // root-dot strip BEFORE the IDN fold (ToASCII rejects the empty final
+    // label a trailing dot implies); ASCII hosts short-circuit unchanged
+    val h = graft.functions.IdnAscii.idnAscii(
+      regexp_replace(host, "\\.\\z", "")) // \z: see the etld1FromLabels note
     val defPort = (sch === "http" && port === 80L) ||
       (sch === "https" && port === 443L)
     val portPart = when(port.isNull || defPort, lit(""))
       .otherwise(concat(lit(":"), port.cast("string")))
-    val p = when(path === "", lit("/"))
-      .otherwise(regexp_replace(path, "/{2,}", "/"))
-    val kept = array_sort(filter(split(coalesce(query, lit("")), "&"),
+    // percent-normalize FIRST: decoding unreserved octets never produces
+    // '/' or '&' (those are reserved, kept encoded), so the collapse and
+    // the param split below see the final byte forms
+    val path1 = normalizePercent(path)
+    val p = when(path1 === "", lit("/"))
+      .otherwise(regexp_replace(path1, "/{2,}", "/"))
+    val kept = array_sort(filter(
+      split(coalesce(normalizePercent(query), lit("")), "&"),
       x => x =!= "" && !x.rlike(TrackingParamRe)))
     val qPart = when(size(kept) > 0,
       concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
-    when(host.isNull, lit(null).cast("string"))
+    // h is NULL when host is NULL (malformed URL) OR the IDN fold
+    // rejected it — both are "cannot canonicalize", both surface as NULL
+    when(h.isNull, lit(null).cast("string"))
       .otherwise(concat(sch, lit("://"), h, portPart, p, qPart))
   }
 
@@ -358,6 +411,52 @@ object Urls {
       .otherwise(lit(""))
     Spread.toCores(events).select(id.as("event_id"),
       concat(schemePart, hostCol, portPart, pathPart, queryPart).as("url"))
+  }
+
+  /** Percent-encoding fixture for [[normalizePercent]] composed into the
+    * canonical key: `%7e`/`%7E`/`~` spellings that must COLLAPSE, a
+    * reserved `%2f`/`%2F` that must only case-fold (never become a path
+    * slash), uppercase-decode legs (`%4a%4B` → `JK`), an invalid `%zz`
+    * and a bare trailing `%` kept verbatim, a digit decode in the query
+    * (`%31` → `1`), and an encoded-leading-letter tracking param
+    * (`%75tm_source` → `utm_source`) that only a normalize-before-filter
+    * canonicalizer drops. Pure concat; the oracle rebuilds identical raw
+    * strings and replays the normalization generically with list ops. */
+  def synthPercentUrls(events: DataFrame, idCol: String = "event_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    val pathPart = when(id % 6 === 0, concat(lit("/%7euser"), m(5)))
+      .when(id % 6 === 1, concat(lit("/%7Euser"), m(5)))
+      .when(id % 6 === 2, concat(lit("/~user"), m(5)))
+      .when(id % 6 === 3, concat(lit("/a%2Fb"), m(5)))
+      .when(id % 6 === 4, concat(lit("/a%2fb"), m(5)))
+      .otherwise(concat(lit("/%4a%4B"), m(5), lit("%zz%")))
+    val queryPart = when(id % 4 === 0, lit("?x=%31"))
+      .when(id % 4 === 1, lit("?x=1"))
+      .when(id % 4 === 2, concat(lit("?%75tm_source=9&a="), m(3)))
+      .otherwise(concat(lit("?a="), m(3)))
+    Spread.toCores(events).select(id.as("event_id"),
+      concat(lit("https://example.com"), pathPart, queryPart).as("url"))
+  }
+
+  /** IDN fixture for the host fold composed into the canonical key:
+    * the unicode, uppercase-unicode and pre-encoded ACE spellings of one
+    * authority (all three must land on ONE canonical), a second IDN
+    * authority, and an impossible 64-char label that must fold to NULL
+    * canonical. The oracle rebuilds identical raw strings and maps each
+    * host through the PINNED punycode literals (golden values, the
+    * MediaSpec hand-built-bytes convention — the fold itself is the
+    * JDK's public ToASCII, asserted label-by-label in UrlsSpec). */
+  def synthIdnUrls(events: DataFrame, idCol: String = "event_id"): DataFrame = {
+    val id = col(idCol)
+    val hostCol = when(id % 5 === 0, lit("bücher.example"))
+      .when(id % 5 === 1, lit("BÜCHER.example"))
+      .when(id % 5 === 2, lit("xn--bcher-kva.example"))
+      .when(id % 5 === 3, lit("münchen.de"))
+      .otherwise(lit("a" * 64 + ".example"))
+    Spread.toCores(events).select(id.as("event_id"),
+      concat(lit("https://"), hostCol, lit("/p"), (id % 3).cast("string"))
+        .as("url"))
   }
 
   /** Host fixture exercising every publicsuffix.org rule TYPE in

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** S4 at scale — bucketed idempotent MERGE with TABLE-ATOMIC commits
   * (SURVEY.md §7.3; VERDICT r1 "wrong #3", r2 "missing #3"): tables are
@@ -170,7 +171,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
   private def materialize(df: DataFrame): (DataFrame, Seq[Int]) = {
     val obs = Observation()
     val ckpt = df.observe(obs, collect_set(col("_bucket")).as("touched"))
-      .localCheckpoint(true)
+      .materialized
     val touched = Observed.poll(obs).flatMap(_.get("touched")) match {
       case Some(s) => s.asInstanceOf[scala.collection.Seq[Any]]
         .map(_.asInstanceOf[Int]).toSeq
@@ -569,7 +570,7 @@ class BucketedMergeWriter(spark: SparkSession, root: String, nBuckets: Int = 16,
           .drop("_cur__bucket")
           .observe(freshObs, count(when(
             col("_in_batch").isNotNull && col("_cur_sk").isNull, 1)).as("fresh"))
-          .localCheckpoint(true) // consumed 3× below + by the write + view
+          .materialized // consumed 3× below + by the write + view
         val freshCount = Observed.poll(freshObs).flatMap(_.get("fresh"))
           .map(_.asInstanceOf[Long])
         val known = j.filter(col("_in_batch").isNotNull && col("_cur_sk").isNotNull)

@@ -3,6 +3,7 @@ package graft.plans
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** S4 — idempotent MERGE upsert into versioned parquet tables, with stable
   * surrogate keys (SURVEY.md §7.3).
@@ -127,7 +128,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
               storedOnly.map(f => col(f.name).as(s"_cur_${f.name}")): _*),
               natKey.map(k => col(k) <=> col(s"_cur_$k")).reduce(_ && _), "left")
             .drop(natKey.map(k => s"_cur_$k"): _*)
-            .localCheckpoint(true)
+            .materialized
           val known = joined.filter(col(skCol).isNotNull)
           val fresh = joined.filter(col(skCol).isNull).drop(skCol)
           // max(sk) is NULL on an empty current table — guard the scalar
@@ -150,7 +151,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
                else lit(null).cast(f.dataType)).as(f.name)): _*))
       }
       // cut lineage before overwrite; result is in memory — no re-scan
-      casAttempt(name, merged.localCheckpoint(true))
+      casAttempt(name, merged.materialized)
     }
   }
 
@@ -167,14 +168,14 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
           SchemaEvolution.requireCompatible(name, batch, cur)
           cur.unionByName(batch, allowMissingColumns = true)
       }
-      casAttempt(name, merged.localCheckpoint(true))
+      casAttempt(name, merged.materialized)
     }
 
   /** Atomic whole-table replace: a fresh version + pointer flip. The
     * replacement contents are the CALLER's snapshot (trait contract:
     * serialize against writers whose commits must not be superseded). */
   def replaceTable(name: String, batch: DataFrame, natKey: Seq[String]): DataFrame = {
-    val out = batch.localCheckpoint(true)
+    val out = batch.materialized
     require(!out.isEmpty, s"replaceTable($name) with an empty batch (trait contract)")
     CommitProtocol.commitLoop(tableDir(name), PointerFile)(_ => casAttempt(name, out))
   }
@@ -225,7 +226,7 @@ class MergeWriter(spark: SparkSession, root: String) extends TableStore {
                 .as(f.name)
             }: _*)
       }
-      casAttempt(name, merged.localCheckpoint(true))
+      casAttempt(name, merged.materialized)
     }
   }
 

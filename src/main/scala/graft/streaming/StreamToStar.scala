@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Expectations
 import graft.plans.{StarSchema, TableStore}
 import graft.sources.SalesFeed
+import graft.Materialize.MaterializeOps
 
 /** T1–T8 — the streaming shell: unbounded feed → star schema, effectively
   * once (SURVEY.md §2.6).
@@ -128,7 +129,7 @@ object StreamToStar {
     val mat = timed("materialize", phases)(
       ErrorChannel.tagged(feed, Seq("id"))
         .observe(obs, count(lit(1)).as("total"), count(col("_error")).as("errs"))
-        .localCheckpoint(true))
+        .materialized)
     val counts = graft.plans.Observed.poll(obs)
     val total = counts.flatMap(_.get("total")).map(_.asInstanceOf[Long])
       .getOrElse(mat.count())
@@ -240,7 +241,7 @@ object StreamToStar {
       // with the audit on, the resolved frame is read twice (merge +
       // verdict aggregates) — materialize once; swept at batch end
       val resolved =
-        if (auditTable.isDefined) resolved0.localCheckpoint(true) else resolved0
+        if (auditTable.isDefined) resolved0.materialized else resolved0
       timed("fact", phases)(store.mergeFact("fact_sales", resolved, Seq("source_sale_id")))
       auditTable.foreach { tbl =>
         val verdicts = Expectations

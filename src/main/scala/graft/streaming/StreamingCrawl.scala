@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.{Html, Warc}
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Continuous crawl ingestion — the operational twin of the q252 batch
   * chain: a STREAM of WARC/WET shard payloads (new shards landing in a
@@ -40,7 +41,7 @@ object StreamingCrawl {
         // per-batch block sweep: see BlockSweep's contract
         BlockSweep.swept(batch.sparkSession.sparkContext) {
         // parsed once, read twice (ok + dead) — materialize
-        val recs = Warc.warcTextRecords(batch).toDF().localCheckpoint(true)
+        val recs = Warc.warcTextRecords(batch).toDF().materialized
         val docs = recs.filter(col("ok") === 1)
           .select(col("shard_id"), col("member_idx"), col("target_uri"),
             Html.title(col("text")).as("title"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.HeavyHitters
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Continuous frequent-items monitoring over a STREAM — the operational
   * twin of [[HeavyHitters.heavyHitters]], completing the r10 monitor
@@ -118,12 +119,12 @@ object StreamingHeavyHitters {
           val spreadItems = strItems
             .observe(obs, count(lit(1)).as("n"))
             .repartition(col("item"))
-            .localCheckpoint(true) // read twice: candidate pass + recount
+            .materialized // read twice: candidate pass + recount
           val cands = spreadItems
             .as[String]
             .mapPartitions(it => HeavyHitters.mgSummary(k, it))
             .toDF("item").distinct()
-            .localCheckpoint(true)
+            .materialized
           val nB = graft.plans.Observed.poll(obs).flatMap(_.get("n"))
             .map(_.asInstanceOf[Long]).getOrElse(strItems.count())
           if (nB > 0) {

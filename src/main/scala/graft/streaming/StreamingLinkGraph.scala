@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.Materialize.MaterializeOps
 import graft.operators.Html
 import graft.plans.TableStore
 
@@ -12,28 +13,65 @@ import graft.plans.TableStore
   * contributions ([[Html.linkEdgesByDoc]]), which MERGE into a registry
   * keyed (src_domain, dst_domain, doc_id). The cumulative graph is the
   * fold of the registry ([[readEdges]]), byte-identical to running the
-  * batch operator over everything seen so far.
+  * batch operator over every document's LATEST content.
   *
-  * Exactly-once by CONTENT, not by batch-id watermark (the
-  * [[StreamingParagraphDedup]] lesson): a document's edge contribution is
-  * a deterministic function of its bytes, so the keyed MERGE absorbs
-  * crash replays, fresh-checkpoint re-deliveries with DIFFERENT batch
-  * slicing, and re-crawls of the same doc_id (last-write-wins refreshes
-  * the row — the re-crawl is the new truth for that page).
+  * Ownership is by CONTENT FINGERPRINT (the r14 ADVICE fix): merges
+  * cannot delete rows by omission, so a re-crawl whose content DROPPED a
+  * link (or changed src_host) would leave the doc's stale (src, dst, doc)
+  * rows in the registry forever. Instead, every edge row carries the
+  * md5 of the html it came from, and a tiny per-doc registry
+  * (`docsTable`, keyed doc_id, last-write-wins) records each doc's
+  * CURRENT fingerprint. [[readEdges]] folds only edge rows whose
+  * fingerprint matches their doc's current one — a changed re-crawl
+  * flips the doc row and every stale edge row goes dark at once, no
+  * tombstones, no watermark. Byte-identical re-deliveries (crash
+  * replays, fresh-checkpoint re-slicing) merge onto themselves exactly
+  * as before. Dark rows are storage, not truth; [[compact]] rewrites
+  * the registry to live rows when their fraction warrants it.
   *
   * Scale: the per-batch work is the batch operator's map+agg shape on
-  * batch bytes only; the registry grows with distinct (edge, doc) pairs —
-  * the same order as the crawl's total link count, i.e. proportional to
-  * the corpus like every ownership registry here; the store's vacuum
-  * bounds dead versions. [[readEdges]] is one partial-aggregated fold at
-  * read time, domain-graph output cardinality. */
+  * batch bytes only plus one doc-cardinality merge; the registry grows
+  * with distinct (edge, doc, content) triples — proportional to the
+  * crawl like every ownership registry here, with [[compact]] + the
+  * store's vacuum bounding dead weight. [[readEdges]] is one
+  * (doc_id, fp)-keyed equi-join and a partial-aggregated fold at read
+  * time, domain-graph output cardinality.
+  *
+  * PageRank policy — RECOMPUTE ON EPOCH, not incremental maintenance:
+  * the PR prior (q264/q267) is `Dedup.pageRankDirected` over
+  * [[readEdges]], a deterministic decimal-exact function of the settled
+  * fold, so the streaming readout is bit-identical to the batch walk on
+  * the same corpus state and replay-stable by construction
+  * (StreamingLinkGraphSpec proves both). The damped walk runs on
+  * DOMAIN-graph cardinality — domains, not documents, at any corpus
+  * size — so recomputation per scheduling epoch costs the same 8
+  * bounded iterations whether one page or a billion changed;
+  * incremental damped-walk maintenance (which approximates and drifts)
+  * buys nothing at this cardinality and is deliberately not done. */
 object StreamingLinkGraph {
 
+  private def fingerprinted(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("src_host"), col("html"),
+        md5(coalesce(col("html"), lit(""))).as("content_fp"))
+      // a NULL doc_id can't be re-crawl-tracked (no identity to own rows)
+      .filter(col("doc_id").isNotNull)
+      // one winner per doc WITHIN a batch: two different bodies for one
+      // doc_id in one slice are ambiguous — max fingerprint wins, a
+      // deterministic order-free tie-break (re-slicing can't flip it
+      // unless it also splits the pair across batches, where the later
+      // batch wins like any re-crawl)
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("src_host"), col("html"), col("content_fp")),
+        col("content_fp")).as("_w"))
+      .select(col("doc_id"), col("_w.src_host").as("src_host"),
+        col("_w.html").as("html"), col("_w.content_fp").as("content_fp"))
+
   /** Start draining `pages` (a streaming DataFrame with doc_id /
-    * src_host / html columns) into the `edgesTable` registry.
+    * src_host / html columns) into the `edgesTable` registry, with the
+    * per-doc current-fingerprint registry in `docsTable`.
     * AvailableNow by default; pass ProcessingTime for a resident query. */
   def start(pages: DataFrame, store: TableStore, edgesTable: String,
-            checkpointDir: String,
+            docsTable: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(pages.isStreaming, "pages must be a streaming DataFrame")
     pages.writeStream
@@ -42,10 +80,20 @@ object StreamingLinkGraph {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // per-batch block sweep: see BlockSweep's contract
         BlockSweep.swept(batch.sparkSession.sparkContext) {
-          val slice = Html.linkEdgesByDoc(batch)
-          if (!slice.isEmpty)
-            store.mergeFact(edgesTable, slice,
-              Seq("src_domain", "dst_domain", "doc_id"))
+          val w = fingerprinted(batch)
+            .materialized // read by the edge slice AND the doc merge
+          if (!w.isEmpty) {
+            val slice = Html.linkEdgesByDoc(w)
+              .join(w.select(col("doc_id"), col("content_fp")), Seq("doc_id"))
+            // edges BEFORE docs: a crash between the two leaves the new
+            // rows dark (doc fp still old — the old state stays visible,
+            // never a half-applied doc); replay completes the flip
+            if (!slice.isEmpty)
+              store.mergeFact(edgesTable, slice,
+                Seq("src_domain", "dst_domain", "doc_id"))
+            store.mergeFact(docsTable,
+              w.select(col("doc_id"), col("content_fp")), Seq("doc_id"))
+          }
           ()
         }
       }
@@ -53,11 +101,33 @@ object StreamingLinkGraph {
   }
 
   /** The cumulative host graph: (src_domain, dst_domain, n_links,
-    * n_docs) — the exact [[Html.linkEdges]] readout over everything the
-    * stream has absorbed. */
-  def readEdges(store: TableStore, edgesTable: String): DataFrame =
+    * n_docs) — the exact [[Html.linkEdges]] readout over every
+    * document's LATEST absorbed content (stale re-crawl rows excluded
+    * by the fingerprint join). */
+  def readEdges(store: TableStore, edgesTable: String,
+                docsTable: String): DataFrame =
     store.read(edgesTable)
+      .join(store.read(docsTable), Seq("doc_id", "content_fp"))
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(sum(col("n_links")).as("n_links"),
         count(lit(1)).as("n_docs"))
+
+  /** Rewrite the edge registry down to LIVE rows (current-fingerprint
+    * matches) — the maintenance pass that reclaims the dark rows
+    * re-crawls leave behind. Atomic (replaceTable); serialize against a
+    * running [[start]] query on the same tables. No-op when nothing is
+    * live (an all-stale registry cannot happen while docsTable exists —
+    * every doc row points at its latest merge). */
+  def compact(store: TableStore, edgesTable: String,
+              docsTable: String): Unit = {
+    val live = store.read(edgesTable)
+      .join(store.read(docsTable), Seq("doc_id", "content_fp"))
+      // the merge slice's column order, so the rewrite round-trips
+      .select(col("doc_id"), col("src_domain"), col("dst_domain"),
+        col("n_links"), col("content_fp"))
+      .materialized // snapshot BEFORE the swap reads it back
+    if (!live.isEmpty)
+      store.replaceTable(edgesTable, live,
+        Seq("src_domain", "dst_domain", "doc_id"))
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Incremental NO-SPLIT packing over a document STREAM — the operational
   * twin of [[graft.operators.Packing.nextFitPack]]: per micro-batch,
@@ -104,7 +105,7 @@ object StreamingPacker {
         }
       }
       .toDF("rng", "doc_id", "n_tok", "lbin", "fill_before")
-      .localCheckpoint(true) // read twice: assignment merge + state fold
+      .materialized // read twice: assignment merge + state fold
     if (!walked.isEmpty) {
       // 1) idempotent keyed assignments FIRST (see exactly-once contract)
       store.mergeFact(assignTable,

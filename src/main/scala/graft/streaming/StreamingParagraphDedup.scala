@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Dedup
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Continuous paragraph-level dedup over a document STREAM — the
   * operational twin of [[Dedup.paragraphDedup]] (the C4/CCNet unit),
@@ -52,7 +53,7 @@ object StreamingParagraphDedup {
         // per-batch block sweep: see BlockSweep's contract
         BlockSweep.swept(batch.sparkSession.sparkContext) {
           val paras = Dedup.paragraphRows(batch, idCol, textCol, sepRegex)
-            .localCheckpoint(true) // read by the window AND both merges
+            .materialized // read by the window AND both merges
           if (!paras.isEmpty) {
             val w = Window.partitionBy(col("_fp"))
               .orderBy(col("doc_id").asc, col("para_ix").asc)
@@ -82,7 +83,7 @@ object StreamingParagraphDedup {
                     col("_own_ix") === col("para_ix")) ||
                   (col("_rk") === 1 && col("fp").isNull), 1L)
                 .otherwise(0L))
-              .localCheckpoint(true) // read by the registry merge + stats
+              .materialized // read by the registry merge + stats
             // registry: new owners only; a replay re-merges itself (no-op)
             val newOwners = marked.filter(col("kept") === 1L)
               .select(col("_fp").as("fp"), col("doc_id"), col("para_ix"))

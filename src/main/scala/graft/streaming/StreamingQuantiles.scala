@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.ApproxQuantile
 import graft.plans.TableStore
+import graft.Materialize.MaterializeOps
 
 /** Continuous quantile monitoring over a STREAM — the operational twin of
   * [[ApproxQuantile.sampledQuantiles]], closing the r10 rank-sketch
@@ -67,7 +68,7 @@ object StreamingQuantiles {
         val state = prev.unionByName(batchTop)
           .dropDuplicates("h", "v")
           .orderBy(col("h"), col("v")).limit(k)
-          .localCheckpoint(true) // replaceTable + readout both consume it
+          .materialized // replaceTable + readout both consume it
         val m = state.count()
         if (m > 0) {
           store.replaceTable(stateTable, state, Seq("h"))

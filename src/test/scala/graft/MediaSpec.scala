@@ -1011,4 +1011,49 @@ class MediaSpec extends SparkSpec {
         s"asset ${r.asset_id}: containers must agree on pixels")
     }
   }
+
+  test("jpeg: real encode/decode round-trip, bomb cap, never-throws, sniff parity") {
+    import graft.operators.MediaCodecs
+    // block-constant image: JPEG's DCT grid aligns, decode is DC-only
+    def px(x: Int, y: Int): Int =
+      if (((y / 8) * 8 + (x / 8)) % 3 == 0) 0xffffff else 0x000000
+    val bytes = MediaCodecs.encodeJpeg(64, 64, px, 0.9f)
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8,
+      "real JPEG bytes start with SOI")
+    val img = MediaCodecs.decodeJpeg(bytes).get
+    assert(img.width === 64 && img.height === 64)
+    // lossy, but block interiors stay within a few luma units
+    var maxErr = 0
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val want = px(x, y) & 0xff
+      val got = img.pixels(y * 64 + x) & 0xff
+      maxErr = math.max(maxErr, math.abs(want - got))
+    }
+    assert(maxErr <= 24, s"block-aligned JPEG error must be small, got $maxErr")
+    // never-throws contract
+    assert(MediaCodecs.decodeJpeg(null).isEmpty)
+    assert(MediaCodecs.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(MediaCodecs.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    assert(MediaCodecs.decodeJpeg(bytes.take(40).toArray).isEmpty,
+      "truncated stream returns None, never throws")
+    // the pair fixture: BMP and JPEG of one image hash identically
+    val ids = spark.range(50).toDF("doc_id")
+    val hashes = Multimodal.imageAHashSniff(
+      Multimodal.synthJpegBmpPairAssets(ids, "doc_id")).collect()
+    assert(hashes.length === 100 && hashes.forall(_.ok == 1L))
+    val byId = hashes.map(r => r.asset_id -> ((r.ahash_hi, r.ahash_lo))).toMap
+    (0L until 50L).foreach { id =>
+      assert(byId(id) === byId(id + (1L << 40)),
+        s"id $id: JPEG loss must not move any aHash bit")
+      // the closed-form bit prediction the q270 oracle replays
+      var hi = 0L; var lo = 0L
+      (0 until 64).foreach { k =>
+        if ((k + id) % 8 < 2 + id % 5) {
+          if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+        }
+      }
+      assert(byId(id) === ((Some(hi), Some(lo))),
+        s"id $id: hash must equal the block-mask formula")
+    }
+  }
 }

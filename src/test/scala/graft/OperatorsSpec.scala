@@ -415,6 +415,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq((1L, 3L, 7L, 5L), (2L, 1L, 5L, 5L)))
   }
 
+  test("duplicateSpans: the n-boundary — n IS the minimum repeat length (documented bound)") {
+    // one exactly-n repeat (3 tokens: "a b c") and one (n-1) repeat
+    // (2 tokens: "x y") across two docs; filler tokens are all unique
+    val d = Seq(
+      (1L, "f1 a b c f2 x y f3"),
+      (2L, "g1 g2 a b c g3 x y")
+    ).toDF("doc_id", "text")
+    val at3 = Dedup.duplicateSpans(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    // the 3-token repeat is found span-exactly; the 2-token repeat is
+    // INVISIBLE at n=3 — the contract's explicit bound
+    assert(at3 === Seq((1L, 2L, 4L, 3L), (2L, 3L, 5L, 3L)),
+      "repeats shorter than n must not surface, repeats of exactly n must")
+    // lowering n to the length of interest makes the short repeat
+    // visible — n is the min-match-length knob, not an approximation
+    val at2 = Dedup.duplicateSpans(d, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(at2.contains((1L, 6L, 7L, 2L)) && at2.contains((2L, 7L, 8L, 2L)),
+      "the 2-token repeat surfaces at n=2")
+    assert(at2.contains((1L, 2L, 4L, 3L)) && at2.contains((2L, 3L, 5L, 3L)),
+      "every length-2 subwindow of the 3-token repeat is repeated, so the " +
+        "full span still reports identically at the smaller n")
+  }
+
   test("semDedup: drops only lower-id cell-mates above threshold, keeps cross-cell twins") {
     val emb = Seq(
       (1L, Seq(1.0, 0.0)),   // seed centroid of cell 1
@@ -1205,6 +1229,23 @@ class OperatorsSpec extends SparkSpec {
     assert(nOut("c").getAs[Double]("mean") === 42.0 &&
       nOut("c").getAs[Double]("se_boot") === 0.0,
       "a NULL value must not bias replica means toward 0")
+    // NaN/±Infinity are DROPPED like NULLs (the psi contract) — never
+    // routed into the DECIMAL-overflow raise (the r14 ADVICE finding)
+    val dnf = (const ++ Seq(("c", 901L, Double.NaN),
+      ("c", 902L, Double.PositiveInfinity), ("c", 903L, Double.NegativeInfinity)))
+      .toDF("g", "id", "x")
+    val fOut = graft.operators.Stats.poissonBootstrap(dnf, "g", "id", col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fOut("c").getAs[Long]("n") === 200L &&
+      fOut("c").getAs[Double]("mean") === 42.0 &&
+      fOut("c").getAs[Double]("se_boot") === 0.0,
+      "non-finite values are absent data, not an overflow error")
+    // a genuinely finite overflow still fails loudly
+    val big = (const ++ Seq(("c", 904L, 1e15))).toDF("g", "id", "x")
+    val e = intercept[Exception] {
+      graft.operators.Stats.poissonBootstrap(big, "g", "id", col("x")).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("gapFillDaily: dense spine, forward fill, leading gaps stay NULL") {

@@ -26,7 +26,18 @@ class RobotsSpec extends SparkSpec {
         |""".stripMargin
     val all = Robots.parseRobots("x.org", body)
     val sentinels = all.filter(_.rule_path == "")
+    // path rules only — crawl-delay/sitemap are captured as their own
+    // directives now (crawlPolicy's surface), asserted separately below
     val rules = all.filterNot(_.rule_path == "")
+      .filter(r => r.directive == "allow" || r.directive == "disallow")
+    assert(all.filter(_.directive == "sitemap")
+      .map(r => (r.group_ix, r.user_agent, r.rule_path)) ===
+      Seq((-1L, "", "https://x.org/s.xml")),
+      "sitemap is host-scoped: no group, no UA")
+    assert(all.filter(_.directive == "crawl-delay")
+      .map(r => (r.group_ix, r.user_agent, r.rule_path)) ===
+      Seq((1L, "gamma", "10")),
+      "crawl-delay is group-scoped like a rule")
     // every declared (group, ua) has exactly one zero-length sentinel
     assert(sentinels.map(r => (r.group_ix, r.user_agent)).sorted ===
       Seq((0L, "alpha"), (0L, "beta"), (1L, "gamma")))
@@ -49,6 +60,7 @@ class RobotsSpec extends SparkSpec {
     val rules = Robots.parseRobots("x.org",
       "User-agent: a\nSitemap: https://x.org/s.xml\nUser-agent: b\nDisallow: /x\n")
       .filterNot(_.rule_path == "")
+      .filter(r => r.directive == "allow" || r.directive == "disallow")
     // a and b share ONE group; /x applies to both
     assert(rules.map(r => (r.group_ix, r.user_agent, r.rule_path)).toSet ===
       Set((0L, "a", "/x"), (0L, "b", "/x")))
@@ -104,5 +116,45 @@ class RobotsSpec extends SparkSpec {
     assert(b(3L) === (1L, Some("/bot-only/ok$")))
     assert(b(4L) === (0L, Some("/bot-only")))
     assert(b(5L) === (1L, None))
+  }
+
+  test("crawlPolicy: group-chosen delay, lenient parse, sitemap inventory") {
+    import spark.implicits._
+    val rules = Robots.robotsRules(Robots.synthRobotsPolicy(spark))
+    val pol = Robots.crawlPolicy(rules, "graftbot/1.0")
+      .collect().map(r => r.getAs[String]("host") ->
+        ((Option(r.getAs[java.lang.Double]("crawl_delay")).map(_.toDouble),
+          r.getAs[Long]("n_sitemaps"),
+          Option(r.getAs[String]("sitemaps_str"))))).toMap
+    assert(pol("p0.org") === ((Some(2.5), 0L, None)),
+      "named group's 2.5 shadows the * group's 10")
+    assert(pol("p1.org") === ((Some(7.0), 1L, Some("https://p1.org/s1.xml"))),
+      "repeated delays take the min; mid-run sitemap captured")
+    assert(pol("p2.org")._1 === None, "unparseable and negative delays ignored")
+    assert(pol("p6.org")._3 === Some("https://p6.org/a.xml,https://p6.org/b.xml"),
+      "sitemaps byte-sorted")
+    assert(pol("p7.org")._2 === 1L, "duplicate sitemap URLs collapse")
+    assert(pol("p8.org")._1 === Some(3.5),
+      "a Sitemap between two User-agent lines must not split their group")
+    // a different UA sees the * group's delays everywhere
+    val star = Robots.crawlPolicy(rules, "otherbot/9")
+      .collect().map(r => r.getAs[String]("host") ->
+        Option(r.getAs[java.lang.Double]("crawl_delay")).map(_.toDouble)).toMap
+    assert(star("p0.org") === Some(10.0))
+    assert(star("p8.org") === None, "graftbot/extra group invisible to otherbot")
+  }
+
+  test("robotsGate never path-matches crawl-delay or sitemap rows") {
+    import spark.implicits._
+    // a crawl-delay value and a sitemap URL that WOULD match the probed
+    // paths if the gate wrongly treated them as rules
+    val body = "User-agent: *\nCrawl-delay: /x\nSitemap: /x/deep\nDisallow: /y\n"
+    val rules = Robots.robotsRules(Seq(("h.org", body)).toDF("host", "body"))
+    val urls = Seq((1L, "h.org", "/x/deep/page"), (2L, "h.org", "/y/page"))
+      .toDF("event_id", "host", "path")
+    val g = Robots.robotsGate(urls, rules, "anybot")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("allowed")).toMap
+    assert(g(1L) === 1L, "policy rows are not path rules")
+    assert(g(2L) === 0L, "real Disallow still gates")
   }
 }

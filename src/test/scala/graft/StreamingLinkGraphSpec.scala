@@ -2,14 +2,15 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.Html
+import graft.operators.{Dedup, Html}
 import graft.plans.BucketedMergeWriter
 import graft.streaming.StreamingLinkGraph
 
 /** StreamingLinkGraph: batch equivalence across arbitrary batch slicing,
-  * and replay stability from a FRESH checkpoint with different slicing —
-  * the content-keyed registry (src, dst, doc) needs no batch-id
-  * watermark, so re-delivery in any batching must be absorbed. */
+  * replay stability from a FRESH checkpoint with different slicing, and —
+  * the r14 ADVICE fix — a CHANGED re-crawl whose content dropped a link:
+  * the fingerprint-ownership registry must make the doc's stale edge rows
+  * go dark, so the fold equals the batch operator over LATEST content. */
 class StreamingLinkGraphSpec extends SparkSpec {
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -27,12 +28,18 @@ class StreamingLinkGraphSpec extends SparkSpec {
   private def drain(in: MemoryStream[(Long, String, String)],
                     store: BucketedMergeWriter, ckpt: String): Unit = {
     val q = StreamingLinkGraph.start(
-      in.toDF().toDF("doc_id", "src_host", "html"), store, "edges", ckpt)
+      in.toDF().toDF("doc_id", "src_host", "html"), store,
+      "edges", "edge_docs", ckpt)
     q.awaitTermination()
   }
 
   private def edgeMap(store: BucketedMergeWriter) =
-    StreamingLinkGraph.readEdges(store, "edges").collect()
+    StreamingLinkGraph.readEdges(store, "edges", "edge_docs").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_links"), r.getAs[Long]("n_docs"))).toMap
+
+  private def batchMap(pages: Seq[(Long, String, String)]) =
+    Html.linkEdges(pages.toDF("doc_id", "src_host", "html")).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getAs[Long]("n_links"), r.getAs[Long]("n_docs"))).toMap
 
@@ -47,11 +54,7 @@ class StreamingLinkGraphSpec extends SparkSpec {
     drain(in, store, ckpt1)
 
     val streamed = edgeMap(store)
-    val batch = Html.linkEdges(
-      pagesAll.toDF("doc_id", "src_host", "html")).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getAs[Long]("n_links"), r.getAs[Long]("n_docs"))).toMap
-    assert(streamed === batch,
+    assert(streamed === batchMap(pagesAll),
       "the registry fold must equal the batch operator edge-for-edge")
     assert(streamed(("a.co.uk", "b.org")) === ((2L, 2L)),
       "two docs reinforce one directed edge")
@@ -64,5 +67,68 @@ class StreamingLinkGraphSpec extends SparkSpec {
     drain(in2, store, ckpt2)
     assert(edgeMap(store) === streamed,
       "content-keyed merge must absorb re-delivery under new batching")
+  }
+
+  test("a changed re-crawl retires the doc's stale edges (fingerprint ownership)") {
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-lg-rc").toString, nBuckets = 4)
+    val ckpt = Files.createTempDirectory("graft-lg-rc-ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(pagesAll: _*)
+    drain(in, store, ckpt)
+
+    // doc 2 re-crawled: the b.org link is GONE, a c.net link appeared,
+    // and the page moved hosts (src_host changed) — every prior
+    // contribution of doc 2 must vanish from the fold
+    val recrawl = (2L, "shop.a.co.uk",
+      "<a href=\"https://www.c.net/x\">z</a>")
+    in.addData(recrawl)
+    drain(in, store, ckpt)
+
+    val settled = pagesAll.filterNot(_._1 == 2L) :+ recrawl
+    assert(edgeMap(store) === batchMap(settled),
+      "fold must equal the batch operator over each doc's LATEST content")
+    assert(edgeMap(store)(("a.co.uk", "b.org")) === ((1L, 1L)),
+      "doc 2's dropped b.org link must no longer reinforce the edge")
+    assert(edgeMap(store).contains(("a.co.uk", "c.net")))
+
+    // byte-identical re-delivery of the re-crawl: a no-op
+    val ckpt2 = Files.createTempDirectory("graft-lg-rc-ckpt2").toString
+    val in2 = MemoryStream[(Long, String, String)]
+    in2.addData(recrawl)
+    drain(in2, store, ckpt2)
+    val after = edgeMap(store)
+    assert(after === batchMap(settled))
+
+    // compaction rewrites the registry to live rows only — fold unchanged
+    val rawBefore = store.read("edges").count()
+    StreamingLinkGraph.compact(store, "edges", "edge_docs")
+    assert(store.read("edges").count() < rawBefore,
+      "doc 2's dark rows must be physically reclaimed")
+    assert(edgeMap(store) === after, "compaction never changes the fold")
+  }
+
+  test("PageRank over the settled registry equals the batch walk (the q264 readout)") {
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-lg-pr").toString, nBuckets = 4)
+    val ckpt = Files.createTempDirectory("graft-lg-pr-ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(pagesAll.take(2): _*)
+    drain(in, store, ckpt)
+    in.addData(pagesAll.drop(2): _*)
+    drain(in, store, ckpt)
+    // recompute-on-epoch policy: the PR prior is a deterministic function
+    // of the settled edge fold, so the streaming readout replays the
+    // batch q264 walk bit-for-bit — replay-stable because readEdges is
+    val prStream = Dedup.pageRankDirected(
+      StreamingLinkGraph.readEdges(store, "edges", "edge_docs"),
+      "src_domain", "dst_domain", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prBatch = Dedup.pageRankDirected(
+      Html.linkEdges(pagesAll.toDF("doc_id", "src_host", "html")),
+      "src_domain", "dst_domain", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prStream === prBatch,
+      "decimal-exact contributions: bit-identical, not approximately equal")
   }
 }

@@ -97,6 +97,70 @@ class UrlsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0), "malformed URL canonicalizes to NULL")
   }
 
+  test("normalizePercent: RFC 3986 §6.2.2.2 decode/case-fold/verbatim") {
+    import org.apache.spark.sql.functions.lit
+    def norm(s: String): String =
+      spark.range(1).select(Urls.normalizePercent(lit(s)).as("n"))
+        .collect().head.getAs[String]("n")
+    assert(norm("/%7euser") === "/~user", "lowercase hex, unreserved ~ decodes")
+    assert(norm("/%7Euser") === "/~user")
+    assert(norm("/%41%7a%2D%2e%5F") === "/Az-._",
+      "every unreserved class: ALPHA upper+lower, '-', '.', '_'")
+    assert(norm("/a%2fb") === "/a%2Fb",
+      "reserved '/' must NOT decode — only the hex case-folds")
+    assert(norm("?a=%3d%26") === "?a=%3D%26",
+      "reserved '=' and '&' stay encoded — decoding would move param splits")
+    assert(norm("%C3%A9") === "%C3%A9",
+      "non-ASCII octets stay encoded (already uppercase: unchanged)")
+    assert(norm("%") === "%", "bare trailing % is not an encoding")
+    assert(norm("%g1x") === "%g1x", "non-hex stays verbatim")
+    assert(norm("%3") === "%3", "one hex digit is not an encoding")
+    assert(norm("plain/path") === "plain/path")
+    assert(norm("") === "")
+    val r = spark.range(1)
+      .select(Urls.normalizePercent(lit(null).cast("string")).as("n"))
+      .collect().head
+    assert(r.isNullAt(0), "NULL propagates")
+    // composed into the canonical key (the q268 contract)
+    def canon(u: String): String =
+      spark.range(1).select(Urls.canonicalUrl(lit(u)).as("c"))
+        .collect().head.getAs[String]("c")
+    assert(canon("https://h.org/%7Eu?x=%31") === canon("https://h.org/~u?x=1"),
+      "percent spellings collapse to one frontier key")
+    assert(canon("https://h.org/p?%75tm_source=1&a=2") === "https://h.org/p?a=2",
+      "an encoded utm param is recognized after normalization and dropped")
+  }
+
+  test("idnAscii: punycode folding, ACE passthrough, rejects, canonical collapse") {
+    import org.apache.spark.sql.functions.lit
+    def fold(s: String): Option[String] =
+      Option(spark.range(1)
+        .select(graft.functions.IdnAscii.idnAscii(lit(s)).as("h"))
+        .collect().head.getAs[String]("h"))
+    assert(fold("bücher.example") === Some("xn--bcher-kva.example"))
+    assert(fold("BÜCHER.example") === Some("xn--bcher-kva.example"),
+      "unicode case folds before encoding")
+    assert(fold("xn--bcher-kva.example") === Some("xn--bcher-kva.example"),
+      "already-encoded ACE passes through")
+    assert(fold("münchen.de") === Some("xn--mnchen-3ya.de"))
+    assert(fold("example.org") === Some("example.org"), "ASCII short-circuits")
+    assert(fold("EXAMPLE.org") === Some("example.org"))
+    assert(fold("a" * 64 + ".example") === None,
+      "a label over 63 chars cannot exist on the wire: NULL, not passthrough")
+    // composed into the canonical key: three spellings, one frontier key
+    def canon(u: String): Option[String] =
+      Option(spark.range(1).select(Urls.canonicalUrl(lit(u)).as("c"))
+        .collect().head.getAs[String]("c"))
+    val expect = Some("https://xn--bcher-kva.example/x")
+    assert(canon("https://bücher.example/x") === expect)
+    assert(canon("https://BÜCHER.example/x") === expect)
+    assert(canon("https://xn--bcher-kva.example/x") === expect)
+    assert(canon("https://" + "a" * 64 + ".example/x") === None)
+    // SQL registration
+    assert(spark.sql("SELECT idn_ascii('bücher.example')").collect()
+      .head.getString(0) === "xn--bcher-kva.example")
+  }
+
   test("PslRules.parse: comments, case, blanks, rule classification") {
     val psl = Urls.PslRules.parse(Seq(
       "// comment", "", "COM", "co.uk", "*.CK", "!www.ck", "*.kawasaki.jp"))
