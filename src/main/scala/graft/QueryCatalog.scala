@@ -7767,8 +7767,10 @@ object QueryCatalog {
         .materialized, // tiny (9 hosts); read by choice window + 3 joins
       userAgent = "graftbot/1.0")
 
-  val q269Sql: String =
-    s"""WITH hosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 9) r(i)),
+  /** The q269 oracle's rule-rebuild + group-choice + delay CTEs, shared
+    * with q273 (the schedule composes the same chosen delays). */
+  private val policyDelayCtes: String =
+    s"""hosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 9) r(i)),
        |grules AS (
        |  SELECT 'p' || i || '.org' AS host, '*' AS ua,
        |    'crawl-delay' AS dir, '10' AS v FROM hosts WHERE i % 3 = 0
@@ -7794,7 +7796,10 @@ object QueryCatalog {
        |  WHERE pri = best),
        |delays AS (SELECT host, min(TRY_CAST(v AS DOUBLE)) AS crawl_delay
        |  FROM chosen WHERE dir = 'crawl-delay'
-       |    AND TRY_CAST(v AS DOUBLE) >= 0 GROUP BY host),
+       |    AND TRY_CAST(v AS DOUBLE) >= 0 GROUP BY host)""".stripMargin
+
+  val q269Sql: String =
+    s"""WITH $policyDelayCtes,
        |sm AS (
        |  SELECT 'p' || i || '.org' AS host,
        |    'https://p' || i || '.org/s1.xml' AS u FROM hosts WHERE i % 4 = 1
@@ -7863,6 +7868,132 @@ object QueryCatalog {
        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw
        |FROM c GROUP BY 1""".stripMargin
   }
+
+  /** sitemaps.org XML parsing (Sitemaps.sitemapEntries over REAL XML
+    * bodies — the consumption half of q269's Sitemap discovery): urlset
+    * and sitemapindex entries with entity-decoded locs, W3C-datetime
+    * lastmod parsed by date prefix, try_cast priorities, lowercased
+    * changefreq, uppercase-tag leniency, and empty-loc entries skipped.
+    * The oracle pins the exact expected rows by host arithmetic — any
+    * parse drift (a block regex crossing into `<urlset>`, a missed
+    * entity, an ANSI date throw) breaks the row set. */
+  def q272SitemapEntries(s: SparkSession, dir: String): DataFrame =
+    operators.Sitemaps.sitemapEntries(operators.Sitemaps.synthSitemaps(s))
+
+  val q272Sql: String =
+    """WITH hosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 8) r(i)),
+      |e AS (
+      |  SELECT 's' || i || '.org' AS host, 'url' AS kind,
+      |    'https://s' || i || '.org/a' || i AS loc,
+      |    CAST('2024-03-0' || (i % 3 + 1) AS DATE) AS lastmod,
+      |    'daily' AS changefreq, CAST(0.8 AS DOUBLE) AS priority
+      |  FROM hosts WHERE i % 4 = 0
+      |  UNION ALL SELECT 's' || i || '.org', 'url',
+      |    'https://s' || i || '.org/b' || i,
+      |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM hosts WHERE i % 4 = 0
+      |  UNION ALL SELECT 's' || i || '.org', 'url',
+      |    'https://s' || i || '.org/q' || i || '?x=1&y=2',
+      |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM hosts WHERE i % 4 = 1
+      |  UNION ALL SELECT 's' || i || '.org', 'url',
+      |    'https://s' || i || '.org/bad' || i,
+      |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM hosts WHERE i % 4 = 1
+      |  UNION ALL SELECT 's' || i || '.org', 'sitemap',
+      |    'https://s' || i || '.org/sitemap-a.xml',
+      |    CAST('2024-01-15' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM hosts WHERE i % 4 = 2
+      |  UNION ALL SELECT 's' || i || '.org', 'sitemap',
+      |    'https://s' || i || '.org/sitemap-b.xml',
+      |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM hosts WHERE i % 4 = 2
+      |  UNION ALL SELECT 's' || i || '.org', 'url',
+      |    'https://s' || i || '.org/up' || i,
+      |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE)
+      |  FROM hosts WHERE i % 4 = 3)
+      |SELECT host, kind, loc, lastmod, changefreq, priority FROM e""".stripMargin
+
+  /** Main-content extraction by block link density (Html.mainContent —
+    * the jusText/trafilatura boilerplate-removal family): a nav bar
+    * that clears the char floor but is pure links (density drop), a
+    * too-short block (floor drop), prose with one inline link (kept),
+    * footer/link-list chrome (dropped); the kept blocks reassemble in
+    * document order. The oracle rebuilds each block's exact text by
+    * arithmetic, replays the division-free density law with len() math,
+    * and compares main_text BYTE-FOR-BYTE — segmentation drift, a
+    * missed anchor, or an entity slip all break it. */
+  def q274MainContent(s: SparkSession, dir: String): DataFrame =
+    operators.Html.mainContent(
+      operators.Html.synthBlockDocs(t(s, dir, "documents")))
+
+  val q274Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, 0 AS ix,
+      |    'Homepage Navigation About The Company Contact Information' AS text,
+      |    CAST(len('Homepage Navigation About The Company Contact Information') AS BIGINT) AS link_chars
+      |  FROM documents
+      |  UNION ALL SELECT doc_id, 1,
+      |    'Quality document ' || (doc_id % 7) ||
+      |      ' carries enough prose to clear the floor threshold easily.',
+      |    CAST(0 AS BIGINT) FROM documents
+      |  UNION ALL SELECT doc_id, 2, 'Tiny.', CAST(0 AS BIGINT) FROM documents
+      |  UNION ALL SELECT doc_id, 3,
+      |    'A longer body mentioning the glossary ' || (doc_id % 5) ||
+      |      ' once among many plain words.',
+      |    CAST(len('glossary ' || (doc_id % 5)) AS BIGINT) FROM documents
+      |  UNION ALL SELECT doc_id, 4, 'One', CAST(3 AS BIGINT)
+      |    FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, 5, 'Two', CAST(3 AS BIGINT)
+      |    FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, 6, 'Privacy | Terms',
+      |    CAST(len('Privacy Terms') AS BIGINT) FROM documents),
+      |s AS (SELECT doc_id, ix, text,
+      |    CAST(len(text) AS BIGINT) AS n, link_chars FROM b),
+      |k AS (SELECT *, CASE WHEN n >= 25 AND link_chars * 100 <= 33 * n
+      |    THEN 1 ELSE 0 END AS kept FROM s)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  CAST(len(coalesce(string_agg(text, ' ' ORDER BY ix)
+      |    FILTER (WHERE kept = 1), '')) AS BIGINT) AS main_chars,
+      |  coalesce(string_agg(text, ' ' ORDER BY ix)
+      |    FILTER (WHERE kept = 1), '') AS main_text
+      |FROM k GROUP BY doc_id""".stripMargin
+
+  /** Polite fetch scheduling (Robots.fetchSchedule): the frontier ×
+    * crawlPolicy composition — per-domain queues ranked (priority desc,
+    * url asc), the k-th fetch offset (k−1)·delay_ms using the chosen
+    * group's Crawl-delay (2.5 s → 2500 ms; hosts declaring none take
+    * the 1000 ms default). The oracle re-derives the delays through the
+    * same rule-rebuild CTEs as q269 and replays the ranking window —
+    * all integer ms arithmetic. */
+  def q273FetchSchedule(s: SparkSession, dir: String): DataFrame = {
+    val policy = operators.Robots.crawlPolicy(
+      operators.Robots.robotsRules(operators.Robots.synthRobotsPolicy(s))
+        .materialized,
+      userAgent = "graftbot/1.0")
+    val id = col("event_id")
+    val frontier = t(s, dir, "events").select(
+      concat(lit("p"), (id % 9).cast("string"), lit(".org")).as("domain"),
+      concat(lit("https://p"), (id % 9).cast("string"), lit(".org/u"),
+        id.cast("string")).as("url"),
+      ((id * 37) % 100).as("priority"))
+    operators.Robots.fetchSchedule(frontier, policy)
+  }
+
+  val q273Sql: String =
+    s"""WITH $policyDelayCtes,
+       |f AS (SELECT 'p' || (event_id % 9) || '.org' AS domain,
+       |    'https://p' || (event_id % 9) || '.org/u' || event_id AS url,
+       |    CAST((event_id * 37) % 100 AS BIGINT) AS priority
+       |  FROM events),
+       |j AS (SELECT f.domain, f.url, f.priority,
+       |    CAST(coalesce(round(d.crawl_delay * 1000), 1000) AS BIGINT) AS delay_ms
+       |  FROM f LEFT JOIN delays d ON d.host = f.domain),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+       |    ORDER BY priority DESC, url ASC) AS BIGINT) AS fetch_seq FROM j)
+       |SELECT domain, url, priority, fetch_seq, delay_ms,
+       |  (fetch_seq - 1) * delay_ms AS fetch_offset_ms FROM r""".stripMargin
 
   /** robots.txt fetch gate (Robots.robotsGate over parsed synthRobots):
     * RFC 9309 longest-match verdicts for crawler UA "graftbot/1.0" —
@@ -8579,7 +8710,10 @@ object QueryCatalog {
     ("q268_percent_norm", q268PercentNorm _, Some(q268Sql)),
     ("q269_crawl_policy", q269CrawlPolicy _, Some(q269Sql)),
     ("q270_jpeg_cross_dedup", q270JpegCrossDedup _, Some(q270Sql)),
-    ("q271_idn_hosts", q271IdnHosts _, Some(q271Sql)))
+    ("q271_idn_hosts", q271IdnHosts _, Some(q271Sql)),
+    ("q272_sitemap_entries", q272SitemapEntries _, Some(q272Sql)),
+    ("q273_fetch_schedule", q273FetchSchedule _, Some(q273Sql)),
+    ("q274_main_content", q274MainContent _, Some(q274Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -234,6 +234,111 @@ object Html {
         coalesce(col("n_in_links"), lit(0L)).as("n_in_links"))
   }
 
+  /** Block-level boundary tags — the structural cuts the main-content
+    * extractor segments on (the jusText/trafilatura block model: a
+    * block is text between block-level tag boundaries; inline tags
+    * stay inside their block). */
+  val BlockBoundaryRe: String =
+    "(?i)</?(?:p|div|td|th|li|ul|ol|dl|dt|dd|table|tr|h[1-6]|section|article" +
+      "|header|footer|nav|aside|blockquote|pre|form|br)(?:[ \\t\\n\\x0B\\f\\r][^>]*)?>"
+  /** Anchor inner content (group 1) — the double-quote-free contract of
+    * [[HrefRe]] does not apply here; the INNER text is what link-density
+    * measures. */
+  val AnchorTextRe: String =
+    "(?is)<a[ \\t\\n\\x0B\\f\\r][^>]*>(.*?)</a[ \\t\\n\\x0B\\f\\r]*>"
+
+  /** Main-content extraction by block link density — the
+    * boilerplate-REMOVAL step (jusText, Pomikálek 2011; trafilatura,
+    * Barbaresi 2021) every web-corpus pipeline runs between crawl and
+    * training, distinct from [[graft.operators.Dedup.boilerplateStats]]
+    * (which measures cross-document repetition, not within-page
+    * structure): navigation bars, footers and link lists are text made
+    * mostly OF links, while prose merely contains a few — so a block is
+    * kept iff its text clears `minChars` AND its link-text share stays
+    * at or under `maxLinkPct` (the comparison is the division-free
+    * integer cross-multiply `link_chars·100 ≤ maxLinkPct·n_chars`, the
+    * corrVerdict convention).
+    *
+    * Mechanics: strip comment/script/style subtrees, split on
+    * [[BlockBoundaryRe]] (inline tags stay inside blocks), per block
+    * extract the visible text ([[extractText]] semantics) and the
+    * concatenated anchor-inner text, classify, and reassemble the kept
+    * blocks IN DOCUMENT ORDER into `main_text`. Returns one row per doc
+    * — EVERY doc: a markup-only page surfaces as (0 blocks, 0 kept, "")
+    * rather than silently vanishing from the corpus (the
+    * perplexityBuckets membership rule). Empty-string main_text, never
+    * NULL; blocks counted only when they carry visible text.
+    *
+    * 100 TB shape: one Generate (posexplode of the split), codegen'd
+    * per-block regex work, ONE doc-keyed aggregate for the reassembly —
+    * the same single-shuffle law as paragraph dedup. */
+  def mainContent(docs: DataFrame, minChars: Int = 25, maxLinkPct: Int = 33,
+                  idCol: String = "doc_id", htmlCol: String = "html"): DataFrame = {
+    require(minChars >= 1, "minChars must be positive")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100, "maxLinkPct is a percentage")
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(
+      col(htmlCol), CommentRe, " "), ScriptRe, " "), StyleRe, " ")
+    val blocks = Spread.toCores(docs) // Generate leg: never pin to 1 core
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(cleaned, BlockBoundaryRe)).as(Seq("block_ix", "_raw")))
+    val scored = blocks
+      .select(col("doc_id"), col("block_ix"),
+        extractText(col("_raw")).as("text"),
+        extractText(array_join(
+          regexp_extract_all(col("_raw"), lit(AnchorTextRe), lit(1)), " "))
+          .as("_ltext"))
+      .filter(col("text") =!= "")
+      .select(col("doc_id"), col("block_ix"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(col("_ltext")).cast("long").as("link_chars"))
+      .withColumn("kept",
+        (col("n_chars") >= minChars &&
+          col("link_chars") * 100 <= lit(maxLinkPct) * col("n_chars"))
+          .cast("long"))
+    val agged = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("kept")).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(filter(collect_list(" +
+            "struct(block_ix, kept, text)), x -> x.kept = 1)), x -> x.text)"),
+          " ").as("main_text"))
+    docs.select(col(idCol).as("doc_id")).join(agged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("main_text"), lit(""))).cast("long")
+          .as("main_chars"),
+        coalesce(col("main_text"), lit("")).as("main_text"))
+  }
+
+  /** Main-content fixture: a nav bar LONG enough to clear the char
+    * floor but pure links (dropped by DENSITY — the rule the floor
+    * can't reach), a prose paragraph (kept), a too-short block
+    * (dropped by the floor), a long paragraph with ONE inline link
+    * (kept — low density), a link-pair footer (dropped), and on every
+    * third doc two extra link-list items (dropped). Texts are pure id
+    * arithmetic, so the oracle rebuilds the exact block strings,
+    * replays the density law with len() math, and reassembles the
+    * identical main_text byte-for-byte. */
+  def synthBlockDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    Spread.toCores(docs).select(id.as("doc_id"), concat(
+      lit("<html><body>\n<div class=\"nav\">" +
+        "<a href=\"/a\">Homepage Navigation</a> " +
+        "<a href=\"/b\">About The Company</a> " +
+        "<a href=\"/c\">Contact Information</a></div>\n"),
+      lit("<p>Quality document "), m(7),
+      lit(" carries enough prose to clear the floor threshold easily.</p>\n"),
+      lit("<p>Tiny.</p>\n"),
+      lit("<div>A longer body mentioning the <a href=\"/x\">glossary "), m(5),
+      lit("</a> once among many plain words.</div>\n"),
+      when(id % 3 === 0,
+        lit("<ul><li><a href=\"/1\">One</a></li><li><a href=\"/2\">Two</a>" +
+          "</li></ul>\n")).otherwise(lit("")),
+      lit("<footer><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a>" +
+        "</footer>\n</body></html>")).as("html"))
+  }
+
   /** The (first) `<meta name="robots">` tag — the in-page twin of
     * robots.txt ([[Robots]]): robots.txt gates FETCHING, this gates
     * INDEXING (noindex) and link FOLLOWING (nofollow), and a polite

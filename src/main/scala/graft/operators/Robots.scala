@@ -243,6 +243,47 @@ object Robots {
         col("sitemaps_str"))
   }
 
+  /** Per-domain polite fetch schedule — the composition of a frontier
+    * with [[crawlPolicy]] that turns "these URLs are worth fetching"
+    * into "fetch them WHEN": within each domain, URLs are ranked by
+    * (priority desc, url asc — deterministic ties) and the k-th fetch
+    * is offset (k−1)·delay_ms from the domain's first slot, where
+    * delay_ms is the chosen group's crawl_delay (seconds → ms) or
+    * `defaultDelayMs` when the host declares none. Offsets, not
+    * absolute times: the caller anchors the epoch (wall clocks don't
+    * belong in a deterministic plan).
+    *
+    * `frontier`: (domainCol, urlCol, priorityCol); `policy`:
+    * [[crawlPolicy]] output (or any (host, crawl_delay) frame) keyed by
+    * the SAME domain granularity the frontier uses — per-host robots
+    * against an eTLD+1 frontier is the caller's mapping decision.
+    *
+    * 100 TB shape: one domain-keyed window over the frontier (the
+    * per-domain fetch queue IS the unit of politeness — partitions are
+    * domains, never global) and one broadcastable policy join
+    * (host-cardinality). Returns (domain, url, priority, fetch_seq,
+    * delay_ms, fetch_offset_ms). */
+  def fetchSchedule(frontier: DataFrame, policy: DataFrame,
+                    defaultDelayMs: Long = 1000L,
+                    domainCol: String = "domain", urlCol: String = "url",
+                    priorityCol: String = "priority"): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("priority").desc_nulls_last, col("url").asc)
+    val pol = policy.select(col("host").as("domain"),
+      // ms in exact integers: crawl_delay carries at most the parse's
+      // decimal precision, so round(·×1000) is the declared value
+      round(col("crawl_delay") * 1000).cast("long").as("_dms"))
+    frontier
+      .select(col(domainCol).as("domain"), col(urlCol).as("url"),
+        col(priorityCol).as("priority"))
+      .join(broadcast(pol), Seq("domain"), "left")
+      .withColumn("fetch_seq", row_number().over(w).cast("long"))
+      .withColumn("delay_ms", coalesce(col("_dms"), lit(defaultDelayMs)))
+      .select(col("domain"), col("url"), col("priority"), col("fetch_seq"),
+        col("delay_ms"),
+        ((col("fetch_seq") - 1) * col("delay_ms")).as("fetch_offset_ms"))
+  }
+
   /** Policy fixture: hosts p0..p8.org rotating every [[crawlPolicy]]
     * decision — a named-group fractional delay shadowing the `*` group's
     * (with a Sitemap line BETWEEN the two User-agent lines, so the run

@@ -153,4 +153,36 @@ class HtmlSpec extends SparkSpec {
     assert(deg("b.org") === ((1L, 1L, 1L, 2L)))
     assert(deg("c.net") === ((1L, 5L, 0L, 0L)), "no inbound → zero, not NULL")
   }
+
+  test("mainContent: density law, floor, entities, script stripping, empty page") {
+    import spark.implicits._
+    val prose = "Plain prose long enough to clear the twenty-five char floor."
+    val docs = Seq(
+      // inline <b> stays in-block; anchor entity decodes into link text
+      (1L, s"<p>$prose</p><div><b>Bold</b> intro with " +
+        "<a href=\"/x\">R&amp;D team</a> details padded to pass the floor.</div>"),
+      // a script INSIDE a block must not count as text or links
+      (2L, "<p><script>var a = '<a href=\"/no\">fake</a>';</script>" +
+        s"$prose</p>"),
+      // all boilerplate: long link-only block + short block → nothing kept
+      (3L, "<div><a href=\"/a\">First Navigation Entry Here</a> " +
+        "<a href=\"/b\">Second Navigation Entry Too</a></div><p>Tiny.</p>"),
+      // markup-only page: zero visible blocks
+      (4L, "<html><body><div></div></body></html>")
+    ).toDF("doc_id", "html")
+    val out = Html.mainContent(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("main_text")))).toMap
+    assert(out(1L)._2 === 2L)
+    assert(out(1L)._3 ===
+      s"$prose Bold intro with R&D team details padded to pass the floor.",
+      "entity decoded, inline tags stripped, document order preserved")
+    assert(out(2L) === ((1L, 1L, prose)),
+      "script content is neither text nor a link")
+    assert(out(3L) === ((2L, 0L, "")),
+      "density drops the long link block, the floor drops the short one; " +
+        "empty main_text is a string, never NULL")
+    assert(out(4L) === ((0L, 0L, "")),
+      "a markup-only page stays a corpus member: zeros, not a vanished row")
+  }
 }
