@@ -501,6 +501,38 @@ object ScaleCheck {
       graft.operators.Html.metaRobotsGate(graft.operators.Html.synthMetaDocs(docs)))
     time("frontier")(
       graft.QueryCatalog.q267Frontier(spark, dir))
+    // r15 additions: lossy-codec cross-container dedup (2 encodes + 2
+    // decodes per doc — javax.imageio JPEG is the heavy leg), the
+    // percent+IDN canonical key (per-row HOF/static-call math), block
+    // main-content extraction (one Generate + one doc-keyed agg), and
+    // the frontier × policy fetch schedule (domain-keyed window +
+    // broadcast policy join)
+    time("jpeg_ahash_pairs")(
+      graft.operators.Multimodal.imageAHashSniff(
+        graft.operators.Multimodal.synthJpegBmpPairAssets(docs, "doc_id")).toDF()
+        .groupBy(col("ahash_hi"), col("ahash_lo")).agg(count(lit(1)).as("n")))
+    time("percent_canon")({
+      val parsed = graft.operators.Urls.urlProfile(
+        graft.operators.Urls.synthPercentUrls(docs.select(col("doc_id").as("event_id"))))
+      parsed.select(graft.operators.Urls.canonicalOf(col("scheme"), col("host"),
+          col("port"), col("path"), col("query_string")).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n"))
+    })
+    time("main_content")(
+      graft.operators.Html.mainContent(graft.operators.Html.synthBlockDocs(docs)))
+    time("fetch_schedule")({
+      // q273's shape over docs (scaledata has no events table)
+      val policy = graft.operators.Robots.crawlPolicy(
+        graft.operators.Robots.robotsRules(
+          graft.operators.Robots.synthRobotsPolicy(spark)), "graftbot/1.0")
+      val id = col("event_id")
+      val frontier = docs.select(col("doc_id").as("event_id")).select(
+        concat(lit("p"), (id % 9).cast("string"), lit(".org")).as("domain"),
+        concat(lit("https://p"), (id % 9).cast("string"), lit(".org/u"),
+          id.cast("string")).as("url"),
+        ((id * 37) % 100).as("priority"))
+      graft.operators.Robots.fetchSchedule(frontier, policy)
+    })
     spark.stop()
   }
 }

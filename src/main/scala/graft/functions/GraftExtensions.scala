@@ -66,6 +66,8 @@ object GraftExtensions {
       arity("nfc_normalize(s)", 1)(c => NfcNormalize(c.head))),
     ("idn_ascii", new ExpressionInfo(classOf[IdnAscii].getName, "idn_ascii"),
       arity("idn_ascii(host)", 1)(c => IdnAscii(c.head))),
+    ("etld1", new ExpressionInfo(classOf[Etld1].getName, "etld1"),
+      arity("etld1(host)", 1)(c => Etld1(c.head))),
     // per-row entropy stats (map-only quality screen; CodegenFallback by
     // design — the per-row work is a code-point hash map)
     ("char_entropy_stats", new ExpressionInfo(classOf[CharEntropyStats].getName,

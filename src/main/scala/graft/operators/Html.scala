@@ -184,24 +184,20 @@ object Html {
     val links = docs.select(col(idCol).as("doc_id"), col(srcHostCol),
       explode(hrefsOf(col(htmlCol))).as("href"))
     // stage the two host columns as real attributes (the urlProfile
-    // staging lesson): the eTLD+1 walk references its argument ~8 times
-    // inside CASE branches, and inlining linkHostOf's regex CASE at each
-    // reference blows the generated method past janino's limit — the
-    // whole aggregate stage then silently loses codegen
+    // staging lesson): inlining linkHostOf's regex CASE at each
+    // reference would re-run the href regexes per reference.
+    // The eTLD+1 walks are the native Etld1 expression (one static
+    // call per end) — the r14 label-array staging is gone because the
+    // unrolled CASE chain it served is gone: fused into the aggregate
+    // below, TWO unrolled walks blew janino's method limit and the
+    // whole stage silently lost codegen (reproduced on q261 execution,
+    // r15); the static call is immune to fusion
     val hosts = links.select(col("doc_id"),
       lower(col(srcHostCol)).as("src_host_l"),
       linkHostOf(col("href"), col(srcHostCol)).as("dst_host"))
-    // the label arrays are staged too: two eTLD+1 walks share one
-    // projection here, and each inlined split() would multiply the
-    // generated code past janino's method limit (etld1FromLabels doc)
-    val labs = hosts.select(col("doc_id"), col("src_host_l"), col("dst_host"),
-      split(col("src_host_l"), "\\.").as("src_labs"),
-      split(col("dst_host"), "\\.").as("dst_labs"))
-    labs.select(col("doc_id"),
-        Urls.etld1FromLabels(col("src_host_l"), col("src_labs"),
-          Urls.TrimmedPsl).as("src_domain"),
-        Urls.etld1FromLabels(col("dst_host"), col("dst_labs"),
-          Urls.TrimmedPsl).as("dst_domain"))
+    hosts.select(col("doc_id"),
+        Urls.etld1Of(col("src_host_l")).as("src_domain"),
+        Urls.etld1Of(col("dst_host")).as("dst_domain"))
       // BOTH ends must resolve: a NULL src_host (an unparseable crawl
       // record) would otherwise mint NULL-domain edges that the degree
       // stitch reports as a phantom hub while pageRankDirected's

@@ -139,11 +139,16 @@ object Urls {
     * suffix (or an IP literal) passes through whole — this library's
     * keying convention, so per-domain caps still see one stable key.
     *
-    * The walk unrolls statically over rule lengths 1..maxRuleLen into one
-    * codegen'd CASE chain — per-row O(maxRuleLen) label-slice probes, no
-    * shuffle, no UDF. */
+    * For the library-default [[TrimmedPsl]] the walk is the native
+    * [[graft.functions.Etld1]] expression — ONE static call, immune to
+    * the aggregate-fusion codegen blowup the unrolled chain hits when
+    * two walks share a fused stage (the r15 q261 finding). Custom rule
+    * sets take the statically-unrolled CASE chain — per-row
+    * O(maxRuleLen) label-slice probes, no shuffle, no UDF — and
+    * Etld1EquivalenceSpec pins the two paths byte-identical. */
   def etld1OfPsl(h: Column, psl: PslRules): Column =
-    etld1FromLabels(h, split(h, "\\."), psl)
+    if (psl eq TrimmedPsl) graft.functions.Etld1.etld1(h)
+    else etld1FromLabels(h, split(h, "\\."), psl)
 
   /** [[etld1OfPsl]] with the label array supplied as an already-STAGED
     * column: the walk references the labels ~8 times (slices, length
@@ -154,6 +159,9 @@ object Urls {
     * one registrable domain per projection stage `split(host, "\\.")` as
     * a real column and call this variant (see [[Html.linkEdges]]). */
   def etld1FromLabels(h: Column, labels: Column, psl: PslRules): Column = {
+    // library default → the native expression (the staged labels are
+    // unnecessary there: the static walk splits once per row itself)
+    if (psl eq TrimmedPsl) return graft.functions.Etld1.etld1(h)
     val n = size(labels)
     def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
     // longest plain/wildcard match; ascending fold puts the LARGEST k
