@@ -27,10 +27,17 @@ import org.apache.spark.storage.StorageLevel
   *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
   *   - `persist`: `persist(MEMORY_AND_DISK)` + a forcing `count()` —
   *     keeps lineage (recompute on block loss instead of job failure,
-  *     at recompute-the-subtree cost), pays one extra pass for the
-  *     forcing action, and parks entries in the CacheManager until
-  *     unpersist/GC. The middle ground when no reliable store is
-  *     available but executors churn.
+  *     at recompute-the-subtree cost) and pays one extra pass for the
+  *     forcing action. Two consequences a deployer must weigh (the r15
+  *     review): because lineage is KEPT, each loop round of an
+  *     iterative operator nests the previous round's plan — fine at
+  *     this library's bounded depths (PageRank ≤ 50, BPE ≤ 64 rounds;
+  *     analysis cost grows quadratically with depth), wrong for
+  *     unbounded loops, where `reliable` is the fault-tolerant choice
+  *     that also cuts lineage. And entries park in the CacheManager
+  *     for the session (nothing unpersists them automatically — run
+  *     `spark.catalog.clearCache()` between pipelines): a mode for
+  *     bounded batch pipelines, not resident services.
   *
   * All three produce IDENTICAL results (MaterializeSpec proves it on the
   * iterative pageRankDirected); only failure semantics and storage

@@ -8371,7 +8371,13 @@ object QueryCatalog {
       .materialized
     val canon = parsed.select(col("host"),
       operators.Urls.canonicalOf(col("scheme"), col("host"), col("port"),
-        operators.Urls.resolveDotSegments(col("path")),
+        // decode FIRST (RFC 3986 §6.2.2 order): '%2E' is unreserved and
+        // decodes to '.', so dot segments it spells must exist BEFORE
+        // the §5.2.4 walk — resolving first would let '/a/%2E%2E/b' and
+        // '/a/../b' mint two frontier keys for one resource (the r15
+        // review finding); canonicalOf re-normalizes idempotently
+        operators.Urls.resolveDotSegments(
+          operators.Urls.normalizePercent(col("path"))),
         col("query_string")).as("canonical"))
     val kept = canon.select(
         operators.Urls.etld1Of(col("host")).as("domain"), col("canonical"))

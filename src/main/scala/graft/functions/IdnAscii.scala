@@ -83,7 +83,12 @@ object IdnAscii {
     if (allAsciiLower) return u
     if (allAscii) return u.toLowerCase
     try {
-      val folded = java.net.IDN.toASCII(u.toString.toLowerCase)
+      // Locale.ROOT, never the default locale: under tr/az locales an
+      // uppercase ASCII 'I' in a mixed host would fold to dotless 'ı'
+      // and punycode-encode differently per MACHINE — a frontier key
+      // must not depend on the JVM's locale (the r15 review finding)
+      val folded = java.net.IDN.toASCII(
+        u.toString.toLowerCase(java.util.Locale.ROOT))
       if (folded.isEmpty) null else UTF8String.fromString(folded)
     } catch { case _: Exception => null }
   }

@@ -55,9 +55,14 @@ object Robots {
     * (the r14 VERDICT gap):
     *   - `Crawl-delay:` — the de-facto (Bing/Yandex) per-group pacing
     *     extension: emitted as directive `crawl-delay` with the raw
-    *     value in rule_path, group-scoped exactly like Allow/Disallow
-    *     (and, like them, it ENDS a User-agent run — it is a group
-    *     member line, not an ignorable);
+    *     value in rule_path, group-scoped exactly like Allow/Disallow —
+    *     but it does NOT end a User-agent run (RFC 9309: non-rule lines
+    *     must not interfere with grouping; ending the run would make
+    *     the GATE more permissive — `User-agent: a / Crawl-delay: 1 /
+    *     User-agent: b / Disallow: /x` must keep /x gating BOTH a and
+    *     b, the r15 review finding). A delay seen mid-run is DEFERRED
+    *     and emitted for every UA the finished run declares, so it
+    *     reaches b as well as a;
     *   - `Sitemap:` — per sitemaps.org the line is host-scoped,
     *     independent of any group: emitted as directive `sitemap`,
     *     group_ix −1, user_agent "" (no group), and it does NOT end a
@@ -81,9 +86,21 @@ object Robots {
     var groupIx = -1L
     var uas = List.empty[String]
     var inUaRun = false // true while consuming consecutive User-agent lines
-    def declareGroup(): Unit =
+    // delays seen WHILE a UA run is still open: the run may yet declare
+    // more UAs (it must stay open — RFC grouping), so emission defers
+    // until the run's membership is final
+    var pendingDelays = List.empty[String]
+    def flushDelays(): Unit = {
+      pendingDelays.reverse.foreach(v =>
+        uas.reverse.foreach(ua =>
+          out += RobotsRule(host, groupIx, ua, "crawl-delay", v)))
+      pendingDelays = Nil
+    }
+    def declareGroup(): Unit = {
+      flushDelays()
       if (uas.nonEmpty)
         uas.reverse.foreach(ua => out += RobotsRule(host, groupIx, ua, "allow", ""))
+    }
     body.split("\r?\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
@@ -95,13 +112,18 @@ object Robots {
             if (!inUaRun) { declareGroup(); groupIx += 1; uas = Nil; inUaRun = true }
             uas = value.toLowerCase :: uas
           case "allow" | "disallow" =>
-            inUaRun = false
+            if (inUaRun) { inUaRun = false; flushDelays() }
             if (value.nonEmpty && uas.nonEmpty)
               uas.reverse.foreach(ua => out += RobotsRule(host, groupIx, ua, field, value))
           case "crawl-delay" =>
-            inUaRun = false // group member line, like allow/disallow
-            if (value.nonEmpty && uas.nonEmpty)
-              uas.reverse.foreach(ua => out += RobotsRule(host, groupIx, ua, field, value))
+            // group-scoped for EMISSION, ignorable for GROUPING: the UA
+            // run stays open (doc header). Mid-run values defer; after
+            // the run they emit for the settled membership immediately
+            if (value.nonEmpty && uas.nonEmpty) {
+              if (inUaRun) pendingDelays = value :: pendingDelays
+              else uas.reverse.foreach(ua =>
+                out += RobotsRule(host, groupIx, ua, field, value))
+            }
           case "sitemap" =>
             // host-scoped, outside any group; the UA run stays intact
             if (value.nonEmpty) out += RobotsRule(host, -1L, "", field, value)

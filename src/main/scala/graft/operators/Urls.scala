@@ -273,9 +273,14 @@ object Urls {
     * Shape: one `split('%')` + a `transform` over the fragments + one
     * rejoin — per-row, no shuffle; the common no-`%` row takes the
     * `instr` fast path and never builds the array. Decoding unreserved
-    * characters can only produce ALPHA/DIGIT/`-._~` — never a delimiter —
-    * so composing this BEFORE slash-collapse, param-split and
-    * dot-segment resolution is order-safe. */
+    * characters can only produce ALPHA/DIGIT/`-._~` — never `/` `&` `=`
+    * — so slash-collapse and param-split compose freely on either side.
+    * The one ORDER-SENSITIVE composition is `.`: `%2E` decodes to a dot
+    * that can SPELL a dot segment, so [[resolveDotSegments]] must run
+    * AFTER this (RFC 3986 §6.2.2's decode-then-remove order — see
+    * q267's composition); the function is idempotent, so a caller
+    * normalizing early composes safely with [[canonicalOf]]'s own
+    * internal application. */
   def normalizePercent(s: Column): Column = {
     val parts = split(s, "%", -1) // -1: a trailing '%' keeps its empty tail
     val fixed = transform(slice(parts, lit(2), size(parts) - 1), seg => {

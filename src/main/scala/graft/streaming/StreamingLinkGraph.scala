@@ -115,9 +115,15 @@ object StreamingLinkGraph {
   /** Rewrite the edge registry down to LIVE rows (current-fingerprint
     * matches) — the maintenance pass that reclaims the dark rows
     * re-crawls leave behind. Atomic (replaceTable); serialize against a
-    * running [[start]] query on the same tables. No-op when nothing is
-    * live (an all-stale registry cannot happen while docsTable exists —
-    * every doc row points at its latest merge). */
+    * running [[start]] query on the same tables.
+    *
+    * Bound, stated exactly (the r15 review): when ZERO edge rows are
+    * live — reachable when every doc's latest re-crawl dropped all its
+    * links — the store's non-empty replaceTable contract forces a skip,
+    * so the all-dark registry persists until the next batch lands a
+    * live row (readEdges stays correct — empty — throughout). Dark
+    * residue is therefore bounded by the edge rows of ONE superseded
+    * crawl generation, never unbounded growth. */
   def compact(store: TableStore, edgesTable: String,
               docsTable: String): Unit = {
     val live = store.read(edgesTable)

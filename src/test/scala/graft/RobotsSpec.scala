@@ -141,7 +141,28 @@ class RobotsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("host") ->
         Option(r.getAs[java.lang.Double]("crawl_delay")).map(_.toDouble)).toMap
     assert(star("p0.org") === Some(10.0))
-    assert(star("p8.org") === None, "graftbot/extra group invisible to otherbot")
+    // p8: only non-rule lines separate the *, graftbot and extra UA
+    // lines, so per RFC grouping they are ONE group — the 3.5 delay
+    // belongs to '*' too and otherbot inherits it
+    assert(star("p8.org") === Some(3.5),
+      "RFC grouping: UA lines separated only by non-rule lines share a group")
+  }
+
+  test("crawl-delay never ends a UA run — the gate must not get more permissive") {
+    import spark.implicits._
+    // the r15 review scenario: if Crawl-delay closed a's group, UA 'a'
+    // would lose the Disallow and the gate would wrongly ALLOW /x
+    val body = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+    val rules = Robots.robotsRules(Seq(("h.org", body)).toDF("host", "body"))
+    val urls = Seq((1L, "h.org", "/x/page")).toDF("event_id", "host", "path")
+    Seq("a", "b").foreach { ua =>
+      val g = Robots.robotsGate(urls, rules, ua).collect().head
+      assert(g.getAs[Long]("allowed") === 0L,
+        s"UA '$ua' must still be gated by the shared group's Disallow")
+      val pol = Robots.crawlPolicy(rules, ua).collect().head
+      assert(pol.getAs[Double]("crawl_delay") === 1.0,
+        s"the mid-run delay reaches UA '$ua' after the run settles")
+    }
   }
 
   test("robotsGate never path-matches crawl-delay or sitemap rows") {

@@ -131,6 +131,27 @@ class UrlsSpec extends SparkSpec {
       "an encoded utm param is recognized after normalization and dropped")
   }
 
+  test("decode-then-resolve: %2E dot segments collapse to one frontier key") {
+    import org.apache.spark.sql.functions.lit
+    // the q267 composition order (RFC 3986 §6.2.2: decode before
+    // remove_dot_segments) — '/a/%2E%2E/b' and '/a/../b' are ONE resource
+    def frontierPath(p: String): String =
+      spark.range(1).select(
+        Urls.resolveDotSegments(Urls.normalizePercent(lit(p))).as("r"))
+        .collect().head.getAs[String]("r")
+    assert(frontierPath("/a/%2E%2E/b") === "/b")
+    assert(frontierPath("/a/../b") === "/b")
+    assert(frontierPath("/%2e/x") === "/x", "a '%2e' single-dot segment too")
+    assert(frontierPath("/a%2Fb/../c") === "/c",
+      "reserved %2F stays one segment — it never becomes a path cut")
+    // idempotence: canonicalOf's internal normalization re-applies safely
+    def norm2(s: String): String =
+      spark.range(1).select(
+        Urls.normalizePercent(Urls.normalizePercent(lit(s))).as("n"))
+        .collect().head.getAs[String]("n")
+    assert(norm2("/%7e%2f%zz%") === "/~%2F%zz%", "normalize ∘ normalize = normalize")
+  }
+
   test("idnAscii: punycode folding, ACE passthrough, rejects, canonical collapse") {
     import org.apache.spark.sql.functions.lit
     def fold(s: String): Option[String] =
