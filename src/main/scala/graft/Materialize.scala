@@ -37,7 +37,20 @@ import org.apache.spark.storage.StorageLevel
   *     that also cuts lineage. And entries park in the CacheManager
   *     for the session (nothing unpersists them automatically — run
   *     `spark.catalog.clearCache()` between pipelines): a mode for
-  *     bounded batch pipelines, not resident services.
+  *     bounded batch pipelines, not resident services. A THIRD caveat
+  *     (the r15 review): the recompute-on-block-loss guarantee does
+  *     NOT hold across the versioned writers' vacuum. Inside
+  *     [[graft.plans.MergeWriter]]/[[graft.plans.BucketedMergeWriter]]
+  *     commit paths, kept lineage bottoms out in parquet scans of the
+  *     store version that was CURRENT at materialization time; once
+  *     `vacuum` deletes superseded versions, recomputing a lost block
+  *     reads deleted files and fails — and even before vacuum, a
+  *     concurrent commit can make the recompute read a DIFFERENT
+  *     version than the one the block was cut from. Under `persist`,
+  *     treat any executor loss that lands mid-merge as a job failure
+  *     to rerun (the writers' CAS manifests make reruns safe); for
+  *     genuine in-flight fault tolerance over versioned stores, use
+  *     `reliable`, whose lineage cut snapshots the bytes.
   *
   * All three produce IDENTICAL results (MaterializeSpec proves it on the
   * iterative pageRankDirected); only failure semantics and storage

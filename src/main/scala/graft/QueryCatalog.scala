@@ -7918,7 +7918,9 @@ object QueryCatalog {
     * the jusText/trafilatura boilerplate-removal family): a nav bar
     * that clears the char floor but is pure links (density drop), a
     * too-short block (floor drop), prose with one inline link (kept),
-    * footer/link-list chrome (dropped); the kept blocks reassemble in
+    * footer/link-list chrome (dropped), a bare-anchor (attribute-less)
+    * nav whose link text must still count (density drop — the r15
+    * review's evasion case); the kept blocks reassemble in
     * document order. The oracle rebuilds each block's exact text by
     * arithmetic, replays the division-free density law with len() math,
     * and compares main_text BYTE-FOR-BYTE — segmentation drift, a
@@ -7947,7 +7949,9 @@ object QueryCatalog {
       |  UNION ALL SELECT doc_id, 5, 'Two', CAST(3 AS BIGINT)
       |    FROM documents WHERE doc_id % 3 = 0
       |  UNION ALL SELECT doc_id, 6, 'Privacy | Terms',
-      |    CAST(len('Privacy Terms') AS BIGINT) FROM documents),
+      |    CAST(len('Privacy Terms') AS BIGINT) FROM documents
+      |  UNION ALL SELECT doc_id, 7, 'Home Products Support Pages',
+      |    CAST(len('Home Products Support Pages') AS BIGINT) FROM documents),
       |s AS (SELECT doc_id, ix, text,
       |    CAST(len(text) AS BIGINT) AS n, link_chars FROM b),
       |k AS (SELECT *, CASE WHEN n >= 25 AND link_chars * 100 <= 33 * n

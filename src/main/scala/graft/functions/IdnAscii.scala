@@ -61,7 +61,20 @@ object IdnAscii {
     * the one wire-impossibility ToASCII enforces that a byte scan can
     * check for free (DNS labels are ≤ 63 octets; a longer "host" cannot
     * exist and must not mint a frontier key). Non-ASCII input takes the
-    * full ToASCII path with its complete rule set; null on failure. */
+    * full ToASCII path with its complete rule set; null on failure.
+    *
+    * The asymmetry is INTENTIONAL (the r15 review weighed it): the fast
+    * path does NOT apply ToASCII's other validations (empty labels,
+    * leading/trailing hyphens), so `"a..b"` passes through while
+    * `"a..bü"` folds to NULL. ASCII hosts were never folded before this
+    * expression existed, and the frontier's frozen-key contract pins
+    * ASCII inputs to byte-identity (modulo lowercasing) — rejecting
+    * previously-passing ASCII junk would be a silent key-version bump
+    * for every consumer. Junk ASCII hosts mint stable (if useless)
+    * frontier keys and are fetch-time failures, which is exactly what
+    * they were pre-IDN; a host that needs PUNYCODE, by contrast, never
+    * had a stable key, so the full rule set applies with nothing to
+    * preserve. */
   def idnOf(u: UTF8String): UTF8String = {
     val n = u.numBytes()
     var i = 0

@@ -239,9 +239,12 @@ object Html {
       "|header|footer|nav|aside|blockquote|pre|form|br)(?:[ \\t\\n\\x0B\\f\\r][^>]*)?>"
   /** Anchor inner content (group 1) — the double-quote-free contract of
     * [[HrefRe]] does not apply here; the INNER text is what link-density
-    * measures. */
+    * measures. Unlike [[HrefRe]] (which NEEDS the attribute), the
+    * attribute run is OPTIONAL: a nav built of bare `<a>Home</a>`
+    * anchors still renders as pure links and must count as link text,
+    * or link lists evade the density drop (the r15 review finding). */
   val AnchorTextRe: String =
-    "(?is)<a[ \\t\\n\\x0B\\f\\r][^>]*>(.*?)</a[ \\t\\n\\x0B\\f\\r]*>"
+    "(?is)<a(?:[ \\t\\n\\x0B\\f\\r][^>]*)?>(.*?)</a[ \\t\\n\\x0B\\f\\r]*>"
 
   /** Main-content extraction by block link density — the
     * boilerplate-REMOVAL step (jusText, Pomikálek 2011; trafilatura,
@@ -332,7 +335,11 @@ object Html {
         lit("<ul><li><a href=\"/1\">One</a></li><li><a href=\"/2\">Two</a>" +
           "</li></ul>\n")).otherwise(lit("")),
       lit("<footer><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a>" +
-        "</footer>\n</body></html>")).as("html"))
+        "</footer>\n"),
+      // bare (attribute-less) anchors: long enough to clear the floor,
+      // pure link text — the density law must still drop it
+      lit("<div><a>Home</a> <a>Products</a> <a>Support Pages</a></div>\n" +
+        "</body></html>")).as("html"))
   }
 
   /** The (first) `<meta name="robots">` tag — the in-page twin of

@@ -1527,7 +1527,13 @@ object MediaCodecs {
           Some(BmpData(w, h, px))
         } finally reader.dispose()
       } finally if (iis != null) iis.close()
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal, not Throwable: a malformed stream surfaces as
+      // IIOException/IllegalArgumentException/etc. and must yield None,
+      // but OutOfMemoryError or InterruptedException are executor-level
+      // failures that masking as "undecodable image" would hide.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Encode a synthetic image as REAL JPEG bytes at an explicit quality

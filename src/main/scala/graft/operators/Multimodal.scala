@@ -601,7 +601,12 @@ object Multimodal {
     * would keep ([trim_start_frame, trim_end_frame) in the FRAME domain). Assets that are
     * silent throughout emit NULL bounds (drop candidates); window
     * arithmetic is pure integers, so the plan replays in any engine. */
-  private case class TrimWindowRow(asset_id: Long, window_ix: Long,
+  // NOT private: janino-generated SerializeFromObject code calls the
+  // accessors from another package-level class, and a private modifier
+  // makes the whole-stage compile fail (falls back to interpreted,
+  // spamming "Failed to compile" per execution). Every Encoders.product
+  // row type in this repo must stay package-visible for this reason.
+  case class TrimWindowRow(asset_id: Long, window_ix: Long,
                                    n_samples: Long, sum_sq: Long,
                                    n_channels: Int)
 

@@ -11,7 +11,8 @@ import graft.plans.TableStore
   * [[Html.linkEdges]]: a stream of fetched pages (doc_id, src_host, html)
   * is, per micro-batch, href-extracted and folded to per-DOCUMENT edge
   * contributions ([[Html.linkEdgesByDoc]]), which MERGE into a registry
-  * keyed (src_domain, dst_domain, doc_id). The cumulative graph is the
+  * keyed (src_domain, dst_domain, doc_id, content_fp) — insert-only per
+  * content generation. The cumulative graph is the
   * fold of the registry ([[readEdges]]), byte-identical to running the
   * batch operator over every document's LATEST content.
   *
@@ -85,12 +86,19 @@ object StreamingLinkGraph {
           if (!w.isEmpty) {
             val slice = Html.linkEdgesByDoc(w)
               .join(w.select(col("doc_id"), col("content_fp")), Seq("doc_id"))
-            // edges BEFORE docs: a crash between the two leaves the new
-            // rows dark (doc fp still old — the old state stays visible,
-            // never a half-applied doc); replay completes the flip
+            // edges BEFORE docs, and content_fp IS part of the merge key
+            // (the r15 ADVICE fix): edge rows are insert-only per content
+            // generation — an edge present in both the old and new html
+            // lands as a NEW row under the new fp instead of overwriting
+            // the old generation's row. A crash between the two merges
+            // (or a concurrent readEdges mid-batch) therefore sees the
+            // OLD generation complete — never a doc whose common edges
+            // went dark while its doc row still points at the old fp.
+            // Replay/doc-merge flips visibility per doc atomically;
+            // compact() reclaims the superseded generation's rows.
             if (!slice.isEmpty)
               store.mergeFact(edgesTable, slice,
-                Seq("src_domain", "dst_domain", "doc_id"))
+                Seq("src_domain", "dst_domain", "doc_id", "content_fp"))
             store.mergeFact(docsTable,
               w.select(col("doc_id"), col("content_fp")), Seq("doc_id"))
           }
@@ -134,6 +142,6 @@ object StreamingLinkGraph {
       .materialized // snapshot BEFORE the swap reads it back
     if (!live.isEmpty)
       store.replaceTable(edgesTable, live,
-        Seq("src_domain", "dst_domain", "doc_id"))
+        Seq("src_domain", "dst_domain", "doc_id", "content_fp"))
   }
 }

@@ -168,7 +168,11 @@ class HtmlSpec extends SparkSpec {
       (3L, "<div><a href=\"/a\">First Navigation Entry Here</a> " +
         "<a href=\"/b\">Second Navigation Entry Too</a></div><p>Tiny.</p>"),
       // markup-only page: zero visible blocks
-      (4L, "<html><body><div></div></body></html>")
+      (4L, "<html><body><div></div></body></html>"),
+      // bare (attribute-less) anchors: still pure link text — must not
+      // evade the density drop (r15 review finding)
+      (5L, "<div><a>First Bare Entry</a> <a>Second Bare Entry</a></div>" +
+        s"<p>$prose</p>")
     ).toDF("doc_id", "html")
     val out = Html.mainContent(docs).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("n_blocks"),
@@ -184,5 +188,8 @@ class HtmlSpec extends SparkSpec {
         "empty main_text is a string, never NULL")
     assert(out(4L) === ((0L, 0L, "")),
       "a markup-only page stays a corpus member: zeros, not a vanished row")
+    assert(out(5L) === ((2L, 1L, prose)),
+      "bare <a>...</a> anchors count as link text: the attribute-less " +
+        "nav is density-dropped, not kept")
   }
 }

@@ -108,6 +108,50 @@ class StreamingLinkGraphSpec extends SparkSpec {
     assert(edgeMap(store) === after, "compaction never changes the fold")
   }
 
+  test("crash between the edge merge and the doc merge leaves the OLD state fully visible") {
+    // The r15 ADVICE finding: under a (src, dst, doc)-keyed edge merge, an
+    // edge present in BOTH the old and new content had its content_fp
+    // overwritten by the edge merge while the doc registry still held the
+    // old fingerprint — a reader mid-window saw the doc MISSING edges it
+    // had in both generations (neither old nor new state). With content_fp
+    // in the merge key the edge rows are insert-only per generation, so
+    // the half-applied window shows exactly the old state.
+    val store = new BucketedMergeWriter(spark,
+      Files.createTempDirectory("graft-lg-crash").toString, nBuckets = 4)
+    val ckpt = Files.createTempDirectory("graft-lg-crash-ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(pagesAll: _*)
+    drain(in, store, ckpt)
+    val oldState = edgeMap(store)
+
+    // re-crawl of doc 2 KEEPS the b.org link (common to both generations)
+    // and adds a c.net one — the common edge is the regression surface
+    val recrawl = Seq((2L, "www.a.co.uk",
+      "<a href=\"http://www.b.org/2\">y</a><a href=\"https://www.c.net/x\">z</a>"))
+    val w = recrawl.toDF("doc_id", "src_host", "html")
+      .withColumn("content_fp",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.coalesce($"html",
+            org.apache.spark.sql.functions.lit(""))))
+    val slice = Html.linkEdgesByDoc(w)
+      .join(w.select($"doc_id", $"content_fp"), Seq("doc_id"))
+    // the batch body's FIRST merge only — simulating a crash before the
+    // doc merge (same key set as StreamingLinkGraph.start)
+    store.mergeFact("edges", slice,
+      Seq("src_domain", "dst_domain", "doc_id", "content_fp"))
+    assert(edgeMap(store) === oldState,
+      "half-applied batch must read as the complete OLD generation")
+
+    // the doc merge lands (replay completes the flip): new state visible
+    store.mergeFact("edge_docs",
+      w.select($"doc_id", $"content_fp"), Seq("doc_id"))
+    val settled = pagesAll.filterNot(_._1 == 2L) ++ recrawl
+    assert(edgeMap(store) === batchMap(settled),
+      "after the doc flip the fold equals the batch operator over LATEST content")
+    assert(edgeMap(store)(("a.co.uk", "b.org")) === ((2L, 2L)),
+      "the common edge survives the generation flip")
+  }
+
   test("PageRank over the settled registry equals the batch walk (the q264 readout)") {
     val store = new BucketedMergeWriter(spark,
       Files.createTempDirectory("graft-lg-pr").toString, nBuckets = 4)
