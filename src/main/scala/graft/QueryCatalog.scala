@@ -7964,6 +7964,50 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Charset detection + transcoding (Warc.warcTranscodedRecords over a
+    * mixed-encoding WET fixture — the C4/CCNet pre-langid step): all
+    * five detection paths exercised per doc arithmetic — UTF-8 and
+    * windows-1252 via the Content-Type charset param, ISO-8859-1 via the
+    * `<meta charset>` prescan, UTF-8 via BOM (stripped from the text),
+    * and a LYING utf-8 header over windows-1252 bytes whose strict
+    * decode must fail into the byte-preserving ISO-8859-1 fallback
+    * (decode_ok=0, chr(128) visible in the text). The oracle rebuilds
+    * every decoded string closed-form — a detection-precedence slip, a
+    * BOM leak, or a lenient decode all break byte-for-byte. */
+  def q275CharsetTranscode(s: SparkSession, dir: String): DataFrame =
+    operators.Warc.warcTranscodedRecords(
+      operators.Warc.synthWarcCharsetShards(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .filter(col("ok") === 1)
+      .select(col("target_uri"), col("charset"), col("charset_source"),
+        col("decode_ok"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  val q275Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 5) + 5) % 5 AS m,
+      |    'http://example.org/doc/' || doc_id AS target_uri
+      |  FROM documents),
+      |e AS (
+      |  SELECT target_uri, 'UTF-8' AS charset, 'header' AS charset_source,
+      |    CAST(1 AS BIGINT) AS decode_ok,
+      |    'Café numéro ' || doc_id || ' résumé' AS text
+      |  FROM d WHERE m = 0
+      |  UNION ALL SELECT target_uri, 'windows-1252', 'header', 1,
+      |    'Smart “quotes” cost €' || (((doc_id % 97) + 97) % 97)
+      |  FROM d WHERE m = 1
+      |  UNION ALL SELECT target_uri, 'ISO-8859-1', 'meta', 1,
+      |    '<html><head><meta charset="ISO-8859-1"></head><body>Année ' ||
+      |      doc_id || ' première</body></html>'
+      |  FROM d WHERE m = 2
+      |  UNION ALL SELECT target_uri, 'UTF-8', 'bom', 1,
+      |    'Unicode ünïcödé body ' || doc_id
+      |  FROM d WHERE m = 3
+      |  UNION ALL SELECT target_uri, 'UTF-8', 'header', 0,
+      |    'Lying ' || chr(128) || ' header ' || doc_id
+      |  FROM d WHERE m = 4)
+      |SELECT target_uri, charset, charset_source, decode_ok, text,
+      |  CAST(len(text) AS BIGINT) AS n_chars FROM e""".stripMargin
+
   /** Polite fetch scheduling (Robots.fetchSchedule): the frontier ×
     * crawlPolicy composition — per-domain queues ranked (priority desc,
     * url asc), the k-th fetch offset (k−1)·delay_ms using the chosen
@@ -8723,7 +8767,8 @@ object QueryCatalog {
     ("q271_idn_hosts", q271IdnHosts _, Some(q271Sql)),
     ("q272_sitemap_entries", q272SitemapEntries _, Some(q272Sql)),
     ("q273_fetch_schedule", q273FetchSchedule _, Some(q273Sql)),
-    ("q274_main_content", q274MainContent _, Some(q274Sql)))
+    ("q274_main_content", q274MainContent _, Some(q274Sql)),
+    ("q275_charset_transcode", q275CharsetTranscode _, Some(q275Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

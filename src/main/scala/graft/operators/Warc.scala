@@ -170,6 +170,102 @@ object Warc {
       }(enc)
   }
 
+  final case class WarcCharsetRow(shard_id: Long, member_idx: Long, ok: Long,
+                                  target_uri: Option[String],
+                                  charset: Option[String],
+                                  charset_source: Option[String],
+                                  decode_ok: Option[Long],
+                                  text: Option[String])
+
+  /** [[warcTextRecords]]'s charset-AWARE sibling — the transcoding step
+    * real pipelines run before language-ID and main-content extraction
+    * (~10-20% of crawl bodies are legacy-encoded; a UTF-8-only decode
+    * U+FFFD-shreds exactly the characters those stages key on). Per
+    * record: [[Charsets.detect]] over the payload + the record's
+    * Content-Type header (BOM ≻ charset param ≻ `<meta charset>`
+    * prescan ≻ UTF-8 default), then a STRICT decode —
+    * `decode_ok = 1` means every byte round-tripped; on rejection the
+    * row keeps corpus membership with the byte-preserving ISO-8859-1
+    * text and the detected-but-failed charset name (the
+    * [[Charsets.transcode]] contract). The downstream text stages
+    * ([[TextAnalysis]] langid, [[Html.mainContent]]) consume `text`
+    * unchanged — transcoding is a drop-in replacement for the UTF-8
+    * fast path, same [[walkShard]] taxonomy, map-only, no shuffle. */
+  def warcTranscodedRecords(assets: DataFrame): Dataset[WarcCharsetRow] = {
+    val enc = Encoders.product[WarcCharsetRow]
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          walkShard(payload).map {
+            case (i, Some(r)) =>
+              val t = Charsets.transcode(r.payload, r.contentType)
+              WarcCharsetRow(id, i, 1L, r.targetUri, Some(t.charset),
+                Some(t.source), Some(t.decodeOk), Some(t.text))
+            case (i, None) =>
+              WarcCharsetRow(id, i, 0L, None, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** Mixed-encoding WET fixture (closed-form bodies, the q270
+    * convention): per doc, one conversion record whose body bytes and
+    * Content-Type rotate through the five detection paths by
+    * floorMod(id, 5) — (0) UTF-8 with a header charset param, (1)
+    * windows-1252 with a header param (curly quotes + the € at 0x80),
+    * (2) ISO-8859-1 declared ONLY by `<meta charset>`, (3) UTF-8
+    * declared ONLY by its BOM, (4) a LYING header (claims utf-8, body
+    * is windows-1252 with a bare 0x80 — an invalid UTF-8 start byte),
+    * exercising the strict-decode failure + ISO-8859-1 fallback. */
+  def synthWarcCharsetShards(docs: DataFrame, idCol: String,
+                             shardSize: Int = 8): DataFrame = {
+    require(shardSize >= 1, "shardSize must be positive")
+    val grouped = Spread.toCores(docs)
+      .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+    val rows = grouped
+      .as(Encoders.product[(Long, Seq[Long])])
+      .mapPartitions { it =>
+        // Charset instances are NOT java-serializable — resolve per task
+        val W1252 = java.nio.charset.Charset.forName("windows-1252")
+        val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        it.map { case (shard, ids) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          ids.foreach { id =>
+            val (ct, body) = Math.floorMod(id, 5L).toInt match {
+              case 0 => ("text/plain; charset=utf-8",
+                s"Café numéro $id résumé".getBytes(Utf8))
+              case 1 => ("text/html; charset=windows-1252",
+                (s"Smart “quotes” cost €" +
+                  Math.floorMod(id, 97L)).getBytes(W1252))
+              case 2 => ("text/html",
+                (s"<html><head><meta charset=\"ISO-8859-1\"></head>" +
+                  s"<body>Année $id première</body></html>").getBytes(L1))
+              case 3 => ("text/plain",
+                Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                  s"Unicode ünïcödé body $id".getBytes(Utf8))
+              case _ => ("text/plain; charset=utf-8", // LYING header
+                s"Lying € header $id".getBytes(W1252))
+            }
+            val rec = buildRecord(
+              uri = s"http://example.org/doc/$id",
+              date = "2024-01-01T00:00:00Z",
+              recordId = f"00000000-0000-0000-0003-${id}%012d",
+              contentType = ct, body = body)
+            val m = Compressed.gzipBytes(rec)
+            bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/warc")
+  }
+
   // ---------------------------------------------------------------------
   // HTTP envelope of request/response records — Common Crawl WARC proper
   // (`.warc.gz`, not WET): a `response` record's payload is a FULL HTTP
