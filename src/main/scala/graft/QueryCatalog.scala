@@ -7964,6 +7964,90 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Freshness-aware revisit scheduling (Sitemaps.revisitSchedule — the
+    * composition closing the crawl loop q272 and q273 opened): the q272
+    * sitemap entries' lastmod/changefreq hints against a deterministic
+    * fetch log decide revisit verdicts (changed ≻ new ≻ stale due;
+    * archived/fresh visible but not due), and the q269/q273 policy's
+    * Crawl-delays (hosts remapped p→s so the two fixture families
+    * compose) space the due fetches into integer-ms offsets. The oracle
+    * replays the q272 pinned url rows, the cadence table, the fetch-log
+    * arithmetic, the verdict CASE, the ranking window, and the shared
+    * rule-rebuild delay CTEs end-to-end. */
+  def q276RevisitSchedule(s: SparkSession, dir: String): DataFrame = {
+    val entries = operators.Sitemaps.sitemapEntries(
+      operators.Sitemaps.synthSitemaps(s)).materialized
+    val policy = operators.Robots.crawlPolicy(
+      operators.Robots.robotsRules(operators.Robots.synthRobotsPolicy(s))
+        .materialized,
+      userAgent = "graftbot/1.0")
+      .withColumn("host", regexp_replace(col("host"), "^p", "s"))
+    operators.Sitemaps.revisitSchedule(entries,
+      operators.Sitemaps.synthFetchLog(entries), policy, asOf = "2024-03-07")
+  }
+
+  val q276Sql: String =
+    s"""WITH $policyDelayCtes,
+       |sdelays AS (SELECT replace(host, 'p', 's') AS host, crawl_delay
+       |  FROM delays),
+       |shosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 8) r(i)),
+       |e AS (
+       |  SELECT 's' || i || '.org' AS host,
+       |    'https://s' || i || '.org/a' || i AS url,
+       |    CAST('2024-03-0' || (i % 3 + 1) AS DATE) AS lastmod,
+       |    'daily' AS changefreq, CAST(0.8 AS DOUBLE) AS priority
+       |  FROM shosts WHERE i % 4 = 0
+       |  UNION ALL SELECT 's' || i || '.org', 'https://s' || i || '.org/b' || i,
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 0
+       |  UNION ALL SELECT 's' || i || '.org',
+       |    'https://s' || i || '.org/q' || i || '?x=1&y=2',
+       |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 1
+       |  UNION ALL SELECT 's' || i || '.org', 'https://s' || i || '.org/bad' || i,
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 1
+       |  UNION ALL SELECT 's' || i || '.org', 'https://s' || i || '.org/up' || i,
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 3),
+       |c AS (SELECT host, url, lastmod, changefreq, priority,
+       |    CASE WHEN changefreq = 'always' THEN 0
+       |      WHEN changefreq = 'hourly' THEN 1 WHEN changefreq = 'daily' THEN 24
+       |      WHEN changefreq = 'weekly' THEN 168
+       |      WHEN changefreq = 'monthly' THEN 720
+       |      WHEN changefreq = 'yearly' THEN 8760
+       |      WHEN changefreq = 'never' THEN NULL ELSE 168 END AS cadence_h,
+       |    CASE WHEN len(url) % 5 = 0 THEN NULL
+       |      ELSE DATE '2024-02-27' + CAST(len(url) % 8 AS INT) END AS last_fetch
+       |  FROM e),
+       |r2 AS (SELECT *, CAST(datediff('day', last_fetch, DATE '2024-03-07') * 24
+       |    AS BIGINT) AS age_h FROM c),
+       |v AS (SELECT *, CASE WHEN last_fetch IS NULL THEN 'new'
+       |    WHEN lastmod IS NOT NULL AND lastmod > last_fetch THEN 'changed'
+       |    WHEN cadence_h IS NULL THEN 'archived'
+       |    WHEN age_h >= cadence_h THEN 'stale' ELSE 'fresh' END AS reason
+       |  FROM r2),
+       |d AS (SELECT *, CAST(CASE WHEN reason IN ('changed', 'new', 'stale')
+       |      THEN 1 ELSE 0 END AS BIGINT) AS due,
+       |    CASE WHEN cadence_h IS NOT NULL AND last_fetch IS NOT NULL
+       |      THEN age_h - cadence_h END AS overdue_h,
+       |    CASE WHEN reason = 'changed' THEN 0 WHEN reason = 'new' THEN 1
+       |      ELSE 2 END AS rk
+       |  FROM v),
+       |j AS (SELECT d.*, CAST(coalesce(round(s.crawl_delay * 1000), 1000)
+       |      AS BIGINT) AS delay_ms
+       |  FROM d LEFT JOIN sdelays s ON s.host = d.host),
+       |q AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY due DESC,
+       |      rk ASC, overdue_h DESC NULLS LAST, priority DESC NULLS LAST,
+       |      url ASC) AS seq
+       |  FROM j)
+       |SELECT host, url, reason, due, CAST(cadence_h AS BIGINT) AS cadence_h,
+       |  CAST(overdue_h AS BIGINT) AS overdue_h, priority,
+       |  CAST(CASE WHEN due = 1 THEN seq END AS BIGINT) AS fetch_seq, delay_ms,
+       |  CAST(CASE WHEN due = 1 THEN (seq - 1) * delay_ms END AS BIGINT)
+       |    AS fetch_offset_ms
+       |FROM q""".stripMargin
+
   /** Charset detection + transcoding (Warc.warcTranscodedRecords over a
     * mixed-encoding WET fixture — the C4/CCNet pre-langid step): all
     * five detection paths exercised per doc arithmetic — UTF-8 and
@@ -8768,7 +8852,8 @@ object QueryCatalog {
     ("q272_sitemap_entries", q272SitemapEntries _, Some(q272Sql)),
     ("q273_fetch_schedule", q273FetchSchedule _, Some(q273Sql)),
     ("q274_main_content", q274MainContent _, Some(q274Sql)),
-    ("q275_charset_transcode", q275CharsetTranscode _, Some(q275Sql)))
+    ("q275_charset_transcode", q275CharsetTranscode _, Some(q275Sql)),
+    ("q276_revisit_schedule", q276RevisitSchedule _, Some(q276Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** sitemaps.org XML parsing — the consumption half of the discovery
@@ -71,6 +72,114 @@ object Sitemaps {
         field(col("_b"), PriorityRe).try_cast("double").as("priority"))
       .filter(col("loc").isNotNull)
   }
+
+  /** Freshness-aware revisit scheduling — the composition that closes
+    * the crawl-scheduling loop the [[sitemapEntries]] (q272) and
+    * [[Robots.fetchSchedule]] (q273) halves opened: the sitemap's
+    * declared freshness hints (`lastmod`, `changefreq`) against the
+    * crawler's own fetch log decide WHICH urls are due for a revisit,
+    * and the per-domain polite offsets decide WHEN each due url may be
+    * fetched (the Cho & Garcia-Molina revisit-policy family, composed
+    * with RFC 9309 Crawl-delay politeness).
+    *
+    * Inputs: `entries` = [[sitemapEntries]] output (rows with kind
+    * `url`; one row per (host, loc) — callers merging overlapping
+    * sitemap files dedupe first); `fetchLog` = (url, last_fetch DATE) —
+    * urls absent from the log were never fetched; `policy` =
+    * [[Robots.crawlPolicy]] output (host, crawl_delay); `asOf` = the
+    * evaluation date (explicit, never wall-clock — schedules must
+    * replay).
+    *
+    * Cadence from `changefreq` in integer HOURS (sitemaps.org values):
+    * always→0, hourly→1, daily→24, weekly→168, monthly→720,
+    * yearly→8760, never→NULL (no cadence — an archive url), absent or
+    * unrecognized → `defaultCadenceHours`. Verdicts, in rank order:
+    *
+    *   - `changed` — `lastmod > last_fetch`: the publisher declared
+    *     newer content than our copy. Due, ranked first.
+    *   - `new` — no fetch-log row: never fetched. Due, second.
+    *   - `stale` — `age_h ≥ cadence_h`: the declared cadence says the
+    *     copy has expired. Due, ranked by overdue hours descending.
+    *   - `archived` — cadence `never` and not changed: not due.
+    *   - `fresh` — inside cadence: not due.
+    *
+    * All arithmetic is integer hours/ms (the [[Robots.fetchSchedule]]
+    * convention — no floats in a schedule): `age_h = days·24`,
+    * `overdue_h = age_h − cadence_h` (NULL when either side is
+    * undefined). Due rows get `fetch_seq` 1..k per host (rank order
+    * above, then priority desc, then url — deterministic) and
+    * `fetch_offset_ms = (fetch_seq−1)·delay_ms` with the host's chosen
+    * Crawl-delay (or `defaultDelayMs`); non-due rows carry NULL
+    * seq/offset but stay visible (the never-vanish membership rule —
+    * a dashboard reads the fresh/archived rows too).
+    *
+    * 100 TB shape: one broadcast policy join + ONE domain-keyed window
+    * — the politeness unit is the domain, exactly [[Robots
+    * .fetchSchedule]]'s shape; the fetch-log join is url-keyed
+    * (shuffle on the natural key). */
+  def revisitSchedule(entries: DataFrame, fetchLog: DataFrame,
+                      policy: DataFrame, asOf: String,
+                      defaultCadenceHours: Long = 168L,
+                      defaultDelayMs: Long = 1000L): DataFrame = {
+    val cadence = when(col("changefreq") === "always", lit(0L))
+      .when(col("changefreq") === "hourly", lit(1L))
+      .when(col("changefreq") === "daily", lit(24L))
+      .when(col("changefreq") === "weekly", lit(168L))
+      .when(col("changefreq") === "monthly", lit(720L))
+      .when(col("changefreq") === "yearly", lit(8760L))
+      .when(col("changefreq") === "never", lit(null).cast("long"))
+      .otherwise(lit(defaultCadenceHours))
+    val urls = entries.filter(col("kind") === "url")
+      .select(col("host"), col("loc").as("url"), col("lastmod"),
+        lower(col("changefreq")).as("changefreq"), col("priority"))
+      .withColumn("cadence_h", cadence)
+    val logd = fetchLog.select(col("url"), col("last_fetch").cast("date"))
+    val reasoned = urls.join(logd, Seq("url"), "left")
+      .withColumn("age_h",
+        (datediff(lit(asOf).cast("date"), col("last_fetch")) * 24).cast("long"))
+      .withColumn("reason",
+        when(col("last_fetch").isNull, lit("new"))
+          .when(col("lastmod").isNotNull && col("lastmod") > col("last_fetch"),
+            lit("changed"))
+          .when(col("cadence_h").isNull, lit("archived"))
+          .when(col("age_h") >= col("cadence_h"), lit("stale"))
+          .otherwise(lit("fresh")))
+      .withColumn("due",
+        col("reason").isin("changed", "new", "stale").cast("long"))
+      .withColumn("overdue_h",
+        when(col("cadence_h").isNotNull && col("last_fetch").isNotNull,
+          col("age_h") - col("cadence_h")))
+    val rankKey = when(col("reason") === "changed", lit(0))
+      .when(col("reason") === "new", lit(1)).otherwise(lit(2))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("due").desc, rankKey.asc,
+        col("overdue_h").desc_nulls_last,
+        col("priority").desc_nulls_last, col("url").asc)
+    val pol = policy.select(col("host"),
+      round(col("crawl_delay") * 1000).cast("long").as("_dms"))
+    reasoned.join(broadcast(pol), Seq("host"), "left")
+      .withColumn("_seq", row_number().over(w).cast("long"))
+      .withColumn("fetch_seq", when(col("due") === 1, col("_seq")))
+      .withColumn("delay_ms", coalesce(col("_dms"), lit(defaultDelayMs)))
+      .select(col("host"), col("url"), col("reason"), col("due"),
+        col("cadence_h"), col("overdue_h"), col("priority"),
+        col("fetch_seq"), col("delay_ms"),
+        when(col("due") === 1,
+          (col("fetch_seq") - 1) * col("delay_ms")).as("fetch_offset_ms"))
+  }
+
+  /** Fetch-log fixture for [[revisitSchedule]], deterministic by loc
+    * length: urls with `len % 5 = 0` are absent (never fetched); the
+    * rest were last fetched `2024-02-27 + (len % 8)` days — spread so
+    * the q272 fixture's urls land on every verdict (changed, new,
+    * stale, fresh). */
+  def synthFetchLog(entries: DataFrame): DataFrame =
+    entries.filter(col("kind") === "url")
+      .select(col("loc").as("url"))
+      .filter(pmod(length(col("url")), lit(5)) =!= 0)
+      .select(col("url"),
+        date_add(lit("2024-02-27").cast("date"),
+          pmod(length(col("url")), lit(8)).cast("int")).as("last_fetch"))
 
   /** Sitemap-XML fixture: hosts s0..s7.org rotating every parse
     * decision — a plain urlset (one fully-hinted url, one bare), an
