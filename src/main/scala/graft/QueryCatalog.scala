@@ -7964,6 +7964,37 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Suffix hash-doubling duplicate spans (Dedup.suffixRepeatSpans —
+    * the Lee et al. suffix-array construction's relational twin) at
+    * minLen=3: repeats of 3..7 tokens that q109's windowed n=8
+    * PROVABLY misses (the r14 documented bound, now closed). The
+    * oracle is the INDEPENDENT windowed formulation at n=3 — the
+    * doubling recurrence (b_{j+1} = h(b_j(p), b_j(p+2^j)), overlapping
+    * power-of-two blocks for the final key) must reproduce the
+    * shingle-hash span set bit-for-bit, a cross-construction proof on
+    * real corpus text. */
+  def q277SuffixSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.suffixRepeatSpans(t(s, dir, "documents"), minLen = 3)
+
+  val q277Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(0, len(words) - 3)) AS pos, words
+       |      FROM w WHERE len(words) >= 3),
+       |gr AS (SELECT doc_id, pos,
+       |    CAST(('0x' || substring(md5(array_to_string(words[pos+1 : pos+3], ' ')), 1, 15)) AS BIGINT) AS h
+       |  FROM g),
+       |c AS (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, pos FROM gr JOIN c USING (h)),
+       |m AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+       |         THEN 1 ELSE 0 END AS brk FROM d),
+       |i AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+       |SELECT doc_id, CAST(min(pos) + 1 AS BIGINT) AS span_start,
+       |  CAST(max(pos) + 3 AS BIGINT) AS span_end,
+       |  CAST(max(pos) + 3 - min(pos) AS BIGINT) AS span_tokens
+       |FROM i GROUP BY doc_id, grp""".stripMargin
+
   /** Freshness-aware revisit scheduling (Sitemaps.revisitSchedule — the
     * composition closing the crawl loop q272 and q273 opened): the q272
     * sitemap entries' lastmod/changefreq hints against a deterministic
@@ -8853,7 +8884,8 @@ object QueryCatalog {
     ("q273_fetch_schedule", q273FetchSchedule _, Some(q273Sql)),
     ("q274_main_content", q274MainContent _, Some(q274Sql)),
     ("q275_charset_transcode", q275CharsetTranscode _, Some(q275Sql)),
-    ("q276_revisit_schedule", q276RevisitSchedule _, Some(q276Sql)))
+    ("q276_revisit_schedule", q276RevisitSchedule _, Some(q276Sql)),
+    ("q277_suffix_spans", q277SuffixSpans _, Some(q277Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

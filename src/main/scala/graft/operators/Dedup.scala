@@ -731,6 +731,102 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Suffix hash-doubling duplicate spans — the Lee et al. suffix-array
+    * construction's relational twin, with the SAME output contract as
+    * [[duplicateSpans]] at n = minLen (equivalence spec-proven
+    * bit-for-bit): all maximal spans covered by a repeat of ≥ `minLen`
+    * tokens, reported as 1-based inclusive token offsets.
+    *
+    * Why a second construction when [[duplicateSpans]] already finds
+    * every repeat ≥ n: COST SHAPE. The windowed path hashes an n-token
+    * SHINGLE STRING per position — per-position bytes grow linearly
+    * with the min-match length (Lee et al. use 50; at ~6 bytes/token
+    * that is ~300 bytes/position through the Generate and the
+    * exchange). This path is the suffix-array prefix-doubling
+    * recurrence with equality-only ranks, which a repeat detector is
+    * free to replace with HASHES (we never need lexicographic order,
+    * only prefix-equality classes — the Karp–Rabin observation): block
+    * hash `b_0 = h(token)`, `b_{j+1}(p) = h(b_j(p), b_j(p+2^j))`, so
+    * after ⌊log2 minLen⌋ rounds any minLen-prefix equality class is the
+    * pair `(b_K(p), b_K(p + minLen − 2^K))` — two OVERLAPPING
+    * power-of-two blocks, the sparse-table/RMQ trick. Per-position
+    * state is ONE int64 per round regardless of minLen; total work is
+    * O(log minLen) position-keyed equi-joins instead of one
+    * O(minLen)-byte shingle pass. The crossover favors doubling as
+    * minLen grows (the windowed path stays cheaper for small n where
+    * one pass beats log-many joins — both are kept deliberately).
+    *
+    * A doc-end-truncated block hashes with an end sentinel, so it can
+    * never equal a full block (the standard prefix-doubling sentinel
+    * argument), and positions without a full minLen window are filtered
+    * before grouping — both component blocks of every grouped key are
+    * full-length, making key equality ⟺ minLen-prefix equality (modulo
+    * the same 60-bit md5 collision contract every dedup family here
+    * accepts). Span fold, output columns, minCount semantics: exactly
+    * [[duplicateSpans]]'s.
+    *
+    * Scale: K = ⌊log2 minLen⌋ rounds, each one (doc_id, pos)-keyed
+    * self-join + a codegen'd hash projection, each materialized to keep
+    * plans flat (the PageRank round convention); then the windowed
+    * path's own dup-key shuffle and per-doc interval merge. No global
+    * sort anywhere — this is why the HASH variant of prefix doubling
+    * matters at 100 TB: true rank doubling needs a corpus-wide
+    * dense-rank per round. */
+  def suffixRepeatSpans(docs: DataFrame, minLen: Int, minCount: Long = 2L,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, "minLen >= 2: single-token repeats need no suffix structure")
+    def h2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("", a.cast("string"), b.cast("string"))),
+        1, 15), 16, 10).cast("long")
+    val toks = Spread.toCores(docs) // Generate leg: spread
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramsGenerator.posNgrams(col(textCol), 1))
+      .select(col("doc_id"), col("pos").cast("long").as("_pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("_b"))
+      .withColumn("_len", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val K = 63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong)
+    var cur = materialize(toks)
+    var j = 0
+    while (j < K) {
+      val step = 1L << j
+      val right = cur.select(col("doc_id"), (col("_pos") - step).as("_pos"),
+        col("_b").as("_rb"))
+      cur = materialize(cur.join(right, Seq("doc_id", "_pos"), "left")
+        // end sentinel "$": a truncated block can never hash-equal a full one
+        .withColumn("_b", h2(col("_b"), coalesce(col("_rb").cast("string"), lit("$"))))
+        .drop("_rb"))
+      j += 1
+    }
+    val off = minLen.toLong - (1L << K)
+    val keyed0 =
+      if (off == 0L) cur.withColumn("_kb", col("_b"))
+      else cur.join(
+        cur.select(col("doc_id"), (col("_pos") - off).as("_pos"),
+          col("_b").as("_kb")),
+        Seq("doc_id", "_pos"), "left")
+    val keyed = keyed0
+      .filter(col("_pos") + minLen <= col("_len")) // full minLen window only
+      .withColumn("_key", h2(col("_b"), col("_kb")))
+    val dupKeys = keyed.groupBy(col("_key")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select(col("_key"))
+    val dupPos = keyed.join(dupKeys, Seq("_key"))
+      .select(col("doc_id"), col("_pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
+    dupPos
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) > minLen, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("_grp", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg((min(col("_pos")) + 1).as("span_start"),
+        (max(col("_pos")) + minLen).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
     * algorithm): hash every k-gram, slide a w-wide window over consecutive
