@@ -7964,6 +7964,105 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Shared CTE chain replaying the unigram-LM hard-EM trainer
+    * (TextAnalysis.unigramTrainCore at nIters=2, maxPieceLen=4,
+    * minSeedCount=2, maxWordLen=12): seed substring counts, then per
+    * iteration an UNROLLED Viterbi DP (one CTE per prefix length, the
+    * q264 unrolled-PageRank convention) with the same DECIMAL(18,6)
+    * score sums and the same (score desc, last-piece-length desc,
+    * piece desc) tie-break, then hard counts + the single-char floor +
+    * renormalization. Ends with CTEs `p2` (final piece table with
+    * DOUBLE logp via the identical decimal cast chain) and `finals2`
+    * (final Viterbi segmentations). */
+  private def unigramCtes: String = {
+    val P = 4; val W = 12
+    val sb = new StringBuilder
+    sb ++= s"""uw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, len(w) AS len
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND $W GROUP BY w),
+       |o1 AS MATERIALIZED (SELECT w, freq, len, unnest(generate_series(1, len)) AS i FROM uw),
+       |o2 AS (SELECT freq, substring(w, i, CAST(k AS INT)) AS piece
+       |  FROM (SELECT w, freq, i,
+       |    unnest(generate_series(1, least($P, len - i + 1))) AS k FROM o1)),
+       |seed AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM o2
+       |  GROUP BY piece HAVING sum(freq) >= 2 OR len(piece) = 1),
+       |tot0 AS (SELECT sum(cnt) AS t FROM seed),
+       |p0 AS MATERIALIZED (SELECT piece, cnt,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lp FROM seed, tot0),
+       |chars AS MATERIALIZED (SELECT DISTINCT substring(w, i, 1) AS piece FROM o1)""".stripMargin
+    for (it <- 1 to 2) {
+      val pin = s"p${it - 1}"
+      sb ++= s""",
+       |d${it}_0 AS MATERIALIZED (SELECT w, len, freq, 0 AS pos,
+       |  CAST(0 AS DECIMAL(18,6)) AS score, CAST([] AS VARCHAR[]) AS seg
+       |  FROM uw)""".stripMargin
+      for (i <- 1 to W) {
+        val srcs = (math.max(0, i - P) until i).map(j => s"SELECT * FROM d${it}_$j")
+          .mkString(" UNION ALL ")
+        sb ++= s""",
+       |d${it}_$i AS MATERIALIZED (SELECT w, len, freq, $i AS pos, score2 AS score, seg2 AS seg
+       |  FROM (SELECT c.w, c.len, c.freq,
+       |      CAST(c.score + p.lp AS DECIMAL(18,6)) AS score2,
+       |      list_append(c.seg, p.piece) AS seg2,
+       |      row_number() OVER (PARTITION BY c.w
+       |        ORDER BY CAST(c.score + p.lp AS DECIMAL(18,6)) DESC,
+       |          ($i - c.pos) DESC, p.piece DESC) AS rn
+       |    FROM ($srcs) c
+       |    JOIN $pin p ON p.piece = substring(c.w, c.pos + 1, $i - c.pos)
+       |    WHERE c.len >= $i)
+       |  WHERE rn = 1)""".stripMargin
+      }
+      val allPos = (1 to W).map(i => s"SELECT * FROM d${it}_$i").mkString(" UNION ALL ")
+      sb ++= s""",
+       |finals$it AS MATERIALIZED (SELECT w, freq, seg FROM ($allPos) WHERE pos = len),
+       |counts$it AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(seg) AS piece FROM finals$it) GROUP BY piece),
+       |f$it AS MATERIALIZED (SELECT c.piece, greatest(coalesce(n.cnt, 0), 1) AS cnt
+       |    FROM chars c LEFT JOIN counts$it n USING (piece)
+       |  UNION ALL SELECT piece, cnt FROM counts$it WHERE len(piece) > 1),
+       |tot$it AS (SELECT sum(cnt) AS t FROM f$it),
+       |p$it AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lp FROM f$it, tot$it)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Unigram-LM tokenizer training (TextAnalysis.unigramPieces — the
+    * SentencePiece-family hard-EM trainer beside BPE): the final piece
+    * table after two EM iterations. The oracle replays the whole train
+    * — seed counts, both unrolled Viterbi DPs, hard counts, the
+    * single-char coverage floor, renormalization — so a tie-break slip,
+    * a decimal drift, or a dropped floor char all break rows. */
+  def q278UnigramPieces(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramPieces(t(s, dir, "documents"))
+
+  val q278Sql: String =
+    s"""WITH $unigramCtes
+       |SELECT piece, cnt, CAST(lp AS DOUBLE) + 0 AS logp FROM p2""".stripMargin
+
+  /** Unigram-LM segmentation statistics (TextAnalysis.unigramSegment —
+    * bpeSegment's shape for the other tokenizer): each doc's token
+    * stream joined to its word's FINAL Viterbi segmentation; model
+    * words only (the maxWordLen cap), zero-count rows kept. */
+  def q279UnigramSegment(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSegment(t(s, dir, "documents"))
+
+  val q279Sql: String =
+    s"""WITH $unigramCtes,
+       |toksq AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+       |  FROM documents),
+       |ws AS (SELECT w, CAST(len(seg) AS BIGINT) AS np,
+       |    CAST(len(w) AS BIGINT) AS wlen FROM finals2),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(sum(np) AS BIGINT) AS ns, CAST(sum(wlen) AS BIGINT) AS nc
+       |  FROM toksq JOIN ws USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(nw, 0) AS n_words, coalesce(ns, 0) AS n_pieces,
+       |  CASE WHEN ns > 0 THEN round(CAST(nc AS DOUBLE) / CAST(ns AS DOUBLE), 6)
+       |    END AS chars_per_piece
+       |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+
   /** Suffix hash-doubling duplicate spans (Dedup.suffixRepeatSpans —
     * the Lee et al. suffix-array construction's relational twin) at
     * minLen=3: repeats of 3..7 tokens that q109's windowed n=8
@@ -8885,7 +8984,9 @@ object QueryCatalog {
     ("q274_main_content", q274MainContent _, Some(q274Sql)),
     ("q275_charset_transcode", q275CharsetTranscode _, Some(q275Sql)),
     ("q276_revisit_schedule", q276RevisitSchedule _, Some(q276Sql)),
-    ("q277_suffix_spans", q277SuffixSpans _, Some(q277Sql)))
+    ("q277_suffix_spans", q277SuffixSpans _, Some(q277Sql)),
+    ("q278_unigram_pieces", q278UnigramPieces _, Some(q278Sql)),
+    ("q279_unigram_segment", q279UnigramSegment _, Some(q279Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

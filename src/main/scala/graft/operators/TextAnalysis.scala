@@ -789,6 +789,159 @@ object TextAnalysis {
           .as("chars_per_subword"))
   }
 
+  /** Unigram-LM tokenizer training (the Kudo 2018 / SentencePiece
+    * family — the OTHER subword tokenizer real pipelines ship beside
+    * [[bpeMerges]]'s BPE), as bounded relational rounds with hard-EM:
+    *
+    *   - **Seed**: every substring of length ≤ `maxPieceLen` of the
+    *     distinct-word table with corpus count (occurrence-weighted by
+    *     word frequency) ≥ `minSeedCount`, plus ALL single characters —
+    *     the coverage floor that keeps every word segmentable.
+    *   - **E-step (hard)**: Viterbi-segment each distinct word under
+    *     the current piece log-probs. The DP runs as PREFIX-LENGTH
+    *     rounds (the [[bpeMerges]] loop pattern): round i computes the
+    *     best segmentation of every word's length-i prefix from rounds
+    *     i−maxPieceLen..i−1 — one piece-keyed broadcast join + one
+    *     argmax per round, ≤ `maxWordLen` rounds per iteration.
+    *     Kudo's full EM soft-counts every segmentation via
+    *     forward-backward; hard-EM (Viterbi counts) is the standard
+    *     deterministic simplification and keeps every intermediate an
+    *     exact DECIMAL so the argmax replays in any engine.
+    *     Tie-break: highest (score, last-piece length, piece) —
+    *     deterministic and engine-replayable.
+    *   - **M-step**: piece counts from the Viterbi segmentations
+    *     (frequency-weighted), single characters floored at count 1
+    *     (never leave the vocab), unused multi-char pieces drop (the
+    *     hard-EM analogue of Kudo's loss-ranked pruning), log-probs
+    *     renormalize as `round(ln(cnt/total), 6)` — the one
+    *     fixed-shape double expression, summed as DECIMAL (the
+    *     [[unigramLogProb]] engine-parity convention).
+    *
+    * Words longer than `maxWordLen` are out of the model (SentencePiece
+    * caps piece-able sentence length the same way; rare long words
+    * contribute little mass) — the SEGMENT readout counts model words
+    * only. Scale: every frame is DISTINCT-WORD cardinality (never
+    * corpus), the piece table is vocab-bounded (broadcast), rounds are
+    * `nIters · maxWordLen` keyed joins — control-plane work beside the
+    * corpus-sized token stream, exactly like BPE training. */
+  private[graft] def unigramTrainCore(docs: DataFrame, nIters: Int,
+      maxPieceLen: Int, minSeedCount: Long, maxWordLen: Int,
+      textCol: String): (DataFrame, DataFrame) = {
+    require(nIters >= 1 && nIters <= 8, "nIters in [1, 8]")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16, "maxPieceLen in [2, 16]")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 64, "maxWordLen in [maxPieceLen, 64]")
+    val words = (docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("w"))))
+      .materialized
+    val occ = words
+      .select(col("w"), col("freq"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("i"))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("len") - col("i") + 1))).as("k"))
+      .select(col("freq"), expr("substring(w, i, k)").as("piece"))
+    val seedCnt = occ.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= minSeedCount || length(col("piece")) === 1)
+    def withLogp(cnts: DataFrame): DataFrame = {
+      val tot = cnts.agg(sum(col("cnt")).as("_tot"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("piece"), col("cnt"),
+          round(log(col("cnt").cast("double") / col("_tot").cast("double")), 6)
+            .cast("decimal(18,6)").as("lp"))
+    }
+    var pieces = withLogp(seedCnt).materialized
+    // the coverage-floor set: every character seen in any model word
+    val chars = words
+      .select(col("w"), explode(sequence(lit(1), col("len"))).as("i"))
+      .select(expr("substring(w, i, 1)").as("piece")).distinct()
+      .materialized
+    val maxLenRow = words.agg(max(col("len"))).collect()(0) // one-row stat
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    var segs: DataFrame = words.sparkSession.emptyDataFrame
+    var it = 0
+    while (it < nIters && maxLen > 0) {
+      var s = words.select(col("w"), col("len"), col("freq"),
+        lit(0).as("pos"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("score"),
+        array().cast("array<string>").as("seg"))
+        .materialized
+      var i = 1
+      while (i <= maxLen) {
+        val cand = s
+          .filter(col("pos") >= i - maxPieceLen && col("pos") < i &&
+            col("len") >= i)
+          .withColumn("piece", expr(s"substring(w, pos + 1, $i - pos)"))
+          .join(broadcast(pieces.select(col("piece"), col("lp"))), Seq("piece"))
+          .select(col("w"), col("len"), col("freq"),
+            (col("score") + col("lp")).cast("decimal(18,6)").as("score2"),
+            concat(col("seg"), array(col("piece"))).as("seg2"),
+            (lit(i) - col("pos")).as("k"), col("piece"))
+        val stepped = cand.groupBy(col("w"), col("len"), col("freq"))
+          .agg(max_by(struct(col("score2"), col("seg2")),
+            struct(col("score2"), col("k"), col("piece"))).as("_b"))
+          .select(col("w"), col("len"), col("freq"), lit(i).as("pos"),
+            col("_b.score2").as("score"), col("_b.seg2").as("seg"))
+        s = s.unionByName(stepped).materialized
+        i += 1
+      }
+      segs = s.filter(col("pos") === col("len"))
+        .select(col("w"), col("freq"), col("seg"), col("score"))
+        .materialized
+      val counts = segs.select(col("freq"), explode(col("seg")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .materialized // read by the floor join AND the anti-join
+      val floored = chars.join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+        .unionByName(counts.join(chars, Seq("piece"), "left_anti"))
+      pieces = withLogp(floored).materialized
+      it += 1
+    }
+    (pieces, segs)
+  }
+
+  /** The trained unigram-LM piece table: (piece, cnt, logp) after the
+    * final M-step — cnt is the hard-EM count (single chars floored at
+    * 1), logp the renormalized `round(ln(cnt/total), 6)`. */
+  def unigramPieces(docs: DataFrame, nIters: Int = 2, maxPieceLen: Int = 4,
+                    minSeedCount: Long = 2L, maxWordLen: Int = 12,
+                    textCol: String = "text"): DataFrame =
+    unigramTrainCore(docs, nIters, maxPieceLen, minSeedCount, maxWordLen,
+      textCol)._1
+      .select(col("piece"), col("cnt"),
+        Stats.canonZero(col("lp").cast("double")).as("logp"))
+
+  /** Per-document segmentation statistics under the trained unigram LM
+    * — [[bpeSegment]]'s shape for the other tokenizer: each doc's token
+    * stream joined to its word's FINAL Viterbi segmentation (model
+    * words only — see [[unigramTrainCore]] on the length cap);
+    * `chars_per_piece` is the compression readout. Docs with no model
+    * words keep a row with zero counts and NULL ratio. */
+  def unigramSegment(docs: DataFrame, nIters: Int = 2, maxPieceLen: Int = 4,
+                     minSeedCount: Long = 2L, maxWordLen: Int = 12,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wordStats = unigramTrainCore(docs, nIters, maxPieceLen, minSeedCount,
+      maxWordLen, textCol)._2
+      .select(col("w"), size(col("seg")).cast("long").as("_np"),
+        length(col("w")).cast("long").as("_wlen"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val agg = toks.join(wordStats, Seq("w"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("_nw"),
+        sum(col("_np")).as("_ns"),
+        sum(col("_wlen")).as("_nc"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nw"), lit(0L)).cast("long").as("n_words"),
+        coalesce(col("_ns"), lit(0L)).cast("long").as("n_pieces"),
+        when(col("_ns").isNotNull && col("_ns") > 0,
+          round(col("_nc").cast("double") / col("_ns").cast("double"), 6))
+          .as("chars_per_piece"))
+  }
+
   /** Shared trainer core: (merge table, final rewritten symbol table).
     * `checkpoint = false` keeps the full lineage — exponentially deep
     * past a few rounds, so ONLY for plan audits (PlanSpec inspects the
