@@ -7964,6 +7964,34 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** WebP container probe (Multimodal.webpProbe over REAL header bytes
+    * — MediaCodecs.probeWebp; the SURVEY §7.4 #6 scope decision: typed
+    * routing + dimensions for the second-most-common modern web image
+    * format, no pixel decode claimed): VP8L 14-bit dims + alpha hint,
+    * VP8 keyframe start-code dims, VP8X 24-bit canvas + alpha flag, and
+    * a flipped-signature corruption that must keep its row as ok=0. */
+  def q280WebpProbe(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.webpProbe(
+      operators.Multimodal.synthWebpAssets(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .select(col("asset_id"), col("ok"), col("variant"), col("width"),
+        col("height"), col("has_alpha"))
+
+  val q280Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m FROM documents)
+      |SELECT doc_id AS asset_id,
+      |  CAST(CASE WHEN m = 3 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+      |  CASE WHEN m = 0 THEN 'lossless' WHEN m = 1 THEN 'lossy'
+      |    WHEN m = 2 THEN 'extended' END AS variant,
+      |  CAST(CASE WHEN m IN (0, 1) THEN ((doc_id % 31) + 31) % 31 + 1
+      |    WHEN m = 2 THEN ((doc_id % 300) + 300) % 300 + 100 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m IN (0, 1) THEN ((doc_id % 17) + 17) % 17 + 1
+      |    WHEN m = 2 THEN ((doc_id % 200) + 200) % 200 + 100 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN m = 1 THEN 0 WHEN m IN (0, 2) THEN
+      |    CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END
+      |    END AS BIGINT) AS has_alpha
+      |FROM d""".stripMargin
+
   /** Shared CTE chain replaying the unigram-LM hard-EM trainer
     * (TextAnalysis.unigramTrainCore at nIters=2, maxPieceLen=4,
     * minSeedCount=2, maxWordLen=12): seed substring counts, then per
@@ -8986,7 +9014,8 @@ object QueryCatalog {
     ("q276_revisit_schedule", q276RevisitSchedule _, Some(q276Sql)),
     ("q277_suffix_spans", q277SuffixSpans _, Some(q277Sql)),
     ("q278_unigram_pieces", q278UnigramPieces _, Some(q278Sql)),
-    ("q279_unigram_segment", q279UnigramSegment _, Some(q279Sql)))
+    ("q279_unigram_segment", q279UnigramSegment _, Some(q279Sql)),
+    ("q280_webp_probe", q280WebpProbe _, Some(q280Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1565,4 +1565,134 @@ object MediaCodecs {
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
+
+  // ---------------------------------------------------------------------
+  // WebP — container PROBE only (variant + dimensions + alpha), no pixel
+  // decode. The deliberate scope (SURVEY §7.4 #6): lossy VP8 is a
+  // DCT/loop-filter video codec (the JPEG-by-hand class, out of scope
+  // exactly as JPEG was until javax.imageio covered it — the JDK has no
+  // WebP reader); lossless VP8L's entropy core is implementable in
+  // principle (prefix codes + LZ77 + color cache, the gzip/PNG shape),
+  // but a CORRECT decoder requires normative constant tables (the
+  // 120-entry distance neighbor map, the 14 predictor-mode formulas,
+  // the cross-color 3.5-bit fixed-point semantics) that cannot be
+  // verified in this zero-egress sandbox — and a codec transcribed from
+  // imperfect memory would silently mis-decode real files, violating
+  // the family's decode-never-lies contract (BMP/QOI/PNG/GIF/WAV were
+  // built from fully-known layouts; JPEG delegated to the JDK). The
+  // HEADER layouts below are simple fixed-width fields and carry no
+  // such risk; probing gives a pipeline typed routing (count/segment/
+  // quarantine WebP assets, dimensions for layout stats) without
+  // claiming pixels it cannot produce.
+  // ---------------------------------------------------------------------
+
+  /** One probed WebP container: variant `lossless` (VP8L), `lossy`
+    * (VP8) or `extended` (VP8X); canvas width/height; whether the
+    * header declares alpha. */
+  final case class WebpInfo(variant: String, width: Int, height: Int,
+                            alpha: Boolean)
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u24le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (u16le(b, i).toLong | (u16le(b, i + 2).toLong << 16)) & 0xffffffffL
+
+  /** Probe a WebP payload. None on: short input, wrong RIFF/WEBP magic,
+    * an unknown first chunk, a declared chunk size past the payload, a
+    * bad VP8L signature byte / nonzero version, a lossy frame that is
+    * not a keyframe or lacks the VP8 start code, or dimensions outside
+    * (0, 16384] (VP8/VP8L's 14-bit field bound; VP8X's 24-bit canvas is
+    * bounded by the same cap here — a larger canvas is a bomb signal
+    * for this pipeline, the 64M-pixel convention). */
+  def probeWebp(bytes: Array[Byte]): Option[WebpInfo] = {
+    // 25 = the minimal probe-able container: RIFF head (20) + the
+    // 5-byte VP8L header; the per-variant chunkLen floors below imply
+    // the deeper reads are in-bounds (chunkLen <= len - 20)
+    if (bytes == null || bytes.length < 25) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+          bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+          bytes(10) == 'B' && bytes(11) == 'P')) return None
+    val fourcc = new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val chunkLen = u32le(bytes, 16)
+    if (chunkLen > bytes.length.toLong - 20L) return None
+    val p = 20 // first chunk payload offset
+    fourcc match {
+      case "VP8L" =>
+        // signature 0x2f, then LSB-first: 14b width-1, 14b height-1,
+        // 1b alpha hint, 3b version (must be 0)
+        if (chunkLen < 5 || (bytes(p) & 0xff) != 0x2f) return None
+        val v = u32le(bytes, p + 1)
+        if (((v >> 29) & 0x7L) != 0L) return None
+        val w = ((v & 0x3fffL) + 1L).toInt
+        val h = (((v >> 14) & 0x3fffL) + 1L).toInt
+        Some(WebpInfo("lossless", w, h, alpha = ((v >> 28) & 1L) == 1L))
+      case "VP8 " =>
+        // 3-byte frame tag (bit 0 = frame type, 0 = keyframe), then the
+        // keyframe start code 9D 01 2A, then 16-bit LE width/height with
+        // the upper 2 bits a scaling hint (masked off here)
+        if (chunkLen < 10) return None
+        if ((bytes(p) & 0x01) != 0) return None // inter frame: no dims
+        if (!((bytes(p + 3) & 0xff) == 0x9d && (bytes(p + 4) & 0xff) == 0x01 &&
+              (bytes(p + 5) & 0xff) == 0x2a)) return None
+        val w = u16le(bytes, p + 6) & 0x3fff
+        val h = u16le(bytes, p + 8) & 0x3fff
+        if (w < 1 || h < 1) return None
+        Some(WebpInfo("lossy", w, h, alpha = false))
+      case "VP8X" =>
+        // 1 flags byte (bit 4 = alpha), 3 reserved, 24-bit LE canvas
+        // width-1 and height-1
+        if (chunkLen < 10) return None
+        val w = u24le(bytes, p + 4) + 1
+        val h = u24le(bytes, p + 7) + 1
+        if (w > 16384 || h > 16384) return None // bomb cap (see scaladoc)
+        Some(WebpInfo("extended", w, h, alpha = (bytes(p) & 0x10) != 0))
+      case _ => None
+    }
+  }
+
+  /** Fixture-side WebP header writer — emits exactly the layouts
+    * [[probeWebp]] parses (golden tests pin the byte layout itself, so
+    * the pair can't drift into a private dialect silently). `variant`:
+    * 0 = VP8L, 1 = VP8 keyframe, 2 = VP8X. Payload past the header is
+    * deterministic filler (a probe never reads it). */
+  def encodeWebpHeader(variant: Int, width: Int, height: Int,
+                       alpha: Boolean, fillerLen: Int = 12): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 16384 && height <= 16384,
+      "dims in [1, 16384]")
+    val body = new java.io.ByteArrayOutputStream()
+    variant match {
+      case 0 =>
+        body.write(0x2f)
+        val v = ((width - 1).toLong & 0x3fffL) |
+          (((height - 1).toLong & 0x3fffL) << 14) |
+          ((if (alpha) 1L else 0L) << 28)
+        (0 until 4).foreach(i => body.write(((v >> (8 * i)) & 0xffL).toInt))
+      case 1 =>
+        body.write(0x00); body.write(0x00); body.write(0x00) // keyframe tag
+        body.write(0x9d); body.write(0x01); body.write(0x2a)
+        body.write(width & 0xff); body.write((width >> 8) & 0x3f)
+        body.write(height & 0xff); body.write((height >> 8) & 0x3f)
+      case 2 =>
+        body.write(if (alpha) 0x10 else 0x00)
+        body.write(0); body.write(0); body.write(0)
+        val w1 = width - 1; val h1 = height - 1
+        body.write(w1 & 0xff); body.write((w1 >> 8) & 0xff); body.write((w1 >> 16) & 0xff)
+        body.write(h1 & 0xff); body.write((h1 >> 8) & 0xff); body.write((h1 >> 16) & 0xff)
+      case other => throw new IllegalArgumentException(s"variant $other")
+    }
+    (0 until fillerLen).foreach(i => body.write((i * 37 + variant) & 0xff))
+    val chunk = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    val riffLen = 4 + 8 + chunk.length // 'WEBP' + chunk header + payload
+    (0 until 4).foreach(i => out.write((riffLen >> (8 * i)) & 0xff))
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    val cc = variant match { case 0 => "VP8L"; case 1 => "VP8 "; case _ => "VP8X" }
+    cc.foreach(c => out.write(c))
+    (0 until 4).foreach(i => out.write((chunk.length >> (8 * i)) & 0xff))
+    out.write(chunk, 0, chunk.length)
+    out.toByteArray
+  }
 }

@@ -431,6 +431,68 @@ object Multimodal {
         MediaCodecs.decodeJpeg(payload)
       else MediaCodecs.decodeBmp(payload))
 
+  case class WebpRow(asset_id: Long, ok: Long, variant: Option[String],
+                     width: Option[Long], height: Option[Long],
+                     has_alpha: Option[Long])
+
+  /** WebP container probe ([[MediaCodecs.probeWebp]]): variant
+    * (lossless VP8L / lossy VP8 / extended VP8X), canvas dimensions and
+    * the alpha declaration — typed ROUTING for the second-most-common
+    * modern web image format, without claiming a pixel decode this
+    * library does not have (the SURVEY §7.4 #6 decision, reasoned in
+    * the codec's scaladoc). A curation pipeline uses this to count,
+    * size-profile and quarantine WebP assets next to the five decodable
+    * containers; malformed payloads keep their row with ok = 0 (the
+    * family contract). Map-only, no shuffle. */
+  def webpProbe(assets: DataFrame): Dataset[WebpRow] = {
+    val enc = Encoders.product[WebpRow]
+    Spread.toCores(assets)
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.probeWebp(payload) match {
+            case Some(i) => WebpRow(id, 1L, Some(i.variant),
+              Some(i.width.toLong), Some(i.height.toLong),
+              Some(if (i.alpha) 1L else 0L))
+            case None => WebpRow(id, 0L, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** WebP probe fixture: variants rotate by floorMod(id, 4) — VP8L with
+    * 14-bit dims and an id-parity alpha hint, a VP8 keyframe, a VP8X
+    * canvas exercising the 24-bit fields, and a CORRUPTED VP8L (its
+    * signature byte flipped) that must probe as ok = 0. Dimensions are
+    * closed-form id arithmetic so the oracle replays them exactly. */
+  def synthWebpAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = Spread.toCores(ids)
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (Math.floorMod(id, 31L) + 1L).toInt
+          val h = (Math.floorMod(id, 17L) + 1L).toInt
+          val alpha = Math.floorMod(id, 2L) == 0L
+          val bytes = Math.floorMod(id, 4L).toInt match {
+            case 0 => MediaCodecs.encodeWebpHeader(0, w, h, alpha)
+            case 1 => MediaCodecs.encodeWebpHeader(1, w, h, alpha = false)
+            case 2 => MediaCodecs.encodeWebpHeader(2,
+              (Math.floorMod(id, 300L) + 100L).toInt,
+              (Math.floorMod(id, 200L) + 100L).toInt, alpha)
+            case _ =>
+              val b = MediaCodecs.encodeWebpHeader(0, w, h, alpha)
+              b(20) = 0x00.toByte // flip the VP8L signature: must not probe
+              b
+          }
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/webp")
+  }
+
   case class DHashRow(asset_id: Long, ok: Long,
                       dhash_hi: Option[Long], dhash_lo: Option[Long])
 

@@ -1056,4 +1056,49 @@ class MediaSpec extends SparkSpec {
         s"id $id: hash must equal the block-mask formula")
     }
   }
+  test("webp probe: hand-built golden headers pin the layout; corruption taxonomy") {
+    import graft.operators.MediaCodecs
+    // VP8L 2x3 alpha=1: v = (2-1) | (3-1)<<14 | 1<<28 = 0x10008001,
+    // LE bytes 01 80 00 10 after the 0x2f signature
+    def riff(cc: String, chunk: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      "RIFF".foreach(c => out.write(c))
+      val rl = 4 + 8 + chunk.length
+      (0 until 4).foreach(i => out.write((rl >> (8 * i)) & 0xff))
+      "WEBP".foreach(c => out.write(c))
+      cc.foreach(c => out.write(c))
+      (0 until 4).foreach(i => out.write((chunk.length >> (8 * i)) & 0xff))
+      out.write(chunk, 0, chunk.length)
+      out.toByteArray
+    }
+    val vp8l = riff("VP8L", Array(0x2f, 0x01, 0x80, 0x00, 0x10).map(_.toByte))
+    assert(MediaCodecs.probeWebp(vp8l) ===
+      Some(MediaCodecs.WebpInfo("lossless", 2, 3, alpha = true)))
+    // VP8 keyframe 320x240: tag 00 00 00, start 9d 01 2a, 40 01, f0 00
+    val vp8 = riff("VP8 ", Array(0x00, 0x00, 0x00, 0x9d, 0x01, 0x2a,
+      0x40, 0x01, 0xf0, 0x00).map(_.toByte))
+    assert(MediaCodecs.probeWebp(vp8) ===
+      Some(MediaCodecs.WebpInfo("lossy", 320, 240, alpha = false)))
+    // VP8X alpha, canvas 1000x600: flags 0x10, rsv x3, 24le(999), 24le(599)
+    val vp8x = riff("VP8X", Array(0x10, 0x00, 0x00, 0x00,
+      0xe7, 0x03, 0x00, 0x57, 0x02, 0x00).map(_.toByte))
+    assert(MediaCodecs.probeWebp(vp8x) ===
+      Some(MediaCodecs.WebpInfo("extended", 1000, 600, alpha = true)))
+    // the fixture writer emits the same layouts byte-for-byte
+    assert(MediaCodecs.encodeWebpHeader(0, 2, 3, alpha = true, fillerLen = 0)
+      .sameElements(vp8l), "writer/parser layout lock (VP8L)")
+    // taxonomy: wrong magic, bad VP8L signature, nonzero version,
+    // interframe VP8, oversized declared chunk, short input
+    assert(MediaCodecs.probeWebp("RIFFxxxxWAVE".getBytes ++ vp8l.drop(12)) === None)
+    val badSig = vp8l.clone(); badSig(20) = 0x2e
+    assert(MediaCodecs.probeWebp(badSig) === None)
+    val badVer = vp8l.clone(); badVer(24) = (badVer(24) | 0x20).toByte
+    assert(MediaCodecs.probeWebp(badVer) === None, "version bits must be 0")
+    val inter = vp8.clone(); inter(20) = 0x01
+    assert(MediaCodecs.probeWebp(inter) === None, "inter frame carries no dims")
+    val oversize = vp8l.clone(); oversize(16) = 0x7f
+    assert(MediaCodecs.probeWebp(oversize) === None, "declared chunk past payload")
+    assert(MediaCodecs.probeWebp(vp8l.take(24)) === None)
+    assert(MediaCodecs.probeWebp(null) === None)
+  }
 }
