@@ -7964,6 +7964,55 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Transcode → text-stage composition (the q275 charset pipe feeding
+    * TextAnalysis.charEntropy unchanged — the concrete proof that the
+    * downstream text stages consume transcoded text as a drop-in for
+    * the UTF-8 fast path): per record, exact char-entropy stats over
+    * the DECODED text, including the non-ASCII characters that only
+    * exist because transcoding ran (curly quotes, €, é) and the
+    * chr(128) fallback byte of the lying-header row. The oracle
+    * rebuilds the decoded strings closed-form (the q275 CTE) and
+    * replays the q152 entropy fold over them. */
+  def q281TranscodeEntropy(s: SparkSession, dir: String): DataFrame = {
+    val recs = operators.Warc.warcTranscodedRecords(
+      operators.Warc.synthWarcCharsetShards(t(s, dir, "documents"), "doc_id"))
+      .toDF().filter(col("ok") === 1)
+    TextAnalysis.charEntropy(recs, idCol = "target_uri", textCol = "text")
+      .withColumnRenamed("doc_id", "target_uri")
+  }
+
+  val q281Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 5) + 5) % 5 AS m,
+      |    'http://example.org/doc/' || doc_id AS target_uri
+      |  FROM documents),
+      |e AS (
+      |  SELECT target_uri, 'Café numéro ' || doc_id || ' résumé' AS text
+      |  FROM d WHERE m = 0
+      |  UNION ALL SELECT target_uri,
+      |    'Smart “quotes” cost €' || (((doc_id % 97) + 97) % 97)
+      |  FROM d WHERE m = 1
+      |  UNION ALL SELECT target_uri,
+      |    '<html><head><meta charset="ISO-8859-1"></head><body>Année ' ||
+      |      doc_id || ' première</body></html>'
+      |  FROM d WHERE m = 2
+      |  UNION ALL SELECT target_uri, 'Unicode ünïcödé body ' || doc_id
+      |  FROM d WHERE m = 3
+      |  UNION ALL SELECT target_uri, 'Lying ' || chr(128) || ' header ' || doc_id
+      |  FROM d WHERE m = 4),
+      |pos AS (SELECT target_uri, text, unnest(generate_series(1, len(text))) AS i
+      |  FROM e WHERE len(text) >= 1),
+      |cnt AS (SELECT target_uri, substr(text, i, 1) AS ch, count(*) AS c
+      |  FROM pos GROUP BY 1, 2),
+      |agg AS (SELECT target_uri, sum(c) AS n, count(*) AS nd,
+      |    sum(CAST(c AS DECIMAL(12,0)) * CAST(round(ln(c), 6) AS DECIMAL(12,6)))
+      |      AS plogp
+      |  FROM cnt GROUP BY 1)
+      |SELECT b.target_uri, CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+      |  CASE WHEN a.n IS NOT NULL THEN
+      |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
+      |FROM e b LEFT JOIN agg a USING (target_uri)""".stripMargin
+
   /** WebP container probe (Multimodal.webpProbe over REAL header bytes
     * — MediaCodecs.probeWebp; the SURVEY §7.4 #6 scope decision: typed
     * routing + dimensions for the second-most-common modern web image
@@ -9015,7 +9064,8 @@ object QueryCatalog {
     ("q277_suffix_spans", q277SuffixSpans _, Some(q277Sql)),
     ("q278_unigram_pieces", q278UnigramPieces _, Some(q278Sql)),
     ("q279_unigram_segment", q279UnigramSegment _, Some(q279Sql)),
-    ("q280_webp_probe", q280WebpProbe _, Some(q280Sql)))
+    ("q280_webp_probe", q280WebpProbe _, Some(q280Sql)),
+    ("q281_transcode_entropy", q281TranscodeEntropy _, Some(q281Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
