@@ -533,6 +533,47 @@ object ScaleCheck {
         ((id * 37) % 100).as("priority"))
       graft.operators.Robots.fetchSchedule(frontier, policy)
     })
+    // r16 additions: the silence-trim A/B (the r15 verdict's codegen-loss
+    // finding — the window aggregate must scale linearly now that the
+    // stage compiles), charset transcode (per-record byte scan + decode,
+    // map-only), the suffix hash-doubling spans twin at the SAME minLen
+    // as the windowed leg above (log-rounds of keyed joins vs the
+    // shingle pass — the crossover readout), unigram-LM training
+    // (distinct-word/vocab cardinality claim: wall should grow
+    // sublinearly once word reuse saturates), the revisit queue (one
+    // domain window + broadcast joins over a docs-derived frontier),
+    // and the WebP probe (trivial map — the floor of the codec family)
+    time("silence_trim")(
+      graft.operators.Multimodal.silenceTrimPlan(
+        graft.operators.Multimodal.synthWavSilenceAssets(docIds, "doc_id"),
+        winFrames = 64))
+    time("charset_transcode")(
+      graft.operators.Warc.warcTranscodedRecords(
+        graft.operators.Warc.synthWarcCharsetShards(docs, "doc_id")).toDF())
+    time("suffix_spans(n=8)")(Dedup.suffixRepeatSpans(docs, minLen = 8))
+    time("unigram_train")(
+      graft.operators.TextAnalysis.unigramPieces(docs))
+    time("revisit_schedule")({
+      val id = col("doc_id")
+      val entries = docs.select(
+        concat(lit("p"), (id % 9).cast("string"), lit(".org")).as("host"),
+        lit("url").as("kind"),
+        concat(lit("https://p"), (id % 9).cast("string"), lit(".org/u"),
+          id.cast("string")).as("loc"),
+        when(id % 3 === 0, lit("2024-03-05").cast("date")).as("lastmod"),
+        when(id % 4 === 0, lit("daily")).when(id % 4 === 1, lit("weekly"))
+          .as("changefreq"),
+        when(id % 2 === 0, (id % 10).cast("double") / 10).as("priority"))
+      val policy = graft.operators.Robots.crawlPolicy(
+        graft.operators.Robots.robotsRules(
+          graft.operators.Robots.synthRobotsPolicy(spark)), "graftbot/1.0")
+      graft.operators.Sitemaps.revisitSchedule(entries,
+        graft.operators.Sitemaps.synthFetchLog(entries), policy,
+        asOf = "2024-03-07")
+    })
+    time("webp_probe")(
+      graft.operators.Multimodal.webpProbe(
+        graft.operators.Multimodal.synthWebpAssets(docIds, "doc_id")).toDF())
     spark.stop()
   }
 }
