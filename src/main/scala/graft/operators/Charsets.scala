@@ -84,7 +84,11 @@ object Charsets {
     if (body == null || body.length == 0) return None
     val n = math.min(body.length, PrescanBytes)
     val window = new String(body, 0, n, StandardCharsets.ISO_8859_1)
-    MetaCharsetRe.findFirstMatchIn(window).flatMap(m => resolve(m.group(1)))
+    // keep scanning past unresolvable labels (the WHATWG prescan rule:
+    // an unknown label is NO label — a later valid declaration counts,
+    // the r16 review finding)
+    MetaCharsetRe.findAllMatchIn(window)
+      .flatMap(m => resolve(m.group(1))).nextOption()
   }
 
   /** Detection verdict for one body (see object doc for the order). */

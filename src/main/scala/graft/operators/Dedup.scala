@@ -777,8 +777,9 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 2, "minLen >= 2: single-token repeats need no suffix structure")
+    // the separator is load-bearing: without it h(12, 3) = h(1, 23)
     def h2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat_ws("", a.cast("string"), b.cast("string"))),
+      conv(substring(md5(concat_ws("\u0001", a.cast("string"), b.cast("string"))),
         1, 15), 16, 10).cast("long")
     val toks = Spread.toCores(docs) // Generate leg: spread
       .select(col(idCol).as("doc_id"),

@@ -1661,6 +1661,11 @@ object MediaCodecs {
                        alpha: Boolean, fillerLen: Int = 12): Array[Byte] = {
     require(width >= 1 && height >= 1 && width <= 16384 && height <= 16384,
       "dims in [1, 16384]")
+    // VP8 keyframes store the RAW dimension in 14 bits (VP8L stores
+    // dim-1), so the lossy variant's representable range is [1, 16383]
+    // — 16384 would silently wrap to 0 (the r16 review finding)
+    require(variant != 1 || (width <= 16383 && height <= 16383),
+      "VP8 (lossy) dims in [1, 16383]")
     val body = new java.io.ByteArrayOutputStream()
     variant match {
       case 0 =>

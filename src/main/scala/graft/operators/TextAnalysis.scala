@@ -859,7 +859,15 @@ object TextAnalysis {
       .materialized
     val maxLenRow = words.agg(max(col("len"))).collect()(0) // one-row stat
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
-    var segs: DataFrame = words.sparkSession.emptyDataFrame
+    // TYPED empty, never spark.emptyDataFrame: a corpus with no model
+    // words (all tokens over the cap, or empty) must still hand
+    // unigramSegment a resolvable (w, freq, seg, score) schema so the
+    // zero-count membership rows survive (the r16 review finding)
+    var segs: DataFrame = words
+      .select(col("w"), col("freq"),
+        array().cast("array<string>").as("seg"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("score"))
+      .limit(0)
     var it = 0
     while (it < nIters && maxLen > 0) {
       var s = words.select(col("w"), col("len"), col("freq"),

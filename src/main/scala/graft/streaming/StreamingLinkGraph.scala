@@ -125,13 +125,17 @@ object StreamingLinkGraph {
     * re-crawls leave behind. Atomic (replaceTable); serialize against a
     * running [[start]] query on the same tables.
     *
-    * Bound, stated exactly (the r15 review): when ZERO edge rows are
-    * live — reachable when every doc's latest re-crawl dropped all its
-    * links — the store's non-empty replaceTable contract forces a skip,
-    * so the all-dark registry persists until the next batch lands a
-    * live row (readEdges stays correct — empty — throughout). Dark
-    * residue is therefore bounded by the edge rows of ONE superseded
-    * crawl generation, never unbounded growth. */
+    * Bound, stated exactly (revised for the r16 insert-only-generation
+    * merge key): between successful compact() runs, dark residue grows
+    * by ONE superseded generation's edge rows PER re-crawl — the
+    * insert-only key that makes the crash window read-consistent also
+    * means generations accumulate instead of overwriting in place, so
+    * compaction cadence, not the merge, is what bounds storage. When
+    * ZERO edge rows are live — every doc's latest re-crawl dropped all
+    * its links — the store's non-empty replaceTable contract forces a
+    * skip and everything since the last successful compact stays dark
+    * until the next batch lands a live row (readEdges stays correct —
+    * empty — throughout). */
   def compact(store: TableStore, edgesTable: String,
               docsTable: String): Unit = {
     val live = store.read(edgesTable)

@@ -32,6 +32,13 @@ class CharsetsSpec extends AnyFunSuite {
       "unknown header label falls through to the meta prescan")
     val d2 = Charsets.detect("<meta charset='no-such-cs'>".getBytes(L1), None)
     assert(d2 === Charsets.Detected("UTF-8", "default", 0))
+    // the r16 review finding: a bogus FIRST meta must not abort the
+    // prescan — a later valid declaration counts (WHATWG: unknown
+    // label is no label)
+    val two = "<meta charset=\"x-bogus\"><meta charset=\"windows-1252\">"
+      .getBytes(L1)
+    assert(Charsets.detect(two, None) ===
+      Charsets.Detected("windows-1252", "meta", 0))
   }
 
   test("header param forms: quotes, case, surrounding params") {

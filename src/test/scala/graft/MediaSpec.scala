@@ -1100,5 +1100,13 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodecs.probeWebp(oversize) === None, "declared chunk past payload")
     assert(MediaCodecs.probeWebp(vp8l.take(24)) === None)
     assert(MediaCodecs.probeWebp(null) === None)
+    // VP8 keyframes store raw dims in 14 bits: 16384 would wrap to 0,
+    // so the writer refuses it for the lossy variant only (r16 review)
+    intercept[IllegalArgumentException](
+      MediaCodecs.encodeWebpHeader(1, 16384, 240, alpha = false))
+    assert(MediaCodecs.probeWebp(
+      MediaCodecs.encodeWebpHeader(0, 16384, 16384, alpha = false)) ===
+      Some(MediaCodecs.WebpInfo("lossless", 16384, 16384, alpha = false)),
+      "VP8L stores dim-1: the full [1, 16384] range round-trips")
   }
 }

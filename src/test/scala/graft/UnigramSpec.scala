@@ -69,4 +69,17 @@ class UnigramSpec extends SparkSpec {
     assert(out(1L)._1 === 5L, "doc 1 has five model words")
     assert(out(1L)._2 >= out(1L)._1, "pieces at least one per word")
   }
+
+  test("a corpus with NO model words: zero-count rows, never a resolution error") {
+    // every token exceeds maxWordLen=12 → the word table is empty → the
+    // pre-r16-review code handed segment a schemaless emptyDataFrame and
+    // threw 'cannot resolve w' at plan time
+    val d = Seq((1L, "supercalifragilistic expialidocious"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSegment(d).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_words"),
+        r.getAs[Any]("chars_per_piece")))).toMap
+    assert(out === Map(1L -> ((0L, null)), 2L -> ((0L, null))))
+    assert(TextAnalysis.unigramPieces(d).isEmpty)
+  }
 }
