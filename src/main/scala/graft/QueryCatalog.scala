@@ -7964,6 +7964,48 @@ object QueryCatalog {
       |    FILTER (WHERE kept = 1), '') AS main_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** HTTP-envelope charset transcoding (Warc.warcHttpTranscodedRecords
+    * — the `.warc.gz`-proper path where the charset param usually
+    * lives): the q275 bodies wrapped in FULL HTTP response envelopes,
+    * so detection reads the SERVED Content-Type and the decode runs on
+    * the entity body past the header split; status rides along (404s
+    * every 13th doc — a curation filter key). Same five detection
+    * paths, same closed-form oracle, plus the envelope arithmetic. */
+  def q282HttpTranscode(s: SparkSession, dir: String): DataFrame =
+    operators.Warc.warcHttpTranscodedRecords(
+      operators.Warc.synthWarcHttpCharsetShards(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .filter(col("ok") === 1)
+      .select(col("target_uri"), col("http_status"), col("charset"),
+        col("charset_source"), col("decode_ok"), col("text"))
+
+  val q282Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 5) + 5) % 5 AS m,
+      |    'http://example.org/doc/' || doc_id AS target_uri,
+      |    CAST(CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN 404 ELSE 200 END
+      |      AS BIGINT) AS http_status
+      |  FROM documents),
+      |e AS (
+      |  SELECT target_uri, http_status, 'UTF-8' AS charset,
+      |    'header' AS charset_source, CAST(1 AS BIGINT) AS decode_ok,
+      |    'Café numéro ' || doc_id || ' résumé' AS text
+      |  FROM d WHERE m = 0
+      |  UNION ALL SELECT target_uri, http_status, 'windows-1252', 'header', 1,
+      |    'Smart “quotes” cost €' || (((doc_id % 97) + 97) % 97)
+      |  FROM d WHERE m = 1
+      |  UNION ALL SELECT target_uri, http_status, 'ISO-8859-1', 'meta', 1,
+      |    '<html><head><meta charset="ISO-8859-1"></head><body>Année ' ||
+      |      doc_id || ' première</body></html>'
+      |  FROM d WHERE m = 2
+      |  UNION ALL SELECT target_uri, http_status, 'UTF-8', 'bom', 1,
+      |    'Unicode ünïcödé body ' || doc_id
+      |  FROM d WHERE m = 3
+      |  UNION ALL SELECT target_uri, http_status, 'UTF-8', 'header', 0,
+      |    'Lying ' || chr(128) || ' header ' || doc_id
+      |  FROM d WHERE m = 4)
+      |SELECT target_uri, http_status, charset, charset_source, decode_ok, text
+      |FROM e""".stripMargin
+
   /** Transcode → text-stage composition (the q275 charset pipe feeding
     * TextAnalysis.charEntropy unchanged — the concrete proof that the
     * downstream text stages consume transcoded text as a drop-in for
@@ -9065,7 +9107,8 @@ object QueryCatalog {
     ("q278_unigram_pieces", q278UnigramPieces _, Some(q278Sql)),
     ("q279_unigram_segment", q279UnigramSegment _, Some(q279Sql)),
     ("q280_webp_probe", q280WebpProbe _, Some(q280Sql)),
-    ("q281_transcode_entropy", q281TranscodeEntropy _, Some(q281Sql)))
+    ("q281_transcode_entropy", q281TranscodeEntropy _, Some(q281Sql)),
+    ("q282_http_transcode", q282HttpTranscode _, Some(q282Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -370,6 +370,112 @@ object Warc {
       }(enc)
   }
 
+  final case class WarcHttpCharsetRow(shard_id: Long, member_idx: Long,
+                                      ok: Long, target_uri: Option[String],
+                                      http_status: Option[Long],
+                                      charset: Option[String],
+                                      charset_source: Option[String],
+                                      decode_ok: Option[Long],
+                                      text: Option[String])
+
+  /** [[warcTranscodedRecords]]'s HTTP-ENVELOPE sibling — the `.warc.gz`
+    * proper path (request/response pairs), where the charset parameter
+    * usually lives: per `response` record, split the HTTP message
+    * ([[parseHttpResponse]]) and transcode the ENTITY BODY with the
+    * envelope's served Content-Type ([[Charsets.transcode]] — BOM ≻
+    * header param ≻ meta prescan ≻ UTF-8). Non-response records stay
+    * visible as ok=1 rows with NULL http/text fields; an
+    * envelope-parse failure is ok=0 WITH its target_uri (the
+    * [[warcResponseRecords]] taxonomy, unchanged below that). */
+  def warcHttpTranscodedRecords(assets: DataFrame): Dataset[WarcHttpCharsetRow] = {
+    val enc = Encoders.product[WarcHttpCharsetRow]
+    Spread.toCores(assets) // CPU-heavy decode leg: never pin to 1 core
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          walkShard(payload).map {
+            case (i, Some(r)) if r.warcType.contains("response") =>
+              parseHttpResponse(r.payload) match {
+                case Some(h) =>
+                  val t = Charsets.transcode(h.body, h.contentType)
+                  WarcHttpCharsetRow(id, i, 1L, r.targetUri, Some(h.status),
+                    Some(t.charset), Some(t.source), Some(t.decodeOk),
+                    Some(t.text))
+                case None =>
+                  WarcHttpCharsetRow(id, i, 0L, r.targetUri, None, None,
+                    None, None, None)
+              }
+            case (i, Some(r)) =>
+              WarcHttpCharsetRow(id, i, 1L, r.targetUri, None, None, None,
+                None, None)
+            case (i, None) =>
+              WarcHttpCharsetRow(id, i, 0L, None, None, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** Mixed-encoding `.warc.gz`-proper fixture: the [[synthWarcCharsetShards]]
+    * bodies and Content-Types wrapped in FULL HTTP response envelopes
+    * (status rotates 200/404 on every 13th doc, the
+    * [[synthWarcResponseShards]] convention) — one response record per
+    * doc, each its own gzip member. */
+  def synthWarcHttpCharsetShards(docs: DataFrame, idCol: String,
+                                 shardSize: Int = 8): DataFrame = {
+    require(shardSize >= 1, "shardSize must be positive")
+    val grouped = Spread.toCores(docs)
+      .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+    val rows = grouped
+      .as(Encoders.product[(Long, Seq[Long])])
+      .mapPartitions { it =>
+        // Charset instances are NOT java-serializable — resolve per task
+        val W1252 = java.nio.charset.Charset.forName("windows-1252")
+        val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        it.map { case (shard, ids) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          ids.foreach { id =>
+            val (ct, body) = Math.floorMod(id, 5L).toInt match {
+              case 0 => ("text/plain; charset=utf-8",
+                s"Café numéro $id résumé".getBytes(Utf8))
+              case 1 => ("text/html; charset=windows-1252",
+                (s"Smart “quotes” cost €" +
+                  Math.floorMod(id, 97L)).getBytes(W1252))
+              case 2 => ("text/html",
+                (s"<html><head><meta charset=\"ISO-8859-1\"></head>" +
+                  s"<body>Année $id première</body></html>").getBytes(L1))
+              case 3 => ("text/plain",
+                Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                  s"Unicode ünïcödé body $id".getBytes(Utf8))
+              case _ => ("text/plain; charset=utf-8", // LYING header
+                s"Lying € header $id".getBytes(W1252))
+            }
+            val (status, reason) =
+              if (Math.floorMod(id, 13L) == 0L) (404, "Not Found") else (200, "OK")
+            val head = (s"HTTP/1.1 $status $reason\r\n" +
+              s"Content-Type: $ct\r\nServer: graft/1.0\r\n\r\n").getBytes(Utf8)
+            val msg = new Array[Byte](head.length + body.length)
+            System.arraycopy(head, 0, msg, 0, head.length)
+            System.arraycopy(body, 0, msg, head.length, body.length)
+            val rec = buildRecord(
+              uri = s"http://example.org/doc/$id",
+              date = "2024-01-01T00:00:00Z",
+              recordId = f"00000000-0000-0000-0004-${id}%012d",
+              contentType = "application/http; msgtype=response",
+              body = msg, warcType = "response")
+            val m = Compressed.gzipBytes(rec)
+            bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/warc")
+  }
+
   /** Build the bytes of one WET-style conversion record (used by the
     * fixture and the spec's golden tests). */
   def buildRecord(uri: String, date: String, recordId: String,
