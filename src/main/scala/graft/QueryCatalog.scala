@@ -8182,6 +8182,34 @@ object QueryCatalog {
        |    END AS chars_per_piece
        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
 
+  /** Corpus encoding under the trained unigram LM
+    * (TextAnalysis.unigramEncode — the readout a training pipeline
+    * feeds the model): every token instance exploded to its Viterbi
+    * pieces with stable ids (rank by count desc, piece). The oracle
+    * re-derives ids from the shared trainer CTEs and positions via the
+    * q109 generate_series/list-index pattern — id instability, a
+    * segmentation drift, or a lost token position all break rows. */
+  def q283UnigramEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramEncode(t(s, dir, "documents"))
+
+  val q283Sql: String =
+    s"""WITH $unigramCtes,
+       |ids AS (SELECT piece, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
+       |      AS piece_id FROM p2),
+       |dw AS (SELECT doc_id, string_split($normSql, ' ') AS words
+       |  FROM documents),
+       |tp AS (SELECT doc_id, unnest(generate_series(1, len(words))) AS i, words
+       |  FROM dw WHERE len(words) >= 1),
+       |tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS token_pos,
+       |    words[i] AS w FROM tp),
+       |sp AS (SELECT w, unnest(generate_series(1, len(seg))) AS j, seg
+       |  FROM finals2),
+       |wp AS (SELECT w, CAST(j - 1 AS BIGINT) AS piece_ix, seg[j] AS piece
+       |  FROM sp)
+       |SELECT t.doc_id, t.token_pos, wp.piece_ix, wp.piece, ids.piece_id
+       |FROM tk t JOIN wp ON wp.w = t.w JOIN ids USING (piece)""".stripMargin
+
   /** Suffix hash-doubling duplicate spans (Dedup.suffixRepeatSpans —
     * the Lee et al. suffix-array construction's relational twin) at
     * minLen=3: repeats of 3..7 tokens that q109's windowed n=8
@@ -9108,7 +9136,8 @@ object QueryCatalog {
     ("q279_unigram_segment", q279UnigramSegment _, Some(q279Sql)),
     ("q280_webp_probe", q280WebpProbe _, Some(q280Sql)),
     ("q281_transcode_entropy", q281TranscodeEntropy _, Some(q281Sql)),
-    ("q282_http_transcode", q282HttpTranscode _, Some(q282Sql)))
+    ("q282_http_transcode", q282HttpTranscode _, Some(q282Sql)),
+    ("q283_unigram_encode", q283UnigramEncode _, Some(q283Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

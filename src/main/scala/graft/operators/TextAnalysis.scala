@@ -950,6 +950,34 @@ object TextAnalysis {
           .as("chars_per_piece"))
   }
 
+  /** Corpus encoding under the trained unigram LM — the readout a
+    * training pipeline actually feeds the model: every token instance
+    * exploded to its Viterbi pieces with STABLE integer ids
+    * (`piece_id` = rank by (count desc, piece) over the final vocab —
+    * deterministic, engine-replayable). One row per (doc, token
+    * position, piece index); model words only (the
+    * [[unigramTrainCore]] length cap). The vocab-id window is
+    * unpartitioned but runs on the VOCAB frame — bounded control-plane
+    * cardinality, the [[graft.operators.Packing]] convention. */
+  def unigramEncode(docs: DataFrame, nIters: Int = 2, maxPieceLen: Int = 4,
+                    minSeedCount: Long = 2L, maxWordLen: Int = 12,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (pieces, segs) = unigramTrainCore(docs, nIters, maxPieceLen,
+      minSeedCount, maxWordLen, textCol)
+    val ids = pieces.withColumn("piece_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("piece"))).cast("long"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("token_pos", "w")))
+    toks.join(segs.select(col("w"), col("seg")), Seq("w"))
+      .select(col("doc_id"), col("token_pos").cast("long").as("token_pos"),
+        posexplode(col("seg")).as(Seq("piece_ix", "piece")))
+      .join(broadcast(ids.select(col("piece"), col("piece_id"))), Seq("piece"))
+      .select(col("doc_id"), col("token_pos"),
+        col("piece_ix").cast("long").as("piece_ix"), col("piece"),
+        col("piece_id"))
+  }
+
   /** Shared trainer core: (merge table, final rewritten symbol table).
     * `checkpoint = false` keeps the full lineage — exponentially deep
     * past a few rounds, so ONLY for plan audits (PlanSpec inspects the
