@@ -8210,6 +8210,42 @@ object QueryCatalog {
        |SELECT t.doc_id, t.token_pos, wp.piece_ix, wp.piece, ids.piece_id
        |FROM tk t JOIN wp ON wp.w = t.w JOIN ids USING (piece)""".stripMargin
 
+  /** Subword-aware GPT packing (Packing.packCounts over
+    * TextAnalysis.unigramSegment's piece counts — the tokenize → pack
+    * composition a training pipeline actually runs): q197's
+    * concatenate-then-chunk layout where the unit is the trained
+    * tokenizer's PIECES, not whitespace tokens — block budgets are
+    * spent in model tokens, which is what GPU memory sees. The oracle
+    * replays the trainer CTEs to per-doc piece counts, then q197's
+    * cumulative layout over them. */
+  def q284UnigramPack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packCounts(
+      TextAnalysis.unigramSegment(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_pieces")),
+      "doc_id", "n_pieces", blockLen = 256)
+
+  val q284Sql: String =
+    s"""WITH $unigramCtes,
+       |toksq AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+       |  FROM documents),
+       |ws AS (SELECT w, CAST(len(seg) AS BIGINT) AS np FROM finals2),
+       |ag AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS ns
+       |  FROM toksq JOIN ws USING (w) GROUP BY doc_id),
+       |tf AS (SELECT d.doc_id, coalesce(ns, 0) AS n_tok
+       |  FROM documents d LEFT JOIN ag USING (doc_id)),
+       |st AS (SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM tf)
+       |SELECT doc_id, n_tok, tok_start,
+       |  CASE WHEN n_tok > 0 THEN tok_start // 256 END AS block_first,
+       |  CASE WHEN n_tok > 0 THEN (tok_start + n_tok - 1) // 256 END AS block_last,
+       |  CASE WHEN n_tok > 0
+       |    THEN (tok_start + n_tok - 1) // 256 > tok_start // 256
+       |  END AS crosses_block
+       |FROM st""".stripMargin
+
   /** Suffix hash-doubling duplicate spans (Dedup.suffixRepeatSpans —
     * the Lee et al. suffix-array construction's relational twin) at
     * minLen=3: repeats of 3..7 tokens that q109's windowed n=8
@@ -9137,7 +9173,8 @@ object QueryCatalog {
     ("q280_webp_probe", q280WebpProbe _, Some(q280Sql)),
     ("q281_transcode_entropy", q281TranscodeEntropy _, Some(q281Sql)),
     ("q282_http_transcode", q282HttpTranscode _, Some(q282Sql)),
-    ("q283_unigram_encode", q283UnigramEncode _, Some(q283Sql)))
+    ("q283_unigram_encode", q283UnigramEncode _, Some(q283Sql)),
+    ("q284_unigram_pack", q284UnigramPack _, Some(q284Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -74,10 +74,21 @@ object Packing {
     * Ids must be unique; gaps are fine (order, not density, defines the
     * layout). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    blockLen: Int, rangeWidth: Long = 1L << 16): DataFrame = {
+                    blockLen: Int, rangeWidth: Long = 1L << 16): DataFrame =
+    packCounts(df.select(col(idCol), nTok(col(textCol)).as("_ntok")),
+      idCol, "_ntok", blockLen, rangeWidth)
+
+  /** [[packSequences]]'s layout core over PRE-COMPUTED per-doc counts —
+    * the entry point for layouts whose unit is not whitespace tokens
+    * (subword pieces from [[TextAnalysis.unigramEncode]], BPE symbols,
+    * sample frames): same two-pass prefix sum, same output shape
+    * (`n_tok` is the count column regardless of its input name). */
+  def packCounts(df: DataFrame, idCol: String, nTokCol: String,
+                 blockLen: Int, rangeWidth: Long = 1L << 16): DataFrame = {
     require(blockLen >= 1, "blockLen must be positive")
     require(rangeWidth >= 2, "rangeWidth must be >= 2")
-    val tf = df.select(col(idCol).as("_id"), nTok(col(textCol)).as("n_tok"))
+    val tf = df.select(col(idCol).as("_id"),
+        col(nTokCol).cast("long").as("n_tok"))
       .withColumn("_rng", expr(s"_id DIV $rangeWidth"))
     val rsums = tf.groupBy(col("_rng")).agg(sum(col("n_tok")).as("_rsum"))
     // tiny control-plane frame (one row per rangeWidth ids): the ordered
