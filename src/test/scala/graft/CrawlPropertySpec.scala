@@ -140,4 +140,37 @@ class CrawlPropertySpec extends SparkSpec {
       assert(got(p) === refRemoveDotSegments(p), s"resolveDotSegments($p)")
     }
   }
+  test("charset transcode round-trips randomized bodies under every declared encoding") {
+    import graft.operators.Charsets
+    import java.nio.charset.{Charset, StandardCharsets}
+    val rnd = new scala.util.Random(1216)
+    // windows-1252-safe codepoints: ASCII printable + the 1252 extras we
+    // can name portably + latin-1 accents (all also ISO-8859-1-safe
+    // except the 1252-only trio)
+    val ascii = (0x20 to 0x7e).map(_.toChar)
+    val latin1 = Seq('\u00e9', '\u00c4', '\u00f1', '\u00fc', '\u00bf')
+    val w1252only = Seq('\u20ac', '\u201c', '\u201d', '\u2013')
+    val cs1252 = Charset.forName("windows-1252")
+    (1 to 200).foreach { i =>
+      val pool = ascii ++ latin1 ++ (if (i % 2 == 0) w1252only else Nil)
+      val text = Seq.fill(1 + rnd.nextInt(60))(pool(rnd.nextInt(pool.size))).mkString
+      val (cs, name) =
+        if (i % 3 == 0) (StandardCharsets.UTF_8, "utf-8")
+        else if (i % 2 == 0) (cs1252, "windows-1252")
+        else (StandardCharsets.ISO_8859_1, "iso-8859-1")
+      val t = Charsets.transcode(text.getBytes(cs), Some(s"text/plain; charset=$name"))
+      assert(t.decodeOk === 1L && t.text === text,
+        s"round $i ($name): '$text' -> $t")
+      assert(t.source === "header" && t.charset === cs.name)
+    }
+    // and the BOM path: UTF-8 BOM + body must strip exactly the BOM
+    (1 to 50).foreach { i =>
+      val text = Seq.fill(1 + rnd.nextInt(40))(
+        (ascii ++ latin1 ++ w1252only)(rnd.nextInt(ascii.size + 9))).mkString
+      val b = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+        text.getBytes(StandardCharsets.UTF_8)
+      val t = Charsets.transcode(b, None)
+      assert(t === Charsets.Transcoded("UTF-8", "bom", 1L, text), s"round $i")
+    }
+  }
 }

@@ -880,4 +880,34 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"no window in the dim build:\n$p")
   }
+  // round-16 operators
+
+  test("q275/q282 charset transcode: the operator leg is map-only (only the fixture's shard groupBy shuffles)") {
+    val p = plan(QueryCatalog.q275CharsetTranscode)
+    assert(keyedExchanges(p) <= 1,
+      s"transcode must add NO keyed shuffle beyond the fixture's shard grouping:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q276 revisit schedule: policy joins broadcast, no cartesian") {
+    val p = plan(QueryCatalog.q276RevisitSchedule)
+    assert(p.contains("BroadcastExchange"),
+      s"the crawl-delay policy frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
+  test("q277 suffix spans: position-keyed joins only — no cartesian, no broadcast of the corpus side") {
+    val p = plan(QueryCatalog.q277SuffixSpans)
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+    // the doubling rounds are checkpointed: the readout plan starts from
+    // materialized frames, so the dup-key shuffle + per-doc window remain
+    assert(p.contains("hashpartitioning"), "keyed exchanges expected")
+  }
+
+  test("q283 unigram encode: the piece-id table joins broadcast (vocab is control plane)") {
+    val p = plan(QueryCatalog.q283UnigramEncode)
+    assert(p.contains("BroadcastExchange"),
+      s"the vocab-id frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
