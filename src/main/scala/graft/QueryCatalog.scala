@@ -8055,6 +8055,34 @@ object QueryCatalog {
       |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
       |FROM e b LEFT JOIN agg a USING (target_uri)""".stripMargin
 
+  /** Anchor-text corpus (Html.anchorTexts — what the web says about
+    * each destination, the classic relevance/description signal): per
+    * (dst_domain, anchor_text), anchor counts and DISTINCT source
+    * domains, with inline markup stripped, entities decoded, interior
+    * whitespace collapsed, and mailto/bare anchors dropped. The oracle
+    * rebuilds every (dst, text, src) triple by id arithmetic and
+    * replays the fold — a quote-contract slip, a missed entity, or a
+    * kept href-less anchor all break counts. */
+  def q285AnchorTexts(s: SparkSession, dir: String): DataFrame =
+    operators.Html.anchorTexts(
+      operators.Html.synthAnchorDocs(t(s, dir, "documents")))
+
+  val q285Sql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 3 AS k, doc_id % 4 AS j
+      |  FROM documents),
+      |a AS (
+      |  SELECT 't' || k || '.org' AS dst_domain,
+      |    'Visit T' || k || ' & Friends' AS anchor_text,
+      |    's' || j || '.com' AS src FROM d
+      |  UNION ALL SELECT 's' || j || '.com', 'Home Page', 's' || j || '.com'
+      |    FROM d
+      |  UNION ALL SELECT 't' || k || '.org', 'CDN', 's' || j || '.com' FROM d
+      |  UNION ALL SELECT 'u.net', 'Shared Label', 's' || j || '.com'
+      |    FROM d WHERE doc_id % 2 = 0)
+      |SELECT dst_domain, anchor_text, CAST(count(*) AS BIGINT) AS n_anchors,
+      |  CAST(count(DISTINCT src) AS BIGINT) AS n_src_domains
+      |FROM a GROUP BY 1, 2""".stripMargin
+
   /** WebP container probe (Multimodal.webpProbe over REAL header bytes
     * — MediaCodecs.probeWebp; the SURVEY §7.4 #6 scope decision: typed
     * routing + dimensions for the second-most-common modern web image
@@ -9174,7 +9202,8 @@ object QueryCatalog {
     ("q281_transcode_entropy", q281TranscodeEntropy _, Some(q281Sql)),
     ("q282_http_transcode", q282HttpTranscode _, Some(q282Sql)),
     ("q283_unigram_encode", q283UnigramEncode _, Some(q283Sql)),
-    ("q284_unigram_pack", q284UnigramPack _, Some(q284Sql)))
+    ("q284_unigram_pack", q284UnigramPack _, Some(q284Sql)),
+    ("q285_anchor_texts", q285AnchorTexts _, Some(q285Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

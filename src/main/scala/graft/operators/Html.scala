@@ -208,6 +208,83 @@ object Html {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Combined anchor match: group 1 = the href (the [[HrefRe]]
+    * double-quote contract), group 2 = the inner markup. Unlike
+    * [[HrefRe]] this requires a CLOSING `</a>` — an unterminated anchor
+    * contributes a link to the graph but has no delimited text to
+    * collect (the documented difference from [[linkEdges]]' counts). */
+  val AnchorPairRe: String =
+    "(?is)<a[ \\t\\n\\x0B\\f\\r][^>]*href[ \\t\\n\\x0B\\f\\r]*=" +
+      "[ \\t\\n\\x0B\\f\\r]*\"([^\"]*)\"[^>]*>(.*?)</a[ \\t\\n\\x0B\\f\\r]*>"
+
+  /** Anchor-text corpus — what the web SAYS about each destination: the
+    * per-target aggregation of link anchor texts, the classic relevance
+    * / description signal (anchor text approximates queries and
+    * document titles; used as pretraining data and as a ranking feature
+    * since the earliest web search literature). Per anchor with BOTH a
+    * fetchable destination ([[linkHostOf]] semantics, both ends eTLD+1)
+    * and NON-EMPTY visible text ([[extractText]] of the inner markup —
+    * inline tags stripped, entities decoded, whitespace collapsed):
+    * fold to (dst_domain, anchor_text, n_anchors, n_src_domains).
+    * Self-links are kept (site navigation describes the site too);
+    * `n_src_domains` is the independence signal — text repeated by many
+    * unrelated domains is a stronger description than one domain's
+    * boilerplate.
+    *
+    * 100 TB shape: one codegen'd regex Generate per doc (anchors), two
+    * per-row extractions over the staged anchor column, then ONE
+    * (dst_domain, anchor_text)-keyed aggregate with partial map-side
+    * combine — output cardinality is the distinct description set,
+    * bounded by real anchor diversity, never corpus size. */
+  def anchorTexts(docs: DataFrame, idCol: String = "doc_id",
+                  srcHostCol: String = "src_host",
+                  htmlCol: String = "html"): DataFrame = {
+    val anchors = Spread.toCores(docs) // Generate leg: never pin to 1 core
+      .select(col(idCol).as("doc_id"), col(srcHostCol).as("_src"),
+        explode(regexp_extract_all(col(htmlCol), lit(AnchorPairRe),
+          lit(0))).as("_a"))
+    // staged extractions (the urlProfile lesson: never inline a regex
+    // CASE at each reference)
+    val parts = anchors.select(col("doc_id"), col("_src"),
+      decodeEntities(regexp_extract(col("_a"), AnchorPairRe, 1)).as("href"),
+      extractText(regexp_extract(col("_a"), AnchorPairRe, 2)).as("anchor_text"))
+    parts
+      .select(
+        Urls.etld1Of(lower(col("_src"))).as("src_domain"),
+        Urls.etld1Of(linkHostOf(col("href"), col("_src"))).as("dst_domain"),
+        col("anchor_text"))
+      .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("anchor_text") =!= "")
+      .groupBy(col("dst_domain"), col("anchor_text"))
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("src_domain")).as("n_src_domains"))
+  }
+
+  /** Anchor-corpus fixture: per doc (src host rotates over four s-side
+    * domains), a cross-domain anchor with an entity in its text, a
+    * root-relative anchor with inline markup, a protocol-relative CDN
+    * anchor, a mailto and a bare (href-less) anchor that must both
+    * drop, and on even ids a shared-label anchor whose doubled interior
+    * whitespace must collapse — every count closed-form by id
+    * arithmetic. */
+  def synthAnchorDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = (id % k).cast("string")
+    Spread.toCores(docs).select(id.as("doc_id"),
+      concat(lit("www.s"), m(4), lit(".com")).as("src_host"),
+      concat(
+        lit("<html><body><a href=\"https://www.t"), m(3),
+        lit(".org/p\">Visit T"), m(3), lit(" &amp; Friends</a>\n"),
+        lit("<a href=\"/local\">Home <b>Page</b></a>\n"),
+        lit("<a href=\"//cdn.t"), m(3), lit(".org/x\">CDN</a>\n"),
+        lit("<a href=\"mailto:x@example.net\">mail me</a>\n"),
+        lit("<a>bare</a>\n"),
+        when(id % 2 === 0,
+          lit("<a href=\"https://www.u.net/q\">Shared  Label</a>\n"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+  }
+
   /** Per-domain degree profile over [[linkEdges]] output: out/in degree
     * (distinct peer domains, self included) and total out/in anchors —
     * the hub/authority readout link-farm gates and frontier prioritizers
