@@ -238,7 +238,21 @@ object Html {
     * bounded by real anchor diversity, never corpus size. */
   def anchorTexts(docs: DataFrame, idCol: String = "doc_id",
                   srcHostCol: String = "src_host",
-                  htmlCol: String = "html"): DataFrame = {
+                  htmlCol: String = "html"): DataFrame =
+    anchorTextsByDoc(docs, idCol, srcHostCol, htmlCol)
+      .groupBy(col("dst_domain"), col("anchor_text"))
+      .agg(sum(col("n_anchors")).as("n_anchors"),
+        countDistinct(col("src_domain")).as("n_src_domains"))
+
+  /** Per-DOCUMENT anchor contributions — (doc_id, src_domain,
+    * dst_domain, anchor_text, n_anchors), the unit [[anchorTexts]]
+    * folds and the idempotency key for incremental maintenance (a
+    * document's contribution is a deterministic function of its bytes
+    * — the [[linkEdgesByDoc]] convention, reused by
+    * [[graft.streaming.StreamingAnchorCorpus]]). */
+  def anchorTextsByDoc(docs: DataFrame, idCol: String = "doc_id",
+                       srcHostCol: String = "src_host",
+                       htmlCol: String = "html"): DataFrame = {
     val anchors = Spread.toCores(docs) // Generate leg: never pin to 1 core
       .select(col(idCol).as("doc_id"), col(srcHostCol).as("_src"),
         explode(regexp_extract_all(col(htmlCol), lit(AnchorPairRe),
@@ -249,15 +263,15 @@ object Html {
       decodeEntities(regexp_extract(col("_a"), AnchorPairRe, 1)).as("href"),
       extractText(regexp_extract(col("_a"), AnchorPairRe, 2)).as("anchor_text"))
     parts
-      .select(
+      .select(col("doc_id"),
         Urls.etld1Of(lower(col("_src"))).as("src_domain"),
         Urls.etld1Of(linkHostOf(col("href"), col("_src"))).as("dst_domain"),
         col("anchor_text"))
       .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
         col("anchor_text") =!= "")
-      .groupBy(col("dst_domain"), col("anchor_text"))
-      .agg(count(lit(1)).as("n_anchors"),
-        countDistinct(col("src_domain")).as("n_src_domains"))
+      .groupBy(col("doc_id"), col("src_domain"), col("dst_domain"),
+        col("anchor_text"))
+      .agg(count(lit(1)).as("n_anchors"))
   }
 
   /** Anchor-corpus fixture: per doc (src host rotates over four s-side

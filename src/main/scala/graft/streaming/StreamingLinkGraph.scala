@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.Materialize.MaterializeOps
 import graft.operators.Html
 import graft.plans.TableStore
 
@@ -51,62 +50,19 @@ import graft.plans.TableStore
   * buys nothing at this cardinality and is deliberately not done. */
 object StreamingLinkGraph {
 
-  private def fingerprinted(batch: DataFrame): DataFrame =
-    batch.select(col("doc_id"), col("src_host"), col("html"),
-        md5(coalesce(col("html"), lit(""))).as("content_fp"))
-      // a NULL doc_id can't be re-crawl-tracked (no identity to own rows)
-      .filter(col("doc_id").isNotNull)
-      // one winner per doc WITHIN a batch: two different bodies for one
-      // doc_id in one slice are ambiguous — max fingerprint wins, a
-      // deterministic order-free tie-break (re-slicing can't flip it
-      // unless it also splits the pair across batches, where the later
-      // batch wins like any re-crawl)
-      .groupBy(col("doc_id"))
-      .agg(max_by(struct(col("src_host"), col("html"), col("content_fp")),
-        col("content_fp")).as("_w"))
-      .select(col("doc_id"), col("_w.src_host").as("src_host"),
-        col("_w.html").as("html"), col("_w.content_fp").as("content_fp"))
-
   /** Start draining `pages` (a streaming DataFrame with doc_id /
     * src_host / html columns) into the `edgesTable` registry, with the
-    * per-doc current-fingerprint registry in `docsTable`.
+    * per-doc current-fingerprint registry in `docsTable` — the
+    * [[ContentRegistry]] ownership primitive with
+    * [[Html.linkEdgesByDoc]] as the slice.
     * AvailableNow by default; pass ProcessingTime for a resident query. */
   def start(pages: DataFrame, store: TableStore, edgesTable: String,
             docsTable: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    require(pages.isStreaming, "pages must be a streaming DataFrame")
-    pages.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-batch block sweep: see BlockSweep's contract
-        BlockSweep.swept(batch.sparkSession.sparkContext) {
-          val w = fingerprinted(batch)
-            .materialized // read by the edge slice AND the doc merge
-          if (!w.isEmpty) {
-            val slice = Html.linkEdgesByDoc(w)
-              .join(w.select(col("doc_id"), col("content_fp")), Seq("doc_id"))
-            // edges BEFORE docs, and content_fp IS part of the merge key
-            // (the r15 ADVICE fix): edge rows are insert-only per content
-            // generation — an edge present in both the old and new html
-            // lands as a NEW row under the new fp instead of overwriting
-            // the old generation's row. A crash between the two merges
-            // (or a concurrent readEdges mid-batch) therefore sees the
-            // OLD generation complete — never a doc whose common edges
-            // went dark while its doc row still points at the old fp.
-            // Replay/doc-merge flips visibility per doc atomically;
-            // compact() reclaims the superseded generation's rows.
-            if (!slice.isEmpty)
-              store.mergeFact(edgesTable, slice,
-                Seq("src_domain", "dst_domain", "doc_id", "content_fp"))
-            store.mergeFact(docsTable,
-              w.select(col("doc_id"), col("content_fp")), Seq("doc_id"))
-          }
-          ()
-        }
-      }
-      .start()
-  }
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ContentRegistry.start(pages, store, edgesTable, docsTable,
+      checkpointDir, passCols = Seq("src_host", "html"),
+      natKey = Seq("src_domain", "dst_domain"), trigger)(
+      w => Html.linkEdgesByDoc(w))
 
   /** The cumulative host graph: (src_domain, dst_domain, n_links,
     * n_docs) — the exact [[Html.linkEdges]] readout over every
@@ -114,38 +70,18 @@ object StreamingLinkGraph {
     * by the fingerprint join). */
   def readEdges(store: TableStore, edgesTable: String,
                 docsTable: String): DataFrame =
-    store.read(edgesTable)
-      .join(store.read(docsTable), Seq("doc_id", "content_fp"))
+    ContentRegistry.readLive(store, edgesTable, docsTable)
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(sum(col("n_links")).as("n_links"),
         count(lit(1)).as("n_docs"))
 
-  /** Rewrite the edge registry down to LIVE rows (current-fingerprint
-    * matches) — the maintenance pass that reclaims the dark rows
-    * re-crawls leave behind. Atomic (replaceTable); serialize against a
-    * running [[start]] query on the same tables.
-    *
-    * Bound, stated exactly (revised for the r16 insert-only-generation
-    * merge key): between successful compact() runs, dark residue grows
-    * by ONE superseded generation's edge rows PER re-crawl — the
-    * insert-only key that makes the crash window read-consistent also
-    * means generations accumulate instead of overwriting in place, so
-    * compaction cadence, not the merge, is what bounds storage. When
-    * ZERO edge rows are live — every doc's latest re-crawl dropped all
-    * its links — the store's non-empty replaceTable contract forces a
-    * skip and everything since the last successful compact stays dark
-    * until the next batch lands a live row (readEdges stays correct —
-    * empty — throughout). */
+  /** Rewrite the edge registry down to LIVE rows — see
+    * [[ContentRegistry.compact]] for the residue bound (one superseded
+    * generation per re-crawl between compact runs; the all-dark skip
+    * strands everything since the last successful compact, readEdges
+    * staying correct — empty — throughout). */
   def compact(store: TableStore, edgesTable: String,
-              docsTable: String): Unit = {
-    val live = store.read(edgesTable)
-      .join(store.read(docsTable), Seq("doc_id", "content_fp"))
-      // the merge slice's column order, so the rewrite round-trips
-      .select(col("doc_id"), col("src_domain"), col("dst_domain"),
-        col("n_links"), col("content_fp"))
-      .materialized // snapshot BEFORE the swap reads it back
-    if (!live.isEmpty)
-      store.replaceTable(edgesTable, live,
-        Seq("src_domain", "dst_domain", "doc_id", "content_fp"))
-  }
+              docsTable: String): Unit =
+    ContentRegistry.compact(store, edgesTable, docsTable,
+      Seq("src_domain", "dst_domain"))
 }
