@@ -574,6 +574,9 @@ object ScaleCheck {
     time("webp_probe")(
       graft.operators.Multimodal.webpProbe(
         graft.operators.Multimodal.synthWebpAssets(docIds, "doc_id")).toDF())
+    time("anchor_texts")(
+      graft.operators.Html.anchorTexts(
+        graft.operators.Html.synthAnchorDocs(docs)))
     spark.stop()
   }
 }
