@@ -8055,6 +8055,32 @@ object QueryCatalog {
       |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
       |FROM e b LEFT JOIN agg a USING (target_uri)""".stripMargin
 
+  /** Media inventory (Multimodal.mediaInventory over a mixed asset lake
+    * — the routing dashboard a curation pipeline runs FIRST):
+    * per-container counts by magic-byte sniff across all six image
+    * containers + real WAV audio + garbage, with the decodable flag
+    * separating pixel-codec coverage from identify-only (webp, the
+    * §7.4 #6 scope). Counts by id arithmetic; byte totals stay in the
+    * operator (content-dependent compressed sizes have no closed
+    * form). */
+  def q286MediaInventory(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.mediaInventory(
+      operators.Multimodal.synthMixedMediaAssets(t(s, dir, "documents"),
+        "doc_id"))
+      .select(col("container"), col("decodable"), col("n_assets"))
+
+  val q286Sql: String =
+    """WITH d AS (SELECT ((doc_id % 8) + 8) % 8 AS m FROM documents),
+      |c AS (SELECT CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'qoi'
+      |    WHEN 2 THEN 'png' WHEN 3 THEN 'gif' WHEN 4 THEN 'jpeg'
+      |    WHEN 5 THEN 'webp' WHEN 6 THEN 'wav' ELSE 'unknown' END AS container
+      |  FROM d)
+      |SELECT container,
+      |  CAST(CASE WHEN container IN ('bmp','qoi','png','gif','jpeg','wav')
+      |    THEN 1 ELSE 0 END AS BIGINT) AS decodable,
+      |  CAST(count(*) AS BIGINT) AS n_assets
+      |FROM c GROUP BY 1""".stripMargin
+
   /** Anchor-text corpus (Html.anchorTexts — what the web says about
     * each destination, the classic relevance/description signal): per
     * (dst_domain, anchor_text), anchor counts and DISTINCT source
@@ -9203,7 +9229,8 @@ object QueryCatalog {
     ("q282_http_transcode", q282HttpTranscode _, Some(q282Sql)),
     ("q283_unigram_encode", q283UnigramEncode _, Some(q283Sql)),
     ("q284_unigram_pack", q284UnigramPack _, Some(q284Sql)),
-    ("q285_anchor_texts", q285AnchorTexts _, Some(q285Sql)))
+    ("q285_anchor_texts", q285AnchorTexts _, Some(q285Sql)),
+    ("q286_media_inventory", q286MediaInventory _, Some(q286Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

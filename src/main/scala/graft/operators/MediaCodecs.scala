@@ -1586,6 +1586,27 @@ object MediaCodecs {
   // claiming pixels it cannot produce.
   // ---------------------------------------------------------------------
 
+  /** Container classification by magic bytes — the typed routing the
+    * [[graft.operators.Multimodal.imageAHashSniff]] dispatch applies
+    * inline, exposed as a total function for inventory/quarantine
+    * stages: `bmp` (BM), `qoi`, `png`, `gif`, `jpeg` (SOI), `webp`
+    * (RIFF…WEBP), `wav` (RIFF…WAVE), or `unknown`. Magic-byte only —
+    * a sniff names the container, [[probeWebp]]/the decoders validate
+    * it. */
+  def sniffContainer(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 12) return "unknown"
+    def ascii(i: Int, s: String): Boolean =
+      s.indices.forall(j => bytes(i + j) == s(j).toByte)
+    if (ascii(0, "BM")) "bmp"
+    else if (ascii(0, "qoif")) "qoi"
+    else if ((bytes(0) & 0xff) == 0x89 && ascii(1, "PNG")) "png"
+    else if (ascii(0, "GIF8")) "gif"
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else "unknown"
+  }
+
   /** One probed WebP container: variant `lossless` (VP8L), `lossy`
     * (VP8) or `extended` (VP8X); canvas width/height; whether the
     * header declares alpha. */

@@ -493,6 +493,68 @@ object Multimodal {
     toAssets(rows, "asset_id", "payload", "image/webp")
   }
 
+  /** Per-container media inventory — the routing dashboard a curation
+    * pipeline runs FIRST over a mixed asset lake: container by magic
+    * bytes ([[MediaCodecs.sniffContainer]]), whether this library can
+    * decode pixels for it (`decodable`: the five pixel codecs; webp is
+    * identified-but-probe-only, the SURVEY §7.4 #6 scope), counts and
+    * byte totals. One map pass + one tiny aggregate (container
+    * cardinality ≤ 8). */
+  def mediaInventory(assets: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val sniffed = Spread.toCores(assets)
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (_, payload) =>
+          (if (payload == null) 0L else payload.length.toLong,
+            MediaCodecs.sniffContainer(payload))
+        }
+      }(enc)
+      .toDF("n_bytes", "container")
+    sniffed.groupBy(col("container"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .withColumn("decodable",
+        col("container").isin("bmp", "qoi", "png", "gif", "jpeg", "wav")
+          .cast("long"))
+      .select(col("container"), col("decodable"), col("n_assets"),
+        col("total_bytes"))
+  }
+
+  /** Mixed-container fixture for the inventory: all six image/audio
+    * containers plus REAL WAV audio and a garbage payload, rotating by
+    * floorMod(id, 8) — every sniff branch exercised, counts closed-form
+    * by id arithmetic. */
+  def synthMixedMediaAssets(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rows = Spread.toCores(ids)
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          def px(x: Int, y: Int): Int =
+            (((id + x * 7 + y * 13) % 256).toInt << 16) |
+              (((id + x) % 256).toInt << 8) | ((id + y) % 256).toInt
+          val bytes = Math.floorMod(id, 8L).toInt match {
+            case 0 => MediaCodecs.encodeBmp(8, 8, px)
+            case 1 => MediaCodecs.encodeQoi(8, 8, px)
+            case 2 => MediaCodecs.encodePng(8, 8, px)
+            case 3 => MediaCodecs.encodeGif(8, 8,
+              Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff),
+              (x, y) => ((id + x + y) % 4).toInt)
+            case 4 => MediaCodecs.encodeJpeg(8, 8, px _, 0.9f)
+            case 5 => MediaCodecs.encodeWebpHeader(0, 8, 8, alpha = false)
+            case 6 => MediaCodecs.encodeWav(
+              Array.tabulate(64)(i => ((id * 5 + i * 11) % 199).toShort), 8000)
+            case _ => Array.tabulate(32)(i => ((id + i * 37) & 0xff).toByte)
+          }
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "application/octet-stream")
+  }
+
   case class DHashRow(asset_id: Long, ok: Long,
                       dhash_hi: Option[Long], dhash_lo: Option[Long])
 
