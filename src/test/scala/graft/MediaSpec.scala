@@ -1109,4 +1109,27 @@ class MediaSpec extends SparkSpec {
       Some(MediaCodecs.WebpInfo("lossless", 16384, 16384, alpha = false)),
       "VP8L stores dim-1: the full [1, 16384] range round-trips")
   }
+  test("sniffContainer: every magic branch, short input, and near-miss bytes") {
+    import graft.operators.MediaCodecs
+    def px(x: Int, y: Int) = (x << 16) | (y << 8) | 7
+    assert(MediaCodecs.sniffContainer(MediaCodecs.encodeBmp(4, 4, px)) === "bmp")
+    assert(MediaCodecs.sniffContainer(MediaCodecs.encodeQoi(4, 4, px)) === "qoi")
+    assert(MediaCodecs.sniffContainer(MediaCodecs.encodePng(4, 4, px)) === "png")
+    assert(MediaCodecs.sniffContainer(MediaCodecs.encodeGif(2, 2,
+      Array(0, 0xffffff), (x, y) => (x + y) % 2)) === "gif")
+    assert(MediaCodecs.sniffContainer(
+      MediaCodecs.encodeJpeg(4, 4, px _, 0.9f)) === "jpeg")
+    assert(MediaCodecs.sniffContainer(
+      MediaCodecs.encodeWebpHeader(0, 4, 4, alpha = false)) === "webp")
+    assert(MediaCodecs.sniffContainer(
+      MediaCodecs.encodeWav(Array.tabulate(8)(_.toShort), 8000)) === "wav")
+    assert(MediaCodecs.sniffContainer(null) === "unknown")
+    assert(MediaCodecs.sniffContainer(Array[Byte]('B', 'M')) === "unknown",
+      "below the 12-byte floor even with a valid magic prefix")
+    // RIFF with neither WEBP nor WAVE form stays unknown
+    assert(MediaCodecs.sniffContainer(
+      "RIFF0000AVI LIST0000".getBytes) === "unknown")
+    assert(MediaCodecs.sniffContainer(
+      Array.tabulate(32)(i => (i * 37).toByte)) === "unknown")
+  }
 }
