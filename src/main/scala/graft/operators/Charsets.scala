@@ -20,10 +20,11 @@ import java.nio.charset.{Charset, CharsetDecoder, CodingErrorAction, StandardCha
   *      header.
   *   3. **`<meta charset>` prescan** — the first 1024 bytes scanned
   *      byte-transparently (ISO-8859-1) for `<meta charset="…">` or the
-  *      `http-equiv` form's `charset=` inside its content attribute
-  *      (one regex covers both spellings — the prescan looks for the
-  *      `charset=` key inside any `<meta …>` tag, which is the WHATWG
-  *      prescan's effective behavior for well-formed documents).
+  *      `http-equiv=content-type` form's `charset=` inside its content
+  *      attribute. Tags are attribute-parsed, and only those two
+  *      placements count (the WHATWG prescan's rule) — a `charset=`
+  *      substring inside some OTHER attribute's value (a description
+  *      meta mentioning an encoding) is prose, not a declaration.
   *   4. **Default** — UTF-8 (the modern-web prior; ASCII is a subset).
   *
   * A declared name the JVM cannot resolve is SKIPPED (the next
@@ -54,11 +55,21 @@ object Charsets {
   private val HeaderCharsetRe =
     "(?i)charset[ \\t]*=[ \\t]*\"?([A-Za-z0-9._:\\-]+)".r
 
-  /** `charset=` inside the first `<meta …>` tags of the prescan window —
-    * covers `<meta charset="x">` AND `<meta http-equiv=… content="…;
-    * charset=x">` with one pattern (see object doc). */
-  private val MetaCharsetRe =
-    "(?is)<meta[ \\t\\n\\x0B\\f\\r][^>]*?charset[ \\t]*=[ \\t]*[\"']?([A-Za-z0-9._:\\-]+)".r
+  /** A whole `<meta …>` tag of the prescan window (the `[^>]*` stop is
+    * the [[graft.operators.Html]] leniency: a literal `>` inside a
+    * quoted attribute value truncates the tag early — the truncated
+    * prefix is still attribute-parsed, never mis-read as body text). */
+  private val MetaTagRe = "(?is)<meta[ \\t\\n\\x0B\\f\\r][^>]*".r
+
+  /** One attribute of a meta tag: name, then optionally `=` and a
+    * double-quoted / single-quoted / unquoted value. Matching whole
+    * name=value units (instead of grepping for `charset=` anywhere in
+    * the tag, the r16 ADVICE finding) is what keeps a benign
+    * `content="… charset=big5 …"` on a non-http-equiv meta from
+    * hijacking the verdict: `charset=big5` there is part of the
+    * `content` attribute's VALUE, not an attribute of its own. */
+  private val MetaAttrRe =
+    "(?is)([A-Za-z][A-Za-z0-9_:.\\-]*)(?:[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*(?:\"([^\"]*)\"|'([^']*)'|([^ \\t\\n\\x0B\\f\\r\"'>]+)))?".r
 
   /** How far the meta prescan reads — the WHATWG prescan's 1024-byte
     * window (a conforming document declares its encoding within it). */
@@ -79,7 +90,16 @@ object Charsets {
   /** The prescan's meta-declared charset, resolved. The window is
     * decoded as ISO-8859-1 — byte-transparent, so the ASCII-compatible
     * `<meta` markup is found regardless of what the body encoding turns
-    * out to be (the same trick the WHATWG prescan uses). */
+    * out to be (the same trick the WHATWG prescan uses).
+    *
+    * Per-tag rule (the WHATWG prescan's actual one, tightened here
+    * after the r16 ADVICE finding): a declaration counts only when it
+    * is (a) a bare `charset` ATTRIBUTE, or (b) a `charset=` parameter
+    * inside the `content` attribute VALUE of a tag whose `http-equiv`
+    * is `content-type` — a `charset=` substring in any other
+    * attribute's value (a description meta mentioning an encoding) is
+    * prose, not a declaration. Attribute names are first-occurrence-
+    * wins within a tag (the HTML duplicate-attribute rule). */
   def metaCharset(body: Array[Byte]): Option[Charset] = {
     if (body == null || body.length == 0) return None
     val n = math.min(body.length, PrescanBytes)
@@ -87,8 +107,23 @@ object Charsets {
     // keep scanning past unresolvable labels (the WHATWG prescan rule:
     // an unknown label is NO label — a later valid declaration counts,
     // the r16 review finding)
-    MetaCharsetRe.findAllMatchIn(window)
-      .flatMap(m => resolve(m.group(1))).nextOption()
+    MetaTagRe.findAllMatchIn(window).flatMap { tag =>
+      // drop the "<meta" head; first occurrence of each name wins
+      val attrs = MetaAttrRe.findAllMatchIn(tag.matched.drop(5))
+        .map { m =>
+          val v = Option(m.group(2)).orElse(Option(m.group(3)))
+            .orElse(Option(m.group(4))).getOrElse("")
+          (m.group(1).toLowerCase, v)
+        }
+        .foldLeft(Map.empty[String, String]) { (acc, kv) =>
+          if (acc.contains(kv._1)) acc else acc + kv
+        }
+      attrs.get("charset").flatMap(resolve).orElse {
+        if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type")))
+          attrs.get("content").flatMap(c => headerCharset(c))
+        else None
+      }
+    }.nextOption()
   }
 
   /** Detection verdict for one body (see object doc for the order). */

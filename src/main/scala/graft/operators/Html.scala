@@ -212,10 +212,17 @@ object Html {
     * double-quote contract), group 2 = the inner markup. Unlike
     * [[HrefRe]] this requires a CLOSING `</a>` — an unterminated anchor
     * contributes a link to the graph but has no delimited text to
-    * collect (the documented difference from [[linkEdges]]' counts). */
+    * collect (the documented difference from [[linkEdges]]' counts).
+    * The inner match is TEMPERED — it may not cross a new `<a`
+    * opening (the HTML tokenizer's rule: a start tag auto-closes an
+    * open anchor) — so an unterminated anchor can never swallow the
+    * next well-formed anchor's text and attribute it to the wrong
+    * destination (the r16 ADVICE finding); the unterminated one simply
+    * never matches, and the following anchor emits its own row. */
   val AnchorPairRe: String =
     "(?is)<a[ \\t\\n\\x0B\\f\\r][^>]*href[ \\t\\n\\x0B\\f\\r]*=" +
-      "[ \\t\\n\\x0B\\f\\r]*\"([^\"]*)\"[^>]*>(.*?)</a[ \\t\\n\\x0B\\f\\r]*>"
+      "[ \\t\\n\\x0B\\f\\r]*\"([^\"]*)\"[^>]*>" +
+      "((?:(?!<a[ \\t\\n\\x0B\\f\\r>]).)*?)</a[ \\t\\n\\x0B\\f\\r]*>"
 
   /** Anchor-text corpus — what the web SAYS about each destination: the
     * per-target aggregation of link anchor texts, the classic relevance

@@ -1592,16 +1592,24 @@ object MediaCodecs {
     * stages: `bmp` (BM), `qoi`, `png`, `gif`, `jpeg` (SOI), `webp`
     * (RIFF…WEBP), `wav` (RIFF…WAVE), or `unknown`. Magic-byte only —
     * a sniff names the container, [[probeWebp]]/the decoders validate
-    * it. */
+    * it. Length guards are PER-BRANCH (the r16 ADVICE finding): a
+    * magic that fits the payload classifies even when the payload is
+    * shorter than the 12 bytes the RIFF forms need — a truncated
+    * 2-byte `BM` prefix is still routed `bmp` (and left for the
+    * decoder to reject), while a 10-byte RIFF head stays `unknown`
+    * because its discriminating form tag is missing. */
   def sniffContainer(bytes: Array[Byte]): String = {
-    if (bytes == null || bytes.length < 12) return "unknown"
+    if (bytes == null) return "unknown"
     def ascii(i: Int, s: String): Boolean =
-      s.indices.forall(j => bytes(i + j) == s(j).toByte)
+      i + s.length <= bytes.length &&
+        s.indices.forall(j => bytes(i + j) == s(j).toByte)
+    def b(i: Int): Int =
+      if (i < bytes.length) bytes(i) & 0xff else -1
     if (ascii(0, "BM")) "bmp"
     else if (ascii(0, "qoif")) "qoi"
-    else if ((bytes(0) & 0xff) == 0x89 && ascii(1, "PNG")) "png"
+    else if (b(0) == 0x89 && ascii(1, "PNG")) "png"
     else if (ascii(0, "GIF8")) "gif"
-    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (b(0) == 0xff && b(1) == 0xd8) "jpeg"
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
     else "unknown"

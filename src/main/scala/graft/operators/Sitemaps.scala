@@ -104,9 +104,13 @@ object Sitemaps {
     *   - `fresh` — inside cadence: not due.
     *
     * All arithmetic is integer hours/ms (the [[Robots.fetchSchedule]]
-    * convention — no floats in a schedule): `age_h = days·24`,
-    * `overdue_h = age_h − cadence_h` (NULL when either side is
-    * undefined). Due rows get `fetch_seq` 1..k per host (rank order
+    * convention — no floats in a schedule): `age_h = ⌊Δepoch_s/3600⌋`
+    * from TIMESTAMP-typed `last_fetch` — a timestamp-typed fetch log
+    * makes sub-day cadences bite (an `hourly` url fetched this morning
+    * reads its true hour age, the r16 ADVICE finding), while a
+    * date-typed log degrades to exactly the old `days·24` (midnight −
+    * midnight); `overdue_h = age_h − cadence_h` (NULL when either side
+    * is undefined). Due rows get `fetch_seq` 1..k per host (rank order
     * above, then priority desc, then url — deterministic) and
     * `fetch_offset_ms = (fetch_seq−1)·delay_ms` with the host's chosen
     * Crawl-delay (or `defaultDelayMs`); non-due rows carry NULL
@@ -133,10 +137,16 @@ object Sitemaps {
       .select(col("host"), col("loc").as("url"), col("lastmod"),
         lower(col("changefreq")).as("changefreq"), col("priority"))
       .withColumn("cadence_h", cadence)
-    val logd = fetchLog.select(col("url"), col("last_fetch").cast("date"))
+    val logd = fetchLog.select(col("url"),
+      col("last_fetch").cast("timestamp").as("last_fetch"))
     val reasoned = urls.join(logd, Seq("url"), "left")
+      // epoch-second hours, not datediff·24: a timestamp-typed log
+      // keeps sub-day resolution; a date-typed one (midnight) degrades
+      // to the identical days·24 (see scaladoc)
       .withColumn("age_h",
-        (datediff(lit(asOf).cast("date"), col("last_fetch")) * 24).cast("long"))
+        floor((unix_timestamp(lit(asOf).cast("timestamp")) -
+          unix_timestamp(col("last_fetch"))).cast("double") / 3600d)
+          .cast("long"))
       .withColumn("reason",
         when(col("last_fetch").isNull, lit("new"))
           .when(col("lastmod").isNotNull && col("lastmod") > col("last_fetch"),

@@ -58,6 +58,29 @@ class CharsetsSpec extends AnyFunSuite {
       "a declaration past the WHATWG prescan window does not count")
   }
 
+  test("meta prescan honors only the two WHATWG placements (r16 ADVICE)") {
+    // charset= inside a NON-http-equiv meta's content value is prose,
+    // not a declaration — this used to force a Big5 verdict
+    val benign = ("<meta name=\"description\" content=\"how to set " +
+      "charset=Big5 in your pages\"><p>x</p>").getBytes(L1)
+    assert(Charsets.metaCharset(benign) === None)
+    // …and must not shadow a LATER real declaration either
+    val benignThenReal = ("<meta name=\"description\" content=\"about " +
+      "charset=Big5\"><meta charset=\"windows-1252\">").getBytes(L1)
+    assert(Charsets.metaCharset(benignThenReal).map(_.name) ===
+      Some("windows-1252"))
+    // http-equiv spelled with different case + single quotes still counts
+    val heq = ("<meta HTTP-EQUIV='content-type' " +
+      "CONTENT='text/html; charset=Shift_JIS'>").getBytes(L1)
+    assert(Charsets.metaCharset(heq).map(_.name) === Some("Shift_JIS"))
+    // unquoted bare charset attribute
+    assert(Charsets.metaCharset("<meta charset=utf-8>".getBytes(L1))
+      .map(_.name) === Some("UTF-8"))
+    // a content= charset WITHOUT the http-equiv key does not count
+    val noEquiv = ("<meta content=\"text/html; charset=Big5\">").getBytes(L1)
+    assert(Charsets.metaCharset(noEquiv) === None)
+  }
+
   test("UTF-16 BOMs detect and decode (BOM stripped from text)") {
     val be = Array(0xfe.toByte, 0xff.toByte) ++ "né".getBytes(StandardCharsets.UTF_16BE)
     val tbe = Charsets.transcode(be, None)

@@ -192,4 +192,22 @@ class HtmlSpec extends SparkSpec {
       "bare <a>...</a> anchors count as link text: the attribute-less " +
         "nav is density-dropped, not kept")
   }
+
+  test("anchorTexts: an unterminated anchor never swallows the next well-formed one") {
+    // the r16 ADVICE finding: with a lazy .*? inner match, the
+    // unterminated first anchor absorbed everything through the SECOND
+    // anchor's </a> — good.org's row vanished and its text was
+    // attributed to bad.org. The tempered inner match makes a new <a
+    // opening terminate the candidate instead.
+    val docs = Seq((1L, "www.s.com",
+      """<body><a href="https://www.bad.org/u">orphan text
+        |<a href="https://www.good.org/v">Good Text</a></body>""".stripMargin))
+      .toDF("doc_id", "src_host", "html")
+    val rows = Html.anchorTextsByDoc(docs).collect()
+      .map(r => (r.getAs[String]("dst_domain"), r.getAs[String]("anchor_text"),
+        r.getAs[Long]("n_anchors")))
+    assert(rows.toSeq === Seq(("good.org", "Good Text", 1L)),
+      "the unterminated anchor contributes no text row; the well-formed " +
+        "anchor keeps its own text under its own destination")
+  }
 }

@@ -1124,8 +1124,19 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodecs.sniffContainer(
       MediaCodecs.encodeWav(Array.tabulate(8)(_.toShort), 8000)) === "wav")
     assert(MediaCodecs.sniffContainer(null) === "unknown")
-    assert(MediaCodecs.sniffContainer(Array[Byte]('B', 'M')) === "unknown",
-      "below the 12-byte floor even with a valid magic prefix")
+    // per-branch length guards (the r16 ADVICE finding): a magic that
+    // FITS the truncated payload classifies — the decoder, not the
+    // sniff, rejects the truncation
+    assert(MediaCodecs.sniffContainer(Array[Byte]('B', 'M')) === "bmp",
+      "a 2-byte BM prefix is enough for the bmp branch")
+    assert(MediaCodecs.sniffContainer("qoif".getBytes) === "qoi")
+    assert(MediaCodecs.sniffContainer(
+      Array(0xff.toByte, 0xd8.toByte)) === "jpeg")
+    assert(MediaCodecs.sniffContainer("GIF8".getBytes) === "gif")
+    assert(MediaCodecs.sniffContainer(Array[Byte]('B')) === "unknown",
+      "one byte matches no complete magic")
+    assert(MediaCodecs.sniffContainer("RIFF0000WE".getBytes) === "unknown",
+      "a RIFF head without its 12-byte form tag stays unknown")
     // RIFF with neither WEBP nor WAVE form stays unknown
     assert(MediaCodecs.sniffContainer(
       "RIFF0000AVI LIST0000".getBytes) === "unknown")

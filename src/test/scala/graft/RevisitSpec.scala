@@ -70,4 +70,27 @@ class RevisitSpec extends SparkSpec {
       "more-overdue stale ranks before less-overdue")
     assert(out("https://h.org/stale-small") === (("stale", 4L, 2500L, 7500L)))
   }
+
+  test("timestamp-typed fetch log: sub-day ages make hourly cadences bite (r16 ADVICE)") {
+    val entries = entriesDF(Seq(
+      ("h.org", "url", "https://h.org/hourly-due", None, Some("hourly")),
+      ("h.org", "url", "https://h.org/hourly-fresh", None, Some("hourly"))))
+    val log = Seq(
+      ("https://h.org/hourly-due", "2024-03-06 20:30:00"),  // 3.5h before asOf
+      ("https://h.org/hourly-fresh", "2024-03-06 23:40:00") // 20min before
+    ).toDF("url", "last_fetch_s").selectExpr("url",
+      "CAST(last_fetch_s AS TIMESTAMP) AS last_fetch")
+    val policy = Seq.empty[(String, Double)].toDF("host", "crawl_delay")
+    // asOf casts to midnight 2024-03-07 00:00
+    val out = Sitemaps.revisitSchedule(entries, log, policy, asOf = "2024-03-07")
+      .collect().map(r => r.getAs[String]("url") -> r).toMap
+    def f(u: String, c: String) = out(s"https://h.org/$u").getAs[Any](c)
+    assert(f("hourly-due", "reason") === "stale" &&
+      f("hourly-due", "overdue_h") === 2L,
+      "epoch-hour arithmetic: 3h30m floors to age 3h >= cadence 1h, overdue 2h")
+    assert(f("hourly-fresh", "reason") === "fresh" &&
+      f("hourly-fresh", "overdue_h") === -1L,
+      "20 minutes floors to age 0h < 1h: same-day fetches are no longer " +
+        "all day-age 0, only genuinely-recent ones read fresh")
+  }
 }
