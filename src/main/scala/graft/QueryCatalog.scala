@@ -8939,6 +8939,77 @@ object QueryCatalog {
        |FROM r LEFT JOIN prq ON r.domain = prq.domain""".stripMargin
   }
 
+  /** PDF text extraction (Pdf.extractText over a synthesized PDF lake —
+    * the r16 verdict's #1 breadth item; the bounded ISO 32000 subset:
+    * classic xref, FlateDecode, Tj/TJ/', WinAnsi): per doc, the ok
+    * verdict, taxonomy reason, page count, and the extracted text. The
+    * fixture rotates Tj/kerned-TJ/escape-octal literals, a two-page
+    * Flate doc with the `'` next-line show and an indirect /Length,
+    * WinAnsi high bytes, and the three refusal modes (encrypted,
+    * unsupported filter, corrupt startxref) — all text closed-form id
+    * arithmetic the oracle replays exactly. */
+  def q287PdfText(s: SparkSession, dir: String): DataFrame =
+    operators.Pdf.pdfTexts(
+      operators.Pdf.synthPdfAssets(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .select(col("doc_id"), col("ok"), col("reason"), col("n_pages"),
+        col("text"))
+
+  val q287Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 6) + 6) % 6 AS m FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN m <= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+      |  CASE m WHEN 3 THEN 'encrypted' WHEN 4 THEN 'filter'
+      |    WHEN 5 THEN 'xref' ELSE '' END AS reason,
+      |  CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+      |    ELSE 0 END AS BIGINT) AS n_pages,
+      |  CASE m
+      |    WHEN 0 THEN 'Hello doc ' || doc_id || ' kerned TJ ' || doc_id ||
+      |      'Paren ( nested ) and \ back A'
+      |    WHEN 1 THEN 'Flate page one of ' || doc_id || chr(10) ||
+      |      'line one' || chr(10) || 'line two ' || doc_id
+      |    WHEN 2 THEN 'Café costs €' || doc_id
+      |    ELSE '' END AS text
+      |FROM d""".stripMargin
+
+  /** PDF → char-entropy composition (the q281 drop-in proof pattern:
+    * the extracted text column feeds an existing text stage unchanged —
+    * a user swaps the WARC text source for the PDF one and the
+    * downstream dashboard keeps working). Entropy over the ok=1 texts;
+    * the oracle rebuilds the expected texts and replays the
+    * decimal-exact entropy fold. */
+  def q288PdfEntropy(s: SparkSession, dir: String): DataFrame = {
+    val recs = operators.Pdf.pdfTexts(
+      operators.Pdf.synthPdfAssets(t(s, dir, "documents"), "doc_id"))
+      .toDF().filter(col("ok") === 1)
+    TextAnalysis.charEntropy(recs, idCol = "doc_id", textCol = "text")
+  }
+
+  val q288Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 6) + 6) % 6 AS m FROM documents),
+      |e AS (
+      |  SELECT doc_id, 'Hello doc ' || doc_id || ' kerned TJ ' || doc_id ||
+      |    'Paren ( nested ) and \ back A' AS text
+      |  FROM d WHERE m = 0
+      |  UNION ALL SELECT doc_id, 'Flate page one of ' || doc_id || chr(10) ||
+      |    'line one' || chr(10) || 'line two ' || doc_id
+      |  FROM d WHERE m = 1
+      |  UNION ALL SELECT doc_id, 'Café costs €' || doc_id
+      |  FROM d WHERE m = 2),
+      |pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+      |  FROM e WHERE len(text) >= 1),
+      |cnt AS (SELECT doc_id, substr(text, i, 1) AS ch, count(*) AS c
+      |  FROM pos GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+      |    sum(CAST(c AS DECIMAL(12,0)) * CAST(round(ln(c), 6) AS DECIMAL(12,6)))
+      |      AS plogp
+      |  FROM cnt GROUP BY 1)
+      |SELECT b.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+      |  CASE WHEN a.n IS NOT NULL THEN
+      |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
+      |FROM e b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9230,7 +9301,9 @@ object QueryCatalog {
     ("q283_unigram_encode", q283UnigramEncode _, Some(q283Sql)),
     ("q284_unigram_pack", q284UnigramPack _, Some(q284Sql)),
     ("q285_anchor_texts", q285AnchorTexts _, Some(q285Sql)),
-    ("q286_media_inventory", q286MediaInventory _, Some(q286Sql)))
+    ("q286_media_inventory", q286MediaInventory _, Some(q286Sql)),
+    ("q287_pdf_text", q287PdfText _, Some(q287Sql)),
+    ("q288_pdf_entropy", q288PdfEntropy _, Some(q288Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
