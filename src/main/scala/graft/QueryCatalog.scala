@@ -9010,6 +9010,160 @@ object QueryCatalog {
       |    round(round(ln(a.n), 6) - CAST(a.plogp AS DOUBLE) / a.n, 6) END AS entropy
       |FROM e b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** RSS 2.0 / Atom feed parsing (Sitemaps.feedEntries — the OTHER
+    * freshness-discovery channel beside sitemaps.org, the r16 verdict's
+    * #2 item): per feed entry, dialect, entity-decoded link, title, and
+    * the published time parsed from RFC 822 (`pubDate`: weekday
+    * optional, 1-2 digit day, GMT/UT/UTC/Z or ±HHMM zones) or RFC 3339
+    * (`updated`: Z / ±HH:MM offsets), normalized to UTC epoch seconds.
+    * Link-less entries skip; out-of-scope dates read NULL. All
+    * timestamps are mode constants the oracle pins exactly. */
+  def q289FeedEntries(s: SparkSession, dir: String): DataFrame =
+    operators.Sitemaps.feedEntries(operators.Sitemaps.synthFeeds(s))
+      .select(col("host"), col("dialect"), col("url"), col("title"),
+        unix_timestamp(col("published")).cast("long").as("published_s"))
+
+  val q289Sql: String =
+    """WITH f AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 8) r(i)),
+      |e AS (
+      |  SELECT 'f' || i || '.org' AS host, 'rss' AS dialect,
+      |    'https://f' || i || '.org/rss-a' || i AS url,
+      |    'First & Best ' || i AS title,
+      |    CAST(epoch(TIMESTAMP '2024-03-05 10:20:30') AS BIGINT) AS published_s
+      |  FROM f WHERE i % 4 = 0
+      |  UNION ALL SELECT 'f' || i || '.org', 'rss',
+      |    'https://f' || i || '.org/rss-b' || i, 'Offset ' || i,
+      |    CAST(epoch(TIMESTAMP '2024-03-05 18:15:00') AS BIGINT)
+      |  FROM f WHERE i % 4 = 0
+      |  UNION ALL SELECT 'f' || i || '.org', 'rss',
+      |    'https://f' || i || '.org/ent' || i || '?a=1&b=2',
+      |    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      |  FROM f WHERE i % 4 = 1
+      |  UNION ALL SELECT 'f' || i || '.org', 'atom',
+      |    'https://f' || i || '.org/atom-a' || i, 'Zulu ' || i,
+      |    CAST(epoch(TIMESTAMP '2024-03-05 10:20:30') AS BIGINT)
+      |  FROM f WHERE i % 4 = 2
+      |  UNION ALL SELECT 'f' || i || '.org', 'atom',
+      |    'https://f' || i || '.org/atom-b' || i, 'Plus2 ' || i,
+      |    CAST(epoch(TIMESTAMP '2024-03-05 23:30:00') AS BIGINT)
+      |  FROM f WHERE i % 4 = 2
+      |  UNION ALL SELECT 'f' || i || '.org', 'atom',
+      |    'https://f' || i || '.org/up-a' || i, CAST(NULL AS VARCHAR),
+      |    CAST(epoch(TIMESTAMP '2024-03-04 01:30:00') AS BIGINT)
+      |  FROM f WHERE i % 4 = 3)
+      |SELECT host, dialect, url, title, published_s FROM e""".stripMargin
+
+  /** Feed-composed revisit scheduling: BOTH discovery channels —
+    * sitemap entries (q272's fixture) and feed entries reshaped through
+    * feedAsRevisitEntries — union into ONE revisitSchedule run (q276's
+    * machinery, same policy join / verdict CASE / politeness window).
+    * Feed publish times act as the second `changed` source: a feed url
+    * whose published date outruns its fetch-log row is due first, and
+    * feed urls carry the default cadence (feeds declare per-entry
+    * freshness, not per-url cadence). The oracle replays the whole
+    * composed chain over the union. */
+  def q290FeedRevisit(s: SparkSession, dir: String): DataFrame = {
+    val sm = operators.Sitemaps.sitemapEntries(
+      operators.Sitemaps.synthSitemaps(s)).materialized
+    val fe = operators.Sitemaps.feedAsRevisitEntries(
+      operators.Sitemaps.feedEntries(operators.Sitemaps.synthFeeds(s)))
+      .materialized
+    val entries = sm.unionByName(fe)
+    val policy = operators.Robots.crawlPolicy(
+      operators.Robots.robotsRules(operators.Robots.synthRobotsPolicy(s))
+        .materialized,
+      userAgent = "graftbot/1.0")
+      .withColumn("host", regexp_replace(col("host"), "^p", "s"))
+    operators.Sitemaps.revisitSchedule(entries,
+      operators.Sitemaps.synthFetchLog(entries), policy, asOf = "2024-03-07")
+  }
+
+  val q290Sql: String =
+    s"""WITH $policyDelayCtes,
+       |sdelays AS (SELECT replace(host, 'p', 's') AS host, crawl_delay
+       |  FROM delays),
+       |shosts AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 8) r(i)),
+       |e AS (
+       |  SELECT 's' || i || '.org' AS host,
+       |    'https://s' || i || '.org/a' || i AS url,
+       |    CAST('2024-03-0' || (i % 3 + 1) AS DATE) AS lastmod,
+       |    'daily' AS changefreq, CAST(0.8 AS DOUBLE) AS priority
+       |  FROM shosts WHERE i % 4 = 0
+       |  UNION ALL SELECT 's' || i || '.org', 'https://s' || i || '.org/b' || i,
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 0
+       |  UNION ALL SELECT 's' || i || '.org',
+       |    'https://s' || i || '.org/q' || i || '?x=1&y=2',
+       |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 1
+       |  UNION ALL SELECT 's' || i || '.org', 'https://s' || i || '.org/bad' || i,
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 1
+       |  UNION ALL SELECT 's' || i || '.org', 'https://s' || i || '.org/up' || i,
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 3
+       |  UNION ALL SELECT 'f' || i || '.org',
+       |    'https://f' || i || '.org/rss-a' || i,
+       |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 0
+       |  UNION ALL SELECT 'f' || i || '.org',
+       |    'https://f' || i || '.org/rss-b' || i,
+       |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 0
+       |  UNION ALL SELECT 'f' || i || '.org',
+       |    'https://f' || i || '.org/ent' || i || '?a=1&b=2',
+       |    CAST(NULL AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 1
+       |  UNION ALL SELECT 'f' || i || '.org',
+       |    'https://f' || i || '.org/atom-a' || i,
+       |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 2
+       |  UNION ALL SELECT 'f' || i || '.org',
+       |    'https://f' || i || '.org/atom-b' || i,
+       |    CAST('2024-03-05' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 2
+       |  UNION ALL SELECT 'f' || i || '.org',
+       |    'https://f' || i || '.org/up-a' || i,
+       |    CAST('2024-03-04' AS DATE), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+       |  FROM shosts WHERE i % 4 = 3),
+       |c AS (SELECT host, url, lastmod, changefreq, priority,
+       |    CASE WHEN changefreq = 'always' THEN 0
+       |      WHEN changefreq = 'hourly' THEN 1 WHEN changefreq = 'daily' THEN 24
+       |      WHEN changefreq = 'weekly' THEN 168
+       |      WHEN changefreq = 'monthly' THEN 720
+       |      WHEN changefreq = 'yearly' THEN 8760
+       |      WHEN changefreq = 'never' THEN NULL ELSE 168 END AS cadence_h,
+       |    CASE WHEN len(url) % 5 = 0 THEN NULL
+       |      ELSE DATE '2024-02-27' + CAST(len(url) % 8 AS INT) END AS last_fetch
+       |  FROM e),
+       |r2 AS (SELECT *, CAST(datediff('day', last_fetch, DATE '2024-03-07') * 24
+       |    AS BIGINT) AS age_h FROM c),
+       |v AS (SELECT *, CASE WHEN last_fetch IS NULL THEN 'new'
+       |    WHEN lastmod IS NOT NULL AND lastmod > last_fetch THEN 'changed'
+       |    WHEN cadence_h IS NULL THEN 'archived'
+       |    WHEN age_h >= cadence_h THEN 'stale' ELSE 'fresh' END AS reason
+       |  FROM r2),
+       |d AS (SELECT *, CAST(CASE WHEN reason IN ('changed', 'new', 'stale')
+       |      THEN 1 ELSE 0 END AS BIGINT) AS due,
+       |    CASE WHEN cadence_h IS NOT NULL AND last_fetch IS NOT NULL
+       |      THEN age_h - cadence_h END AS overdue_h,
+       |    CASE WHEN reason = 'changed' THEN 0 WHEN reason = 'new' THEN 1
+       |      ELSE 2 END AS rk
+       |  FROM v),
+       |j AS (SELECT d.*, CAST(coalesce(round(s.crawl_delay * 1000), 1000)
+       |      AS BIGINT) AS delay_ms
+       |  FROM d LEFT JOIN sdelays s ON s.host = d.host),
+       |q AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY due DESC,
+       |      rk ASC, overdue_h DESC NULLS LAST, priority DESC NULLS LAST,
+       |      url ASC) AS seq
+       |  FROM j)
+       |SELECT host, url, reason, due, CAST(cadence_h AS BIGINT) AS cadence_h,
+       |  CAST(overdue_h AS BIGINT) AS overdue_h, priority,
+       |  CAST(CASE WHEN due = 1 THEN seq END AS BIGINT) AS fetch_seq, delay_ms,
+       |  CAST(CASE WHEN due = 1 THEN (seq - 1) * delay_ms END AS BIGINT)
+       |    AS fetch_offset_ms
+       |FROM q""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9303,7 +9457,9 @@ object QueryCatalog {
     ("q285_anchor_texts", q285AnchorTexts _, Some(q285Sql)),
     ("q286_media_inventory", q286MediaInventory _, Some(q286Sql)),
     ("q287_pdf_text", q287PdfText _, Some(q287Sql)),
-    ("q288_pdf_entropy", q288PdfEntropy _, Some(q288Sql)))
+    ("q288_pdf_entropy", q288PdfEntropy _, Some(q288Sql)),
+    ("q289_feed_entries", q289FeedEntries _, Some(q289Sql)),
+    ("q290_feed_revisit", q290FeedRevisit _, Some(q290Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap
