@@ -9164,6 +9164,36 @@ object QueryCatalog {
        |    AS fetch_offset_ms
        |FROM q""".stripMargin
 
+  /** Deflate compression-ratio quality gate (TextAnalysis
+    * .compressionRatio — the Gopher/RefinedWeb repetition proxy, the
+    * r16 verdict's #3 item): template spam deflates to ~0.14 of its
+    * size, prose to ~0.67, uniform-random printable ASCII to ~0.91, so
+    * the 0.35/0.80 buckets sit with ≥0.12 margin (measured — see
+    * CompressionSpec). Compressed sizes are codec facts with no closed
+    * form, so the oracle pins raw_len + verdict (the q286 byte-totals
+    * convention); exact-ratio laws live in the spec. */
+  def q291CompressionGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(
+      TextAnalysis.synthCompressionDocs(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .select(col("doc_id"), col("raw_len"), col("verdict"))
+
+  val q291Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 3) + 3) % 3 AS m FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE m
+      |    WHEN 0 THEN 5 * (20 + ((doc_id % 5) + 5) % 5)
+      |    WHEN 1 THEN len('Document ' || doc_id ||
+      |      ' surveys the harvest records of district ' || doc_id ||
+      |      ': wheat yields rose while barley fell, and the council of ' ||
+      |      doc_id || ' noted that irrigation repairs, seed rotation, and ' ||
+      |      'fair market pricing kept the granaries stocked through an ' ||
+      |      'unusually wet spring season.')
+      |    ELSE 400 END AS BIGINT) AS raw_len,
+      |  CASE m WHEN 0 THEN 'repetitive' WHEN 1 THEN 'normal'
+      |    ELSE 'incompressible' END AS verdict
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9459,7 +9489,8 @@ object QueryCatalog {
     ("q287_pdf_text", q287PdfText _, Some(q287Sql)),
     ("q288_pdf_entropy", q288PdfEntropy _, Some(q288Sql)),
     ("q289_feed_entries", q289FeedEntries _, Some(q289Sql)),
-    ("q290_feed_revisit", q290FeedRevisit _, Some(q290Sql)))
+    ("q290_feed_revisit", q290FeedRevisit _, Some(q290Sql)),
+    ("q291_compression_gate", q291CompressionGate _, Some(q291Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1461,4 +1461,113 @@ object TextAnalysis {
     qualityScore(col("text"), col("n_chars")).cast("long").as("quality"),
     langIdHeuristic(col("text")).as("lang_pred"),
     fingerprint(col("text")).as("fp"))
+
+  // ---------------------------------------------------------------------
+  // Deflate compression-ratio quality gate (the r16 verdict's #3 item)
+  // ---------------------------------------------------------------------
+
+  /** One scored document: UTF-8 byte length, deflated byte length, the
+    * ratio (6 dp; NULL on empty), and the bucket verdict. Package-
+    * visible (Encoders.product row types must stay janino-compilable —
+    * the q149 lesson). */
+  final case class CompressionRow(doc_id: Long, raw_len: Long,
+                                  compressed_len: Long,
+                                  ratio: Option[Double], verdict: String)
+
+  /** Deflate compression-ratio quality signal — the near-free
+    * repetition proxy of the Gopher/RefinedWeb family: boilerplate and
+    * template spam deflate to a fraction of their size, natural prose
+    * sits mid-range, and encrypted/binary-garbage "text" barely
+    * compresses. One fixed-level zlib pass per document
+    * (`java.util.zip.Deflater`, public JDK — the FlateDecode admission
+    * argument in reverse), ratio = compressed/raw over UTF-8 bytes.
+    *
+    * Verdicts by ratio: `repetitive` < `loRatio` ≤ `normal` <
+    * `hiRatio` ≤ `incompressible`; empty docs stay visible as `empty`
+    * (never-vanish). Default thresholds 0.35 / 0.80 were MEASURED
+    * against this JDK's deflater (template spam ≈ 0.14, English prose
+    * ≈ 0.67, uniform-random printable ASCII ≈ 0.91 — ≥ 0.12 margin to
+    * each boundary; see CompressionSpec's law tests).
+    *
+    * Compressed sizes are codec-implementation facts with no closed
+    * form, so the ORACLE pins raw_len + verdict only (the q286
+    * byte-totals convention); the exact-ratio laws live in the spec.
+    *
+    * 100 TB shape: map-only per-doc codec work inside the corpus scan
+    * (the charset-transcode shape), one Deflater reused per partition,
+    * zero shuffle. */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", level: Int = 6,
+                       loRatio: Double = 0.35,
+                       hiRatio: Double = 0.80): org.apache.spark.sql.Dataset[CompressionRow] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val enc = Encoders.product[CompressionRow]
+    Spread.toCores(docs)
+      .select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(level)
+        val it2 = it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) CompressionRow(id, 0L, 0L, None, "empty")
+          else {
+            d.reset()
+            d.setInput(raw); d.finish()
+            var n = 0L
+            val buf = new Array[Byte](8192)
+            while (!d.finished()) n += d.deflate(buf)
+            val ratio = math.rint(n.toDouble / raw.length * 1e6) / 1e6
+            val verdict =
+              if (ratio < loRatio) "repetitive"
+              else if (ratio < hiRatio) "normal"
+              else "incompressible"
+            CompressionRow(id, raw.length.toLong, n, Some(ratio), verdict)
+          }
+        }
+        // Deflater holds native memory: end() when the partition drains
+        new Iterator[CompressionRow] {
+          def hasNext: Boolean = { val h = it2.hasNext; if (!h) d.end(); h }
+          def next(): CompressionRow = it2.next()
+        }
+      }(enc)
+  }
+
+  /** Compression fixture: mode = floorMod(id, 3) — (0) template spam
+    * (`spam ` × (20 + id%5), ratio ≈ 0.14), (1) English prose with id
+    * digits (≈ 0.67), (2) exactly 400 chars of LCG-uniform printable
+    * ASCII (≈ 0.91). Modes 0-1 are string-replayable in SQL (raw_len
+    * closed-form); mode 2's length is pinned at 400 so raw_len stays
+    * closed-form without replaying the LCG. */
+  def synthCompressionDocs(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.LongType
+    Spread.toCores(ids)
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val text = Math.floorMod(id, 3L).toInt match {
+            case 0 => "spam " * (20 + Math.floorMod(id, 5L).toInt)
+            case 1 =>
+              s"Document $id surveys the harvest records of district $id: " +
+                s"wheat yields rose while barley fell, and the council of $id " +
+                "noted that irrigation repairs, seed rotation, and fair " +
+                "market pricing kept the granaries stocked through an " +
+                "unusually wet spring season."
+            case _ =>
+              var x = id
+              val sb = new StringBuilder
+              while (sb.length < 400) {
+                x = x * 6364136223846793005L + 1442695040888963407L
+                sb += (33 + Math.floorMod(x >>> 17, 94L).toInt).toChar
+              }
+              sb.toString
+          }
+          (id, text)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .toDF("doc_id", "text")
+  }
 }
