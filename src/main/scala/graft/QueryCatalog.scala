@@ -9194,6 +9194,112 @@ object QueryCatalog {
       |    ELSE 'incompressible' END AS verdict
       |FROM d""".stripMargin
 
+  /** Shared CTE prefix of the q292/q293 oracles: rebuild the labeled
+    * quality fixture, hash features (the q136 formula + a bias feature
+    * at −1), then replay EVERY gradient-descent round of
+    * TextAnalysis.logisticTrainHashed as generated CTEs — (18,12)×(6,0)
+    * exact-decimal z folds, the round-once sigmoid at 6 dp, decimal
+    * residual·count gradients, 12 dp weight updates. Multi-referenced
+    * CTEs are AS MATERIALIZED (the q278 lesson: DuckDB inlines repeated
+    * CTE references exponentially). Ends with `sc` = (doc_id, p). */
+  private def logisticCtes(rounds: Int): String = {
+    val base =
+      s"""tex AS MATERIALIZED (SELECT doc_id,
+         |    CAST(1 - ((doc_id % 2) + 2) % 2 AS BIGINT) AS label,
+         |    CASE ((doc_id % 4) + 4) % 4
+         |      WHEN 0 THEN 'The quick survey of the annual harvest and the ' ||
+         |        'trade records in the town of d' || doc_id ||
+         |        ' shows steady growth and fair prices in the region for the year.'
+         |      WHEN 1 THEN 'BUY NOW!!! $$$$$$ FREE prize' || doc_id ||
+         |        ' !!! click click buy buy $$$$$$ win win !!!'
+         |      WHEN 2 THEN 'A fine essay about the sea d' || doc_id || '.'
+         |      ELSE 'The lucky winner of the lottery and the prize draw in ' ||
+         |        'the bonus round of the day may claim the reward of the ' ||
+         |        'week in the town of d' || doc_id || ' now.'
+         |    END AS text
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |  FROM tex),
+         |fe AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) % 64 AS fx,
+         |    CAST(count(*) AS DECIMAL(6,0)) AS cnt
+         |  FROM tok GROUP BY 1, 2
+         |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT),
+         |    CAST(1 AS DECIMAL(6,0)) FROM tex),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tex),
+         |w0 AS MATERIALIZED (SELECT fx, CAST(0.0 AS DOUBLE) AS w
+         |  FROM (SELECT DISTINCT fx FROM fe))""".stripMargin
+    val rs = (0 until rounds).map { i =>
+      s"""z$i AS (SELECT doc_id, sum(CAST(w AS DECIMAL(18,12)) * cnt) AS z
+         |  FROM fe JOIN w$i USING (fx) GROUP BY 1),
+         |r$i AS (SELECT z$i.doc_id,
+         |    CAST(round(1 / (1 + exp(-CAST(z AS DOUBLE))), 6) AS DECIMAL(8,6))
+         |      - tex.label AS r
+         |  FROM z$i JOIN tex ON tex.doc_id = z$i.doc_id),
+         |g$i AS (SELECT fx, sum(r * cnt) AS g
+         |  FROM fe JOIN r$i USING (doc_id) GROUP BY 1),
+         |w${i + 1} AS MATERIALIZED (SELECT w$i.fx,
+         |    round(w$i.w - 1.0 * coalesce(CAST(g$i.g AS DOUBLE), 0) / nn.n,
+         |      12) AS w
+         |  FROM w$i CROSS JOIN nn LEFT JOIN g$i ON g$i.fx = w$i.fx)""".stripMargin
+    }
+    val fin =
+      s"""zf AS (SELECT doc_id, sum(CAST(w AS DECIMAL(18,12)) * cnt) AS z
+         |  FROM fe JOIN w$rounds USING (fx) GROUP BY 1),
+         |sc AS (SELECT doc_id, round(1 / (1 + exp(-CAST(z AS DOUBLE))), 6) AS p
+         |  FROM zf)""".stripMargin
+    (base +: rs :+ fin).mkString(",\n")
+  }
+
+  /** Supervised logistic-regression quality scores (TextAnalysis
+    * .logisticTrainHashed + logisticScore — the fastText-style
+    * classifier trained on labeled quality data, the r16 verdict's #4
+    * item): per doc, label, the trained p at 6 dp, and the 0.5
+    * prediction. The oracle replays the ENTIRE 5-round full-batch GD
+    * via generated unrolled CTEs — a decimal slip anywhere in z / p /
+    * gradient / update breaks 500 p values bit-for-bit. */
+  def q292LogisticScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.synthQualityDocs(t(s, dir, "documents"), "doc_id")
+      .materialized
+    val w = TextAnalysis.logisticTrainHashed(docs, "label", dims = 64)
+    TextAnalysis.logisticScore(docs, w, dims = 64)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("p"), col("lr_pred"))
+  }
+
+  val q292Sql: String =
+    s"""WITH ${logisticCtes(5)}
+       |SELECT tex.doc_id, tex.label, sc.p,
+       |  CAST(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS lr_pred
+       |FROM tex JOIN sc ON sc.doc_id = tex.doc_id""".stripMargin
+
+  /** The trained classifier vs the heuristic quality gate — the q257
+    * three-way confusion (label × lr_pred × gate_pred with counts): the
+    * fixture plants the gate's blind spots (stopword-rich lottery spam
+    * the gate passes, good-but-short prose it fails) and the matrix
+    * localizes where the supervised model catches them. Oracle = the
+    * full GD replay + the shared qualityScore SQL mirror. */
+  def q293LogisticGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.logisticGateAudit(
+      TextAnalysis.synthQualityDocs(t(s, dir, "documents"), "doc_id")
+        .materialized,
+      "label", dims = 64)
+      .select(col("label"), col("lr_pred"), col("gate_pred"), col("n_docs"))
+
+  val q293Sql: String =
+    s"""WITH ${logisticCtes(5)},
+       |gate AS (SELECT doc_id,
+       |    CAST(CASE WHEN $qualitySqlExpr >= 50 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS gate_pred
+       |  FROM (SELECT doc_id, text, len(text) AS n_chars FROM tex))
+       |SELECT tex.label,
+       |  CAST(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS lr_pred,
+       |  gate.gate_pred, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM tex JOIN sc ON sc.doc_id = tex.doc_id
+       |  JOIN gate ON gate.doc_id = tex.doc_id
+       |GROUP BY 1, 2, 3""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9490,7 +9596,9 @@ object QueryCatalog {
     ("q288_pdf_entropy", q288PdfEntropy _, Some(q288Sql)),
     ("q289_feed_entries", q289FeedEntries _, Some(q289Sql)),
     ("q290_feed_revisit", q290FeedRevisit _, Some(q290Sql)),
-    ("q291_compression_gate", q291CompressionGate _, Some(q291Sql)))
+    ("q291_compression_gate", q291CompressionGate _, Some(q291Sql)),
+    ("q292_logistic_scores", q292LogisticScores _, Some(q292Sql)),
+    ("q293_logistic_gate", q293LogisticGate _, Some(q293Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

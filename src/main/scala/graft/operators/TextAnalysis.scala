@@ -1570,4 +1570,147 @@ object TextAnalysis {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .toDF("doc_id", "text")
   }
+
+  // ---------------------------------------------------------------------
+  // Supervised linear quality classifier (the r16 verdict's #4 item)
+  // ---------------------------------------------------------------------
+
+  /** Logistic regression over [[featureHash]] features — the
+    * fastText-style SUPERVISED quality classifier real curation
+    * pipelines train on labeled data (the self-supervised
+    * [[langIdNgram]] NB's missing twin). Full-batch gradient descent,
+    * every round a flat relational step with decimal-exact folds (the
+    * PageRank/unigram round convention) so the ORACLE replays the
+    * entire training via unrolled CTEs:
+    *
+    *   - features: hashed token counts (the q136 md5-bucket formula)
+    *     plus a bias feature at index −1 with count 1
+    *   - z_i = Σ_b w_b·x_ib as DECIMAL(26,12) (w carried at 12 dp, so
+    *     every product is exact; the sum is order-free)
+    *   - p_i = round(σ(z_i), 6) — the ONE transcendental, rounded
+    *     once (the round-then-fold discipline of the entropy/EM
+    *     oracles); residuals and gradients fold the ROUNDED p, so both
+    *     engines sum identical decimals
+    *   - w_b ← round(w_b − lr·grad_b/N, 12), N the doc count
+    *     (control-plane scalar, the PageRank convention)
+    *
+    * Untouched buckets keep weight 0 forever (their gradient is 0), so
+    * the weight frame's cardinality is the OBSERVED feature set —
+    * bounded by min(dims+1, vocabulary), never corpus size.
+    *
+    * Returns (feature_ix, w) after `rounds` updates; `feature_ix = -1`
+    * is the bias. 100 TB shape: per round, one feature-keyed join +
+    * one doc-keyed aggregate + one feature-keyed aggregate — all
+    * map-side-combining keyed exchanges over frames bounded by corpus
+    * tokens; rounds are bounded and plans stay flat behind
+    * [[graft.Materialize]]. */
+  def logisticTrainHashed(docs: DataFrame, labelCol: String, dims: Int,
+                          rounds: Int = 5, lr: Double = 1.0,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds out of range")
+    val feats = featureHash(docs, dims, idCol, textCol)
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit(-1L).as("feature_ix"), lit(1L).as("cnt")))
+      .materialized
+    val labels = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).cast("long").as("_y")).materialized
+    val n = labels.count() // control-plane scalar (the PageRank convention)
+    var w = feats.select(col("feature_ix")).distinct()
+      .select(col("feature_ix"), lit(0.0).as("w")).materialized
+    for (_ <- 0 until rounds) {
+      val z = feats.join(w, Seq("feature_ix"))
+        .select(col("doc_id"),
+          // (18,12)×(6,0) → (25,12): stays inside Spark's 38-digit
+          // cap, so the product is EXACT (a (22,12)×long form would
+          // overflow precision and silently shed scale)
+          (col("w").cast("decimal(18,12)") * col("cnt").cast("decimal(6,0)"))
+            .cast("decimal(26,12)").as("_t"))
+        .groupBy(col("doc_id")).agg(sum(col("_t")).as("_z"))
+      val resid = z.join(labels, Seq("doc_id"))
+        .select(col("doc_id"),
+          (round(lit(1.0) / (lit(1.0) + exp(-col("_z").cast("double"))), 6)
+            .cast("decimal(8,6)") - col("_y")).as("_r"))
+      val grad = feats.join(resid, Seq("doc_id"))
+        .select(col("feature_ix"),
+          (col("_r") * col("cnt").cast("decimal(6,0)"))
+            .cast("decimal(24,6)").as("_g"))
+        .groupBy(col("feature_ix")).agg(sum(col("_g")).as("_g"))
+      w = w.join(grad, Seq("feature_ix"), "left")
+        .select(col("feature_ix"),
+          round(col("w") - lit(lr) *
+            coalesce(col("_g").cast("double"), lit(0.0)) / lit(n.toDouble),
+            12).as("w"))
+        .materialized
+    }
+    w
+  }
+
+  /** Per-doc scores under a trained weight frame: p (6 dp, the same
+    * round-once sigmoid as training) and the 0.5-threshold prediction. */
+  def logisticScore(docs: DataFrame, weights: DataFrame, dims: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val feats = featureHash(docs, dims, idCol, textCol)
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit(-1L).as("feature_ix"), lit(1L).as("cnt")))
+    val z = feats.join(weights, Seq("feature_ix"))
+      .select(col("doc_id"),
+        (col("w").cast("decimal(18,12)") * col("cnt").cast("decimal(6,0)"))
+          .cast("decimal(26,12)").as("_t"))
+      .groupBy(col("doc_id")).agg(sum(col("_t")).as("_z"))
+    z.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-col("_z").cast("double"))), 6)
+        .as("p"))
+      .withColumn("lr_pred", (col("p") >= 0.5).cast("long"))
+  }
+
+  /** The trained classifier against the HEURISTIC quality gate — the
+    * q257 three-way shape: one row per (label, lr_pred, gate_pred)
+    * cell with counts, localizing exactly where the supervised model
+    * and the hand-written gate disagree. `gate_pred` =
+    * [[qualityScore]] ≥ `gateThreshold`. */
+  def logisticGateAudit(docs: DataFrame, labelCol: String, dims: Int,
+                        rounds: Int = 5, lr: Double = 1.0,
+                        gateThreshold: Int = 50,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val w = logisticTrainHashed(docs, labelCol, dims, rounds, lr,
+      idCol, textCol)
+    val scored = logisticScore(docs, w, dims, idCol, textCol)
+    docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("long").as("label"),
+        (qualityScore(col(textCol), length(col(textCol)))
+          >= gateThreshold).cast("long").as("gate_pred"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("label"), col("lr_pred"), col("gate_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Labeled-quality fixture: mode = floorMod(id, 4), label = good on
+    * even ids — (0) good prose the gate also passes, (1) symbol-heavy
+    * spam the gate also fails, (2) good-but-SHORT text the gate fails
+    * (supervised model can still learn its vocabulary), (3)
+    * stopword-rich lottery spam the gate PASSES (clean characters,
+    * right length — the hand-written gate's blind spot a supervised
+    * classifier exists to catch). All texts closed-form id arithmetic. */
+  def synthQualityDocs(ids: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    Spread.toCores(ids).select(id.cast("long").as("doc_id"),
+      (lit(1L) - pmod(id, lit(2)).cast("long")).as("label"),
+      when(pmod(id, lit(4)) === 0, concat(lit(
+        "The quick survey of the annual harvest and the trade records " +
+          "in the town of d"), id, lit(
+        " shows steady growth and fair prices in the region for the year.")))
+        .when(pmod(id, lit(4)) === 1, concat(lit(
+          "BUY NOW!!! $$$ FREE prize"), id, lit(
+          " !!! click click buy buy $$$ win win !!!")))
+        .when(pmod(id, lit(4)) === 2, concat(lit(
+          "A fine essay about the sea d"), id, lit(".")))
+        .otherwise(concat(lit(
+          "The lucky winner of the lottery and the prize draw in the " +
+            "bonus round of the day may claim the reward of the week " +
+            "in the town of d"), id, lit(" now.")))
+        .as("text"))
+  }
 }
