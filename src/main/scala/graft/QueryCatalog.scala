@@ -9300,6 +9300,60 @@ object QueryCatalog {
        |  JOIN gate ON gate.doc_id = tex.doc_id
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** JPEG EXIF APP1 probe (Multimodal.jpegProbe — the r16 verdict's #5
+    * item, the probeWebp shape): SOF dimensions + EXIF orientation from
+    * the TIFF IFD0 walk, no pixel decode. The fixture splices real
+    * encodeExifApp1 segments (both byte orders) into real imageio
+    * JPEGs, leaves one plain (spec-default orientation), and flips one
+    * SOI (ok=0) — everything closed-form id arithmetic. */
+  def q294JpegProbe(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.jpegProbe(
+      operators.Multimodal.synthJpegExifAssets(t(s, dir, "documents"),
+        "doc_id"))
+      .toDF()
+      .select(col("asset_id"), col("ok"), col("width"), col("height"),
+        col("orientation"), col("has_exif"))
+
+  val q294Sql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m,
+      |    ((doc_id % 8) + 8) % 8 + 1 AS o,
+      |    ((doc_id % 13) + 13) % 13 + 2 AS w,
+      |    ((doc_id % 9) + 9) % 9 + 3 AS h
+      |  FROM documents)
+      |SELECT doc_id AS asset_id,
+      |  CAST(CASE WHEN m = 3 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+      |  CAST(CASE WHEN m = 3 THEN NULL ELSE w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN m = 3 THEN NULL WHEN m = 2 THEN 1 ELSE o END
+      |    AS BIGINT) AS orientation,
+      |  CAST(CASE WHEN m = 3 THEN NULL WHEN m = 2 THEN 0 ELSE 1 END
+      |    AS BIGINT) AS has_exif
+      |FROM d""".stripMargin
+
+  /** Orientation-normalized perceptual dedup (Multimodal
+    * .imageAHashOriented over the rotated-re-upload fixture): four
+    * stored variants per picture — upright, EXIF-rotated 90°,
+    * upside-down, mirrored — must collapse to ONE hash once the probe's
+    * orientation is applied to the decoded pixels, so every asset's
+    * hash-cluster size equals its id-group size (the closed-form the
+    * oracle counts; before this operator the rotated bytes hashed
+    * apart — ExifSpec pins that negative too). */
+  def q295OrientedDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = operators.Multimodal.imageAHashOriented(
+      operators.Multimodal.synthOrientedJpegAssets(t(s, dir, "documents"),
+        "doc_id")).toDF().materialized
+    val sizes = hashes.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_same_hash"))
+    hashes.join(sizes, Seq("ahash_hi", "ahash_lo"))
+      .select(col("asset_id"), col("n_same_hash"))
+  }
+
+  val q295Sql: String =
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents)
+      |SELECT doc_id AS asset_id,
+      |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_same_hash
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9598,7 +9652,9 @@ object QueryCatalog {
     ("q290_feed_revisit", q290FeedRevisit _, Some(q290Sql)),
     ("q291_compression_gate", q291CompressionGate _, Some(q291Sql)),
     ("q292_logistic_scores", q292LogisticScores _, Some(q292Sql)),
-    ("q293_logistic_gate", q293LogisticGate _, Some(q293Sql)))
+    ("q293_logistic_gate", q293LogisticGate _, Some(q293Sql)),
+    ("q294_jpeg_probe", q294JpegProbe _, Some(q294Sql)),
+    ("q295_oriented_dedup", q295OrientedDedup _, Some(q295Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -1729,4 +1729,208 @@ object MediaCodecs {
     out.write(chunk, 0, chunk.length)
     out.toByteArray
   }
+
+  // ---------------------------------------------------------------------
+  // JPEG EXIF (APP1) probe — orientation + dimensions WITHOUT a pixel
+  // decode (the r16 verdict's #5 item; the probeWebp shape): the
+  // segment walk reads SOF dimensions and the APP1 Exif TIFF IFD0
+  // orientation tag, both fixed-width bounded header reads. Public
+  // layouts: ISO/IEC 10918-1 marker segments, EXIF 2.x / TIFF 6.0 IFDs.
+  // ---------------------------------------------------------------------
+
+  /** One probed JPEG: frame dimensions (from SOF0/1/2), the EXIF
+    * orientation (1..8; 1 = upright, the spec default when no valid
+    * Exif APP1 is present), and whether a valid Exif APP1 was parsed. */
+  final case class JpegInfo(width: Int, height: Int, orientation: Int,
+                            hasExif: Boolean)
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Orientation from an Exif APP1 payload (`b[off, off+len)`, starting
+    * at the `Exif\u0000\u0000` identifier): byte-order probe (II/MM),
+    * TIFF magic 42, IFD0 entry walk for tag 0x0112 (SHORT, count 1).
+    * None on ANY bounds/shape violation — a corrupt EXIF is ignored,
+    * never guessed at. */
+  private def exifOrientation(b: Array[Byte], off: Int, len: Int): Option[Int] = {
+    if (len < 14) return None
+    if (!(b(off) == 'E' && b(off + 1) == 'x' && b(off + 2) == 'i' &&
+          b(off + 3) == 'f' && b(off + 4) == 0 && b(off + 5) == 0)) return None
+    val t = off + 6 // TIFF header base
+    val end = off + len
+    if (t + 8 > end) return None
+    val little =
+      if (b(t) == 'I' && b(t + 1) == 'I') true
+      else if (b(t) == 'M' && b(t + 1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (little) u16(i).toLong | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2).toLong
+    if (u16(t + 2) != 42) return None
+    val ifd = u32(t + 4)
+    if (ifd < 8 || t + ifd + 2 > end) return None
+    val e0 = t + ifd.toInt
+    val n = u16(e0)
+    if (n > 256 || e0 + 2 + n * 12 > end) return None
+    var i = 0
+    while (i < n) {
+      val e = e0 + 2 + i * 12
+      if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) == 1L) {
+        val v = u16(e + 8) // SHORT count 1 sits in the value field's
+                           // first two bytes, byte-order applied
+        return if (v >= 1 && v <= 8) Some(v) else None
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Probe a JPEG payload by walking its marker segments. None on:
+    * null/short input, missing SOI, a desynced walk (a non-FF where a
+    * marker must start), a declared segment length past the payload, or
+    * no SOF before SOS/EOI (dimensions are the probe's contract).
+    * A corrupt Exif APP1 downgrades to `hasExif = false`, orientation
+    * 1 — the decode-never-lies rule applied to metadata: report only
+    * what parsed. Walk is bounded (≤ 1024 segments). */
+  def probeJpeg(bytes: Array[Byte]): Option[JpegInfo] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var p = 2
+    var orientation = 1
+    var hasExif = false
+    var segs = 0
+    while (p + 4 <= bytes.length && segs < 1024) {
+      segs += 1
+      if ((bytes(p) & 0xff) != 0xff) return None
+      val marker = bytes(p + 1) & 0xff
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        p += 2 // standalone markers carry no length
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / SOS before any SOF: no dimensions
+      } else {
+        val segLen = u16be(bytes, p + 2)
+        if (segLen < 2 || p + 2 + segLen > bytes.length) return None
+        if (marker == 0xe1)
+          exifOrientation(bytes, p + 4, segLen - 2).foreach { o =>
+            if (!hasExif) { orientation = o; hasExif = true } // first wins
+          }
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (segLen < 7) return None
+          val h = u16be(bytes, p + 5)
+          val w = u16be(bytes, p + 7)
+          if (w < 1 || h < 1) return None
+          return Some(JpegInfo(w, h, orientation, hasExif))
+        }
+        p += 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** Fixture-side Exif APP1 segment writer (FF E1, length, Exif id,
+    * TIFF header, a one-entry IFD0 holding Orientation) — emits exactly
+    * the layout [[probeJpeg]] parses, in either byte order. */
+  def encodeExifApp1(orientation: Int, bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "orientation in [1,8]")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w16(v >>> 16); w16(v) } else { w16(v); w16(v >>> 16) }
+    // Exif identifier
+    "Exif".foreach(c => w8(c))
+    w8(0); w8(0)
+    // TIFF header
+    if (bigEndian) { w8('M'); w8('M') } else { w8('I'); w8('I') }
+    w16(42); w32(8)
+    // IFD0: 1 entry, Orientation (0x0112, SHORT, count 1), no next IFD
+    w16(1)
+    w16(0x0112); w16(3); w32(1)
+    w16(orientation); w16(0) // value field: SHORT + 2 pad bytes
+    w32(0)
+    val payload = out.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xe1)
+    val len = payload.length + 2
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write(payload, 0, payload.length)
+    seg.toByteArray
+  }
+
+  /** Splice a marker segment immediately after SOI — how real cameras
+    * place APP1, and how the fixture turns a plain [[encodeJpeg]]
+    * payload into an EXIF-carrying one without re-encoding pixels. */
+  def spliceAfterSoi(jpeg: Array[Byte], segment: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val out = new Array[Byte](jpeg.length + segment.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(segment, 0, out, 2, segment.length)
+    System.arraycopy(jpeg, 2, out, 2 + segment.length, jpeg.length - 2)
+    out
+  }
+
+  /** Recover the UPRIGHT image from stored pixels + their EXIF
+    * orientation (EXIF 2.x §4.6.4: the value names where the stored 0th
+    * row/column sit visually — 1 upright, 2 mirror-H, 3 rotate 180,
+    * 4 mirror-V, 5 transpose, 6 rotate stored 90° CW to display,
+    * 7 transverse, 8 rotate 90° CCW). Out-of-range values return the
+    * input unchanged (the spec-default leniency). Each arm below is the
+    * display transform written as a source-coordinate map; MediaSpec
+    * pins `orientPixels(inverseOrient(img, o), o) == img` for all
+    * eight values on a non-square asymmetric image, so the pair cannot
+    * drift. */
+  def orientPixels(img: BmpData, orientation: Int): BmpData = {
+    val (w, h) = (img.width, img.height)
+    orientation match {
+      case 2 => remap(img, w, h)((x, y) => (w - 1 - x, y))
+      case 3 => remap(img, w, h)((x, y) => (w - 1 - x, h - 1 - y))
+      case 4 => remap(img, w, h)((x, y) => (x, h - 1 - y))
+      case 5 => remap(img, h, w)((x, y) => (y, x))
+      case 6 => remap(img, h, w)((x, y) => (y, h - 1 - x))
+      case 7 => remap(img, h, w)((x, y) => (w - 1 - y, h - 1 - x))
+      case 8 => remap(img, h, w)((x, y) => (w - 1 - y, x))
+      case _ => img
+    }
+  }
+
+  /** The stored grid a camera writing `orientation` would emit for an
+    * UPRIGHT image — [[orientPixels]]' exact inverse (fixture side).
+    * Mirrors/transposes are involutions; the two rotations swap. */
+  def inverseOrient(img: BmpData, orientation: Int): BmpData = {
+    val (w, h) = (img.width, img.height)
+    orientation match {
+      case 2 => remap(img, w, h)((x, y) => (w - 1 - x, y))
+      case 3 => remap(img, w, h)((x, y) => (w - 1 - x, h - 1 - y))
+      case 4 => remap(img, w, h)((x, y) => (x, h - 1 - y))
+      case 5 => remap(img, h, w)((x, y) => (y, x))
+      case 6 => remap(img, h, w)((x, y) => (w - 1 - y, x))
+      case 7 => remap(img, h, w)((x, y) => (w - 1 - y, h - 1 - x))
+      case 8 => remap(img, h, w)((x, y) => (y, h - 1 - x))
+      case _ => img
+    }
+  }
+
+  /** Build an (ow×oh) image whose (x,y) reads the source at `src(x,y)`
+    * — the shared kernel of the eight orientation transforms. */
+  private def remap(img: BmpData, ow: Int, oh: Int)
+                   (src: (Int, Int) => (Int, Int)): BmpData = {
+    val px = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = src(x, y)
+        px(y * ow + x) = img.pixels(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    BmpData(ow, oh, px)
+  }
 }

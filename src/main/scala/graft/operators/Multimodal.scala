@@ -996,4 +996,131 @@ object Multimodal {
       .toDF("asset_id", "payload")
     toAssets(rows, "asset_id", "payload", "image/bmp")
   }
+
+  // NOT private (the TrimWindowRow janino rule)
+  case class JpegProbeRow(asset_id: Long, ok: Long, width: Option[Long],
+                          height: Option[Long], orientation: Option[Long],
+                          has_exif: Option[Long])
+
+  /** JPEG header probe ([[MediaCodecs.probeJpeg]] — the r16 verdict's
+    * #5 item): frame dimensions from the SOF segment and the EXIF
+    * orientation from the APP1 TIFF walk, WITHOUT a pixel decode — the
+    * [[webpProbe]] shape, enriching [[mediaInventory]]-style routing
+    * with the two facts a layout/dedup stage wants first. Malformed
+    * payloads keep their row with ok = 0; a corrupt EXIF downgrades to
+    * orientation 1 / has_exif 0 (report only what parsed). Map-only,
+    * zero shuffle. */
+  def jpegProbe(assets: DataFrame): Dataset[JpegProbeRow] = {
+    val enc = Encoders.product[JpegProbeRow]
+    Spread.toCores(assets)
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaCodecs.probeJpeg(payload) match {
+            case Some(i) => JpegProbeRow(id, 1L, Some(i.width.toLong),
+              Some(i.height.toLong), Some(i.orientation.toLong),
+              Some(if (i.hasExif) 1L else 0L))
+            case None => JpegProbeRow(id, 0L, None, None, None, None)
+          }
+        }
+      }(enc)
+  }
+
+  /** Orientation-NORMALIZED perceptual hash — closes the [[
+    * imageAHashSniff]] gap the r16 verdict named: a rotated re-upload
+    * (same picture, camera-rotated bytes + an EXIF orientation tag)
+    * used to hash differently from its upright original, so near-dup
+    * clustering missed exactly the duplicates phones produce. JPEG
+    * payloads probe their EXIF orientation and the decoded pixels are
+    * restored upright ([[MediaCodecs.orientPixels]]) before the aHash;
+    * every other container hashes as-is (only JPEG carries EXIF in
+    * this library's scope). */
+  def imageAHashOriented(assets: DataFrame): Dataset[AHashRow] =
+    ahashWith(assets, payload =>
+      if (payload != null && payload.length >= 2 &&
+          (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+        val o = MediaCodecs.probeJpeg(payload).map(_.orientation).getOrElse(1)
+        MediaCodecs.decodeJpeg(payload)
+          .map(img => MediaCodecs.orientPixels(img, o))
+      } else if (payload != null && payload.length >= 6 &&
+          payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
+          payload(3) == 'f') MediaCodecs.decodeQoi(payload)
+      else if (payload != null && payload.length >= 6 &&
+          (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+          payload(2) == 'N' && payload(3) == 'G') MediaCodecs.decodePng(payload)
+      else if (payload != null && payload.length >= 6 &&
+          payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == '8') MediaCodecs.decodeGif(payload)
+      else MediaCodecs.decodeBmp(payload))
+
+  /** EXIF-probe fixture: mode = floorMod(id, 4) — (0) a real JPEG with
+    * a spliced big-endian (MM) Exif APP1, orientation (id%8)+1; (1) the
+    * little-endian (II) twin; (2) a plain [[MediaCodecs.encodeJpeg]]
+    * payload (no EXIF → orientation 1); (3) a flipped SOI that must
+    * probe ok = 0. Dimensions closed-form id arithmetic. */
+  def synthJpegExifAssets(ids: DataFrame, idCol: String): DataFrame = {
+    val rows = Spread.toCores(ids) // CPU-heavy encode leg
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (Math.floorMod(id, 13L) + 2L).toInt
+          val h = (Math.floorMod(id, 9L) + 3L).toInt
+          def px(x: Int, y: Int): Int = if ((x + y + id) % 2 == 0) 0xffffff else 0
+          val base = MediaCodecs.encodeJpeg(w, h, px _, 0.9f)
+          val o = (Math.floorMod(id, 8L) + 1L).toInt
+          val bytes = Math.floorMod(id, 4L).toInt match {
+            case 0 => MediaCodecs.spliceAfterSoi(base,
+              MediaCodecs.encodeExifApp1(o, bigEndian = true))
+            case 1 => MediaCodecs.spliceAfterSoi(base,
+              MediaCodecs.encodeExifApp1(o, bigEndian = false))
+            case 2 => base
+            case _ => { val b = base.clone(); b(1) = 0x00.toByte; b }
+          }
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/jpeg")
+  }
+
+  /** Rotated-re-upload fixture for [[imageAHashOriented]]: ids group by
+    * ⌊id/4⌋ into one base picture each (a 64×64 grid of 8×8 cells
+    * colored by the bits of (group+1)·φ — distinct per group, and
+    * JPEG-noise-proof exactly like [[synthJpegBmpPairAssets]]'s
+    * blocks); variant id%4 stores it (0) upright, (1) rotated with
+    * orientation 6, (2) upside-down with orientation 3, (3) mirrored
+    * with orientation 2 — each variant's STORED grid is
+    * [[MediaCodecs.inverseOrient]] of the base, so normalization must
+    * collapse all four to one hash (and did NOT before this operator:
+    * the rotated bytes hash differently under [[imageAHashSniff]]). */
+  def synthOrientedJpegAssets(ids: DataFrame, idCol: String): DataFrame = {
+    val rows = Spread.toCores(ids)
+      .select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val group = Math.floorDiv(id, 4L)
+          val bits = (group + 1L) * 0x9E3779B97F4A7C15L
+          def px(x: Int, y: Int): Int = {
+            val k = (y / 8) * 8 + (x / 8)
+            if (((bits >>> k) & 1L) == 1L) 0xffffff else 0x000000
+          }
+          val upright = MediaCodecs.BmpData(64, 64,
+            Array.tabulate(64 * 64)(i => px(i % 64, i / 64)))
+          val o = Math.floorMod(id, 4L).toInt match {
+            case 0 => 1; case 1 => 6; case 2 => 3; case _ => 2
+          }
+          val stored = MediaCodecs.inverseOrient(upright, o)
+          val jpeg = MediaCodecs.encodeJpeg(stored.width, stored.height,
+            (x, y) => stored.pixels(y * stored.width + x), 0.9f)
+          val bytes =
+            if (o == 1) jpeg
+            else MediaCodecs.spliceAfterSoi(jpeg,
+              MediaCodecs.encodeExifApp1(o, bigEndian = (id % 2 == 0)))
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    toAssets(rows, "asset_id", "payload", "image/jpeg")
+  }
 }
