@@ -577,6 +577,43 @@ object ScaleCheck {
     time("anchor_texts")(
       graft.operators.Html.anchorTexts(
         graft.operators.Html.synthAnchorDocs(docs)))
+    // r17 additions: PDF extraction (map-only codec work), feed parsing
+    // (regex block explode + date columns), the deflate gate (per-doc
+    // zlib), logistic GD (corpus-sized scans over vocab-bounded weight
+    // frames), and the two JPEG header/pixel legs
+    time("pdf_text")(
+      graft.operators.Pdf.pdfTexts(
+        graft.operators.Pdf.synthPdfAssets(docIds, "doc_id")).toDF())
+    time("feed_entries")({
+      val id = col("doc_id")
+      val bodies = docs.select(
+        concat(lit("f"), (id % 97).cast("string"), lit(".org")).as("host"),
+        concat(lit("<rss><channel><item><title>T"), id.cast("string"),
+          lit("</title><link>https://f"), (id % 97).cast("string"),
+          lit(".org/a"), id.cast("string"),
+          lit("</link><pubDate>Tue, 05 Mar 2024 10:20:30 GMT</pubDate>"),
+          lit("</item><item><link>https://f"), (id % 97).cast("string"),
+          lit(".org/b"), id.cast("string"),
+          lit("</link><pubDate>5 Mar 2024 23:45:00 +0530</pubDate></item>"),
+          lit("</channel></rss>")).as("body"))
+      graft.operators.Sitemaps.feedEntries(bodies)
+    })
+    time("compression_gate")(
+      graft.operators.TextAnalysis.compressionRatio(
+        graft.operators.TextAnalysis.synthCompressionDocs(docIds, "doc_id"))
+        .toDF())
+    time("logistic_train")(
+      graft.operators.TextAnalysis.logisticTrainHashed(
+        graft.operators.TextAnalysis.synthQualityDocs(docIds, "doc_id"),
+        "label", dims = 64))
+    time("jpeg_probe")(
+      graft.operators.Multimodal.jpegProbe(
+        graft.operators.Multimodal.synthJpegExifAssets(docIds, "doc_id"))
+        .toDF())
+    time("oriented_ahash")(
+      graft.operators.Multimodal.imageAHashOriented(
+        graft.operators.Multimodal.synthOrientedJpegAssets(docIds, "doc_id"))
+        .toDF())
     spark.stop()
   }
 }
