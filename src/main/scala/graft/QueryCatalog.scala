@@ -9223,10 +9223,10 @@ object QueryCatalog {
          |fe AS MATERIALIZED (
          |  SELECT doc_id,
          |    CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) % 64 AS fx,
-         |    CAST(count(*) AS DECIMAL(6,0)) AS cnt
+         |    CAST(count(*) AS DECIMAL(12,0)) AS cnt
          |  FROM tok GROUP BY 1, 2
          |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT),
-         |    CAST(1 AS DECIMAL(6,0)) FROM tex),
+         |    CAST(1 AS DECIMAL(12,0)) FROM tex),
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tex),
          |w0 AS MATERIALIZED (SELECT fx, CAST(0.0 AS DOUBLE) AS w
          |  FROM (SELECT DISTINCT fx FROM fe))""".stripMargin
@@ -9234,8 +9234,8 @@ object QueryCatalog {
       s"""z$i AS (SELECT doc_id, sum(CAST(w AS DECIMAL(18,12)) * cnt) AS z
          |  FROM fe JOIN w$i USING (fx) GROUP BY 1),
          |r$i AS (SELECT z$i.doc_id,
-         |    CAST(round(1 / (1 + exp(-CAST(z AS DOUBLE))), 6) AS DECIMAL(8,6))
-         |      - tex.label AS r
+         |    CAST(CAST(round(1 / (1 + exp(-CAST(z AS DOUBLE))), 6)
+         |      AS DECIMAL(8,6)) - tex.label AS DECIMAL(8,6)) AS r
          |  FROM z$i JOIN tex ON tex.doc_id = z$i.doc_id),
          |g$i AS (SELECT fx, sum(r * cnt) AS g
          |  FROM fe JOIN r$i USING (doc_id) GROUP BY 1),
@@ -9349,7 +9349,8 @@ object QueryCatalog {
   }
 
   val q295Sql: String =
-    """WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents)
+    """WITH d AS (SELECT doc_id,
+      |    (doc_id - ((doc_id % 4) + 4) % 4) // 4 AS g FROM documents)
       |SELECT doc_id AS asset_id,
       |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_same_hash
       |FROM d""".stripMargin

@@ -1805,6 +1805,11 @@ object MediaCodecs {
     while (p + 4 <= bytes.length && segs < 1024) {
       segs += 1
       if ((bytes(p) & 0xff) != 0xff) return None
+      // ISO 10918-1 B.1.1.2: any number of 0xFF FILL bytes may pad
+      // the space before a marker — skip to the last FF of the run (a
+      // padded camera file is valid, not a desync; the r17 review
+      // finding)
+      while (p + 2 < bytes.length && (bytes(p + 1) & 0xff) == 0xff) p += 1
       val marker = bytes(p + 1) & 0xff
       if (marker == 0xd8 || marker == 0x01 ||
           (marker >= 0xd0 && marker <= 0xd7)) {
@@ -1812,6 +1817,7 @@ object MediaCodecs {
       } else if (marker == 0xd9 || marker == 0xda) {
         return None // EOI / SOS before any SOF: no dimensions
       } else {
+        if (p + 4 > bytes.length) return None // fill run ate the length
         val segLen = u16be(bytes, p + 2)
         if (segLen < 2 || p + 2 + segLen > bytes.length) return None
         if (marker == 0xe1)

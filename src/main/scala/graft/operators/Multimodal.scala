@@ -419,17 +419,24 @@ object Multimodal {
     * pipeline cannot dedup images without it; unknown containers keep
     * their row with ok = 0. */
   def imageAHashSniff(assets: DataFrame): Dataset[AHashRow] =
-    ahashWith(assets, payload =>
-      if (payload == null || payload.length < 6) None
-      else if (payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
-          payload(3) == 'f') MediaCodecs.decodeQoi(payload)
-      else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
-          payload(2) == 'N' && payload(3) == 'G') MediaCodecs.decodePng(payload)
-      else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
-          payload(3) == '8') MediaCodecs.decodeGif(payload)
-      else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
-        MediaCodecs.decodeJpeg(payload)
-      else MediaCodecs.decodeBmp(payload))
+    ahashWith(assets, decodeBySniff)
+
+  /** The ONE magic-byte decode dispatch shared by both aHash variants —
+    * routing delegates to [[MediaCodecs.sniffContainer]] so container
+    * knowledge lives in exactly one place (the r17 review finding:
+    * three hand-rolled copies of the sniff chain had already diverged
+    * in their length guards). Unroutable or non-pixel containers
+    * (webp/wav/unknown) decode to None; each decoder still validates
+    * its own magic and framing. */
+  private def decodeBySniff(payload: Array[Byte]): Option[MediaCodecs.BmpData] =
+    MediaCodecs.sniffContainer(payload) match {
+      case "qoi"  => MediaCodecs.decodeQoi(payload)
+      case "png"  => MediaCodecs.decodePng(payload)
+      case "gif"  => MediaCodecs.decodeGif(payload)
+      case "jpeg" => MediaCodecs.decodeJpeg(payload)
+      case "bmp"  => MediaCodecs.decodeBmp(payload)
+      case _      => None
+    }
 
   case class WebpRow(asset_id: Long, ok: Long, variant: Option[String],
                      width: Option[Long], height: Option[Long],
@@ -1038,21 +1045,11 @@ object Multimodal {
     * this library's scope). */
   def imageAHashOriented(assets: DataFrame): Dataset[AHashRow] =
     ahashWith(assets, payload =>
-      if (payload != null && payload.length >= 2 &&
-          (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      if (MediaCodecs.sniffContainer(payload) == "jpeg") {
         val o = MediaCodecs.probeJpeg(payload).map(_.orientation).getOrElse(1)
         MediaCodecs.decodeJpeg(payload)
           .map(img => MediaCodecs.orientPixels(img, o))
-      } else if (payload != null && payload.length >= 6 &&
-          payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
-          payload(3) == 'f') MediaCodecs.decodeQoi(payload)
-      else if (payload != null && payload.length >= 6 &&
-          (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
-          payload(2) == 'N' && payload(3) == 'G') MediaCodecs.decodePng(payload)
-      else if (payload != null && payload.length >= 6 &&
-          payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
-          payload(3) == '8') MediaCodecs.decodeGif(payload)
-      else MediaCodecs.decodeBmp(payload))
+      } else decodeBySniff(payload))
 
   /** EXIF-probe fixture: mode = floorMod(id, 4) — (0) a real JPEG with
     * a spliced big-endian (MM) Exif APP1, orientation (id%8)+1; (1) the

@@ -222,7 +222,7 @@ object Sitemaps {
     * 1-2 digit day, English month name, 4-digit year, HH:MM[:SS],
     * optional zone — `GMT`/`UT`/`UTC`/`Z` or a numeric `±HHMM`. Named
     * zones beyond those are out of scope (→ NULL, the leniency rule). */
-  val Rfc822Re = "^[ \\t]*(?:[A-Za-z]{3}[ \\t]*,[ \\t]*)?(\\d{1,2})[ \\t]+" +
+  val Rfc822Re = "(?i)^[ \\t]*(?:[A-Za-z]{3}[ \\t]*,[ \\t]*)?(\\d{1,2})[ \\t]+" +
     "([A-Za-z]{3})[ \\t]+(\\d{4})[ \\t]+(\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
     "[ \\t]*(GMT|UTC?|Z|[+-]\\d{4})?[ \\t]*$"
 

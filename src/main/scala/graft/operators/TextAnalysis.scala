@@ -1527,11 +1527,13 @@ object TextAnalysis {
             CompressionRow(id, raw.length.toLong, n, Some(ratio), verdict)
           }
         }
-        // Deflater holds native memory: end() when the partition drains
-        new Iterator[CompressionRow] {
-          def hasNext: Boolean = { val h = it2.hasNext; if (!h) d.end(); h }
-          def next(): CompressionRow = it2.next()
-        }
+        // Deflater holds native memory: release on task COMPLETION, not
+        // iterator drain — a downstream limit/take stops pulling early
+        // and a drain-triggered end() would never run (the r17 review
+        // finding)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
+        it2
       }(enc)
   }
 
@@ -1621,20 +1623,25 @@ object TextAnalysis {
     for (_ <- 0 until rounds) {
       val z = feats.join(w, Seq("feature_ix"))
         .select(col("doc_id"),
-          // (18,12)×(6,0) → (25,12): stays inside Spark's 38-digit
+          // (18,12)×(12,0) → (31,12): stays inside Spark's 38-digit
           // cap, so the product is EXACT (a (22,12)×long form would
-          // overflow precision and silently shed scale)
-          (col("w").cast("decimal(18,12)") * col("cnt").cast("decimal(6,0)"))
-            .cast("decimal(26,12)").as("_t"))
+          // overflow precision and silently shed scale); 12 digits of
+          // count headroom — a (6,0) cast would overflow on a
+          // million-token bucket (the r17 review finding)
+          (col("w").cast("decimal(18,12)") * col("cnt").cast("decimal(12,0)"))
+            .cast("decimal(32,12)").as("_t"))
         .groupBy(col("doc_id")).agg(sum(col("_t")).as("_z"))
       val resid = z.join(labels, Seq("doc_id"))
         .select(col("doc_id"),
           (round(lit(1.0) / (lit(1.0) + exp(-col("_z").cast("double"))), 6)
-            .cast("decimal(8,6)") - col("_y")).as("_r"))
+            .cast("decimal(8,6)") - col("_y"))
+            // |p − y| ≤ 1: clamp the widened subtraction type back so
+            // the gradient product stays inside the 38-digit cap
+            .cast("decimal(8,6)").as("_r"))
       val grad = feats.join(resid, Seq("doc_id"))
         .select(col("feature_ix"),
-          (col("_r") * col("cnt").cast("decimal(6,0)"))
-            .cast("decimal(24,6)").as("_g"))
+          (col("_r") * col("cnt").cast("decimal(12,0)"))
+            .cast("decimal(30,6)").as("_g"))
         .groupBy(col("feature_ix")).agg(sum(col("_g")).as("_g"))
       w = w.join(grad, Seq("feature_ix"), "left")
         .select(col("feature_ix"),
@@ -1656,8 +1663,8 @@ object TextAnalysis {
         lit(-1L).as("feature_ix"), lit(1L).as("cnt")))
     val z = feats.join(weights, Seq("feature_ix"))
       .select(col("doc_id"),
-        (col("w").cast("decimal(18,12)") * col("cnt").cast("decimal(6,0)"))
-          .cast("decimal(26,12)").as("_t"))
+        (col("w").cast("decimal(18,12)") * col("cnt").cast("decimal(12,0)"))
+          .cast("decimal(32,12)").as("_t"))
       .groupBy(col("doc_id")).agg(sum(col("_t")).as("_z"))
     z.select(col("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-col("_z").cast("double"))), 6)

@@ -52,6 +52,16 @@ class ExifSpec extends SparkSpec {
     assert(MediaCodecs.probeJpeg(MediaCodecs.spliceAfterSoi(base, broken)) ===
       Some(MediaCodecs.JpegInfo(5, 5, 1, hasExif = false)),
       "corrupt EXIF: dims still report, orientation falls to default")
+    // ISO 10918-1 B.1.1.2 fill bytes: a run of extra 0xFF before a
+    // marker is spec-legal padding, not a desync (r17 review)
+    val padded = MediaCodecs.spliceAfterSoi(base,
+      Array.fill(5)(0xff.toByte) ++ MediaCodecs.encodeExifApp1(3, bigEndian = true))
+    assert(MediaCodecs.probeJpeg(padded) ===
+      Some(MediaCodecs.JpegInfo(5, 5, 3, hasExif = true)),
+      "FF fill run before APP1 skips cleanly")
+    assert(MediaCodecs.probeJpeg(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xff.toByte)) === None,
+      "a fill run that eats the payload refuses, never reads out of bounds")
     val noSoi = base.clone(); noSoi(1) = 0x00.toByte
     assert(MediaCodecs.probeJpeg(noSoi) === None)
     assert(MediaCodecs.probeJpeg(null) === None)

@@ -23,6 +23,8 @@ class FeedSpec extends SparkSpec {
     assert(ts822("04 Mar 2024 10:00:00") === "2024-03-04 10:00:00",
       "missing zone reads as UTC")
     assert(ts822("04 Mar 2024 10:00:00 -0700") === "2024-03-04 17:00:00")
+    assert(ts822("Tue, 05 Mar 2024 10:20:30 gmt") === "2024-03-05 10:20:30",
+      "zone token is case-insensitive like the month names (r17 review)")
     assert(ts822("45 Mar 2024 10:00:00 GMT") === null,
       "try_to_timestamp validates the calendar: day 45 is NULL, not a throw")
     assert(ts822("04 Foo 2024 10:00:00 GMT") === null, "unknown month")
