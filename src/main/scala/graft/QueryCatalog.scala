@@ -9355,6 +9355,44 @@ object QueryCatalog {
       |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_same_hash
       |FROM d""".stripMargin
 
+  /** zstd multi-frame member split (Compressed.zstdMemberSplit — the
+    * SURVEY §7.4 #7 gated leg LIFTED: zstd-jni is in the environment
+    * and already powers decodeShard's stream path, so the `.warc.zst`
+    * frame walk slots in beside the RFC 1952 one exactly as that entry
+    * promised): per frame, (n_bytes, md5) of the decompressed payload,
+    * replayed by the oracle from the source text without seeing a zstd
+    * byte. Boundaries (offset/comp_len) are codec-implementation facts
+    * proven by the re-slice round-trip in ZstdSpec, not oracled (the
+    * q239 convention). */
+  def q296ZstdMembers(s: SparkSession, dir: String): DataFrame =
+    operators.Compressed.zstdMemberFeatures(
+      operators.Compressed.synthZstdShards(
+        t(s, dir, "documents"), "doc_id", "text", shardSize = 8))
+      .toDF()
+      .select(col("shard_id"), col("member_idx"), col("ok"),
+        col("n_bytes"), col("md5_hex"))
+
+  val q296Sql: String =
+    """SELECT CAST((doc_id - ((doc_id % 8) + 8) % 8) // 8 AS BIGINT)
+      |    AS shard_id,
+      |  CAST(row_number() OVER (
+      |      PARTITION BY (doc_id - ((doc_id % 8) + 8) % 8) // 8
+      |      ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+      |  CAST(1 AS BIGINT) AS ok,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** WARC records over `.warc.zst` shards — the SAME record reader and
+    * the SAME oracle as q250's gzip path (the codec sniff routes inside
+    * walkShard; record-layer code untouched, exactly the §7.4 #7
+    * slots-in promise): a divergence anywhere in the zstd walk breaks
+    * q250's oracle verbatim. */
+  def q297WarcZstd(s: SparkSession, dir: String): DataFrame =
+    operators.Warc.warcRecordFeatures(
+      operators.Warc.synthWarcShards(t(s, dir, "documents"), "doc_id", "text",
+        codec = "zstd"))
+      .toDF()
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9655,7 +9693,9 @@ object QueryCatalog {
     ("q292_logistic_scores", q292LogisticScores _, Some(q292Sql)),
     ("q293_logistic_gate", q293LogisticGate _, Some(q293Sql)),
     ("q294_jpeg_probe", q294JpegProbe _, Some(q294Sql)),
-    ("q295_oriented_dedup", q295OrientedDedup _, Some(q295Sql)))
+    ("q295_oriented_dedup", q295OrientedDedup _, Some(q295Sql)),
+    ("q296_zstd_members", q296ZstdMembers _, Some(q296Sql)),
+    ("q297_warc_zstd", q297WarcZstd _, Some(q250Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

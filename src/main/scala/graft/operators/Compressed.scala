@@ -378,4 +378,132 @@ object Compressed {
         }
       }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // zstd member split — the SURVEY §7.4 #7 gated leg, LIFTED in r17:
+  // the environment carries zstd-jni (already used by decodeShard's
+  // stream path), so the .warc.zst frame walk slots in beside the
+  // RFC 1952 one exactly as that entry promised.
+  // ------------------------------------------------------------------
+
+  /** One zstd frame inside a multi-frame shard — the `.warc.zst`
+    * layout's unit (one record per frame, frames concatenated), same
+    * boundary semantics as [[GzipMember]]: (offset, compLen) are the
+    * ranged-read coordinates of the frame, `data` its decompressed
+    * payload. */
+  final case class ZstdMember(offset: Long, compLen: Long, data: Array[Byte])
+
+  /** Split a multi-frame zstd shard into its frames WITH byte
+    * boundaries — [[gunzipMemberSplit]]'s RFC 8878 twin. Frame spans
+    * come from the reference decoder's own frame walk
+    * (`Zstd.findFrameCompressedSize` — block-level parsing this code
+    * does not re-implement); each frame then decompresses alone
+    * through `ZstdInputStream` (content checksums verified natively).
+    * Skippable frames (magic 0x184D2A5x — Common Crawl parks its
+    * shared dictionary in one) are SKIPPED, not members; frames that
+    * REQUIRE that dictionary fail their decompress and the shard reads
+    * None — dictionary wiring is out of scope, stated honestly (the
+    * skippable frame's content is itself compressed by a convention
+    * this sandbox cannot verify). None on any malformed/truncated
+    * frame, trailing garbage, or the [[MaxInflated]] cap summed across
+    * frames; never throws. */
+  def zstdMemberSplit(bytes: Array[Byte]): Option[Seq[ZstdMember]] = {
+    if (bytes == null || bytes.length < 4) return None
+    def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val members = scala.collection.mutable.ArrayBuffer.empty[ZstdMember]
+    var pos = 0
+    var total = 0L
+    while (pos < bytes.length) {
+      if (pos + 4 > bytes.length) return None
+      val magic = le32(pos)
+      if (magic >= 0x184d2a50L && magic <= 0x184d2a5fL) {
+        if (pos + 8 > bytes.length) return None
+        val sz = le32(pos + 4)
+        if (sz > bytes.length - pos - 8) return None
+        pos += 8 + sz.toInt
+      } else if (magic == 0xfd2fb528L) {
+        val span =
+          try com.github.luben.zstd.Zstd.findFrameCompressedSize(bytes, pos)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        if (com.github.luben.zstd.Zstd.isError(span) || span <= 0 ||
+            span > bytes.length - pos) return None
+        val slice = java.util.Arrays.copyOfRange(bytes, pos, pos + span.toInt)
+        val out = new java.io.ByteArrayOutputStream(8192)
+        try {
+          val zin = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(slice))
+          try {
+            val buf = new Array[Byte](8192)
+            var n = zin.read(buf)
+            while (n >= 0) {
+              out.write(buf, 0, n)
+              total += n
+              if (total > MaxInflated) return None // bomb cap
+              n = zin.read(buf)
+            }
+          } finally zin.close()
+        } catch { case _: java.io.IOException => return None }
+        members += ZstdMember(pos.toLong, span, out.toByteArray)
+        pos += span.toInt
+      } else return None // neither a data nor a skippable frame
+    }
+    if (members.isEmpty) None else Some(members.toSeq)
+  }
+
+  /** [[gunzipMemberFeatures]]' zstd twin — same row shape (the
+    * [[GzipMemberRow]] fields are codec-neutral boundary+fingerprint
+    * facts), same taxonomy: a shard failing [[zstdMemberSplit]] yields
+    * one ok=0 row at member_idx −1. */
+  def zstdMemberFeatures(assets: DataFrame): Dataset[GzipMemberRow] = {
+    val enc = Encoders.product[GzipMemberRow]
+    Spread.toCores(assets)
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          zstdMemberSplit(payload) match {
+            case Some(members) => members.iterator.zipWithIndex.map {
+              case (m, i) =>
+                md.reset()
+                val hex = md.digest(m.data).map("%02x".format(_)).mkString
+                GzipMemberRow(id, i.toLong, 1L, Some(m.offset), Some(m.compLen),
+                  Some(m.data.length.toLong), Some(hex))
+            }
+            case None => Iterator.single(
+              GzipMemberRow(id, -1L, 0L, None, None, None, None))
+          }
+        }
+      }(enc)
+  }
+
+  /** Multi-frame zstd shard fixture — [[synthGzipShards]]' layout with
+    * each document compressed as its OWN zstd frame. */
+  def synthZstdShards(docs: DataFrame, idCol: String, textCol: String,
+                      shardSize: Int = 8): DataFrame = {
+    require(shardSize >= 1, "shardSize must be positive")
+    val grouped = Spread.toCores(docs)
+      .filter(col(textCol).isNotNull)
+      .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"), col(textCol).as("_text"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_text")))).as("_docs"))
+    val rows = grouped
+      .select(col("_shard"), col("_docs._text").as("_texts"))
+      .as(Encoders.product[(Long, Seq[String])])
+      .mapPartitions { it =>
+        it.map { case (shard, texts) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          texts.foreach { text =>
+            val m = compressAs("zstd",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/zstd")
+  }
 }

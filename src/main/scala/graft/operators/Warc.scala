@@ -113,13 +113,26 @@ object Warc {
     * the RFC 1952 walk, then [[parseWarcRecord]] per member. A shard
     * whose gzip framing fails yields a single (−1, None); a member whose
     * record is malformed yields (idx, None); good records (idx, Some). */
-  private def walkShard(payload: Array[Byte]): Iterator[(Long, Option[WarcRecord])] =
-    Compressed.gunzipMemberSplit(payload) match {
+  private def walkShard(payload: Array[Byte]): Iterator[(Long, Option[WarcRecord])] = {
+    // codec sniff: a zstd data frame (28 B5 2F FD LE) or a leading
+    // skippable frame (5x 2A 4D 18 — where .warc.zst parks its
+    // dictionary) routes to the RFC 8878 walk; everything else takes
+    // the RFC 1952 gzip path as before (SURVEY §7.4 #7, lifted r17)
+    val zstd = payload != null && payload.length >= 4 &&
+      (((payload(0) & 0xff) == 0x28 && (payload(1) & 0xff) == 0xb5 &&
+        (payload(2) & 0xff) == 0x2f && (payload(3) & 0xff) == 0xfd) ||
+       ((payload(0) & 0xf0) == 0x50 && (payload(1) & 0xff) == 0x2a &&
+        (payload(2) & 0xff) == 0x4d && (payload(3) & 0xff) == 0x18))
+    val split =
+      if (zstd) Compressed.zstdMemberSplit(payload).map(_.map(_.data))
+      else Compressed.gunzipMemberSplit(payload).map(_.map(_.data))
+    split match {
       case None => Iterator.single((-1L, None))
       case Some(members) => members.iterator.zipWithIndex.map {
-        case (m, i) => (i.toLong, parseWarcRecord(m.data))
+        case (data, i) => (i.toLong, parseWarcRecord(data))
       }
     }
+  }
 
   /** Shard payloads → one row per WARC record with the typed header
     * fields. md5 is of the record PAYLOAD — the losslessness hook the
@@ -503,7 +516,8 @@ object Warc {
     * byte-faithful to how Common Crawl lays out `.wet.gz`. */
   def synthWarcShards(docs: DataFrame, idCol: String, textCol: String,
                       shardSize: Int = 8,
-                      contentType: String = "text/plain"): DataFrame = {
+                      contentType: String = "text/plain",
+                      codec: String = "gzip"): DataFrame = {
     require(shardSize >= 1, "shardSize must be positive")
     // FLOOR division, not Spark's truncate-toward-zero DIV: the oracle
     // replays this key as DuckDB `//` (floor), and the two disagree for
@@ -533,7 +547,7 @@ object Warc {
               recordId = f"00000000-0000-0000-0000-${id}%012d",
               contentType = contentType,
               body = text.getBytes(Utf8))
-            val m = Compressed.gzipBytes(rec)
+            val m = Compressed.compressAs(codec, rec)
             bos.write(m, 0, m.length)
           }
           (shard, bos.toByteArray)
