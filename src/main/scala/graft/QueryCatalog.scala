@@ -9393,6 +9393,39 @@ object QueryCatalog {
         codec = "zstd"))
       .toDF()
 
+  /** `.jsonl.zst` document ingest (Compressed.jsonlLines + from_json —
+    * the Dolma/RedPajama distribution reality a user switching corpora
+    * hits first): codec-sniffed frame split, UTF-8 line split, typed
+    * JSON parse. The fixture serializes the documents table itself
+    * through to_json (content newlines/quotes escape as real writers
+    * escape them), 4 lines per zstd frame, 8 docs per shard — so the
+    * oracle replays shard/member/line coordinates and the parsed
+    * fields from the source rows without seeing a compressed byte. */
+  def q298JsonlZstd(s: SparkSession, dir: String): DataFrame =
+    operators.Compressed.jsonlLines(
+      operators.Compressed.synthJsonlZstdShards(t(s, dir, "documents")))
+      .toDF()
+      .withColumn("_j",
+        from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, text STRING, lang STRING")))
+      .select(col("shard_id"), col("member_idx"), col("line_idx"),
+        col("_j.id").as("doc_id"), col("_j.lang").as("lang"),
+        length(col("_j.text")).cast("long").as("n_chars"))
+
+  val q298Sql: String =
+    """WITH d AS (SELECT doc_id, text, lang,
+      |    (doc_id - ((doc_id % 8) + 8) % 8) // 8 AS shard,
+      |    row_number() OVER (
+      |      PARTITION BY (doc_id - ((doc_id % 8) + 8) % 8) // 8
+      |      ORDER BY doc_id) - 1 AS rk
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT CAST(shard AS BIGINT) AS shard_id,
+      |  CAST(rk // 4 AS BIGINT) AS member_idx,
+      |  CAST(rk % 4 AS BIGINT) AS line_idx, doc_id, lang,
+      |  CAST(len(text) AS BIGINT) AS n_chars
+      |FROM d""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9695,7 +9728,8 @@ object QueryCatalog {
     ("q294_jpeg_probe", q294JpegProbe _, Some(q294Sql)),
     ("q295_oriented_dedup", q295OrientedDedup _, Some(q295Sql)),
     ("q296_zstd_members", q296ZstdMembers _, Some(q296Sql)),
-    ("q297_warc_zstd", q297WarcZstd _, Some(q250Sql)))
+    ("q297_warc_zstd", q297WarcZstd _, Some(q250Sql)),
+    ("q298_jsonl_zstd", q298JsonlZstd _, Some(q298Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -506,4 +506,90 @@ object Compressed {
       .toDF("asset_id", "payload")
     Multimodal.toAssets(rows, "asset_id", "payload", "application/zstd")
   }
+
+  // NOT private (the TrimWindowRow janino rule)
+  final case class JsonlLineRow(shard_id: Long, member_idx: Long,
+                                line_idx: Long, ok: Long,
+                                line: Option[String])
+
+  /** JSONL lines out of compressed document shards — the
+    * Dolma/RedPajama `.jsonl.zst` (and `.jsonl.gz`) distribution
+    * reality: a shard is concatenated compressed frames, each frame a
+    * batch of newline-delimited JSON documents. Codec-sniffed per
+    * shard (zstd data/skippable magic → [[zstdMemberSplit]], else
+    * [[gunzipMemberSplit]] — the [[graft.operators.Warc]] walk's
+    * convention); each member's payload decodes as UTF-8 and splits on
+    * newlines (JSONL's framing guarantee: content newlines are
+    * escaped inside the JSON strings). A shard whose framing fails
+    * yields one ok=0 row at member_idx −1; the JSON itself is parsed
+    * downstream with `from_json` (q298), so a malformed LINE stays
+    * visible as a row whose parsed struct is NULL — never vanishes.
+    * Map-only, zero shuffle. */
+  def jsonlLines(assets: DataFrame): Dataset[JsonlLineRow] = {
+    val enc = Encoders.product[JsonlLineRow]
+    Spread.toCores(assets)
+      .select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val zstd = payload != null && payload.length >= 4 &&
+            (((payload(0) & 0xff) == 0x28 && (payload(1) & 0xff) == 0xb5 &&
+              (payload(2) & 0xff) == 0x2f && (payload(3) & 0xff) == 0xfd) ||
+             ((payload(0) & 0xf0) == 0x50 && (payload(1) & 0xff) == 0x2a &&
+              (payload(2) & 0xff) == 0x4d && (payload(3) & 0xff) == 0x18))
+          val split =
+            if (zstd) zstdMemberSplit(payload).map(_.map(_.data))
+            else gunzipMemberSplit(payload).map(_.map(_.data))
+          split match {
+            case None => Iterator.single(JsonlLineRow(id, -1L, -1L, 0L, None))
+            case Some(members) => members.iterator.zipWithIndex.flatMap {
+              case (data, m) =>
+                new String(data, java.nio.charset.StandardCharsets.UTF_8)
+                  .split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
+                  .map { case (line, l) =>
+                    JsonlLineRow(id, m.toLong, l.toLong, 1L, Some(line))
+                  }
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** `.jsonl.zst` shard fixture: documents 8 per shard in doc_id
+    * order, serialized as `to_json(struct(id, text, lang))` lines —
+    * content newlines/quotes escape exactly as real writers escape
+    * them — and compressed `linesPerFrame` lines to a zstd frame
+    * (multi-frame shards, the [[synthZstdShards]] layout). */
+  def synthJsonlZstdShards(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           langCol: String = "lang",
+                           shardSize: Int = 8,
+                           linesPerFrame: Int = 4): DataFrame = {
+    require(shardSize >= 1 && linesPerFrame >= 1, "positive sizes")
+    val grouped = Spread.toCores(docs)
+      .filter(col(textCol).isNotNull)
+      .select(expr(s"(CAST($idCol AS BIGINT) - pmod(CAST($idCol AS BIGINT), $shardSize)) DIV $shardSize").as("_shard"),
+        col(idCol).cast(LongType).as("_id"),
+        to_json(struct(col(idCol).cast(LongType).as("id"),
+          col(textCol).as("text"), col(langCol).as("lang"))).as("_line"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_line"))))
+        .as("_docs"))
+    val rows = grouped
+      .select(col("_shard"), col("_docs._line").as("_lines"))
+      .as(Encoders.product[(Long, Seq[String])])
+      .mapPartitions { it =>
+        it.map { case (shard, lines) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          lines.grouped(linesPerFrame).foreach { chunk =>
+            val m = compressAs("zstd", chunk.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            bos.write(m, 0, m.length)
+          }
+          (shard, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("asset_id", "payload")
+    Multimodal.toAssets(rows, "asset_id", "payload", "application/jsonl+zstd")
+  }
 }

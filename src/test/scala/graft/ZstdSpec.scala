@@ -67,4 +67,47 @@ class ZstdSpec extends SparkSpec {
     assert(gz.length === 3 && zs.toSeq === gz.toSeq,
       "record rows are codec-invariant — the §7.4 #7 slots-in promise")
   }
+
+  test("jsonlLines: frame batches, escaped content newlines, malformed-line visibility") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "plain body", "en"),
+      (1L, "line one\nline two \"quoted\"", "de"), // newline + quotes must escape
+      (2L, "tercero", "es"),
+      (3L, "quatre", "fr"),
+      (4L, "fifth doc, second frame", "en"))
+      .toDF("doc_id", "text", "lang")
+    val lines = operators.Compressed.jsonlLines(
+      operators.Compressed.synthJsonlZstdShards(docs, shardSize = 8,
+        linesPerFrame = 4)).collect()
+    assert(lines.length === 5 && lines.forall(_.ok === 1L))
+    assert(lines.count(_.member_idx === 0L) === 4 &&
+      lines.count(_.member_idx === 1L) === 1, "4 lines per frame, then spill")
+    val parsed = operators.Compressed.jsonlLines(
+      operators.Compressed.synthJsonlZstdShards(docs))
+      .toDF()
+      .withColumn("j", from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, text STRING, lang STRING")))
+      .select(col("j.id"), col("j.text"), col("j.lang"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(parsed(1L) === (("line one\nline two \"quoted\"", "de")),
+      "content newline and quotes round-trip through the JSON escape")
+    assert(parsed.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // a malformed line stays visible: its row exists, the struct is NULL
+    val bad = operators.Compressed.compressAs("zstd",
+      "{\"id\": 7, \"text\": \"ok\"}\nnot json at all".getBytes("UTF-8"))
+    val badRows = operators.Compressed.jsonlLines(
+      graft.operators.Multimodal.toAssets(
+        Seq((0L, bad)).toDF("asset_id", "payload"),
+        "asset_id", "payload", "application/jsonl+zstd"))
+      .toDF()
+      .withColumn("j", from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, text STRING")))
+      .select(col("line_idx"), col("j.id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(badRows(0L) === Some(7L) && badRows(1L) === None,
+      "malformed JSON line: row kept, parsed struct NULL — never vanishes")
+  }
 }
