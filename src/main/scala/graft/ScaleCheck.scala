@@ -614,6 +614,13 @@ object ScaleCheck {
       graft.operators.Multimodal.imageAHashOriented(
         graft.operators.Multimodal.synthOrientedJpegAssets(docIds, "doc_id"))
         .toDF())
+    time("zstd_members")(
+      graft.operators.Compressed.zstdMemberFeatures(
+        graft.operators.Compressed.synthZstdShards(docs, "doc_id", "text"))
+        .toDF())
+    time("jsonl_ingest")(
+      graft.operators.Compressed.jsonlLines(
+        graft.operators.Compressed.synthJsonlZstdShards(docs)).toDF())
     spark.stop()
   }
 }
