@@ -9426,6 +9426,80 @@ object QueryCatalog {
       |  CAST(len(text) AS BIGINT) AS n_chars
       |FROM d""".stripMargin
 
+  /** MinHash-LSH parameter planning (Dedup.lshPlan — the S-curve
+    * (bands, rows) chooser a 100 TB deployment runs before any dedup
+    * job): for each (τ, hash budget), the closest-midpoint signature
+    * shape under b·r ≤ H with deterministic tie-breaks, plus the
+    * detection probabilities at τ±0.1 that tell a deployment whether
+    * the budget buys a sharp enough curve. The oracle replays the full
+    * candidate-grid argmin scan — pow rounds once at 6 dp (the
+    * transcendental discipline), so both engines rank identical
+    * values. */
+  def q299LshPlan(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.lshPlan(s, thresholds = Seq(0.5, 0.7, 0.85),
+      budgets = Seq(32, 64, 128, 256))
+
+  val q299Sql: String =
+    """WITH cases AS (
+      |  SELECT tau, budget FROM (VALUES (0.5), (0.7), (0.85)) t(tau)
+      |  CROSS JOIN (VALUES (32), (64), (128), (256)) h(budget)),
+      |grid AS (SELECT b.i AS b, r.i AS r
+      |  FROM range(1, 257) b(i) CROSS JOIN range(1, 257) r(i)),
+      |cand AS (SELECT tau, budget, b, r,
+      |    round(pow(1.0 / b, 1.0 / r), 6) AS t_est
+      |  FROM cases JOIN grid ON b * r <= budget),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY tau, budget
+      |    ORDER BY abs(t_est - tau) ASC, b * r DESC, r ASC) AS k FROM cand)
+      |SELECT tau, CAST(budget AS BIGINT) AS budget, CAST(b AS BIGINT) AS bands,
+      |  CAST(r AS BIGINT) AS rows_per_band, t_est,
+      |  round(1 - pow(1 - pow(tau - 0.1, r), b), 6) AS p_below,
+      |  round(1 - pow(1 - pow(tau, r), b), 6) AS p_at,
+      |  round(1 - pow(1 - pow(tau + 0.1, r), b), 6) AS p_above
+      |FROM rk WHERE k = 1""".stripMargin
+
+  /** PDF → GPT-packing composition (the q284 pattern with the NEW
+    * source format: extracted PDF text drops straight into q197's
+    * concatenate-then-chunk layout — a user pointing the training
+    * pipeline at a PDF lake instead of WET shards changes ONE source
+    * call). Failed extractions ride along as zero-token rows (the
+    * never-vanish rule carried into the layout: ok=0 docs occupy no
+    * tokens but keep their row). Oracle = the expected-text CASE
+    * feeding q197's window chain. */
+  def q300PdfPack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packSequences(
+      operators.Pdf.pdfTexts(
+        operators.Pdf.synthPdfAssets(t(s, dir, "documents"), "doc_id"))
+        .toDF(),
+      "doc_id", "text", blockLen = 256)
+
+  val q300Sql: String =
+    s"""WITH d AS (SELECT doc_id, ((doc_id % 6) + 6) % 6 AS m FROM documents),
+       |e AS (SELECT doc_id, CASE m
+       |    WHEN 0 THEN 'Hello doc ' || doc_id || ' kerned TJ ' || doc_id ||
+       |      'Paren ( nested ) and \\ back A'
+       |    WHEN 1 THEN 'Flate page one of ' || doc_id || chr(10) ||
+       |      'line one' || chr(10) || 'line two ' || doc_id
+       |    WHEN 2 THEN 'Café costs €' || doc_id
+       |    ELSE '' END AS text
+       |  FROM d),
+       |tf AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR regexp_replace(text, '\\s', '', 'g') = '' THEN 0
+       |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
+       |    END AS n_tok
+       |  FROM e),
+       |st AS (SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM tf)
+       |SELECT doc_id, n_tok, tok_start,
+       |  CASE WHEN n_tok > 0 THEN tok_start // 256 END AS block_first,
+       |  CASE WHEN n_tok > 0 THEN (tok_start + n_tok - 1) // 256 END AS block_last,
+       |  CASE WHEN n_tok > 0
+       |    THEN (tok_start + n_tok - 1) // 256 > tok_start // 256
+       |  END AS crosses_block
+       |FROM st""".stripMargin
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -9729,7 +9803,9 @@ object QueryCatalog {
     ("q295_oriented_dedup", q295OrientedDedup _, Some(q295Sql)),
     ("q296_zstd_members", q296ZstdMembers _, Some(q296Sql)),
     ("q297_warc_zstd", q297WarcZstd _, Some(q250Sql)),
-    ("q298_jsonl_zstd", q298JsonlZstd _, Some(q298Sql)))
+    ("q298_jsonl_zstd", q298JsonlZstd _, Some(q298Sql)),
+    ("q299_lsh_plan", q299LshPlan _, Some(q299Sql)),
+    ("q300_pdf_pack", q300PdfPack _, Some(q300Sql)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

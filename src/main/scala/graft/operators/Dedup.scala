@@ -1365,4 +1365,51 @@ object Dedup {
           6)).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** MinHash-LSH parameter planner — the (bands, rows) chooser a
+    * 100 TB deployment runs BEFORE any dedup job (the ScaleCheck
+    * occupancy argument's front half: bucket occupancy is held by
+    * plane/hash-count choices, and THOSE come from the S-curve): for
+    * each (target threshold τ, signature budget H), scan every
+    * (b, r) with b·r ≤ H and pick the one whose S-curve midpoint
+    * t = (1/b)^(1/r) sits closest to τ — ties prefer the fuller
+    * signature (larger b·r: detection power is free once budgeted),
+    * then more bands (smaller r: cheaper band hashing). Alongside the
+    * choice, the detection probabilities P(s) = 1 − (1 − s^r)^b at
+    * s = τ−0.1, τ, τ+0.1 quantify the curve's sharpness — the numbers
+    * a deployment reads to decide if the budget is big enough.
+    *
+    * All math is the public MMDS Ch.3 S-curve; `pow` results round
+    * once to 6 dp (the round-then-fold transcendental discipline), so
+    * the oracle replays the argmin scan exactly. Control-plane
+    * cardinality throughout: the candidate grid is Σ_{b≤H} ⌊H/b⌋ ≈
+    * H·ln H rows per (τ, H) pair — never corpus-sized. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              thresholds: Seq[Double], budgets: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && budgets.nonEmpty, "non-empty inputs")
+    require(budgets.forall(h => h >= 1 && h <= 4096), "budget in [1, 4096]")
+    import spark.implicits._
+    val maxH = budgets.max
+    val cases = thresholds.flatMap(t => budgets.map(h => (t, h)))
+      .toDF("tau", "budget")
+    val grid = spark.range(1, maxH + 1).toDF("b")
+      .crossJoin(spark.range(1, maxH + 1).toDF("r"))
+    val cand = cases.join(grid, col("b") * col("r") <= col("budget"))
+      .withColumn("t_est",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6))
+      .withColumn("_diff", abs(col("t_est") - col("tau")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tau"), col("budget"))
+      .orderBy(col("_diff").asc, (col("b") * col("r")).desc, col("r").asc)
+    def pAt(s: org.apache.spark.sql.Column) =
+      round(lit(1.0) - pow(lit(1.0) - pow(s, col("r")), col("b")), 6)
+    cand.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("tau"), col("budget").cast("long").as("budget"),
+        col("b").cast("long").as("bands"), col("r").cast("long").as("rows_per_band"),
+        col("t_est"),
+        pAt(col("tau") - lit(0.1)).as("p_below"),
+        pAt(col("tau")).as("p_at"),
+        pAt(col("tau") + lit(0.1)).as("p_above"))
+  }
 }
