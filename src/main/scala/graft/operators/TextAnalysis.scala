@@ -835,6 +835,95 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("len", length(col("w"))))
       .materialized
+    // ONE substring enumeration, shared by the seed counts and every
+    // E-step's edge set (the round form re-derived it per DP round)
+    val subs = words
+      .select(col("w"), col("freq"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("i"))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("len") - col("i") + 1))).as("k"))
+      .withColumn("piece", expr("substring(w, i, k)"))
+      .materialized
+    val seedCnt = subs.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= minSeedCount || length(col("piece")) === 1)
+    def withLogp(cnts: DataFrame): DataFrame = {
+      val tot = cnts.agg(sum(col("cnt")).as("_tot"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("piece"), col("cnt"),
+          round(log(col("cnt").cast("double") / col("_tot").cast("double")), 6)
+            .cast("decimal(18,6)").as("lp"))
+    }
+    var pieces = withLogp(seedCnt).materialized
+    // the coverage-floor set: every character seen in any model word
+    val chars = subs.filter(col("k") === 1)
+      .select(col("piece")).distinct()
+      .materialized
+    val maxLenRow = words.agg(max(col("len"))).collect()(0) // one-row stat
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    // TYPED empty, never spark.emptyDataFrame (the r16 review finding —
+    // see unigramTrainRounds)
+    var segs: DataFrame = words
+      .select(col("w"), col("freq"),
+        array().cast("array<string>").as("seg"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("score"))
+      .limit(0)
+    var it = 0
+    while (it < nIters && maxLen > 0) {
+      // E-step as ONE pass: per word, collect its in-vocab substring
+      // edges (≤ maxWordLen·maxPieceLen of them — bounded per row at any
+      // corpus size) and run the whole prefix DP in graft.functions
+      // .UnigramViterbi, value-identical to the per-prefix-round
+      // join+argmax chain (UnigramEquivalenceSpec pins it). The round
+      // form paid nIters·maxWordLen join+aggregate+checkpoint STAGES on
+      // these vocab-cardinality frames — pure stage overhead at any
+      // realistic distinct-word count (the r16 sliding-window A/B showed
+      // exactly that); this form pays one broadcast join + one keyed
+      // aggregate per iteration and the frame stays distinct-word-
+      // bounded. Edge order from collect_list is nondeterministic and
+      // irrelevant: the DP argmax tie-breaks on (score, piece length,
+      // piece) — a total order over distinct candidates.
+      val pieceMu = pieces.select(col("piece"),
+        (col("lp") * lit(1000000)).cast("long").as("lp_mu"))
+      val dp = subs.join(broadcast(pieceMu), Seq("piece"))
+        .groupBy(col("w"), col("freq"))
+        .agg(collect_list(struct(col("i"), col("k"), col("lp_mu"))).as("_edges"))
+        .withColumn("_v",
+          graft.functions.UnigramViterbi(col("w"), col("_edges")))
+        .filter(col("_v").isNotNull)
+      segs = dp.select(col("w"), col("freq"),
+          col("_v.seg").as("seg"), col("_v.score").as("score"))
+        .materialized
+      val counts = segs.select(col("freq"), explode(col("seg")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .materialized // read by the floor join AND the anti-join
+      val floored = chars.join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+        .unionByName(counts.join(chars, Seq("piece"), "left_anti"))
+      pieces = withLogp(floored).materialized
+      it += 1
+    }
+    (pieces, segs)
+  }
+
+  /** The original prefix-length-round E-step (one join + argmax per
+    * prefix length, cumulative frame re-checkpointed per round) — kept
+    * ONLY as the equivalence reference for [[unigramTrainCore]]'s
+    * single-pass DP (UnigramEquivalenceSpec proves bit-identical
+    * (pieces, segs) on unicode/tie-heavy fixtures and the test corpus).
+    * Never called from the catalog. */
+  private[graft] def unigramTrainRounds(docs: DataFrame, nIters: Int,
+      maxPieceLen: Int, minSeedCount: Long, maxWordLen: Int,
+      textCol: String): (DataFrame, DataFrame) = {
+    require(nIters >= 1 && nIters <= 8, "nIters in [1, 8]")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16, "maxPieceLen in [2, 16]")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 64, "maxWordLen in [maxPieceLen, 64]")
+    val words = (docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("w"))))
+      .materialized
     val occ = words
       .select(col("w"), col("freq"), col("len"),
         explode(sequence(lit(1), col("len"))).as("i"))
