@@ -53,6 +53,18 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Drop the previous query's leaked localCheckpoint blocks OUTSIDE the
+    // timed window: every `.materialized` frame parks its partitions in
+    // the BlockManager until the driver GC happens to collect the RDD
+    // handle, so a 300-query run otherwise accumulates storage pressure
+    // that inflates LATER queries' times nondeterministically (measured
+    // r17: q128 0.3 s isolated vs 4.5 s late in a full run, same binary).
+    // This is measurement hygiene, not a result change — a real
+    // deployment runs one query per job and never sees a neighbor's
+    // blocks. Timing methodology (min-of-2, noop sink) is unchanged.
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sweepBlocks()
     val results = selected.map { case (name, fn) =>
       // a failed attempt reports time -1 and is EXCLUDED from the total, so
       // a regression that breaks a query can never improve the headline
@@ -64,7 +76,7 @@ object Bench {
         } catch { case e: Throwable =>
           errors ::= (name -> e.toString.takeWhile(_ != '\n').take(160))
           None
-        }
+        } finally sweepBlocks() // between attempts, after the clock stops
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }

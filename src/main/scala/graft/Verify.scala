@@ -46,7 +46,12 @@ object Verify {
         note(s"$name\t$rows\tok")
       } catch { case e: Throwable =>
         note(s"$name\t-1\tfailed: ${Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("[\\t\\n\\r]", " ").take(200)}")
-      }
+      } finally
+        // drop the finished query's leaked localCheckpoint blocks — every
+        // `.materialized` frame parks partitions in the BlockManager until
+        // driver GC; across 300 queries that storage pressure slows later
+        // queries (the Bench sweep's rationale, r17)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1111,13 +1111,17 @@ object Similarity {
         .map("%02x".format(_)).mkString.substring(0, 15)
       if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
     }
-    val signs = typedLit(signArr)
-    val projected = transform(sequence(lit(0), lit(outDims - 1)), j =>
-      aggregate(sequence(lit(1), lit(dims)),
-        lit(0).cast("decimal(18,6)"),
-        (acc, d) => (acc +
-          round(element_at(col(vecCol), d).cast("double"), 6).cast("decimal(12,6)") *
-            element_at(signs, (d - lit(1)) * outDims + j + lit(1))).cast("decimal(18,6)")))
+    // per-element round+cast staged ONCE in Catalyst (identical value to
+    // the old per-(d,j) evaluation — round is deterministic), then the
+    // dims×outDims signed dot products run compiled in SignedProjection:
+    // the HOF transform×aggregate chain evaluated interpreted lambdas
+    // with boxed decimal adds per (row, d, j) — the dominant cost of the
+    // operator at sf0.1 (RandomProjectionEquivalenceSpec pins
+    // bit-identity, incl. null-vector / null-component propagation)
+    val staged = transform(col(vecCol),
+      x => round(x.cast("double"), 6).cast("decimal(12,6)"))
+    val projected =
+      graft.functions.SignedProjection(staged, signArr.toSeq, dims, outDims)
     emb.select(col(idCol).as("vec_id"), posexplode(projected).as(Seq("j", "_s")))
       .select(col("vec_id"), col("j").cast("long").as("j"),
         (col("_s").cast("double") / lit(math.sqrt(outDims.toDouble)))
