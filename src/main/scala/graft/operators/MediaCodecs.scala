@@ -1503,7 +1503,14 @@ object MediaCodecs {
     if (bytes == null || bytes.length < 3) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCache stream, NOT ImageIO.createImageInputStream: the
+      // factory honors ImageIO.getUseCache() (default true) and backs
+      // every stream with a NEW TEMP FILE — at 32 decode threads the
+      // create/delete churn in java.io.tmpdir serializes on the
+      // filesystem (measured r18: q270's 11× run-to-run spread). The
+      // payloads are KB-sized byte arrays; caching them in memory is
+      // strictly cheaper and semantically identical.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -1558,7 +1565,9 @@ object MediaCodecs {
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // MemoryCache stream for the same reason as decodeJpeg's reader: the
+    // ImageIO factory would back this with a temp FILE per encode
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)

@@ -1071,8 +1071,95 @@ object TextAnalysis {
     * `checkpoint = false` keeps the full lineage — exponentially deep
     * past a few rounds, so ONLY for plan audits (PlanSpec inspects the
     * window partitioning the eager checkpoints would otherwise hide). */
+  /** The shipped BPE trainer: per round, ONE distributed pair-count
+    * aggregate over the distinct-word frame (symbols re-derived per row
+    * by the compiled [[graft.functions.BpeSymbols]] merge-application
+    * expression — merges-so-far ride as a ≤ 64-entry literal) and a
+    * tree top-1 whose single winner row crosses to the driver — the
+    * same one-row control-plane probe the round form already paid for
+    * its `isEmpty` early-stop (and the unigram trainer's `max(len)`
+    * stat). The windowed per-round rewrite (lead + 3 window passes +
+    * localCheckpoint of the full symbol table, ~5 stages/round) is kept
+    * as [[bpeTrainRounds]], the equivalence reference; BpeEquivalenceSpec
+    * pins bit-identical (table, syms) on run-heavy/unicode/tie fixtures.
+    *
+    * Scale: the aggregate input is distinct words × avg symbols — the
+    * classic trainer's working set — with map-side partial aggregation;
+    * per round exactly one shuffle of (pair, count) rows (vocab²-bounded,
+    * tiny) and one driver row. At 100 TB the shape is unchanged: the
+    * corpus is touched once (the word count), every round is
+    * vocab-bounded control-plane work. */
   private[graft] def bpeTrain(docs: DataFrame, rounds: Int, textCol: String,
                               checkpoint: Boolean = true): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    val spark = docs.sparkSession
+    val words0 = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // one checkpoint total (the round form paid one per round); tests
+    // pass checkpoint=false to keep lineage for plan audits
+    val words = if (checkpoint) words0.materialized else words0
+    val mergeRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var lefts = Vector.empty[String]
+    var rights = Vector.empty[String]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val symsArr = graft.functions.BpeSymbols(col("w"), lefts, rights)
+      // adjacent pairs of the post-merge symbols: zip the array against
+      // its own 1-shift (slice length ≥ 0 — a fully-merged word has one
+      // symbol, zero pairs, and explode drops it like the round form's
+      // nxt-IS-NOT-NULL filter). _s stays its own projection so the
+      // merge expression evaluates once, not once per slice.
+      val withS = words.select(col("freq"), symsArr.as("_s"))
+      val pairs = withS.select(col("freq"), explode(zip_with(
+          slice(col("_s"), lit(1), size(col("_s")) - 1),
+          slice(col("_s"), lit(2), size(col("_s")) - 1),
+          (l, rr) => struct(l.as("left"), rr.as("right")))).as("_p"))
+      val best = pairs
+        .groupBy(col("_p.left").as("left"), col("_p.right").as("right"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true // fully merged: later rounds are no-ops
+      else {
+        val l = best(0).getString(0)
+        val rr = best(0).getString(1)
+        mergeRows += org.apache.spark.sql.Row(r.toLong, l, rr, best(0).getLong(2))
+        lefts :+= l
+        rights :+= rr
+        r += 1
+      }
+    }
+    val tableSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("left",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("right",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("pair_count",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    // LocalRelation — the merge table is ≤ `rounds` tiny rows already on
+    // the driver; readers see a LocalTableScan, no job
+    val table = spark.createDataFrame(
+      java.util.Arrays.asList(mergeRows.toSeq: _*), tableSchema)
+    val symsFinal = words
+      .select(col("w"), col("freq"),
+        posexplode(graft.functions.BpeSymbols(col("w"), lefts, rights)))
+      .select(col("w"), col("freq"), (col("pos") + 1).as("pos"),
+        col("col").as("sym"))
+    (table, symsFinal)
+  }
+
+  /** The original per-round windowed trainer (lead pair window + tree
+    * top-1 + gaps-and-islands rewrite + localCheckpoint, per round) —
+    * kept ONLY as the equivalence reference for [[bpeTrain]]'s compiled
+    * merge-application form (BpeEquivalenceSpec proves bit-identical
+    * (table, syms) on run-heavy/unicode/tie-heavy fixtures). Never
+    * called from the catalog. */
+  private[graft] def bpeTrainRounds(docs: DataFrame, rounds: Int, textCol: String,
+                                    checkpoint: Boolean = true): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
     import org.apache.spark.sql.expressions.Window
     def cp(df: DataFrame): DataFrame =
