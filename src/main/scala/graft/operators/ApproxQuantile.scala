@@ -184,15 +184,22 @@ object ApproxQuantile {
       .select(g, col("_t._tbkt").as("_bkt"), col("_t._idx").as("_idx"),
         col("_t._off").as("_off"))
       .distinct()
-    val tgtBkts = tgt.select(g.as("_tg"), col("_bkt").as("_tb")).distinct()
-    val ranked = b
-      .join(broadcast(tgtBkts), g <=> col("_tg") && col("_bkt") === col("_tb"))
-      .drop("_tg", "_tb")
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))) - 1)
+    // ONE broadcast join against the target list (the r17 "fold the
+    // control-plane joins" item): joining b to targets on (group, bucket)
+    // restricts the re-scan to covering buckets AND attaches (_idx, _off)
+    // in the same pass — the former two-join form (bucket-restrict, then
+    // target-attach) paid a second broadcast stage for nothing. A bucket
+    // covering several targets duplicates its rows once per target, so
+    // the row_number partition gains _idx: each copy ranks the full
+    // bucket by _v independently, and _rn === _off picks the same order
+    // statistic the two-join form did (ties are equal _v values — any
+    // physical pick reads the same value).
     val tgtR = tgt.select(g.as("_tg"), col("_bkt").as("_tb"), col("_idx"), col("_off"))
-    val vals = ranked
+    val vals = b
       .join(broadcast(tgtR), g <=> col("_tg") && col("_bkt") === col("_tb"))
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(g, col("_bkt"), col("_idx")).orderBy(col("_v"))) - 1)
       .filter(col("_rn") === col("_off"))
       .select(g, col("_idx"), col("_v"))
     // fold the ≤ 2·|qs| picked order statistics per group back to one row
@@ -294,17 +301,19 @@ object ApproxQuantile {
     val cov = cum.join(broadcast(tgt),
         g <=> col("_grp") && col("_k") >= col("_prev") && col("_k") < col("_cc"))
       .select(g, col("_k"), col("_bkt"), (col("_k") - col("_prev")).as("_off"))
-    val needB = cov.select(g.as("_tg"), col("_bkt").as("_tb")).distinct()
-    val ranked = b
-      .join(broadcast(needB), g <=> col("_tg") && col("_bkt") === col("_tb"))
-      .drop("_tg", "_tb")
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))) - 1)
+    // ONE broadcast join against the covering targets (same fold as
+    // exactOrderStats): restrict to covering buckets and attach
+    // (_k, _off) in one pass; the per-(g, bucket, target) row_number
+    // ranks each duplicated copy of the bucket independently, so
+    // _rn === _off reads the same order statistic the two-join form did
     val cov2 = cov.select(g.as("_tg"), col("_bkt").as("_tb"),
       col("_k"), col("_off"))
-    val vals = ranked
-      .join(broadcast(cov2),
-        g <=> col("_tg") && col("_bkt") === col("_tb") && col("_rn") === col("_off"))
+    val vals = b
+      .join(broadcast(cov2), g <=> col("_tg") && col("_bkt") === col("_tb"))
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(g, col("_bkt"), col("_k")).orderBy(col("_v"))) - 1)
+      .filter(col("_rn") === col("_off"))
       .select(g.as("_vg"), col("_k"), col("_v"))
       .materialized
     // decimal edge interpolation, one row per (group, i)
