@@ -26,8 +26,12 @@ class BpeEquivalenceSpec extends SparkSpec {
       r.getAs[Int]("pos"), r.getAs[String]("sym"))).toSet
 
   private def assertSame(docs: DataFrame, rounds: Int): Unit = {
-    val (tF, sF) = TextAnalysis.bpeTrain(docs, rounds, "text", checkpoint = false)
-    val (tR, sR) = TextAnalysis.bpeTrainRounds(docs, rounds, "text", checkpoint = false)
+    // checkpoint = true: the rounds form's kept lineage grows a deep
+    // window-over-window plan whose ANALYSIS dominated this suite
+    // (~65 s at rounds 4-5, measured r18); equivalence is about values,
+    // and the checkpointing path is the shipped one anyway
+    val (tF, sF) = TextAnalysis.bpeTrain(docs, rounds, "text")
+    val (tR, sR) = TextAnalysis.bpeTrainRounds(docs, rounds, "text")
     assert(tableRows(tF) === tableRows(tR), "merge tables must be bit-identical")
     assert(symRows(sF) === symRows(sR), "symbol tables must be bit-identical")
     assert(tF.schema.map(f => (f.name, f.dataType)) ===

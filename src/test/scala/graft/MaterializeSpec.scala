@@ -17,7 +17,12 @@ class MaterializeSpec extends SparkSpec {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (4L, 5L), (2L, 5L)
     ).toDF("src", "dst")
-    operators.Dedup.pageRankDirected(edges, "src", "dst", iterations = 6)
+    // 4 iterations, not the catalog's 8: every mode-sensitive code path
+    // (dangling mass, contribution join, left-miss coalesce, per-round
+    // materialization) runs in EVERY round, so mode-identity needs few
+    // rounds — and this suite is pure per-round fixed cost (3 modes ×
+    // rounds × ~4 jobs each; 50 s at 6 rounds, measured r18)
+    operators.Dedup.pageRankDirected(edges, "src", "dst", iterations = 4)
       .orderBy("id").collect().toSeq
   }
 

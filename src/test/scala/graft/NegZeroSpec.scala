@@ -45,16 +45,36 @@ class NegZeroSpec extends SparkSpec {
   }
 
   test("no catalog query emits a -0.0 bit pattern in any double cell") {
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    QueryCatalog.entries.foreach { case (name, fn, _) =>
-      val df = fn(spark, sf)
-      if (df.schema.fields.exists(f => hasFloaty(f.dataType))) {
-        // sf0.001 catalog outputs are verify-sized; collect is fine here
-        val n = df.collect().iterator.map(r => negZeros(r)).sum
-        if (n > 0) offenders += s"$name ($n cells)"
+    // overlap independent read-only queries from a small driver pool
+    // (guide §2.6): 300 sequential runs made this the slowest test in
+    // the suite (175 s) with the session mostly idle between jobs.
+    // Waves of 8 with a sweep of leaked localCheckpoint blocks between
+    // waves (the r17 Bench finding) — sweeping is only safe while no
+    // query is in flight, hence the wave barrier.
+    val offenders = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      QueryCatalog.entries.grouped(8).foreach { wave =>
+        val tasks = wave.map { case (name, fn, _) =>
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val df = fn(spark, sf)
+              if (df.schema.fields.exists(f => hasFloaty(f.dataType))) {
+                // sf0.001 catalog outputs are verify-sized; collect is fine
+                val n = df.collect().iterator.map(r => negZeros(r)).sum
+                if (n > 0) offenders.add(s"$name ($n cells)")
+              }
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // rethrow failures
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
-    }
-    assert(offenders.isEmpty,
-      s"-0.0 bit patterns found in: ${offenders.mkString(", ")}")
+    } finally pool.shutdown()
+    assert(offenders.isEmpty, {
+      import scala.jdk.CollectionConverters._
+      s"-0.0 bit patterns found in: ${offenders.asScala.mkString(", ")}"
+    })
   }
 }
