@@ -50,7 +50,15 @@ object Verify {
         // drop the finished query's leaked localCheckpoint blocks — every
         // `.materialized` frame parks partitions in the BlockManager until
         // driver GC; across 300 queries that storage pressure slows later
-        // queries (the Bench sweep's rationale, r17)
+        // queries (the Bench sweep's rationale, r17).
+        // INVARIANT (r17 advice): this sweeps EVERY persistent RDD, and
+        // localCheckpointed RDDs have truncated lineage — so no catalog
+        // query may hand a materialized frame (cached dim, temp view over
+        // a .materialized frame) to a LATER query. Queries are registered
+        // as self-contained (SparkSession, sfDir) => DataFrame closures,
+        // and sharing results across queries is contractually out anyway
+        // (cross-query result caching); a future shared frame must move
+        // to the BlockSweep created-since-diff pattern instead.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

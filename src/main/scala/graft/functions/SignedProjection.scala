@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   *   - an input shorter than `dims` fails loudly (ANSI `element_at`
   *     would have thrown out-of-bounds).
   *
+  * Documented divergence from the HOF chain (r17 advice): the long
+  * accumulator range-checks only at the final Decimal(18,6)
+  * construction, while the HOF re-cast the running sum to decimal(18,6)
+  * after EVERY add — an intermediate partial sum past 10^12 micros with
+  * a smaller final value threw under ANSI in the old path and passes
+  * silently here. Long overflow itself is unreachable at this library's
+  * bounds (components are decimal(12,6) ⇒ < 10^12 micros each;
+  * dims ≤ 2^20 from the sign-matrix literal bound ⇒ |any partial sum|
+  * < 2^20·10^12 < 2^63), and the final-value range is what the (18,6)
+  * construction still guards where both paths would throw.
+  *
   * Why: the HOF chain is interpreted — dims·outDims lambda steps with
   * boxed decimal adds PER ROW (measured: the dominant cost of q123 at
   * sf0.1). This is a compiled loop over the same integers;

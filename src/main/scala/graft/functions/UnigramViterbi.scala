@@ -40,7 +40,17 @@ object UnigramViterbiCore {
   /** edges: (start 1-based by code point, piece length ≥ 1, lp micros).
     * Returns (bestScoreMicros, pieces) or null when the final prefix is
     * unreachable (no coverage — cannot happen when every single char is
-    * in the vocab, but the round form drops such words and so do we). */
+    * in the vocab, but the round form drops such words and so do we).
+    *
+    * PRECONDITION (r17 advice): edges must be UNIQUE per (start, k) —
+    * the tie-break below compares (score, k) only, on the argument that
+    * for a fixed prefix end, distinct k ⇒ distinct piece and equal k ⇒
+    * the same piece (same substring), so the piece never decides. A
+    * caller joining a piece table with DUPLICATE piece rows (two lp
+    * values for one piece) would break that argument and could pick a
+    * different lp than the round form's max_by. The shipped pipeline
+    * guarantees uniqueness (pieces is grouped by piece before the
+    * join); any new caller must too. */
   def segment(word: Array[Int], edges: Array[(Int, Int, Long)]): (Long, Array[String]) = {
     val n = word.length
     if (n == 0) return null

@@ -836,7 +836,13 @@ object TextAnalysis {
       .withColumn("len", length(col("w"))))
       .materialized
     // ONE substring enumeration, shared by the seed counts and every
-    // E-step's edge set (the round form re-derived it per DP round)
+    // E-step's edge set (the round form re-derived it per DP round).
+    // Footprint note (r17 advice): this holds distinct-words ×
+    // Σ min(maxPieceLen, len−i+1) rows — each carrying the word string —
+    // resident in the BlockManager for the whole training loop. At the
+    // catalog's 12×4 that is ≤ ~45 rows/word; at the API maxima (64×16,
+    // ~1000 rows/word) a large-vocab caller should materialize only
+    // (w, freq, i, k) and re-derive `piece` on read.
     val subs = words
       .select(col("w"), col("freq"), col("len"),
         explode(sequence(lit(1), col("len"))).as("i"))
